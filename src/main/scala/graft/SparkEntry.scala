@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{PipelineQueries => P, RelationalQueries => R}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a batch-expressible query here;
+  * keys present in [[oracleSql]] are hash-checked against DuckDB by the driver, the
+  * rest get a rows-only check (non-SQL-expressible ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full pipeline: dress → validate (V1-V11) → track (T1-T8) → decisions. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    P.t4CompleteDecision(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 serialization + §2.6 utility
+    "d1_record_projection" -> (P.d1RecordProjection _),
+    "d2_notification_parse" -> (P.d2NotificationParse _),
+    "d5_invalid_json" -> (P.d5InvalidJson _),
+    "u1_topic_derivation" -> (P.u1TopicDerivation _),
+    // §2.3 validation
+    "v1_extract_batch_id" -> (P.v1ExtractBatchId _),
+    "v2_latest_notification" -> (P.v2LatestNotification _),
+    "v3_batch_lookup_join" -> (P.v3BatchLookupJoin _),
+    "v4_missing_batch_id" -> (P.v4MissingBatchId _),
+    "v5_unknown_batch_id" -> (P.v5UnknownBatchId _),
+    "v6_dropped_statuses" -> (P.v6DroppedStatuses _),
+    "v7_late_after_complete" -> (P.v7LateAfterComplete _),
+    "v8_json_validity" -> (P.v8JsonValidity _),
+    "v10_invalid_records" -> (P.v10InvalidRecords _),
+    "v11_counts_stream" -> (P.v11CountsStream _),
+    // §2.4 tracker
+    "t1_batch_counts" -> (P.t1BatchCounts _),
+    "t2_counts_with_meta" -> (P.t2CountsWithMeta _),
+    "t3_threshold_fail" -> (P.t3ThresholdFail _),
+    "t4_complete_decision" -> (P.t4CompleteDecision _),
+    "t6_overflow_fail" -> (P.t6OverflowFail _),
+    // relational coverage
+    "q1_agg" -> (R.q1Agg _),
+    "q2_topk_revenue" -> (R.q2TopkRevenue _),
+    "q3_nation_revenue" -> (R.q3NationRevenue _),
+    "q4_customers_no_orders" -> (R.q4CustomersNoOrders _),
+    "q5_latest_order_per_customer" -> (R.q5LatestOrderPerCustomer _),
+    "q6_events_hourly" -> (R.q6EventsHourly _),
+    "q7_sessions" -> (R.q7Sessions _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = graft.oracle.OracleSql.sql
 }

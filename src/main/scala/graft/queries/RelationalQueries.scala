@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage queries over the TPC-H-ish tables — exercising the engine's
+  * scan/filter/project/join/aggregate/window surface with plans that hold at scale:
+  * dims broadcast, facts never shuffle except for their group-by keys, money math in
+  * DECIMAL so results are bit-deterministic across engines (oracle parity).
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") graft.util.Tables.events(spark, dir)
+    else graft.util.Tables.table(spark, dir, name)
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  /** Q1 — TPC-H Q1-style pricing summary: grouped conditional aggregates.
+    * Partial (map-side) aggregation makes the shuffle carry ~|groups| rows. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("decimal(22,2)").cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("decimal(22,2)").cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(12,2)") - dec2(col("l_discount"))))
+          .cast("decimal(26,4)").cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Q2 — top-10 orders by revenue (deterministic tiebreak on key): join + agg +
+    * total-order limit. TakeOrderedAndProject keeps the sort bounded. */
+  def q2TopkRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(12,2)") - dec2(col("l_discount"))))
+        .cast("decimal(26,4)").cast("double").as("revenue"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("order_key"), col("revenue"),
+        col("o_orderpriority").as("order_priority"))
+      .orderBy(col("revenue").desc, col("order_key"))
+      .limit(10)
+
+  /** Q3 — star join: revenue by nation. Dims (customer/nation/region) broadcast; the
+    * lineitem fact joins orders on its own key — at 100 TB this is the one shuffle. */
+  def q3NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(12,2)") - dec2(col("l_discount"))))
+        .cast("decimal(26,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Q4 — anti join: customers with no orders, counted by market segment. */
+  def q4CustomersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Q5 — window rank: each customer's latest order (row_number, deterministic
+    * tiebreak). One shuffle on the partition key; no global sort. */
+  def q5LatestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** Q6 — tumbling-window aggregate over the event stream (batch twin of the
+    * Structured Streaming windowed agg): per-hour counts and value sums. */
+  def q6EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("event_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("decimal(22,2)").cast("double").as("sum_value"))
+
+  /** Q7 — sessionization: 30-minute-gap sessions per user via lag + running sum.
+    * Interval arithmetic (not float epoch math) keeps it engine-portable. */
+  def q7Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+}

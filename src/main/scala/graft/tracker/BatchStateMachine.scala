@@ -1,0 +1,93 @@
+package graft.tracker
+
+import graft.model.{BatchNotification, BatchState, Status}
+
+/** Events consumed by the tracker: a per-record counts message or a notification
+  * update. SS has no two-input keyed co-process, so the two streams are
+  * union-encoded into one ADT before `groupByKey` (SURVEY.md §7.8 risk #2) —
+  * mirroring the reference's `KeyedCoProcessFunction` twin inputs
+  * (Tracker.scala:47-90).
+  */
+sealed trait TrackerEvent { def batchId: String }
+case class CountEvent(batchId: String, isValid: Boolean) extends TrackerEvent
+case class NotificationEvent(batchId: String, notification: BatchNotification) extends TrackerEvent
+/** Processing-time timer firing (T5). */
+case class TimerEvent(batchId: String, fireTime: Long) extends TrackerEvent
+
+/** Pure per-batch state machine — T1–T8 of SURVEY.md §2.4, kept Spark-free so the
+  * timer/ordering semantics are unit-testable without a cluster (reference pins them
+  * in TrackerTest.scala with a virtual clock; we do the same).
+  *
+  * Transition semantics (reference Tracker.scala):
+  *  - T1 counts accumulate valid/invalid, bump lastModified (:47-69)
+  *  - T2 notification replaces the stored metadata, keeps counts (:71-90)
+  *  - T3 threshold fail fires when invalid == threshold exactly (:153-162)
+  *  - T4 counts-match + SEND_COMPLETED arms a completion timer at
+  *    lastModified + completionDelayMs (:116-120,129-139)
+  *  - T5 timer fire re-checks completeness before emitting COMPLETED (:93-103)
+  *  - T6 overflow (total > expected) fails immediately (:141-151)
+  *  - T8 at most one terminal notification per batch, ever (:186-194)
+  */
+class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable {
+
+  def initialState: BatchState = BatchState(0, 0, isFinished = false, 0L, None)
+
+  /** Outcome of one event: next state, optional terminal notification to emit,
+    * optional processing-time timer to (re-)arm. */
+  case class Outcome(state: BatchState, emit: Option[BatchNotification], armTimerAt: Option[Long])
+
+  def onEvent(state: BatchState, event: TrackerEvent, nowMs: Long): Outcome = event match {
+    case CountEvent(_, isValid) =>
+      val s = state.copy(
+        valid = state.valid + (if (isValid) 1 else 0),
+        invalid = state.invalid + (if (isValid) 0 else 1),
+        lastModified = nowMs)
+      check(s, nowMs)
+    case NotificationEvent(_, n) =>
+      val s = state.copy(notification = Some(n), lastModified = nowMs)
+      check(s, nowMs)
+    case TimerEvent(_, _) =>
+      // T5: re-validate at fire time — arrivals during the delay with counts that no
+      // longer match cancel the completion (reference Tracker.scala:93-103).
+      if (isComplete(state)) terminal(state, Status.Completed, null)
+      else Outcome(state, None, None)
+  }
+
+  private def isComplete(s: BatchState): Boolean = s.notification.exists { n =>
+    n.status == Status.SendCompleted && !s.isFinished &&
+      s.valid + s.invalid == n.expectedRecordCount
+  }
+
+  private def check(s: BatchState, nowMs: Long): Outcome = s.notification match {
+    case None => Outcome(s, None, None)
+    case Some(n) =>
+      if (n.invalidThreshold > -1 && n.status != Status.Terminated && !s.isFinished &&
+        s.invalid == n.invalidThreshold) {
+        // T3 — note `==`: fires exactly once, when the counter crosses the threshold.
+        terminal(s, Status.Failed,
+          s"Failing Batch: ${n.id}, too many invalid records invalidCount: " +
+            s"${s.invalid} == invalidThreshold: ${n.invalidThreshold}")
+      } else if (n.status == Status.SendCompleted && !s.isFinished &&
+        s.valid + s.invalid > n.expectedRecordCount) {
+        // T6 — overflow fails immediately.
+        terminal(s, Status.Failed,
+          s"Failing batch: ${n.id}, received too many records, actualRecordCount: " +
+            s"${s.valid + s.invalid} > expectedRecordCount: ${n.expectedRecordCount}")
+      } else if (isComplete(s)) {
+        // T4 — arm (or re-arm, from lastModified) the completion-delay timer.
+        Outcome(s, None, Some(s.lastModified + completionDelayMs))
+      } else Outcome(s, None, None)
+  }
+
+  /** T7+T8 — build the terminal notification (copy + status + final counts) and
+    * latch isFinished so nothing further ever emits (reference Tracker.scala:164-194). */
+  private def terminal(s: BatchState, status: String, failureMessage: String): Outcome = {
+    val base = s.notification.get
+    val out = base.copy(
+      status = status,
+      actualRecordCount = s.valid + s.invalid,
+      invalidRecordCount = s.invalid,
+      failureMessage = if (failureMessage != null) failureMessage else base.failureMessage)
+    Outcome(s.copy(isFinished = true), Some(out), None)
+  }
+}
