@@ -6,8 +6,9 @@ package graft.oracle
   * binary/header machinery — just the event_id rules documented there) plus the
   * validation disposition (ValidationEngine) and tracker decision (TrackerBatch)
   * semantics. ANY change to Dress/ValidationEngine/TrackerBatch must be mirrored
-  * here; the ScalaTest OracleParitySpec and the driver's DuckDB compare both enforce
-  * the lockstep.
+  * here. The lockstep is enforced by the driver's DuckDB compare (and can be
+  * replayed locally via `graft.Verify` + `scripts/compare.py`); there is no
+  * in-repo ScalaTest guard for it, since DuckDB is not on the JVM classpath.
   */
 object OracleSql {
 

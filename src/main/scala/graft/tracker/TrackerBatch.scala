@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    counts, so it tests `invalid >= threshold`, and the failure message reports the
   *    final invalid count.
   *  - T4/T5's completion *delay* degenerates to an immediate decision.
-  *  - Check precedence matches the per-event order: threshold, then overflow, then
-  *    complete (reference Tracker.scala checkBatchStatus call sites).
+  *  - The reference checks threshold, then complete, then overflow
+  *    (Tracker.scala batchStatusCheck, :112-125). This twin evaluates threshold,
+  *    then overflow, then complete — behavior-neutral, because complete
+  *    (total == expected) and overflow (total > expected) are mutually exclusive.
   *
   * Scale: `counts` pre-aggregates map-side (partial hash agg) before the shuffle on
   * batchId; the notification side is tiny and broadcast. At 100 TB the shuffle

@@ -1,0 +1,198 @@
+package graft.tracker
+
+import graft.model.{BatchNotification, BatchState, Status}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Unit tests for the pure per-batch state machine, mirroring the scenarios the
+  * reference pins in TrackerTest.scala (712 LoC, virtual-clock harness):
+  * exact-`==` threshold fire (:146-201), timer re-arm from lastModified (:437-509),
+  * re-check at fire time (:465-509), one-terminal-only (:511-546), post-finish
+  * records (:624-662), independent batches (:395-434).
+  *
+  * No SparkSession needed — the machine is Spark-free by design; the virtual clock
+  * is just the `nowMs` argument.
+  */
+class BatchStateMachineSpec extends AnyFunSuite with Matchers {
+
+  private val Delay = 300000L
+
+  private def notif(
+      id: String = "batch-42",
+      status: String = Status.SendCompleted,
+      expected: Int = 3,
+      threshold: Int = -1): BatchNotification =
+    BatchNotification(id, s"name-$id", "ingest.t1.claims.in", "claims", status,
+      null, null, expected, 0, 0, threshold, null, null)
+
+  private def machine = new BatchStateMachine(Delay)
+
+  /** Fold events through the machine, returning (finalState, emits, armedTimers). */
+  private def run(events: Seq[(TrackerEvent, Long)],
+      init: BatchState = machine.initialState)
+      : (BatchState, Seq[BatchNotification], Seq[Long]) = {
+    val m = machine
+    events.foldLeft((init, Seq.empty[BatchNotification], Seq.empty[Long])) {
+      case ((s, emits, timers), (ev, now)) =>
+        val o = m.onEvent(s, ev, now)
+        (o.state, emits ++ o.emit, timers ++ o.armTimerAt)
+    }
+  }
+
+  test("T1: counts accumulate valid/invalid and bump lastModified") {
+    val (s, emits, _) = run(Seq(
+      (CountEvent("b", isValid = true), 10L),
+      (CountEvent("b", isValid = false), 20L),
+      (CountEvent("b", isValid = true), 30L)))
+    s.valid shouldBe 2
+    s.invalid shouldBe 1
+    s.lastModified shouldBe 30L
+    emits shouldBe empty // no notification yet -> nothing can fire
+  }
+
+  test("T2: notification replaces metadata, keeps counts") {
+    val n1 = notif(status = Status.Started, expected = 5)
+    val n2 = notif(status = Status.SendCompleted, expected = 5)
+    val (s, _, _) = run(Seq(
+      (CountEvent("b", isValid = true), 1L),
+      (NotificationEvent("b", n1), 2L),
+      (NotificationEvent("b", n2), 3L)))
+    s.valid shouldBe 1
+    s.notification shouldBe Some(n2)
+  }
+
+  test("T4: SEND_COMPLETED with counts == expected arms timer at lastModified + delay") {
+    val (_, emits, timers) = run(Seq(
+      (NotificationEvent("b", notif(expected = 2)), 1L),
+      (CountEvent("b", isValid = true), 100L),
+      (CountEvent("b", isValid = true), 200L)))
+    emits shouldBe empty // completion is delayed, not immediate
+    timers.last shouldBe (200L + Delay)
+  }
+
+  test("T4: timer re-arms from lastModified on each qualifying event (Tracker.scala:118)") {
+    // counts match, then a notification refresh bumps lastModified -> new, later timer
+    val (_, _, timers) = run(Seq(
+      (NotificationEvent("b", notif(expected = 1)), 1L),
+      (CountEvent("b", isValid = true), 100L),
+      (NotificationEvent("b", notif(expected = 1)), 5000L)))
+    timers shouldBe Seq(100L + Delay, 5000L + Delay)
+  }
+
+  test("T5: timer fire while still complete emits COMPLETED with final counts, latches isFinished") {
+    val (s1, _, timers) = run(Seq(
+      (NotificationEvent("b", notif(expected = 2)), 1L),
+      (CountEvent("b", isValid = true), 10L),
+      (CountEvent("b", isValid = false), 20L)))
+    val m = machine
+    val o = m.onEvent(s1, TimerEvent("b", timers.last), timers.last)
+    val out = o.emit.get
+    out.status shouldBe Status.Completed
+    out.actualRecordCount shouldBe 2
+    out.invalidRecordCount shouldBe 1
+    o.state.isFinished shouldBe true
+  }
+
+  test("T5: arrivals during the delay that break counts == expected cancel completion") {
+    val (s1, _, timers) = run(Seq(
+      (NotificationEvent("b", notif(expected = 1)), 1L),
+      (CountEvent("b", isValid = true), 10L),
+      // overflow arrives during the delay window; expected=1 but total becomes 2.
+      // The reference fails on overflow immediately (T6); use expected that keeps it
+      // non-matching without overflow: a STARTED refresh lowers no counts, so instead
+      // drive the mismatch via a second record against expected=1 -> overflow FAILED.
+      (CountEvent("b", isValid = true), 20L)))
+    // The second count overflowed (2 > 1) -> T6 already fired FAILED.
+    s1.isFinished shouldBe true
+    // Timer from the first match still fires but must emit nothing (isFinished).
+    val o = machine.onEvent(s1, TimerEvent("b", timers.last), timers.last)
+    o.emit shouldBe None
+  }
+
+  test("T5: timer fire when counts no longer match (under-count path) emits nothing") {
+    // expected drops from 2 to 3 via a notification refresh after counts matched 2
+    val (s1, emits, timers) = run(Seq(
+      (NotificationEvent("b", notif(expected = 2)), 1L),
+      (CountEvent("b", isValid = true), 10L),
+      (CountEvent("b", isValid = true), 20L),
+      (NotificationEvent("b", notif(expected = 3)), 30L)))
+    emits shouldBe empty
+    val o = machine.onEvent(s1, TimerEvent("b", timers.head), timers.head + 1)
+    o.emit shouldBe None
+    o.state.isFinished shouldBe false
+  }
+
+  test("T3: threshold fires on exact == with counts at fire time (TrackerTest:162-168)") {
+    val (s, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(expected = 100, threshold = 2)), 1L),
+      (CountEvent("b", isValid = true), 10L),
+      (CountEvent("b", isValid = false), 20L),
+      (CountEvent("b", isValid = false), 30L)))
+    emits should have size 1
+    val f = emits.head
+    f.status shouldBe Status.Failed
+    f.actualRecordCount shouldBe 3 // count when threshold hit, not final
+    f.invalidRecordCount shouldBe 2
+    f.failureMessage should include("invalidCount: 2 == invalidThreshold: 2")
+    s.isFinished shouldBe true
+  }
+
+  test("T3: threshold disabled at -1 never fires") {
+    val (_, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(expected = 100, threshold = -1)), 1L)) ++
+      (1 to 10).map(i => (CountEvent("b", isValid = false), i * 10L)))
+    emits shouldBe empty
+  }
+
+  test("T3: TERMINATED status suppresses the threshold check") {
+    val (_, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(status = Status.Terminated, threshold = 1)), 1L),
+      (CountEvent("b", isValid = false), 10L)))
+    emits shouldBe empty
+  }
+
+  test("T6: overflow (total > expected) fails immediately with the reference message") {
+    val (s, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(expected = 1)), 1L),
+      (CountEvent("b", isValid = true), 10L),
+      (CountEvent("b", isValid = true), 20L)))
+    emits should have size 1
+    emits.head.status shouldBe Status.Failed
+    emits.head.failureMessage should include(
+      "received too many records, actualRecordCount: 2 > expectedRecordCount: 1")
+    s.isFinished shouldBe true
+  }
+
+  test("T8: at most one terminal notification per batch, ever (TrackerTest:511-546)") {
+    val (s, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(expected = 100, threshold = 1)), 1L),
+      (CountEvent("b", isValid = false), 10L), // fires FAILED
+      (CountEvent("b", isValid = false), 20L),
+      (NotificationEvent("b", notif(expected = 2)), 30L),
+      (CountEvent("b", isValid = true), 40L)))
+    emits should have size 1
+    // counts still accumulate in state, outputs just stay silent (TrackerTest:624-662)
+    s.valid shouldBe 1
+    s.invalid shouldBe 2
+  }
+
+  test("keyed independence: interleaved batches are separate folds (TrackerTest:395-434)") {
+    // the machine is per-key by construction; simulate two keys side by side
+    val (sa, ea, _) = run(Seq(
+      (NotificationEvent("a", notif(id = "a", expected = 1)), 1L),
+      (CountEvent("a", isValid = true), 10L)))
+    val (sb, eb, _) = run(Seq(
+      (NotificationEvent("b", notif(id = "b", expected = 5, threshold = 1)), 1L),
+      (CountEvent("b", isValid = false), 10L)))
+    ea shouldBe empty // complete arms a timer, does not emit
+    sa.valid shouldBe 1
+    eb.map(_.status) shouldBe Seq(Status.Failed)
+    sb.invalid shouldBe 1
+  }
+
+  test("no notification yet: counts-only events never fire any check") {
+    val (_, emits, timers) = run((1 to 5).map(i => (CountEvent("b", i % 2 == 0), i * 10L)))
+    emits shouldBe empty
+    timers shouldBe empty
+  }
+}
