@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineQueries => P, RelationalQueries => R}
+import graft.queries.{CorpusQueries => C, PipelineQueries => P, RelationalQueries => R}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,10 +47,25 @@ object SparkEntry {
     "q4_customers_no_orders" -> (R.q4CustomersNoOrders _),
     "q5_latest_order_per_customer" -> (R.q5LatestOrderPerCustomer _),
     "q6_events_hourly" -> (R.q6EventsHourly _),
-    "q7_sessions" -> (R.q7Sessions _)
+    "q7_sessions" -> (R.q7Sessions _),
+    // training-data pipeline: dedup, similarity, text analysis, multimodal
+    "x1_dedup_exact" -> (C.x1DedupExact _),
+    "x2_ngram_jaccard" -> (C.x2NgramJaccard _),
+    "x3_minhash_lsh" -> (C.x3MinhashLsh _),
+    "x4_simhash" -> (C.x4Simhash _),
+    "x5_simhash_pairs" -> (C.x5SimhashPairs _),
+    "x6_cosine_topk" -> (C.x6CosineTopk _),
+    "x7_ann_lsh" -> (C.x7AnnLsh _),
+    "x8_lang_id" -> (C.x8LangId _),
+    "x9_quality" -> (C.x9Quality _),
+    "x10_token_stats" -> (C.x10TokenStats _),
+    "x11_winnow" -> (C.x11Winnow _),
+    "m1_media_meta" -> (C.m1MediaMeta _),
+    "m2_media_features" -> (C.m2MediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = graft.oracle.OracleSql.sql
+  def oracleSql: Map[String, String] =
+    graft.oracle.OracleSql.sql ++ graft.oracle.CorpusOracleSql.sql
 }

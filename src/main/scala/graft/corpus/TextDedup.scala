@@ -1,0 +1,166 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline, over a
+  * `documents(doc_id BIGINT, text STRING, ...)` corpus. The reference engine has no
+  * corpus operators (it is a record-validation library); these extend the engine with
+  * the standard dedup ladder — exact → exact-similarity (n-gram Jaccard) → sketch
+  * (MinHash/LSH, SimHash) — each expressed Spark-first so Catalyst keeps scans
+  * pruned and aggregations partial.
+  *
+  * Scale notes (the point of each design):
+  *  - [[exact]] is one hash-aggregate: map-side partial agg means the shuffle
+  *    carries one row per (partition × digest), not per document.
+  *  - [[ngramJaccardPairs]] is an inverted-index self-join on shingles — the
+  *    textbook exact algorithm. It is quadratic in per-shingle document frequency,
+  *    so at 100 TB you run [[minhashPairs]] instead and keep this as the verifier
+  *    on candidate pairs only.
+  *  - [[minhashPairs]] does signature banding: candidates are pairs sharing a band
+  *    bucket, so the join fan-out is bounded by bucket size, not corpus size; the
+  *    exact-Jaccard verify then runs ONLY on candidates.
+  *  - [[simhashPairs]] blocks on 8-bit signature chunks; by pigeonhole, any pair
+  *    within Hamming distance 3 of a 32-bit signature shares at least one of the
+  *    4 chunks, so the blocking is lossless for maxHamming <= 3.
+  */
+object TextDedup {
+
+  /** Split single-space-separated text into its token array. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array (empty when < n tokens). */
+  def shingles(ws: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n), gram)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group documents by content digest; one row per distinct content
+    * with the canonical (minimum) doc_id and the copy count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** One (doc_id, shingle) row per distinct shingle — the inverted-index posting
+    * list. */
+  private def postings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("s"))
+
+  /** Per-document distinct-shingle counts. */
+  private def shingleCounts(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      size(shingles(tokens(col("text")), n)).as("n_shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2.
+    * Inverted-index join -> intersection counts -> |A|+|B| via two joins. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val p = postings(docs, n)
+    val inter = p.as("a")
+      .join(p.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("c"))
+    val sz = shingleCounts(docs, n)
+    inter
+      .join(broadcast(sz.as("x")), col("doc_id_1") === col("x.doc_id"))
+      .join(broadcast(sz.as("y")), col("doc_id_2") === col("y.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: one aggregate pass over the postings, `numHashes` min()
+    * columns (single shuffle keyed on doc_id, map-side partial min). The i-th hash
+    * family is `xxhash64(i, shingle)` — a per-family salt instead of the classic
+    * `a*h+b` permutation, which under Spark 4's default ANSI mode would raise on
+    * the (intended) 64-bit wraparound. Deterministic, codegen'd, overflow-free. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val base = postings(docs, n)
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature, bucket-join, then verify
+    * candidates with EXACT n-gram Jaccard (so false positives are eliminated; with
+    * 16 bands x 4 rows a J=0.8 pair is missed with probability (1-0.8^4)^16 ~ 2e-4,
+    * and the candidate set is deterministic for the fixed seed). */
+  def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
+            .as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    // exact-Jaccard verify on candidates only
+    val p = postings(docs, n)
+    val inter = candidates
+      .join(p.as("a"), col("doc_id_1") === col("a.doc_id"))
+      .join(p.as("b"),
+        col("doc_id_2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_id_1"), col("doc_id_2")).agg(count(lit(1)).as("c"))
+    val sz = shingleCounts(docs, n)
+    inter
+      .join(broadcast(sz.as("x")), col("doc_id_1") === col("x.doc_id"))
+      .join(broadcast(sz.as("y")), col("doc_id_2") === col("y.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the
+    * token-frequency-weighted sum of bit i of md5(token), where "bit i" is the high
+    * bit of the i-th hex nibble. md5 (not xxhash) so the DuckDB oracle reproduces
+    * the signature exactly. One shuffle: 32 conditional sums keyed on doc_id. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
+      .withColumn("hx", md5(encode(col("w"), "UTF-8")))
+    val highBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 32).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(highBit: _*), 1L).otherwise(-1L))
+        .as(s"s$i")
+    }
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
+    * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only lossless up to Hamming 3")
+    val sig = simhash(docs)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.v"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, and winnowing-style document fingerprinting. All are
+  * narrow per-document transforms (no shuffle except the fingerprint's per-document
+  * window, which partitions on doc_id and so never skews), built from codegen'd
+  * built-ins — no UDFs anywhere on this path.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and engine-neutral: the DuckDB oracle carries
+    * the same lists, so keep them in lockstep with OracleSql. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def ws: Column = split(col("text"), " ")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(words)))
+
+  /** Language ID: argmax of per-language stopword hit counts (first language in
+    * [[Stopwords]] order wins ties); `und` when no list scores at all. The score is
+    * the winning hit ratio. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: Stopwords.map { case (l, stop) => hits(stop).as(s"s_$l") }
+        :+ size(ws).as("n_tokens")): _*)
+    val best = Stopwords.map { case (l, _) => col(s"s_$l") }.reduce((a, b) => greatest(a, b))
+    // ties go to the FIRST matching language in Stopwords order
+    val pickOrdered = Stopwords.reverse.foldLeft(lit("und")) { case (rest, (l, _)) =>
+      when(col(s"s_$l") === best && best > 0, l).otherwise(rest)
+    }
+    scored.select(col("doc_id"), pickOrdered.as("predicted_lang"),
+      round(best.cast("double") / col("n_tokens"), 6).as("stopword_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: length component (saturates at 100 tokens)
+    * plus stopword-density component (saturates at ratio 0.25). */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTokens = size(ws)
+    val stopHits = hits(Stopwords.head._2)
+    val lengthScore = least(nTokens.cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopHits.cast("double") / nTokens * 4.0, lit(1.0))
+    docs.select(col("doc_id"), nTokens.as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 6).as("quality"))
+  }
+
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, single other-symbols. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, chars-per-token. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(ws).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("bpe_tokens"),
+      round(length(col("text")).cast("double") / size(ws), 6).as("chars_per_token"))
+
+  /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
+    * char k-gram, slide a window of `w` positions, keep each window's minimum —
+    * the selected set is the document sketch. Emits its size and lexicographic min
+    * per document. md5 keeps it oracle-reproducible; the window partitions on
+    * doc_id so the shuffle is one row per gram but never skews across keys. */
+  def winnowFingerprint(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> substr(text, i, $k))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(encode(col("gram"), "UTF-8")).as("gh"))
+    val sel = grams.select(col("doc_id"),
+      min(col("gh")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, w - 1)).as("sel"))
+    sel.groupBy(col("doc_id"))
+      .agg(countDistinct(col("sel")).as("n_fingerprints"),
+        min(col("sel")).as("min_fingerprint"))
+  }
+}

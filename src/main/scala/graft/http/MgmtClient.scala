@@ -1,0 +1,170 @@
+package graft.http
+
+import graft.model.BatchNotification
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.util.{Failure, Success, Try}
+
+/** U3/V3 SPI — synchronous batch-metadata lookup
+  * (reference BatchLookup.scala:11-13): `getBatchId(tenantId, batchId)`;
+  * a `Failure(RequestException(404, _))` means "unknown batch" to the caller. */
+trait BatchLookup extends Serializable {
+  def getBatchId(tenantId: String, batchId: String): Try[BatchNotification]
+}
+
+/** Map-backed test lookup (reference MapBatchLookup.scala:13-30). */
+class MapBatchLookup(batches: Map[String, BatchNotification]) extends BatchLookup {
+  def getBatchId(tenantId: String, batchId: String): Try[BatchNotification] =
+    batches.get(batchId) match {
+      case Some(n) => Success(n)
+      case None    => Failure(RequestException(404, s"batch $batchId not found"))
+    }
+}
+
+/** U3 — REST client for the batch-management API
+  * (reference MgmtClient.scala:30-205): OAuth2 client-credentials token
+  * (`POST {oauthBase}/token` with Basic auth, scopes
+  * `hri_internal hri_consumer tenant_<id>`, audience = clientId), then
+  * `GET /tenants/{t}/batches/{b}` and
+  * `PUT /tenants/{t}/batches/{b}/action/{processingComplete|fail}` with Bearer.
+  * Any non-2xx response surfaces as [[RequestException]] — retry/404 policy is the
+  * caller's (Retry / MgmtApiSink), exactly as in the reference.
+  *
+  * Plain `java.net.http` — no Spark involvement; instances live driver-side.
+  */
+class MgmtClient(
+    baseUri: String,
+    oauthBase: String,
+    clientId: String,
+    clientSecret: String,
+    audience: String,
+    http: HttpClient = HttpClient.newHttpClient()) extends BatchLookup {
+
+  private def send(req: HttpRequest): String = {
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() > 299)
+      throw RequestException(resp.statusCode(), resp.body())
+    resp.body()
+  }
+
+  /** OAuth client-credentials grant; one token per call-site invocation — the
+    * reference likewise fetches per request batch (MgmtClient.scala:95-128). */
+  private[http] def token(tenantId: String): String = {
+    val basic = Base64.getEncoder.encodeToString(
+      s"$clientId:$clientSecret".getBytes(StandardCharsets.UTF_8))
+    val form = s"grant_type=client_credentials" +
+      s"&scope=hri_internal+hri_consumer+tenant_$tenantId" +
+      s"&audience=$audience"
+    val body = send(HttpRequest.newBuilder(URI.create(s"$oauthBase/token"))
+      .header("Authorization", s"Basic $basic")
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build())
+    Json.strField(body, "access_token")
+      .getOrElse(throw RequestException(500, "no access_token in token response"))
+  }
+
+  def getBatchId(tenantId: String, batchId: String): Try[BatchNotification] = Try {
+    val body = send(HttpRequest.newBuilder(
+      URI.create(s"$baseUri/tenants/$tenantId/batches/$batchId"))
+      .header("Authorization", s"Bearer ${token(tenantId)}")
+      .GET().build())
+    Json.parseNotification(body)
+  }
+
+  /** PUT …/action/processingComplete (reference MgmtClient.scala:44-63). */
+  def processingComplete(tenantId: String, batchId: String,
+      actualRecordCount: Int, invalidRecordCount: Int): Unit = {
+    val body =
+      s"""{"actualRecordCount":$actualRecordCount,"invalidRecordCount":$invalidRecordCount}"""
+    put(tenantId, batchId, "processingComplete", body)
+  }
+
+  /** PUT …/action/fail (reference MgmtClient.scala:65-85). */
+  def fail(tenantId: String, batchId: String, actualRecordCount: Int,
+      invalidRecordCount: Int, failureMessage: String): Unit = {
+    val body = s"""{"actualRecordCount":$actualRecordCount,""" +
+      s""""invalidRecordCount":$invalidRecordCount,""" +
+      s""""failureMessage":${Json.quote(failureMessage)}}"""
+    put(tenantId, batchId, "fail", body)
+  }
+
+  private def put(tenantId: String, batchId: String, action: String, body: String): Unit =
+    send(HttpRequest.newBuilder(
+      URI.create(s"$baseUri/tenants/$tenantId/batches/$batchId/action/$action"))
+      .header("Authorization", s"Bearer ${token(tenantId)}")
+      .header("Content-Type", "application/json")
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build())
+}
+
+/** Minimal JSON helpers for the two fixed control payloads — driver-side only; the
+  * data plane parses JSON with Spark's codegen'd `from_json`, never this. */
+private[http] object Json {
+
+  def quote(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val str = """"%s"\s*:\s*"((?:[^"\\]|\\.)*)""""
+  private val num = """"%s"\s*:\s*(-?\d+)"""
+
+  def strField(json: String, field: String): Option[String] =
+    str.format(java.util.regex.Pattern.quote(field)).r
+      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+
+  def intField(json: String, field: String): Option[Int] =
+    num.format(java.util.regex.Pattern.quote(field)).r
+      .findFirstMatchIn(json).map(_.group(1).toInt)
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Parse the notification payload's known fields (open-world: unknown fields
+    * ignored, like the reference's FAIL_ON_UNKNOWN_PROPERTIES=false Jackson setup,
+    * NotificationDeserializer.scala:26-29). */
+  def parseNotification(json: String): BatchNotification = {
+    def ts(f: String): java.sql.Timestamp =
+      strField(json, f).map(v =>
+        java.sql.Timestamp.from(java.time.OffsetDateTime.parse(v).toInstant)).orNull
+    BatchNotification(
+      id = strField(json, "id").orNull,
+      name = strField(json, "name").orNull,
+      topic = strField(json, "topic").orNull,
+      dataType = strField(json, "dataType").orNull,
+      status = strField(json, "status").orNull,
+      startDate = ts("startDate"),
+      endDate = ts("endDate"),
+      expectedRecordCount = intField(json, "expectedRecordCount").getOrElse(-1),
+      actualRecordCount = intField(json, "actualRecordCount").getOrElse(-1),
+      invalidRecordCount = intField(json, "invalidRecordCount").getOrElse(-1),
+      invalidThreshold = intField(json, "invalidThreshold").getOrElse(-1),
+      failureMessage = strField(json, "failureMessage").orNull,
+      metadata = null)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.jobs
+
+import graft.http.{BatchLookup, MgmtClient, Retry}
+import graft.streaming._
+import graft.topics.Topics
+import graft.validation.{JsonValidator, Validator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Job builder — the engine's `BaseValidationJob` twin
+  * (reference BaseValidationJob.scala:56-219): derive sibling topics from the
+  * input topic, wire sources → validation → sinks → tracker → terminal sink, and
+  * start the coordinated streaming queries.
+  *
+  * Three construction modes, mirroring the reference's three constructors:
+  *  - production: Kafka in/out + Mgmt API terminal sink (`:87-104`);
+  *  - no-Mgmt-API: Kafka in/out, terminal notifications written straight back to
+  *    the `*.notification` topic (`:106-113`, used by the standalone CLI);
+  *  - test-injected: caller supplies sources/sinks/lookup (`:128-146`) — this is
+  *    what the specs use, with MemoryStream sources and collecting sinks.
+  *
+  * Operational envelope adopted from the reference (BASELINE.md): 1 s trigger
+  * cadence (checkpoint interval `:367`), zstd + bounded batch sizes on the Kafka
+  * producers (`:330-347`), 7-day state TTL (in TrackerProcessor), bounded remote
+  * lookup instead of a 24 h operator-thread block (SURVEY.md §7.5).
+  */
+object ValidationJob {
+
+  /** Kafka source options for the record stream (S1) — byte passthrough with
+    * headers, exactly the Schemas.hriRecord shape
+    * (reference BaseValidationJob.scala:230-236). */
+  def kafkaRecordSource(spark: SparkSession, brokers: String, inputTopic: String,
+      extra: Map[String, String] = Map.empty): DataFrame =
+    extra.foldLeft(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", Topics.validate(inputTopic))
+        .option("includeHeaders", "true")
+        .option("startingOffsets", "earliest")
+        .option("kafka.fetch.max.wait.ms", "500"))(
+      (b, kv) => b.option(kv._1, kv._2))
+      .load()
+      .select(col("key"), col("value"), col("headers"), col("topic"),
+        col("partition"), col("offset"))
+
+  /** Kafka source for the notification control stream (S2). The reference forces
+    * parallelism 1 + low fetch wait so control outruns data
+    * (BaseValidationJob.scala:165-170,79-81); here the snapshot store is
+    * driver-side, so single-writer semantics hold regardless. */
+  def kafkaNotificationSource(spark: SparkSession, brokers: String,
+      inputTopic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", Topics.notificationTopic(inputTopic))
+      .option("startingOffsets", "earliest")
+      .option("kafka.fetch.max.wait.ms", "150")
+      .load()
+
+  /** Kafka producer options shared by all sinks — zstd, 16 KB batches, 10 MB max
+    * request, 15 min transaction timeout (reference BaseValidationJob.scala:330-347;
+    * the 1 MB Event Streams message cap is the why). SS's Kafka sink is
+    * at-least-once; exactly-once-equivalence comes from T8 + the 409-tolerant
+    * API sink + offset-keyed dedup downstream (SURVEY.md §7.6). */
+  val kafkaProducerOptions: Map[String, String] = Map(
+    "kafka.compression.type" -> "zstd",
+    "kafka.batch.size" -> "16384",
+    "kafka.max.request.size" -> "10485760",
+    "kafka.transaction.timeout.ms" -> "900000")
+
+  /** Kafka-writing ValidationSinks (K1 valid → `*.out`, K2 invalid → `*.invalid`;
+    * counts stay in-job, handed to the tracker via [[countsHandoff]]). */
+  def kafkaSinks(brokers: String, inputTopic: String,
+      countsHandoff: (DataFrame, Long) => Unit): ValidationSinks = new ValidationSinks {
+    private def write(df: DataFrame, topic: String): Unit =
+      kafkaProducerOptions.foldLeft(
+        df.write.format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("topic", topic))((b, kv) => b.option(kv._1, kv._2))
+        .save()
+    def valid(df: DataFrame, epochId: Long): Unit =
+      write(df.select(col("key"), col("value"), col("headers")),
+        Topics.outputTopic(inputTopic))
+    def invalid(df: DataFrame, epochId: Long): Unit =
+      // D5: JSON body + batchId echoed as a message header, null key
+      // (reference InvalidRecordSerializer.scala:21-44)
+      write(df.select(
+        lit(null).cast("binary").as("key"),
+        encode(to_json(struct(df.columns.map(col): _*)), "UTF-8").as("value"),
+        when(col("batchId").isNotNull,
+          array(struct(lit("batchId").as("key"),
+            encode(col("batchId"), "UTF-8").as("value"))))
+          .as("headers")),
+        Topics.invalidTopic(inputTopic))
+    def counts(df: DataFrame, epochId: Long): Unit = countsHandoff(df, epochId)
+  }
+
+  /** Everything a running job exposes. */
+  case class Running(
+      recordQuery: StreamingQuery,
+      notificationQuery: StreamingQuery,
+      trackerQuery: Option[StreamingQuery],
+      snapshot: NotificationSnapshot)
+
+  /** Test/embedded entry point with injected sources and sinks (the reference's
+    * e2e constructor, BaseValidationJob.scala:128-146). `records` must be a
+    * streaming DataFrame in Schemas.hriRecord shape; `notifications` a streaming
+    * DataFrame with a `value` column of notification JSON. */
+  def start(
+      spark: SparkSession,
+      records: DataFrame,
+      notifications: DataFrame,
+      validator: Validator,
+      sinks: ValidationSinks,
+      checkpointDir: String,
+      lookup: Option[BatchLookup] = None,
+      lookupRetry: Retry = new Retry(initialBackoffMs = 100, giveUpAfterMs = 2000)): Running = {
+    val store = new NotificationSnapshot(spark, Some(checkpointDir))
+    val nq = ValidationStream.startNotificationQuery(notifications, store, checkpointDir)
+    val rq = ValidationStream.startRecordQuery(
+      records, store, validator, sinks, checkpointDir, lookup, lookupRetry)
+    Running(rq, nq, None, store)
+  }
+
+  /** Production entry point: Kafka sources/sinks, tracker fed through an
+    * intra-job counts handoff, terminal notifications to the Mgmt API (or back to
+    * the notification topic when `mgmtClient` is None — the reference's
+    * `useMgmtApi=false` mode, BaseValidationJob.scala:273-286). */
+  def startKafka(
+      spark: SparkSession,
+      brokers: String,
+      inputTopic: String,
+      validator: Validator,
+      checkpointDir: String,
+      completionDelayMs: Long = 300000L,
+      mgmtClient: Option[MgmtClient] = None): Running = {
+    import spark.implicits._
+    Topics.validate(inputTopic)
+    val store = new NotificationSnapshot(spark, Some(checkpointDir))
+    val countsDir = s"$checkpointDir/counts"
+
+    val nq = ValidationStream.startNotificationQuery(
+      kafkaNotificationSource(spark, brokers, inputTopic), store, checkpointDir)
+
+    // counts handoff: parquet files feed the tracker query's file source — the
+    // in-job stand-in for the reference's operator-to-operator shuffle
+    val sinks = kafkaSinks(brokers, inputTopic,
+      (df, _) => df.write.mode("append").parquet(countsDir))
+    val rq = ValidationStream.startRecordQuery(
+      kafkaRecordSource(spark, brokers, inputTopic), store, validator, sinks,
+      checkpointDir, mgmtClient)
+
+    val countEvents = spark.readStream
+      .schema("batchId STRING, isValid BOOLEAN")
+      .parquet(countsDir)
+      .as[graft.model.CountsMessage]
+    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic)
+      .select(from_json(col("value").cast("string"),
+        graft.model.Schemas.batchNotification).as("n"))
+      .select(col("n.*")).as[graft.model.BatchNotification]
+    val terminal = TrackerProcessor.track(
+      TrackerProcessor.unionEvents(countEvents, notifEvents), completionDelayMs)
+
+    val tq = mgmtClient match {
+      case Some(client) =>
+        val apiSink = new MgmtApiSink(client)
+        terminal.writeStream
+          .queryName("graft-tracker")
+          .option("checkpointLocation", s"$checkpointDir/graft-tracker")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .foreachBatch(apiSink.writeBatch _)
+          .start()
+      case None =>
+        terminal
+          .select(lit(null).cast("binary").as("key"),
+            encode(to_json(struct(col("*"))), "UTF-8").as("value"))
+          .writeStream
+          .queryName("graft-tracker")
+          .option("checkpointLocation", s"$checkpointDir/graft-tracker")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("topic", Topics.notificationTopic(inputTopic))
+          .start()
+    }
+    Running(rq, nq, Some(tq), store)
+  }
+
+  /** Standalone CLI (the reference's JsonValidationJob.main,
+    * jobtest/JsonValidationJob.scala:25-73): `-b` brokers, `-i` input topic,
+    * `-d` completion delay ms, `-c` checkpoint dir; JSON well-formedness
+    * validation, terminal notifications to the notification topic. */
+  def main(args: Array[String]): Unit = {
+    def arg(flag: String, default: String = null): String =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+        .getOrElse(Option(default).getOrElse(
+          throw new IllegalArgumentException(s"missing required arg $flag")))
+    val brokers = arg("-b")
+    // fail-fast on a bad topic BEFORE building a session, like the reference's
+    // constructor-time validation (BaseValidationJob.scala:56-75)
+    val inputTopic = Topics.validate(arg("-i"))
+    val delay = arg("-d", "300000").toLong
+    val checkpoint = arg("-c", "/tmp/graft-checkpoint")
+    val spark = SparkSession.builder()
+      .appName(s"graft-validation-$inputTopic")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val running = startKafka(spark, brokers, inputTopic, new JsonValidator,
+      checkpoint, delay)
+    running.recordQuery.awaitTermination()
+  }
+}

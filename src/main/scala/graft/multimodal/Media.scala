@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded media asset (what a real codec would return). */
+case class DecodedMedia(width: Int, height: Int, nFrames: Int, pixels: Array[Byte])
+
+/** Codec SPI for opaque media blobs. The execution container has no image/audio
+  * libraries, so the REAL codec is a clearly-marked stub; [[FakeCodec]] is the
+  * deterministic stand-in that keeps the Spark-side plumbing (schema, partitioning,
+  * batch shape) real and testable.
+  */
+trait MediaCodec extends Serializable {
+  def decode(blob: Array[Byte]): DecodedMedia
+}
+
+/** STUB — a real deployment would bind an actual decoder (JavaCV/TwelveMonkeys/
+  * ffmpeg bindings) here. Intentionally unimplemented in this container. */
+object RealCodec extends MediaCodec {
+  def decode(blob: Array[Byte]): DecodedMedia = ???
+}
+
+/** Deterministic fake decode: dimensions derived from the blob digest, "pixels" are
+  * the blob bytes themselves. Matches the arithmetic the m1 oracle reproduces. */
+object FakeCodec extends MediaCodec {
+  def decode(blob: Array[Byte]): DecodedMedia = {
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(blob)
+      .map("%02x".format(_)).mkString
+    def nibble(i: Int): Int = Integer.parseInt(hex.substring(i, i + 1), 16)
+    DecodedMedia(16 * (1 + nibble(0)), 16 * (1 + nibble(1)), 1 + nibble(2), blob)
+  }
+}
+
+case class MediaFeature(doc_id: Long, n_frames: Int, n_pixels: Int, features: Array[Float])
+
+/** Multimodal-column operators: image/audio/video as opaque BINARY plus typed
+  * metadata. Pattern notes for 100 TB:
+  *  - metadata extraction ([[mediaMeta]]) is pure column arithmetic — stays in
+  *    whole-stage codegen, blobs never leave the scan projection that needs them;
+  *  - feature extraction ([[mediaFeatures]]) is the imperative kernel: a
+  *    `mapPartitions` that drains each partition in fixed-size batches (the JVM
+  *    analog of `mapInPandas`' Arrow batches) so a vectorized decoder can amortize
+  *    per-batch setup; batch boundaries must never change results (spec-enforced).
+  */
+object Media {
+
+  /** Dress the documents table as a media-asset table: the text bytes play the
+    * opaque blob. mime fans out by doc_id so all three modalities exercise. */
+  def assets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"))
+
+  /** m1 — "decode" the typed metadata from the blob: byte size plus
+    * digest-derived fake dimensions (FakeCodec's arithmetic, kept SQL-expressible:
+    * conv(hex-nibble) here == strpos('0123456789abcdef', nibble)-1 in the oracle).
+    * Frame sampling keeps min(n_frames, 4) frames. */
+  def mediaMeta(docs: DataFrame): DataFrame = {
+    val a = assets(docs).withColumn("hx", md5(col("blob")))
+    def nib(i: Int) = conv(substring(col("hx"), i, 1), 16, 10).cast("int")
+    a.select(col("doc_id"), col("mime"),
+      octet_length(col("blob")).as("n_bytes"),
+      (lit(16) * (nib(1) + 1)).as("width"),
+      (lit(16) * (nib(2) + 1)).as("height"),
+      (nib(3) + 1).as("n_frames"),
+      least(nib(3) + 1, lit(4)).as("sampled_frames"))
+  }
+
+  /** m2 — batched feature extraction through the codec SPI. Features: 8 floats,
+    * each the mean of one stride-8 slice of the decoded bytes — deterministic,
+    * cheap, and shaped like a real embedding head. */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame,
+      codec: MediaCodec = FakeCodec, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import spark.implicits._
+    assets(docs).select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "vectorized" decode call-site per batch (mapInPandas analog)
+          batch.map { case (id, blob) =>
+            val d = codec.decode(blob)
+            val px = d.pixels
+            val feats = Array.tabulate(8) { f =>
+              val slice = px.indices.collect { case i if i % 8 == f => px(i) & 0xff }
+              if (slice.isEmpty) 0f else slice.sum.toFloat / slice.length
+            }
+            MediaFeature(id, d.nFrames, px.length, feats)
+          }
+        }
+      }
+  }
+}

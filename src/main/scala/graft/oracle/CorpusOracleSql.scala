@@ -1,0 +1,210 @@
+package graft.oracle
+
+import graft.corpus.TextStats
+
+/** DuckDB-dialect oracles for the corpus/multimodal queries (CorpusQueries `x1..x11`, `m1`).
+  *
+  * Where the operator embeds constants (stopword lists, LSH hyperplanes, shingle
+  * width), the SQL is BUILT from the same Scala constants the operator uses, so the
+  * two can never drift silently. The hyperplane matrix replays
+  * `scala.util.Random(42)` (java.util.Random LCG) exactly as
+  * `graft.corpus.Similarity.hyperplanes` does.
+  *
+  * Not every query is oracle-checkable: m2 (mapPartitions codec kernel) gets the
+  * driver's rows-only check.
+  */
+object CorpusOracleSql {
+
+  /** Word-3-gram postings + exact pairwise Jaccard, mirroring TextDedup.shingles /
+    * ngramJaccardPairs (n=3). */
+  private val jaccardPrelude = """WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(len(ws) - 2),
+             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT doc_id_1, doc_id_2,
+         CAST(c AS DOUBLE) / (x.n_shingles + y.n_shingles - c) AS jaccard
+  FROM inter JOIN szs x ON doc_id_1 = x.doc_id JOIN szs y ON doc_id_2 = y.doc_id)
+"""
+
+  private val jaccardSelect =
+    "SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8"
+
+  /** 32-bit SimHash, mirroring TextDedup.simhash's md5-nibble construction. */
+  private val simhashPrelude: String = {
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      .map(c => s"'$c'").mkString(", ")
+    val sums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN substr(hx, ${i + 1}, 1) IN ($high) THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val bits = (0 until 32).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tokh AS (
+  SELECT doc_id, md5(w) AS hx
+  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)),
+bitsums AS (
+  SELECT doc_id,
+    $sums
+  FROM tokh GROUP BY doc_id),
+sims AS (
+  SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums)
+"""
+  }
+
+  /** The ±1 hyperplane matrix `Similarity.hyperplanes(bits=6, dim=64)` uses —
+    * replayed from the same fixed-seed java.util.Random stream. */
+  private def hyperplaneLiterals(bits: Int, dim: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(bits)(
+      Seq.fill(dim)(if (rnd.nextBoolean()) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])"))
+  }
+
+  private val cosine =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+
+  private def cos(a: String, b: String): String =
+    cosine.replace("%A", a).replace("%B", b)
+
+  private val langIdSql: String = {
+    val hitCols = TextStats.Stopwords.map { case (l, stop) =>
+      val lst = stop.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$l"
+    }.mkString(",\n    ")
+    val best = TextStats.Stopwords.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pick = TextStats.Stopwords.map { case (l, _) =>
+      s"WHEN s_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id,
+    $hitCols,
+    len(ws) AS n_tokens
+  FROM toks),
+sb AS (SELECT *, $best AS best FROM st)
+SELECT doc_id,
+  CASE WHEN best <= 0 THEN 'und' $pick END AS predicted_lang,
+  round(CAST(best AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+FROM sb"""
+  }
+
+  private val qualitySql: String = {
+    val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, len(ws) AS n_tokens, length(text) AS n_chars,
+    len(list_filter(ws, w -> list_contains([$en], w))) AS h
+  FROM toks)
+SELECT doc_id, n_tokens, n_chars,
+  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * least(CAST(h AS DOUBLE) / n_tokens * 4.0, 1.0), 6) AS quality
+FROM st"""
+  }
+
+  private val annLshSql: String = {
+    val hp = hyperplaneLiterals(6, 64)
+    val bucket = hp.zipWithIndex.map { case (h, b) =>
+      s"(CASE WHEN list_dot_product(e, $h) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+hb AS (SELECT vec_id, e, CAST($bucket AS BIGINT) AS bucket FROM base),
+pr AS (
+  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+         ${cos("a.e", "b.e")} AS cos
+  FROM hb a JOIN hb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+SELECT vec_id, bucket, neighbor_id, round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pr)
+WHERE rn = 1"""
+  }
+
+  val sql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS n_copies
+       FROM documents GROUP BY 1""",
+
+    "x2_ngram_jaccard" -> (jaccardPrelude + jaccardSelect),
+
+    // MinHash+LSH is exact-verified to the same J >= 0.8 contract, and 16x4
+    // banding has no false negatives on this corpus, so the oracle is the same
+    // exact-Jaccard SQL (a banding miss WOULD fail the row-count compare).
+    "x3_minhash_lsh" -> (jaccardPrelude + jaccardSelect),
+
+    "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
+
+    "x5_simhash_pairs" -> (simhashPrelude +
+      """, ch AS (
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
+  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk))
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+
+    "x6_cosine_topk" -> s"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 20),
+pr AS (
+  SELECT qid, vec_id AS neighbor_id, ${cos("qe", "e")} AS cos
+  FROM base CROSS JOIN q WHERE vec_id <> qid)
+SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pr)
+WHERE rn <= 5""",
+
+    "x7_ann_lsh" -> annLshSql,
+
+    "x8_lang_id" -> langIdSql,
+
+    "x9_quality" -> qualitySql,
+
+    "x10_token_stats" -> s"""SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '${TextStats.TokenPattern}')) AS bpe_tokens,
+  round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+FROM documents""",
+
+    "x11_winnow" -> """WITH g AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS pos
+  FROM documents WHERE length(text) >= 5),
+gh AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), 5)) AS gh FROM g),
+sel AS (
+  SELECT doc_id,
+    MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+  FROM gh)
+SELECT doc_id, COUNT(DISTINCT sel) AS n_fingerprints, MIN(sel) AS min_fingerprint
+FROM sel GROUP BY doc_id""",
+
+    "m1_media_meta" -> """WITH a AS (
+  SELECT doc_id, md5(text) AS hx, octet_length(encode(text)) AS n_bytes FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS mime,
+  n_bytes,
+  16 * strpos('0123456789abcdef', substr(hx, 1, 1)) AS width,
+  16 * strpos('0123456789abcdef', substr(hx, 2, 1)) AS height,
+  strpos('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
+  least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
+FROM a"""
+  )
+}

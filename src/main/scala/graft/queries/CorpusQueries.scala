@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.corpus.{Similarity, TextDedup, TextStats}
+import graft.multimodal.Media
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch queries for the training-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal) over the driver's `documents` and
+  * `embeddings` tables. `x*` ids are corpus/text ops, `m*` multimodal. */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+
+  /** x1 — exact dedup by content digest. */
+  def x1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(docs(spark, dir))
+
+  /** x2 — exact word-3-gram Jaccard near-dup pairs (J >= 0.8). */
+  def x2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(docs(spark, dir))
+
+  /** x3 — MinHash+LSH candidates, exact-verified to the same J >= 0.8 contract.
+    * Oracle-checked against the exact-Jaccard SQL: banding at 16x4 has no false
+    * negatives on this corpus (verified; misses would fail the driver compare). */
+  def x3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(docs(spark, dir))
+
+  /** x4 — 32-bit SimHash fingerprint per document (md5-nibble construction). */
+  def x4Simhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(docs(spark, dir))
+
+  /** x5 — SimHash near-dup pairs within Hamming distance 3 (chunk-blocked). */
+  def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(docs(spark, dir))
+
+  /** x6 — brute-force exact cosine top-5 for query vectors vec_id < 20. */
+  def x6CosineTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(emb(spark, dir))
+
+  /** x7 — sign-LSH approximate nearest neighbor (best same-bucket neighbor). */
+  def x7AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annLsh(emb(spark, dir))
+
+  /** x8 — stopword-heuristic language ID. */
+  def x8LangId(spark: SparkSession, dir: String): DataFrame =
+    TextStats.langId(docs(spark, dir))
+
+  /** x9 — heuristic quality score. */
+  def x9Quality(spark: SparkSession, dir: String): DataFrame =
+    TextStats.quality(docs(spark, dir))
+
+  /** x10 — whitespace + BPE-ish regex token counts. */
+  def x10TokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStats(docs(spark, dir))
+
+  /** x11 — winnowing fingerprint sketch (size + min) per document. */
+  def x11Winnow(spark: SparkSession, dir: String): DataFrame =
+    TextStats.winnowFingerprint(docs(spark, dir))
+
+  /** m1 — multimodal metadata "decode" (SQL-expressible FakeCodec arithmetic). */
+  def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Media.mediaMeta(docs(spark, dir))
+
+  /** m2 — batched media feature extraction through the codec SPI (rows-only:
+    * mapPartitions kernel, not SQL-expressible). Features surfaced as stable
+    * rounded strings to keep the dump schema simple. */
+  def m2MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Media.mediaFeatures(spark, docs(spark, dir)).toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_pixels"),
+        transform(col("features"), f => round(f, 3)).as("features"))
+}

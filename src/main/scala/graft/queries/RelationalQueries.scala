@@ -29,13 +29,20 @@ object RelationalQueries {
           .cast("decimal(26,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
-  /** Q2 — top-10 orders by revenue (deterministic tiebreak on key): join + agg +
-    * total-order limit. TakeOrderedAndProject keeps the sort bounded. */
+  /** Q2 — top-10 orders by revenue (deterministic tiebreak on key). The limit is
+    * applied BEFORE the orders join: revenue and the tiebreak key both come from
+    * the aggregate alone (lineitem.l_orderkey ⊆ orders.o_orderkey, enforced by the
+    * generator), so TakeOrderedAndProject bounds the sort to 10 rows per partition
+    * and the join degenerates to a 10-row broadcast against the orders scan —
+    * at 100 TB that's the difference between shuffling the whole orders table and
+    * shipping 10 rows. */
   def q2TopkRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(12,2)") - dec2(col("l_discount"))))
         .cast("decimal(26,4)").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey").as("order_key"), col("revenue"),
         col("o_orderpriority").as("order_priority"))

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.model.{BatchNotification, BatchState}
+import graft.tracker.{BatchStateMachine, CountEvent, NotificationEvent, TimerEvent, TrackerEvent}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming._
+
+/** T1–T8 as a Spark 4 `StatefulProcessor` — the streaming twin of TrackerBatch,
+  * wired over the union-encoded [[TrackerEvent]] stream
+  * (counts ⊎ notifications, keyed by batchId; the SS re-expression of the
+  * reference's two-input `KeyedCoProcessFunction`, Tracker.scala:32-196).
+  *
+  * All transition/timer/emit logic lives in the pure [[BatchStateMachine]]; this
+  * class only adapts it to the transformWithState runtime:
+  *  - keyed `ValueState[BatchState]` with the reference's 7-day TTL
+  *    (BaseValidationJob.scala:352-359);
+  *  - real processing-time timers for the T4/T5 completion delay
+  *    (Tracker.scala:116-120, onTimer :93-103), re-armed from lastModified on each
+  *    qualifying event — the previous timer is deleted so exactly one is live;
+  *  - at-most-one terminal notification per batch (T8) is guaranteed by the
+  *    machine's isFinished latch inside the same state value.
+  *
+  * Scale: state is one small struct per batch; the shuffle into this operator is
+  * the already-partial-aggregated counts stream, so executor memory and timer count
+  * grow with live-batch cardinality (small by design, reference README:28), not
+  * record volume.
+  */
+class TrackerProcessor(completionDelayMs: Long = 300000L)
+    extends StatefulProcessor[String, TrackerEvent, BatchNotification] {
+
+  @transient private var state: ValueState[BatchState] = _
+  @transient private var armed: ValueState[Long] = _
+  private val machine = new BatchStateMachine(completionDelayMs)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = TTLConfig(java.time.Duration.ofDays(7))
+    state = getHandle.getValueState[BatchState]("batchState", Encoders.product[BatchState], ttl)
+    armed = getHandle.getValueState[Long]("armedTimer", Encoders.scalaLong, ttl)
+  }
+
+  private def current: BatchState =
+    if (state.exists()) state.get() else machine.initialState
+
+  private def apply(key: String, ev: TrackerEvent, nowMs: Long): Option[BatchNotification] = {
+    val out = machine.onEvent(current, ev, nowMs)
+    state.update(out.state)
+    out.armTimerAt.foreach { at =>
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(at)
+      armed.update(at)
+    }
+    out.emit
+  }
+
+  override def handleInputRows(key: String, inputRows: Iterator[TrackerEvent],
+      timerValues: TimerValues): Iterator[BatchNotification] =
+    inputRows.flatMap(ev =>
+      apply(key, ev, timerValues.getCurrentProcessingTimeInMs))
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[BatchNotification] = {
+    if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs) armed.clear()
+    apply(key, TimerEvent(key, expiredTimerInfo.getExpiryTimeInMs),
+      timerValues.getCurrentProcessingTimeInMs).iterator
+  }
+}
+
+object TrackerProcessor {
+
+  /** Wire the processor over a union-encoded event stream. */
+  def track(events: org.apache.spark.sql.Dataset[TrackerEvent],
+      completionDelayMs: Long = 300000L): org.apache.spark.sql.Dataset[BatchNotification] = {
+    implicit val teEnc: org.apache.spark.sql.Encoder[TrackerEvent] = Encoders.kryo[TrackerEvent]
+    implicit val bnEnc: org.apache.spark.sql.Encoder[BatchNotification] =
+      Encoders.product[BatchNotification]
+    implicit val kEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    events.groupByKey(_.batchId)
+      .transformWithState(new TrackerProcessor(completionDelayMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Union-encode the two tracker inputs (counts ⊎ notifications) — the SS answer
+    * to Flink's `connect` of two keyed streams (SURVEY.md §7.8 risk #2). */
+  def unionEvents(counts: org.apache.spark.sql.Dataset[graft.model.CountsMessage],
+      notifications: org.apache.spark.sql.Dataset[BatchNotification])
+      : org.apache.spark.sql.Dataset[TrackerEvent] = {
+    implicit val teEnc: org.apache.spark.sql.Encoder[TrackerEvent] = Encoders.kryo[TrackerEvent]
+    counts.map(c => CountEvent(c.batchId, c.isValid): TrackerEvent)
+      .union(notifications.map(n => NotificationEvent(n.id, n): TrackerEvent))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.http.{BatchLookup, RequestException, Retry}
+import graft.model.Schemas
+import graft.topics.Topics
+import graft.validation.{ValidationEngine, Validator}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Driver-held latest-per-batch notification snapshot — the SS re-expression of
+  * Flink broadcast state (reference BaseValidationJob.scala:291-295, writes at
+  * ValidationProcessFunction.scala:215-224; design SURVEY.md §7.4).
+  *
+  * Flink pushes every notification to every validation subtask; Structured
+  * Streaming has no broadcast stream, so the notification query compacts
+  * last-write-wins into this store, and each record micro-batch joins against
+  * `broadcast(snapshot)` — batch cardinality is small by design (reference
+  * README:28), so the broadcast is a few KB and the record plane never shuffles.
+  *
+  * Recovery: the store journals itself to `<dir>/snapshot.parquet` after each
+  * update epoch and reloads on construction, so a restarted job sees every batch
+  * status already applied (the upstream topic is compacted in production anyway).
+  */
+class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) extends Serializable {
+
+  private val byId = scala.collection.concurrent.TrieMap.empty[String, Row]
+
+  persistDir.foreach { dir =>
+    val p = new org.apache.hadoop.fs.Path(dir, "snapshot.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(p.toString).collect().foreach(r => byId(r.getAs[String]("id")) = r)
+  }
+
+  /** Last-write-wins upsert of a notification micro-batch (V2). Rows must carry
+    * Schemas.batchNotification columns. */
+  def update(notifications: DataFrame): Unit = {
+    val rows = notifications.collect()
+    if (rows.nonEmpty) {
+      rows.foreach(r => byId(r.getAs[String]("id")) = r)
+      persistDir.foreach { dir =>
+        snapshot().write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(dir, "snapshot.parquet").toString)
+      }
+    }
+  }
+
+  def get(id: String): Option[Row] = byId.get(id)
+
+  /** Direct upsert (remote-lookup path). The id is explicit because rows built
+    * positionally with `Row(...)` carry no schema for name-based access. */
+  def put(id: String, row: Row): Unit = byId(id) = row
+
+  def snapshot(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(byId.values.toSeq, 1), Schemas.batchNotification)
+}
+
+/** Per-micro-batch sinks for the three validation outputs (K1/K2 + counts handoff).
+  * Production binds Kafka writers; tests bind collectors. */
+trait ValidationSinks extends Serializable {
+  def valid(df: DataFrame, epochId: Long): Unit
+  def invalid(df: DataFrame, epochId: Long): Unit
+  def counts(df: DataFrame, epochId: Long): Unit
+}
+
+/** The streaming validation job — the SS twin of the reference DAG's first half
+  * (BaseValidationJob.scala:165-197): notification source → snapshot state;
+  * record source → V1-V11 single-pass validation → valid/invalid/counts outputs.
+  *
+  * Two coordinated queries (SURVEY.md §7.4):
+  *  - the '''notification query''' compacts the control stream into
+  *    [[NotificationSnapshot]] (parallelism-1 semantics for free: the store is
+  *    driver-side, exactly like the reference's forced parallelism 1,
+  *    BaseValidationJob.scala:170);
+  *  - the '''record query''' validates each micro-batch against
+  *    `broadcast(snapshot)`, with the V3 miss path resolved driver-side through a
+  *    bounded-retry [[BatchLookup]] (never on a task thread — SURVEY.md §7.5; the
+  *    reference blocks the operator thread up to 24 h, which would stall a
+  *    micro-batch trigger here).
+  *
+  * Cross-stream ordering: a record can reach the join before its batch's
+  * notification has been applied — the same eventual-consistency window the
+  * reference has between its two Kafka consumers (mitigated there by
+  * fetch.max.wait tuning, BaseValidationJob.scala:79-81); the remote-lookup
+  * fallback and the V5/V7/T8 state machine absorb it identically.
+  */
+object ValidationStream {
+
+  /** Start the notification-compaction query. `notifications` must be a streaming
+    * DataFrame of raw JSON `value` bytes/strings (Kafka shape). */
+  def startNotificationQuery(
+      notifications: DataFrame,
+      store: NotificationSnapshot,
+      checkpointDir: String,
+      queryName: String = "graft-notifications"): StreamingQuery =
+    notifications
+      .select(from_json(col("value").cast("string"), Schemas.batchNotification).as("n"))
+      .select(col("n.*"))
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointDir/$queryName")
+      .foreachBatch { (df: DataFrame, _: Long) => store.update(df) }
+      .start()
+
+  /** Start the record-validation query over a streaming DataFrame in
+    * Schemas.hriRecord shape. */
+  def startRecordQuery(
+      records: DataFrame,
+      store: NotificationSnapshot,
+      validator: Validator,
+      sinks: ValidationSinks,
+      checkpointDir: String,
+      lookup: Option[BatchLookup] = None,
+      lookupRetry: Retry = new Retry(initialBackoffMs = 100, giveUpAfterMs = 2000),
+      queryName: String = "graft-records"): StreamingQuery =
+    records.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointDir/$queryName")
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val spark = df.sparkSession
+        df.persist()
+        try {
+          // V3 miss path: resolve snapshot misses remotely, bounded, driver-side.
+          lookup.foreach(resolveMisses(df, store, _, lookupRetry))
+          val validated =
+            ValidationEngine.validate(df, store.snapshot(), validator).persist()
+          try {
+            sinks.valid(ValidationEngine.validOutput(validated), epochId)
+            sinks.invalid(ValidationEngine.invalidOutput(validated), epochId)
+            sinks.counts(ValidationEngine.countsOutput(validated), epochId)
+          } finally validated.unpersist()
+        } finally df.unpersist()
+      }
+      .start()
+
+  /** Collect the micro-batch's distinct batch ids missing from the snapshot (small
+    * by construction) and resolve each through the lookup SPI: found → snapshot
+    * upsert; 404 → stays unknown (record goes invalid, reference
+    * ValidationProcessFunction.scala:100-112); other 4xx → fail the query
+    * (client bug, reference :183-188); 5xx/transport → bounded retries within the
+    * trigger, then unknown this epoch and retried on the batch's next record. */
+  private[streaming] def resolveMisses(records: DataFrame, store: NotificationSnapshot,
+      lookup: BatchLookup, retry: Retry): Unit = {
+    val ids = records
+      .select(ValidationEngine.extractBatchId(col("headers")).as("batch_id"),
+        col("topic"))
+      .filter(col("batch_id").isNotNull)
+      .distinct().collect()
+      .filter(r => store.get(r.getString(0)).isEmpty)
+    ids.foreach { r =>
+      val (batchId, topic) = (r.getString(0), r.getString(1))
+      val tenant = scala.util.Try(Topics.tenantId(topic)).getOrElse("unknown")
+      try {
+        val n = retry.run(lookup.getBatchId(tenant, batchId).get)
+        store.put(n.id, Row(
+          n.id, n.name, n.topic, n.dataType, n.status, n.startDate, n.endDate,
+          n.expectedRecordCount, n.actualRecordCount, n.invalidRecordCount,
+          n.invalidThreshold, n.failureMessage, n.metadata))
+      } catch {
+        case RequestException(404, _) => // stays unknown → invalid (V5)
+        case e @ RequestException(s, _) if s >= 400 && s <= 499 => throw e
+        case _: Throwable => // retries exhausted this trigger; next trigger re-tries
+      }
+    }
+  }
+}

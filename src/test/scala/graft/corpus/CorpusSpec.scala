@@ -1,0 +1,150 @@
+package graft.corpus
+
+import graft.SparkSpec
+import graft.multimodal.{FakeCodec, Media}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups byte-identical texts under the min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = TextDedup.exact(d).collect().map(r =>
+      (r.getAs[Long]("canonical_doc_id"), r.getAs[Long]("n_copies"))).toSet
+    out shouldBe Set((1L, 2L), (3L, 1L))
+  }
+
+  test("3-gram shingles are distinct, ordered windows; short docs get none") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(1L -> "a b c d", 2L -> "a b")
+    val sh = d.select(col("doc_id"),
+      TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    sh(1L) shouldBe Seq("a b c", "b c d")
+    sh(2L) shouldBe Seq.empty
+  }
+
+  test("ngram Jaccard finds near-dups and skips dissimilar pairs") {
+    // doc1/doc2 share 9 of 10 shingle positions (J = 9/11 ≈ 0.818); doc3 disjoint
+    val t1 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val t2 = (1 to 12).map(i => if (i == 12) "zz" else s"w$i").mkString(" ")
+    val d = docs(1L -> t1, 2L -> t2, 3L -> "q r s t u v")
+    val pairs = TextDedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
+  test("minhash+LSH (exact-verified) matches exact Jaccard on a small corpus") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("tok30", "other"),
+      3L -> (31 to 60).map(i => s"tok$i").mkString(" "),
+      4L -> base.replace("tok1", "alt"))
+    val exact = TextDedup.ngramJaccardPairs(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashPairs(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    lsh shouldBe exact
+  }
+
+  test("simhash: identical docs collide, near-identical docs are Hamming-close") {
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t, 2L -> t, 3L -> t.replace("w40", "x"))
+    val sig = TextDedup.simhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    sig(1L) shouldBe sig(2L)
+    val pairs = TextDedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.collectFirst { case (1L, 2L, h) => h }.get shouldBe 0
+  }
+
+  test("cosine top-k ranks an exact duplicate vector first with cosine 1") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cosine")))
+    top.head shouldBe ((1L, 1, 1.0))
+    top.map(_._1) shouldBe Array(1L, 3L, 2L)
+  }
+
+  test("sign-LSH buckets duplicates together; lone vectors produce no row") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array.fill(64)(1f)),
+      (1L, Array.fill(64)(1f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annLsh(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    out.get(0L) shouldBe Some(1L)
+    out.get(1L) shouldBe Some(0L)
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val d = docs(
+      1L -> "the cat and the dog is a pet of mine",
+      2L -> "el perro y la casa de que y el",
+      3L -> "zzz qqq www")
+    val out = TextStats.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    out shouldBe Map(1L -> "en", 2L -> "es", 3L -> "und")
+  }
+
+  test("quality is in [0,1] and rewards length + stopword density") {
+    val good = "the " * 60 + "end"
+    val d = docs(1L -> good.trim, 2L -> "zz")
+    val q = TextStats.quality(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    q(1L) should be > q(2L)
+    q.values.foreach { v => v should (be >= 0.0 and be <= 1.0) }
+  }
+
+  test("token stats: whitespace vs BPE-ish regex tokens") {
+    val d = docs(1L -> "ab1 c2, d!")
+    val r = TextStats.tokenStats(d).collect().head
+    r.getAs[Int]("ws_tokens") shouldBe 3
+    // ab,1 | c,2,"," | d,"!"
+    r.getAs[Int]("bpe_tokens") shouldBe 7
+  }
+
+  test("winnowing fingerprints: deterministic, absent below k chars") {
+    val d = docs(1L -> "abcdefghijklmnop", 2L -> "abc")
+    val out = TextStats.winnowFingerprint(d).collect()
+    out.map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
+    val again = TextStats.winnowFingerprint(d).collect()
+    out.head.getAs[Long]("n_fingerprints") shouldBe
+      again.head.getAs[Long]("n_fingerprints")
+  }
+
+  test("media metadata matches FakeCodec's digest arithmetic") {
+    val d = docs(3L -> "hello")
+    val m = Media.mediaMeta(d).collect().head
+    val dec = FakeCodec.decode("hello".getBytes("UTF-8"))
+    m.getAs[Int]("width") shouldBe dec.width
+    m.getAs[Int]("height") shouldBe dec.height
+    m.getAs[Int]("n_frames") shouldBe dec.nFrames
+    m.getAs[Int]("n_bytes") shouldBe 5
+    m.getAs[String]("mime") shouldBe "image/png"
+  }
+
+  test("media feature extraction is batch-size invariant") {
+    val d = docs((0L until 10L).map(i => i -> s"payload-$i-${"x" * i.toInt}"): _*)
+    def run(bs: Int) = Media.mediaFeatures(spark, d, FakeCodec, batchSize = bs)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    run(2) shouldBe run(64)
+  }
+}
