@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *  - [[exact]] is one hash-aggregate: map-side partial agg means the shuffle
   *    carries one row per (partition × digest), not per document.
   *  - [[ngramJaccardPairs]] is an inverted-index self-join on shingles — the
-  *    textbook exact algorithm. It is quadratic in per-shingle document frequency,
-  *    so at 100 TB you run [[minhashPairs]] instead and keep this as the verifier
-  *    on candidate pairs only.
+  *    textbook exact algorithm. The self-join is quadratic in per-shingle document
+  *    frequency, so candidate generation caps shingle df (boilerplate shingles are
+  *    excluded from blocking, never from the verified Jaccard); at 100 TB you run
+  *    [[minhashPairs]] instead and keep this as the verifier on candidates only.
   *  - [[minhashPairs]] does signature banding: candidates are pairs sharing a band
   *    bucket, so the join fan-out is bounded by bucket size, not corpus size; the
   *    exact-Jaccard verify then runs ONLY on candidates.
@@ -55,22 +56,49 @@ object TextDedup {
     docs.select(col("doc_id"),
       size(shingles(tokens(col("text")), n)).as("n_shingles"))
 
-  /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2.
-    * Inverted-index join -> intersection counts -> |A|+|B| via two joins. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val p = postings(docs, n)
-    val inter = p.as("a")
-      .join(p.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .agg(count(lit(1)).as("c"))
-    val sz = shingleCounts(docs, n)
+  /** Exact-Jaccard verification of candidate pairs against the FULL posting
+    * lists: intersection via two keyed joins, then |A|,|B| via two more. All four
+    * joins are plain shuffle joins — the size table is one row PER DOCUMENT, so a
+    * broadcast hint here would OOM at corpus scale; candidates are small after
+    * blocking, and AQE will broadcast them if so. */
+  private def verifyJaccard(candidates: DataFrame, p: DataFrame, sz: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(p.as("a"), col("doc_id_1") === col("a.doc_id"))
+      .join(p.as("b"),
+        col("doc_id_2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_id_1"), col("doc_id_2")).agg(count(lit(1)).as("c"))
     inter
-      .join(broadcast(sz.as("x")), col("doc_id_1") === col("x.doc_id"))
-      .join(broadcast(sz.as("y")), col("doc_id_2") === col("y.doc_id"))
+      .join(sz.as("x"), col("doc_id_1") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_id_2") === col("y.doc_id"))
       .select(col("doc_id_1"), col("doc_id_2"),
         (col("c").cast("double") /
           (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2.
+    *
+    * Candidate pairs come from the inverted-index self-join with a
+    * document-frequency cap: shingles appearing in more than `maxDf` documents are
+    * boilerplate (one such shingle alone costs df² join rows — the classic
+    * stopword-shingle quadratic blowup) and are excluded from candidate
+    * GENERATION only; the Jaccard itself is then verified on the FULL posting
+    * lists, so every reported J is exact. A qualifying pair is missed only if ALL
+    * its shared shingles exceed maxDf — vanishingly unlikely for J >= 0.8 at any
+    * sane cap, and impossible at test scale (corpus < maxDf documents). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 1000): DataFrame = {
+    val p = postings(docs, n)
+    val rare = p.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("s"))
+    val candidates = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, p, shingleCounts(docs, n), threshold)
   }
 
   /** MinHash signatures: one aggregate pass over the postings, `numHashes` min()
@@ -108,20 +136,7 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
     // exact-Jaccard verify on candidates only
-    val p = postings(docs, n)
-    val inter = candidates
-      .join(p.as("a"), col("doc_id_1") === col("a.doc_id"))
-      .join(p.as("b"),
-        col("doc_id_2") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_id_1"), col("doc_id_2")).agg(count(lit(1)).as("c"))
-    val sz = shingleCounts(docs, n)
-    inter
-      .join(broadcast(sz.as("x")), col("doc_id_1") === col("x.doc_id"))
-      .join(broadcast(sz.as("y")), col("doc_id_2") === col("y.doc_id"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        (col("c").cast("double") /
-          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, postings(docs, n), shingleCounts(docs, n), threshold)
   }
 
   /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the

@@ -95,6 +95,30 @@ object ValidationJob {
     def counts(df: DataFrame, epochId: Long): Unit = countsHandoff(df, epochId)
   }
 
+  /** Idempotent counts handoff: pre-aggregate the epoch's per-record counts to
+    * one `(batchId, validDelta, invalidDelta)` row per batch, and journal them to
+    * a DETERMINISTIC single file `epoch-<id>.parquet`. `foreachBatch` is
+    * at-least-once — a replayed epoch sees its file already present and skips, so
+    * counts are never double-applied (the reference gets the same guarantee from
+    * Flink's exactly-once checkpointed shuffle, BaseValidationJob.scala:367-370).
+    * Pre-aggregation also shrinks the handoff from record volume to live-batch
+    * cardinality — at 100 TB the journal stays KB-sized per epoch. */
+  private[jobs] def countsHandoff(countsDir: String)(df: DataFrame, epochId: Long): Unit = {
+    val target = new org.apache.hadoop.fs.Path(countsDir, f"epoch-$epochId%020d.parquet")
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return // replayed epoch — already journaled
+    val agg = df.groupBy(col("batchId")).agg(
+      sum(when(col("isValid"), 1L).otherwise(0L)).as("validDelta"),
+      sum(when(col("isValid"), 0L).otherwise(1L)).as("invalidDelta"))
+    // single part file so the write+rename is one atomic visibility event for the
+    // tailing file source (dot-prefixed temp dirs are invisible to it)
+    val tmp = new org.apache.hadoop.fs.Path(countsDir, s".tmp-epoch-$epochId")
+    agg.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))
+    if (parts.nonEmpty) fs.rename(parts.head.getPath, target)
+    fs.delete(tmp, true)
+  }
+
   /** Everything a running job exposes. */
   case class Running(
       recordQuery: StreamingQuery,
@@ -136,24 +160,29 @@ object ValidationJob {
       mgmtClient: Option[MgmtClient] = None): Running = {
     import spark.implicits._
     Topics.validate(inputTopic)
+    // transformWithState requires the RocksDB state store provider in Spark 4 —
+    // without it the tracker query throws at start and terminal notifications
+    // are never emitted
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val store = new NotificationSnapshot(spark, Some(checkpointDir))
     val countsDir = s"$checkpointDir/counts"
 
     val nq = ValidationStream.startNotificationQuery(
       kafkaNotificationSource(spark, brokers, inputTopic), store, checkpointDir)
 
-    // counts handoff: parquet files feed the tracker query's file source — the
-    // in-job stand-in for the reference's operator-to-operator shuffle
-    val sinks = kafkaSinks(brokers, inputTopic,
-      (df, _) => df.write.mode("append").parquet(countsDir))
+    // counts handoff: epoch-keyed parquet files feed the tracker query's file
+    // source — the in-job stand-in for the reference's operator-to-operator
+    // shuffle, made idempotent against foreachBatch's at-least-once replays
+    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir))
     val rq = ValidationStream.startRecordQuery(
       kafkaRecordSource(spark, brokers, inputTopic), store, validator, sinks,
       checkpointDir, mgmtClient)
 
     val countEvents = spark.readStream
-      .schema("batchId STRING, isValid BOOLEAN")
+      .schema("batchId STRING, validDelta BIGINT, invalidDelta BIGINT")
       .parquet(countsDir)
-      .as[graft.model.CountsMessage]
+      .as[graft.model.CountsDelta]
     val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic)
       .select(from_json(col("value").cast("string"),
         graft.model.Schemas.batchNotification).as("n"))

@@ -62,6 +62,13 @@ case class InvalidRecord(
   * (reference ValidationProcessFunction.scala:152-158). */
 case class CountsMessage(batchId: String, isValid: Boolean)
 
+/** Per-epoch pre-aggregated counts handed from the validation plane to the
+  * tracker: one row per (epoch, batch), not per record. Pre-aggregation keeps the
+  * tracker shuffle proportional to live-batch cardinality at any data volume, and
+  * the epoch-keyed journal (ValidationJob.countsHandoff) makes replays idempotent
+  * — the SS equivalent of the reference's exactly-once checkpointed shuffle. */
+case class CountsDelta(batchId: String, validDelta: Long, invalidDelta: Long)
+
 /** Per-batch tracker state (reference Tracker.scala:30). */
 case class BatchState(
     valid: Int,

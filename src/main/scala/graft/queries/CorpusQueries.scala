@@ -68,10 +68,13 @@ object CorpusQueries {
     Media.mediaMeta(docs(spark, dir))
 
   /** m2 — batched media feature extraction through the codec SPI (rows-only:
-    * mapPartitions kernel, not SQL-expressible). Features surfaced as stable
-    * rounded strings to keep the dump schema simple. */
+    * mapPartitions kernel, not SQL-expressible). The feature vector is surfaced as
+    * ONE deterministic comma-joined string (3-decimal fixed point) so the dump is
+    * a flat sortable/hashable column — the driver comparator cannot sort an
+    * ARRAY column. */
   def m2MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Media.mediaFeatures(spark, docs(spark, dir)).toDF()
       .select(col("doc_id"), col("n_frames"), col("n_pixels"),
-        transform(col("features"), f => round(f, 3)).as("features"))
+        concat_ws(",",
+          transform(col("features"), f => format_string("%.3f", f))).as("features"))
 }

@@ -80,12 +80,13 @@ object TrackerProcessor {
   }
 
   /** Union-encode the two tracker inputs (counts ⊎ notifications) — the SS answer
-    * to Flink's `connect` of two keyed streams (SURVEY.md §7.8 risk #2). */
-  def unionEvents(counts: org.apache.spark.sql.Dataset[graft.model.CountsMessage],
+    * to Flink's `connect` of two keyed streams (SURVEY.md §7.8 risk #2). Counts
+    * arrive pre-aggregated per (epoch, batch) — see [[graft.model.CountsDelta]]. */
+  def unionEvents(counts: org.apache.spark.sql.Dataset[graft.model.CountsDelta],
       notifications: org.apache.spark.sql.Dataset[BatchNotification])
       : org.apache.spark.sql.Dataset[TrackerEvent] = {
     implicit val teEnc: org.apache.spark.sql.Encoder[TrackerEvent] = Encoders.kryo[TrackerEvent]
-    counts.map(c => CountEvent(c.batchId, c.isValid): TrackerEvent)
+    counts.map(c => CountEvent(c.batchId, c.validDelta, c.invalidDelta): TrackerEvent)
       .union(notifications.map(n => NotificationEvent(n.id, n): TrackerEvent))
   }
 }

@@ -18,18 +18,39 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `broadcast(snapshot)` — batch cardinality is small by design (reference
   * README:28), so the broadcast is a few KB and the record plane never shuffles.
   *
-  * Recovery: the store journals itself to `<dir>/snapshot.parquet` after each
-  * update epoch and reloads on construction, so a restarted job sees every batch
-  * status already applied (the upstream topic is compacted in production anyway).
+  * Recovery: the store journals itself to a versioned `<dir>/snapshot-v<N>.parquet`
+  * after each update epoch (write-new-then-delete-old, `_SUCCESS`-gated, so a crash
+  * mid-write never loses the last complete snapshot) and reloads the latest
+  * complete version on construction, so a restarted job sees every batch status
+  * already applied (the upstream topic is compacted in production anyway).
   */
 class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) extends Serializable {
 
   private val byId = scala.collection.concurrent.TrieMap.empty[String, Row]
+  private val journalVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def fs = new org.apache.hadoop.fs.Path(persistDir.get)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Journal dirs are versioned (`snapshot-v<N>.parquet`); a version counts only
+    * once Spark's `_SUCCESS` marker exists, so a crash mid-write can never lose an
+    * older complete snapshot — the previous version is deleted only AFTER the new
+    * one is fully committed. */
+  private def journalVersions(dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir, "snapshot-v*.parquet"))
+      .toSeq.map(_.getPath)
+      .flatMap { p =>
+        val v = p.getName.stripPrefix("snapshot-v").stripSuffix(".parquet")
+        v.toLongOption.filter(_ =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))).map(_ -> p)
+      }.sortBy(_._1)
 
   persistDir.foreach { dir =>
-    val p = new org.apache.hadoop.fs.Path(dir, "snapshot.parquet")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    val versions = journalVersions(dir)
+    versions.lastOption.foreach { case (v, p) =>
+      journalVersion.set(v)
       spark.read.parquet(p.toString).collect().foreach(r => byId(r.getAs[String]("id")) = r)
+    }
   }
 
   /** Last-write-wins upsert of a notification micro-batch (V2). Rows must carry
@@ -39,8 +60,11 @@ class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) exte
     if (rows.nonEmpty) {
       rows.foreach(r => byId(r.getAs[String]("id")) = r)
       persistDir.foreach { dir =>
+        val v = journalVersion.incrementAndGet()
         snapshot().write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(dir, "snapshot.parquet").toString)
+          .parquet(new org.apache.hadoop.fs.Path(dir, s"snapshot-v$v.parquet").toString)
+        // new version is complete (_SUCCESS written) — drop the superseded ones
+        journalVersions(dir).filter(_._1 < v).foreach(old => fs.delete(old._2, true))
       }
     }
   }

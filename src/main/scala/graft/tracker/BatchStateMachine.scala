@@ -9,7 +9,20 @@ import graft.model.{BatchNotification, BatchState, Status}
   * (Tracker.scala:47-90).
   */
 sealed trait TrackerEvent { def batchId: String }
-case class CountEvent(batchId: String, isValid: Boolean) extends TrackerEvent
+
+/** Pre-aggregated per-epoch count deltas. The validation plane aggregates its
+  * per-record counts map-side before the tracker shuffle (one row per batch per
+  * micro-batch, not per record) — so a delta may advance the invalid counter past
+  * the threshold in one step; the machine fires T3 on the CROSSING
+  * (`before < threshold <= after`), which reduces to the reference's exact-`==`
+  * fire for unit deltas (Tracker.scala:153-162). */
+case class CountEvent(batchId: String, validDelta: Long, invalidDelta: Long) extends TrackerEvent
+object CountEvent {
+  /** Unit-delta convenience — one validated record (the reference's per-record
+    * counts message shape, ValidationProcessFunction.scala:152-158). */
+  def apply(batchId: String, isValid: Boolean): CountEvent =
+    CountEvent(batchId, if (isValid) 1L else 0L, if (isValid) 0L else 1L)
+}
 case class NotificationEvent(batchId: String, notification: BatchNotification) extends TrackerEvent
 /** Processing-time timer firing (T5). */
 case class TimerEvent(batchId: String, fireTime: Long) extends TrackerEvent
@@ -37,15 +50,15 @@ class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable 
   case class Outcome(state: BatchState, emit: Option[BatchNotification], armTimerAt: Option[Long])
 
   def onEvent(state: BatchState, event: TrackerEvent, nowMs: Long): Outcome = event match {
-    case CountEvent(_, isValid) =>
+    case CountEvent(_, validDelta, invalidDelta) =>
       val s = state.copy(
-        valid = state.valid + (if (isValid) 1 else 0),
-        invalid = state.invalid + (if (isValid) 0 else 1),
+        valid = state.valid + validDelta.toInt,
+        invalid = state.invalid + invalidDelta.toInt,
         lastModified = nowMs)
-      check(s, nowMs)
+      check(s, nowMs, prevInvalid = state.invalid)
     case NotificationEvent(_, n) =>
       val s = state.copy(notification = Some(n), lastModified = nowMs)
-      check(s, nowMs)
+      check(s, nowMs, prevInvalid = state.invalid)
     case TimerEvent(_, _) =>
       // T5: re-validate at fire time — arrivals during the delay with counts that no
       // longer match cancel the completion (reference Tracker.scala:93-103).
@@ -58,12 +71,18 @@ class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable 
       s.valid + s.invalid == n.expectedRecordCount
   }
 
-  private def check(s: BatchState, nowMs: Long): Outcome = s.notification match {
+  private def check(s: BatchState, nowMs: Long, prevInvalid: Int): Outcome = s.notification match {
     case None => Outcome(s, None, None)
     case Some(n) =>
       if (n.invalidThreshold > -1 && n.status != Status.Terminated && !s.isFinished &&
-        s.invalid == n.invalidThreshold) {
-        // T3 — note `==`: fires exactly once, when the counter crosses the threshold.
+        s.invalid >= n.invalidThreshold &&
+        (prevInvalid < n.invalidThreshold || s.invalid == n.invalidThreshold)) {
+        // T3 — fires exactly once, on the CROSSING. For unit deltas this is the
+        // reference's exact `==` (Tracker.scala:153-162); for pre-aggregated
+        // deltas the counter may jump past the threshold in one event, so the
+        // condition is `before < threshold <= after`. A notification arriving
+        // when the counter already exceeds (not equals) the threshold does NOT
+        // fire — exactly like the reference's `==`.
         terminal(s, Status.Failed,
           s"Failing Batch: ${n.id}, too many invalid records invalidCount: " +
             s"${s.invalid} == invalidThreshold: ${n.invalidThreshold}")
