@@ -2,7 +2,7 @@ package graft.http
 
 import graft.model.BatchNotification
 
-import java.net.URI
+import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.util.Base64
@@ -41,7 +41,7 @@ class MgmtClient(
     clientId: String,
     clientSecret: String,
     audience: String,
-    http: HttpClient = HttpClient.newHttpClient()) extends BatchLookup {
+    http: HttpClient = MgmtClient.createHttpClient()) extends BatchLookup {
 
   private def send(req: HttpRequest): String = {
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
@@ -51,13 +51,17 @@ class MgmtClient(
   }
 
   /** OAuth client-credentials grant; one token per call-site invocation — the
-    * reference likewise fetches per request batch (MgmtClient.scala:95-128). */
+    * reference likewise fetches per request batch (MgmtClient.scala:95-128).
+    * Every form value is URL-encoded — a clientSecret or audience containing
+    * `&`, `+`, `=` or non-ASCII must not corrupt the grant body (the Basic
+    * header needs no encoding beyond Base64). */
   private[http] def token(tenantId: String): String = {
     val basic = Base64.getEncoder.encodeToString(
       s"$clientId:$clientSecret".getBytes(StandardCharsets.UTF_8))
+    def enc(v: String) = URLEncoder.encode(v, StandardCharsets.UTF_8)
     val form = s"grant_type=client_credentials" +
-      s"&scope=hri_internal+hri_consumer+tenant_$tenantId" +
-      s"&audience=$audience"
+      s"&scope=${enc(s"hri_internal hri_consumer tenant_$tenantId")}" +
+      s"&audience=${enc(audience)}"
     val body = send(HttpRequest.newBuilder(URI.create(s"$oauthBase/token"))
       .header("Authorization", s"Basic $basic")
       .header("Content-Type", "application/x-www-form-urlencoded")
@@ -99,6 +103,42 @@ class MgmtClient(
       .PUT(HttpRequest.BodyPublishers.ofString(body)).build())
 }
 
+object MgmtClient {
+
+  val TrustStoreEnv = "HRI_TRUSTSTORE"
+  val TrustStorePasswordEnv = "HRI_TRUSTSTORE_PASSWORD"
+
+  /** Build the HTTP client, honoring a custom truststore when the
+    * `HRI_TRUSTSTORE` / `HRI_TRUSTSTORE_PASSWORD` environment variables are set
+    * (reference MgmtClient.scala:166-204, pinned by MgmtClientTest.scala:369-422):
+    * both unset → default client; one set without the other →
+    * IllegalArgumentException; path not a file → FileNotFoundException; else an
+    * SSLContext trusting only that store (JKS or PKCS12, auto-probed). `env` is
+    * injectable for tests. */
+  def createHttpClient(
+      env: String => Option[String] = k => Option(System.getenv(k))): HttpClient = {
+    val path = env(TrustStoreEnv).filter(_.nonEmpty)
+    val password = env(TrustStorePasswordEnv).filter(_.nonEmpty)
+    (path, password) match {
+      case (None, _) => HttpClient.newHttpClient()
+      case (Some(_), None) =>
+        throw new IllegalArgumentException(
+          s"$TrustStoreEnv is set, but $TrustStorePasswordEnv is not. Both must be empty or set.")
+      case (Some(p), Some(pw)) =>
+        val f = new java.io.File(p)
+        if (!f.exists() || !f.isFile)
+          throw new java.io.FileNotFoundException(s"Not found or not a file: ${f.getPath}")
+        val ks = java.security.KeyStore.getInstance(f, pw.toCharArray)
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        HttpClient.newBuilder().sslContext(ctx).build()
+    }
+  }
+}
+
 /** Minimal JSON helpers for the two fixed control payloads — driver-side only; the
   * data plane parses JSON with Spark's codegen'd `from_json`, never this. */
 private[http] object Json {
@@ -125,6 +165,58 @@ private[http] object Json {
   def intField(json: String, field: String): Option[Int] =
     num.format(java.util.regex.Pattern.quote(field)).r
       .findFirstMatchIn(json).map(_.group(1).toInt)
+
+  /** Raw text of `field`'s JSON value — balanced-brace scan, string-aware. Used
+    * for the opaque `metadata` passthrough: an object/array/number/bool comes
+    * back byte-for-byte; a quoted string comes back unescaped (matching what
+    * Spark's `from_json` yields for a StringType field); absent or `null` →
+    * None. */
+  def rawField(json: String, field: String): Option[String] = {
+    val key = "\"" + field + "\""
+    var i = json.indexOf(key)
+    while (i > 0 && insideString(json, i)) i = json.indexOf(key, i + 1)
+    if (i < 0) return None
+    var j = i + key.length
+    while (j < json.length && (json(j).isWhitespace)) j += 1
+    if (j >= json.length || json(j) != ':') return None
+    j += 1
+    while (j < json.length && json(j).isWhitespace) j += 1
+    if (j >= json.length) return None
+    json(j) match {
+      case '"' => strField(json.substring(i), field) // string value: unescape
+      case '{' | '[' =>
+        val open = json(j); val close = if (open == '{') '}' else ']'
+        var depth = 0; var k = j; var inStr = false; var esc = false
+        while (k < json.length) {
+          val c = json(k)
+          if (esc) esc = false
+          else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+          else if (c == '"') inStr = true
+          else if (c == open) depth += 1
+          else if (c == close) { depth -= 1; if (depth == 0) return Some(json.substring(j, k + 1)) }
+          k += 1
+        }
+        None // unbalanced
+      case _ =>
+        var k = j
+        while (k < json.length && !",}]".contains(json(k)) && !json(k).isWhitespace) k += 1
+        Some(json.substring(j, k)).filter(v => v.nonEmpty && v != "null")
+    }
+  }
+
+  /** True when index `i` falls inside a string literal — guards against a field
+    * NAME appearing as text inside some other string value. */
+  private def insideString(json: String, i: Int): Boolean = {
+    var inStr = false; var esc = false; var k = 0
+    while (k < i) {
+      val c = json(k)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '"') inStr = !inStr
+      k += 1
+    }
+    inStr
+  }
 
   private def unescape(s: String): String = {
     val b = new StringBuilder
@@ -165,6 +257,9 @@ private[http] object Json {
       invalidRecordCount = intField(json, "invalidRecordCount").getOrElse(-1),
       invalidThreshold = intField(json, "invalidThreshold").getOrElse(-1),
       failureMessage = strField(json, "failureMessage").orNull,
-      metadata = null)
+      // opaque passthrough — the reference carries metadata byte-for-byte
+      // (TestBatchNotification.scala:45); a remotely-resolved batch must not
+      // lose user metadata on its way into a terminal notification
+      metadata = rawField(json, "metadata").orNull)
   }
 }

@@ -49,13 +49,38 @@ object ValidationJob {
     * (BaseValidationJob.scala:165-170,79-81); here the snapshot store is
     * driver-side, so single-writer semantics hold regardless. */
   def kafkaNotificationSource(spark: SparkSession, brokers: String,
-      inputTopic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", Topics.notificationTopic(inputTopic))
-      .option("startingOffsets", "earliest")
-      .option("kafka.fetch.max.wait.ms", "150")
+      inputTopic: String, extra: Map[String, String] = Map.empty): DataFrame =
+    extra.foldLeft(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", Topics.notificationTopic(inputTopic))
+        .option("startingOffsets", "earliest")
+        .option("kafka.fetch.max.wait.ms", "150"))(
+      (b, kv) => b.option(kv._1, kv._2))
       .load()
+
+  /** SASL_SSL client properties, built exactly when an Event-Streams-style API
+    * key password is provided (reference BaseValidationJob.scala:318-327), plus
+    * the consumer group id `hri-validation-<in>-<out>` (reference `:330`). The
+    * reference's `auto.offset.reset=latest` has no direct Kafka-option twin in
+    * Structured Streaming (the source owns offsets; use `startingOffsets`), so it
+    * is intentionally not set here. */
+  def kafkaSecurityOptions(inputTopic: String,
+      password: Option[String]): Map[String, String] = {
+    val group = Map("kafka.group.id" ->
+      s"hri-validation-$inputTopic-${Topics.outputTopic(inputTopic)}")
+    group ++ password.fold(Map.empty[String, String]) { pw =>
+      Map(
+        "kafka.sasl.jaas.config" ->
+          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+            s"""username="token" password="$pw";"""),
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.ssl.protocol" -> "TLSv1.2",
+        "kafka.ssl.enabled.protocols" -> "TLSv1.2",
+        "kafka.ssl.endpoint.identification.algorithm" -> "HTTPS")
+    }
+  }
 
   /** Kafka producer options shared by all sinks — zstd, 16 KB batches, 10 MB max
     * request, 15 min transaction timeout (reference BaseValidationJob.scala:330-347;
@@ -71,29 +96,39 @@ object ValidationJob {
   /** Kafka-writing ValidationSinks (K1 valid → `*.out`, K2 invalid → `*.invalid`;
     * counts stay in-job, handed to the tracker via [[countsHandoff]]). */
   def kafkaSinks(brokers: String, inputTopic: String,
-      countsHandoff: (DataFrame, Long) => Unit): ValidationSinks = new ValidationSinks {
+      countsHandoff: (DataFrame, Long) => Unit,
+      extra: Map[String, String] = Map.empty): ValidationSinks = new ValidationSinks {
     private def write(df: DataFrame, topic: String): Unit =
-      kafkaProducerOptions.foldLeft(
+      (kafkaProducerOptions ++ extra).foldLeft(
         df.write.format("kafka")
           .option("kafka.bootstrap.servers", brokers)
           .option("topic", topic))((b, kv) => b.option(kv._1, kv._2))
         .save()
     def valid(df: DataFrame, epochId: Long): Unit =
-      write(df.select(col("key"), col("value"), col("headers")),
-        Topics.outputTopic(inputTopic))
+      write(validRecordProjection(df), Topics.outputTopic(inputTopic))
     def invalid(df: DataFrame, epochId: Long): Unit =
-      // D5: JSON body + batchId echoed as a message header, null key
-      // (reference InvalidRecordSerializer.scala:21-44)
-      write(df.select(
-        lit(null).cast("binary").as("key"),
-        encode(to_json(struct(df.columns.map(col): _*)), "UTF-8").as("value"),
-        when(col("batchId").isNotNull,
-          array(struct(lit("batchId").as("key"),
-            encode(col("batchId"), "UTF-8").as("value"))))
-          .as("headers")),
-        Topics.invalidTopic(inputTopic))
+      write(invalidRecordProjection(df), Topics.invalidTopic(inputTopic))
     def counts(df: DataFrame, epochId: Long): Unit = countsHandoff(df, epochId)
   }
+
+  /** D3 — valid-record Kafka projection: key/value/headers byte passthrough
+    * (reference HriRecordSerializer.scala:21-44 — null key, null value, null or
+    * empty headers, and any UTF-8 payload must all round-trip untouched). */
+  def validRecordProjection(df: DataFrame): DataFrame =
+    df.select(col("key"), col("value"), col("headers"))
+
+  /** D5 — invalid-record Kafka projection: JSON body + batchId echoed as a
+    * message header, null key (reference InvalidRecordSerializer.scala:21-44);
+    * a null batchId yields null headers, and the JSON body is UTF-8 so non-ASCII
+    * failure text survives byte-exact. */
+  def invalidRecordProjection(df: DataFrame): DataFrame =
+    df.select(
+      lit(null).cast("binary").as("key"),
+      encode(to_json(struct(df.columns.map(col): _*)), "UTF-8").as("value"),
+      when(col("batchId").isNotNull,
+        array(struct(lit("batchId").as("key"),
+          encode(col("batchId"), "UTF-8").as("value"))))
+        .as("headers"))
 
   /** Idempotent counts handoff: pre-aggregate the epoch's per-record counts to
     * one `(batchId, validDelta, invalidDelta)` row per batch, and journal them to
@@ -157,9 +192,11 @@ object ValidationJob {
       validator: Validator,
       checkpointDir: String,
       completionDelayMs: Long = 300000L,
-      mgmtClient: Option[MgmtClient] = None): Running = {
+      mgmtClient: Option[MgmtClient] = None,
+      kafkaPassword: Option[String] = None): Running = {
     import spark.implicits._
     Topics.validate(inputTopic)
+    val security = kafkaSecurityOptions(inputTopic, kafkaPassword)
     // transformWithState requires the RocksDB state store provider in Spark 4 —
     // without it the tracker query throws at start and terminal notifications
     // are never emitted
@@ -169,21 +206,21 @@ object ValidationJob {
     val countsDir = s"$checkpointDir/counts"
 
     val nq = ValidationStream.startNotificationQuery(
-      kafkaNotificationSource(spark, brokers, inputTopic), store, checkpointDir)
+      kafkaNotificationSource(spark, brokers, inputTopic, security), store, checkpointDir)
 
     // counts handoff: epoch-keyed parquet files feed the tracker query's file
     // source — the in-job stand-in for the reference's operator-to-operator
     // shuffle, made idempotent against foreachBatch's at-least-once replays
-    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir))
+    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir), security)
     val rq = ValidationStream.startRecordQuery(
-      kafkaRecordSource(spark, brokers, inputTopic), store, validator, sinks,
+      kafkaRecordSource(spark, brokers, inputTopic, security), store, validator, sinks,
       checkpointDir, mgmtClient)
 
     val countEvents = spark.readStream
       .schema("batchId STRING, validDelta BIGINT, invalidDelta BIGINT")
       .parquet(countsDir)
       .as[graft.model.CountsDelta]
-    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic)
+    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic, security)
       .select(from_json(col("value").cast("string"),
         graft.model.Schemas.batchNotification).as("n"))
       .select(col("n.*")).as[graft.model.BatchNotification]
@@ -200,16 +237,18 @@ object ValidationJob {
           .foreachBatch(apiSink.writeBatch _)
           .start()
       case None =>
-        terminal
-          .select(lit(null).cast("binary").as("key"),
-            encode(to_json(struct(col("*"))), "UTF-8").as("value"))
-          .writeStream
-          .queryName("graft-tracker")
-          .option("checkpointLocation", s"$checkpointDir/graft-tracker")
-          .trigger(Trigger.ProcessingTime("1 second"))
-          .format("kafka")
-          .option("kafka.bootstrap.servers", brokers)
-          .option("topic", Topics.notificationTopic(inputTopic))
+        (kafkaProducerOptions ++ security).foldLeft(
+          terminal
+            .select(lit(null).cast("binary").as("key"),
+              encode(to_json(struct(col("*"))), "UTF-8").as("value"))
+            .writeStream
+            .queryName("graft-tracker")
+            .option("checkpointLocation", s"$checkpointDir/graft-tracker")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", Topics.notificationTopic(inputTopic)))(
+          (b, kv) => b.option(kv._1, kv._2))
           .start()
     }
     Running(rq, nq, Some(tq), store)
@@ -217,7 +256,8 @@ object ValidationJob {
 
   /** Standalone CLI (the reference's JsonValidationJob.main,
     * jobtest/JsonValidationJob.scala:25-73): `-b` brokers, `-i` input topic,
-    * `-d` completion delay ms, `-c` checkpoint dir; JSON well-formedness
+    * `-d` completion delay ms, `-c` checkpoint dir, `-p` Kafka API-key password
+    * (enables SASL_SSL, like the reference's `--password`); JSON well-formedness
     * validation, terminal notifications to the notification topic. */
   def main(args: Array[String]): Unit = {
     def arg(flag: String, default: String = null): String =
@@ -230,12 +270,13 @@ object ValidationJob {
     val inputTopic = Topics.validate(arg("-i"))
     val delay = arg("-d", "300000").toLong
     val checkpoint = arg("-c", "/tmp/graft-checkpoint")
+    val password = Option(arg("-p", "")).filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .appName(s"graft-validation-$inputTopic")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val running = startKafka(spark, brokers, inputTopic, new JsonValidator,
-      checkpoint, delay)
+      checkpoint, delay, kafkaPassword = password)
     running.recordQuery.awaitTermination()
   }
 }

@@ -45,6 +45,7 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     case "/mgmt/tenants/t1/batches/b-found" =>
       (200, """{"id":"b-found","name":"n1","topic":"ingest.t1.di.in","status":"STARTED",
                "dataType":"claims","startDate":"2020-12-08T03:02:23Z",
+               "metadata":{"compression":"gzip","nested":{"a":[1,2]},"note":"x}y"},
                "expectedRecordCount":7,"invalidThreshold":-1,"ignoredNewField":true}""")
     case "/mgmt/tenants/t1/batches/b-missing" => (404, """{"error":"not found"}""")
     case "/mgmt/tenants/t1/batches/b-flaky" =>
@@ -73,6 +74,52 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     tok.body should include("scope=hri_internal+hri_consumer+tenant_t1")
     get.method shouldBe "GET"
     get.auth shouldBe "Bearer tok-123"
+  }
+
+  test("getBatchId: opaque metadata passes through raw (objects byte-for-byte)") {
+    val n = client.getBatchId("t1", "b-found").get
+    n.metadata shouldBe """{"compression":"gzip","nested":{"a":[1,2]},"note":"x}y"}"""
+  }
+
+  test("token form URL-encodes credentials and audience (reserved chars survive)") {
+    reqs.clear()
+    val tricky = new MgmtClient(s"$base/mgmt", s"$base/oauth",
+      "cid", "c&s=ecret+", "aud&x=1 +2")
+    tricky.getBatchId("t1", "b-found").get
+    val tok = reqs.head
+    tok.body should include("audience=aud%26x%3D1+%2B2")
+    tok.body should include("scope=hri_internal+hri_consumer+tenant_t1")
+    // Basic auth carries the raw secret via Base64, not the form body
+    val decoded = new String(java.util.Base64.getDecoder.decode(
+      tok.auth.stripPrefix("Basic ")), "UTF-8")
+    decoded shouldBe "cid:c&s=ecret+"
+  }
+
+  test("createHttpClient: truststore env matrix (reference MgmtClientTest:369-422)") {
+    def env(m: Map[String, String]): String => Option[String] = m.get
+    // both unset -> default client
+    noException should be thrownBy MgmtClient.createHttpClient(env(Map.empty))
+    // path set, password missing -> IllegalArgumentException naming both vars
+    val e = intercept[IllegalArgumentException] {
+      MgmtClient.createHttpClient(env(Map("HRI_TRUSTSTORE" -> "/tmp/x.p12")))
+    }
+    e.getMessage should include("HRI_TRUSTSTORE_PASSWORD")
+    // nonexistent file -> FileNotFoundException
+    intercept[java.io.FileNotFoundException] {
+      MgmtClient.createHttpClient(env(Map(
+        "HRI_TRUSTSTORE" -> "/tmp/definitely-missing.p12",
+        "HRI_TRUSTSTORE_PASSWORD" -> "pw")))
+    }
+    // real PKCS12 store -> client built on a custom SSLContext
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    val f = java.io.File.createTempFile("graft-trust", ".p12")
+    val os = new java.io.FileOutputStream(f)
+    try ks.store(os, "pw".toCharArray) finally os.close()
+    val c = MgmtClient.createHttpClient(env(Map(
+      "HRI_TRUSTSTORE" -> f.getAbsolutePath, "HRI_TRUSTSTORE_PASSWORD" -> "pw")))
+    c.sslContext() should not be javax.net.ssl.SSLContext.getDefault
+    f.delete()
   }
 
   test("getBatchId: 404 surfaces as RequestException(404) in the Try") {
