@@ -27,7 +27,13 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between-query hygiene (outside the timed section): broadcasts and shuffle
+      // state from earlier queries are only reclaimed when the ContextCleaner sees
+      // their references collected — without this, late queries pay earlier
+      // queries' memory debt and per-query numbers swing wildly run-to-run
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *  - [[exact]] is one hash-aggregate: map-side partial agg means the shuffle
   *    carries one row per (partition × digest), not per document.
   *  - [[ngramJaccardPairs]] is an inverted-index self-join on shingles — the
-  *    textbook exact algorithm. The self-join is quadratic in per-shingle document
-  *    frequency, so candidate generation caps shingle df (boilerplate shingles are
-  *    excluded from blocking, never from the verified Jaccard); at 100 TB you run
-  *    [[minhashPairs]] instead and keep this as the verifier on candidates only.
+  *    textbook exact algorithm, computed over a boilerplate-capped shingle
+  *    universe (df ≤ maxDf) because the self-join is quadratic in per-shingle
+  *    document frequency; at 100 TB you run [[minhashPairs]] instead and keep
+  *    this as the verifier on candidates only.
   *  - [[minhashPairs]] does signature banding: candidates are pairs sharing a band
   *    bucket, so the join fan-out is bounded by bucket size, not corpus size; the
   *    exact-Jaccard verify then runs ONLY on candidates.
@@ -77,28 +77,36 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2.
-    *
-    * Candidate pairs come from the inverted-index self-join with a
-    * document-frequency cap: shingles appearing in more than `maxDf` documents are
-    * boilerplate (one such shingle alone costs df² join rows — the classic
-    * stopword-shingle quadratic blowup) and are excluded from candidate
-    * GENERATION only; the Jaccard itself is then verified on the FULL posting
-    * lists, so every reported J is exact. A qualifying pair is missed only if ALL
-    * its shared shingles exceed maxDf — vanishingly unlikely for J >= 0.8 at any
-    * sane cap, and impossible at test scale (corpus < maxDf documents). */
+  /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2,
+    * computed over the NON-BOILERPLATE shingle universe: shingles appearing in
+    * more than `maxDf` documents are excluded from the similarity definition
+    * entirely (postings AND set sizes), the standard move in corpus dedup — one
+    * stopword-like shingle alone costs df² self-join rows, and shared boilerplate
+    * carries no near-dup signal. Within that universe the computation is exact
+    * and one-pass: inverted-index self-join → intersection counts → |A|,|B| via
+    * two keyed shuffle joins (no broadcast: the size table is one row per
+    * document). The df window reuses the self-join's hash partitioning on the
+    * shingle, so the cap costs no extra shuffle. At test scale (corpus ≤ maxDf
+    * documents) no shingle can exceed the cap, so this equals unrestricted J. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 1000): DataFrame = {
-    val p = postings(docs, n)
-    val rare = p.withColumn("df", count(lit(1)).over(
+    val rare = postings(docs, n)
+      .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
       .select(col("doc_id"), col("s"))
-    val candidates = rare.as("a")
+    val inter = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .distinct()
-    verifyJaccard(candidates, p, shingleCounts(docs, n), threshold)
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("c"))
+    val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    inter
+      .join(sz.as("x"), col("doc_id_1") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_id_2") === col("y.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signatures: one aggregate pass over the postings, `numHashes` min()

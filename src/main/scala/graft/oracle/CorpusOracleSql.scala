@@ -41,6 +41,34 @@ jpairs AS (
   private val jaccardSelect =
     "SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8"
 
+  /** x2's capped-universe variant: shingles with document frequency > 1000 are
+    * excluded from postings AND set sizes, mirroring ngramJaccardPairs(maxDf=1000).
+    * At test scale no shingle can exceed the cap, so this equals unrestricted J. */
+  private val cappedJaccardPrelude = """WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(len(ws) - 2),
+             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+rare AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM post)
+  WHERE df <= 1000),
+szs AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rare GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT doc_id_1, doc_id_2,
+         CAST(c AS DOUBLE) / (x.n_shingles + y.n_shingles - c) AS jaccard
+  FROM inter JOIN szs x ON doc_id_1 = x.doc_id JOIN szs y ON doc_id_2 = y.doc_id)
+"""
+
   /** 32-bit SimHash, mirroring TextDedup.simhash's md5-nibble construction. */
   private val simhashPrelude: String = {
     val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -140,7 +168,7 @@ WHERE rn = 1"""
          COUNT(*) AS n_copies
        FROM documents GROUP BY 1""",
 
-    "x2_ngram_jaccard" -> (jaccardPrelude + jaccardSelect),
+    "x2_ngram_jaccard" -> (cappedJaccardPrelude + jaccardSelect),
 
     // MinHash+LSH is exact-verified to the same J >= 0.8 contract, and 16x4
     // banding has no false negatives on this corpus, so the oracle is the same
