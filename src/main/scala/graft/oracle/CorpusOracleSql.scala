@@ -199,6 +199,42 @@ WHERE rn <= 5""",
 
     "x7_ann_lsh" -> annLshSql,
 
+    // x12: exact upper-triangle cosine near-dup (threshold on the unrounded
+    // value, rounding only in the projection — same order as the Spark side)
+    "x12_cosine_neardup" -> s"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, ${cos("a.e", "b.e")} AS cos
+  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= 0.45""",
+
+    // x13: IVF with the deterministic first-16 quantizer — assignment and probe
+    // ranks replicate the Spark side's (cosine DESC, id ASC) tiebreaks exactly
+    "x13_ann_ivf" -> s"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT b.vec_id, b.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY ${cos("b.e", "c.ce")} DESC, c.cid) AS arank
+    FROM base b CROSS JOIN cents c)
+  WHERE arank = 1),
+probes AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cos("q.e", "c.ce")} DESC, c.cid) AS prank
+    FROM base q CROSS JOIN cents c WHERE q.vec_id < 20)
+  WHERE prank <= 4),
+pr AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, ${cos("p.qe", "a.e")} AS cos
+  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
+SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pr)
+WHERE rn <= 5""",
+
     "x8_lang_id" -> langIdSql,
 
     "x9_quality" -> qualitySql,

@@ -47,6 +47,15 @@ object CorpusQueries {
   def x7AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(emb(spark, dir))
 
+  /** x12 — embedding-cosine near-dup pairs (exact upper-triangle baseline,
+    * cosine >= 0.45 — this corpus's meaningful range). */
+  def x12CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(spark, dir))
+
+  /** x13 — IVF ANN: deterministic first-16 coarse quantizer, nprobe=4, top-5. */
+  def x13AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(emb(spark, dir))
+
   /** x8 — stopword-heuristic language ID. */
   def x8LangId(spark: SparkSession, dir: String): DataFrame =
     TextStats.langId(docs(spark, dir))

@@ -147,4 +147,57 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap
     run(2) shouldBe run(64)
   }
+
+  private def emb(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine near-dup pairs: parallel vectors pair, orthogonal ones don't") {
+    val e = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(2f, 0f, 0f, 0f),   // parallel to 0 -> cosine 1
+      2L -> Seq(0f, 1f, 0f, 0f),   // orthogonal
+      3L -> Seq(1f, 0.1f, 0f, 0f)) // nearly parallel
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((0L, 1L), (0L, 3L), (1L, 3L))
+  }
+
+  test("IVF with full probing (nprobe = K) reproduces exact brute-force top-k") {
+    val rnd = new scala.util.Random(7)
+    val e = emb((0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)): _*)
+    val exact = Similarity.cosineTopK(e, numQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.annIvf(e, numCentroids = 4, nprobe = 4, numQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe exact
+  }
+
+  test("IVF partial probing searches a subset: results are a (possibly partial) top-k") {
+    val rnd = new scala.util.Random(11)
+    val e = emb((0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)): _*)
+    val ivf = Similarity.annIvf(e, numCentroids = 8, nprobe = 2, numQueries = 3, k = 3)
+      .collect()
+    // per query at most k rows, ranks contiguous from 1
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.length should be <= 3
+      rows.map(_.getInt(2)).sorted shouldBe (1 to rows.length)
+    }
+  }
+
+  test("bitsFor scales ~log2(corpus) and never drops below the test default") {
+    Similarity.bitsFor(100) shouldBe 6
+    Similarity.bitsFor(64L << 20) shouldBe 20          // 64M vectors / 64 per bucket
+    Similarity.bitsFor(64L << 20, targetOccupancy = 1024) shouldBe 16
+  }
+
+  test("x2/x3 plans carry no hand-placed broadcast hints (per-document tables must shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d f")
+    Seq(TextDedup.ngramJaccardPairs(d), TextDedup.minhashPairs(d)).foreach { q =>
+      // hints are eliminated during optimization, so inspect the analyzed plan
+      q.queryExecution.analyzed.collect { case h: ResolvedHint => h } shouldBe empty
+    }
+  }
 }

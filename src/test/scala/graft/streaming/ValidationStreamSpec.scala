@@ -98,7 +98,8 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     val dir = java.nio.file.Files.createTempDirectory("vstream2").toString
     val remote = new MapBatchLookup(Map(
       "remote-1" -> BatchNotification("remote-1", "n", "ingest.t1.claims.in",
-        "claims", Status.Started, null, null, 10, -1, -1, -1, null, null)))
+        "claims", Status.Started, null, null, 10, -1, -1, -1, null,
+        """{"compression":"gzip"}""")))
 
     val running = graft.jobs.ValidationJob.start(
       s, records.toDF(), notifications.toDF(), new JsonValidator, sinks, dir,
@@ -112,6 +113,9 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       sinks.validRows.map(_.getAs[Long]("offset")) shouldBe ArrayBuffer(0L)
       sinks.invalidRows.map(_.getAs[Long]("offset")) shouldBe ArrayBuffer(1L)
       running.snapshot.get("remote-1") should not be empty
+      // opaque metadata survives the remote resolve into the snapshot row
+      running.snapshot.get("remote-1").map(_.getString(12)) shouldBe
+        Some("""{"compression":"gzip"}""")
     } finally {
       running.recordQuery.stop(); running.notificationQuery.stop()
     }
