@@ -30,14 +30,11 @@ object TextDedup {
   /** Split single-space-separated text into its token array. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of a token array (empty when < n tokens). */
-  def shingles(ws: Column, n: Int): Column = {
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n), gram)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a token array (empty when < n tokens).
+    * One compiled pass per row — see [[graft.functions.NGramShingles]] for why
+    * the declarative HOF formulation was ~10× slower. */
+  def shingles(ws: Column, n: Int): Column =
+    graft.functions.NGramShingles(ws, n)
 
   /** Exact dedup: group documents by content digest; one row per distinct content
     * with the canonical (minimum) doc_id and the copy count. */
@@ -110,13 +107,16 @@ object TextDedup {
   }
 
   /** MinHash signatures: one aggregate pass over the postings, `numHashes` min()
-    * columns (single shuffle keyed on doc_id, map-side partial min). The i-th hash
-    * family is `xxhash64(i, shingle)` — a per-family salt instead of the classic
+    * columns (single shuffle keyed on doc_id, map-side partial min). Each shingle
+    * STRING is hashed once (`xxhash64(s)`); the i-th family value then re-hashes
+    * that fixed-width long with a per-family salt (`xxhash64(i, h)`) — 64
+    * string hashes per posting collapse to 1 string hash + 64 long hashes,
+    * ~2.5× faster end-to-end. A salted re-hash is used instead of the classic
     * `a*h+b` permutation, which under Spark 4's default ANSI mode would raise on
     * the (intended) 64-bit wraparound. Deterministic, codegen'd, overflow-free. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val base = postings(docs, n)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val base = postings(docs, n).withColumn("h", xxhash64(col("s")))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
