@@ -63,7 +63,8 @@ object SparkEntry {
     "x12_cosine_neardup" -> (C.x12CosineNearDup _),
     "x13_ann_ivf" -> (C.x13AnnIvf _),
     "m1_media_meta" -> (C.m1MediaMeta _),
-    "m2_media_features" -> (C.m2MediaFeatures _)
+    "m2_media_features" -> (C.m2MediaFeatures _),
+    "m3_frame_sample" -> (C.m3FrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -150,22 +150,13 @@ object TextDedup {
   /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the
     * token-frequency-weighted sum of bit i of md5(token), where "bit i" is the high
     * bit of the i-th hex nibble. md5 (not xxhash) so the DuckDB oracle reproduces
-    * the signature exactly. One shuffle: 32 conditional sums keyed on doc_id. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("w"))
-      .withColumn("hx", md5(encode(col("w"), "UTF-8")))
-    val highBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val sums = (0 until 32).map { i =>
-      sum(when(substring(col("hx"), i + 1, 1).isin(highBit: _*), 1L).otherwise(-1L))
-        .as(s"s$i")
-    }
-    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(i =>
-          when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+    * the signature exactly. Computed per document in one compiled pass — see
+    * [[graft.functions.Simhash32]]: the signature is a per-document scalar, so the
+    * previous explode → 32-conditional-sums → groupBy shape paid a one-row-PER-TOKEN
+    * shuffle for nothing. ZERO shuffles now. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Simhash32(tokens(col("text"))).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
     * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */

@@ -69,6 +69,25 @@ object Media {
       least(nib(3) + 1, lit(4)).as("sampled_frames"))
   }
 
+  /** m3 — deterministic frame sampling: up to `maxFrames` evenly-spaced frames
+    * per asset, each addressing its byte range inside the opaque blob (the
+    * Spark-side plumbing of a video frame sampler: a real pipeline hands
+    * `(blob, frame_offset, frame_len)` to the decode kernel). All arithmetic is
+    * integer `div`, so the oracle reproduces it exactly; one `explode` of at
+    * most `maxFrames` indices per row, no shuffle, no UDF. */
+  def frameSample(docs: DataFrame, maxFrames: Int = 4): DataFrame =
+    mediaMeta(docs)
+      .select(col("doc_id"), col("mime"), col("n_frames"), col("n_bytes"),
+        col("sampled_frames"),
+        explode(sequence(lit(0), col("sampled_frames") - 1)).as("sample_idx"))
+      .withColumn("frame_no",
+        expr("(sample_idx * n_frames) div sampled_frames"))
+      .withColumn("frame_offset", expr("(frame_no * n_bytes) div n_frames"))
+      .withColumn("frame_len",
+        expr("((frame_no + 1) * n_bytes) div n_frames") - col("frame_offset"))
+      .select(col("doc_id"), col("mime"), col("sample_idx"), col("frame_no"),
+        col("frame_offset"), col("frame_len"))
+
   /** m2 — batched feature extraction through the codec SPI. Features: 8 floats,
     * each the mean of one stride-8 slice of the decoded bytes — deterministic,
     * cheap, and shaped like a real embedding head. */

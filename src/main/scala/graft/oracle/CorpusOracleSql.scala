@@ -269,6 +269,29 @@ SELECT doc_id,
   16 * strpos('0123456789abcdef', substr(hx, 2, 1)) AS height,
   strpos('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
   least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
-FROM a"""
+FROM a""",
+
+    // m3: integer `div`/`//` on both sides, so frame addressing is exact
+    "m3_frame_sample" -> """WITH a AS (
+  SELECT doc_id, md5(text) AS hx, octet_length(encode(text)) AS n_bytes FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS mime,
+    n_bytes,
+    strpos('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
+    least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
+  FROM a),
+s AS (
+  SELECT m.*, k.sample_idx,
+         (k.sample_idx * n_frames) // sampled_frames AS frame_no
+  FROM m JOIN (SELECT unnest(range(4)) AS sample_idx) k
+    ON k.sample_idx < m.sampled_frames)
+SELECT doc_id, mime, sample_idx, frame_no,
+       (frame_no * n_bytes) // n_frames AS frame_offset,
+       ((frame_no + 1) * n_bytes) // n_frames
+         - (frame_no * n_bytes) // n_frames AS frame_len
+FROM s"""
   )
 }

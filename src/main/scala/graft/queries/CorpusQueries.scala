@@ -76,6 +76,10 @@ object CorpusQueries {
   def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
     Media.mediaMeta(docs(spark, dir))
 
+  /** m3 — deterministic evenly-spaced frame sampling with per-frame byte ranges. */
+  def m3FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Media.frameSample(docs(spark, dir))
+
   /** m2 — batched media feature extraction through the codec SPI (rows-only:
     * mapPartitions kernel, not SQL-expressible). The feature vector is surfaced as
     * ONE deterministic comma-joined string (3-decimal fixed point) so the dump is

@@ -148,6 +148,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     run(2) shouldBe run(64)
   }
 
+  test("frame sampling tiles the blob: contiguous exact ranges when all frames kept") {
+    val d = docs(5L -> "some video-ish payload bytes here")
+    val meta = Media.mediaMeta(d).collect().head
+    val frames = Media.frameSample(d).collect().sortBy(_.getAs[Int]("sample_idx"))
+    frames.length shouldBe meta.getAs[Int]("sampled_frames")
+    frames.map(_.getAs[Long]("frame_no")).toSeq shouldBe
+      frames.map(_.getAs[Long]("frame_no")).toSeq.sorted
+    frames.foreach { f =>
+      f.getAs[Long]("frame_offset") should be >= 0L
+      f.getAs[Long]("frame_offset") + f.getAs[Long]("frame_len") should
+        be <= meta.getAs[Int]("n_bytes").toLong
+    }
+    if (meta.getAs[Int]("n_frames") <= 4) {
+      // all frames sampled -> ranges tile [0, n_bytes) with no gap or overlap
+      val sorted = frames.sortBy(_.getAs[Long]("frame_offset"))
+      sorted.head.getAs[Long]("frame_offset") shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          a.getAs[Long]("frame_offset") + a.getAs[Long]("frame_len") shouldBe
+            b.getAs[Long]("frame_offset")
+        case _ =>
+      }
+      val last = sorted.last
+      last.getAs[Long]("frame_offset") + last.getAs[Long]("frame_len") shouldBe
+        meta.getAs[Int]("n_bytes").toLong
+    }
+  }
+
   private def emb(rows: (Long, Seq[Float])*): DataFrame = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
