@@ -67,22 +67,14 @@ object TextStats {
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min
-    * per document. md5 keeps it oracle-reproducible; the window partitions on
-    * doc_id so the shuffle is one row per gram but never skews across keys. */
-  def winnowFingerprint(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> substr(text, i, $k))"))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5(encode(col("gram"), "UTF-8")).as("gh"))
-    val sel = grams.select(col("doc_id"),
-      min(col("gh")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(0, w - 1)).as("sel"))
-    sel.groupBy(col("doc_id"))
-      .agg(countDistinct(col("sel")).as("n_fingerprints"),
-        min(col("sel")).as("min_fingerprint"))
-  }
+    * per document. md5 keeps it oracle-reproducible. The sketch is a per-document
+    * scalar, so it's computed in one compiled pass with ZERO shuffles — see
+    * [[graft.functions.WinnowSketch]] (the previous posexplode → window-min →
+    * groupBy shape shuffled one row per character-gram). */
+  def winnowFingerprint(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WinnowSketch(col("text"), k, w).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n_fingerprints").as("n_fingerprints"),
+        col("s.min_fingerprint").as("min_fingerprint"))
 }
