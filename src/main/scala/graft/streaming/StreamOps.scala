@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the batch corpus/relational operators that need
+  * event-time semantics — watermarked so state is bounded at any input volume:
+  *
+  *  - [[hourlyEventCounts]] — the streaming twin of the q6 batch aggregate:
+  *    tumbling 1-hour windows, append-mode-safe (a window only emits once the
+  *    watermark passes its end, so downstream sinks see each window exactly
+  *    once, finalized).
+  *  - [[dedupByContent]] — the streaming rung of the dedup ladder (X1):
+  *    first-occurrence-wins on the content digest, with
+  *    `dropDuplicatesWithinWatermark` so the digest state ages out instead of
+  *    growing with the corpus — the only way exact streaming dedup survives
+  *    unbounded input.
+  *
+  * Both operate on event time (`ts`), never processing time: replays and
+  * out-of-order arrival inside the allowed lateness produce identical results.
+  */
+object StreamOps {
+
+  /** Per-hour, per-type counts and value sums over a streaming `events` frame
+    * (`ts TIMESTAMP, event_type STRING, value DOUBLE`). State per live window ×
+    * type; the watermark closes windows and frees state. */
+  def hourlyEventCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("event_hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Exact streaming dedup by content digest: keeps the FIRST arrival of each
+    * distinct content, drops subsequent duplicates that arrive within the
+    * watermark delay of each other. Digest state expires with the watermark —
+    * bounded regardless of corpus size. */
+  def dedupByContent(docs: DataFrame, textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(encode(col(textCol), "UTF-8")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+}

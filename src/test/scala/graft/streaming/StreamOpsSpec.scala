@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+/** Event-time semantics of the streaming operators: append-mode window
+  * finalization under the watermark, and first-occurrence-wins streaming
+  * dedup with bounded state. */
+class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourly windows emit once, finalized, when the watermark passes their end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.hourlyEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"), watermarkDelay = "10 minutes")
+    val sink = s"hourly_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops1").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 10:50:00"), "view", 5.0))
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window -> nothing finalized yet
+      s.table(sink).count() shouldBe 0
+      // an 11:20 event pushes the watermark past 11:00 -> 10:00 windows close
+      input.addData((ts("2024-01-01 11:20:00"), "click", 9.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:30:00"), "click", 0.0))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      rows should contain(("2024-01-01 10:00:00.0", "click", 2L, 3.0))
+      rows should contain(("2024-01-01 10:00:00.0", "view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first arrival per content digest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.dedupByContent(
+      input.toDF().toDF("ts", "doc_id", "text"), watermarkDelay = "1 hour")
+    val sink = s"dedup_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops2").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "same text"),
+        (ts("2024-01-01 10:01:00"), 2L, "same text"),   // dup within watermark
+        (ts("2024-01-01 10:02:00"), 3L, "other text"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 4L, "same text")) // still dup
+      q.processAllAvailable()
+      val ids = s.table(sink).collect().map(_.getLong(1)).toSet
+      ids shouldBe Set(1L, 3L)
+    } finally q.stop()
+  }
+}
