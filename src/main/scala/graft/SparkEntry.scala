@@ -64,7 +64,8 @@ object SparkEntry {
     "x13_ann_ivf" -> (C.x13AnnIvf _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
-    "m3_frame_sample" -> (C.m3FrameSample _)
+    "m3_frame_sample" -> (C.m3FrameSample _),
+    "m4_resize_plan" -> (C.m4ResizePlan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

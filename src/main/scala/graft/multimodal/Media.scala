@@ -88,6 +88,29 @@ object Media {
       .select(col("doc_id"), col("mime"), col("sample_idx"), col("frame_no"),
         col("frame_offset"), col("frame_len"))
 
+  /** m4 — aspect-preserving resize planning: target dimensions for fitting each
+    * asset inside `maxW`×`maxH` without upscaling. Pure integer
+    * cross-multiplication (`div`), so the oracle reproduces every rounding
+    * decision exactly; the actual pixel resample would run in the codec kernel
+    * (m2's mapPartitions shape) — THIS op is the metadata plan a pipeline
+    * computes first to budget the decode work. Narrow, codegen'd, no shuffle. */
+  def resizePlan(docs: DataFrame, maxW: Int = 128, maxH: Int = 96): DataFrame =
+    mediaMeta(docs)
+      .withColumn("fits", col("width") <= maxW && col("height") <= maxH)
+      // width-bound scaling keeps aspect iff the scaled height still fits
+      .withColumn("by_w_h", expr(s"(height * $maxW) div width"))
+      .withColumn("out_width",
+        when(col("fits"), col("width"))
+          .when(col("by_w_h") <= maxH, lit(maxW))
+          .otherwise(expr(s"(width * $maxH) div height")))
+      .withColumn("out_height",
+        when(col("fits"), col("height"))
+          .when(col("by_w_h") <= maxH, col("by_w_h"))
+          .otherwise(lit(maxH)))
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("out_width"), col("out_height"),
+        (col("out_width") * col("out_height")).as("out_pixels"))
+
   /** m2 — batched feature extraction through the codec SPI. Features: 8 floats,
     * each the mean of one stride-8 slice of the decoded bytes — deterministic,
     * cheap, and shaped like a real embedding head. */

@@ -271,6 +271,36 @@ SELECT doc_id,
   least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
 FROM a""",
 
+    // m4: aspect-preserving fit-in-128x96 plan, integer cross-multiplication
+    "m4_resize_plan" -> """WITH a AS (
+  SELECT doc_id, md5(text) AS hx FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS mime,
+    16 * strpos('0123456789abcdef', substr(hx, 1, 1)) AS width,
+    16 * strpos('0123456789abcdef', substr(hx, 2, 1)) AS height
+  FROM a),
+p AS (
+  SELECT m.*, (height * 128) // width AS by_w_h,
+         (width <= 128 AND height <= 96) AS fits
+  FROM m)
+SELECT doc_id, mime, width, height,
+  CASE WHEN fits THEN width
+       WHEN by_w_h <= 96 THEN 128
+       ELSE (width * 96) // height END AS out_width,
+  CASE WHEN fits THEN height
+       WHEN by_w_h <= 96 THEN by_w_h
+       ELSE 96 END AS out_height,
+  (CASE WHEN fits THEN width
+        WHEN by_w_h <= 96 THEN 128
+        ELSE (width * 96) // height END) *
+  (CASE WHEN fits THEN height
+        WHEN by_w_h <= 96 THEN by_w_h
+        ELSE 96 END) AS out_pixels
+FROM p""",
+
     // m3: integer `div`/`//` on both sides, so frame addressing is exact
     "m3_frame_sample" -> """WITH a AS (
   SELECT doc_id, md5(text) AS hx, octet_length(encode(text)) AS n_bytes FROM documents),

@@ -80,6 +80,10 @@ object CorpusQueries {
   def m3FrameSample(spark: SparkSession, dir: String): DataFrame =
     Media.frameSample(docs(spark, dir))
 
+  /** m4 — aspect-preserving resize plan (fit in 128x96, never upscale). */
+  def m4ResizePlan(spark: SparkSession, dir: String): DataFrame =
+    Media.resizePlan(docs(spark, dir))
+
   /** m2 — batched media feature extraction through the codec SPI (rows-only:
     * mapPartitions kernel, not SQL-expressible). The feature vector is surfaced as
     * ONE deterministic comma-joined string (3-decimal fixed point) so the dump is

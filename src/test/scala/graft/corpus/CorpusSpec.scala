@@ -176,6 +176,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("resize plan fits the box, preserves aspect direction, never upscales") {
+    val d = docs((0L until 30L).map(i => i -> s"doc number $i with text ${"y" * i.toInt}"): _*)
+    val rows = Media.resizePlan(d).collect()
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))
+      ow should be <= 128L
+      oh should be <= 96L
+      ow should be <= w.toLong // never upscale
+      oh should be <= h.toLong
+      if (w <= 128 && h <= 96) { ow shouldBe w.toLong; oh shouldBe h.toLong }
+      else {
+        // one dimension is pinned to its bound (integer-floor aspect fit)
+        (ow == 128L || oh == 96L) shouldBe true
+      }
+      r.getAs[Long]("out_pixels") shouldBe ow * oh
+    }
+  }
+
   private def emb(rows: (Long, Seq[Float])*): DataFrame = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
