@@ -144,7 +144,10 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("pc").desc, col("cid"))))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qe"), col("cid"))
-    probes.join(assigned, Seq("cid"))
+    // probes is bounded by numQueries × nprobe rows BY CONSTRUCTION — broadcast
+    // it so the assigned corpus never shuffles for the search join (statistics
+    // can't see this bound through the window, so the hint is load-bearing)
+    broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("e")).as("cos"))
