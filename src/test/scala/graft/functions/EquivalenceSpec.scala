@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Randomized equivalence: each custom codegen expression must reproduce the
+  * declarative Spark formulation it replaced, row for row, over generated
+  * corpora that include empty strings, short docs, duplicate grams, and
+  * surrogate-pair text (emoji) — the case where byte- vs code-point indexing
+  * diverge. Seeded, so failures replay. */
+class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def corpus(seed: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "a", "中文", "données", "😀ok", "x")
+    (0L until n).map { i =>
+      val len = rnd.nextInt(12) // includes 0..2-token docs (below shingle width)
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+  }
+
+  test("NGramShingles == array_distinct(transform(sequence...)) on random corpora") {
+    val d = corpus(seed = 1, n = 200)
+    val ws = split(col("text"), " ")
+    val n = 3
+    val gram = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)
+    val declarative = when(F.size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), F.size(ws) - n), gram)))
+      .otherwise(array().cast("array<string>"))
+    val rows = d.select(NGramShingles(ws, n).as("fast"), declarative.as("slow")).collect()
+    rows.foreach { r => r.getSeq[String](0) shouldBe r.getSeq[String](1) }
+  }
+
+  test("Simhash32 == explode/md5/32-sums/groupBy on random corpora") {
+    val d = corpus(seed = 2, n = 200).filter(F.length(col("text")) >= 0)
+    val fast = d.select(col("doc_id"), Simhash32(split(col("text"), " ")).as("sig"))
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("hx", md5(encode(col("w"), "UTF-8")))
+    val highBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 32).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(highBit: _*), 1L).otherwise(-1L)).as(s"s$i")
+    }
+    val slow = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _).as("sig"))
+    val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = slow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the declarative form drops docs whose token explode is empty; ours keeps
+    // them with signature 0 — split("", " ") yields [""], so both always agree
+    s.keySet.foreach { k => f(k) shouldBe s(k) }
+    f.keySet shouldBe s.keySet
+  }
+
+  test("WinnowSketch == posexplode/window-min/countDistinct on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (5, 8)
+    val d = corpus(seed = 3, n = 200)
+    val fast = graft.corpus.TextStats.winnowFingerprint(d, k, w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val grams = d.filter(F.length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> substr(text, i, $k))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(encode(col("gram"), "UTF-8")).as("gh"))
+    val sel = grams.select(col("doc_id"),
+      min(col("gh")).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, w - 1)).as("sel"))
+    val slow = sel.groupBy(col("doc_id"))
+      .agg(countDistinct(col("sel")).as("n"), min(col("sel")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    fast shouldBe slow
+  }
+
+  test("DotProduct == aggregate/zip_with fold on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val d = (0 until 200).map { _ =>
+      val dim = 1 + rnd.nextInt(80)
+      (Seq.fill(dim)(rnd.nextDouble() * 2 - 1), Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    d.select(VectorOps.dotp(col("a"), col("b")).as("f"), hof.as("s")).collect().foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+}

@@ -137,6 +137,36 @@ class BatchStateMachineSpec extends AnyFunSuite with Matchers {
     s.isFinished shouldBe true
   }
 
+  test("T3 crossing: a pre-aggregated delta that JUMPS past the threshold fires once") {
+    val (s, emits, _) = run(Seq(
+      (NotificationEvent("b", notif(expected = 100, threshold = 3)), 1L),
+      (CountEvent("b", 2L, 1L), 10L),   // invalid 0 -> 1: below
+      (CountEvent("b", 4L, 5L), 20L),   // invalid 1 -> 6: crosses 3 in one delta
+      (CountEvent("b", 0L, 2L), 30L)))  // past threshold: silent
+    emits should have size 1
+    emits.head.status shouldBe Status.Failed
+    emits.head.invalidRecordCount shouldBe 6 // counts at fire time, post-delta
+    emits.head.actualRecordCount shouldBe 12
+    s.isFinished shouldBe true
+  }
+
+  test("T3 crossing: notification arriving when invalid already EXCEEDS threshold does not fire") {
+    // reference `==` semantics: only exact equality fires on a notification event
+    val (_, emits, _) = run(Seq(
+      (CountEvent("b", 0L, 5L), 10L), // invalid = 5 before any notification
+      (NotificationEvent("b", notif(expected = 100, threshold = 3)), 20L),
+      (CountEvent("b", 1L, 0L), 30L))) // valid-only delta: no crossing either
+    emits shouldBe empty
+  }
+
+  test("T3 crossing: notification arriving at exact equality still fires (reference ==)") {
+    val (_, emits, _) = run(Seq(
+      (CountEvent("b", 0L, 3L), 10L),
+      (NotificationEvent("b", notif(expected = 100, threshold = 3)), 20L)))
+    emits should have size 1
+    emits.head.status shouldBe Status.Failed
+  }
+
   test("T3: threshold disabled at -1 never fires") {
     val (_, emits, _) = run(Seq(
       (NotificationEvent("b", notif(expected = 100, threshold = -1)), 1L)) ++
