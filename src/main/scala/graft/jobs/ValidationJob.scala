@@ -124,7 +124,7 @@ object ValidationJob {
   def invalidRecordProjection(df: DataFrame): DataFrame =
     df.select(
       lit(null).cast("binary").as("key"),
-      encode(to_json(struct(df.columns.map(col): _*)), "UTF-8").as("value"),
+      encode(to_json(struct(df.columns.toIndexedSeq.map(col): _*)), "UTF-8").as("value"),
       when(col("batchId").isNotNull,
         array(struct(lit("batchId").as("key"),
           encode(col("batchId"), "UTF-8").as("value"))))

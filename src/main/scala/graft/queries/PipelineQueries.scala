@@ -26,7 +26,7 @@ object PipelineQueries {
   /** D2/D4 — notification JSON round-trip: to_json → from_json → flatten. */
   def d2NotificationParse(spark: SparkSession, dir: String): DataFrame = {
     val n = Dress.notifications(spark, dir)
-    val js = n.select(to_json(struct(n.columns.map(col): _*)).as("js"))
+    val js = n.select(to_json(struct(n.columns.toIndexedSeq.map(col): _*)).as("js"))
     val schema = org.apache.spark.sql.types.StructType(
       graft.model.Schemas.batchNotification.fields.filterNot(f =>
         Seq("actualRecordCount", "invalidRecordCount", "failureMessage", "metadata")

@@ -55,13 +55,13 @@ class TrackerProcessor(completionDelayMs: Long = 300000L)
   override def handleInputRows(key: String, inputRows: Iterator[TrackerEvent],
       timerValues: TimerValues): Iterator[BatchNotification] =
     inputRows.flatMap(ev =>
-      apply(key, ev, timerValues.getCurrentProcessingTimeInMs))
+      apply(key, ev, timerValues.getCurrentProcessingTimeInMs()))
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[BatchNotification] = {
-    if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs) armed.clear()
-    apply(key, TimerEvent(key, expiredTimerInfo.getExpiryTimeInMs),
-      timerValues.getCurrentProcessingTimeInMs).iterator
+    if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs()) armed.clear()
+    apply(key, TimerEvent(key, expiredTimerInfo.getExpiryTimeInMs()),
+      timerValues.getCurrentProcessingTimeInMs()).iterator
   }
 }
 
