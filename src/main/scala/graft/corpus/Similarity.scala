@@ -102,10 +102,16 @@ object Similarity {
     * default threshold sits in this synthetic corpus's meaningful range (its max
     * pairwise cosine is ~0.6; nothing reaches classic ≥0.9 dedup territory). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // pre-normalize ONCE per vector (norm materialized per row, then one
+    // element-wise divide) so the O(N²) pair stage is a single array walk —
+    // dot of unit vectors — instead of dot + two norm recomputations per pair;
+    // the oracle normalizes with the identical operation sequence
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("raw"))
+      .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
+      .select(col("vec_id"), transform(col("raw"), x => x / col("n")).as("e"))
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        graft.functions.VectorOps.dotp(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 6).as("cosine"))
   }

@@ -35,7 +35,7 @@ case class Simhash32(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val ws = input.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Digests.md5.get()
     val counts = new Array[Int](32)
     var t = 0
     val n = ws.numElements()
@@ -70,4 +70,13 @@ case class Simhash32(child: Expression)
 object Simhash32 {
   def apply(tokens: Column): Column =
     GraftExpressionBridge.column(Simhash32(GraftExpressionBridge.expression(tokens)))
+}
+
+/** Per-thread digest instances for the hot expression eval paths —
+  * `MessageDigest.getInstance` per row would pay a JCA provider lookup plus an
+  * allocation per document, and expression instances may be shared across task
+  * threads, so a plain field would race. */
+private[functions] object Digests {
+  val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }

@@ -40,6 +40,10 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("n_fingerprints", LongType, nullable = false),
     StructField("min_fingerprint", StringType, nullable = false)))
+  // docs shorter than k yield null EVEN for a non-nullable child — without this
+  // override the optimizer would fold the caller's isNotNull filter away and
+  // downstream field access would skip its null check
+  override def nullable: Boolean = true
   override def prettyName: String = "winnow_sketch"
 
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -62,7 +66,7 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     val nChars = text.numChars()
     if (nChars < k) return null
     val n = nChars - k + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Digests.md5.get()
     val hashes = new Array[String](n)
     var i = 0
     while (i < n) {

@@ -111,7 +111,8 @@ object MgmtClient {
   /** Build the HTTP client, honoring a custom truststore when the
     * `HRI_TRUSTSTORE` / `HRI_TRUSTSTORE_PASSWORD` environment variables are set
     * (reference MgmtClient.scala:166-204, pinned by MgmtClientTest.scala:369-422):
-    * both unset → default client; one set without the other →
+    * truststore unset → default client (a password alone is ignored, exactly like
+    * the reference's path-first check); truststore set without a password →
     * IllegalArgumentException; path not a file → FileNotFoundException; else an
     * SSLContext trusting only that store (JKS or PKCS12, auto-probed). `env` is
     * injectable for tests. */
@@ -173,17 +174,28 @@ private[http] object Json {
     * None. */
   def rawField(json: String, field: String): Option[String] = {
     val key = "\"" + field + "\""
+    // scan EVERY occurrence: the key text can legally appear earlier as a string
+    // VALUE (`{"name":"metadata", "metadata":{...}}`) — such an occurrence is
+    // either inside another string's content or not followed by ':', and must
+    // not end the search
     var i = json.indexOf(key)
-    while (i > 0 && insideString(json, i)) i = json.indexOf(key, i + 1)
-    if (i < 0) return None
-    var j = i + key.length
-    while (j < json.length && (json(j).isWhitespace)) j += 1
-    if (j >= json.length || json(j) != ':') return None
-    j += 1
+    while (i >= 0) {
+      if (!insideString(json, i)) {
+        var j = i + key.length
+        while (j < json.length && json(j).isWhitespace) j += 1
+        if (j < json.length && json(j) == ':') return rawValueAt(json, j + 1, field, i)
+      }
+      i = json.indexOf(key, i + 1)
+    }
+    None
+  }
+
+  private def rawValueAt(json: String, from: Int, field: String, keyPos: Int): Option[String] = {
+    var j = from
     while (j < json.length && json(j).isWhitespace) j += 1
     if (j >= json.length) return None
     json(j) match {
-      case '"' => strField(json.substring(i), field) // string value: unescape
+      case '"' => strField(json.substring(keyPos), field) // string value: unescape
       case '{' | '[' =>
         val open = json(j); val close = if (open == '{') '}' else ']'
         var depth = 0; var k = j; var inStr = false; var esc = false

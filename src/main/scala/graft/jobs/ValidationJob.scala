@@ -60,26 +60,35 @@ object ValidationJob {
       .load()
 
   /** SASL_SSL client properties, built exactly when an Event-Streams-style API
-    * key password is provided (reference BaseValidationJob.scala:318-327), plus
-    * the consumer group id `hri-validation-<in>-<out>` (reference `:330`). The
-    * reference's `auto.offset.reset=latest` has no direct Kafka-option twin in
-    * Structured Streaming (the source owns offsets; use `startingOffsets`), so it
-    * is intentionally not set here. */
-  def kafkaSecurityOptions(inputTopic: String,
-      password: Option[String]): Map[String, String] = {
-    val group = Map("kafka.group.id" ->
-      s"hri-validation-$inputTopic-${Topics.outputTopic(inputTopic)}")
-    group ++ password.fold(Map.empty[String, String]) { pw =>
+    * key password is provided (reference BaseValidationJob.scala:318-327). The
+    * password is JAAS-escaped — a `"` or `\` in an API key must not corrupt the
+    * config line (the same corruption class the OAuth form encoding guards).
+    * The reference's `auto.offset.reset=latest` has no direct Kafka-option twin
+    * in Structured Streaming (the source owns offsets; use `startingOffsets`),
+    * so it is intentionally not set here. Shared by consumers AND producers. */
+  def kafkaSaslOptions(password: Option[String]): Map[String, String] =
+    password.fold(Map.empty[String, String]) { pw =>
+      val esc = pw.replace("\\", "\\\\").replace("\"", "\\\"")
       Map(
         "kafka.sasl.jaas.config" ->
           ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="token" password="$pw";"""),
+            s"""username="token" password="$esc";"""),
         "kafka.security.protocol" -> "SASL_SSL",
         "kafka.sasl.mechanism" -> "PLAIN",
         "kafka.ssl.protocol" -> "TLSv1.2",
         "kafka.ssl.enabled.protocols" -> "TLSv1.2",
         "kafka.ssl.endpoint.identification.algorithm" -> "HTTPS")
     }
+
+  /** Consumer group id per SOURCE role. The record source carries the
+    * reference's exact `hri-validation-<in>-<out>` id
+    * (BaseValidationJob.scala:330); the other sources suffix their role —
+    * concurrent Spark queries must never share one group id (partition
+    * assignment would split a topic between them under group-based offset
+    * fetching), and a consumer-only property has no business on a producer. */
+  def kafkaGroupId(inputTopic: String, role: String = "records"): Map[String, String] = {
+    val base = s"hri-validation-$inputTopic-${Topics.outputTopic(inputTopic)}"
+    Map("kafka.group.id" -> (if (role == "records") base else s"$base-$role"))
   }
 
   /** Kafka producer options shared by all sinks — zstd, 16 KB batches, 10 MB max
@@ -196,7 +205,7 @@ object ValidationJob {
       kafkaPassword: Option[String] = None): Running = {
     import spark.implicits._
     Topics.validate(inputTopic)
-    val security = kafkaSecurityOptions(inputTopic, kafkaPassword)
+    val sasl = kafkaSaslOptions(kafkaPassword)
     // transformWithState requires the RocksDB state store provider in Spark 4 —
     // without it the tracker query throws at start and terminal notifications
     // are never emitted
@@ -206,21 +215,28 @@ object ValidationJob {
     val countsDir = s"$checkpointDir/counts"
 
     val nq = ValidationStream.startNotificationQuery(
-      kafkaNotificationSource(spark, brokers, inputTopic, security), store, checkpointDir)
+      kafkaNotificationSource(spark, brokers, inputTopic,
+        sasl ++ kafkaGroupId(inputTopic, "notifications")), store, checkpointDir)
 
     // counts handoff: epoch-keyed parquet files feed the tracker query's file
     // source — the in-job stand-in for the reference's operator-to-operator
     // shuffle, made idempotent against foreachBatch's at-least-once replays
-    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir), security)
+    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir), sasl)
     val rq = ValidationStream.startRecordQuery(
-      kafkaRecordSource(spark, brokers, inputTopic, security), store, validator, sinks,
+      kafkaRecordSource(spark, brokers, inputTopic,
+        sasl ++ kafkaGroupId(inputTopic, "records")), store, validator, sinks,
       checkpointDir, mgmtClient)
 
     val countEvents = spark.readStream
       .schema("batchId STRING, validDelta BIGINT, invalidDelta BIGINT")
+      // only the deterministic per-epoch delta files — a countsDir left over
+      // from the pre-delta layout (part-*.parquet, per-record schema) must not
+      // be parsed as deltas
+      .option("pathGlobFilter", "epoch-*.parquet")
       .parquet(countsDir)
       .as[graft.model.CountsDelta]
-    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic, security)
+    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic,
+        sasl ++ kafkaGroupId(inputTopic, "tracker"))
       .select(from_json(col("value").cast("string"),
         graft.model.Schemas.batchNotification).as("n"))
       .select(col("n.*")).as[graft.model.BatchNotification]
@@ -237,7 +253,7 @@ object ValidationJob {
           .foreachBatch(apiSink.writeBatch _)
           .start()
       case None =>
-        (kafkaProducerOptions ++ security).foldLeft(
+        (kafkaProducerOptions ++ sasl).foldLeft(
           terminal
             .select(lit(null).cast("binary").as("key"),
               encode(to_json(struct(col("*"))), "UTF-8").as("value"))

@@ -69,10 +69,12 @@ case class CountsMessage(batchId: String, isValid: Boolean)
   * — the SS equivalent of the reference's exactly-once checkpointed shuffle. */
 case class CountsDelta(batchId: String, validDelta: Long, invalidDelta: Long)
 
-/** Per-batch tracker state (reference Tracker.scala:30). */
+/** Per-batch tracker state (reference Tracker.scala:30). Counters are Long so
+  * pre-aggregated deltas can never wrap them; the Int ceiling of the
+  * notification POJO applies only at the terminal-notification boundary. */
 case class BatchState(
-    valid: Int,
-    invalid: Int,
+    valid: Long,
+    invalid: Long,
     isFinished: Boolean,
     lastModified: Long,
     notification: Option[BatchNotification])

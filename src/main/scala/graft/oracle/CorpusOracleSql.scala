@@ -199,13 +199,19 @@ WHERE rn <= 5""",
 
     "x7_ann_lsh" -> annLshSql,
 
-    // x12: exact upper-triangle cosine near-dup (threshold on the unrounded
-    // value, rounding only in the projection — same order as the Spark side)
-    "x12_cosine_neardup" -> s"""WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    // x12: exact upper-triangle cosine near-dup over PRE-NORMALIZED vectors —
+    // the same normalize-then-dot operation sequence as the Spark side, so the
+    // doubles are bit-identical; threshold on the unrounded value
+    "x12_cosine_neardup" -> """WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+nrm AS (
+  SELECT vec_id,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM base),
 pr AS (
-  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, ${cos("a.e", "b.e")} AS cos
-  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         list_dot_product(a.e, b.e) AS cos
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
 SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= 0.45""",
 
     // x13: IVF with the deterministic first-16 quantizer — assignment and probe

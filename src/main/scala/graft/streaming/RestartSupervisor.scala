@@ -30,7 +30,9 @@ class RestartSupervisor(
         runOnce()
         return
       } catch {
-        case e: Throwable =>
+        // NonFatal: OutOfMemoryError/LinkageError must kill the driver, and an
+        // InterruptedException during shutdown must propagate, not restart
+        case scala.util.control.NonFatal(e) =>
           val t = now()
           failures.enqueue(t)
           while (failures.nonEmpty && failures.head <= t - windowMs) failures.dequeue()

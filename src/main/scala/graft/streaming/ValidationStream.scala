@@ -47,9 +47,17 @@ class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) exte
 
   persistDir.foreach { dir =>
     val versions = journalVersions(dir)
-    versions.lastOption.foreach { case (v, p) =>
-      journalVersion.set(v)
-      spark.read.parquet(p.toString).collect().foreach(r => byId(r.getAs[String]("id")) = r)
+    versions.lastOption match {
+      case Some((v, p)) =>
+        journalVersion.set(v)
+        spark.read.parquet(p.toString).collect().foreach(r => byId(r.getAs[String]("id")) = r)
+      case None =>
+        // pre-versioning layout compat: a checkpoint dir written before the
+        // journal became versioned holds a single `snapshot.parquet`
+        val legacy = new org.apache.hadoop.fs.Path(dir, "snapshot.parquet")
+        if (fs.exists(legacy))
+          spark.read.parquet(legacy.toString).collect()
+            .foreach(r => byId(r.getAs[String]("id")) = r)
     }
   }
 

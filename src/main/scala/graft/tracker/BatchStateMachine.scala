@@ -52,8 +52,8 @@ class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable 
   def onEvent(state: BatchState, event: TrackerEvent, nowMs: Long): Outcome = event match {
     case CountEvent(_, validDelta, invalidDelta) =>
       val s = state.copy(
-        valid = state.valid + validDelta.toInt,
-        invalid = state.invalid + invalidDelta.toInt,
+        valid = state.valid + validDelta,
+        invalid = state.invalid + invalidDelta,
         lastModified = nowMs)
       check(s, nowMs, prevInvalid = state.invalid)
     case NotificationEvent(_, n) =>
@@ -71,7 +71,7 @@ class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable 
       s.valid + s.invalid == n.expectedRecordCount
   }
 
-  private def check(s: BatchState, nowMs: Long, prevInvalid: Int): Outcome = s.notification match {
+  private def check(s: BatchState, nowMs: Long, prevInvalid: Long): Outcome = s.notification match {
     case None => Outcome(s, None, None)
     case Some(n) =>
       if (n.invalidThreshold > -1 && n.status != Status.Terminated && !s.isFinished &&
@@ -104,8 +104,9 @@ class BatchStateMachine(completionDelayMs: Long = 300000L) extends Serializable 
     val base = s.notification.get
     val out = base.copy(
       status = status,
-      actualRecordCount = s.valid + s.invalid,
-      invalidRecordCount = s.invalid,
+      // the notification POJO's Int contract (reference) — clamp, never wrap
+      actualRecordCount = math.min(s.valid + s.invalid, Int.MaxValue).toInt,
+      invalidRecordCount = math.min(s.invalid, Int.MaxValue).toInt,
       failureMessage = if (failureMessage != null) failureMessage else base.failureMessage)
     Outcome(s.copy(isFinished = true), Some(out), None)
   }

@@ -81,6 +81,14 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     n.metadata shouldBe """{"compression":"gzip","nested":{"a":[1,2]},"note":"x}y"}"""
   }
 
+  test("rawField: key text appearing earlier as a string VALUE does not end the scan") {
+    val j = """{"name":"metadata", "note":"the \"metadata\" field", "metadata":{"x":1}}"""
+    Json.rawField(j, "metadata") shouldBe Some("""{"x":1}""")
+    Json.rawField("""{"metadata":"plain"}""", "metadata") shouldBe Some("plain")
+    Json.rawField("""{"metadata":null}""", "metadata") shouldBe None
+    Json.rawField("""{"other":1}""", "metadata") shouldBe None
+  }
+
   test("token form URL-encodes credentials and audience (reserved chars survive)") {
     reqs.clear()
     val tricky = new MgmtClient(s"$base/mgmt", s"$base/oauth",
@@ -99,6 +107,9 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     def env(m: Map[String, String]): String => Option[String] = m.get
     // both unset -> default client
     noException should be thrownBy MgmtClient.createHttpClient(env(Map.empty))
+    // password alone -> default client too (the reference checks the path first)
+    noException should be thrownBy MgmtClient.createHttpClient(env(Map(
+      "HRI_TRUSTSTORE_PASSWORD" -> "pw")))
     // path set, password missing -> IllegalArgumentException naming both vars
     val e = intercept[IllegalArgumentException] {
       MgmtClient.createHttpClient(env(Map("HRI_TRUSTSTORE" -> "/tmp/x.p12")))

@@ -70,15 +70,28 @@ class SerializerSpec extends AnyFunSuite with SparkSpec with Matchers {
     new String(out(1).getAs[Array[Byte]](1), "UTF-8") should include(""""offset":7""")
   }
 
-  test("kafkaSecurityOptions: group id always; SASL_SSL exactly when a password is set") {
-    val plain = ValidationJob.kafkaSecurityOptions("ingest.t1.di.in", None)
-    plain shouldBe Map("kafka.group.id" -> "hri-validation-ingest.t1.di.in-ingest.t1.di.out")
+  test("kafkaSaslOptions: SASL_SSL exactly when a password is set; JAAS-escaped") {
+    ValidationJob.kafkaSaslOptions(None) shouldBe empty
 
-    val sasl = ValidationJob.kafkaSecurityOptions("ingest.t1.di.in", Some("s3cr3t"))
+    val sasl = ValidationJob.kafkaSaslOptions(Some("s3cr3t"))
     sasl("kafka.security.protocol") shouldBe "SASL_SSL"
     sasl("kafka.sasl.mechanism") shouldBe "PLAIN"
     sasl("kafka.sasl.jaas.config") should include("""username="token" password="s3cr3t";""")
     sasl("kafka.ssl.protocol") shouldBe "TLSv1.2"
-    sasl("kafka.group.id") shouldBe "hri-validation-ingest.t1.di.in-ingest.t1.di.out"
+    sasl should not contain key("kafka.group.id") // consumer-only prop, not SASL
+
+    // quotes/backslashes in an API key must not corrupt the JAAS line
+    val tricky = ValidationJob.kafkaSaslOptions(Some("""p"w\x"""))
+    tricky("kafka.sasl.jaas.config") should include("""password="p\"w\\x";""")
+  }
+
+  test("kafkaGroupId: reference id for the record source; role-suffixed for the others") {
+    ValidationJob.kafkaGroupId("ingest.t1.di.in") shouldBe
+      Map("kafka.group.id" -> "hri-validation-ingest.t1.di.in-ingest.t1.di.out")
+    // concurrent queries must never share one group id
+    ValidationJob.kafkaGroupId("ingest.t1.di.in", "notifications")("kafka.group.id") shouldBe
+      "hri-validation-ingest.t1.di.in-ingest.t1.di.out-notifications"
+    ValidationJob.kafkaGroupId("ingest.t1.di.in", "tracker")("kafka.group.id") should
+      endWith("-tracker")
   }
 }
