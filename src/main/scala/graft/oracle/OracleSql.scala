@@ -235,6 +235,19 @@ decis AS (
              FROM (SELECT user_id, ts,
                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                    FROM events))
-       GROUP BY user_id"""
+       GROUP BY user_id""",
+
+    // q8: DuckDB's NATIVE ASOF JOIN pins the as-of operator against an
+    // independent implementation of the same semantics (greatest order_ts <=
+    // ts per key, inner); orders pre-aggregated per (custkey, date) so the
+    // match is unambiguous
+    "q8_asof_last_order" ->
+      """WITH e AS (SELECT event_id, ts, user_id FROM events),
+o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+             MAX(o_orderkey) AS order_key
+      FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.order_key AS last_order_key,
+       strftime(o.order_ts, '%Y-%m-%d') AS last_order_date
+FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND o.order_ts <= e.ts"""
   )
 }

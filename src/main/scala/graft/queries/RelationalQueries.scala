@@ -92,6 +92,25 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(dec2(col("value"))).cast("decimal(22,2)").cast("double").as("sum_value"))
 
+  /** Q8 — as-of join: each event's most recent prior order of the same customer
+    * (orders pre-aggregated to one row per (custkey, date) so the match is
+    * deterministic). Runs [[graft.operators.AsOfJoin]]'s union + carry-forward
+    * — one shuffle, skew-linear — and the oracle is DuckDB's native ASOF JOIN,
+    * so the operator's semantics are pinned against an independent
+    * implementation. */
+  def q8AsofLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("order_ts"), col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("order_ts"))
+      .agg(max(col("o_orderkey")).as("order_key"))
+    graft.operators.AsOfJoin.asOf(e, o, "user_id", "ts", "o_custkey", "order_ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_order_key").as("last_order_key"),
+        date_format(col("asof_order_ts"), "yyyy-MM-dd").as("last_order_date"))
+  }
+
   /** Q7 — sessionization: 30-minute-gap sessions per user via lag + running sum.
     * Interval arithmetic (not float epoch math) keeps it engine-portable. */
   def q7Sessions(spark: SparkSession, dir: String): DataFrame = {
