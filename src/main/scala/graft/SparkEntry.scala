@@ -49,6 +49,7 @@ object SparkEntry {
     "q6_events_hourly" -> (R.q6EventsHourly _),
     "q7_sessions" -> (R.q7Sessions _),
     "q8_asof_last_order" -> (R.q8AsofLastOrder _),
+    "q9_range_followups" -> (R.q9RangeFollowups _),
     // training-data pipeline: dedup, similarity, text analysis, multimodal
     "x1_dedup_exact" -> (C.x1DedupExact _),
     "x2_ngram_jaccard" -> (C.x2NgramJaccard _),

@@ -248,6 +248,17 @@ o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
       FROM orders GROUP BY 1, 2)
 SELECT e.event_id, e.user_id, o.order_key AS last_order_key,
        strftime(o.order_ts, '%Y-%m-%d') AS last_order_date
-FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND o.order_ts <= e.ts"""
+FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND o.order_ts <= e.ts""",
+
+    // q9: the oracle is the PLAIN inequality join — the Spark side's bucketized
+    // range join must lose and invent nothing relative to it
+    "q9_range_followups" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot
+             FROM orders)
+SELECT a.o_orderkey AS base_order_key, b.o_orderkey AS followup_order_key,
+       a.o_custkey AS custkey, date_diff('day', a.ot, b.ot) AS days_after
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND b.o_orderkey <> a.o_orderkey
+ AND b.ot >= a.ot AND b.ot < a.ot + INTERVAL 7 DAY"""
   )
 }

@@ -111,6 +111,27 @@ object RelationalQueries {
         date_format(col("asof_order_ts"), "yyyy-MM-dd").as("last_order_date"))
   }
 
+  /** Q9 — range join: orders placed within 7 days AFTER another order by the
+    * same customer. Runs [[graft.operators.RangeJoin]]'s bucketized
+    * point-in-range join (equi-join on (key, week-bucket) + exact containment,
+    * never the per-key cross product); the oracle is the plain inequality-join
+    * SQL, so the bucketing must lose and invent nothing. */
+  def q9RangeFollowups(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("ot"))
+    val ranges = o.select(col("o_custkey"), col("o_orderkey").as("base_order"),
+      col("ot").as("range_start"), (col("ot") + expr("INTERVAL 7 DAYS")).as("range_end"))
+    val points = o
+    graft.operators.RangeJoin.pointInRange(points, ranges,
+        "o_custkey", "ot", "o_custkey", "range_start", "range_end",
+        granularitySeconds = 7L * 86400)
+      .filter(col("o_orderkey") =!= col("range_base_order"))
+      .select(col("range_base_order").as("base_order_key"),
+        col("o_orderkey").as("followup_order_key"),
+        col("o_custkey").as("custkey"),
+        datediff(col("ot"), col("range_range_start")).as("days_after"))
+  }
+
   /** Q7 — sessionization: 30-minute-gap sessions per user via lag + running sum.
     * Interval arithmetic (not float epoch math) keeps it engine-portable. */
   def q7Sessions(spark: SparkSession, dir: String): DataFrame = {

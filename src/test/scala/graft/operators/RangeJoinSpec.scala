@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+/** Range-join semantics: start-inclusive/end-exclusive containment, matches
+  * across bucket boundaries, per-key isolation, no duplicate pairs. */
+class RangeJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("containment is [start, end); boundary-crossing ranges still match; no dups") {
+    val s = spark
+    import s.implicits._
+    val ranges = Seq( // (key, rid, start, end)
+      ("k1", 1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      // crosses the 1-day bucket boundary — covered buckets exploded
+      ("k1", 2L, ts("2024-01-02 12:00:00"), ts("2024-01-04 12:00:00")),
+      ("k2", 3L, ts("2024-01-01 00:00:00"), ts("2024-01-09 00:00:00")))
+      .toDF("key", "rid", "start", "end")
+    val points = Seq( // (key, pid, t)
+      ("k1", 10L, ts("2024-01-01 00:00:00")), // == start of r1: inclusive
+      ("k1", 11L, ts("2024-01-03 00:00:00")), // == end of r1: exclusive; inside r2
+      ("k1", 12L, ts("2024-01-05 00:00:00")), // outside both
+      ("k2", 13L, ts("2024-01-02 00:00:00")), // r3 only (key isolation)
+      ("k3", 14L, ts("2024-01-02 00:00:00"))) // unknown key -> nothing
+      .toDF("key", "pid", "t")
+    val out = RangeJoin.pointInRange(points, ranges,
+        "key", "t", "key", "start", "end", granularitySeconds = 86400)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("range_rid")))
+    out.toSet shouldBe Set((10L, 1L), (11L, 2L), (13L, 3L))
+    out.length shouldBe out.toSet.size // exactly-one-bucket meeting: no dups
+  }
+
+  test("a long range matches points many buckets away") {
+    val s = spark
+    import s.implicits._
+    val ranges = Seq(("k", 1L, ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00")))
+      .toDF("key", "rid", "start", "end")
+    val points = Seq(("k", 20L, ts("2024-02-25 13:37:00"))).toDF("key", "pid", "t")
+    RangeJoin.pointInRange(points, ranges, "key", "t", "key", "start", "end", 3600)
+      .count() shouldBe 1
+  }
+}
