@@ -50,6 +50,8 @@ object SparkEntry {
     "q7_sessions" -> (R.q7Sessions _),
     "q8_asof_last_order" -> (R.q8AsofLastOrder _),
     "q9_range_followups" -> (R.q9RangeFollowups _),
+    "q10_rollup" -> (R.q10Rollup _),
+    "q11_percentiles" -> (R.q11Percentiles _),
     // training-data pipeline: dedup, similarity, text analysis, multimodal
     "x1_dedup_exact" -> (C.x1DedupExact _),
     "x2_ngram_jaccard" -> (C.x2NgramJaccard _),

@@ -259,6 +259,18 @@ SELECT a.o_orderkey AS base_order_key, b.o_orderkey AS followup_order_key,
        a.o_custkey AS custkey, date_diff('day', a.ot, b.ot) AS days_after
 FROM o a JOIN o b
   ON a.o_custkey = b.o_custkey AND b.o_orderkey <> a.o_orderkey
- AND b.ot >= a.ot AND b.ot < a.ot + INTERVAL 7 DAY"""
+ AND b.ot >= a.ot AND b.ot < a.ot + INTERVAL 7 DAY""",
+
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    // Spark `percentile` and DuckDB `quantile_cont` share the same linear
+    // interpolation — verified bit-equal on this data
+    "q11_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_price,
+         quantile_cont(l_extendedprice, 0.95) AS p95_price, COUNT(*) AS n_items
+       FROM lineitem GROUP BY 1"""
   )
 }

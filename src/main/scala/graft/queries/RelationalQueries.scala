@@ -132,6 +132,28 @@ object RelationalQueries {
         datediff(col("ot"), col("range_range_start")).as("days_after"))
   }
 
+  /** Q10 — ROLLUP subtotal hierarchy: per (returnflag, linestatus), per
+    * returnflag, and grand total in ONE pass (Spark expands grouping sets
+    * map-side; one shuffle for all three levels — three separate GROUP BYs
+    * would scan and shuffle three times). */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("decimal(22,2)").cast("double").as("sum_qty"))
+
+  /** Q11 — exact percentiles (linear interpolation): median and p95 price per
+    * returnflag. Spark's `percentile` and DuckDB's `quantile_cont` implement
+    * the same interpolation — verified bit-equal. Exact percentile sorts
+    * within each group; for sketch-sized state at 100 TB you'd switch to
+    * `percentile_approx` (t-digest), which no longer oracle-matches by design. */
+  def q11Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"),
+        count(lit(1)).as("n_items"))
+
   /** Q7 — sessionization: 30-minute-gap sessions per user via lag + running sum.
     * Interval arithmetic (not float epoch math) keeps it engine-portable. */
   def q7Sessions(spark: SparkSession, dir: String): DataFrame = {
