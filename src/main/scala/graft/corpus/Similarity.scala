@@ -29,16 +29,28 @@ object Similarity {
     * parity holds; ~600× less per-pair overhead inside the O(N²) joins). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosine(a, b)
 
+  /** (vec_id, e) with e pre-normalized to unit length — norm materialized once
+    * per row, then one element-wise divide. Every pair/assignment stage after
+    * this is a SINGLE array walk (dot of unit vectors) instead of dot + two norm
+    * recomputations; all oracles normalize with the identical operation
+    * sequence, so the doubles stay bit-equal. */
+  private def normalizedBase(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("raw"))
+      .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
+      .select(col("vec_id"), transform(col("raw"), x => x / col("n")).as("e"))
+
+  private def dotp(a: Column, b: Column): Column = graft.functions.VectorOps.dotp(a, b)
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self; rank ties broken by neighbor id. */
   def cosineTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val base = normalizedBase(emb)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val pairs = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("e")).as("cos"))
+        dotp(col("qe"), col("e")).as("cos"))
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
@@ -77,14 +89,17 @@ object Similarity {
     * a real ANN index makes. Size `bits` with [[bitsFor]] at deployment scale. */
   def annLsh(emb: DataFrame, bits: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // buckets from the NORMALIZED vector: sign(dot(e/||e||, H)) == sign(dot(e, H))
+    // mathematically, and the oracle buckets from the same normalized doubles so
+    // even a projection within float-ε of zero cannot disagree
+    val base = normalizedBase(emb)
       .withColumn("bucket", lshBucket(col("e"), bits, dim))
     val pairs = base.as("a")
       .join(base.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor_id"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        dotp(col("a.e"), col("b.e")).as("cos"))
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))))
@@ -102,16 +117,10 @@ object Similarity {
     * default threshold sits in this synthetic corpus's meaningful range (its max
     * pairwise cosine is ~0.6; nothing reaches classic ≥0.9 dedup territory). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    // pre-normalize ONCE per vector (norm materialized per row, then one
-    // element-wise divide) so the O(N²) pair stage is a single array walk —
-    // dot of unit vectors — instead of dot + two norm recomputations per pair;
-    // the oracle normalizes with the identical operation sequence
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("raw"))
-      .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
-      .select(col("vec_id"), transform(col("raw"), x => x / col("n")).as("e"))
+    val base = normalizedBase(emb)
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
-        graft.functions.VectorOps.dotp(col("a.e"), col("b.e")).as("cos"))
+        dotp(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 6).as("cosine"))
   }
@@ -131,12 +140,12 @@ object Similarity {
       numQueries: Int = 20, k: Int = 5,
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val base = normalizedBase(emb)
     val cents = centroids.getOrElse(base.filter(col("vec_id") < numCentroids))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val assigned = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cid"),
-        cosine(col("e"), col("ce")).as("ac"))
+        dotp(col("e"), col("ce")).as("ac"))
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("cid"))))
       .filter(col("arank") === 1)
@@ -145,7 +154,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qe"), col("cid"),
-        cosine(col("qe"), col("ce")).as("pc"))
+        dotp(col("qe"), col("ce")).as("pc"))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("pc").desc, col("cid"))))
       .filter(col("prank") <= nprobe)
@@ -156,7 +165,7 @@ object Similarity {
     broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("e")).as("cos"))
+        dotp(col("qe"), col("e")).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)

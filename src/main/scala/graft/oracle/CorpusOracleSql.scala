@@ -146,15 +146,20 @@ FROM st"""
 
   private val annLshSql: String = {
     val hp = hyperplaneLiterals(6, 64)
+    // buckets AND cosines from the normalized vectors, mirroring the Spark
+    // side's normalize-once design with the identical operation sequence
     val bucket = hp.zipWithIndex.map { case (h, b) =>
       s"(CASE WHEN list_dot_product(e, $h) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw),
 hb AS (SELECT vec_id, e, CAST($bucket AS BIGINT) AS bucket FROM base),
 pr AS (
   SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
-         ${cos("a.e", "b.e")} AS cos
+         list_dot_product(a.e, b.e) AS cos
   FROM hb a JOIN hb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
 SELECT vec_id, bucket, neighbor_id, round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -186,11 +191,14 @@ SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
 FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
 
-    "x6_cosine_topk" -> s"""WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    "x6_cosine_topk" -> s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw),
 q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 20),
 pr AS (
-  SELECT qid, vec_id AS neighbor_id, ${cos("qe", "e")} AS cos
+  SELECT qid, vec_id AS neighbor_id, list_dot_product(qe, e) AS cos
   FROM base CROSS JOIN q WHERE vec_id <> qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
@@ -215,26 +223,30 @@ pr AS (
 SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= 0.45""",
 
     // x13: IVF with the deterministic first-16 quantizer — assignment and probe
-    // ranks replicate the Spark side's (cosine DESC, id ASC) tiebreaks exactly
-    "x13_ann_ivf" -> s"""WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    // ranks replicate the Spark side's (cosine DESC, id ASC) tiebreaks exactly,
+    // over the same pre-normalized vectors
+    "x13_ann_ivf" -> s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw),
 cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16),
 assigned AS (
   SELECT vec_id, e, cid FROM (
     SELECT b.vec_id, b.e, c.cid,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
-             ORDER BY ${cos("b.e", "c.ce")} DESC, c.cid) AS arank
+             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS arank
     FROM base b CROSS JOIN cents c)
   WHERE arank = 1),
 probes AS (
   SELECT qid, qe, cid FROM (
     SELECT q.vec_id AS qid, q.e AS qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY ${cos("q.e", "c.ce")} DESC, c.cid) AS prank
+             ORDER BY list_dot_product(q.e, c.ce) DESC, c.cid) AS prank
     FROM base q CROSS JOIN cents c WHERE q.vec_id < 20)
   WHERE prank <= 4),
 pr AS (
-  SELECT p.qid, a.vec_id AS neighbor_id, ${cos("p.qe", "a.e")} AS cos
+  SELECT p.qid, a.vec_id AS neighbor_id, list_dot_product(p.qe, a.e) AS cos
   FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
