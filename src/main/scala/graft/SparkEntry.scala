@@ -66,6 +66,8 @@ object SparkEntry {
     "x11_winnow" -> (C.x11Winnow _),
     "x12_cosine_neardup" -> (C.x12CosineNearDup _),
     "x13_ann_ivf" -> (C.x13AnnIvf _),
+    "x16_stopword_scrub" -> (C.x16StopwordScrub _),
+    "x17_profile" -> (C.x17Profile _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -1,0 +1,34 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the pre-training sanity pass over a table: per
+  * column, its non-null count, null count, distinct cardinality, and numeric
+  * min/max. ONE scan and one aggregate for every column together (distinct
+  * counts share the shuffle via grouping-set expansion), then the single
+  * result row is pivoted to one output row per column — profiling N columns
+  * must never cost N table scans at 100 TB. */
+object Profiling {
+
+  /** Profile numeric columns: one row per column with
+    * (column, n_values, n_nulls, n_distinct, min_value, max_value). */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__d"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}__n").as("n_values"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__d").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

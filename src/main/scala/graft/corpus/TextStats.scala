@@ -64,6 +64,19 @@ object TextStats {
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("bpe_tokens"),
       round(length(col("text")).cast("double") / size(ws), 6).as("chars_per_token"))
 
+  /** Stopword scrub — the text-normalization step every training corpus runs
+    * before tokenization: drop stopwords (the union of all [[Stopwords]] lists),
+    * re-join with single spaces, and report how much was removed. Narrow,
+    * codegen'd, no shuffle; at 100 TB this runs inside the same scan as the
+    * other per-document transforms. */
+  def stopwordScrub(docs: DataFrame): DataFrame = {
+    val all = Stopwords.flatMap(_._2)
+    val kept = filter(ws, w => !w.isInCollection(all))
+    docs.select(col("doc_id"),
+      (size(ws) - size(kept)).as("n_removed"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min

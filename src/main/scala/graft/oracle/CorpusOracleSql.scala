@@ -289,6 +289,28 @@ SELECT doc_id,
   least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
 FROM a""",
 
+    // x16: stopword list generated from the SAME Scala values the operator uses
+    "x16_stopword_scrub" -> {
+      val all = TextStats.Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (
+  SELECT doc_id, ws, list_filter(ws, w -> NOT list_contains([$all], w)) AS kept
+  FROM t)
+SELECT doc_id, len(ws) - len(kept) AS n_removed,
+       array_to_string(kept, ' ') AS clean_text
+FROM k"""
+    },
+
+    // x17: per-column profile — one UNION ALL branch per column (the oracle may
+    // scan thrice; the Spark side must not)
+    "x17_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+      s"""SELECT '$c' AS "column", COUNT($c) AS n_values,
+         COUNT(*) - COUNT($c) AS n_nulls,
+         COUNT(DISTINCT $c) AS n_distinct,
+         CAST(MIN($c) AS DOUBLE) AS min_value, CAST(MAX($c) AS DOUBLE) AS max_value
+       FROM lineitem""").mkString("\nUNION ALL\n"),
+
     // m4: aspect-preserving fit-in-128x96 plan, integer cross-multiplication
     "m4_resize_plan" -> """WITH a AS (
   SELECT doc_id, md5(text) AS hx FROM documents),

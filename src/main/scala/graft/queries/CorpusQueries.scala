@@ -76,6 +76,16 @@ object CorpusQueries {
   def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
     Media.mediaMeta(docs(spark, dir))
 
+  /** x16 — stopword scrub: normalized text + removed-token counts. */
+  def x16StopwordScrub(spark: SparkSession, dir: String): DataFrame =
+    TextStats.stopwordScrub(docs(spark, dir))
+
+  /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
+  def x17Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Profiling.numericProfile(
+      Tables.table(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
   /** m3 — deterministic evenly-spaced frame sampling with per-frame byte ranges. */
   def m3FrameSample(spark: SparkSession, dir: String): DataFrame =
     Media.frameSample(docs(spark, dir))

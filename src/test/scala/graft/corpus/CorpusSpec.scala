@@ -195,6 +195,32 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("stopword scrub removes all stoplist words and counts them") {
+    val d = docs(1L -> "the cat sat on a mat", 2L -> "no stops here")
+    val out = TextStats.stopwordScrub(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_removed"), r.getString(2))).toMap
+    out(1L) shouldBe (2, "cat sat on mat")
+    out(2L) shouldBe (0, "no stops here")
+  }
+
+  test("numeric profile: one row per column with exact counts and bounds") {
+    import spark.implicits._
+    val d = Seq((1, Some(2.0)), (1, None), (3, Some(8.0))).toDF("a", "b")
+    val out = Profiling.numericProfile(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    out("a") shouldBe (3L, 0L, 2L, 1.0, 3.0)
+    out("b") shouldBe (2L, 1L, 2L, 2.0, 8.0)
+  }
+
+  test("numeric profile is ONE scan: a single aggregate, no per-column unions") {
+    import spark.implicits._
+    val d = Seq((1, 2.0)).toDF("a", "b")
+    val plan = Profiling.numericProfile(d, Seq("a", "b")).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    plan.collect { case u: Union => u } shouldBe empty
+  }
+
   private def emb(rows: (Long, Seq[Float])*): DataFrame = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
