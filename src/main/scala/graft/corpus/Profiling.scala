@@ -17,7 +17,9 @@ object Profiling {
     require(cols.nonEmpty, "profile at least one column")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // count(1) - count(c), not sum(when(isNull)): sum over ZERO rows is
+      // NULL, which would poison every profile row of an empty table
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__d"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max")))

@@ -141,7 +141,11 @@ object Similarity {
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normalizedBase(emb)
-    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCentroids))
+    // caller-supplied centroids take the SAME (vec_id, embedding) shape as the
+    // corpus and are normalized here — all scoring below is unit-vector dot
+    // products, so an unnormalized centroid would bias assignment by its length
+    val cents = centroids.map(normalizedBase)
+      .getOrElse(base.filter(col("vec_id") < numCentroids))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val assigned = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cid"),

@@ -26,22 +26,30 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
-  /** @return left columns unchanged + each right column as `asof_<name>`. */
+  /** @return left columns unchanged + each right column as `asof_<name>`.
+    * Rows with a NULL key or NULL time are dropped on BOTH sides first — an
+    * equality join never matches a NULL key and a NULL time has no place in
+    * the order, but the window would otherwise co-partition all NULL keys and
+    * sort NULL times first, inventing matches no SQL ASOF JOIN produces. */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String): DataFrame = {
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(right.schema.fields)
-    val l = left.select(
-      col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
-      lit(1).as("__side"),
-      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
-      lit(null).cast(rStruct).as("__r"))
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
-      lit(0).as("__side"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
+    val l = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .select(
+        col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__side"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
+        lit(null).cast(rStruct).as("__r"))
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__l"),
+        struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
     val carry = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

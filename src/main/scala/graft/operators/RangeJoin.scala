@@ -22,23 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @return point columns unchanged + each range column as `range_<name>`. */
+  /** @return point columns unchanged + each range column as `range_<name>`.
+    * Empty or inverted ranges (`end <= start`) are dropped — `sequence` would
+    * otherwise enumerate DOWNWARD through every bucket between the two ends
+    * (silent bloat, or a hard array-size failure for a wildly corrupt row). */
   def pointInRange(points: DataFrame, ranges: DataFrame,
       pointKey: String, pointTime: String,
       rangeKey: String, startCol: String, endCol: String,
       granularitySeconds: Long): DataFrame = {
     require(granularitySeconds > 0, "granularity must be positive")
     val g = granularitySeconds
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
     val p = points.select(
       col(pointKey).as("__k"),
-      expr(s"unix_timestamp($pointTime) div $g").as("__b"),
+      expr(s"unix_timestamp(${q(pointTime)}) div $g").as("__b"),
       struct(points.columns.toIndexedSeq.map(col): _*).as("__p"))
-    val r = ranges.select(
-      col(rangeKey).as("__k"),
-      explode(sequence(
-        expr(s"unix_timestamp($startCol) div $g"),
-        expr(s"(unix_timestamp($endCol) - 1) div $g"))).as("__b"),
-      struct(ranges.columns.toIndexedSeq.map(col): _*).as("__r"))
+    val r = ranges
+      .filter(col(endCol) > col(startCol))
+      .select(
+        col(rangeKey).as("__k"),
+        explode(sequence(
+          expr(s"unix_timestamp(${q(startCol)}) div $g"),
+          expr(s"(unix_timestamp(${q(endCol)}) - 1) div $g"))).as("__b"),
+        struct(ranges.columns.toIndexedSeq.map(col): _*).as("__r"))
     p.join(r, Seq("__k", "__b"))
       .filter(col(s"__p.$pointTime") >= col(s"__r.$startCol") &&
         col(s"__p.$pointTime") < col(s"__r.$endCol"))

@@ -24,6 +24,13 @@ import org.apache.spark.sql.streaming._
   * the already-partial-aggregated counts stream, so executor memory and timer count
   * grow with live-batch cardinality (small by design, reference README:28), not
   * record volume.
+  *
+  * State-schema note: BatchState counters widened Int→Long (delta safety).
+  * Restoring a checkpoint written with the old Int schema requires Spark's Avro
+  * state encoding (`spark.sql.streaming.stateStore.encodingFormat=avro`), which
+  * permits int→long widening; the default UnsafeRow encoding rejects it, in
+  * which case the tracker checkpoint must be discarded (counts rebuild from the
+  * idempotent epoch journal on replay).
   */
 class TrackerProcessor(completionDelayMs: Long = 300000L)
     extends StatefulProcessor[String, TrackerEvent, BatchNotification] {

@@ -53,9 +53,11 @@ class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) exte
         spark.read.parquet(p.toString).collect().foreach(r => byId(r.getAs[String]("id")) = r)
       case None =>
         // pre-versioning layout compat: a checkpoint dir written before the
-        // journal became versioned holds a single `snapshot.parquet`
+        // journal became versioned holds a single `snapshot.parquet` —
+        // _SUCCESS-gated like the versioned path, so a crash mid-write of the
+        // old layout can't feed a partial snapshot in
         val legacy = new org.apache.hadoop.fs.Path(dir, "snapshot.parquet")
-        if (fs.exists(legacy))
+        if (fs.exists(new org.apache.hadoop.fs.Path(legacy, "_SUCCESS")))
           spark.read.parquet(legacy.toString).collect()
             .foreach(r => byId(r.getAs[String]("id")) = r)
     }

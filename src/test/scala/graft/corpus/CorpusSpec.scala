@@ -213,6 +213,18 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out("b") shouldBe (2L, 1L, 2L, 2.0, 8.0)
   }
 
+  test("numeric profile of an EMPTY table reports zeros, not nulls") {
+    import spark.implicits._
+    val d = Seq.empty[(Int, Double)].toDF("a", "b")
+    val out = Profiling.numericProfile(d, Seq("a", "b")).collect()
+    out should have size 2
+    out.foreach { r =>
+      r.getLong(1) shouldBe 0L // n_values
+      r.getLong(2) shouldBe 0L // n_nulls — NOT null
+      r.getLong(3) shouldBe 0L // n_distinct
+    }
+  }
+
   test("numeric profile is ONE scan: a single aggregate, no per-column unions") {
     import spark.implicits._
     val d = Seq((1, 2.0)).toDF("a", "b")

@@ -35,6 +35,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     run() shouldBe Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
   }
 
+  test("NULL keys and NULL times never match (ASOF JOIN parity)") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 09:00:00"), 7.0), // null key
+      ("A", null.asInstanceOf[Timestamp], 8.0),                    // null time
+      ("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 11:00:00")),
+      (2L, null.asInstanceOf[String], ts("2024-01-01 11:00:00")), // null key left
+      (3L, "A", null.asInstanceOf[Timestamp]))                    // null time left
+      .toDF("id", "sym", "tt")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tt", "sym", "qt")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("asof_px")).toMap
+    out shouldBe Map(1L -> 1.0) // only the real match; null rows invent nothing
+  }
+
   test("output carries all left columns plus asof_-prefixed right columns") {
     val s = spark
     import s.implicits._

@@ -35,6 +35,20 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.length shouldBe out.toSet.size // exactly-one-bucket meeting: no dups
   }
 
+  test("empty and inverted ranges are dropped, not enumerated downward") {
+    val s = spark
+    import s.implicits._
+    val ranges = Seq(
+      ("k", 1L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")), // empty
+      ("k", 2L, ts("2024-06-01 00:00:00"), ts("2024-01-01 00:00:00")), // inverted
+      ("k", 3L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))) // real
+      .toDF("key", "rid", "start", "end")
+    val points = Seq(("k", 10L, ts("2024-01-02 00:00:00"))).toDF("key", "pid", "t")
+    val out = RangeJoin.pointInRange(points, ranges, "key", "t", "key",
+      "start", "end", granularitySeconds = 3600)
+    out.collect().map(_.getAs[Long]("range_rid")).toSeq shouldBe Seq(3L)
+  }
+
   test("a long range matches points many buckets away") {
     val s = spark
     import s.implicits._
