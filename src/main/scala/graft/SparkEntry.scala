@@ -68,6 +68,7 @@ object SparkEntry {
     "x13_ann_ivf" -> (C.x13AnnIvf _),
     "x16_stopword_scrub" -> (C.x16StopwordScrub _),
     "x17_profile" -> (C.x17Profile _),
+    "x18_vocabulary" -> (C.x18Vocabulary _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

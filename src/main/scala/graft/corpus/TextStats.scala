@@ -77,6 +77,19 @@ object TextStats {
       array_join(kept, " ").as("clean_text"))
   }
 
+  /** Corpus vocabulary — the frequency-count step of tokenizer training: the
+    * `topK` tokens by global occurrence count (ties to the lexicographically
+    * smaller token), with document frequency alongside. One explode + one
+    * hash-aggregate (map-side partial), then a bounded TakeOrdered — the
+    * full vocabulary never sorts globally. */
+  def vocabulary(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy(col("w").as("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min

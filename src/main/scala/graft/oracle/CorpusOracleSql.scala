@@ -289,6 +289,12 @@ SELECT doc_id,
   least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
 FROM a""",
 
+    "x18_vocabulary" ->
+      """SELECT w AS token, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 20""",
+
     // x16: stopword list generated from the SAME Scala values the operator uses
     "x16_stopword_scrub" -> {
       val all = TextStats.Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")

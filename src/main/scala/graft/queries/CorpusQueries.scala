@@ -76,6 +76,10 @@ object CorpusQueries {
   def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
     Media.mediaMeta(docs(spark, dir))
 
+  /** x18 — corpus vocabulary: top-20 tokens by occurrence, with doc frequency. */
+  def x18Vocabulary(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabulary(docs(spark, dir))
+
   /** x16 — stopword scrub: normalized text + removed-token counts. */
   def x16StopwordScrub(spark: SparkSession, dir: String): DataFrame =
     TextStats.stopwordScrub(docs(spark, dir))

@@ -32,6 +32,20 @@ object StreamOps {
       .select(col("w.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming sessionization — the streaming twin of the q7 batch query:
+    * per-user sessions that close after `gap` of event-time silence
+    * (`session_window` merges and extends under the hood; a session emits once
+    * the watermark passes its close). State per OPEN session only — bounded by
+    * live users, not history. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Exact streaming dedup by content digest: keeps the FIRST arrival of each
     * distinct content, drops subsequent duplicates that arrive within the
     * watermark delay of each other. Digest state expires with the watermark —

@@ -203,6 +203,14 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2L) shouldBe (0, "no stops here")
   }
 
+  test("vocabulary: occurrence-ranked tokens with doc frequency, lexicographic ties") {
+    val d = docs(1L -> "b a a c", 2L -> "a b b")
+    val v = TextStats.vocabulary(d, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a and b both occur 3x -> tie broken lexicographically
+    v shouldBe Array(("a", 3L, 2L), ("b", 3L, 2L))
+  }
+
   test("numeric profile: one row per column with exact counts and bounds") {
     import spark.implicits._
     val d = Seq((1, Some(2.0)), (1, None), (3, Some(8.0))).toDF("a", "b")

@@ -48,6 +48,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and emit once closed by the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val out = StreamOps.userSessions(
+      input.toDF().toDF("ts", "user_id", "event_type", "value"),
+      gap = "10 minutes", watermarkDelay = "5 minutes")
+    val sink = s"sessions_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops3").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, "click", 1.0), // same session (gap 10m)
+        (ts("2024-01-01 10:30:00"), 1L, "click", 1.0)) // new session (25m silence)
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' closes
+      input.addData((ts("2024-01-01 12:00:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val u1 = s.table(sink).collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1).toString, r.getLong(3))).sortBy(_._1)
+      u1 shouldBe Array(
+        ("2024-01-01 10:00:00.0", 2L), // two events merged into one session
+        ("2024-01-01 10:30:00.0", 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per content digest") {
     val s = spark
     import s.implicits._
