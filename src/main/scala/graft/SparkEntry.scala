@@ -69,6 +69,7 @@ object SparkEntry {
     "x16_stopword_scrub" -> (C.x16StopwordScrub _),
     "x17_profile" -> (C.x17Profile _),
     "x18_vocabulary" -> (C.x18Vocabulary _),
+    "x19_unigram_score" -> (C.x19UnigramScore _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

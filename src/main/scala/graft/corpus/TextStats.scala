@@ -90,6 +90,26 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
 
+  /** Unigram log-probability scoring — the language-model quality filter run
+    * over pretraining corpora: train unigram frequencies on the corpus itself,
+    * then score each document by the sum of per-token `log10 p(w)` (higher =
+    * more typical). Each token's log-prob is rounded to 8 dp and summed in
+    * DECIMAL, which is associative — a raw double sum would depend on Spark's
+    * partial-aggregation order and could never hash-match the oracle. Scale
+    * shape: the unigram table aggregates map-side; the score join is keyed on
+    * the token; the one-row total broadcasts. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(ws).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    tok.join(counts, "w").crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log10(col("cnt") / col("total")), 8).cast("decimal(12,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp")).cast("double").as("sum_logprob"))
+  }
+
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min

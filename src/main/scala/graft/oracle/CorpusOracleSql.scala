@@ -289,6 +289,19 @@ SELECT doc_id,
   least(strpos('0123456789abcdef', substr(hx, 3, 1)), 4) AS sampled_frames
 FROM a""",
 
+    // x19: per-token log-probs rounded to 8 dp then DECIMAL-summed — exact and
+    // order-independent, so both engines' aggregation orders agree
+    "x19_unigram_score" ->
+      """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(round(log10(cnt / total), 8) AS DECIMAL(12,8))) AS DOUBLE)
+         AS sum_logprob
+FROM tok JOIN counts USING (w) CROSS JOIN tot
+GROUP BY doc_id""",
+
     "x18_vocabulary" ->
       """SELECT w AS token, COUNT(*) AS n_occurrences,
          COUNT(DISTINCT doc_id) AS n_docs

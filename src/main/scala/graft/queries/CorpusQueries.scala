@@ -80,6 +80,10 @@ object CorpusQueries {
   def x18Vocabulary(spark: SparkSession, dir: String): DataFrame =
     TextStats.vocabulary(docs(spark, dir))
 
+  /** x19 — corpus-trained unigram log-prob score per document (LM quality filter). */
+  def x19UnigramScore(spark: SparkSession, dir: String): DataFrame =
+    TextStats.unigramLogProb(docs(spark, dir))
+
   /** x16 — stopword scrub: normalized text + removed-token counts. */
   def x16StopwordScrub(spark: SparkSession, dir: String): DataFrame =
     TextStats.stopwordScrub(docs(spark, dir))

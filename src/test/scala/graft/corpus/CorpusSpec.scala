@@ -211,6 +211,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     v shouldBe Array(("a", 3L, 2L), ("b", 3L, 2L))
   }
 
+  test("unigram log-prob: common-token docs score higher; probabilities from the corpus") {
+    val d = docs(1L -> "a a a a", 2L -> "a a a z")
+    val out = TextStats.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(1L)._1 shouldBe 4L
+    // doc 1 is all 'a' (p = 7/8); doc 2 has one rare 'z' (p = 1/8) -> lower score
+    out(1L)._2 should be > out(2L)._2
+    out(1L)._2 shouldBe (4 * math.round(math.log10(7.0 / 8) * 1e8) / 1e8) +- 1e-9
+  }
+
   test("numeric profile: one row per column with exact counts and bounds") {
     import spark.implicits._
     val d = Seq((1, Some(2.0)), (1, None), (3, Some(8.0))).toDF("a", "b")
