@@ -70,6 +70,7 @@ object SparkEntry {
     "x17_profile" -> (C.x17Profile _),
     "x18_vocabulary" -> (C.x18Vocabulary _),
     "x19_unigram_score" -> (C.x19UnigramScore _),
+    "x20_dedup_clusters" -> (C.x20DedupClusters _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -147,6 +147,46 @@ object TextDedup {
     verifyJaccard(candidates, postings(docs, n), shingleCounts(docs, n), threshold)
   }
 
+  /** Dedup cluster formation — the FINAL rung of the dedup ladder: given
+    * near-dup PAIRS (from [[ngramJaccardPairs]] / [[minhashPairs]] /
+    * [[simhashPairs]]), form connected components and elect the minimum doc id
+    * as each cluster's canonical survivor (every other member is the drop
+    * list). Pregel-style min-label propagation: each iteration is one keyed
+    * join + min-aggregate, converging in O(component diameter) rounds —
+    * near-dup clusters are shallow by nature, so a handful of rounds suffice
+    * at any corpus size (the driver loop only checks a converged flag, it
+    * never collects the data).
+    *
+    * @return (doc_id, cluster_id) for every document that appears in a pair. */
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIterations) {
+        val prop = edges
+          .join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist()
+        converged = prop.as("a")
+          .join(labels.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.label") =!= col("b.label"))
+          .isEmpty
+        labels.unpersist()
+        labels = prop
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally edges.unpersist()
+  }
+
   /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the
     * token-frequency-weighted sum of bit i of md5(token), where "bit i" is the high
     * bit of the i-th hex nibble. md5 (not xxhash) so the DuckDB oracle reproduces

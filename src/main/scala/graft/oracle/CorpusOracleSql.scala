@@ -180,6 +180,19 @@ WHERE rn = 1"""
     // exact-Jaccard SQL (a banding miss WOULD fail the row-count compare).
     "x3_minhash_lsh" -> (jaccardPrelude + jaccardSelect),
 
+    // x20: connected components over the exact-Jaccard pair set (identical to
+    // x3's verified pairs) via recursive min-label propagation
+    "x20_dedup_clusters" -> (jaccardPrelude +
+      """, jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM jp
+          UNION ALL SELECT doc_id_2, doc_id_1 FROM jp),
+comp(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM comp GROUP BY 1""").replace(
+      "WITH toks", "WITH RECURSIVE toks"),
+
     "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
 
     "x5_simhash_pairs" -> (simhashPrelude +

@@ -31,6 +31,11 @@ object CorpusQueries {
   def x3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     TextDedup.minhashPairs(docs(spark, dir))
 
+  /** x20 — dedup clusters over the MinHash+LSH near-dup pairs: connected
+    * components with the min doc id as the canonical survivor. */
+  def x20DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(TextDedup.minhashPairs(docs(spark, dir)))
+
   /** x4 — 32-bit SimHash fingerprint per document (md5-nibble construction). */
   def x4Simhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhash(docs(spark, dir))

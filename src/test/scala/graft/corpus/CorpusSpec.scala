@@ -55,6 +55,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     lsh shouldBe exact
   }
 
+  test("dedup clusters: transitive chains merge, min id is canonical, clusters isolate") {
+    import spark.implicits._
+    // chain 1-2, 2-3 merges into one cluster; 5-9 separate
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (5L, 9L, 0.95))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val out = TextDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L)
+  }
+
   test("simhash: identical docs collide, near-identical docs are Hamming-close") {
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t, 2L -> t, 3L -> t.replace("w40", "x"))
