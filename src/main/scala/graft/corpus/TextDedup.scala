@@ -151,36 +151,52 @@ object TextDedup {
     * near-dup PAIRS (from [[ngramJaccardPairs]] / [[minhashPairs]] /
     * [[simhashPairs]]), form connected components and elect the minimum doc id
     * as each cluster's canonical survivor (every other member is the drop
-    * list). Pregel-style min-label propagation: each iteration is one keyed
-    * join + min-aggregate, converging in O(component diameter) rounds —
-    * near-dup clusters are shallow by nature, so a handful of rounds suffice
-    * at any corpus size (the driver loop only checks a converged flag, it
-    * never collects the data).
+    * list). Pregel-style min-label propagation, converging in O(component
+    * diameter) rounds — near-dup clusters are shallow by nature, so a handful
+    * of rounds suffice at any corpus size (the driver loop only checks a
+    * converged flag, it never collects the data).
+    *
+    * Per-iteration cost is kept to ONE shuffle and ONE action:
+    *  - both edge directions come from one `explode` over the pair stream (a
+    *    `union` of two selects would compute the upstream candidate pipeline
+    *    twice when the cache first materializes);
+    *  - edges are hash-partitioned on `src` once and cached, so the
+    *    per-iteration join never re-shuffles the (larger) edge side — only the
+    *    label rows move;
+    *  - the aggregate carries each node's previous label through (its own row
+    *    contributes `prev = label`, neighbor contributions `prev = MaxValue`,
+    *    `min(prev)` recovers it), so convergence ("no label decreased") is a
+    *    filter over the freshly-persisted result instead of a second join
+    *    against the old labels.
     *
     * @return (doc_id, cluster_id) for every document that appears in a pair. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs
-      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .select(explode(array(
+        struct(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+        struct(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .repartition(col("src"))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    var labels = cached
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
-        val prop = edges
-          .join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        val next = labels
+          .select(col("node"), col("label"), col("label").as("prev"))
+          .union(edges.join(labels, col("src") === col("node"))
+            .select(col("dst").as("node"), col("label"),
+              lit(Long.MaxValue).as("prev")))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
           .persist()
-        converged = prop.as("a")
-          .join(labels.as("b"), col("a.node") === col("b.node"))
-          .filter(col("a.label") =!= col("b.label"))
-          .isEmpty
-        labels.unpersist()
-        labels = prop
+        converged = next.filter(col("label") < col("prev")).isEmpty
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("node"), col("label"))
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
