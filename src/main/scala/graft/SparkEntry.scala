@@ -71,6 +71,8 @@ object SparkEntry {
     "x18_vocabulary" -> (C.x18Vocabulary _),
     "x19_unigram_score" -> (C.x19UnigramScore _),
     "x20_dedup_clusters" -> (C.x20DedupClusters _),
+    "x21_repetition" -> (C.x21RepetitionStats _),
+    "x22_decontamination" -> (C.x22Decontamination _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -203,6 +203,32 @@ object TextDedup {
     } finally edges.unpersist()
   }
 
+  /** Benchmark decontamination — the eval-leak check every training corpus runs
+    * before release: flag training documents sharing at least one word n-gram
+    * with a held-out benchmark set, reporting how many of the document's
+    * distinct shingles are contaminated. The benchmark here is the
+    * deterministic `doc_id % benchMod == 0` slice; in deployment it is the eval
+    * suites themselves.
+    *
+    * Scale shape: the benchmark shingle set is bounded by the EVAL SUITE size,
+    * not the corpus, so broadcasting it is the correct plan at 100 TB — the
+    * training side then semi-joins against it with no shuffle of the corpus
+    * postings at all. Shingle sets are distinct per document, so the hit count
+    * is a plain `count`, no `countDistinct` re-shuffle. */
+  def decontaminationReport(docs: DataFrame, n: Int = 3,
+      benchMod: Long = 50): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val benchShingles = postings(docs.filter(isBench), n)
+      .select(col("s")).distinct()
+    val hits = postings(docs.filter(!isBench), n)
+      .join(broadcast(benchShingles), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    hits.join(shingleCounts(docs.filter(!isBench), n), "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contaminated_frac"))
+  }
+
   /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the
     * token-frequency-weighted sum of bit i of md5(token), where "bit i" is the high
     * bit of the i-th hex nibble. md5 (not xxhash) so the DuckDB oracle reproduces

@@ -110,6 +110,36 @@ object TextStats {
         sum(col("lp")).cast("double").as("sum_logprob"))
   }
 
+  /** Repetition statistics — the Gopher-style (Rae et al., 2021 shape)
+    * intra-document repetition signals used to filter machine-generated or
+    * boilerplate text from training corpora, adapted to token level (the corpus
+    * is single-space tokenized, so line-based variants are degenerate):
+    * the most-frequent-token share, and the fraction of 2-gram/3-gram positions
+    * occupied by a repeated n-gram. Scale shape: the token histogram is two
+    * hash-aggregates with map-side partials keyed by (doc_id, token) then
+    * doc_id — no skew beyond a single document's vocabulary; the n-gram
+    * distinct counts are narrow per-document expressions ([[graft.functions.NGramShingles]]
+    * emits the distinct set in one compiled pass), joined back on doc_id. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val top = docs.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tokens"))
+    val grams = docs.select(col("doc_id"),
+      size(ws).as("n"),
+      size(graft.functions.NGramShingles(ws, 2)).as("d2"),
+      size(graft.functions.NGramShingles(ws, 3)).as("d3"))
+    def dupFrac(minTokens: Int, total: Column, distinct: Column): Column =
+      when(col("n") >= minTokens,
+        round((total - distinct).cast("double") / total, 6)).otherwise(0.0)
+    top.join(grams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        dupFrac(2, col("n") - 1, col("d2")).as("dup_2gram_frac"),
+        dupFrac(3, col("n") - 2, col("d3")).as("dup_3gram_frac"))
+  }
+
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min

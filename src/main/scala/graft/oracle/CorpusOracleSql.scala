@@ -193,6 +193,54 @@ comp(node, label) AS (
 SELECT node AS doc_id, MIN(label) AS cluster_id FROM comp GROUP BY 1""").replace(
       "WITH toks", "WITH RECURSIVE toks"),
 
+    // x21: token-level repetition stats; dup-n-gram fractions count repeated
+    // POSITIONS (total windows minus distinct shingles) over total windows
+    "x21_repetition" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tokens FROM (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2)
+  GROUP BY 1),
+gr AS (
+  SELECT doc_id, len(ws) AS n,
+    CASE WHEN len(ws) >= 2
+      THEN len(list_distinct(list_transform(range(len(ws) - 1),
+             i -> ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS d2,
+    CASE WHEN len(ws) >= 3
+      THEN len(list_distinct(list_transform(range(len(ws) - 2),
+             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) ELSE 0 END AS d3
+  FROM toks)
+SELECT top.doc_id, n_tokens,
+  round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+  CASE WHEN n >= 2 THEN round(CAST(n - 1 - d2 AS DOUBLE) / (n - 1), 6)
+       ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN n >= 3 THEN round(CAST(n - 2 - d3 AS DOUBLE) / (n - 2), 6)
+       ELSE 0.0 END AS dup_3gram_frac
+FROM top JOIN gr ON top.doc_id = gr.doc_id""",
+
+    // x22: 3-gram overlap against the doc_id % 50 == 0 benchmark slice; the
+    // per-document shingle sets are distinct, so hits count plain rows
+    "x22_decontamination" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(len(ws) - 2),
+             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM post WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM post JOIN bench USING (s) WHERE doc_id % 50 <> 0 GROUP BY 1),
+szs AS (
+  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 50 <> 0)
+SELECT hits.doc_id, n_shingles, n_contaminated,
+  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
+FROM hits JOIN szs ON hits.doc_id = szs.doc_id""",
+
     "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
 
     "x5_simhash_pairs" -> (simhashPrelude +

@@ -93,6 +93,16 @@ object CorpusQueries {
   def x16StopwordScrub(spark: SparkSession, dir: String): DataFrame =
     TextStats.stopwordScrub(docs(spark, dir))
 
+  /** x21 — Gopher-style token-level repetition statistics (dup-n-gram and
+    * top-token fractions). */
+  def x21RepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(docs(spark, dir))
+
+  /** x22 — benchmark decontamination: training docs sharing a 3-gram with the
+    * deterministic doc_id % 50 == 0 benchmark slice. */
+  def x22Decontamination(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.decontaminationReport(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

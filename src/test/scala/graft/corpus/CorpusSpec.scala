@@ -65,6 +65,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L)
   }
 
+  test("repetition stats: degenerate repetition maxes the fractions, varied text zeroes them") {
+    val d = docs(1L -> "a a a a", 2L -> "a b", 3L -> "w x y z")
+    val rows = TextStats.repetitionStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("top_token_frac"),
+          r.getAs[Double]("dup_2gram_frac"), r.getAs[Double]("dup_3gram_frac")))).toMap
+    rows(1L) shouldBe ((4L, 1.0, 0.666667, 0.5))
+    rows(2L) shouldBe ((2L, 0.5, 0.0, 0.0))
+    rows(3L) shouldBe ((4L, 0.25, 0.0, 0.0))
+  }
+
+  test("decontamination: only train docs sharing a benchmark shingle are flagged") {
+    val d = docs(0L -> "a b c d", 1L -> "a b c x", 2L -> "q r s t")
+    val rows = TextDedup.decontaminationReport(d, n = 3, benchMod = 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("contaminated_frac")))
+    rows.toSeq shouldBe Seq((1L, 2, 1L, 0.5))
+  }
+
   test("simhash: identical docs collide, near-identical docs are Hamming-close") {
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t, 2L -> t, 3L -> t.replace("w40", "x"))
