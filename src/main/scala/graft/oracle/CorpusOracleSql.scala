@@ -10,8 +10,9 @@ import graft.corpus.TextStats
   * `scala.util.Random(42)` (java.util.Random LCG) exactly as
   * `graft.corpus.Similarity.hyperplanes` does.
   *
-  * Not every query is oracle-checkable: m2 (mapPartitions codec kernel) gets the
-  * driver's rows-only check.
+  * Every corpus query is oracle-checked, including m2: its mapPartitions codec
+  * kernel runs FakeCodec, whose deterministic arithmetic the oracle replays in
+  * SQL (milli-unit rendering sidesteps float-formatting divergence).
   */
 object CorpusOracleSql {
 
@@ -192,6 +193,36 @@ comp(node, label) AS (
   SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src)
 SELECT node AS doc_id, MIN(label) AS cluster_id FROM comp GROUP BY 1""").replace(
       "WITH toks", "WITH RECURSIVE toks"),
+
+    // m2: FakeCodec's feature arithmetic replayed in SQL — feature f is the
+    // float32 mean of the byte codes at positions ≡ f (mod 8), rendered as
+    // round(f*1000) milli-units (identical double → identical rounding; see
+    // CorpusQueries.m2MediaFeatures). ord-per-character equals byte walking
+    // because the corpus is pure ASCII (verified at every SF); the Spark side
+    // is the byte-true implementation.
+    "m2_media_features" -> """WITH a AS (
+  SELECT doc_id, text, md5(text) AS hx FROM documents),
+cs AS (
+  SELECT doc_id, hx, octet_length(encode(text)) AS n_pixels,
+    list_transform(range(length(text)), i -> ord(substr(text, i+1, 1))) AS codes
+  FROM a),
+f AS (
+  SELECT doc_id,
+    strpos('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
+    n_pixels,
+    list_transform(range(8), f ->
+      CASE WHEN len(list_filter(range(len(codes)), i -> i % 8 = f)) = 0
+           THEN CAST(0 AS FLOAT)
+           ELSE CAST(list_sum(list_transform(
+                  list_filter(range(len(codes)), i -> i % 8 = f),
+                  i -> codes[i+1])) AS FLOAT)
+                / len(list_filter(range(len(codes)), i -> i % 8 = f)) END) AS fl
+  FROM cs)
+SELECT doc_id, n_frames, n_pixels,
+  array_to_string(list_transform(fl,
+    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)), ',')
+    AS features
+FROM f""",
 
     // x21: token-level repetition stats; dup-n-gram fractions count repeated
     // POSITIONS (total windows minus distinct shingles) over total windows

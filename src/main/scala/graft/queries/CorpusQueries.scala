@@ -117,14 +117,20 @@ object CorpusQueries {
   def m4ResizePlan(spark: SparkSession, dir: String): DataFrame =
     Media.resizePlan(docs(spark, dir))
 
-  /** m2 — batched media feature extraction through the codec SPI (rows-only:
-    * mapPartitions kernel, not SQL-expressible). The feature vector is surfaced as
-    * ONE deterministic comma-joined string (3-decimal fixed point) so the dump is
-    * a flat sortable/hashable column — the driver comparator cannot sort an
-    * ARRAY column. */
+  /** m2 — batched media feature extraction through the codec SPI (mapPartitions
+    * kernel; the ORACLE reproduces FakeCodec's arithmetic in SQL, so even the
+    * imperative path is hash-checked). The feature vector is surfaced as ONE
+    * comma-joined string of integer MILLI-units — `round(f * 1000)` of the
+    * float-promoted double is half-away-from-zero in both engines and every
+    * representable `k.5` at this magnitude is exact, so the rendering can never
+    * disagree (a `%.3f` rendering did: Java formats HALF_UP, C printf
+    * half-even, and float means hit exact `.xxx5` boundaries whenever the
+    * slice length is a power of two). Flat string also keeps the dump sortable
+    * — the driver comparator cannot sort an ARRAY column. */
   def m2MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Media.mediaFeatures(spark, docs(spark, dir)).toDF()
       .select(col("doc_id"), col("n_frames"), col("n_pixels"),
-        concat_ws(",",
-          transform(col("features"), f => format_string("%.3f", f))).as("features"))
+        concat_ws(",", transform(col("features"),
+          f => round(f.cast("double") * 1000).cast("long").cast("string")))
+          .as("features"))
 }
