@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *    `dropDuplicatesWithinWatermark` so the digest state ages out instead of
   *    growing with the corpus — the only way exact streaming dedup survives
   *    unbounded input.
+  *  - [[flagContaminated]] — the stream-static twin of X22 (benchmark
+  *    decontamination): ingest-time eval-leak quarantine against a broadcast
+  *    static shingle set.
   *
   * Both operate on event time (`ts`), never processing time: replays and
   * out-of-order arrival inside the allowed lateness produce identical results.
@@ -56,4 +59,24 @@ object StreamOps {
       .withColumn("content_hash", md5(encode(col(textCol), "UTF-8")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming decontamination — the stream-static twin of
+    * [[graft.corpus.TextDedup.decontaminationReport]]: flag arriving documents
+    * that share a word n-gram with a STATIC benchmark shingle set
+    * (`benchShingles(s STRING)`), e.g. to quarantine eval-leaking documents at
+    * ingest instead of in a batch sweep. The shingle explosion is narrow; the
+    * stream-static join broadcasts the benchmark side (bounded by the eval
+    * suite); the watermarked doc_id dedup collapses the per-shingle matches
+    * back to one row per flagged document with state that ages out — the whole
+    * pipeline holds no corpus-sized state at any input volume. */
+  def flagContaminated(docs: DataFrame, benchShingles: DataFrame, n: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), explode(
+        graft.corpus.TextDedup.shingles(
+          graft.corpus.TextDedup.tokens(col("text")), n)).as("s"))
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
 }

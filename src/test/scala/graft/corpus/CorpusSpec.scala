@@ -332,4 +332,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       q.queryExecution.analyzed.collect { case h: ResolvedHint => h } shouldBe empty
     }
   }
+
+  test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val d = docs(0L -> "a b c d", 1L -> "a b c x")
+    val hints = TextDedup.decontaminationReport(d).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+    hints should have size 1 // exactly one: the benchmark shingle set
+  }
 }

@@ -106,4 +106,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       ids shouldBe Set(1L, 3L)
     } finally q.stop()
   }
+
+  test("streaming decontamination flags only docs sharing a benchmark shingle, once each") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val bench = Seq("a b c").toDF("s") // static benchmark 3-gram set
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.flagContaminated(
+      input.toDF().toDF("ts", "doc_id", "text"), bench)
+    val sink = s"decon_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops3").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a b c d"),  // contaminated (shares "a b c")
+        (ts("2024-01-01 10:01:00"), 2L, "x y z w"),  // clean
+        (ts("2024-01-01 10:02:00"), 3L, "q a b c"))  // contaminated
+      q.processAllAvailable()
+      val rows = s.table(sink).collect().map(_.getLong(0)).toSeq
+      rows.sorted shouldBe Seq(1L, 3L) // flagged once each, despite per-shingle fanout
+    } finally q.stop()
+  }
 }
