@@ -73,6 +73,8 @@ object SparkEntry {
     "x20_dedup_clusters" -> (C.x20DedupClusters _),
     "x21_repetition" -> (C.x21RepetitionStats _),
     "x22_decontamination" -> (C.x22Decontamination _),
+    "x23_quota_sample" -> (C.x23QuotaSample _),
+    "x24_topk_quality" -> (C.x24TopkQuality _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -1,0 +1,46 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic domain-mixing (quota sampling) and
+  * per-domain quality selection — the two decision steps a training-data
+  * pipeline runs after scoring/dedup to assemble the final mix.
+  */
+object Curation {
+
+  /** Deterministic quota sampling — domain-mixing weights applied with a
+    * reproducible content-hash gate instead of RNG: a document is kept iff the
+    * first 8 hex digits of `md5(text)` are lexicographically below its
+    * source's threshold (lowercase hex compares lexicographically exactly as
+    * it compares numerically, so a threshold string IS the keep-rate). Tiers
+    * here fan out by the numeric source suffix mod 3: 0 → keep all, 1 → keep
+    * ~1/2 (`"8"`), 2 → keep ~1/4 (`"4"`). Reproducible end-to-end: re-running
+    * the pipeline, or re-sampling after adding documents, never flips a
+    * previously-kept document — the property RNG sampling cannot give.
+    * Narrow, codegen'd, zero shuffles at any corpus size. */
+  def quotaSample(docs: DataFrame): DataFrame = {
+    val tier = substring(col("source"), 4, 10).cast("int") % 3
+    val threshold = when(tier === 0, "g").when(tier === 1, "8").otherwise("4")
+    docs.select(col("doc_id"), col("source"),
+        substring(md5(encode(col("text"), "UTF-8")), 1, 8).as("gate"), threshold.as("th"))
+      .filter(col("gate") < col("th"))
+      .select(col("doc_id"), col("source"), col("gate"))
+  }
+
+  /** Per-domain quality selection: the `k` highest-quality documents of each
+    * source (quality desc, doc_id asc tiebreak — fully deterministic). The
+    * window partitions on the domain, so parallelism is bounded by domain
+    * count and skew by the largest domain; at corpus scale the rank-window is
+    * the standard shape, with each domain's sort local to its partition. */
+  def topKByQuality(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    TextStats.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+  }
+}

@@ -272,6 +272,35 @@ SELECT hits.doc_id, n_shingles, n_contaminated,
   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
 FROM hits JOIN szs ON hits.doc_id = szs.doc_id""",
 
+    // x23: deterministic hash-gate sampling — lowercase hex compares
+    // lexicographically exactly as it compares numerically, so the tier
+    // threshold string IS the keep rate
+    "x23_quota_sample" -> """WITH g AS (
+  SELECT doc_id, source, substr(md5(text), 1, 8) AS gate,
+    CASE CAST(substr(source, 4) AS INTEGER) % 3
+      WHEN 0 THEN 'g' WHEN 1 THEN '8' ELSE '4' END AS th
+  FROM documents)
+SELECT doc_id, source, gate FROM g WHERE gate < th""",
+
+    // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
+    "x24_topk_quality" -> {
+      val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, source, len(ws) AS n_tokens,
+    len(list_filter(ws, w -> list_contains([$en], w))) AS h
+  FROM toks),
+q AS (
+  SELECT doc_id, source,
+    round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.5 * least(CAST(h AS DOUBLE) / n_tokens * 4.0, 1.0), 6) AS quality
+  FROM st)
+SELECT source, doc_id, quality, rn AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY quality DESC, doc_id) AS rn FROM q)
+WHERE rn <= 3"""
+    },
+
     "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
 
     "x5_simhash_pairs" -> (simhashPrelude +

@@ -103,6 +103,15 @@ object CorpusQueries {
   def x22Decontamination(spark: SparkSession, dir: String): DataFrame =
     TextDedup.decontaminationReport(docs(spark, dir))
 
+  /** x23 — deterministic quota sampling: domain-mixing weights via a
+    * reproducible content-hash gate (tiers by source suffix mod 3). */
+  def x23QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.quotaSample(docs(spark, dir))
+
+  /** x24 — per-domain quality selection: top-3 docs by quality per source. */
+  def x24TopkQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.topKByQuality(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

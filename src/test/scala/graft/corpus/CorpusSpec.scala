@@ -84,6 +84,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.toSeq shouldBe Seq((1L, 2, 1L, 0.5))
   }
 
+  test("quota sampling: tier-0 keeps everything, gates honor thresholds, and re-runs agree") {
+    import spark.implicits._
+    val d = (0L until 60L).map(i => (i, s"doc number $i words", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.quotaSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // tier 0 (src0): threshold 'g' admits every hex gate
+    kept.count(_._2 == "src0") shouldBe 20
+    // every surviving gate is below its tier threshold
+    kept.filter(_._2 == "src1").foreach(_._3 should be < "8")
+    kept.filter(_._2 == "src2").foreach(_._3 should be < "4")
+    // the gate is content-derived: a second run keeps the identical set
+    Curation.quotaSample(d).collect().map(_.getLong(0)).sorted shouldBe
+      kept.map(_._1).sorted
+  }
+
+  test("per-domain quality top-k: highest quality wins per source, doc_id breaks ties") {
+    import spark.implicits._
+    val long = (1 to 100).map(_ => "the").mkString(" ") // max length + stopword score
+    val d = Seq(
+      (1L, long, "srcA"), (2L, "tiny", "srcA"), (3L, long, "srcA"),
+      (4L, "x y", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.topKByQuality(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    out.toSet shouldBe Set(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1))
+  }
+
   test("simhash: identical docs collide, near-identical docs are Hamming-close") {
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t, 2L -> t, 3L -> t.replace("w40", "x"))
