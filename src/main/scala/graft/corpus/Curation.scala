@@ -31,14 +31,14 @@ object Curation {
 
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The
-    * window partitions on the domain, so parallelism is bounded by domain
-    * count and skew by the largest domain; at corpus scale the rank-window is
-    * the standard shape, with each domain's sort local to its partition. */
+    * `source` column rides through the quality projection itself, so the ONLY
+    * shuffle is the window's partition-by-source (a corpus self-join to
+    * restore it would have doubled the data moved); skew is bounded by the
+    * largest domain, with each domain's sort local to its partition. */
   def topKByQuality(docs: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
-    TextStats.quality(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    TextStats.quality(docs, "source")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("source"), col("doc_id"), col("quality"), col("rank"))

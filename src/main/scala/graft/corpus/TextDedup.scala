@@ -213,17 +213,23 @@ object TextDedup {
     * Scale shape: the benchmark shingle set is bounded by the EVAL SUITE size,
     * not the corpus, so broadcasting it is the correct plan at 100 TB — the
     * training side then semi-joins against it with no shuffle of the corpus
-    * postings at all. Shingle sets are distinct per document, so the hit count
-    * is a plain `count`, no `countDistinct` re-shuffle. */
+    * postings at all. The train side is shingled ONCE: each posting carries
+    * its document's shingle-set size alongside the explode, so no second
+    * scan-and-shingle pass (the hottest stage of every dedup operator) and no
+    * join to re-attach sizes. Shingle sets are distinct per document, so the
+    * hit count is a plain `count`, no `countDistinct` re-shuffle. */
   def decontaminationReport(docs: DataFrame, n: Int = 3,
       benchMod: Long = 50): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
     val benchShingles = postings(docs.filter(isBench), n)
       .select(col("s")).distinct()
-    val hits = postings(docs.filter(!isBench), n)
+    docs.filter(!isBench)
+      .select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
       .join(broadcast(benchShingles), "s")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    hits.join(shingleCounts(docs.filter(!isBench), n), "doc_id")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
           .as("contaminated_frac"))

@@ -43,15 +43,17 @@ object TextStats {
   }
 
   /** Heuristic quality score in [0,1]: length component (saturates at 100 tokens)
-    * plus stopword-density component (saturates at ratio 0.25). */
-  def quality(docs: DataFrame): DataFrame = {
+    * plus stopword-density component (saturates at ratio 0.25). `passthrough`
+    * columns ride along in the same narrow projection, so callers that need
+    * them (e.g. per-domain selection) never join the corpus back to itself. */
+  def quality(docs: DataFrame, passthrough: String*): DataFrame = {
     val nTokens = size(ws)
     val stopHits = hits(Stopwords.head._2)
     val lengthScore = least(nTokens.cast("double") / 100.0, lit(1.0))
     val stopScore = least(stopHits.cast("double") / nTokens * 4.0, lit(1.0))
-    docs.select(col("doc_id"), nTokens.as("n_tokens"),
-      length(col("text")).as("n_chars"),
-      round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 6).as("quality"))
+    docs.select(col("doc_id") +: passthrough.map(col) :+ nTokens.as("n_tokens") :+
+      length(col("text")).as("n_chars") :+
+      round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 6).as("quality"): _*)
   }
 
   /** BPE-ish tokenizer pattern: letter runs, digit runs, single other-symbols. */
@@ -124,7 +126,9 @@ object TextStats {
     val top = docs.select(col("doc_id"), explode(ws).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tokens"))
+      .agg(max(col("c")).as("top_c"))
+    // n_tokens comes from the narrow projection (= size(ws) by definition),
+    // not a histogram sum — one less aggregate column
     val grams = docs.select(col("doc_id"),
       size(ws).as("n"),
       size(graft.functions.NGramShingles(ws, 2)).as("d2"),
@@ -133,8 +137,8 @@ object TextStats {
       when(col("n") >= minTokens,
         round((total - distinct).cast("double") / total, 6)).otherwise(0.0)
     top.join(grams, "doc_id")
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("top_c").cast("double") / col("n_tokens"), 6)
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("top_c").cast("double") / col("n"), 6)
           .as("top_token_frac"),
         dupFrac(2, col("n") - 1, col("d2")).as("dup_2gram_frac"),
         dupFrac(3, col("n") - 2, col("d3")).as("dup_3gram_frac"))

@@ -16,9 +16,9 @@ import graft.corpus.TextStats
   */
 object CorpusOracleSql {
 
-  /** Word-3-gram postings + exact pairwise Jaccard, mirroring TextDedup.shingles /
-    * ngramJaccardPairs (n=3). */
-  private val jaccardPrelude = """WITH toks AS (
+  /** Word-3-gram shingle CTEs (toks → distinct shingles → postings) shared by
+    * every shingle-based oracle, so shingle semantics live in ONE place. */
+  private val shinglePrelude = """WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT doc_id,
@@ -28,7 +28,12 @@ sh AS (
       ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks),
 post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+"""
+
+  /** Postings + exact pairwise Jaccard, mirroring TextDedup.shingles /
+    * ngramJaccardPairs (n=3). */
+  private val jaccardPrelude = shinglePrelude +
+    """szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
 inter AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
   FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -45,17 +50,8 @@ jpairs AS (
   /** x2's capped-universe variant: shingles with document frequency > 1000 are
     * excluded from postings AND set sizes, mirroring ngramJaccardPairs(maxDf=1000).
     * At test scale no shingle can exceed the cap, so this equals unrestricted J. */
-  private val cappedJaccardPrelude = """WITH toks AS (
-  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) >= 3
-      THEN list_distinct(list_transform(range(len(ws) - 2),
-             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
-      ELSE CAST([] AS VARCHAR[]) END AS shingles
-  FROM toks),
-post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-rare AS (
+  private val cappedJaccardPrelude = shinglePrelude +
+    """rare AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM post)
   WHERE df <= 1000),
@@ -132,18 +128,26 @@ SELECT doc_id,
 FROM sb"""
   }
 
-  private val qualitySql: String = {
+  /** The x9 quality-score CTEs, with optional pass-through columns — shared by
+    * every oracle that consumes the quality score, so the formula lives in ONE
+    * place (mirroring TextStats.quality's passthrough design). */
+  private def qualityPrelude(extraCols: String): String = {
     val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH toks AS (SELECT doc_id, text$extraCols, string_split(text, ' ') AS ws FROM documents),
 st AS (
-  SELECT doc_id, len(ws) AS n_tokens, length(text) AS n_chars,
+  SELECT doc_id$extraCols, len(ws) AS n_tokens, length(text) AS n_chars,
     len(list_filter(ws, w -> list_contains([$en], w))) AS h
-  FROM toks)
-SELECT doc_id, n_tokens, n_chars,
-  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-      + 0.5 * least(CAST(h AS DOUBLE) / n_tokens * 4.0, 1.0), 6) AS quality
-FROM st"""
+  FROM toks),
+q AS (
+  SELECT doc_id$extraCols, n_tokens, n_chars,
+    round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.5 * least(CAST(h AS DOUBLE) / n_tokens * 4.0, 1.0), 6) AS quality
+  FROM st)
+"""
   }
+
+  private val qualitySql: String =
+    qualityPrelude("") + "SELECT doc_id, n_tokens, n_chars, quality FROM q"
 
   private val annLshSql: String = {
     val hp = hyperplaneLiterals(6, 64)
@@ -229,7 +233,7 @@ FROM f""",
     "x21_repetition" -> """WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 top AS (
-  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tokens FROM (
+  SELECT doc_id, MAX(c) AS top_c FROM (
     SELECT doc_id, w, COUNT(*) AS c
     FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2)
   GROUP BY 1),
@@ -242,8 +246,8 @@ gr AS (
       THEN len(list_distinct(list_transform(range(len(ws) - 2),
              i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) ELSE 0 END AS d3
   FROM toks)
-SELECT top.doc_id, n_tokens,
-  round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+SELECT top.doc_id, n AS n_tokens,
+  round(CAST(top_c AS DOUBLE) / n, 6) AS top_token_frac,
   CASE WHEN n >= 2 THEN round(CAST(n - 1 - d2 AS DOUBLE) / (n - 1), 6)
        ELSE 0.0 END AS dup_2gram_frac,
   CASE WHEN n >= 3 THEN round(CAST(n - 2 - d3 AS DOUBLE) / (n - 2), 6)
@@ -252,17 +256,8 @@ FROM top JOIN gr ON top.doc_id = gr.doc_id""",
 
     // x22: 3-gram overlap against the doc_id % 50 == 0 benchmark slice; the
     // per-document shingle sets are distinct, so hits count plain rows
-    "x22_decontamination" -> """WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) >= 3
-      THEN list_distinct(list_transform(range(len(ws) - 2),
-             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
-      ELSE CAST([] AS VARCHAR[]) END AS shingles
-  FROM toks),
-post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-bench AS (SELECT DISTINCT s FROM post WHERE doc_id % 50 = 0),
+    "x22_decontamination" -> (shinglePrelude +
+      """bench AS (SELECT DISTINCT s FROM post WHERE doc_id % 50 = 0),
 hits AS (
   SELECT doc_id, COUNT(*) AS n_contaminated
   FROM post JOIN bench USING (s) WHERE doc_id % 50 <> 0 GROUP BY 1),
@@ -270,7 +265,7 @@ szs AS (
   SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 50 <> 0)
 SELECT hits.doc_id, n_shingles, n_contaminated,
   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
-FROM hits JOIN szs ON hits.doc_id = szs.doc_id""",
+FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""),
 
     // x23: deterministic hash-gate sampling — lowercase hex compares
     // lexicographically exactly as it compares numerically, so the tier
@@ -283,23 +278,11 @@ FROM hits JOIN szs ON hits.doc_id = szs.doc_id""",
 SELECT doc_id, source, gate FROM g WHERE gate < th""",
 
     // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
-    "x24_topk_quality" -> {
-      val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents),
-st AS (
-  SELECT doc_id, source, len(ws) AS n_tokens,
-    len(list_filter(ws, w -> list_contains([$en], w))) AS h
-  FROM toks),
-q AS (
-  SELECT doc_id, source,
-    round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-        + 0.5 * least(CAST(h AS DOUBLE) / n_tokens * 4.0, 1.0), 6) AS quality
-  FROM st)
-SELECT source, doc_id, quality, rn AS "rank" FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+    "x24_topk_quality" -> (qualityPrelude(", source") +
+      """SELECT source, doc_id, quality, rn AS "rank" FROM (
+  SELECT source, doc_id, quality, ROW_NUMBER() OVER (PARTITION BY source
     ORDER BY quality DESC, doc_id) AS rn FROM q)
-WHERE rn <= 3"""
-    },
+WHERE rn <= 3"""),
 
     "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
 

@@ -69,11 +69,11 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     val d = docs(1L -> "a a a a", 2L -> "a b", 3L -> "w x y z")
     val rows = TextStats.repetitionStats(d).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("top_token_frac"),
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("top_token_frac"),
           r.getAs[Double]("dup_2gram_frac"), r.getAs[Double]("dup_3gram_frac")))).toMap
-    rows(1L) shouldBe ((4L, 1.0, 0.666667, 0.5))
-    rows(2L) shouldBe ((2L, 0.5, 0.0, 0.0))
-    rows(3L) shouldBe ((4L, 0.25, 0.0, 0.0))
+    rows(1L) shouldBe ((4, 1.0, 0.666667, 0.5))
+    rows(2L) shouldBe ((2, 0.5, 0.0, 0.0))
+    rows(3L) shouldBe ((4, 0.25, 0.0, 0.0))
   }
 
   test("decontamination: only train docs sharing a benchmark shingle are flagged") {
