@@ -156,7 +156,8 @@ object TextDedup {
     * of rounds suffice at any corpus size (the driver loop only checks a
     * converged flag, it never collects the data).
     *
-    * Per-iteration cost is kept to ONE shuffle and ONE action:
+    * Per-iteration cost is kept to ONE shuffle, ONE action, and a
+    * CONSTANT-SIZE plan:
     *  - both edge directions come from one `explode` over the pair stream (a
     *    `union` of two selects would compute the upstream candidate pipeline
     *    twice when the cache first materializes);
@@ -166,8 +167,15 @@ object TextDedup {
     *  - the aggregate carries each node's previous label through (its own row
     *    contributes `prev = label`, neighbor contributions `prev = MaxValue`,
     *    `min(prev)` recovers it), so convergence ("no label decreased") is a
-    *    filter over the freshly-persisted result instead of a second join
-    *    against the old labels.
+    *    filter over the freshly-materialized result instead of a second join
+    *    against the old labels;
+    *  - each round ends in an EAGER `localCheckpoint`, because the loop body
+    *    references `labels` twice (join + union): building on the previous
+    *    round's plan would DOUBLE the logical plan per round — exponential
+    *    analysis/codegen cost that OOMs the driver near ~15 rounds — while a
+    *    checkpoint keeps every round's plan flat. (Deployments that must
+    *    survive executor loss mid-computation swap in reliable
+    *    `checkpoint` against the cluster checkpoint dir — same shape.)
     *
     * @return (doc_id, cluster_id) for every document that appears in a pair. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
@@ -178,10 +186,9 @@ object TextDedup {
       .select(col("e.src"), col("e.dst"))
       .repartition(col("src"))
       .persist()
-    var cached = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    var labels = cached
     try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
@@ -192,10 +199,8 @@ object TextDedup {
               lit(Long.MaxValue).as("prev")))
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-          .persist()
+          .localCheckpoint() // eager: materializes AND truncates lineage
         converged = next.filter(col("label") < col("prev")).isEmpty
-        cached.unpersist()
-        cached = next
         labels = next.select(col("node"), col("label"))
         iter += 1
       }

@@ -112,6 +112,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.toSet shouldBe Set(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1))
   }
 
+  test("dedup clusters match a reference union-find on randomized pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic test
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b), 0.9) }
+        .distinct
+      // reference: driver-side union-find with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = TextDedup.dedupClusters(
+        pairs.toDF("doc_id_1", "doc_id_2", "jaccard")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+  }
+
   test("simhash: identical docs collide, near-identical docs are Hamming-close") {
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t, 2L -> t, 3L -> t.replace("w40", "x"))
