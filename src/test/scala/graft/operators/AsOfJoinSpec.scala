@@ -60,4 +60,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     AsOfJoin.asOf(l, r, "sym", "tt", "sym", "qt").columns.toSeq shouldBe
       Seq("id", "sym", "tt", "asof_sym", "asof_qt", "asof_px")
   }
+
+  test("matches a brute-force reference on seeded random interleavings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11) // fixed seed — deterministic test
+    val base = ts("2024-03-01 00:00:00").getTime
+    def t(): Timestamp = new Timestamp(base + rnd.nextInt(5000) * 1000L)
+    val keys = Seq("a", "b", "c", "d")
+    // right rows unique per (key, time) — the operator's documented contract
+    val right = Seq.fill(120)((keys(rnd.nextInt(keys.size)), t()))
+      .distinct.zipWithIndex
+      .map { case ((k, qt), i) => (k, qt, i.toDouble) }
+    val left = Seq.tabulate(200)(i => (i.toLong, keys(rnd.nextInt(keys.size)), t()))
+    val expected = left.flatMap { case (id, k, tt) =>
+      right.filter(r => r._1 == k && !r._2.after(tt))
+        .sortBy(_._2.getTime).lastOption.map(r => id -> r._3)
+    }.toMap
+    val got = AsOfJoin.asOf(
+      left.toDF("id", "sym", "tt"), right.toDF("sym", "qt", "px"),
+      "sym", "tt", "sym", "qt")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("asof_px")).toMap
+    got shouldBe expected
+  }
 }

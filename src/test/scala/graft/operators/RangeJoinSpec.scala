@@ -58,4 +58,30 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     RangeJoin.pointInRange(points, ranges, "key", "t", "key", "start", "end", 3600)
       .count() shouldBe 1
   }
+
+  test("matches a brute-force reference on seeded random points and ranges") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13) // fixed seed — deterministic test
+    val base = ts("2024-02-25 00:00:00").getTime
+    def t(max: Int): Long = base + rnd.nextInt(max) * 1000L
+    val keys = Seq("k1", "k2", "k3")
+    val points = Seq.tabulate(150)(i =>
+      (keys(rnd.nextInt(keys.size)), i.toLong, new Timestamp(t(20000))))
+    val ranges = Seq.tabulate(60) { i =>
+      val s0 = t(20000)
+      (keys(rnd.nextInt(keys.size)), i.toLong + 1000L,
+        new Timestamp(s0), new Timestamp(s0 + (rnd.nextInt(8) - 1) * 900L))
+    } // some empty/inverted ranges on purpose — the operator must drop them
+    val expected = (for {
+      (pk, pid, pt) <- points
+      (rk, rid, rs, re) <- ranges
+      if pk == rk && !pt.before(rs) && pt.before(re)
+    } yield (pid, rid)).toSet
+    val got = RangeJoin.pointInRange(
+      points.toDF("key", "pid", "t"), ranges.toDF("key", "rid", "start", "end"),
+      "key", "t", "key", "start", "end", granularitySeconds = 600)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("range_rid"))).toSet
+    got shouldBe expected
+  }
 }
