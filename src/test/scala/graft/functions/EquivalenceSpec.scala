@@ -78,6 +78,29 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     fast shouldBe slow
   }
 
+  test("DotProduct interpreted eval == codegen path, bit for bit") {
+    // the other custom expressions are CodegenFallback (eval-only); DotProduct
+    // has a real doGenCode, so its two execution paths must be pinned equal
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val vecs = (0 until 50).map { _ =>
+      val dim = 1 + rnd.nextInt(40)
+      (Seq.fill(dim)(rnd.nextDouble() * 2 - 1), Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    val viaCodegen = vecs.toDF("a", "b")
+      .select(VectorOps.dotp(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val viaEval = vecs.map { case (a, b) =>
+      DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType))).eval(null).asInstanceOf[Double]
+    }
+    viaCodegen.zip(viaEval).foreach { case (c, e) =>
+      java.lang.Double.doubleToLongBits(c) shouldBe java.lang.Double.doubleToLongBits(e)
+    }
+  }
+
   test("DotProduct == aggregate/zip_with fold on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(4)
