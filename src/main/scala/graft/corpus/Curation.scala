@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Tier thresholds for [[quotaSample]], indexed by `source suffix mod 3`:
+    * a doc survives iff its 8-hex-digit gate is lexicographically below the
+    * threshold ('g' > every hex digit = keep all; '8' ≈ 1/2; '4' ≈ 1/4).
+    * Shared with the x23 oracle generator so the two cannot drift. */
+  val TierThresholds: Seq[String] = Seq("g", "8", "4")
+
   /** Deterministic quota sampling — domain-mixing weights applied with a
     * reproducible content-hash gate instead of RNG: a document is kept iff the
     * first 8 hex digits of `md5(text)` are lexicographically below its
@@ -21,8 +27,11 @@ object Curation {
     * previously-kept document — the property RNG sampling cannot give.
     * Narrow, codegen'd, zero shuffles at any corpus size. */
   def quotaSample(docs: DataFrame): DataFrame = {
-    val tier = substring(col("source"), 4, 10).cast("int") % 3
-    val threshold = when(tier === 0, "g").when(tier === 1, "8").otherwise("4")
+    val tier = substring(col("source"), 4, 10).cast("int") % TierThresholds.size
+    val threshold = TierThresholds.init.zipWithIndex.reverse
+      .foldLeft(lit(TierThresholds.last)) { case (rest, (th, i)) =>
+        when(tier === i, th).otherwise(rest)
+      }
     docs.select(col("doc_id"), col("source"),
         substring(md5(encode(col("text"), "UTF-8")), 1, 8).as("gate"), threshold.as("th"))
       .filter(col("gate") < col("th"))

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Default benchmark slice for [[decontaminationReport]]: `doc_id % this == 0`.
+    * Shared with the x22 oracle generator so the two cannot drift. */
+  val DefaultBenchMod: Long = 50L
+
   /** Split single-space-separated text into its token array. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -224,7 +228,7 @@ object TextDedup {
     * join to re-attach sizes. Shingle sets are distinct per document, so the
     * hit count is a plain `count`, no `countDistinct` re-shuffle. */
   def decontaminationReport(docs: DataFrame, n: Int = 3,
-      benchMod: Long = 50): DataFrame = {
+      benchMod: Long = DefaultBenchMod): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
     val benchShingles = postings(docs.filter(isBench), n)
       .select(col("s")).distinct()

@@ -256,26 +256,35 @@ FROM top JOIN gr ON top.doc_id = gr.doc_id""",
 
     // x22: 3-gram overlap against the doc_id % 50 == 0 benchmark slice; the
     // per-document shingle sets are distinct, so hits count plain rows
-    "x22_decontamination" -> (shinglePrelude +
-      """bench AS (SELECT DISTINCT s FROM post WHERE doc_id % 50 = 0),
+    "x22_decontamination" -> {
+      val m = graft.corpus.TextDedup.DefaultBenchMod
+      shinglePrelude +
+        s"""bench AS (SELECT DISTINCT s FROM post WHERE doc_id % $m = 0),
 hits AS (
   SELECT doc_id, COUNT(*) AS n_contaminated
-  FROM post JOIN bench USING (s) WHERE doc_id % 50 <> 0 GROUP BY 1),
+  FROM post JOIN bench USING (s) WHERE doc_id % $m <> 0 GROUP BY 1),
 szs AS (
-  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 50 <> 0)
+  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % $m <> 0)
 SELECT hits.doc_id, n_shingles, n_contaminated,
   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
-FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""),
+FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
+    },
 
     // x23: deterministic hash-gate sampling — lowercase hex compares
     // lexicographically exactly as it compares numerically, so the tier
-    // threshold string IS the keep rate
-    "x23_quota_sample" -> """WITH g AS (
+    // threshold string IS the keep rate (thresholds from the SAME Scala
+    // constants the operator uses)
+    "x23_quota_sample" -> {
+      val tiers = graft.corpus.Curation.TierThresholds
+      val whens = tiers.init.zipWithIndex
+        .map { case (th, i) => s"WHEN $i THEN '$th'" }.mkString(" ")
+      s"""WITH g AS (
   SELECT doc_id, source, substr(md5(text), 1, 8) AS gate,
-    CASE CAST(substr(source, 4) AS INTEGER) % 3
-      WHEN 0 THEN 'g' WHEN 1 THEN '8' ELSE '4' END AS th
+    CASE CAST(substr(source, 4) AS INTEGER) % ${tiers.size}
+      $whens ELSE '${tiers.last}' END AS th
   FROM documents)
-SELECT doc_id, source, gate FROM g WHERE gate < th""",
+SELECT doc_id, source, gate FROM g WHERE gate < th"""
+    },
 
     // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
     "x24_topk_quality" -> (qualityPrelude(", source") +
