@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Both operate on event time (`ts`), never processing time: replays and
   * out-of-order arrival inside the allowed lateness produce identical results.
+  *
+  * The NARROW per-document operators (language ID, quality, token stats,
+  * stopword scrub, repetition stats, quota sampling, media metadata/resize
+  * planning) need no streaming twins at all — stateless projections apply to
+  * a streaming DataFrame unchanged; only the stateful shapes (aggregation,
+  * sessionization, dedup, stream-static join) live here.
   */
 object StreamOps {
 

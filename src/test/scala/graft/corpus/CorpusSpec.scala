@@ -112,6 +112,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.toSet shouldBe Set(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1))
   }
 
+  test("dedup clusters: an empty pair set yields an empty cluster table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("doc_id_1", "doc_id_2", "jaccard")
+    TextDedup.dedupClusters(empty).count() shouldBe 0
+  }
+
   test("dedup clusters match a reference union-find on randomized pair graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7) // fixed seed — deterministic test
