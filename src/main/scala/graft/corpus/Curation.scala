@@ -27,7 +27,10 @@ object Curation {
     * previously-kept document — the property RNG sampling cannot give.
     * Narrow, codegen'd, zero shuffles at any corpus size. */
   def quotaSample(docs: DataFrame): DataFrame = {
-    val tier = substring(col("source"), 4, 10).cast("int") % TierThresholds.size
+    // 2-arg substring (position to end), same parse window as the oracle's
+    // substr(source, 4) — a bounded third argument would silently truncate
+    // long suffixes to a DIFFERENT tier than the oracle computes
+    val tier = expr("substring(source, 4)").cast("int") % TierThresholds.size
     val threshold = TierThresholds.init.zipWithIndex.reverse
       .foldLeft(lit(TierThresholds.last)) { case (rest, (th, i)) =>
         when(tier === i, th).otherwise(rest)

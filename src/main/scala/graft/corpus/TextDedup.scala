@@ -160,8 +160,8 @@ object TextDedup {
     * of rounds suffice at any corpus size (the driver loop only checks a
     * converged flag, it never collects the data).
     *
-    * Per-iteration cost is kept to ONE shuffle, ONE action, and a
-    * CONSTANT-SIZE plan:
+    * Per-iteration cost is ONE shuffle, a CONSTANT-SIZE plan, and BOUNDED
+    * storage:
     *  - both edge directions come from one `explode` over the pair stream (a
     *    `union` of two selects would compute the upstream candidate pipeline
     *    twice when the cache first materializes);
@@ -171,18 +171,29 @@ object TextDedup {
     *  - the aggregate carries each node's previous label through (its own row
     *    contributes `prev = label`, neighbor contributions `prev = MaxValue`,
     *    `min(prev)` recovers it), so convergence ("no label decreased") is a
-    *    filter over the freshly-materialized result instead of a second join
-    *    against the old labels;
+    *    cache-read filter over the freshly-checkpointed round (the eager
+    *    checkpoint job does the shuffle work; the check scans its cache) —
+    *    never a second join against the old labels;
     *  - each round ends in an EAGER `localCheckpoint`, because the loop body
     *    references `labels` twice (join + union): building on the previous
     *    round's plan would DOUBLE the logical plan per round — exponential
     *    analysis/codegen cost that OOMs the driver near ~15 rounds — while a
-    *    checkpoint keeps every round's plan flat. (Deployments that must
-    *    survive executor loss mid-computation swap in reliable
+    *    checkpoint keeps every round's plan flat. The PREVIOUS round's
+    *    checkpoint is freed as soon as the new round materializes, so at most
+    *    two label tables are ever held, not one per round. (Deployments that
+    *    must survive executor loss mid-computation swap in reliable
     *    `checkpoint` against the cluster checkpoint dir — same shape.)
+    *
+    * Throws if the components have not converged after `maxIterations` rounds
+    * (diameter > maxIterations) — partially-propagated labels are silently
+    * WRONG cluster ids, so refusing beats returning them.
     *
     * @return (doc_id, cluster_id) for every document that appears in a pair. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    def checkpointRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     val edges = pairs
       .select(explode(array(
         struct(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
@@ -193,6 +204,7 @@ object TextDedup {
     try {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint()
+      var labelsRdd = checkpointRdd(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
@@ -205,9 +217,14 @@ object TextDedup {
           .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
           .localCheckpoint() // eager: materializes AND truncates lineage
         converged = next.filter(col("label") < col("prev")).isEmpty
+        labelsRdd.foreach(_.unpersist(false)) // free the superseded round NOW
         labels = next.select(col("node"), col("label"))
+        labelsRdd = checkpointRdd(next)
         iter += 1
       }
+      require(converged,
+        s"dedupClusters did not converge within $maxIterations rounds — " +
+          "a component's diameter exceeds the bound; raise maxIterations")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     } finally edges.unpersist()
   }

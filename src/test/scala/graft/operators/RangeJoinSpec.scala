@@ -71,8 +71,9 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     val ranges = Seq.tabulate(60) { i =>
       val s0 = t(20000)
       (keys(rnd.nextInt(keys.size)), i.toLong + 1000L,
-        new Timestamp(s0), new Timestamp(s0 + (rnd.nextInt(8) - 1) * 900L))
-    } // some empty/inverted ranges on purpose — the operator must drop them
+        new Timestamp(s0), new Timestamp(s0 + (rnd.nextInt(8) - 1) * 900000L))
+    } // whole-second ranges up to ~105 min wide, spanning many 600s buckets;
+      // some empty/inverted on purpose — the operator must drop them
     val expected = (for {
       (pk, pid, pt) <- points
       (rk, rid, rs, re) <- ranges
