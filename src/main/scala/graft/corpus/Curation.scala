@@ -26,7 +26,7 @@ object Curation {
     * the pipeline, or re-sampling after adding documents, never flips a
     * previously-kept document — the property RNG sampling cannot give.
     * Narrow, codegen'd, zero shuffles at any corpus size. */
-  def quotaSample(docs: DataFrame): DataFrame = {
+  def quotaSample(docs: DataFrame, passthrough: String*): DataFrame = {
     // 2-arg substring (position to end), same parse window as the oracle's
     // substr(source, 4) — a bounded third argument would silently truncate
     // long suffixes to a DIFFERENT tier than the oracle computes
@@ -35,11 +35,23 @@ object Curation {
       .foldLeft(lit(TierThresholds.last)) { case (rest, (th, i)) =>
         when(tier === i, th).otherwise(rest)
       }
-    docs.select(col("doc_id"), col("source"),
-        substring(md5(encode(col("text"), "UTF-8")), 1, 8).as("gate"), threshold.as("th"))
+    docs.select(col("doc_id") +: col("source") +:
+        substring(md5(encode(col("text"), "UTF-8")), 1, 8).as("gate") +:
+        threshold.as("th") +: passthrough.map(col): _*)
       .filter(col("gate") < col("th"))
-      .select(col("doc_id"), col("source"), col("gate"))
+      .select(col("doc_id") +: col("source") +: col("gate") +:
+        passthrough.map(col): _*)
   }
+
+  /** Mix report — the composition audit every mixing run produces to confirm
+    * the weights landed: per source, how many documents and tokens survived
+    * [[quotaSample]]. Composes the sampler (narrow) with one map-side-partial
+    * aggregate keyed on the domain; nothing corpus-sized ever moves. */
+  def mixReport(docs: DataFrame): DataFrame =
+    quotaSample(docs.withColumn("n_tokens", size(split(col("text"), " "))),
+        "n_tokens")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The

@@ -286,6 +286,22 @@ FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
 SELECT doc_id, source, gate FROM g WHERE gate < th"""
     },
 
+    // x25: per-source composition surviving the x23 gate (CAST keeps SUM out
+    // of HUGEINT, which pandas would render as float and fail the compare)
+    "x25_mix_report" -> {
+      val tiers = graft.corpus.Curation.TierThresholds
+      val whens = tiers.init.zipWithIndex
+        .map { case (th, i) => s"WHEN $i THEN '$th'" }.mkString(" ")
+      s"""WITH g AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+    substr(md5(text), 1, 8) AS gate,
+    CASE CAST(substr(source, 4) AS INTEGER) % ${tiers.size}
+      $whens ELSE '${tiers.last}' END AS th
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM g WHERE gate < th GROUP BY 1"""
+    },
+
     // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
     "x24_topk_quality" -> (qualityPrelude(", source") +
       """SELECT source, doc_id, quality, rn AS "rank" FROM (

@@ -112,6 +112,11 @@ object CorpusQueries {
   def x24TopkQuality(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.topKByQuality(docs(spark, dir))
 
+  /** x25 — mix report: per-source surviving doc/token composition after
+    * quota sampling (the audit that confirms mixing weights landed). */
+  def x25MixReport(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.mixReport(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -100,6 +100,26 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       kept.map(_._1).sorted
   }
 
+  test("mix report aggregates exactly the quota sampler's survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    import org.apache.spark.sql.{functions => F}
+    val d = (0L until 60L).map(i => (i, s"doc number $i words", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val survivors = Curation.quotaSample(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected: Map[String, (Long, Long)] = d
+      .filter(col("doc_id").isInCollection(survivors))
+      .select(col("source"), F.size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> ((xs.size.toLong, xs.map(_._2.toLong).sum))
+      }
+    val got = Curation.mixReport(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expected
+  }
+
   test("per-domain quality top-k: highest quality wins per source, doc_id breaks ties") {
     import spark.implicits._
     val long = (1 to 100).map(_ => "the").mkString(" ") // max length + stopword score
