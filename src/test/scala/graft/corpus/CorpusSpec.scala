@@ -415,6 +415,24 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("narrow per-document operators compile to shuffle-free physical plans") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import spark.implicits._
+    val d = (0L until 20L).map(i => (i, s"some text number $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val narrowOps = Seq(
+      "langId" -> TextStats.langId(d),
+      "quality" -> TextStats.quality(d),
+      "tokenStats" -> TextStats.tokenStats(d),
+      "stopwordScrub" -> TextStats.stopwordScrub(d),
+      "simhash" -> TextDedup.simhash(d),
+      "quotaSample" -> Curation.quotaSample(d))
+    narrowOps.foreach { case (name, df) =>
+      val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      withClue(s"$name should not shuffle: ") { exchanges shouldBe empty }
+    }
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
