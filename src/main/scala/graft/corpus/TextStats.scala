@@ -144,6 +144,32 @@ object TextStats {
         dupFrac(3, col("n") - 2, col("d3")).as("dup_3gram_frac"))
   }
 
+  /** TF-IDF keyword extraction — the `k` most distinctive tokens per document
+    * (classic tf·idf with `idf = log10(N/df)`), the corpus-exploration /
+    * topic-hint step of a curation pipeline. Scores are rounded to 6 dp BEFORE
+    * ranking so the (score desc, token asc) order is identical on both engines
+    * — ranking on raw doubles would let a last-ulp `log10` difference flip
+    * neighbors. Scale shape: document frequency is derived from the tf table
+    * itself (one row per (doc, token) — no second corpus pass, and a plain
+    * `count` instead of a `countDistinct` expand); the one-row corpus count
+    * broadcasts; the final window partitions on doc_id, so no cross-document
+    * skew. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w").as("token"),
+        round(col("tf") * log10(col("n") / col("df")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Winnowing-style fingerprint (Schleimer et al., SIGMOD'03 shape): hash every
     * char k-gram, slide a window of `w` positions, keep each window's minimum —
     * the selected set is the document sketch. Emits its size and lexicographic min

@@ -302,6 +302,22 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM g WHERE gate < th GROUP BY 1"""
     },
 
+    // x26: tf·idf keywords — scores rounded to 6 dp BEFORE ranking so the
+    // (score desc, token asc) order cannot be flipped by a last-ulp log10
+    // difference between engines
+    "x26_tfidf_keywords" -> """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (
+  SELECT doc_id, w AS token, round(tf * log10(n / df), 6) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd)
+SELECT doc_id, token, score, rn AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, token) AS rn FROM sc)
+WHERE rn <= 3""",
+
     // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
     "x24_topk_quality" -> (qualityPrelude(", source") +
       """SELECT source, doc_id, quality, rn AS "rank" FROM (

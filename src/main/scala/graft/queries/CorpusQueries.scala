@@ -117,6 +117,10 @@ object CorpusQueries {
   def x25MixReport(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.mixReport(docs(spark, dir))
 
+  /** x26 — TF-IDF keyword extraction: top-3 most distinctive tokens per doc. */
+  def x26TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfKeywords(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

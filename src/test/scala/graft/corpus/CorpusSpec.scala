@@ -120,6 +120,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("tfidf keywords: rare tokens outrank ubiquitous ones, ties break on token") {
+    val d = docs(
+      1L -> "apple apple banana shared",
+      2L -> "cherry shared shared common",
+      3L -> "shared kiwi")
+    val rows = TextStats.tfidfKeywords(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Double]("score")))).toMap
+    rows((1L, 1)) shouldBe (("apple", 0.954243))  // tf 2 × log10(3/1)
+    rows((1L, 2)) shouldBe (("banana", 0.477121))
+    rows((1L, 3)) shouldBe (("shared", 0.0))      // df = N ⇒ idf 0
+    rows((3L, 1)) shouldBe (("kiwi", 0.477121))
+    rows.keys.count(_._1 == 3L) shouldBe 2        // only 2 distinct tokens
+  }
+
   test("per-domain quality top-k: highest quality wins per source, doc_id breaks ties") {
     import spark.implicits._
     val long = (1 to 100).map(_ => "the").mkString(" ") // max length + stopword score
