@@ -144,6 +144,34 @@ object TextStats {
         dupFrac(3, col("n") - 2, col("d3")).as("dup_3gram_frac"))
   }
 
+  /** Bigram LM scoring — the next rung of the LM quality-filter ladder above
+    * [[unigramLogProb]]: score each document by the sum of per-bigram
+    * conditional log-probs `log10 p(w2 | w1)` under corpus-trained MLE
+    * (`c(w1 w2) / c(w1 ·)`), the perplexity-style filter pretraining pipelines
+    * run (CCNet shape). Same order-independence trick as x19: each term is
+    * rounded to 8 dp then DECIMAL-summed, so aggregation order cannot break
+    * oracle parity. Documents with fewer than two tokens have no bigrams and
+    * are absent. Scale shape: both count tables aggregate map-side; the score
+    * joins are keyed on the bigram then its prefix — the standard LM-training
+    * shuffles, nothing quadratic. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val pairs = "CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+      "transform(sequence(1, size(split(text, ' ')) - 1), " +
+      "i -> struct(element_at(split(text, ' '), i) AS w1, " +
+      "element_at(split(text, ' '), i + 1) AS w2)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    val bi = docs.select(col("doc_id"), explode(expr(pairs)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp",
+        round(log10(col("c12") / col("c1")), 8).cast("decimal(12,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).cast("double").as("sum_logprob"))
+  }
+
   /** TF-IDF keyword extraction — the `k` most distinctive tokens per document
     * (classic tf·idf with `idf = log10(N/df)`), the corpus-exploration /
     * topic-hint step of a curation pipeline. Scores are rounded to 6 dp BEFORE

@@ -318,6 +318,26 @@ SELECT doc_id, token, score, rn AS "rank" FROM (
     ORDER BY score DESC, token) AS rn FROM sc)
 WHERE rn <= 3""",
 
+    // x27: bigram conditional log-probs, rounded to 8 dp then DECIMAL-summed
+    // (x19's order-independence trick); COUNT stays BIGINT on both sides
+    "x27_bigram_score" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bl AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(len(ws) - 1),
+             i -> {'w1': ws[i+1], 'w2': ws[i+2]})
+      ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS b
+  FROM toks),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bl),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bb GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  CAST(SUM(CAST(round(log10(c12 / c1), 8) AS DECIMAL(12,8))) AS DOUBLE)
+    AS sum_logprob
+FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id""",
+
     // x24: per-source top-3 by the x9 quality score (quality desc, doc_id asc)
     "x24_topk_quality" -> (qualityPrelude(", source") +
       """SELECT source, doc_id, quality, rn AS "rank" FROM (

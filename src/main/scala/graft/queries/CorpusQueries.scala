@@ -121,6 +121,11 @@ object CorpusQueries {
   def x26TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfidfKeywords(docs(spark, dir))
 
+  /** x27 — corpus-trained bigram conditional log-prob score (perplexity-style
+    * LM quality filter). */
+  def x27BigramScore(spark: SparkSession, dir: String): DataFrame =
+    TextStats.bigramLogProb(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -120,6 +120,17 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("bigram log-prob: MLE conditionals from the corpus; short docs absent") {
+    val d = docs(1L -> "x y", 2L -> "x z", 3L -> "solo")
+    // c(x ·) = 2, c(x y) = c(x z) = 1 -> each doc scores log10(1/2)
+    val rows = TextStats.bigramLogProb(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_logprob")))).toMap
+    rows.keySet shouldBe Set(1L, 2L) // doc 3 has no bigrams
+    rows(1L) shouldBe ((1L, -0.30103))
+    rows(2L) shouldBe ((1L, -0.30103))
+  }
+
   test("tfidf keywords: rare tokens outrank ubiquitous ones, ties break on token") {
     val d = docs(
       1L -> "apple apple banana shared",
