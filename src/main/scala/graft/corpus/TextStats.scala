@@ -155,12 +155,15 @@ object TextStats {
     * joins are keyed on the bigram then its prefix — the standard LM-training
     * shuffles, nothing quadratic. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
-    val pairs = "CASE WHEN size(split(text, ' ')) >= 2 THEN " +
-      "transform(sequence(1, size(split(text, ' ')) - 1), " +
-      "i -> struct(element_at(split(text, ' '), i) AS w1, " +
-      "element_at(split(text, ' '), i + 1) AS w2)) " +
+    // materialize the token array ONCE per row before the transform —
+    // element_at(split(text), i) inside the lambda would re-split the text on
+    // EVERY element access, turning the bigram build quadratic per document
+    val pairs = "CASE WHEN size(ws) >= 2 THEN " +
+      "transform(sequence(1, size(ws) - 1), " +
+      "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) " +
       "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-    val bi = docs.select(col("doc_id"), explode(expr(pairs)).as("b"))
+    val bi = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(expr(pairs)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
