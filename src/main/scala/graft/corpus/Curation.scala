@@ -30,7 +30,14 @@ object Curation {
     // 2-arg substring (position to end), same parse window as the oracle's
     // substr(source, 4) — a bounded third argument would silently truncate
     // long suffixes to a DIFFERENT tier than the oracle computes
-    val tier = expr("substring(source, 4)").cast("int") % TierThresholds.size
+    // fail loudly on an unparseable suffix, exactly like the oracle's raising
+    // CAST — a silent NULL would fall through the when-chain to the LAST
+    // threshold and diverge from DuckDB without a red row to show for it
+    val parsed = expr("try_cast(substring(source, 4) as int)")
+    val tier = when(parsed.isNull, raise_error(concat(
+        lit("quotaSample: source has no numeric tier suffix: "), col("source")))
+        .cast("int"))
+      .otherwise(parsed) % TierThresholds.size
     val threshold = TierThresholds.init.zipWithIndex.reverse
       .foldLeft(lit(TierThresholds.last)) { case (rest, (th, i)) =>
         when(tier === i, th).otherwise(rest)

@@ -190,10 +190,17 @@ object TextDedup {
     *
     * @return (doc_id, cluster_id) for every document that appears in a pair. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    def checkpointRdd(df: DataFrame) =
+    // fail loudly if a Spark upgrade ever stops exposing the checkpoint as a
+    // bare LogicalRDD — silently returning nothing here would quietly degrade
+    // the documented two-table memory bound to one-table-per-round. (The
+    // FINAL round's checkpoint backs the returned labels and is released by
+    // the ContextCleaner once the caller drops the result.)
+    def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
+      }.getOrElse(throw new IllegalStateException(
+        "localCheckpoint no longer yields a bare LogicalRDD plan — " +
+          "dedupClusters' per-round checkpoint release needs re-wiring"))
     val edges = pairs
       .select(explode(array(
         struct(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
@@ -217,7 +224,7 @@ object TextDedup {
           .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
           .localCheckpoint() // eager: materializes AND truncates lineage
         converged = next.filter(col("label") < col("prev")).isEmpty
-        labelsRdd.foreach(_.unpersist(false)) // free the superseded round NOW
+        labelsRdd.unpersist(false) // free the superseded round NOW
         labels = next.select(col("node"), col("label"))
         labelsRdd = checkpointRdd(next)
         iter += 1

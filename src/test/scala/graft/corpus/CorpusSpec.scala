@@ -100,6 +100,15 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       kept.map(_._1).sorted
   }
 
+  test("quota sampling fails loudly on a source with no numeric tier suffix") {
+    // the DuckDB oracle's CAST raises on the same input — both engines must
+    // refuse rather than silently routing the doc to an arbitrary tier
+    import spark.implicits._
+    val d = Seq((0L, "some text", "web-crawl")).toDF("doc_id", "text", "source")
+    val e = intercept[Exception] { Curation.quotaSample(d).collect() }
+    e.getMessage should include("no numeric tier suffix")
+  }
+
   test("mix report aggregates exactly the quota sampler's survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, split}

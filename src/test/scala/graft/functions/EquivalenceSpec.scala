@@ -89,7 +89,12 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
       val dim = 1 + rnd.nextInt(40)
       (Seq.fill(dim)(rnd.nextDouble() * 2 - 1), Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
     }
-    val viaCodegen = vecs.toDF("a", "b")
+    // parallelize (not Seq.toDF): a LocalRelation input lets the
+    // ConvertToLocalRelation optimizer rule fold the projection with
+    // INTERPRETED eval at optimization time, and doGenCode never runs —
+    // an RDD-backed plan survives to whole-stage codegen
+    val viaCodegen = spark.createDataFrame(spark.sparkContext.parallelize(vecs))
+      .toDF("a", "b")
       .select(VectorOps.dotp(col("a"), col("b"))).collect().map(_.getDouble(0))
     val viaEval = vecs.map { case (a, b) =>
       DotProduct(
