@@ -78,6 +78,8 @@ object SparkEntry {
     "x25_mix_report" -> (C.x25MixReport _),
     "x26_tfidf_keywords" -> (C.x26TfidfKeywords _),
     "x27_bigram_score" -> (C.x27BigramScore _),
+    "x28_pii_scrub" -> (C.x28PiiScrub _),
+    "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

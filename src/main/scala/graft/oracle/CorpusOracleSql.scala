@@ -172,7 +172,67 @@ SELECT vec_id, bucket, neighbor_id, round(cos, 6) AS cosine FROM (
 WHERE rn = 1"""
   }
 
+  /** The x28 PII fixture — replays Privacy.syntheticPiiFixture's doc_id
+    * arithmetic byte-for-byte, so the redaction hash check sees real matches. */
+  private val piiFixtureSql = """WITH fx AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@data.example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' node 10.' || CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 + 1 AS VARCHAR)
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END
+    AS text
+  FROM documents)
+"""
+
+  private val piiScrubSql: String = {
+    import graft.corpus.Privacy._
+    // DuckDB regexp_replace only replaces the FIRST match without 'g'; counts
+    // come from the raw text per pattern, mirroring Privacy.piiScrub
+    val redacted = Redactions.foldLeft("text") { case (c, (pat, tag)) =>
+      s"regexp_replace($c, '$pat', '$tag', 'g')"
+    }
+    piiFixtureSql +
+      s"""SELECT doc_id,
+  len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+  len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+  len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ipv4,
+  $redacted AS redacted
+FROM fx"""
+  }
+
+  private val normalizeSql = """WITH fx AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN '  ' || text || ' ' ELSE text END AS t0
+  FROM documents),
+fx2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN upper(t0) ELSE t0 END AS t1
+  FROM fx),
+fx3 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN replace(t1, ' ', '  ') ELSE t1 END AS text
+  FROM fx2),
+n AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS normalized
+  FROM fx3)
+SELECT doc_id, normalized,
+  length(text) AS n_chars_raw,
+  length(normalized) AS n_chars_norm,
+  CASE WHEN normalized = text THEN 0 ELSE 1 END AS changed
+FROM n"""
+
   val sql: Map[String, String] = Map(
+
+    // x28: PII scan + scrub — patterns interpolated from Privacy's constants
+    "x28_pii_scrub" -> piiScrubSql,
+
+    // x29: canonical text normalization over the messy-text fixture
+    "x29_normalize" -> normalizeSql,
     "x1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
          COUNT(*) AS n_copies

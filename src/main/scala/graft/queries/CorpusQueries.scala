@@ -126,6 +126,19 @@ object CorpusQueries {
   def x27BigramScore(spark: SparkSession, dir: String): DataFrame =
     TextStats.bigramLogProb(docs(spark, dir))
 
+  /** x28 — PII scan + scrub over the deterministic PII fixture (the synthetic
+    * corpus carries no organic PII; the fixture makes the hash check
+    * non-vacuous — see [[graft.corpus.Privacy.syntheticPiiFixture]]). */
+  def x28PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Privacy.piiScrub(
+      graft.corpus.Privacy.syntheticPiiFixture(docs(spark, dir)))
+
+  /** x29 — canonical text normalization over the deterministic messy-text
+    * fixture (case, whitespace runs, padding). */
+  def x29Normalize(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Privacy.normalizeText(
+      graft.corpus.Privacy.messyTextFixture(docs(spark, dir)))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -3,6 +3,7 @@ package graft.corpus
 import graft.SparkSpec
 import graft.multimodal.{FakeCodec, Media}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -98,6 +99,41 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     // the gate is content-derived: a second run keeps the identical set
     Curation.quotaSample(d).collect().map(_.getLong(0)).sorted shouldBe
       kept.map(_._1).sorted
+  }
+
+  test("PII scrub counts each pattern on raw text and redacts all occurrences") {
+    val d = docs(
+      1L -> "mail a@b.org and c.d+x@e-f.co now",
+      2L -> "call 555-123-4567 or 555-999-0000 from 10.0.3.77",
+      3L -> "no pii here at all",
+      4L -> "ip 192.168.0.1 twice 192.168.0.1")
+    val r = Privacy.piiScrub(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    (r(1L).getInt(1), r(1L).getInt(2), r(1L).getInt(3)) shouldBe ((2, 0, 0))
+    r(1L).getString(4) shouldBe "mail <EMAIL> and <EMAIL> now"
+    (r(2L).getInt(1), r(2L).getInt(2), r(2L).getInt(3)) shouldBe ((0, 2, 1))
+    r(2L).getString(4) shouldBe "call <PHONE> or <PHONE> from <IP>"
+    (r(3L).getInt(1), r(3L).getInt(2), r(3L).getInt(3)) shouldBe ((0, 0, 0))
+    r(3L).getString(4) shouldBe "no pii here at all"
+    r(4L).getInt(3) shouldBe 2
+    r(4L).getString(4) shouldBe "ip <IP> twice <IP>"
+  }
+
+  test("text normalization is idempotent and flags exactly the changed docs") {
+    val d = docs(
+      1L -> "Already Messy  TEXT \t here ",
+      2L -> "clean lowercase text",
+      3L -> "  padded  ")
+    val r = Privacy.normalizeText(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4)))
+      .sortBy(_._1)
+    r(0) shouldBe ((1L, "already messy text here", 27, 23, 1))
+    r(1) shouldBe ((2L, "clean lowercase text", 20, 20, 0))
+    r(2) shouldBe ((3L, "padded", 10, 6, 1))
+    // a second pass over its own output changes nothing
+    val again = Privacy.normalizeText(
+      Privacy.normalizeText(d).select(col("doc_id"), col("normalized").as("text")))
+    again.filter(col("changed") =!= 0).count() shouldBe 0L
   }
 
   test("quota sampling fails loudly on a source with no numeric tier suffix") {
