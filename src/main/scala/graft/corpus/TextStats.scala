@@ -175,6 +175,59 @@ object TextStats {
         sum(col("lp")).cast("double").as("sum_logprob"))
   }
 
+  /** The target-domain sources for [[importanceWeights]]'s driver query —
+    * shared with the x30 oracle generator so the two cannot drift. */
+  val DsirTargetSources: Seq[String] =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Hashed-n-gram importance weighting — the DSIR shape (Xie et al., 2023):
+    * score every document by how much its hashed-bigram distribution looks
+    * like a TARGET domain versus the raw corpus. Each bigram hashes into one
+    * of `buckets` buckets (md5-prefix, engine-neutral); per bucket the
+    * Laplace-smoothed log-likelihood ratio
+    * `log10( (ct+1)/(tt+B) / ((cr+1)/(tr+B)) )` is computed once, and a
+    * document's score is the sum of its bigram occurrences' bucket ratios —
+    * the importance weight a resampling pass feeds to weighted selection.
+    * Parity: each ratio is rounded to 8 dp then DECIMAL-summed (x19's
+    * order-independence trick); the ratio arithmetic is written as the
+    * identical double-op sequence in the oracle SQL.
+    *
+    * Scale shape: the bucket table is `buckets` rows no matter the corpus size
+    * — it aggregates map-side and BROADCASTS back to the occurrence stream, so
+    * the only corpus-sized shuffle is the final per-document sum. That
+    * hashed-fixed-width side table is the entire point of DSIR: the n-gram
+    * vocabulary never materializes. Docs with fewer than two tokens have no
+    * bigrams and are absent. */
+  def importanceWeights(docs: DataFrame,
+      targetSources: Seq[String] = DsirTargetSources,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "bucket hash reads 4 hex digits")
+    val pairs = "CASE WHEN size(ws) >= 2 THEN " +
+      "transform(sequence(1, size(ws) - 1), " +
+      "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val occ = docs.select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"), explode(expr(pairs)).as("bg"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("int"),
+          lit(buckets)).as("b"))
+    val byBucket = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source").isInCollection(targetSources), 1L).otherwise(0L))
+        .as("ct"))
+    val tot = byBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = byBucket.crossJoin(broadcast(tot)).select(col("b"),
+      round(log10(
+        ((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+          / ((col("cr") + 1).cast("double")
+            / (col("tr") + buckets).cast("double"))), 8)
+        .cast("decimal(12,8)").as("lr"))
+    occ.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lr")).cast("double").as("dsir_score"))
+  }
+
   /** TF-IDF keyword extraction — the `k` most distinctive tokens per document
     * (classic tf·idf with `idf = log10(N/df)`), the corpus-exploration /
     * topic-hint step of a curation pipeline. Scores are rounded to 6 dp BEFORE
