@@ -40,8 +40,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver's stdout tail-capture has truncated
+    // this line mid-JSON before, losing the total — the file is the robust copy
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench-latest.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -79,6 +79,8 @@ object SparkEntry {
     "x26_tfidf_keywords" -> (C.x26TfidfKeywords _),
     "x27_bigram_score" -> (C.x27BigramScore _),
     "x28_pii_scrub" -> (C.x28PiiScrub _),
+    "x30_dsir_weights" -> (C.x30DsirWeights _),
+    "x31_pack_sequences" -> (C.x31PackSequences _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -60,6 +60,43 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Token budget per packed training sequence for [[packSequences]]'s driver
+    * query — shared with the x31 oracle generator so the two cannot drift. */
+  val PackBudget: Int = 512
+
+  /** Sequence packing — the step between curation and the tokenizer/training
+    * loop: assign every document to the fixed-token-budget training sequence
+    * in which its first token lands, under the concatenate-then-chunk packing
+    * every GPT-style pretraining run uses (documents concatenated per source
+    * in doc_id order, the token stream chunked every `budget` tokens). Emits
+    * `(source, doc_id, n_tokens, seq_id, offset)`: `seq_id` is the per-source
+    * chunk index of the document's first token and `offset` its position
+    * within that chunk — exactly what a downstream tokenizer shard needs to
+    * locate each document. Deterministic, pure integer arithmetic (exclusive
+    * cumulative sum + integer div/mod), so the DuckDB oracle matches bit for
+    * bit.
+    *
+    * Scale shape: ONE shuffle — the window's partition-by-source — with skew
+    * bounded by the largest domain (the same bound as [[topKByQuality]]); the
+    * running sum is a single ordered pass per partition, and everything
+    * upstream/downstream of the window is narrow. At 100 TB the per-source
+    * ordered scan is exactly the layout the subsequent tokenizer shard-write
+    * wants, so the shuffle is not overhead — it IS the output partitioning. */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    require(budget > 0, "sequence budget must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("start",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        // true integer division (`div`, like the oracle's `//`) — a double
+        // `/`-then-cast would go lossy past 2^53 cumulative tokens
+        expr(s"start div $budget").as("seq_id"),
+        (col("start") % budget).as("offset"))
+  }
+
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The
     * `source` column rides through the quality projection itself, so the ONLY

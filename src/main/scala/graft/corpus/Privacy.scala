@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * constants live here and the DuckDB oracle SQL is generated from the SAME
   * values ([[graft.oracle.CorpusOracleSql]]), so engine and oracle cannot
   * drift. Patterns deliberately use only syntax Java regex and RE2 (DuckDB)
-  * interpret identically: character classes, bounded repetition, and `\b` —
-  * no lookaround, no backreferences (RE2 has neither).
+  * interpret identically: explicit character classes, bounded repetition, and
+  * `\b` — no lookaround, no backreferences (RE2 has neither), and no `\s`
+  * shorthand (Java's includes U+000B, RE2's does not — see
+  * [[WhitespaceClass]]).
   */
 object Privacy {
 
@@ -26,9 +28,20 @@ object Privacy {
   /** NANP-style dashed phone number. */
   val PhonePattern = """\b\d{3}-\d{3}-\d{4}\b"""
 
+  /** Explicit whitespace class shared by [[normalizeText]] and its oracle.
+    * Java's `\s` includes vertical tab (U+000B) but RE2's does not, so the
+    * shorthand would let engine and oracle diverge on text containing `\x0B`
+    * — both dialects interpret this explicit class identically. */
+  val WhitespaceClass = """[ \t\n\x0B\f\r]"""
+
   /** Redaction tags, applied email → phone → ipv4. Counts are computed on the
     * ORIGINAL text (each pattern independently), so redaction order can never
-    * change a reported count. */
+    * change a reported count. NOTE: because counts are per-pattern on the raw
+    * text, overlapping matches double-count — a digit-only email local part
+    * like `555-123-4567@x.co` counts as one email AND one phone, while the
+    * redacted text carries only the `<EMAIL>` tag (email wins by application
+    * order email → phone → ip). Counts answer "how many of each shape were
+    * seen", not "how many tags were written". */
   val Redactions: Seq[(String, String)] = Seq(
     EmailPattern -> "<EMAIL>",
     PhonePattern -> "<PHONE>",
@@ -52,7 +65,7 @@ object Privacy {
     * before/after char counts and a changed flag so the pipeline can audit
     * how much the pass touched. */
   def normalizeText(docs: DataFrame): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), """\s+""", " ")))
+    val norm = lower(trim(regexp_replace(col("text"), WhitespaceClass + "+", " ")))
     docs.select(col("doc_id"),
       norm.as("normalized"),
       length(col("text")).as("n_chars_raw"),
@@ -81,7 +94,10 @@ object Privacy {
 
   /** Deterministic messy-text fixture for [[normalizeText]] (same rationale as
     * [[syntheticPiiFixture]]): upper-cases every third document, doubles the
-    * spaces of every fifth, pads every second with leading/trailing blanks. */
+    * spaces of every fifth, pads every second with leading/trailing blanks,
+    * and appends a vertical-tab-separated tail to every seventh — the U+000B
+    * case where Java `\s` and RE2 `\s` disagree, so the oracle hash check
+    * exercises the explicit [[WhitespaceClass]]. */
   def messyTextFixture(docs: DataFrame): DataFrame =
     docs.withColumn("text",
       when(col("doc_id") % 2 === 0, concat(lit("  "), col("text"), lit(" ")))
@@ -90,5 +106,8 @@ object Privacy {
         when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")))
       .withColumn("text",
         when(col("doc_id") % 5 === 0, regexp_replace(col("text"), " ", "  "))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("\u000Bvt")))
           .otherwise(col("text")))
 }

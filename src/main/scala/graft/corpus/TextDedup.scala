@@ -171,10 +171,11 @@ object TextDedup {
     *  - the aggregate carries each node's previous label through (its own row
     *    contributes `prev = label`, neighbor contributions `prev = MaxValue`,
     *    `min(prev)` recovers it), so convergence ("no label decreased") is a
-    *    cache-read filter over the freshly-checkpointed round (the eager
-    *    checkpoint job does the shuffle work; the check scans its cache) —
-    *    never a second join against the old labels;
-    *  - each round ends in an EAGER `localCheckpoint`, because the loop body
+    *    count over the new round itself — never a second join against the old
+    *    labels. The checkpoint is LAZY and that convergence count is its
+    *    materializing action, so each round is ONE Spark job (shuffle +
+    *    persist + check fused), not a checkpoint job plus a check job;
+    *  - each round ends in a `localCheckpoint`, because the loop body
     *    references `labels` twice (join + union): building on the previous
     *    round's plan would DOUBLE the logical plan per round — exponential
     *    analysis/codegen cost that OOMs the driver near ~15 rounds — while a
@@ -222,8 +223,11 @@ object TextDedup {
               lit(Long.MaxValue).as("prev")))
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-          .localCheckpoint() // eager: materializes AND truncates lineage
-        converged = next.filter(col("label") < col("prev")).isEmpty
+          .localCheckpoint(false) // lazy: marked, not yet computed
+        // the full-scan count is the checkpoint's materializing action: every
+        // partition computes (and persists) exactly once, and the same job
+        // answers convergence — one Spark job per round, not checkpoint+check
+        converged = next.filter(col("label") < col("prev")).count() == 0L
         labelsRdd.unpersist(false) // free the superseded round NOW
         labels = next.select(col("node"), col("label"))
         labelsRdd = checkpointRdd(next)

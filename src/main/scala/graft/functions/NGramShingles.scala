@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,9 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * windows, empty array — not null — for short or null inputs, matching the
   * `when(size >= n, …).otherwise(array())` contract and DuckDB's
   * `list_distinct(list_transform(...))` oracle prelude).
+  *
+  * Has a real `doGenCode` (same tight loop, emitted into whole-stage codegen)
+  * so the five operators whose hottest stage this is — x2, x3, x21, x22, and
+  * streaming decontamination — keep their shingle projection inside the
+  * generated stage instead of breaking it at a CodegenFallback boundary. The
+  * interpreted `eval` and the generated code are pinned equal by
+  * `EquivalenceSpec`.
   */
 case class NGramShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -58,6 +66,42 @@ case class NGramShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val utfCls = classOf[UTF8String].getName
+    val arrCls = classOf[ArrayData].getName
+    val gadCls = classOf[GenericArrayData].getName
+    val sepRef = ctx.addReferenceObj("sep", sep, utfCls)
+    val emptyRef = ctx.addReferenceObj("emptyShingles", empty, gadCls)
+    val ws = ctx.freshName("ws")
+    val sz = ctx.freshName("sz")
+    val seen = ctx.freshName("seen")
+    val parts = ctx.freshName("parts")
+    val i = ctx.freshName("i")
+    val k = ctx.freshName("k")
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |$arrCls ${ev.value} = $emptyRef;
+         |if (!${childGen.isNull}) {
+         |  $arrCls $ws = ${childGen.value};
+         |  int $sz = $ws.numElements();
+         |  if ($sz >= $n) {
+         |    java.util.LinkedHashSet $seen = new java.util.LinkedHashSet($sz * 2);
+         |    $utfCls[] $parts = new $utfCls[$n];
+         |    for (int $i = 0; $i <= $sz - $n; $i++) {
+         |      for (int $k = 0; $k < $n; $k++) {
+         |        $parts[$k] = $ws.getUTF8String($i + $k);
+         |      }
+         |      $seen.add($utfCls.concatWs($sepRef, $parts));
+         |    }
+         |    ${ev.value} = new $gadCls($seen.toArray());
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGramShingles =

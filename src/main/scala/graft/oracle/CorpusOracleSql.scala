@@ -205,7 +205,10 @@ WHERE rn = 1"""
 FROM fx"""
   }
 
-  private val normalizeSql = """WITH fx AS (
+  // the whitespace class interpolates from Privacy.WhitespaceClass — Java \s
+  // and RE2 \s disagree on U+000B, so the shared explicit class is the parity
+  // contract (and the % 7 fixture stage makes the check exercise it)
+  private val normalizeSql = s"""WITH fx AS (
   SELECT doc_id,
     CASE WHEN doc_id % 2 = 0 THEN '  ' || text || ' ' ELSE text END AS t0
   FROM documents),
@@ -214,19 +217,88 @@ fx2 AS (
   FROM fx),
 fx3 AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 5 = 0 THEN replace(t1, ' ', '  ') ELSE t1 END AS text
+    CASE WHEN doc_id % 5 = 0 THEN replace(t1, ' ', '  ') ELSE t1 END AS t2
   FROM fx2),
+fx4 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN t2 || chr(11) || 'vt' ELSE t2 END AS text
+  FROM fx3),
 n AS (
   SELECT doc_id, text,
-    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS normalized
-  FROM fx3)
+    lower(trim(regexp_replace(text, '${graft.corpus.Privacy.WhitespaceClass}+', ' ', 'g'))) AS normalized
+  FROM fx4)
 SELECT doc_id, normalized,
   length(text) AS n_chars_raw,
   length(normalized) AS n_chars_norm,
   CASE WHEN normalized = text THEN 0 ELSE 1 END AS changed
 FROM n"""
 
+  /** x30 — DSIR hashed-bigram importance weights, replaying
+    * TextStats.importanceWeights' bucket arithmetic with the SAME target-source
+    * list and bucket count. The md5-prefix bucket is rebuilt digit-by-digit
+    * (DuckDB has no base-16 conv()); the likelihood ratio is written as the
+    * identical double-op sequence, rounded to 8 dp then DECIMAL-summed (x19's
+    * order-independence trick). */
+  private val dsirSql: String = {
+    val buckets = 256
+    val targets = TextStats.DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, source,
+    unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+      ELSE CAST([] AS VARCHAR[]) END) AS bg
+  FROM toks),
+occ AS (
+  SELECT doc_id, source,
+    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % $buckets AS b
+  FROM (SELECT doc_id, source, md5(bg) AS h FROM bg)),
+bybucket AS (
+  SELECT b, COUNT(*) AS cr,
+    SUM(CASE WHEN source IN ($targets) THEN 1 ELSE 0 END) AS ct
+  FROM occ GROUP BY 1),
+tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bybucket),
+lrt AS (
+  SELECT b,
+    CAST(round(log10(
+      (CAST(ct + 1 AS DOUBLE) / CAST(tt + $buckets AS DOUBLE))
+      / (CAST(cr + 1 AS DOUBLE) / CAST(tr + $buckets AS DOUBLE))), 8)
+      AS DECIMAL(12,8)) AS lr
+  FROM bybucket CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lr) AS DOUBLE) AS dsir_score
+FROM occ JOIN lrt USING (b)
+GROUP BY doc_id"""
+  }
+
+  /** x31 — sequence packing: exclusive per-source cumulative token sum, then
+    * integer div/mod by the SAME budget constant the operator uses. Pure
+    * integer arithmetic on both engines — exact by construction. */
+  private val packSql: String = {
+    val b = graft.corpus.Curation.PackBudget
+    s"""WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+  FROM t)
+SELECT source, doc_id, n_tokens,
+  CAST(st // $b AS BIGINT) AS seq_id,
+  CAST(st % $b AS BIGINT) AS "offset"
+FROM c"""
+  }
+
   val sql: Map[String, String] = Map(
+
+    // x30: DSIR importance weighting — constants interpolated from TextStats
+    "x30_dsir_weights" -> dsirSql,
+
+    // x31: concat-then-chunk sequence packing — budget from Curation.PackBudget
+    "x31_pack_sequences" -> packSql,
 
     // x28: PII scan + scrub — patterns interpolated from Privacy's constants
     "x28_pii_scrub" -> piiScrubSql,

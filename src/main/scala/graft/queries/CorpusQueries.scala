@@ -126,6 +126,16 @@ object CorpusQueries {
   def x27BigramScore(spark: SparkSession, dir: String): DataFrame =
     TextStats.bigramLogProb(docs(spark, dir))
 
+  /** x31 — sequence packing: per-source concat-then-chunk assignment of every
+    * document to its fixed-token-budget training sequence. */
+  def x31PackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.packSequences(docs(spark, dir))
+
+  /** x30 — DSIR hashed-bigram importance weights against the default target
+    * domains ([[TextStats.DsirTargetSources]]). */
+  def x30DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextStats.importanceWeights(docs(spark, dir))
+
   /** x28 — PII scan + scrub over the deterministic PII fixture (the synthetic
     * corpus carries no organic PII; the fixture makes the hash check
     * non-vacuous — see [[graft.corpus.Privacy.syntheticPiiFixture]]). */

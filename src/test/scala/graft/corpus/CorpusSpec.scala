@@ -123,13 +123,15 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     val d = docs(
       1L -> "Already Messy  TEXT \t here ",
       2L -> "clean lowercase text",
-      3L -> "  padded  ")
+      3L -> "  padded  ",
+      4L -> "a\u000Bb") // vertical tab: in the explicit class, not RE2's \s
     val r = Privacy.normalizeText(d).collect()
       .map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4)))
       .sortBy(_._1)
     r(0) shouldBe ((1L, "already messy text here", 27, 23, 1))
     r(1) shouldBe ((2L, "clean lowercase text", 20, 20, 0))
     r(2) shouldBe ((3L, "padded", 10, 6, 1))
+    r(3) shouldBe ((4L, "a b", 3, 3, 1))
     // a second pass over its own output changes nothing
     val again = Privacy.normalizeText(
       Privacy.normalizeText(d).select(col("doc_id"), col("normalized").as("text")))
@@ -174,6 +176,88 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.keySet shouldBe Set(1L, 2L) // doc 3 has no bigrams
     rows(1L) shouldBe ((1L, -0.30103))
     rows(2L) shouldBe ((1L, -0.30103))
+  }
+
+  test("DSIR importance weights match a driver-side reference; short docs absent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    // sources src0..src6: src0-src4 are DsirTargetSources, src5/src6 are not;
+    // lengths 0..7 include the <2-token docs the absence pin needs
+    val rows = (0L until 40L).map { i =>
+      val len = rnd.nextInt(8)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), s"src${i % 7}")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val targets = TextStats.DsirTargetSources.toSet
+    val buckets = 256
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // (doc_id, source, bucket) per bigram occurrence — the operator's `occ`
+    val occ = rows.flatMap { case (id, text, src) =>
+      val ws = text.split(" ", -1) // "" splits to [""], matching Spark's split
+      if (ws.length >= 2)
+        ws.sliding(2).map(p =>
+          (id, src, Integer.parseInt(md5hex(p.mkString(" ")).take(4), 16) % buckets)).toSeq
+      else Seq.empty
+    }
+    val cr = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val ct = occ.filter(o => targets(o._2)).groupBy(_._3).view.mapValues(_.size).toMap
+    val tr = occ.size
+    val tt = occ.count(o => targets(o._2))
+    def lr(b: Int): BigDecimal = {
+      val ratio = ((ct.getOrElse(b, 0) + 1).toDouble / (tt + buckets).toDouble) /
+        ((cr(b) + 1).toDouble / (tr + buckets).toDouble)
+      BigDecimal(java.math.BigDecimal.valueOf(math.log10(ratio))
+        .setScale(8, java.math.RoundingMode.HALF_UP)) // Spark round() is HALF_UP
+    }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.size.toLong, os.map(o => lr(o._3)).sum.toDouble))
+    }
+    val got = TextStats.importanceWeights(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got shouldBe expected
+    // absence pin: docs with fewer than two tokens have no bigrams and no row
+    val shortIds = rows.filter(_._2.split(" ", -1).length < 2).map(_._1).toSet
+    shortIds should not be empty
+    shortIds.intersect(got.keySet) shouldBe empty
+  }
+
+  test("sequence packing: chunk boundaries, offsets, and per-source isolation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq.fill(300)("t").mkString(" "), "srcA"), // starts at 0   -> seq 0, off 0
+      (2L, Seq.fill(300)("t").mkString(" "), "srcA"), // starts at 300 -> seq 0, off 300
+      (3L, Seq.fill(10)("t").mkString(" "), "srcA"),  // starts at 600 -> seq 1, off 88
+      (4L, Seq.fill(5)("t").mkString(" "), "srcB"))   // own source    -> seq 0, off 0
+      .toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(d).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getString(0), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    out(1L) shouldBe (("srcA", 300, 0L, 0L))
+    out(2L) shouldBe (("srcA", 300, 0L, 300L))
+    out(3L) shouldBe (("srcA", 10, 1L, 88L))
+    out(4L) shouldBe (("srcB", 5, 0L, 0L))
+  }
+
+  test("sequence packing matches a driver-side running-sum reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))("w").mkString(" "), s"s${i % 4}"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val budget = 16
+    val expected = rows.groupBy(_._3).flatMap { case (_, docsOfSrc) =>
+      var cum = 0L
+      docsOfSrc.sortBy(_._1).map { case (id, text, _) =>
+        val st = cum
+        cum += text.split(" ", -1).length
+        id -> ((st / budget, st % budget))
+      }
+    }
+    val got = Curation.packSequences(d, budget).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    got shouldBe expected
   }
 
   test("tfidf keywords: rare tokens outrank ubiquitous ones, ties break on token") {

@@ -78,9 +78,33 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     fast shouldBe slow
   }
 
+  test("NGramShingles interpreted eval == codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val rnd = new scala.util.Random(8)
+    val vocab = Vector("a", "b", "c", "dd", "😀ok", "", "the")
+    val rows = (0 until 150).map { _ =>
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+    }
+    // parallelize (not Seq.toDF): an RDD-backed plan survives to whole-stage
+    // codegen; a LocalRelation would be folded with INTERPRETED eval (see the
+    // DotProduct pin below)
+    val viaCodegen = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_))))
+      .toDF("ws")
+      .select(NGramShingles(col("ws"), 3)).collect()
+      .map(_.getSeq[String](0))
+    val viaEval = rows.map { ws =>
+      NGramShingles(Literal.create(ws, ArrayType(StringType)), 3).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+    }
+    viaCodegen.zip(viaEval).foreach { case (c, e) => c shouldBe e }
+  }
+
   test("DotProduct interpreted eval == codegen path, bit for bit") {
-    // the other custom expressions are CodegenFallback (eval-only); DotProduct
-    // has a real doGenCode, so its two execution paths must be pinned equal
+    // Simhash32/WinnowSketch are CodegenFallback (eval-only); DotProduct and
+    // NGramShingles have real doGenCode, so both execution paths are pinned
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import spark.implicits._
