@@ -81,6 +81,8 @@ object SparkEntry {
     "x28_pii_scrub" -> (C.x28PiiScrub _),
     "x30_dsir_weights" -> (C.x30DsirWeights _),
     "x31_pack_sequences" -> (C.x31PackSequences _),
+    "x32_quality_gate" -> (C.x32QualityGate _),
+    "x33_source_overlap" -> (C.x33SourceOverlap _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -240,6 +240,34 @@ object TextDedup {
     } finally edges.unpersist()
   }
 
+  /** Cross-source overlap matrix — the dedup GOVERNANCE report: given near-dup
+    * pairs (from [[minhashPairs]] et al.) and the corpus, how many near-dup
+    * pairs link each pair of sources, and how similar the worst one is. This
+    * is the audit that tells a curation team which domains are mirroring each
+    * other (and whether within-domain duplication dominates cross-domain).
+    * Source pairs are name-ordered (`least`/`greatest`) so the matrix is one
+    * row per unordered pair; `max_jaccard` (order-independent, rounded) keeps
+    * the output oracle-exact where an order-sensitive double `avg` would not
+    * be.
+    *
+    * Scale shape: the pair set is the (bounded) near-dup output, the source
+    * map is one narrow projection of the corpus; the two keyed joins shuffle
+    * on doc id — no broadcast hint, because the source map is per-document
+    * sized (AQE broadcasts the pair side if it turns out small). The final
+    * aggregate is at most |sources|² rows. */
+  def crossSourceOverlap(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), col("doc_id_1") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_id_2") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
   /** Benchmark decontamination — the eval-leak check every training corpus runs
     * before release: flag training documents sharing at least one word n-gram
     * with a held-out benchmark set, reporting how many of the document's

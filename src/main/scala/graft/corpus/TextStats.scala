@@ -196,8 +196,14 @@ object TextStats {
     * — it aggregates map-side and BROADCASTS back to the occurrence stream, so
     * the only corpus-sized shuffle is the final per-document sum. That
     * hashed-fixed-width side table is the entire point of DSIR: the n-gram
-    * vocabulary never materializes. Docs with fewer than two tokens have no
-    * bigrams and are absent. */
+    * vocabulary never materializes. The corpus totals (`tr`, `tt`) come from
+    * an UNPARTITIONED window over the bucket table, not a separate aggregate:
+    * a second aggregate branch would reference the bucket subtree twice and
+    * Spark would recompute it — a whole extra corpus pass (observed in the
+    * physical plan); the window costs one single-partition exchange of
+    * `buckets` rows, bounded by construction. Exactly TWO corpus passes total
+    * (bucket counts + the score join), the minimum for a two-sided frequency
+    * model. Docs with fewer than two tokens have no bigrams and are absent. */
   def importanceWeights(docs: DataFrame,
       targetSources: Seq[String] = DsirTargetSources,
       buckets: Int = 256): DataFrame = {
@@ -215,17 +221,57 @@ object TextStats {
       count(lit(1)).as("cr"),
       sum(when(col("source").isInCollection(targetSources), 1L).otherwise(0L))
         .as("ct"))
-    val tot = byBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val lr = byBucket.crossJoin(broadcast(tot)).select(col("b"),
-      round(log10(
-        ((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
-          / ((col("cr") + 1).cast("double")
-            / (col("tr") + buckets).cast("double"))), 8)
-        .cast("decimal(12,8)").as("lr"))
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lr = byBucket
+      .withColumn("tr", sum(col("cr")).over(all))
+      .withColumn("tt", sum(col("ct")).over(all))
+      .select(col("b"),
+        round(log10(
+          ((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+            / ((col("cr") + 1).cast("double")
+              / (col("tr") + buckets).cast("double"))), 8)
+          .cast("decimal(12,8)").as("lr"))
     occ.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lr")).cast("double").as("dsir_score"))
+  }
+
+  /** Rule thresholds for [[qualityGate]] — shared with the x32 oracle
+    * generator so the two cannot drift. The shapes are the Gopher-style
+    * (Rae et al., 2021) document-level heuristics, tuned loose: the gate
+    * REPORTS per-rule outcomes, it does not silently drop. */
+  val GateMinTokens = 5
+  val GateMaxTokens = 100000
+  val GateMinCharsPerToken = 2.0
+  val GateMaxCharsPerToken = 12.0
+  val GateMinStopwordHits = 1
+  val GateMinAlphaFrac = 0.6
+
+  /** Quality-gate rules report — the Gopher-shape rule filter every
+    * pretraining corpus runs: per document, one 0/1 flag per rule (token-count
+    * range, mean chars-per-token range, English-stopword presence,
+    * alphabetic-token fraction) plus the conjunctive `keep` decision. Flags
+    * are REPORTED per rule rather than pre-folded so downstream audits can
+    * see WHY a document failed. Narrow, zero shuffles at any corpus size —
+    * every signal is a per-document expression. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val nTokens = size(ws)
+    val cpt = length(col("text")).cast("double") / nTokens
+    val stopHits = hits(Stopwords.head._2)
+    val alphaFrac =
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nTokens
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    val cLen = nTokens >= GateMinTokens && nTokens <= GateMaxTokens
+    val cCpt = cpt >= GateMinCharsPerToken && cpt <= GateMaxCharsPerToken
+    val cStop = stopHits >= GateMinStopwordHits
+    val cAlpha = alphaFrac >= GateMinAlphaFrac
+    docs.select(col("doc_id"), nTokens.as("n_tokens"),
+      flag(cLen).as("r_len"), flag(cCpt).as("r_token_len"),
+      flag(cStop).as("r_stopwords"), flag(cAlpha).as("r_alpha"),
+      flag(cLen && cCpt && cStop && cAlpha).as("keep"))
   }
 
   /** TF-IDF keyword extraction — the `k` most distinctive tokens per document

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -17,9 +17,15 @@ import org.apache.spark.sql.types._
   * occurrence. Hex nibble i is the {high, low} half of digest byte i/2, so the
   * "high bit of nibble i" is digest-bit `7 - 4*(i%2)` of that byte — no hex
   * string is materialized.
+  *
+  * `doGenCode` emits a call to [[kernel]] on the referenced expression
+  * instance: under CodegenFallback the WHOLE subtree — including the
+  * `split(text, ' ')` child — evaluated interpreted per row; this keeps the
+  * child inside whole-stage codegen and pays one virtual call for the kernel.
+  * eval and codegen paths are pinned equal by `EquivalenceSpec`.
   */
 case class Simhash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -33,8 +39,9 @@ case class Simhash32(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val ws = input.asInstanceOf[ArrayData]
+  /** The per-document signature loop — shared verbatim by the interpreted and
+    * generated paths (the generated code calls this method). */
+  def kernel(ws: ArrayData): Long = {
     val md = Digests.md5.get()
     val counts = new Array[Int](32)
     var t = 0
@@ -62,6 +69,15 @@ case class Simhash32(child: Expression)
     }
     sig
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("simhash", this, classOf[Simhash32].getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `rowsBetween(0, w-1)` contract);
   *  - documents shorter than k code points yield null (the `length >= k`
   *    filter's row-drop, applied by the caller).
+  *
+  * `doGenCode` emits a call to [[kernel]] on the referenced expression
+  * instance: under CodegenFallback the whole subtree evaluated interpreted per
+  * row; this keeps the surrounding projection inside whole-stage codegen and
+  * pays one virtual call for the kernel. eval and codegen paths are pinned
+  * equal by `EquivalenceSpec`.
   */
 case class WinnowSketch(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1 && w >= 1, "gram width and window size must be >= 1")
 
@@ -61,8 +68,13 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     new String(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  /** The per-document sketch loop — shared verbatim by the interpreted and
+    * generated paths (the generated code calls this method). Returns null for
+    * texts shorter than k code points. */
+  def kernel(text: UTF8String): InternalRow = {
     val nChars = text.numChars()
     if (nChars < k) return null
     val n = nChars - k + 1
@@ -90,6 +102,23 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
       p += 1
     }
     InternalRow(selected.size.toLong, UTF8String.fromString(globalMin))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowSketch].getName)
+    val rowCls = classOf[InternalRow].getName
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = true;
+         |$rowCls ${ev.value} = null;
+         |if (!${childGen.isNull}) {
+         |  ${ev.value} = $self.kernel(${childGen.value});
+         |  ${ev.isNull} = (${ev.value} == null);
+         |}
+       """.stripMargin
+    ev.copy(code = resultCode)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowSketch =

@@ -292,7 +292,52 @@ SELECT source, doc_id, n_tokens,
 FROM c"""
   }
 
+  /** x32 — quality-gate rules, thresholds interpolated from TextStats'
+    * constants; `[a-z]` containment reads identically in Java regex and RE2. */
+  private val qualityGateSql: String = {
+    import TextStats._
+    val en = Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+    CAST(length(text) AS DOUBLE) / len(ws) AS cpt,
+    len(list_filter(ws, w -> list_contains([$en], w))) AS sh,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      / len(ws) AS af
+  FROM toks),
+fl AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens >= $GateMinTokens AND n_tokens <= $GateMaxTokens
+         THEN 1 ELSE 0 END AS r_len,
+    CASE WHEN cpt >= $GateMinCharsPerToken AND cpt <= $GateMaxCharsPerToken
+         THEN 1 ELSE 0 END AS r_token_len,
+    CASE WHEN sh >= $GateMinStopwordHits THEN 1 ELSE 0 END AS r_stopwords,
+    CASE WHEN af >= $GateMinAlphaFrac THEN 1 ELSE 0 END AS r_alpha
+  FROM st)
+SELECT doc_id, n_tokens, r_len, r_token_len, r_stopwords, r_alpha,
+  r_len * r_token_len * r_stopwords * r_alpha AS keep
+FROM fl"""
+  }
+
+  /** x33 — cross-source overlap over the exact-Jaccard pair set (identical to
+    * x3's verified pairs), name-ordered source pairs, order-independent max. */
+  private val sourceOverlapSql: String = jaccardPrelude +
+    """, fp AS (SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8),
+s AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       COUNT(*) AS n_pairs, round(MAX(jaccard), 6) AS max_jaccard
+FROM fp JOIN s a ON fp.doc_id_1 = a.doc_id JOIN s b ON fp.doc_id_2 = b.doc_id
+GROUP BY 1, 2"""
+
   val sql: Map[String, String] = Map(
+
+    // x32: Gopher-style quality-gate rules report
+    "x32_quality_gate" -> qualityGateSql,
+
+    // x33: cross-source near-dup overlap matrix
+    "x33_source_overlap" -> sourceOverlapSql,
 
     // x30: DSIR importance weighting — constants interpolated from TextStats
     "x30_dsir_weights" -> dsirSql,

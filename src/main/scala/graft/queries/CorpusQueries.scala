@@ -126,6 +126,18 @@ object CorpusQueries {
   def x27BigramScore(spark: SparkSession, dir: String): DataFrame =
     TextStats.bigramLogProb(docs(spark, dir))
 
+  /** x32 — Gopher-style quality-gate rules report: per-rule 0/1 flags plus
+    * the conjunctive keep decision. */
+  def x32QualityGate(spark: SparkSession, dir: String): DataFrame =
+    TextStats.qualityGate(docs(spark, dir))
+
+  /** x33 — cross-source near-dup overlap matrix over the MinHash+LSH pair set
+    * (the dedup governance report: which domains mirror each other). */
+  def x33SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.crossSourceOverlap(TextDedup.minhashPairs(d), d)
+  }
+
   /** x31 — sequence packing: per-source concat-then-chunk assignment of every
     * document to its fixed-token-budget training sequence. */
   def x31PackSequences(spark: SparkSession, dir: String): DataFrame =

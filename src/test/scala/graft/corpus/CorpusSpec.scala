@@ -260,6 +260,45 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("quality gate: each rule flags independently and keep is their conjunction") {
+    val good = "the cat sat on a mat and the dog is here" // 11 tokens, stopwords, alpha
+    val d = docs(
+      1L -> good,
+      2L -> "a b",                                   // too short -> r_len 0
+      3L -> "1 2 3 4 5 6 7 8 9 10",                  // digits: no stopword, no alpha
+      4L -> ("the " + "abcdefghijklmnopqrstuvwxyz " * 9).trim) // cpt > 12
+    val r = TextStats.qualityGate(d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5), x.getInt(6)))).toMap
+    r(1L) shouldBe ((1, 1, 1, 1, 1))
+    r(2L)._1 shouldBe 0 // token count below GateMinTokens
+    r(2L)._5 shouldBe 0
+    r(3L)._3 shouldBe 0 // no stopwords
+    r(3L)._4 shouldBe 0 // no alphabetic tokens
+    r(3L)._5 shouldBe 0
+    r(4L)._2 shouldBe 0 // mean chars per token beyond GateMaxCharsPerToken
+    r(4L)._5 shouldBe 0
+  }
+
+  test("cross-source overlap: pairs aggregate under name-ordered source pairs") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.9),  // srcB-srcA -> (srcA, srcB)
+      (3L, 4L, 0.85), // srcA-srcB -> (srcA, srcB)
+      (5L, 6L, 0.95)) // srcC-srcC
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val d = Seq(
+      (1L, "srcB"), (2L, "srcA"), (3L, "srcA"), (4L, "srcB"),
+      (5L, "srcC"), (6L, "srcC"))
+      .map { case (id, s) => (id, "text", s) }.toDF("doc_id", "text", "source")
+    val out = TextDedup.crossSourceOverlap(pairs, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    out shouldBe Map(
+      ("srcA", "srcB") -> ((2L, 0.9)),
+      ("srcC", "srcC") -> ((1L, 0.95)))
+  }
+
   test("tfidf keywords: rare tokens outrank ubiquitous ones, ties break on token") {
     val d = docs(
       1L -> "apple apple banana shared",

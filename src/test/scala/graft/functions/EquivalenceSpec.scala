@@ -102,9 +102,54 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     viaCodegen.zip(viaEval).foreach { case (c, e) => c shouldBe e }
   }
 
+  test("Simhash32 interpreted eval == codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("the", "cat", "中文", "😀ok", "x", "")
+    val rows = (0 until 150).map { _ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val viaCodegen = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_))))
+      .toDF("ws")
+      .select(Simhash32(col("ws"))).collect().map(_.getLong(0))
+    val viaEval = rows.map { ws =>
+      Simhash32(Literal.create(ws, ArrayType(StringType))).eval(null)
+        .asInstanceOf[Long]
+    }
+    viaCodegen.toSeq shouldBe viaEval
+  }
+
+  test("WinnowSketch interpreted eval == codegen path (incl. short-doc nulls)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(22)
+    val alphabet = "abc d😀"
+    val rows = (0 until 150).map { _ =>
+      Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val (k, w) = (5, 8)
+    val viaCodegen = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_))))
+      .toDF("text")
+      .select(WinnowSketch(col("text"), k, w).as("s"))
+      .collect().map { r =>
+        if (r.isNullAt(0)) None
+        else Some((r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
+      }
+    val viaEval = rows.map { t =>
+      val v = WinnowSketch(Literal(t), k, w).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      if (v == null) None
+      else Some((v.getLong(0), v.getUTF8String(1).toString))
+    }
+    viaCodegen.toSeq shouldBe viaEval
+    viaEval.count(_.isEmpty) should be > 0 // the short-doc null path was hit
+  }
+
   test("DotProduct interpreted eval == codegen path, bit for bit") {
-    // Simhash32/WinnowSketch are CodegenFallback (eval-only); DotProduct and
-    // NGramShingles have real doGenCode, so both execution paths are pinned
+    // every custom expression has a real doGenCode, so both execution paths
+    // are pinned equal (this one bit-for-bit: double arithmetic)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import spark.implicits._
