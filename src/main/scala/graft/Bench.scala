@@ -19,7 +19,12 @@ object Bench {
     // a failed query must be LOUD: recorded in the JSON and fatal to the run's
     // exit code, so bench can never silently mask a regression
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted profiling runs; the
+    // driver never sets it, so round benches always measure the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -44,8 +49,13 @@ object Bench {
       s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated
-    // this line mid-JSON before, losing the total — the file is the robust copy
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench-latest.json"),
+    // this line mid-JSON before, losing the total — the file is the robust
+    // copy. Anchored to SPARK_GRAFT_BENCH_DIR (falling back to the process
+    // cwd) so running the bench from another directory can't strand the file.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+      System.getProperty("user.dir"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "bench-latest.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -321,7 +321,17 @@ FROM fl"""
   }
 
   /** x33 — cross-source overlap over the exact-Jaccard pair set (identical to
-    * x3's verified pairs), name-ordered source pairs, order-independent max. */
+    * x3's verified pairs), name-ordered source pairs, order-independent max.
+    *
+    * RECALL ASSUMPTION (shared with x3): the engine aggregates
+    * `TextDedup.minhashPairs` — LSH candidates + exact-Jaccard verify — while
+    * this oracle aggregates ALL exact-Jaccard >= 0.8 pairs. Parity therefore
+    * depends on the 16-band x 4-row LSH finding every >= 0.8 pair on the
+    * fixture corpus; at j = 0.8 the per-pair miss probability is
+    * (1 - 0.8^4)^16 ~ 2e-4, and the driver corpus's near-dup pairs are
+    * near-identical (j >> 0.8), so in practice recall is 1. If x33 (or x3)
+    * ever hash-mismatches HERE FIRST, suspect an LSH-missed borderline pair —
+    * diff the two pair sets — before auditing the overlap/banding logic. */
   private val sourceOverlapSql: String = jaccardPrelude +
     """, fp AS (SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8),
 s AS (SELECT doc_id, source FROM documents)
