@@ -40,12 +40,17 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-double values made the line ~2.1 KB, and the
+    // driver's stdout tail-capture window is 2 KB — the front of the JSON was
+    // clipped every round, losing the total. 3 decimals keeps the full 65+
+    // query map under the window with headroom for growth.
+    def ms(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated

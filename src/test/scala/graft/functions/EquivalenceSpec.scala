@@ -14,6 +14,27 @@ import org.scalatest.matchers.should.Matchers
   * diverge. Seeded, so failures replay. */
 class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
 
+  /** Collect with codegen made MANDATORY: factoryMode=CODEGEN_ONLY and
+    * whole-stage fallback off, plus an assert that the plan actually contains
+    * a WholeStageCodegen span. Without this, a generated-code compile failure
+    * silently falls back to interpreted eval and the eval==codegen pins pass
+    * vacuously — the exact failure they exist to catch. */
+  private def collectCodegenOnly(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, "plan has no WholeStageCodegen span — the codegen pin would be vacuous")
+    val conf = spark.conf
+    val prevFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val prevMode = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try df.collect()
+    finally {
+      conf.set("spark.sql.codegen.fallback", prevFallback)
+      conf.set("spark.sql.codegen.factoryMode", prevMode)
+    }
+  }
+
   private def corpus(seed: Int, n: Int): DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
@@ -89,10 +110,10 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     // parallelize (not Seq.toDF): an RDD-backed plan survives to whole-stage
     // codegen; a LocalRelation would be folded with INTERPRETED eval (see the
     // DotProduct pin below)
-    val viaCodegen = spark.createDataFrame(
+    val viaCodegen = collectCodegenOnly(spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(Tuple1(_))))
       .toDF("ws")
-      .select(NGramShingles(col("ws"), 3)).collect()
+      .select(NGramShingles(col("ws"), 3)))
       .map(_.getSeq[String](0))
     val viaEval = rows.map { ws =>
       NGramShingles(Literal.create(ws, ArrayType(StringType)), 3).eval(null)
@@ -110,10 +131,10 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     val rows = (0 until 150).map { _ =>
       Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
     }
-    val viaCodegen = spark.createDataFrame(
+    val viaCodegen = collectCodegenOnly(spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(Tuple1(_))))
       .toDF("ws")
-      .select(Simhash32(col("ws"))).collect().map(_.getLong(0))
+      .select(Simhash32(col("ws")))).map(_.getLong(0))
     val viaEval = rows.map { ws =>
       Simhash32(Literal.create(ws, ArrayType(StringType))).eval(null)
         .asInstanceOf[Long]
@@ -129,11 +150,11 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
       Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.length))).mkString
     }
     val (k, w) = (5, 8)
-    val viaCodegen = spark.createDataFrame(
+    val viaCodegen = collectCodegenOnly(spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(Tuple1(_))))
       .toDF("text")
-      .select(WinnowSketch(col("text"), k, w).as("s"))
-      .collect().map { r =>
+      .select(WinnowSketch(col("text"), k, w).as("s")))
+      .map { r =>
         if (r.isNullAt(0)) None
         else Some((r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
       }
@@ -162,9 +183,10 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     // ConvertToLocalRelation optimizer rule fold the projection with
     // INTERPRETED eval at optimization time, and doGenCode never runs —
     // an RDD-backed plan survives to whole-stage codegen
-    val viaCodegen = spark.createDataFrame(spark.sparkContext.parallelize(vecs))
-      .toDF("a", "b")
-      .select(VectorOps.dotp(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val viaCodegen = collectCodegenOnly(
+      spark.createDataFrame(spark.sparkContext.parallelize(vecs))
+        .toDF("a", "b")
+        .select(VectorOps.dotp(col("a"), col("b")))).map(_.getDouble(0))
     val viaEval = vecs.map { case (a, b) =>
       DotProduct(
         Literal.create(a, ArrayType(DoubleType)),
