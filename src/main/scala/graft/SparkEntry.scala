@@ -83,6 +83,9 @@ object SparkEntry {
     "x31_pack_sequences" -> (C.x31PackSequences _),
     "x32_quality_gate" -> (C.x32QualityGate _),
     "x33_source_overlap" -> (C.x33SourceOverlap _),
+    "x34_chunk_docs" -> (C.x34ChunkDocuments _),
+    "x35_split_assign" -> (C.x35SplitAssign _),
+    "x36_pmi_collocations" -> (C.x36PmiCollocations _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

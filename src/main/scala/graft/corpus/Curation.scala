@@ -97,6 +97,75 @@ object Curation {
         (col("start") % budget).as("offset"))
   }
 
+  /** Chunk geometry for [[chunkDocuments]]'s driver query — shared with the
+    * x34 oracle generator so the two cannot drift. Stride < size ⇒ adjacent
+    * chunks overlap by `ChunkTokens - ChunkStride` tokens (the standard
+    * retrieval/context-window prep). */
+  val ChunkTokens: Int = 32
+  val ChunkStride: Int = 24
+
+  /** Document chunking — the retrieval/embedding prep step every RAG or
+    * long-context pipeline runs: split each document's token stream into
+    * fixed-size windows every `stride` tokens (overlapping when
+    * `stride < chunkTokens`), emitting
+    * `(doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text)`. A document
+    * shorter than one window yields exactly one chunk; otherwise
+    * `1 + ceil((n - chunkTokens) / stride)` chunks, so the final window always
+    * reaches the last token and no trailing fragment is silently dropped.
+    * Pure integer arithmetic + a generator — the DuckDB oracle matches bit
+    * for bit.
+    *
+    * Scale shape: narrow end to end — one projection, one `explode` of a
+    * per-row integer sequence, ZERO shuffles at any corpus size; output size
+    * is input size × the overlap factor (bounded by `chunkTokens/stride`),
+    * and chunks inherit the parent document's partitioning, which is what the
+    * downstream embedding batch job wants. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
+    // ceil division spelled (a + b - 1) div b: both operands are positive
+    // here, where Spark's `div` and DuckDB's `//` agree exactly
+    val nChunks = when(col("n") <= chunkTokens, lit(1))
+      .otherwise(lit(1) + expr(s"(n - $chunkTokens + ${stride - 1}) div $stride"))
+    val len = least(lit(chunkTokens), col("n") - col("start_tok"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        len.cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start_tok") + 1, len))
+          .as("chunk_text"))
+  }
+
+  /** Split thresholds for [[assignSplits]], applied in order on the first two
+    * hex digits of `md5(doc_id)` (256 buckets): gate < "e6" (230/256 ≈ 89.8%)
+    * → train, else gate < "f3" (+13/256 ≈ 5.1%) → val, else test (≈ 5.1%).
+    * Lowercase hex compares lexicographically exactly as it compares
+    * numerically, so each threshold string IS the cumulative fraction.
+    * Shared with the x35 oracle generator so the two cannot drift. */
+  val SplitThresholds: Seq[(String, String)] = Seq("train" -> "e6", "val" -> "f3")
+  val SplitFallback: String = "test"
+
+  /** Deterministic train/val/test split assignment — hash-gated like
+    * [[quotaSample]] but keyed on the document's IDENTITY (`md5(doc_id)`)
+    * rather than its content, the property a split wants: re-running the
+    * pipeline after a document's text is cleaned or re-extracted must not
+    * move it across the train/eval boundary (a content-keyed gate would —
+    * and that's eval contamination). Narrow, codegen'd, zero shuffles at any
+    * corpus size; adding documents never reassigns existing ones. */
+  def assignSplits(docs: DataFrame): DataFrame = {
+    val assigned = SplitThresholds.foldRight(lit(SplitFallback)) {
+      case ((name, th), rest) => when(col("gate") < th, lit(name)).otherwise(rest)
+    }
+    docs.select(col("doc_id"), col("source"),
+        substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 2)
+          .as("gate"))
+      .withColumn("split", assigned)
+  }
+
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The
     * `source` column rides through the quality projection itself, so the ONLY

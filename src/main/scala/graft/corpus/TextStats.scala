@@ -175,6 +175,60 @@ object TextStats {
         sum(col("lp")).cast("double").as("sum_logprob"))
   }
 
+  /** Floor/size for [[pmiCollocations]]'s driver query — shared with the x36
+    * oracle generator so the two cannot drift. */
+  val PmiMinPairCount: Int = 5
+  val PmiTopK: Int = 20
+
+  /** PMI collocations — the corpus-level companion to [[bigramLogProb]]: the
+    * `k` adjacent token pairs most over-represented relative to independence,
+    * `PMI(w1,w2) = ln( p(w1 w2) / (p(w1) p(w2)) )` under corpus MLE, with a
+    * minimum pair count so rare coincidences can't dominate (Church & Hanks'
+    * association-ratio shape). This is the vocabulary/tokenizer-audit report:
+    * which multi-word units behave as single tokens.
+    *
+    * Parity: the ratio is computed in ONE double expression with the same
+    * association order as the oracle SQL — IEEE div/mul are exactly
+    * specified, so the `ln` argument is bit-identical; `ln` itself may differ
+    * in the last ulp between runtimes, which the 6-dp round absorbs (same
+    * assumption as every rounded-double oracle here). Ranking uses the
+    * ROUNDED value with a (w1, w2) tiebreak, so order is engine-independent.
+    *
+    * Scale shape: both count tables aggregate map-side; the two per-word
+    * joins are keyed on vocabulary-sized tables (shuffle, not broadcast — a
+    * 100 TB corpus's vocabulary need not fit on one executor); the one-row
+    * totals broadcast; the top-k is a bounded TakeOrdered, never a global
+    * sort materialization. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = PmiMinPairCount,
+      k: Int = PmiTopK): DataFrame = {
+    // same materialize-the-array-first bigram build as bigramLogProb — an
+    // element_at(split(...)) lambda would re-split per element (quadratic)
+    val pairs = "CASE WHEN size(ws) >= 2 THEN " +
+      "transform(sequence(1, size(ws) - 1), " +
+      "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    val bi = docs.select(ws.as("ws"))
+      .select(explode(expr(pairs)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cu = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val nUni = cu.agg(sum(col("cu")).cast("double").as("n_uni"))
+    val nBi = c12.agg(sum(col("pair_count")).cast("double").as("n_bi"))
+    c12.filter(col("pair_count") >= minCount)
+      .join(cu.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(log(
+        (col("pair_count").cast("double") / col("n_bi")) /
+          ((col("cu1").cast("double") / col("n_uni")) *
+            (col("cu2").cast("double") / col("n_uni")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+  }
+
   /** The target-domain sources for [[importanceWeights]]'s driver query —
     * shared with the x30 oracle generator so the two cannot drift. */
   val DsirTargetSources: Seq[String] =

@@ -292,6 +292,73 @@ SELECT source, doc_id, n_tokens,
 FROM c"""
   }
 
+  /** x34 — overlapping fixed-window chunking: same ceil-division chunk count
+    * and 1-based inclusive list slice as the operator; geometry interpolated
+    * from Curation's constants. Pure integer + string ops — exact. */
+  private val chunkSql: String = {
+    val cs = graft.corpus.Curation.ChunkTokens
+    val st = graft.corpus.Curation.ChunkStride
+    s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws, len(ws) AS n,
+    CASE WHEN len(ws) <= $cs THEN 1
+         ELSE 1 + (len(ws) - $cs + ${st - 1}) // $st END AS n_chunks
+  FROM t),
+e AS (SELECT doc_id, ws, n, unnest(range(n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * $st AS BIGINT) AS start_tok,
+  CAST(least($cs, n - chunk_id * $st) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(
+    ws[chunk_id * $st + 1 : chunk_id * $st + least($cs, n - chunk_id * $st)],
+    ' ') AS chunk_text
+FROM e"""
+  }
+
+  /** x35 — identity-hash split assignment: md5 hex prefixes compare
+    * lexicographically == numerically (the x23 parity fact); thresholds
+    * interpolated from Curation's constants. */
+  private val splitAssignSql: String = {
+    val cases = graft.corpus.Curation.SplitThresholds
+      .map { case (name, th) => s"WHEN gate < '$th' THEN '$name'" }
+      .mkString(" ")
+    s"""WITH g AS (
+  SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate
+  FROM documents)
+SELECT doc_id, source, gate,
+  CASE $cases ELSE '${graft.corpus.Curation.SplitFallback}' END AS split
+FROM g"""
+  }
+
+  /** x36 — PMI collocations: the ratio is assembled with the SAME association
+    * order as the operator's double expression (IEEE div/mul are exact, so
+    * the ln argument is bit-identical; the 6-dp round absorbs any last-ulp
+    * `ln` difference between runtimes). Floor and k interpolated from
+    * TextStats' constants. */
+  private val pmiSql: String = {
+    val minC = TextStats.PmiMinPairCount
+    val k = TextStats.PmiTopK
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM toks),
+cu AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1),
+bi AS (
+  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM toks WHERE len(ws) >= 2)),
+c12 AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bi GROUP BY 1, 2),
+nu AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_uni FROM cu),
+nb AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS n_bi FROM c12)
+SELECT w1, w2, pair_count,
+  round(ln((CAST(pair_count AS DOUBLE) / n_bi) /
+           ((CAST(a.cu AS DOUBLE) / n_uni) * (CAST(b.cu AS DOUBLE) / n_uni))),
+        6) AS pmi
+FROM c12
+JOIN cu a ON c12.w1 = a.w
+JOIN cu b ON c12.w2 = b.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE pair_count >= $minC
+ORDER BY pmi DESC, w1, w2 LIMIT $k"""
+  }
+
   /** x32 — quality-gate rules, thresholds interpolated from TextStats'
     * constants; `[a-z]` containment reads identically in Java regex and RE2. */
   private val qualityGateSql: String = {
@@ -354,6 +421,15 @@ GROUP BY 1, 2"""
 
     // x31: concat-then-chunk sequence packing — budget from Curation.PackBudget
     "x31_pack_sequences" -> packSql,
+
+    // x34: overlapping fixed-window chunking — geometry from Curation
+    "x34_chunk_docs" -> chunkSql,
+
+    // x35: identity-hash train/val/test split — thresholds from Curation
+    "x35_split_assign" -> splitAssignSql,
+
+    // x36: top-k PMI collocations — floor/k from TextStats
+    "x36_pmi_collocations" -> pmiSql,
 
     // x28: PII scan + scrub — patterns interpolated from Privacy's constants
     "x28_pii_scrub" -> piiScrubSql,

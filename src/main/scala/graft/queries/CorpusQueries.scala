@@ -143,6 +143,21 @@ object CorpusQueries {
   def x31PackSequences(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.packSequences(docs(spark, dir))
 
+  /** x34 — overlapping fixed-token-window chunking (retrieval/embedding prep):
+    * every document split into [[graft.corpus.Curation.ChunkTokens]]-token
+    * windows every [[graft.corpus.Curation.ChunkStride]] tokens. */
+  def x34ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.chunkDocuments(docs(spark, dir))
+
+  /** x35 — deterministic identity-hash train/val/test split assignment. */
+  def x35SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.assignSplits(docs(spark, dir))
+
+  /** x36 — top-k PMI collocations over adjacent token pairs (the
+    * vocabulary/tokenizer audit: which multi-word units act as one token). */
+  def x36PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextStats.pmiCollocations(docs(spark, dir))
+
   /** x30 — DSIR hashed-bigram importance weights against the default target
     * domains ([[TextStats.DsirTargetSources]]). */
   def x30DsirWeights(spark: SparkSession, dir: String): DataFrame =

@@ -627,6 +627,93 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("chunking matches a brute-force referee on random doc lengths (incl. boundary sizes)") {
+    import spark.implicits._
+    val (cs, st) = (4, 3)
+    val rnd = new scala.util.Random(17)
+    // boundary lengths pinned explicitly: 1 token, exactly one window, one
+    // over a window, exact multi-window fit — plus random fill
+    val lens = Seq(1, cs, cs + 1, cs + 2 * st) ++ Seq.fill(30)(1 + rnd.nextInt(15))
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }
+    val out = Curation.chunkDocuments(rows.toDF("doc_id", "text"), cs, st)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val expected = rows.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length
+      val nChunks = if (n <= cs) 1 else 1 + (n - cs + st - 1) / st
+      (0 until nChunks).map { c =>
+        val start = c * st
+        val len = math.min(cs, n - start)
+        (id, c.toLong) -> (start.toLong, len.toLong,
+          ws.slice(start, start + len).mkString(" "))
+      }
+    }.toMap
+    out shouldBe expected
+    // every document's final chunk reaches its last token
+    rows.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val (start, len, _) = out.filterKeys(_._1 == id).toSeq.maxBy(_._1._2)._2
+      (start + len) shouldBe n.toLong
+    }
+  }
+
+  test("split assignment matches an md5-referee, is id-keyed, and hits every split") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.assignSplits(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    def refGate(id: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${dig(0) & 0xff}%02x"
+    }
+    (0L until 400L).foreach { id =>
+      val gate = refGate(id)
+      val split = Curation.SplitThresholds.collectFirst {
+        case (name, th) if gate < th => name
+      }.getOrElse(Curation.SplitFallback)
+      out(id) shouldBe (gate, split)
+    }
+    out.values.map(_._2).toSet shouldBe Set("train", "val", "test")
+    // identity-keyed: changing the TEXT must not move a document's split
+    val moved = Curation.assignSplits(
+      d.withColumn("text", org.apache.spark.sql.functions.lit("rewritten")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    moved shouldBe out.map { case (k, v) => k -> v._2 }
+  }
+
+  test("PMI ranks an engineered collocation first and matches a brute-force referee") {
+    import spark.implicits._
+    // "aa bb" always adjacent (perfect collocation); "cc"/"dd" frequent but
+    // independent; floor excludes pairs seen < 2 times
+    val texts = (0 until 8).map(i => s"aa bb cc x$i dd cc dd")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextStats.pmiCollocations(d, minCount = 2, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // referee: count unigrams/bigrams per doc, PMI over corpus MLE
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val ws = t.split(" ")
+      ws.foreach(w => uni(w) += 1)
+      ws.sliding(2).foreach(p => big((p(0), p(1))) += 1)
+    }
+    val nU = uni.values.sum.toDouble
+    val nB = big.values.sum.toDouble
+    val expected = big.toSeq.filter(_._2 >= 2).map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log((c / nB) / ((uni(a) / nU) * (uni(b) / nU))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, pmi)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(5)
+    out.toSeq shouldBe expected
+    out.head._1 -> out.head._2 shouldBe ("aa" -> "bb") // the engineered pair wins
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
