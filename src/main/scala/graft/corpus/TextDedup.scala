@@ -210,8 +210,15 @@ object TextDedup {
       .repartition(col("src"))
       .persist()
     try {
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
+      // star-init: seed each node with min(self, neighbors) — the same single
+      // shuffle a bare `distinct` would cost (groupBy on the symmetrized src),
+      // but it runs the first propagation round for free, so star-shaped and
+      // small-diameter components (the common near-dup case) converge one
+      // join+agg round earlier
+      var labels = edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("node"), least(col("node"), col("nmin")).as("label"))
+        .localCheckpoint()
       var labelsRdd = checkpointRdd(labels)
       var iter = 0
       var converged = false
