@@ -40,11 +40,12 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // ms precision: full-double values made the line ~2.1 KB, and the
-    // driver's stdout tail-capture window is 2 KB — the front of the JSON was
-    // clipped every round, losing the total. 3 decimals keeps the full 65+
-    // query map under the window with headroom for growth.
-    def ms(v: Double): String = "%.3f".format(v)
+    // centisecond precision: full-double values made the line ~2.1 KB, and
+    // the driver's stdout tail-capture window is 2 KB — the front of the JSON
+    // was clipped every round, losing the total. 2 decimals keeps the full
+    // 70-query map under the window with headroom for growth (10 ms
+    // granularity is well inside run-to-run variance at sf0.1).
+    def ms(v: Double): String = "%.2f".format(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

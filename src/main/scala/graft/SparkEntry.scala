@@ -86,6 +86,8 @@ object SparkEntry {
     "x34_chunk_docs" -> (C.x34ChunkDocuments _),
     "x35_split_assign" -> (C.x35SplitAssign _),
     "x36_pmi_collocations" -> (C.x36PmiCollocations _),
+    "x37_cross_doc_spans" -> (C.x37CrossDocSpans _),
+    "x38_length_profile" -> (C.x38LengthProfile _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

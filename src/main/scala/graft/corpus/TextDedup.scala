@@ -318,6 +318,44 @@ object TextDedup {
     docs.select(col("doc_id"),
       graft.functions.Simhash32(tokens(col("text"))).as("simhash"))
 
+  /** Span width (tokens) for [[crossDocSpans]]'s driver query — shared with
+    * the x37 oracle generator so the two cannot drift. Wider than the 3-gram
+    * near-dup shingles: this signal targets verbatim boilerplate runs. */
+  val SpanTokens: Int = 5
+
+  /** Cross-document duplicated-span report — the per-document signal behind
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, the fraction of its
+    * `spanTokens`-token window positions whose window also occurs in at least
+    * one OTHER document. Duplication is by document frequency — intra-document
+    * repetition (x21's job) does not count. High `dup_span_frac` = shared
+    * boilerplate (headers, licenses, templates) that inflates memorization.
+    * Documents shorter than one window are absent.
+    *
+    * Scale shape: no self-join anywhere (unlike pairwise x2) — the postings
+    * stream shuffles once keyed on the window text to build the document
+    * frequency table (map-side partial after a narrow per-doc distinct), and
+    * once more to join frequencies back; both are linear in corpus size. At
+    * 100 TB the window strings would hash to 64-bit keys first (xxhash64)
+    * to shrink shuffle width — semantics identical, collisions negligible. */
+  def crossDocSpans(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    // array materialized once per row; slice inside the lambda reads it
+    val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
+      s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= spanTokens)
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    val df = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    pos.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_positions"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_positions").cast("double") / col("n_positions"), 6))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
     * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

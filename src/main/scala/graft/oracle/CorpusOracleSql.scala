@@ -359,6 +359,41 @@ WHERE pair_count >= $minC
 ORDER BY pmi DESC, w1, w2 LIMIT $k"""
   }
 
+  /** x37 — cross-document duplicated spans: document frequency over
+    * position-multiplicity window grams (DISTINCT before the df count, same
+    * as the operator); width interpolated from TextDedup's constant. */
+  private val crossDocSpansSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+df AS (
+  SELECT g, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, g FROM p) GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_positions,
+  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+  round(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+        6) AS dup_span_frac
+FROM p JOIN df USING (g)
+GROUP BY doc_id"""
+  }
+
+  /** x38 — per-source length profile; `quantile_cont` == Spark `percentile`
+    * (the q11 parity fact), BIGINT casts against DuckDB's HUGEINT widening. */
+  private val lengthProfileSql: String =
+    """WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(MIN(n) AS BIGINT) AS min_tokens,
+  CAST(MAX(n) AS BIGINT) AS max_tokens,
+  quantile_cont(n, 0.25) AS p25_tokens,
+  quantile_cont(n, 0.5) AS p50_tokens,
+  quantile_cont(n, 0.75) AS p75_tokens,
+  CAST(SUM(n) AS BIGINT) AS sum_tokens
+FROM t GROUP BY 1"""
+
   /** x32 — quality-gate rules, thresholds interpolated from TextStats'
     * constants; `[a-z]` containment reads identically in Java regex and RE2. */
   private val qualityGateSql: String = {
@@ -430,6 +465,12 @@ GROUP BY 1, 2"""
 
     // x36: top-k PMI collocations — floor/k from TextStats
     "x36_pmi_collocations" -> pmiSql,
+
+    // x37: cross-document duplicated-span report — width from TextDedup
+    "x37_cross_doc_spans" -> crossDocSpansSql,
+
+    // x38: per-source document-length profile
+    "x38_length_profile" -> lengthProfileSql,
 
     // x28: PII scan + scrub — patterns interpolated from Privacy's constants
     "x28_pii_scrub" -> piiScrubSql,

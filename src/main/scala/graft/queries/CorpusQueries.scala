@@ -158,6 +158,15 @@ object CorpusQueries {
   def x36PmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextStats.pmiCollocations(docs(spark, dir))
 
+  /** x37 — cross-document duplicated-span report (the exact-substring-dedup
+    * signal: per doc, the fraction of 5-token windows shared with another doc). */
+  def x37CrossDocSpans(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.crossDocSpans(docs(spark, dir))
+
+  /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
+  def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Profiling.lengthProfile(docs(spark, dir))
+
   /** x30 — DSIR hashed-bigram importance weights against the default target
     * domains ([[TextStats.DsirTargetSources]]). */
   def x30DsirWeights(spark: SparkSession, dir: String): DataFrame =

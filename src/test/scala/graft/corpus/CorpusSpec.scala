@@ -714,6 +714,58 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.head._1 -> out.head._2 shouldBe ("aa" -> "bb") // the engineered pair wins
   }
 
+  test("cross-doc spans: df-based (intra-doc repeats don't count), matches a referee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val shared = "s1 s2 s3 s4 s5" // a 5-token run planted in docs 0 and 1
+    val texts = Seq(
+      s"$shared ${Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")}",
+      s"${Seq.fill(4)(vocab(rnd.nextInt(vocab.size))).mkString(" ")} $shared",
+      // doc 2 repeats ITS OWN 5-gram twice — df stays 1, must not count
+      "z1 z2 z3 z4 z5 z1 z2 z3 z4 z5",
+      "q r s" // below one window: absent from the output
+    ) ++ (3 until 20).map(_ =>
+      Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextDedup.crossDocSpans(d, spanTokens = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // referee: position-multiplicity grams, duplication by distinct-doc count
+    val grams = texts.zipWithIndex.flatMap { case (t, i) =>
+      t.split(" ").sliding(5).filter(_.length == 5)
+        .map(w => (i.toLong, w.mkString(" "))).toSeq
+    }
+    val dfByGram = grams.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      val dup = gs.count(g => dfByGram(g._2) >= 2).toLong
+      id -> (gs.size.toLong, dup,
+        BigDecimal(dup.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out shouldBe expected
+    out(0L)._2 should be >= 1L // the planted run was flagged in doc 0
+    out(2L)._2 shouldBe 0L // self-repetition alone never counts
+    out.contains(3L) shouldBe false // 3-token doc has no 5-token window
+  }
+
+  test("length profile: exact quartiles with linear interpolation, per source") {
+    import spark.implicits._
+    // src0 has token counts 1,2,3,4 -> p25 = 1.75, p50 = 2.5, p75 = 3.25
+    val d = Seq(
+      (0L, "a", "src0"), (1L, "a b", "src0"),
+      (2L, "a b c", "src0"), (3L, "a b c d", "src0"),
+      (4L, "x y z", "src1")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.corpus.Profiling.lengthProfile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = out("src0")
+    (s0.getLong(1), s0.getLong(2), s0.getLong(3)) shouldBe ((4L, 1L, 4L))
+    (s0.getDouble(4), s0.getDouble(5), s0.getDouble(6)) shouldBe ((1.75, 2.5, 3.25))
+    s0.getLong(7) shouldBe 10L
+    val s1 = out("src1")
+    (s1.getLong(1), s1.getDouble(5), s1.getLong(7)) shouldBe ((1L, 3.0, 3L))
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
