@@ -620,11 +620,31 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       "tokenStats" -> TextStats.tokenStats(d),
       "stopwordScrub" -> TextStats.stopwordScrub(d),
       "simhash" -> TextDedup.simhash(d),
-      "quotaSample" -> Curation.quotaSample(d))
+      "quotaSample" -> Curation.quotaSample(d),
+      "chunkDocuments" -> Curation.chunkDocuments(d),
+      "assignSplits" -> Curation.assignSplits(d))
     narrowOps.foreach { case (name, df) =>
-      val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
-      withClue(s"$name should not shuffle: ") { exchanges shouldBe empty }
+      val plan = df.queryExecution.executedPlan
+      // a shuffling plan would be wrapped in a LEAF AdaptiveSparkPlanExec,
+      // hiding its Exchange from collect — assert the wrapper's absence too,
+      // or this pin passes vacuously on exactly the regression it's for
+      withClue(s"$name should not shuffle: ") {
+        plan.isInstanceOf[
+          org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] shouldBe false
+        plan.collect { case e: Exchange => e } shouldBe empty
+      }
     }
+  }
+
+  test("PMI top-k plans as a bounded TakeOrdered, never a global sort materialization") {
+    import spark.implicits._
+    val d = (0L until 20L).map(i => (i, "aa bb cc dd aa bb")).toDF("doc_id", "text")
+    val q = TextStats.pmiCollocations(d)
+    q.collect() // materialize so AQE's final plan is decided
+    // the plan root is a leaf AdaptiveSparkPlanExec; its rendered final plan
+    // must show the bounded top-k operator and no global Sort above it
+    val rendered = q.queryExecution.executedPlan.toString
+    rendered should include("TakeOrderedAndProject")
   }
 
   test("chunking matches a brute-force referee on random doc lengths (incl. boundary sizes)") {
