@@ -676,7 +676,7 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     // every document's final chunk reaches its last token
     rows.foreach { case (id, text) =>
       val n = text.split(" ", -1).length
-      val (start, len, _) = out.filterKeys(_._1 == id).toSeq.maxBy(_._1._2)._2
+      val (start, len, _) = out.filter(_._1._1 == id).toSeq.maxBy(_._1._2)._2
       (start + len) shouldBe n.toLong
     }
   }
@@ -784,6 +784,39 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     s0.getLong(7) shouldBe 10L
     val s1 = out("src1")
     (s1.getLong(1), s1.getDouble(5), s1.getLong(7)) shouldBe ((1L, 3.0, 3L))
+  }
+
+  test("curation stages compose: gate -> quota -> split -> pack conserves and partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{countDistinct, max}
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("the", "and", "data", "spark", "row", "batch", "x", "of")
+    val d = (0L until 120L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    // the pipeline a real curation run wires: quality gate, then quota
+    // sampling, then split assignment, then per-source sequence packing of
+    // the train split only
+    val kept = TextStats.qualityGate(d).filter(col("keep") === 1).select("doc_id")
+      .join(d, "doc_id")
+    val sampled = Curation.quotaSample(kept, "text")
+    val splits = Curation.assignSplits(sampled)
+    val train = splits.filter(col("split") === "train").select("doc_id")
+      .join(d, "doc_id")
+    val packed = Curation.packSequences(train, budget = 64).cache()
+    // every train doc packs exactly once, budget respected, offsets in range
+    packed.count() shouldBe train.count()
+    packed.filter(col("offset") < 0 || col("offset") >= 64).count() shouldBe 0L
+    // within a source, seq_ids are dense from 0 (no empty sequences)
+    val bySrc = packed.groupBy("source")
+      .agg(max(col("seq_id")).as("mx"), countDistinct(col("seq_id")).as("d"))
+      .collect()
+    bySrc.foreach { r => r.getLong(2) shouldBe (r.getLong(1) + 1) }
+    // each stage only ever narrows the doc set (they compose as filters)
+    sampled.count() should be <= kept.count()
+    train.count() should be <= sampled.count()
+    packed.unpersist()
   }
 
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
