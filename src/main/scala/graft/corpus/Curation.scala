@@ -166,6 +166,32 @@ object Curation {
       .withColumn("split", assigned)
   }
 
+  /** Sequence assembly — the materialization step downstream of
+    * [[packSequences]]: for every (source, seq_id) training sequence, the
+    * ordered concatenation of its member documents' text (what the tokenizer
+    * shard-writer consumes), plus doc and token counts. Document order inside
+    * a sequence is doc_id order, made deterministic on the Spark side by
+    * sorting the collected (doc_id, text) structs — `collect_list` order is
+    * otherwise partition-arrival order and would never hash-match. A document
+    * belongs to the sequence where its FIRST token lands (packSequences'
+    * greedy-without-splitting contract), so `seq_tokens` may exceed the
+    * budget when a document straddles a boundary — by design, and asserted in
+    * the spec.
+    *
+    * Scale shape: the pack window's shuffle plus ONE groupBy keyed
+    * (source, seq_id) — fan-in bounded by the docs whose first token lands in
+    * one budget window, so collected state per group is ~budget tokens, never
+    * a domain's worth; the join back to text is keyed on doc_id. */
+  def assembleSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame =
+    packSequences(docs, budget)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text"))).as("seq_text"))
+
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The
     * `source` column rides through the quality projection itself, so the ONLY

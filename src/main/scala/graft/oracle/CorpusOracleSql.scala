@@ -394,6 +394,25 @@ SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(n) AS BIGINT) AS sum_tokens
 FROM t GROUP BY 1"""
 
+  /** x39 — sequence assembly over the x31 packing: `string_agg ... ORDER BY`
+    * mirrors the sorted-struct concat; budget interpolated from Curation. */
+  private val assembleSql: String = {
+    val b = graft.corpus.Curation.PackBudget
+    s"""WITH t AS (
+  SELECT source, doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT source, doc_id, text, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+  FROM t)
+SELECT source, CAST(st // $b AS BIGINT) AS seq_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+FROM c GROUP BY 1, 2"""
+  }
+
   /** x32 — quality-gate rules, thresholds interpolated from TextStats'
     * constants; `[a-z]` containment reads identically in Java regex and RE2. */
   private val qualityGateSql: String = {
@@ -471,6 +490,9 @@ GROUP BY 1, 2"""
 
     // x38: per-source document-length profile
     "x38_length_profile" -> lengthProfileSql,
+
+    // x39: assembled training sequences — budget from Curation.PackBudget
+    "x39_assemble_seqs" -> assembleSql,
 
     // x28: PII scan + scrub — patterns interpolated from Privacy's constants
     "x28_pii_scrub" -> piiScrubSql,

@@ -167,6 +167,11 @@ object CorpusQueries {
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))
 
+  /** x39 — sequence assembly: the materialized training sequences downstream
+    * of x31's packing (ordered member text per (source, seq_id)). */
+  def x39AssembleSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.assembleSequences(docs(spark, dir))
+
   /** x30 — DSIR hashed-bigram importance weights against the default target
     * domains ([[TextStats.DsirTargetSources]]). */
   def x30DsirWeights(spark: SparkSession, dir: String): DataFrame =

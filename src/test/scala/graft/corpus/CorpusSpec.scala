@@ -819,6 +819,37 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     packed.unpersist()
   }
 
+  test("sequence assembly matches a referee: ordered text, straddlers keep their sequence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 40L).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i, (0 until n).map(j => s"d${i}t$j").mkString(" "), s"src${i % 2}")
+    }
+    val budget = 10
+    val out = Curation.assembleSequences(rows.toDF("doc_id", "text", "source"), budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // referee: per-source doc_id-ordered exclusive cumsum -> seq of first token
+    val expected = rows.groupBy(_._3).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, text, _) =>
+        val n = text.split(" ").length
+        val seq = cum / budget
+        cum += n
+        (src, seq, n, text)
+      }.groupBy { case (_, seq, _, _) => seq }.map { case (seq, members) =>
+        (src, seq) -> (members.size.toLong, members.map(_._3).sum.toLong,
+          members.map(_._4).mkString(" "))
+      }
+    }
+    out shouldBe expected
+    // a straddling document keeps its whole text in ONE sequence, so some
+    // sequence must exceed the budget (the greedy-without-splitting contract)
+    out.values.map(_._2).max should be > budget.toLong
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
