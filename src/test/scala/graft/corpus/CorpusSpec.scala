@@ -603,7 +603,8 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("x2/x3 plans carry no hand-placed broadcast hints (per-document tables must shuffle)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(1L -> "a b c d e", 2L -> "a b c d f")
-    Seq(TextDedup.ngramJaccardPairs(d), TextDedup.minhashPairs(d)).foreach { q =>
+    Seq(TextDedup.ngramJaccardPairs(d), TextDedup.minhashPairs(d),
+      TextDedup.crossDocSpans(d, spanTokens = 2)).foreach { q =>
       // hints are eliminated during optimization, so inspect the analyzed plan
       q.queryExecution.analyzed.collect { case h: ResolvedHint => h } shouldBe empty
     }
