@@ -131,4 +131,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows.sorted shouldBe Seq(1L, 3L) // flagged once each, despite per-shingle fanout
     } finally q.stop()
   }
+
+  test("stateless curation ops run unchanged on a stream (chunk -> split, append mode)") {
+    // chunkDocuments and assignSplits are narrow, stateless transforms — the
+    // SAME operator code must compose onto a streaming DataFrame with no
+    // adaptation and no state store. This pins that property: a regression
+    // that introduces an aggregate/sort into them would fail analysis here.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val chunked = graft.corpus.Curation.chunkDocuments(
+      input.toDF().toDF("doc_id", "text", "source"), chunkTokens = 3, stride = 2)
+    val split = graft.corpus.Curation.assignSplits(
+      input.toDF().toDF("doc_id", "text", "source"))
+    chunked.isStreaming shouldBe true
+    split.isStreaming shouldBe true
+    val sink = s"curation_${System.nanoTime}"
+    val q = chunked.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops3").toString)
+      .start()
+    try {
+      input.addData((1L, "a b c d e", "src0"), (2L, "x y", "src1"))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      // doc 1 (5 tokens, window 3 stride 2): chunks at 0, 2 -> "a b c", "c d e"
+      rows shouldBe Set((1L, 0L, "a b c"), (1L, 1L, "c d e"), (2L, 0L, "x y"))
+    } finally q.stop()
+  }
 }
