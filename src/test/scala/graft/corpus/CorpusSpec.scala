@@ -657,7 +657,7 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     val lens = Seq(1, cs, cs + 1, cs + 2 * st) ++ Seq.fill(30)(1 + rnd.nextInt(15))
     val rows = lens.zipWithIndex.map { case (n, i) =>
       (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
-    }
+    } :+ (99L, "") // empty text splits to [""] in Spark AND DuckDB: one "" chunk
     val out = Curation.chunkDocuments(rows.toDF("doc_id", "text"), cs, st)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
