@@ -89,6 +89,7 @@ object SparkEntry {
     "x37_cross_doc_spans" -> (C.x37CrossDocSpans _),
     "x38_length_profile" -> (C.x38LengthProfile _),
     "x39_assemble_seqs" -> (C.x39AssembleSequences _),
+    "x40_incr_dedup" -> (C.x40IncrementalDedup _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -462,7 +462,37 @@ SELECT least(a.source, b.source) AS source_a,
 FROM fp JOIN s a ON fp.doc_id_1 = a.doc_id JOIN s b ON fp.doc_id_2 = b.doc_id
 GROUP BY 1, 2"""
 
+  /** x40 — incremental dedup over the exact cross-side Jaccard pair set
+    * (new = odd doc_ids, old = even). Same LSH-recall assumption as x3/x33 —
+    * the engine verifies banded candidates, this oracle enumerates ALL
+    * cross-side pairs; parity holds because banding has no false negatives on
+    * this corpus (a miss would fail the row compare HERE first). Best match
+    * ranked on the ROUNDED similarity with a min-old-id tiebreak, mirroring
+    * the engine. */
+  private val incrementalDedupSql: String = shinglePrelude +
+    """szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+inter AS (
+  SELECT a.doc_id AS nid, b.doc_id AS oid, COUNT(*) AS c
+  FROM post a JOIN post b ON a.s = b.s
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2),
+j AS (
+  SELECT nid, oid,
+         CAST(c AS DOUBLE) / (x.n_shingles + y.n_shingles - c) AS jaccard
+  FROM inter JOIN szs x ON nid = x.doc_id JOIN szs y ON oid = y.doc_id),
+f AS (SELECT nid, oid, round(jaccard, 6) AS j FROM j WHERE jaccard >= 0.8),
+r AS (
+  SELECT nid, oid, j,
+    ROW_NUMBER() OVER (PARTITION BY nid ORDER BY j DESC, oid) AS rn,
+    COUNT(*) OVER (PARTITION BY nid) AS n_matches
+  FROM f)
+SELECT nid AS doc_id, oid AS matched_doc_id, j AS jaccard, n_matches
+FROM r WHERE rn = 1"""
+
   val sql: Map[String, String] = Map(
+
+    // x40: incremental (new-vs-index) near-dup dedup
+    "x40_incr_dedup" -> incrementalDedupSql,
 
     // x32: Gopher-style quality-gate rules report
     "x32_quality_gate" -> qualityGateSql,

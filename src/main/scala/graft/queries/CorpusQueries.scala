@@ -167,6 +167,15 @@ object CorpusQueries {
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))
 
+  /** x40 — incremental dedup: odd doc_ids play the daily increment, even
+    * doc_ids the existing corpus; each flagged new doc reports its best old
+    * match. Never compares new-vs-new or old-vs-old. */
+  def x40IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.incrementalDedup(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+  }
+
   /** x39 — sequence assembly: the materialized training sequences downstream
     * of x31's packing (ordered member text per (source, seq_id)). */
   def x39AssembleSequences(spark: SparkSession, dir: String): DataFrame =

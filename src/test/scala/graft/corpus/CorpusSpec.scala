@@ -851,6 +851,41 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.values.map(_._2).max should be > budget.toLong
   }
 
+  test("incremental dedup flags new-vs-old only; best match is deterministic on ties") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (31 to 60).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      2L -> base, 4L -> base, // old twins: old-vs-old is never compared
+      1L -> base.replace("tok30", "zzz"), // near-dups BOTH old twins
+      // "tok15" is not a prefix of any other token ("tok1" would also hit
+      // tok10..tok19 and sink J below the threshold)
+      5L -> base.replace("tok15", "aaa"),
+      3L -> other, // unlike any old doc
+      7L -> other.replace("b60", "x"), // new twins near-dup each OTHER only:
+      9L -> other.replace("b60", "x")) //   new-vs-new must stay unreported
+    val out = TextDedup.incrementalDedup(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    out.keySet shouldBe Set(1L, 5L)
+    out(1L)._1 shouldBe 2L // identical old twins tie on J -> min old id wins
+    out(1L)._3 shouldBe 2L // ...but both count as matches
+    // referee: the (independently referee-tested) exact pair op on the union,
+    // filtered to cross-side pairs and aggregated the same way
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cross = TextDedup.ngramJaccardPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (x, y, _) => x % 2 == 1 && y % 2 == 0 }
+    val expected = cross.groupBy(_._1).map { case (id, ms) =>
+      val sorted = ms.map { case (_, o, j) => (o, r6(j)) }
+        .sortBy { case (o, j) => (-j, o) }
+      id -> (sorted.head._1, sorted.head._2, ms.size.toLong)
+    }
+    out shouldBe expected
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
