@@ -51,8 +51,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // basename only: every byte of this line competes with the 2 KB capture
+    // window, and the harness records the full sf dir itself
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sf":"$sfDir"}"""
+      s""""errors":$errJson,"sf":"$sfName"}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated
     // this line mid-JSON before, losing the total — the file is the robust
