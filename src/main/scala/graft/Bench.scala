@@ -40,22 +40,31 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // centisecond precision: full-double values made the line ~2.1 KB, and
-    // the driver's stdout tail-capture window is 2 KB — the front of the JSON
-    // was clipped every round, losing the total. 2 decimals keeps the full
-    // 70-query map under the window with headroom for growth (10 ms
+    // centisecond precision, trailing zeros stripped: full-double values made
+    // the line ~2.1 KB, and the driver's stdout tail-capture window is 2 KB —
+    // the FRONT of the JSON gets clipped, so every byte counts (10 ms
     // granularity is well inside run-to-run variance at sf0.1).
-    def ms(v: Double): String = "%.2f".format(v)
+    def ms(v: Double): String = {
+      val s = "%.2f".format(v)
+      val t = s.replaceAll("0+$", "").stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    // errors object only when non-empty (it must stay loud then); an always-on
+    // empty {} just spends capture-window bytes
+    val errJson = if (errors.isEmpty) "" else
+      errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     // basename only: every byte of this line competes with the 2 KB capture
     // window, and the harness records the full sf dir itself
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sf":"$sfName"}"""
+    // "value" (the headline total) goes LAST: tail capture keeps the END of
+    // stdout, so a clipped line loses leading per-query entries, never the
+    // total — bench-latest.json below holds the complete copy regardless
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
+      s""""queries":$qs$errJson,"value":${ms(total)}}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated
     // this line mid-JSON before, losing the total — the file is the robust

@@ -90,6 +90,11 @@ object SparkEntry {
     "x38_length_profile" -> (C.x38LengthProfile _),
     "x39_assemble_seqs" -> (C.x39AssembleSequences _),
     "x40_incr_dedup" -> (C.x40IncrementalDedup _),
+    "x41_mix_weights" -> (C.x41MixWeights _),
+    "x42_embed_decontam" -> (C.x42EmbedDecontam _),
+    "x43_char_entropy" -> (C.x43CharEntropy _),
+    "x44_kmeans" -> (C.x44Kmeans _),
+    "x45_semantic_dedup" -> (C.x45SemanticDedup _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

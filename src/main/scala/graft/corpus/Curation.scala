@@ -60,6 +60,37 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Token budget for [[mixWeights]]' epochs column — shared with the x41
+    * oracle generator so the two cannot drift. */
+  val MixBudgetTokens: Long = 1000000L
+
+  /** Temperature-scaled source mixing weights — the step that PRODUCES the
+    * mixing ratios [[quotaSample]] applies: per source, upweight
+    * low-resource domains with `weight ∝ n_tokens^α` (α = 0.5, the
+    * multilingual-LM temperature-sampling recipe), and report the epochs each
+    * source repeats to fill a fixed token budget. α is pinned at 1/2 so the
+    * power is `sqrt` — IEEE requires sqrt be correctly rounded, so Spark and
+    * DuckDB produce the identical double where a libm `pow` could drift a
+    * ulp. The per-source weights are rounded to 6 dp then DECIMAL-summed for
+    * the normalizer (the x19 order-independence pattern).
+    *
+    * Scale shape: one map-side-partial aggregate keyed on the domain, then
+    * arithmetic over source-cardinality rows (a broadcast one-row total) —
+    * nothing corpus-sized moves, at any corpus size. */
+  def mixWeights(docs: DataFrame, budgetTokens: Long = MixBudgetTokens): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("bigint").as("n_tokens"))
+      .withColumn("s", round(sqrt(col("n_tokens")), 6).cast("decimal(18,6)"))
+    val tot = per.agg(sum(col("s")).as("tot"))
+    per.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      round(col("s").cast("double") / col("tot").cast("double"), 8).as("weight"),
+      round((col("s").cast("double") / col("tot").cast("double"))
+        * budgetTokens / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** Token budget per packed training sequence for [[packSequences]]'s driver
     * query — shared with the x31 oracle generator so the two cannot drift. */
   val PackBudget: Int = 512

@@ -34,7 +34,7 @@ object Similarity {
     * this is a SINGLE array walk (dot of unit vectors) instead of dot + two norm
     * recomputations; all oracles normalize with the identical operation
     * sequence, so the doubles stay bit-equal. */
-  private def normalizedBase(emb: DataFrame): DataFrame =
+  private[corpus] def normalizedBase(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), toDouble(col("embedding")).as("raw"))
       .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
       .select(col("vec_id"), transform(col("raw"), x => x / col("n")).as("e"))

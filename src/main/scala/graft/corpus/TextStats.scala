@@ -66,6 +66,41 @@ object TextStats {
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("bpe_tokens"),
       round(length(col("text")).cast("double") / size(ws), 6).as("chars_per_token"))
 
+  /** Character classes for [[charClassEntropy]] — (column, regex) pairs,
+    * counted in this order with `n_other` the remainder. Shared with the x43
+    * oracle generator so the two cannot drift. */
+  val EntropyClasses: Seq[(String, String)] = Seq(
+    "n_lower" -> "[a-z]", "n_upper" -> "[A-Z]",
+    "n_digit" -> "[0-9]", "n_space" -> "[ ]")
+
+  /** Character-class entropy — the cheap gibberish/boilerplate detector:
+    * Shannon entropy (bits) of the document's character distribution over
+    * { lowercase, uppercase, digit, space, other }. Near-zero entropy means
+    * a degenerate character diet (all digits, one repeated glyph — minified
+    * data, dumps); healthy prose sits well above 1 bit. A standard cheap
+    * quality signal alongside the Gopher-style gates (x32).
+    *
+    * Parity: each class count is `length(text) - length(regexp_replace(...))`
+    * (identical in DuckDB with the 'g' flag); each `-p·log2 p` term is
+    * rounded to 8 dp and DECIMAL-summed over the FIXED five-class order, so
+    * the result is reproducible bit-for-bit (x19 pattern). Narrow, codegen'd,
+    * zero shuffles at any corpus size. */
+  def charClassEntropy(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val counted = EntropyClasses.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (name, re)) =>
+        df.withColumn(name, n - length(regexp_replace(col("text"), re, "")))
+    }.withColumn("n_other",
+      n - EntropyClasses.map(c => col(c._1)).reduce(_ + _))
+    val classes = EntropyClasses.map(_._1) :+ "n_other"
+    def term(c: Column): Column = when(c > 0,
+        round(-(c.cast("double") / n) * log2(c.cast("double") / n), 8))
+      .otherwise(lit(0.0)).cast("decimal(12,8)")
+    counted.select(col("doc_id") +: classes.map(col) :+
+      classes.map(c => term(col(c))).reduce(_ + _)
+        .cast("double").as("entropy_bits"): _*)
+  }
+
   /** Stopword scrub — the text-normalization step every training corpus runs
     * before tokenization: drop stopwords (the union of all [[Stopwords]] lists),
     * re-join with single spaces, and report how much was removed. Narrow,

@@ -489,7 +489,147 @@ r AS (
 SELECT nid AS doc_id, oid AS matched_doc_id, j AS jaccard, n_matches
 FROM r WHERE rn = 1"""
 
+  /** Normalized-embedding base CTEs shared by the semantic (x42/x44/x45)
+    * oracles — the identical normalize-then-dot operation sequence as
+    * x6/x12/x13, so the doubles stay bit-equal. */
+  private val embBase: String = """raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw)"""
+
+  /** k-means CTE chain shared by x44/x45 — geometry, rounding, and iteration
+    * count interpolated from [[graft.corpus.Semantic]]'s constants; one
+    * assign+recompute CTE block generated per engine round. Centroid means
+    * replay the engine's round-then-DECIMAL-sum exactly (round to
+    * [[graft.corpus.Semantic.MeanRoundDp]] dp, exact DECIMAL accumulation,
+    * divide the identical total as doubles, re-round, re-normalize), so the
+    * assignment doubles cannot drift between engines. */
+  private def kmeansPrelude: String = {
+    val k = graft.corpus.Semantic.KmeansK
+    val dp = graft.corpus.Semantic.MeanRoundDp
+    val iters = graft.corpus.Semantic.KmeansIters
+    def iterCte(i: Int): String = s""",
+a$i AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT b.vec_id, b.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
+    FROM base b CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+x$i AS (SELECT cid, e, unnest(range(len(e))) AS p FROM a$i),
+s$i AS (
+  SELECT cid, p, SUM(CAST(round(e[p+1], $dp) AS DECIMAL(28,12))) AS s,
+         COUNT(*) AS n
+  FROM x$i GROUP BY 1, 2),
+m$i AS (
+  SELECT cid, list(round(CAST(s AS DOUBLE)/n, $dp) ORDER BY p) AS m
+  FROM s$i GROUP BY 1),
+cent$i AS (
+  SELECT cid, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS ce
+  FROM m$i)"""
+    s"""WITH $embBase,
+cent0 AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < $k)""" +
+      (1 to iters).map(iterCte).mkString + s""",
+fin AS (
+  SELECT vec_id, e, cid, ac FROM (
+    SELECT b.vec_id, b.e, c.cid, list_dot_product(b.e, c.ce) AS ac,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
+    FROM base b CROSS JOIN cent$iters c) WHERE rn = 1)"""
+  }
+
+  /** x44 — final k-means assignment after the pinned iteration budget. */
+  private def kmeansSql: String = kmeansPrelude +
+    "\nSELECT vec_id, cid AS cluster, round(ac, 6) AS cosine FROM fin"
+
+  /** x45 — SemDeDup prune list: within-cluster pairs ≥ τ, each dropped
+    * (higher-id) vector reporting its best lower-id keeper. */
+  private def semanticDedupSql: String = {
+    val tau = graft.corpus.Semantic.SemDedupTau
+    kmeansPrelude + s""",
+pr AS (
+  SELECT b.vec_id AS vec_id, b.cid AS cluster, a.vec_id AS keeper_id,
+         list_dot_product(a.e, b.e) AS cos
+  FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) >= $tau)
+SELECT vec_id, cluster, keeper_id, round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cos DESC, keeper_id) AS rn FROM pr)
+WHERE rn = 1"""
+  }
+
+  /** x42 — embedding-space decontamination: best benchmark match ≥ τ, slice
+    * and threshold from [[graft.corpus.Semantic]]'s constants. */
+  private def embedDecontamSql: String = {
+    val mod = graft.corpus.Semantic.DecontamBenchMod
+    val tau = graft.corpus.Semantic.DecontamTau
+    s"""WITH $embBase,
+bench AS (SELECT vec_id AS bench_id, e AS be FROM base WHERE vec_id % $mod = 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id, list_dot_product(c.e, b.be) AS cos
+  FROM base c CROSS JOIN bench b WHERE c.vec_id % $mod <> 0)
+SELECT vec_id, bench_id, round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cos DESC, bench_id) AS rn
+  FROM scored WHERE cos >= $tau)
+WHERE rn = 1"""
+  }
+
+  /** x41 — temperature mixing weights; α pinned at 1/2 so the power is
+    * IEEE-correctly-rounded `sqrt` in both engines; budget from Curation. */
+  private def mixWeightsSql: String = {
+    val budget = graft.corpus.Curation.MixBudgetTokens
+    s"""WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT *, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS s FROM per),
+t AS (SELECT *, SUM(s) OVER () AS tot FROM w)
+SELECT source, n_docs, n_tokens,
+  round(CAST(s AS DOUBLE)/CAST(tot AS DOUBLE), 8) AS weight,
+  round((CAST(s AS DOUBLE)/CAST(tot AS DOUBLE)) * $budget / n_tokens, 6) AS epochs
+FROM t"""
+  }
+
+  /** x43 — character-class entropy; classes interpolated from
+    * [[TextStats.EntropyClasses]], terms rounded-then-DECIMAL-summed in the
+    * engine's fixed class order. DuckDB's regexp_replace needs the explicit
+    * 'g' flag to match Spark's replace-all default. */
+  private def charEntropySql: String = {
+    val cls = TextStats.EntropyClasses
+    val counts = cls.map { case (name, re) =>
+      s"length(text) - length(regexp_replace(text, '$re', '', 'g')) AS $name"
+    }.mkString(",\n    ")
+    val names = cls.map(_._1) :+ "n_other"
+    val terms = names.map { c =>
+      s"CASE WHEN $c > 0 THEN CAST(round(-(CAST($c AS DOUBLE)/n)*log2(CAST($c AS DOUBLE)/n), 8) AS DECIMAL(12,8)) ELSE CAST(0 AS DECIMAL(12,8)) END"
+    }.mkString("\n  + ")
+    s"""WITH c AS (
+  SELECT doc_id, length(text) AS n,
+    $counts,
+    length(text) - (${cls.map(_._1).mkString(" + ")}) AS n_other
+  FROM documents)
+SELECT doc_id, ${names.mkString(", ")},
+  CAST($terms AS DOUBLE) AS entropy_bits
+FROM c"""
+  }
+
   val sql: Map[String, String] = Map(
+
+    // x41: temperature-scaled source mixing weights
+    "x41_mix_weights" -> mixWeightsSql,
+
+    // x42: embedding-space benchmark decontamination
+    "x42_embed_decontam" -> embedDecontamSql,
+
+    // x43: character-class entropy — classes from TextStats.EntropyClasses
+    "x43_char_entropy" -> charEntropySql,
+
+    // x44: deterministic k-means assignment — geometry from Semantic
+    "x44_kmeans" -> kmeansSql,
+
+    // x45: SemDeDup within-cluster prune — threshold from Semantic
+    "x45_semantic_dedup" -> semanticDedupSql,
 
     // x40: incremental (new-vs-index) near-dup dedup
     "x40_incr_dedup" -> incrementalDedupSql,

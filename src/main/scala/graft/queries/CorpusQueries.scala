@@ -199,6 +199,30 @@ object CorpusQueries {
     graft.corpus.Privacy.normalizeText(
       graft.corpus.Privacy.messyTextFixture(docs(spark, dir)))
 
+  /** x41 — temperature-scaled (α = 0.5) source mixing weights + epochs to
+    * fill the [[graft.corpus.Curation.MixBudgetTokens]] token budget. */
+  def x41MixWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.mixWeights(docs(spark, dir))
+
+  /** x42 — embedding-space benchmark decontamination: best-match report for
+    * corpus vectors within cosine ≥ τ of the deterministic benchmark slice. */
+  def x42EmbedDecontam(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Semantic.embedDecontam(emb(spark, dir))
+
+  /** x43 — character-class Shannon entropy (bits) per document. */
+  def x43CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.TextStats.charClassEntropy(docs(spark, dir))
+
+  /** x44 — deterministic k-means cluster assignment over the embeddings
+    * (seeded from the k lowest vec_ids, fixed iteration budget). */
+  def x44Kmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Semantic.kmeansAssign(emb(spark, dir))
+
+  /** x45 — SemDeDup-style semantic prune: within-cluster near-dup drops with
+    * their keeper. */
+  def x45SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Semantic.semanticDedup(emb(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

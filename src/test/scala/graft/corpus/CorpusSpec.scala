@@ -886,6 +886,33 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe expected
   }
 
+  test("mixWeights: sqrt-temperature weights normalize to 1, epochs fill the budget") {
+    import spark.implicits._
+    // source A: 9 tokens, source B: 1 token → s = 3 vs 1 → weights 0.75 / 0.25
+    val d = Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" "), "A"),
+      (2L, "only", "B")).toDF("doc_id", "text", "source")
+    val out = Curation.mixWeights(d, budgetTokens = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    out("A") shouldBe ((1L, 9L, 0.75, 8.333333))
+    out("B") shouldBe ((1L, 1L, 0.25, 25.0))
+    out.values.map(_._3).sum shouldBe 1.0 +- 1e-9
+  }
+
+  test("charClassEntropy: degenerate text scores 0, a uniform class mix scores ~log2(5)") {
+    val d = docs(1L -> "aaaa", 2L -> "aA1 ?")
+    val out = TextStats.charClassEntropy(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Double]("entropy_bits") shouldBe 0.0
+    out(1L).getAs[Int]("n_lower") shouldBe 4
+    val mixed = out(2L)
+    Seq("n_lower", "n_upper", "n_digit", "n_space", "n_other")
+      .foreach(c => mixed.getAs[Int](c) shouldBe 1)
+    // five equal classes: H = log2 5, built from 8-dp-rounded terms
+    mixed.getAs[Double]("entropy_bits") shouldBe 2.3219281 +- 1e-7
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")

@@ -1,0 +1,82 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def emb(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // two obvious directions in R⁴; seeds (ids 0 and 1) are one per direction
+  private val twoClusters = emb(
+    0L -> Seq(1f, 0f, 0f, 0f),
+    1L -> Seq(0f, 1f, 0f, 0f),
+    2L -> Seq(0.9f, 0.1f, 0f, 0f),
+    3L -> Seq(0.1f, 0.9f, 0f, 0f),
+    4L -> Seq(1f, 0.2f, 0f, 0f))
+
+  test("kmeans assigns vectors to the nearest seed direction and keeps seed cids") {
+    val out = Semantic.kmeansAssign(twoClusters, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L)
+  }
+
+  test("kmeans cosine is the similarity to the winning (recomputed) centroid") {
+    val rows = Semantic.kmeansAssign(twoClusters, k = 2, iters = 2).collect()
+    // every vector sits close to its cluster mean; cosines stay high and ≤ 1
+    all(rows.map(_.getAs[Double]("cosine"))) should (be >= 0.9 and be <= 1.0)
+  }
+
+  test("semanticDedup drops higher ids toward the best lower keeper, ties to min id") {
+    // 0, 2, 5 are colinear (cosine exactly 1 pairwise); 1, 3 the other cluster
+    val d = emb(
+      0L -> Seq(2f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0f, 0f),
+      3L -> Seq(0f, 2f, 0f, 0f),
+      5L -> Seq(3f, 0f, 0f, 0f))
+    val out = Semantic.semanticDedup(d, k = 2, iters = 1, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 2 keeps to 0; 5's keepers 0 and 2 tie at cosine 1 → min id 0 wins.
+    // 3 keeps to 1. 0 and 1 survive (no lower-id mate).
+    out shouldBe Set((2L, 0L), (5L, 0L), (3L, 1L))
+  }
+
+  test("semanticDedup only compares within a cluster (blocking semantics)") {
+    // the two directions are ~45° apart (cos ≈ 0.707) so with tau = 0.5 a
+    // GLOBAL pair scan would flag cross-direction pairs; clustering blocks them
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 1f, 0f, 0f),
+      2L -> Seq(0.99f, 0.01f, 0f, 0f))
+    val out = Semantic.semanticDedup(d, k = 2, iters = 1, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 2 clusters with 0 (cos ≈ 1); 1 seeds its own cluster and is never paired
+    out shouldBe Set((2L, 0L))
+  }
+
+  test("embedDecontam flags near-benchmark vectors with their best bench match") {
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f), // bench (0 % 25 == 0)
+      25L -> Seq(0f, 1f, 0f, 0f), // bench
+      1L -> Seq(2f, 0f, 0f, 0f), // exact dup of bench 0 → cos 1
+      2L -> Seq(0f, 0f, 1f, 0f), // orthogonal to both → clean
+      3L -> Seq(1f, 1f, 0f, 0f)) // cos .7071 to both → tie → bench 0
+    val out = Semantic.embedDecontam(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine"))).toSet
+    out shouldBe Set((1L, 0L, 1.0), (3L, 0L, 0.707107))
+  }
+
+  test("embedDecontam leaves a clean corpus unflagged") {
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 0f, 1f, 0f),
+      2L -> Seq(0f, 0f, 0f, 1f))
+    Semantic.embedDecontam(d).count() shouldBe 0L
+  }
+}
