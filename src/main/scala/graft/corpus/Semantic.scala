@@ -50,17 +50,38 @@ object Semantic {
   private def dotp(a: Column, b: Column): Column =
     graft.functions.VectorOps.dotp(a, b)
 
-  /** One Lloyd's round: assign every vector to its max-cosine centroid (ties
-    * to the lowest cid). Centroids are K rows — ALWAYS broadcast, so
-    * assignment is one narrow pass over the corpus (no shuffle). */
-  private def assign(base: DataFrame, cent: DataFrame): DataFrame =
-    base.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("e"), col("cid"),
-        dotp(col("e"), col("ce")).as("ac"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"), col("ac"))
+  /** One Lloyd's assignment with DRIVER-HELD centroids (k × dim doubles —
+    * control-plane, the MLlib convention): every vector picks its max-cosine
+    * centroid (ties to the lowest cid) in a single narrow per-row expression —
+    * k codegen'd dot products + a greatest/when argmax — so assignment never
+    * shuffles and never materializes the N × k crossing a join-then-window
+    * formulation would push through an exchange. */
+  private def assign(base: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    // base columns (vec_id, e, any passthrough) ride along the narrow pass
+    withBestMatch(base, cents, "cid", "ac")
+
+  /** Append (argmax-id, max-score) columns scoring `e` against a driver-held
+    * reference set — the shared narrow kernel of [[assign]] and
+    * [[embedDecontam]]: one codegen'd dot per reference into an array of
+    * `(cos, -id)` structs, ONE linear `array_max` (struct comparison is
+    * lexicographic, so max cosine wins and ties go to the LOWEST id via the
+    * negated id), fields extracted in a separate projection so the array is
+    * built exactly once per row (a greatest + per-id when-chain formulation
+    * re-evaluated the dots per branch — quadratic in the reference count).
+    * Width grows with the reference count; fine for k-means ks and
+    * eval-suite-sized benchmarks, not for reference sets of many thousands
+    * (those want [[Similarity.cosineTopK]]'s broadcast-join shape). */
+  private def withBestMatch(base: DataFrame, refs: Seq[(Long, Seq[Double])],
+      idName: String, scoreName: String): DataFrame = {
+    require(refs.nonEmpty, "reference set must not be empty")
+    val entries = refs.sortBy(_._1).map { case (id, re) =>
+      struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
+    }
+    base.withColumn("__bm", array_max(array(entries: _*)))
+      .select(base.columns.map(col) :+
+        (-col("__bm").getField("nid")).as(idName) :+
+        col("__bm").getField("cos").as(scoreName): _*)
+  }
 
   /** Recompute centroids from an assignment: per-dimension mean via
     * round-then-DECIMAL-sum (order-independent), mean re-rounded to
@@ -86,21 +107,32 @@ object Semantic {
       .withColumn("nm", graft.functions.VectorOps.norm(col("m")))
       .select(col("cid"), transform(col("m"), x => x / col("nm")).as("ce"))
 
+  /** Collect a (cid, ce) centroid table to the driver — k × dim doubles, the
+    * per-round control-plane sync every distributed k-means does (Spark
+    * MLlib's runs collect exactly this). Also severs the iteration lineage:
+    * each round's plan starts from literal centroids, not a growing DAG. */
+  private def collectCents(cent: DataFrame): Seq[(Long, Seq[Double])] =
+    cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
   /** Final (vec_id, e, cluster, cosine-to-centroid) assignment after
     * [[KmeansIters]] Lloyd's rounds from the deterministic seed (centroids =
     * the k lowest vec_ids, normalized — the same stand-in convention as
     * [[Similarity.annIvf]], which is exactly the consumer a trained version
-    * of these centroids would feed). */
-  private[corpus] def kmeansFinal(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val base = Similarity.normalizedBase(emb)
-    var cent = base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    * of these centroids would feed). Each round is ONE Spark job: a narrow
+    * assignment pass fused into the (cid, dim)-keyed mean aggregate. */
+  private[corpus] def kmeansFinal(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFinalOn(Similarity.normalizedBase(emb), k, iters)
+
+  /** [[kmeansFinal]] over a pre-normalized base — extra base columns (e.g. a
+    * label or source carried via `normalizedBase(emb, "label")`) ride along
+    * the narrow assignment, so downstream consumers never join back to the
+    * corpus for them. */
+  private[corpus] def kmeansFinalOn(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = collectCents(base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce")))
     for (_ <- 1 to iters)
-      cent = recompute(assign(base, cent))
-    // tiny k-row lineage, but each round stacks a join + two aggregates on
-    // it; localCheckpoint would sever it for big iteration counts (the x20
-    // treatment) — at the pinned small count the plain plan is cheaper
-    assign(base, cent)
+      cents = collectCents(recompute(assign(base, cents)))
+    assign(base, cents)
   }
 
   /** x44 — deterministic k-means cluster assignment over the embedding
@@ -108,15 +140,33 @@ object Semantic {
     * winning centroid. This is the blocking structure every embedding-side
     * curation step downstream reuses (x45; IVF cells in [[Similarity.annIvf]]).
     *
-    * Scale shape per round: one narrow broadcast-assign pass + one map-side
-    * partial (cid, dim) aggregate; nothing corpus-sized shuffles, nothing is
-    * quadratic in N. Iterations multiply cost linearly, k and dim bound the
-    * aggregate state. */
+    * Scale shape per round: one narrow driver-held-centroid assignment pass
+    * fused into one map-side partial (cid, dim) aggregate; nothing
+    * corpus-sized shuffles, nothing is quadratic in N. Iterations multiply
+    * cost linearly, k and dim bound the aggregate state. */
   def kmeansAssign(emb: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame =
     kmeansFinal(emb, k, iters)
       .select(col("vec_id"), col("cid").as("cluster"),
         round(col("ac"), 6).as("cosine"))
+
+  /** x46 — cluster profile: per (cluster, label) member count and
+    * within-cluster share — the clustering-quality audit (label purity) every
+    * semantic-curation run checks before trusting x44's blocking for x45's
+    * dedup decisions or for stratified sampling. Any categorical column works
+    * as the label (here the embeddings' `label`; at corpus scale, `source`).
+    *
+    * Scale shape: the label rides ALONG the narrow assignment pass
+    * ([[kmeansFinalOn]] passthrough) — no join back to the corpus; the only
+    * shuffle is the (cluster, label) aggregate (map-side partial, k × labels
+    * result rows) plus a window over that tiny result. */
+  def clusterProfile(emb: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame =
+    kmeansFinalOn(Similarity.normalizedBase(emb, "label"), k, iters)
+      .groupBy(col("cid").as("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share", round(col("n_vecs").cast("double") /
+        sum(col("n_vecs")).over(Window.partitionBy(col("cluster"))), 6))
 
   /** x45 — SemDeDup-style semantic prune: within each k-means cluster, a
     * vector is DROPPED iff some lower-id cluster-mate sits within cosine ≥
@@ -155,23 +205,28 @@ object Semantic {
     * is the deterministic `vec_id % benchMod == 0` stand-in, same convention
     * as x22's doc_id slice.
     *
-    * Scale shape: benchmark sets are small by nature — broadcast — so the
-    * corpus streams through ONE narrow pass (score all bench vectors, keep
-    * the max) with zero shuffles: the same shape as
-    * [[Similarity.cosineTopK]], which is the right one at any corpus size. */
+    * Scale shape: benchmark sets are bounded by the EVAL SUITE, so they live
+    * on the driver ([[bestMatch]]) and the corpus streams through ONE narrow
+    * codegen'd pass — zero shuffles, no join, no window; the per-vector
+    * argmax is an expression, so the same operator composes unchanged onto a
+    * stream ([[embedDecontamAgainst]]). A benchmark too wide for expression
+    * form would fall back to [[Similarity.cosineTopK]]'s broadcast-join
+    * shape. */
   def embedDecontam(emb: DataFrame, benchMod: Int = DecontamBenchMod,
       tau: Double = DecontamTau): DataFrame = {
     val base = Similarity.normalizedBase(emb)
-    val bench = base.filter(col("vec_id") % benchMod === 0)
-      .select(col("vec_id").as("bench_id"), col("e").as("be"))
-    base.filter(col("vec_id") % benchMod =!= 0)
-      .crossJoin(broadcast(bench))
-      .select(col("vec_id"), col("bench_id"), dotp(col("e"), col("be")).as("cos"))
-      .filter(col("cos") >= tau)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("bench_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cosine"))
+    val bench = collectCents(base.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("e").as("be")))
+    embedDecontamAgainst(base.filter(col("vec_id") % benchMod =!= 0), bench, tau)
   }
+
+  /** [[embedDecontam]]'s narrow kernel over a pre-normalized corpus and a
+    * driver-held benchmark — stateless and shuffle-free, so it runs
+    * unchanged on a streaming DataFrame (the production shape: screen each
+    * ingest micro-batch against the frozen benchmark set). */
+  def embedDecontamAgainst(base: DataFrame, bench: Seq[(Long, Seq[Double])],
+      tau: Double = DecontamTau): DataFrame =
+    withBestMatch(base.select(col("vec_id"), col("e")), bench, "bench_id", "cos")
+      .filter(col("cos") >= tau)
+      .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cosine"))
 }

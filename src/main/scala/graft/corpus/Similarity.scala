@@ -34,10 +34,12 @@ object Similarity {
     * this is a SINGLE array walk (dot of unit vectors) instead of dot + two norm
     * recomputations; all oracles normalize with the identical operation
     * sequence, so the doubles stay bit-equal. */
-  private[corpus] def normalizedBase(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), toDouble(col("embedding")).as("raw"))
+  private[corpus] def normalizedBase(emb: DataFrame, passthrough: String*): DataFrame =
+    emb.select(col("vec_id") +: passthrough.map(col) :+
+        toDouble(col("embedding")).as("raw"): _*)
       .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
-      .select(col("vec_id"), transform(col("raw"), x => x / col("n")).as("e"))
+      .select(col("vec_id") +: passthrough.map(col) :+
+        transform(col("raw"), x => x / col("n")).as("e"): _*)
 
   private def dotp(a: Column, b: Column): Column = graft.functions.VectorOps.dotp(a, b)
 
@@ -144,7 +146,7 @@ object Similarity {
     // caller-supplied centroids take the SAME (vec_id, embedding) shape as the
     // corpus and are normalized here — all scoring below is unit-vector dot
     // products, so an unnormalized centroid would bias assignment by its length
-    val cents = centroids.map(normalizedBase)
+    val cents = centroids.map(normalizedBase(_))
       .getOrElse(base.filter(col("vec_id") < numCentroids))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val assigned = base.crossJoin(broadcast(cents))

@@ -558,6 +558,18 @@ SELECT vec_id, cluster, keeper_id, round(cos, 6) AS cosine FROM (
 WHERE rn = 1"""
   }
 
+  /** x46 — cluster × label purity profile over the final k-means
+    * assignment. */
+  private def clusterProfileSql: String = kmeansPrelude + """,
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT cluster, label, n_vecs,
+       round(CAST(n_vecs AS DOUBLE) / tot, 6) AS share
+FROM (
+  SELECT f.cid AS cluster, l.label, COUNT(*) AS n_vecs,
+         SUM(COUNT(*)) OVER (PARTITION BY f.cid) AS tot
+  FROM fin f JOIN lab l ON f.vec_id = l.vec_id
+  GROUP BY 1, 2)"""
+
   /** x42 — embedding-space decontamination: best benchmark match ≥ τ, slice
     * and threshold from [[graft.corpus.Semantic]]'s constants. */
   private def embedDecontamSql: String = {
@@ -630,6 +642,9 @@ FROM c"""
 
     // x45: SemDeDup within-cluster prune — threshold from Semantic
     "x45_semantic_dedup" -> semanticDedupSql,
+
+    // x46: cluster × label purity profile
+    "x46_cluster_profile" -> clusterProfileSql,
 
     // x40: incremental (new-vs-index) near-dup dedup
     "x40_incr_dedup" -> incrementalDedupSql,

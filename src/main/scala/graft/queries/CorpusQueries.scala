@@ -223,6 +223,11 @@ object CorpusQueries {
   def x45SemanticDedup(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Semantic.semanticDedup(emb(spark, dir))
 
+  /** x46 — cluster profile: per (cluster, label) counts and within-cluster
+    * share (the clustering-quality / purity audit over x44's clusters). */
+  def x46ClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Semantic.clusterProfile(emb(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -623,7 +623,8 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       "simhash" -> TextDedup.simhash(d),
       "quotaSample" -> Curation.quotaSample(d),
       "chunkDocuments" -> Curation.chunkDocuments(d),
-      "assignSplits" -> Curation.assignSplits(d))
+      "assignSplits" -> Curation.assignSplits(d),
+      "charClassEntropy" -> TextStats.charClassEntropy(d))
     narrowOps.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan
       // a shuffling plan would be wrapped in a LEAF AdaptiveSparkPlanExec,

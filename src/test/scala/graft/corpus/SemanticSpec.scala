@@ -72,6 +72,56 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Set((1L, 0L, 1.0), (3L, 0L, 0.707107))
   }
 
+  test("embedDecontam compiles to a shuffle-free narrow plan (driver-held benchmark)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val d = emb(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    val plan = Semantic.embedDecontam(d).queryExecution.executedPlan
+    plan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] shouldBe false
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
+  test("embedDecontamAgainst runs unchanged on a streaming corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val base = input.toDF().toDF("vec_id", "e")
+    val bench = Seq(7L -> Seq(1.0, 0.0, 0.0, 0.0))
+    val flagged = Semantic.embedDecontamAgainst(base, bench, tau = 0.9)
+    flagged.isStreaming shouldBe true
+    val sink = s"semdecon_${System.nanoTime}"
+    val q = flagged.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("semdecon").toString)
+      .start()
+    try {
+      input.addData((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows shouldBe Set((1L, 7L)) // 2 is orthogonal to the benchmark → clean
+    } finally q.stop()
+  }
+
+  test("clusterProfile shares sum to 1 per cluster and counts carry the label mix") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 10),
+      (1L, Seq(0f, 1f, 0f, 0f), 20),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 10),
+      (3L, Seq(0.8f, 0.2f, 0f, 0f), 20),
+      (4L, Seq(0.1f, 0.9f, 0f, 0f), 20)).toDF("vec_id", "embedding", "label")
+    val rows = Semantic.clusterProfile(d, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // cluster 0 = {0, 2, 3}: labels 10×2, 20×1; cluster 1 = {1, 4}: 20×2
+    rows((0L, 10)) shouldBe ((2L, 0.666667))
+    rows((0L, 20)) shouldBe ((1L, 0.333333))
+    rows((1L, 20)) shouldBe ((2L, 1.0))
+    rows.keySet shouldBe Set((0L, 10), (0L, 20), (1L, 20))
+  }
+
   test("embedDecontam leaves a clean corpus unflagged") {
     val d = emb(
       0L -> Seq(1f, 0f, 0f, 0f),
