@@ -81,6 +81,17 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan.collect { case e: Exchange => e } shouldBe empty
   }
 
+  test("kmeansAssign's final plan is shuffle-free (iteration work happens at build time)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // the Lloyd's rounds run as their own jobs during construction (centroid
+    // collect); the RETURNED frame must be a single narrow assignment pass
+    val plan = Semantic.kmeansAssign(twoClusters, k = 2, iters = 2)
+      .queryExecution.executedPlan
+    plan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] shouldBe false
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   test("embedDecontamAgainst runs unchanged on a streaming corpus") {
     val s = spark
     import s.implicits._
