@@ -112,21 +112,21 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: one aggregate pass over the postings, `numHashes` min()
-    * columns (single shuffle keyed on doc_id, map-side partial min). Each shingle
-    * STRING is hashed once (`xxhash64(s)`); the i-th family value then re-hashes
-    * that fixed-width long with a per-family salt (`xxhash64(i, h)`) — 64
-    * string hashes per posting collapse to 1 string hash + 64 long hashes,
-    * ~2.5× faster end-to-end. A salted re-hash is used instead of the classic
-    * `a*h+b` permutation, which under Spark 4's default ANSI mode would raise on
-    * the (intended) 64-bit wraparound. Deterministic, codegen'd, overflow-free. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val base = postings(docs, n).withColumn("h", xxhash64(col("s")))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** MinHash signatures: ONE narrow compiled pass per document
+    * ([[graft.functions.MinHashSig]]) — a per-document value never needed the
+    * explode → 64-min-column groupBy shuffle the first formulation paid. Each
+    * shingle STRING is hashed once; the i-th family value re-hashes that
+    * fixed-width long with a per-family salt (the hash-once-then-salt scheme,
+    * byte-identical to the `xxhash64(s)` / `xxhash64(i, h)` chain — pinned in
+    * EquivalenceSpec). A salted re-hash is used instead of the classic
+    * `a*h+b` permutation, which under Spark 4's default ANSI mode would raise
+    * on the (intended) 64-bit wraparound. Docs with no shingles (< n tokens)
+    * produce no row, matching the groupBy build's semantics. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.MinHashSig(shingles(tokens(col("text")), n), numHashes)
+          .as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** MinHash + LSH near-dup pairs: band the signature, bucket-join, then verify
     * candidates with EXACT n-gram Jaccard (so false positives are eliminated; with
@@ -152,16 +152,35 @@ object TextDedup {
     * signature slice. The join key both self-dedup and incremental dedup
     * block on. */
   private def bandBuckets(docs: DataFrame, n: Int, numHashes: Int,
-      bands: Int): DataFrame = {
-    val rows = numHashes / bands
+      bands: Int): DataFrame =
     minhashSignatures(docs, n, numHashes).select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
-            .as("bucket"))): _*)).as("bb"))
+      explode(bandStructs(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** The (band, bucket) struct array for a signature column — the ONE place
+    * banding geometry lives, shared by the batch index build and the
+    * streaming twin (`StreamOps.flagNearDupCandidates`) so their buckets can
+    * never drift. */
+  private[graft] def bandStructs(sig: org.apache.spark.sql.Column,
+      numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+          .as("bucket"))): _*)
   }
+
+  /** The persisted dedup index: every document's LSH band buckets,
+    * `(doc_id, band, bucket)` — what a production deployment writes out
+    * (bucketed by (band, bucket)) so that increments ([[incrementalDedup]])
+    * and ingest streams (`StreamOps.flagNearDupCandidates`) join against the
+    * index instead of recomputing the corpus side. Narrow end to end: the
+    * signature is a compiled per-row pass and the banding an explode of a
+    * per-row struct array — building the index never shuffles the corpus. */
+  def dedupIndex(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    bandBuckets(docs, n, numHashes, bands)
 
   /** Incremental near-dup dedup — the production shape: flag NEW documents
     * that near-duplicate an EXISTING corpus, without ever comparing new docs

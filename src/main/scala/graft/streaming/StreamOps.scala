@@ -85,4 +85,37 @@ object StreamOps {
       .join(broadcast(benchShingles), Seq("s"), "left_semi")
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
+
+  /** Streaming near-dup flagging against a persisted dedup index — the
+    * ingest-time twin of [[graft.corpus.TextDedup.incrementalDedup]]: each
+    * arriving document's MinHash band buckets (a NARROW compiled projection —
+    * `MinHashSig` made the signature stateless, which a groupBy build could
+    * never be on a stream) are semi-joined against the static
+    * `(doc_id, band, bucket)` index from
+    * [[graft.corpus.TextDedup.dedupIndex]]; bucket collisions flag the doc.
+    *
+    * Flags are LSH CANDIDATES (same banding recall/precision as x3's
+    * candidate stage, before its exact-Jaccard verify): the production
+    * pattern quarantines candidates at ingest and batch-verifies them —
+    * exact verification needs the old side's posting lists, which is a batch
+    * join, not a per-record decision. State: only the watermarked doc_id
+    * dedup; the index is static; nothing grows with stream volume. */
+  def flagNearDupCandidates(docs: DataFrame, index: DataFrame, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val sig = graft.functions.MinHashSig(
+      graft.corpus.TextDedup.shingles(
+        graft.corpus.TextDedup.tokens(col("text")), n), numHashes)
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), col("ts"), explode(
+        graft.corpus.TextDedup.bandStructs(col("sig"), numHashes, bands)).as("bb"))
+      .select(col("doc_id"), col("ts"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(index, Seq("band", "bucket"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+  }
 }

@@ -58,6 +58,60 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.foreach { r => r.getSeq[String](0) shouldBe r.getSeq[String](1) }
   }
 
+  /** [[corpus]] backed by an RDD: a LocalRelation-based plan would be folded
+    * by ConvertToLocalRelation with INTERPRETED eval, leaving no
+    * WholeStageCodegen span for the codegen-only pins. */
+  private def rddCorpus(seed: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "a", "中文", "données", "😀ok", "x")
+    val rows = (0L until n).map { i =>
+      val len = rnd.nextInt(12)
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows))
+      .toDF("doc_id", "text")
+  }
+
+  test("MinHashSig == explode/xxhash64/min-groupBy on random corpora") {
+    val d = rddCorpus(seed = 5, n = 200)
+    val sh = NGramShingles(split(col("text"), " "), 3)
+    val fast = collectCodegenOnly(
+      d.select(col("doc_id"), MinHashSig(sh, 64).as("sig"))
+        .filter(F.size(col("sig")) > 0))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val post = d.select(col("doc_id"), explode(sh).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val slow = post.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // same doc set (no-shingle docs absent from both) and identical signatures
+    fast shouldBe slow
+    fast should not be empty
+  }
+
+  test("MinHashSig interpreted eval matches its codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val d = rddCorpus(seed = 6, n = 120)
+    val sh = NGramShingles(split(col("text"), " "), 3)
+    val gen = collectCodegenOnly(
+      d.select(col("doc_id"), MinHashSig(sh, 16).as("sig")))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val interp = d.collect().map { r =>
+      val ws = Literal.create(r.getString(1).split(" ", -1).toSeq,
+        ArrayType(StringType))
+      val shingled = graft.functions.NGramShingles(ws, 3).eval(null)
+      val sig = graft.functions.MinHashSig(
+        Literal(shingled, ArrayType(StringType)), 16).eval(null)
+      r.getLong(0) -> sig
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+    }.toMap
+    gen shouldBe interp
+  }
+
   test("Simhash32 == explode/md5/32-sums/groupBy on random corpora") {
     val d = corpus(seed = 2, n = 200).filter(F.length(col("text")) >= 0)
     val fast = d.select(col("doc_id"), Simhash32(split(col("text"), " ")).as("sig"))

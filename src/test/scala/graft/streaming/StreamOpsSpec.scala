@@ -132,6 +132,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming near-dup flagging: index bucket collisions flag, novel docs pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the persisted index over the EXISTING corpus (static side)
+    val oldDocs = Seq(
+      (100L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (101L, (31 to 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val index = graft.corpus.TextDedup.dedupIndex(oldDocs)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.flagNearDupCandidates(
+      input.toDF().toDF("ts", "doc_id", "text"), index)
+    val sink = s"neardup_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops4").toString)
+      .start()
+    try {
+      input.addData(
+        // near-dup of old 100 (one token changed) → some band must collide
+        (ts("2024-01-01 10:00:00"), 1L,
+          (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")),
+        // novel text → no bucket collision
+        (ts("2024-01-01 10:01:00"), 2L,
+          (61 to 90).map(i => s"new$i").mkString(" ")),
+        // too short for a shingle → silently passes (no signature)
+        (ts("2024-01-01 10:02:00"), 3L, "a b"))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect().map(_.getLong(0)).toSeq
+      rows shouldBe Seq(1L) // flagged ONCE despite 16 banded rows
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on a stream (chunk -> split, append mode)") {
     // chunkDocuments and assignSplits are narrow, stateless transforms — the
     // SAME operator code must compose onto a streaming DataFrame with no
