@@ -52,4 +52,29 @@ object Profiling {
         percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
         percentile(col("n_tokens"), lit(0.75)).as("p75_tokens"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
+
+  /** Embedding QA profile — [[numericProfile]]'s counterpart for the vector
+    * plane, the sanity gate run before any similarity/clustering job trusts
+    * an embedding delivery: per label, vector count, dimension bounds (a
+    * min ≠ max pair is a ragged delivery), zero-norm count (unnormalizable —
+    * they silently NaN every cosine downstream), and norm min/max/mean.
+    *
+    * Parity: the norm is the identical `sqrt(dot(raw, raw))` the similarity
+    * operators use; the mean is round-then-DECIMAL-sum (x19's
+    * order-independence pattern) divided as a double. Scale shape: one
+    * narrow projection + one map-side-partial aggregate keyed on the label —
+    * the standard profile shape, nothing corpus-sized moves. */
+  def embeddingProfile(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        col("embedding").cast("array<double>").as("raw"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("raw")))
+      .withColumn("dim", size(col("raw")).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        round(sum(round(col("nrm"), 8).cast("decimal(20,8)")).cast("double")
+          / count(lit(1)), 6).as("mean_norm"))
 }

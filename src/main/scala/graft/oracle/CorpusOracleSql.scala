@@ -646,6 +646,21 @@ FROM c"""
     // x46: cluster × label purity profile
     "x46_cluster_profile" -> clusterProfileSql,
 
+    // x47: embedding QA profile — same norm kernel as the similarity oracles
+    "x47_embedding_profile" -> """WITH raw AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+n AS (
+  SELECT label, CAST(len(raw) AS BIGINT) AS dim,
+         sqrt(list_dot_product(raw, raw)) AS nrm
+  FROM raw)
+SELECT label, COUNT(*) AS n_vecs,
+  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm,
+  round(CAST(SUM(CAST(round(nrm, 8) AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_norm
+FROM n GROUP BY 1""",
+
     // x40: incremental (new-vs-index) near-dup dedup
     "x40_incr_dedup" -> incrementalDedupSql,
 

@@ -228,6 +228,11 @@ object CorpusQueries {
   def x46ClusterProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Semantic.clusterProfile(emb(spark, dir))
 
+  /** x47 — embedding QA profile: per-label vector counts, dimension bounds,
+    * zero-norm count, norm min/max/mean (the vector-plane x17). */
+  def x47EmbeddingProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Profiling.embeddingProfile(emb(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

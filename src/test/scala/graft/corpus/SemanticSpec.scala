@@ -133,6 +133,27 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.keySet shouldBe Set((0L, 10), (0L, 20), (1L, 20))
   }
 
+  test("embeddingProfile reports dim bounds, zero-norm vectors, and exact norm stats") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(3f, 4f, 0f), 1),       // norm 5
+      (1L, Seq(0f, 0f, 0f), 1),       // zero vector
+      (2L, Seq(1f, 0f), 1),           // ragged: dim 2
+      (3L, Seq(0f, 2f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Profiling.embeddingProfile(d).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val l1 = out(1)
+    l1.getAs[Long]("n_vecs") shouldBe 3L
+    l1.getAs[Long]("min_dim") shouldBe 2L
+    l1.getAs[Long]("max_dim") shouldBe 3L
+    l1.getAs[Long]("n_zero") shouldBe 1L
+    l1.getAs[Double]("min_norm") shouldBe 0.0
+    l1.getAs[Double]("max_norm") shouldBe 5.0
+    l1.getAs[Double]("mean_norm") shouldBe 2.0 // (5 + 0 + 1) / 3
+    out(2).getAs[Double]("mean_norm") shouldBe 2.0
+    out(2).getAs[Long]("n_zero") shouldBe 0L
+  }
+
   test("embedDecontam leaves a clean corpus unflagged") {
     val d = emb(
       0L -> Seq(1f, 0f, 0f, 0f),
