@@ -97,6 +97,8 @@ object SparkEntry {
     "x45_semantic_dedup" -> (C.x45SemanticDedup _),
     "x46_cluster_profile" -> (C.x46ClusterProfile _),
     "x47_embedding_profile" -> (C.x47EmbeddingProfile _),
+    "x48_boilerplate" -> (C.x48Boilerplate _),
+    "x49_dataset_card" -> (C.x49DatasetCard _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -53,6 +53,32 @@ object Profiling {
         percentile(col("n_tokens"), lit(0.75)).as("p75_tokens"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
 
+  /** Dataset card — the one-row release artifact summarizing a curated
+    * corpus: document/source/language cardinalities, token and char totals,
+    * exact-duplicate count (docs minus distinct content digests — X1's
+    * definition), and mean quality score (X9's formula, mean via
+    * round-then-DECIMAL-sum so aggregation order cannot move the hash).
+    * Every number is a corpus-level scalar a dataset README quotes.
+    *
+    * Scale shape: one corpus scan into a global aggregate (map-side partial;
+    * the three exact distinct counts expand the aggregate — the price of
+    * exact cardinalities; a 100 TB run swaps `approx_count_distinct` (HLL)
+    * and documents the estimate, no longer oracle-exact by design). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val counts = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      (count(lit(1)) - countDistinct(md5(encode(col("text"), "UTF-8"))))
+        .as("n_dup_docs"))
+    val meanQ = graft.corpus.TextStats.quality(docs).agg(
+      round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_quality"))
+    counts.crossJoin(meanQ)
+  }
+
   /** Embedding QA profile — [[numericProfile]]'s counterpart for the vector
     * plane, the sanity gate run before any similarity/clustering job trusts
     * an embedding delivery: per label, vector count, dimension bounds (a

@@ -222,6 +222,37 @@ object TextDedup {
         round(col("jaccard"), 6).as("jaccard"), col("n_matches"))
   }
 
+  /** Per-source boilerplate report — the web-scrape curation signal
+    * [[crossDocSpans]] aggregates per DOCUMENT, flipped to name the SPANS:
+    * for each source, the `topK` token windows shared by the most of its own
+    * documents (headers, footers, navigation chrome, license blurbs — text a
+    * scrape repeats across a domain's pages). `n_docs` counts documents, not
+    * occurrences — [[shingles]] is distinct-per-document, so the plain count
+    * IS the document frequency; `df_frac` normalizes by the source's doc
+    * count (1.0 = every page carries it, the classic template fingerprint).
+    *
+    * Scale shape: one (source, gram)-keyed map-side-partial aggregate (skew
+    * bounded by a single domain's window vocabulary), the per-source doc
+    * totals broadcast (source-cardinality bounded, like X22's bench side),
+    * and the top-k window partitions on the source. At 100 TB the gram
+    * strings hash to 64-bit keys first (X37's note) to shrink shuffle width. */
+  def boilerplateReport(docs: DataFrame, spanTokens: Int = SpanTokens,
+      topK: Int = 3): DataFrame = {
+    val grams = docs.select(col("source"), col("doc_id"),
+      explode(shingles(tokens(col("text")), spanTokens)).as("gram"))
+    val df = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+    df.filter(col("n_docs") >= 2)
+      .join(broadcast(tot), "source")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc, col("gram"))))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("gram"), col("n_docs"), col("rank"),
+        round(col("n_docs").cast("double") / col("src_docs"), 6).as("df_frac"))
+  }
+
   /** Dedup cluster formation — the FINAL rung of the dedup ladder: given
     * near-dup PAIRS (from [[ngramJaccardPairs]] / [[minhashPairs]] /
     * [[simhashPairs]]), form connected components and elect the minimum doc id

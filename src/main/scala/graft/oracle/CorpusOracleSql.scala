@@ -558,6 +558,44 @@ SELECT vec_id, cluster, keeper_id, round(cos, 6) AS cosine FROM (
 WHERE rn = 1"""
   }
 
+  /** x48 — per-source boilerplate spans: doc-frequency of distinct
+    * five-token windows within each source, top-3 per source. */
+  private def boilerplateSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ws[i + 1 : i + $l], ' ') AS gram
+  FROM (SELECT doc_id, source, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+df AS (SELECT source, gram, COUNT(*) AS n_docs FROM p GROUP BY 1, 2),
+tot AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY 1)
+SELECT source, gram, n_docs, "rank",
+       round(CAST(n_docs AS DOUBLE) / src_docs, 6) AS df_frac
+FROM (
+  SELECT df.source, gram, n_docs, src_docs,
+    ROW_NUMBER() OVER (PARTITION BY df.source
+      ORDER BY n_docs DESC, gram) AS "rank"
+  FROM df JOIN tot USING (source) WHERE n_docs >= 2)
+WHERE "rank" <= 3"""
+  }
+
+  /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
+    * the formula stays in one place. */
+  private def datasetCardSql: String = qualityPrelude("") +
+    """, card AS (
+  SELECT COUNT(*) AS n_docs,
+    COUNT(DISTINCT source) AS n_sources,
+    COUNT(DISTINCT lang) AS n_langs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+  FROM documents),
+mq AS (
+  SELECT round(CAST(SUM(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*), 6) AS mean_quality
+  FROM q)
+SELECT card.*, mq.mean_quality FROM card CROSS JOIN mq"""
+
   /** x46 — cluster × label purity profile over the final k-means
     * assignment. */
   private def clusterProfileSql: String = kmeansPrelude + """,
@@ -645,6 +683,12 @@ FROM c"""
 
     // x46: cluster × label purity profile
     "x46_cluster_profile" -> clusterProfileSql,
+
+    // x48: per-source boilerplate report — span width from TextDedup
+    "x48_boilerplate" -> boilerplateSql,
+
+    // x49: one-row dataset card — quality formula shared via qualityPrelude
+    "x49_dataset_card" -> datasetCardSql,
 
     // x47: embedding QA profile — same norm kernel as the similarity oracles
     "x47_embedding_profile" -> """WITH raw AS (

@@ -233,6 +233,16 @@ object CorpusQueries {
   def x47EmbeddingProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.embeddingProfile(emb(spark, dir))
 
+  /** x48 — per-source boilerplate report: top-3 five-token windows shared by
+    * the most documents within each source (template/chrome fingerprints). */
+  def x48Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.boilerplateReport(docs(spark, dir))
+
+  /** x49 — dataset card: the one-row release summary (cardinalities, token
+    * and char totals, exact-dup count, mean quality). */
+  def x49DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Profiling.datasetCard(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -914,6 +914,41 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     mixed.getAs[Double]("entropy_bits") shouldBe 2.3219281 +- 1e-7
   }
 
+  test("boilerplate report: shared spans rank by doc frequency, singletons drop") {
+    import spark.implicits._
+    val footer = "c1 c2 c3 c4 c5"
+    val d = Seq(
+      (1L, s"a b $footer", "s0"),
+      (2L, s"x y $footer", "s0"),
+      (3L, s"p q $footer", "s0"), // footer in 3/3 docs of s0
+      (4L, "unique text one two three", "s1")) // nothing shared in s1
+      .toDF("doc_id", "text", "source")
+    val rows = TextDedup.boilerplateReport(d, spanTokens = 5, topK = 3).collect()
+    rows.map(_.getString(0)).toSet shouldBe Set("s0")
+    val top = rows.filter(r => r.getInt(3) == 1).head
+    top.getString(1) shouldBe footer
+    top.getLong(2) shouldBe 3L
+    top.getDouble(4) shouldBe 1.0 // every s0 page carries it
+  }
+
+  test("dataset card: one row of exact corpus scalars") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat", "en", "s0"),
+      (2L, "the cat sat", "en", "s0"), // exact dup of 1
+      (3L, "le chat", "fr", "s1")).toDF("doc_id", "text", "lang", "source")
+    val r = Profiling.datasetCard(d).collect()
+    r should have size 1
+    val c = r.head
+    c.getAs[Long]("n_docs") shouldBe 3L
+    c.getAs[Long]("n_sources") shouldBe 2L
+    c.getAs[Long]("n_langs") shouldBe 2L
+    c.getAs[Long]("n_tokens") shouldBe 8L
+    c.getAs[Long]("n_dup_docs") shouldBe 1L
+    // quality: docs 1/2: 3 tokens, 2 en-stopword hits ("the" + "a"? no — "the")
+    c.getAs[Double]("mean_quality") should (be > 0.0 and be <= 1.0)
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")
