@@ -949,6 +949,35 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     c.getAs[Double]("mean_quality") should (be > 0.0 and be <= 1.0)
   }
 
+  test("column pruning reaches the parquet scan (a 100 TB table must not read unused columns)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    // five columns on disk; each operator should scan only what it uses
+    Seq((1L, "the cat sat on the mat", "en", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+    val t = spark.read.parquet(dir)
+    readSchemas(TextStats.charClassEntropy(t)) shouldBe Seq("doc_id:bigint,text:string")
+    // mixWeights scans twice (per-source aggregate + its one-row total) —
+    // both scans pruned to the same two columns
+    readSchemas(Curation.mixWeights(t)).toSet shouldBe Set("text:string,source:string")
+    // boilerplate scans twice (grams + per-source totals) — both pruned
+    readSchemas(TextDedup.boilerplateReport(t)).toSet shouldBe
+      Set("text:string,source:string", "source:string")
+  }
+
+  test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {
+    val d = docs(1L -> "")
+    val r = TextStats.charClassEntropy(d).collect().head
+    Seq("n_lower", "n_upper", "n_digit", "n_space", "n_other")
+      .foreach(c => r.getAs[Int](c) shouldBe 0)
+    r.getAs[Double]("entropy_bits") shouldBe 0.0
+  }
+
   test("decontamination broadcasts the benchmark side (bounded by the eval suite, not the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(0L -> "a b c d", 1L -> "a b c x")

@@ -154,6 +154,13 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2).getAs[Long]("n_zero") shouldBe 0L
   }
 
+  test("embedDecontamAgainst refuses an empty benchmark set loudly") {
+    import spark.implicits._
+    val base = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
+    an[IllegalArgumentException] should be thrownBy
+      Semantic.embedDecontamAgainst(base, Seq.empty)
+  }
+
   test("embedDecontam leaves a clean corpus unflagged") {
     val d = emb(
       0L -> Seq(1f, 0f, 0f, 0f),
