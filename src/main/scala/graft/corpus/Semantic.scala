@@ -127,12 +127,18 @@ object Semantic {
     * label or source carried via `normalizedBase(emb, "label")`) ride along
     * the narrow assignment, so downstream consumers never join back to the
     * corpus for them. */
-  private[corpus] def kmeansFinalOn(base: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[corpus] def kmeansFinalOn(base: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(base, trainOn(base, k, iters))
+
+  /** The Lloyd's loop over a pre-normalized base: seed from the k lowest
+    * vec_ids, then `iters` rounds of narrow-assign + decimal-mean recompute,
+    * centroids synced to the driver each round. */
+  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     var cents = collectCents(base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce")))
     for (_ <- 1 to iters)
       cents = collectCents(recompute(assign(base, cents)))
-    assign(base, cents)
+    cents
   }
 
   /** x44 — deterministic k-means cluster assignment over the embedding
@@ -149,6 +155,23 @@ object Semantic {
     kmeansFinal(emb, k, iters)
       .select(col("vec_id"), col("cid").as("cluster"),
         round(col("ac"), 6).as("cosine"))
+
+  /** Assign a (possibly streaming) embedding frame to FIXED, caller-supplied
+    * centroids — the online counterpart of [[kmeansAssign]]: train offline
+    * (x44, or any external k-means), then route each arriving vector to its
+    * cluster at ingest with the same narrow stateless kernel as
+    * [[embedDecontamAgainst]] (no join, no window, no state). Emits
+    * `(vec_id, cluster, cosine)`; input must carry `vec_id` and a raw
+    * `embedding` array (normalized here, same operation sequence as batch). */
+  def assignAgainst(emb: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    withBestMatch(Similarity.normalizedBase(emb), centroids, "cluster", "ac")
+      .select(col("vec_id"), col("cluster"), round(col("ac"), 6).as("cosine"))
+
+  /** The trained centroids themselves, collected — what a deployment persists
+    * after an x44 run to feed [[assignAgainst]] (and IVF's coarse quantizer). */
+  def trainCentroids(emb: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): Seq[(Long, Seq[Double])] =
+    trainOn(Similarity.normalizedBase(emb), k, iters)
 
   /** x46 — cluster profile: per (cluster, label) member count and
     * within-cluster share — the clustering-quality audit (label purity) every

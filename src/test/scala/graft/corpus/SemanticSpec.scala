@@ -154,6 +154,77 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2).getAs[Long]("n_zero") shouldBe 0L
   }
 
+  test("assignAgainst(trainCentroids) reproduces kmeansAssign exactly") {
+    val cents = Semantic.trainCentroids(twoClusters, k = 2, iters = 2)
+    val online = Semantic.assignAgainst(twoClusters, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Semantic.kmeansAssign(twoClusters, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    online shouldBe batch
+  }
+
+  test("assignAgainst routes a streaming corpus with fixed centroids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Semantic.assignAgainst(
+      input.toDF().toDF("vec_id", "embedding"), cents)
+    out.isStreaming shouldBe true
+    val sink = s"semassign_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("semassign").toString)
+      .start()
+    try {
+      input.addData((7L, Seq(0.9f, 0.1f, 0f, 0f)), (8L, Seq(0f, 0f, 0f, 2f)))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows(7L) shouldBe 0L
+      // orthogonal to both centroids: cos 0 ties → lowest centroid id
+      rows(8L) shouldBe 0L
+    } finally q.stop()
+  }
+
+  test("kmeans matches a driver-side Lloyd's referee on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val dim = 8
+    val k = 3
+    val iters = 2
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+      i -> Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def normalize(raw: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(dot(raw, raw)); raw.map(_ / n)
+    }
+    val base = vecs.map { case (id, f) => id -> normalize(f.map(_.toDouble)) }.toMap
+    def assignAll(cs: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+      base.map { case (id, e) =>
+        // max cosine, ties to the lowest centroid id
+        id -> cs.map { case (cid, ce) => (dot(e, ce), -cid) }.max._2.unary_-
+      }
+    var cents: Seq[(Long, Seq[Double])] = (0L until k).map(i => i -> base(i))
+    for (_ <- 1 to iters) {
+      val asg = assignAll(cents)
+      cents = asg.groupBy(_._2).toSeq.map { case (cid, members) =>
+        val ms = members.keys.toSeq
+        val mean = (0 until dim).map(p => ms.map(id => base(id)(p)).sum / ms.size)
+        cid -> normalize(mean)
+      }
+    }
+    val expected = assignAll(cents)
+    val got = Semantic.kmeansAssign(vecs.toDF("vec_id", "embedding"),
+        k = k, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("embedDecontamAgainst refuses an empty benchmark set loudly") {
     import spark.implicits._
     val base = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
