@@ -182,6 +182,19 @@ object TextDedup {
       bands: Int = 16): DataFrame =
     bandBuckets(docs, n, numHashes, bands)
 
+  /** Persist [[dedupIndex]] BUCKETED on its join key — the layout that makes
+    * every future increment join against the index without re-shuffling the
+    * index side (only the day's increment moves; the corpus-sized table never
+    * does again). `sortBy` keeps each bucket sorted so the sort-merge join
+    * skips the index-side sort too. Spec-pinned: a probe join against the
+    * written table plans exactly ONE exchange — the increment's. At 100 TB
+    * the bucket count is sized to the cluster (buckets ≈ executors × a small
+    * factor), not this test default. */
+  def writeDedupIndex(index: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    index.write.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .mode("overwrite").format("parquet").saveAsTable(tableName)
+
   /** Incremental near-dup dedup — the production shape: flag NEW documents
     * that near-duplicate an EXISTING corpus, without ever comparing new docs
     * to each other or old docs to each other (a daily increment is deduped

@@ -970,6 +970,43 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       Set("text:string,source:string", "source:string")
   }
 
+  test("bucketed dedup index: the probe join re-shuffles ONLY the increment side") {
+    val oldDocs = docs(
+      100L -> (1 to 30).map(i => s"tok$i").mkString(" "),
+      101L -> (31 to 60).map(i => s"tok$i").mkString(" "))
+    TextDedup.writeDedupIndex(TextDedup.dedupIndex(oldDocs), "dedup_idx_spec",
+      buckets = 4)
+    try {
+      val idx = spark.table("dedup_idx_spec")
+      val probe = TextDedup.dedupIndex(docs(
+        1L -> (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")))
+      // disable broadcast: a broadcast join would skip shuffles for size
+      // reasons and prove nothing about the bucketing
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = probe.join(idx, Seq("band", "bucket"))
+        joined.collect()
+        val finalPlan = joined.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        // AQE hides executed exchanges inside LEAF query-stage nodes, opaque
+        // to TreeNode.collect — count them in the rendered final plan instead
+        val rendered = finalPlan.toString
+        "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 1
+        rendered should not include "BroadcastExchange"
+        rendered should include("Bucketed: true")
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_idx_spec")
+  }
+
   test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {
     val d = docs(1L -> "")
     val r = TextStats.charClassEntropy(d).collect().head
