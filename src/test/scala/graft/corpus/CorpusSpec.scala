@@ -624,7 +624,8 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       "quotaSample" -> Curation.quotaSample(d),
       "chunkDocuments" -> Curation.chunkDocuments(d),
       "assignSplits" -> Curation.assignSplits(d),
-      "charClassEntropy" -> TextStats.charClassEntropy(d))
+      "charClassEntropy" -> TextStats.charClassEntropy(d),
+      "qualityGate" -> TextStats.qualityGate(d))
     narrowOps.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan
       // a shuffling plan would be wrapped in a LEAF AdaptiveSparkPlanExec,

@@ -181,9 +181,12 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       input.toDF().toDF("doc_id", "text", "source"))
     val entropy = graft.corpus.TextStats.charClassEntropy(
       input.toDF().toDF("doc_id", "text", "source"))
+    val gate = graft.corpus.TextStats.qualityGate(
+      input.toDF().toDF("doc_id", "text", "source"))
     chunked.isStreaming shouldBe true
     split.isStreaming shouldBe true
     entropy.isStreaming shouldBe true
+    gate.isStreaming shouldBe true
     val sink = s"curation_${System.nanoTime}"
     val q = chunked.writeStream.format("memory").queryName(sink)
       .outputMode("append")
