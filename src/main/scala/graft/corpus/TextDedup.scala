@@ -235,6 +235,23 @@ object TextDedup {
         round(col("jaccard"), 6).as("jaccard"), col("n_matches"))
   }
 
+  /** Apply the dedup decision — the final ladder step after
+    * [[dedupClusters]]: drop every cluster member except its canonical
+    * survivor and return the surviving corpus. Documents that never appeared
+    * in a near-dup pair are untouched (they are absent from the cluster
+    * table). This is the step that actually shrinks the training set; the
+    * rungs before it only decide.
+    *
+    * Scale shape: one anti-join keyed on doc_id against the drop list
+    * (cluster members whose id is not the canonical minimum). The drop list
+    * is the near-dup population — usually a small fraction of the corpus —
+    * so AQE broadcasts it when it fits; no hint, because a pathological
+    * all-duplicates corpus would OOM a forced broadcast. */
+  def applyDedup(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Per-source boilerplate report — the web-scrape curation signal
     * [[crossDocSpans]] aggregates per DOCUMENT, flipped to name the SPANS:
     * for each source, the `topK` token windows shared by the most of its own

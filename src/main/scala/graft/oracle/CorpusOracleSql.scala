@@ -687,6 +687,21 @@ FROM c"""
     // x48: per-source boilerplate report — span width from TextDedup
     "x48_boilerplate" -> boilerplateSql,
 
+    // x50: surviving corpus after the dedup decision (x20's components, the
+    // non-canonical members anti-joined away)
+    "x50_dedup_apply" -> (jaccardPrelude +
+      """, jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM jp
+          UNION ALL SELECT doc_id_2, doc_id_1 FROM jp),
+comp(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src),
+drops AS (SELECT node FROM comp GROUP BY node HAVING node <> MIN(label))
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drops)""").replace(
+      "WITH toks", "WITH RECURSIVE toks"),
+
     // x49: one-row dataset card — quality formula shared via qualityPrelude
     "x49_dataset_card" -> datasetCardSql,
 

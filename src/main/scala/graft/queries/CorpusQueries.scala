@@ -233,6 +233,14 @@ object CorpusQueries {
   def x47EmbeddingProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.embeddingProfile(emb(spark, dir))
 
+  /** x50 — dedup applied: the surviving corpus after dropping every near-dup
+    * cluster member except its canonical minimum (composes x3 → x20 → apply). */
+  def x50DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.applyDedup(d, TextDedup.dedupClusters(TextDedup.minhashPairs(d)))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** x48 — per-source boilerplate report: top-3 five-token windows shared by
     * the most documents within each source (template/chrome fingerprints). */
   def x48Boilerplate(spark: SparkSession, dir: String): DataFrame =

@@ -326,6 +326,15 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.toSet shouldBe Set(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1))
   }
 
+  test("applyDedup keeps canonical survivors and untouched docs, drops the rest") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
+    // clusters: {1,2,3} canonical 1; 9 never paired (absent from the table)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = TextDedup.applyDedup(d, clusters).collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 9L)
+  }
+
   test("dedup clusters: an empty pair set yields an empty cluster table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("doc_id_1", "doc_id_2", "jaccard")
