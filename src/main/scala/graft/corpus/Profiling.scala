@@ -79,6 +79,41 @@ object Profiling {
     counts.crossJoin(meanQ)
   }
 
+  /** The 100 TB variants of [[lengthProfile]] and [[datasetCard]]: sketches
+    * instead of exact state. `percentile_approx` keeps t-digest sketch state
+    * per group instead of a sorted buffer of every value;
+    * `approx_count_distinct` keeps an HLL register set instead of the exact
+    * distinct expansion. Neither is oracle-exact BY DESIGN — the spec pins
+    * them within tolerance of the exact operators on the fixture corpus, the
+    * correct contract for a sketch. Same aggregate shapes otherwise. */
+  def lengthProfileApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    docs.select(col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).cast("long").as("min_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.25), lit(accuracy)).as("p25_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(accuracy)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.75), lit(accuracy)).as("p75_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+
+  /** Sketch-based [[datasetCard]] — see [[lengthProfileApprox]]. */
+  def datasetCardApprox(docs: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val counts = docs.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("source"), rsd).as("n_sources"),
+      approx_count_distinct(col("lang"), rsd).as("n_langs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      (count(lit(1)) - approx_count_distinct(
+        md5(encode(col("text"), "UTF-8")), rsd)).as("n_dup_docs"))
+    val meanQ = graft.corpus.TextStats.quality(docs).agg(
+      round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_quality"))
+    counts.crossJoin(meanQ)
+  }
+
   /** Embedding QA profile — [[numericProfile]]'s counterpart for the vector
     * plane, the sanity gate run before any similarity/clustering job trusts
     * an embedding delivery: per label, vector count, dimension bounds (a

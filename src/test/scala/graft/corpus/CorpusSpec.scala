@@ -941,6 +941,35 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     top.getDouble(4) shouldBe 1.0 // every s0 page carries it
   }
 
+  test("approx variants track the exact operators within sketch tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 300L).map { i =>
+      (i, (0 until (1 + rnd.nextInt(40))).map(j => s"w${rnd.nextInt(50)}")
+        .mkString(" "), s"lang${i % 3}", s"src${i % 5}")
+    }.toDF("doc_id", "text", "lang", "source")
+    // length profile: high-accuracy t-digest == exact percentile on ints
+    val exactP = Profiling.lengthProfile(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // percentile_approx keeps the input's integer type (exact percentile
+    // interpolates to double)
+    val approxP = Profiling.lengthProfileApprox(d).collect()
+      .map(r => r.getString(0) -> r.getInt(4).toLong).toMap
+    approxP.foreach { case (src, p50) =>
+      math.abs(p50 - exactP(src)) should be <= 1.0
+    }
+    // dataset card: HLL at 2% rsd lands on the exact small cardinalities
+    val exact = Profiling.datasetCard(d).collect().head
+    val approx = Profiling.datasetCardApprox(d).collect().head
+    approx.getAs[Long]("n_docs") shouldBe exact.getAs[Long]("n_docs")
+    approx.getAs[Long]("n_sources") shouldBe exact.getAs[Long]("n_sources")
+    approx.getAs[Long]("n_langs") shouldBe exact.getAs[Long]("n_langs")
+    approx.getAs[Double]("mean_quality") shouldBe exact.getAs[Double]("mean_quality")
+    // dup count via HLL: within rsd of the exact answer on 300 docs
+    math.abs(approx.getAs[Long]("n_dup_docs") - exact.getAs[Long]("n_dup_docs"))
+      .toDouble should be <= math.max(3.0, 0.05 * 300)
+  }
+
   test("dataset card: one row of exact corpus scalars") {
     import spark.implicits._
     val d = Seq(
