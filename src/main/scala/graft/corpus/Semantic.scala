@@ -78,7 +78,7 @@ object Semantic {
       struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
     }
     base.withColumn("__bm", array_max(array(entries: _*)))
-      .select(base.columns.map(col) :+
+      .select(base.columns.toIndexedSeq.map(col) :+
         (-col("__bm").getField("nid")).as(idName) :+
         col("__bm").getField("cos").as(scoreName): _*)
   }
