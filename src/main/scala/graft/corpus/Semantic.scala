@@ -133,9 +133,16 @@ object Semantic {
   /** The Lloyd's loop over a pre-normalized base: seed from the k lowest
     * vec_ids, then `iters` rounds of narrow-assign + decimal-mean recompute,
     * centroids synced to the driver each round. */
-  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents = collectCents(base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("e").as("ce")))
+  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
+    trainFrom(base, collectCents(base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))), iters)
+
+  /** The iteration body of [[trainOn]], from explicit seeds — also the entry
+    * for corpora whose ids are not contiguous from 0 (incremental dedup's
+    * old-side slice seeds from its k lowest PRESENT ids instead). */
+  private def trainFrom(base: DataFrame, seeds: Seq[(Long, Seq[Double])],
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = seeds
     for (_ <- 1 to iters)
       cents = collectCents(recompute(assign(base, cents)))
     cents
@@ -220,6 +227,45 @@ object Semantic {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** x51 — incremental semantic dedup: flag NEW vectors that near-duplicate
+    * an EXISTING corpus in embedding space — [[TextDedup.incrementalDedup]]'s
+    * twin on the semantic side, and the SemDeDup blocking discipline applied
+    * to the daily-increment shape: the cluster structure is trained on the
+    * OLD corpus only (k lowest old ids seed; the increment must never move
+    * the index's centroids), both sides are assigned to those fixed
+    * centroids, and each new vector is compared ONLY against old members of
+    * its own cluster. Emits the best old match
+    * `(vec_id, cluster, matched_vec_id, cosine)` per flagged new vector;
+    * never compares new-vs-new or old-vs-old.
+    *
+    * Scale shape: training touches only the old side (in production the
+    * centroids are the persisted [[trainCentroids]] output — recomputed here
+    * so the driver query stays self-contained); both assignments are narrow;
+    * the only join is cluster-keyed new×old, Σ |new_c|·|old_c| work, never
+    * |new|×|old|. */
+  def incrementalSemanticDedup(newEmb: DataFrame, oldEmb: DataFrame,
+      k: Int = KmeansK, iters: Int = KmeansIters,
+      tau: Double = SemDedupTau): DataFrame = {
+    val oldBase = Similarity.normalizedBase(oldEmb)
+    val seeds = collectCents(oldBase.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("ce")))
+    val cents = trainFrom(oldBase, seeds, iters)
+    val oldAsg = assign(oldBase, cents)
+      .select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid"))
+    val newAsg = assign(Similarity.normalizedBase(newEmb), cents)
+      .select(col("vec_id"), col("e"), col("cid"))
+    newAsg.join(oldAsg, "cid")
+      .select(col("vec_id"), col("cid").as("cluster"), col("old_id"),
+        dotp(col("e"), col("oe")).as("cos"))
+      .filter(col("cos") >= tau)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"),
+        col("old_id").as("matched_vec_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** x42 — embedding-space benchmark decontamination: flag every corpus
     * vector whose cosine to ANY benchmark vector reaches `tau`, reporting its
     * best benchmark match `(vec_id, bench_id, cosine)`. The semantic
@@ -229,7 +275,7 @@ object Semantic {
     * as x22's doc_id slice.
     *
     * Scale shape: benchmark sets are bounded by the EVAL SUITE, so they live
-    * on the driver ([[bestMatch]]) and the corpus streams through ONE narrow
+    * on the driver ([[withBestMatch]]) and the corpus streams through ONE narrow
     * codegen'd pass — zero shuffles, no join, no window; the per-vector
     * argmax is an expression, so the same operator composes unchanged onto a
     * stream ([[embedDecontamAgainst]]). A benchmark too wide for expression

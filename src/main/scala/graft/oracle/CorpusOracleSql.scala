@@ -505,8 +505,21 @@ base AS (
     * [[graft.corpus.Semantic.MeanRoundDp]] dp, exact DECIMAL accumulation,
     * divide the identical total as doubles, re-round, re-normalize), so the
     * assignment doubles cannot drift between engines. */
-  private def kmeansPrelude: String = {
-    val k = graft.corpus.Semantic.KmeansK
+  /** Max-cosine assignment CTE of `baseName` against `centName` (ties to the
+    * lowest cid), as `name`. */
+  private def assignCte(name: String, baseName: String, centName: String): String =
+    s""",
+$name AS (
+  SELECT vec_id, e, cid, ac FROM (
+    SELECT b.vec_id, b.e, c.cid, list_dot_product(b.e, c.ce) AS ac,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
+    FROM $baseName b CROSS JOIN $centName c) WHERE rn = 1)"""
+
+  /** The Lloyd's CTE chain over `baseName` from `cent0Sql` seeds: one
+    * assign + decimal-mean recompute block per engine round, ending at
+    * `cent<KmeansIters>`. */
+  private def lloydChain(baseName: String, cent0Sql: String): String = {
     val dp = graft.corpus.Semantic.MeanRoundDp
     val iters = graft.corpus.Semantic.KmeansIters
     def iterCte(i: Int): String = s""",
@@ -515,7 +528,7 @@ a$i AS (
     SELECT b.vec_id, b.e, c.cid,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
-    FROM base b CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+    FROM $baseName b CROSS JOIN cent${i - 1} c) WHERE rn = 1),
 x$i AS (SELECT cid, e, unnest(range(len(e))) AS p FROM a$i),
 s$i AS (
   SELECT cid, p, SUM(CAST(round(e[p+1], $dp) AS DECIMAL(28,12))) AS s,
@@ -527,15 +540,17 @@ m$i AS (
 cent$i AS (
   SELECT cid, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS ce
   FROM m$i)"""
-    s"""WITH $embBase,
-cent0 AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < $k)""" +
-      (1 to iters).map(iterCte).mkString + s""",
-fin AS (
-  SELECT vec_id, e, cid, ac FROM (
-    SELECT b.vec_id, b.e, c.cid, list_dot_product(b.e, c.ce) AS ac,
-           ROW_NUMBER() OVER (PARTITION BY b.vec_id
-             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
-    FROM base b CROSS JOIN cent$iters c) WHERE rn = 1)"""
+    s""",
+cent0 AS ($cent0Sql)""" + (1 to iters).map(iterCte).mkString
+  }
+
+  private def kmeansPrelude: String = {
+    val k = graft.corpus.Semantic.KmeansK
+    val iters = graft.corpus.Semantic.KmeansIters
+    s"WITH $embBase" +
+      lloydChain("base",
+        s"SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < $k") +
+      assignCte("fin", "base", s"cent$iters")
   }
 
   /** x44 — final k-means assignment after the pinned iteration budget. */
@@ -607,6 +622,31 @@ FROM (
          SUM(COUNT(*)) OVER (PARTITION BY f.cid) AS tot
   FROM fin f JOIN lab l ON f.vec_id = l.vec_id
   GROUP BY 1, 2)"""
+
+  /** x51 — incremental semantic dedup: clusters trained on the OLD (even-id)
+    * slice only (seeds = its k lowest present ids), both sides assigned to
+    * those fixed centroids, new×old compared within clusters only. */
+  private def incrementalSemanticSql: String = {
+    val k = graft.corpus.Semantic.KmeansK
+    val iters = graft.corpus.Semantic.KmeansIters
+    val tau = graft.corpus.Semantic.SemDedupTau
+    s"""WITH $embBase,
+obase AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+nbase AS (SELECT * FROM base WHERE vec_id % 2 = 1)""" +
+      lloydChain("obase",
+        s"SELECT vec_id AS cid, e AS ce FROM obase ORDER BY vec_id LIMIT $k") +
+      assignCte("oasg", "obase", s"cent$iters") +
+      assignCte("nasg", "nbase", s"cent$iters") + s""",
+pr AS (
+  SELECT n.vec_id, n.cid AS cluster, o.vec_id AS matched_vec_id,
+         list_dot_product(n.e, o.e) AS cos
+  FROM nasg n JOIN oasg o ON n.cid = o.cid
+  WHERE list_dot_product(n.e, o.e) >= $tau)
+SELECT vec_id, cluster, matched_vec_id, round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cos DESC, matched_vec_id) AS rn FROM pr)
+WHERE rn = 1"""
+  }
 
   /** x42 — embedding-space decontamination: best benchmark match ≥ τ, slice
     * and threshold from [[graft.corpus.Semantic]]'s constants. */
@@ -683,6 +723,9 @@ FROM c"""
 
     // x46: cluster × label purity profile
     "x46_cluster_profile" -> clusterProfileSql,
+
+    // x51: incremental semantic dedup (new = odd ids vs old = even ids)
+    "x51_incr_semantic" -> incrementalSemanticSql,
 
     // x48: per-source boilerplate report — span width from TextDedup
     "x48_boilerplate" -> boilerplateSql,

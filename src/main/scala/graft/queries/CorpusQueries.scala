@@ -241,6 +241,14 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** x51 — incremental semantic dedup: odd vec_ids play the increment, even
+    * vec_ids the existing corpus; clusters train on the old side only. */
+  def x51IncrementalSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.corpus.Semantic.incrementalSemanticDedup(
+      e.filter(col("vec_id") % 2 === 1), e.filter(col("vec_id") % 2 === 0))
+  }
+
   /** x48 — per-source boilerplate report: top-3 five-token windows shared by
     * the most documents within each source (template/chrome fingerprints). */
   def x48Boilerplate(spark: SparkSession, dir: String): DataFrame =

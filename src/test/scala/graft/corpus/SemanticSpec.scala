@@ -225,6 +225,25 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("incremental semantic dedup: new-vs-old only, trained on the old side") {
+    // old corpus: two directions (ids 0, 2 seed; 4 joins direction-0)
+    val oldE = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(1f, 0.05f, 0f, 0f))
+    // increment: 1 duplicates old direction-0; 3 is novel (z-axis);
+    // 5 duplicates 1 (new-vs-new — must NOT be reported)
+    val newE = emb(
+      1L -> Seq(2f, 0f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f),
+      5L -> Seq(3f, 0f, 0f, 0f))
+    val out = Semantic.incrementalSemanticDedup(newE, oldE, k = 2, iters = 1,
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 1 and 5 each match old 0 (cos 1); 3 assigned somewhere but below tau
+    out shouldBe Map(1L -> 0L, 5L -> 0L)
+  }
+
   test("embedDecontamAgainst refuses an empty benchmark set loudly") {
     import spark.implicits._
     val base = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
