@@ -831,6 +831,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     packed.unpersist()
   }
 
+  test("dedup ladder composes end to end: near-dup families collapse to their canonicals") {
+    val base1 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val base2 = (31 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> base1,
+      2L -> base1.replace("tok30", "zz"), // family A: {1, 2}
+      3L -> base2,
+      4L -> base2.replace("tok31", "yy"), // family B: {3, 4, 5}
+      5L -> base2, // exact dup of 3
+      9L -> "totally different text altogether now") // untouched
+    val survivors = TextDedup.applyDedup(d,
+      TextDedup.dedupClusters(TextDedup.minhashPairs(d)))
+    survivors.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L, 9L)
+  }
+
   test("sequence assembly matches a referee: ordered text, straddlers keep their sequence") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
