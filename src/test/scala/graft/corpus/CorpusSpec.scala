@@ -831,6 +831,53 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     packed.unpersist()
   }
 
+  test("boilerplate report matches a brute-force referee on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), s"src${i % 4}")
+    }
+    val (span, topK) = (3, 2)
+    val got = TextDedup.boilerplateReport(
+        rows.toDF("doc_id", "text", "source"), spanTokens = span, topK = topK)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val expected = rows.groupBy(_._3).flatMap { case (src, ds) =>
+      val df = ds.flatMap { case (_, text, _) =>
+        text.split(" ", -1).sliding(span).filter(_.length == span)
+          .map(_.mkString(" ")).toSeq.distinct
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      df.filter(_._2 >= 2).toSeq
+        .sortBy { case (g, n) => (-n, g) }.take(topK).zipWithIndex
+        .map { case ((g, n), i) => (src, i + 1) -> ((g, n)) }
+    }.toMap
+    got shouldBe expected
+  }
+
+  test("mixWeights matches a referee: sqrt-temperature normalization on random sources") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (0L until 80L).map { i =>
+      (i, (0 until (1 + rnd.nextInt(30))).map(j => s"w$j").mkString(" "),
+        s"src${i % 6}")
+    }
+    val got = Curation.mixWeights(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val tokens = rows.groupBy(_._3).view
+      .mapValues(_.map(_._2.split(" ", -1).length.toLong).sum).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = tokens.view.mapValues(t => r6(math.sqrt(t.toDouble))).toMap
+    val tot = s.values.map(BigDecimal(_)).sum.toDouble
+    tokens.keys.foreach { src =>
+      got(src) shouldBe (s(src) / tot) +- 1e-7
+    }
+    got.values.sum shouldBe 1.0 +- 1e-6
+  }
+
   test("dedup ladder composes end to end: near-dup families collapse to their canonicals") {
     val base1 = (1 to 30).map(i => s"tok$i").mkString(" ")
     val base2 = (31 to 60).map(i => s"tok$i").mkString(" ")
