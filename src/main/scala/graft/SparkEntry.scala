@@ -101,6 +101,7 @@ object SparkEntry {
     "x49_dataset_card" -> (C.x49DatasetCard _),
     "x50_dedup_apply" -> (C.x50DedupApply _),
     "x51_incr_semantic" -> (C.x51IncrementalSemantic _),
+    "x52_apply_mix" -> (C.x52ApplyMix _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -91,6 +91,46 @@ object Curation {
         * budgetTokens / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** Token budget for [[applyMixWeights]]' driver query — deliberately
+    * SMALLER than the sf0.01 corpus (~25k whitespace tokens) so the
+    * materialized mix actually downsamples and the hash check is
+    * non-vacuous. Shared with the x52 oracle generator. */
+  val MixApplyBudget: Long = 8000L
+
+  /** Materialize the temperature mix — the step that APPLIES [[mixWeights]]:
+    * each source keeps documents at rate `min(1, budget·weight / n_tokens)`
+    * via the same reproducible content-hash gate as [[quotaSample]], but with
+    * the threshold COMPUTED from the weights instead of fixed tiers: a doc
+    * survives iff its 32-bit md5-prefix integer falls below
+    * `floor(rate · 2³²)`. Over-represented sources downsample toward the
+    * budget share; sources whose share exceeds their size keep everything
+    * (up-sampling is a repeat factor downstream — [[packSequences]] epochs —
+    * never a sampling decision). Re-runs and incremental re-samples never
+    * flip a kept document, the property RNG sampling cannot give.
+    *
+    * Parity: the rate reuses x41's decimal-normalized ratio (identical
+    * doubles in both engines), and `floor(rate · 2³²)` of an identical
+    * double is an identical integer — so the keep set is bit-reproducible.
+    * Scale shape: the rate table is source-cardinality — broadcast; the gate
+    * is a narrow codegen'd projection; nothing corpus-sized shuffles. */
+  def applyMixWeights(docs: DataFrame,
+      budgetTokens: Long = MixApplyBudget): DataFrame = {
+    val per = docs.select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+      .withColumn("s", round(sqrt(col("n_tokens")), 6).cast("decimal(18,6)"))
+    val tot = per.agg(sum(col("s")).as("tot"))
+    val rates = per.crossJoin(broadcast(tot)).select(col("source"),
+      least(lit(1.0), (col("s").cast("double") / col("tot").cast("double"))
+        * budgetTokens / col("n_tokens")).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("gate",
+        conv(substring(md5(encode(col("text"), "UTF-8")), 1, 8), 16, 10)
+          .cast("bigint"))
+      .filter(col("gate") < floor(col("rate") * 4294967296.0).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("gate"))
+  }
+
   /** Token budget per packed training sequence for [[packSequences]]'s driver
     * query — shared with the x31 oracle generator so the two cannot drift. */
   val PackBudget: Int = 512

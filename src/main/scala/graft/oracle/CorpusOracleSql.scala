@@ -573,6 +573,26 @@ SELECT vec_id, cluster, keeper_id, round(cos, 6) AS cosine FROM (
 WHERE rn = 1"""
   }
 
+  /** x52 — materialized temperature mix: x41's decimal-normalized rate, a
+    * hex-prefix integer gate, keep iff gate < floor(rate · 2³²). */
+  private def applyMixSql: String = {
+    val budget = graft.corpus.Curation.MixApplyBudget
+    s"""WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT *, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS s FROM per),
+t AS (SELECT *, SUM(s) OVER () AS tot FROM w),
+r AS (
+  SELECT source, least(CAST(1.0 AS DOUBLE),
+    (CAST(s AS DOUBLE)/CAST(tot AS DOUBLE)) * $budget / n_tokens) AS rate
+  FROM t)
+SELECT doc_id, source, gate FROM (
+  SELECT d.doc_id, d.source, r.rate,
+         CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) AS gate
+  FROM documents d JOIN r USING (source))
+WHERE gate < CAST(floor(rate * 4294967296.0) AS BIGINT)"""
+  }
+
   /** x48 — per-source boilerplate spans: doc-frequency of distinct
     * five-token windows within each source, top-3 per source. */
   private def boilerplateSql: String = {
@@ -729,6 +749,9 @@ FROM c"""
 
     // x48: per-source boilerplate report — span width from TextDedup
     "x48_boilerplate" -> boilerplateSql,
+
+    // x52: materialized temperature mix — budget from Curation.MixApplyBudget
+    "x52_apply_mix" -> applyMixSql,
 
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)

@@ -249,6 +249,11 @@ object CorpusQueries {
       e.filter(col("vec_id") % 2 === 1), e.filter(col("vec_id") % 2 === 0))
   }
 
+  /** x52 — the temperature mix MATERIALIZED: per-source hash-gated sampling
+    * at the rate x41's weights imply for the x52 token budget. */
+  def x52ApplyMix(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.applyMixWeights(docs(spark, dir))
+
   /** x48 — per-source boilerplate report: top-3 five-token windows shared by
     * the most documents within each source (template/chrome fingerprints). */
   def x48Boilerplate(spark: SparkSession, dir: String): DataFrame =

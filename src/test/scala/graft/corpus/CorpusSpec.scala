@@ -857,6 +857,37 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("applyMixWeights matches a referee and preserves kept docs across re-runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0L until 90L).map { i =>
+      (i, (0 until (2 + rnd.nextInt(25))).map(j => s"t${rnd.nextInt(40)}")
+        .mkString(" "), s"src${i % 3}")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val budget = 300L // well under the corpus token count → real downsampling
+    val kept = Curation.applyMixWeights(d, budget).collect()
+      .map(_.getLong(0)).toSet
+    // referee: same rate formula, gate from md5 prefix
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tokens = rows.groupBy(_._3).view
+      .mapValues(_.map(_._2.split(" ", -1).length.toLong).sum).toMap
+    val s = tokens.view.mapValues(t => r6(math.sqrt(t.toDouble))).toMap
+    val tot = s.values.map(BigDecimal(_)).sum.toDouble
+    val expected = rows.filter { case (_, text, src) =>
+      val rate = math.min(1.0, (s(src) / tot) * budget / tokens(src))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) < math.floor(rate * 4294967296.0).toLong
+    }.map(_._1).toSet
+    kept shouldBe expected
+    kept.size should (be > 0 and be < rows.size) // actually downsampled
+    // determinism: a re-run keeps the identical set
+    Curation.applyMixWeights(d, budget).collect()
+      .map(_.getLong(0)).toSet shouldBe kept
+  }
+
   test("mixWeights matches a referee: sqrt-temperature normalization on random sources") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
