@@ -123,13 +123,21 @@ object Curation {
     val rates = per.crossJoin(broadcast(tot)).select(col("source"),
       least(lit(1.0), (col("s").cast("double") / col("tot").cast("double"))
         * budgetTokens / col("n_tokens")).as("rate"))
-    docs.join(broadcast(rates), "source")
+    applyMixRates(docs.join(broadcast(rates), "source"))
+  }
+
+  /** The gate of [[applyMixWeights]] over a frame that already carries a
+    * `rate` column — stateless and shuffle-free, so a STREAM gated against
+    * frozen rates (a stream-static broadcast join of the persisted x41/x52
+    * rate table onto the ingest) samples each arriving document with the
+    * identical keep decision the batch run would make. */
+  def applyMixRates(docsWithRate: DataFrame): DataFrame =
+    docsWithRate
       .withColumn("gate",
         conv(substring(md5(encode(col("text"), "UTF-8")), 1, 8), 16, 10)
           .cast("bigint"))
       .filter(col("gate") < floor(col("rate") * 4294967296.0).cast("bigint"))
       .select(col("doc_id"), col("source"), col("gate"))
-  }
 
   /** Token budget per packed training sequence for [[packSequences]]'s driver
     * query — shared with the x31 oracle generator so the two cannot drift. */

@@ -166,6 +166,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming mix sampling: frozen rates gate an ingest stream deterministically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rates = Seq(("s0", 1.0), ("s1", 0.0)).toDF("source", "rate")
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.corpus.Curation.applyMixRates(
+      input.toDF().toDF("doc_id", "text", "source")
+        .join(org.apache.spark.sql.functions.broadcast(rates), "source"))
+    out.isStreaming shouldBe true
+    val sink = s"mixgate_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mixgate").toString)
+      .start()
+    try {
+      input.addData((1L, "keep me", "s0"), (2L, "drop me", "s1"))
+      q.processAllAvailable()
+      // rate 1.0 keeps everything, rate 0.0 drops everything
+      s.table(sink).collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on a stream (chunk -> split, append mode)") {
     // chunkDocuments and assignSplits are narrow, stateless transforms — the
     // SAME operator code must compose onto a streaming DataFrame with no
