@@ -51,11 +51,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    // errors object only when non-empty (it must stay loud then); an always-on
-    // empty {} just spends capture-window bytes
-    val errJson = if (errors.isEmpty) "" else
-      errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-        .mkString(""","errors":{""", ",", "}")
+    // errors is ALWAYS present (empty {} when clean): a fixed-schema consumer
+    // that expects the key must not break silently on a green run
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     // basename only: every byte of this line competes with the 2 KB capture
     // window, and the harness records the full sf dir itself

@@ -97,8 +97,12 @@ object Curation {
     * non-vacuous. Shared with the x52 oracle generator. */
   val MixApplyBudget: Long = 8000L
 
-  /** Materialize the temperature mix — the step that APPLIES [[mixWeights]]:
-    * each source keeps documents at rate `min(1, budget·weight / n_tokens)`
+  /** Compute the temperature-mix KEEP-LIST — the step that APPLIES
+    * [[mixWeights]]. Emits `(doc_id, source, gate)` — the identity of every
+    * surviving document, NOT the full mixed corpus; a caller wanting the
+    * materialized mix semi-joins the input against it (the keep-list is tiny
+    * relative to the corpus, so that join broadcasts). Each source keeps
+    * documents at rate `min(1, budget·weight / n_tokens)`
     * via the same reproducible content-hash gate as [[quotaSample]], but with
     * the threshold COMPUTED from the weights instead of fixed tiers: a doc
     * survives iff its 32-bit md5-prefix integer falls below

@@ -106,7 +106,9 @@ object Profiling {
       approx_count_distinct(col("lang"), rsd).as("n_langs"),
       sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
       sum(length(col("text"))).cast("long").as("n_chars"),
-      (count(lit(1)) - approx_count_distinct(
+      // HLL can OVERestimate distinct on a near-unique corpus; clamp so the
+      // release artifact never reports a negative duplicate count.
+      greatest(lit(0L), count(lit(1)) - approx_count_distinct(
         md5(encode(col("text"), "UTF-8")), rsd)).as("n_dup_docs"))
     val meanQ = graft.corpus.TextStats.quality(docs).agg(
       round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")

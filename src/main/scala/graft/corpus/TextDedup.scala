@@ -267,13 +267,13 @@ object TextDedup {
     * and the top-k window partitions on the source. At 100 TB the gram
     * strings hash to 64-bit keys first (X37's note) to shrink shuffle width. */
   def boilerplateReport(docs: DataFrame, spanTokens: Int = SpanTokens,
-      topK: Int = 3): DataFrame = {
+      topK: Int = BoilerplateTopK): DataFrame = {
     val grams = docs.select(col("source"), col("doc_id"),
       explode(shingles(tokens(col("text")), spanTokens)).as("gram"))
     val df = grams.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("n_docs"))
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
-    df.filter(col("n_docs") >= 2)
+    df.filter(col("n_docs") >= BoilerplateMinDf)
       .join(broadcast(tot), "source")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
@@ -454,6 +454,12 @@ object TextDedup {
     * the x37 oracle generator so the two cannot drift. Wider than the 3-gram
     * near-dup shingles: this signal targets verbatim boilerplate runs. */
   val SpanTokens: Int = 5
+
+  /** Top-k spans per source and the minimum doc-frequency floor for
+    * [[boilerplateReport]]'s driver query — shared with the x48 oracle
+    * generator (the SpanTokens pattern) so the two cannot drift. */
+  val BoilerplateTopK: Int = 3
+  val BoilerplateMinDf: Int = 2
 
   /** Cross-document duplicated-span report — the per-document signal behind
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Contract: empty or sub-width shingle arrays yield an EMPTY signature (not
   * null) — callers filter `size(sig) > 0`, reproducing the groupBy build's
-  * "no postings → no signature row" semantics.
+  * "no postings → no signature row" semantics. Null ELEMENTS inside the array
+  * are seed-passthrough, mirroring `xxhash64`'s null semantics (a null input
+  * leaves the running hash at its seed): a null shingle contributes base
+  * hash 42 rather than throwing, so `minhash_sig(array('a', NULL), k)` is
+  * well-defined for SQL callers.
   *
   * Going narrow also makes the signature streamable: a stateless projection
   * composes onto a streaming DataFrame, which the groupBy build (a streaming
@@ -56,7 +60,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val base = new Array[Long](n)
     var j = 0
     while (j < n) {
-      base(j) = XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+      base(j) =
+        if (sh.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
       j += 1
     }
     val out = new Array[Long](numHashes)
@@ -102,7 +108,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |  if ($n > 0) {
          |    long[] $base = new long[$n];
          |    for (int $j = 0; $j < $n; $j++) {
-         |      $base[$j] = $xxhCls.hashUTF8String($sh.getUTF8String($j), 42L);
+         |      $base[$j] = $sh.isNullAt($j)
+         |        ? 42L : $xxhCls.hashUTF8String($sh.getUTF8String($j), 42L);
          |    }
          |    Object[] $boxed = new Object[$numHashes];
          |    for (int $i = 0; $i < $numHashes; $i++) {

@@ -594,9 +594,13 @@ WHERE gate < CAST(floor(rate * 4294967296.0) AS BIGINT)"""
   }
 
   /** x48 — per-source boilerplate spans: doc-frequency of distinct
-    * five-token windows within each source, top-3 per source. */
+    * `SpanTokens`-token windows within each source, top-`BoilerplateTopK`
+    * per source; all three knobs interpolated from the TextDedup constants
+    * so the oracle cannot drift from the engine. */
   private def boilerplateSql: String = {
     val l = graft.corpus.TextDedup.SpanTokens
+    val k = graft.corpus.TextDedup.BoilerplateTopK
+    val minDf = graft.corpus.TextDedup.BoilerplateMinDf
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
 p AS (
   SELECT DISTINCT doc_id, source, array_to_string(ws[i + 1 : i + $l], ' ') AS gram
@@ -610,8 +614,8 @@ FROM (
   SELECT df.source, gram, n_docs, src_docs,
     ROW_NUMBER() OVER (PARTITION BY df.source
       ORDER BY n_docs DESC, gram) AS "rank"
-  FROM df JOIN tot USING (source) WHERE n_docs >= 2)
-WHERE "rank" <= 3"""
+  FROM df JOIN tot USING (source) WHERE n_docs >= $minDf)
+WHERE "rank" <= $k"""
   }
 
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so

@@ -112,6 +112,32 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     gen shouldBe interp
   }
 
+  test("MinHashSig null elements are seed-passthrough, not an NPE") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // SQL callers can hand minhash_sig a containsNull array; a null shingle
+    // must behave like xxhash64's null (hash stays at its seed, 42), on BOTH
+    // execution paths
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Tuple1(Seq[String]("a", null, "b")), Tuple1(Seq[String](null, null)))))
+      .toDF("sh")
+    val viaCodegen = collectCodegenOnly(
+        d.select(MinHashSig(col("sh"), 8).as("sig")))
+      .map(_.getSeq[Long](0))
+    val viaEval = Seq(Seq("a", null, "b"), Seq(null, null)).map { ws =>
+      MinHashSig(Literal.create(ws, ArrayType(StringType)), 8).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+    }
+    viaCodegen.toSeq shouldBe viaEval
+    // passthrough semantics: (null) contributes base 42, same as an all-null
+    // array of any length — pin that equivalence
+    val oneNull = MinHashSig(
+      Literal.create(Seq[String](null), ArrayType(StringType)), 8).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    viaEval(1) shouldBe oneNull
+  }
+
   test("Simhash32 == explode/md5/32-sums/groupBy on random corpora") {
     val d = corpus(seed = 2, n = 200).filter(F.length(col("text")) >= 0)
     val fast = d.select(col("doc_id"), Simhash32(split(col("text"), " ")).as("sig"))
