@@ -32,6 +32,19 @@ object Semantic {
   val KmeansK: Int = 4
   val KmeansIters: Int = 2
 
+  /** Cluster-count sizing guide for the semantic suite ([[kmeansAssign]] /
+    * [[semanticDedup]] / [[incrementalSemanticDedup]]) — the k-side mirror of
+    * `Similarity.bitsFor`: within-cluster pair work is Σ n_c² with n_c ≈ N/k,
+    * so `k` must grow LINEARLY with N to hold the per-cluster occupancy (and
+    * thus both pair cost and SemDeDup recall) constant — k ≈ N / occupancy.
+    * The fixed default ([[KmeansK]] = 4) suits the test corpus only; a
+    * deployment sizes k from the corpus count, e.g. `kFor(n, 1024)` for
+    * ~1k-vector cells (the SemDeDup paper's regime at LAION scale). Floor of
+    * [[KmeansK]] keeps tiny corpora from degenerating to one cluster. */
+  def kFor(corpusSize: Long, targetOccupancy: Int = 1024): Int =
+    math.max(KmeansK,
+      math.ceil(corpusSize.toDouble / math.max(1, targetOccupancy)).toInt)
+
   /** Decimal places member coordinates and centroid means are rounded to.
     * 9 dp on unit-norm coordinates keeps ~7 significant digits — far below
     * any cluster-boundary gap — while making the DECIMAL sums exact. */

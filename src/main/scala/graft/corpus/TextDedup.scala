@@ -264,20 +264,45 @@ object TextDedup {
     * Scale shape: one (source, gram)-keyed map-side-partial aggregate (skew
     * bounded by a single domain's window vocabulary), the per-source doc
     * totals broadcast (source-cardinality bounded, like X22's bench side),
-    * and the top-k window partitions on the source. At 100 TB the gram
-    * strings hash to 64-bit keys first (X37's note) to shrink shuffle width. */
+    * and the top-k window partitions on the source.
+    *
+    * `hashGrams = true` is the 100 TB shuffle-width switch: the corpus-sized
+    * doc-frequency shuffle keys on `xxhash64(gram)` (8 bytes, vs a
+    * `spanTokens`-token string), and — unlike [[crossDocSpans]] — the OUTPUT
+    * here names the winning spans, so the strings are recovered afterwards
+    * for candidates only: `rank() <= topK` over the hashed counts (rank, not
+    * row_number, so every tie that could place top-k under the string
+    * tiebreak survives — lossless), broadcast back onto the narrow gram
+    * stream, then the final (n_docs desc, gram) ordering is applied to the
+    * recovered strings. Only the tiny candidate set ever shuffles with its
+    * string attached. Spec-pinned equal to the string-keyed path. */
   def boilerplateReport(docs: DataFrame, spanTokens: Int = SpanTokens,
-      topK: Int = BoilerplateTopK): DataFrame = {
+      topK: Int = BoilerplateTopK, hashGrams: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("source"), col("doc_id"),
       explode(shingles(tokens(col("text")), spanTokens)).as("gram"))
-    val df = grams.groupBy(col("source"), col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
+    // shingles() is distinct-per-document, so the plain count IS the doc freq
+    val df =
+      if (!hashGrams)
+        grams.groupBy(col("source"), col("gram"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= BoilerplateMinDf)
+      else {
+        val dfh = grams.select(col("source"), xxhash64(col("gram")).as("gh"))
+          .groupBy(col("source"), col("gh")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= BoilerplateMinDf)
+        val cand = dfh.withColumn("rk", rank().over(
+            w.partitionBy(col("source")).orderBy(col("n_docs").desc)))
+          .filter(col("rk") <= topK).drop("rk")
+        grams.select(col("source"), col("gram"), xxhash64(col("gram")).as("gh"))
+          .join(broadcast(cand), Seq("source", "gh"))
+          .select(col("source"), col("gram"), col("n_docs"))
+          .distinct()
+      }
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
-    df.filter(col("n_docs") >= BoilerplateMinDf)
-      .join(broadcast(tot), "source")
+    df.join(broadcast(tot), "source")
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-          .orderBy(col("n_docs").desc, col("gram"))))
+        w.partitionBy(col("source")).orderBy(col("n_docs").desc, col("gram"))))
       .filter(col("rank") <= topK)
       .select(col("source"), col("gram"), col("n_docs"), col("rank"),
         round(col("n_docs").cast("double") / col("src_docs"), 6).as("df_frac"))
@@ -471,19 +496,30 @@ object TextDedup {
     * Documents shorter than one window are absent.
     *
     * Scale shape: no self-join anywhere (unlike pairwise x2) — the postings
-    * stream shuffles once keyed on the window text to build the document
+    * stream shuffles once keyed on the window to build the document
     * frequency table (map-side partial after a narrow per-doc distinct), and
-    * once more to join frequencies back; both are linear in corpus size. At
-    * 100 TB the window strings would hash to 64-bit keys first (xxhash64)
-    * to shrink shuffle width — semantics identical, collisions negligible. */
-  def crossDocSpans(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
+    * once more to join frequencies back; both are linear in corpus size.
+    * `hashGrams = true` is the 100 TB shuffle-width switch: both shuffles key
+    * on `xxhash64(window)` — 8 bytes instead of a `spanTokens`-token string —
+    * which the per-doc aggregate output never exposes, so the result is
+    * identical up to 64-bit collisions (~N²/2⁶⁵: negligible at any corpus
+    * size that fits on a cluster; a collision can only over-count one
+    * window position as duplicated). Spec-pinned equal to the string-keyed
+    * path on the fixture corpus. */
+  def crossDocSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      hashGrams: Boolean = false): DataFrame = {
     require(spanTokens >= 2, "a span of one token is just the unigram table")
     // array materialized once per row; slice inside the lambda reads it
     val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
       s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
-    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val posStr = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= spanTokens)
       .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    // the hash projection is NARROW (before either shuffle), so the wide
+    // strings never leave the scan-side stage
+    val pos = if (hashGrams)
+      posStr.select(col("doc_id"), xxhash64(col("g")).as("g"))
+    else posStr
     val df = pos.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
     pos.join(df, "g")

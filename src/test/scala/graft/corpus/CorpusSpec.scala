@@ -609,6 +609,14 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     Similarity.bitsFor(64L << 20, targetOccupancy = 1024) shouldBe 16
   }
 
+  test("kFor scales linearly with corpus size and never drops below KmeansK") {
+    Semantic.kFor(100) shouldBe Semantic.KmeansK       // tiny corpus → floor
+    Semantic.kFor(1L << 20) shouldBe 1024              // 1M vectors / 1k per cell
+    Semantic.kFor(1L << 20, targetOccupancy = 64) shouldBe (1 << 14)
+    Semantic.kFor(1000, targetOccupancy = 100) shouldBe 10
+    Semantic.kFor(1001, targetOccupancy = 100) shouldBe 11 // ceil, not floor
+  }
+
   test("x2/x3 plans carry no hand-placed broadcast hints (per-document tables must shuffle)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val d = docs(1L -> "a b c d e", 2L -> "a b c d f")
@@ -1015,6 +1023,49 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .foreach(c => mixed.getAs[Int](c) shouldBe 1)
     // five equal classes: H = log2 5, built from 8-dp-rounded terms
     mixed.getAs[Double]("entropy_bits") shouldBe 2.3219281 +- 1e-7
+  }
+
+  test("hashGrams=true reproduces the string-keyed output exactly (x37 + x48)") {
+    // the 100 TB shuffle-width switch must be a pure plan change: same rows,
+    // same ranks, same fractions — including doc-frequency TIES, where the
+    // hashed path's rank()-candidate recovery has to preserve the string
+    // tiebreak (a row_number cutoff over hashes would get ties wrong)
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rows = (0L until 80L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), s"src${i % 3}")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val spansStr = TextDedup.crossDocSpans(d, spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val spansHash = TextDedup.crossDocSpans(d, spanTokens = 3, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    spansHash shouldBe spansStr
+    spansStr should not be empty
+    val bpStr = TextDedup.boilerplateReport(d, spanTokens = 3, topK = 4)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(4)))).toMap
+    val bpHash = TextDedup.boilerplateReport(d, spanTokens = 3, topK = 4,
+        hashGrams = true)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(4)))).toMap
+    bpHash shouldBe bpStr
+    bpStr should not be empty
+    // the tie scenario explicitly: rank-4 cut with >4 grams at the same df
+    val tieRows = (0L until 12L).map { i =>
+      // every doc carries the same 6 three-token windows → 6-way tie at df=12
+      (i, "t1 t2 t3 t4 t5 t6 t7 t8", "s0")
+    }
+    val td = tieRows.toDF("doc_id", "text", "source")
+    val tieStr = TextDedup.boilerplateReport(td, spanTokens = 3, topK = 4)
+      .collect().map(r => (r.getInt(3), r.getString(1), r.getLong(2))).toSet
+    val tieHash = TextDedup.boilerplateReport(td, spanTokens = 3, topK = 4,
+        hashGrams = true)
+      .collect().map(r => (r.getInt(3), r.getString(1), r.getLong(2))).toSet
+    tieHash shouldBe tieStr
+    tieStr.size shouldBe 4
   }
 
   test("boilerplate report: shared spans rank by doc frequency, singletons drop") {
