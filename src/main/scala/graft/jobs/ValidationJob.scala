@@ -120,6 +120,44 @@ object ValidationJob {
     def counts(df: DataFrame, epochId: Long): Unit = countsHandoff(df, epochId)
   }
 
+  /** K1/K2 with EXACTLY-ONCE delivery — SURVEY §7.6 option (c), the twin of
+    * the reference's `Semantic.EXACTLY_ONCE` FlinkKafkaProducer
+    * (BaseValidationJob.scala:252-268): every record epoch is published
+    * through [[TransactionalEpochSink]] — per-(epoch, partition)
+    * transactions under stable `transactional.id`s, a commit marker in the
+    * same transaction, replayed epochs skipping already-committed partitions
+    * — so a read-committed consumer of `*.out` / `*.invalid` sees each
+    * record exactly once across any number of foreachBatch replays. Counts
+    * stay on the idempotent journal handoff (option b), which already has
+    * that guarantee in-job.
+    *
+    * `factory` defaults to the real broker binding; specs inject
+    * [[InMemoryTxnFactory]]. The marker topic is a derived sibling
+    * (`<base>.txn-markers`) — an EXTENSION, not a reference topic: the
+    * reference keeps transaction state broker-side via Flink's checkpoint
+    * 2PC, which Spark does not expose, so the marker topic is where this
+    * engine parks the same commit bookkeeping. Size it by `retention.ms`
+    * (see [[TransactionalEpochSink]]). */
+  def transactionalKafkaSinks(brokers: String, inputTopic: String,
+      countsHandoff: (DataFrame, Long) => Unit,
+      extra: Map[String, String] = Map.empty,
+      factory: Option[TxnProducerFactory] = None): ValidationSinks = new ValidationSinks {
+    private val f = factory.getOrElse(
+      KafkaTxnProducerFactory(brokers, kafkaProducerOptions ++ extra))
+    private val markers = Topics.outputTopic(inputTopic)
+      .stripSuffix(".out") + ".txn-markers"
+    // the FULL input topic scopes the transactional.id namespace — two jobs
+    // on different topics of one tenant must never fence each other
+    private val txnBase = s"hri-validation-$inputTopic"
+    def valid(df: DataFrame, epochId: Long): Unit =
+      TransactionalEpochSink.write(validRecordProjection(df),
+        Topics.outputTopic(inputTopic), markers, s"$txnBase-out", epochId, f)
+    def invalid(df: DataFrame, epochId: Long): Unit =
+      TransactionalEpochSink.write(invalidRecordProjection(df),
+        Topics.invalidTopic(inputTopic), markers, s"$txnBase-invalid", epochId, f)
+    def counts(df: DataFrame, epochId: Long): Unit = countsHandoff(df, epochId)
+  }
+
   /** D3 — valid-record Kafka projection: key/value/headers byte passthrough
     * (reference HriRecordSerializer.scala:21-44 — null key, null value, null or
     * empty headers, and any UTF-8 payload must all round-trip untouched). */
@@ -202,7 +240,8 @@ object ValidationJob {
       checkpointDir: String,
       completionDelayMs: Long = 300000L,
       mgmtClient: Option[MgmtClient] = None,
-      kafkaPassword: Option[String] = None): Running = {
+      kafkaPassword: Option[String] = None,
+      exactlyOnce: Boolean = false): Running = {
     import spark.implicits._
     Topics.validate(inputTopic)
     val sasl = kafkaSaslOptions(kafkaPassword)
@@ -220,8 +259,14 @@ object ValidationJob {
 
     // counts handoff: epoch-keyed parquet files feed the tracker query's file
     // source — the in-job stand-in for the reference's operator-to-operator
-    // shuffle, made idempotent against foreachBatch's at-least-once replays
-    val sinks = kafkaSinks(brokers, inputTopic, countsHandoff(countsDir), sasl)
+    // shuffle, made idempotent against foreachBatch's at-least-once replays.
+    // exactlyOnce upgrades the DATA topics from at-least-once to
+    // transactional per-epoch publishes (§7.6 option c) — consumers must
+    // then read `isolation.level=read_committed`
+    val sinks =
+      if (exactlyOnce)
+        transactionalKafkaSinks(brokers, inputTopic, countsHandoff(countsDir), sasl)
+      else kafkaSinks(brokers, inputTopic, countsHandoff(countsDir), sasl)
     val rq = ValidationStream.startRecordQuery(
       kafkaRecordSource(spark, brokers, inputTopic,
         sasl ++ kafkaGroupId(inputTopic, "records")), store, validator, sinks,
@@ -274,7 +319,8 @@ object ValidationJob {
     * jobtest/JsonValidationJob.scala:25-73): `-b` brokers, `-i` input topic,
     * `-d` completion delay ms, `-c` checkpoint dir, `-p` Kafka API-key password
     * (enables SASL_SSL, like the reference's `--password`); JSON well-formedness
-    * validation, terminal notifications to the notification topic. */
+    * validation, terminal notifications to the notification topic. `-x true`
+    * selects the exactly-once transactional data sinks (§7.6 option c). */
   def main(args: Array[String]): Unit = {
     def arg(flag: String, default: String = null): String =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -287,12 +333,13 @@ object ValidationJob {
     val delay = arg("-d", "300000").toLong
     val checkpoint = arg("-c", "/tmp/graft-checkpoint")
     val password = Option(arg("-p", "")).filter(_.nonEmpty)
+    val exactlyOnce = arg("-x", "false").toBoolean
     val spark = SparkSession.builder()
       .appName(s"graft-validation-$inputTopic")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val running = startKafka(spark, brokers, inputTopic, new JsonValidator,
-      checkpoint, delay, kafkaPassword = password)
+      checkpoint, delay, kafkaPassword = password, exactlyOnce = exactlyOnce)
     running.recordQuery.awaitTermination()
   }
 }
