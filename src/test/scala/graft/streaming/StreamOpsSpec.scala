@@ -166,6 +166,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming flagging probes the PERSISTED bucketed index with no index-side shuffle") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val oldDocs = Seq(
+      (100L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (101L, (31 to 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    graft.corpus.TextDedup.writeDedupIndex(
+      graft.corpus.TextDedup.dedupIndex(oldDocs), "stream_dedup_idx", buckets = 4)
+    val conf = s.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = s.table("stream_dedup_idx")
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamOps.flagNearDupCandidates(
+        input.toDF().toDF("ts", "doc_id", "text"), idx)
+      val sink = s"neardup_disk_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("streamops5").toString)
+        .start()
+      try {
+        input.addData(
+          (ts("2024-01-01 10:00:00"), 1L,
+            (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")),
+          (ts("2024-01-01 10:01:00"), 2L,
+            (61 to 90).map(i => s"new$i").mkString(" ")))
+        q.processAllAvailable()
+        // same candidates as the in-memory-index variant pinned above
+        s.table(sink).collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+        // plan shape THROUGH the streaming join: the bucketed scan feeds the
+        // semi-join in bucket layout, so the only hash exchanges are the
+        // STREAM side's two (into the join key, then into the dedup state
+        // operator's doc_id partitioning) — an index-side re-shuffle would
+        // make it three and void the whole point of persisting bucketed
+        val plan = q.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+        plan should include("Bucketed: true")
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+        plan should not include "BroadcastExchange"
+      } finally q.stop()
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS stream_dedup_idx")
+    }
+  }
+
   test("streaming mix sampling: frozen rates gate an ingest stream deterministically") {
     val s = spark
     import s.implicits._
