@@ -102,6 +102,9 @@ object SparkEntry {
     "x50_dedup_apply" -> (C.x50DedupApply _),
     "x51_incr_semantic" -> (C.x51IncrementalSemantic _),
     "x52_apply_mix" -> (C.x52ApplyMix _),
+    "x53_snapshot_diff" -> (C.x53SnapshotDiff _),
+    "x54_novelty" -> (C.x54Novelty _),
+    "x55_concentration" -> (C.x55Concentration _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

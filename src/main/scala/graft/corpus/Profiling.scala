@@ -140,4 +140,75 @@ object Profiling {
         round(max(col("nrm")), 6).as("max_norm"),
         round(sum(round(col("nrm"), 8).cast("decimal(20,8)")).cast("double")
           / count(lit(1)), 6).as("mean_norm"))
+
+  /** x53 — snapshot diff: the dataset-versioning report between two corpus
+    * snapshots (a monthly crawl refresh, a re-run of the curation pipeline):
+    * per source, how many documents were added, removed, changed (same
+    * doc_id, different content digest), or untouched, and the net token
+    * delta. This is what a release note diffs two dataset versions with, and
+    * what regression-gates a pipeline change ("the new filter dropped 40% of
+    * source X" should fail loudly, not surface in training).
+    *
+    * A document whose doc_id appears in both snapshots is compared by
+    * md5 content digest; its row counts under the NEW snapshot's source (a
+    * doc that moved source with identical text therefore counts as
+    * unchanged under the new source — identity is the doc_id, placement is
+    * metadata). `token_delta` is (new-side tokens) − (old-side tokens) over
+    * every document the source touches, so adds/removals contribute too —
+    * the number a capacity plan wants.
+    *
+    * Scale shape: digests and token counts are NARROW projections, then ONE
+    * full-outer shuffle join keyed on doc_id (linear, no skew risk — doc_id
+    * is unique per side) and a source-cardinality aggregate. Nothing
+    * quadratic, nothing corpus-sized on the driver, and the two snapshot
+    * scans prune to (doc_id, source, text). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col("doc_id"), col("source").as(s"${p}_source"),
+        md5(encode(col("text"), "UTF-8")).as(s"${p}_digest"),
+        size(split(col("text"), " ")).cast("long").as(s"${p}_tokens"))
+    side(oldDocs, "o").join(side(newDocs, "n"), Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("n_source"), col("o_source")).as("source"))
+      .agg(
+        sum(when(col("o_digest").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("n_digest").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("o_digest").isNotNull && col("n_digest").isNotNull &&
+          col("o_digest") =!= col("n_digest"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("o_digest") === col("n_digest"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        (sum(coalesce(col("n_tokens"), lit(0L)))
+          - sum(coalesce(col("o_tokens"), lit(0L)))).as("token_delta"))
+  }
+
+  /** x55 — source-concentration report: ONE row auditing how concentrated
+    * the corpus's token mass is across sources — the mix-health scalar
+    * companion to [[lengthProfile]] (per-source detail) and
+    * `Curation.mixReport` (what survived curation). `hhi` is the
+    * Herfindahl–Hirschman index Σ share² of token share (1/n_sources when
+    * perfectly balanced, →1 when one source dominates), `entropy_bits` the
+    * Shannon entropy of the share distribution (log₂ n_sources when
+    * balanced), `top_share` the largest single source's share. A training
+    * run gates on these before burning compute: a corpus at hhi 0.5 is one
+    * domain wearing a trench coat.
+    *
+    * Parity: shares are exact-BIGINT token counts divided as doubles; the
+    * share² / −share·log₂(share) terms are rounded to 12 dp and summed as
+    * DECIMAL (x19's order-independence pattern) so the cross-engine sum
+    * cannot drift with aggregation order. Scale shape: one map-side-partial
+    * aggregate to source cardinality, a broadcast one-row total, then a
+    * source-cardinality aggregate — nothing corpus-sized shuffles. */
+  def concentrationReport(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("long").as("nt"))
+    val tot = per.agg(sum(col("nt")).cast("long").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select((col("nt").cast("double") / col("tot").cast("double")).as("share"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(max(col("share")), 6).as("top_share"),
+        round(sum(round(col("share") * col("share"), 12)
+          .cast("decimal(28,12)")).cast("double"), 6).as("hhi"),
+        round(sum(round(lit(0.0) - col("share") * log2(col("share")), 12)
+          .cast("decimal(28,12)")).cast("double"), 6).as("entropy_bits"))
+  }
 }

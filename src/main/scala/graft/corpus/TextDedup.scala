@@ -530,6 +530,43 @@ object TextDedup {
         round(col("n_dup_positions").cast("double") / col("n_positions"), 6))
   }
 
+  /** x54 — n-gram novelty score: for each NEW document, the fraction of its
+    * distinct `n`-gram shingles that never occur in a REFERENCE corpus — the
+    * continuous companion to binary decontamination
+    * (`TextStats.decontaminate` flags ANY overlap with an eval set; this
+    * SCORES overlap against an arbitrary reference). Low novelty against
+    * the existing training set = the document adds near-zero new text mass
+    * (memorization fodder); curation pipelines threshold or weight by it
+    * when folding a new crawl into an established corpus. Documents shorter
+    * than one shingle are absent (no score, matching the dedup ladder's
+    * "no postings → no row" convention).
+    *
+    * Scale shape: the reference side collapses to its distinct-gram
+    * vocabulary once (map-side-partial distinct), then ONE linear
+    * gram-keyed join of the new side's postings against it — the
+    * [[crossDocSpans]] shape, never a pairwise self-join. `hashGrams = true`
+    * keys both sides on `xxhash64(gram)` (the 100 TB shuffle-width switch;
+    * grams never reach the output, so the result is identical up to 64-bit
+    * collisions — a collision can only mark one gram as seen). In
+    * production the reference vocabulary is persisted once and re-probed by
+    * every increment, amortizing the heavy side to zero. */
+  def noveltyScore(newDocs: DataFrame, refDocs: DataFrame, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val g = df.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), n)).as("g"))
+      if (hashGrams) g.select(col("doc_id"), xxhash64(col("g")).as("g")) else g
+    }
+    val refVocab = grams(refDocs).select(col("g")).distinct()
+      .withColumn("seen", lit(1))
+    grams(newDocs).join(refVocab, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
     * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -618,6 +618,61 @@ FROM (
 WHERE "rank" <= $k"""
   }
 
+  /** x53 — snapshot diff between the synthetic old (doc_id % 3 != 0) and new
+    * (doc_id % 5 != 0, " v2" edit at % 7 == 0) snapshots; identity by
+    * doc_id, change by md5 digest, attribution to the NEW side's source. */
+  private val snapshotDiffSql: String =
+    """WITH o AS (
+  SELECT doc_id, source, md5(text) AS dg,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents WHERE doc_id % 3 <> 0),
+n AS (
+  SELECT doc_id, source, md5(t) AS dg,
+    CAST(len(string_split(t, ' ')) AS BIGINT) AS nt
+  FROM (SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t
+        FROM documents WHERE doc_id % 5 <> 0))
+SELECT COALESCE(n.source, o.source) AS source,
+  CAST(SUM(CASE WHEN o.dg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN n.dg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN o.dg IS NOT NULL AND n.dg IS NOT NULL AND o.dg <> n.dg
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN o.dg = n.dg THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  CAST(SUM(COALESCE(n.nt, 0)) - SUM(COALESCE(o.nt, 0)) AS BIGINT) AS token_delta
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+GROUP BY 1"""
+
+  /** x54 — n-gram novelty of the odd-id increment vs the even-id reference
+    * vocabulary; shingle geometry from shinglePrelude (n=3, distinct per
+    * doc), matching TextDedup.noveltyScore. */
+  private val noveltySql: String = shinglePrelude +
+    """ref AS (SELECT DISTINCT s FROM post WHERE doc_id % 2 = 0),
+np AS (SELECT doc_id, s FROM post WHERE doc_id % 2 = 1)
+SELECT np.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  round(CAST(SUM(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*), 6) AS novelty
+FROM np LEFT JOIN ref ON np.s = ref.s
+GROUP BY 1"""
+
+  /** x55 — source token-share concentration: exact BIGINT counts, shares as
+    * doubles, per-term 12-dp round + DECIMAL sum (x19's order-independence
+    * pattern) for hhi and entropy. */
+  private val concentrationSql: String =
+    """WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tot FROM per),
+sh AS (SELECT CAST(nt AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+       FROM per CROSS JOIN tot)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+  round(MAX(share), 6) AS top_share,
+  round(CAST(SUM(CAST(round(share * share, 12) AS DECIMAL(28,12))) AS DOUBLE),
+        6) AS hhi,
+  round(CAST(SUM(CAST(round(0 - share * log2(share), 12) AS DECIMAL(28,12)))
+    AS DOUBLE), 6) AS entropy_bits
+FROM sh"""
+
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
     * the formula stays in one place. */
   private def datasetCardSql: String = qualityPrelude("") +
@@ -756,6 +811,15 @@ FROM c"""
 
     // x52: materialized temperature mix — budget from Curation.MixApplyBudget
     "x52_apply_mix" -> applyMixSql,
+
+    // x53: snapshot diff (dataset versioning report)
+    "x53_snapshot_diff" -> snapshotDiffSql,
+
+    // x54: n-gram novelty of the increment vs the reference vocabulary
+    "x54_novelty" -> noveltySql,
+
+    // x55: source token-share concentration (HHI / entropy / top share)
+    "x55_concentration" -> concentrationSql,
 
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)

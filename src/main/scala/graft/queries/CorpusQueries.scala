@@ -264,6 +264,31 @@ object CorpusQueries {
   def x49DatasetCard(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.datasetCard(docs(spark, dir))
 
+  /** x53 — snapshot diff: two synthetic snapshots carved from the corpus
+    * (old = doc_id % 3 != 0, new = doc_id % 5 != 0 with a deterministic " v2"
+    * edit at doc_id % 7 == 0), so every diff class — added, removed, changed,
+    * unchanged — is exercised non-vacuously. */
+  def x53SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.corpus.Profiling.snapshotDiff(oldSnap, newSnap)
+  }
+
+  /** x54 — n-gram novelty of the odd-id increment against the even-id
+    * reference corpus (the x40 split convention). */
+  def x54Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.noveltyScore(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** x55 — one-row source-concentration audit (HHI, entropy, top share). */
+  def x55Concentration(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Profiling.concentrationReport(docs(spark, dir))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -1190,6 +1190,92 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.sql("DROP TABLE IF EXISTS dedup_idx_spec")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged and attributes moves to the new source") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta", "s0"),   // unchanged
+      (2L, "gamma delta", "s0"),  // changed in new
+      (3L, "kept text", "s0"),    // removed (absent from new)
+      (5L, "mover text", "s1"))   // same text, source moves s1 -> s2
+      .toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (1L, "alpha beta", "s0"),
+      (2L, "gamma delta EDITED", "s0"),
+      (4L, "brand new doc", "s0"), // added
+      (5L, "mover text", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Profiling.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // s0: added=1 (doc 4), removed=1 (doc 3), changed=1 (doc 2), unchanged=1
+    // (doc 1); token_delta = new(2+3+3) - old(2+2+2) = +2
+    out("s0") shouldBe ((1L, 1L, 1L, 1L, 2L))
+    // the mover counts once, under its NEW source, as unchanged; its old-side
+    // tokens land on s2's delta too (old row joined to the new placement)
+    out("s2") shouldBe ((0L, 0L, 0L, 1L, 0L))
+    out.contains("s1") shouldBe false
+  }
+
+  test("noveltyScore matches a brute-force referee; hashGrams is plan-only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val newSide = d.filter(col("doc_id") % 2 === 1)
+    val refSide = d.filter(col("doc_id") % 2 === 0)
+    val got = TextDedup.noveltyScore(newSide, refSide).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def sh(t: String): Seq[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toSeq.distinct
+    val refVocab = rows.filter(_._1 % 2 == 0).flatMap(r => sh(r._2)).toSet
+    val expected = rows.filter(_._1 % 2 == 1)
+      .map { case (id, t) => id -> sh(t) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, gs) =>
+        val novel = gs.count(g => !refVocab.contains(g)).toLong
+        id -> ((gs.size.toLong, novel,
+          BigDecimal(novel.toDouble / gs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+    got shouldBe expected
+    got.values.map(_._2).sum should be > 0L // some novelty on this corpus
+    // the 64-bit gram-key path is a pure plan change
+    val hashed = TextDedup.noveltyScore(newSide, refSide, hashGrams = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    hashed shouldBe got
+  }
+
+  test("concentrationReport: balanced corpus hits the closed forms, single source degenerates") {
+    import spark.implicits._
+    // two sources, exactly equal token mass -> share 0.5 each:
+    // hhi = 0.5, entropy = 1 bit, top_share = 0.5
+    val balanced = Seq(
+      (1L, "a b c d", "s0"), (2L, "e f g h", "s1"))
+      .toDF("doc_id", "text", "source")
+    val b = Profiling.concentrationReport(balanced).collect().head
+    b.getLong(0) shouldBe 2L
+    b.getDouble(1) shouldBe 0.5
+    b.getDouble(2) shouldBe 0.5
+    b.getDouble(3) shouldBe 1.0
+    // one source wearing the whole corpus: hhi 1, entropy 0
+    val mono = Seq((1L, "a b", "s0"), (2L, "c d e", "s0"))
+      .toDF("doc_id", "text", "source")
+    val m = Profiling.concentrationReport(mono).collect().head
+    m.getLong(0) shouldBe 1L
+    m.getDouble(1) shouldBe 1.0
+    m.getDouble(2) shouldBe 1.0
+    m.getDouble(3) shouldBe 0.0
+  }
+
   test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {
     val d = docs(1L -> "")
     val r = TextStats.charClassEntropy(d).collect().head
