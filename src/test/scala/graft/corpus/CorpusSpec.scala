@@ -1151,6 +1151,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     // boilerplate scans twice (grams + per-source totals) — both pruned
     readSchemas(TextDedup.boilerplateReport(t)).toSet shouldBe
       Set("text:string,source:string", "source:string")
+    // snapshot diff: both snapshot scans pruned to (doc_id, source, text)
+    readSchemas(Profiling.snapshotDiff(t, t)).toSet shouldBe
+      Set("doc_id:bigint,text:string,source:string")
+    // novelty: both sides pruned — the reference side's doc_id is dropped
+    // before its distinct, so only the gram column survives its shuffle
+    readSchemas(TextDedup.noveltyScore(t, t)).toSet shouldBe
+      Set("doc_id:bigint,text:string", "text:string")
+    // concentration scans twice (per-source + the one-row total)
+    readSchemas(Profiling.concentrationReport(t)).toSet shouldBe
+      Set("text:string,source:string")
   }
 
   test("bucketed dedup index: the probe join re-shuffles ONLY the increment side") {
