@@ -180,6 +180,60 @@ object Profiling {
           - sum(coalesce(col("o_tokens"), lit(0L)))).as("token_delta"))
   }
 
+  /** x56 — unigram distribution drift: per source, the Jensen–Shannon
+    * divergence (bits) between two snapshots' unigram distributions — the
+    * DISTRIBUTION-level drift gate complementing [[snapshotDiff]]'s
+    * document-level counts. A source can churn many documents with near-zero
+    * JSD (re-crawl of the same domain) or keep every doc_id and still drift
+    * hard (a boilerplate-stripping change) — release gates want both
+    * signals. JSD over KL because it is symmetric, bounded ([0, 1] bit), and
+    * defined without smoothing when a token exists on only one side
+    * (0·log 0 = 0 by convention, applied per side).
+    *
+    * A source present in only one snapshot gets the one-sided sum, 0.5 bits
+    * — deterministic and distinct from both "identical" (0) and "fully
+    * disjoint but both present" (1).
+    *
+    * Parity: probabilities are exact-BIGINT counts divided as doubles; each
+    * side's per-token term `0.5·p·log₂(2p/(p+q))` is assembled in the same
+    * association order in both engines, rounded to 12 dp per term, and
+    * DECIMAL-summed (x19's pattern). Scale shape: two (source, token)
+    * map-side-partial aggregates, one vocab-sized full-outer join on
+    * (source, token), a broadcast source-cardinality totals table, and a
+    * source-cardinality final aggregate — the corpus never moves unreduced. */
+  def unigramDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def counts(df: DataFrame, p: String): DataFrame =
+      df.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as(s"${p}c"))
+    val j = counts(oldDocs, "o").join(counts(newDocs, "n"),
+        Seq("source", "w"), "full_outer")
+      .select(col("source"),
+        coalesce(col("oc"), lit(0L)).as("oc"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = j.groupBy(col("source")).agg(
+      sum(col("oc")).cast("long").as("ot"),
+      sum(col("nc")).cast("long").as("nt"))
+    val p = when(col("nt") > 0,
+      col("nc").cast("double") / col("nt").cast("double")).otherwise(lit(0.0))
+    val q = when(col("ot") > 0,
+      col("oc").cast("double") / col("ot").cast("double")).otherwise(lit(0.0))
+    def side(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(a > 0,
+        round(lit(0.5) * (a * log2((lit(2.0) * a) / (a + b))), 12))
+        .otherwise(lit(0.0))
+    j.join(broadcast(tot), "source")
+      .select(col("source"), col("ot"), col("nt"), col("oc"), col("nc"),
+        (side(p, q) + side(q, p)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("ot")).as("n_tokens_old"),
+        max(col("nt")).as("n_tokens_new"),
+        sum(when(col("oc") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("nc") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("jsd_bits"))
+  }
+
   /** x55 — source-concentration report: ONE row auditing how concentrated
     * the corpus's token mass is across sources — the mix-health scalar
     * companion to [[lengthProfile]] (per-source detail) and

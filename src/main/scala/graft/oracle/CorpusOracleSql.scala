@@ -673,6 +673,42 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
     AS DOUBLE), 6) AS entropy_bits
 FROM sh"""
 
+  /** x56 — per-source unigram JSD between x53's snapshots; per-token terms
+    * assembled in the operator's association order, 12-dp rounded per side,
+    * DECIMAL-summed. */
+  private val unigramDriftSql: String =
+    """WITH o0 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 3 <> 0),
+n0 AS (
+  SELECT source, unnest(string_split(
+    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, ' ')) AS w
+  FROM documents WHERE doc_id % 5 <> 0),
+ocnt AS (SELECT source, w, COUNT(*) AS oc FROM o0 GROUP BY 1, 2),
+ncnt AS (SELECT source, w, COUNT(*) AS nc FROM n0 GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(ocnt.source, ncnt.source) AS source,
+    COALESCE(ocnt.oc, 0) AS oc, COALESCE(ncnt.nc, 0) AS nc
+  FROM ocnt FULL OUTER JOIN ncnt
+    ON ocnt.source = ncnt.source AND ocnt.w = ncnt.w),
+tot AS (SELECT source, CAST(SUM(oc) AS BIGINT) AS ot,
+               CAST(SUM(nc) AS BIGINT) AS nt FROM j GROUP BY 1),
+t AS (
+  SELECT j.source, ot, nt, oc, nc,
+    CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0 END AS p,
+    CASE WHEN ot > 0 THEN CAST(oc AS DOUBLE) / CAST(ot AS DOUBLE) ELSE 0 END AS q
+  FROM j JOIN tot ON j.source = tot.source)
+SELECT source, MAX(ot) AS n_tokens_old, MAX(nt) AS n_tokens_new,
+  CAST(SUM(CASE WHEN oc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+  CAST(SUM(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+  round(CAST(SUM(CAST(
+      (CASE WHEN p > 0 THEN round(0.5 * (p * log2((2.0 * p) / (p + q))), 12)
+            ELSE 0 END)
+    + (CASE WHEN q > 0 THEN round(0.5 * (q * log2((2.0 * q) / (q + p))), 12)
+            ELSE 0 END)
+    AS DECIMAL(28,12))) AS DOUBLE), 6) AS jsd_bits
+FROM t GROUP BY 1"""
+
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
     * the formula stays in one place. */
   private def datasetCardSql: String = qualityPrelude("") +
@@ -820,6 +856,9 @@ FROM c"""
 
     // x55: source token-share concentration (HHI / entropy / top share)
     "x55_concentration" -> concentrationSql,
+
+    // x56: per-source unigram JSD between x53's snapshots
+    "x56_unigram_drift" -> unigramDriftSql,
 
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)

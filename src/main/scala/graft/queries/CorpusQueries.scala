@@ -289,6 +289,18 @@ object CorpusQueries {
   def x55Concentration(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.concentrationReport(docs(spark, dir))
 
+  /** x56 — per-source unigram JSD between the same synthetic snapshots x53
+    * diffs (old = % 3 != 0, new = % 5 != 0 with the " v2" edit at % 7 == 0),
+    * so both drift gates read the same pair of versions. */
+  def x56UnigramDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.corpus.Profiling.unigramDrift(oldSnap, newSnap)
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -1264,6 +1264,57 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     hashed shouldBe got
   }
 
+  test("unigramDrift: closed forms (identical=0, disjoint=1 bit, one-sided=0.5) and a referee") {
+    import spark.implicits._
+    def df(rows: (Long, String, String)*) = rows.toDF("doc_id", "text", "source")
+    // s0 identical across snapshots; s1 fully disjoint vocab; s2 new-only
+    val oldSnap = df((1L, "a b c", "s0"), (2L, "x x y", "s1"))
+    val newSnap = df((1L, "a b c", "s0"), (2L, "p q r", "s1"), (3L, "m n", "s2"))
+    val out = Profiling.unigramDrift(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    out("s0") shouldBe 0.0
+    out("s1") shouldBe 1.0
+    out("s2") shouldBe 0.5
+    // referee: random two-source corpora vs a direct JSD computation
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def corpus(n: Int) = (0L until n).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), s"s${i % 2}")
+    }
+    val co = corpus(40)
+    val cn = corpus(40)
+    val got = Profiling.unigramDrift(
+        co.toDF("doc_id", "text", "source"), cn.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def dist(c: Seq[(Long, String, String)], src: String): Map[String, Long] =
+      c.filter(_._3 == src).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq("s0", "s1").foreach { src =>
+      val (po, pn) = (dist(co, src), dist(cn, src))
+      val (ot, nt) = (po.values.sum, pn.values.sum)
+      val terms = (po.keySet ++ pn.keySet).toSeq.map { w =>
+        val q = po.getOrElse(w, 0L).toDouble / ot
+        val p = pn.getOrElse(w, 0L).toDouble / nt
+        def s(a: Double, b: Double) = if (a > 0)
+          BigDecimal(0.5 * (a * (math.log((2.0 * a) / (a + b)) / math.log(2.0))))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP) else BigDecimal(0)
+        s(p, q) + s(q, p)
+      }
+      val expected = terms.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gotOt, gotNt, vo, vn, jsd) = got(src)
+      gotOt shouldBe ot
+      gotNt shouldBe nt
+      vo shouldBe po.size.toLong
+      vn shouldBe pn.size.toLong
+      jsd shouldBe expected +- 1e-9
+      jsd should be > 0.0
+      jsd should be < 1.0
+    }
+  }
+
   test("concentrationReport: balanced corpus hits the closed forms, single source degenerates") {
     import spark.implicits._
     // two sources, exactly equal token mass -> share 0.5 each:
