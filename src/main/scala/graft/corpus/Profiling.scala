@@ -141,6 +141,58 @@ object Profiling {
         round(sum(round(col("nrm"), 8).cast("decimal(20,8)")).cast("double")
           / count(lit(1)), 6).as("mean_norm"))
 
+  /** x57 — embedding drift: per label, how far the MEAN embedding moved
+    * between two snapshots — the embedding-plane member of the drift triad
+    * (x53 documents, x56 token distributions, x57 vector space). An
+    * embedding-model upgrade, a re-crawl, or a curation change can leave
+    * token statistics flat while relocating whole regions of embedding
+    * space, silently invalidating persisted centroids, IVF cells, and
+    * SemDeDup blocking — this is the gate a deployment runs before reusing
+    * a semantic index against a new snapshot. Emits
+    * `(label, n_old, n_new, mean_shift, cos_means)`: the Euclidean
+    * displacement of the label's mean vector and the cosine between the two
+    * means (1 = direction preserved, the displacement is pure magnitude).
+    * Labels present in only one snapshot are absent (no drift is defined).
+    *
+    * Parity: per-dimension means are round-then-DECIMAL-sum over 9-dp
+    * coordinates (`Semantic.MeanRoundDp`'s pattern) divided as doubles;
+    * the per-dimension squared-difference / product terms are 12-dp rounded
+    * and DECIMAL-summed, so neither engine's aggregation order matters.
+    * Scale shape: one posexplode (dim fan-out, narrow) and a
+    * (label × dim)-keyed map-side-partial aggregate per side — the only
+    * corpus-sized motion is that one posting reduce; everything after is
+    * label×dim-bounded (KBs at any corpus size). */
+  def embeddingDrift(oldEmb: DataFrame, newEmb: DataFrame): DataFrame = {
+    def dimMeans(emb: DataFrame, p: String): DataFrame =
+      emb.select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+        .groupBy(col("label"), col("d"))
+        .agg((sum(round(col("v"), 9).cast("decimal(28,9)")).cast("double")
+          / count(lit(1))).as(s"${p}m"))
+    def counts(emb: DataFrame, p: String): DataFrame =
+      emb.groupBy(col("label")).agg(count(lit(1)).as(s"n_$p"))
+    val terms = dimMeans(oldEmb, "o").join(dimMeans(newEmb, "n"), Seq("label", "d"))
+      .select(col("label"),
+        round((col("nm") - col("om")) * (col("nm") - col("om")), 12).as("sq"),
+        round(col("om") * col("nm"), 12).as("pp"),
+        round(col("om") * col("om"), 12).as("oo"),
+        round(col("nm") * col("nm"), 12).as("nn"))
+      .groupBy(col("label"))
+      .agg(
+        sum(col("sq").cast("decimal(28,12)")).cast("double").as("sumsq"),
+        sum(col("pp").cast("decimal(28,12)")).cast("double").as("sp"),
+        sum(col("oo").cast("decimal(28,12)")).cast("double").as("so"),
+        sum(col("nn").cast("decimal(28,12)")).cast("double").as("sn"))
+    terms
+      .join(broadcast(counts(oldEmb, "old")), "label")
+      .join(broadcast(counts(newEmb, "new")), "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(sqrt(col("sumsq")), 6).as("mean_shift"),
+        when(col("so") > 0 && col("sn") > 0,
+          round(col("sp") / (sqrt(col("so")) * sqrt(col("sn"))), 6))
+          .as("cos_means"))
+  }
+
   /** x53 — snapshot diff: the dataset-versioning report between two corpus
     * snapshots (a monthly crawl refresh, a re-run of the curation pipeline):
     * per source, how many documents were added, removed, changed (same

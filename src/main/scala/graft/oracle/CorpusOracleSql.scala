@@ -709,6 +709,46 @@ SELECT source, MAX(ot) AS n_tokens_old, MAX(nt) AS n_tokens_new,
     AS DECIMAL(28,12))) AS DOUBLE), 6) AS jsd_bits
 FROM t GROUP BY 1"""
 
+  /** x57 — per-label embedding drift between the x53-convention snapshot
+    * memberships; 9-dp round + DECIMAL means per dimension, 12-dp round +
+    * DECIMAL sums for the displacement/cosine terms, mirroring
+    * Profiling.embeddingDrift's association order. */
+  private val embeddingDriftSql: String =
+    """WITH raw AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+om AS (
+  SELECT label, i AS d,
+    CAST(SUM(CAST(round(raw[i + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / COUNT(*) AS om
+  FROM raw, unnest(range(len(raw))) AS t(i)
+  WHERE vec_id % 3 <> 0 GROUP BY 1, 2),
+nm AS (
+  SELECT label, i AS d,
+    CAST(SUM(CAST(round(raw[i + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / COUNT(*) AS nm
+  FROM raw, unnest(range(len(raw))) AS t(i)
+  WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+oc AS (SELECT label, COUNT(*) AS n_old FROM raw WHERE vec_id % 3 <> 0 GROUP BY 1),
+nc AS (SELECT label, COUNT(*) AS n_new FROM raw WHERE vec_id % 5 <> 0 GROUP BY 1),
+terms AS (
+  SELECT om.label,
+    round((nm - om) * (nm - om), 12) AS sq,
+    round(om * nm, 12) AS pp, round(om * om, 12) AS oo,
+    round(nm * nm, 12) AS nn
+  FROM om JOIN nm ON om.label = nm.label AND om.d = nm.d),
+agg AS (
+  SELECT label,
+    CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) AS sumsq,
+    CAST(SUM(CAST(pp AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+    CAST(SUM(CAST(oo AS DECIMAL(28,12))) AS DOUBLE) AS so,
+    CAST(SUM(CAST(nn AS DECIMAL(28,12))) AS DOUBLE) AS sn
+  FROM terms GROUP BY 1)
+SELECT agg.label, oc.n_old, nc.n_new,
+  round(sqrt(sumsq), 6) AS mean_shift,
+  CASE WHEN so > 0 AND sn > 0
+    THEN round(sp / (sqrt(so) * sqrt(sn)), 6) END AS cos_means
+FROM agg JOIN oc ON agg.label = oc.label JOIN nc ON agg.label = nc.label"""
+
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
     * the formula stays in one place. */
   private def datasetCardSql: String = qualityPrelude("") +
@@ -859,6 +899,9 @@ FROM c"""
 
     // x56: per-source unigram JSD between x53's snapshots
     "x56_unigram_drift" -> unigramDriftSql,
+
+    // x57: per-label embedding drift between the same snapshot convention
+    "x57_embedding_drift" -> embeddingDriftSql,
 
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)

@@ -301,6 +301,15 @@ object CorpusQueries {
     graft.corpus.Profiling.unigramDrift(oldSnap, newSnap)
   }
 
+  /** x57 — embedding drift between snapshot memberships (old = vec_id % 3
+    * != 0, new = vec_id % 5 != 0 — the x53/x56 split convention on the
+    * vector table; the differing memberships shift every label's mean). */
+  def x57EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.corpus.Profiling.embeddingDrift(
+      e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 5 =!= 0))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -1315,6 +1315,28 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("embeddingDrift: identical snapshots are zero-shift, known moves hit closed forms") {
+    import spark.implicits._
+    def e(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    val same = e((1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 0), (3L, Seq(0f, 1f), 1))
+    val zero = Profiling.embeddingDrift(same, same).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    zero(0) shouldBe ((2L, 2L, 0.0, 1.0))
+    zero(1) shouldBe ((1L, 1L, 0.0, 1.0))
+    // label 0 mean rotates (1,0) -> (0,1): shift sqrt(2), cos 0; label 2 is
+    // new-only -> absent (no drift defined)
+    val oldSnap = e((1L, Seq(1f, 0f), 0))
+    val newSnap = e((2L, Seq(0f, 1f), 0), (3L, Seq(5f, 5f), 2))
+    val moved = Profiling.embeddingDrift(oldSnap, newSnap).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    moved(0)._1 shouldBe BigDecimal(math.sqrt(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    moved(0)._2 shouldBe 0.0
+    moved.contains(2) shouldBe false
+  }
+
   test("concentrationReport: balanced corpus hits the closed forms, single source degenerates") {
     import spark.implicits._
     // two sources, exactly equal token mass -> share 0.5 each:
