@@ -551,21 +551,47 @@ object TextDedup {
     * production the reference vocabulary is persisted once and re-probed by
     * every increment, amortizing the heavy side to zero. */
   def noveltyScore(newDocs: DataFrame, refDocs: DataFrame, n: Int = 3,
-      hashGrams: Boolean = false): DataFrame = {
-    def grams(df: DataFrame): DataFrame = {
-      val g = df.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), n)).as("g"))
-      if (hashGrams) g.select(col("doc_id"), xxhash64(col("g")).as("g")) else g
-    }
-    val refVocab = grams(refDocs).select(col("g")).distinct()
-      .withColumn("seen", lit(1))
-    grams(newDocs).join(refVocab, Seq("g"), "left")
+      hashGrams: Boolean = false): DataFrame =
+    noveltyScoreAgainst(newDocs, vocabulary(refDocs, n, hashGrams),
+      n, hashGrams)
+
+  private def gramPostings(df: DataFrame, n: Int,
+      hashGrams: Boolean): DataFrame = {
+    val g = df.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("g"))
+    if (hashGrams) g.select(col("doc_id"), xxhash64(col("g")).as("g")) else g
+  }
+
+  /** The distinct-gram vocabulary of a reference corpus — what
+    * [[noveltyScore]] probes, exposed so a deployment builds it ONCE and
+    * persists it ([[writeVocabulary]]) instead of re-reducing the reference
+    * corpus per increment. */
+  def vocabulary(refDocs: DataFrame, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame =
+    gramPostings(refDocs, n, hashGrams).select(col("g")).distinct()
+
+  /** Persist [[vocabulary]] BUCKETED on the gram key — [[writeDedupIndex]]'s
+    * layout discipline applied to the novelty plane: every future
+    * increment's probe join re-shuffles ONLY the increment's postings; the
+    * reference vocabulary reads in place, pre-sorted for the merge join.
+    * Spec-pinned to a plan whose only exchanges are increment-side. */
+  def writeVocabulary(vocab: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    vocab.write.bucketBy(buckets, "g").sortBy("g")
+      .mode("overwrite").format("parquet").saveAsTable(tableName)
+
+  /** [[noveltyScore]] against a pre-built (typically persisted, bucketed)
+    * vocabulary frame. `n`/`hashGrams` must match how the vocabulary was
+    * built — a hashed vocabulary cannot answer string probes. */
+  def noveltyScoreAgainst(newDocs: DataFrame, vocab: DataFrame, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame =
+    gramPostings(newDocs, n, hashGrams)
+      .join(vocab.withColumn("seen", lit(1)), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
-  }
 
   /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
     * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */

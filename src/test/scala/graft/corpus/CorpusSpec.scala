@@ -1359,6 +1359,44 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     m.getDouble(3) shouldBe 0.0
   }
 
+  test("bucketed vocabulary: the novelty probe re-shuffles ONLY the increment side") {
+    import spark.implicits._
+    val ref = Seq((100L, (1 to 30).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    TextDedup.writeVocabulary(TextDedup.vocabulary(ref), "novelty_vocab_spec",
+      buckets = 4)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq(
+          (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),
+          (2L, "all novel text here"))
+        .toDF("doc_id", "text")
+      val scored = TextDedup.noveltyScoreAgainst(
+        probe, spark.table("novelty_vocab_spec"))
+      val out = scored.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      out(1L) shouldBe 0.0 // every gram known to the reference
+      out(2L) shouldBe 1.0 // fully novel
+      val finalPlan = scored.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val rendered = finalPlan.toString
+      // two exchanges, BOTH increment-side (postings into the gram key, then
+      // the per-doc aggregate); a vocab-side exchange would make it three
+      "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 2
+      rendered should not include "BroadcastExchange"
+      rendered should include("Bucketed: true")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS novelty_vocab_spec")
+    }
+  }
+
   test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {
     val d = docs(1L -> "")
     val r = TextStats.charClassEntropy(d).collect().head
@@ -1373,5 +1411,33 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     val hints = TextDedup.decontaminationReport(d).queryExecution.analyzed
       .collect { case h: ResolvedHint => h }
     hints should have size 1 // exactly one: the benchmark shingle set
+  }
+
+  test("drift/report plans broadcast only their bounded sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import spark.implicits._
+    val d = Seq((1L, "a b c", "s0"), (2L, "d e f", "s1"))
+      .toDF("doc_id", "text", "source")
+    // x56: exactly one hint — the source-cardinality totals table; the
+    // vocab-sized (source, token) join must stay a shuffle join
+    Profiling.unigramDrift(d, d).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h } should have size 1
+    // x55: one hint — the one-row grand total
+    Profiling.concentrationReport(d).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h } should have size 1
+    // x57: two hints — the per-label count tables; the (label, dim) mean
+    // join is label×dim-bounded but still must not broadcast a mean table
+    // built from a corpus-sized aggregate before AQE sizes it
+    val e = Seq((1L, Seq(1f, 2f), 0)).toDF("vec_id", "embedding", "label")
+    Profiling.embeddingDrift(e, e).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h } should have size 2
+    // x53: NO hints — both sides of the full-outer join are corpus-sized
+    Profiling.snapshotDiff(d, d).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h } shouldBe empty
+    // x54: no hints — the reference vocabulary is corpus-vocab-sized (AQE
+    // may still choose a broadcast at runtime when it fits; the plan must
+    // not FORCE one against a 100 TB reference)
+    TextDedup.noveltyScore(d, d).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h } shouldBe empty
   }
 }

@@ -218,6 +218,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("per-epoch drift monitoring: unigramDrift runs unchanged in foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // frozen reference snapshot (in production: the persisted current release)
+    val ref = Seq((1L, "a b c", "s0")).toDF("doc_id", "text", "source")
+    val input = MemoryStream[(Long, String, String)]
+    val epochs =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Double])]
+    val q = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("driftmon").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        epochs += epochId -> graft.corpus.Profiling.unigramDrift(ref, df)
+          .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+        ()
+      }
+      .start()
+    try {
+      input.addData((10L, "a b c", "s0")) // identical distribution
+      q.processAllAvailable()
+      input.addData((11L, "x y z", "s0")) // fully disjoint vocabulary
+      q.processAllAvailable()
+      val bySrc = epochs.toMap
+      bySrc(0L)("s0") shouldBe 0.0
+      bySrc(1L)("s0") shouldBe 1.0
+    } finally q.stop()
+  }
+
   test("streaming mix sampling: frozen rates gate an ingest stream deterministically") {
     val s = spark
     import s.implicits._
