@@ -149,10 +149,15 @@ object Profiling {
     * space, silently invalidating persisted centroids, IVF cells, and
     * SemDeDup blocking — this is the gate a deployment runs before reusing
     * a semantic index against a new snapshot. Emits
-    * `(label, n_old, n_new, mean_shift, cos_means)`: the Euclidean
-    * displacement of the label's mean vector and the cosine between the two
-    * means (1 = direction preserved, the displacement is pure magnitude).
-    * Labels present in only one snapshot are absent (no drift is defined).
+    * `(label, n_old, n_new, dim_old, dim_new, mean_shift, cos_means)`: the
+    * Euclidean displacement of the label's mean vector and the cosine
+    * between the two means (1 = direction preserved, the displacement is
+    * pure magnitude). Labels present in only one snapshot are absent (no
+    * drift is defined). A DIMENSIONALITY change — the embedding-model
+    * upgrade case — must fail the gate loudly, not truncate to the shared
+    * prefix of dimensions: when `dim_old != dim_new` the metrics are NULL
+    * and the dim columns name the mismatch (within-side raggedness is
+    * [[embeddingProfile]]'s job — run it first).
     *
     * Parity: per-dimension means are round-then-DECIMAL-sum over 9-dp
     * coordinates (`Semantic.MeanRoundDp`'s pattern) divided as doubles;
@@ -170,7 +175,8 @@ object Profiling {
         .agg((sum(round(col("v"), 9).cast("decimal(28,9)")).cast("double")
           / count(lit(1))).as(s"${p}m"))
     def counts(emb: DataFrame, p: String): DataFrame =
-      emb.groupBy(col("label")).agg(count(lit(1)).as(s"n_$p"))
+      emb.groupBy(col("label")).agg(count(lit(1)).as(s"n_$p"),
+        max(size(col("embedding"))).cast("long").as(s"dim_$p"))
     val terms = dimMeans(oldEmb, "o").join(dimMeans(newEmb, "n"), Seq("label", "d"))
       .select(col("label"),
         round((col("nm") - col("om")) * (col("nm") - col("om")), 12).as("sq"),
@@ -183,12 +189,14 @@ object Profiling {
         sum(col("pp").cast("decimal(28,12)")).cast("double").as("sp"),
         sum(col("oo").cast("decimal(28,12)")).cast("double").as("so"),
         sum(col("nn").cast("decimal(28,12)")).cast("double").as("sn"))
+    val sameDim = col("dim_old") === col("dim_new")
     terms
       .join(broadcast(counts(oldEmb, "old")), "label")
       .join(broadcast(counts(newEmb, "new")), "label")
       .select(col("label"), col("n_old"), col("n_new"),
-        round(sqrt(col("sumsq")), 6).as("mean_shift"),
-        when(col("so") > 0 && col("sn") > 0,
+        col("dim_old"), col("dim_new"),
+        when(sameDim, round(sqrt(col("sumsq")), 6)).as("mean_shift"),
+        when(sameDim && col("so") > 0 && col("sn") > 0,
           round(col("sp") / (sqrt(col("so")) * sqrt(col("sn"))), 6))
           .as("cos_means"))
   }
@@ -258,14 +266,22 @@ object Profiling {
       df.select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as(s"${p}c"))
-    val j = counts(oldDocs, "o").join(counts(newDocs, "n"),
-        Seq("source", "w"), "full_outer")
+    val oCnt = counts(oldDocs, "o")
+    val nCnt = counts(newDocs, "n")
+    val j = oCnt.join(nCnt, Seq("source", "w"), "full_outer")
       .select(col("source"),
         coalesce(col("oc"), lit(0L)).as("oc"),
         coalesce(col("nc"), lit(0L)).as("nc"))
-    val tot = j.groupBy(col("source")).agg(
-      sum(col("oc")).cast("long").as("ot"),
-      sum(col("nc")).cast("long").as("nt"))
+    // totals from the per-side counts (whose exchanges the vocab join reuses)
+    // — deriving them from `j` would execute the vocab-sized full-outer join
+    // TWICE (once under the broadcast build, once under the probe)
+    val tot = oCnt.groupBy(col("source"))
+      .agg(sum(col("oc")).cast("long").as("ot"))
+      .join(nCnt.groupBy(col("source"))
+        .agg(sum(col("nc")).cast("long").as("nt")), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("ot"), lit(0L)).as("ot"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
     val p = when(col("nt") > 0,
       col("nc").cast("double") / col("nt").cast("double")).otherwise(lit(0.0))
     val q = when(col("ot") > 0,

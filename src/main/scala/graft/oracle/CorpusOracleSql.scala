@@ -691,8 +691,12 @@ j AS (
     COALESCE(ocnt.oc, 0) AS oc, COALESCE(ncnt.nc, 0) AS nc
   FROM ocnt FULL OUTER JOIN ncnt
     ON ocnt.source = ncnt.source AND ocnt.w = ncnt.w),
-tot AS (SELECT source, CAST(SUM(oc) AS BIGINT) AS ot,
-               CAST(SUM(nc) AS BIGINT) AS nt FROM j GROUP BY 1),
+ot0 AS (SELECT source, CAST(SUM(oc) AS BIGINT) AS ot FROM ocnt GROUP BY 1),
+nt0 AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS nt FROM ncnt GROUP BY 1),
+tot AS (
+  SELECT COALESCE(ot0.source, nt0.source) AS source,
+    COALESCE(ot, 0) AS ot, COALESCE(nt, 0) AS nt
+  FROM ot0 FULL OUTER JOIN nt0 ON ot0.source = nt0.source),
 t AS (
   SELECT j.source, ot, nt, oc, nc,
     CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0 END AS p,
@@ -728,8 +732,10 @@ nm AS (
       / COUNT(*) AS nm
   FROM raw, unnest(range(len(raw))) AS t(i)
   WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
-oc AS (SELECT label, COUNT(*) AS n_old FROM raw WHERE vec_id % 3 <> 0 GROUP BY 1),
-nc AS (SELECT label, COUNT(*) AS n_new FROM raw WHERE vec_id % 5 <> 0 GROUP BY 1),
+oc AS (SELECT label, COUNT(*) AS n_old, CAST(MAX(len(raw)) AS BIGINT) AS dim_old
+       FROM raw WHERE vec_id % 3 <> 0 GROUP BY 1),
+nc AS (SELECT label, COUNT(*) AS n_new, CAST(MAX(len(raw)) AS BIGINT) AS dim_new
+       FROM raw WHERE vec_id % 5 <> 0 GROUP BY 1),
 terms AS (
   SELECT om.label,
     round((nm - om) * (nm - om), 12) AS sq,
@@ -743,9 +749,9 @@ agg AS (
     CAST(SUM(CAST(oo AS DECIMAL(28,12))) AS DOUBLE) AS so,
     CAST(SUM(CAST(nn AS DECIMAL(28,12))) AS DOUBLE) AS sn
   FROM terms GROUP BY 1)
-SELECT agg.label, oc.n_old, nc.n_new,
-  round(sqrt(sumsq), 6) AS mean_shift,
-  CASE WHEN so > 0 AND sn > 0
+SELECT agg.label, oc.n_old, nc.n_new, oc.dim_old, nc.dim_new,
+  CASE WHEN dim_old = dim_new THEN round(sqrt(sumsq), 6) END AS mean_shift,
+  CASE WHEN dim_old = dim_new AND so > 0 AND sn > 0
     THEN round(sp / (sqrt(so) * sqrt(sn)), 6) END AS cos_means
 FROM agg JOIN oc ON agg.label = oc.label JOIN nc ON agg.label = nc.label"""
 

@@ -264,16 +264,20 @@ object CorpusQueries {
   def x49DatasetCard(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.datasetCard(docs(spark, dir))
 
-  /** x53 — snapshot diff: two synthetic snapshots carved from the corpus
-    * (old = doc_id % 3 != 0, new = doc_id % 5 != 0 with a deterministic " v2"
-    * edit at doc_id % 7 == 0), so every diff class — added, removed, changed,
-    * unchanged — is exercised non-vacuously. */
-  def x53SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
-    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+  /** The synthetic snapshot pair shared by x53 and x56 (ONE carving site so
+    * the "same pair of versions" invariant cannot drift): old = doc_id % 3
+    * != 0, new = doc_id % 5 != 0 with a deterministic " v2" edit at
+    * doc_id % 7 == 0 — every diff class (added, removed, changed, unchanged)
+    * exercised non-vacuously. The oracle SQL interpolates the same moduli. */
+  private def snapshots(d: DataFrame): (DataFrame, DataFrame) = (
+    d.filter(col("doc_id") % 3 =!= 0),
+    d.filter(col("doc_id") % 5 =!= 0)
       .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+
+  /** x53 — snapshot diff over the shared synthetic snapshot pair. */
+  def x53SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshots(docs(spark, dir))
     graft.corpus.Profiling.snapshotDiff(oldSnap, newSnap)
   }
 
@@ -289,15 +293,11 @@ object CorpusQueries {
   def x55Concentration(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.concentrationReport(docs(spark, dir))
 
-  /** x56 — per-source unigram JSD between the same synthetic snapshots x53
-    * diffs (old = % 3 != 0, new = % 5 != 0 with the " v2" edit at % 7 == 0),
-    * so both drift gates read the same pair of versions. */
+  /** x56 — per-source unigram JSD over the SAME snapshot pair x53 diffs
+    * (shared [[snapshots]] carving), so both drift gates read one pair of
+    * versions. */
   def x56UnigramDrift(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
-    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val (oldSnap, newSnap) = snapshots(docs(spark, dir))
     graft.corpus.Profiling.unigramDrift(oldSnap, newSnap)
   }
 

@@ -64,11 +64,14 @@ final class InMemoryTxnBroker {
       inTxn = true
     }
 
-    def send(topic: String, key: Array[Byte], value: Array[Byte],
-        headers: Seq[(String, Array[Byte])]): Unit =
+    def send(topic: String, partition: Option[Int], key: Array[Byte],
+        value: Array[Byte], headers: Seq[(String, Array[Byte])]): Unit =
       InMemoryTxnBroker.this.synchronized {
         fencedCheck(id, gen)
         require(inTxn, s"send outside a transaction on $id")
+        // partition routing is a no-op here: commits are atomic in-process,
+        // so there is no LSO to pin (the property the routing exists for on
+        // a real broker — see TransactionalEpochSink's LSO note)
         buffer += ((topic, key, value, headers))
       }
 

@@ -60,15 +60,24 @@ final case class KafkaTxnProducerFactory(
       cls.getMethod(name).invoke(producer)
     val sendMethod = cls.getMethod("send",
       Class.forName("org.apache.kafka.clients.producer.ProducerRecord"))
+    val partitionsForM = cls.getMethod("partitionsFor", classOf[String])
     call("initTransactions") // the fencing handshake
 
     new TxnProducer {
       def begin(): Unit = call("beginTransaction")
-      def send(topic: String, key: Array[Byte], value: Array[Byte],
-          headers: Seq[(String, Array[Byte])]): Unit = {
+      def send(topic: String, partition: Option[Int], key: Array[Byte],
+          value: Array[Byte], headers: Seq[(String, Array[Byte])]): Unit = {
         val hs = new java.util.ArrayList[AnyRef](headers.size)
         headers.foreach { case (k, v) => hs.add(headerCtor.newInstance(k, v)) }
-        val rec = recordCtor.newInstance(topic, null, key, value, hs)
+        // explicit routing clamps into the topic's partition count — fewer
+        // marker partitions than task parallelism degrades to residue-class
+        // pinning (see TransactionalEpochSink's LSO note), never an error
+        val part: Integer = partition.map { p =>
+          val n = partitionsForM.invoke(producer, topic)
+            .asInstanceOf[java.util.List[_]].size
+          Integer.valueOf(p % n)
+        }.orNull
+        val rec = recordCtor.newInstance(topic, part, key, value, hs)
         sendMethod.invoke(producer, rec) // Future ignored: commit() confirms
       }
       def commit(): Unit = call("commitTransaction")
@@ -78,7 +87,19 @@ final case class KafkaTxnProducerFactory(
   }
 
   override def committedPartitions(markerTopic: String, txnIdBase: String,
-      epochId: Long): Set[Int] = {
+      epochId: Long): Set[Int] =
+    scanMarkers(markerTopic, txnIdBase, epochId, None)
+
+  /** The authoritative post-fence check: scan ONLY the marker-topic
+    * partition this pid's marker was routed to — the one partition whose
+    * LSO the caller's open() has just cleared of unresolved transactions. */
+  override def committed(markerTopic: String, txnIdBase: String,
+      epochId: Long, partitionId: Int): Boolean =
+    scanMarkers(markerTopic, txnIdBase, epochId, Some(partitionId))
+      .contains(partitionId)
+
+  private def scanMarkers(markerTopic: String, txnIdBase: String,
+      epochId: Long, onlyPartition: Option[Int]): Set[Int] = {
     val props = new java.util.Properties()
     props.put("bootstrap.servers", bootstrapServers)
     props.put("key.deserializer",
@@ -101,10 +122,13 @@ final case class KafkaTxnProducerFactory(
       val tpCls = Class.forName("org.apache.kafka.common.TopicPartition")
       val tpCtor = tpCls.getConstructor(classOf[String], classOf[Int])
       val tps = new java.util.ArrayList[AnyRef]()
+      // single-partition mode clamps exactly like the producer's routing,
+      // so check and send always agree on the marker's home partition
+      val wanted = onlyPartition.map(p => Integer.valueOf(p % infos.size))
       infos.forEach { info =>
         val p = info.getClass.getMethod("partition").invoke(info)
           .asInstanceOf[Integer]
-        tps.add(tpCtor.newInstance(markerTopic, p))
+        if (wanted.forall(_ == p)) tps.add(tpCtor.newInstance(markerTopic, p))
       }
       cls.getMethod("assign", classOf[java.util.Collection[_]])
         .invoke(consumer, tps)

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions.col
   */
 trait TxnProducer extends AutoCloseable {
   def begin(): Unit
-  def send(topic: String, key: Array[Byte], value: Array[Byte],
-      headers: Seq[(String, Array[Byte])]): Unit
+  /** `partition = Some(p)` routes the record to a specific topic partition
+    * (implementations clamp `p` into the topic's partition count); `None`
+    * uses the default partitioner. Explicit routing exists for the commit
+    * markers — see the LSO note on [[TransactionalEpochSink]]. */
+  def send(topic: String, partition: Option[Int], key: Array[Byte],
+      value: Array[Byte], headers: Seq[(String, Array[Byte])]): Unit
   /** Atomically publish every send since [[begin]] — after this returns, a
     * read-committed consumer sees all of them; before it, none. */
   def commit(): Unit
@@ -34,9 +38,22 @@ trait TxnProducerFactory extends Serializable {
 
   /** Driver-side read-committed scan of `markerTopic`: the set of task
     * partition ids whose `(txnIdBase, epochId)` commit marker is visible —
-    * i.e. whose transaction COMMITTED in a previous attempt of this epoch. */
+    * i.e. whose transaction COMMITTED in a previous attempt of this epoch.
+    * A PREFILTER only — it may be stale (see the LSO note on
+    * [[TransactionalEpochSink]]); the correctness check is [[committed]],
+    * run in-task after the fencing point. */
   def committedPartitions(markerTopic: String, txnIdBase: String,
       epochId: Long): Set[Int]
+
+  /** Authoritative single-partition check, run on the EXECUTOR after
+    * [[open]] has fenced every earlier writer of this partition's
+    * transactional id: is `(txnIdBase, epochId, partitionId)`'s marker
+    * committed? Implementations scan ONLY the marker-topic partition the
+    * marker was routed to, where fencing has already resolved every
+    * in-flight transaction that could hide it. */
+  def committed(markerTopic: String, txnIdBase: String, epochId: Long,
+      partitionId: Int): Boolean =
+    committedPartitions(markerTopic, txnIdBase, epochId).contains(partitionId)
 }
 
 /** Exactly-once Kafka DATA sink — SURVEY §7.6 option (c), the equivalent of
@@ -50,22 +67,50 @@ trait TxnProducerFactory extends Serializable {
   * partition):
   *
   *  1. `transactional.id = <txnIdBase>-<epochId>-<partitionId>` — stable
-  *     across replays, so opening it FENCES the crashed attempt (its
-  *     in-flight transaction aborts, its zombie handle can never commit).
+  *     across replays, so opening it FENCES every earlier writer of this
+  *     partition (its in-flight transaction aborts, its zombie handle can
+  *     never commit afterwards).
   *  2. All of the partition's rows AND a commit-marker record (to
-  *     `markerTopic`, keyed `<txnIdBase>/<epochId>/<partitionId>`) are sent
+  *     `markerTopic`, keyed `<txnIdBase>/<epochId>/<partitionId>`, routed
+  *     to marker-topic PARTITION `partitionId` — see the LSO note) are sent
   *     in ONE transaction. Marker and data commit atomically — there is no
   *     window where data is committed but the marker is missing.
-  *  3. On entry, the driver scans `markerTopic` read-committed: partitions
-  *     whose marker is already visible COMMITTED in a previous attempt and
-  *     are skipped entirely. Partitions whose transaction aborted (no
-  *     marker) rewrite under the same id.
+  *  3. On entry, the driver scans `markerTopic` read-committed as a cheap
+  *     PREFILTER: partitions whose marker is already visible committed in a
+  *     previous attempt and are skipped without launching work.
+  *  4. In the task, AFTER opening the transactional id (the fencing point),
+  *     the authoritative [[TxnProducerFactory.committed]] check runs: if
+  *     this partition's marker is committed, the task closes and writes
+  *     nothing. This is what makes intra-epoch task retries and SPECULATIVE
+  *     duplicate attempts safe — the driver prefilter is computed once and
+  *     cannot see a commit that happens mid-epoch, but the in-task check is
+  *     linearized by the broker: by the time our open() returns, every
+  *     earlier same-id writer has either committed (marker visible) or been
+  *     fenced and aborted (we rewrite).
   *
   * Net effect: every row is visible to a read-committed consumer exactly
-  * once, no matter how many times the epoch replays. (Epoch-keyed
-  * transactional ids ALONE do not give this — a replay after a successful
-  * commit would rewrite and re-commit; the in-transaction marker is what
-  * closes that window.)
+  * once — across epoch replays, task retries, and speculation. (Epoch-keyed
+  * transactional ids ALONE give none of this — a replay after a successful
+  * commit would rewrite and re-commit; the in-transaction marker plus the
+  * post-fence check close that window.)
+  *
+  * LSO note — why markers are routed per partition: a read-committed
+  * consumer cannot read past the Last Stable Offset, and the LSO of a
+  * topic partition is pinned below any still-open transaction writing to
+  * it. If markers from ALL task partitions shared one marker partition, a
+  * crashed attempt's dangling transaction (which stays open until fenced or
+  * `transaction.timeout.ms`) would hide OTHER partitions' already-committed
+  * markers from the replay scan — and they would duplicate. Routing marker
+  * `p` to marker-topic partition `p` confines the pinning to same-`p`
+  * writers, which the fencing in step 4 fully serializes: after open(),
+  * partition `p`'s marker partition has no unresolved transactions left.
+  * Provision the marker topic with at least the sink's max task parallelism
+  * in partitions; implementations clamp by modulo when it has fewer, which
+  * weakens the per-partition argument to per-residue-class (the driver
+  * prefilter may then be stale longer, but the in-task check still decides
+  * after its own residue class is fenced — correctness degrades only if a
+  * DIFFERENT pid in the same class holds a transaction open across this
+  * task's check, which epoch-ordered replay makes transient).
   *
   * Determinism assumption (same as the reference's checkpoint replay): a
   * replayed epoch re-reads the same source offset range and plans the same
@@ -119,19 +164,27 @@ object TransactionalEpochSink {
         if (it.hasNext) {
           val pid = TaskContext.get().partitionId()
           if (!done.contains(pid)) {
+            // open FIRST (the fencing point), THEN run the authoritative
+            // committed check: a concurrent or earlier attempt of this very
+            // partition has, by now, either committed (marker visible) or
+            // been fenced (can never commit) — the driver prefilter alone
+            // would re-publish after an intra-epoch task retry/speculation
             val p = factory.open(transactionalId(txnIdBase, epochId, pid))
-            var committed = false
-            try {
+            var committed =
+              try factory.committed(markerTopic, txnIdBase, epochId, pid)
+              catch { case t: Throwable => p.close(); throw t }
+            if (committed) p.close()
+            else try {
               p.begin()
               it.foreach { r =>
                 val headers: Seq[(String, Array[Byte])] =
                   if (r.isNullAt(2)) Nil
                   else r.getSeq[Row](2).map(h =>
                     (h.getString(0), h.getAs[Array[Byte]](1)))
-                p.send(topic, r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
-                  headers)
+                p.send(topic, None, r.getAs[Array[Byte]](0),
+                  r.getAs[Array[Byte]](1), headers)
               }
-              p.send(markerTopic,
+              p.send(markerTopic, Some(pid),
                 markerKey(txnIdBase, epochId, pid)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 Array.emptyByteArray, Nil)

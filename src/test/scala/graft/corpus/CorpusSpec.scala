@@ -1321,7 +1321,7 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows.toDF("vec_id", "embedding", "label")
     val same = e((1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 0), (3L, Seq(0f, 1f), 1))
     val zero = Profiling.embeddingDrift(same, same).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))))
       .toMap
     zero(0) shouldBe ((2L, 2L, 0.0, 1.0))
     zero(1) shouldBe ((1L, 1L, 0.0, 1.0))
@@ -1330,11 +1330,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     val oldSnap = e((1L, Seq(1f, 0f), 0))
     val newSnap = e((2L, Seq(0f, 1f), 0), (3L, Seq(5f, 5f), 2))
     val moved = Profiling.embeddingDrift(oldSnap, newSnap).collect()
-      .map(r => r.getInt(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getInt(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
     moved(0)._1 shouldBe BigDecimal(math.sqrt(2))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     moved(0)._2 shouldBe 0.0
     moved.contains(2) shouldBe false
+    // an embedding-model upgrade (384 -> 768 style dim change) must fail the
+    // gate LOUDLY: dims surfaced, metrics null — never a silent truncation
+    // to the shared prefix of dimensions
+    val upgraded = Profiling.embeddingDrift(
+        e((1L, Seq(1f, 0f), 0)), e((2L, Seq(1f, 0f, 0f), 0)))
+      .collect().head
+    upgraded.getLong(3) shouldBe 2L
+    upgraded.getLong(4) shouldBe 3L
+    upgraded.isNullAt(5) shouldBe true
+    upgraded.isNullAt(6) shouldBe true
   }
 
   test("concentrationReport: balanced corpus hits the closed forms, single source degenerates") {

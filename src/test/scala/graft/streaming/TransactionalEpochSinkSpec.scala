@@ -81,6 +81,20 @@ class TransactionalEpochSinkSpec extends AnyFunSuite with SparkSpec with Matcher
     values(broker).sorted shouldBe (0 until 12).map(i => s"v$i").sorted
   }
 
+  test("intra-epoch retry/speculation: the in-task post-fence check blocks duplicates") {
+    val (id, broker) = freshBroker("stale")
+    TransactionalEpochSink.write(batch(), Topic, Markers, "base", 6L,
+      InMemoryTxnFactory(id))
+    // a retried or speculative task runs with the DRIVER's prefilter already
+    // stale (it was computed before this partition committed). Simulate:
+    // prefilter reports nothing committed, so every task falls through to
+    // the authoritative in-task committed() check after its open() — which
+    // must skip, or the retry re-publishes a committed partition
+    TransactionalEpochSink.write(batch(), Topic, Markers, "base", 6L,
+      StalePrefilterFactory(id))
+    values(broker).sorted shouldBe (0 until 12).map(i => s"v$i").sorted
+  }
+
   test("markers are epoch-scoped: epoch N's commit never masks epoch N+1") {
     val (id, broker) = freshBroker("epochs")
     val f = InMemoryTxnFactory(id)
@@ -156,11 +170,11 @@ class TransactionalEpochSinkSpec extends AnyFunSuite with SparkSpec with Matcher
     val (id, broker) = freshBroker("fence")
     val zombie = broker.open("txn-a")
     zombie.begin()
-    zombie.send(Topic, null, "stale".getBytes("UTF-8"), Nil)
+    zombie.send(Topic, None, null, "stale".getBytes("UTF-8"), Nil)
     // a new attempt opens the same id — the zombie's in-flight txn dies
     val successor = broker.open("txn-a")
     successor.begin()
-    successor.send(Topic, null, "fresh".getBytes("UTF-8"), Nil)
+    successor.send(Topic, None, null, "fresh".getBytes("UTF-8"), Nil)
     successor.commit()
     // the fenced handle can never publish its buffer
     intercept[IllegalStateException] { zombie.commit() }
@@ -171,7 +185,7 @@ class TransactionalEpochSinkSpec extends AnyFunSuite with SparkSpec with Matcher
     val (id, broker) = freshBroker("abort")
     val p = broker.open("txn-b")
     p.begin()
-    p.send(Topic, null, "ghost".getBytes("UTF-8"), Nil)
+    p.send(Topic, None, null, "ghost".getBytes("UTF-8"), Nil)
     values(broker) shouldBe empty // read-committed: nothing before commit
     p.abort()
     val p2 = broker.open("txn-b")
@@ -179,6 +193,21 @@ class TransactionalEpochSinkSpec extends AnyFunSuite with SparkSpec with Matcher
     p2.commit()
     values(broker) shouldBe empty
   }
+}
+
+/** [[InMemoryTxnFactory]] whose driver prefilter is ALWAYS stale (reports
+  * nothing committed) while the in-task check stays authoritative — the
+  * state a retried/speculative task actually sees mid-epoch. */
+final case class StalePrefilterFactory(brokerId: String)
+    extends TxnProducerFactory {
+  private def underlying = InMemoryTxnFactory(brokerId)
+  override def open(transactionalId: String): TxnProducer =
+    underlying.open(transactionalId)
+  override def committedPartitions(markerTopic: String, txnIdBase: String,
+      epochId: Long): Set[Int] = Set.empty
+  override def committed(markerTopic: String, txnIdBase: String,
+      epochId: Long, partitionId: Int): Boolean =
+    underlying.committed(markerTopic, txnIdBase, epochId, partitionId)
 }
 
 /** [[InMemoryTxnFactory]] that crashes ONE partition's commit, once: the
@@ -191,8 +220,9 @@ final case class CrashingFactory(brokerId: String, crashKey: String)
     val p = underlying.open(transactionalId)
     new TxnProducer {
       def begin(): Unit = p.begin()
-      def send(t: String, k: Array[Byte], v: Array[Byte],
-          h: Seq[(String, Array[Byte])]): Unit = p.send(t, k, v, h)
+      def send(t: String, part: Option[Int], k: Array[Byte],
+          v: Array[Byte], h: Seq[(String, Array[Byte])]): Unit =
+        p.send(t, part, k, v, h)
       def commit(): Unit = {
         if (CrashingFactory.disarm(crashKey))
           throw new RuntimeException("injected crash before commit")
