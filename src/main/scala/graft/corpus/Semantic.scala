@@ -152,13 +152,27 @@ object Semantic {
 
   /** The iteration body of [[trainOn]], from explicit seeds — also the entry
     * for corpora whose ids are not contiguous from 0 (incremental dedup's
-    * old-side slice seeds from its k lowest PRESENT ids instead). */
+    * old-side slice seeds from its k lowest PRESENT ids instead).
+    *
+    * The base is PERSISTED for the duration of the loop (spill-tolerant
+    * MEMORY_AND_DISK): every Lloyd's round re-reads the full corpus, and
+    * without the cache an `iters`-round training pays `iters` source scans
+    * — at 100 TB that is the dominant cost, which is why MLlib's k-means
+    * caches its input the same way. Each round's driver sync materializes
+    * the cache as a side effect of round one; released when training ends
+    * (the final assignment pass re-reads the source once, by design —
+    * holding corpus-sized cache beyond the loop would trade memory for
+    * nothing). */
   private def trainFrom(base: DataFrame, seeds: Seq[(Long, Seq[Double])],
       iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents = seeds
-    for (_ <- 1 to iters)
-      cents = collectCents(recompute(assign(base, cents)))
-    cents
+    val cached =
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = seeds
+      for (_ <- 1 to iters)
+        cents = collectCents(recompute(assign(cached, cents)))
+      cents
+    } finally cached.unpersist(blocking = false)
   }
 
   /** x44 — deterministic k-means cluster assignment over the embedding
@@ -224,8 +238,12 @@ object Semantic {
     * entire point; k grows with the corpus to hold n_c flat. */
   def semanticDedup(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       tau: Double = SemDedupTau): DataFrame = {
+    // the self-join below evaluates `fin` TWICE — checkpoint materializes
+    // the assignment once, so the corpus is scanned and scored one time,
+    // not two (x20's plan-severing discipline applied to the pair stage)
     val fin = kmeansFinal(emb, k, iters)
       .select(col("vec_id"), col("e"), col("cid"))
+      .localCheckpoint()
     val pairs = fin.as("a").join(fin.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cluster"),
