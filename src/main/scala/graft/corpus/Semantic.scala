@@ -145,34 +145,38 @@ object Semantic {
 
   /** The Lloyd's loop over a pre-normalized base: seed from the k lowest
     * vec_ids, then `iters` rounds of narrow-assign + decimal-mean recompute,
-    * centroids synced to the driver each round. */
-  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
-    trainFrom(base, collectCents(base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))), iters)
+    * centroids synced to the driver each round.
+    *
+    * The base is PERSISTED from the SEED scan through the last round
+    * (spill-tolerant MEMORY_AND_DISK): every Lloyd's round re-reads the
+    * full corpus, and without the cache an `iters`-round training pays
+    * `iters + 1` source scans — at 100 TB that is the dominant cost, which
+    * is why MLlib's k-means caches its input the same way. The seed collect
+    * populates the cache as its side effect; the cache is released when
+    * training returns. The final assignment pass (a caller concern) then
+    * re-reads the source ONCE — the cache cannot safely outlive this
+    * method, because callers return LAZY frames and there is no
+    * materialization point after which the library could release it; the
+    * trade is one extra scan for a leak-free contract. */
+  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val cached =
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      trainFrom(cached, collectCents(cached.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))), iters)
+    finally cached.unpersist(blocking = false)
+  }
 
   /** The iteration body of [[trainOn]], from explicit seeds — also the entry
     * for corpora whose ids are not contiguous from 0 (incremental dedup's
-    * old-side slice seeds from its k lowest PRESENT ids instead).
-    *
-    * The base is PERSISTED for the duration of the loop (spill-tolerant
-    * MEMORY_AND_DISK): every Lloyd's round re-reads the full corpus, and
-    * without the cache an `iters`-round training pays `iters` source scans
-    * — at 100 TB that is the dominant cost, which is why MLlib's k-means
-    * caches its input the same way. Each round's driver sync materializes
-    * the cache as a side effect of round one; released when training ends
-    * (the final assignment pass re-reads the source once, by design —
-    * holding corpus-sized cache beyond the loop would trade memory for
-    * nothing). */
+    * old-side slice seeds from its k lowest PRESENT ids instead). Callers
+    * own the base's persistence — see [[trainOn]]. */
   private def trainFrom(base: DataFrame, seeds: Seq[(Long, Seq[Double])],
       iters: Int): Seq[(Long, Seq[Double])] = {
-    val cached =
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents = seeds
-      for (_ <- 1 to iters)
-        cents = collectCents(recompute(assign(cached, cents)))
-      cents
-    } finally cached.unpersist(blocking = false)
+    var cents = seeds
+    for (_ <- 1 to iters)
+      cents = collectCents(recompute(assign(base, cents)))
+    cents
   }
 
   /** x44 — deterministic k-means cluster assignment over the embedding
@@ -238,12 +242,17 @@ object Semantic {
     * entire point; k grows with the corpus to hold n_c flat. */
   def semanticDedup(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       tau: Double = SemDedupTau): DataFrame = {
-    // the self-join below evaluates `fin` TWICE — checkpoint materializes
-    // the assignment once, so the corpus is scanned and scored one time,
-    // not two (x20's plan-severing discipline applied to the pair stage)
+    // the self-join below evaluates `fin` TWICE — persist so the corpus is
+    // scanned and scored once, not two times. persist (not localCheckpoint):
+    // lineage stays intact, so an executor loss recomputes the lost
+    // partitions instead of hard-failing the query (x20's checkpoint NEEDS
+    // lineage truncation against exponential plan growth; this plan is flat
+    // and needs only the single-evaluation win). Storage is reclaimed by the
+    // ContextCleaner once the returned frame is unreachable — the library
+    // cannot release it earlier because the result is lazy.
     val fin = kmeansFinal(emb, k, iters)
       .select(col("vec_id"), col("e"), col("cid"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = fin.as("a").join(fin.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cluster"),
@@ -278,9 +287,16 @@ object Semantic {
       k: Int = KmeansK, iters: Int = KmeansIters,
       tau: Double = SemDedupTau): DataFrame = {
     val oldBase = Similarity.normalizedBase(oldEmb)
-    val seeds = collectCents(oldBase.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("e").as("ce")))
-    val cents = trainFrom(oldBase, seeds, iters)
+    // seed + train against one cache of the old side (trainOn's discipline:
+    // the seed scan populates it, training rounds reuse it, released before
+    // the lazy assignment frames below re-read the source once)
+    val cachedOld =
+      oldBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = try {
+      val seeds = collectCents(cachedOld.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("e").as("ce")))
+      trainFrom(cachedOld, seeds, iters)
+    } finally cachedOld.unpersist(blocking = false)
     val oldAsg = assign(oldBase, cents)
       .select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid"))
     val newAsg = assign(Similarity.normalizedBase(newEmb), cents)
