@@ -593,6 +593,71 @@ object TextDedup {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
 
+  /** Doc-frequency floor above which [[lineScrub]] removes a line — shared
+    * with the x58 oracle generator so the two cannot drift. */
+  val LineScrubMinDf: Int = 2
+
+  /** Deterministic multi-line fixture for [[lineScrub]] (the x28/x29 fixture
+    * pattern): the synthetic corpus is single-line, so this rebuilds every
+    * document as LINES (each 6 tokens become one) and plants the
+    * cross-document boilerplate the scrub exists to remove — a newsletter
+    * header on every even doc and a rights footer on every doc_id % 3 == 0
+    * — so the hash check exercises removal, survival, AND position-stable
+    * reassembly non-vacuously. */
+  def paragraphFixture(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nLines = ceil(size(ws).cast("double") / 6).cast("int")
+    val body = array_join(transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(ws, i * 6 + 1, lit(6)), " ")), "\n")
+    docs.withColumn("text", concat(
+      when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter\n"))
+        .otherwise(lit("")),
+      body,
+      when(col("doc_id") % 3 === 0, lit("\nall rights reserved"))
+        .otherwise(lit(""))))
+  }
+
+  /** x58 — line-level boilerplate scrub, the C4 / RefinedWeb staple (Raffel
+    * et al. 2020 drop repeated spans; RefinedWeb dedups at line level):
+    * remove from every document each line whose exact text occurs in at
+    * least `minDf` DISTINCT documents (self-repetition within one document
+    * never counts, the x37/x48 convention), and return the rebuilt text
+    * with surviving lines in their original order. Emits
+    * `(doc_id, n_lines, n_removed, text)` — the counts make the scrub
+    * auditable per document; a document that was pure boilerplate comes
+    * back with empty text, not a dropped row (dropping is a downstream
+    * length-gate decision, x32's job).
+    *
+    * [[boilerplateReport]] NAMES a source's top templates for a human;
+    * this operator APPLIES the removal corpus-wide.
+    *
+    * Scale shape: one posexplode (narrow), one line-keyed doc-frequency
+    * aggregate (map-side partial after a per-doc distinct — the X37 shape),
+    * one join of the line stream against the df table, and one per-doc
+    * reassembly aggregate. Nothing pairwise. `hashKeys = true` keys the df
+    * aggregate and its join on `xxhash64(line)` — 8 bytes instead of the
+    * line text on the df side (the hot shuffle at 100 TB); the reassembly
+    * side necessarily carries the line text either way. Spec-pinned equal
+    * to the string-keyed output. */
+  def lineScrub(docs: DataFrame, minDf: Int = LineScrubMinDf,
+      hashKeys: Boolean = false): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val keyed =
+      if (hashKeys) lines.withColumn("lk", xxhash64(col("line")))
+      else lines.withColumn("lk", col("line"))
+    val df = keyed.select(col("doc_id"), col("lk")).distinct()
+      .groupBy(col("lk")).agg(count(lit(1)).as("line_df"))
+    keyed.join(df, "lk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("line_df") < minDf,
+            struct(col("pos").as("pos"), col("line").as("line"))))),
+          s => s.getField("line"))).as("text"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance, blocked on the 4 signature bytes.
     * Lossless for maxHamming <= 3 (pigeonhole over 4 chunks). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -755,6 +755,43 @@ SELECT agg.label, oc.n_old, nc.n_new, oc.dim_old, nc.dim_new,
     THEN round(sp / (sqrt(so) * sqrt(sn)), 6) END AS cos_means
 FROM agg JOIN oc ON agg.label = oc.label JOIN nc ON agg.label = nc.label"""
 
+  /** x58 — line-level boilerplate scrub: the paragraph fixture rebuilt in
+    * SQL (6-token lines + planted header/footer, same moduli), line doc
+    * frequency over DISTINCT (doc, line), removal at the shared
+    * LineScrubMinDf floor, ordered reassembly via string_agg ORDER BY. */
+  private def lineScrubSql: String = {
+    val minDf = graft.corpus.TextDedup.LineScrubMinDf
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b2 AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      range(CAST(ceil(len(ws) / 6.0) AS INT)),
+      i -> array_to_string(ws[i * 6 + 1 : i * 6 + 6], ' ')), chr(10)) AS body
+  FROM base),
+fx AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10)
+          ELSE '' END)
+    || body
+    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved'
+             ELSE '' END) AS text
+  FROM b2),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+    unnest(range(len(ls))) AS t(i)),
+df AS (
+  SELECT line, COUNT(*) AS line_df
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN line_df >= $minDf THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+    FILTER (WHERE line_df < $minDf), '') AS text
+FROM lines JOIN df USING (line)
+GROUP BY 1"""
+  }
+
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
     * the formula stays in one place. */
   private def datasetCardSql: String = qualityPrelude("") +
@@ -908,6 +945,9 @@ FROM c"""
 
     // x57: per-label embedding drift between the same snapshot convention
     "x57_embedding_drift" -> embeddingDriftSql,
+
+    // x58: line-level boilerplate scrub over the paragraph fixture
+    "x58_line_scrub" -> lineScrubSql,
 
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)

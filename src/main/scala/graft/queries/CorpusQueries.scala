@@ -310,6 +310,12 @@ object CorpusQueries {
       e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 5 =!= 0))
   }
 
+  /** x58 — line-level boilerplate scrub over the deterministic paragraph
+    * fixture (the corpus is single-line; the fixture rebuilds documents as
+    * lines and plants cross-document header/footer boilerplate). */
+  def x58LineScrub(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.lineScrub(TextDedup.paragraphFixture(docs(spark, dir)))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -1407,6 +1407,52 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("lineScrub removes cross-document lines, keeps order, and matches a referee") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "HEADER\ndelta epsilon\nFOOTER"),
+      (3L, "unique one\nunique two"),
+      (4L, "HEADER\nFOOTER"), // pure boilerplate -> empty text, row kept
+      (5L, "self\nself\nother")) // self-repetition: df=1, must survive
+    val d = rows.toDF("doc_id", "text")
+    val got = TextDedup.lineScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    got(1L) shouldBe ((4L, 2L, "alpha beta\ngamma"))
+    got(2L) shouldBe ((3L, 2L, "delta epsilon"))
+    got(3L) shouldBe ((2L, 0L, "unique one\nunique two"))
+    got(4L) shouldBe ((2L, 2L, ""))
+    got(5L) shouldBe ((3L, 0L, "self\nself\nother"))
+    // brute-force referee on a random multi-line corpus + hashKeys parity
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector("a", "b", "c", "d")
+    val rand = (0L until 50L).map { i =>
+      val nLines = 1 + rnd.nextInt(6)
+      (i, Seq.fill(nLines)(
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")).mkString("\n"))
+    }
+    val rd = rand.toDF("doc_id", "text")
+    val out = TextDedup.lineScrub(rd).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val dfByLine = rand.flatMap { case (id, t) => t.split("\n", -1).distinct.map((id, _)) }
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = rand.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      val surviving = ls.filter(l => dfByLine(l) < 2)
+      id -> ((ls.length.toLong, ls.count(l => dfByLine(l) >= 2).toLong,
+        surviving.mkString("\n")))
+    }.toMap
+    out shouldBe expected
+    out.values.map(_._2).sum should be > 0L // removal actually happened
+    val hashed = TextDedup.lineScrub(rd, hashKeys = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    hashed shouldBe out
+  }
+
   test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {
     val d = docs(1L -> "")
     val r = TextStats.charClassEntropy(d).collect().head
