@@ -108,6 +108,7 @@ object SparkEntry {
     "x56_unigram_drift" -> (C.x56UnigramDrift _),
     "x57_embedding_drift" -> (C.x57EmbeddingDrift _),
     "x58_line_scrub" -> (C.x58LineScrub _),
+    "x59_bloom_decontam" -> (C.x59BloomDecontam _),
     "x29_normalize" -> (C.x29Normalize _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),

@@ -464,6 +464,40 @@ object TextDedup {
           .as("contaminated_frac"))
   }
 
+  /** x59 — [[decontaminationReport]] behind a BLOOM PREFILTER, the plan for
+    * benchmark/blocklist sets too large to hash-join cheaply against every
+    * posting: the bench shingle set is folded once into a driver-held bloom
+    * filter (`functions.BloomGate` — bits ∝ set size, ~1.2 MB per 1M
+    * shingles at 1% fpp), the corpus postings are gated by a NARROW
+    * codegen'd `might_contain` before any join, and only the surviving
+    * ~fpp fraction reaches the exact broadcast semi-join that kills the
+    * bloom's false positives. No false negatives exist, so the output is
+    * BIT-IDENTICAL to [[decontaminationReport]] (same oracle) — the bloom
+    * changes the plan, never the answer. At 100 TB the gate drops ~99% of
+    * postings before the join probe; the blob broadcasts as a literal, so
+    * the same gate composes unchanged onto an ingest stream. */
+  def decontaminationReportBloom(docs: DataFrame, n: Int = 3,
+      benchMod: Long = DefaultBenchMod, fpp: Double = 0.01): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val benchShingles = postings(docs.filter(isBench), n)
+      .select(col("s")).distinct()
+    // two control-plane driver syncs, both bounded by the EVAL SUITE size:
+    // the distinct-shingle count sizes the filter, the build collects it
+    val expected = math.max(1L, benchShingles.count())
+    val bloom = graft.functions.BloomGate.build(benchShingles, "s", expected, fpp)
+    docs.filter(!isBench)
+      .select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+      .filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
+      .join(broadcast(benchShingles), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contaminated_frac"))
+  }
+
   /** Engine-neutral 32-bit SimHash: bit i of the signature is the sign of the
     * token-frequency-weighted sum of bit i of md5(token), where "bit i" is the high
     * bit of the i-th hex nibble. md5 (not xxhash) so the DuckDB oracle reproduces

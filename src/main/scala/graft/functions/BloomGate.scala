@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter membership gating on Catalyst's own sketch machinery — the
+  * standard 100 TB prefilter: when a membership set is too large to ship
+  * around as data but its FALSE POSITIVES can be killed by a cheaper exact
+  * stage downstream, a bloom filter (bits ∝ set size, independent of item
+  * width) gates the stream narrowly first.
+  *
+  * Built on the same internal expressions Spark's runtime-filter rule
+  * injects for shuffle pruning (`BloomFilterAggregate` /
+  * `BloomFilterMightContain` over `xxhash64`), NOT a UDF: the gate stays
+  * inside whole-stage codegen. `BloomFilterMightContain` requires its
+  * filter side FOLDABLE, so the filter is built once and embedded as a
+  * byte-array literal — the driver-held control-plane pattern
+  * (`Semantic.withBestMatch`'s doctrine), which also makes the gate
+  * stateless and stream-composable. Blob size is `optimalNumOfBits/8`
+  * (~1.2 MB per 1M items at 1% fpp) — broadcast-trivial at any corpus
+  * scale, because it grows with the MEMBERSHIP set, not the corpus. */
+object BloomGate {
+
+  /** Aggregate a column into one serialized bloom filter (binary). */
+  def bloomAgg(c: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    GraftExpressionBridge.column(
+      BloomFilterAggregate(
+        XxHash64(Seq(GraftExpressionBridge.expression(c)), 42L),
+        Literal(expectedItems), Literal(bits), 0, 0).toAggregateExpression())
+  }
+
+  /** Build the filter over `items(colName)` and collect its serialized bytes
+    * to the driver — a bounded control-plane blob, like a centroid table. */
+  def build(items: DataFrame, colName: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] =
+    items.agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** Narrow membership test of `c` against driver-held filter bytes. No
+    * false negatives ever; false positives at the built fpp — callers MUST
+    * exact-verify downstream when exactness matters. */
+  def mightContain(bloomBytes: Array[Byte], c: Column): Column =
+    GraftExpressionBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        XxHash64(Seq(GraftExpressionBridge.expression(c)), 42L)))
+}

@@ -755,6 +755,22 @@ SELECT agg.label, oc.n_old, nc.n_new, oc.dim_old, nc.dim_new,
     THEN round(sp / (sqrt(so) * sqrt(sn)), 6) END AS cos_means
 FROM agg JOIN oc ON agg.label = oc.label JOIN nc ON agg.label = nc.label"""
 
+  /** x22 + x59 — benchmark decontamination (both plans produce the identical
+    * exact answer; x59 merely bloom-gates the postings first). */
+  private def decontaminationSql: String = {
+    val m = graft.corpus.TextDedup.DefaultBenchMod
+    shinglePrelude +
+      s"""bench AS (SELECT DISTINCT s FROM post WHERE doc_id % $m = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM post JOIN bench USING (s) WHERE doc_id % $m <> 0 GROUP BY 1),
+szs AS (
+  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % $m <> 0)
+SELECT hits.doc_id, n_shingles, n_contaminated,
+  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
+FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
+  }
+
   /** x58 — line-level boilerplate scrub: the paragraph fixture rebuilt in
     * SQL (6-token lines + planted header/footer, same moduli), line doc
     * frequency over DISTINCT (doc, line), removal at the shared
@@ -1103,19 +1119,12 @@ FROM top JOIN gr ON top.doc_id = gr.doc_id""",
 
     // x22: 3-gram overlap against the doc_id % 50 == 0 benchmark slice; the
     // per-document shingle sets are distinct, so hits count plain rows
-    "x22_decontamination" -> {
-      val m = graft.corpus.TextDedup.DefaultBenchMod
-      shinglePrelude +
-        s"""bench AS (SELECT DISTINCT s FROM post WHERE doc_id % $m = 0),
-hits AS (
-  SELECT doc_id, COUNT(*) AS n_contaminated
-  FROM post JOIN bench USING (s) WHERE doc_id % $m <> 0 GROUP BY 1),
-szs AS (
-  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % $m <> 0)
-SELECT hits.doc_id, n_shingles, n_contaminated,
-  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contaminated_frac
-FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
-    },
+    "x22_decontamination" -> decontaminationSql,
+
+    // x59: the bloom-prefiltered plan of the SAME operator — bit-identical
+    // output by construction (no false negatives; false positives die in
+    // the exact join), so it shares x22's oracle verbatim
+    "x59_bloom_decontam" -> decontaminationSql,
 
     // x23: deterministic hash-gate sampling — lowercase hex compares
     // lexicographically exactly as it compares numerically, so the tier

@@ -310,6 +310,11 @@ object CorpusQueries {
       e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 5 =!= 0))
   }
 
+  /** x59 — x22's decontamination behind the bloom prefilter: identical
+    * output, prefiltered plan (the large-blocklist shape). */
+  def x59BloomDecontam(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.decontaminationReportBloom(docs(spark, dir))
+
   /** x58 — line-level boilerplate scrub over the deterministic paragraph
     * fixture (the corpus is single-line; the fixture rebuilds documents as
     * lines and plants cross-document header/footer boilerplate). */

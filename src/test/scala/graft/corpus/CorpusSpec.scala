@@ -1407,6 +1407,35 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("bloom-gated decontamination is exact: false positives die in the verify join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val d = (0L until 120L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val exact = collect(TextDedup.decontaminationReport(d, benchMod = 10))
+    exact should not be empty
+    // normal fpp: identical result, and the gate is IN the plan
+    val gated = TextDedup.decontaminationReportBloom(d, benchMod = 10)
+    collect(gated) shouldBe exact
+    gated.queryExecution.executedPlan.toString should include("might_contain")
+    // pathological fpp (0.9): the bloom passes nearly everything — the
+    // exact join must still reduce it to the identical answer
+    collect(TextDedup.decontaminationReportBloom(d, benchMod = 10, fpp = 0.9)) shouldBe exact
+    // BloomGate primitives: no false negatives at any fpp
+    val items = (0 until 50).map(i => s"item$i").toDF("s")
+    val bloom = graft.functions.BloomGate.build(items, "s", 50, 0.05)
+    val flags = items
+      .filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
+      .count()
+    flags shouldBe 50L
+  }
+
   test("lineScrub removes cross-document lines, keeps order, and matches a referee") {
     import spark.implicits._
     val rows = Seq(
