@@ -218,6 +218,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("the bloom gate composes onto a stream as a stateless narrow filter") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // blocklist folded to driver-held bytes once (batch side)
+    val blocked = Seq("bad line one", "bad line two").toDF("s")
+    val bloom = graft.functions.BloomGate.build(blocked, "s", 2, 0.01)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .filter(!graft.functions.BloomGate.mightContain(bloom,
+        org.apache.spark.sql.functions.col("text")))
+    out.isStreaming shouldBe true // a literal-foldable gate needs no state
+    val sink = s"bloomgate_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bloomgate").toString)
+      .start()
+    try {
+      input.addData((1L, "bad line one"), (2L, "clean text"), (3L, "bad line two"))
+      q.processAllAvailable()
+      s.table(sink).collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    } finally q.stop()
+  }
+
   test("per-epoch drift monitoring: unigramDrift runs unchanged in foreachBatch") {
     val s = spark
     import s.implicits._
