@@ -190,9 +190,15 @@ object Profiling {
         sum(col("oo").cast("decimal(28,12)")).cast("double").as("so"),
         sum(col("nn").cast("decimal(28,12)")).cast("double").as("sn"))
     val sameDim = col("dim_old") === col("dim_new")
-    terms
-      .join(broadcast(counts(oldEmb, "old")), "label")
-      .join(broadcast(counts(newEmb, "new")), "label")
+    // label presence is decided by the COUNT tables (every row counts, even
+    // one whose embedding array is empty), with terms joined LEFT: a label
+    // whose vectors on one side are all empty arrays produces no (label, d)
+    // mean rows, and an inner join on terms would silently DROP it — the
+    // exact loud-gate violation the dim columns exist to surface (it shows
+    // up as dim 0 vs dim N with NULL metrics instead)
+    counts(oldEmb, "old")
+      .join(counts(newEmb, "new"), "label")
+      .join(terms, Seq("label"), "left")
       .select(col("label"), col("n_old"), col("n_new"),
         col("dim_old"), col("dim_new"),
         when(sameDim, round(sqrt(col("sumsq")), 6)).as("mean_shift"),

@@ -294,8 +294,13 @@ object TextDedup {
         val cand = dfh.withColumn("rk", rank().over(
             w.partitionBy(col("source")).orderBy(col("n_docs").desc)))
           .filter(col("rk") <= topK).drop("rk")
+        // NO broadcast hint: rank()-with-ties keeps the candidate set
+        // unbounded on a heavily templated source (every gram tied at the
+        // same df ranks 1), and a forced broadcast of a vocabulary-sized
+        // tie set would OOM — AQE broadcasts it when it is actually small,
+        // the same no-forced-hint discipline as applyDedup's drop list
         grams.select(col("source"), col("gram"), xxhash64(col("gram")).as("gh"))
-          .join(broadcast(cand), Seq("source", "gh"))
+          .join(cand, Seq("source", "gh"))
           .select(col("source"), col("gram"), col("n_docs"))
           .distinct()
       }
@@ -479,9 +484,16 @@ object TextDedup {
   def decontaminationReportBloom(docs: DataFrame, n: Int = 3,
       benchMod: Long = DefaultBenchMod, fpp: Double = 0.01): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
+    // persisted: this bench reduction is consumed THREE times (the sizing
+    // count, the bloom fold, the exact-verify broadcast) — without the cache
+    // the heavy side would be re-reduced for each; released by the
+    // ContextCleaner once the result frame is unreachable (x45's pattern —
+    // the frame is lazy, so the library cannot release earlier), and bounded
+    // by the EVAL SUITE size, so holding it is cheap
     val benchShingles = postings(docs.filter(isBench), n)
       .select(col("s")).distinct()
-    // two control-plane driver syncs, both bounded by the EVAL SUITE size:
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two control-plane driver syncs, both bounded by the eval-suite size:
     // the distinct-shingle count sizes the filter, the build collects it
     val expected = math.max(1L, benchShingles.count())
     val bloom = graft.functions.BloomGate.build(benchShingles, "s", expected, fpp)

@@ -37,11 +37,27 @@ object BloomGate {
   }
 
   /** Build the filter over `items(colName)` and collect its serialized bytes
-    * to the driver — a bounded control-plane blob, like a centroid table. */
+    * to the driver — a bounded control-plane blob, like a centroid table.
+    *
+    * Catalyst's analysis check caps `BloomFilterAggregate` at the
+    * runtime-filter session confs (defaults 4M items / 64M bits — sized for
+    * join pruning, not blocklists), so the build RAISES them to cover this
+    * filter when they are lower (never lowers); without this, the
+    * multi-million-item blocklists the gate exists for would throw at
+    * analysis time. `bloomAgg` used directly inherits whatever the session
+    * confs say — prefer this entry point. */
   def build(items: DataFrame, colName: String, expectedItems: Long,
-      fpp: Double = 0.01): Array[Byte] =
+      fpp: Double = 0.01): Array[Byte] = {
+    val conf = items.sparkSession.conf
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    def raise(key: String, needed: Long): Unit =
+      if (conf.get(key).toLong < needed) conf.set(key, needed.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     items.agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+  }
 
   /** Narrow membership test of `c` against driver-held filter bytes. No
     * false negatives ever; false positives at the built fpp — callers MUST

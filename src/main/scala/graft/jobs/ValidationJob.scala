@@ -333,7 +333,17 @@ object ValidationJob {
     val delay = arg("-d", "300000").toLong
     val checkpoint = arg("-c", "/tmp/graft-checkpoint")
     val password = Option(arg("-p", "")).filter(_.nonEmpty)
-    val exactlyOnce = arg("-x", "false").toBoolean
+    // a DELIVERY-SEMANTICS switch must fail loudly on malformed usage: a
+    // bare `-x` (no value) would silently fall back to at-least-once while
+    // the operator believes the transactional path is active
+    val exactlyOnce = if (!args.contains("-x")) false else {
+      val v = args.dropWhile(_ != "-x").drop(1).headOption
+        .filterNot(_.startsWith("-"))
+        .getOrElse(throw new IllegalArgumentException(
+          "-x requires an explicit true/false value"))
+      v.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+        s"-x requires true or false, got '$v'"))
+    }
     val spark = SparkSession.builder()
       .appName(s"graft-validation-$inputTopic")
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,11 +15,12 @@ package graft.streaming
   * Producer side (executors): `KafkaProducer` with `transactional.id`,
   * idempotence, `acks=all`, byte-array serializers;
   * `initTransactions()` runs in [[open]] — that IS the fencing handshake
-  * [[TxnProducerFactory.open]] requires. Consumer side (driver):
-  * `KafkaConsumer` pinned `isolation.level=read_committed` scanning the
-  * marker topic start-to-end — aborted markers are invisible, so the
-  * returned set contains exactly the partitions whose epoch transaction
-  * committed.
+  * [[TxnProducerFactory.open]] requires. Consumer side: `KafkaConsumer`
+  * pinned `isolation.level=read_committed` scanning the marker topic
+  * INCREMENTALLY from a JVM-wide offset watermark (each marker is read
+  * once per JVM, not once per epoch) — aborted markers are invisible, so
+  * the returned set contains exactly the partitions whose epoch
+  * transaction committed.
   *
   * `clientOptions` uses the same `kafka.`-prefixed convention as the rest of
   * `ValidationJob` (e.g. `kafka.compression.type`), so the SASL_SSL and
@@ -29,8 +30,17 @@ final case class KafkaTxnProducerFactory(
     bootstrapServers: String,
     clientOptions: Map[String, String] = Map.empty) extends TxnProducerFactory {
 
+  /** clientOptions can carry the SASL jaas line with a PLAINTEXT password —
+    * the case-class toString must never print it (Spark redacts its own
+    * DataFrameWriter options for the same reason; any log line or exception
+    * message interpolating this instance goes through here). */
+  override def toString: String =
+    s"KafkaTxnProducerFactory($bootstrapServers, <${clientOptions.size} options redacted>)"
+
   private def stripped: Map[String, String] =
     clientOptions.map { case (k, v) => k.stripPrefix("kafka.") -> v }
+
+  private def MarkerScanCache = KafkaTxnProducerFactory.MarkerScanCache
 
   @transient private lazy val recordCtor = {
     val cls = Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
@@ -98,6 +108,14 @@ final case class KafkaTxnProducerFactory(
     scanMarkers(markerTopic, txnIdBase, epochId, Some(partitionId))
       .contains(partitionId)
 
+  /** Scan marker partitions INCREMENTALLY: a JVM-wide watermark cache per
+    * (cluster, topic, partition) remembers the next offset to read and
+    * every marker key seen, so a long-lived job reads each marker exactly
+    * once per JVM instead of re-reading the whole retention window on every
+    * epoch (markers only ever append, and the LSO only advances, so a
+    * cached prefix can never change under us; concurrent tasks scanning
+    * overlapping ranges union idempotently). The key set is bounded by
+    * markers-in-retention — KB to low MB. */
   private def scanMarkers(markerTopic: String, txnIdBase: String,
       epochId: Long, onlyPartition: Option[Int]): Set[Int] = {
     val props = new java.util.Properties()
@@ -112,6 +130,9 @@ final case class KafkaTxnProducerFactory(
     // stray option can never weaken it
     props.put("isolation.level", "read_committed")
     props.put("enable.auto.commit", "false")
+    // a cached watermark that aged past retention must reset to the oldest
+    // AVAILABLE offset, not silently skip to latest
+    props.put("auto.offset.reset", "earliest")
     val cls = Class.forName("org.apache.kafka.clients.consumer.KafkaConsumer")
     val consumer = cls.getConstructor(classOf[java.util.Properties])
       .newInstance(props).asInstanceOf[AnyRef]
@@ -121,48 +142,73 @@ final case class KafkaTxnProducerFactory(
       if (infos == null || infos.isEmpty) return Set.empty // topic not created yet
       val tpCls = Class.forName("org.apache.kafka.common.TopicPartition")
       val tpCtor = tpCls.getConstructor(classOf[String], classOf[Int])
-      val tps = new java.util.ArrayList[AnyRef]()
-      // single-partition mode clamps exactly like the producer's routing,
-      // so check and send always agree on the marker's home partition
-      val wanted = onlyPartition.map(p => Integer.valueOf(p % infos.size))
-      infos.forEach { info =>
-        val p = info.getClass.getMethod("partition").invoke(info)
-          .asInstanceOf[Integer]
-        if (wanted.forall(_ == p)) tps.add(tpCtor.newInstance(markerTopic, p))
-      }
-      cls.getMethod("assign", classOf[java.util.Collection[_]])
-        .invoke(consumer, tps)
-      cls.getMethod("seekToBeginning", classOf[java.util.Collection[_]])
-        .invoke(consumer, tps)
-      val ends = cls.getMethod("endOffsets", classOf[java.util.Collection[_]])
-        .invoke(consumer, tps).asInstanceOf[java.util.Map[AnyRef, java.lang.Long]]
+      val assignM = cls.getMethod("assign", classOf[java.util.Collection[_]])
+      val seekM = cls.getMethod("seek", tpCls, java.lang.Long.TYPE)
+      val endOffsetsM = cls.getMethod("endOffsets", classOf[java.util.Collection[_]])
       val positionM = cls.getMethod("position", tpCls)
       val pollM = cls.getMethod("poll", classOf[java.time.Duration])
-      val found = scala.collection.mutable.Set.empty[Int]
-      def drained(): Boolean = {
-        var all = true
-        tps.forEach { tp =>
-          val pos = positionM.invoke(consumer, tp).asInstanceOf[java.lang.Long]
-          if (pos < ends.get(tp)) all = false
-        }
-        all
+      // single-partition mode clamps exactly like the producer's routing,
+      // so check and send always agree on the marker's home partition
+      val wanted = onlyPartition.map(p => p % infos.size)
+      val pids = scala.collection.mutable.ArrayBuffer.empty[Int]
+      infos.forEach { info =>
+        val p = info.getClass.getMethod("partition").invoke(info)
+          .asInstanceOf[Integer].intValue()
+        if (wanted.forall(_ == p)) pids += p
       }
-      while (!drained()) {
-        val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
-          .asInstanceOf[java.lang.Iterable[AnyRef]]
-        records.forEach { rec =>
-          val key = rec.getClass.getMethod("key").invoke(rec)
-            .asInstanceOf[Array[Byte]]
-          if (key != null) {
-            val k = new String(key, java.nio.charset.StandardCharsets.UTF_8)
-            TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
-              .foreach(found += _)
+      val found = scala.collection.mutable.Set.empty[Int]
+      pids.foreach { pid =>
+        val cacheKey = s"$bootstrapServers|$markerTopic|$pid"
+        val (start, _) = MarkerScanCache.snapshot(cacheKey)
+        val tp = tpCtor.newInstance(markerTopic, Integer.valueOf(pid))
+          .asInstanceOf[AnyRef]
+        val one = java.util.Collections.singletonList(tp)
+        assignM.invoke(consumer, one)
+        val end = endOffsetsM.invoke(consumer, one)
+          .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]].get(tp).longValue()
+        if (end > start) {
+          seekM.invoke(consumer, tp, java.lang.Long.valueOf(start))
+          val fresh = scala.collection.mutable.Set.empty[String]
+          while (positionM.invoke(consumer, tp)
+              .asInstanceOf[java.lang.Long].longValue() < end) {
+            val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
+              .asInstanceOf[java.lang.Iterable[AnyRef]]
+            records.forEach { rec =>
+              val key = rec.getClass.getMethod("key").invoke(rec)
+                .asInstanceOf[Array[Byte]]
+              if (key != null)
+                fresh += new String(key, java.nio.charset.StandardCharsets.UTF_8)
+            }
           }
+          MarkerScanCache.advance(cacheKey, end, fresh.toSet)
+        }
+        MarkerScanCache.snapshot(cacheKey)._2.foreach { k =>
+          TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
+            .foreach(found += _)
         }
       }
       found.toSet
     } finally {
       cls.getMethod("close").invoke(consumer)
     }
+  }
+}
+
+object KafkaTxnProducerFactory {
+  /** JVM-WIDE incremental-scan watermarks for `scanMarkers` (companion, not
+    * instance-nested: factories deserialize fresh into every task closure,
+    * so per-instance state would never be shared): per (cluster, topic,
+    * partition), the next offset to read and every marker key seen so far.
+    * Marker topics only ever append and the LSO only advances, so a scanned
+    * prefix is immutable; concurrent scanners merge idempotently. Bounded
+    * by markers-in-retention (KB to low MB). */
+  private[streaming] object MarkerScanCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+    def snapshot(key: String): (Long, Set[String]) =
+      cache.getOrDefault(key, (0L, Set.empty))
+    def advance(key: String, end: Long, fresh: Set[String]): Unit =
+      cache.merge(key, (end, fresh),
+        (a, b) => (math.max(a._1, b._1), a._2 ++ b._2))
   }
 }

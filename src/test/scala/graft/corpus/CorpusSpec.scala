@@ -1345,6 +1345,18 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     upgraded.getLong(4) shouldBe 3L
     upgraded.isNullAt(5) shouldBe true
     upgraded.isNullAt(6) shouldBe true
+    // a label whose new-side rows are all EMPTY arrays must still surface
+    // (dim 0 vs 2, null metrics) — a silently-dropped label would read as
+    // "not present" and pass the gate
+    val broken = Profiling.embeddingDrift(
+        e((1L, Seq(1f, 0f), 0)), e((2L, Seq.empty[Float], 0)))
+      .collect().head
+    broken.getLong(1) shouldBe 1L
+    broken.getLong(2) shouldBe 1L
+    broken.getLong(3) shouldBe 2L
+    broken.getLong(4) shouldBe 0L
+    broken.isNullAt(5) shouldBe true
+    broken.isNullAt(6) shouldBe true
   }
 
   test("concentrationReport: balanced corpus hits the closed forms, single source degenerates") {
@@ -1510,12 +1522,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     // x55: one hint — the one-row grand total
     Profiling.concentrationReport(d).queryExecution.analyzed
       .collect { case h: ResolvedHint => h } should have size 1
-    // x57: two hints — the per-label count tables; the (label, dim) mean
-    // join is label×dim-bounded but still must not broadcast a mean table
-    // built from a corpus-sized aggregate before AQE sizes it
+    // x57: NO hints — every joined table is label(-×dim)-bounded post
+    // aggregation, so AQE's runtime sizing picks the broadcast; a forced
+    // hint would add nothing and assume sizes before they exist
     val e = Seq((1L, Seq(1f, 2f), 0)).toDF("vec_id", "embedding", "label")
     Profiling.embeddingDrift(e, e).queryExecution.analyzed
-      .collect { case h: ResolvedHint => h } should have size 2
+      .collect { case h: ResolvedHint => h } shouldBe empty
     // x53: NO hints — both sides of the full-outer join are corpus-sized
     Profiling.snapshotDiff(d, d).queryExecution.analyzed
       .collect { case h: ResolvedHint => h } shouldBe empty
