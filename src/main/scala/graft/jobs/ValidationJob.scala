@@ -315,6 +315,22 @@ object ValidationJob {
     Running(rq, nq, Some(tq), store)
   }
 
+  /** `-x` parsing, extracted for its spec: a DELIVERY-SEMANTICS switch must
+    * fail loudly on malformed usage — a bare `-x` (no value, or another flag
+    * where the value belongs) silently falling back to at-least-once while
+    * the operator believes the transactional path is active is exactly the
+    * duplicate-delivery class the flag exists to eliminate. */
+  private[jobs] def parseExactlyOnceFlag(args: Array[String]): Boolean =
+    if (!args.contains("-x")) false
+    else {
+      val v = args.dropWhile(_ != "-x").drop(1).headOption
+        .filterNot(_.startsWith("-"))
+        .getOrElse(throw new IllegalArgumentException(
+          "-x requires an explicit true/false value"))
+      v.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+        s"-x requires true or false, got '$v'"))
+    }
+
   /** Standalone CLI (the reference's JsonValidationJob.main,
     * jobtest/JsonValidationJob.scala:25-73): `-b` brokers, `-i` input topic,
     * `-d` completion delay ms, `-c` checkpoint dir, `-p` Kafka API-key password
@@ -333,17 +349,7 @@ object ValidationJob {
     val delay = arg("-d", "300000").toLong
     val checkpoint = arg("-c", "/tmp/graft-checkpoint")
     val password = Option(arg("-p", "")).filter(_.nonEmpty)
-    // a DELIVERY-SEMANTICS switch must fail loudly on malformed usage: a
-    // bare `-x` (no value) would silently fall back to at-least-once while
-    // the operator believes the transactional path is active
-    val exactlyOnce = if (!args.contains("-x")) false else {
-      val v = args.dropWhile(_ != "-x").drop(1).headOption
-        .filterNot(_.startsWith("-"))
-        .getOrElse(throw new IllegalArgumentException(
-          "-x requires an explicit true/false value"))
-      v.toBooleanOption.getOrElse(throw new IllegalArgumentException(
-        s"-x requires true or false, got '$v'"))
-    }
+    val exactlyOnce = parseExactlyOnceFlag(args)
     val spark = SparkSession.builder()
       .appName(s"graft-validation-$inputTopic")
       .config("spark.sql.session.timeZone", "UTC")
