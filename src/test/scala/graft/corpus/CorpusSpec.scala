@@ -1448,6 +1448,31 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     flags shouldBe 50L
   }
 
+  test("BloomGate.build raises the runtime-filter session caps it would otherwise trip") {
+    import spark.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      // simulate the default-caps-too-small regime without a 4M-item build:
+      // drop the caps below this filter's needs and let build() raise them
+      spark.conf.set(itemsKey, "10")
+      spark.conf.set(bitsKey, "64")
+      val items = (0 until 500).map(i => s"item$i").toDF("s")
+      val bloom = graft.functions.BloomGate.build(items, "s", 500, 0.01)
+      bloom.length should be > 8 // a real filter, not a degenerate blob
+      spark.conf.get(itemsKey).toLong should be >= 500L
+      spark.conf.get(bitsKey).toLong should be >=
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(500, 0.01)
+      // and the raised-caps filter still has no false negatives
+      items.filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
+        .count() shouldBe 500L
+    } finally {
+      spark.conf.set(itemsKey, prevItems)
+      spark.conf.set(bitsKey, prevBits)
+    }
+  }
+
   test("lineScrub removes cross-document lines, keeps order, and matches a referee") {
     import spark.implicits._
     val rows = Seq(
