@@ -130,6 +130,16 @@ object Curation {
     applyMixRates(docs.join(broadcast(rates), "source"))
   }
 
+  /** The MATERIALIZED mix: [[applyMixWeights]]' keep-list applied back onto
+    * the corpus — the semi-join its doc tells callers to write, provided so
+    * nobody writes it wrong. The keep-list side is the surviving-identity
+    * table (small relative to the corpus), so AQE broadcasts it when it
+    * fits; all input columns ride through untouched. */
+  def materializeMix(docs: DataFrame,
+      budgetTokens: Long = MixApplyBudget): DataFrame =
+    docs.join(applyMixWeights(docs, budgetTokens).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** The gate of [[applyMixWeights]] over a frame that already carries a
     * `rate` column — stateless and shuffle-free, so a STREAM gated against
     * frozen rates (a stream-static broadcast join of the persisted x41/x52

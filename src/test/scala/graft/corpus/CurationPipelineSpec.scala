@@ -61,10 +61,10 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec with Matchers {
     gatedIds.subsetOf(dedupedIds) shouldBe true
     gatedIds should not be empty
 
-    // 3. temperature mix: keep-list semi-joined back (the documented caller
-    // contract), with a budget that forces real downsampling
-    val kept = Curation.applyMixWeights(gated, budgetTokens = 300L)
-    val mixed = gated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    // 3. temperature mix, materialized through the provided helper (the
+    // keep-list-applied-back contract), with a budget that forces real
+    // downsampling
+    val mixed = Curation.materializeMix(gated, budgetTokens = 300L)
     val mixedIds = mixed.select("doc_id").as[Long].collect().toSet
     mixedIds.subsetOf(gatedIds) shouldBe true
     mixedIds.size should be < gatedIds.size // the budget actually bit
