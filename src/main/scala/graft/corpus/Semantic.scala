@@ -243,28 +243,37 @@ object Semantic {
   def semanticDedup(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       tau: Double = SemDedupTau): DataFrame = {
     // the self-join below evaluates `fin` TWICE — persist so the corpus is
-    // scanned and scored once, not two times. persist (not localCheckpoint):
-    // lineage stays intact, so an executor loss recomputes the lost
-    // partitions instead of hard-failing the query (x20's checkpoint NEEDS
-    // lineage truncation against exponential plan growth; this plan is flat
-    // and needs only the single-evaluation win). Storage is reclaimed by the
-    // ContextCleaner once the returned frame is unreachable — the library
-    // cannot release it earlier because the result is lazy.
+    // scanned and scored once, not two times. The cache is released BEFORE
+    // returning: Dataset.persist entries live in the session CacheManager,
+    // which holds them strongly (the ContextCleaner never reclaims them), so
+    // a lazy return would leak corpus-scale MEMORY_AND_DISK storage per call
+    // in a long-lived session. Instead the RESULT — one slim row per dropped
+    // vector, no embedding column, far smaller than `fin` — is materialized
+    // with an eager localCheckpoint while `fin` is hot, and `fin` is
+    // unpersisted in the finally. The checkpointed blocks ARE
+    // ContextCleaner-reclaimed once the returned frame goes unreachable
+    // (RDD-level storage, not CacheManager). Trade: the returned frame's
+    // lineage is truncated, so an executor lost AFTER this call requires the
+    // caller to re-run — the price of a leak-free contract (deployments that
+    // must survive that swap in reliable checkpoint outside the library).
     val fin = kmeansFinal(emb, k, iters)
       .select(col("vec_id"), col("e"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = fin.as("a").join(fin.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cluster"),
-        col("a.vec_id").as("keeper_id"),
-        dotp(col("a.e"), col("b.e")).as("cos"))
-      .filter(col("cos") >= tau)
-    pairs.withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("keeper_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("keeper_id"),
-        round(col("cos"), 6).as("cosine"))
+    try {
+      val pairs = fin.as("a").join(fin.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cluster"),
+          col("a.vec_id").as("keeper_id"),
+          dotp(col("a.e"), col("b.e")).as("cos"))
+        .filter(col("cos") >= tau)
+      pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("keeper_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("keeper_id"),
+          round(col("cos"), 6).as("cosine"))
+        .localCheckpoint(true)
+    } finally fin.unpersist(blocking = false)
   }
 
   /** x51 — incremental semantic dedup: flag NEW vectors that near-duplicate

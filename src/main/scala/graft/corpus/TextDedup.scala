@@ -484,19 +484,23 @@ object TextDedup {
   def decontaminationReportBloom(docs: DataFrame, n: Int = 3,
       benchMod: Long = DefaultBenchMod, fpp: Double = 0.01): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
-    // persisted: this bench reduction is consumed THREE times (the sizing
-    // count, the bloom fold, the exact-verify broadcast) — without the cache
-    // the heavy side would be re-reduced for each; released by the
-    // ContextCleaner once the result frame is unreachable (x45's pattern —
-    // the frame is lazy, so the library cannot release earlier), and bounded
-    // by the EVAL SUITE size, so holding it is cheap
+    // persisted for the two EAGER consumers inside this call (the sizing
+    // count and the bloom fold), then released in the finally — a lazy
+    // persist would sit in the session CacheManager forever (it holds cached
+    // plans strongly; the ContextCleaner never reclaims them). The third
+    // consumer — the exact-verify broadcast in the returned lazy plan —
+    // re-reduces the bench side once at consumption time: that side is
+    // bounded by the EVAL SUITE size, so one extra reduction is noise next
+    // to the corpus scan it verifies.
     val benchShingles = postings(docs.filter(isBench), n)
       .select(col("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two control-plane driver syncs, both bounded by the eval-suite size:
     // the distinct-shingle count sizes the filter, the build collects it
-    val expected = math.max(1L, benchShingles.count())
-    val bloom = graft.functions.BloomGate.build(benchShingles, "s", expected, fpp)
+    val bloom = try {
+      val expected = math.max(1L, benchShingles.count())
+      graft.functions.BloomGate.build(benchShingles, "s", expected, fpp)
+    } finally benchShingles.unpersist(blocking = false)
     docs.filter(!isBench)
       .select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),

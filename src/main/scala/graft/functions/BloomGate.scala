@@ -44,19 +44,30 @@ object BloomGate {
     * join pruning, not blocklists), so the build RAISES them to cover this
     * filter when they are lower (never lowers); without this, the
     * multi-million-item blocklists the gate exists for would throw at
-    * analysis time. `bloomAgg` used directly inherits whatever the session
-    * confs say — prefer this entry point. */
+    * analysis time. The prior values are RESTORED in a finally once the
+    * aggregation has run — these same confs size Spark's own
+    * InjectRuntimeFilter, and one large blocklist build must not enlarge
+    * runtime join filters for every later query in the session. `bloomAgg`
+    * used directly inherits whatever the session confs say — prefer this
+    * entry point. */
   def build(items: DataFrame, colName: String, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
     val conf = items.sparkSession.conf
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    def raise(key: String, needed: Long): Unit =
-      if (conf.get(key).toLong < needed) conf.set(key, needed.toString)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
-    items.agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+    // the analysis check only needs the raised values while THIS query
+    // analyzes+runs (head() is eager, so both happen inside the try)
+    val saved = keys.map { case (k, _) => k -> conf.get(k) }
+    try {
+      keys.foreach { case (k, needed) =>
+        if (conf.get(k).toLong < needed) conf.set(k, needed.toString)
+      }
+      items.agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   /** Narrow membership test of `c` against driver-held filter bytes. No

@@ -716,26 +716,38 @@ FROM t GROUP BY 1"""
   /** x57 — per-label embedding drift between the x53-convention snapshot
     * memberships; 9-dp round + DECIMAL means per dimension, 12-dp round +
     * DECIMAL sums for the displacement/cosine terms, mirroring
-    * Profiling.embeddingDrift's association order. */
+    * Profiling.embeddingDrift's association order. Presence is decided by
+    * the count tables with the metric terms joined LEFT (the engine's
+    * shape): probe label -1 — vec_id % 11 == 0, old side emptied — has no
+    * term rows at all and must still surface as dim 0 vs 64 with NULL
+    * metrics, pinning the loud gate in the parity run. */
   private val embeddingDriftSql: String =
     """WITH raw AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+olds AS (
+  SELECT label, raw FROM raw WHERE vec_id % 3 <> 0
+  UNION ALL
+  SELECT -1 AS label, CAST([] AS DOUBLE[]) AS raw FROM raw
+  WHERE vec_id % 3 <> 0 AND vec_id % 11 = 0),
+news AS (
+  SELECT label, raw FROM raw WHERE vec_id % 5 <> 0
+  UNION ALL
+  SELECT -1 AS label, raw FROM raw
+  WHERE vec_id % 5 <> 0 AND vec_id % 11 = 0),
 om AS (
   SELECT label, i AS d,
     CAST(SUM(CAST(round(raw[i + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
       / COUNT(*) AS om
-  FROM raw, unnest(range(len(raw))) AS t(i)
-  WHERE vec_id % 3 <> 0 GROUP BY 1, 2),
+  FROM olds, unnest(range(len(raw))) AS t(i) GROUP BY 1, 2),
 nm AS (
   SELECT label, i AS d,
     CAST(SUM(CAST(round(raw[i + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
       / COUNT(*) AS nm
-  FROM raw, unnest(range(len(raw))) AS t(i)
-  WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+  FROM news, unnest(range(len(raw))) AS t(i) GROUP BY 1, 2),
 oc AS (SELECT label, COUNT(*) AS n_old, CAST(MAX(len(raw)) AS BIGINT) AS dim_old
-       FROM raw WHERE vec_id % 3 <> 0 GROUP BY 1),
+       FROM olds GROUP BY 1),
 nc AS (SELECT label, COUNT(*) AS n_new, CAST(MAX(len(raw)) AS BIGINT) AS dim_new
-       FROM raw WHERE vec_id % 5 <> 0 GROUP BY 1),
+       FROM news GROUP BY 1),
 terms AS (
   SELECT om.label,
     round((nm - om) * (nm - om), 12) AS sq,
@@ -749,11 +761,12 @@ agg AS (
     CAST(SUM(CAST(oo AS DECIMAL(28,12))) AS DOUBLE) AS so,
     CAST(SUM(CAST(nn AS DECIMAL(28,12))) AS DOUBLE) AS sn
   FROM terms GROUP BY 1)
-SELECT agg.label, oc.n_old, nc.n_new, oc.dim_old, nc.dim_new,
+SELECT oc.label, oc.n_old, nc.n_new, oc.dim_old, nc.dim_new,
   CASE WHEN dim_old = dim_new THEN round(sqrt(sumsq), 6) END AS mean_shift,
   CASE WHEN dim_old = dim_new AND so > 0 AND sn > 0
     THEN round(sp / (sqrt(so) * sqrt(sn)), 6) END AS cos_means
-FROM agg JOIN oc ON agg.label = oc.label JOIN nc ON agg.label = nc.label"""
+FROM oc JOIN nc ON oc.label = nc.label
+LEFT JOIN agg ON oc.label = agg.label"""
 
   /** x22 + x59 — benchmark decontamination (both plans produce the identical
     * exact answer; x59 merely bloom-gates the postings first). */

@@ -303,11 +303,22 @@ object CorpusQueries {
 
   /** x57 — embedding drift between snapshot memberships (old = vec_id % 3
     * != 0, new = vec_id % 5 != 0 — the x53/x56 split convention on the
-    * vector table; the differing memberships shift every label's mean). */
+    * vector table; the differing memberships shift every label's mean).
+    * Probe label -1 (vec_id % 11 == 0 rows re-labeled, OLD side emptied to
+    * zero-length arrays) exercises the loud gate: a label whose old-side
+    * vectors are all empty must still SURFACE as dim 0 vs 64 with NULL
+    * metrics — the oracle pins that row shape, so a regression to an
+    * inner join (which silently drops the label) fails parity. */
   def x57EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    val probe = col("vec_id") % 11 === 0
+    val oldSide = e.filter(col("vec_id") % 3 =!= 0)
+    val newSide = e.filter(col("vec_id") % 5 =!= 0)
     graft.corpus.Profiling.embeddingDrift(
-      e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 5 =!= 0))
+      oldSide.union(oldSide.filter(probe).select(col("vec_id"),
+        array().cast("array<float>").as("embedding"), lit(-1).as("label"))),
+      newSide.union(newSide.filter(probe).select(col("vec_id"),
+        col("embedding"), lit(-1).as("label"))))
   }
 
   /** x59 — x22's decontamination behind the bloom prefilter: identical

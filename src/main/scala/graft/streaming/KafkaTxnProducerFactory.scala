@@ -28,7 +28,9 @@ package graft.streaming
   */
 final case class KafkaTxnProducerFactory(
     bootstrapServers: String,
-    clientOptions: Map[String, String] = Map.empty) extends TxnProducerFactory {
+    clientOptions: Map[String, String] = Map.empty,
+    replayWindowEpochs: Long = KafkaTxnProducerFactory.DefaultReplayWindowEpochs)
+  extends TxnProducerFactory {
 
   /** clientOptions can carry the SASL jaas line with a PLAINTEXT password —
     * the case-class toString must never print it (Spark redacts its own
@@ -114,8 +116,12 @@ final case class KafkaTxnProducerFactory(
     * once per JVM instead of re-reading the whole retention window on every
     * epoch (markers only ever append, and the LSO only advances, so a
     * cached prefix can never change under us; concurrent tasks scanning
-    * overlapping ranges union idempotently). The key set is bounded by
-    * markers-in-retention — KB to low MB. */
+    * overlapping ranges union idempotently). Broker retention prunes the
+    * TOPIC but not this JVM-side cache, so each scan also prunes its own
+    * txnIdBase's cached keys below `epochId - replayWindowEpochs` — Spark
+    * only ever replays recent epochs, so a key that far behind the epoch
+    * being asked about can never be queried again (see
+    * [[KafkaTxnProducerFactory.DefaultReplayWindowEpochs]]). */
   private def scanMarkers(markerTopic: String, txnIdBase: String,
       epochId: Long, onlyPartition: Option[Int]): Set[Int] = {
     val props = new java.util.Properties()
@@ -169,19 +175,33 @@ final case class KafkaTxnProducerFactory(
         if (end > start) {
           seekM.invoke(consumer, tp, java.lang.Long.valueOf(start))
           val fresh = scala.collection.mutable.Set.empty[String]
+          // catch-up loop is bounded: a degraded broker connection returns
+          // empty polls forever — fail after MaxEmptyPolls consecutive
+          // empties so the Spark task retry re-establishes the consumer
+          // instead of spinning indefinitely
+          var emptyPolls = 0
           while (positionM.invoke(consumer, tp)
               .asInstanceOf[java.lang.Long].longValue() < end) {
             val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
               .asInstanceOf[java.lang.Iterable[AnyRef]]
+            var any = false
             records.forEach { rec =>
+              any = true
               val key = rec.getClass.getMethod("key").invoke(rec)
                 .asInstanceOf[Array[Byte]]
               if (key != null)
                 fresh += new String(key, java.nio.charset.StandardCharsets.UTF_8)
             }
+            emptyPolls = if (any) 0 else emptyPolls + 1
+            if (emptyPolls >= KafkaTxnProducerFactory.MaxEmptyPolls)
+              throw new IllegalStateException(
+                s"marker scan stalled: $cacheKey returned " +
+                  s"${KafkaTxnProducerFactory.MaxEmptyPolls} consecutive empty " +
+                  s"polls before reaching end offset $end")
           }
           MarkerScanCache.advance(cacheKey, end, fresh.toSet)
         }
+        MarkerScanCache.prune(cacheKey, txnIdBase, epochId - replayWindowEpochs)
         MarkerScanCache.snapshot(cacheKey)._2.foreach { k =>
           TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
             .foreach(found += _)
@@ -195,13 +215,29 @@ final case class KafkaTxnProducerFactory(
 }
 
 object KafkaTxnProducerFactory {
+  /** How far behind the epoch currently being scanned a cached marker key
+    * may fall before it is pruned from [[MarkerScanCache]]. Spark replays
+    * only recent epochs after a restart (normally just the last
+    * uncommitted batch), so 10 000 epochs of slack is orders of magnitude
+    * beyond any real replay; pruning below the horizon caps the cache at
+    * O(window × partitions) per txnIdBase instead of every-marker-ever. */
+  val DefaultReplayWindowEpochs: Long = 10000L
+
+  /** Consecutive empty 500 ms polls tolerated while a scan's position is
+    * still short of the end offset (≈30 s of broker silence) before the
+    * scan throws and lets the Spark task retry rebuild the consumer. */
+  val MaxEmptyPolls: Int = 60
+
   /** JVM-WIDE incremental-scan watermarks for `scanMarkers` (companion, not
     * instance-nested: factories deserialize fresh into every task closure,
     * so per-instance state would never be shared): per (cluster, topic,
     * partition), the next offset to read and every marker key seen so far.
     * Marker topics only ever append and the LSO only advances, so a scanned
-    * prefix is immutable; concurrent scanners merge idempotently. Bounded
-    * by markers-in-retention (KB to low MB). */
+    * prefix is immutable; concurrent scanners merge idempotently. Growth is
+    * bounded by [[prune]]: each scan drops its own txnIdBase's keys whose
+    * epoch fell below the caller's replay horizon, so live bases hold
+    * O(window × partitions) keys and a base that stops scanning freezes at
+    * whatever was cached when it went quiet (finite, non-growing). */
   private[streaming] object MarkerScanCache {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
@@ -210,5 +246,20 @@ object KafkaTxnProducerFactory {
     def advance(key: String, end: Long, fresh: Set[String]): Unit =
       cache.merge(key, (end, fresh),
         (a, b) => (math.max(a._1, b._1), a._2 ++ b._2))
+    /** Drop cached keys belonging to `txnIdBase` whose epoch is strictly
+      * below `horizonEpoch`. Only the owning base's keys are touched —
+      * epoch counters of different queries sharing a marker topic are not
+      * comparable, and each live query prunes its own keys on every scan.
+      * Safe because the watermark never moves backwards: a pruned key can
+      * only matter to a future query about an epoch below the horizon,
+      * which the replay window guarantees will never be asked. */
+    def prune(key: String, txnIdBase: String, horizonEpoch: Long): Unit = {
+      if (horizonEpoch > 0)
+        cache.computeIfPresent(key, (_, v) =>
+          (v._1, v._2.filter { k =>
+            TransactionalEpochSink.parseMarkerEpoch(k, txnIdBase)
+              .forall(_ >= horizonEpoch)
+          }))
+    }
   }
 }

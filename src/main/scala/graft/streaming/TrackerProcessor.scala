@@ -1,12 +1,12 @@
 package graft.streaming
 
 import graft.model.{BatchNotification, BatchState}
-import graft.tracker.{BatchStateMachine, CountEvent, NotificationEvent, TimerEvent, TrackerEvent}
+import graft.tracker.{BatchStateMachine, TimerEvent, TrackerEvent, TrackerInput}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming._
 
 /** T1–T8 as a Spark 4 `StatefulProcessor` — the streaming twin of TrackerBatch,
-  * wired over the union-encoded [[TrackerEvent]] stream
+  * wired over the struct-encoded [[TrackerInput]] stream
   * (counts ⊎ notifications, keyed by batchId; the SS re-expression of the
   * reference's two-input `KeyedCoProcessFunction`, Tracker.scala:32-196).
   *
@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming._
   * idempotent epoch journal on replay).
   */
 class TrackerProcessor(completionDelayMs: Long = 300000L)
-    extends StatefulProcessor[String, TrackerEvent, BatchNotification] {
+    extends StatefulProcessor[String, TrackerInput, BatchNotification] {
 
   @transient private var state: ValueState[BatchState] = _
   @transient private var armed: ValueState[Long] = _
@@ -59,10 +59,10 @@ class TrackerProcessor(completionDelayMs: Long = 300000L)
     out.emit
   }
 
-  override def handleInputRows(key: String, inputRows: Iterator[TrackerEvent],
+  override def handleInputRows(key: String, inputRows: Iterator[TrackerInput],
       timerValues: TimerValues): Iterator[BatchNotification] =
-    inputRows.flatMap(ev =>
-      apply(key, ev, timerValues.getCurrentProcessingTimeInMs()))
+    inputRows.flatMap(row =>
+      apply(key, row.toEvent, timerValues.getCurrentProcessingTimeInMs()))
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[BatchNotification] = {
@@ -74,10 +74,9 @@ class TrackerProcessor(completionDelayMs: Long = 300000L)
 
 object TrackerProcessor {
 
-  /** Wire the processor over a union-encoded event stream. */
-  def track(events: org.apache.spark.sql.Dataset[TrackerEvent],
+  /** Wire the processor over the struct-encoded input stream. */
+  def track(events: org.apache.spark.sql.Dataset[TrackerInput],
       completionDelayMs: Long = 300000L): org.apache.spark.sql.Dataset[BatchNotification] = {
-    implicit val teEnc: org.apache.spark.sql.Encoder[TrackerEvent] = Encoders.kryo[TrackerEvent]
     implicit val bnEnc: org.apache.spark.sql.Encoder[BatchNotification] =
       Encoders.product[BatchNotification]
     implicit val kEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
@@ -88,12 +87,15 @@ object TrackerProcessor {
 
   /** Union-encode the two tracker inputs (counts ⊎ notifications) — the SS answer
     * to Flink's `connect` of two keyed streams (SURVEY.md §7.8 risk #2). Counts
-    * arrive pre-aggregated per (epoch, batch) — see [[graft.model.CountsDelta]]. */
+    * arrive pre-aggregated per (epoch, batch) — see [[graft.model.CountsDelta]].
+    * Struct-encoded ([[TrackerInput]]), not Kryo: the union that crosses the
+    * tracker shuffle keeps a real, introspectable, evolvable column schema. */
   def unionEvents(counts: org.apache.spark.sql.Dataset[graft.model.CountsDelta],
       notifications: org.apache.spark.sql.Dataset[BatchNotification])
-      : org.apache.spark.sql.Dataset[TrackerEvent] = {
-    implicit val teEnc: org.apache.spark.sql.Encoder[TrackerEvent] = Encoders.kryo[TrackerEvent]
-    counts.map(c => CountEvent(c.batchId, c.validDelta, c.invalidDelta): TrackerEvent)
-      .union(notifications.map(n => NotificationEvent(n.id, n): TrackerEvent))
+      : org.apache.spark.sql.Dataset[TrackerInput] = {
+    implicit val tiEnc: org.apache.spark.sql.Encoder[TrackerInput] =
+      Encoders.product[TrackerInput]
+    counts.map(TrackerInput.count _)
+      .union(notifications.map(TrackerInput.notification _))
   }
 }

@@ -150,6 +150,20 @@ object TransactionalEpochSink {
     else None
   }
 
+  /** Parse a marker key's epoch id given only its base, or None if the key
+    * belongs to a different base (or isn't `base/epoch/pid`-shaped). Used by
+    * the scan cache to prune keys that fell behind the replay horizon —
+    * epochs of OTHER bases sharing the topic stay untouched (their counters
+    * aren't comparable to ours). */
+  def parseMarkerEpoch(key: String, txnIdBase: String): Option[Long] = {
+    val prefix = s"$txnIdBase/"
+    if (key != null && key.startsWith(prefix)) {
+      val rest = key.substring(prefix.length)
+      val slash = rest.indexOf('/')
+      if (slash > 0) rest.substring(0, slash).toLongOption else None
+    } else None
+  }
+
   /** Publish one epoch of `df` (Kafka sink shape: `key` binary, `value`
     * binary, `headers` array<struct<key string, value binary>> — nulls
     * allowed everywhere) to `topic`, exactly once per the scheme above.

@@ -27,6 +27,39 @@ case class NotificationEvent(batchId: String, notification: BatchNotification) e
 /** Processing-time timer firing (T5). */
 case class TimerEvent(batchId: String, fireTime: Long) extends TrackerEvent
 
+/** STRUCT-encoded union of the tracker's two STREAM inputs (counts ⊎
+  * notifications) — the wire/shuffle twin of the [[TrackerEvent]] ADT. A
+  * sealed trait needs an opaque Kryo blob to cross the shuffle, which hides
+  * the stream schema from the offset/state tooling and can never evolve; this
+  * flat struct keeps every field a real column (introspectable via
+  * `printSchema`/state-reader, evolvable by adding nullable columns). The
+  * discriminant is `notification`: null ⇒ count event, present ⇒ notification
+  * event. [[TimerEvent]]s never flow through the stream — the processor
+  * synthesizes them from expired timers, so they need no wire shape. */
+case class TrackerInput(
+    batchId: String,
+    validDelta: Long,
+    invalidDelta: Long,
+    notification: Option[BatchNotification]) {
+  def toEvent: TrackerEvent =
+    notification.map(n => NotificationEvent(batchId, n): TrackerEvent)
+      .getOrElse(CountEvent(batchId, validDelta, invalidDelta))
+}
+object TrackerInput {
+  def count(c: graft.model.CountsDelta): TrackerInput =
+    TrackerInput(c.batchId, c.validDelta, c.invalidDelta, None)
+  def notification(n: BatchNotification): TrackerInput =
+    TrackerInput(n.id, 0L, 0L, Some(n))
+  /** Wire-encode a machine event (test harnesses drive the processor with
+    * ADT values); timers are processor-internal and have no wire shape. */
+  def of(ev: TrackerEvent): TrackerInput = ev match {
+    case CountEvent(b, v, i) => TrackerInput(b, v, i, None)
+    case NotificationEvent(b, n) => TrackerInput(b, 0L, 0L, Some(n))
+    case t: TimerEvent => throw new IllegalArgumentException(
+      s"TimerEvent is processor-internal and never stream-carried: $t")
+  }
+}
+
 /** Pure per-batch state machine — T1–T8 of SURVEY.md §2.4, kept Spark-free so the
   * timer/ordering semantics are unit-testable without a cluster (reference pins them
   * in TrackerTest.scala with a virtual clock; we do the same).

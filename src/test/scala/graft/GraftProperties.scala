@@ -37,6 +37,17 @@ object GraftProperties extends Properties("graft") {
           (epoch.toString + "0").toLong).isEmpty
     }
 
+  property("parseMarkerEpoch recovers exactly its own base's epoch") =
+    Prop.forAll(baseGen, Gen.choose(0L, Long.MaxValue), Gen.choose(0, 1 << 20)) {
+      (base, epoch, pid) =>
+        val key = TransactionalEpochSink.markerKey(base, epoch, pid)
+        TransactionalEpochSink.parseMarkerEpoch(key, base).contains(epoch) &&
+        // a different base must see None — the prune path relies on this to
+        // leave other queries' cached keys untouched
+        TransactionalEpochSink.parseMarkerEpoch(key, base + "x").isEmpty &&
+        TransactionalEpochSink.parseMarkerEpoch(key, "y" + base).isEmpty
+    }
+
   private val segGen: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 

@@ -1448,7 +1448,7 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     flags shouldBe 50L
   }
 
-  test("BloomGate.build raises the runtime-filter session caps it would otherwise trip") {
+  test("BloomGate.build raises the runtime-filter caps for itself, then restores them") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
@@ -1456,15 +1456,18 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     try {
       // simulate the default-caps-too-small regime without a 4M-item build:
       // drop the caps below this filter's needs and let build() raise them
+      // INTERNALLY — the analysis check would otherwise throw here
       spark.conf.set(itemsKey, "10")
       spark.conf.set(bitsKey, "64")
       val items = (0 until 500).map(i => s"item$i").toDF("s")
       val bloom = graft.functions.BloomGate.build(items, "s", 500, 0.01)
       bloom.length should be > 8 // a real filter, not a degenerate blob
-      spark.conf.get(itemsKey).toLong should be >= 500L
-      spark.conf.get(bitsKey).toLong should be >=
-        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(500, 0.01)
-      // and the raised-caps filter still has no false negatives
+      // the session confs come back EXACTLY as they were: these same caps
+      // size Spark's InjectRuntimeFilter, and one blocklist build must not
+      // enlarge runtime join filters for every later query in the session
+      spark.conf.get(itemsKey) shouldBe "10"
+      spark.conf.get(bitsKey) shouldBe "64"
+      // and the filter built under the temporary raise has no false negatives
       items.filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
         .count() shouldBe 500L
     } finally {

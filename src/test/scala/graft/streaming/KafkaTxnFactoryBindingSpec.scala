@@ -101,6 +101,51 @@ class KafkaTxnFactoryBindingSpec extends AnyFunSuite with SparkSpec with Matcher
       .toSet.size should be <= 3
   }
 
+  test("marker cache prunes the caller's keys below the replay horizon; other bases untouched") {
+    val (bootstrap, _) = freshCluster(s"prune-${System.nanoTime}")
+    val f = KafkaTxnProducerFactory(bootstrap, replayWindowEpochs = 10)
+    def writeMarker(base: String, epoch: Long, pid: Int): Unit = {
+      val p = f.open(TransactionalEpochSink.transactionalId(base, epoch, pid))
+      p.begin()
+      p.send("markers", Some(pid),
+        TransactionalEpochSink.markerKey(base, epoch, pid).getBytes("UTF-8"),
+        Array.emptyByteArray, Nil)
+      p.commit(); p.close()
+    }
+    writeMarker("jobA", 1L, 0)
+    writeMarker("jobB", 1L, 1)
+    f.committedPartitions("markers", "jobA", 1L) shouldBe Set(0)
+    // a scan far ahead of the horizon prunes jobA's epoch-1 key from the
+    // JVM cache (the topic itself is untouched — this models broker
+    // retention outliving the cache's usefulness)
+    f.committedPartitions("markers", "jobA", 100L) shouldBe Set.empty
+    // pruned AND the watermark never rewinds: the below-horizon epoch is no
+    // longer answerable, by design (Spark never replays that far back)
+    f.committedPartitions("markers", "jobA", 1L) shouldBe Set.empty
+    // jobB's keys share the topic but belong to a different base — jobA's
+    // pruning must never touch them (epoch counters aren't comparable)
+    f.committedPartitions("markers", "jobB", 1L) shouldBe Set(1)
+  }
+
+  test("a stalled broker connection fails the scan instead of spinning forever") {
+    val (bootstrap, cluster) = freshCluster(s"stall-${System.nanoTime}")
+    val f = KafkaTxnProducerFactory(bootstrap)
+    val p = f.open(TransactionalEpochSink.transactionalId("base", 1L, 0))
+    p.begin()
+    p.send("markers", Some(0),
+      TransactionalEpochSink.markerKey("base", 1L, 0).getBytes("UTF-8"),
+      Array.emptyByteArray, Nil)
+    p.commit(); p.close()
+    cluster.stallPolls = true
+    val ex = intercept[IllegalStateException] {
+      f.committedPartitions("markers", "base", 1L)
+    }
+    ex.getMessage should include("consecutive empty")
+    // once the connection recovers, a task retry's fresh scan succeeds
+    cluster.stallPolls = false
+    f.committedPartitions("markers", "base", 1L) shouldBe Set(0)
+  }
+
   test("SASL options flow into producer props stripped of the kafka. prefix") {
     val (bootstrap, _) = freshCluster("props")
     val f = KafkaTxnProducerFactory(bootstrap,

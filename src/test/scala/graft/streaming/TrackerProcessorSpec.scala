@@ -11,7 +11,7 @@ import org.scalatest.matchers.should.Matchers
 
 /** Streaming twin of BatchStateMachineSpec: drives the real transformWithState
   * operator (RocksDB state store, processing-time timers) with a MemoryStream of
-  * union-encoded TrackerEvents — the SS analog of the reference's
+  * struct-encoded TrackerInputs — the SS analog of the reference's
   * `forKeyedCoProcessFunction` harness runs (TrackerTest.scala).
   *
   * Synchronization note: with ProcessingTime timers the engine schedules
@@ -47,9 +47,9 @@ class TrackerProcessorSpec extends AnyFunSuite with SparkSpec with Matchers {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    implicit val enc: org.apache.spark.sql.Encoder[TrackerEvent] =
-      Encoders.kryo[TrackerEvent]
-    val input = MemoryStream[TrackerEvent]
+    implicit val enc: org.apache.spark.sql.Encoder[TrackerInput] =
+      Encoders.product[TrackerInput]
+    val input = MemoryStream[TrackerInput]
     val out = TrackerProcessor.track(input.toDS(), delayMs)
     val dir = java.nio.file.Files.createTempDirectory("tracker-spec").toString
     val q = out.writeStream
@@ -63,7 +63,7 @@ class TrackerProcessorSpec extends AnyFunSuite with SparkSpec with Matchers {
       // offsets advance by one per addData call, starting at 0
       var offset = -1L
       feed.foreach { batch =>
-        input.addData(batch: _*)
+        input.addData(batch.map(TrackerInput.of): _*)
         offset += 1
         awaitOffset(q, offset)
       }
@@ -122,5 +122,26 @@ class TrackerProcessorSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.find(_.id == "a").map(_.status) shouldBe Some(Status.Failed) // overflow
     out.find(_.id == "b").map(_.status) shouldBe Some(Status.Failed) // threshold
     out should have size 2
+  }
+
+  test("the tracker input stream has a real column schema, not a Kryo blob") {
+    import spark.implicits._
+    val counts = Seq(graft.model.CountsDelta("b", 1L, 0L)).toDS()
+    val notifs = spark.createDataset(
+      Seq(notif("b", Status.Started)))(Encoders.product[BatchNotification])
+    val unioned = TrackerProcessor.unionEvents(counts, notifs)
+    // the union that crosses the tracker shuffle must stay introspectable
+    // (state/offset tooling reads columns) and evolvable (nullable adds) —
+    // a sealed-trait Kryo encoding collapses to one opaque binary column
+    unioned.schema.fieldNames.toSeq shouldBe
+      Seq("batchId", "validDelta", "invalidDelta", "notification")
+    unioned.schema("notification").dataType shouldBe a[
+      org.apache.spark.sql.types.StructType]
+    // round-trip: both variants decode back to the machine's ADT
+    val evs = unioned.collect().map(_.toEvent)
+    evs.collect { case CountEvent(b, v, i) => (b, v, i) } shouldBe
+      Array(("b", 1L, 0L))
+    evs.collect { case NotificationEvent(b, n) => (b, n.status) } shouldBe
+      Array(("b", Status.Started))
   }
 }

@@ -20,6 +20,9 @@ object FakeCluster {
     val log = mutable.Map.empty[(String, Int), mutable.ArrayBuffer[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]]
     private val generations = mutable.Map.empty[String, Long].withDefaultValue(0L)
     var recordsPolled: Long = 0L // for incremental-scan assertions
+    // simulates a degraded broker connection: polls return empty while the
+    // end offset stays ahead of the position (the scan-deadline case)
+    @volatile var stallPolls: Boolean = false
 
     def fence(txnId: String): Long = synchronized {
       val g = generations(txnId) + 1; generations(txnId) = g; g
@@ -169,6 +172,7 @@ package clients.consumer {
     def position(tp: TopicPartition): Long = positions(tp)
     def poll(d: java.time.Duration): java.lang.Iterable[AnyRef] = {
       val out = mutable.ArrayBuffer.empty[AnyRef]
+      if (cluster.stallPolls) return out.asJava
       assigned.foreach { tp =>
         val end = cluster.endOffset(tp.topic(), tp.partition())
         val from = positions(tp)
