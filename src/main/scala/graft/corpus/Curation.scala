@@ -287,15 +287,31 @@ object Curation {
 
   /** Per-domain quality selection: the `k` highest-quality documents of each
     * source (quality desc, doc_id asc tiebreak — fully deterministic). The
-    * `source` column rides through the quality projection itself, so the ONLY
-    * shuffle is the window's partition-by-source (a corpus self-join to
-    * restore it would have doubled the data moved); skew is bounded by the
-    * largest domain, with each domain's sort local to its partition. */
-  def topKByQuality(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("source"))
+    * `source` column rides through the quality projection itself, so no
+    * corpus self-join is needed to restore it (that would have doubled the
+    * data moved).
+    *
+    * SKEW-HARDENED two-phase shape: a single partition-by-source window
+    * serializes each domain through one task — a mega-domain (half the
+    * corpus from one crawl host is normal) pins the whole stage on one
+    * straggler sorting corpus-scale rows. Instead, phase 1 partitions by
+    * (source, salt) — `salts` deterministic hash buckets — and takes each
+    * bucket's local top-k, which is exact-complete (every global top-k row
+    * is in its own bucket's top-k); phase 2 re-ranks the ≤ salts·k
+    * survivors per source with the true window, whose per-source input is
+    * now constant-bounded, never corpus-bounded. Identical output to the
+    * one-window plan (same total order both phases), one extra narrow
+    * shuffle of k·salts rows per domain. */
+  def topKByQuality(docs: DataFrame, k: Int = 3, salts: Int = 16): DataFrame = {
+    val local = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val exact = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
     TextStats.quality(docs, "source")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .withColumn("lr", row_number().over(local))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(exact))
       .filter(col("rank") <= k)
       .select(col("source"), col("doc_id"), col("quality"), col("rank"))
   }

@@ -62,8 +62,16 @@ object TextDedup {
     * joins are plain shuffle joins — the size table is one row PER DOCUMENT, so a
     * broadcast hint here would OOM at corpus scale; candidates are small after
     * blocking, and AQE will broadcast them if so. Sides may come from different
-    * corpora (incremental dedup verifies new-vs-index pairs). */
-  private def verifyJaccard(candidates: DataFrame,
+    * corpora (incremental dedup verifies new-vs-index pairs).
+    *
+    * Skew defense: a naturally-viral document (one doc_id_1 carrying a large
+    * slice of the candidate set) lands its whole key on one reducer of the
+    * first join. The joins are deliberately left as plain shuffle joins so
+    * AQE's OptimizeSkewedJoin can split the oversized partition at runtime —
+    * pinned by the skew spec in CorpusSpec, which drives this exact path
+    * under production-shaped skew and asserts the skew-split engaged.
+    * (package-private, not private, so the spec can drive it directly) */
+  private[corpus] def verifyJaccard(candidates: DataFrame,
       p1: DataFrame, p2: DataFrame, sz1: DataFrame, sz2: DataFrame,
       threshold: Double): DataFrame = {
     val inter = candidates

@@ -326,6 +326,72 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.toSet shouldBe Set(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1))
   }
 
+  test("verifyJaccard's hot join engages AQE skew-split under a viral-document skew") {
+    import spark.implicits._
+    // production shape: one viral doc_id_1 carries most of the candidate set,
+    // so its key lands a corpus-scale slice on ONE reducer of the first join.
+    // Thresholds are scaled down so the sf-test fixture crosses the same
+    // trigger the real 256MB default guards at cluster scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = 0L
+      val candidates = ((1L to 20000L).map(i => (hot, i)) ++
+        (1L to 200L).map(i => (i, i + 30000L))).toDF("doc_id_1", "doc_id_2")
+      val post = ((0L to 20200L) ++ (30001L to 30200L))
+        .flatMap(id => Seq((id, "sh_a"), (id, s"sh_$id"))).toDF("doc_id", "s")
+      val sz = post.groupBy(col("doc_id")).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_shingles"))
+      val verified = TextDedup.verifyJaccard(
+        candidates, post, post, sz, sz, threshold = 0.0)
+      // collect() (not count()) so the SAME query execution finalizes its
+      // adaptive plan — count() would spawn a separate QueryExecution
+      verified.collect().length shouldBe 20200 // every pair shares sh_a: J > 0
+      val plan = verified.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split in the verify join, plan was:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("two-phase top-k equals the one-window referee on a skewed corpus") {
+    import spark.implicits._
+    // one mega-domain (180 docs), two small ones — the shape that serializes
+    // a single partition-by-source window through one task
+    val rows = (1 to 180).map(i => (i.toLong, ("w " * (i % 37 + 1)).trim, "mega")) ++
+      (181 to 190).map(i => (i.toLong, ("v " * (i % 7 + 1)).trim, "small")) ++
+      Seq((191L, "solo doc", "one"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val twoPhase = Curation.topKByQuality(d, k = 3, salts = 8)
+    // referee: the direct single-window plan the salted shape must equal
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id"))
+    val referee = graft.corpus.TextStats.quality(d, "source")
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    twoPhase.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet shouldBe referee.toSet
+    // and the plan really is two-phase: a (source, salt) window feeding a
+    // constant-bounded per-source re-rank — two Window operators
+    val plan = twoPhase.queryExecution.executedPlan.toString
+    "(?s)Window.*Window".r.findFirstIn(plan) should not be empty
+    plan should include("salt")
+  }
+
   test("applyDedup keeps canonical survivors and untouched docs, drops the rest") {
     import spark.implicits._
     val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
