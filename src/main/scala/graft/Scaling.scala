@@ -1,0 +1,113 @@
+package graft
+
+import graft.corpus.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness for the dedup ladder's corpus-bound operators
+  * (x3 MinHash+LSH, x20 cluster formation, x37 cross-doc spans, x58 line
+  * scrub): generates replica-scaled corpora from the sf0.1 `documents`
+  * table, measures wall-time at each scale, and emits one JSON report the
+  * fit script turns into `SCALING.md`.
+  *
+  * Corpus construction — EXACT m× workload, zero confounds: scale m is the
+  * base corpus unioned with m-1 replicas whose doc_ids are shifted by a
+  * disjoint range and whose every token carries a per-replica suffix
+  * (`w` → `w~k`). Tokenization is plain space-split
+  * ([[TextDedup.tokens]]), so each replica reproduces the base corpus's
+  * shingle sets, Jaccard similarities, LSH buckets, span families, and
+  * line families EXACTLY, under a vocabulary disjoint from every other
+  * replica. True output therefore grows exactly m× (pairs, clusters,
+  * spans, scrubbed lines each m× the base), and a fitted time exponent
+  * measures ENGINE scaling alone, not workload drift. (Mutating a
+  * fraction of replica docs — the snapshot fixtures' " v2" convention —
+  * would instead grow near-dup families superlinearly: a family of f
+  * copies across m replicas yields ~(mf)² pairs, and the fit would
+  * confound engine behavior with that quadratic workload.)
+  *
+  * Usage: `runMain graft.Scaling [baseDir] [workDir] [scalesCsv] [iters]`
+  * (defaults `/root/testdata/sf0.1 /tmp/graft_scaling 1,3,10 2`).
+  * Timed action is a `noop`-format write — full materialization of every
+  * output column, no sink cost — after one untimed warm run per plan that
+  * also records the output row count (the m×-linearity check). Reported
+  * per-cell time is the MIN over `iters` timed runs: host-load spikes on a
+  * shared box only ever ADD time, so min is the least-contaminated
+  * estimate of the engine's cost.
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
+    val scales = (if (args.length > 2) args(2) else "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val iters = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id * 2)").collect() // session warm-up
+
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    // doc_id range per replica must be disjoint AND preserve the fixture
+    // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even
+    // offset per replica keeps %2 but not %3, so use a multiple of 6
+    val offset = 600000000L
+    scales.foreach { m =>
+      val scaled = (0 until m).map { k =>
+        if (k == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(k * offset))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"~$k"))), " "))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/documents.parquet")
+    }
+
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "x3_minhash_lsh" -> (d => TextDedup.minhashPairs(d)),
+      "x20_dedup_clusters" -> (d => TextDedup.dedupClusters(
+        TextDedup.minhashPairs(d), onConverged = rounds.set)),
+      "x37_cross_doc_spans" -> (d => TextDedup.crossDocSpans(d)),
+      "x58_line_scrub" ->
+        (d => TextDedup.lineScrub(TextDedup.paragraphFixture(d))))
+
+    def runOnce(fn: DataFrame => DataFrame, dir: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      fn(docs).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc() // the Bench hygiene: don't bill later cells for this one
+      dt
+    }
+
+    val cells = for (m <- scales; (name, fn) <- ops) yield {
+      val dir = s"$workDir/x$m"
+      rounds.set(-1)
+      val nRows = // untimed warm run; also the linearity evidence
+        fn(spark.read.parquet(s"$dir/documents.parquet")).count()
+      val nRounds = rounds.get() // set only by x20's warm run
+      val times = (1 to iters).map(_ => runOnce(fn, dir))
+      System.err.println(f"scale=$m%2d $name%-20s rows=$nRows%9d " +
+        f"min=${times.min}%7.2fs all=${times.map(t => f"$t%.2f").mkString(",")}" +
+        (if (nRounds >= 0) s" rounds=$nRounds" else ""))
+      (m, name, nRows, times, nRounds)
+    }
+
+    val json = cells.map { case (m, name, nRows, times, nRounds) =>
+      s"""{"scale":$m,"op":"$name","rows":$nRows,""" +
+        s""""times":[${times.map(t => f"$t%.3f").mkString(",")}]""" +
+        (if (nRounds >= 0) s""","rounds":$nRounds""" else "") + "}"
+    }.mkString("[", ",", "]")
+    val line = s"""{"base":"$baseDir","cpus":$cpus,"cells":$json}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(workDir, "scaling-latest.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

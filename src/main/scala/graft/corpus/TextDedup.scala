@@ -359,8 +359,13 @@ object TextDedup {
     * (diameter > maxIterations) — partially-propagated labels are silently
     * WRONG cluster ids, so refusing beats returning them.
     *
+    * @param onConverged called once with the converged round count (after the
+    *                    free star-init round) — scaling harnesses assert the
+    *                    count stays FLAT as the corpus grows; never called on
+    *                    the non-convergence throw
     * @return (doc_id, cluster_id) for every document that appears in a pair. */
-  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20,
+      onConverged: Int => Unit = _ => ()): DataFrame = {
     // fail loudly if a Spark upgrade ever stops exposing the checkpoint as a
     // bare LogicalRDD — silently returning nothing here would quietly degrade
     // the documented two-table memory bound to one-table-per-round. (The
@@ -413,6 +418,7 @@ object TextDedup {
       require(converged,
         s"dedupClusters did not converge within $maxIterations rounds — " +
           "a component's diameter exceeds the bound; raise maxIterations")
+      onConverged(iter)
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     } finally edges.unpersist()
   }
