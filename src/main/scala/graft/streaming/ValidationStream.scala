@@ -6,7 +6,7 @@ import graft.topics.Topics
 import graft.validation.{ValidationEngine, Validator}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Driver-held latest-per-batch notification snapshot — the SS re-expression of
   * Flink broadcast state (reference BaseValidationJob.scala:291-295, writes at
@@ -127,13 +127,15 @@ object ValidationStream {
       notifications: DataFrame,
       store: NotificationSnapshot,
       checkpointDir: String,
-      queryName: String = "graft-notifications"): StreamingQuery =
+      queryName: String = "graft-notifications",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     notifications
       .select(from_json(col("value").cast("string"), Schemas.batchNotification).as("n"))
       .select(col("n.*"))
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", s"$checkpointDir/$queryName")
+      .trigger(trigger)
       .foreachBatch { (df: DataFrame, _: Long) => store.update(df) }
       .start()
 
@@ -147,10 +149,12 @@ object ValidationStream {
       checkpointDir: String,
       lookup: Option[BatchLookup] = None,
       lookupRetry: Retry = new Retry(initialBackoffMs = 100, giveUpAfterMs = 2000),
-      queryName: String = "graft-records"): StreamingQuery =
+      queryName: String = "graft-records",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     records.writeStream
       .queryName(queryName)
       .option("checkpointLocation", s"$checkpointDir/$queryName")
+      .trigger(trigger)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
         val spark = df.sparkSession
         df.persist()
