@@ -1,0 +1,190 @@
+package graft
+
+import graft.model.{BatchNotification, Status}
+import graft.streaming.{NotificationSnapshot, TrackerProcessor, ValidationSinks, ValidationStream}
+import graft.tracker.TrackerInput
+import graft.validation.JsonValidator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Kafka-record header (hriRecord shape) for the streaming bench source. */
+case class BenchHdr(key: String, value: Array[Byte])
+/** hriRecord-shaped bench record (Schemas.hriRecord without the Kafka source). */
+case class BenchRec(key: Array[Byte], value: Array[Byte], headers: Seq[BenchHdr],
+    topic: String, partition: Int, offset: Long)
+
+/** Streaming-plane throughput bench: drives the FULL validation DAG —
+  * record stream → V1–V11 validation against the compacted notification
+  * snapshot → valid/invalid/counts outputs → counts handoff →
+  * TrackerProcessor (transformWithState) → terminal notification — and
+  * reports records/second for two regimes:
+  *
+  *  - '''bulk''': all records land in ONE micro-batch — the engine's raw
+  *    per-record cost with the per-trigger overhead amortized away (the
+  *    ceiling a saturated Kafka backlog replay would see);
+  *  - '''chunked''': records arrive across many micro-batches drained
+  *    back-to-back — per-trigger overhead included (the steady-state shape
+  *    at the reference's 1 s trigger cadence).
+  *
+  * The run is self-checking: every record is counted, and each batch's
+  * tracker must emit exactly one COMPLETED terminal with the full count
+  * after sendCompleted — a throughput number from a silently-broken DAG
+  * would be worse than none. 10% of payloads are malformed JSON so the
+  * invalid path (error projection + counts) is paid realistically.
+  *
+  * Usage: `runMain graft.StreamBench [nRecords] [nChunks]`
+  * (defaults 200000, 20). One JSON line to stdout; full copy in
+  * `stream-bench-latest.json` (Bench.scala's tail-capture convention). */
+object StreamBench {
+
+  private class CountSinks extends ValidationSinks {
+    val valid = new java.util.concurrent.atomic.AtomicLong
+    val invalid = new java.util.concurrent.atomic.AtomicLong
+    val counted = new java.util.concurrent.atomic.AtomicLong
+    var forward: DataFrame => Unit = _ => ()
+    def valid(df: DataFrame, epochId: Long): Unit = valid.addAndGet(df.count())
+    def invalid(df: DataFrame, epochId: Long): Unit = invalid.addAndGet(df.count())
+    def counts(df: DataFrame, epochId: Long): Unit = { counted.addAndGet(df.count()); forward(df) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRecords = args.headOption.map(_.toInt).getOrElse(200000)
+    val nChunks = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val session = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    session.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    implicit val recEnc: org.apache.spark.sql.Encoder[BenchRec] =
+      org.apache.spark.sql.Encoders.product[BenchRec]
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    implicit val tiEnc: org.apache.spark.sql.Encoder[TrackerInput] =
+      org.apache.spark.sql.Encoders.product[TrackerInput]
+    implicit val bnEnc: org.apache.spark.sql.Encoder[BatchNotification] =
+      org.apache.spark.sql.Encoders.product[BatchNotification]
+
+    val topic = "ingest.bench.claims.in"
+    def rec(i: Long, batch: String): BenchRec = {
+      // 10% malformed: the invalid projection + counts path is real work
+      val payload =
+        if (i % 10 == 9) s"""{"resourceType":"Claim","id":$i,"broken"""
+        else s"""{"resourceType":"Claim","id":$i,"text":{"div":"bench record $i"},""" +
+          s""""insurance":[{"coverage":{"reference":"Coverage/$i"}}]}"""
+      BenchRec(s"k$i".getBytes, payload.getBytes,
+        Seq(BenchHdr("batchId", batch.getBytes)), topic, 0, i)
+    }
+    def notifJson(id: String, status: String, expected: Int): String =
+      s"""{"id":"$id","name":"n-$id","topic":"$topic","dataType":"claims",""" +
+        s""""status":"$status","expectedRecordCount":$expected,"invalidThreshold":-1}"""
+
+    val records = MemoryStream[BenchRec]
+    val notifications = MemoryStream[String]
+    val trackerIn = MemoryStream[TrackerInput]
+    val terminal = new java.util.concurrent.ConcurrentLinkedQueue[BatchNotification]
+    val dir = java.nio.file.Files.createTempDirectory("stream-bench").toString
+    val store = new NotificationSnapshot(session, None)
+    val sinks = new CountSinks
+    sinks.forward = df => {
+      val agg = df.groupBy("batchId").agg(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(org.apache.spark.sql.functions.col("isValid"), 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(org.apache.spark.sql.functions.col("isValid"), 0L).otherwise(1L))).collect()
+      agg.foreach(r => trackerIn.addData(TrackerInput.count(
+        graft.model.CountsDelta(r.getString(0), r.getLong(1), r.getLong(2)))))
+    }
+    val nq = ValidationStream.startNotificationQuery(notifications.toDF(), store, dir)
+    val rq = ValidationStream.startRecordQuery(
+      records.toDF(), store, new JsonValidator, sinks, dir)
+    // the tracker MUST have a real trigger: TimeMode.ProcessingTime makes the
+    // engine consider another batch always runnable (timers may be due), so
+    // the default as-fast-as-possible trigger degenerates into continuous
+    // empty micro-batches — each paying full RocksDB snapshot/maintenance —
+    // and processAllAvailable() on such a query may never settle. 500 ms is
+    // half the reference's production cadence.
+    val tq = TrackerProcessor.track(trackerIn.toDS(), completionDelayMs = 0L)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[BatchNotification], _: Long) =>
+        b.collect().foreach(terminal.add); ()
+      }
+      .option("checkpointLocation", s"$dir/tracker")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+
+    def announce(batch: String): Unit = {
+      notifications.addData(notifJson(batch, Status.Started, nRecords))
+      nq.processAllAvailable()
+      trackerIn.addData(TrackerInput.notification(BatchNotification(
+        batch, s"n-$batch", topic, "claims", Status.Started, null, null,
+        nRecords, -1, -1, -1, null, null)))
+    }
+    def complete(batch: String): Unit = {
+      notifications.addData(notifJson(batch, Status.SendCompleted, nRecords))
+      nq.processAllAvailable()
+      trackerIn.addData(TrackerInput.notification(BatchNotification(
+        batch, s"n-$batch", topic, "claims", Status.SendCompleted, null, null,
+        nRecords, -1, -1, -1, null, null)))
+      // poll the terminal queue — never processAllAvailable() on the tracker
+      // (see the trigger comment above: it may never settle in timer mode);
+      // the timer fires on the query's own 500 ms cadence
+      val deadline = System.currentTimeMillis + 60000
+      while (!terminal.toArray.exists { case n: BatchNotification =>
+          n.id == batch && n.status == Status.Completed } &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      require(terminal.toArray.exists { case n: BatchNotification =>
+        n.id == batch && n.status == Status.Completed &&
+          n.actualRecordCount == nRecords },
+        s"tracker never emitted COMPLETED($nRecords) for $batch — " +
+          s"got ${terminal.toArray.mkString(", ")}")
+    }
+
+    // warm the whole DAG (codegen, state store, broadcast path) off the clock
+    announce("b-warm")
+    records.addData((0L until 1000L).map(rec(_, "b-warm")))
+    rq.processAllAvailable()
+
+    // bulk: one micro-batch holding every record
+    announce("b-bulk")
+    records.addData((0L until nRecords.toLong).map(rec(_, "b-bulk")))
+    val t0 = System.nanoTime()
+    rq.processAllAvailable()
+    val bulkSec = (System.nanoTime() - t0) / 1e9
+    complete("b-bulk")
+
+    // chunked: nChunks micro-batches drained back-to-back
+    announce("b-chunk")
+    val chunkSize = nRecords / nChunks
+    val t1 = System.nanoTime()
+    (0 until nChunks).foreach { c =>
+      val base = c.toLong * chunkSize
+      val n = if (c == nChunks - 1) nRecords - base else chunkSize.toLong
+      records.addData((base until base + n).map(rec(_, "b-chunk")))
+      rq.processAllAvailable()
+    }
+    val chunkSec = (System.nanoTime() - t1) / 1e9
+    complete("b-chunk")
+
+    rq.stop(); nq.stop(); tq.stop()
+    val expectValid = 2L * nRecords / 10 * 9 + 900  // warm batch included
+    require(sinks.counted.get() == 2L * nRecords + 1000,
+      s"count mismatch: ${sinks.counted.get()} != ${2L * nRecords + 1000}")
+    def rps(sec: Double): Long = (nRecords / sec).toLong
+    val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
+      s""""valid":${sinks.valid.get()},"invalid":${sinks.invalid.get()},""" +
+      s""""expect_valid":$expectValid,""" +
+      f""""bulk_sec":$bulkSec%.2f,"chunked_sec":$chunkSec%.2f,""" +
+      s""""chunked_rps":${rps(chunkSec)},"bulk_rps":${rps(bulkSec)}}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+        System.getProperty("user.dir")), "stream-bench-latest.json"),
+      (line + "\n").getBytes("UTF-8"))
+    session.stop()
+  }
+}
