@@ -1,14 +1,16 @@
 package graft
 
-import graft.corpus.TextDedup
+import graft.corpus.{Semantic, Similarity, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical scaling harness for the dedup ladder's corpus-bound operators
-  * (x3 MinHash+LSH, x20 cluster formation, x37 cross-doc spans, x58 line
-  * scrub): generates replica-scaled corpora from the sf0.1 `documents`
-  * table, measures wall-time at each scale, and emits one JSON report the
-  * fit script turns into `SCALING.md`.
+/** Empirical scaling harness for the corpus-bound operators of BOTH data
+  * planes — text (x3 MinHash+LSH, x20 cluster formation, x37 cross-doc
+  * spans, x58 line scrub) and vector (x6 brute top-k, x7 sign-LSH ANN,
+  * x13 IVF ANN, x44 k-means at the kFor occupancy policy, x45 semantic
+  * dedup): generates replica-scaled corpora from the sf0.1 `documents`
+  * and `embeddings` tables, measures wall-time at each scale, and emits
+  * one JSON report the fit script turns into `SCALING.md`.
   *
   * Corpus construction — EXACT m× workload, zero confounds: scale m is the
   * base corpus unioned with m-1 replicas whose doc_ids are shifted by a
@@ -51,6 +53,7 @@ object Scaling {
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // session warm-up
 
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val baseN = base.count()
     // doc_id range per replica must be disjoint AND preserve the fixture
     // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even
     // offset per replica keeps %2 but not %3, so use a multiple of 6
@@ -67,31 +70,68 @@ object Scaling {
       scaled.write.mode("overwrite").parquet(s"$workDir/x$m/documents.parquet")
     }
 
-    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "x3_minhash_lsh" -> (d => TextDedup.minhashPairs(d)),
-      "x20_dedup_clusters" -> (d => TextDedup.dedupClusters(
-        TextDedup.minhashPairs(d), onConverged = rounds.set)),
-      "x37_cross_doc_spans" -> (d => TextDedup.crossDocSpans(d)),
-      "x58_line_scrub" ->
-        (d => TextDedup.lineScrub(TextDedup.paragraphFixture(d))))
+    // VECTOR PLANE — replicas must preserve within-replica geometry exactly
+    // (so each replica reproduces the base corpus's neighbor structure and
+    // true workload grows m×) while staying decorrelated from other
+    // replicas. A cyclic coordinate rotation is an orthogonal transform:
+    // every within-replica inner product (hence every cosine, every LSH
+    // hyperplane margin distribution, every centroid geometry) is EXACTLY
+    // preserved; cross-replica cosines scatter like unrelated vectors.
+    // Shift k·7 mod dim is distinct per replica for k < dim (7 coprime 64).
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embBaseN = embBase.count()
+    val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+    scales.foreach { m =>
+      val scaled = (0 until m).map { k =>
+        val shift = (k * 7) % dim
+        if (k == 0) embBase
+        else embBase
+          .withColumn("vec_id", col("vec_id") + lit(k * offset))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), shift + 1, dim - shift),
+              slice(col("embedding"), 1, shift)))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/embeddings.parquet")
+    }
 
-    def runOnce(fn: DataFrame => DataFrame, dir: String): Double = {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // (table, op, plan builder); the builder also receives the scale's row
+    // count so the k-means ops can apply the kFor occupancy policy — the
+    // documented deployment contract (k grows to hold cluster occupancy
+    // flat, which is what keeps x45's pair work linear)
+    val ops: Seq[(String, String, (DataFrame, Long) => DataFrame)] = Seq(
+      ("documents", "x3_minhash_lsh", (d, _) => TextDedup.minhashPairs(d)),
+      ("documents", "x20_dedup_clusters", (d, _) => TextDedup.dedupClusters(
+        TextDedup.minhashPairs(d), onConverged = rounds.set)),
+      ("documents", "x37_cross_doc_spans", (d, _) => TextDedup.crossDocSpans(d)),
+      ("documents", "x58_line_scrub",
+        (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(d))),
+      ("embeddings", "x6_cosine_topk", (e, _) => Similarity.cosineTopK(e)),
+      ("embeddings", "x7_ann_lsh", (e, _) => Similarity.annLsh(e)),
+      ("embeddings", "x13_ann_ivf", (e, _) => Similarity.annIvf(e)),
+      ("embeddings", "x44_kmeans",
+        (e, n) => Semantic.kmeansAssign(e, k = Semantic.kFor(n))),
+      ("embeddings", "x45_semantic_dedup",
+        (e, n) => Semantic.semanticDedup(e, k = Semantic.kFor(n))))
+
+    def runOnce(fn: DataFrame => DataFrame, path: String): Double = {
+      val input = spark.read.parquet(path)
       val t0 = System.nanoTime()
-      fn(docs).write.format("noop").mode("overwrite").save()
+      fn(input).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc() // the Bench hygiene: don't bill later cells for this one
       dt
     }
 
-    val cells = for (m <- scales; (name, fn) <- ops) yield {
-      val dir = s"$workDir/x$m"
+    val cells = for (m <- scales; (table, name, fn) <- ops) yield {
+      val path = s"$workDir/x$m/$table.parquet"
+      val n = if (table == "embeddings") m * embBaseN else m * baseN
+      val bound: DataFrame => DataFrame = df => fn(df, n)
       rounds.set(-1)
       val nRows = // untimed warm run; also the linearity evidence
-        fn(spark.read.parquet(s"$dir/documents.parquet")).count()
+        bound(spark.read.parquet(path)).count()
       val nRounds = rounds.get() // set only by x20's warm run
-      val times = (1 to iters).map(_ => runOnce(fn, dir))
+      val times = (1 to iters).map(_ => runOnce(bound, path))
       System.err.println(f"scale=$m%2d $name%-20s rows=$nRows%9d " +
         f"min=${times.min}%7.2fs all=${times.map(t => f"$t%.2f").mkString(",")}" +
         (if (nRounds >= 0) s" rounds=$nRounds" else ""))

@@ -87,14 +87,32 @@ object Semantic {
   private def withBestMatch(base: DataFrame, refs: Seq[(Long, Seq[Double])],
       idName: String, scoreName: String): DataFrame = {
     require(refs.nonEmpty, "reference set must not be empty")
-    val entries = refs.sortBy(_._1).map { case (id, re) =>
-      struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
-    }
-    base.withColumn("__bm", array_max(array(entries: _*)))
+    val sorted = refs.sortBy(_._1)
+    // Two formulations of the SAME struct (spec-pinned equal): unrolled
+    // array_max for small reference sets (one codegen'd dot per ref), and
+    // the loop-codegen'd BestMatch expression past the unroll limit — a
+    // single k-wide expression tree cannot be split by codegen, so beyond
+    // ~32 refs (dim 64) the generated method crosses the JVM's
+    // HugeMethodLimit and the stage drops to the bytecode interpreter
+    // (measured 33 s vs 4 s at k=59 vs 32 over 60 k vectors, SCALING.md).
+    // kFor grows k with the corpus, so the large-k path is the 100 TB path.
+    val bm =
+      if (sorted.size <= BestMatchUnrollLimit) {
+        val entries = sorted.map { case (id, re) =>
+          struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
+        }
+        array_max(array(entries: _*))
+      } else graft.functions.VectorOps.bestMatch(col("e"), sorted)
+    base.withColumn("__bm", bm)
       .select(base.columns.toIndexedSeq.map(col) :+
         (-col("__bm").getField("nid")).as(idName) :+
         col("__bm").getField("cos").as(scoreName): _*)
   }
+
+  /** Reference-count ceiling for the unrolled argmax formulation in
+    * [[withBestMatch]]; above it the loop-codegen'd [[graft.functions.BestMatch]]
+    * takes over (same output, JIT-compilable at any k). */
+  private[corpus] val BestMatchUnrollLimit = 16
 
   /** Recompute centroids from an assignment: per-dimension mean via
     * round-then-DECIMAL-sum (order-independent), mean re-rounded to

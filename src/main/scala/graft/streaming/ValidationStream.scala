@@ -157,7 +157,12 @@ object ValidationStream {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
         val spark = df.sparkSession
-        df.persist()
+        // the micro-batch is scanned twice ONLY on the remote-lookup path
+        // (miss scan + validate); without a lookup, validate is its single
+        // consumer and a persist would be pure per-trigger cache churn on
+        // the hot path (validated's own persist covers the 3-way fan-out)
+        val scannedTwice = lookup.nonEmpty
+        if (scannedTwice) df.persist()
         try {
           // V3 miss path: resolve snapshot misses remotely, bounded, driver-side.
           lookup.foreach(resolveMisses(df, store, _, lookupRetry))
@@ -168,7 +173,7 @@ object ValidationStream {
             sinks.invalid(ValidationEngine.invalidOutput(validated), epochId)
             sinks.counts(ValidationEngine.countsOutput(validated), epochId)
           } finally validated.unpersist()
-        } finally df.unpersist()
+        } finally if (scannedTwice) df.unpersist()
       }
       .start()
 

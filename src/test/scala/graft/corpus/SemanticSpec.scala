@@ -163,6 +163,65 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     online shouldBe batch
   }
 
+  test("large-k assignAgainst (loop-codegen BestMatch) equals the unrolled kernel and a referee") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    // 40 centroids (> BestMatchUnrollLimit → BestMatch expression), including
+    // an exact DUPLICATE pair (ids 35 and 36) so the tie-break is exercised:
+    // identical cosines must resolve to the LOWEST centroid id
+    val base = (0 until 35).map(i => i.toLong -> vec())
+    val dupOf = base(3)._2
+    val cents = base ++ Seq(35L -> dupOf, 36L -> dupOf)
+    cents.size should be > Semantic.BestMatchUnrollLimit
+    val vecs = (100L until 180L).map(id => id -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    // one probe vector EQUAL to the duplicated centroid: its top-2 are the
+    // duplicate ids 35/36 (plus original 3) at identical cosine
+    val probe = 999L -> dupOf.map(_.toFloat)
+    val d = (vecs :+ probe).toDF("vec_id", "embedding")
+    val fastMap = Semantic.assignAgainst(d, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // referee: driver-side argmax with the same normalize + dot arithmetic
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val vecsAll = vecs.map { case (id, v) => id -> v.map(_.toDouble) } :+
+      (999L -> dupOf)
+    vecsAll.foreach { case (id, raw) =>
+      val e = normalize(raw)
+      val scored = cents.map { case (cid, c) =>
+        (e.zip(c).map { case (a, b) => a * b }.sum, cid)
+      }
+      val bestCos = scored.map(_._1).max
+      val bestId = scored.filter(_._1 == bestCos).map(_._2).min // ties → lowest id
+      val (gotId, gotCos) = fastMap(id)
+      gotId shouldBe bestId
+      math.abs(gotCos - bestCos) should be <= 1e-6 // output rounds to 6 dp
+    }
+    // the probe's duplicate-centroid tie resolved to the ORIGINAL (lowest) id
+    fastMap(999L)._1 shouldBe 3L
+    // and the two FORMULATIONS agree bit-for-bit on the SAME reference set:
+    // the loop-codegen BestMatch column vs the hand-built unrolled
+    // array_max(struct(dotp, -id)) it replaces past the unroll limit
+    import org.apache.spark.sql.functions.{array, array_max, col, lit, struct, typedLit}
+    val norm = graft.corpus.Similarity.normalizedBase(d)
+    val unrolledCol = array_max(array(cents.map { case (id, re) =>
+      struct(graft.functions.VectorOps.dotp(col("e"), typedLit(re)).as("cos"),
+        lit(-id).as("nid"))
+    }: _*))
+    val loopCol = graft.functions.VectorOps.bestMatch(col("e"), cents)
+    val both = norm.select(col("vec_id"),
+        unrolledCol.getField("cos").as("uc"), unrolledCol.getField("nid").as("un"),
+        loopCol.getField("cos").as("lc"), loopCol.getField("nid").as("ln"))
+      .collect()
+    both.foreach { r =>
+      r.getDouble(1) shouldBe r.getDouble(3) // cosines identical, no tolerance
+      r.getLong(2) shouldBe r.getLong(4)
+    }
+  }
+
   test("assignAgainst routes a streaming corpus with fixed centroids") {
     val s = spark
     import s.implicits._
