@@ -107,7 +107,8 @@ object Scaling {
       ("documents", "x58_line_scrub",
         (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(d))),
       ("embeddings", "x6_cosine_topk", (e, _) => Similarity.cosineTopK(e)),
-      ("embeddings", "x7_ann_lsh", (e, _) => Similarity.annLsh(e)),
+      ("embeddings", "x7_ann_lsh", // bitsFor: occupancy-flat buckets, like kFor
+        (e, n) => Similarity.annLsh(e, bits = Similarity.bitsFor(n))),
       ("embeddings", "x13_ann_ivf", (e, _) => Similarity.annIvf(e)),
       ("embeddings", "x44_kmeans",
         (e, n) => Semantic.kmeansAssign(e, k = Semantic.kFor(n))),

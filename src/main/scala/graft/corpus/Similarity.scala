@@ -149,13 +149,22 @@ object Similarity {
     val cents = centroids.map(normalizedBase(_))
       .getOrElse(base.filter(col("vec_id") < numCentroids))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val assigned = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cid"),
-        dotp(col("e"), col("ce")).as("ac"))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("cid"))))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("e"), col("cid"))
+    // Corpus assignment is the N-scale half, so it must stay NARROW: the
+    // centroid table is broadcast-sized by contract (K × dim), so collect it
+    // and score with the loop-codegen'd BestMatch argmax — zero shuffle,
+    // JIT-safe at any K, identical choice to the window it replaces (max
+    // cosine, ties to the lowest cid; the crossJoin+row_number formulation
+    // pushed N × K rows through a partition-by-vec_id exchange just to pick
+    // each vector's max). The query-side probe ranking below keeps the
+    // window shape: its input is bounded by numQueries × K rows.
+    val centRows = cents.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq).toSeq
+    require(centRows.nonEmpty,
+      "annIvf needs a non-empty centroid set (empty corpus or numCentroids=0)")
+    val assigned = base
+      .withColumn("__bm", graft.functions.VectorOps.bestMatch(col("e"), centRows))
+      .select(col("vec_id"), col("e"),
+        (-col("__bm").getField("nid")).as("cid"))
     val probes = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .crossJoin(broadcast(cents))

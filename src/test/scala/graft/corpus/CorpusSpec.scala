@@ -669,6 +669,31 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("IVF corpus assignment is a narrow BestMatch pass (probe/result windows only)") {
+    val rnd = new scala.util.Random(13)
+    // parquet round-trip: a LocalRelation corpus would let the optimizer
+    // constant-fold the whole assignment at planning time (ConvertToLocal-
+    // Relation evaluates the projection), hiding the operator under test
+    val dir = java.nio.file.Files.createTempDirectory("ivf-plan").toString
+    emb((0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)): _*)
+      .write.parquet(s"$dir/emb.parquet")
+    val e = spark.read.parquet(s"$dir/emb.parquet")
+    val ivf = Similarity.annIvf(e, numCentroids = 20, nprobe = 2, numQueries = 3, k = 3)
+    val lp = ivf.queryExecution.optimizedPlan
+    // the N-scale assignment half scores with the loop-codegen argmax —
+    // no crossJoin + partition-by-vec_id window over N × K rows
+    lp.exists(_.expressions.exists(_.exists {
+      case _: graft.functions.BestMatch => true
+      case _ => false
+    })) shouldBe true
+    // exactly two Window operators survive: probe ranking (numQueries × K
+    // input) and final top-k (bounded candidates) — the corpus-wide third
+    // one is gone
+    lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    } should have size 2
+  }
+
   test("bitsFor scales ~log2(corpus) and never drops below the test default") {
     Similarity.bitsFor(100) shouldBe 6
     Similarity.bitsFor(64L << 20) shouldBe 20          // 64M vectors / 64 per bucket
