@@ -96,12 +96,18 @@ object Semantic {
     // HugeMethodLimit and the stage drops to the bytecode interpreter
     // (measured 33 s vs 4 s at k=59 vs 32 over 60 k vectors, SCALING.md).
     // kFor grows k with the corpus, so the large-k path is the 100 TB path.
+    // A NULL embedding NULLs the whole struct on BOTH paths (BestMatch is
+    // null-intolerant by construction; the unrolled branch needs the
+    // explicit guard — without it, every entry's cos is NULL and the
+    // lexicographic array_max would "assign" the lowest ref id): a missing
+    // vector must surface as id NULL, never as a silent deterministic
+    // assignment that changes with the reference count.
     val bm =
       if (sorted.size <= BestMatchUnrollLimit) {
         val entries = sorted.map { case (id, re) =>
           struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
         }
-        array_max(array(entries: _*))
+        when(col("e").isNotNull, array_max(array(entries: _*)))
       } else graft.functions.VectorOps.bestMatch(col("e"), sorted)
     base.withColumn("__bm", bm)
       .select(base.columns.toIndexedSeq.map(col) :+

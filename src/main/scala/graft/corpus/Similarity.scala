@@ -1,7 +1,8 @@
 package graft.corpus
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Similarity search over an embedding column (`embeddings(vec_id BIGINT,
   * embedding ARRAY<FLOAT>, label INT)`).
@@ -156,18 +157,42 @@ object Similarity {
     // cosine, ties to the lowest cid; the crossJoin+row_number formulation
     // pushed N × K rows through a partition-by-vec_id exchange just to pick
     // each vector's max). The query-side probe ranking below keeps the
-    // window shape: its input is bounded by numQueries × K rows.
+    // window shape: its input is bounded by numQueries × K rows — and it
+    // reuses the COLLECTED rows as a local relation, so the centroid
+    // sub-plan (scan + normalize) runs exactly once, in this collect.
     val centRows = cents.collect().map(r =>
       r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq).toSeq
-    require(centRows.nonEmpty,
-      "annIvf needs a non-empty centroid set (empty corpus or numCentroids=0)")
+    val spark = emb.sparkSession
+    if (centRows.isEmpty)
+      // empty corpus / empty centroid table: an empty RESULT (the pre-IVF
+      // contract every caller, incremental zero-row runs included, relies
+      // on), never a crash — with no cells there is nothing to search
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("qid", base.schema("vec_id").dataType),
+          StructField("neighbor_id", base.schema("vec_id").dataType),
+          StructField("rank", IntegerType, nullable = false),
+          StructField("cosine", DoubleType))))
+    else annIvfSearch(base, centRows, nprobe, numQueries, k)
+  }
+
+  private def annIvfSearch(base: DataFrame, centRows: Seq[(Long, Seq[Double])],
+      nprobe: Int, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = base
       .withColumn("__bm", graft.functions.VectorOps.bestMatch(col("e"), centRows))
       .select(col("vec_id"), col("e"),
         (-col("__bm").getField("nid")).as("cid"))
+    val centsLocal = base.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        centRows.map { case (id, v) => Row(id, v) }).asJava,
+      StructType(Seq(
+        StructField("cid", LongType, nullable = false),
+        StructField("ce", ArrayType(DoubleType), nullable = false))))
     val probes = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centsLocal))
       .select(col("qid"), col("qe"), col("cid"),
         dotp(col("qe"), col("ce")).as("pc"))
       .withColumn("prank", row_number().over(

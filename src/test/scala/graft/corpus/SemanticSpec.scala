@@ -179,8 +179,17 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     // one probe vector EQUAL to the duplicated centroid: its top-2 are the
     // duplicate ids 35/36 (plus original 3) at identical cosine
     val probe = 999L -> dupOf.map(_.toFloat)
-    val d = (vecs :+ probe).toDF("vec_id", "embedding")
-    val fastMap = Semantic.assignAgainst(d, cents).collect()
+    // one NULL embedding: both formulations must NULL the whole struct —
+    // the unrolled array_max would otherwise "assign" the lowest ref id
+    // (every cos NULL → lexicographic max falls through to nid)
+    val d = (vecs :+ probe :+ (998L -> null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val fastRows = Semantic.assignAgainst(d, cents).collect()
+    // the NULL embedding surfaces with a NULL assignment, it is never dropped
+    val fastNull = fastRows.filter(_.getLong(0) == 998L)
+    fastNull should have size 1
+    fastNull.head.isNullAt(1) shouldBe true
+    val fastMap = fastRows.filter(_.getLong(0) != 998L)
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // referee: driver-side argmax with the same normalize + dot arithmetic
     def normalize(v: Seq[Double]): Seq[Double] = {
@@ -205,21 +214,28 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     // and the two FORMULATIONS agree bit-for-bit on the SAME reference set:
     // the loop-codegen BestMatch column vs the hand-built unrolled
     // array_max(struct(dotp, -id)) it replaces past the unroll limit
-    import org.apache.spark.sql.functions.{array, array_max, col, lit, struct, typedLit}
+    import org.apache.spark.sql.functions.{array, array_max, col, lit, struct, typedLit, when}
     val norm = graft.corpus.Similarity.normalizedBase(d)
-    val unrolledCol = array_max(array(cents.map { case (id, re) =>
-      struct(graft.functions.VectorOps.dotp(col("e"), typedLit(re)).as("cos"),
-        lit(-id).as("nid"))
-    }: _*))
+    // the production unrolled branch, null-guard included (withBestMatch)
+    val unrolledCol = when(col("e").isNotNull,
+      array_max(array(cents.map { case (id, re) =>
+        struct(graft.functions.VectorOps.dotp(col("e"), typedLit(re)).as("cos"),
+          lit(-id).as("nid"))
+      }: _*)))
     val loopCol = graft.functions.VectorOps.bestMatch(col("e"), cents)
     val both = norm.select(col("vec_id"),
         unrolledCol.getField("cos").as("uc"), unrolledCol.getField("nid").as("un"),
         loopCol.getField("cos").as("lc"), loopCol.getField("nid").as("ln"))
       .collect()
     both.foreach { r =>
-      r.getDouble(1) shouldBe r.getDouble(3) // cosines identical, no tolerance
-      r.getLong(2) shouldBe r.getLong(4)
+      if (r.getLong(0) == 998L) // the NULL embedding: both paths NULL out
+        (1 to 4).foreach(i => r.isNullAt(i) shouldBe true)
+      else {
+        r.getDouble(1) shouldBe r.getDouble(3) // cosines identical, no tolerance
+        r.getLong(2) shouldBe r.getLong(4)
+      }
     }
+    both.count(_.getLong(0) == 998L) shouldBe 1
   }
 
   test("assignAgainst routes a streaming corpus with fixed centroids") {
