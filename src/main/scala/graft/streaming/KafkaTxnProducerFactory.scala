@@ -120,8 +120,12 @@ final case class KafkaTxnProducerFactory(
     * TOPIC but not this JVM-side cache, so each scan also prunes its own
     * txnIdBase's cached keys below `epochId - replayWindowEpochs` — Spark
     * only ever replays recent epochs, so a key that far behind the epoch
-    * being asked about can never be queried again (see
-    * [[KafkaTxnProducerFactory.DefaultReplayWindowEpochs]]). */
+    * being asked about should never be queried again (see
+    * [[KafkaTxnProducerFactory.DefaultReplayWindowEpochs]]). Should is not
+    * may: if a checkpoint rollback DOES reach below a pruned horizon, the
+    * cache self-heals rather than answering from the pruned (empty) view —
+    * [[MarkerScanCache.ensureAnswerable]] resets the watermark to 0 and the
+    * scan re-reads the partition from the beginning. */
   private def scanMarkers(markerTopic: String, txnIdBase: String,
       epochId: Long, onlyPartition: Option[Int]): Set[Int] = {
     val props = new java.util.Properties()
@@ -165,7 +169,10 @@ final case class KafkaTxnProducerFactory(
       val found = scala.collection.mutable.Set.empty[Int]
       pids.foreach { pid =>
         val cacheKey = s"$bootstrapServers|$markerTopic|$pid"
-        val (start, _) = MarkerScanCache.snapshot(cacheKey)
+        // a query below a previously pruned horizon resets the watermark to
+        // 0 first (self-healing full rescan) — see ensureAnswerable
+        MarkerScanCache.ensureAnswerable(cacheKey, txnIdBase, epochId)
+        val (gen, start, _) = MarkerScanCache.snapshot(cacheKey)
         val tp = tpCtor.newInstance(markerTopic, Integer.valueOf(pid))
           .asInstanceOf[AnyRef]
         val one = java.util.Collections.singletonList(tp)
@@ -177,11 +184,16 @@ final case class KafkaTxnProducerFactory(
           val fresh = scala.collection.mutable.Set.empty[String]
           // catch-up loop is bounded: a degraded broker connection returns
           // empty polls forever — fail after MaxEmptyPolls consecutive
-          // empties so the Spark task retry re-establishes the consumer
-          // instead of spinning indefinitely
+          // STALLED polls so the Spark task retry re-establishes the
+          // consumer instead of spinning indefinitely. "Stalled" means no
+          // records AND no position progress: under read_committed a poll
+          // over an abort-dense segment legitimately returns zero records
+          // while the position leaps past the aborted batches, and such a
+          // scan is healthy — only a poll that moves nothing counts.
           var emptyPolls = 0
-          while (positionM.invoke(consumer, tp)
-              .asInstanceOf[java.lang.Long].longValue() < end) {
+          var lastPos = positionM.invoke(consumer, tp)
+            .asInstanceOf[java.lang.Long].longValue()
+          while (lastPos < end) {
             val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
               .asInstanceOf[java.lang.Iterable[AnyRef]]
             var any = false
@@ -192,17 +204,21 @@ final case class KafkaTxnProducerFactory(
               if (key != null)
                 fresh += new String(key, java.nio.charset.StandardCharsets.UTF_8)
             }
-            emptyPolls = if (any) 0 else emptyPolls + 1
+            val pos = positionM.invoke(consumer, tp)
+              .asInstanceOf[java.lang.Long].longValue()
+            emptyPolls = if (any || pos > lastPos) 0 else emptyPolls + 1
+            lastPos = pos
             if (emptyPolls >= KafkaTxnProducerFactory.MaxEmptyPolls)
               throw new IllegalStateException(
                 s"marker scan stalled: $cacheKey returned " +
                   s"${KafkaTxnProducerFactory.MaxEmptyPolls} consecutive empty " +
-                  s"polls before reaching end offset $end")
+                  s"polls with no position progress before reaching end " +
+                  s"offset $end")
           }
-          MarkerScanCache.advance(cacheKey, end, fresh.toSet)
+          MarkerScanCache.advance(cacheKey, gen, end, fresh.toSet)
         }
         MarkerScanCache.prune(cacheKey, txnIdBase, epochId - replayWindowEpochs)
-        MarkerScanCache.snapshot(cacheKey)._2.foreach { k =>
+        MarkerScanCache.snapshot(cacheKey)._3.foreach { k =>
           TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
             .foreach(found += _)
         }
@@ -223,9 +239,11 @@ object KafkaTxnProducerFactory {
     * O(window × partitions) per txnIdBase instead of every-marker-ever. */
   val DefaultReplayWindowEpochs: Long = 10000L
 
-  /** Consecutive empty 500 ms polls tolerated while a scan's position is
-    * still short of the end offset (≈30 s of broker silence) before the
-    * scan throws and lets the Spark task retry rebuild the consumer. */
+  /** Consecutive stalled 500 ms polls (no records AND no consumer-position
+    * progress — read_committed polls that skip aborted batches advance the
+    * position and do not count) tolerated while a scan is still short of
+    * the end offset (≈30 s of broker silence) before the scan throws and
+    * lets the Spark task retry rebuild the consumer. */
   val MaxEmptyPolls: Int = 60
 
   /** JVM-WIDE incremental-scan watermarks for `scanMarkers` (companion, not
@@ -239,27 +257,56 @@ object KafkaTxnProducerFactory {
     * O(window × partitions) keys and a base that stops scanning freezes at
     * whatever was cached when it went quiet (finite, non-growing). */
   private[streaming] object MarkerScanCache {
+    // (generation, next offset to read, keys seen). The generation fences
+    // the lost-update race around [[reset]]: an advance() computed against
+    // a snapshot of an older generation must never resurrect a high
+    // watermark carrying the pre-reset (incomplete) key set.
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
-    def snapshot(key: String): (Long, Set[String]) =
-      cache.getOrDefault(key, (0L, Set.empty))
-    def advance(key: String, end: Long, fresh: Set[String]): Unit =
-      cache.merge(key, (end, fresh),
-        (a, b) => (math.max(a._1, b._1), a._2 ++ b._2))
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
+    // Per cacheKey: for each txnIdBase, the highest epoch horizon this JVM
+    // has pruned that base's keys below — epochs strictly below it are NOT
+    // answerable from the cache and need a from-zero rescan ([[reset]]).
+    private val prunedBelow =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+    def snapshot(key: String): (Long, Long, Set[String]) =
+      cache.getOrDefault(key, (0L, 0L, Set.empty))
+    def advance(key: String, gen: Long, end: Long, fresh: Set[String]): Unit =
+      cache.compute(key, (_, cur) =>
+        if (cur == null) (gen, end, fresh)
+        else if (cur._1 != gen) cur // stale scan from before a reset: drop
+        else (gen, math.max(cur._2, end), cur._3 ++ fresh))
     /** Drop cached keys belonging to `txnIdBase` whose epoch is strictly
-      * below `horizonEpoch`. Only the owning base's keys are touched —
-      * epoch counters of different queries sharing a marker topic are not
-      * comparable, and each live query prunes its own keys on every scan.
-      * Safe because the watermark never moves backwards: a pruned key can
-      * only matter to a future query about an epoch below the horizon,
-      * which the replay window guarantees will never be asked. */
+      * below `horizonEpoch`, RECORDING the horizon. Only the owning base's
+      * keys are touched — epoch counters of different queries sharing a
+      * marker topic are not comparable, and each live query prunes its own
+      * keys on every scan. A pruned key can only matter to a future query
+      * about an epoch below the horizon — which the replay window makes
+      * all but impossible, and which [[reset]] self-heals if it happens. */
     def prune(key: String, txnIdBase: String, horizonEpoch: Long): Unit = {
-      if (horizonEpoch > 0)
+      if (horizonEpoch > 0) {
+        prunedBelow.merge(key, Map(txnIdBase -> horizonEpoch), (a, b) =>
+          a + (txnIdBase -> math.max(a.getOrElse(txnIdBase, 0L), horizonEpoch)))
         cache.computeIfPresent(key, (_, v) =>
-          (v._1, v._2.filter { k =>
+          (v._1, v._2, v._3.filter { k =>
             TransactionalEpochSink.parseMarkerEpoch(k, txnIdBase)
               .forall(_ >= horizonEpoch)
           }))
+      }
+    }
+    /** Self-healing for the prune invariant: if `epochId` falls below the
+      * horizon this JVM previously pruned `txnIdBase`'s keys to (a deeper
+      * checkpoint rollback than the replay window anticipated), the cache
+      * CANNOT answer it — silently returning the pruned (empty) view would
+      * re-commit already-committed partitions and break exactly-once. Reset
+      * the entry instead: watermark back to 0 under a new generation, so
+      * the caller's scan re-reads the partition from the beginning. */
+    def ensureAnswerable(key: String, txnIdBase: String, epochId: Long): Unit = {
+      val horizon = prunedBelow.getOrDefault(key, Map.empty)
+        .getOrElse(txnIdBase, 0L)
+      if (epochId < horizon) {
+        prunedBelow.remove(key) // a from-zero rescan repopulates every base
+        cache.computeIfPresent(key, (_, cur) => (cur._1 + 1, 0L, Set.empty))
+      }
     }
   }
 }

@@ -102,7 +102,7 @@ class KafkaTxnFactoryBindingSpec extends AnyFunSuite with SparkSpec with Matcher
   }
 
   test("marker cache prunes the caller's keys below the replay horizon; other bases untouched") {
-    val (bootstrap, _) = freshCluster(s"prune-${System.nanoTime}")
+    val (bootstrap, cluster) = freshCluster(s"prune-${System.nanoTime}")
     val f = KafkaTxnProducerFactory(bootstrap, replayWindowEpochs = 10)
     def writeMarker(base: String, epoch: Long, pid: Int): Unit = {
       val p = f.open(TransactionalEpochSink.transactionalId(base, epoch, pid))
@@ -119,11 +119,16 @@ class KafkaTxnFactoryBindingSpec extends AnyFunSuite with SparkSpec with Matcher
     // JVM cache (the topic itself is untouched — this models broker
     // retention outliving the cache's usefulness)
     f.committedPartitions("markers", "jobA", 100L) shouldBe Set.empty
-    // pruned AND the watermark never rewinds: the below-horizon epoch is no
-    // longer answerable, by design (Spark never replays that far back)
-    f.committedPartitions("markers", "jobA", 1L) shouldBe Set.empty
+    // a query BELOW the pruned horizon (a checkpoint rollback deeper than
+    // the replay window) self-heals: the cache resets and the scan re-reads
+    // the partition from offset 0 instead of answering from the pruned view
+    // — which would report "nothing committed" and re-commit epoch 1
+    val polledBefore = cluster.recordsPolled
+    f.committedPartitions("markers", "jobA", 1L) shouldBe Set(0)
+    cluster.recordsPolled should be > polledBefore // re-read, not cache-answered
     // jobB's keys share the topic but belong to a different base — jobA's
-    // pruning must never touch them (epoch counters aren't comparable)
+    // pruning must never touch them (epoch counters aren't comparable), and
+    // the self-healing rescan repopulates them too
     f.committedPartitions("markers", "jobB", 1L) shouldBe Set(1)
   }
 
@@ -143,6 +148,23 @@ class KafkaTxnFactoryBindingSpec extends AnyFunSuite with SparkSpec with Matcher
     ex.getMessage should include("consecutive empty")
     // once the connection recovers, a task retry's fresh scan succeeds
     cluster.stallPolls = false
+    f.committedPartitions("markers", "base", 1L) shouldBe Set(0)
+  }
+
+  test("abort-dense segments never trip the stall guard: empty polls that advance the position are healthy") {
+    val (bootstrap, cluster) = freshCluster(s"abortskip-${System.nanoTime}")
+    val f = KafkaTxnProducerFactory(bootstrap)
+    val p = f.open(TransactionalEpochSink.transactionalId("base", 1L, 0))
+    p.begin()
+    p.send("markers", Some(0),
+      TransactionalEpochSink.markerKey("base", 1L, 0).getBytes("UTF-8"),
+      Array.emptyByteArray, Nil)
+    p.commit(); p.close()
+    // a tail of aborted transactions LONGER than the stall tolerance:
+    // read_committed polls over it return zero records while the position
+    // advances one offset per poll — a healthy scan that the guard must
+    // wait out, not kill (only no-records AND no-progress polls count)
+    cluster.abortedTailOffsets = KafkaTxnProducerFactory.MaxEmptyPolls + 10L
     f.committedPartitions("markers", "base", 1L) shouldBe Set(0)
   }
 

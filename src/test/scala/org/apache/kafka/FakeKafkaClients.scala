@@ -23,6 +23,12 @@ object FakeCluster {
     // simulates a degraded broker connection: polls return empty while the
     // end offset stays ahead of the position (the scan-deadline case)
     @volatile var stallPolls: Boolean = false
+    // simulates a tail of aborted transactions occupying offsets after the
+    // committed log: endOffsets includes them, and a read_committed poll
+    // over them returns ZERO records while the position advances one
+    // offset per poll (the abort-dense-segment case the stall guard must
+    // NOT misread as a dead connection)
+    @volatile var abortedTailOffsets: Long = 0L
 
     def fence(txnId: String): Long = synchronized {
       val g = generations(txnId) + 1; generations(txnId) = g; g
@@ -165,7 +171,8 @@ package clients.consumer {
       tps.asScala.foreach { t =>
         val tp = t.asInstanceOf[TopicPartition]
         m.put(tp.asInstanceOf[AnyRef],
-          java.lang.Long.valueOf(cluster.endOffset(tp.topic(), tp.partition())))
+          java.lang.Long.valueOf(cluster.endOffset(tp.topic(), tp.partition())
+            + cluster.abortedTailOffsets))
       }
       m
     }
@@ -180,6 +187,10 @@ package clients.consumer {
           cluster.read(tp.topic(), tp.partition(), from, end)
             .foreach(k => out += new FakeConsumerRecord(k))
           positions(tp) = end
+        } else if (from < end + cluster.abortedTailOffsets) {
+          // abort-dense tail: no records surface under read_committed, but
+          // the position steps past one aborted offset per poll
+          positions(tp) = from + 1
         }
       }
       out.asJava
