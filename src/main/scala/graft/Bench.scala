@@ -45,7 +45,9 @@ object Bench {
     // the FRONT of the JSON gets clipped, so every byte counts (10 ms
     // granularity is well inside run-to-run variance at sf0.1).
     def ms(v: Double): String = {
-      val s = "%.2f".format(v)
+      // Locale.ROOT: default-locale formatting writes comma decimals on
+      // e.g. de_DE JVMs, which is invalid JSON
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       val t = s.replaceAll("0+$", "").stripSuffix(".")
       if (t.isEmpty) "0" else t
     }

@@ -171,14 +171,30 @@ object StreamBench {
     complete("b-chunk")
 
     rq.stop(); nq.stop(); tq.stop()
-    val expectValid = 2L * nRecords / 10 * 9 + 900  // warm batch included
-    require(sinks.counted.get() == 2L * nRecords + 1000,
-      s"count mismatch: ${sinks.counted.get()} != ${2L * nRecords + 1000}")
+    // exact census of rec()'s 10%-malformed convention (ids i%10==9), no
+    // divisibility assumption: bulk + chunked each replay ids [0, nRecords),
+    // the warm batch ids [0, 1000)
+    def validIn(n: Long): Long = n - n / 10
+    val expectValid = 2L * validIn(nRecords.toLong) + validIn(1000L)
+    val expectTotal = 2L * nRecords + 1000L
+    // self-check the SPLIT, not just the total — a validator regression that
+    // flips records between the valid and invalid sinks keeps the total
+    // intact and must still fail the bench
+    require(sinks.counted.get() == expectTotal,
+      s"count mismatch: ${sinks.counted.get()} != $expectTotal")
+    require(sinks.valid.get() == expectValid,
+      s"valid-count mismatch: ${sinks.valid.get()} != $expectValid")
+    require(sinks.invalid.get() == expectTotal - expectValid,
+      s"invalid-count mismatch: ${sinks.invalid.get()} != " +
+        s"${expectTotal - expectValid}")
     def rps(sec: Double): Long = (nRecords / sec).toLong
+    // Locale.ROOT: an f-interpolation writes comma decimals on e.g. de_DE
+    // JVMs, which is invalid JSON
+    def s2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
       s""""valid":${sinks.valid.get()},"invalid":${sinks.invalid.get()},""" +
       s""""expect_valid":$expectValid,""" +
-      f""""bulk_sec":$bulkSec%.2f,"chunked_sec":$chunkSec%.2f,""" +
+      s""""bulk_sec":${s2(bulkSec)},"chunked_sec":${s2(chunkSec)},""" +
       s""""chunked_rps":${rps(chunkSec)},"bulk_rps":${rps(bulkSec)}}"""
     println(line)
     java.nio.file.Files.write(

@@ -161,6 +161,26 @@ case class BestMatch(child: Expression, ids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): BestMatch =
     copy(child = newChild)
+
+  // The generated case-class equality compares the Array fields by REFERENCE,
+  // so two bestMatch columns built from the same reference set would never
+  // compare equal — silently defeating common-subexpression elimination,
+  // exchange/subquery reuse, and cached-plan matching (all go through
+  // semanticEquals, which canonicalizes then uses ==). Compare and hash the
+  // array CONTENTS instead.
+  override def equals(other: Any): Boolean = other match {
+    case BestMatch(c, oids, orefs) =>
+      child == c && java.util.Arrays.equals(ids, oids) &&
+        java.util.Arrays.deepEquals(refs.asInstanceOf[Array[AnyRef]],
+          orefs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + java.util.Arrays.hashCode(ids)
+    h = 31 * h + java.util.Arrays.deepHashCode(refs.asInstanceOf[Array[AnyRef]])
+    h
+  }
 }
 
 /** Column-level vector math built on [[DotProduct]]. */

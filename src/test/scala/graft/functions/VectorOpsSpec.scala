@@ -67,4 +67,36 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     d.select(VectorOps.cosine(col("a"), col("b"))).collect()
       .head.getDouble(0) shouldBe 1.0 +- 1e-12
   }
+
+  test("bestMatch columns built from equal reference sets are semantically equal") {
+    // two separately-built columns carry DISTINCT Array instances; the
+    // default case-class equality (reference identity on arrays) would call
+    // them different expressions, and CSE / exchange reuse / cached-plan
+    // matching — all routed through semanticEquals — would silently miss
+    // unit level: equal-content, distinct-instance arrays under an
+    // identical (literal) child
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def mk(last: Double) = BestMatch(
+      Literal.create(Array(1.0, 0.0), ArrayType(DoubleType)),
+      Array(1L, 2L), Array(Array(1.0, 0.0), Array(0.0, last)))
+    val (a, b) = (mk(1.0), mk(1.0))
+    (a == b) shouldBe true
+    a.hashCode() shouldBe b.hashCode()
+    a.semanticEquals(b) shouldBe true
+    // different contents still differ
+    val c = mk(0.5)
+    (a == c) shouldBe false
+    a.semanticEquals(c) shouldBe false
+    // plan level: in two analyses of the same query (children resolved to
+    // AttributeReferences), the bestMatch projections are semantically equal
+    // — the property CSE / exchange reuse / cached-plan matching relies on
+    import spark.implicits._
+    val refs = Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val d = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+    def analyzedBm() = d.select(VectorOps.bestMatch(col("e"), refs).as("bm"))
+      .queryExecution.analyzed.expressions.flatMap(_.collect {
+        case x: BestMatch => x
+      }).head
+    analyzedBm().semanticEquals(analyzedBm()) shouldBe true
+  }
 }
