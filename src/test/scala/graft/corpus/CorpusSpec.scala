@@ -692,6 +692,17 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     lp.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     } should have size 2
+    // and the probe side's centroid table is the already-COLLECTED local
+    // relation: the centroid sub-plan (scan + normalize + train) runs once,
+    // in the collect — the query re-scans the corpus only for assignment
+    // and probe selection (a recomputed centroid branch doubled x13's
+    // bench time before this was pinned)
+    lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    } should have size 2
+    lp.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    } should have size 1
   }
 
   test("bitsFor scales ~log2(corpus) and never drops below the test default") {
