@@ -1,16 +1,20 @@
 package graft
 
 import graft.corpus.{Semantic, Similarity, TextDedup}
+import graft.queries.RelationalQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical scaling harness for the corpus-bound operators of BOTH data
-  * planes — text (x3 MinHash+LSH, x20 cluster formation, x37 cross-doc
-  * spans, x58 line scrub) and vector (x6 brute top-k, x7 sign-LSH ANN,
-  * x13 IVF ANN, x44 k-means at the kFor occupancy policy, x45 semantic
-  * dedup): generates replica-scaled corpora from the sf0.1 `documents`
-  * and `embeddings` tables, measures wall-time at each scale, and emits
-  * one JSON report the fit script turns into `SCALING.md`.
+/** Empirical scaling harness for the corpus-bound operators of ALL THREE
+  * data planes — text (x3 MinHash+LSH, x20 cluster formation, x37
+  * cross-doc spans, x58 line scrub), vector (x6 brute top-k, x7 sign-LSH
+  * ANN, x13 IVF ANN, x44 k-means at the kFor occupancy policy, x45
+  * semantic dedup), and relational (q1 scan-bound aggregate, q7 session
+  * windows, and the two custom interval joins q8 as-of / q9 range — the
+  * operators where a hidden per-key quadratic would live): generates
+  * replica-scaled corpora from the sf0.1 tables, measures wall-time at
+  * each scale, and emits one JSON report the fit script turns into
+  * `SCALING.md`.
   *
   * Corpus construction — EXACT m× workload, zero confounds: scale m is the
   * base corpus unioned with m-1 replicas whose doc_ids are shifted by a
@@ -94,45 +98,85 @@ object Scaling {
       scaled.write.mode("overwrite").parquet(s"$workDir/x$m/embeddings.parquet")
     }
 
-    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
-    // (table, op, plan builder); the builder also receives the scale's row
-    // count so the k-means ops can apply the kFor occupancy policy — the
-    // documented deployment contract (k grows to hold cluster occupancy
-    // flat, which is what keeps x45's pair work linear)
-    val ops: Seq[(String, String, (DataFrame, Long) => DataFrame)] = Seq(
-      ("documents", "x3_minhash_lsh", (d, _) => TextDedup.minhashPairs(d)),
-      ("documents", "x20_dedup_clusters", (d, _) => TextDedup.dedupClusters(
-        TextDedup.minhashPairs(d), onConverged = rounds.set)),
-      ("documents", "x37_cross_doc_spans", (d, _) => TextDedup.crossDocSpans(d)),
-      ("documents", "x58_line_scrub",
-        (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(d))),
-      ("embeddings", "x6_cosine_topk", (e, _) => Similarity.cosineTopK(e)),
-      ("embeddings", "x7_ann_lsh", // bitsFor: occupancy-flat buckets, like kFor
-        (e, n) => Similarity.annLsh(e, bits = Similarity.bitsFor(n))),
-      ("embeddings", "x13_ann_ivf", (e, _) => Similarity.annIvf(e)),
-      ("embeddings", "x44_kmeans",
-        (e, n) => Semantic.kmeansAssign(e, k = Semantic.kFor(n))),
-      ("embeddings", "x45_semantic_dedup",
-        (e, n) => Semantic.semanticDedup(e, k = Semantic.kFor(n))))
+    // RELATIONAL PLANE — key-shifted replicas: each replica's per-key groups
+    // are exact copies of base groups under disjoint keys, so session
+    // windows, as-of carries, and range-join fan-outs reproduce the base
+    // workload exactly m× (events.user_id and orders.o_custkey shift by the
+    // SAME offset, preserving every q8 event↔order association per replica).
+    // lineitem replicates unshifted: q1 groups on returnflag/linestatus, so
+    // its workload is m× input rows into a fixed-cardinality aggregate.
+    val relBaseCounts = Seq(
+      ("events", Seq("event_id", "user_id")),
+      ("orders", Seq("o_orderkey", "o_custkey")),
+      ("lineitem", Seq.empty[String])).map { case (name, keys) =>
+      // Tables.table, not a raw read: events.ts is INT64 TIMESTAMP(NANOS),
+      // readable only under the nanos-as-long legacy mode (the scaled copy
+      // is then written as a plain bigint, which every reader accepts)
+      val b = graft.util.Tables.table(spark, baseDir, name)
+      scales.foreach { m =>
+        val scaled = (0 until m).map { k =>
+          if (k == 0) b
+          else keys.foldLeft(b)((df, c) => df.withColumn(c, col(c) + lit(k * offset)))
+        }.reduce(_ unionAll _)
+        scaled.write.mode("overwrite").parquet(s"$workDir/x$m/$name.parquet")
+      }
+      name -> b.count()
+    }
 
-    def runOnce(fn: DataFrame => DataFrame, path: String): Double = {
-      val input = spark.read.parquet(path)
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // (primary table for the occupancy-policy row count, op, plan builder
+    // over the SCALE DIRECTORY — multi-table relational ops read whatever
+    // they need from it; the builder also receives the primary table's row
+    // count at this scale so the k-means/LSH ops can apply the kFor/bitsFor
+    // occupancy policies — the documented deployment contract (k and bits
+    // grow to hold occupancy flat, which is what keeps pair work linear)
+    def rd(dir: String, table: String): DataFrame =
+      spark.read.parquet(s"$dir/$table.parquet")
+    val ops: Seq[(String, String, (String, Long) => DataFrame)] = Seq(
+      ("documents", "x3_minhash_lsh",
+        (d, _) => TextDedup.minhashPairs(rd(d, "documents"))),
+      ("documents", "x20_dedup_clusters", (d, _) => TextDedup.dedupClusters(
+        TextDedup.minhashPairs(rd(d, "documents")), onConverged = rounds.set)),
+      ("documents", "x37_cross_doc_spans",
+        (d, _) => TextDedup.crossDocSpans(rd(d, "documents"))),
+      ("documents", "x58_line_scrub",
+        (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(rd(d, "documents")))),
+      ("embeddings", "x6_cosine_topk", (d, _) => Similarity.cosineTopK(rd(d, "embeddings"))),
+      ("embeddings", "x7_ann_lsh", // bitsFor: occupancy-flat buckets, like kFor
+        (d, n) => Similarity.annLsh(rd(d, "embeddings"), bits = Similarity.bitsFor(n))),
+      ("embeddings", "x13_ann_ivf", (d, _) => Similarity.annIvf(rd(d, "embeddings"))),
+      ("embeddings", "x44_kmeans",
+        (d, n) => Semantic.kmeansAssign(rd(d, "embeddings"), k = Semantic.kFor(n))),
+      ("embeddings", "x45_semantic_dedup",
+        (d, n) => Semantic.semanticDedup(rd(d, "embeddings"), k = Semantic.kFor(n))),
+      // relational plane, through the same entry points the bench runs
+      ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
+      ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
+      ("events", "q8_asof_last_order",
+        (d, _) => RelationalQueries.q8AsofLastOrder(spark, d)),
+      ("orders", "q9_range_followups",
+        (d, _) => RelationalQueries.q9RangeFollowups(spark, d)))
+
+    val baseCounts: Map[String, Long] =
+      relBaseCounts.toMap ++ Map("documents" -> baseN, "embeddings" -> embBaseN)
+
+    def runOnce(plan: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(input).write.format("noop").mode("overwrite").save()
+      plan().write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc() // the Bench hygiene: don't bill later cells for this one
       dt
     }
 
     val cells = for (m <- scales; (table, name, fn) <- ops) yield {
-      val path = s"$workDir/x$m/$table.parquet"
-      val n = if (table == "embeddings") m * embBaseN else m * baseN
-      val bound: DataFrame => DataFrame = df => fn(df, n)
+      val dir = s"$workDir/x$m"
+      val n = m * baseCounts(table)
+      val bound = () => fn(dir, n)
       rounds.set(-1)
       val nRows = // untimed warm run; also the linearity evidence
-        bound(spark.read.parquet(path)).count()
+        bound().count()
       val nRounds = rounds.get() // set only by x20's warm run
-      val times = (1 to iters).map(_ => runOnce(bound, path))
+      val times = (1 to iters).map(_ => runOnce(bound))
       System.err.println(f"scale=$m%2d $name%-20s rows=$nRows%9d " +
         f"min=${times.min}%7.2fs all=${times.map(t => f"$t%.2f").mkString(",")}" +
         (if (nRounds >= 0) s" rounds=$nRounds" else ""))
