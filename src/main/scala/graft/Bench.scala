@@ -44,13 +44,7 @@ object Bench {
     // the line ~2.1 KB, and the driver's stdout tail-capture window is 2 KB —
     // the FRONT of the JSON gets clipped, so every byte counts (10 ms
     // granularity is well inside run-to-run variance at sf0.1).
-    def ms(v: Double): String = {
-      // Locale.ROOT: default-locale formatting writes comma decimals on
-      // e.g. de_DE JVMs, which is invalid JSON
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      val t = s.replaceAll("0+$", "").stripSuffix(".")
-      if (t.isEmpty) "0" else t
-    }
+    def ms(v: Double): String = graft.util.JsonNum.compact2(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // errors is ALWAYS present (empty {} when clean): a fixed-schema consumer

@@ -185,10 +185,8 @@ object Scaling {
 
     val json = cells.map { case (m, name, nRows, times, nRounds) =>
       s"""{"scale":$m,"op":"$name","rows":$nRows,""" +
-        // Locale.ROOT: an f-interpolation writes comma decimals on e.g.
-        // de_DE JVMs, which is invalid JSON
         s""""times":[${times.map(t =>
-          "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",")}]""" +
+          graft.util.JsonNum.fixed(t, 3)).mkString(",")}]""" +
         (if (nRounds >= 0) s""","rounds":$nRounds""" else "") + "}"
     }.mkString("[", ",", "]")
     val line = s"""{"base":"$baseDir","cpus":$cpus,"cells":$json}"""

@@ -44,7 +44,11 @@ object StreamBench {
     var forward: DataFrame => Unit = _ => ()
     def valid(df: DataFrame, epochId: Long): Unit = valid.addAndGet(df.count())
     def invalid(df: DataFrame, epochId: Long): Unit = invalid.addAndGet(df.count())
-    def counts(df: DataFrame, epochId: Long): Unit = { counted.addAndGet(df.count()); forward(df) }
+    // ONE scan of the counts micro-batch: the per-batch deltas the tracker
+    // handoff aggregates already carry the total (valid + invalid sums), so
+    // a separate count() here would materialize the same frame a second
+    // time inside the timed region — `counted` is accumulated in `forward`
+    def counts(df: DataFrame, epochId: Long): Unit = forward(df)
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,8 +100,11 @@ object StreamBench {
           .when(org.apache.spark.sql.functions.col("isValid"), 1L).otherwise(0L)),
         org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
           .when(org.apache.spark.sql.functions.col("isValid"), 0L).otherwise(1L))).collect()
-      agg.foreach(r => trackerIn.addData(TrackerInput.count(
-        graft.model.CountsDelta(r.getString(0), r.getLong(1), r.getLong(2)))))
+      agg.foreach { r =>
+        sinks.counted.addAndGet(r.getLong(1) + r.getLong(2))
+        trackerIn.addData(TrackerInput.count(
+          graft.model.CountsDelta(r.getString(0), r.getLong(1), r.getLong(2))))
+      }
     }
     val nq = ValidationStream.startNotificationQuery(notifications.toDF(), store, dir)
     val rq = ValidationStream.startRecordQuery(
@@ -188,9 +195,7 @@ object StreamBench {
       s"invalid-count mismatch: ${sinks.invalid.get()} != " +
         s"${expectTotal - expectValid}")
     def rps(sec: Double): Long = (nRecords / sec).toLong
-    // Locale.ROOT: an f-interpolation writes comma decimals on e.g. de_DE
-    // JVMs, which is invalid JSON
-    def s2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def s2(v: Double): String = graft.util.JsonNum.fixed(v, 2)
     val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
       s""""valid":${sinks.valid.get()},"invalid":${sinks.invalid.get()},""" +
       s""""expect_valid":$expectValid,""" +

@@ -160,20 +160,22 @@ object Similarity {
     // window shape: its input is bounded by numQueries × K rows — and it
     // reuses the COLLECTED rows as a local relation, so the centroid
     // sub-plan (scan + normalize) runs exactly once, in this collect.
-    val centRows = cents.collect().map(r =>
+    // a NULL-embedding centroid can never win an assignment (its cosine is
+    // NULL, which loses every max contest — exactly how the replaced window
+    // formulation treated it), so drop it BEFORE the collect instead of
+    // NPE-ing on getSeq(null)
+    val centRows = cents.filter(col("ce").isNotNull).collect().map(r =>
       r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq).toSeq
     val spark = emb.sparkSession
     if (centRows.isEmpty)
       // empty corpus / empty centroid table: an empty RESULT (the pre-IVF
       // contract every caller, incremental zero-row runs included, relies
-      // on), never a crash — with no cells there is nothing to search
+      // on), never a crash — with no cells there is nothing to search. The
+      // schema comes from the real search PLAN (built with a dummy centroid,
+      // never executed), so the two branches cannot drift apart
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](),
-        StructType(Seq(
-          StructField("qid", base.schema("vec_id").dataType),
-          StructField("neighbor_id", base.schema("vec_id").dataType),
-          StructField("rank", IntegerType, nullable = false),
-          StructField("cosine", DoubleType))))
+        annIvfSearch(base, Seq(0L -> Seq(1.0)), nprobe, numQueries, k).schema)
     else annIvfSearch(base, centRows, nprobe, numQueries, k)
   }
 

@@ -51,7 +51,7 @@ object BloomGate {
     * used directly inherits whatever the session confs say — prefer this
     * entry point. */
   def build(items: DataFrame, colName: String, expectedItems: Long,
-      fpp: Double = 0.01): Array[Byte] = {
+      fpp: Double = 0.01): Array[Byte] = buildLock.synchronized {
     val conf = items.sparkSession.conf
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
@@ -69,6 +69,14 @@ object BloomGate {
         .head().getAs[Array[Byte]]("bf")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  // Serializes build(): the save/raise/restore around the session conf is a
+  // read-modify-write, so two concurrent builds could interleave such that
+  // one's finally-restore LOWERS the cap while the other's aggregation still
+  // analyzes against it (and the second would then "restore" the first's
+  // raised value, corrupting the session default). Builds are rare driver
+  // control-plane actions, so one JVM-wide lock costs nothing.
+  private val buildLock = new Object
 
   /** Narrow membership test of `c` against driver-held filter bytes. No
     * false negatives ever; false positives at the built fpp — callers MUST

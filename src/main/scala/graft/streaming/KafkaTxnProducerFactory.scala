@@ -179,9 +179,9 @@ final case class KafkaTxnProducerFactory(
         assignM.invoke(consumer, one)
         val end = endOffsetsM.invoke(consumer, one)
           .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]].get(tp).longValue()
+        val fresh = scala.collection.mutable.Set.empty[String]
         if (end > start) {
           seekM.invoke(consumer, tp, java.lang.Long.valueOf(start))
-          val fresh = scala.collection.mutable.Set.empty[String]
           // catch-up loop is bounded: a degraded broker connection returns
           // empty polls forever — fail after MaxEmptyPolls consecutive
           // STALLED polls so the Spark task retry re-establishes the
@@ -217,8 +217,15 @@ final case class KafkaTxnProducerFactory(
           }
           MarkerScanCache.advance(cacheKey, gen, end, fresh.toSet)
         }
-        MarkerScanCache.prune(cacheKey, txnIdBase, epochId - replayWindowEpochs)
-        MarkerScanCache.snapshot(cacheKey)._3.foreach { k =>
+        MarkerScanCache.prune(cacheKey, gen, txnIdBase, epochId - replayWindowEpochs)
+        // the answer unions the cache view with THIS scan's own reads: if a
+        // concurrent reset bumped the generation mid-scan (dropping our
+        // advance) or a concurrent high-epoch prune raced us, the keys we
+        // read off the broker read-committed are still authoritative — an
+        // answer built only from the shared view could report a partition
+        // uncommitted that we just SAW committed, and the sink would
+        // re-publish it
+        (MarkerScanCache.snapshot(cacheKey)._3 ++ fresh).foreach { k =>
           TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
             .foreach(found += _)
         }
@@ -281,13 +288,22 @@ object KafkaTxnProducerFactory {
       * marker topic are not comparable, and each live query prunes its own
       * keys on every scan. A pruned key can only matter to a future query
       * about an epoch below the horizon — which the replay window makes
-      * all but impossible, and which [[reset]] self-heals if it happens. */
-    def prune(key: String, txnIdBase: String, horizonEpoch: Long): Unit = {
+      * all but impossible, and which [[ensureAnswerable]] self-heals if it
+      * happens. Generation-fenced like [[advance]]: a scan holding a
+      * pre-reset generation must not prune the view a concurrent
+      * deep-rollback rescan is rebuilding (it could delete the very
+      * low-epoch keys that rescan just re-read). The horizon is recorded
+      * BEFORE the cache filter and even when the filter is skipped — a
+      * recorded horizon without a prune only costs a future from-zero
+      * rescan, while a prune without a recorded horizon would let a later
+      * low-epoch query answer from the pruned view. */
+    def prune(key: String, gen: Long, txnIdBase: String, horizonEpoch: Long): Unit = {
       if (horizonEpoch > 0) {
         prunedBelow.merge(key, Map(txnIdBase -> horizonEpoch), (a, b) =>
           a + (txnIdBase -> math.max(a.getOrElse(txnIdBase, 0L), horizonEpoch)))
         cache.computeIfPresent(key, (_, v) =>
-          (v._1, v._2, v._3.filter { k =>
+          if (v._1 != gen) v
+          else (v._1, v._2, v._3.filter { k =>
             TransactionalEpochSink.parseMarkerEpoch(k, txnIdBase)
               .forall(_ >= horizonEpoch)
           }))

@@ -657,6 +657,22 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     ivf shouldBe exact
   }
 
+  test("IVF drops a NULL-embedding centroid instead of NPE-ing; full probing still matches exact") {
+    val rnd = new scala.util.Random(13)
+    import spark.implicits._
+    // vec_id 1 sits INSIDE the default-centroid id range with a NULL
+    // embedding: the centroid collect must drop it (a null centroid loses
+    // every cosine contest anyway), not NPE at plan-construction time
+    val e = (0L until 40L)
+      .map(i => (i, if (i == 1L) null else Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(e, numQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.annIvf(e, numCentroids = 4, nprobe = 4, numQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe exact
+  }
+
   test("IVF partial probing searches a subset: results are a (possibly partial) top-k") {
     val rnd = new scala.util.Random(11)
     val e = emb((0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)): _*)
