@@ -169,63 +169,57 @@ final case class KafkaTxnProducerFactory(
       val found = scala.collection.mutable.Set.empty[Int]
       pids.foreach { pid =>
         val cacheKey = s"$bootstrapServers|$markerTopic|$pid"
-        // a query below a previously pruned horizon resets the watermark to
-        // 0 first (self-healing full rescan) — see ensureAnswerable
-        MarkerScanCache.ensureAnswerable(cacheKey, txnIdBase, epochId)
-        val (gen, start, _) = MarkerScanCache.snapshot(cacheKey)
         val tp = tpCtor.newInstance(markerTopic, Integer.valueOf(pid))
           .asInstanceOf[AnyRef]
         val one = java.util.Collections.singletonList(tp)
         assignM.invoke(consumer, one)
-        val end = endOffsetsM.invoke(consumer, one)
-          .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]].get(tp).longValue()
-        val fresh = scala.collection.mutable.Set.empty[String]
-        if (end > start) {
-          seekM.invoke(consumer, tp, java.lang.Long.valueOf(start))
-          // catch-up loop is bounded: a degraded broker connection returns
-          // empty polls forever — fail after MaxEmptyPolls consecutive
-          // STALLED polls so the Spark task retry re-establishes the
-          // consumer instead of spinning indefinitely. "Stalled" means no
-          // records AND no position progress: under read_committed a poll
-          // over an abort-dense segment legitimately returns zero records
-          // while the position leaps past the aborted batches, and such a
-          // scan is healthy — only a poll that moves nothing counts.
-          var emptyPolls = 0
-          var lastPos = positionM.invoke(consumer, tp)
-            .asInstanceOf[java.lang.Long].longValue()
-          while (lastPos < end) {
-            val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
-              .asInstanceOf[java.lang.Iterable[AnyRef]]
-            var any = false
-            records.forEach { rec =>
-              any = true
-              val key = rec.getClass.getMethod("key").invoke(rec)
-                .asInstanceOf[Array[Byte]]
-              if (key != null)
-                fresh += new String(key, java.nio.charset.StandardCharsets.UTF_8)
-            }
-            val pos = positionM.invoke(consumer, tp)
+        // the cache-choreography (answerability reset, watermark snapshot,
+        // merge, prune, post-validation retry) lives in scanWith — this
+        // closure only reads the broker's [start, end) key range
+        val keys = MarkerScanCache.scanWith(
+            cacheKey, txnIdBase, epochId, replayWindowEpochs) { start =>
+          val end = endOffsetsM.invoke(consumer, one)
+            .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]].get(tp).longValue()
+          val fresh = scala.collection.mutable.Set.empty[String]
+          if (end > start) {
+            seekM.invoke(consumer, tp, java.lang.Long.valueOf(start))
+            // catch-up loop is bounded: a degraded broker connection returns
+            // empty polls forever — fail after MaxEmptyPolls consecutive
+            // STALLED polls so the Spark task retry re-establishes the
+            // consumer instead of spinning indefinitely. "Stalled" means no
+            // records AND no position progress: under read_committed a poll
+            // over an abort-dense segment legitimately returns zero records
+            // while the position leaps past the aborted batches, and such a
+            // scan is healthy — only a poll that moves nothing counts.
+            var emptyPolls = 0
+            var lastPos = positionM.invoke(consumer, tp)
               .asInstanceOf[java.lang.Long].longValue()
-            emptyPolls = if (any || pos > lastPos) 0 else emptyPolls + 1
-            lastPos = pos
-            if (emptyPolls >= KafkaTxnProducerFactory.MaxEmptyPolls)
-              throw new IllegalStateException(
-                s"marker scan stalled: $cacheKey returned " +
-                  s"${KafkaTxnProducerFactory.MaxEmptyPolls} consecutive empty " +
-                  s"polls with no position progress before reaching end " +
-                  s"offset $end")
+            while (lastPos < end) {
+              val records = pollM.invoke(consumer, java.time.Duration.ofMillis(500))
+                .asInstanceOf[java.lang.Iterable[AnyRef]]
+              var any = false
+              records.forEach { rec =>
+                any = true
+                val key = rec.getClass.getMethod("key").invoke(rec)
+                  .asInstanceOf[Array[Byte]]
+                if (key != null)
+                  fresh += new String(key, java.nio.charset.StandardCharsets.UTF_8)
+              }
+              val pos = positionM.invoke(consumer, tp)
+                .asInstanceOf[java.lang.Long].longValue()
+              emptyPolls = if (any || pos > lastPos) 0 else emptyPolls + 1
+              lastPos = pos
+              if (emptyPolls >= KafkaTxnProducerFactory.MaxEmptyPolls)
+                throw new IllegalStateException(
+                  s"marker scan stalled: $cacheKey returned " +
+                    s"${KafkaTxnProducerFactory.MaxEmptyPolls} consecutive empty " +
+                    s"polls with no position progress before reaching end " +
+                    s"offset $end")
+            }
           }
-          MarkerScanCache.advance(cacheKey, gen, end, fresh.toSet)
+          (end, fresh.toSet)
         }
-        MarkerScanCache.prune(cacheKey, gen, txnIdBase, epochId - replayWindowEpochs)
-        // the answer unions the cache view with THIS scan's own reads: if a
-        // concurrent reset bumped the generation mid-scan (dropping our
-        // advance) or a concurrent high-epoch prune raced us, the keys we
-        // read off the broker read-committed are still authoritative — an
-        // answer built only from the shared view could report a partition
-        // uncommitted that we just SAW committed, and the sink would
-        // re-publish it
-        (MarkerScanCache.snapshot(cacheKey)._3 ++ fresh).foreach { k =>
+        keys.foreach { k =>
           TransactionalEpochSink.parseMarker(k, txnIdBase, epochId)
             .foreach(found += _)
         }
@@ -277,6 +271,51 @@ object KafkaTxnProducerFactory {
       new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
     def snapshot(key: String): (Long, Long, Set[String]) =
       cache.getOrDefault(key, (0L, 0L, Set.empty))
+
+    /** The highest horizon this JVM has recorded pruning `txnIdBase`'s keys
+      * below for `key` (0 = never pruned). */
+    def horizonFor(key: String, txnIdBase: String): Long =
+      prunedBelow.getOrDefault(key, Map.empty).getOrElse(txnIdBase, 0L)
+
+    /** One complete incremental scan for (`key`, `txnIdBase`, `epochId`) —
+      * THE entry point; the primitives below are its building blocks.
+      * `readRange(start)` must return `(end, keys in [start, end))` from the
+      * underlying log. Choreography per attempt: ensure the epoch is
+      * answerable (deep-rollback reset), snapshot the watermark, read the
+      * tail, merge it, prune this base below `epochId - horizonWindow`,
+      * then VALIDATE before answering: the answer may lean on the cached
+      * `[0, start)` prefix only if no concurrent scanner reset the entry
+      * (generation unchanged) and no concurrent prune recorded a horizon
+      * above our epoch while we scanned — either could have removed this
+      * epoch's keys from the prefix we did not read ourselves, and a lost
+      * key here means a committed partition re-publishes (the exactly-once
+      * break). A failed validation retries; the retry's ensureAnswerable
+      * resets the watermark, `readRange(0)` re-reads the whole log, and a
+      * `start == 0` scan is self-contained — immune to every concurrent
+      * mutation — so the loop settles in practice on the second attempt.
+      * The returned set always contains every key THIS attempt read plus
+      * the validated cache view. */
+    def scanWith(key: String, txnIdBase: String, epochId: Long,
+        horizonWindow: Long)(readRange: Long => (Long, Set[String])): Set[String] = {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        ensureAnswerable(key, txnIdBase, epochId)
+        val (gen, start, _) = snapshot(key)
+        val (end, fresh) = readRange(start)
+        if (end > start) advance(key, gen, end, fresh)
+        prune(key, gen, txnIdBase, epochId - horizonWindow)
+        val view = snapshot(key)
+        if (start == 0L ||
+            (view._1 == gen && horizonFor(key, txnIdBase) <= epochId))
+          return view._3 ++ fresh
+        if (attempts >= 50)
+          throw new IllegalStateException(
+            s"marker-cache scan for $key (base=$txnIdBase epoch=$epochId) " +
+              s"could not stabilize after $attempts attempts")
+      }
+      throw new IllegalStateException("unreachable")
+    }
     def advance(key: String, gen: Long, end: Long, fresh: Set[String]): Unit =
       cache.compute(key, (_, cur) =>
         if (cur == null) (gen, end, fresh)
@@ -320,8 +359,15 @@ object KafkaTxnProducerFactory {
       val horizon = prunedBelow.getOrDefault(key, Map.empty)
         .getOrElse(txnIdBase, 0L)
       if (epochId < horizon) {
-        prunedBelow.remove(key) // a from-zero rescan repopulates every base
+        // reset FIRST, then clear the horizon records: after the reset every
+        // snapshot starts from watermark 0 (self-contained full re-reads),
+        // so by the time the horizon evidence disappears the cache is
+        // already safe to answer from. The reverse order opened a real
+        // window — caught by MarkerScanCacheModelSpec — where a concurrent
+        // scan observed no horizon, validated its (pruned) cached prefix as
+        // trustworthy, and answered with a committed marker missing.
         cache.computeIfPresent(key, (_, cur) => (cur._1 + 1, 0L, Set.empty))
+        prunedBelow.remove(key) // a from-zero rescan repopulates every base
       }
     }
   }
