@@ -51,6 +51,7 @@ object Scaling {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,9 +110,10 @@ object Scaling {
       ("events", Seq("event_id", "user_id")),
       ("orders", Seq("o_orderkey", "o_custkey")),
       ("lineitem", Seq.empty[String])).map { case (name, keys) =>
-      // Tables.table, not a raw read: events.ts is INT64 TIMESTAMP(NANOS),
-      // readable only under the nanos-as-long legacy mode (the scaled copy
-      // is then written as a plain bigint, which every reader accepts)
+      // Tables.table, not a raw read: events.ts has shipped as both INT64
+      // TIMESTAMP(NANOS) (readable only under the nanos-as-long legacy
+      // mode Tables.tune sets) and timestamp[us]; either way the scaled
+      // copy round-trips through Tables.events' type dispatch
       val b = graft.util.Tables.table(spark, baseDir, name)
       scales.foreach { m =>
         val scaled = (0 until m).map { k =>
