@@ -41,42 +41,32 @@ object BloomGate {
     *
     * Catalyst's analysis check caps `BloomFilterAggregate` at the
     * runtime-filter session confs (defaults 4M items / 64M bits — sized for
-    * join pruning, not blocklists), so the build RAISES them to cover this
-    * filter when they are lower (never lowers); without this, the
-    * multi-million-item blocklists the gate exists for would throw at
-    * analysis time. The prior values are RESTORED in a finally once the
-    * aggregation has run — these same confs size Spark's own
-    * InjectRuntimeFilter, and one large blocklist build must not enlarge
-    * runtime join filters for every later query in the session. `bloomAgg`
-    * used directly inherits whatever the session confs say — prefer this
-    * entry point. */
+    * join pruning, not blocklists), so large blocklists would throw at
+    * analysis time under the caller's session. The build therefore runs in a
+    * throwaway `newSession()` — same SparkContext, shared cache, ISOLATED
+    * SQLConf — with the caps raised only there: the caller's session conf is
+    * never touched, so neither later queries nor queries CONCURRENT with the
+    * build can have Spark's own InjectRuntimeFilter sized against the raised
+    * caps (a save/raise/restore on the shared conf would leak to anything
+    * analyzing inside the build window). `bloomAgg` used directly inherits
+    * whatever the session confs say — prefer this entry point. */
   def build(items: DataFrame, colName: String, expectedItems: Long,
-      fpp: Double = 0.01): Array[Byte] = buildLock.synchronized {
-    val conf = items.sparkSession.conf
+      fpp: Double = 0.01): Array[Byte] = {
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    val keys = Seq(
+    val iso = items.sparkSession.newSession()
+    Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-    // the analysis check only needs the raised values while THIS query
-    // analyzes+runs (head() is eager, so both happen inside the try)
-    val saved = keys.map { case (k, _) => k -> conf.get(k) }
-    try {
-      keys.foreach { case (k, needed) =>
-        if (conf.get(k).toLong < needed) conf.set(k, needed.toString)
+      .foreach { case (k, needed) =>
+        if (iso.conf.get(k).toLong < needed) iso.conf.set(k, needed.toString)
       }
-      items.agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    // re-bind the caller's ANALYZED plan (self-contained — catalog lookups
+    // already resolved) so the aggregate analyzes under the isolated caps
+    GraftExpressionBridge.ofRows(iso, items.queryExecution.analyzed)
+      .agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
   }
-
-  // Serializes build(): the save/raise/restore around the session conf is a
-  // read-modify-write, so two concurrent builds could interleave such that
-  // one's finally-restore LOWERS the cap while the other's aggregation still
-  // analyzes against it (and the second would then "restore" the first's
-  // raised value, corrupting the session default). Builds are rare driver
-  // control-plane actions, so one JVM-wide lock costs nothing.
-  private val buildLock = new Object
 
   /** Narrow membership test of `c` against driver-held filter bytes. No
     * false negatives ever; false positives at the built fpp — callers MUST

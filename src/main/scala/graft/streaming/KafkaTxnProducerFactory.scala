@@ -356,9 +356,7 @@ object KafkaTxnProducerFactory {
       * the entry instead: watermark back to 0 under a new generation, so
       * the caller's scan re-reads the partition from the beginning. */
     def ensureAnswerable(key: String, txnIdBase: String, epochId: Long): Unit = {
-      val horizon = prunedBelow.getOrDefault(key, Map.empty)
-        .getOrElse(txnIdBase, 0L)
-      if (epochId < horizon) {
+      if (epochId < horizonFor(key, txnIdBase)) {
         // reset FIRST, then clear the horizon records: after the reset every
         // snapshot starts from watermark 0 (self-contained full re-reads),
         // so by the time the horizon evidence disappears the cache is

@@ -1566,26 +1566,28 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     flags shouldBe 50L
   }
 
-  test("BloomGate.build raises the runtime-filter caps for itself, then restores them") {
+  test("BloomGate.build runs cap-isolated: the caller's session conf is never touched") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val (prevItems, prevBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
     try {
       // simulate the default-caps-too-small regime without a 4M-item build:
-      // drop the caps below this filter's needs and let build() raise them
-      // INTERNALLY — the analysis check would otherwise throw here
+      // drop the caller's caps below this filter's needs — build() must
+      // succeed anyway (it analyzes in an isolated child session), because
+      // the analysis check under THIS session would throw
       spark.conf.set(itemsKey, "10")
       spark.conf.set(bitsKey, "64")
       val items = (0 until 500).map(i => s"item$i").toDF("s")
       val bloom = graft.functions.BloomGate.build(items, "s", 500, 0.01)
       bloom.length should be > 8 // a real filter, not a degenerate blob
-      // the session confs come back EXACTLY as they were: these same caps
-      // size Spark's InjectRuntimeFilter, and one blocklist build must not
-      // enlarge runtime join filters for every later query in the session
+      // the caller's confs are EXACTLY as set — not restored-after-a-raise,
+      // never raised: these same caps size Spark's InjectRuntimeFilter, and
+      // a shared-conf raise would leak into any query analyzing inside the
+      // build window (concurrent queries, not just later ones)
       spark.conf.get(itemsKey) shouldBe "10"
       spark.conf.get(bitsKey) shouldBe "64"
-      // and the filter built under the temporary raise has no false negatives
+      // and the filter built under the isolated caps has no false negatives
       items.filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
         .count() shouldBe 500L
     } finally {

@@ -35,18 +35,25 @@ class MarkerScanCacheModelSpec extends AnyFunSuite with Matchers {
     val scansDone = new java.util.concurrent.atomic.AtomicInteger
 
     // writer: markers for ever-growing epochs of `base` (pids 0/1), plus
-    // other-base noise that pruning must never confuse with ours
+    // other-base noise that pruning must never confuse with ours. Daemon +
+    // stop-flag so a scanner dying can never leave it spinning past the
+    // test, and size-capped: CopyOnWriteArrayList.add is O(n), so an
+    // unthrottled writer makes the check O(n²) in log length on a slow host
     val maxEpoch = new java.util.concurrent.atomic.AtomicLong
+    val stop = new java.util.concurrent.atomic.AtomicBoolean
     val writer = new Thread(() => {
       var epoch = 0L
-      while (scansDone.get() < 800) {
-        log.add(TransactionalEpochSink.markerKey(base, epoch, (epoch % 2).toInt))
-        log.add(TransactionalEpochSink.markerKey("otherJob", epoch, 0))
-        maxEpoch.set(epoch)
-        epoch += 1
-        if (epoch % 7 == 0) Thread.`yield`()
+      while (scansDone.get() < 800 && !stop.get()) {
+        if (log.size() < 30000) {
+          log.add(TransactionalEpochSink.markerKey(base, epoch, (epoch % 2).toInt))
+          log.add(TransactionalEpochSink.markerKey("otherJob", epoch, 0))
+          maxEpoch.set(epoch)
+          epoch += 1
+        }
+        if (epoch % 7 == 0 || log.size() >= 30000) Thread.`yield`()
       }
     })
+    writer.setDaemon(true)
 
     def scanAt(epoch: Long): Unit = {
       var endSeen = 0
@@ -67,9 +74,9 @@ class MarkerScanCacheModelSpec extends AnyFunSuite with Matchers {
     }
 
     val scanners = (0 until 8).map { t =>
-      new Thread(() => {
+      val th = new Thread(() => {
         val rnd = new java.util.Random(1000 + t)
-        (0 until 100).foreach { _ =>
+        try (0 until 100).foreach { _ =>
           val hi = math.max(1L, maxEpoch.get())
           // mostly recent epochs (they drag the prune horizon up);
           // every few scans a DEEP low epoch — the rollback far below
@@ -78,14 +85,21 @@ class MarkerScanCacheModelSpec extends AnyFunSuite with Matchers {
             if (rnd.nextInt(4) == 0) rnd.nextInt(3).toLong
             else math.max(0L, hi - rnd.nextInt(5))
           scanAt(epoch)
+        } catch {
+          // surface a dead scanner as a first-class failure instead of a
+          // bare count mismatch (and release the writer's stop condition)
+          case e: Throwable => failures.add(s"scanner $t died: $e")
         }
       })
+      th.setDaemon(true)
+      th
     }
 
     writer.start(); scanners.foreach(_.start())
-    scanners.foreach(_.join(120000)); writer.join(120000)
-    scansDone.get() shouldBe 800
+    scanners.foreach(_.join(120000))
+    stop.set(true); writer.join(120000)
     failures.asInstanceOf[java.util.Collection[String]] shouldBe empty
+    scansDone.get() shouldBe 800
   }
 
   test("scanWith prunes its own base below the horizon but never another base's keys") {
