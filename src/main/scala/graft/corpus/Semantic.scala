@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,7 +86,17 @@ object Semantic {
     * (those want [[Similarity.cosineTopK]]'s broadcast-join shape). */
   private def withBestMatch(base: DataFrame, refs: Seq[(Long, Seq[Double])],
       idName: String, scoreName: String): DataFrame = {
-    require(refs.nonEmpty, "reference set must not be empty")
+    if (refs.isEmpty)
+      // zero-reference contract, mirroring [[Similarity.annIvf]]'s empty
+      // branch: with nothing to score against no row can match, so return
+      // EMPTY rather than crash — this is the documented first-increment /
+      // empty-benchmark / empty-corpus shape for every caller (kmeansAssign,
+      // incrementalSemanticDedup, embedDecontam...). Schema comes from the
+      // real plan built with a dummy reference (analyzed, never executed),
+      // so the branches cannot drift apart
+      return base.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        withBestMatch(base, Seq(0L -> Seq(1.0)), idName, scoreName).schema)
     val sorted = refs.sortBy(_._1)
     // Two formulations of the SAME struct (spec-pinned equal): unrolled
     // array_max for small reference sets (one codegen'd dot per ref), and
@@ -142,6 +152,11 @@ object Semantic {
           round(col("s").cast("double") / col("n"), MeanRoundDp).as("m")))),
         x => x.getField("m")).as("m"))
       .withColumn("nm", graft.functions.VectorOps.norm(col("m")))
+      // a zero-norm mean (antipodal members cancelling exactly) would
+      // normalize to an all-NaN centroid, and NaN orders GREATEST in Spark —
+      // the next round's argmax would assign the ENTIRE corpus to it. Such a
+      // cluster drops out instead, the same doctrine as losing every member
+      .filter(col("nm") > 0)
       .select(col("cid"), transform(col("m"), x => x / col("nm")).as("ce"))
 
   /** Collect a (cid, ce) centroid table to the driver — k × dim doubles, the
@@ -198,7 +213,9 @@ object Semantic {
   private def trainFrom(base: DataFrame, seeds: Seq[(Long, Seq[Double])],
       iters: Int): Seq[(Long, Seq[Double])] = {
     var cents = seeds
-    for (_ <- 1 to iters)
+    // `nonEmpty` guard: zero seeds (empty corpus, or every candidate vector
+    // degenerate) stay zero — don't run `iters` empty Spark jobs to learn it
+    for (_ <- 1 to iters if cents.nonEmpty)
       cents = collectCents(recompute(assign(base, cents)))
     cents
   }

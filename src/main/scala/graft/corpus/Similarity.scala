@@ -34,13 +34,21 @@ object Similarity {
     * per row, then one element-wise divide. Every pair/assignment stage after
     * this is a SINGLE array walk (dot of unit vectors) instead of dot + two norm
     * recomputations; all oracles normalize with the identical operation
-    * sequence, so the doubles stay bit-equal. */
+    * sequence, so the doubles stay bit-equal.
+    *
+    * Degenerate embeddings — zero-norm, empty, or NULL — surface as `e` NULL,
+    * NEVER as a NaN vector: 0/0 = NaN per element, and Spark orders NaN
+    * GREATEST, so one NaN vector would win every max-cosine contest downstream
+    * (every BestMatch assignment, every `cos DESC` window) and silently absorb
+    * the corpus. NULL instead loses everywhere by construction: BestMatch
+    * NULLs its struct, equality joins drop NULL buckets, and `>=` filters
+    * fail — the same contract the NULL-embedding guards already pin. */
   private[corpus] def normalizedBase(emb: DataFrame, passthrough: String*): DataFrame =
     emb.select(col("vec_id") +: passthrough.map(col) :+
         toDouble(col("embedding")).as("raw"): _*)
       .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
       .select(col("vec_id") +: passthrough.map(col) :+
-        transform(col("raw"), x => x / col("n")).as("e"): _*)
+        when(col("n") > 0, transform(col("raw"), x => x / col("n"))).as("e"): _*)
 
   private def dotp(a: Column, b: Column): Column = graft.functions.VectorOps.dotp(a, b)
 
@@ -68,13 +76,16 @@ object Similarity {
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Sign-LSH bucket id for an embedding: bit b = [dot(e, H_b) > 0]. */
+  /** Sign-LSH bucket id for an embedding: bit b = [dot(e, H_b) > 0]. NULL
+    * propagates (a NULL vector gets a NULL bucket, so bucket-equality joins
+    * emit no row for it) — without the guard every `when` falls through to
+    * its `otherwise(0)` and all degenerate vectors pile into bucket 0. */
   def lshBucket(e: Column, bits: Int, dim: Int): Column = {
     val hp = hyperplanes(bits, dim)
-    (0 until bits).map { b =>
+    when(e.isNotNull, (0 until bits).map { b =>
       val proj = graft.functions.VectorOps.dotp(e, typedLit(hp(b).toSeq))
       when(proj > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    }.reduce(_ + _))
   }
 
   /** Bucket-bit sizing guide for [[annLsh]]: occupancy per bucket is ~N/2^bits,
@@ -89,7 +100,10 @@ object Similarity {
   /** Approximate nearest neighbor via sign-LSH: bucket the corpus, then for every
     * vector return its best same-bucket neighbor (exact cosine within the bucket).
     * Vectors alone in their bucket produce no row — the recall/efficiency trade
-    * a real ANN index makes. Size `bits` with [[bitsFor]] at deployment scale. */
+    * a real ANN index makes — and degenerate (zero-norm/empty/NULL) vectors
+    * produce no row either: their bucket is NULL, so the equality join skips
+    * them instead of letting NaN cosines displace every bucket-mate's true
+    * neighbor. Size `bits` with [[bitsFor]] at deployment scale. */
   def annLsh(emb: DataFrame, bits: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // buckets from the NORMALIZED vector: sign(dot(e/||e||, H)) == sign(dot(e, H))
@@ -160,10 +174,11 @@ object Similarity {
     // window shape: its input is bounded by numQueries × K rows — and it
     // reuses the COLLECTED rows as a local relation, so the centroid
     // sub-plan (scan + normalize) runs exactly once, in this collect.
-    // a NULL-embedding centroid can never win an assignment (its cosine is
-    // NULL, which loses every max contest — exactly how the replaced window
-    // formulation treated it), so drop it BEFORE the collect instead of
-    // NPE-ing on getSeq(null)
+    // a degenerate centroid — NULL, empty, or zero-norm embedding (all
+    // surfaced as ce NULL by normalizedBase) — can never win an assignment
+    // (its cosine is NULL, which loses every max contest — exactly how the
+    // replaced window formulation treated it), so drop it BEFORE the
+    // collect instead of NPE-ing on getSeq(null)
     val centRows = cents.filter(col("ce").isNotNull).collect().map(r =>
       r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq).toSeq
     val spark = emb.sparkSession

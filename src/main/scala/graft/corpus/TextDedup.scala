@@ -171,6 +171,14 @@ object TextDedup {
     * never drift. */
   private[graft] def bandStructs(sig: org.apache.spark.sql.Column,
       numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    // loud geometry guard: bands > numHashes gives rows = 0, making every
+    // band's slice EMPTY — all documents hash to one constant bucket and the
+    // band join degenerates to the full N² cross product banding exists to
+    // prevent; a non-divisor silently drops the trailing signature rows and
+    // changes the documented (1-J^r)^b recall math. Both are config errors,
+    // never data conditions, so fail at plan build
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -685,7 +693,9 @@ object TextDedup {
     * et al. 2020 drop repeated spans; RefinedWeb dedups at line level):
     * remove from every document each line whose exact text occurs in at
     * least `minDf` DISTINCT documents (self-repetition within one document
-    * never counts, the x37/x48 convention), and return the rebuilt text
+    * never counts, the x37/x48 convention; blank/whitespace-only lines are
+    * exempt — paragraph separators are structure, not boilerplate), and
+    * return the rebuilt text
     * with surviving lines in their original order. Emits
     * `(doc_id, n_lines, n_removed, text)` — the counts make the scrub
     * auditable per document; a document that was pure boilerplate comes
@@ -712,12 +722,18 @@ object TextDedup {
       else lines.withColumn("lk", col("line"))
     val df = keyed.select(col("doc_id"), col("lk")).distinct()
       .groupBy(col("lk")).agg(count(lit(1)).as("line_df"))
+    // blank/whitespace-only lines are NEVER boilerplate: any two documents
+    // using blank-line paragraph separators push df("") past minDf, and
+    // scrubbing them would collapse paragraph structure corpus-wide while
+    // inflating n_removed with formatting artifacts (real C4/RefinedWeb-style
+    // scrubs floor the line content the same way)
+    val removable = col("line_df") >= minDf && trim(col("line")) =!= ""
     keyed.join(df, "lk")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(removable, 1L).otherwise(0L)).as("n_removed"),
         concat_ws("\n", transform(
-          array_sort(collect_list(when(col("line_df") < minDf,
+          array_sort(collect_list(when(!removable,
             struct(col("pos").as("pos"), col("line").as("line"))))),
           s => s.getField("line"))).as("text"))
   }

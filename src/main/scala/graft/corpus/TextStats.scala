@@ -56,8 +56,13 @@ object TextStats {
       round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 6).as("quality"): _*)
   }
 
-  /** BPE-ish tokenizer pattern: letter runs, digit runs, single other-symbols. */
-  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, single other-symbols.
+    * The whitespace exclusion is the explicit class of [[Privacy.WhitespaceClass]]
+    * — never the `\s` shorthand, which Java (includes U+000B) and RE2/DuckDB
+    * (excludes it) read differently; the x10 oracle interpolates this pattern
+    * verbatim, so the shorthand would silently diverge the engines on
+    * vertical-tab text (the exact class [[Privacy.messyTextFixture]] plants). */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token counting: whitespace tokens, regex (BPE-ish) tokens, chars-per-token. */
   def tokenStats(docs: DataFrame): DataFrame =

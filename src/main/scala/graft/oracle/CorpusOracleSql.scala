@@ -813,10 +813,10 @@ df AS (
   SELECT line, COUNT(*) AS line_df
   FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-  CAST(SUM(CASE WHEN line_df >= $minDf THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_removed,
+  CAST(SUM(CASE WHEN line_df >= $minDf AND trim(line) <> '' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_removed,
   COALESCE(string_agg(line, chr(10) ORDER BY pos)
-    FILTER (WHERE line_df < $minDf), '') AS text
+    FILTER (WHERE NOT (line_df >= $minDf AND trim(line) <> '')), '') AS text
 FROM lines JOIN df USING (line)
 GROUP BY 1"""
   }

@@ -474,6 +474,55 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.get(1L) shouldBe Some(0L)
   }
 
+  test("zero-norm vectors cannot poison similarity search or near-dup pairs") {
+    import spark.implicits._
+    // normalizing a zero vector is 0/0 = NaN per element, and Spark orders
+    // NaN GREATEST — unguarded, the NaN row would take rank 1 in every
+    // cos-desc window it joins. normalizedBase NULLs it instead; the NULL
+    // bucket/cosine then loses everywhere by SQL semantics
+    val zero = (9L, Array.fill(64)(0f))
+    val e = Seq(
+      (0L, Array.fill(64)(1f)),
+      (1L, Array.fill(64)(1f)),
+      zero).toDF("vec_id", "embedding")
+    val lsh = Similarity.annLsh(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // the duplicates still find each other; the zero vector produces no row
+    // (NULL bucket joins nothing) and displaces nobody's true neighbor
+    lsh shouldBe Map(0L -> 1L, 1L -> 0L)
+    // near-dup pairs: nothing near-duplicates the zero vector (NULL cosine
+    // fails the >= threshold filter), the real pair survives
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((0L, 1L))
+    // a caller-supplied zero-norm IVF centroid is dropped (ce NULL), so the
+    // index behaves exactly as if only the healthy centroid existed
+    val cents = Seq((0L, Array.fill(64)(0f)), (1L, Array.fill(64)(1f)))
+      .toDF("vec_id", "embedding")
+    val healthyOnly = Seq((1L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array.fill(64)(1f)),
+      (1L, Array.tabulate(64)(i => if (i < 32) 1f else 0.5f)),
+      (2L, Array.tabulate(64)(i => 0.1f * (i % 5)))).toDF("vec_id", "embedding")
+    val withZeroCent = Similarity.annIvf(corpus, numQueries = 3, k = 2,
+        centroids = Some(cents)).collect().map(_.toSeq).toSet
+    val withHealthy = Similarity.annIvf(corpus, numQueries = 3, k = 2,
+        centroids = Some(healthyOnly)).collect().map(_.toSeq).toSet
+    withZeroCent shouldBe withHealthy
+    withZeroCent should not be empty
+  }
+
+  test("minhashPairs rejects banding geometry that breaks the LSH math") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
+    // bands > numHashes: every slice would be empty — one constant bucket,
+    // i.e. the full N² cross product banding exists to prevent
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.minhashPairs(d, numHashes = 64, bands = 128)
+    // non-divisor: trailing signature rows silently dropped from every band
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.minhashPairs(d, numHashes = 64, bands = 12)
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val d = docs(
       1L -> "the cat and the dog is a pet of mine",
@@ -499,6 +548,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     r.getAs[Int]("ws_tokens") shouldBe 3
     // ab,1 | c,2,"," | d,"!"
     r.getAs[Int]("bpe_tokens") shouldBe 7
+    // vertical tab is whitespace to the tokenizer — TokenPattern spells the
+    // class out because Java \s includes U+000B while RE2/DuckDB \s does
+    // not, and the x10 oracle interpolates the pattern verbatim: with the
+    // shorthand the two engines would count this text differently
+    val vt = docs(1L -> "a\u000Bb")
+    TextStats.tokenStats(vt).collect().head.getAs[Int]("bpe_tokens") shouldBe 2
   }
 
   test("winnowing fingerprints: deterministic, absent below k chars") {
@@ -1640,6 +1695,33 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
     hashed shouldBe out
+  }
+
+  test("lineScrub never scrubs blank paragraph separators") {
+    import spark.implicits._
+    // blank and whitespace-only lines reach minDf in any corpus that uses
+    // blank-line paragraph breaks; scrubbing them would collapse paragraph
+    // structure corpus-wide and inflate n_removed with formatting artifacts
+    val d = Seq(
+      (1L, "alpha\n\nbeta"),
+      (2L, "gamma\n\ndelta"),
+      (3L, "x\n \ny"),
+      (4L, "z\n \nw"),
+      (5L, "SPAM\n\nfoo"),
+      (6L, "SPAM\n\nbar")).toDF("doc_id", "text")
+    val got = TextDedup.lineScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    got(1L) shouldBe ((0L, "alpha\n\nbeta"))
+    got(2L) shouldBe ((0L, "gamma\n\ndelta"))
+    got(3L) shouldBe ((0L, "x\n \ny"))
+    got(4L) shouldBe ((0L, "z\n \nw"))
+    // real boilerplate still goes; the separator stays
+    got(5L) shouldBe ((1L, "\nfoo"))
+    got(6L) shouldBe ((1L, "\nbar"))
+    // hashKeys path agrees (the exemption reads the line, not the key)
+    TextDedup.lineScrub(d, hashKeys = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap shouldBe got
   }
 
   test("charClassEntropy: empty text yields zero counts and zero entropy, never NaN") {

@@ -319,11 +319,54 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Map(1L -> 0L, 5L -> 0L)
   }
 
-  test("embedDecontamAgainst refuses an empty benchmark set loudly") {
+  test("empty reference sets return empty results, never crash (annIvf's contract)") {
     import spark.implicits._
+    // empty benchmark: nothing can be contaminated
     val base = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
-    an[IllegalArgumentException] should be thrownBy
-      Semantic.embedDecontamAgainst(base, Seq.empty)
+    val decon = Semantic.embedDecontamAgainst(base, Seq.empty)
+    decon.count() shouldBe 0L
+    decon.columns.toSeq shouldBe Seq("vec_id", "bench_id", "cosine")
+    // empty centroids: no cluster can be assigned
+    val corpus = emb(7L -> Seq(1f, 0f, 0f, 0f))
+    val asg = Semantic.assignAgainst(corpus, Seq.empty)
+    asg.count() shouldBe 0L
+    asg.columns.toSeq shouldBe Seq("vec_id", "cluster", "cosine")
+    // empty corpus through the full trainer
+    val none = emb()
+    Semantic.kmeansAssign(none, k = 2, iters = 2).count() shouldBe 0L
+    Semantic.trainCentroids(none, k = 2, iters = 2) shouldBe empty
+    Semantic.semanticDedup(none, k = 2, iters = 1).count() shouldBe 0L
+    // the documented first-increment shape: an EMPTY existing index — train
+    // collects zero seeds, and the increment must flow through to an empty
+    // report (nothing exists to duplicate), not an IllegalArgumentException
+    val inc = Semantic.incrementalSemanticDedup(
+      emb(1L -> Seq(1f, 0f, 0f, 0f)), none, k = 2, iters = 1)
+    inc.count() shouldBe 0L
+    inc.columns.toSeq shouldBe
+      Seq("vec_id", "cluster", "matched_vec_id", "cosine")
+  }
+
+  test("zero-norm vectors surface as NULL, never as a NaN centroid that absorbs the corpus") {
+    // k=1: both vectors land in the single seed cluster and their mean
+    // cancels to the exact zero vector. Under 0/0 = NaN semantics the NaN
+    // centroid would win EVERY max-cosine contest next round (Spark orders
+    // NaN greatest) and silently absorb the corpus with NaN cosines; the
+    // zero-norm-mean cluster must instead DROP OUT (the empty-cluster
+    // doctrine), leaving no centroids and an empty assignment
+    val d = emb(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(-1f, 0f, 0f, 0f))
+    Semantic.kmeansAssign(d, k = 1, iters = 2).collect() shouldBe empty
+    // a zero-norm INPUT vector: e is NULL downstream, so its assignment row
+    // carries NULL cluster/cosine instead of NaN-dominating the argmax —
+    // and healthy vectors are untouched
+    val withZero = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 0f, 0f, 0f), // zero-norm
+      2L -> Seq(0.9f, 0.1f, 0f, 0f))
+    val asg = Semantic.assignAgainst(withZero, Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .collect()
+    asg.filter(_.getLong(0) == 1L).foreach(r => r.isNullAt(1) shouldBe true)
+    asg.filter(r => r.getLong(0) != 1L)
+      .map(_.getAs[Double]("cosine")).foreach(_ should be >= 0.9)
   }
 
   test("embedDecontam leaves a clean corpus unflagged") {
