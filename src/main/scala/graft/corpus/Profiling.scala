@@ -64,20 +64,23 @@ object Profiling {
     * the three exact distinct counts expand the aggregate — the price of
     * exact cardinalities; a 100 TB run swaps `approx_count_distinct` (HLL)
     * and documents the estimate, no longer oracle-exact by design). */
-  def datasetCard(docs: DataFrame): DataFrame = {
-    val counts = docs.agg(
+  def datasetCard(docs: DataFrame): DataFrame =
+    // ONE corpus scan: quality's projection already carries n_tokens/n_chars
+    // (identical expressions to the ones the card sums), and text/source/lang
+    // ride through as passthrough columns, so every card scalar — the
+    // distinct counts, the token/char sums, the dup count, and mean quality —
+    // is an aggregate of the same narrow pass (a counts ⨯ meanQ crossJoin of
+    // two separate aggregations scanned the corpus twice)
+    graft.corpus.TextStats.quality(docs, "source", "lang", "text").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"),
-      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
-      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
       (count(lit(1)) - countDistinct(md5(encode(col("text"), "UTF-8"))))
-        .as("n_dup_docs"))
-    val meanQ = graft.corpus.TextStats.quality(docs).agg(
+        .as("n_dup_docs"),
       round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mean_quality"))
-    counts.crossJoin(meanQ)
-  }
 
   /** The 100 TB variants of [[lengthProfile]] and [[datasetCard]]: sketches
     * instead of exact state. `percentile_approx` keeps t-digest sketch state
@@ -99,22 +102,20 @@ object Profiling {
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
 
   /** Sketch-based [[datasetCard]] — see [[lengthProfileApprox]]. */
-  def datasetCardApprox(docs: DataFrame, rsd: Double = 0.02): DataFrame = {
-    val counts = docs.agg(
+  def datasetCardApprox(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    // same single-scan shape as the exact card (see [[datasetCard]])
+    graft.corpus.TextStats.quality(docs, "source", "lang", "text").agg(
       count(lit(1)).as("n_docs"),
       approx_count_distinct(col("source"), rsd).as("n_sources"),
       approx_count_distinct(col("lang"), rsd).as("n_langs"),
-      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
-      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
       // HLL can OVERestimate distinct on a near-unique corpus; clamp so the
       // release artifact never reports a negative duplicate count.
       greatest(lit(0L), count(lit(1)) - approx_count_distinct(
-        md5(encode(col("text"), "UTF-8")), rsd)).as("n_dup_docs"))
-    val meanQ = graft.corpus.TextStats.quality(docs).agg(
+        md5(encode(col("text"), "UTF-8")), rsd)).as("n_dup_docs"),
       round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mean_quality"))
-    counts.crossJoin(meanQ)
-  }
 
   /** Embedding QA profile — [[numericProfile]]'s counterpart for the vector
     * plane, the sanity gate run before any similarity/clustering job trusts

@@ -48,21 +48,30 @@ object TextDedup {
         count(lit(1)).as("n_copies"))
 
   /** One (doc_id, shingle) row per distinct shingle — the inverted-index posting
-    * list. */
+    * list (size-free: [[ngramJaccardPairs]] derives sizes from its df-capped
+    * universe, and the decontamination builders only need the shingle keys). */
   private def postings(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("s"))
 
-  /** Per-document distinct-shingle counts. */
-  private def shingleCounts(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      size(shingles(tokens(col("text")), n)).as("n_shingles"))
+  /** Posting list with each document's distinct-shingle count riding along:
+    * `(doc_id, n_shingles, s)` from ONE scan-and-shingle pass — `size(sh)`
+    * is computed beside the explode, the [[decontaminationReport]] fusion.
+    * Shingling is the hottest stage of every dedup operator, so the verify
+    * path must never pay a second corpus pass (or a join) just to re-attach
+    * set sizes; the 8-byte count per posting row in the shuffle is noise
+    * next to either. */
+  private def sizedPostings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
 
   /** Exact-Jaccard verification of candidate pairs against the FULL posting
-    * lists: intersection via two keyed joins, then |A|,|B| via two more. All four
-    * joins are plain shuffle joins — the size table is one row PER DOCUMENT, so a
-    * broadcast hint here would OOM at corpus scale; candidates are small after
-    * blocking, and AQE will broadcast them if so. Sides may come from different
-    * corpora (incremental dedup verifies new-vs-index pairs).
+    * lists ([[sizedPostings]] shape): intersection via two keyed shuffle
+    * joins, with |A| and |B| read off the joined posting rows themselves —
+    * no size table, no extra scan, no extra join. The joins stay plain
+    * shuffle joins (candidates are small after blocking, AQE broadcasts
+    * them if so). Sides may come from different corpora (incremental dedup
+    * verifies new-vs-index pairs).
     *
     * Skew defense: a naturally-viral document (one doc_id_1 carrying a large
     * slice of the candidate set) lands its whole key on one reducer of the
@@ -72,21 +81,20 @@ object TextDedup {
     * under production-shaped skew and asserts the skew-split engaged.
     * (package-private, not private, so the spec can drive it directly) */
   private[corpus] def verifyJaccard(candidates: DataFrame,
-      p1: DataFrame, p2: DataFrame, sz1: DataFrame, sz2: DataFrame,
-      threshold: Double): DataFrame = {
-    val inter = candidates
+      p1: DataFrame, p2: DataFrame, threshold: Double): DataFrame =
+    candidates
       .join(p1.as("a"), col("doc_id_1") === col("a.doc_id"))
       .join(p2.as("b"),
         col("doc_id_2") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_id_1"), col("doc_id_2")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sz1.as("x"), col("doc_id_1") === col("x.doc_id"))
-      .join(sz2.as("y"), col("doc_id_2") === col("y.doc_id"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      // n_shingles is constant per doc_id; max() reads it without a
+      // determinism hazard and without another shuffle
+      .agg(count(lit(1)).as("c"), max(col("a.n_shingles")).as("n1"),
+        max(col("b.n_shingles")).as("n2"))
       .select(col("doc_id_1"), col("doc_id_2"),
         (col("c").cast("double") /
-          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
+          (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2,
     * computed over the NON-BOILERPLATE shingle universe: shingles appearing in
@@ -149,10 +157,10 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
-    // exact-Jaccard verify on candidates only
-    val p = postings(docs, n)
-    val sz = shingleCounts(docs, n)
-    verifyJaccard(candidates, p, p, sz, sz, threshold)
+    // exact-Jaccard verify on candidates only — sizes ride the postings,
+    // so verification costs ONE shingle pass, not two plus a size join
+    val p = sizedPostings(docs, n)
+    verifyJaccard(candidates, p, p, threshold)
   }
 
   /** LSH band buckets of every document's MinHash signature: one
@@ -235,8 +243,7 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
     val verified = verifyJaccard(candidates,
-      postings(newDocs, n), postings(oldDocs, n),
-      shingleCounts(newDocs, n), shingleCounts(oldDocs, n), threshold)
+      sizedPostings(newDocs, n), sizedPostings(oldDocs, n), threshold)
     val byNew = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id_1"))
     // rank on the ROUNDED similarity (the reported value), so the winner is

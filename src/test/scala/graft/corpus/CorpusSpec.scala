@@ -345,13 +345,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       val hot = 0L
       val candidates = ((1L to 20000L).map(i => (hot, i)) ++
         (1L to 200L).map(i => (i, i + 30000L))).toDF("doc_id_1", "doc_id_2")
+      // sizedPostings shape: each doc's shingle-set size rides its rows
       val post = ((0L to 20200L) ++ (30001L to 30200L))
-        .flatMap(id => Seq((id, "sh_a"), (id, s"sh_$id"))).toDF("doc_id", "s")
-      val sz = post.groupBy(col("doc_id")).agg(
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_shingles"))
+        .flatMap(id => Seq((id, 2, "sh_a"), (id, 2, s"sh_$id")))
+        .toDF("doc_id", "n_shingles", "s")
       val verified = TextDedup.verifyJaccard(
-        candidates, post, post, sz, sz, threshold = 0.0)
+        candidates, post, post, threshold = 0.0)
       // collect() (not count()) so the SAME query execution finalizes its
       // adaptive plan — count() would spawn a separate QueryExecution
       verified.collect().length shouldBe 20200 // every pair shares sh_a: J > 0
@@ -1303,6 +1302,13 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     c.getAs[Long]("n_dup_docs") shouldBe 1L
     // quality: docs 1/2: 3 tokens, 2 en-stopword hits ("the" + "a"? no — "the")
     c.getAs[Double]("mean_quality") should (be > 0.0 and be <= 1.0)
+    // single-scan shape: every card scalar (incl. mean_quality) aggregates
+    // the same pass — the old counts ⨯ meanQ crossJoin read the corpus twice
+    val dir = java.nio.file.Files.createTempDirectory("card1scan").toString
+    d.write.mode("overwrite").parquet(dir)
+    val plan = Profiling.datasetCard(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    plan.split("Scan parquet").length - 1 shouldBe 1
   }
 
   test("column pruning reaches the parquet scan (a 100 TB table must not read unused columns)") {
