@@ -117,7 +117,14 @@ object Semantic {
         val entries = sorted.map { case (id, re) =>
           struct(dotp(col("e"), typedLit(re)).as("cos"), lit(-id).as("nid"))
         }
-        when(col("e").isNotNull, array_max(array(entries: _*)))
+        // the size guard mirrors BestMatch's dimension check: a vector whose
+        // dimension differs from the references NULLs every dot product, and
+        // an array_max over all-NULL-cos structs would otherwise "assign"
+        // the lowest ref id — the whole struct must be NULL instead, on both
+        // formulations identically
+        when(col("e").isNotNull &&
+            size(col("e")) === lit(sorted.head._2.length),
+          array_max(array(entries: _*)))
       } else graft.functions.VectorOps.bestMatch(col("e"), sorted)
     base.withColumn("__bm", bm)
       .select(base.columns.toIndexedSeq.map(col) :+

@@ -63,9 +63,24 @@ object BloomGate {
       }
     // re-bind the caller's ANALYZED plan (self-contained — catalog lookups
     // already resolved) so the aggregate analyzes under the isolated caps
-    GraftExpressionBridge.ofRows(iso, items.queryExecution.analyzed)
+    val bytes = GraftExpressionBridge.ofRows(iso, items.queryExecution.analyzed)
       .agg(bloomAgg(col(colName), expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    if (bytes != null) bytes
+    else {
+      // BloomFilterAggregate evals to SQL NULL when it aggregated zero
+      // non-null items. Returning that null would make mightContain(null, c)
+      // NULL for every row — `filter(!mightContain(...))` then drops the
+      // ENTIRE stream exactly when the blocklist happens to be empty. An
+      // empty blocklist must gate nothing: hand back a real zero-item filter
+      // (same serialized format Spark's sketch writes), for which
+      // might_contain is false everywhere
+      val empty = org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Narrow membership test of `c` against driver-held filter bytes. No

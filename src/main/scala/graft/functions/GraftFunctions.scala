@@ -56,7 +56,7 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"winnow_sketch expects 3 arguments, got ${args.size}") }))
 
-  private def install(register: (FunctionIdentifier, ExpressionInfo,
+  private[functions] def install(register: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) => Unit): Unit =
     functions.foreach { case (name, usage, builder) =>
       register(FunctionIdentifier(name),
@@ -73,8 +73,9 @@ object GraftFunctions {
   * session build time — the deployment path for SQL-first users. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.functions.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name, usage), builder))
-    }
+    // same install loop as the live-session path — one place builds the
+    // (identifier, info, builder) triple, so the two registration routes
+    // cannot drift
+    GraftFunctions.install((id, info, builder) =>
+      ext.injectFunction((id, info, builder)))
 }

@@ -19,11 +19,21 @@ import org.apache.spark.sql.types._
   * sequence of the `aggregate` fold it replaces AND of DuckDB's
   * `list_dot_product` — so oracle comparisons stay bit-identical.
   *
+  * MISMATCHED lengths yield NULL, also matching the declarative fold:
+  * `zip_with` pads the shorter side with null and the `aggregate` sum
+  * propagates it. A silent min-length truncation instead returned a partial,
+  * plausible-looking dot product for e.g. a 512-dim vector scored against a
+  * 768-dim one (a mixed-model backfill) — corrupting every best-match
+  * downstream rather than surfacing the bad pair.
+  *
   * Assumes non-null array elements (embedding vectors); a null element reads as
   * 0.0, matching the SQL fold's null-propagation-free arithmetic on this data.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL on length mismatch, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -39,11 +49,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,12 +65,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -93,6 +110,13 @@ case class BestMatch(child: Expression, ids: Array[Long],
 
   require(ids.nonEmpty && ids.length == refs.length,
     "BestMatch needs one id per reference vector")
+  require(refs.forall(_.length == refs(0).length),
+    "BestMatch reference vectors must share one dimension")
+
+  // NULL struct when the input's dimension doesn't match the references —
+  // the [[DotProduct]] mismatch contract lifted to the argmax: a truncated
+  // partial score would pick a plausible-but-wrong winner silently
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -108,7 +132,7 @@ case class BestMatch(child: Expression, ids: Array[Long],
   override def prettyName: String = "best_match"
 
   private def dot(e: ArrayData, ref: Array[Double]): Double = {
-    val n = math.min(e.numElements(), ref.length)
+    val n = ref.length
     var s = 0.0
     var i = 0
     while (i < n) { s += e.getDouble(i) * ref(i); i += 1 }
@@ -117,6 +141,7 @@ case class BestMatch(child: Expression, ids: Array[Long],
 
   override protected def nullSafeEval(a: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
+    if (e.numElements() != refs(0).length) return null
     var bestCos = dot(e, refs(0))
     var bestNid = -ids(0)
     var j = 1
@@ -142,20 +167,24 @@ case class BestMatch(child: Expression, ids: Array[Long],
       val bn = ctx.freshName("bestNid")
       val cmp = ctx.freshName("cmp")
       s"""
-         |double $bc = 0.0; long $bn = 0L;
-         |for (int $j = 0; $j < $refsRef.length; $j++) {
-         |  int $n = java.lang.Math.min($e.numElements(), $refsRef[$j].length);
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $e.getDouble($i) * $refsRef[$j][$i];
+         |if ($e.numElements() != $refsRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bc = 0.0; long $bn = 0L;
+         |  for (int $j = 0; $j < $refsRef.length; $j++) {
+         |    int $n = $refsRef[$j].length;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $e.getDouble($i) * $refsRef[$j][$i];
+         |    }
+         |    int $cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($s, $bc);
+         |    if ($j == 0 || $cmp > 0 || ($cmp == 0 && -$idsRef[$j] > $bn)) {
+         |      $bc = $s; $bn = -$idsRef[$j];
+         |    }
          |  }
-         |  int $cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($s, $bc);
-         |  if ($j == 0 || $cmp > 0 || ($cmp == 0 && -$idsRef[$j] > $bn)) {
-         |    $bc = $s; $bn = -$idsRef[$j];
-         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bc, $bn });
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $bc, $bn });
        """.stripMargin
     })
 

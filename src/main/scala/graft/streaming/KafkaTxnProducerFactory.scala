@@ -73,7 +73,17 @@ final case class KafkaTxnProducerFactory(
     val sendMethod = cls.getMethod("send",
       Class.forName("org.apache.kafka.clients.producer.ProducerRecord"))
     val partitionsForM = cls.getMethod("partitionsFor", classOf[String])
-    call("initTransactions") // the fencing handshake
+    // the fencing handshake. If it fails (coordinator unavailable is common),
+    // CLOSE the just-built producer before rethrowing: its network io thread,
+    // sockets, and buffers are live from construction, and every Spark task
+    // retry would otherwise leak another set until the executor runs out of
+    // fds/threads
+    try call("initTransactions")
+    catch {
+      case t: Throwable =>
+        try call("close") catch { case _: Throwable => () }
+        throw t
+    }
 
     new TxnProducer {
       def begin(): Unit = call("beginTransaction")

@@ -23,10 +23,25 @@ import graft.model.{BatchNotification, Status}
   */
 class MgmtApiSink(client: MgmtClient, retry: Retry = new Retry()) extends Serializable {
 
-  private val log = org.apache.log4j.Logger.getLogger(getClass)
+  // transient: log4j Loggers are not serializable, and the class advertises
+  // Serializable (foreachBatch closures may capture it); re-acquired lazily
+  // after deserialization
+  @transient private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
 
   def send(n: BatchNotification): Unit = {
-    val tenant = graft.topics.Topics.tenantId(n.topic)
+    // the topic string arrives from externally-supplied notification JSON: a
+    // malformed one (no derivable tenant) has nowhere to PUT, and throwing
+    // here would crash-loop the query — foreachBatch replays the same poison
+    // row on every restart. Log loudly and skip it instead; the non-terminal
+    // status case below stays fail-fast (that one is a CALLER bug)
+    val tenant =
+      try graft.topics.Topics.tenantId(n.topic)
+      catch {
+        case e: graft.topics.TopicNamingException =>
+          log.error(s"batch ${n.id}: cannot derive tenant from topic " +
+            s"'${n.topic}' — skipping terminal PUT: ${e.getMessage}")
+          return
+      }
     // status dispatch OUTSIDE the retry loop: a non-terminal status is a caller
     // bug (fail fast, reference MgmtApiSink.scala:53-55), never a retryable fault
     val call: () => Unit = n.status match {

@@ -58,11 +58,20 @@ object StreamOps {
   /** Exact streaming dedup by content digest: keeps the FIRST arrival of each
     * distinct content, drops subsequent duplicates that arrive within the
     * watermark delay of each other. Digest state expires with the watermark —
-    * bounded regardless of corpus size. */
+    * bounded regardless of corpus size.
+    *
+    * NULL-text documents (an upstream extraction failure, not content) pass
+    * through UN-deduped: md5(NULL) is NULL, and state-store dedup compares
+    * null keys EQUAL, so a bare digest key would silently drop every
+    * null-text doc after the first as a "duplicate" of unknown contents. The
+    * digest is made per-doc unique for them instead, which also keeps the
+    * operator a single pipeline (no stream split/union). */
   def dedupByContent(docs: DataFrame, textCol: String = "text",
       watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(encode(col(textCol), "UTF-8")))
+      .withColumn("content_hash",
+        coalesce(md5(encode(col(textCol), "UTF-8")),
+          concat(lit("null-text:"), col("doc_id").cast("string"))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -191,9 +191,12 @@ object TransactionalEpochSink {
             else try {
               p.begin()
               it.foreach { r =>
+                // null ELEMENTS inside the headers array are skipped, not
+                // NPE'd on: the schema allows containsNull, and deterministic
+                // replay would re-poison the epoch on every retry otherwise
                 val headers: Seq[(String, Array[Byte])] =
                   if (r.isNullAt(2)) Nil
-                  else r.getSeq[Row](2).map(h =>
+                  else r.getSeq[Row](2).filter(_ != null).map(h =>
                     (h.getString(0), h.getAs[Array[Byte]](1)))
                 p.send(topic, None, r.getAs[Array[Byte]](0),
                   r.getAs[Array[Byte]](1), headers)

@@ -64,9 +64,10 @@ class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) exte
   }
 
   /** Last-write-wins upsert of a notification micro-batch (V2). Rows must carry
-    * Schemas.batchNotification columns. */
+    * Schemas.batchNotification columns; null-id rows (malformed upstream JSON)
+    * are skipped — a TrieMap null key would NPE and poison the batch. */
   def update(notifications: DataFrame): Unit = {
-    val rows = notifications.collect()
+    val rows = notifications.collect().filter(_.getAs[String]("id") != null)
     if (rows.nonEmpty) {
       rows.foreach(r => byId(r.getAs[String]("id")) = r)
       persistDir.foreach { dir =>
@@ -132,6 +133,13 @@ object ValidationStream {
     notifications
       .select(from_json(col("value").cast("string"), Schemas.batchNotification).as("n"))
       .select(col("n.*"))
+      // poison-message guard: malformed JSON (or JSON without an id) makes
+      // from_json yield a null struct / null id. Unfiltered, the null key
+      // would NPE the snapshot upsert, fail the micro-batch, and CRASH-LOOP
+      // the control plane forever — the checkpoint replays the same corrupt
+      // message on every restart. An id-less notification is meaningless
+      // (V2 compaction and V3 lookup key on it), so drop it here
+      .filter(col("id").isNotNull)
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", s"$checkpointDir/$queryName")
@@ -203,7 +211,11 @@ object ValidationStream {
       } catch {
         case RequestException(404, _) => // stays unknown → invalid (V5)
         case e @ RequestException(s, _) if s >= 400 && s <= 499 => throw e
-        case _: Throwable => // retries exhausted this trigger; next trigger re-tries
+        // NonFatal ONLY (RestartSupervisor's doctrine): an OOM or an
+        // interrupt during driver shutdown must propagate, not be shrugged
+        // off while the loop keeps issuing lookups on corrupted state
+        case scala.util.control.NonFatal(_) =>
+        // retries exhausted this trigger; next trigger re-tries
       }
     }
   }

@@ -1625,6 +1625,17 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .filter(graft.functions.BloomGate.mightContain(bloom, col("s")))
       .count()
     flags shouldBe 50L
+    // an EMPTY blocklist gates nothing: the aggregate evals to SQL NULL on
+    // zero items, and a null filter blob would make mightContain NULL for
+    // every row — filter(!mightContain) then drops the whole stream. build
+    // must hand back a real zero-item filter instead
+    val emptyBloom = graft.functions.BloomGate.build(
+      items.filter(col("s") === "no-such-item"), "s", 50, 0.05)
+    emptyBloom should not be null
+    items.filter(graft.functions.BloomGate.mightContain(emptyBloom, col("s")))
+      .count() shouldBe 0L
+    items.filter(!graft.functions.BloomGate.mightContain(emptyBloom, col("s")))
+      .count() shouldBe 50L
   }
 
   test("BloomGate.build runs cap-isolated: the caller's session conf is never touched") {

@@ -46,12 +46,35 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out should contain(32.0)
   }
 
-  test("null array input yields null; mismatched lengths use the shorter prefix") {
+  test("null array input and mismatched lengths both yield null") {
     import spark.implicits._
     val d = Seq((Seq(1.0, 2.0), null.asInstanceOf[Seq[Double]])).toDF("a", "b")
     d.select(VectorOps.dotp(col("a"), col("b"))).collect().head.isNullAt(0) shouldBe true
+    // a 512-vs-768-dim pair (mixed-model backfill) must SURFACE, not produce
+    // a plausible partial score over the shared prefix — and the declarative
+    // fold agrees: zip_with pads with null and the aggregate sum propagates
     val m = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0))).toDF("a", "b")
-    m.select(VectorOps.dotp(col("a"), col("b"))).collect().head.getDouble(0) shouldBe 11.0
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val r = m.select(VectorOps.dotp(col("a"), col("b")).as("f"), hof.as("s"))
+      .collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+  }
+
+  test("BestMatch NULLs the whole struct on a dimension mismatch (both paths)") {
+    import spark.implicits._
+    val refs = Seq(1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.0, 1.0, 0.0))
+    val d = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0))).toDF("id", "e")
+    val out = d.select(col("id"), VectorOps.bestMatch(col("e"), refs).as("bm"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    out shouldBe Map(1L -> false, 2L -> true)
+    // interpreted eval agrees with codegen
+    val expr = BestMatch(
+      Literal.create(Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      Array(1L, 2L), Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+    (expr.eval(null) == null) shouldBe true
   }
 
   test("non-ARRAY<DOUBLE> inputs are rejected at analysis time") {

@@ -98,12 +98,17 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       input.addData(
         (ts("2024-01-01 10:00:00"), 1L, "same text"),
         (ts("2024-01-01 10:01:00"), 2L, "same text"),   // dup within watermark
-        (ts("2024-01-01 10:02:00"), 3L, "other text"))
+        (ts("2024-01-01 10:02:00"), 3L, "other text"),
+        // null text = unknown content, NOT mutual duplicates: state-store
+        // dedup compares null digests equal, so a bare md5 key would keep 5
+        // and silently drop 6
+        (ts("2024-01-01 10:02:30"), 5L, null),
+        (ts("2024-01-01 10:02:45"), 6L, null))
       q.processAllAvailable()
       input.addData((ts("2024-01-01 10:03:00"), 4L, "same text")) // still dup
       q.processAllAvailable()
       val ids = s.table(sink).collect().map(_.getLong(1)).toSet
-      ids shouldBe Set(1L, 3L)
+      ids shouldBe Set(1L, 3L, 5L, 6L)
     } finally q.stop()
   }
 

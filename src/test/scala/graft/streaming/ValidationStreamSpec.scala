@@ -249,6 +249,38 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("a malformed notification message cannot crash-loop the control plane") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vpoison").toString
+    val store = new NotificationSnapshot(s, None)
+    val notifications = MemoryStream[String]
+    val nq = ValidationStream.startNotificationQuery(
+      notifications.toDF().toDF("value"), store, dir)
+    try {
+      // garbage JSON (from_json → null struct), valid JSON with no id, and a
+      // real notification interleaved: the query must survive the poison
+      // messages (checkpoint replay would re-feed them on every restart) and
+      // still land the real one
+      notifications.addData("{not json at all", """{"status":"started"}""",
+        """{"id":"b-ok","status":"started"}""")
+      nq.processAllAvailable()
+      store.get("b-ok").map(_.getAs[String]("status")) shouldBe Some("started")
+      nq.isActive shouldBe true
+    } finally nq.stop()
+    // the direct-upsert path skips null-id rows too (TrieMap NPEs on a null
+    // key), for callers feeding update() outside the filtered query
+    store.update(Seq((null: String, Status.Started), ("b2", Status.Started))
+      .toDF("id", "status")
+      .select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct($"id", $"status")).as("v"))
+      .select(org.apache.spark.sql.functions.from_json($"v",
+        graft.model.Schemas.batchNotification).as("n"))
+      .select($"n.*"))
+    store.get("b2").map(_.getAs[String]("status")) shouldBe Some(Status.Started)
+  }
+
   test("snapshot persists across restart (journal + reload)") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("vsnap").toString
