@@ -159,13 +159,56 @@ private[http] object Json {
   private val str = """"%s"\s*:\s*"((?:[^"\\]|\\.)*)""""
   private val num = """"%s"\s*:\s*(-?\d+)"""
 
-  def strField(json: String, field: String): Option[String] =
-    str.format(java.util.regex.Pattern.quote(field)).r
-      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+  /** Index of `"field"` as a TOP-LEVEL key (depth 1, outside string content,
+    * followed by optional whitespace and ':'), or -1. Depth-aware so a
+    * user-controlled NESTED object — the opaque `metadata` passthrough — can
+    * never shadow a notification field: in `{"metadata":{"status":
+    * "COMPLETED"},"status":"STARTED"}` the notification's status is STARTED
+    * regardless of server field order; a whole-document regex scan would
+    * have matched the nested key first and e.g. marked a live batch
+    * COMPLETED (routing every record invalid) or corrupted
+    * expectedRecordCount in the tracker. */
+  private def topLevelKeyIndex(json: String, field: String): Int = {
+    val key = "\"" + field + "\""
+    var depth = 0; var inStr = false; var esc = false; var k = 0
+    while (k < json.length) {
+      val c = json.charAt(k)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' =>
+          if (depth == 1 && json.regionMatches(k, key, 0, key.length)) {
+            var j = k + key.length
+            while (j < json.length && json.charAt(j).isWhitespace) j += 1
+            if (j < json.length && json.charAt(j) == ':') return k
+          }
+          // not this field's key (or a string VALUE that merely equals it):
+          // enter the string and keep scanning
+          inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ =>
+      }
+      k += 1
+    }
+    -1
+  }
 
-  def intField(json: String, field: String): Option[Int] =
-    num.format(java.util.regex.Pattern.quote(field)).r
-      .findFirstMatchIn(json).map(_.group(1).toInt)
+  def strField(json: String, field: String): Option[String] = {
+    val i = topLevelKeyIndex(json, field)
+    if (i < 0) None
+    // prefix-anchored at the located key: a later (possibly nested)
+    // same-named key must not be picked up when THIS value isn't a string
+    else str.format(java.util.regex.Pattern.quote(field)).r
+      .findPrefixMatchOf(json.substring(i)).map(m => unescape(m.group(1)))
+  }
+
+  def intField(json: String, field: String): Option[Int] = {
+    val i = topLevelKeyIndex(json, field)
+    if (i < 0) None
+    else num.format(java.util.regex.Pattern.quote(field)).r
+      .findPrefixMatchOf(json.substring(i)).map(_.group(1).toInt)
+  }
 
   /** Raw text of `field`'s JSON value — balanced-brace scan, string-aware. Used
     * for the opaque `metadata` passthrough: an object/array/number/bool comes
@@ -173,21 +216,15 @@ private[http] object Json {
     * Spark's `from_json` yields for a StringType field); absent or `null` →
     * None. */
   def rawField(json: String, field: String): Option[String] = {
-    val key = "\"" + field + "\""
-    // scan EVERY occurrence: the key text can legally appear earlier as a string
-    // VALUE (`{"name":"metadata", "metadata":{...}}`) — such an occurrence is
-    // either inside another string's content or not followed by ':', and must
-    // not end the search
-    var i = json.indexOf(key)
-    while (i >= 0) {
-      if (!insideString(json, i)) {
-        var j = i + key.length
-        while (j < json.length && json(j).isWhitespace) j += 1
-        if (j < json.length && json(j) == ':') return rawValueAt(json, j + 1, field, i)
-      }
-      i = json.indexOf(key, i + 1)
+    // the same depth-1 key location as strField/intField: a nested object's
+    // same-named key (or the key text as a string VALUE) never matches
+    val i = topLevelKeyIndex(json, field)
+    if (i < 0) None
+    else {
+      var j = i + field.length + 2
+      while (j < json.length && json(j).isWhitespace) j += 1
+      rawValueAt(json, j + 1, field, i)
     }
-    None
   }
 
   private def rawValueAt(json: String, from: Int, field: String, keyPos: Int): Option[String] = {
@@ -195,7 +232,9 @@ private[http] object Json {
     while (j < json.length && json(j).isWhitespace) j += 1
     if (j >= json.length) return None
     json(j) match {
-      case '"' => strField(json.substring(keyPos), field) // string value: unescape
+      case '"' => // string value: unescape, prefix-anchored at THIS key
+        str.format(java.util.regex.Pattern.quote(field)).r
+          .findPrefixMatchOf(json.substring(keyPos)).map(m => unescape(m.group(1)))
       case '{' | '[' =>
         val open = json(j); val close = if (open == '{') '}' else ']'
         var depth = 0; var k = j; var inStr = false; var esc = false
@@ -214,20 +253,6 @@ private[http] object Json {
         while (k < json.length && !",}]".contains(json(k)) && !json(k).isWhitespace) k += 1
         Some(json.substring(j, k)).filter(v => v.nonEmpty && v != "null")
     }
-  }
-
-  /** True when index `i` falls inside a string literal — guards against a field
-    * NAME appearing as text inside some other string value. */
-  private def insideString(json: String, i: Int): Boolean = {
-    var inStr = false; var esc = false; var k = 0
-    while (k < i) {
-      val c = json(k)
-      if (esc) esc = false
-      else if (c == '\\') esc = true
-      else if (c == '"') inStr = !inStr
-      k += 1
-    }
-    inStr
   }
 
   private def unescape(s: String): String = {

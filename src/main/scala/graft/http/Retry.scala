@@ -46,11 +46,15 @@ class Retry(
 }
 
 object Retry {
-  /** Reference policy: 4xx fails fast (client bug), everything else — 5xx and
-    * transport errors — retries (ValidationProcessFunction.scala:183-201,
-    * MgmtApiSink.scala:57-83). */
+  /** Reference policy: only 5xx and transport errors retry
+    * (ValidationProcessFunction.scala:183-201, MgmtApiSink.scala:57-83).
+    * Every other status fails fast — 4xx is a client bug, and a 3xx is just
+    * as deterministic: the HTTP client follows no redirects, so a
+    * misconfigured base URI behind a redirecting load balancer would
+    * otherwise back off for the full 24 h ceiling on an error that can
+    * never succeed. */
   val serverSideOnly: Throwable => Boolean = {
-    case RequestException(status, _) => status < 400 || status > 499
+    case RequestException(status, _) => status >= 500
     case _ => true
   }
 }

@@ -32,14 +32,13 @@ object ValidationJob {
     * (reference BaseValidationJob.scala:230-236). */
   def kafkaRecordSource(spark: SparkSession, brokers: String, inputTopic: String,
       extra: Map[String, String] = Map.empty): DataFrame =
-    extra.foldLeft(
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", Topics.validate(inputTopic))
-        .option("includeHeaders", "true")
-        .option("startingOffsets", "earliest")
-        .option("kafka.fetch.max.wait.ms", "500"))(
-      (b, kv) => b.option(kv._1, kv._2))
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", Topics.validate(inputTopic))
+      .option("includeHeaders", "true")
+      .option("startingOffsets", "earliest")
+      .option("kafka.fetch.max.wait.ms", "500")
+      .options(extra)
       .load()
       .select(col("key"), col("value"), col("headers"), col("topic"),
         col("partition"), col("offset"))
@@ -50,13 +49,12 @@ object ValidationJob {
     * driver-side, so single-writer semantics hold regardless. */
   def kafkaNotificationSource(spark: SparkSession, brokers: String,
       inputTopic: String, extra: Map[String, String] = Map.empty): DataFrame =
-    extra.foldLeft(
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", Topics.notificationTopic(inputTopic))
-        .option("startingOffsets", "earliest")
-        .option("kafka.fetch.max.wait.ms", "150"))(
-      (b, kv) => b.option(kv._1, kv._2))
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", Topics.notificationTopic(inputTopic))
+      .option("startingOffsets", "earliest")
+      .option("kafka.fetch.max.wait.ms", "150")
+      .options(extra)
       .load()
 
   /** SASL_SSL client properties, built exactly when an Event-Streams-style API
@@ -108,10 +106,10 @@ object ValidationJob {
       countsHandoff: (DataFrame, Long) => Unit,
       extra: Map[String, String] = Map.empty): ValidationSinks = new ValidationSinks {
     private def write(df: DataFrame, topic: String): Unit =
-      (kafkaProducerOptions ++ extra).foldLeft(
-        df.write.format("kafka")
-          .option("kafka.bootstrap.servers", brokers)
-          .option("topic", topic))((b, kv) => b.option(kv._1, kv._2))
+      df.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .options(kafkaProducerOptions ++ extra)
         .save()
     def valid(df: DataFrame, epochId: Long): Unit =
       write(validRecordProjection(df), Topics.outputTopic(inputTopic))
@@ -284,7 +282,16 @@ object ValidationJob {
         sasl ++ kafkaGroupId(inputTopic, "tracker"))
       .select(from_json(col("value").cast("string"),
         graft.model.Schemas.batchNotification).as("n"))
-      .select(col("n.*")).as[graft.model.BatchNotification]
+      .select(col("n.*"))
+      // poison-message guard, the startNotificationQuery twin: malformed JSON
+      // (null struct/id) or an absent Int field would otherwise NPE the
+      // non-nullable encoder fields and crash-loop the tracker query from the
+      // checkpoint. Absent counts default -1, matching
+      // MgmtClient.parseNotification's open-world convention
+      .filter(col("id").isNotNull)
+      .na.fill(-1L, Seq("expectedRecordCount", "actualRecordCount",
+        "invalidRecordCount", "invalidThreshold"))
+      .as[graft.model.BatchNotification]
     val terminal = TrackerProcessor.track(
       TrackerProcessor.unionEvents(countEvents, notifEvents), completionDelayMs)
 
@@ -298,18 +305,17 @@ object ValidationJob {
           .foreachBatch(apiSink.writeBatch _)
           .start()
       case None =>
-        (kafkaProducerOptions ++ sasl).foldLeft(
-          terminal
-            .select(lit(null).cast("binary").as("key"),
-              encode(to_json(struct(col("*"))), "UTF-8").as("value"))
-            .writeStream
-            .queryName("graft-tracker")
-            .option("checkpointLocation", s"$checkpointDir/graft-tracker")
-            .trigger(Trigger.ProcessingTime("1 second"))
-            .format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", Topics.notificationTopic(inputTopic)))(
-          (b, kv) => b.option(kv._1, kv._2))
+        terminal
+          .select(lit(null).cast("binary").as("key"),
+            encode(to_json(struct(col("*"))), "UTF-8").as("value"))
+          .writeStream
+          .queryName("graft-tracker")
+          .option("checkpointLocation", s"$checkpointDir/graft-tracker")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("topic", Topics.notificationTopic(inputTopic))
+          .options(kafkaProducerOptions ++ sasl)
           .start()
     }
     Running(rq, nq, Some(tq), store)

@@ -125,9 +125,24 @@ object Media {
           batch.map { case (id, blob) =>
             val d = codec.decode(blob)
             val px = d.pixels
+            // one unboxed pass, Long accumulators: the 8-way boxed
+            // `indices.collect` walked the array 8 times, and an Int sum
+            // wraps negative past ~67 MB of high-valued bytes — a silently
+            // corrupt "mean" from the kernel positioned as the batched
+            // vectorized decode path
+            val sums = new Array[Long](8)
+            val ns = new Array[Long](8)
+            var i = 0
+            while (i < px.length) {
+              val f = i % 8
+              sums(f) += px(i) & 0xff
+              ns(f) += 1
+              i += 1
+            }
+            // same float-division sequence as before (sum.toFloat / n), so
+            // in-range values stay bit-identical to the oracle's FLOAT math
             val feats = Array.tabulate(8) { f =>
-              val slice = px.indices.collect { case i if i % 8 == f => px(i) & 0xff }
-              if (slice.isEmpty) 0f else slice.sum.toFloat / slice.length
+              if (ns(f) == 0) 0f else sums(f).toFloat / ns(f)
             }
             MediaFeature(id, d.nFrames, px.length, feats)
           }

@@ -41,9 +41,16 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .select(
         col(rangeKey).as("__k"),
+        // enumerate THROUGH the end's bucket: unix_timestamp truncates to
+        // seconds, so a sub-second end (end 00:02:00.5, g=60) still covers
+        // instants in its own bucket — `(end - 1) div g` would stop one
+        // bucket short and silently lose those matches. When the end sits
+        // exactly on a bucket boundary this adds one candidate bucket whose
+        // pairs the exact end-exclusive filter below prunes — extra work,
+        // never extra (or missing) output
         explode(sequence(
           expr(s"unix_timestamp(${q(startCol)}) div $g"),
-          expr(s"(unix_timestamp(${q(endCol)}) - 1) div $g"))).as("__b"),
+          expr(s"unix_timestamp(${q(endCol)}) div $g"))).as("__b"),
         struct(ranges.columns.toIndexedSeq.map(col): _*).as("__r"))
     p.join(r, Seq("__k", "__b"))
       .filter(col(s"__p.$pointTime") >= col(s"__r.$startCol") &&

@@ -54,13 +54,17 @@ disp AS (
          WHEN b.id IS NULL THEN 'invalid_unknown_batch_id'
          WHEN b.status IN ('FAILED','TERMINATED') THEN 'dropped'
          WHEN b.status = 'COMPLETED' THEN 'invalid_already_completed'
-         WHEN NOT r.is_valid THEN 'invalid_payload'
-         ELSE 'valid' END AS disposition
+         WHEN b.status IN ('STARTED','SEND_COMPLETED') AND NOT r.is_valid
+           THEN 'invalid_payload'
+         WHEN b.status IN ('STARTED','SEND_COMPLETED') AND r.is_valid
+           THEN 'valid'
+         -- unrecognized status: never valid-by-fallthrough (engine twin)
+         ELSE 'invalid_unknown_batch_id' END AS disposition
   FROM rec r LEFT JOIN bats b ON r.batch_id = b.id),
 cnts AS (
   SELECT batch_id AS id,
-         CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS INTEGER) AS valid,
-         CAST(SUM(CASE WHEN is_valid THEN 0 ELSE 1 END) AS INTEGER) AS invalid
+         CAST(LEAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END), 2147483647) AS INTEGER) AS valid,
+         CAST(LEAST(SUM(CASE WHEN is_valid THEN 0 ELSE 1 END), 2147483647) AS INTEGER) AS invalid
   FROM disp WHERE disposition IN ('valid','invalid_payload') GROUP BY 1),
 decis AS (
   SELECT b.id, b.name, c.valid, c.invalid, b.expected_record_count, b.invalid_threshold,
@@ -84,7 +88,8 @@ decis AS (
                AND c.invalid >= b.invalid_threshold)
            OR (b.status = 'SEND_COMPLETED' AND c.valid IS NOT NULL
                AND c.valid + c.invalid >= b.expected_record_count)
-           THEN c.valid + c.invalid ELSE NULL END AS actual_record_count,
+           THEN CAST(LEAST(CAST(c.valid AS BIGINT) + c.invalid, 2147483647)
+                     AS INTEGER) ELSE NULL END AS actual_record_count,
     CASE WHEN (b.invalid_threshold > -1 AND b.status <> 'TERMINATED' AND c.valid IS NOT NULL
                AND c.invalid >= b.invalid_threshold)
            OR (b.status = 'SEND_COMPLETED' AND c.valid IS NOT NULL

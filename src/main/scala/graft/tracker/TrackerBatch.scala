@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object TrackerBatch {
 
-  /** T1 — final per-batch counters from the counts stream (batchId, isValid). */
+  /** T1 — final per-batch counters from the counts stream (batchId, isValid).
+    * Clamped to Int.MaxValue exactly like the streaming twin
+    * ([[BatchStateMachine]]'s terminal builder): a bare `.cast("int")` would
+    * WRAP a >2^31 count negative (non-ANSI cast), after which overflow/
+    * complete/threshold comparisons in [[decide]] can never fire — precisely
+    * at the scale this module exists for. */
   def counts(countsStream: DataFrame): DataFrame =
     countsStream.groupBy(col("batchId").as("id"))
-      .agg(sum(when(col("isValid"), 1L).otherwise(0L)).cast("int").as("valid"),
-        sum(when(col("isValid"), 0L).otherwise(1L)).cast("int").as("invalid"))
+      .agg(least(sum(when(col("isValid"), 1L).otherwise(0L)),
+          lit(Int.MaxValue.toLong)).cast("int").as("valid"),
+        least(sum(when(col("isValid"), 0L).otherwise(1L)),
+          lit(Int.MaxValue.toLong)).cast("int").as("invalid"))
 
   /** T2–T8 — join counters with the latest notification snapshot and decide the
     * terminal status. Batches with no counts (dropped/completed/unknown statuses
@@ -38,7 +45,8 @@ object TrackerBatch {
   def decide(countsStream: DataFrame, batches: DataFrame): DataFrame = {
     val c = counts(countsStream)
     val b = batches.select("id", "name", "status", "expectedRecordCount", "invalidThreshold")
-    val total = col("valid") + col("invalid")
+    // long arithmetic: two near-Int.MaxValue counters would wrap an int sum
+    val total = col("valid").cast("long") + col("invalid")
     val thresholdFail = col("invalidThreshold") > -1 &&
       col("status") =!= Status.Terminated && col("valid").isNotNull &&
       col("invalid") >= col("invalidThreshold")
@@ -63,7 +71,10 @@ object TrackerBatch {
               lit(", received too many records, actualRecordCount: "), total.cast("string"),
               lit(" > expectedRecordCount: "), col("expectedRecordCount").cast("string")))
           .as("failure_message"),
-        when(thresholdFail || overflowFail || complete, total)
+        // int output with the twin's clamp (BatchStateMachine.terminal):
+        // both counters at the Int.MaxValue ceiling would wrap a bare cast
+        when(thresholdFail || overflowFail || complete,
+          least(total, lit(Int.MaxValue.toLong)).cast("int"))
           .as("actual_record_count"),
         when(thresholdFail || overflowFail || complete, col("invalid"))
           .as("invalid_record_count"))

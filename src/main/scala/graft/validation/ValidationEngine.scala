@@ -67,7 +67,13 @@ object ValidationEngine {
           .when(col("batch_status").isin(Status.Dropped: _*), DispDropped)
           .when(col("batch_status") === Status.Completed, DispInvalidCompleted)
           .when(!col("validation").getField("isValid"), DispInvalidPayload)
-          .otherwise(DispValid))
+          .when(col("validation").getField("isValid"), DispValid)
+          // an UNRECOGNIZED status string (new API enum, wrong casing, producer
+          // typo — the snapshot ingests external JSON) left `validation` NULL:
+          // both isValid branches above miss, and a bare otherwise(valid)
+          // would publish the batch's records UNVALIDATED. Route them like an
+          // unknown batch instead — never valid-by-fallthrough
+          .otherwise(DispInvalidUnknown))
   }
 
   /** V9 — valid main output: the original record untouched (headers, key, value all

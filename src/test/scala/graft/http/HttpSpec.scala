@@ -89,6 +89,36 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Json.rawField("""{"other":1}""", "metadata") shouldBe None
   }
 
+  test("user-controlled metadata keys cannot shadow top-level notification fields") {
+    // metadata is an opaque user passthrough and server field order is not
+    // guaranteed: nested keys named like notification fields, appearing
+    // FIRST, must not win — a whole-document regex scan would read the
+    // batch as COMPLETED (routing every live record invalid) and corrupt
+    // expectedRecordCount in the tracker
+    val j = """{"metadata":{"status":"COMPLETED","expectedRecordCount":0,
+               "id":"evil","deeper":{"invalidThreshold":99}},
+               "id":"b9","status":"STARTED","expectedRecordCount":500000,
+               "invalidThreshold":-1}"""
+    Json.strField(j, "status") shouldBe Some("STARTED")
+    Json.strField(j, "id") shouldBe Some("b9")
+    Json.intField(j, "expectedRecordCount") shouldBe Some(500000)
+    Json.intField(j, "invalidThreshold") shouldBe Some(-1)
+    // a top-level NUMBER followed by a deeper same-named STRING key: the
+    // string regex anchored at the top-level key must not skip ahead
+    val k = """{"status":5,"nested":{"status":"COMPLETED"}}"""
+    Json.strField(k, "status") shouldBe None
+    Json.intField(k, "status") shouldBe Some(5)
+    // and rawField locates top-level only
+    Json.rawField(j, "id") shouldBe Some("b9")
+  }
+
+  test("retry policy: 3xx and 4xx fail fast; only 5xx/transport retry") {
+    Retry.serverSideOnly(RequestException(301, "moved")) shouldBe false
+    Retry.serverSideOnly(RequestException(404, "nf")) shouldBe false
+    Retry.serverSideOnly(RequestException(503, "busy")) shouldBe true
+    Retry.serverSideOnly(new java.io.IOException("conn reset")) shouldBe true
+  }
+
   test("token form URL-encodes credentials and audience (reserved chars survive)") {
     reqs.clear()
     val tricky = new MgmtClient(s"$base/mgmt", s"$base/oauth",

@@ -35,6 +35,26 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.length shouldBe out.toSet.size // exactly-one-bucket meeting: no dups
   }
 
+  test("sub-second range ends keep their last bucket's matches") {
+    val s = spark
+    import s.implicits._
+    // end 00:02:00.5 covers instants in bucket 2 (g=60), but unix_timestamp
+    // truncates to seconds — enumerating to (end-1) div g stopped at bucket
+    // 1 and silently lost the 00:02:00.3 match
+    val ranges = Seq(("k", 1L, Timestamp.valueOf("2024-01-01 00:00:00"),
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:02:00").getTime + 500)))
+      .toDF("key", "rid", "start", "end")
+    val points = Seq(
+      ("k", 10L, new Timestamp(Timestamp.valueOf("2024-01-01 00:02:00").getTime + 300)),
+      ("k", 11L, new Timestamp(Timestamp.valueOf("2024-01-01 00:02:00").getTime + 700)))
+      .toDF("key", "pid", "t")
+    val out = RangeJoin.pointInRange(points, ranges,
+        "key", "t", "key", "start", "end", granularitySeconds = 60)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("range_rid")))
+    // 10 is inside [start, end); 11 is past the sub-second end
+    out.toSet shouldBe Set((10L, 1L))
+  }
+
   test("empty and inverted ranges are dropped, not enumerated downward") {
     val s = spark
     import s.implicits._

@@ -33,7 +33,8 @@ class ValidationEngineSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val liveBatches = batches(
     "started" -> "STARTED", "sending" -> "SEND_COMPLETED", "done" -> "COMPLETED",
-    "failed" -> "FAILED", "terminated" -> "TERMINATED")
+    "failed" -> "FAILED", "terminated" -> "TERMINATED",
+    "weird" -> "PAUSED") // not a status this pipeline knows
 
   private def validate(rows: Seq[Row]): DataFrame =
     ValidationEngine.validate(records(rows), liveBatches, new JsonValidator)
@@ -72,7 +73,11 @@ class ValidationEngineSpec extends AnyFunSuite with Matchers with SparkSpec {
       rec("k", "{}", Seq(hdr("batchId", "done")), 4L),               // already completed
       rec("k", "{}", Seq(hdr("batchId", "failed")), 5L),             // dropped
       rec("k", "{}", Seq(hdr("batchId", "terminated")), 6L),         // dropped
-      rec("k", "{}", Seq.empty[Row], 7L)))                           // missing
+      rec("k", "{}", Seq.empty[Row], 7L),                            // missing
+      // an UNRECOGNIZED status string (new API enum, wrong casing, typo):
+      // the validator is gated off, so a bare otherwise(valid) fallthrough
+      // would publish the record UNVALIDATED — it must route invalid instead
+      rec("k", "not-json", Seq(hdr("batchId", "weird")), 8L)))
     m(1L) shouldBe ValidationEngine.DispValid
     m(2L) shouldBe ValidationEngine.DispInvalidPayload
     m(3L) shouldBe ValidationEngine.DispInvalidUnknown
@@ -80,6 +85,7 @@ class ValidationEngineSpec extends AnyFunSuite with Matchers with SparkSpec {
     m(5L) shouldBe ValidationEngine.DispDropped
     m(6L) shouldBe ValidationEngine.DispDropped
     m(7L) shouldBe ValidationEngine.DispInvalidMissing
+    m(8L) shouldBe ValidationEngine.DispInvalidUnknown
   }
 
   test("V8: null value is invalid; validator runs only for live batches") {
