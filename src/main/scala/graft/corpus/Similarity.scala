@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   */
 object Similarity {
 
+  /** Defaults shared with the DuckDB oracles (interpolated there, so a
+    * retune cannot drift engine and oracle). */
+  val DefaultTopKQueries: Int = 20
+  val DefaultTopK: Int = 5
+  val DefaultNearDupThreshold: Double = 0.45
+  val DefaultLshBits: Int = 6
+  val DefaultDim: Int = 64
+  val DefaultIvfCentroids: Int = 16
+  val DefaultIvfNprobe: Int = 4
+
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Cosine similarity of two double arrays — the codegen'd
@@ -54,7 +64,8 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self; rank ties broken by neighbor id. */
-  def cosineTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+  def cosineTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
+      k: Int = DefaultTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normalizedBase(emb)
     val queries = base.filter(col("vec_id") < numQueries)
@@ -104,7 +115,8 @@ object Similarity {
     * produce no row either: their bucket is NULL, so the equality join skips
     * them instead of letting NaN cosines displace every bucket-mate's true
     * neighbor. Size `bits` with [[bitsFor]] at deployment scale. */
-  def annLsh(emb: DataFrame, bits: Int = 6, dim: Int = 64): DataFrame = {
+  def annLsh(emb: DataFrame, bits: Int = DefaultLshBits,
+      dim: Int = DefaultDim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // buckets from the NORMALIZED vector: sign(dot(e/||e||, H)) == sign(dot(e, H))
     // mathematically, and the oracle buckets from the same normalized doubles so
@@ -133,7 +145,8 @@ object Similarity {
     * dedup thresholds live in — and run this as the in-bucket verifier. The
     * default threshold sits in this synthetic corpus's meaningful range (its max
     * pairwise cosine is ~0.6; nothing reaches classic ≥0.9 dedup territory). */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def cosineNearDupPairs(emb: DataFrame,
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
     val base = normalizedBase(emb)
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
@@ -153,8 +166,9 @@ object Similarity {
     * Scale shape: centroids broadcast (K rows); assignment is one narrow pass
     * over the corpus; the search join is keyed on cell id and touches ~nprobe/K
     * of the data; nothing quadratic in N anywhere. */
-  def annIvf(emb: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
-      numQueries: Int = 20, k: Int = 5,
+  def annIvf(emb: DataFrame, numCentroids: Int = DefaultIvfCentroids,
+      nprobe: Int = DefaultIvfNprobe,
+      numQueries: Int = DefaultTopKQueries, k: Int = DefaultTopK,
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normalizedBase(emb)

@@ -31,6 +31,11 @@ object TextDedup {
     * Shared with the x22 oracle generator so the two cannot drift. */
   val DefaultBenchMod: Long = 50L
 
+  /** Default exact-Jaccard near-dup threshold — shared by the whole dedup
+    * ladder (x2/x3/x33/x40/x50) AND interpolated into their oracles, so a
+    * retune cannot drift the two. */
+  val DefaultJaccardThreshold: Double = 0.8
+
   /** Split single-space-separated text into its token array. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -107,7 +112,8 @@ object TextDedup {
     * document). The df window reuses the self-join's hash partitioning on the
     * shingle, so the cap costs no extra shuffle. At test scale (corpus ≤ maxDf
     * documents) no shingle can exceed the cap, so this equals unrestricted J. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = DefaultJaccardThreshold,
       maxDf: Int = 1000): DataFrame = {
     val rare = postings(docs, n)
       .withColumn("df", count(lit(1)).over(
@@ -149,7 +155,7 @@ object TextDedup {
     * 16 bands x 4 rows a J=0.8 pair is missed with probability (1-0.8^4)^16 ~ 2e-4,
     * and the candidate set is deterministic for the fixed seed). */
   def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 16, threshold: Double = DefaultJaccardThreshold): DataFrame = {
     val banded = bandBuckets(docs, n, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -236,7 +242,7 @@ object TextDedup {
     * Recall: identical banding to [[minhashPairs]] (same ~2e-4 miss at
     * J = 0.8, documented at the x3/x33 oracles). */
   def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = DefaultJaccardThreshold): DataFrame = {
     val candidates = bandBuckets(newDocs, n, numHashes, bands).as("a")
       .join(bandBuckets(oldDocs, n, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))

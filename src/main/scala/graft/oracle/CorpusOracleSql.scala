@@ -45,7 +45,7 @@ jpairs AS (
 """
 
   private val jaccardSelect =
-    "SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8"
+    s"SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= ${graft.corpus.TextDedup.DefaultJaccardThreshold}"
 
   /** x2's capped-universe variant: shingles with document frequency > 1000 are
     * excluded from postings AND set sizes, mirroring ngramJaccardPairs(maxDf=1000).
@@ -150,7 +150,8 @@ q AS (
     qualityPrelude("") + "SELECT doc_id, n_tokens, n_chars, quality FROM q"
 
   private val annLshSql: String = {
-    val hp = hyperplaneLiterals(6, 64)
+    val hp = hyperplaneLiterals(graft.corpus.Similarity.DefaultLshBits,
+      graft.corpus.Similarity.DefaultDim)
     // buckets AND cosines from the normalized vectors, mirroring the Spark
     // side's normalize-once design with the identical operation sequence
     val bucket = hp.zipWithIndex.map { case (h, b) =>
@@ -159,9 +160,16 @@ q AS (
     s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (
-  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
   FROM raw),
-hb AS (SELECT vec_id, e, CAST($bucket AS BIGINT) AS bucket FROM base),
+hb AS (SELECT vec_id, e,
+  -- NULL bucket for degenerate vectors (engine lshBucket's NULL propagation):
+  -- the bare CASE chain would fall through to bucket 0 and pair them with
+  -- real bucket-0 vectors
+  CASE WHEN e IS NOT NULL THEN CAST($bucket AS BIGINT) END AS bucket
+  FROM base),
 pr AS (
   SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
          list_dot_product(a.e, b.e) AS cos
@@ -454,7 +462,7 @@ FROM fl"""
     * ever hash-mismatches HERE FIRST, suspect an LSH-missed borderline pair —
     * diff the two pair sets — before auditing the overlap/banding logic. */
   private val sourceOverlapSql: String = jaccardPrelude +
-    """, fp AS (SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= 0.8),
+    s""", fp AS (SELECT doc_id_1, doc_id_2, jaccard FROM jpairs WHERE jaccard >= ${graft.corpus.TextDedup.DefaultJaccardThreshold}),
 s AS (SELECT doc_id, source FROM documents)
 SELECT least(a.source, b.source) AS source_a,
        greatest(a.source, b.source) AS source_b,
@@ -470,7 +478,7 @@ GROUP BY 1, 2"""
     * ranked on the ROUNDED similarity with a min-old-id tiebreak, mirroring
     * the engine. */
   private val incrementalDedupSql: String = shinglePrelude +
-    """szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+    s"""szs AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
 inter AS (
   SELECT a.doc_id AS nid, b.doc_id AS oid, COUNT(*) AS c
   FROM post a JOIN post b ON a.s = b.s
@@ -480,7 +488,7 @@ j AS (
   SELECT nid, oid,
          CAST(c AS DOUBLE) / (x.n_shingles + y.n_shingles - c) AS jaccard
   FROM inter JOIN szs x ON nid = x.doc_id JOIN szs y ON oid = y.doc_id),
-f AS (SELECT nid, oid, round(jaccard, 6) AS j FROM j WHERE jaccard >= 0.8),
+f AS (SELECT nid, oid, round(jaccard, 6) AS j FROM j WHERE jaccard >= ${graft.corpus.TextDedup.DefaultJaccardThreshold}),
 r AS (
   SELECT nid, oid, j,
     ROW_NUMBER() OVER (PARTITION BY nid ORDER BY j DESC, oid) AS rn,
@@ -491,11 +499,17 @@ FROM r WHERE rn = 1"""
 
   /** Normalized-embedding base CTEs shared by the semantic (x42/x44/x45)
     * oracles — the identical normalize-then-dot operation sequence as
-    * x6/x12/x13, so the doubles stay bit-equal. */
+    * x6/x12/x13, so the doubles stay bit-equal. The `dot > 0` CASE guard
+    * mirrors `Similarity.normalizedBase`'s degenerate-vector contract
+    * (zero-norm/empty → e NULL, which loses every contest) — an unguarded
+    * x/0 here would yield NaN/NULL elements and break lockstep exactly on
+    * the edge the engine guards. */
   private val embBase: String = """raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (
-  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
   FROM raw)"""
 
   /** k-means CTE chain shared by x44/x45 — geometry, rounding, and iteration
@@ -538,8 +552,10 @@ m$i AS (
   SELECT cid, list(round(CAST(s AS DOUBLE)/n, $dp) ORDER BY p) AS m
   FROM s$i GROUP BY 1),
 cent$i AS (
+  -- zero-norm-mean clusters DROP (engine recompute's nm > 0 filter): an
+  -- unguarded renorm would emit NaN centroids that sort greatest
   SELECT cid, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS ce
-  FROM m$i)"""
+  FROM m$i WHERE list_dot_product(m, m) > 0)"""
     s""",
 cent0 AS ($cent0Sql)""" + (1 to iters).map(iterCte).mkString
   }
@@ -981,7 +997,7 @@ FROM c"""
     // x50: surviving corpus after the dedup decision (x20's components, the
     // non-canonical members anti-joined away)
     "x50_dedup_apply" -> (jaccardPrelude +
-      """, jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= 0.8),
+      s""", jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= ${graft.corpus.TextDedup.DefaultJaccardThreshold}),
 edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM jp
           UNION ALL SELECT doc_id_2, doc_id_1 FROM jp),
 comp(node, label) AS (
@@ -1064,7 +1080,7 @@ FROM n GROUP BY 1""",
     // x20: connected components over the exact-Jaccard pair set (identical to
     // x3's verified pairs) via recursive min-label propagation
     "x20_dedup_clusters" -> (jaccardPrelude +
-      """, jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= 0.8),
+      s""", jp AS (SELECT doc_id_1, doc_id_2 FROM jpairs WHERE jaccard >= ${graft.corpus.TextDedup.DefaultJaccardThreshold}),
 edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM jp
           UNION ALL SELECT doc_id_2, doc_id_1 FROM jp),
 comp(node, label) AS (
@@ -1228,33 +1244,37 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
     "x6_cosine_topk" -> s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (
-  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
   FROM raw),
-q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 20),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultTopKQueries}),
 pr AS (
   SELECT qid, vec_id AS neighbor_id, list_dot_product(qe, e) AS cos
   FROM base CROSS JOIN q WHERE vec_id <> qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
   FROM pr)
-WHERE rn <= 5""",
+WHERE rn <= ${graft.corpus.Similarity.DefaultTopK}""",
 
     "x7_ann_lsh" -> annLshSql,
 
     // x12: exact upper-triangle cosine near-dup over PRE-NORMALIZED vectors —
     // the same normalize-then-dot operation sequence as the Spark side, so the
     // doubles are bit-identical; threshold on the unrounded value
-    "x12_cosine_neardup" -> """WITH base AS (
+    "x12_cosine_neardup" -> s"""WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 nrm AS (
   SELECT vec_id,
-         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+         CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
   FROM base),
 pr AS (
   SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          list_dot_product(a.e, b.e) AS cos
   FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
-SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= 0.45""",
+SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= ${graft.corpus.Similarity.DefaultNearDupThreshold}""",
 
     // x13: IVF with the deterministic first-16 quantizer — assignment and probe
     // ranks replicate the Spark side's (cosine DESC, id ASC) tiebreaks exactly,
@@ -1262,9 +1282,11 @@ SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= 0.45""",
     "x13_ann_ivf" -> s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (
-  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
   FROM raw),
-cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16),
+cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultIvfCentroids}),
 assigned AS (
   SELECT vec_id, e, cid FROM (
     SELECT b.vec_id, b.e, c.cid,
@@ -1277,15 +1299,15 @@ probes AS (
     SELECT q.vec_id AS qid, q.e AS qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY list_dot_product(q.e, c.ce) DESC, c.cid) AS prank
-    FROM base q CROSS JOIN cents c WHERE q.vec_id < 20)
-  WHERE prank <= 4),
+    FROM base q CROSS JOIN cents c WHERE q.vec_id < ${graft.corpus.Similarity.DefaultTopKQueries})
+  WHERE prank <= ${graft.corpus.Similarity.DefaultIvfNprobe}),
 pr AS (
   SELECT p.qid, a.vec_id AS neighbor_id, list_dot_product(p.qe, a.e) AS cos
   FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
   FROM pr)
-WHERE rn <= 5""",
+WHERE rn <= ${graft.corpus.Similarity.DefaultTopK}""",
 
     "x8_lang_id" -> langIdSql,
 
