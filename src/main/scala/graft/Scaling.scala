@@ -85,7 +85,7 @@ object Scaling {
     // Shift k·7 mod dim is distinct per replica for k < dim (7 coprime 64).
     val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val embBaseN = embBase.count()
-    val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
     scales.foreach { m =>
       val scaled = (0 until m).map { k =>
         val shift = (k * 7) % dim
