@@ -219,4 +219,19 @@ class HttpSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       new MgmtApiSink(client, noSleepRetry).send(terminal("b-x", Status.Started))
     }
   }
+
+  test("MgmtApiSink: a malformed topic skips the PUT instead of crash-looping") {
+    reqs.clear()
+    // topic arrives from externally-supplied notification JSON; no derivable
+    // tenant means no URL, and a throw would make foreachBatch replay the
+    // same poison row forever. The sink must skip it (loudly) and stay
+    // usable for the next notification
+    val sink = new MgmtApiSink(client, noSleepRetry)
+    noException should be thrownBy sink.send(
+      BatchNotification("b-junk", "n", "not-a-valid-topic", "claims",
+        Status.Completed, null, null, 1, 1, 0, -1, null, null))
+    reqs shouldBe empty // nothing was PUT for the junk topic
+    sink.send(terminal("b-done", Status.Completed)) // still works after
+    reqs.last.path should endWith("/b-done/action/processingComplete")
+  }
 }
