@@ -40,11 +40,13 @@ object Similarity {
     * parity holds; ~600× less per-pair overhead inside the O(N²) joins). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosine(a, b)
 
-  /** (vec_id, e) with e pre-normalized to unit length — norm materialized once
-    * per row, then one element-wise divide. Every pair/assignment stage after
-    * this is a SINGLE array walk (dot of unit vectors) instead of dot + two norm
-    * recomputations; all oracles normalize with the identical operation
-    * sequence, so the doubles stay bit-equal.
+  /** (vec_id, e) with e pre-normalized to unit length — ONE fused codegen'd
+    * pass per row ([[graft.functions.NormalizeVector]]): sum-of-squares fold,
+    * sqrt, element-wise divide, all in the [[graft.functions.DotProduct]]
+    * operation order, so every oracle that normalizes with the same sequence
+    * stays bit-equal. Every pair/assignment stage after this is a SINGLE
+    * array walk (dot of unit vectors) instead of dot + two norm
+    * recomputations.
     *
     * Degenerate embeddings — zero-norm, empty, or NULL — surface as `e` NULL,
     * NEVER as a NaN vector: 0/0 = NaN per element, and Spark orders NaN
@@ -52,13 +54,16 @@ object Similarity {
     * (every BestMatch assignment, every `cos DESC` window) and silently absorb
     * the corpus. NULL instead loses everywhere by construction: BestMatch
     * NULLs its struct, equality joins drop NULL buckets, and `>=` filters
-    * fail — the same contract the NULL-embedding guards already pin. */
+    * fail — the same contract the NULL-embedding guards already pin. The
+    * fused expression keeps this guard CHEAP when Catalyst re-evaluates it —
+    * inferred IsNotNull join constraints get pushed to the scan as a Filter
+    * that recomputes `e`, and with the old `when(n > 0, transform(...))`
+    * form that meant an interpreted per-element lambda per row, twice
+    * (measured 2× on the ANN suite). */
   private[corpus] def normalizedBase(emb: DataFrame, passthrough: String*): DataFrame =
     emb.select(col("vec_id") +: passthrough.map(col) :+
-        toDouble(col("embedding")).as("raw"): _*)
-      .withColumn("n", graft.functions.VectorOps.norm(col("raw")))
-      .select(col("vec_id") +: passthrough.map(col) :+
-        when(col("n") > 0, transform(col("raw"), x => x / col("n"))).as("e"): _*)
+      graft.functions.VectorOps.normalizeVec(
+        toDouble(col("embedding"))).as("e"): _*)
 
   private def dotp(a: Column, b: Column): Column = graft.functions.VectorOps.dotp(a, b)
 
@@ -87,17 +92,28 @@ object Similarity {
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** [[lshBucket]] without the NULL guard — bit b = [dot(e, H_b) > 0], a
+    * statically NON-nullable bucket id. Callers must have dropped NULL-`e`
+    * rows first ([[annLsh]] filters them at the scan): a NULL vector fed here
+    * would land in bucket 0 alongside genuine bucket-0 vectors. The
+    * non-nullable key matters at plan level — a nullable self-join key makes
+    * Catalyst infer `IsNotNull(bucket)` and push the ENTIRE bucket expression
+    * (bits × dim dot products) into a scan-side Filter, evaluating it twice
+    * per row. */
+  private def lshBucketRaw(e: Column, bits: Int, dim: Int): Column = {
+    val hp = hyperplanes(bits, dim)
+    (0 until bits).map { b =>
+      val proj = graft.functions.VectorOps.dotp(e, typedLit(hp(b).toSeq))
+      when(proj > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
   /** Sign-LSH bucket id for an embedding: bit b = [dot(e, H_b) > 0]. NULL
     * propagates (a NULL vector gets a NULL bucket, so bucket-equality joins
     * emit no row for it) — without the guard every `when` falls through to
     * its `otherwise(0)` and all degenerate vectors pile into bucket 0. */
-  def lshBucket(e: Column, bits: Int, dim: Int): Column = {
-    val hp = hyperplanes(bits, dim)
-    when(e.isNotNull, (0 until bits).map { b =>
-      val proj = graft.functions.VectorOps.dotp(e, typedLit(hp(b).toSeq))
-      when(proj > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _))
-  }
+  def lshBucket(e: Column, bits: Int, dim: Int): Column =
+    when(e.isNotNull, lshBucketRaw(e, bits, dim))
 
   /** Bucket-bit sizing guide for [[annLsh]]: occupancy per bucket is ~N/2^bits,
     * and the within-bucket search is quadratic in occupancy, so `bits` must grow
@@ -120,9 +136,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // buckets from the NORMALIZED vector: sign(dot(e/||e||, H)) == sign(dot(e, H))
     // mathematically, and the oracle buckets from the same normalized doubles so
-    // even a projection within float-ε of zero cannot disagree
-    val base = normalizedBase(emb)
-      .withColumn("bucket", lshBucket(col("e"), bits, dim))
+    // even a projection within float-ε of zero cannot disagree. Degenerate
+    // vectors are dropped by an explicit e-IsNotNull filter (cheap — one fused
+    // NormalizeVector re-evaluation at the scan), which lets the bucket stay
+    // the statically non-nullable lshBucketRaw form: a nullable self-join key
+    // would make Catalyst push the whole bits×dim bucket expression into a
+    // second scan-side evaluation per row.
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+      .withColumn("bucket", lshBucketRaw(col("e"), bits, dim))
     val pairs = base.as("a")
       .join(base.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

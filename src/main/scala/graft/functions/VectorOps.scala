@@ -212,6 +212,94 @@ case class BestMatch(child: Expression, ids: Array[Long],
   }
 }
 
+/** Codegen'd unit-length normalization of an `ARRAY<DOUBLE>` — the fused twin
+  * of `when(norm(raw) > 0, transform(raw, x => x / norm(raw)))`.
+  *
+  * WHY an expression and not the declarative form: `transform` is a
+  * higher-order function, which Spark evaluates as an INTERPRETED lambda
+  * (CodegenFallback — per-element closure calls and boxed doubles). That is
+  * tolerable when the normalization runs once per row — but Catalyst does not
+  * promise once. Every equi-join downstream of the normalized column infers
+  * `IsNotNull` on its (nullable) join key, and predicate pushdown rewrites
+  * that constraint through the projection stack down to the scan,
+  * re-evaluating the ENTIRE normalization inside a Filter and then AGAIN in
+  * the Project above it (measured: 2× on the ANN suite, round 11 → 12). A
+  * plan-shape fix (blocking the pushdown) would trade away real pruning;
+  * instead this expression makes re-evaluation CHEAP: one tight codegen'd
+  * loop, no lambda, no boxing, primitive `double[]` output.
+  *
+  * Semantics are bit-identical to the declarative form it replaces:
+  * sum-of-squares folds left-to-right (the [[DotProduct]] order), the norm is
+  * `sqrt` of that sum, each element divides by the norm in array order.
+  * Degenerate inputs — NULL, empty, zero-norm, or NaN-poisoned (NaN sum fails
+  * `> 0`) — yield NULL, never a NaN vector: Spark orders NaN GREATEST, so one
+  * NaN vector would win every max-cosine contest downstream and silently
+  * absorb the corpus. */
+case class NormalizeVector(child: Expression) extends UnaryExpression {
+
+  // NULL on zero-norm/empty input, independent of child nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_vector expects an ARRAY<DOUBLE> input, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "normalize_vector"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    if (!(norm > 0)) null
+    else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val nm = ctx.freshName("nm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $a.getDouble($i);
+         |  $ss += v * v;
+         |}
+         |double $nm = java.lang.Math.sqrt($ss);
+         |if (!($nm > 0)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) / $nm;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVector =
+    copy(child = newChild)
+}
+
 /** Column-level vector math built on [[DotProduct]]. */
 object VectorOps {
 
@@ -222,6 +310,12 @@ object VectorOps {
   /** L2 norm — `sqrt(dotp(a, a))`: same sum-of-squares fold order as the
     * higher-order formulation it replaces. */
   def norm(a: Column): Column = sqrt(dotp(a, a))
+
+  /** Unit-length normalization with NULL-on-degenerate — see
+    * [[NormalizeVector]]. */
+  def normalizeVec(a: Column): Column =
+    GraftExpressionBridge.column(NormalizeVector(
+      GraftExpressionBridge.expression(a)))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dotp(a, b) / (norm(a) * norm(b))

@@ -77,6 +77,45 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     (expr.eval(null) == null) shouldBe true
   }
 
+  test("normalize_vector equals the when/transform formulation bit-for-bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0, 2.0, 3.0), Seq(0.1, -0.2, 0.3), Seq(1e-30, 0.0, 0.0),
+      Seq(3.0, 4.0, 0.0)).map(Tuple1(_)).toDF("raw")
+    val slow = vecs
+      .withColumn("n", VectorOps.norm(col("raw")))
+      .select(when(col("n") > 0, transform(col("raw"), x => x / col("n"))).as("e"))
+      .collect().map(_.getSeq[Double](0))
+    val fast = vecs.select(VectorOps.normalizeVec(col("raw")).as("e"))
+      .collect().map(_.getSeq[Double](0))
+    fast.zip(slow).foreach { case (f, s) =>
+      f.map(java.lang.Double.doubleToLongBits) shouldBe
+        s.map(java.lang.Double.doubleToLongBits)
+    }
+  }
+
+  test("normalize_vector NULLs degenerate inputs on codegen and interpreted paths") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)),        // zero norm
+      (2L, Seq.empty[Double]),          // empty
+      (3L, Seq(Double.NaN, 1.0, 0.0)), // NaN-poisoned: sum fails > 0
+      (4L, Seq(1.0, 0.0, 0.0))).toDF("id", "raw")
+      .union(Seq((5L, null.asInstanceOf[Seq[Double]])).toDF("id", "raw"))
+    val rows = vecs.select(col("id"), VectorOps.normalizeVec(col("raw")).as("e"))
+      .collect().sortBy(_.getLong(0))
+    rows.map(r => r.isNullAt(1)) shouldBe Seq(true, true, true, false, true)
+    rows(3).getSeq[Double](1) shouldBe Seq(1.0, 0.0, 0.0)
+    // interpreted eval directly (Literal child, no codegen)
+    val expr = NormalizeVector(Literal.create(Array(3.0, 4.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq shouldBe Seq(0.6, 0.8)
+    assert(NormalizeVector(Literal.create(Array(0.0, 0.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null) == null)
+  }
+
   test("non-ARRAY<DOUBLE> inputs are rejected at analysis time") {
     import spark.implicits._
     val d = Seq(("x", 1)).toDF("a", "b")
