@@ -343,31 +343,38 @@ object Semantic {
   def incrementalSemanticDedup(newEmb: DataFrame, oldEmb: DataFrame,
       k: Int = KmeansK, iters: Int = KmeansIters,
       tau: Double = SemDedupTau): DataFrame = {
-    val oldBase = Similarity.normalizedBase(oldEmb)
-    // seed + train against one cache of the old side (trainOn's discipline:
-    // the seed scan populates it, training rounds reuse it, released before
-    // the lazy assignment frames below re-read the source once)
-    val cachedOld =
-      oldBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = try {
+    // ONE cache of the old side carries seed collect, every training round,
+    // AND the final assignment join — the old corpus is scanned and
+    // normalized exactly once however many times the plan walks it (it is
+    // the big side: at deployment scale the increment is small and the index
+    // is the 100 TB half). Released before returning via [[semanticDedup]]'s
+    // discipline: the RESULT (one slim row per flagged new vector) is
+    // materialized with an eager localCheckpoint while the cache is hot,
+    // then the cache is dropped — a lazy return would leak corpus-scale
+    // storage per call (CacheManager holds persists strongly). The returned
+    // frame's lineage is truncated, same documented trade as x45.
+    val cachedOld = Similarity.normalizedBase(oldEmb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val seeds = collectCents(cachedOld.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cid"), col("e").as("ce")))
-      trainFrom(cachedOld, seeds, iters)
+      val cents = trainFrom(cachedOld, seeds, iters)
+      val oldAsg = assign(cachedOld, cents)
+        .select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid"))
+      val newAsg = assign(Similarity.normalizedBase(newEmb), cents)
+        .select(col("vec_id"), col("e"), col("cid"))
+      newAsg.join(oldAsg, "cid")
+        .select(col("vec_id"), col("cid").as("cluster"), col("old_id"),
+          dotp(col("e"), col("oe")).as("cos"))
+        .filter(col("cos") >= tau)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("old_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"),
+          col("old_id").as("matched_vec_id"), round(col("cos"), 6).as("cosine"))
+        .localCheckpoint(true)
     } finally cachedOld.unpersist(blocking = false)
-    val oldAsg = assign(oldBase, cents)
-      .select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid"))
-    val newAsg = assign(Similarity.normalizedBase(newEmb), cents)
-      .select(col("vec_id"), col("e"), col("cid"))
-    newAsg.join(oldAsg, "cid")
-      .select(col("vec_id"), col("cid").as("cluster"), col("old_id"),
-        dotp(col("e"), col("oe")).as("cos"))
-      .filter(col("cos") >= tau)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("old_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"),
-        col("old_id").as("matched_vec_id"), round(col("cos"), 6).as("cosine"))
   }
 
   /** x42 — embedding-space benchmark decontamination: flag every corpus
