@@ -208,7 +208,11 @@ object Semantic {
     val cached =
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
-      trainFrom(cached, collectCents(cached.filter(col("vec_id") < k)
+      // degenerate vectors (e NULL) cannot seed: a NULL centroid could never
+      // win an assignment anyway (annIvf's doctrine for caller-supplied
+      // centroids), and collecting one would poison the driver-held seed set
+      trainFrom(cached, collectCents(cached
+        .filter(col("vec_id") < k && col("e").isNotNull)
         .select(col("vec_id").as("cid"), col("e").as("ce"))), iters)
     finally cached.unpersist(blocking = false)
   }
@@ -356,7 +360,11 @@ object Semantic {
     val cachedOld = Similarity.normalizedBase(oldEmb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seeds = collectCents(cachedOld.orderBy(col("vec_id")).limit(k)
+      // k lowest HEALTHY old ids seed (degenerate e-NULL rows can't seed —
+      // trainOn's doctrine, filter-then-limit so a degenerate low id doesn't
+      // shrink the seed set)
+      val seeds = collectCents(cachedOld.filter(col("e").isNotNull)
+        .orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cid"), col("e").as("ce")))
       val cents = trainFrom(cachedOld, seeds, iters)
       val oldAsg = assign(cachedOld, cents)
@@ -395,7 +403,11 @@ object Semantic {
   def embedDecontam(emb: DataFrame, benchMod: Int = DecontamBenchMod,
       tau: Double = DecontamTau): DataFrame = {
     val base = Similarity.normalizedBase(emb)
-    val bench = collectCents(base.filter(col("vec_id") % benchMod === 0)
+    // a degenerate benchmark vector (e NULL) is droppable by the same
+    // doctrine as degenerate seeds: nothing can score against it, and
+    // collecting it would put a null vector in the driver-held reference set
+    val bench = collectCents(base
+      .filter(col("vec_id") % benchMod === 0 && col("e").isNotNull)
       .select(col("vec_id").as("bench_id"), col("e").as("be")))
     embedDecontamAgainst(base.filter(col("vec_id") % benchMod =!= 0), bench, tau)
   }

@@ -163,7 +163,9 @@ base AS (
   SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
          THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
          END AS e
-  FROM raw),
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
 hb AS (SELECT vec_id, e,
   -- NULL bucket for degenerate vectors (engine lshBucket's NULL propagation):
   -- the bare CASE chain would fall through to bucket 0 and pair them with
@@ -510,7 +512,9 @@ base AS (
   SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
          THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
          END AS e
-  FROM raw)"""
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL)"""
 
   /** k-means CTE chain shared by x44/x45 — geometry, rounding, and iteration
     * count interpolated from [[graft.corpus.Semantic]]'s constants; one
@@ -528,7 +532,15 @@ $name AS (
     SELECT b.vec_id, b.e, c.cid, list_dot_product(b.e, c.ce) AS ac,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
-    FROM $baseName b CROSS JOIN $centName c) WHERE rn = 1)"""
+    FROM (SELECT * FROM $baseName WHERE e IS NOT NULL) b
+    CROSS JOIN $centName c) WHERE rn = 1
+  -- degenerate vectors keep their ROW but assign nowhere (engine:
+  -- withBestMatch NULLs the whole struct) — an unguarded all-NULL-cosine
+  -- ORDER BY would fall through to the cid tiebreak and "assign" them to
+  -- the lowest centroid
+  UNION ALL
+  SELECT vec_id, e, NULL AS cid, NULL AS ac
+  FROM $baseName WHERE e IS NULL)"""
 
   /** The Lloyd's CTE chain over `baseName` from `cent0Sql` seeds: one
     * assign + decimal-mean recompute block per engine round, ending at
@@ -538,11 +550,16 @@ $name AS (
     val iters = graft.corpus.Semantic.KmeansIters
     def iterCte(i: Int): String = s""",
 a$i AS (
+  -- degenerate (NULL-e) vectors contribute no coordinates to any mean
+  -- (engine: posexplode of a NULL array emits nothing), so dropping them
+  -- here is identity for training — and dodges list_dot_product's
+  -- NULL-input error
   SELECT vec_id, e, cid FROM (
     SELECT b.vec_id, b.e, c.cid,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS rn
-    FROM $baseName b CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+    FROM (SELECT * FROM $baseName WHERE e IS NOT NULL) b
+    CROSS JOIN cent${i - 1} c) WHERE rn = 1),
 x$i AS (SELECT cid, e, unnest(range(len(e))) AS p FROM a$i),
 s$i AS (
   SELECT cid, p, SUM(CAST(round(e[p+1], $dp) AS DECIMAL(28,12))) AS s,
@@ -565,7 +582,8 @@ cent0 AS ($cent0Sql)""" + (1 to iters).map(iterCte).mkString
     val iters = graft.corpus.Semantic.KmeansIters
     s"WITH $embBase" +
       lloydChain("base",
-        s"SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < $k") +
+        // engine trainOn: degenerate (e-NULL) vectors cannot seed
+        s"SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < $k AND e IS NOT NULL") +
       assignCte("fin", "base", s"cent$iters")
   }
 
@@ -877,7 +895,8 @@ FROM (
 obase AS (SELECT * FROM base WHERE vec_id % 2 = 0),
 nbase AS (SELECT * FROM base WHERE vec_id % 2 = 1)""" +
       lloydChain("obase",
-        s"SELECT vec_id AS cid, e AS ce FROM obase ORDER BY vec_id LIMIT $k") +
+        // k lowest HEALTHY old ids (engine filters e-NULL before the limit)
+        s"SELECT vec_id AS cid, e AS ce FROM obase WHERE e IS NOT NULL ORDER BY vec_id LIMIT $k") +
       assignCte("oasg", "obase", s"cent$iters") +
       assignCte("nasg", "nbase", s"cent$iters") + s""",
 pr AS (
@@ -897,7 +916,8 @@ WHERE rn = 1"""
     val mod = graft.corpus.Semantic.DecontamBenchMod
     val tau = graft.corpus.Semantic.DecontamTau
     s"""WITH $embBase,
-bench AS (SELECT vec_id AS bench_id, e AS be FROM base WHERE vec_id % $mod = 0),
+bench AS (SELECT vec_id AS bench_id, e AS be FROM base
+  WHERE vec_id % $mod = 0 AND e IS NOT NULL),
 scored AS (
   SELECT c.vec_id, b.bench_id, list_dot_product(c.e, b.be) AS cos
   FROM base c CROSS JOIN bench b WHERE c.vec_id % $mod <> 0)
@@ -1016,9 +1036,15 @@ WHERE d.doc_id NOT IN (SELECT node FROM drops)""").replace(
     "x47_embedding_profile" -> """WITH raw AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 n AS (
+  -- NULL embedding: dim and nrm both NULL (engine: size/dotp null-propagate;
+  -- the row still counts in n_vecs). Computed in a raw-IS-NOT-NULL branch:
+  -- DuckDB's vectorized list_dot_product errors outright when a scan chunk
+  -- mixes NULL and empty lists, even under a CASE guard
   SELECT label, CAST(len(raw) AS BIGINT) AS dim,
          sqrt(list_dot_product(raw, raw)) AS nrm
-  FROM raw)
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT label, NULL AS dim, NULL AS nrm FROM raw WHERE raw IS NULL)
 SELECT label, COUNT(*) AS n_vecs,
   MIN(dim) AS min_dim, MAX(dim) AS max_dim,
   CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
@@ -1247,10 +1273,18 @@ base AS (
   SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
          THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
          END AS e
-  FROM raw),
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
 q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultTopKQueries}),
 pr AS (
-  SELECT qid, vec_id AS neighbor_id, list_dot_product(qe, e) AS cos
+  -- NULL-guarded cosine, NOT a pre-filter: the engine KEEPS degenerate
+  -- pairs with a NULL cosine (a degenerate query still emits k rows, ranked
+  -- by the neighbor_id tiebreak; degenerate corpus vectors rank last and
+  -- fall outside top-k) — the guard only dodges DuckDB's NULL-input error
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
   FROM base CROSS JOIN q WHERE vec_id <> qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
@@ -1269,40 +1303,61 @@ nrm AS (
          CASE WHEN list_dot_product(raw, raw) > 0
          THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
          END AS e
-  FROM base),
+  FROM base WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM base WHERE raw IS NULL),
 pr AS (
+  -- degenerate (NULL-e) vectors pair with nothing, mirroring the engine:
+  -- their NULL cosine fails the >= threshold, so pre-filtering is identity
+  -- (and DuckDB's list_dot_product raises on NULL inputs)
   SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          list_dot_product(a.e, b.e) AS cos
-  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+  WHERE a.e IS NOT NULL AND b.e IS NOT NULL)
 SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine FROM pr WHERE cos >= ${graft.corpus.Similarity.DefaultNearDupThreshold}""",
 
     // x13: IVF with the deterministic first-16 quantizer — assignment and probe
     // ranks replicate the Spark side's (cosine DESC, id ASC) tiebreaks exactly,
-    // over the same pre-normalized vectors
+    // over the same pre-normalized vectors. Degenerate (NULL-e) vectors are
+    // excluded from BOTH index halves, mirroring the engine: annIvf filters
+    // ce.isNotNull before collecting centroids, and BestMatch NULLs the
+    // assignment struct so the cid equi-join drops the row — without these
+    // WHERE clauses the oracle's all-NULL-cosine ORDER BY would fall through
+    // to the cid tiebreak and "assign" degenerate vectors to the lowest
+    // centroid, emitting NULL-cosine neighbor rows the engine never produces
     "x13_ann_ivf" -> s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (
   SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
          THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
          END AS e
-  FROM raw),
-cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultIvfCentroids}),
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
+cents AS (SELECT vec_id AS cid, e AS ce FROM base
+  WHERE vec_id < ${graft.corpus.Similarity.DefaultIvfCentroids} AND e IS NOT NULL),
 assigned AS (
   SELECT vec_id, e, cid FROM (
     SELECT b.vec_id, b.e, c.cid,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS arank
-    FROM base b CROSS JOIN cents c)
+    FROM base b CROSS JOIN cents c WHERE b.e IS NOT NULL)
   WHERE arank = 1),
 probes AS (
+  -- a degenerate QUERY vector still probes (engine: NULL dot products rank
+  -- by the cid tiebreak, picking the nprobe lowest cells) and emits
+  -- NULL-cosine neighbor rows below — guard the dot, don't filter the row
   SELECT qid, qe, cid FROM (
     SELECT q.vec_id AS qid, q.e AS qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY list_dot_product(q.e, c.ce) DESC, c.cid) AS prank
+             ORDER BY CASE WHEN q.e IS NULL THEN NULL
+               ELSE list_dot_product(q.e, c.ce) END DESC, c.cid) AS prank
     FROM base q CROSS JOIN cents c WHERE q.vec_id < ${graft.corpus.Similarity.DefaultTopKQueries})
   WHERE prank <= ${graft.corpus.Similarity.DefaultIvfNprobe}),
 pr AS (
-  SELECT p.qid, a.vec_id AS neighbor_id, list_dot_product(p.qe, a.e) AS cos
+  SELECT p.qid, a.vec_id AS neighbor_id,
+         CASE WHEN p.qe IS NULL THEN NULL
+              ELSE list_dot_product(p.qe, a.e) END AS cos
   FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
 SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn

@@ -369,6 +369,35 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(_.getAs[Double]("cosine")).foreach(_ should be >= 0.9)
   }
 
+  test("degenerate vectors cannot seed, centroid, or benchmark") {
+    // a zero-norm vector among the k lowest ids: training seeds from the
+    // HEALTHY candidates only — collecting a NULL vector to the driver-held
+    // seed set would poison every downstream typedLit/BestMatch reference
+    val d = emb(
+      0L -> Seq(0f, 0f, 0f, 0f), // degenerate seed candidate
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0.9f, 0.1f, 0f, 0f))
+    val cents = Semantic.trainCentroids(d, k = 2, iters = 1)
+    cents.map(_._1) should contain only 1L
+    cents.foreach { case (_, v) => v should not be null }
+    // x51: the old side's k lowest HEALTHY ids seed (filter-then-limit — a
+    // degenerate low id must not shrink the seed set); the degenerate old
+    // vector also matches nothing
+    val inc = Semantic.incrementalSemanticDedup(
+      emb(11L -> Seq(1f, 0f, 0f, 0f)),
+      d, k = 2, iters = 1)
+    inc.collect().map(_.getLong(0)).toSeq shouldBe Seq(11L)
+    // a degenerate benchmark vector is dropped, not collected: with the only
+    // %-mod slice member degenerate, the benchmark set is EMPTY and nothing
+    // is flagged (the documented empty-benchmark shape), instead of an NPE
+    val bench = emb(
+      0L -> Seq(0f, 0f, 0f, 0f), // 0 % DecontamBenchMod == 0 -> benchmark
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0.99f, 0.01f, 0f, 0f))
+    Semantic.embedDecontam(bench).count() shouldBe 0L
+  }
+
   test("embedDecontam leaves a clean corpus unflagged") {
     val d = emb(
       0L -> Seq(1f, 0f, 0f, 0f),
