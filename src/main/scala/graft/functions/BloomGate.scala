@@ -55,6 +55,15 @@ object BloomGate {
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val iso = items.sparkSession.newSession()
+    // newSession() starts from the base SparkConf, NOT the caller's runtime
+    // session conf — semantic-affecting confs the caller set via conf.set
+    // (ANSI mode, session timezone, codegen flags) would silently not apply
+    // while the blocklist aggregate analyzes and executes here. Carry the
+    // caller's modifiable overrides across before raising the caps.
+    items.sparkSession.conf.getAll.foreach { case (k, v) =>
+      if (iso.conf.isModifiable(k) && !iso.conf.getOption(k).contains(v))
+        iso.conf.set(k, v)
+    }
     Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)

@@ -46,13 +46,13 @@ class Retry(
 }
 
 object Retry {
-  /** Reference policy: only 5xx and transport errors retry
-    * (ValidationProcessFunction.scala:183-201, MgmtApiSink.scala:57-83).
-    * Every other status fails fast — 4xx is a client bug, and a 3xx is just
-    * as deterministic: the HTTP client follows no redirects, so a
-    * misconfigured base URI behind a redirecting load balancer would
-    * otherwise back off for the full 24 h ceiling on an error that can
-    * never succeed. */
+  /** Only 5xx and transport errors retry; every other status fails fast.
+    * The reference fails fast only on 4xx (MgmtApiSink.scala:64-79, with 409
+    * special-cased) and would retry a 3xx — failing fast on 3xx here is a
+    * DELIBERATE deviation, not the reference policy: this client follows no
+    * redirects, so a 3xx is as deterministic as a 4xx, and a misconfigured
+    * base URI behind a redirecting load balancer would otherwise back off
+    * for the full 24 h ceiling on an error that can never succeed. */
   val serverSideOnly: Throwable => Boolean = {
     case RequestException(status, _) => status >= 500
     case _ => true

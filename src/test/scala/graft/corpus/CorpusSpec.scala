@@ -1668,6 +1668,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("BloomGate.build analyzes under the caller's session semantics") {
+    import spark.implicits._
+    // newSession() starts from the BASE conf — without the explicit carry, a
+    // semantic conf the caller set at runtime (here: case sensitivity) would
+    // silently not apply inside the isolated build. Pin that build() behaves
+    // exactly as the caller's session would: wrong-case column rejected,
+    // right-case accepted.
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    try {
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      val items = (0 until 10).map(i => s"i$i").toDF("S")
+      an[org.apache.spark.sql.AnalysisException] should be thrownBy
+        graft.functions.BloomGate.build(items, "s", 10, 0.01)
+      graft.functions.BloomGate.build(items, "S", 10, 0.01).length should be > 8
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("lineScrub removes cross-document lines, keeps order, and matches a referee") {
     import spark.implicits._
     val rows = Seq(
