@@ -82,6 +82,11 @@ class NotificationSnapshot(spark: SparkSession, persistDir: Option[String]) exte
 
   def get(id: String): Option[Row] = byId.get(id)
 
+  /** Driver-held known-id set — control-plane bounded by construction (it IS
+    * the snapshot). Lets the miss scan drop known ids DISTRIBUTED, so they
+    * can never consume the per-trigger miss budget. */
+  def knownIds: Set[String] = byId.keySet.toSet
+
   /** Direct upsert (remote-lookup path). The id is explicit because rows built
     * positionally with `Row(...)` carry no schema for name-based access. */
   def put(id: String, row: Row): Unit = byId(id) = row
@@ -185,19 +190,38 @@ object ValidationStream {
       }
       .start()
 
-  /** Collect the micro-batch's distinct batch ids missing from the snapshot (small
-    * by construction) and resolve each through the lookup SPI: found → snapshot
-    * upsert; 404 → stays unknown (record goes invalid, reference
-    * ValidationProcessFunction.scala:100-112); other 4xx → fail the query
-    * (client bug, reference :183-188); 5xx/transport → bounded retries within the
-    * trigger, then unknown this epoch and retried on the batch's next record. */
+  /** Per-trigger ceiling on the miss scan: at most this many distinct
+    * (batch id, topic) pairs are collected to the driver and resolved
+    * remotely in one micro-batch. In good faith the distinct-miss set is
+    * control-plane bounded, but that bound held only by convention — a
+    * poisoned stream fabricating a unique batch id PER RECORD would collect
+    * record-cardinality strings to the driver (and hammer the Mgmt API with
+    * one lookup each). Pairs beyond the cap stay unresolved this epoch —
+    * their records go invalid-unknown exactly like a 5xx-exhausted lookup —
+    * and re-enter the scan on the batch's next record, once the known-id
+    * pushdown has excluded everything already resolved. */
+  private[streaming] val MaxMissLookupsPerTrigger: Int = 64
+
+  /** Collect the micro-batch's distinct batch ids missing from the snapshot
+    * (bounded by [[MaxMissLookupsPerTrigger]]) and resolve each through the
+    * lookup SPI: found → snapshot upsert; 404 → stays unknown (record goes
+    * invalid, reference ValidationProcessFunction.scala:100-112); other 4xx →
+    * fail the query (client bug, reference :183-188); 5xx/transport → bounded
+    * retries within the trigger, then unknown this epoch and retried on the
+    * batch's next record. Known ids are filtered DISTRIBUTED (hash-set
+    * semi-anti-join via InSet, codegen'd) so the resolved control plane can
+    * never eat the budget. */
   private[streaming] def resolveMisses(records: DataFrame, store: NotificationSnapshot,
       lookup: BatchLookup, retry: Retry): Unit = {
+    val known = store.knownIds
     val ids = records
       .select(ValidationEngine.extractBatchId(col("headers")).as("batch_id"),
         col("topic"))
       .filter(col("batch_id").isNotNull)
-      .distinct().collect()
+      .filter(!col("batch_id").isInCollection(known))
+      .distinct()
+      .limit(MaxMissLookupsPerTrigger)
+      .collect()
       .filter(r => store.get(r.getString(0)).isEmpty)
     ids.foreach { r =>
       val (batchId, topic) = (r.getString(0), r.getString(1))

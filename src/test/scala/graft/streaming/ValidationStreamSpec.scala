@@ -121,6 +121,51 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("a poison stream of per-record unique batch ids cannot flood the driver or the lookup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val records = MemoryStream[Rec]
+    val notifications = MemoryStream[String]
+    val sinks = new CollectingSinks
+    val dir = java.nio.file.Files.createTempDirectory("vflood").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val backing = new MapBatchLookup(Map(
+      "legit-1" -> BatchNotification("legit-1", "n", "ingest.t1.claims.in",
+        "claims", Status.Started, null, null, 10, -1, -1, -1, null, null)))
+    val counting = new graft.http.BatchLookup {
+      def getBatchId(t: String, b: String) = { calls.incrementAndGet(); backing.getBatchId(t, b) }
+    }
+    val running = graft.jobs.ValidationJob.start(
+      s, records.toDF(), notifications.toDF(), new JsonValidator, sinks, dir,
+      lookup = Some(counting),
+      lookupRetry = new Retry(initialBackoffMs = 1, giveUpAfterMs = 50))
+    try {
+      // 200 records, each fabricating its own batch id: unbounded, this
+      // collects 200 distinct strings to the driver and issues 200 remote
+      // lookups in ONE trigger. The cap bounds both.
+      records.addData((0 until 200).map(i =>
+        rec(i.toLong, Some(s"poison-$i"), """{"ok":1}""")): _*)
+      running.recordQuery.processAllAvailable()
+      calls.get() should be <= ValidationStream.MaxMissLookupsPerTrigger
+      // every poison record still flows through as invalid-unknown (V5) —
+      // parking is about the LOOKUP, not the record routing
+      sinks.invalidRows should have size 200
+      // a batch parked by the flood resolves on its next record: the known-id
+      // pushdown keeps resolved ids out of later budgets, and a quiet trigger
+      // has room for the legit miss
+      records.addData(rec(500L, Some("legit-1"), """{"ok":1}"""))
+      running.recordQuery.processAllAvailable()
+      running.snapshot.get("legit-1") should not be empty
+      sinks.validRows.map(_.getAs[Long]("offset")) should contain (500L)
+      // and the snapshot holds only resolved control-plane entries, not the
+      // fabricated flood
+      running.snapshot.knownIds.filter(_.startsWith("poison-")) shouldBe empty
+    } finally {
+      running.recordQuery.stop(); running.notificationQuery.stop()
+    }
+  }
+
   test("timed replay: a record after TERMINATED is dropped and no terminal notification duplicates " +
       "(reference ValidationJobIntTest.scala:220-279)") {
     val s = spark
