@@ -90,7 +90,13 @@ object StreamBench {
 
     val records = MemoryStream[BenchRec]
     val notifications = MemoryStream[String]
-    val trackerIn = MemoryStream[TrackerInput]
+    // the tracker runs control-plane sized (TrackerProcessor
+    // .controlPlaneSession), exactly as ValidationJob.startKafka wires it —
+    // its MemoryStream source must belong to that session so the query plans
+    // under the small state width
+    val trackerSession = graft.streaming.TrackerProcessor.controlPlaneSession(session)
+    val trackerIn = MemoryStream[TrackerInput](tiEnc,
+      trackerSession.sqlContext)
     val terminal = new java.util.concurrent.ConcurrentLinkedQueue[BatchNotification]
     val dir = java.nio.file.Files.createTempDirectory("stream-bench").toString
     val store = new NotificationSnapshot(session, None)

@@ -270,7 +270,13 @@ object ValidationJob {
         sasl ++ kafkaGroupId(inputTopic, "records")), store, validator, sinks,
       checkpointDir, mgmtClient)
 
-    val countEvents = spark.readStream
+    // the tracker is CONTROL-plane: build its sources and query on a child
+    // session sized to TrackerProcessor.ControlPlaneShufflePartitions — at the
+    // data plane's shuffle width, every ProcessingTime tick commits that many
+    // RocksDB stores and measurably drains the record query (see
+    // TrackerProcessor.controlPlaneSession)
+    val trackerSession = TrackerProcessor.controlPlaneSession(spark)
+    val countEvents = trackerSession.readStream
       .schema("batchId STRING, validDelta BIGINT, invalidDelta BIGINT")
       // only the deterministic per-epoch delta files — a countsDir left over
       // from the pre-delta layout (part-*.parquet, per-record schema) must not
@@ -278,7 +284,7 @@ object ValidationJob {
       .option("pathGlobFilter", "epoch-*.parquet")
       .parquet(countsDir)
       .as[graft.model.CountsDelta]
-    val notifEvents = kafkaNotificationSource(spark, brokers, inputTopic,
+    val notifEvents = kafkaNotificationSource(trackerSession, brokers, inputTopic,
         sasl ++ kafkaGroupId(inputTopic, "tracker"))
       .select(from_json(col("value").cast("string"),
         graft.model.Schemas.batchNotification).as("n"))
