@@ -41,6 +41,54 @@ import org.apache.spark.sql.functions._
   * estimate of the engine's cost.
   */
 object Scaling {
+
+  /** doc_id/vec_id shift per replica — disjoint ranges that preserve the
+    * fixture parities x58's paragraphFixture keys on (multiple of 6). */
+  val ReplicaOffset = 600000000L
+
+  /** Write replica-scaled documents (per-replica token suffix — see the
+    * class doc's zero-confound argument) for each scale under
+    * `workDir/x<m>/documents.parquet`. Returns the base row count. */
+  def buildScaledDocs(spark: SparkSession, baseDir: String, workDir: String,
+      scales: Seq[Int]): Long = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    scales.foreach { m =>
+      val scaled = (0 until m).map { k =>
+        if (k == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(k * ReplicaOffset))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"~$k"))), " "))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/documents.parquet")
+    }
+    base.count()
+  }
+
+  /** Write replica-scaled embeddings (cyclic coordinate rotation per replica
+    * — an orthogonal transform, so within-replica geometry is EXACT) for
+    * each scale under `workDir/x<m>/embeddings.parquet`. Returns the base
+    * row count. */
+  def buildScaledEmbeddings(spark: SparkSession, baseDir: String,
+      workDir: String, scales: Seq[Int]): Long = {
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
+    scales.foreach { m =>
+      val scaled = (0 until m).map { k =>
+        val shift = (k * 7) % dim
+        if (k == 0) embBase
+        else embBase
+          .withColumn("vec_id", col("vec_id") + lit(k * ReplicaOffset))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), shift + 1, dim - shift),
+              slice(col("embedding"), 1, shift)))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/embeddings.parquet")
+    }
+    embBase.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
@@ -57,23 +105,12 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // session warm-up
 
-    val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    val baseN = base.count()
     // doc_id range per replica must be disjoint AND preserve the fixture
     // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even
-    // offset per replica keeps %2 but not %3, so use a multiple of 6
-    val offset = 600000000L
-    scales.foreach { m =>
-      val scaled = (0 until m).map { k =>
-        if (k == 0) base
-        else base
-          .withColumn("doc_id", col("doc_id") + lit(k * offset))
-          .withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              w => concat(w, lit(s"~$k"))), " "))
-      }.reduce(_ unionAll _)
-      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/documents.parquet")
-    }
+    // offset per replica keeps %2 but not %3, so ReplicaOffset is a
+    // multiple of 6
+    val offset = ReplicaOffset
+    val baseN = buildScaledDocs(spark, baseDir, workDir, scales)
 
     // VECTOR PLANE — replicas must preserve within-replica geometry exactly
     // (so each replica reproduces the base corpus's neighbor structure and
@@ -83,21 +120,7 @@ object Scaling {
     // hyperplane margin distribution, every centroid geometry) is EXACTLY
     // preserved; cross-replica cosines scatter like unrelated vectors.
     // Shift k·7 mod dim is distinct per replica for k < dim (7 coprime 64).
-    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val embBaseN = embBase.count()
-    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
-    scales.foreach { m =>
-      val scaled = (0 until m).map { k =>
-        val shift = (k * 7) % dim
-        if (k == 0) embBase
-        else embBase
-          .withColumn("vec_id", col("vec_id") + lit(k * offset))
-          .withColumn("embedding",
-            concat(slice(col("embedding"), shift + 1, dim - shift),
-              slice(col("embedding"), 1, shift)))
-      }.reduce(_ unionAll _)
-      scaled.write.mode("overwrite").parquet(s"$workDir/x$m/embeddings.parquet")
-    }
+    val embBaseN = buildScaledEmbeddings(spark, baseDir, workDir, scales)
 
     // RELATIONAL PLANE — key-shifted replicas: each replica's per-key groups
     // are exact copies of base groups under disjoint keys, so session

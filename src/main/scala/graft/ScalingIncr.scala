@@ -1,0 +1,158 @@
+package graft
+
+import graft.corpus.{Semantic, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental / index-probe scaling harness — the companion to [[Scaling]]'s
+  * batch ladder, for the claims the batch ladder cannot test: a FIXED daily
+  * increment probed against a growing persisted index. The OLD side scales
+  * 1×→m× while the increment stays the base corpus; if the probe designs hold
+  * ("only the increment shuffles"), time grows with the increment — a fitted
+  * old-side exponent near 0 — plus at most a scan-bound linear term for
+  * reading the index.
+  *
+  * Increment construction: the base corpus with ids shifted into a range
+  * disjoint from every replica, TOKENS/VECTORS UNCHANGED — so each increment
+  * row near-duplicates exactly its replica-0 twin and nothing else (replica
+  * k ≥ 1 vocabularies/rotations are disjoint by [[Scaling]]'s construction).
+  * True probe workload (candidates, novel grams, assignments) is therefore
+  * CONSTANT in m; only the index grows.
+  *
+  * Probes measured (index builds are untimed):
+  *  - '''x40_probe''' — `dedupIndex(increment)` left-semi joined against the
+  *    persisted bucketed [[TextDedup.writeDedupIndex]] table (the batch twin
+  *    of `StreamOps.flagNearDupCandidates`; spec pins the one-exchange plan).
+  *  - '''x54_probe''' — [[TextDedup.noveltyScoreAgainst]] the persisted
+  *    bucketed [[TextDedup.writeVocabulary]] table, `hashGrams = true` (the
+  *    100 TB shuffle-width switch; spec pins both exchanges increment-side).
+  *  - '''x51_assign''' — [[Semantic.assignAgainst]] fixed centroids trained
+  *    (untimed) on the old side at the `kFor` occupancy policy — the
+  *    streaming routing kernel; pure increment work by design.
+  *  - '''x51_probe''' — [[Semantic.incrementalSemanticDedupAgainst]] the
+  *    persisted bucketed [[Semantic.writeAssignedIndex]] table with frozen
+  *    centroids: the full incremental dedup probe. The kFor occupancy
+  *    policy holds per-cluster membership flat, so new×old pair work is
+  *    |increment| × occupancy — constant in m; the index side reads in
+  *    place (scan-bound linear term, no shuffle).
+  *  - '''x51_full''' — the self-contained batch
+  *    [[Semantic.incrementalSemanticDedup]] for contrast: it RE-TRAINS on
+  *    the old side every run, so its old-side cost is linear by design and
+  *    the gap between it and x51_probe is exactly what persisting the
+  *    trained index buys.
+  *
+  * Usage: `runMain graft.ScalingIncr [baseDir] [workDir] [scalesCsv] [iters]`
+  * (defaults `/root/testdata/sf0.1 /tmp/graft_scaling_incr 1,3,10,30 2`).
+  * Prints per-cell rows plus a fitted log-log exponent per op; one JSON line
+  * (with exponents) to stdout and `scaling-incr-latest.json`. */
+object ScalingIncr {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling_incr"
+    val scales = (if (args.length > 2) args(2) else "1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val iters = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+
+    val embBaseN = Scaling.buildScaledEmbeddings(spark, baseDir, workDir, scales)
+    Scaling.buildScaledDocs(spark, baseDir, workDir, scales)
+
+    // ids beyond every replica range (k ≤ 64 replicas × ReplicaOffset)
+    val incrOffset = 100L * Scaling.ReplicaOffset
+    val incDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + lit(incrOffset))
+    val incEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + lit(incrOffset))
+    incDocs.write.mode("overwrite").parquet(s"$workDir/inc/documents.parquet")
+    incEmb.write.mode("overwrite").parquet(s"$workDir/inc/embeddings.parquet")
+    def inc(table: String): DataFrame =
+      spark.read.parquet(s"$workDir/inc/$table.parquet")
+
+    def runOnce(plan: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      plan().write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      dt
+    }
+
+    val cells = scales.flatMap { m =>
+      val dir = s"$workDir/x$m"
+      val oldDocs = spark.read.parquet(s"$dir/documents.parquet")
+      val oldEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val oldN = m * embBaseN
+
+      // ---- untimed index builds (the amortized-once production cost) ----
+      val idxTable = s"scal_incr_idx_x$m"
+      val vocTable = s"scal_incr_voc_x$m"
+      val semTable = s"scal_incr_sem_x$m"
+      TextDedup.writeDedupIndex(TextDedup.dedupIndex(oldDocs), idxTable)
+      TextDedup.writeVocabulary(
+        TextDedup.vocabulary(oldDocs, hashGrams = true), vocTable)
+      val cents = Semantic.trainCentroids(oldEmb, k = Semantic.kFor(oldN))
+      Semantic.writeAssignedIndex(Semantic.assignedIndex(oldEmb, cents), semTable)
+
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        ("x40_probe", () => TextDedup.dedupIndex(inc("documents"))
+          .join(spark.table(idxTable), Seq("band", "bucket"), "left_semi")
+          .select(col("doc_id")).distinct()),
+        ("x54_probe", () => TextDedup.noveltyScoreAgainst(
+          inc("documents"), spark.table(vocTable), hashGrams = true)),
+        ("x51_assign", () => Semantic.assignAgainst(inc("embeddings"), cents)),
+        ("x51_probe", () => Semantic.incrementalSemanticDedupAgainst(
+          inc("embeddings"), spark.table(semTable), cents)),
+        ("x51_full", () => Semantic.incrementalSemanticDedup(
+          inc("embeddings"), oldEmb, k = Semantic.kFor(oldN))))
+
+      val rows = ops.map { case (name, fn) =>
+        val nRows = fn().count() // untimed warm + workload-constancy evidence
+        val times = (1 to iters).map(_ => runOnce(fn))
+        System.err.println(f"scale=$m%2d $name%-12s rows=$nRows%9d " +
+          f"min=${times.min}%7.2fs all=${times.map(t => f"$t%.2f").mkString(",")}")
+        (m, name, nRows, times)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+      spark.sql(s"DROP TABLE IF EXISTS $vocTable")
+      spark.sql(s"DROP TABLE IF EXISTS $semTable")
+      rows
+    }
+
+    // log-log least-squares exponent per op across scales (min time per cell)
+    val exps = cells.groupBy(_._2).map { case (name, cs) =>
+      val pts = cs.map(c => (math.log(c._1.toDouble), math.log(c._4.min)))
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      name -> slope
+    }
+    exps.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      System.err.println(f"exponent $k%-12s ${v}%+.2f")
+    }
+
+    val json = cells.map { case (m, name, nRows, times) =>
+      s"""{"scale":$m,"op":"$name","rows":$nRows,""" +
+        s""""times":[${times.map(t =>
+          graft.util.JsonNum.fixed(t, 3)).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val expJson = exps.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k":${graft.util.JsonNum.fixed(v, 3)}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"base":"$baseDir","cpus":$cpus,"mode":"incremental",""" +
+      s""""exponents":$expJson,"cells":$json}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(workDir, "scaling-incr-latest.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

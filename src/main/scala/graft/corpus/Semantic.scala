@@ -371,19 +371,64 @@ object Semantic {
         .select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid"))
       val newAsg = assign(Similarity.normalizedBase(newEmb), cents)
         .select(col("vec_id"), col("e"), col("cid"))
-      newAsg.join(oldAsg, "cid")
-        .select(col("vec_id"), col("cid").as("cluster"), col("old_id"),
-          dotp(col("e"), col("oe")).as("cos"))
-        .filter(col("cos") >= tau)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("old_id"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"),
-          col("old_id").as("matched_vec_id"), round(col("cos"), 6).as("cosine"))
-        .localCheckpoint(true)
+      bestOldMatch(newAsg, oldAsg, tau).localCheckpoint(true)
     } finally cachedOld.unpersist(blocking = false)
   }
+
+  /** The persisted form of the semantic dedup index: every OLD vector with
+    * its unit-normalized embedding and its FIXED-centroid cluster id —
+    * [[TextDedup.dedupIndex]]'s role on the embedding plane. Build it once
+    * per index refresh from [[trainCentroids]]' output, persist with
+    * [[writeAssignedIndex]], and probe increments with
+    * [[incrementalSemanticDedupAgainst]] — the increment never pays the
+    * corpus-side assignment again. Degenerate (e-NULL) vectors keep a row
+    * with cid NULL (the x44 contract); they can never match a probe. */
+  def assignedIndex(emb: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    assign(Similarity.normalizedBase(emb), centroids)
+      .select(col("vec_id"), col("e"), col("cid"))
+
+  /** Persist [[assignedIndex]] BUCKETED on the cluster id —
+    * [[TextDedup.writeDedupIndex]]'s layout discipline on the semantic
+    * plane: every future increment's cluster join re-shuffles ONLY the
+    * increment's assignments; the corpus-scale index reads in place,
+    * pre-sorted for the merge join. At 100 TB size buckets to the cluster,
+    * not this test default. */
+  def writeAssignedIndex(index: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    index.write.bucketBy(buckets, "cid").sortBy("cid")
+      .mode("overwrite").format("parquet").saveAsTable(tableName)
+
+  /** [[incrementalSemanticDedup]] against a pre-built (typically persisted,
+    * bucketed) index and its FROZEN centroids — the production probe shape:
+    * only the increment is normalized, assigned, and shuffled; the index
+    * side joins in place. `centroids` must be the set the index was
+    * assigned with ([[trainCentroids]] at index-build time) — probing with
+    * different centroids routes increments into clusters the index never
+    * populated. Lazy return, like [[TextDedup.noveltyScoreAgainst]]. */
+  def incrementalSemanticDedupAgainst(newEmb: DataFrame, index: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      tau: Double = SemDedupTau): DataFrame =
+    bestOldMatch(
+      assign(Similarity.normalizedBase(newEmb), centroids)
+        .select(col("vec_id"), col("e"), col("cid")),
+      index.select(col("vec_id").as("old_id"), col("e").as("oe"), col("cid")),
+      tau)
+
+  /** Shared probe tail of [[incrementalSemanticDedup]] and
+    * [[incrementalSemanticDedupAgainst]]: cluster-keyed new×old join,
+    * threshold, best-match window (ties to the lowest old id). */
+  private def bestOldMatch(newAsg: DataFrame, oldAsg: DataFrame,
+      tau: Double): DataFrame =
+    newAsg.join(oldAsg, "cid")
+      .select(col("vec_id"), col("cid").as("cluster"), col("old_id"),
+        dotp(col("e"), col("oe")).as("cos"))
+      .filter(col("cos") >= tau)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"),
+        col("old_id").as("matched_vec_id"), round(col("cos"), 6).as("cosine"))
 
   /** x42 — embedding-space benchmark decontamination: flag every corpus
     * vector whose cosine to ANY benchmark vector reaches `tau`, reporting its

@@ -398,6 +398,52 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
     Semantic.embedDecontam(bench).count() shouldBe 0L
   }
 
+  test("persisted assigned index: probe matches the self-contained query and " +
+      "re-shuffles only the increment") {
+    val oldEmb = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(0.1f, 0.9f, 0f, 0f))
+    val newEmb = emb(
+      10L -> Seq(0.95f, 0.05f, 0f, 0f),
+      11L -> Seq(0f, 0f, 1f, 0f)) // matches nothing
+    val cents = Semantic.trainCentroids(oldEmb, k = 2, iters = 2)
+    Semantic.writeAssignedIndex(
+      Semantic.assignedIndex(oldEmb, cents), "sem_idx_spec", buckets = 4)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Semantic.incrementalSemanticDedupAgainst(
+        newEmb, spark.table("sem_idx_spec"), cents)
+      // value parity with the self-contained query (same centroids: trained
+      // on the same old side with the same geometry)
+      val direct = Semantic.incrementalSemanticDedup(newEmb, oldEmb,
+        k = 2, iters = 2)
+      probe.collect().map(_.toSeq).toSet shouldBe
+        direct.collect().map(_.toSeq).toSet
+      probe.collect().map(_.getLong(0)).toSeq shouldBe Seq(10L)
+      // plan shape: exchanges are increment-side ONLY — the increment's
+      // assignment into the cid join (1) and the best-match window (2); an
+      // index-side exchange would make it three
+      val finalPlan = probe.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val rendered = finalPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 2
+      rendered should not include "BroadcastExchange"
+      rendered should include("Bucketed: true")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS sem_idx_spec")
+    }
+  }
+
   test("embedDecontam leaves a clean corpus unflagged") {
     val d = emb(
       0L -> Seq(1f, 0f, 0f, 0f),
