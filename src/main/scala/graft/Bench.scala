@@ -33,14 +33,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val dt = (1 to repeat).map { _ =>
+      val reps = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            e.printStackTrace()
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              e.printStackTrace()
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // between-query hygiene (outside the timed section): broadcasts and
         // shuffle state from earlier queries are only reclaimed when the
@@ -48,9 +50,14 @@ object Bench {
         // queries pay earlier queries' memory debt and per-query numbers
         // swing wildly run-to-run
         System.gc()
-        t
-      }.min
-      name -> dt
+        (t, ok)
+      }
+      // min over SUCCESSFUL reps only: a failed run aborts early and its
+      // near-zero duration would otherwise report as the query's time while
+      // an error is also recorded (the error stays recorded either way —
+      // a transient failure must remain loud and fatal to the exit code)
+      val good = reps.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else reps.map(_._1).min)
     }
     // centisecond precision, trailing zeros stripped: full-double values made
     // the line ~2.1 KB, and the driver's stdout tail-capture window is 2 KB —

@@ -74,6 +74,12 @@ object Scaling {
       workDir: String, scales: Seq[Int]): Long = {
     val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = embBase.select(size(col("embedding"))).head().getInt(0)
+    // rotations k·7 mod dim are pairwise distinct only for k < dim (7 is
+    // coprime to 64) — beyond that, replicas repeat geometry AND rotation,
+    // correlating cross-replica cosines and breaking the exact-m×-workload
+    // construction the fitted exponents rely on
+    require(scales.max <= dim,
+      s"replica rotations repeat past dim=$dim replicas: $scales")
     scales.foreach { m =>
       val scaled = (0 until m).map { k =>
         val shift = (k * 7) % dim

@@ -52,6 +52,12 @@ object ScalingIncr {
     val scales = (if (args.length > 2) args(2) else "1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
     val iters = if (args.length > 3) args(3).toInt else 2
+    // the increment's id shift (100 × ReplicaOffset) is disjoint from replica
+    // id ranges only below 100 replicas, and the embedding rotation is
+    // distinct per replica only below dim (64) — past either, ids collide or
+    // replica geometry correlates and the workload-constancy argument breaks
+    require(scales.max <= 64,
+      s"scales above 64 break id-disjointness/rotation-distinctness: $scales")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,8 +131,11 @@ object ScalingIncr {
       rows
     }
 
-    // log-log least-squares exponent per op across scales (min time per cell)
-    val exps = cells.groupBy(_._2).map { case (name, cs) =>
+    // log-log least-squares exponent per op across scales (min time per cell);
+    // a single-scale run has no slope to fit — skip rather than emit NaN
+    // (JsonNum would render it bare and break the JSON line)
+    val exps = if (scales.distinct.size < 2) Map.empty[String, Double]
+    else cells.groupBy(_._2).map { case (name, cs) =>
       val pts = cs.map(c => (math.log(c._1.toDouble), math.log(c._4.min)))
       val n = pts.size
       val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)

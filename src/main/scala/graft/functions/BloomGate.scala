@@ -60,10 +60,7 @@ object BloomGate {
     // (ANSI mode, session timezone, codegen flags) would silently not apply
     // while the blocklist aggregate analyzes and executes here. Carry the
     // caller's modifiable overrides across before raising the caps.
-    items.sparkSession.conf.getAll.foreach { case (k, v) =>
-      if (iso.conf.isModifiable(k) && !iso.conf.getOption(k).contains(v))
-        iso.conf.set(k, v)
-    }
+    graft.util.SessionConfs.carryInto(items.sparkSession, iso)
     Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)

@@ -275,12 +275,13 @@ case class NormalizeVector(child: Expression) extends UnaryExpression {
       val ss = ctx.freshName("ss")
       val nm = ctx.freshName("nm")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
       s"""
          |int $n = $a.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = $a.getDouble($i);
-         |  $ss += v * v;
+         |  double $v = $a.getDouble($i);
+         |  $ss += $v * $v;
          |}
          |double $nm = java.lang.Math.sqrt($ss);
          |if (!($nm > 0)) {

@@ -1309,7 +1309,9 @@ nrm AS (
 pr AS (
   -- degenerate (NULL-e) vectors pair with nothing, mirroring the engine:
   -- their NULL cosine fails the >= threshold, so pre-filtering is identity
-  -- (and DuckDB's list_dot_product raises on NULL inputs)
+  -- (it also keeps the join clear of the DuckDB quirk where vectorized
+  -- list_dot_product errors on certain chunk layouts mixing NULL and empty
+  -- lists — a scalar NULL list alone returns NULL fine)
   SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          list_dot_product(a.e, b.e) AS cos
   FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id

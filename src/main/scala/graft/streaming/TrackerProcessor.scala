@@ -98,6 +98,12 @@ object TrackerProcessor {
   def controlPlaneSession(spark: org.apache.spark.sql.SparkSession,
       partitions: Int = ControlPlaneShufflePartitions): org.apache.spark.sql.SparkSession = {
     val s = spark.newSession()
+    // newSession() starts from the base SparkConf — carry the caller's
+    // runtime overrides (timezone, ANSI, codegen flags) across FIRST so the
+    // tracker parses notifications under the same semantics as the record
+    // and notification queries on the parent session; then apply this
+    // session's deliberate divergences
+    graft.util.SessionConfs.carryInto(spark, s)
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

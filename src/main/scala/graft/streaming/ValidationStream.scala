@@ -178,7 +178,7 @@ object ValidationStream {
         if (scannedTwice) df.persist()
         try {
           // V3 miss path: resolve snapshot misses remotely, bounded, driver-side.
-          lookup.foreach(resolveMisses(df, store, _, lookupRetry))
+          lookup.foreach(resolveMisses(df, store, _, lookupRetry, epochId))
           val validated =
             ValidationEngine.validate(df, store.snapshot(), validator).persist()
           try {
@@ -210,9 +210,20 @@ object ValidationStream {
     * retries within the trigger, then unknown this epoch and retried on the
     * batch's next record. Known ids are filtered DISTRIBUTED (hash-set
     * semi-anti-join via InSet, codegen'd) so the resolved control plane can
-    * never eat the budget. */
+    * never eat the budget.
+    *
+    * The capped set is an EPOCH-SALTED hash sample, not a bare limit(): a
+    * bare limit takes whichever partitions arrive first, a deterministic
+    * bias — under a SUSTAINED flood of fabricated ids (each 404s, so the
+    * known-id pushdown never learns them) the same flood pairs could fill
+    * the budget every trigger and starve a legitimate new batch
+    * indefinitely. Ordering by xxhash64(batch_id, epoch) reshuffles the
+    * sample every trigger (TakeOrdered top-K, no full sort materialization),
+    * so a legitimate id among F flood ids is selected with probability
+    * ~budget/F per trigger and resolves in a geometric number of triggers —
+    * delay, never starvation. */
   private[streaming] def resolveMisses(records: DataFrame, store: NotificationSnapshot,
-      lookup: BatchLookup, retry: Retry): Unit = {
+      lookup: BatchLookup, retry: Retry, epochId: Long = 0L): Unit = {
     val known = store.knownIds
     val ids = records
       .select(ValidationEngine.extractBatchId(col("headers")).as("batch_id"),
@@ -220,6 +231,7 @@ object ValidationStream {
       .filter(col("batch_id").isNotNull)
       .filter(!col("batch_id").isInCollection(known))
       .distinct()
+      .orderBy(xxhash64(col("batch_id"), lit(epochId)))
       .limit(MaxMissLookupsPerTrigger)
       .collect()
       .filter(r => store.get(r.getString(0)).isEmpty)

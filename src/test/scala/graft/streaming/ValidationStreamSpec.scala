@@ -151,12 +151,24 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       // every poison record still flows through as invalid-unknown (V5) —
       // parking is about the LOOKUP, not the record routing
       sinks.invalidRows should have size 200
-      // a batch parked by the flood resolves on its next record: the known-id
-      // pushdown keeps resolved ids out of later budgets, and a quiet trigger
-      // has room for the legit miss
+      // a legit batch arriving DURING a sustained flood resolves within a
+      // few triggers: the epoch-salted sample reshuffles the capped
+      // candidate set every trigger (~32% selection odds at 200 flood ids),
+      // so the flood delays resolution but cannot starve it. 40 triggers
+      // bounds the loop at a ~2e-7 flake probability.
+      var trigger = 0
+      while (running.snapshot.get("legit-1").isEmpty && trigger < 40) {
+        records.addData((0 until 200).map(i =>
+          rec((1000 + trigger * 300 + i).toLong,
+            Some(s"poison-$trigger-$i"), """{"ok":1}""")) :+
+          rec((900 + trigger).toLong, Some("legit-1"), """{"ok":1}"""): _*)
+        running.recordQuery.processAllAvailable()
+        trigger += 1
+      }
+      running.snapshot.get("legit-1") should not be empty
+      // once resolved, its records route valid even mid-flood
       records.addData(rec(500L, Some("legit-1"), """{"ok":1}"""))
       running.recordQuery.processAllAvailable()
-      running.snapshot.get("legit-1") should not be empty
       sinks.validRows.map(_.getAs[Long]("offset")) should contain (500L)
       // and the snapshot holds only resolved control-plane entries, not the
       // fabricated flood
