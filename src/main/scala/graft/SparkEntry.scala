@@ -110,6 +110,10 @@ object SparkEntry {
     "x58_line_scrub" -> (C.x58LineScrub _),
     "x59_bloom_decontam" -> (C.x59BloomDecontam _),
     "x29_normalize" -> (C.x29Normalize _),
+    "x60_bm25" -> (C.x60Bm25 _),
+    "x61_bpe_pairs" -> (C.x61BpePairs _),
+    "x62_stratified_sample" -> (C.x62StratifiedSample _),
+    "x63_knn_labels" -> (C.x63KnnLabels _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

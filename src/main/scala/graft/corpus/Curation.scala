@@ -315,4 +315,41 @@ object Curation {
       .filter(col("rank") <= k)
       .select(col("source"), col("doc_id"), col("quality"), col("rank"))
   }
+
+  /** Hash-key prefix for [[stratifiedSample]] — namespaced so the sample
+    * order is independent of every other md5(doc_id)-keyed gate in the
+    * engine (X23 quota, X35 splits): reusing their key would correlate
+    * "sampled for eval" with "assigned to test", and a stratified QA sample
+    * must be uniform WITHIN each existing decision. Shared with the x62
+    * oracle generator. */
+  val SampleKeyPrefix: String = "sample:"
+
+  /** X62 — fixed-size stratified sample: the `k` documents per source with
+    * the smallest md5("sample:" || doc_id) digest — a reproducible uniform
+    * without-replacement k-sample per stratum (the eval-slice / human-audit
+    * carve-out that must not move when the corpus is re-processed). Identity-
+    * keyed like X35: editing a document's text never changes its sampled
+    * status, and adding documents can only displace, never reshuffle, the
+    * order of existing candidates. Complements X23 (rate-based thinning) and
+    * X24 (quality-ranked selection): uniform and exactly-k per stratum.
+    *
+    * Scale: the same skew-hardened two-phase local-top-k shape as
+    * [[topKByQuality]] — phase 1 takes each (source, salt) bucket's k
+    * smallest keys (exact-complete superset), phase 2 re-ranks ≤ salts·k
+    * survivors per source; no domain ever serializes corpus-scale rows
+    * through one task. */
+  def stratifiedSample(docs: DataFrame, k: Int = 4, salts: Int = 16): DataFrame = {
+    val key = md5(concat(lit(SampleKeyPrefix), col("doc_id").cast("string")))
+    val local = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    val exact = Window.partitionBy(col("source"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"), key.as("sample_key"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .withColumn("lr", row_number().over(local))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(exact))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("doc_id"), col("sample_key"), col("rank"))
+  }
 }

@@ -264,4 +264,58 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Held-out slice for [[knnLabelTransfer]]: vec_id % KnnHoldoutMod == 0
+    * plays the unlabeled side, the rest is the labeled reference. */
+  val KnnHoldoutMod: Long = 10L
+
+  /** Neighbors voting per transferred label. */
+  val KnnK: Int = 5
+
+  /** X63 — k-nearest-neighbor label transfer: predict each held-out vector's
+    * label by majority vote of its `k` nearest labeled vectors (exact cosine,
+    * ties: higher cosine wins the neighborhood, smaller neighbor id breaks
+    * rank ties; vote ties go to the SMALLER label). The weak-supervision
+    * staple: propagate a small human-labeled seed set (quality tiers, topic
+    * tags, safety labels) across an unlabeled corpus, and — run over a slice
+    * whose labels are actually known, as here — the embedding-space QA that
+    * measures how label-coherent the space is before trusting it for
+    * SemDeDup blocking or stratified mixing. Reports predicted vs actual and
+    * an agreement flag per held-out vector.
+    *
+    * Scale: the held-out/query side is the bounded seed set's complement
+    * audit slice — bounded by construction (an audit never scores the whole
+    * corpus; a full-corpus propagation run flips the roles and broadcasts
+    * the seed set instead, same plan). It broadcasts; the labeled corpus
+    * streams through ONE narrow pass (no shuffle) into the per-query top-k
+    * window, whose input is bounded by |queries|·|corpus| matches but
+    * partitions on the query id; the vote aggregate is (query × label)-
+    * bounded. Degenerate (zero-norm/NULL) vectors are dropped on BOTH sides
+    * (they have no meaningful neighbors and must never vote — the
+    * [[normalizedBase]] NULL contract). */
+  def knnLabelTransfer(emb: DataFrame, holdoutMod: Long = KnnHoldoutMod,
+      k: Int = KnnK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = normalizedBase(emb, "label").filter(col("e").isNotNull)
+    val isHeldOut = col("vec_id") % holdoutMod === 0
+    val queries = base.filter(isHeldOut)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("label").as("actual_label"))
+    val neighbors = base.filter(!isHeldOut && col("label").isNotNull)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("actual_label"), col("label"),
+        dotp(col("qe"), col("e")).as("cos"), col("vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+    neighbors
+      .groupBy(col("qid"), col("actual_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vrank") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("predicted_label"),
+        col("actual_label"), col("n_votes"),
+        (col("label") === col("actual_label")).as("agree"))
+  }
 }

@@ -407,4 +407,33 @@ object TextStats {
       .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.n_fingerprints").as("n_fingerprints"),
         col("s.min_fingerprint").as("min_fingerprint"))
+
+  /** X61 — BPE merge-pair statistics: corpus-weighted counts of adjacent
+    * character pairs within whitespace words, the selection statistic of the
+    * FIRST byte-pair-encoding merge (Sennrich et al., 2016 shape — iteration
+    * 0 symbols are single characters; later iterations re-run this kernel
+    * over re-segmented words, so this IS the inner loop of tokenizer
+    * training). Emits the top-`topK` candidate merges by
+    * (count desc, pair lexicographic) — x18's vocabulary contract on pairs.
+    *
+    * Scale: the ONLY corpus-sized motion is the word-frequency aggregate
+    * (map-side partial, one row per distinct word out); pair generation —
+    * the explode-per-character part that would be ruinous on the raw corpus
+    * — runs on the DISTINCT-word table (vocabulary-sized, Heaps-sublinear in
+    * the corpus) with each word's pairs weighted by its frequency. The final
+    * pair aggregate is alphabet²-bounded and the top-k is a bounded
+    * TakeOrdered, never a global sort. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val wf = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("l"),
+          col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("left_sym"), col("right_sym"))
+      .limit(topK)
+  }
 }

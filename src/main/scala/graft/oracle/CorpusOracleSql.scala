@@ -1494,6 +1494,123 @@ SELECT doc_id, mime, sample_idx, frame_no,
        (frame_no * n_bytes) // n_frames AS frame_offset,
        ((frame_no + 1) * n_bytes) // n_frames
          - (frame_no * n_bytes) // n_frames AS frame_len
-FROM s"""
+FROM s""",
+
+    // x60: Okapi BM25 top-k — all constants (slice mod, k1, b, k1+1, 1-b,
+    // top-k) interpolated from the Retrieval object's Scala doubles
+    // (Double.toString round-trips bit-exactly), per-term contributions
+    // rounded to 6 dp then DECIMAL-summed (x19's order-independence trick)
+    "x60_bm25" -> bm25Sql,
+
+    // x61: BPE merge-pair counts over the distinct-word frequency table;
+    // x18's (count desc, lexicographic) top-k contract
+    "x61_bpe_pairs" -> {
+      val topK = 20
+      s"""WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY 1),
+pr AS (
+  SELECT substr(w, CAST(i + 1 AS INTEGER), 1) AS left_sym,
+         substr(w, CAST(i + 2 AS INTEGER), 1) AS right_sym, freq
+  FROM (SELECT w, freq, unnest(range(len(w) - 1)) AS i
+        FROM wf WHERE len(w) >= 2))
+SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pr GROUP BY 1, 2
+ORDER BY n_occurrences DESC, left_sym, right_sym LIMIT $topK"""
+    },
+
+    // x62: stratified k-sample — the namespaced md5 sample key from the SAME
+    // Scala prefix constant, (key, doc_id) order, k per source
+    "x62_stratified_sample" -> {
+      val p = graft.corpus.Curation.SampleKeyPrefix
+      s"""SELECT source, doc_id, sample_key, rn AS "rank" FROM (
+  SELECT source, doc_id,
+         md5('$p' || CAST(doc_id AS VARCHAR)) AS sample_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5('$p' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 4"""
+    },
+
+    // x63: kNN label transfer — normalize-then-dot in the engine's operation
+    // order (bit-identical doubles), degenerate vectors dropped on BOTH
+    // sides, vote ties to the smaller label
+    "x63_knn_labels" -> {
+      val m = graft.corpus.Similarity.KnnHoldoutMod
+      val k = graft.corpus.Similarity.KnnK
+      s"""WITH raw AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+  WHERE embedding IS NOT NULL),
+base AS (
+  SELECT vec_id, label,
+    CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
+  FROM raw),
+nn AS (SELECT * FROM base WHERE e IS NOT NULL),
+q AS (SELECT vec_id AS qid, e AS qe, label AS actual_label
+      FROM nn WHERE vec_id % $m = 0),
+c AS (SELECT vec_id, e, label FROM nn
+      WHERE vec_id % $m <> 0 AND label IS NOT NULL),
+pr AS (
+  SELECT qid, actual_label, label, vec_id,
+         list_dot_product(qe, e) AS cos
+  FROM c CROSS JOIN q),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, vec_id) AS rn FROM pr)
+  WHERE rn <= $k),
+votes AS (
+  SELECT qid, actual_label, label, COUNT(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3)
+SELECT qid AS vec_id, label AS predicted_label, actual_label, n_votes,
+       (label = actual_label) AS agree
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY n_votes DESC, label) AS vr FROM votes)
+WHERE vr = 1"""
+    }
   )
+
+  /** x60 — Okapi BM25: the query slice's distinct terms against the corpus
+    * postings, Lucene-shape idf, 6-dp-rounded DECIMAL-summed contributions. */
+  private def bm25Sql: String = {
+    val R = graft.corpus.Retrieval
+    s"""WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE NOT (doc_id % ${R.QueryMod} = 0
+             AND doc_id < ${R.QueryMod * R.QueryCount})),
+qdocs AS (
+  SELECT doc_id AS qid, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % ${R.QueryMod} = 0
+    AND doc_id < ${R.QueryMod * R.QueryCount}),
+qt AS (SELECT DISTINCT qid, unnest(ws) AS w FROM qdocs),
+qw AS (SELECT DISTINCT w FROM qt),
+ctok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM corpus),
+tf AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf
+  FROM ctok JOIN qw USING (w) GROUP BY 1, 2, 3),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+st AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM corpus),
+terms AS (
+  SELECT qid, doc_id,
+    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      ((tf * ${R.K1Plus1}) /
+       (tf + ${R.BM25K1} * (${R.OneMinusB} + ${R.BM25B} * (dl / avgdl)))),
+      6) AS t
+  FROM tf JOIN dfreq USING (w) JOIN qt USING (w) CROSS JOIN st),
+sc AS (
+  SELECT qid AS query_id, doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(CAST(t AS DECIMAL(14,6))) AS DOUBLE) AS score
+  FROM terms GROUP BY 1, 2)
+SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS rn FROM sc)
+WHERE rn <= ${R.DefaultTopK}"""
+  }
 }

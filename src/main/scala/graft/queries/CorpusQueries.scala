@@ -362,4 +362,20 @@ object CorpusQueries {
         concat_ws(",", transform(col("features"),
           f => round(f.cast("double") * 1000).cast("long").cast("string")))
           .as("features"))
+
+  /** x60 — BM25 top-5 corpus documents per query-slice document. */
+  def x60Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Retrieval.bm25TopK(docs(spark, dir))
+
+  /** x61 — BPE merge-pair counts: top-20 adjacent character pairs. */
+  def x61BpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.bpePairCounts(docs(spark, dir))
+
+  /** x62 — fixed-size reproducible stratified sample (4 docs per source). */
+  def x62StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.stratifiedSample(docs(spark, dir))
+
+  /** x63 — kNN label transfer onto the vec_id % 10 == 0 held-out slice. */
+  def x63KnnLabels(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelTransfer(emb(spark, dir))
 }

@@ -1,0 +1,156 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** X60–X63: BM25 retrieval, BPE pair counts, stratified sampling, kNN label
+  * transfer. */
+class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // doc_id 0 and 50 are queries under QueryMod = 50
+  test("bm25: tf saturation ranks the heavier doc first, absent terms score nothing") {
+    val d = docs(
+      0L -> "apple",                       // query: one term
+      1L -> "apple apple banana",          // tf=2
+      2L -> "apple banana cherry",         // tf=1, same length
+      3L -> "banana cherry date")          // no match
+    val out = Retrieval.bm25TopK(d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank")))
+    out.map(t => (t._2, t._3)).toSet shouldBe Set((1L, 1), (2L, 2))
+    out.forall(_._1 == 0L) shouldBe true
+  }
+
+  test("bm25: length normalization penalizes padding; repeated query terms count once") {
+    val d = docs(
+      0L -> "apple apple apple",           // query repeats its term — one lookup
+      1L -> "apple pad1 pad2 pad3 pad4 pad5 pad6 pad7",
+      2L -> "apple pad1")
+    val rows = Retrieval.bm25TopK(d).collect()
+    // same tf=1 both docs; shorter doc must rank first
+    rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSet shouldBe
+      Set((2L, 1), (1L, 2))
+    // distinct-term queries: n_terms is 1, never 3
+    rows.map(_.getAs[Long]("n_terms")).toSet shouldBe Set(1L)
+  }
+
+  test("bm25 scores match the formula computed by hand") {
+    val d = docs(0L -> "apple", 1L -> "apple banana", 2L -> "banana cherry")
+    val row = Retrieval.bm25TopK(d).collect().head
+    // corpus: docs 1,2 (N=2, avgdl=2); apple: df=1, tf=1, dl=2
+    val idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val norm = (1 * Retrieval.K1Plus1) /
+      (1 + Retrieval.BM25K1 * (Retrieval.OneMinusB + Retrieval.BM25B * (2.0 / 2.0)))
+    val expected = BigDecimal(idf * norm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    row.getAs[Long]("doc_id") shouldBe 1L
+    row.getAs[Double]("score") shouldBe expected
+  }
+
+  test("bm25 plan: postings prune through a broadcast semi-join, no sort-merge join anywhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    (0L to 120L).map(i => (i, s"tok${i % 13} tok${i % 7} filler$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = Retrieval.bm25TopK(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    // corpus tokens meet the query vocabulary in a broadcast LEFT-SEMI before
+    // any shuffle — the corpus-sized token stream must never sort-merge
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("bpe pairs: counts weight by word frequency and order ties lexicographically") {
+    val d = docs(1L -> "ab ab", 2L -> "ab cd", 3L -> "x")
+    // 'ab' freq 3 → (a,b)=3; 'cd' freq 1 → (c,d)=1; 'x' has no pair
+    val out = TextStats.bpePairCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_occurrences")))
+    out shouldBe Array(("a", "b", 3L), ("c", "d", 1L))
+  }
+
+  test("bpe pairs: within-word multiplicity counts every adjacent position") {
+    val d = docs(1L -> "aaa")
+    // 'aaa' has positions (a,a) twice
+    val out = TextStats.bpePairCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_occurrences")))
+    out shouldBe Array(("a", "a", 2L))
+  }
+
+  test("stratified sample: exactly k per source, identity-keyed (text edits never move it)") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"text $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.stratifiedSample(d, k = 3).collect()
+    out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap shouldBe
+      Map("src0" -> 3, "src1" -> 3)
+    // editing every text changes nothing — the key is doc_id, not content
+    val edited = (1L to 40L).map(i => (i, s"EDITED $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out2 = Curation.stratifiedSample(edited, k = 3).collect()
+    out2.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Int]("rank"))).toSet shouldBe
+      out.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSet
+  }
+
+  test("stratified sample uses its own hash namespace, not the split/quota key") {
+    import org.apache.spark.sql.functions._
+    // same doc_id must produce different orderings under sample vs raw md5 —
+    // pin the namespace prefix actually lands in the key
+    val d = docs(1L -> "t").withColumn("source", lit("s"))
+    val key = Curation.stratifiedSample(d, k = 1).collect().head
+      .getAs[String]("sample_key")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("sample:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    key shouldBe md
+  }
+
+  private def vecs(rows: (Long, Seq[Double], Int)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, v, l) => (id, v.map(_.toFloat).toArray, l) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("knn label transfer: majority vote wins, vote ties go to the smaller label") {
+    // held-out vec 10 nearest: three label-1, two label-2 under k=5
+    val d = vecs(
+      (10L, Seq(1.0, 0.0), 9),            // held out (vec_id % 10 == 0)
+      (1L, Seq(1.0, 0.01), 1), (2L, Seq(1.0, 0.02), 1),
+      (3L, Seq(1.0, 0.03), 1), (4L, Seq(1.0, 0.04), 2),
+      (5L, Seq(1.0, 0.05), 2), (6L, Seq(0.0, 1.0), 3))
+    val r = Similarity.knnLabelTransfer(d).collect()
+    r.length shouldBe 1
+    r.head.getAs[Int]("predicted_label") shouldBe 1
+    r.head.getAs[Long]("n_votes") shouldBe 3L
+    r.head.getAs[Int]("actual_label") shouldBe 9
+    r.head.getAs[Boolean]("agree") shouldBe false
+
+    // 2-2 vote tie (k=4): smaller label predicted
+    val tied = vecs(
+      (10L, Seq(1.0, 0.0), 2),
+      (1L, Seq(1.0, 0.01), 1), (2L, Seq(1.0, 0.02), 1),
+      (3L, Seq(1.0, 0.03), 2), (4L, Seq(1.0, 0.04), 2))
+    val t = Similarity.knnLabelTransfer(tied, k = 4).collect().head
+    t.getAs[Int]("predicted_label") shouldBe 1
+    t.getAs[Boolean]("agree") shouldBe false
+  }
+
+  test("knn label transfer: degenerate vectors neither vote nor get predictions") {
+    val d = vecs(
+      (10L, Seq(0.0, 0.0), 1),            // zero-norm held-out: no prediction
+      (20L, Seq(1.0, 0.0), 1),            // healthy held-out
+      (1L, Seq(0.0, 0.0), 2),             // zero-norm corpus: never votes
+      (2L, Seq(1.0, 0.1), 3))
+    val r = Similarity.knnLabelTransfer(d).collect()
+    r.map(_.getAs[Long]("vec_id")).toSet shouldBe Set(20L)
+    r.head.getAs[Int]("predicted_label") shouldBe 3
+  }
+}
