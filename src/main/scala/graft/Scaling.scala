@@ -172,6 +172,16 @@ object Scaling {
         (d, _) => TextDedup.crossDocSpans(rd(d, "documents"))),
       ("documents", "x58_line_scrub",
         (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(rd(d, "documents")))),
+      // x60: replicas carry suffixed vocabularies DISJOINT from the base
+      // query sheet (and ids past the QueryCount cap), so this cell measures
+      // the PRUNE path — the broadcast semi-join must discard the growing
+      // query-irrelevant corpus at scan speed, never expand it
+      ("documents", "x60_bm25",
+        (d, _) => graft.corpus.Retrieval.bm25TopK(rd(d, "documents"))),
+      // x61: token stream AND word vocabulary both grow exactly m× (the
+      // per-replica suffix multiplies distinct words), top-20 output fixed
+      ("documents", "x61_bpe_pairs",
+        (d, _) => graft.corpus.TextStats.bpePairCounts(rd(d, "documents"))),
       ("embeddings", "x6_cosine_topk", (d, _) => Similarity.cosineTopK(rd(d, "embeddings"))),
       ("embeddings", "x7_ann_lsh", // bitsFor: occupancy-flat buckets, like kFor
         (d, n) => Similarity.annLsh(rd(d, "embeddings"), bits = Similarity.bitsFor(n))),
@@ -180,6 +190,12 @@ object Scaling {
         (d, n) => Semantic.kmeansAssign(rd(d, "embeddings"), k = Semantic.kFor(n))),
       ("embeddings", "x45_semantic_dedup",
         (d, n) => Semantic.semanticDedup(rd(d, "embeddings"), k = Semantic.kFor(n))),
+      // x63: the audit-slice contract — holdoutMod grows with the corpus so
+      // the query side stays ~fixed (the deployment's bounded audit sheet)
+      // while the labeled corpus it scans grows m×
+      ("embeddings", "x63_knn_labels",
+        (d, n) => Similarity.knnLabelTransfer(rd(d, "embeddings"),
+          holdoutMod = Similarity.KnnHoldoutMod * (n / embBaseN))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

@@ -21,9 +21,25 @@ object Tables {
   def tune(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Session conf: minimum scan-side parallelism (0 = off). The driver's
+    * testdata ships ONE parquet row group per table, and a parquet scan can
+    * never split below a row group — so every scan-fused narrow pipeline
+    * (tokenize/explode, the validation router, the Jackson validator) was
+    * executing in a single task no matter how many cores the session had
+    * (measured: 0.7–1.5 s serial per control-plane query at sf0.1).
+    * `spark.sql.files.minPartitionNum` is the built-in remedy but is
+    * powerless against a single row group. When this conf is set and a scan
+    * resolves to FEWER partitions than it, [[table]] inserts one round-robin
+    * repartition — the same cost/benefit as minPartitionNum's extra splits.
+    * At deployment scale the scan has orders of magnitude more row groups
+    * than the floor, the branch never triggers, and the plan is untouched. */
+  val MinScanPartitionsConf = "spark.graft.scan.minPartitions"
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val min = spark.conf.getOption(MinScanPartitionsConf).map(_.toInt).getOrElse(0)
+    if (min > 0 && df.rdd.getNumPartitions < min) df.repartition(min) else df
   }
 
   /** events with `ts` normalized to a true TimestampType (µs, UTC). */
