@@ -115,6 +115,19 @@ object Retrieval {
         lit(BM25B) * (col("dl") / col("avgdl"))))
     val term = round(idf * norm, 6)
 
+    scoreAndRank(tfd.crossJoin(broadcast(stats)), qterms, k)
+  }
+
+  /** Shared scoring tail: input carries (doc_id, dl, w, tf, df, n, avgdl);
+    * expands by the query sheet, sums rounded contributions, ranks top-k. */
+  private def scoreAndRank(tfd: DataFrame, qterms: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = (col("tf") * K1Plus1) /
+      (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
+        lit(BM25B) * (col("dl") / col("avgdl"))))
+    val term = round(idf * norm, 6)
     // the qterms join EXPANDS each posting by the number of queries sharing
     // its term (~|queries| on a dense vocabulary) and the score expression +
     // partial aggregate run in the same stage — compute-bound work that AQE
@@ -125,20 +138,67 @@ object Retrieval {
     // per-(doc, term) table, so the extra exchange is a rounding error at
     // any scale next to the expansion it parallelizes
     val fanIn = tfd.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
-    val scored = fanIn
+      tfd.sparkSession.sparkContext.defaultParallelism)
+    fanIn
       .join(broadcast(qterms), "w")
-      .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"), term.as("t"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("t").cast("decimal(14,6)")).cast("double").as("score"))
-
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("doc_id"), col("n_terms"),
         col("score"), col("rank"))
+  }
+
+  /** Corpus-side BM25 index: the FULL corpus vocabulary's document
+    * frequencies with the corpus statistics (N, avgdl) denormalized onto
+    * every row — the artifact a deployment builds once per corpus snapshot
+    * and probes with every increment/query-sheet change, the retrieval
+    * plane's member of the persisted-index family (x3 `dedupIndex`, x54
+    * `vocabulary`, x51 `assignedIndex`). One corpus pass: a per-(doc, term)
+    * distinct collapse, a term-keyed map-side-partial df aggregate, and a
+    * one-row stats aggregate broadcast onto the (vocabulary-sized) result. */
+  def bm25Index(corpus: DataFrame): DataFrame = {
+    val dfreq = corpus
+      .select(col("doc_id"), explode(array_distinct(ws)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = corpus.select(size(ws).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    dfreq.crossJoin(broadcast(stats))
+  }
+
+  /** Persist [[bm25Index]] BUCKETED on the term key so every later probe
+    * join re-shuffles only the probing increment (x54's storage contract). */
+  def writeBm25Index(index: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    index.write.bucketBy(buckets, "w").sortBy("w")
+      .mode("overwrite").format("parquet").saveAsTable(tableName)
+
+  /** [[bm25TopK]]'s production/incremental shape: score NEW documents
+    * against the frozen corpus index — the daily-increment relevance gate
+    * (which arriving documents serve the task sheet?) that never re-reads
+    * the corpus. Terms absent from the index vocabulary contribute nothing
+    * (the frozen index DEFINES the term universe; an unseen term has no df
+    * and no idf — its novelty is x54's signal, not a relevance signal).
+    * Scored against the same corpus the index was built from, output is
+    * IDENTICAL to the self-contained [[bm25TopK]] (spec-pinned, x51's
+    * parity discipline).
+    *
+    * Scale: increment tokenizes and prunes narrowly (broadcast semi on the
+    * query sheet), aggregates tf, then shuffle-joins the index on the term
+    * key — with a bucketed index every exchange is INCREMENT-side and the
+    * index reads in place (spec-pinned plan shape). */
+  def bm25TopKAgainst(newDocs: DataFrame, index: DataFrame,
+      queryDocs: DataFrame, k: Int = DefaultTopK): DataFrame = {
+    val qterms = queryDocs
+      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    val tf = newDocs
+      .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
+      .join(broadcast(qterms), Seq("w"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    scoreAndRank(tf.join(index, "w"), qterms, k)
   }
 }

@@ -2,6 +2,7 @@ package graft.corpus
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -111,6 +112,77 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest("sample:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
     key shouldBe md
+  }
+
+  test("bm25 against a prebuilt index reproduces the self-contained query exactly") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "pad")
+    val all = docs((0L until 180L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }: _*)
+    val isQuery = col("doc_id") % Retrieval.QueryMod === 0 &&
+      col("doc_id") < Retrieval.QueryMod * Retrieval.QueryCount
+    val corpus = all.filter(!isQuery)
+    val viaIndex = Retrieval.bm25TopKAgainst(
+      corpus, Retrieval.bm25Index(corpus), all.filter(isQuery))
+    def key(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank"))).toSet
+    val self = key(Retrieval.bm25TopK(all))
+    self should not be empty
+    key(viaIndex) shouldBe self
+  }
+
+  test("bm25 increment scoring: unseen terms contribute nothing, seen terms score") {
+    // index corpus knows only 'alpha beta'; the increment doc adds 'newterm'
+    val corpus = docs(1L -> "alpha beta", 2L -> "beta beta")
+    val queries = docs(0L -> "alpha newterm")
+    val inc = docs(7L -> "alpha newterm newterm")
+    val out = Retrieval.bm25TopKAgainst(inc, Retrieval.bm25Index(corpus), queries)
+      .collect()
+    out.length shouldBe 1
+    // only 'alpha' scored: one matched term despite 'newterm' matching the query
+    out.head.getAs[Long]("n_terms") shouldBe 1L
+    out.head.getAs[Long]("doc_id") shouldBe 7L
+  }
+
+  test("bucketed bm25 index: the probe re-shuffles ONLY the increment side") {
+    Retrieval.writeBm25Index(
+      Retrieval.bm25Index(docs(1L -> "alpha beta gamma", 2L -> "beta delta")),
+      "bm25_idx_spec", buckets = 4)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scored = Retrieval.bm25TopKAgainst(
+        docs(7L -> "alpha alpha delta", 8L -> "gamma"),
+        spark.table("bm25_idx_spec"), docs(0L -> "alpha gamma delta"))
+      scored.collect() should not be empty
+      val finalPlan = scored.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val rendered = finalPlan.toString
+      // the index enters as a bucketed FileScan with NOTHING above it —
+      // every bucket participates in the probe join in place
+      rendered should include("Bucketed: true")
+      rendered should include("SelectedBucketsCount: 4 out of 4")
+      // six hash-exchange mentions, all accounted increment/query-side:
+      // tf aggregate, the term-key probe join, the per-(query, doc) score
+      // aggregate, the ranking window, the query-sheet distinct feeding the
+      // (ReuseExchange-folded) broadcasts, and that fold's ReusedExchange
+      // echo; an index-side exchange would make it seven
+      "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 6
+      "ReusedExchange".r.findAllIn(rendered).size shouldBe 1
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bm25_idx_spec")
+    }
   }
 
   private def vecs(rows: (Long, Seq[Double], Int)*): DataFrame = {
