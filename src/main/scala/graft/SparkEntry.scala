@@ -114,6 +114,8 @@ object SparkEntry {
     "x61_bpe_pairs" -> (C.x61BpePairs _),
     "x62_stratified_sample" -> (C.x62StratifiedSample _),
     "x63_knn_labels" -> (C.x63KnnLabels _),
+    "x64_embedding_outliers" -> (C.x64EmbeddingOutliers _),
+    "x65_relevance_gate" -> (C.x65RelevanceGate _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -59,6 +59,10 @@ object Retrieval {
 
   private def ws: Column = split(col("text"), " ")
 
+  /** Membership predicate of the bounded query sheet (see [[QueryMod]]). */
+  def querySheetCol(queryMod: Long = QueryMod): Column =
+    col("doc_id") % queryMod === 0 && col("doc_id") < queryMod * QueryCount
+
   /** BM25 top-`k` corpus documents for each query document.
     *
     * Query q's terms are its DISTINCT whitespace tokens (bag-of-words queries
@@ -75,8 +79,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryMod: Long = QueryMod,
       k: Int = DefaultTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val isQuery = col("doc_id") % queryMod === 0 &&
-      col("doc_id") < queryMod * QueryCount
+    val isQuery = querySheetCol(queryMod)
 
     // (qid, w) distinct query terms — eval-suite-bounded, broadcast everywhere
     val qterms = docs.filter(isQuery)
@@ -200,5 +203,88 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
     scoreAndRank(tf.join(index, "w"), qterms, k)
+  }
+
+  /** Driver-held scoring model for [[bm25IngestGate]]: the frozen corpus
+    * statistics plus, per query, its sorted distinct terms with their index
+    * document frequencies. Bounded by the QUERY SHEET (terms absent from
+    * the sheet never load; terms absent from the index carry no entry and
+    * score nothing — [[bm25TopKAgainst]]'s unseen-term contract), so it
+    * holds on the driver and broadcasts as plan literals no matter how
+    * large the corpus behind the index is. */
+  final case class Bm25Model(n: Long, avgdl: Double,
+      queries: Seq[(Long, Seq[(String, Long)])])
+
+  /** Build a [[Bm25Model]] from a (typically persisted) [[bm25Index]] and
+    * the query sheet. Two driver collects, both sheet-bounded: the sheet's
+    * distinct terms, and the index rows for exactly those terms. */
+  def bm25Model(index: DataFrame, queryDocs: DataFrame): Bm25Model = {
+    val qterms = queryDocs
+      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qvocab = qterms.map(_._2).distinct
+    val session = queryDocs.sparkSession
+    import session.implicits._
+    val dfByTerm = index
+      .join(broadcast(qvocab.toSeq.toDF("w")), Seq("w"), "left_semi")
+      .select(col("w"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statsRow = index.select(col("n"), col("avgdl")).head()
+    Bm25Model(statsRow.getLong(0), statsRow.getDouble(1),
+      qterms.groupBy(_._1).view.mapValues(_.map(_._2).sorted
+          .flatMap(w => dfByTerm.get(w).map(w -> _)).toSeq)
+        .toSeq.sortBy(_._1))
+  }
+
+  /** X65 — ingest-time relevance gate: per document, its BEST query match
+    * (highest BM25 score, ties to the smaller query id) under the frozen
+    * model, as ONE narrow codegen'd projection — no explode, no join, no
+    * aggregate, no window — so it composes unchanged onto a streaming
+    * DataFrame (the [[graft.corpus.Semantic.embedDecontamAgainst]] shape:
+    * screen each arriving micro-batch against the frozen task sheet, keep
+    * what serves the task). Documents matching no query term emit no row.
+    *
+    * Exactness: per-term contributions are the SAME 6-dp-rounded doubles
+    * as the batch path (idf precomputed on the driver with the identical
+    * `ln`; tf/dl evaluated per row), summed as a DECIMAL add chain — so
+    * the gate's scores are bit-equal to [[bm25TopKAgainst]]'s for the same
+    * documents (spec-pinned), and a gate decision can be audited against a
+    * batch re-run. Per-row cost is Σ_q |q terms| array scans of the token
+    * list — the model is sheet-bounded, so this is a constant per
+    * document at any corpus scale. */
+  def bm25IngestGate(docs: DataFrame, model: Bm25Model): DataFrame = {
+    val toks = split(col("text"), " ")
+    val dl = size(toks)
+    def tfOf(w: String): Column = size(filter(toks, t => t === lit(w)))
+    val zero = lit(0).cast("decimal(14,6)")
+    val cands = model.queries.map { case (qid, terms) =>
+      val contribs = terms.map { case (w, df) =>
+        val idf = math.log((model.n - df + 0.5) / (df + 0.5) + 1.0)
+        val tf = tfOf(w)
+        val norm = (tf * K1Plus1) /
+          (tf + lit(BM25K1) * (lit(OneMinusB) +
+            lit(BM25B) * (dl / lit(model.avgdl))))
+        (when(tf > 0, round(lit(idf) * norm, 6).cast("decimal(14,6)"))
+          .otherwise(zero),
+          when(tf > 0, 1L).otherwise(0L))
+      }
+      // the add chain widens decimal precision per term; pin every
+      // candidate to one type or the array() of structs fails analysis
+      val score = (if (contribs.isEmpty) zero
+        else contribs.map(_._1).reduce(_ + _)).cast("decimal(24,6)")
+      val nTerms =
+        if (contribs.isEmpty) lit(0L) else contribs.map(_._2).reduce(_ + _)
+      // score first, then the NEGATED qid: struct max-comparison yields the
+      // highest score and breaks ties toward the SMALLER query id
+      struct(score.as("s"), lit(-qid).as("nq"), nTerms.as("m"))
+    }
+    val best = array_max(array(cands: _*))
+    docs
+      .withColumn("__best", best)
+      .filter(col("__best.m") > 0)
+      .select(col("doc_id"),
+        (-col("__best.nq")).as("query_id"),
+        col("__best.s").cast("double").as("score"),
+        col("__best.m").as("n_terms"))
   }
 }

@@ -466,4 +466,45 @@ object Semantic {
     withBestMatch(base.select(col("vec_id"), col("e")), bench, "bench_id", "cos")
       .filter(col("cos") >= tau)
       .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cosine"))
+
+  /** Outliers reported per cluster. */
+  val OutliersPerCluster: Int = 3
+
+  /** X64 — embedding outlier report: per k-means cluster, the `m` members
+    * FARTHEST from their own centroid (lowest assignment cosine; rank ties
+    * to the smaller vec_id), with the cluster's size and mean assignment
+    * cosine for context and `gap` = mean − member cosine as the outlier
+    * magnitude. The embedding-space noise detector run before the space is
+    * trusted for SemDeDup blocking, stratified mixing, or label transfer:
+    * encoder glitches, mis-embedded modalities, and topic strays all
+    * surface as members far from every centroid including their own.
+    * Rank-based by construction — no variance/σ arithmetic to drift between
+    * engines; the mean is the x44 discipline (6-dp-rounded members
+    * DECIMAL-summed, the identical total divided as DOUBLE in both
+    * engines). Degenerate (zero-norm/NULL) vectors are x47's signal, not
+    * distance outliers — they have no centroid and are excluded (the NULL
+    * cluster the assignment already gives them).
+    *
+    * Scale: everything downstream of the x44 assignment (whose own scale
+    * story this inherits) is one (cluster)-keyed map-side-partial aggregate
+    * of k rows broadcast back onto a cluster-partitioned bottom-m window —
+    * nothing corpus-pairwise anywhere. */
+  def outlierReport(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
+      m: Int = OutliersPerCluster): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(emb, k, iters).filter(col("cluster").isNotNull)
+    val stats = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      round(sum(col("cosine").cast("decimal(10,6)")).cast("double") /
+        count(lit(1)), 6).as("mean_cosine"))
+    assigned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("cosine"), col("vec_id"))))
+      .filter(col("rank") <= m)
+      .join(broadcast(stats), "cluster")
+      .select(col("cluster"), col("vec_id"), col("cosine"), col("rank"),
+        col("n_members"), col("mean_cosine"),
+        round(col("mean_cosine") - col("cosine"), 6).as("gap"))
+  }
 }

@@ -591,6 +591,29 @@ cent0 AS ($cent0Sql)""" + (1 to iters).map(iterCte).mkString
   private def kmeansSql: String = kmeansPrelude +
     "\nSELECT vec_id, cid AS cluster, round(ac, 6) AS cosine FROM fin"
 
+  /** x64 — per-cluster bottom-m assignment cosines with the cluster's size
+    * and decimal-mean cosine; degenerate (NULL-cid) rows excluded, the
+    * engine's filter mirrored. */
+  private def outlierReportSql: String = {
+    val m = graft.corpus.Semantic.OutliersPerCluster
+    kmeansPrelude + s""",
+asg AS (
+  SELECT vec_id, cid AS cluster, round(ac, 6) AS cosine
+  FROM fin WHERE cid IS NOT NULL),
+st AS (
+  SELECT cluster, COUNT(*) AS n_members,
+         round(CAST(SUM(CAST(cosine AS DECIMAL(10,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_cosine
+  FROM asg GROUP BY 1)
+SELECT cluster, vec_id, cosine, rn AS "rank", n_members, mean_cosine,
+       round(mean_cosine - cosine, 6) AS gap
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+    ORDER BY cosine, vec_id) AS rn FROM asg)
+JOIN st USING (cluster)
+WHERE rn <= $m"""
+  }
+
   /** x45 — SemDeDup prune list: within-cluster pairs ≥ τ, each dropped
     * (higher-id) vector reporting its best lower-id keeper. */
   private def semanticDedupSql: String = {
@@ -980,6 +1003,9 @@ FROM c"""
 
     // x44: deterministic k-means assignment — geometry from Semantic
     "x44_kmeans" -> kmeansSql,
+
+    // x64: per-cluster farthest-from-centroid members (rank-based outliers)
+    "x64_embedding_outliers" -> outlierReportSql,
 
     // x45: SemDeDup within-cluster prune — threshold from Semantic
     "x45_semantic_dedup" -> semanticDedupSql,
@@ -1502,6 +1528,10 @@ FROM s""",
     // rounded to 6 dp then DECIMAL-summed (x19's order-independence trick)
     "x60_bm25" -> bm25Sql,
 
+    // x65: the ingest gate's best-query-per-document decision over the
+    // same score CTEs
+    "x65_relevance_gate" -> bm25GateSql,
+
     // x61: BPE merge-pair counts over the distinct-word frequency table;
     // x18's (count desc, lexicographic) top-k contract
     "x61_bpe_pairs" -> {
@@ -1573,9 +1603,11 @@ WHERE vr = 1"""
     }
   )
 
-  /** x60 — Okapi BM25: the query slice's distinct terms against the corpus
-    * postings, Lucene-shape idf, 6-dp-rounded DECIMAL-summed contributions. */
-  private def bm25Sql: String = {
+  /** x60/x65 shared CTE chain — Okapi BM25: the query sheet's distinct
+    * terms against the corpus postings, Lucene-shape idf, 6-dp-rounded
+    * DECIMAL-summed contributions, ending at `sc` (query_id, doc_id,
+    * n_terms, score). */
+  private def bm25ScPrelude: String = {
     val R = graft.corpus.Retrieval
     s"""WITH corpus AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1607,10 +1639,21 @@ terms AS (
 sc AS (
   SELECT qid AS query_id, doc_id, COUNT(*) AS n_terms,
          CAST(SUM(CAST(t AS DECIMAL(14,6))) AS DOUBLE) AS score
-  FROM terms GROUP BY 1, 2)
+  FROM terms GROUP BY 1, 2)"""
+  }
+
+  private def bm25Sql: String = bm25ScPrelude + s"""
 SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY score DESC, doc_id) AS rn FROM sc)
-WHERE rn <= ${R.DefaultTopK}"""
-  }
+WHERE rn <= ${graft.corpus.Retrieval.DefaultTopK}"""
+
+  /** x65 — the ingest gate replayed in SQL: every (query, doc) BM25 score
+    * from the x60 CTEs, reduced to each document's best query (max score,
+    * min query id). */
+  private def bm25GateSql: String = bm25ScPrelude + """
+SELECT doc_id, query_id, score, n_terms FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, query_id) AS rn FROM sc)
+WHERE rn = 1"""
 }

@@ -378,4 +378,18 @@ object CorpusQueries {
   /** x63 — kNN label transfer onto the vec_id % 10 == 0 held-out slice. */
   def x63KnnLabels(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelTransfer(emb(spark, dir))
+
+  /** x64 — per-cluster farthest-from-centroid outlier report. */
+  def x64EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Semantic.outlierReport(emb(spark, dir))
+
+  /** x65 — the stateless ingest relevance gate replayed over the corpus:
+    * best query-sheet match per document under the frozen index model. */
+  def x65RelevanceGate(spark: SparkSession, dir: String): DataFrame = {
+    val R = graft.corpus.Retrieval
+    val all = docs(spark, dir)
+    val corpus = all.filter(!R.querySheetCol())
+    R.bm25IngestGate(corpus,
+      R.bm25Model(R.bm25Index(corpus), all.filter(R.querySheetCol())))
+  }
 }

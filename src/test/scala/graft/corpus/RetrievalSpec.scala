@@ -185,6 +185,48 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("ingest gate scores are bit-equal to the batch index path; best query wins") {
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = docs((10L until 80L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }: _*)
+    val queries = docs(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "eps")
+    val inc = docs((200L until 240L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }: _*)
+    val index = Retrieval.bm25Index(corpus)
+    val gate = Retrieval.bm25IngestGate(inc, Retrieval.bm25Model(index, queries))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("query_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("n_terms")))).toMap
+    // batch reference: every (query, doc) score, reduced to best-per-doc
+    // with the gate's tiebreak (max score, then min qid)
+    val batch = Retrieval.bm25TopKAgainst(inc, index, queries, k = Int.MaxValue)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("query_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("n_terms"))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).minBy { case (q, s, _) => (-s, q) }).toMap
+    gate should not be empty
+    gate shouldBe batch
+  }
+
+  test("ingest gate is one narrow projection (no exchange) — the streamable shape") {
+    val corpus = docs(1L -> "alpha beta", 2L -> "beta gamma")
+    val model = Retrieval.bm25Model(Retrieval.bm25Index(corpus),
+      docs(0L -> "alpha gamma"))
+    val gated = Retrieval.bm25IngestGate(docs(7L -> "alpha x y"), model)
+    gated.queryExecution.executedPlan.toString should not include "Exchange"
+    // and no-match docs emit nothing
+    Retrieval.bm25IngestGate(docs(8L -> "unrelated words"), model)
+      .count() shouldBe 0L
+  }
+
   private def vecs(rows: (Long, Seq[Double], Int)*): DataFrame = {
     import spark.implicits._
     rows.map { case (id, v, l) => (id, v.map(_.toFloat).toArray, l) }

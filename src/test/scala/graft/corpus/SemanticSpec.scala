@@ -451,4 +451,45 @@ class SemanticSpec extends AnyFunSuite with SparkSpec with Matchers {
       2L -> Seq(0f, 0f, 0f, 1f))
     Semantic.embedDecontam(d).count() shouldBe 0L
   }
+
+  test("outlier report surfaces the farthest member per cluster with a positive gap") {
+    // cluster 0 around e1: ids 0,2,3 tight, id 9 at ~45 degrees (the outlier);
+    // cluster 1 around e2: ids 1,4 tight; id 6 degenerate (excluded, not outlier)
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.95f, 0.05f, 0f, 0f),
+      3L -> Seq(0.9f, 0.1f, 0f, 0f),
+      9L -> Seq(0.7f, 0.55f, 0f, 0f),
+      4L -> Seq(0.05f, 0.95f, 0f, 0f),
+      6L -> Seq(0f, 0f, 0f, 0f))
+    val out = Semantic.outlierReport(d, k = 2, m = 1).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("n_members"), r.getAs[Double]("gap")))).toMap
+    out.keySet shouldBe Set(0L, 1L)
+    val (worst0, rank0, n0, gap0) = out(0L)
+    worst0 shouldBe 9L // the 45-degree stray, never the tight members
+    rank0 shouldBe 1
+    n0 shouldBe 4L     // degenerate id 6 is NOT a member anywhere
+    gap0 should be > 0.05
+    val (_, _, n1, gap1) = out(1L)
+    n1 shouldBe 2L
+    gap1 should (be >= 0.0 and be < 0.01) // tight cluster: tiny gap
+  }
+
+  test("outlier report ranks by cosine ascending with vec_id tiebreak, m bounds rows") {
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0f, 0f),
+      7L -> Seq(1f, 0f, 0f, 0f),   // three exact members pin the mean at e1
+      3L -> Seq(0.6f, 0.4f, 0f, 0f),
+      5L -> Seq(0.6f, 0.4f, 0f, 0f)) // identical strays: tie broken by id
+    val rows = Semantic.outlierReport(d, k = 2, m = 2).collect()
+      .filter(_.getAs[Long]("cluster") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+    rows shouldBe Array((3L, 1), (5L, 2))
+  }
 }
