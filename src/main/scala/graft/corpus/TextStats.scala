@@ -436,4 +436,108 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("left_sym"), col("right_sym"))
       .limit(topK)
   }
+
+  /** One greedy left-to-right merge pass of pair (l, r) over a symbol array
+    * (Sennrich et al.'s `merge_vocab`): fold the symbols, fusing `x` into
+    * the accumulator's last element when they form the pair. A freshly
+    * merged symbol is `l+r`, which can never equal `l` (it is strictly
+    * longer), so the fold is exactly the non-overlapping left-to-right
+    * scan — "aaa" under (a,a) becomes [aa, a], never [aa, aa] or [a, aa].
+    * `get` (not `element_at`) keeps the empty-accumulator probe NULL-safe
+    * under ANSI mode. */
+  private def mergePass(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Corpus-weighted adjacent-pair counts over symbol-array words — the
+    * mid-training generalization of [[bpePairCounts]]'s character kernel. */
+  private def symPairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(get(col("syms"), i).as("l"),
+          get(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+
+  /** Full BPE merge-list training (Sennrich et al., 2016): `numMerges`
+    * rounds of count-pairs → adopt the argmax (count desc, pair
+    * lexicographic — fully deterministic) → re-segment. Returns the ordered
+    * merge list `(left, right, pair_count)` — THE tokenizer artifact a
+    * training pipeline persists; [[bpePairCounts]] is round 0 of this loop
+    * and [[applyBpe]] replays the list over a corpus. Training stops early
+    * when no pair remains.
+    *
+    * Scale: every round touches ONLY the distinct-word table (built once
+    * from the corpus by the one map-side-partial aggregate, then
+    * `localCheckpoint`ed so round r+1 re-reads materialized blocks instead
+    * of re-running r rounds of lineage); the driver holds one argmax row
+    * per round. The corpus itself is scanned exactly once regardless of
+    * `numMerges`. */
+  def trainBpe(docs: DataFrame, numMerges: Int = 8): Seq[(String, String, Long)] = {
+    // x20's checkpoint hygiene: lazy checkpoints (the round's argmax is the
+    // materializing action — one Spark job per round), each superseded
+    // round's blocks freed through its RDD as soon as the NEXT round has
+    // materialized on top of them (never before: the lineage is truncated),
+    // so at most two vocab tables are ever held regardless of numMerges
+    def ckRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.getOrElse(throw new IllegalStateException(
+        "localCheckpoint no longer yields a bare LogicalRDD plan — " +
+          "trainBpe's per-round checkpoint release needs re-wiring"))
+    var words = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint(false)
+    var wordsRdd = ckRdd(words)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    try {
+      for (_ <- 0 until numMerges if !exhausted) {
+        val top = symPairCounts(words)
+          .orderBy(col("n_occurrences").desc, col("left_sym"), col("right_sym"))
+          .limit(1).collect()
+        // `words` is materialized now; the round it superseded can go
+        prevRdd.foreach(_.unpersist(false)); prevRdd = None
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          merges += ((l, r, n))
+          val next = words
+            .select(mergePass(col("syms"), l, r).as("syms"), col("freq"))
+            .localCheckpoint(false)
+          prevRdd = Some(wordsRdd)
+          words = next
+          wordsRdd = ckRdd(next)
+        }
+      }
+    } finally {
+      prevRdd.foreach(_.unpersist(false))
+      wordsRdd.unpersist(false)
+    }
+    merges.toSeq
+  }
+
+  /** Segment a corpus with a trained merge list: per whitespace word, start
+    * from characters and replay every merge in training order (the standard
+    * BPE inference shape for a bounded merge list). Emits per document the
+    * original token count, the subword count, and the space-joined subword
+    * rendering (flat string — array columns don't sort in report sinks).
+    * Narrow and stateless — ONE projection, no explode/shuffle — so it
+    * composes onto streams; per-row cost is \|merges\| fold passes over each
+    * word's symbols (the merge list is a bounded artifact, constant in the
+    * corpus). */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val segmented = transform(ws, w =>
+      merges.foldLeft(split(w, ""))((syms, m) => mergePass(syms, m._1, m._2)))
+    docs.select(col("doc_id"), size(ws).as("n_tokens"),
+      flatten(segmented).as("sub"))
+      .select(col("doc_id"), col("n_tokens"), size(col("sub")).as("n_subwords"),
+        array_join(col("sub"), " ").as("subword_text"))
+  }
 }

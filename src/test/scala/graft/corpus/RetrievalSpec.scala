@@ -85,6 +85,71 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Array(("a", "a", 2L))
   }
 
+  // --- independent BPE reference (plain collections, no Spark) ---
+  private def refMerge(syms: Vector[String], l: String, r: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String])((acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x)
+
+  private def refTrain(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus.flatMap(_.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 0 until n) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) return out.toSeq
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), k) => (-k, a, b) }
+      out += ((l, r, c))
+      words = words.map { case (syms, f) => refMerge(syms, l, r) -> f }
+    }
+    out.toSeq
+  }
+
+  test("trainBpe learns the reference merge list on a classic corpus") {
+    // Sennrich's toy shape: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    val corpus =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs(corpus.zipWithIndex.map { case (w, i) => i.toLong -> w }: _*)
+    val merges = TextStats.trainBpe(d, numMerges = 6)
+    merges shouldBe refTrain(corpus, 6)
+    // the famous first merges: 'es' (9), then 'est' (9)
+    merges.head shouldBe (("e", "s", 9L))
+    merges(1) shouldBe (("es", "t", 9L))
+  }
+
+  test("trainBpe and applyBpe agree with the reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    val corpus = Seq.fill(60)(
+      Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString)
+        .mkString(" "))
+    val d = docs(corpus.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val merges = TextStats.trainBpe(d, numMerges = 5)
+    merges shouldBe refTrain(corpus, 5)
+    val pairs = merges.map(m => (m._1, m._2))
+    val applied = TextStats.applyBpe(d, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_subwords"), r.getAs[String]("subword_text")))).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val expected = text.split(" ").toSeq.flatMap(w =>
+        pairs.foldLeft(w.map(_.toString).toVector) {
+          case (syms, (l, r)) => refMerge(syms, l, r)
+        })
+      applied(i.toLong) shouldBe ((expected.size, expected.mkString(" ")))
+    }
+  }
+
+  test("trainBpe stops early when no pair remains; single-char corpus trains nothing") {
+    val d = docs(1L -> "a b", 2L -> "c")
+    TextStats.trainBpe(d, numMerges = 4) shouldBe Seq.empty
+  }
+
   test("stratified sample: exactly k per source, identity-keyed (text edits never move it)") {
     import spark.implicits._
     val d = (1L to 40L).map(i => (i, s"text $i", s"src${i % 2}"))
