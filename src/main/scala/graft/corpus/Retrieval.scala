@@ -112,12 +112,6 @@ object Retrieval {
       .select(size(ws).as("dl"))
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
 
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = (col("tf") * K1Plus1) /
-      (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
-        lit(BM25B) * (col("dl") / col("avgdl"))))
-    val term = round(idf * norm, 6)
-
     scoreAndRank(tfd.crossJoin(broadcast(stats)), qterms, k)
   }
 
@@ -229,7 +223,10 @@ object Retrieval {
       .join(broadcast(qvocab.toSeq.toDF("w")), Seq("w"), "left_semi")
       .select(col("w"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val statsRow = index.select(col("n"), col("avgdl")).head()
+    val statsRow = index.select(col("n"), col("avgdl")).limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        "bm25Model: the index is empty — build it from a non-empty corpus " +
+          "(an empty index has no N/avgdl and can score nothing)"))
     Bm25Model(statsRow.getLong(0), statsRow.getDouble(1),
       qterms.groupBy(_._1).view.mapValues(_.map(_._2).sorted
           .flatMap(w => dfByTerm.get(w).map(w -> _)).toSeq)
@@ -253,6 +250,11 @@ object Retrieval {
     * list — the model is sheet-bounded, so this is a constant per
     * document at any corpus scale. */
   def bm25IngestGate(docs: DataFrame, model: Bm25Model): DataFrame = {
+    if (model.queries.isEmpty)
+      // array() of zero candidate structs has no element type to resolve —
+      // and an empty sheet legitimately gates everything out
+      return docs.limit(0).select(col("doc_id"),
+        lit(0L).as("query_id"), lit(0.0).as("score"), lit(0L).as("n_terms"))
     val toks = split(col("text"), " ")
     val dl = size(toks)
     def tfOf(w: String): Column = size(filter(toks, t => t === lit(w)))

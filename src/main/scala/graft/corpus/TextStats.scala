@@ -488,7 +488,12 @@ object TextStats {
       }.getOrElse(throw new IllegalStateException(
         "localCheckpoint no longer yields a bare LogicalRDD plan — " +
           "trainBpe's per-round checkpoint release needs re-wiring"))
+    // consecutive separators make split() emit empty tokens; an empty "word"
+    // has no characters and must not reach the symbol table (split("", "")
+    // would yield [""] — a phantom empty SYMBOL the merge arithmetic and the
+    // spec's reference implementation rightly never see)
     var words = docs.select(explode(ws).as("w"))
+      .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
       .localCheckpoint(false)
@@ -533,9 +538,13 @@ object TextStats {
     * word's symbols (the merge list is a bounded artifact, constant in the
     * corpus). */
   def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val segmented = transform(ws, w =>
+    // drop split()'s empty tokens before segmenting (trainBpe's convention:
+    // an empty word has no characters, so it contributes no subwords — NOT
+    // a phantom [""] symbol); n_tokens counts the same non-empty words
+    val nonEmpty = filter(ws, w => w =!= lit(""))
+    val segmented = transform(nonEmpty, w =>
       merges.foldLeft(split(w, ""))((syms, m) => mergePass(syms, m._1, m._2)))
-    docs.select(col("doc_id"), size(ws).as("n_tokens"),
+    docs.select(col("doc_id"), size(nonEmpty).as("n_tokens"),
       flatten(segmented).as("sub"))
       .select(col("doc_id"), col("n_tokens"), size(col("sub")).as("n_subwords"),
         array_join(col("sub"), " ").as("subword_text"))

@@ -150,6 +150,32 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     TextStats.trainBpe(d, numMerges = 4) shouldBe Seq.empty
   }
 
+  test("consecutive separators create no phantom empty symbols in train or apply") {
+    val corpus = Seq("ab  ab", " ab")  // double space + leading space
+    val d = docs(corpus.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val merges = TextStats.trainBpe(d, numMerges = 2)
+    merges shouldBe refTrain(corpus, 2)
+    merges.head shouldBe (("a", "b", 3L))
+    val applied = TextStats.applyBpe(d, merges.map(m => (m._1, m._2)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_subwords"),
+          r.getAs[String]("subword_text")))).toMap
+    applied(0L) shouldBe ((2, 2, "ab ab"))  // empty middle token dropped
+    applied(1L) shouldBe ((1, 1, "ab"))
+  }
+
+  test("empty query sheet gates everything out; empty index fails loudly") {
+    val corpus = docs(1L -> "alpha beta")
+    val model = Retrieval.bm25Model(Retrieval.bm25Index(corpus),
+      corpus.limit(0))
+    val out = Retrieval.bm25IngestGate(docs(7L -> "alpha"), model)
+    out.count() shouldBe 0L
+    out.columns shouldBe Array("doc_id", "query_id", "score", "n_terms")
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25Model(Retrieval.bm25Index(corpus.limit(0)),
+        docs(0L -> "alpha"))
+  }
+
   test("stratified sample: exactly k per source, identity-keyed (text edits never move it)") {
     import spark.implicits._
     val d = (1L to 40L).map(i => (i, s"text $i", s"src${i % 2}"))
