@@ -249,12 +249,14 @@ object Retrieval {
     * batch re-run. Per-row cost is Σ_q |q terms| array scans of the token
     * list — the model is sheet-bounded, so this is a constant per
     * document at any corpus scale. */
-  def bm25IngestGate(docs: DataFrame, model: Bm25Model): DataFrame = {
+  def bm25IngestGate(docs: DataFrame, model: Bm25Model,
+      passthrough: String*): DataFrame = {
     if (model.queries.isEmpty)
       // array() of zero candidate structs has no element type to resolve —
       // and an empty sheet legitimately gates everything out
-      return docs.limit(0).select(col("doc_id"),
-        lit(0L).as("query_id"), lit(0.0).as("score"), lit(0L).as("n_terms"))
+      return docs.limit(0).select(col("doc_id") +: passthrough.map(col) :+
+        lit(0L).as("query_id") :+ lit(0.0).as("score") :+
+        lit(0L).as("n_terms"): _*)
     val toks = split(col("text"), " ")
     val dl = size(toks)
     def tfOf(w: String): Column = size(filter(toks, t => t === lit(w)))
@@ -281,12 +283,14 @@ object Retrieval {
       struct(score.as("s"), lit(-qid).as("nq"), nTerms.as("m"))
     }
     val best = array_max(array(cands: _*))
+    // `passthrough` columns ride the SAME single projection — a join back to
+    // the input would be stream-stream (stateful) on a streaming frame
     docs
       .withColumn("__best", best)
       .filter(col("__best.m") > 0)
-      .select(col("doc_id"),
-        (-col("__best.nq")).as("query_id"),
-        col("__best.s").cast("double").as("score"),
-        col("__best.m").as("n_terms"))
+      .select(col("doc_id") +: passthrough.map(col) :+
+        (-col("__best.nq")).as("query_id") :+
+        col("__best.s").cast("double").as("score") :+
+        col("__best.m").as("n_terms"): _*)
   }
 }

@@ -127,4 +127,19 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
   }
+
+  /** Streaming relevance gating against a frozen BM25 model — the
+    * ingest-time twin of [[graft.corpus.Retrieval.bm25TopKAgainst]]: each
+    * arriving document carries its best query-sheet match (score bit-equal
+    * to the batch scorer, spec-pinned in `RetrievalSpec`), docs matching no
+    * sheet term drop. The gate is
+    * [[graft.corpus.Retrieval.bm25IngestGate]]'s single stateless narrow
+    * projection, so it needs NO watermark, NO state, and survives any
+    * output mode — the simplest possible streaming operator shape (the
+    * [[graft.corpus.Semantic.embedDecontamAgainst]] family). `passthrough`
+    * columns (timestamps, source, payload pointers) ride along. */
+  def gateByRelevance(docs: DataFrame,
+      model: graft.corpus.Retrieval.Bm25Model,
+      passthrough: String*): DataFrame =
+    graft.corpus.Retrieval.bm25IngestGate(docs, model, passthrough: _*)
 }

@@ -337,4 +337,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows shouldBe Set((1L, 0L, "a b c"), (1L, 1L, "c d e"), (2L, 0L, "x y"))
     } finally q.stop()
   }
+
+  test("streaming relevance gate keeps task-relevant docs with batch-equal scores") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq((10L, "alpha beta gamma"), (11L, "beta beta delta"),
+      (12L, "gamma delta")).toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha"), (1L, "delta")).toDF("doc_id", "text")
+    val model = graft.corpus.Retrieval.bm25Model(
+      graft.corpus.Retrieval.bm25Index(corpus), queries)
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamOps.gateByRelevance(
+      input.toDF().toDF("doc_id", "text", "source"), model, "source")
+    out.isStreaming shouldBe true
+    val sink = s"relevance_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops4").toString)
+      .start()
+    try {
+      input.addData(
+        (7L, "alpha alpha", "src0"),     // matches query 0
+        (8L, "unrelated text", "src1"),  // gated out
+        (9L, "alpha delta", "src2"))     // matches both; best wins
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("source"), r.getAs[Long]("query_id"),
+            r.getAs[Double]("score")))).toMap
+      rows.keySet shouldBe Set(7L, 9L)
+      rows(7L)._1 shouldBe "src0"
+      rows(7L)._2 shouldBe 0L
+      // the streaming score equals the BATCH gate's score bit-for-bit
+      val batch = graft.corpus.Retrieval.bm25IngestGate(
+        Seq((7L, "alpha alpha"), (9L, "alpha delta")).toDF("doc_id", "text"),
+        model).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("query_id"), r.getAs[Double]("score")))).toMap
+      (rows(7L)._2, rows(7L)._3) shouldBe batch(7L)
+      (rows(9L)._2, rows(9L)._3) shouldBe batch(9L)
+    } finally q.stop()
+  }
 }
