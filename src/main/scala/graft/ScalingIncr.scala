@@ -100,11 +100,20 @@ object ScalingIncr {
       val idxTable = s"scal_incr_idx_x$m"
       val vocTable = s"scal_incr_voc_x$m"
       val semTable = s"scal_incr_sem_x$m"
+      val bmTable = s"scal_incr_bm25_x$m"
       TextDedup.writeDedupIndex(TextDedup.dedupIndex(oldDocs), idxTable)
       TextDedup.writeVocabulary(
         TextDedup.vocabulary(oldDocs, hashGrams = true), vocTable)
       val cents = Semantic.trainCentroids(oldEmb, k = Semantic.kFor(oldN))
       Semantic.writeAssignedIndex(Semantic.assignedIndex(oldEmb, cents), semTable)
+      graft.corpus.Retrieval.writeBm25Index(
+        graft.corpus.Retrieval.bm25Index(oldDocs), bmTable)
+      // the fixed query sheet (base-corpus slice): constant across scales,
+      // and replica k >= 1 vocabularies are disjoint from it — so the probe's
+      // matched-postings workload is constant in m by construction and the
+      // cell isolates the growing-index scan term
+      val sheet = spark.read.parquet(s"$baseDir/documents.parquet")
+        .filter(graft.corpus.Retrieval.querySheetCol())
 
       val ops: Seq[(String, () => DataFrame)] = Seq(
         ("x40_probe", () => TextDedup.dedupIndex(inc("documents"))
@@ -116,7 +125,9 @@ object ScalingIncr {
         ("x51_probe", () => Semantic.incrementalSemanticDedupAgainst(
           inc("embeddings"), spark.table(semTable), cents)),
         ("x51_full", () => Semantic.incrementalSemanticDedup(
-          inc("embeddings"), oldEmb, k = Semantic.kFor(oldN))))
+          inc("embeddings"), oldEmb, k = Semantic.kFor(oldN))),
+        ("x60_probe", () => graft.corpus.Retrieval.bm25TopKAgainst(
+          inc("documents"), spark.table(bmTable), sheet)))
 
       val rows = ops.map { case (name, fn) =>
         val nRows = fn().count() // untimed warm + workload-constancy evidence
@@ -128,6 +139,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $idxTable")
       spark.sql(s"DROP TABLE IF EXISTS $vocTable")
       spark.sql(s"DROP TABLE IF EXISTS $semTable")
+      spark.sql(s"DROP TABLE IF EXISTS $bmTable")
       rows
     }
 
