@@ -106,8 +106,12 @@ object ScalingIncr {
         TextDedup.vocabulary(oldDocs, hashGrams = true), vocTable)
       val cents = Semantic.trainCentroids(oldEmb, k = Semantic.kFor(oldN))
       Semantic.writeAssignedIndex(Semantic.assignedIndex(oldEmb, cents), semTable)
+      // sheet-excluded, like every other bm25Index pairing (bm25TopK,
+      // x65RelevanceGate, the RetrievalSpec parity test) — indexing the
+      // sheet docs would shift N/avgdl/df away from the self-contained path
       graft.corpus.Retrieval.writeBm25Index(
-        graft.corpus.Retrieval.bm25Index(oldDocs), bmTable)
+        graft.corpus.Retrieval.bm25Index(
+          oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())), bmTable)
       // the fixed query sheet (base-corpus slice): constant across scales,
       // and replica k >= 1 vocabularies are disjoint from it — so the probe's
       // matched-postings workload is constant in m by construction and the

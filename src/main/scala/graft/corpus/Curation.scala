@@ -324,6 +324,10 @@ object Curation {
     * oracle generator. */
   val SampleKeyPrefix: String = "sample:"
 
+  /** Sampled documents per stratum — shared with the x62 oracle generator
+    * so the two cannot drift. */
+  val SamplePerSource: Int = 4
+
   /** X62 — fixed-size stratified sample: the `k` documents per source with
     * the smallest md5("sample:" || doc_id) digest — a reproducible uniform
     * without-replacement k-sample per stratum (the eval-slice / human-audit
@@ -338,7 +342,8 @@ object Curation {
     * smallest keys (exact-complete superset), phase 2 re-ranks ≤ salts·k
     * survivors per source; no domain ever serializes corpus-scale rows
     * through one task. */
-  def stratifiedSample(docs: DataFrame, k: Int = 4, salts: Int = 16): DataFrame = {
+  def stratifiedSample(docs: DataFrame, k: Int = SamplePerSource,
+      salts: Int = 16): DataFrame = {
     val key = md5(concat(lit(SampleKeyPrefix), col("doc_id").cast("string")))
     val local = Window.partitionBy(col("source"), col("salt"))
       .orderBy(col("sample_key"), col("doc_id"))

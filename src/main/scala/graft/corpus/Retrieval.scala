@@ -63,6 +63,18 @@ object Retrieval {
   def querySheetCol(queryMod: Long = QueryMod): Column =
     col("doc_id") % queryMod === 0 && col("doc_id") < queryMod * QueryCount
 
+  /** One-broadcast-row corpus statistics: document count and average doc
+    * length as `sum(dl)/count(*)` over exact integer sums — written out
+    * explicitly, NOT `avg`, to stay in lockstep with the oracle's
+    * `CAST(SUM(len) AS DOUBLE)/COUNT(*)`: `avg` skips NULL lengths in its
+    * denominator (a NULL-text document would shift avgdl between the
+    * engines) and accumulates integral input in DOUBLE rather than summing
+    * exactly first. */
+  private def corpusStats(corpus: DataFrame): DataFrame =
+    corpus.select(size(ws).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
   /** BM25 top-`k` corpus documents for each query document.
     *
     * Query q's terms are its DISTINCT whitespace tokens (bag-of-words queries
@@ -106,11 +118,7 @@ object Retrieval {
     val tfd = tf.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
 
-    // corpus-wide stats: one broadcast row (avgdl = sum(dl)/count over BIGINTs,
-    // the same exact-integer division DuckDB's avg performs)
-    val stats = docs.filter(!isQuery)
-      .select(size(ws).as("dl"))
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val stats = corpusStats(docs.filter(!isQuery))
 
     scoreAndRank(tfd.crossJoin(broadcast(stats)), qterms, k)
   }
@@ -161,9 +169,7 @@ object Retrieval {
     val dfreq = corpus
       .select(col("doc_id"), explode(array_distinct(ws)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val stats = corpus.select(size(ws).as("dl"))
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    dfreq.crossJoin(broadcast(stats))
+    dfreq.crossJoin(broadcast(corpusStats(corpus)))
   }
 
   /** Persist [[bm25Index]] BUCKETED on the term key so every later probe
@@ -253,17 +259,24 @@ object Retrieval {
       passthrough: String*): DataFrame = {
     if (model.queries.isEmpty)
       // array() of zero candidate structs has no element type to resolve —
-      // and an empty sheet legitimately gates everything out
-      return docs.limit(0).select(col("doc_id") +: passthrough.map(col) :+
-        lit(0L).as("query_id") :+ lit(0.0).as("score") :+
-        lit(0L).as("n_terms"): _*)
+      // and an empty sheet legitimately gates everything out. filter(false),
+      // not limit(0): Limit is unsupported on streaming frames and this
+      // gate's contract is to compose onto them
+      return docs.filter(lit(false)).select(
+        col("doc_id") +: passthrough.map(col) :+
+          lit(0L).as("query_id") :+ lit(0.0).as("score") :+
+          lit(0L).as("n_terms"): _*)
     val toks = split(col("text"), " ")
     val dl = size(toks)
     def tfOf(w: String): Column = size(filter(toks, t => t === lit(w)))
     val zero = lit(0).cast("decimal(14,6)")
     val cands = model.queries.map { case (qid, terms) =>
       val contribs = terms.map { case (w, df) =>
-        val idf = math.log((model.n - df + 0.5) / (df + 0.5) + 1.0)
+        // StrictMath, not Math: catalyst's Log compiles to StrictMath.log,
+        // and Math.log differs by 1 ulp on a measurable fraction of inputs —
+        // enough to flip a 6-dp rounding boundary and break the documented
+        // bit-equality with the batch scorer
+        val idf = StrictMath.log((model.n - df + 0.5) / (df + 0.5) + 1.0)
         val tf = tfOf(w)
         val norm = (tf * K1Plus1) /
           (tf + lit(BM25K1) * (lit(OneMinusB) +

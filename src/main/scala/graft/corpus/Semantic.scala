@@ -492,19 +492,27 @@ object Semantic {
   def outlierReport(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       m: Int = OutliersPerCluster): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both the stats aggregate and the bottom-m window consume the
+    // assignment — semanticDedup's persist/localCheckpoint/unpersist
+    // discipline keeps the corpus-scale normalize-and-assign pass to ONE
+    // scan and the session CacheManager leak-free (see that method's note)
     val assigned = kmeansAssign(emb, k, iters).filter(col("cluster").isNotNull)
-    val stats = assigned.groupBy(col("cluster")).agg(
-      count(lit(1)).as("n_members"),
-      round(sum(col("cosine").cast("decimal(10,6)")).cast("double") /
-        count(lit(1)), 6).as("mean_cosine"))
-    assigned
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("cluster"))
-          .orderBy(col("cosine"), col("vec_id"))))
-      .filter(col("rank") <= m)
-      .join(broadcast(stats), "cluster")
-      .select(col("cluster"), col("vec_id"), col("cosine"), col("rank"),
-        col("n_members"), col("mean_cosine"),
-        round(col("mean_cosine") - col("cosine"), 6).as("gap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = assigned.groupBy(col("cluster")).agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("cosine").cast("decimal(10,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_cosine"))
+      assigned
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("cosine"), col("vec_id"))))
+        .filter(col("rank") <= m)
+        .join(broadcast(stats), "cluster")
+        .select(col("cluster"), col("vec_id"), col("cosine"), col("rank"),
+          col("n_members"), col("mean_cosine"),
+          round(col("mean_cosine") - col("cosine"), 6).as("gap"))
+        .localCheckpoint(true)
+    } finally assigned.unpersist(false)
   }
 }

@@ -408,6 +408,10 @@ object TextStats {
       .select(col("doc_id"), col("s.n_fingerprints").as("n_fingerprints"),
         col("s.min_fingerprint").as("min_fingerprint"))
 
+  /** Candidate merges reported by [[bpePairCounts]] — shared with the x61
+    * oracle generator so the two cannot drift. */
+  val BpeTopK: Int = 20
+
   /** X61 — BPE merge-pair statistics: corpus-weighted counts of adjacent
     * character pairs within whitespace words, the selection statistic of the
     * FIRST byte-pair-encoding merge (Sennrich et al., 2016 shape — iteration
@@ -423,7 +427,7 @@ object TextStats {
     * the corpus) with each word's pairs weighted by its frequency. The final
     * pair aggregate is alphabet²-bounded and the top-k is a bounded
     * TakeOrdered, never a global sort. */
-  def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame = {
+  def bpePairCounts(docs: DataFrame, topK: Int = BpeTopK): DataFrame = {
     val wf = docs.select(explode(ws).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     wf.filter(length(col("w")) >= 2)

@@ -1535,7 +1535,7 @@ FROM s""",
     // x61: BPE merge-pair counts over the distinct-word frequency table;
     // x18's (count desc, lexicographic) top-k contract
     "x61_bpe_pairs" -> {
-      val topK = 20
+      val topK = TextStats.BpeTopK
       s"""WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 wf AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY 1),
@@ -1553,13 +1553,14 @@ ORDER BY n_occurrences DESC, left_sym, right_sym LIMIT $topK"""
     // Scala prefix constant, (key, doc_id) order, k per source
     "x62_stratified_sample" -> {
       val p = graft.corpus.Curation.SampleKeyPrefix
+      val k = graft.corpus.Curation.SamplePerSource
       s"""SELECT source, doc_id, sample_key, rn AS "rank" FROM (
   SELECT source, doc_id,
          md5('$p' || CAST(doc_id AS VARCHAR)) AS sample_key,
          ROW_NUMBER() OVER (PARTITION BY source
            ORDER BY md5('$p' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents)
-WHERE rn <= 4"""
+WHERE rn <= $k"""
     },
 
     // x63: kNN label transfer — normalize-then-dot in the engine's operation

@@ -42,6 +42,20 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.map(_.getAs[Long]("n_terms")).toSet shouldBe Set(1L)
   }
 
+  test("bm25 stats count NULL-text docs in the corpus but not in the length sum") {
+    // oracle lockstep: avgdl = SUM(dl)/COUNT(*) — a NULL-text doc has no
+    // length (excluded from the sum) but IS a corpus row (in N and the
+    // denominator); Spark's avg() would silently drop it from both
+    val d = docs(0L -> "apple", 1L -> "apple", 2L -> null)
+    val row = Retrieval.bm25TopK(d).collect().head
+    // N=2, df=1, tf=1, dl=1, avgdl = 1/2
+    val idf = StrictMath.log((2 - 1 + 0.5) / 1.5 + 1.0)
+    val norm = Retrieval.K1Plus1 /
+      (1 + Retrieval.BM25K1 * (Retrieval.OneMinusB + Retrieval.BM25B * (1.0 / 0.5)))
+    row.getAs[Double]("score") shouldBe BigDecimal(idf * norm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("bm25 scores match the formula computed by hand") {
     val d = docs(0L -> "apple", 1L -> "apple banana", 2L -> "banana cherry")
     val row = Retrieval.bm25TopK(d).collect().head
