@@ -29,8 +29,31 @@ out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/parity_fixture"
 os.makedirs(out, exist_ok=True)
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents"]:
+          "lineitem", "events"]:
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+# --- documents: degenerate TEXT rows (round-12 session 2) ---------------
+# NULL / empty / whitespace-only text exercises every text operator's
+# degenerate path in BOTH engines at once. Ids sit far above the live range
+# and off every privileged slice: none are % 50 == 0 (x22 benchmark, x60
+# query sheet), and the x23 tier parse needs a well-formed 'src<int>'.
+docs = pq.read_table(f"{SRC}/documents.parquet")
+dcols = {c: docs.column(c).to_pylist() for c in docs.column_names}
+src0 = dcols["source"][0]
+lang0 = dcols["lang"][0]
+for did, txt in [(9001, None), (9002, ""), (9003, " ")]:
+    dcols["doc_id"].append(did)
+    dcols["text"].append(txt)
+    dcols["lang"].append(lang0)
+    dcols["source"].append(src0)
+    dcols["n_chars"].append(0 if txt is None else len(txt))
+pq.write_table(pa.table({
+    "doc_id": pa.array(dcols["doc_id"], pa.int64()),
+    "text": pa.array(dcols["text"], pa.string()),
+    "lang": pa.array(dcols["lang"], pa.string()),
+    "source": pa.array(dcols["source"], pa.string()),
+    "n_chars": pa.array(dcols["n_chars"], pa.int64()),
+}), f"{out}/documents.parquet")
 
 emb = pq.read_table(f"{SRC}/embeddings.parquet")
 dim = len(emb.column("embedding")[0])

@@ -559,6 +559,11 @@ object TextDedup {
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.Simhash32(tokens(col("text"))).as("simhash"))
+      // NULL text has no tokens and no fingerprint (winnowFingerprint's
+      // convention); an unfiltered NULL-simhash row would also be invisible
+      // to x5's chunk-equality blocking — dropping it keeps x4 and x5
+      // consistent with each other and with the oracle's no-tokens-no-row
+      .filter(col("simhash").isNotNull)
 
   /** Span width (tokens) for [[crossDocSpans]]'s driver query — shared with
     * the x37 oracle generator so the two cannot drift. Wider than the 3-gram

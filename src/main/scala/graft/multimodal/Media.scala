@@ -117,7 +117,11 @@ object Media {
   def mediaFeatures(spark: SparkSession, docs: DataFrame,
       codec: MediaCodec = FakeCodec, batchSize: Int = 64): Dataset[MediaFeature] = {
     import spark.implicits._
+    // a NULL blob (NULL source text) is an undecodable asset: no features
+    // row, rather than an NPE inside the codec kernel — the m2 oracle
+    // mirrors with WHERE text IS NOT NULL
     assets(docs).select(col("doc_id"), col("blob"))
+      .filter(col("blob").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

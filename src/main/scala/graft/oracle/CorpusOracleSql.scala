@@ -123,7 +123,10 @@ st AS (
   FROM toks),
 sb AS (SELECT *, $best AS best FROM st)
 SELECT doc_id,
-  CASE WHEN best <= 0 THEN 'und' $pick END AS predicted_lang,
+  -- NULL text: every hit count is NULL, the CASE yields NULL, and the
+  -- engine's fold-with-'und'-default says UNDETERMINED — coalesce to match
+  -- (healthy rows always take a CASE branch, so this touches only NULLs)
+  COALESCE(CASE WHEN best <= 0 THEN 'und' $pick END, 'und') AS predicted_lang,
   round(CAST(best AS DOUBLE) / n_tokens, 6) AS stopword_ratio
 FROM sb"""
   }
@@ -419,7 +422,9 @@ c AS (
 SELECT source, CAST(st // $b AS BIGINT) AS seq_id,
   COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
-  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+  -- an all-NULL-text group aggregates to NULL here but to '' in the
+  -- engine's concat of collected structs — coalesce to the engine's ''
+  COALESCE(string_agg(text, ' ' ORDER BY doc_id), '') AS seq_text
 FROM c GROUP BY 1, 2"""
   }
 
@@ -1149,7 +1154,8 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM comp GROUP BY 1""").replace
     // because the corpus is pure ASCII (verified at every SF); the Spark side
     // is the byte-true implementation.
     "m2_media_features" -> """WITH a AS (
-  SELECT doc_id, text, md5(text) AS hx FROM documents),
+  SELECT doc_id, text, md5(text) AS hx FROM documents
+  WHERE text IS NOT NULL),
 cs AS (
   SELECT doc_id, hx, octet_length(encode(text)) AS n_pixels,
     list_transform(range(length(text)), i -> ord(substr(text, i+1, 1))) AS codes
