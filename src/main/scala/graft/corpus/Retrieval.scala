@@ -53,6 +53,15 @@ object Retrieval {
   /** Results per query. */
   val DefaultTopK: Int = 5
 
+  /** Query-sheet size of the x65 INGEST-GATE driver query (and any
+    * deployment sizing guidance): the gate evaluates its whole sheet per
+    * ROW as one scalar expression — the right tool for a task-targeted
+    * sheet of a handful of queries, not the full retrieval eval suite
+    * (per-row cost is Σ_q \|q terms\| token scans, and past a few hundred
+    * sheet terms the batch [[bm25TopKAgainst]] probe is the better shape;
+    * measured: 32 queries × ~30 dense terms cost 1.6 ms/row). */
+  val GateQueryCount: Long = 8L
+
   // pre-computed in Scala so the oracle interpolates the SAME doubles
   private[graft] val K1Plus1: Double = BM25K1 + 1.0
   private[graft] val OneMinusB: Double = 1.0 - BM25B
@@ -225,15 +234,23 @@ object Retrieval {
     val qvocab = qterms.map(_._2).distinct
     val session = queryDocs.sparkSession
     import session.implicits._
-    val dfByTerm = index
+    // ONE index evaluation: (n, avgdl) are denormalized on every row, so
+    // the pruned collect already carries them; the separate stats query is
+    // only needed when no sheet term exists in the index at all
+    val pruned = index
       .join(broadcast(qvocab.toSeq.toDF("w")), Seq("w"), "left_semi")
-      .select(col("w"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val statsRow = index.select(col("n"), col("avgdl")).limit(1).collect()
-      .headOption.getOrElse(throw new IllegalArgumentException(
-        "bm25Model: the index is empty — build it from a non-empty corpus " +
-          "(an empty index has no N/avgdl and can score nothing)"))
-    Bm25Model(statsRow.getLong(0), statsRow.getDouble(1),
+      .select(col("w"), col("df"), col("n"), col("avgdl")).collect()
+    val dfByTerm = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (n, avgdl) = pruned.headOption
+      .map(r => (r.getLong(2), r.getDouble(3)))
+      .getOrElse {
+        val statsRow = index.select(col("n"), col("avgdl")).limit(1).collect()
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            "bm25Model: the index is empty — build it from a non-empty " +
+              "corpus (an empty index has no N/avgdl and can score nothing)"))
+        (statsRow.getLong(0), statsRow.getDouble(1))
+      }
+    Bm25Model(n, avgdl,
       qterms.groupBy(_._1).view.mapValues(_.map(_._2).sorted
           .flatMap(w => dfByTerm.get(w).map(w -> _)).toSeq)
         .toSeq.sortBy(_._1))

@@ -1614,8 +1614,11 @@ WHERE vr = 1"""
     * terms against the corpus postings, Lucene-shape idf, 6-dp-rounded
     * DECIMAL-summed contributions, ending at `sc` (query_id, doc_id,
     * n_terms, score). */
-  private def bm25ScPrelude: String = {
+  private def bm25ScPrelude(queryCount: Long =
+      graft.corpus.Retrieval.QueryCount): String = {
     val R = graft.corpus.Retrieval
+    // the CORPUS always excludes the full x60 sheet (the engine's
+    // sheet-excluded index convention); only qdocs narrows to `queryCount`
     s"""WITH corpus AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE NOT (doc_id % ${R.QueryMod} = 0
@@ -1623,7 +1626,7 @@ WHERE vr = 1"""
 qdocs AS (
   SELECT doc_id AS qid, string_split(text, ' ') AS ws FROM documents
   WHERE doc_id % ${R.QueryMod} = 0
-    AND doc_id < ${R.QueryMod * R.QueryCount}),
+    AND doc_id < ${R.QueryMod * queryCount}),
 qt AS (SELECT DISTINCT qid, unnest(ws) AS w FROM qdocs),
 qw AS (SELECT DISTINCT w FROM qt),
 ctok AS (
@@ -1649,7 +1652,7 @@ sc AS (
   FROM terms GROUP BY 1, 2)"""
   }
 
-  private def bm25Sql: String = bm25ScPrelude + s"""
+  private def bm25Sql: String = bm25ScPrelude() + s"""
 SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY score DESC, doc_id) AS rn FROM sc)
@@ -1658,7 +1661,8 @@ WHERE rn <= ${graft.corpus.Retrieval.DefaultTopK}"""
   /** x65 — the ingest gate replayed in SQL: every (query, doc) BM25 score
     * from the x60 CTEs, reduced to each document's best query (max score,
     * min query id). */
-  private def bm25GateSql: String = bm25ScPrelude + """
+  private def bm25GateSql: String =
+    bm25ScPrelude(graft.corpus.Retrieval.GateQueryCount) + """
 SELECT doc_id, query_id, score, n_terms FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
     ORDER BY score DESC, query_id) AS rn FROM sc)

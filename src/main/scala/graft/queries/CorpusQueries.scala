@@ -384,12 +384,16 @@ object CorpusQueries {
     graft.corpus.Semantic.outlierReport(emb(spark, dir))
 
   /** x65 — the stateless ingest relevance gate replayed over the corpus:
-    * best query-sheet match per document under the frozen index model. */
+    * best query-sheet match per document under the frozen index model. The
+    * gate's sheet is the GateQueryCount-sized task sheet (the per-row
+    * scalar kernel's intended regime), NOT x60's full retrieval suite;
+    * the corpus/index side stays x60's sheet-excluded convention. */
   def x65RelevanceGate(spark: SparkSession, dir: String): DataFrame = {
     val R = graft.corpus.Retrieval
     val all = docs(spark, dir)
     val corpus = all.filter(!R.querySheetCol())
-    R.bm25IngestGate(corpus,
-      R.bm25Model(R.bm25Index(corpus), all.filter(R.querySheetCol())))
+    val gateSheet = all.filter(R.querySheetCol() &&
+      col("doc_id") < R.QueryMod * R.GateQueryCount)
+    R.bm25IngestGate(corpus, R.bm25Model(R.bm25Index(corpus), gateSheet))
   }
 }
