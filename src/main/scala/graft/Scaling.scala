@@ -46,6 +46,18 @@ object Scaling {
     * fixture parities x58's paragraphFixture keys on (multiple of 6). */
   val ReplicaOffset = 600000000L
 
+  /** One timed cell: a `noop`-format write (full materialization, no sink
+    * cost) followed by the inter-cell GC hygiene. Shared by BOTH ladder
+    * harnesses ([[Scaling]] and [[ScalingIncr]]) so the batch and
+    * incremental exponents are always measured under the same discipline. */
+  private[graft] def runOnce(plan: () => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    plan().write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    System.gc() // the Bench hygiene: don't bill later cells for this one
+    dt
+  }
+
   /** Write replica-scaled documents (per-replica token suffix — see the
     * class doc's zero-confound argument) for each scale under
     * `workDir/x<m>/documents.parquet`. Returns the base row count. */
@@ -74,12 +86,16 @@ object Scaling {
       workDir: String, scales: Seq[Int]): Long = {
     val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = embBase.select(size(col("embedding"))).head().getInt(0)
-    // rotations k·7 mod dim are pairwise distinct only for k < dim (7 is
-    // coprime to 64) — beyond that, replicas repeat geometry AND rotation,
-    // correlating cross-replica cosines and breaking the exact-m×-workload
-    // construction the fitted exponents rely on
-    require(scales.max <= dim,
-      s"replica rotations repeat past dim=$dim replicas: $scales")
+    // rotations k·7 mod dim are pairwise distinct only for
+    // k < dim / gcd(7, dim) — `<= dim` alone is wrong whenever 7 divides
+    // dim (e.g. 896-wide embeddings repeat every 128 replicas): repeated
+    // shifts make exact-duplicate replicas, correlating cross-replica
+    // cosines and breaking the exact-m×-workload construction the fitted
+    // exponents rely on
+    val distinctShifts = dim / BigInt(7).gcd(BigInt(dim)).toInt
+    require(scales.max <= distinctShifts,
+      s"replica rotations repeat past $distinctShifts replicas " +
+        s"(dim=$dim, step 7): $scales")
     scales.foreach { m =>
       val scaled = (0 until m).map { k =>
         val shift = (k * 7) % dim
@@ -206,14 +222,6 @@ object Scaling {
 
     val baseCounts: Map[String, Long] =
       relBaseCounts.toMap ++ Map("documents" -> baseN, "embeddings" -> embBaseN)
-
-    def runOnce(plan: () => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      plan().write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.gc() // the Bench hygiene: don't bill later cells for this one
-      dt
-    }
 
     val cells = for (m <- scales; (table, name, fn) <- ops) yield {
       val dir = s"$workDir/x$m"

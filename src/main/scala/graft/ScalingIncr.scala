@@ -52,12 +52,13 @@ object ScalingIncr {
     val scales = (if (args.length > 2) args(2) else "1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
     val iters = if (args.length > 3) args(3).toInt else 2
-    // the increment's id shift (100 × ReplicaOffset) is disjoint from replica
-    // id ranges only below 100 replicas, and the embedding rotation is
-    // distinct per replica only below dim (64) — past either, ids collide or
-    // replica geometry correlates and the workload-constancy argument breaks
-    require(scales.max <= 64,
-      s"scales above 64 break id-disjointness/rotation-distinctness: $scales")
+    // the increment's id shift (100 × ReplicaOffset) is disjoint from
+    // replica id ranges only below 100 replicas; the rotation-distinctness
+    // bound is data-dependent (dim / gcd(7, dim)) and owned by
+    // Scaling.buildScaledEmbeddings, which reads dim from the corpus —
+    // duplicating it here with a constant invited the two checks to drift
+    require(scales.max < 100,
+      s"scales at or above 100 collide with the increment's id range: $scales")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,13 +83,7 @@ object ScalingIncr {
     def inc(table: String): DataFrame =
       spark.read.parquet(s"$workDir/inc/$table.parquet")
 
-    def runOnce(plan: () => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      plan().write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.gc()
-      dt
-    }
+    def runOnce(plan: () => DataFrame): Double = Scaling.runOnce(plan)
 
     val cells = scales.flatMap { m =>
       val dir = s"$workDir/x$m"

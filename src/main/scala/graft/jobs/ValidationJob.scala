@@ -243,11 +243,10 @@ object ValidationJob {
     import spark.implicits._
     Topics.validate(inputTopic)
     val sasl = kafkaSaslOptions(kafkaPassword)
-    // transformWithState requires the RocksDB state store provider in Spark 4 —
-    // without it the tracker query throws at start and terminal notifications
-    // are never emitted
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the RocksDB provider transformWithState needs is set on the CONTROL
+    // PLANE child session (TrackerProcessor.controlPlaneSession) — the only
+    // session running a stateful query. Setting it here too would mutate
+    // the caller's session for their own later stateful queries.
     val store = new NotificationSnapshot(spark, Some(checkpointDir))
     val countsDir = s"$checkpointDir/counts"
 

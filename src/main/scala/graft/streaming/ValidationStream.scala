@@ -202,56 +202,100 @@ object ValidationStream {
     * pushdown has excluded everything already resolved. */
   private[streaming] val MaxMissLookupsPerTrigger: Int = 64
 
-  /** Collect the micro-batch's distinct batch ids missing from the snapshot
-    * (bounded by [[MaxMissLookupsPerTrigger]]) and resolve each through the
-    * lookup SPI: found → snapshot upsert; 404 → stays unknown (record goes
-    * invalid, reference ValidationProcessFunction.scala:100-112); other 4xx →
-    * fail the query (client bug, reference :183-188); 5xx/transport → bounded
-    * retries within the trigger, then unknown this epoch and retried on the
-    * batch's next record. Known ids are filtered DISTRIBUTED (hash-set
-    * semi-anti-join via InSet, codegen'd) so the resolved control plane can
-    * never eat the budget.
+  /** Chunks of [[MaxMissLookupsPerTrigger]] resolved per trigger before the
+    * remainder parks: the TOTAL per-trigger lookup budget is chunk × cap
+    * (= 1024). A restart replaying its whole backlog as one micro-batch can
+    * legitimately carry hundreds of distinct new batch ids — a single-chunk
+    * cap permanently mis-routed every batch past the 64th to the invalid
+    * sink (their offsets commit; only FUTURE records of those batches would
+    * recover), while the chunk loop drains any legitimate burst and still
+    * bounds both driver memory (one chunk collected at a time) and the Mgmt
+    * API fan-out under a fabricated-id flood. */
+  private[streaming] val MaxMissChunksPerTrigger: Int = 16
+
+  /** Past this snapshot size the known-id pushdown switches from an InSet
+    * literal (codegen'd, but serialized into every task closure each
+    * trigger) to a broadcast LEFT-ANTI join — one build per trigger shared
+    * across tasks, so a long-lived job's ever-growing control plane (the
+    * snapshot never evicts, matching the reference's broadcast state) stops
+    * taxing per-task serialization on the record hot path. */
+  private[streaming] val InSetPushdownMax: Int = 1024
+
+  /** Resolve the micro-batch's distinct batch ids missing from the snapshot
+    * through the lookup SPI, in chunks of [[MaxMissLookupsPerTrigger]] up to
+    * [[MaxMissChunksPerTrigger]] per trigger: found → snapshot upsert; 404 →
+    * stays unknown (record goes invalid, reference
+    * ValidationProcessFunction.scala:100-112); other 4xx → fail the query
+    * (client bug, reference :183-188); 5xx/transport → bounded retries
+    * within the trigger, then unknown this epoch and retried on the batch's
+    * next record. Known ids are filtered DISTRIBUTED (InSet or broadcast
+    * anti-join past [[InSetPushdownMax]]) so the resolved control plane can
+    * never eat the budget; ids already attempted this trigger (404s,
+    * exhausted retries) are excluded from later chunks, so the loop always
+    * terminates — a chunk that comes back empty means every distinct miss
+    * was attempted.
     *
-    * The capped set is an EPOCH-SALTED hash sample, not a bare limit(): a
-    * bare limit takes whichever partitions arrive first, a deterministic
-    * bias — under a SUSTAINED flood of fabricated ids (each 404s, so the
-    * known-id pushdown never learns them) the same flood pairs could fill
-    * the budget every trigger and starve a legitimate new batch
-    * indefinitely. Ordering by xxhash64(batch_id, epoch) reshuffles the
-    * sample every trigger (TakeOrdered top-K, no full sort materialization),
-    * so a legitimate id among F flood ids is selected with probability
-    * ~budget/F per trigger and resolves in a geometric number of triggers —
-    * delay, never starvation. */
+    * Each chunk is an EPOCH-SALTED hash sample, not a bare limit(): a bare
+    * limit takes whichever partitions arrive first, a deterministic bias —
+    * under a SUSTAINED flood of fabricated ids (each 404s, so the known-id
+    * pushdown never learns them) the same flood pairs could fill the budget
+    * every trigger and starve a legitimate new batch indefinitely. Ordering
+    * by xxhash64(batch_id, epoch) reshuffles the sample every trigger
+    * (TakeOrdered top-K, no full sort materialization), so a legitimate id
+    * among F flood ids is selected with probability ~budget/F per trigger
+    * and resolves in a geometric number of triggers — delay, never
+    * starvation. */
   private[streaming] def resolveMisses(records: DataFrame, store: NotificationSnapshot,
-      lookup: BatchLookup, retry: Retry, epochId: Long = 0L): Unit = {
-    val known = store.knownIds
-    val ids = records
-      .select(ValidationEngine.extractBatchId(col("headers")).as("batch_id"),
-        col("topic"))
-      .filter(col("batch_id").isNotNull)
-      .filter(!col("batch_id").isInCollection(known))
-      .distinct()
-      .orderBy(xxhash64(col("batch_id"), lit(epochId)))
-      .limit(MaxMissLookupsPerTrigger)
-      .collect()
-      .filter(r => store.get(r.getString(0)).isEmpty)
-    ids.foreach { r =>
-      val (batchId, topic) = (r.getString(0), r.getString(1))
-      val tenant = scala.util.Try(Topics.tenantId(topic)).getOrElse("unknown")
-      try {
-        val n = retry.run(lookup.getBatchId(tenant, batchId).get)
-        store.put(n.id, Row(
-          n.id, n.name, n.topic, n.dataType, n.status, n.startDate, n.endDate,
-          n.expectedRecordCount, n.actualRecordCount, n.invalidRecordCount,
-          n.invalidThreshold, n.failureMessage, n.metadata))
-      } catch {
-        case RequestException(404, _) => // stays unknown → invalid (V5)
-        case e @ RequestException(s, _) if s >= 400 && s <= 499 => throw e
-        // NonFatal ONLY (RestartSupervisor's doctrine): an OOM or an
-        // interrupt during driver shutdown must propagate, not be shrugged
-        // off while the loop keeps issuing lookups on corrupted state
-        case scala.util.control.NonFatal(_) =>
-        // retries exhausted this trigger; next trigger re-tries
+      lookup: BatchLookup, retry: Retry, epochId: Long = 0L,
+      inSetMax: Int = InSetPushdownMax): Unit = {
+    val attempted = scala.collection.mutable.HashSet.empty[String]
+    var chunk = 0
+    var drained = false
+    while (chunk < MaxMissChunksPerTrigger && !drained) {
+      val known = store.knownIds ++ attempted
+      val base = records
+        .select(ValidationEngine.extractBatchId(col("headers")).as("batch_id"),
+          col("topic"))
+        .filter(col("batch_id").isNotNull)
+      val unknownOnly =
+        if (known.size <= inSetMax)
+          base.filter(!col("batch_id").isInCollection(known))
+        else {
+          val session = records.sparkSession
+          import session.implicits._
+          base.join(broadcast(known.toSeq.toDF("batch_id")),
+            Seq("batch_id"), "left_anti")
+        }
+      val ids = unknownOnly
+        .distinct()
+        .orderBy(xxhash64(col("batch_id"), lit(epochId)))
+        .limit(MaxMissLookupsPerTrigger)
+        .collect()
+        .filter(r => store.get(r.getString(0)).isEmpty &&
+          !attempted(r.getString(0)))
+      if (ids.isEmpty) drained = true
+      else {
+        chunk += 1
+        ids.foreach { r =>
+          val (batchId, topic) = (r.getString(0), r.getString(1))
+          attempted += batchId
+          val tenant = scala.util.Try(Topics.tenantId(topic)).getOrElse("unknown")
+          try {
+            val n = retry.run(lookup.getBatchId(tenant, batchId).get)
+            store.put(n.id, Row(
+              n.id, n.name, n.topic, n.dataType, n.status, n.startDate, n.endDate,
+              n.expectedRecordCount, n.actualRecordCount, n.invalidRecordCount,
+              n.invalidThreshold, n.failureMessage, n.metadata))
+          } catch {
+            case RequestException(404, _) => // stays unknown → invalid (V5)
+            case e @ RequestException(s, _) if s >= 400 && s <= 499 => throw e
+            // NonFatal ONLY (RestartSupervisor's doctrine): an OOM or an
+            // interrupt during driver shutdown must propagate, not be shrugged
+            // off while the loop keeps issuing lookups on corrupted state
+            case scala.util.control.NonFatal(_) =>
+            // retries exhausted this trigger; next trigger re-tries
+          }
+        }
       }
     }
   }

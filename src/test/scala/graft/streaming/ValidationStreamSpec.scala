@@ -141,25 +141,33 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       lookup = Some(counting),
       lookupRetry = new Retry(initialBackoffMs = 1, giveUpAfterMs = 50))
     try {
-      // 200 records, each fabricating its own batch id: unbounded, this
-      // collects 200 distinct strings to the driver and issues 200 remote
-      // lookups in ONE trigger. The cap bounds both.
+      val budget = ValidationStream.MaxMissLookupsPerTrigger *
+        ValidationStream.MaxMissChunksPerTrigger
+      // 200 records, each fabricating its own batch id: the chunk loop
+      // attempts each distinct id EXACTLY once (never re-collecting ids
+      // already attempted this trigger), one 64-id collect at a time
       records.addData((0 until 200).map(i =>
         rec(i.toLong, Some(s"poison-$i"), """{"ok":1}""")): _*)
       running.recordQuery.processAllAvailable()
-      calls.get() should be <= ValidationStream.MaxMissLookupsPerTrigger
+      calls.get() shouldBe 200
       // every poison record still flows through as invalid-unknown (V5) —
       // parking is about the LOOKUP, not the record routing
       sinks.invalidRows should have size 200
-      // a legit batch arriving DURING a sustained flood resolves within a
-      // few triggers: the epoch-salted sample reshuffles the capped
-      // candidate set every trigger (~32% selection odds at 200 flood ids),
-      // so the flood delays resolution but cannot starve it. 40 triggers
-      // bounds the loop at a ~2e-7 flake probability.
+      // a flood BEYOND the whole per-trigger budget parks the remainder:
+      // driver memory stays chunk-bounded and the Mgmt API sees at most
+      // `budget` lookups, no matter how many ids one micro-batch fabricates
+      calls.set(0)
+      records.addData((0 until budget + 100).map(i =>
+        rec((10000 + i).toLong, Some(s"flood-$i"), """{"ok":1}""")): _*)
+      running.recordQuery.processAllAvailable()
+      calls.get() should be <= budget
+      // a legit batch arriving DURING a flood resolves within a trigger or
+      // two: each trigger's chunks drain distinct ids and the epoch-salted
+      // sample reshuffles candidates, so the flood delays, never starves
       var trigger = 0
       while (running.snapshot.get("legit-1").isEmpty && trigger < 40) {
         records.addData((0 until 200).map(i =>
-          rec((1000 + trigger * 300 + i).toLong,
+          rec((100000 + trigger * 300 + i).toLong,
             Some(s"poison-$trigger-$i"), """{"ok":1}""")) :+
           rec((900 + trigger).toLong, Some("legit-1"), """{"ok":1}"""): _*)
         running.recordQuery.processAllAvailable()
@@ -173,6 +181,65 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       // and the snapshot holds only resolved control-plane entries, not the
       // fabricated flood
       running.snapshot.knownIds.filter(_.startsWith("poison-")) shouldBe empty
+    } finally {
+      running.recordQuery.stop(); running.notificationQuery.stop()
+    }
+  }
+
+  test("the anti-join pushdown branch behaves exactly like the InSet branch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vanti").toString
+    val store = new NotificationSnapshot(s, Some(dir))
+    // pre-resolved control plane: these ids must never reach the lookup
+    (0 until 5).foreach(i => store.put(s"known-$i", Row(
+      s"known-$i", "n", "ingest.t1.claims.in", "claims", Status.Started,
+      null, null, 10L, -1L, -1L, -1L, null, null)))
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lookup = new graft.http.BatchLookup {
+      def getBatchId(t: String, b: String) = {
+        calls.incrementAndGet()
+        new MapBatchLookup(Map.empty).getBatchId(t, b)
+      }
+    }
+    org.apache.spark.sql.catalyst.encoders.OuterScopes.addOuterScope(this)
+    val records = Seq("known-0", "known-3", "miss-1", "miss-2")
+      .zipWithIndex.map { case (b, i) => rec(i.toLong, Some(b), "{}") }
+      .toDF()
+    // inSetMax = 0 forces the broadcast anti-join branch with a small store
+    ValidationStream.resolveMisses(records, store, lookup,
+      new Retry(initialBackoffMs = 1, giveUpAfterMs = 20), inSetMax = 0)
+    calls.get() shouldBe 2 // the two misses; known ids pruned distributed
+  }
+
+  test("a restart backlog of >64 legitimate new batches resolves fully in one trigger") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val records = MemoryStream[Rec]
+    val notifications = MemoryStream[String]
+    val sinks = new CollectingSinks
+    val dir = java.nio.file.Files.createTempDirectory("vburst").toString
+    // 100 legitimate batches, all resolvable remotely — the
+    // replay-the-backlog-as-one-micro-batch shape after downtime. A
+    // single-chunk cap mis-routed every batch past the 64th to the invalid
+    // sink permanently (offsets commit); the chunk loop must drain them all
+    val n = 100
+    val backing = new MapBatchLookup((0 until n).map(i =>
+      s"burst-$i" -> BatchNotification(s"burst-$i", "n", "ingest.t1.claims.in",
+        "claims", Status.Started, null, null, 10, -1, -1, -1, null, null)).toMap)
+    val running = graft.jobs.ValidationJob.start(
+      s, records.toDF(), notifications.toDF(), new JsonValidator, sinks, dir,
+      lookup = Some(backing),
+      lookupRetry = new Retry(initialBackoffMs = 1, giveUpAfterMs = 50))
+    try {
+      records.addData((0 until n).map(i =>
+        rec(i.toLong, Some(s"burst-$i"), """{"ok":1}""")): _*)
+      running.recordQuery.processAllAvailable()
+      sinks.invalidRows shouldBe empty
+      sinks.validRows should have size n
+      (0 until n).foreach(i =>
+        running.snapshot.get(s"burst-$i") should not be empty)
     } finally {
       running.recordQuery.stop(); running.notificationQuery.stop()
     }
