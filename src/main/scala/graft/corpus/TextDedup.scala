@@ -557,13 +557,15 @@ object TextDedup {
     * previous explode → 32-conditional-sums → groupBy shape paid a one-row-PER-TOKEN
     * shuffle for nothing. ZERO shuffles now. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.Simhash32(tokens(col("text"))).as("simhash"))
-      // NULL text has no tokens and no fingerprint (winnowFingerprint's
-      // convention); an unfiltered NULL-simhash row would also be invisible
-      // to x5's chunk-equality blocking — dropping it keeps x4 and x5
-      // consistent with each other and with the oracle's no-tokens-no-row
-      .filter(col("simhash").isNotNull)
+    // NULL text has no tokens and no fingerprint (winnowFingerprint's
+    // convention); the condition is filtered on the INPUT (Simhash32 is
+    // NULL iff its token array is, i.e. iff text is NULL) — a result-side
+    // `simhash.isNotNull` filter would push the whole md5-per-token
+    // expression below any upstream exchange and re-evaluate it in the
+    // scan-side stage (winnowFingerprint's measured 5× lesson)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Simhash32(tokens(col("text"))).as("simhash"))
 
   /** Span width (tokens) for [[crossDocSpans]]'s driver query — shared with
     * the x37 oracle generator so the two cannot drift. Wider than the 3-gram
