@@ -83,7 +83,6 @@ object ScalingIncr {
     def inc(table: String): DataFrame =
       spark.read.parquet(s"$workDir/inc/$table.parquet")
 
-    def runOnce(plan: () => DataFrame): Double = Scaling.runOnce(plan)
 
     val cells = scales.flatMap { m =>
       val dir = s"$workDir/x$m"
@@ -130,7 +129,7 @@ object ScalingIncr {
 
       val rows = ops.map { case (name, fn) =>
         val nRows = fn().count() // untimed warm + workload-constancy evidence
-        val times = (1 to iters).map(_ => runOnce(fn))
+        val times = (1 to iters).map(_ => Scaling.runOnce(fn))
         System.err.println(f"scale=$m%2d $name%-12s rows=$nRows%9d " +
           f"min=${times.min}%7.2fs all=${times.map(t => f"$t%.2f").mkString(",")}")
         (m, name, nRows, times)

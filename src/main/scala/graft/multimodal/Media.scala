@@ -119,9 +119,12 @@ object Media {
     import spark.implicits._
     // a NULL blob (NULL source text) is an undecodable asset: no features
     // row, rather than an NPE inside the codec kernel — the m2 oracle
-    // mirrors with WHERE text IS NOT NULL
-    assets(docs).select(col("doc_id"), col("blob"))
-      .filter(col("blob").isNotNull)
+    // mirrors with WHERE text IS NOT NULL. Filtered on the INPUT (blob is
+    // NULL iff text is — encode is null-intolerant): a blob-side filter
+    // would push the encode expression scan-side and re-evaluate it (the
+    // winnowFingerprint lesson)
+    assets(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

@@ -266,18 +266,31 @@ object ValidationStream {
           base.join(broadcast(known.toSeq.toDF("batch_id")),
             Seq("batch_id"), "left_anti")
         }
-      val ids = unknownOnly
+      val raw = unknownOnly
         .distinct()
         .orderBy(xxhash64(col("batch_id"), lit(epochId)))
         .limit(MaxMissLookupsPerTrigger)
         .collect()
-        .filter(r => store.get(r.getString(0)).isEmpty &&
-          !attempted(r.getString(0)))
-      if (ids.isEmpty) drained = true
-      else {
-        chunk += 1
-        ids.foreach { r =>
-          val (batchId, topic) = (r.getString(0), r.getString(1))
+      // drained is decided from the PRE-filter count: a chunk returning
+      // fewer rows than the cap is provably exhaustive. Deciding from the
+      // post-filter survivors was WRONG twice over — the concurrent
+      // notification query mutates the snapshot between the knownIds read
+      // and this collect, so a chunk whose ids all just resolved would
+      // empty the post-filter set and abandon every remaining miss; and
+      // the steady-state 1-chunk path paid a second full distributed probe
+      // job just to observe emptiness the count already proves
+      if (raw.length < MaxMissLookupsPerTrigger) drained = true
+      // `chunk` counts loop iterations (each is one distributed collect +
+      // ≤ cap lookups), so the trigger budget bounds BOTH costs even when
+      // a chunk's survivors were concurrently resolved to nothing
+      chunk += 1
+      raw.foreach { r =>
+        val (batchId, topic) = (r.getString(0), r.getString(1))
+        // the same id can arrive under TWO topics in one micro-batch
+        // (distinct is over the pair; the hash salt keys the id, so both
+        // land in one chunk) — the guard keeps the exactly-once-per-id
+        // contract the specs pin
+        if (store.get(batchId).isEmpty && !attempted(batchId)) {
           attempted += batchId
           val tenant = scala.util.Try(Topics.tenantId(topic)).getOrElse("unknown")
           try {

@@ -212,6 +212,30 @@ class ValidationStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     calls.get() shouldBe 2 // the two misses; known ids pruned distributed
   }
 
+  test("one batch id under two topics in one micro-batch is looked up exactly once") {
+    val s = spark
+    import s.implicits._
+    org.apache.spark.sql.catalyst.encoders.OuterScopes.addOuterScope(this)
+    val dir = java.nio.file.Files.createTempDirectory("vtwotopic").toString
+    val store = new NotificationSnapshot(s, Some(dir))
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lookup = new graft.http.BatchLookup {
+      def getBatchId(t: String, b: String) = {
+        calls.incrementAndGet()
+        new MapBatchLookup(Map.empty).getBatchId(t, b)
+      }
+    }
+    // distinct() keeps BOTH (id, topic) pairs and the hash salt keys only
+    // the id, so the pairs land in the same chunk — the foreach guard is
+    // what keeps the lookup exactly-once
+    val records = Seq(
+      rec(0L, Some("dup-1"), "{}", topic = "ingest.t1.claims.in"),
+      rec(1L, Some("dup-1"), "{}", topic = "ingest.t2.claims.in")).toDF()
+    ValidationStream.resolveMisses(records, store, lookup,
+      new Retry(initialBackoffMs = 1, giveUpAfterMs = 20))
+    calls.get() shouldBe 1
+  }
+
   test("a restart backlog of >64 legitimate new batches resolves fully in one trigger") {
     val s = spark
     import s.implicits._
