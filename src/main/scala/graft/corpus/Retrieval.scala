@@ -266,17 +266,23 @@ object Retrieval {
     *
     * Exactness: per-term contributions are the SAME 6-dp-rounded doubles
     * as the batch path (idf precomputed on the driver with the identical
-    * `ln`; tf/dl evaluated per row), summed as a DECIMAL add chain — so
+    * `ln`; tf/dl evaluated per row), summed as exact DECIMAL adds — so
     * the gate's scores are bit-equal to [[bm25TopKAgainst]]'s for the same
     * documents (spec-pinned), and a gate decision can be audited against a
-    * batch re-run. Per-row cost is Σ_q |q terms| array scans of the token
-    * list — the model is sheet-bounded, so this is a constant per
-    * document at any corpus scale. */
+    * batch re-run. The whole kernel — one-pass sheet tf count, per-query
+    * score, best-query argmax — is fused into a single codegen'd
+    * expression ([[graft.functions.Bm25GateScore]]): per-row cost is ONE
+    * O(|tokens|) counting pass plus Σ_q |q terms| scalar ops, and the
+    * fusion is what keeps the keep-filter's predicate pushdown harmless
+    * (Catalyst substitutes the scoring expression into the pushed
+    * predicate; a declarative per-term tree re-scanned the tokens
+    * hundreds of times there — see the expression's scaladoc). The model
+    * is sheet-bounded, so this is a constant per document at any corpus
+    * scale. */
   def bm25IngestGate(docs: DataFrame, model: Bm25Model,
       passthrough: String*): DataFrame = {
     if (model.queries.isEmpty)
-      // array() of zero candidate structs has no element type to resolve —
-      // and an empty sheet legitimately gates everything out. filter(false),
+      // an empty sheet legitimately gates everything out. filter(false),
       // not limit(0): Limit is unsupported on streaming frames and this
       // gate's contract is to compose onto them
       return docs.filter(lit(false)).select(
@@ -284,43 +290,18 @@ object Retrieval {
           lit(0L).as("query_id") :+ lit(0.0).as("score") :+
           lit(0L).as("n_terms"): _*)
     val toks = split(col("text"), " ")
-    val dl = size(toks)
-    def tfOf(w: String): Column = size(filter(toks, t => t === lit(w)))
-    val zero = lit(0).cast("decimal(14,6)")
-    val cands = model.queries.map { case (qid, terms) =>
-      val contribs = terms.map { case (w, df) =>
-        // StrictMath, not Math: catalyst's Log compiles to StrictMath.log,
-        // and Math.log differs by 1 ulp on a measurable fraction of inputs —
-        // enough to flip a 6-dp rounding boundary and break the documented
-        // bit-equality with the batch scorer
-        val idf = StrictMath.log((model.n - df + 0.5) / (df + 0.5) + 1.0)
-        val tf = tfOf(w)
-        val norm = (tf * K1Plus1) /
-          (tf + lit(BM25K1) * (lit(OneMinusB) +
-            lit(BM25B) * (dl / lit(model.avgdl))))
-        (when(tf > 0, round(lit(idf) * norm, 6).cast("decimal(14,6)"))
-          .otherwise(zero),
-          when(tf > 0, 1L).otherwise(0L))
-      }
-      // the add chain widens decimal precision per term; pin every
-      // candidate to one type or the array() of structs fails analysis
-      val score = (if (contribs.isEmpty) zero
-        else contribs.map(_._1).reduce(_ + _)).cast("decimal(24,6)")
-      val nTerms =
-        if (contribs.isEmpty) lit(0L) else contribs.map(_._2).reduce(_ + _)
-      // score first, then the NEGATED qid: struct max-comparison yields the
-      // highest score and breaks ties toward the SMALLER query id
-      struct(score.as("s"), lit(-qid).as("nq"), nTerms.as("m"))
-    }
-    val best = array_max(array(cands: _*))
-    // `passthrough` columns ride the SAME single projection — a join back to
-    // the input would be stream-stream (stateful) on a streaming frame
+    val best = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.Bm25GateScore(
+        org.apache.spark.sql.GraftExpressionBridge.expression(toks), model))
+    // `passthrough` columns ride the SAME narrow projection — a join back
+    // to the input would be stream-stream (stateful) on a streaming frame.
+    // NULL-text rows carry a NULL struct; `NULL > 0` is NULL → filtered.
     docs
       .withColumn("__best", best)
-      .filter(col("__best.m") > 0)
+      .filter(col("__best.n_terms") > 0)
       .select(col("doc_id") +: passthrough.map(col) :+
-        (-col("__best.nq")).as("query_id") :+
-        col("__best.s").cast("double").as("score") :+
-        col("__best.m").as("n_terms"): _*)
+        col("__best.query_id").as("query_id") :+
+        col("__best.score").as("score") :+
+        col("__best.n_terms").as("n_terms"): _*)
   }
 }
