@@ -332,6 +332,41 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("ingest gate corners: zero-score tie, NULL text, multi-byte + shared terms") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // (1) zero-score tie-break is pinned to the declarative kernel it fused:
+    // a term in (nearly) every one of 5M docs has idf ≈ 1e-7, so its rounded
+    // 6-dp contribution is 0.000000 — TYING the non-matching query's 0. The
+    // smaller query id wins the tie even with no matched terms (n_terms = 0),
+    // so the doc emits NO row despite matching q5's term.
+    val tieModel = Retrieval.Bm25Model(5000000L, 10.0, Seq(
+      1L -> Seq.empty, 5L -> Seq("x" -> 5000000L)))
+    Retrieval.bm25IngestGate(docs(7L -> "x x x"), tieModel).count() shouldBe 0L
+    // flipped ids: the matching query now holds the smaller id and wins —
+    // the row emits, with the rounded-to-zero score
+    val winModel = Retrieval.Bm25Model(5000000L, 10.0, Seq(
+      1L -> Seq("x" -> 5000000L), 5L -> Seq.empty))
+    val win = Retrieval.bm25IngestGate(docs(7L -> "x x x"), winModel).collect()
+    win.map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("score"),
+      r.getAs[Long]("n_terms"))).toSeq shouldBe Seq((1L, 0.0, 1L))
+    // (2) NULL text → NULL struct → filtered, not an NPE and not a row
+    val nullText = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, null: String)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    Retrieval.bm25IngestGate(nullText, winModel).count() shouldBe 0L
+    // (3) multi-byte terms match through the internal UTF8 representation,
+    // and a term shared by two queries scores in both (higher-idf... same
+    // idf — the doc carries q2's second term too, so q2 wins on score)
+    val utf = Retrieval.Bm25Model(100L, 4.0, Seq(
+      2L -> Seq("héllo" -> 5L, "wörld" -> 5L), 3L -> Seq("héllo" -> 5L)))
+    val got = Retrieval.bm25IngestGate(docs(11L -> "héllo wörld naïve"), utf)
+      .collect()
+    got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_terms")))
+      .toSeq shouldBe Seq((2L, 2L))
+  }
+
   private def vecs(rows: (Long, Seq[Double], Int)*): DataFrame = {
     import spark.implicits._
     rows.map { case (id, v, l) => (id, v.map(_.toFloat).toArray, l) }
