@@ -116,6 +116,10 @@ object SparkEntry {
     "x63_knn_labels" -> (C.x63KnnLabels _),
     "x64_embedding_outliers" -> (C.x64EmbeddingOutliers _),
     "x65_relevance_gate" -> (C.x65RelevanceGate _),
+    "x66_pq_codes" -> (C.x66PqCodes _),
+    "x67_pq_ann" -> (C.x67PqAnn _),
+    "x68_pq_recall" -> (C.x68PqRecall _),
+    "x69_pq_rerank" -> (C.x69PqRerank _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -1,0 +1,303 @@
+package graft.corpus
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the embedding column — the vector plane's
+  * COMPRESSION tier, completing the memory story the ANN tiers
+  * ([[Similarity.annLsh]], [[Similarity.annIvf]]) leave open: at deployment
+  * scale the raw float vectors themselves are the bottleneck (a 100 TB
+  * corpus's 64-dim float32 embeddings are ~256 B/row; the PQ codes are m
+  * small integers — bytes at ksub ≤ 256 — a ~32× compression), and
+  * asymmetric-distance search (ADC) ranks against the CODES, so the
+  * candidate scan never touches a full vector. Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * Three operators:
+  *  - [[pqCodes]] (X66) — encode: per vector, per subspace, the codeword
+  *    minimizing squared L2 distance to the vector's slice.
+  *  - [[adcTopK]] (X67) — search: per query, top-k corpus rows by the ADC
+  *    score Σ_s lut[s][code_s], the PQ approximation of the cosine.
+  *  - [[pqRecall]] (X68) — evaluate: recall@k of the PQ search against the
+  *    exact [[Similarity.cosineTopK]] baseline — the QA gate a deployment
+  *    runs before trusting the compressed index.
+  *
+  * Codebooks are DETERMINISTIC SLICES: codeword c of subspace s is the
+  * s-slice of seed vector c (`vec_id < ksub`, non-degenerate) from the same
+  * normalized base as every other vector op — the x13/x44 seed convention
+  * that keeps the DuckDB oracle in exact lockstep (a k-means-trained
+  * codebook improves reconstruction, not the plan shape; the training loop
+  * is [[Semantic.trainCentroids]]'s, applied per subspace slice).
+  *
+  * Scale design: encoding is ONE narrow stateless codegen'd projection
+  * ([[graft.functions.PqEncode]]) — streaming-safe, no shuffle, composes
+  * onto an arriving micro-batch. Search broadcasts the (bounded) query
+  * sheet's lookup tables and streams the code table through one narrow
+  * pass into a per-query top-k window — the [[Similarity.cosineTopK]]
+  * shape, but the corpus side carries m ints per row instead of the
+  * vector. Nothing is quadratic in the corpus; at deployment the code
+  * table is the persisted artifact (the x3 `dedupIndex` discipline) and
+  * IVF cells ([[Similarity.annIvf]]) bound the scanned fraction.
+  *
+  * Exactness: ADC scores are exact INTEGERS (6-dp micro-units, the x19
+  * round-then-exact-sum trick lifted to integer arithmetic), so ranking
+  * compares longs — no float-comparison drift is possible between engines;
+  * encode argmin uses the expanded `(‖x‖²+‖c‖²)−2⟨x,c⟩` form matching the
+  * oracle's `list_dot_product` algebra bit-for-bit. */
+object Quantization {
+
+  /** Subspace count m (dim 64 → 8 dims per subspace). */
+  val DefaultSubspaces: Int = 8
+
+  /** Codewords per subspace (seed convention: vec_id < ksub). */
+  val DefaultCodewords: Int = 16
+
+  /** Expected embedding dimension; vectors of any other length are
+    * excluded (the [[graft.functions.DotProduct]] mismatch contract —
+    * a truncated slice would encode a plausible wrong code). */
+  val DefaultDim: Int = Similarity.DefaultDim
+
+  /** Query-sheet size and k, mirroring [[Similarity.cosineTopK]]'s
+    * conventions so recall@k compares like for like. */
+  val DefaultQueries: Int = Similarity.DefaultTopKQueries
+  val DefaultTopK: Int = Similarity.DefaultTopK
+
+  private def microOf(d: Double): Long =
+    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  private def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j) * b(j); j += 1 }
+    s
+  }
+
+  /** Normalized, dimension-checked vectors: (vec_id, e). */
+  private def cleanBase(emb: DataFrame, dim: Int): DataFrame =
+    Similarity.normalizedBase(emb)
+      .filter(col("e").isNotNull && size(col("e")) === dim)
+
+  /** Deterministic slice codebooks: m × (≤ ksub) × dsub. Seed c's s-slice
+    * is codeword c of subspace s. Driver-held and sheet-bounded (ksub
+    * vectors), the [[graft.functions.BestMatch]] broadcast discipline. */
+  def sliceCodebooks(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, dim: Int = DefaultDim):
+      Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val seeds = cleanBase(emb, dim)
+      .filter(col("vec_id") < ksub)
+      .orderBy(col("vec_id"))
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty,
+      "sliceCodebooks: no usable seed vectors (vec_id < ksub, non-degenerate)")
+    Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** (vec_id, codes ARRAY<INT>) for every non-degenerate, dimension-matching
+    * vector — one narrow stateless projection, streaming-safe. */
+  def encoded(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+      dim: Int = DefaultDim): DataFrame = {
+    val enc = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
+        codebooks))
+    cleanBase(emb, dim).select(col("vec_id"), enc.as("codes"))
+  }
+
+  /** Lloyd's-trained codebooks from the [[sliceCodebooks]] seed: per round,
+    * ONE narrow pass re-encodes every vector against the current codebooks
+    * (the [[graft.functions.PqEncode]] kernel — no per-subspace job fan-out)
+    * feeding a (subspace, codeword, coordinate)-keyed mean aggregate whose
+    * result is m·ksub·dsub-bounded, so it collects to the driver like
+    * [[Semantic.trainCentroids]]'s control-plane sync. Coordinate means use
+    * the same round-then-exact-DECIMAL-sum trick as the k-means plane
+    * ([[Semantic.MeanRoundDp]]), so training is deterministic under any
+    * partitioning. A codeword that attracts no members keeps its previous
+    * value (codes must stay dense in [0, ksub)). The trained codebooks are
+    * the quality path (higher recall at the same code budget) — the
+    * slice-codebook default is the ORACLE path; both feed the same encode/
+    * search kernels ([[adcTopKWith]]). */
+  def trainedCodebooks(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, rounds: Int = 3,
+      dim: Int = DefaultDim): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    val dp = Semantic.MeanRoundDp
+    var cbs = sliceCodebooks(emb, m, ksub, dim)
+    val base = cleanBase(emb, dim)
+    var r = 0
+    while (r < rounds) {
+      val enc = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
+          cbs))
+      val cells = base
+        .select(col("e"), enc.as("codes"))
+        .filter(col("codes").isNotNull)
+        .select(posexplode(col("e")).as(Seq("j", "x")), col("codes"))
+        .select(floor(col("j") / lit(dsub)).cast("int").as("s"),
+          element_at(col("codes"),
+            floor(col("j") / lit(dsub)).cast("int") + 1).as("c"),
+          (col("j") % lit(dsub)).cast("int").as("jj"), col("x"))
+        .groupBy(col("s"), col("c"), col("jj"))
+        .agg(sum(round(col("x"), dp).cast("decimal(28,12)")).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(row => ((row.getInt(0), row.getInt(1), row.getInt(2)),
+          row.getDecimal(3).doubleValue() / row.getLong(4)))
+        .toMap
+      cbs = Array.tabulate(cbs.length) { s =>
+        Array.tabulate(cbs(s).length) { c =>
+          if (cells.contains((s, c, 0)))
+            Array.tabulate(dsub)(jj =>
+              JBigDecimal.valueOf(cells((s, c, jj)))
+                .setScale(dp, RoundingMode.HALF_UP).doubleValue())
+          else cbs(s)(c)
+        }
+      }
+      r += 1
+    }
+    cbs
+  }
+
+  /** X66 — the encode table flattened for auditing (and the driver's
+    * oracle compare, which needs flat scalars): (vec_id, subspace, code). */
+  def pqCodes(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, dim: Int = DefaultDim): DataFrame =
+    encoded(emb, sliceCodebooks(emb, m, ksub, dim), dim)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .select(col("vec_id"), col("s").cast("long").as("subspace"),
+        col("c").cast("long").as("code"))
+
+  /** X67 — ADC top-k: per query (vec_id < numQueries, non-degenerate), the
+    * k corpus rows with the highest PQ-approximate cosine, self excluded;
+    * ties to the smaller neighbor id. Scores rank as exact micro-integers;
+    * the emitted `score` is micro/1e6 as double. */
+  def adcTopK(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, numQueries: Int = DefaultQueries,
+      k: Int = DefaultTopK, dim: Int = DefaultDim): DataFrame =
+    adcTopKWith(emb, sliceCodebooks(emb, m, ksub, dim), numQueries, k, dim)
+
+  /** [[adcTopK]] against caller-supplied codebooks (e.g.
+    * [[trainedCodebooks]]); same kernels, same exact-integer ranking. */
+  def adcTopKWith(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
+      dim: Int = DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cbs.length
+    val ksubActual = cbs(0).length
+    val dsub = dim / m
+    // bounded query sheet → driver-built LUTs, one flat ARRAY<BIGINT> per
+    // query: lut[s·ksub + c] = 6-dp micro-round of ⟨q_s, codeword_sc⟩
+    val qrows = cleanBase(emb, dim).filter(col("vec_id") < numQueries)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val session = emb.sparkSession
+    import session.implicits._
+    val luts = qrows.toSeq.map { case (qid, q) =>
+      val lut = new Array[Long](m * ksubActual)
+      var s = 0
+      while (s < m) {
+        val qs = q.slice(s * dsub, (s + 1) * dsub)
+        var c = 0
+        while (c < ksubActual) {
+          lut(s * ksubActual + c) = microOf(dotLR(qs, cbs(s)(c)))
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut.toSeq)
+    }.toDF("qid", "lut")
+    val micro = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.AdcScoreMicro(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("lut")),
+        ksubActual))
+    encoded(emb, cbs, dim)
+      .join(broadcast(luts), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        micro.as("micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("micro").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
+        (col("micro").cast("double") / lit(1000000.0)).as("score"))
+  }
+
+  /** Candidate multiplier for the re-rank tier: ADC fetches `RerankDepth·k`
+    * candidates; only those touch full vectors. */
+  val DefaultRerankDepth: Int = 10
+
+  /** X69 — ADC-then-exact-re-rank: the production PQ search shape. The code
+    * table (compressed, RAM-resident at any scale) proposes `depth·k`
+    * candidates per query via [[adcTopKWith]]; ONLY those candidate rows
+    * are joined back to full vectors for an exact-cosine re-rank to the
+    * final top-k. Per query the full-vector work drops from N·dim to
+    * depth·k·dim — the recall knob is `depth`, and its cost is bounded by
+    * the candidate list, not the corpus. The candidate set is
+    * (numQueries·depth·k)-bounded, so the join back BROADCASTS the
+    * candidates and the corpus again streams through one narrow pass.
+    * Output matches [[Similarity.cosineTopK]]'s shape/rounding, so a depth
+    * sweep audits directly against the exact baseline. */
+  def adcRerankTopK(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, numQueries: Int = DefaultQueries,
+      k: Int = DefaultTopK, depth: Int = DefaultRerankDepth,
+      dim: Int = DefaultDim): DataFrame =
+    adcRerankTopKWith(emb, sliceCodebooks(emb, m, ksub, dim), numQueries,
+      k, depth, dim)
+
+  /** [[adcRerankTopK]] against caller-supplied codebooks. */
+  def adcRerankTopKWith(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
+      depth: Int = DefaultRerankDepth, dim: Int = DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = adcTopKWith(emb, cbs, numQueries, k * depth, dim)
+      .select(col("qid"), col("neighbor_id"))
+    val queries = cleanBase(emb, dim).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    cleanBase(emb, dim)
+      .join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** X68 — recall@k of the PQ search against the exact cosine baseline,
+    * per query: |ADC top-k ∩ exact top-k| / k. The universe is the exact
+    * side's queries (a degenerate query emits exact rows by the x6
+    * tiebreak contract but no PQ rows — recall 0, visible, not dropped).
+    * Bounded: both sides are (numQueries × k)-sized. */
+  def pqRecall(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, numQueries: Int = DefaultQueries,
+      k: Int = DefaultTopK, dim: Int = DefaultDim): DataFrame =
+    pqRecallWith(emb, sliceCodebooks(emb, m, ksub, dim), numQueries, k, dim)
+
+  /** [[pqRecall]] against caller-supplied codebooks. */
+  def pqRecallWith(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
+      dim: Int = DefaultDim): DataFrame = {
+    val exact = Similarity.cosineTopK(emb, numQueries, k)
+      .select(col("qid"), col("neighbor_id"))
+    val pq = adcTopKWith(emb, cbs, numQueries, k, dim)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = exact.join(pq, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+}

@@ -1607,8 +1607,136 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
     ORDER BY n_votes DESC, label) AS vr FROM votes)
 WHERE vr = 1"""
+    },
+
+    "x66_pq_codes" -> (pqPrelude +
+      "\nSELECT vec_id, s AS subspace, code FROM enc"),
+
+    "x67_pq_ann" -> (pqPrelude + pqAnnCtes +
+      s"""
+SELECT qid, neighbor_id, rn AS "rank",
+       CAST(micro AS DOUBLE)/1000000.0 AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY micro DESC, neighbor_id) AS rn FROM sc)
+WHERE rn <= ${graft.corpus.Quantization.DefaultTopK}"""),
+
+    "x69_pq_rerank" -> {
+      val k = graft.corpus.Quantization.DefaultTopK
+      val r = k * graft.corpus.Quantization.DefaultRerankDepth
+      val dim = graft.corpus.Quantization.DefaultDim
+      pqPrelude + pqAnnCtes + s""",
+cands AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY micro DESC, neighbor_id) AS rn FROM sc)
+  WHERE rn <= $r),
+-- only the candidate rows touch full vectors (the re-rank contract);
+-- b is enc's population, so cos is never NULL here
+rr AS (
+  SELECT c.qid, c.neighbor_id, list_dot_product(q.qe, b.e) AS cos
+  FROM cands c
+  JOIN (SELECT vec_id, e FROM base
+        WHERE e IS NOT NULL AND len(e) = $dim) b
+    ON c.neighbor_id = b.vec_id
+  JOIN q ON c.qid = q.qid)
+SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, neighbor_id) AS rn FROM rr)
+WHERE rn <= $k"""
+    },
+
+    "x68_pq_recall" -> {
+      val nq = graft.corpus.Quantization.DefaultQueries
+      val k = graft.corpus.Quantization.DefaultTopK
+      pqPrelude + pqAnnCtes + s""",
+prq AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY micro DESC, neighbor_id) AS rn FROM sc)
+  WHERE rn <= $k),
+-- exact-cosine baseline, the x6 contract verbatim: degenerate queries
+-- KEEP their k rows (NULL cosine, neighbor_id tiebreak) so their recall
+-- is a visible 0, not a dropped row
+xq AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < $nq),
+xpr AS (
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
+  FROM base CROSS JOIN xq WHERE vec_id <> qid),
+exact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, neighbor_id) AS rn FROM xpr)
+  WHERE rn <= $k),
+hit AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN prq p
+    ON e.qid = p.qid AND e.neighbor_id = p.neighbor_id
+  GROUP BY 1)
+SELECT u.qid, COALESCE(hits, 0) AS hits,
+       CAST(COALESCE(hits, 0) AS DOUBLE)/$k.0 AS recall
+FROM (SELECT DISTINCT qid FROM exact) u LEFT JOIN hit USING (qid)"""
     }
   )
+
+  /** PQ encode CTE chain (x66/x67/x68): deterministic slice codebooks from
+    * the first-ksub seed convention; argmin squared-L2 per (vector,
+    * subspace) in the expanded `(‖x‖²+‖c‖²)−2⟨x,c⟩` form — the exact
+    * operation sequence of [[graft.functions.PqEncode]], so near-tie argmins
+    * cannot drift. Geometry (m, ksub, dim) interpolated from
+    * [[graft.corpus.Quantization]]'s constants. */
+  private def pqPrelude: String = {
+    val m = graft.corpus.Quantization.DefaultSubspaces
+    val ksub = graft.corpus.Quantization.DefaultCodewords
+    val dim = graft.corpus.Quantization.DefaultDim
+    val dsub = dim / m
+    s"""WITH $embBase,
+seeds AS (
+  SELECT vec_id AS c, e FROM base
+  WHERE vec_id < $ksub AND e IS NOT NULL AND len(e) = $dim),
+subs AS (SELECT unnest(range($m)) AS s),
+cb AS (
+  SELECT s, c, e[(s*$dsub+1):((s+1)*$dsub)] AS ce
+  FROM seeds CROSS JOIN subs),
+vs AS (
+  SELECT vec_id, s, e[(s*$dsub+1):((s+1)*$dsub)] AS ve
+  FROM (SELECT * FROM base WHERE e IS NOT NULL AND len(e) = $dim)
+  CROSS JOIN subs),
+enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT v.vec_id, v.s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+             ORDER BY (list_dot_product(ve, ve) + list_dot_product(ce, ce))
+                      - 2*list_dot_product(ve, ce), cb.c) AS rn
+    FROM vs v JOIN cb ON v.s = cb.s) WHERE rn = 1)"""
+  }
+
+  /** ADC scoring CTEs on top of [[pqPrelude]]: per-query 6-dp micro-unit
+    * LUTs (the x19 round-then-exact-sum trick in integer form), summed per
+    * (query, vector) — `sc(qid, neighbor_id, micro)`. */
+  private def pqAnnCtes: String = {
+    val nq = graft.corpus.Quantization.DefaultQueries
+    val dim = graft.corpus.Quantization.DefaultDim
+    val m = graft.corpus.Quantization.DefaultSubspaces
+    val dsub = dim / m
+    s""",
+q AS (
+  SELECT vec_id AS qid, e AS qe FROM base
+  WHERE vec_id < $nq AND e IS NOT NULL AND len(e) = $dim),
+qs AS (
+  SELECT qid, s, qe[(s*$dsub+1):((s+1)*$dsub)] AS qse
+  FROM q CROSS JOIN subs),
+lut AS (
+  SELECT qid, qs.s, c,
+         CAST(CAST(round(list_dot_product(qse, ce), 6) AS DECIMAL(14,6))
+              * 1000000 AS BIGINT) AS micro
+  FROM qs JOIN cb ON qs.s = cb.s),
+sc AS (
+  SELECT lut.qid, enc.vec_id AS neighbor_id, SUM(micro) AS micro
+  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.c
+  WHERE enc.vec_id <> lut.qid
+  GROUP BY 1, 2)"""
+  }
 
   /** x60/x65 shared CTE chain — Okapi BM25: the query sheet's distinct
     * terms against the corpus postings, Lucene-shape idf, 6-dp-rounded

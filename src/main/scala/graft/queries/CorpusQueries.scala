@@ -396,4 +396,21 @@ object CorpusQueries {
       col("doc_id") < R.QueryMod * R.GateQueryCount)
     R.bm25IngestGate(corpus, R.bm25Model(R.bm25Index(corpus), gateSheet))
   }
+
+  /** x66 — PQ encode: per (vector, subspace), the slice-codebook codeword
+    * minimizing squared L2, flattened to scalars for the compare. */
+  def x66PqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.pqCodes(emb(spark, dir))
+
+  /** x67 — ADC top-5 per query vector over the PQ code table. */
+  def x67PqAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.adcTopK(emb(spark, dir))
+
+  /** x68 — recall@5 of the PQ search against the exact cosine baseline. */
+  def x68PqRecall(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.pqRecall(emb(spark, dir))
+
+  /** x69 — ADC-candidates + exact re-rank: the production PQ search. */
+  def x69PqRerank(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.adcRerankTopK(emb(spark, dir))
 }
