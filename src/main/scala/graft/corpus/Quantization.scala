@@ -79,9 +79,14 @@ object Quantization {
     Similarity.normalizedBase(emb)
       .filter(col("e").isNotNull && size(col("e")) === dim)
 
-  /** Deterministic slice codebooks: m × (≤ ksub) × dsub. Seed c's s-slice
-    * is codeword c of subspace s. Driver-held and sheet-bounded (ksub
-    * vectors), the [[graft.functions.BestMatch]] broadcast discipline. */
+  /** Deterministic slice codebooks: m × (≤ ksub) × dsub. Codeword c of
+    * subspace s is the s-slice of the c-th SURVIVING seed in vec_id order
+    * (a degenerate seed inside [0, ksub) compacts the indices after it —
+    * the codebook array must stay dense for [[graft.functions.PqEncode]]'s
+    * code→index and the ADC LUT layout; the oracle mirrors the compaction
+    * with a ROW_NUMBER over surviving seeds). Driver-held and bounded
+    * (≤ ksub vectors), the [[graft.functions.BestMatch]] broadcast
+    * discipline. */
   def sliceCodebooks(emb: DataFrame, m: Int = DefaultSubspaces,
       ksub: Int = DefaultCodewords, dim: Int = DefaultDim):
       Array[Array[Array[Double]]] = {
@@ -97,15 +102,24 @@ object Quantization {
     Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
-  /** (vec_id, codes ARRAY<INT>) for every non-degenerate, dimension-matching
-    * vector — one narrow stateless projection, streaming-safe. */
+  /** (vec_id, [passthrough...,] codes ARRAY<INT>) for every non-degenerate,
+    * dimension-matching vector — one narrow stateless projection,
+    * streaming-safe ([[graft.streaming.StreamOps.encodeEmbeddings]] routes
+    * arriving vectors through it unchanged); `passthrough` columns ride the
+    * same projection. */
   def encoded(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
-      dim: Int = DefaultDim): DataFrame = {
+      dim: Int = DefaultDim): DataFrame = encoded(emb, codebooks, dim, Nil)
+
+  /** [[encoded]] with passthrough columns riding the projection. */
+  def encoded(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+      dim: Int, passthrough: Seq[String]): DataFrame = {
     val enc = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
         codebooks))
-    cleanBase(emb, dim).select(col("vec_id"), enc.as("codes"))
+    Similarity.normalizedBase(emb, passthrough: _*)
+      .filter(col("e").isNotNull && size(col("e")) === dim)
+      .select(col("vec_id") +: passthrough.map(col) :+ enc.as("codes"): _*)
   }
 
   /** Lloyd's-trained codebooks from the [[sliceCodebooks]] seed: per round,

@@ -1692,7 +1692,10 @@ FROM (SELECT DISTINCT qid FROM exact) u LEFT JOIN hit USING (qid)"""
     val dsub = dim / m
     s"""WITH $embBase,
 seeds AS (
-  SELECT vec_id AS c, e FROM base
+  -- codeword index = POSITION among surviving seeds (vec_id order), not
+  -- the seed's vec_id: the engine's codebook array is dense, so a
+  -- degenerate seed inside [0, ksub) compacts the indices after it
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, e FROM base
   WHERE vec_id < $ksub AND e IS NOT NULL AND len(e) = $dim),
 subs AS (SELECT unnest(range($m)) AS s),
 cb AS (

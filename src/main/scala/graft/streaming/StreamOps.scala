@@ -142,4 +142,20 @@ object StreamOps {
       model: graft.corpus.Retrieval.Bm25Model,
       passthrough: String*): DataFrame =
     graft.corpus.Retrieval.bm25IngestGate(docs, model, passthrough: _*)
+
+  /** Streaming PQ encoding against frozen codebooks — compress each
+    * arriving embedding to its code vector at ingest, the index-maintenance
+    * half of the x66 compression plane: the batch build encodes the corpus
+    * snapshot; THIS keeps the code table current as vectors arrive, without
+    * re-reading the corpus. One stateless narrow codegen'd projection
+    * ([[graft.functions.PqEncode]] — codes batch-equal by construction,
+    * spec-pinned), so NO watermark, NO state, any output mode. Degenerate
+    * or wrong-dimension vectors DROP (the NULL-codes contract — they can
+    * never be ADC candidates). `passthrough` columns (timestamps, labels,
+    * payload pointers) ride the same projection. */
+  def encodeEmbeddings(vecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      dim: Int = graft.corpus.Quantization.DefaultDim,
+      passthrough: Seq[String] = Nil): DataFrame =
+    graft.corpus.Quantization.encoded(vecs, codebooks, dim, passthrough)
 }

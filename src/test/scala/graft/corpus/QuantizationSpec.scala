@@ -77,6 +77,19 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec with Matchers {
       Array(0L, 1L, 4L)
   }
 
+  test("a degenerate seed inside the window compacts codeword indices") {
+    // vec_id 1 is zero-norm → seeds are vecs 0 and 2; codeword 1 must be
+    // vec 2's slice (dense index), not a hole at index 1 keyed by vec_id
+    val d = vecs(0L -> Seq(1.0, 0, 0, 0), 1L -> Seq(0.0, 0, 0, 0),
+      2L -> Seq(0.0, 1, 1, 0), 7L -> Seq(0.0, 1, 1, 0))
+    val cbs = Quantization.sliceCodebooks(d, 2, 3, 4)
+    cbs(0).length shouldBe 2
+    cbs(0)(1) shouldBe norm(Seq(0.0, 1, 1, 0)).slice(0, 2)
+    Quantization.encoded(d, cbs, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+      .apply(7L) shouldBe Seq(1, 1)
+  }
+
   test("ADC scores are the exact micro-sum of per-subspace LUT entries") {
     val dim = 8; val m = 4; val ksub = 4; val nq = 3; val k = 4
     val rows = randomFixture(16, dim)
@@ -196,7 +209,8 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("recall universe keeps degenerate queries visible at recall 0") {
     // query 1 is a zero vector: the exact baseline still emits its k rows
     // (neighbor_id tiebreak), PQ emits none → hits 0, recall 0.0, row KEPT
-    val rows = (2L until 20L).map(i => i -> Seq.fill(8)(rnd.nextGaussian() + i * 0.1))
+    val r = rnd
+    val rows = (2L until 20L).map(i => i -> Seq.fill(8)(r.nextGaussian() + i * 0.1))
     val d = vecs((Seq(0L -> Seq.fill(8)(1.0), 1L -> Seq.fill(8)(0.0)) ++ rows): _*)
     val rec = Quantization.pqRecall(d, m = 2, ksub = 4, numQueries = 2,
       k = 3, dim = 8).collect()
