@@ -212,6 +212,16 @@ object Scaling {
       ("embeddings", "x63_knn_labels",
         (d, n) => Similarity.knnLabelTransfer(rd(d, "embeddings"),
           holdoutMod = Similarity.KnnHoldoutMod * (n / embBaseN))),
+      // x66: pure narrow encode — the cell pins the per-row constant (the
+      // rotation replicas re-slice into different subspaces, so codebooks
+      // stay honest work, not a cache hit)
+      ("embeddings", "x66_pq_codes",
+        (d, _) => graft.corpus.Quantization.pqCodes(rd(d, "embeddings"))),
+      // x69: the production PQ search — fixed query sheet against a growing
+      // code table; candidate count (depth·k per query) is CONSTANT in the
+      // corpus, so only the ADC scan grows
+      ("embeddings", "x69_pq_rerank",
+        (d, _) => graft.corpus.Quantization.adcRerankTopK(rd(d, "embeddings"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
@@ -223,7 +233,13 @@ object Scaling {
     val baseCounts: Map[String, Long] =
       relBaseCounts.toMap ++ Map("documents" -> baseN, "embeddings" -> embBaseN)
 
-    val cells = for (m <- scales; (table, name, fn) <- ops) yield {
+    // optional comma-separated op allowlist for targeted ladder extensions —
+    // re-measuring the whole ladder to add one cell wastes an hour of
+    // wall-clock and perturbs nothing it re-measures
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val cells = for (m <- scales; (table, name, fn) <- ops
+        if only.forall(_.contains(name))) yield {
       val dir = s"$workDir/x$m"
       val n = m * baseCounts(table)
       val bound = () => fn(dir, n)
