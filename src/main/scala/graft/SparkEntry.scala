@@ -120,6 +120,7 @@ object SparkEntry {
     "x67_pq_ann" -> (C.x67PqAnn _),
     "x68_pq_recall" -> (C.x68PqRecall _),
     "x69_pq_rerank" -> (C.x69PqRerank _),
+    "x70_ivf_pq" -> (C.x70IvfPq _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -74,6 +74,26 @@ object Quantization {
     s
   }
 
+  /** Flat ADC lookup table for one query: lut[s·ksub + c] = 6-dp micro-round
+    * of ⟨q_s, codeword_sc⟩. */
+  private def lutFor(q: Array[Double], cbs: Array[Array[Array[Double]]],
+      dsub: Int): Array[Long] = {
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val lut = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      val qs = q.slice(s * dsub, (s + 1) * dsub)
+      var c = 0
+      while (c < ksub) {
+        lut(s * ksub + c) = microOf(dotLR(qs, cbs(s)(c)))
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
   /** Normalized, dimension-checked vectors: (vec_id, e). */
   private def cleanBase(emb: DataFrame, dim: Int): DataFrame =
     Similarity.normalizedBase(emb)
@@ -212,20 +232,9 @@ object Quantization {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val session = emb.sparkSession
     import session.implicits._
-    val luts = qrows.toSeq.map { case (qid, q) =>
-      val lut = new Array[Long](m * ksubActual)
-      var s = 0
-      while (s < m) {
-        val qs = q.slice(s * dsub, (s + 1) * dsub)
-        var c = 0
-        while (c < ksubActual) {
-          lut(s * ksubActual + c) = microOf(dotLR(qs, cbs(s)(c)))
-          c += 1
-        }
-        s += 1
-      }
-      (qid, lut.toSeq)
-    }.toDF("qid", "lut")
+    val luts = qrows.toSeq
+      .map { case (qid, q) => (qid, lutFor(q, cbs, dsub).toSeq) }
+      .toDF("qid", "lut")
     val micro = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.AdcScoreMicro(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("codes")),
@@ -246,6 +255,81 @@ object Quantization {
   /** Candidate multiplier for the re-rank tier: ADC fetches `RerankDepth·k`
     * candidates; only those touch full vectors. */
   val DefaultRerankDepth: Int = 10
+
+  /** X70 — IVF-PQ: the composed architecture a deployment actually runs
+    * (FAISS's IVFADC, Jégou et al. §V): a coarse quantizer splits the
+    * corpus into cells ([[Similarity.annIvf]]'s convention — first
+    * `numCentroids` non-degenerate vectors, assignment = max-cosine, ties
+    * to the lowest cid) and each query ADC-scans ONLY its `nprobe` closest
+    * cells' code lists. The two bounds compose: IVF bounds the fraction of
+    * rows scanned (~nprobe/K), PQ bounds the bytes per row scanned (m
+    * codes, no vectors) — at 100 TB this is the difference between a
+    * full-corpus pass per query sheet and a cell-local code scan.
+    *
+    * One narrow corpus pass computes BOTH the cell id
+    * ([[graft.functions.BestMatch]]) and the codes
+    * ([[graft.functions.PqEncode]]); the search join is cid-EQUALITY
+    * against the broadcast (query, probe-cell, LUT) table — the corpus
+    * never shuffles and never cross-joins. Scores/ranking are x67's exact
+    * micro-integers; per-query results may be fewer than k rows when the
+    * probed cells hold fewer candidates (the x13 contract). */
+  def ivfAdcTopK(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords,
+      numCentroids: Int = Similarity.DefaultIvfCentroids,
+      nprobe: Int = Similarity.DefaultIvfNprobe,
+      numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
+      dim: Int = DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = sliceCodebooks(emb, m, ksub, dim)
+    val ksubActual = cbs(0).length
+    val dsub = dim / m
+    val base = cleanBase(emb, dim)
+    val centRows = base.filter(col("vec_id") < numCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centRows.nonEmpty,
+      "ivfAdcTopK: no usable centroid seeds (vec_id < numCentroids, non-degenerate)")
+    val enc = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
+        cbs))
+    // ONE narrow pass: cell id + codes (the persisted IVF-PQ index shape)
+    val table = base
+      .withColumn("__bm", graft.functions.VectorOps.bestMatch(col("e"),
+        centRows.map { case (id, v) => (id, v.toSeq) }.toSeq))
+      .select(col("vec_id"),
+        (-col("__bm").getField("nid")).as("cid"), enc.as("codes"))
+    // driver side: per query, its nprobe closest cells (dot desc, cid asc —
+    // the same fold and tiebreak as the oracle's probe ranking) + its LUT
+    val qrows = base.filter(col("vec_id") < numQueries)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val session = emb.sparkSession
+    import session.implicits._
+    val probeLuts = qrows.toSeq.flatMap { case (qid, q) =>
+      val lut = lutFor(q, cbs, dsub).toSeq
+      centRows.map { case (cid, ce) => (dotLR(q, ce), cid) }
+        .sortBy { case (d, cid) => (-d, cid) }
+        .take(nprobe)
+        .map { case (_, cid) => (qid, cid, lut) }
+    }.toDF("qid", "cid", "lut")
+    val micro = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.AdcScoreMicro(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("lut")),
+        ksubActual))
+    table.join(broadcast(probeLuts), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), micro.as("micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("micro").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
+        (col("micro").cast("double") / lit(1000000.0)).as("score"))
+  }
 
   /** X69 — ADC-then-exact-re-rank: the production PQ search shape. The code
     * table (compressed, RAM-resident at any scale) proposes `depth·k`

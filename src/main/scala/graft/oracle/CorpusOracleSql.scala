@@ -1645,6 +1645,46 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
 WHERE rn <= $k"""
     },
 
+    "x70_ivf_pq" -> {
+      val k = graft.corpus.Quantization.DefaultTopK
+      val cN = graft.corpus.Similarity.DefaultIvfCentroids
+      val nprobe = graft.corpus.Similarity.DefaultIvfNprobe
+      val dim = graft.corpus.Quantization.DefaultDim
+      pqPrelude + pqLutCtes + s""",
+cent AS (
+  SELECT vec_id AS cid, e AS ce2 FROM base
+  WHERE vec_id < $cN AND e IS NOT NULL AND len(e) = $dim),
+-- corpus cell assignment: max cosine, ties to the lowest cid (the x13
+-- BestMatch contract)
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce2) DESC, c.cid) AS rn
+    FROM (SELECT * FROM base WHERE e IS NOT NULL AND len(e) = $dim) b
+    CROSS JOIN cent c) WHERE rn = 1),
+-- per query, its nprobe closest cells (same fold, same tiebreak)
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qe, c.ce2) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= $nprobe),
+scx AS (
+  SELECT probes.qid, enc.vec_id AS neighbor_id, SUM(micro) AS micro
+  FROM enc
+  JOIN asg ON enc.vec_id = asg.vec_id
+  JOIN probes ON asg.cid = probes.cid
+  JOIN lut ON enc.s = lut.s AND enc.code = lut.c AND lut.qid = probes.qid
+  WHERE enc.vec_id <> probes.qid
+  GROUP BY 1, 2)
+SELECT qid, neighbor_id, rn AS "rank",
+       CAST(micro AS DOUBLE)/1000000.0 AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY micro DESC, neighbor_id) AS rn FROM scx)
+WHERE rn <= $k"""
+    },
+
     "x68_pq_recall" -> {
       val nq = graft.corpus.Quantization.DefaultQueries
       val k = graft.corpus.Quantization.DefaultTopK
@@ -1714,10 +1754,10 @@ enc AS (
     FROM vs v JOIN cb ON v.s = cb.s) WHERE rn = 1)"""
   }
 
-  /** ADC scoring CTEs on top of [[pqPrelude]]: per-query 6-dp micro-unit
-    * LUTs (the x19 round-then-exact-sum trick in integer form), summed per
-    * (query, vector) — `sc(qid, neighbor_id, micro)`. */
-  private def pqAnnCtes: String = {
+  /** Per-query ADC lookup-table CTEs on top of [[pqPrelude]]: 6-dp
+    * micro-unit LUTs (the x19 round-then-exact-sum trick in integer form) —
+    * `q(qid, qe)`, `lut(qid, s, c, micro)`. */
+  private def pqLutCtes: String = {
     val nq = graft.corpus.Quantization.DefaultQueries
     val dim = graft.corpus.Quantization.DefaultDim
     val m = graft.corpus.Quantization.DefaultSubspaces
@@ -1733,13 +1773,17 @@ lut AS (
   SELECT qid, qs.s, c,
          CAST(CAST(round(list_dot_product(qse, ce), 6) AS DECIMAL(14,6))
               * 1000000 AS BIGINT) AS micro
-  FROM qs JOIN cb ON qs.s = cb.s),
+  FROM qs JOIN cb ON qs.s = cb.s)"""
+  }
+
+  /** [[pqLutCtes]] plus the UNRESTRICTED per-(query, vector) micro-score
+    * sum — `sc(qid, neighbor_id, micro)` (x67/x68/x69's candidate set). */
+  private def pqAnnCtes: String = pqLutCtes + s""",
 sc AS (
   SELECT lut.qid, enc.vec_id AS neighbor_id, SUM(micro) AS micro
   FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.c
   WHERE enc.vec_id <> lut.qid
   GROUP BY 1, 2)"""
-  }
 
   /** x60/x65 shared CTE chain — Okapi BM25: the query sheet's distinct
     * terms against the corpus postings, Lucene-shape idf, 6-dp-rounded

@@ -413,4 +413,8 @@ object CorpusQueries {
   /** x69 — ADC-candidates + exact re-rank: the production PQ search. */
   def x69PqRerank(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Quantization.adcRerankTopK(emb(spark, dir))
+
+  /** x70 — IVF-PQ: nprobe-cell-restricted ADC search (FAISS's IVFADC). */
+  def x70IvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.ivfAdcTopK(emb(spark, dir))
 }

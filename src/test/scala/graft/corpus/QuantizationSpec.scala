@@ -206,6 +206,39 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("IVF-PQ with full probe coverage equals the unrestricted ADC search") {
+    val d = vecs(randomFixture(40, 8): _*)
+    val ivf = Quantization.ivfAdcTopK(d, m = 2, ksub = 4, numCentroids = 6,
+      nprobe = 6, numQueries = 3, k = 4, dim = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    val full = Quantization.adcTopK(d, m = 2, ksub = 4, numQueries = 3,
+      k = 4, dim = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    ivf should not be empty
+    ivf shouldBe full
+  }
+
+  test("IVF-PQ restricts candidates to probed cells but never changes a score") {
+    val d = vecs(randomFixture(40, 8): _*)
+    val allScores = Quantization.adcTopK(d, m = 2, ksub = 4, numQueries = 3,
+      k = Int.MaxValue, dim = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    val ivf = Quantization.ivfAdcTopK(d, m = 2, ksub = 4, numCentroids = 6,
+      nprobe = 1, numQueries = 3, k = 4, dim = 8).collect()
+    ivf should not be empty
+    // a candidate from a probed cell scores exactly what the full search
+    // scored it; the restriction changes WHICH pairs exist, never a value
+    ivf.foreach { r =>
+      r.getAs[Double]("score") shouldBe
+        allScores((r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id")))
+    }
+    // nprobe=1 scans one cell — candidate sets can only shrink
+    ivf.groupBy(_.getAs[Long]("qid")).values.foreach(_.length should be <= 4)
+  }
+
   test("recall universe keeps degenerate queries visible at recall 0") {
     // query 1 is a zero vector: the exact baseline still emits its k rows
     // (neighbor_id tiebreak), PQ emits none → hits 0, recall 0.0, row KEPT
