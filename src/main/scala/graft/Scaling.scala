@@ -222,6 +222,10 @@ object Scaling {
       // corpus, so only the ADC scan grows
       ("embeddings", "x69_pq_rerank",
         (d, _) => graft.corpus.Quantization.adcRerankTopK(rd(d, "embeddings"))),
+      // x70: fixed query sheet, fixed probe budget — the cell-local code
+      // scan is the only term that grows
+      ("embeddings", "x70_ivf_pq",
+        (d, _) => graft.corpus.Quantization.ivfAdcTopK(rd(d, "embeddings"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
