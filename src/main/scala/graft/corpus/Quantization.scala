@@ -279,48 +279,112 @@ object Quantization {
       nprobe: Int = Similarity.DefaultIvfNprobe,
       numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
       dim: Int = DefaultDim): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cbs = sliceCodebooks(emb, m, ksub, dim)
-    val ksubActual = cbs(0).length
-    val dsub = dim / m
-    val base = cleanBase(emb, dim)
-    val centRows = base.filter(col("vec_id") < numCentroids)
+    val cents = centroidSeeds(emb, numCentroids, dim)
+    val qrows = cleanBase(emb, dim).filter(col("vec_id") < numQueries)
       .orderBy(col("vec_id"))
       .select(col("vec_id"), col("e")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(centRows.nonEmpty,
-      "ivfAdcTopK: no usable centroid seeds (vec_id < numCentroids, non-degenerate)")
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    searchIvfPq(ivfPqIndex(emb, cbs, cents, dim), qrows, cbs, cents,
+      nprobe, k, dim)
+  }
+
+  /** Centroid seeds for the coarse quantizer: the first `numCentroids`
+    * non-degenerate vectors, vec_id-keyed ([[Similarity.annIvf]]'s
+    * convention — production passes k-means-trained centroids instead,
+    * same shape). */
+  def centroidSeeds(emb: DataFrame,
+      numCentroids: Int = Similarity.DefaultIvfCentroids,
+      dim: Int = DefaultDim): Seq[(Long, Seq[Double])] = {
+    val cents = cleanBase(emb, dim).filter(col("vec_id") < numCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty,
+      "centroidSeeds: no usable seeds (vec_id < numCentroids, non-degenerate)")
+    cents
+  }
+
+  /** The IVF-PQ index table, (vec_id, cid, codes): ONE narrow pass computes
+    * the cell id ([[graft.functions.BestMatch]]) and the PQ codes
+    * ([[graft.functions.PqEncode]]) — stateless and streaming-safe
+    * ([[graft.streaming.StreamOps.indexEmbeddings]] runs it per
+    * micro-batch to keep a persisted index current). */
+  def ivfPqIndex(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      centroids: Seq[(Long, Seq[Double])], dim: Int = DefaultDim): DataFrame = {
+    require(centroids.nonEmpty, "ivfPqIndex: empty centroid table")
     val enc = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
         cbs))
-    // ONE narrow pass: cell id + codes (the persisted IVF-PQ index shape)
-    val table = base
+    cleanBase(emb, dim)
       .withColumn("__bm", graft.functions.VectorOps.bestMatch(col("e"),
-        centRows.map { case (id, v) => (id, v.toSeq) }.toSeq))
+        centroids))
       .select(col("vec_id"),
         (-col("__bm").getField("nid")).as("cid"), enc.as("codes"))
-    // driver side: per query, its nprobe closest cells (dot desc, cid asc —
-    // the same fold and tiebreak as the oracle's probe ranking) + its LUT
-    val qrows = base.filter(col("vec_id") < numQueries)
+  }
+
+  /** Persist [[ivfPqIndex]] PARTITIONED on the cell id — the physical
+    * contract that makes [[ivfAdcTopKAgainst]] read ONLY the probed cells'
+    * files (static partition pruning on `cid`, spec-pinned): at deployment
+    * scale a query sheet's search touches ~nprobe/K of the index bytes,
+    * and those bytes are codes, not vectors. The persisted-index member of
+    * the x3 `dedupIndex` / x54 `vocabulary` / BM25-index family. */
+  def writeIvfPqIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search a (typically persisted, cid-partitioned) [[ivfPqIndex]] with a
+    * query sheet — the production shape: the corpus is never re-read, the
+    * index scan statically prunes to the union of probed cells, and the
+    * search join stays cid-equality against the broadcast probe/LUT table.
+    * Scored against the same corpus the index was built from, output is
+    * IDENTICAL to the self-contained [[ivfAdcTopK]] (spec-pinned, the x51
+    * parity discipline). */
+  def ivfAdcTopKAgainst(index: DataFrame, queryVecs: DataFrame,
+      cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = Similarity.DefaultIvfNprobe,
+      numQueries: Int = DefaultQueries, k: Int = DefaultTopK,
+      dim: Int = DefaultDim): DataFrame = {
+    val qrows = cleanBase(queryVecs, dim).filter(col("vec_id") < numQueries)
       .orderBy(col("vec_id"))
       .select(col("vec_id"), col("e")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val session = emb.sparkSession
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    searchIvfPq(index, qrows, cbs, centroids, nprobe, k, dim)
+  }
+
+  /** Shared IVF-PQ search core: driver-side probe ranking (dot desc, cid
+    * asc — the oracle's fold and tiebreak) + LUT build, a STATIC `cid IN
+    * (probed cells)` prune on the index scan (partition pruning when the
+    * index is cid-partitioned; a no-op restriction otherwise — the cid
+    * join already confines candidates), then the broadcast cid-equality
+    * join into the exact-integer ADC ranking. */
+  private def searchIvfPq(table: DataFrame, qrows: Seq[(Long, Array[Double])],
+      cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int, k: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ksubActual = cbs(0).length
+    val dsub = dim / cbs.length
+    val centArr = centroids.map { case (cid, ce) => (cid, ce.toArray) }
+    val session = table.sparkSession
     import session.implicits._
-    val probeLuts = qrows.toSeq.flatMap { case (qid, q) =>
-      val lut = lutFor(q, cbs, dsub).toSeq
-      centRows.map { case (cid, ce) => (dotLR(q, ce), cid) }
+    val probes = qrows.map { case (qid, q) =>
+      (qid, q, centArr.map { case (cid, ce) => (dotLR(q, ce), cid) }
         .sortBy { case (d, cid) => (-d, cid) }
-        .take(nprobe)
-        .map { case (_, cid) => (qid, cid, lut) }
+        .take(nprobe).map(_._2))
+    }
+    val probeLuts = probes.flatMap { case (qid, q, cells) =>
+      val lut = lutFor(q, cbs, dsub).toSeq
+      cells.map(cid => (qid, cid, lut))
     }.toDF("qid", "cid", "lut")
+    val probedCells = probes.flatMap(_._3).distinct
     val micro = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.AdcScoreMicro(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("codes")),
         org.apache.spark.sql.GraftExpressionBridge.expression(col("lut")),
         ksubActual))
-    table.join(broadcast(probeLuts), Seq("cid"))
+    table
+      .filter(col("cid").isin(probedCells.map(Long.box): _*))
+      .join(broadcast(probeLuts), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"), micro.as("micro"))
       .withColumn("rank", row_number().over(

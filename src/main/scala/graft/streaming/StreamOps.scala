@@ -158,4 +158,20 @@ object StreamOps {
       dim: Int = graft.corpus.Quantization.DefaultDim,
       passthrough: Seq[String] = Nil): DataFrame =
     graft.corpus.Quantization.encoded(vecs, codebooks, dim, passthrough)
+
+  /** Streaming IVF-PQ index maintenance — [[encodeEmbeddings]] plus the
+    * cell assignment, emitting full `(vec_id, cid, codes)` index rows for
+    * each arriving vector under frozen centroids + codebooks: append them
+    * to the cid-partitioned store
+    * ([[graft.corpus.Quantization.writeIvfPqIndex]]'s layout) and the
+    * persisted index stays searchable
+    * ([[graft.corpus.Quantization.ivfAdcTopKAgainst]]) without ever
+    * re-reading the corpus. One stateless narrow pass (both kernels are
+    * codegen'd projections — rows batch-equal by construction,
+    * spec-pinned); degenerate/wrong-dim vectors drop. */
+  def indexEmbeddings(vecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Seq[(Long, Seq[Double])],
+      dim: Int = graft.corpus.Quantization.DefaultDim): DataFrame =
+    graft.corpus.Quantization.ivfPqIndex(vecs, codebooks, centroids, dim)
 }

@@ -239,6 +239,29 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec with Matchers {
     ivf.groupBy(_.getAs[Long]("qid")).values.foreach(_.length should be <= 4)
   }
 
+  test("persisted IVF-PQ index: search-against equals self-contained; scan prunes to probed cells") {
+    val d = vecs(randomFixture(50, 8): _*)
+    val cbs = Quantization.sliceCodebooks(d, 2, 4, 8)
+    val cents = Quantization.centroidSeeds(d, numCentroids = 6, dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Quantization.writeIvfPqIndex(Quantization.ivfPqIndex(d, cbs, cents, 8), dir)
+    val index = spark.read.parquet(dir)
+    val against = Quantization.ivfAdcTopKAgainst(index, d, cbs, cents,
+      nprobe = 2, numQueries = 3, k = 4, dim = 8)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))
+    val self = Quantization.ivfAdcTopK(d, m = 2, ksub = 4, numCentroids = 6,
+      nprobe = 2, numQueries = 3, k = 4, dim = 8).collect().map(key).toMap
+    against.collect().map(key).toMap shouldBe self
+    self should not be empty
+    // the cid-partitioned layout + the static probe filter = the scan reads
+    // ONLY the probed cells' files
+    val scan = against.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters: [")
+    scan should not include "PartitionFilters: []"
+  }
+
   test("recall universe keeps degenerate queries visible at recall 0") {
     // query 1 is a zero vector: the exact baseline still emits its k rows
     // (neighbor_id tiebreak), PQ emits none → hits 0, recall 0.0, row KEPT

@@ -422,4 +422,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows(103L)._2 shouldBe batch(103L)
     } finally q.stop()
   }
+
+  test("streaming IVF-PQ index maintenance emits batch-equal (cid, codes) rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => (1.0 + ((i + 2 * j) % 5)).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val Q = graft.corpus.Quantization
+    val cbs = Q.sliceCodebooks(corpus, 2, 4, 8)
+    val cents = Q.centroidSeeds(corpus, numCentroids = 4, dim = 8)
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = StreamOps.indexEmbeddings(
+      input.toDF().toDF("vec_id", "embedding"), cbs, cents, 8)
+    out.isStreaming shouldBe true
+    val sink = s"pqidx_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops6").toString)
+      .start()
+    try {
+      val v200 = Array.tabulate(8)(j => (3.0 + j % 4).toFloat)
+      val v201 = Array.tabulate(8)(j => (1.0 + (j * j) % 5).toFloat)
+      input.addData((200L, v200), (201L, v201),
+        (202L, Array.fill(8)(0.0f)))   // degenerate → dropped
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cid"), r.getSeq[Int](r.fieldIndex("codes")))))
+        .toMap
+      rows.keySet shouldBe Set(200L, 201L)
+      val batch = Q.ivfPqIndex(
+        Seq((200L, v200, 0), (201L, v201, 0))
+          .toDF("vec_id", "embedding", "label"), cbs, cents, 8).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cid"), r.getSeq[Int](r.fieldIndex("codes")))))
+        .toMap
+      rows shouldBe batch
+    } finally q.stop()
+  }
 }
