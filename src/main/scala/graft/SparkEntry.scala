@@ -121,6 +121,8 @@ object SparkEntry {
     "x68_pq_recall" -> (C.x68PqRecall _),
     "x69_pq_rerank" -> (C.x69PqRerank _),
     "x70_ivf_pq" -> (C.x70IvfPq _),
+    "x71_hybrid_rrf" -> (C.x71HybridRrf _),
+    "x72_trunc_ann" -> (C.x72TruncAnn _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -304,4 +304,74 @@ object Retrieval {
         col("__best.score").as("score") :+
         col("__best.n_terms").as("n_terms"): _*)
   }
+
+  /** Reciprocal-rank-fusion constant for [[hybridRrfTopK]] — the standard
+    * k = 60 of Cormack/Clarke/Buettcher (SIGIR'09). */
+  val RrfK: Int = 60
+
+  /** Per-system candidate depth feeding the fusion. */
+  val DefaultFusionCandidates: Int = 20
+
+  /** X71 — hybrid lexical + semantic retrieval: BM25 ([[bm25TopK]]) and
+    * dense-cosine candidate lists fused by reciprocal-rank fusion,
+    *
+    *   rrf(q, d) = Σ_{sys ∋ d} 1 / (rrfK + rank_sys(q, d)),
+    *
+    * the score-free fusion that needs no cross-system calibration — the
+    * production-standard first stage of a modern retrieval stack, and the
+    * training-data use: mine task-relevant documents with BOTH surface-form
+    * and semantic evidence, so neither paraphrases (lexical-blind) nor rare
+    * named entities (embedding-blind) are missed. The linkage convention is
+    * positional: `embeddings.vec_id` is `documents.doc_id`'s embedding. Both
+    * systems run the SAME x60 query sheet ([[querySheetCol]]) against the
+    * sheet-excluded corpus; each contributes its top-`kCand` candidates.
+    *
+    * Determinism / oracle parity: ranks are integers, so each contribution
+    * `1.0 / (rrfK + rank)` is one exact IEEE division; the two contributions
+    * add in fixed lexical-then-dense order in both engines. Absent evidence
+    * scores 0 and the output rank columns report 0 (= "not in that system's
+    * top-kCand"), never NULL. Degenerate (zero-norm/NULL) embeddings drop
+    * from the dense side only ([[Similarity.annLsh]]'s no-row contract) —
+    * such documents still surface on lexical evidence alone.
+    *
+    * Scale shape: all the N-scale work lives in the two candidate
+    * generators, each already scale-shaped (BM25: broadcast-semi pruned
+    * postings; dense: one narrow broadcast-queries corpus pass — swap in
+    * [[Similarity.annIvf]]/[[Quantization.ivfAdcTopK]] at larger N, same
+    * contract). The fusion itself touches only the two (|sheet| × kCand)-
+    * bounded lists: the full-outer join and final window are driver-trivial
+    * at any corpus size. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
+      queryMod: Long = QueryMod, kCand: Int = DefaultFusionCandidates,
+      k: Int = DefaultTopK, rrfK: Int = RrfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryMod, kCand)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vbase = Similarity.normalizedBase(emb).filter(col("e").isNotNull)
+    val sheetOnVec = col("vec_id") % queryMod === 0 &&
+      col("vec_id") < queryMod * QueryCount
+    val vq = vbase.filter(sheetOnVec)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val dense = vbase.filter(!sheetOnVec)
+      .crossJoin(broadcast(vq))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("cos"))
+      .withColumn("dense_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("dense_rank") <= kCand)
+      .select(col("query_id"), col("doc_id"), col("dense_rank"))
+    val contrib = (r: Column) => coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        (contrib(col("lex_rank")) + contrib(col("dense_rank"))).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), round(col("rrf"), 6).as("rrf_score"), col("rank"))
+  }
 }

@@ -265,6 +265,66 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Stage-1 prefix length for [[annTruncated]] — the leading slice of the
+    * (unit-normalized) embedding that the shortlist pass scores on. */
+  val DefaultTruncDim: Int = 16
+
+  /** Shortlist size per query for [[annTruncated]]'s exact re-rank. */
+  val DefaultTruncShortlist: Int = 20
+
+  /** X72 — truncated-dimension two-stage ANN (the Matryoshka-retrieval
+    * shape): stage 1 shortlists each query's top-`shortlist` candidates by
+    * the dot product of the LEADING `dPrefix` components of the unit-
+    * normalized vectors; stage 2 re-ranks only that shortlist with the exact
+    * full-dimension cosine. The codebook-free sibling of the PQ re-rank tier
+    * ([[Quantization.adcRerankTopK]]): where PQ compresses via trained
+    * centroids, truncation just drops trailing components — the approximation
+    * MRL-trained embedding models are optimized to make tight, and a cheap,
+    * deterministic one on any embedding.
+    *
+    * Scale shape: the N-scale work is stage 1 — one narrow broadcast-queries
+    * pass over the corpus at `dPrefix/dim` of the full-dot flops, emitting
+    * SLIM (qid, neighbor_id, tcos) rows into the per-query shortlist window
+    * (no vectors ride the rank exchange). Stage 2 re-fetches vectors for the
+    * (numQueries × shortlist)-bounded id set by broadcasting it against the
+    * corpus — at deployment scale an id-lookup against vector storage, here a
+    * second scan pruned by the broadcast hash join — and re-scores exactly,
+    * [[Quantization.adcRerankTopKWith]]'s fetch shape. Degenerate (zero-norm/
+    * empty/NULL) vectors drop on both sides — the [[annLsh]] no-row contract.
+    *
+    * Output: (qid, neighbor_id, rank, cosine) — [[cosineTopK]]'s schema; the
+    * two tiers' agreement is exactly the recall a deployment measures before
+    * trusting the truncation. */
+  def annTruncated(emb: DataFrame, dPrefix: Int = DefaultTruncDim,
+      shortlist: Int = DefaultTruncShortlist,
+      numQueries: Int = DefaultTopKQueries, k: Int = DefaultTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // stage 1: prefix dot on unit vectors — slim candidate rows only
+    val cands = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        dotp(slice(col("qe"), 1, dPrefix), slice(col("e"), 1, dPrefix))
+          .as("tcos"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("tcos").desc, col("neighbor_id"))))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("neighbor_id"))
+    // stage 2: fetch the shortlist's vectors, score exact, rank top-k
+    base.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        dotp(col("qe"), col("e")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Held-out slice for [[knnLabelTransfer]]: vec_id % KnnHoldoutMod == 0
     * plays the unlabeled side, the rest is the labeled reference. */
   val KnnHoldoutMod: Long = 10L

@@ -1716,6 +1716,79 @@ hit AS (
 SELECT u.qid, COALESCE(hits, 0) AS hits,
        CAST(COALESCE(hits, 0) AS DOUBLE)/$k.0 AS recall
 FROM (SELECT DISTINCT qid FROM exact) u LEFT JOIN hit USING (qid)"""
+    },
+
+    // x71: hybrid RRF — the x60 BM25 CTEs verbatim for the lexical list, the
+    // x6 normalize-then-dot doubles for the dense list, fused by
+    // 1/(rrfK+rank) contributions added in fixed lexical-then-dense order
+    // (each term one exact IEEE division, so the engines cannot drift)
+    "x71_hybrid_rrf" -> {
+      val R = graft.corpus.Retrieval
+      val kc = R.DefaultFusionCandidates
+      val k = R.DefaultTopK
+      val rk = R.RrfK
+      bm25ScPrelude() + s""",
+lex AS (
+  SELECT query_id, doc_id, rn AS lex_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS rn FROM sc)
+  WHERE rn <= $kc),
+$embBase,
+vb AS (SELECT vec_id, e FROM base WHERE e IS NOT NULL),
+vq AS (SELECT vec_id AS query_id, e AS qe FROM vb
+       WHERE vec_id % ${R.QueryMod} = 0
+         AND vec_id < ${R.QueryMod * R.QueryCount}),
+vc AS (SELECT vec_id, e FROM vb
+       WHERE NOT (vec_id % ${R.QueryMod} = 0
+                  AND vec_id < ${R.QueryMod * R.QueryCount})),
+dense AS (
+  SELECT query_id, doc_id, rn AS dense_rank FROM (
+    SELECT vq.query_id, vc.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY vq.query_id
+             ORDER BY list_dot_product(qe, e) DESC, vc.vec_id) AS rn
+    FROM vc CROSS JOIN vq)
+  WHERE rn <= $kc),
+fused AS (
+  SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+         COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         COALESCE(lex.lex_rank, 0) AS lex_rank,
+         COALESCE(dense.dense_rank, 0) AS dense_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ($rk + lex.lex_rank), 0) +
+         COALESCE(CAST(1 AS DOUBLE) / ($rk + dense.dense_rank), 0) AS rrf
+  FROM lex FULL OUTER JOIN dense
+    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id)
+SELECT query_id, doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf_score,
+       rn AS "rank"
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+WHERE rn <= $k"""
+    },
+
+    // x72: truncated-dim two-stage ANN — stage-1 shortlist by prefix dot on
+    // the SAME unit-normalized doubles (DuckDB's e[1:d'] slice = the
+    // engine's slice(e, 1, d'), both 1-based leading windows), stage-2
+    // exact full-dim re-rank restricted to the shortlist
+    "x72_trunc_ann" -> {
+      val nq = graft.corpus.Similarity.DefaultTopKQueries
+      val k = graft.corpus.Similarity.DefaultTopK
+      val dp = graft.corpus.Similarity.DefaultTruncDim
+      val m = graft.corpus.Similarity.DefaultTruncShortlist
+      s"""WITH $embBase,
+vb AS (SELECT vec_id, e FROM base WHERE e IS NOT NULL),
+q AS (SELECT vec_id AS qid, e AS qe FROM vb WHERE vec_id < $nq),
+cand AS (
+  SELECT qid, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY list_dot_product(qe[1:$dp], e[1:$dp]) DESC,
+                    vec_id) AS srank,
+         list_dot_product(qe, e) AS cos
+  FROM vb CROSS JOIN q WHERE vec_id <> qid)
+SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine
+FROM (SELECT qid, neighbor_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand WHERE srank <= $m)
+WHERE rn <= $k"""
     }
   )
 

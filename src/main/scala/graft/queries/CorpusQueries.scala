@@ -417,4 +417,14 @@ object CorpusQueries {
   /** x70 — IVF-PQ: nprobe-cell-restricted ADC search (FAISS's IVFADC). */
   def x70IvfPq(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Quantization.ivfAdcTopK(emb(spark, dir))
+
+  /** x71 — hybrid retrieval: BM25 + dense-cosine candidates fused by
+    * reciprocal-rank fusion over the shared x60 query sheet. */
+  def x71HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Retrieval.hybridRrfTopK(docs(spark, dir), emb(spark, dir))
+
+  /** x72 — truncated-dimension two-stage ANN: prefix-dot shortlist,
+    * exact full-dimension re-rank. */
+  def x72TruncAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTruncated(emb(spark, dir))
 }

@@ -511,6 +511,39 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     withZeroCent should not be empty
   }
 
+  test("truncated ANN: the shortlist bounds what re-rank can recover; full-prefix degenerates to exact") {
+    import spark.implicits._
+    // q = [0.8, 0, 0.6, 0]; prefix (d'=2) scores = 0.8·x1, full = exact cos.
+    // B is the TRUE best (0.96) but its prefix score (0.48) is the worst —
+    // with shortlist=2 it is missed (the approximation trade, visible), with
+    // shortlist=3 stage 2 recovers it to rank 1
+    val e = Seq(
+      (0L, Array(0.8f, 0f, 0.6f, 0f)),     // query
+      (1L, Array(1f, 0f, 0f, 0f)),         // A: prefix 0.8, full 0.8
+      (2L, Array(0.6f, 0f, 0.8f, 0f)),     // B: prefix 0.48, full 0.96
+      (3L, Array(0.9f, 0.43588989f, 0f, 0f)), // C: prefix 0.72, full 0.72
+      (9L, Array(0f, 0f, 0f, 0f)))         // zero-norm: no rows either side
+      .toDF("vec_id", "embedding")
+    val narrow = Similarity.annTruncated(e, dPrefix = 2, shortlist = 2,
+      numQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    narrow.toSeq shouldBe Seq((1L, 1), (3L, 2))
+    val wide = Similarity.annTruncated(e, dPrefix = 2, shortlist = 3,
+      numQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    wide.toSeq shouldBe Seq((2L, 1), (1L, 2), (3L, 3))
+    // dPrefix = dim, shortlist ≥ corpus ⇒ bit-identical to the exact top-k
+    // (cosineTopK keeps degenerate-query rows; restrict to the healthy query)
+    val exact = Similarity.cosineTopK(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cosine")))
+    val full = Similarity.annTruncated(e, dPrefix = 4, shortlist = 10,
+      numQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cosine")))
+    full.toSeq shouldBe exact.toSeq
+  }
+
   test("minhashPairs rejects banding geometry that breaks the LSH math") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
     // bands > numHashes: every slice would be empty — one constant bucket,

@@ -407,4 +407,59 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     r.map(_.getAs[Long]("vec_id")).toSet shouldBe Set(20L)
     r.head.getAs[Int]("predicted_label") shouldBe 3
   }
+
+  private def rrfRound(terms: Int*): Double = {
+    val s = terms.filter(_ > 0)
+      .map(r => 1.0 / (Retrieval.RrfK + r)).foldLeft(0.0)(_ + _)
+    BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("hybrid RRF: two-system evidence beats either alone; scores match 1/(60+rank) by hand") {
+    val d = docs(
+      0L -> "apple banana",                // query sheet (doc_id % 50 == 0)
+      1L -> "apple banana",                // lexical rank 1
+      2L -> "apple",                       // lexical rank 2
+      3L -> "cherry durian")               // no lexical match
+    val e = vecs(
+      (0L, Seq(1.0, 0.0, 0.0), 0),
+      (1L, Seq(0.0, 1.0, 0.0), 0),        // cos 0   → dense rank 3
+      (2L, Seq(0.6, 0.8, 0.0), 0),        // cos 0.6 → dense rank 2
+      (3L, Seq(0.9, 0.43588989435406736, 0.0), 0)) // cos 0.9 → dense rank 1
+    val out = Retrieval.hybridRrfTopK(d, e).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"),
+          r.getAs[Double]("rrf_score"), r.getAs[Int]("rank")))).toMap
+    // doc 1: lex 1 + dense 3 = 1/61 + 1/63 — edges out doc 2's 2/62 by 8e-6,
+    // exactly the near-tie the 6-dp rounding must preserve
+    out(1L) shouldBe ((1, 3, rrfRound(1, 3), 1))
+    out(2L) shouldBe ((2, 2, rrfRound(2, 2), 2))
+    // doc 3: dense-only evidence — lexical absence reports rank 0, not NULL
+    out(3L) shouldBe ((0, 1, rrfRound(1), 3))
+  }
+
+  test("hybrid RRF: a degenerate embedding loses dense evidence but lexical evidence still surfaces the doc") {
+    val d = docs(
+      0L -> "apple banana",
+      1L -> "apple banana",
+      2L -> "apple")
+    val e = vecs(
+      (0L, Seq(1.0, 0.0), 0),
+      (1L, Seq(0.0, 0.0), 0),             // zero-norm: no dense row
+      (2L, Seq(0.8, 0.6), 0))
+    val out = Retrieval.hybridRrfTopK(d, e).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"),
+          r.getAs[Double]("rrf_score")))).toMap
+    out(1L) shouldBe ((1, 0, rrfRound(1)))
+    out(2L) shouldBe ((2, 1, rrfRound(2, 1)))
+  }
+
+  test("hybrid RRF: a degenerate QUERY vector still retrieves on lexical evidence alone") {
+    val d = docs(0L -> "apple", 1L -> "apple pad")
+    val e = vecs((0L, Seq(0.0, 0.0), 0), (1L, Seq(1.0, 0.0), 0))
+    val out = Retrieval.hybridRrfTopK(d, e).collect()
+    out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"))).toSeq shouldBe
+      Seq((0L, 1L, 1, 0))
+  }
 }
