@@ -226,6 +226,17 @@ object Scaling {
       // scan is the only term that grows
       ("embeddings", "x70_ivf_pq",
         (d, _) => graft.corpus.Quantization.ivfAdcTopK(rd(d, "embeddings"))),
+      // x71: fixed sheet fuses two GROWING candidate generators — the cell
+      // measures the sum of x60's prune path and one narrow dense pass;
+      // the fusion join itself is (sheet × kCand)-bounded at every scale
+      ("documents", "x71_hybrid_rrf",
+        (d, _) => graft.corpus.Retrieval.hybridRrfTopK(
+          rd(d, "documents"), rd(d, "embeddings"))),
+      // x72: fixed query sheet — stage 1's prefix-dot narrow pass is the
+      // only growing term; the shortlist fetch + exact re-rank stay
+      // (queries × shortlist)-bounded
+      ("embeddings", "x72_trunc_ann",
+        (d, _) => Similarity.annTruncated(rd(d, "embeddings"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

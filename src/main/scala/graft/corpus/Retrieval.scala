@@ -143,22 +143,31 @@ object Retrieval {
         lit(BM25B) * (col("dl") / col("avgdl"))))
     val term = round(idf * norm, 6)
     // the qterms join EXPANDS each posting by the number of queries sharing
-    // its term (~|queries| on a dense vocabulary) and the score expression +
-    // partial aggregate run in the same stage — compute-bound work that AQE
-    // sizes by the tiny pre-join byte count, coalescing the stage to ONE task
-    // (measured: the whole query serialized through it). An explicit
-    // round-robin repartition to the cluster's core count pins the fan-out
-    // stage at compute parallelism; its input is the already-aggregated
-    // per-(doc, term) table, so the extra exchange is a rounding error at
-    // any scale next to the expansion it parallelizes
-    val fanIn = tfd.repartition(
-      tfd.sparkSession.sparkContext.defaultParallelism)
+    // its term (~|queries| on a dense vocabulary) and the partial aggregate
+    // runs in the same stage — compute-bound work that AQE sizes by the tiny
+    // pre-join byte count, coalescing the stage to ONE task (measured: the
+    // whole query serialized through it). An explicit round-robin
+    // repartition to the cluster's core count pins the fan-out stage at
+    // compute parallelism; its input is the already-aggregated per-(doc,
+    // term) table, so the extra exchange is a rounding error at any scale
+    // next to the expansion it parallelizes.
+    //
+    // The BM25 contribution is QUERY-independent, so it is computed (and
+    // cast to the exact DECIMAL the sum needs) HERE, once per posting —
+    // NOT after the qterms join, where the identical log/divide/round chain
+    // re-evaluated per (query, posting) fanned row (measured 2.3× on the
+    // whole query at a vocabulary the sheet covers densely; Catalyst does
+    // not hoist projections through joins on its own). The fanned rows
+    // carry one pre-computed decimal each into the map-side partial sum.
+    val fanIn = tfd
+      .select(col("doc_id"), col("w"),
+        term.cast("decimal(14,6)").as("t"))
+      .repartition(tfd.sparkSession.sparkContext.defaultParallelism)
     fanIn
       .join(broadcast(qterms), "w")
-      .select(col("qid"), col("doc_id"), term.as("t"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("t").cast("decimal(14,6)")).cast("double").as("score"))
+        sum(col("t")).cast("double").as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
