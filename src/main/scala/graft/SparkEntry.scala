@@ -123,6 +123,7 @@ object SparkEntry {
     "x70_ivf_pq" -> (C.x70IvfPq _),
     "x71_hybrid_rrf" -> (C.x71HybridRrf _),
     "x72_trunc_ann" -> (C.x72TruncAnn _),
+    "x73_hybrid_gate" -> (C.x73HybridGate _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -314,6 +314,71 @@ object Retrieval {
         col("__best.n_terms").as("n_terms"): _*)
   }
 
+  /** X73 — hybrid ingest gate: the two frozen-model screens a production
+    * ingest pipeline runs per arriving document — BM25 task-relevance
+    * against the driver-held [[Bm25Model]] ([[bm25IngestGate]]'s kernel) and
+    * embedding-space benchmark contamination against the driver-held
+    * reference set ([[graft.corpus.Semantic.embedDecontamAgainst]]'s
+    * kernel) — composed into ONE narrow stateless projection over a
+    * `(doc_id, text, embedding, …)` frame, so the whole decision runs
+    * unchanged on a streaming DataFrame. `keep = relevant ∧ ¬contaminated ∧
+    * screenable`: serve the task, don't leak the benchmark, and QUARANTINE
+    * what cannot be screened (NULL/zero-norm/wrong-dimension embeddings
+    * cannot prove novelty — gating them through on text evidence alone
+    * would make a degenerate encoder output a decontamination bypass).
+    *
+    * Sentinels mirror [[hybridRrfTopK]]'s rank-0 convention: an irrelevant
+    * document reports query_id 0 / score 0 / n_terms 0 (never NULL), an
+    * unscreenable or benchmark-less one bench_id 0 / bench_cosine 0.
+    *
+    * Scale shape: both models are eval-suite-bounded and ride the plan as
+    * literals; per row the cost is one token-counting pass + Σ_q |q terms|
+    * scalar ops ([[graft.functions.Bm25GateScore]]) plus |bench| dot
+    * products ([[graft.functions.BestMatch]]) — constant per document at
+    * any corpus scale, zero shuffles, no join, no state. */
+  def hybridIngestGate(docs: DataFrame, model: Bm25Model,
+      bench: Seq[(Long, Seq[Double])], tau: Double,
+      passthrough: String*): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => c, expression => x}
+    val lexCol =
+      if (model.queries.isEmpty)
+        // an empty sheet matches nothing: a constant zero-match struct (the
+        // gate kernel needs ≥1 query; relevant is uniformly false)
+        struct(lit(0L).as("query_id"), lit(0.0).as("score"),
+          lit(0L).as("n_terms"))
+      else c(graft.functions.Bm25GateScore(x(split(col("text"), " ")), model))
+    val eCol = graft.functions.VectorOps.normalizeVec(
+      col("embedding").cast("array<double>"))
+    val out = docs
+      .withColumn("__lex", lexCol)
+      .withColumn("__bm",
+        if (bench.isEmpty) lit(null).cast("struct<cos:double,nid:bigint>")
+        else graft.functions.VectorOps.bestMatch(eCol, bench))
+    val relevant = coalesce(col("__lex").getField("n_terms") > 0, lit(false))
+    val contaminated =
+      if (bench.isEmpty) lit(false)
+      else coalesce(col("__bm").getField("cos") >= tau, lit(false))
+    // with a benchmark: BestMatch's NULL struct already encodes
+    // un-screenable (NULL/degenerate/dim-mismatched embedding); without
+    // one, fall back to the normalization guard alone
+    val screenable =
+      if (bench.isEmpty) eCol.isNotNull else col("__bm").isNotNull
+    out.select(col("doc_id") +: passthrough.map(col) :+
+      when(relevant, col("__lex").getField("query_id")).otherwise(0L)
+        .as("query_id") :+
+      coalesce(col("__lex").getField("score"), lit(0.0)).as("score") :+
+      coalesce(col("__lex").getField("n_terms"), lit(0L)).as("n_terms") :+
+      (if (bench.isEmpty) lit(0L)
+       else coalesce(-col("__bm").getField("nid"), lit(0L))).as("bench_id") :+
+      (if (bench.isEmpty) lit(0.0)
+       else coalesce(round(col("__bm").getField("cos"), 6), lit(0.0)))
+        .as("bench_cosine") :+
+      relevant.as("relevant") :+
+      contaminated.as("contaminated") :+
+      screenable.as("screenable") :+
+      (relevant && !contaminated && screenable).as("keep"): _*)
+  }
+
   /** Reciprocal-rank-fusion constant for [[hybridRrfTopK]] — the standard
     * k = 60 of Cormack/Clarke/Buettcher (SIGIR'09). */
   val RrfK: Int = 60

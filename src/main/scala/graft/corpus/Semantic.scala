@@ -448,14 +448,21 @@ object Semantic {
   def embedDecontam(emb: DataFrame, benchMod: Int = DecontamBenchMod,
       tau: Double = DecontamTau): DataFrame = {
     val base = Similarity.normalizedBase(emb)
-    // a degenerate benchmark vector (e NULL) is droppable by the same
-    // doctrine as degenerate seeds: nothing can score against it, and
-    // collecting it would put a null vector in the driver-held reference set
-    val bench = collectCents(base
+    embedDecontamAgainst(base.filter(col("vec_id") % benchMod =!= 0),
+      decontamBench(emb, benchMod), tau)
+  }
+
+  /** The driver-held benchmark reference set [[embedDecontam]] screens
+    * against — the eval-suite-bounded (bench_id, unit-vector) list, also the
+    * dense half of [[Retrieval.hybridIngestGate]]'s frozen models. A
+    * degenerate benchmark vector (e NULL) is droppable by the same doctrine
+    * as degenerate seeds: nothing can score against it, and collecting it
+    * would put a null vector in the driver-held reference set. */
+  def decontamBench(emb: DataFrame,
+      benchMod: Int = DecontamBenchMod): Seq[(Long, Seq[Double])] =
+    collectCents(Similarity.normalizedBase(emb)
       .filter(col("vec_id") % benchMod === 0 && col("e").isNotNull)
       .select(col("vec_id").as("bench_id"), col("e").as("be")))
-    embedDecontamAgainst(base.filter(col("vec_id") % benchMod =!= 0), bench, tau)
-  }
 
   /** [[embedDecontam]]'s narrow kernel over a pre-normalized corpus and a
     * driver-held benchmark — stateless and shuffle-free, so it runs

@@ -1764,6 +1764,52 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rn <= $k"""
     },
 
+    // x73: hybrid ingest gate — x65's BM25 gate CTEs (best sheet query per
+    // doc) + x42's benchmark argmax, left-joined onto the bench-excluded
+    // input with the engine's rank-0/0.0 sentinels. `relevant` via presence
+    // in sc mirrors the gate kernel's n_terms>0 (a matching term's 6-dp
+    // contribution cannot round to 0.000000 at any fixture/corpus idf floor,
+    // so "has a matching posting" and "best query has a match" coincide)
+    "x73_hybrid_gate" -> {
+      val R = graft.corpus.Retrieval
+      val S = graft.corpus.Semantic
+      val benchMod = S.DecontamBenchMod
+      val tau = S.DecontamTau
+      bm25ScPrelude(R.GateQueryCount) + s""",
+best AS (
+  SELECT query_id, doc_id, n_terms, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, query_id) AS rn FROM sc) WHERE rn = 1),
+$embBase,
+bench AS (SELECT vec_id AS bench_id, e AS be FROM base
+          WHERE vec_id % $benchMod = 0 AND e IS NOT NULL),
+inp AS (
+  SELECT c.doc_id, b.e FROM corpus c
+  JOIN base b ON c.doc_id = b.vec_id
+  WHERE c.doc_id % $benchMod <> 0),
+dm AS (
+  SELECT doc_id, bench_id, cos FROM (
+    SELECT inp.doc_id, bench.bench_id,
+           list_dot_product(inp.e, bench.be) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY inp.doc_id
+             ORDER BY list_dot_product(inp.e, bench.be) DESC,
+                      bench.bench_id) AS rn
+    FROM inp CROSS JOIN bench WHERE inp.e IS NOT NULL) WHERE rn = 1)
+SELECT inp.doc_id,
+       COALESCE(best.query_id, 0) AS query_id,
+       COALESCE(best.score, 0.0) AS score,
+       COALESCE(best.n_terms, 0) AS n_terms,
+       COALESCE(dm.bench_id, 0) AS bench_id,
+       round(COALESCE(dm.cos, 0.0), 6) AS bench_cosine,
+       best.doc_id IS NOT NULL AS relevant,
+       COALESCE(dm.cos >= $tau, FALSE) AS contaminated,
+       inp.e IS NOT NULL AS screenable,
+       (best.doc_id IS NOT NULL AND NOT COALESCE(dm.cos >= $tau, FALSE)
+        AND inp.e IS NOT NULL) AS keep
+FROM inp LEFT JOIN best ON inp.doc_id = best.doc_id
+         LEFT JOIN dm ON inp.doc_id = dm.doc_id"""
+    },
+
     // x72: truncated-dim two-stage ANN — stage-1 shortlist by prefix dot on
     // the SAME unit-normalized doubles (DuckDB's e[1:d'] slice = the
     // engine's slice(e, 1, d'), both 1-based leading windows), stage-2

@@ -427,4 +427,25 @@ object CorpusQueries {
     * exact full-dimension re-rank. */
   def x72TruncAnn(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTruncated(emb(spark, dir))
+
+  /** x73 — hybrid ingest gate replayed over the corpus: per (bench-slice-
+    * excluded) document, its BM25 task-sheet relevance (x65's frozen-model
+    * kernel) AND its embedding decontamination screen (x42's frozen
+    * reference set) in one narrow projection; keep = relevant ∧
+    * ¬contaminated ∧ screenable. The embeddings table plays doc_id's
+    * embedding (x71's positional linkage). */
+  def x73HybridGate(spark: SparkSession, dir: String): DataFrame = {
+    val R = graft.corpus.Retrieval
+    val S = graft.corpus.Semantic
+    val all = docs(spark, dir)
+    val corpus = all.filter(!R.querySheetCol())
+    val gateSheet = all.filter(R.querySheetCol() &&
+      col("doc_id") < R.QueryMod * R.GateQueryCount)
+    val model = R.bm25Model(R.bm25Index(corpus), gateSheet)
+    val bench = S.decontamBench(emb(spark, dir))
+    val inp = corpus.filter(col("doc_id") % S.DecontamBenchMod =!= 0)
+      .join(emb(spark, dir).select(col("vec_id").as("doc_id"),
+        col("embedding")), "doc_id")
+    R.hybridIngestGate(inp, model, bench, S.DecontamTau)
+  }
 }

@@ -143,6 +143,23 @@ object StreamOps {
       passthrough: String*): DataFrame =
     graft.corpus.Retrieval.bm25IngestGate(docs, model, passthrough: _*)
 
+  /** Streaming hybrid ingest screen (X73) — BM25 task-relevance AND
+    * embedding-space benchmark decontamination AND screenability, decided
+    * per arriving `(doc_id, text, embedding)` record against the two frozen
+    * driver-held models in ONE stateless narrow projection
+    * ([[graft.corpus.Retrieval.hybridIngestGate]]): no watermark, no state,
+    * any output mode — the [[gateByRelevance]] /
+    * [[graft.corpus.Semantic.embedDecontamAgainst]] family composed. Flags
+    * (and the fused `keep`) are emitted rather than filtered so a
+    * deployment can route: keep → train pool, contaminated → audit,
+    * unscreenable → quarantine. */
+  def screenIngest(docs: DataFrame,
+      model: graft.corpus.Retrieval.Bm25Model,
+      bench: Seq[(Long, Seq[Double])], tau: Double,
+      passthrough: String*): DataFrame =
+    graft.corpus.Retrieval.hybridIngestGate(
+      docs, model, bench, tau, passthrough: _*)
+
   /** Streaming PQ encoding against frozen codebooks — compress each
     * arriving embedding to its code vector at ingest, the index-maintenance
     * half of the x66 compression plane: the batch build encodes the corpus

@@ -454,6 +454,56 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2L) shouldBe ((2, 1, rrfRound(2, 1)))
   }
 
+  test("hybrid ingest gate routes: keep / contaminated / irrelevant / unscreenable, with sentinels") {
+    import spark.implicits._
+    val corpus = docs(
+      10L -> "alpha beta", 11L -> "alpha", 12L -> "unrelated junk",
+      13L -> "alpha gamma")
+    val sheet = docs(50L -> "alpha")     // nonzero qid: sentinel 0 is distinct
+    val model = Retrieval.bm25Model(Retrieval.bm25Index(corpus), sheet)
+    val bench = Seq(100L -> Seq(1.0, 0.0))           // unit benchmark vector
+    val inp = corpus.join(Seq(
+      (10L, Array(0.1f, 1f)),            // cos≈0.0995 < τ: clean
+      (11L, Array(1f, 0.2f)),            // cos≈0.98 ≥ τ: contaminated
+      (12L, Array(0f, 1f)),              // clean but irrelevant text
+      (13L, Array(0f, 0f)))              // zero-norm: unscreenable
+      .toDF("doc_id", "embedding"), "doc_id")
+    val out = Retrieval.hybridIngestGate(inp, model, bench, tau = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("relevant"), r.getAs[Boolean]("contaminated"),
+          r.getAs[Boolean]("screenable"), r.getAs[Boolean]("keep"),
+          r.getAs[Long]("query_id"), r.getAs[Long]("bench_id")))).toMap
+    out(10L) shouldBe ((true, false, true, true, 50L, 100L))
+    out(11L) shouldBe ((true, true, true, false, 50L, 100L))
+    // irrelevant: query sentinel 0 (not the kernel's internal argmax pick)
+    out(12L) shouldBe ((false, false, true, false, 0L, 100L))
+    // unscreenable: quarantined even though its text serves the task
+    out(13L) shouldBe ((true, false, false, false, 50L, 0L))
+  }
+
+  test("hybrid ingest gate: empty benchmark screens on normalizability alone; empty sheet gates all out") {
+    import spark.implicits._
+    val corpus = docs(10L -> "alpha", 11L -> "alpha")
+    val sheet = docs(0L -> "alpha")
+    val model = Retrieval.bm25Model(Retrieval.bm25Index(corpus), sheet)
+    val inp = corpus.join(Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0f, 0f)))
+      .toDF("doc_id", "embedding"), "doc_id")
+    val noBench = Retrieval.hybridIngestGate(inp, model, Nil, tau = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("screenable"),
+          r.getAs[Boolean]("keep"), r.getAs[Long]("bench_id"),
+          r.getAs[Double]("bench_cosine")))).toMap
+    noBench(10L) shouldBe ((false, true, true, 0L, 0.0))
+    noBench(11L) shouldBe ((false, false, false, 0L, 0.0))
+    val emptyModel = Retrieval.bm25Model(Retrieval.bm25Index(corpus),
+      docs().limit(0))
+    val noSheet = Retrieval.hybridIngestGate(inp, emptyModel,
+      Seq(100L -> Seq(1.0, 0.0)), tau = 0.3).collect()
+      .map(r => (r.getAs[Boolean]("relevant"), r.getAs[Boolean]("keep")))
+    noSheet.toSet shouldBe Set((false, false))
+  }
+
   test("hybrid RRF: a degenerate QUERY vector still retrieves on lexical evidence alone") {
     val d = docs(0L -> "apple", 1L -> "apple pad")
     val e = vecs((0L, Seq(0.0, 0.0), 0), (1L, Seq(1.0, 0.0), 0))

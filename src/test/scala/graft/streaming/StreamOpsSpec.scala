@@ -381,6 +381,50 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming hybrid ingest screen decides batch-equal over a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq((10L, "alpha beta"), (11L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val model = graft.corpus.Retrieval.bm25Model(
+      graft.corpus.Retrieval.bm25Index(corpus),
+      Seq((50L, "alpha")).toDF("doc_id", "text"))
+    val bench = Seq(100L -> Seq(1.0, 0.0))
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val out = StreamOps.screenIngest(
+      input.toDF().toDF("doc_id", "text", "embedding"), model, bench,
+      tau = 0.3)
+    out.isStreaming shouldBe true
+    val sink = s"screen_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops7").toString)
+      .start()
+    try {
+      val batchIn = Seq(
+        (7L, "alpha alpha", Array(0.1f, 1f)),   // keep
+        (8L, "alpha", Array(1f, 0.1f)),         // contaminated
+        (9L, "nothing", Array(0f, 1f)),         // irrelevant
+        (6L, "alpha", Array(0f, 0f)))           // unscreenable
+      input.addData(batchIn: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("query_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("bench_id"), r.getAs[Double]("bench_cosine"),
+          r.getAs[Boolean]("relevant"), r.getAs[Boolean]("contaminated"),
+          r.getAs[Boolean]("screenable"), r.getAs[Boolean]("keep")))
+      val streamed = s.table(sink).collect().map(key).toMap
+      val batch = graft.corpus.Retrieval.hybridIngestGate(
+        batchIn.toDF("doc_id", "text", "embedding"), model, bench,
+        tau = 0.3).collect().map(key).toMap
+      streamed shouldBe batch
+      streamed(7L)._8 shouldBe true
+      streamed.filterNot(_._1 == 7L).values.map(_._8).toSet shouldBe Set(false)
+    } finally q.stop()
+  }
+
   test("streaming PQ encoding emits batch-equal codes and drops degenerates") {
     val s = spark
     import s.implicits._
