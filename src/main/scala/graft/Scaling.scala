@@ -237,29 +237,15 @@ object Scaling {
       // (queries × shortlist)-bounded
       ("embeddings", "x72_trunc_ann",
         (d, _) => Similarity.annTruncated(rd(d, "embeddings"))),
-      // x73: the full driver query with the deployment's FIXED frozen
-      // models — the gate sheet and the decontam benchmark are eval
-      // artifacts, so both come from the BASE replica only (a benchmark
-      // that grew with the corpus would make every row's screen cost grow
-      // too — not a shape any deployment runs). What grows m×: the index
-      // build's corpus pass and the constant-per-row screen's input.
-      ("documents", "x73_hybrid_gate", (d, _) => {
-        val R = graft.corpus.Retrieval
-        val S = graft.corpus.Semantic
-        val all = rd(d, "documents")
-        val corpus = all.filter(!R.querySheetCol())
-        val sheet = all.filter(R.querySheetCol() &&
-          col("doc_id") < R.QueryMod * R.GateQueryCount)
-        val e = rd(d, "embeddings")
-        val inp = corpus
-          .filter(col("doc_id") % S.DecontamBenchMod =!= 0)
-          .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
-            "doc_id")
-        R.hybridIngestGate(inp,
-          R.bm25Model(R.bm25Index(corpus), sheet),
-          S.decontamBench(e.filter(col("vec_id") < ReplicaOffset)),
-          S.DecontamTau)
-      }),
+      // x73: the exact driver query (shared builder — the measured cell can
+      // never decouple from the verified construction), with the decontam
+      // benchmark FIXED to the base replica: both frozen models are eval
+      // artifacts; what grows m× is the index build's corpus pass and the
+      // constant-per-row screen's input.
+      ("documents", "x73_hybrid_gate", (d, _) =>
+        graft.queries.CorpusQueries.hybridGateOver(
+          rd(d, "documents"), rd(d, "embeddings"),
+          rd(d, "embeddings").filter(col("vec_id") < ReplicaOffset))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

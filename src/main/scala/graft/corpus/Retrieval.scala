@@ -327,9 +327,14 @@ object Retrieval {
     * cannot prove novelty — gating them through on text evidence alone
     * would make a degenerate encoder output a decontamination bypass).
     *
-    * Sentinels mirror [[hybridRrfTopK]]'s rank-0 convention: an irrelevant
-    * document reports query_id 0 / score 0 / n_terms 0 (never NULL), an
-    * unscreenable or benchmark-less one bench_id 0 / bench_cosine 0.
+    * Sentinels (never NULL): an irrelevant document reports query_id −1 /
+    * score 0 / n_terms 0; an unscreenable or benchmark-less one bench_id −1
+    * / bench_cosine 0. Ids use −1 — NOT [[hybridRrfTopK]]'s rank-0
+    * convention — because 0 is a legitimate id (doc_id 0 sits in every
+    * shipped gate sheet, vec_id 0 in every benchmark slice) and a consumer
+    * routing on the sentinel must not misclassify documents genuinely
+    * matched to id 0. The boolean flags stay authoritative either way
+    * (bench_cosine 0.0 can also be a true cosine).
     *
     * Scale shape: both models are eval-suite-bounded and ride the plan as
     * literals; per row the cost is one token-counting pass + Σ_q |q terms|
@@ -364,12 +369,12 @@ object Retrieval {
     val screenable =
       if (bench.isEmpty) eCol.isNotNull else col("__bm").isNotNull
     out.select(col("doc_id") +: passthrough.map(col) :+
-      when(relevant, col("__lex").getField("query_id")).otherwise(0L)
+      when(relevant, col("__lex").getField("query_id")).otherwise(-1L)
         .as("query_id") :+
       coalesce(col("__lex").getField("score"), lit(0.0)).as("score") :+
       coalesce(col("__lex").getField("n_terms"), lit(0L)).as("n_terms") :+
-      (if (bench.isEmpty) lit(0L)
-       else coalesce(-col("__bm").getField("nid"), lit(0L))).as("bench_id") :+
+      (if (bench.isEmpty) lit(-1L)
+       else coalesce(-col("__bm").getField("nid"), lit(-1L))).as("bench_id") :+
       (if (bench.isEmpty) lit(0.0)
        else coalesce(round(col("__bm").getField("cos"), 6), lit(0.0)))
         .as("bench_cosine") :+

@@ -133,8 +133,16 @@ case class Bm25GateScore(child: Expression, model: Bm25Model)
         }
         t += 1
       }
-      if (bestScore == null || sum.compareTo(bestScore) > 0 ||
-          (sum.compareTo(bestScore) == 0 && qids(q) < qids(bestQ))) {
+      // ties prefer a MATCHFUL query (m > 0) over a matchless one, then the
+      // smaller qid. Matters only when a matching contribution rounds to
+      // 0.000000 (reachable at df≈N corpus scale, or a hand-built model):
+      // the batch scorer ranks over matching rows ONLY, so a matchless
+      // query winning a zero-score tie here would make the gate drop a
+      // document the batch path emits — breaking the pinned bit-equality.
+      // qids ascend (bm25Model sorts), so the qid tiebreak is the iteration
+      // order itself.
+      val cmp = if (bestScore == null) 1 else sum.compareTo(bestScore)
+      if (cmp > 0 || (cmp == 0 && m > 0 && bestM == 0L)) {
         bestQ = q; bestScore = sum; bestM = m
       }
       q += 1

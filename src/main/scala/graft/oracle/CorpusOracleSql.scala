@@ -1766,10 +1766,15 @@ WHERE rn <= $k"""
 
     // x73: hybrid ingest gate — x65's BM25 gate CTEs (best sheet query per
     // doc) + x42's benchmark argmax, left-joined onto the bench-excluded
-    // input with the engine's rank-0/0.0 sentinels. `relevant` via presence
-    // in sc mirrors the gate kernel's n_terms>0 (a matching term's 6-dp
-    // contribution cannot round to 0.000000 at any fixture/corpus idf floor,
-    // so "has a matching posting" and "best query has a match" coincide)
+    // input with the engine's −1-id/0.0 sentinels. `relevant` via presence
+    // in sc is now UNCONDITIONALLY the gate kernel's n_terms>0: the kernel's
+    // score ties prefer matchful queries, so any document with a matching
+    // posting has a matchful best query even when every contribution rounds
+    // to 0.000000. Out of oracle scope (the parity_fixture.py doctrine):
+    // dimension-mismatched embeddings — DuckDB's list_dot_product raises on
+    // unequal lengths, so `screenable` here is the e-IS-NOT-NULL half only;
+    // the engine's dim-mismatch quarantine is pinned engine-side
+    // (VectorOpsSpec / BestMatch's NULL-struct contract).
     "x73_hybrid_gate" -> {
       val R = graft.corpus.Retrieval
       val S = graft.corpus.Semantic
@@ -1796,10 +1801,10 @@ dm AS (
                       bench.bench_id) AS rn
     FROM inp CROSS JOIN bench WHERE inp.e IS NOT NULL) WHERE rn = 1)
 SELECT inp.doc_id,
-       COALESCE(best.query_id, 0) AS query_id,
+       COALESCE(best.query_id, -1) AS query_id,
        COALESCE(best.score, 0.0) AS score,
        COALESCE(best.n_terms, 0) AS n_terms,
-       COALESCE(dm.bench_id, 0) AS bench_id,
+       COALESCE(dm.bench_id, -1) AS bench_id,
        round(COALESCE(dm.cos, 0.0), 6) AS bench_cosine,
        best.doc_id IS NOT NULL AS relevant,
        COALESCE(dm.cos >= $tau, FALSE) AS contaminated,

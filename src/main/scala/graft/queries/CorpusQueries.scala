@@ -435,17 +435,28 @@ object CorpusQueries {
     * ¬contaminated ∧ screenable. The embeddings table plays doc_id's
     * embedding (x71's positional linkage). */
   def x73HybridGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    hybridGateOver(docs(spark, dir), e, e)
+  }
+
+  /** The x73 driver query over explicit frames — the ONE construction both
+    * the Verify gate and the scaling ladder run, so the measured cell can
+    * never decouple from the verified query. `benchEmb` is the slice the
+    * decontam benchmark collects from: the corpus itself for the driver
+    * query; the FIXED base replica on the ladder (a benchmark is an eval
+    * artifact — growing it with the corpus would grow every row's screen
+    * cost, not a shape any deployment runs). */
+  def hybridGateOver(all: DataFrame, e: DataFrame,
+      benchEmb: DataFrame): DataFrame = {
     val R = graft.corpus.Retrieval
     val S = graft.corpus.Semantic
-    val all = docs(spark, dir)
     val corpus = all.filter(!R.querySheetCol())
     val gateSheet = all.filter(R.querySheetCol() &&
       col("doc_id") < R.QueryMod * R.GateQueryCount)
     val model = R.bm25Model(R.bm25Index(corpus), gateSheet)
-    val bench = S.decontamBench(emb(spark, dir))
+    val bench = S.decontamBench(benchEmb)
     val inp = corpus.filter(col("doc_id") % S.DecontamBenchMod =!= 0)
-      .join(emb(spark, dir).select(col("vec_id").as("doc_id"),
-        col("embedding")), "doc_id")
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
     R.hybridIngestGate(inp, model, bench, S.DecontamTau)
   }
 }

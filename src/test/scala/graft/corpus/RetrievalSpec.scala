@@ -335,16 +335,19 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("ingest gate corners: zero-score tie, NULL text, multi-byte + shared terms") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    // (1) zero-score tie-break is pinned to the declarative kernel it fused:
-    // a term in (nearly) every one of 5M docs has idf ≈ 1e-7, so its rounded
-    // 6-dp contribution is 0.000000 — TYING the non-matching query's 0. The
-    // smaller query id wins the tie even with no matched terms (n_terms = 0),
-    // so the doc emits NO row despite matching q5's term.
+    // (1) zero-score tie-break prefers the MATCHFUL query: a term in
+    // (nearly) every one of 5M docs has idf ≈ 1e-7, so its rounded 6-dp
+    // contribution is 0.000000 — TYING the non-matching query's 0. The
+    // batch scorer (and the x65 oracle's sc CTE) rank over matching rows
+    // only, so they emit (q5, 0.0) here — the gate must agree, whichever
+    // side of the tie holds the smaller id, or it drops a document the
+    // batch path emits.
     val tieModel = Retrieval.Bm25Model(5000000L, 10.0, Seq(
       1L -> Seq.empty, 5L -> Seq("x" -> 5000000L)))
-    Retrieval.bm25IngestGate(docs(7L -> "x x x"), tieModel).count() shouldBe 0L
-    // flipped ids: the matching query now holds the smaller id and wins —
-    // the row emits, with the rounded-to-zero score
+    val tie = Retrieval.bm25IngestGate(docs(7L -> "x x x"), tieModel).collect()
+    tie.map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("score"),
+      r.getAs[Long]("n_terms"))).toSeq shouldBe Seq((5L, 0.0, 1L))
+    // flipped ids: same decision when the matching query holds the smaller id
     val winModel = Retrieval.Bm25Model(5000000L, 10.0, Seq(
       1L -> Seq("x" -> 5000000L), 5L -> Seq.empty))
     val win = Retrieval.bm25IngestGate(docs(7L -> "x x x"), winModel).collect()
@@ -475,10 +478,11 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
           r.getAs[Long]("query_id"), r.getAs[Long]("bench_id")))).toMap
     out(10L) shouldBe ((true, false, true, true, 50L, 100L))
     out(11L) shouldBe ((true, true, true, false, 50L, 100L))
-    // irrelevant: query sentinel 0 (not the kernel's internal argmax pick)
-    out(12L) shouldBe ((false, false, true, false, 0L, 100L))
+    // irrelevant: query sentinel −1 (0 would collide with a legitimate
+    // sheet doc_id 0; not the kernel's internal argmax pick either)
+    out(12L) shouldBe ((false, false, true, false, -1L, 100L))
     // unscreenable: quarantined even though its text serves the task
-    out(13L) shouldBe ((true, false, false, false, 50L, 0L))
+    out(13L) shouldBe ((true, false, false, false, 50L, -1L))
   }
 
   test("hybrid ingest gate: empty benchmark screens on normalizability alone; empty sheet gates all out") {
@@ -494,14 +498,32 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
         ((r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("screenable"),
           r.getAs[Boolean]("keep"), r.getAs[Long]("bench_id"),
           r.getAs[Double]("bench_cosine")))).toMap
-    noBench(10L) shouldBe ((false, true, true, 0L, 0.0))
-    noBench(11L) shouldBe ((false, false, false, 0L, 0.0))
+    noBench(10L) shouldBe ((false, true, true, -1L, 0.0))
+    noBench(11L) shouldBe ((false, false, false, -1L, 0.0))
     val emptyModel = Retrieval.bm25Model(Retrieval.bm25Index(corpus),
       docs().limit(0))
     val noSheet = Retrieval.hybridIngestGate(inp, emptyModel,
       Seq(100L -> Seq(1.0, 0.0)), tau = 0.3).collect()
       .map(r => (r.getAs[Boolean]("relevant"), r.getAs[Boolean]("keep")))
     noSheet.toSet shouldBe Set((false, false))
+  }
+
+  test("gate kernel: a zero-ROUNDED matching score still beats a matchless query on the tie") {
+    // hand-built model: avgdl ~ 1e-9 makes dlTerm enormous, so the matching
+    // term's idf·norm rounds to 0.000000 — the decimal sum then TIES the
+    // matchless query's zero. The batch scorer ranks over matching rows
+    // only, so the gate must prefer the matchful query (q7) over the
+    // lower-id matchless one (q3) or it would drop a document the batch
+    // path emits. (Reachable in nature only at df≈N million-doc corpora —
+    // which is exactly why it is pinned with a synthetic model here.)
+    val model = Retrieval.Bm25Model(n = 10, avgdl = 1e-9,
+      queries = Seq(3L -> Seq("zzz" -> 1L), 7L -> Seq("alpha" -> 1L)))
+    val out = Retrieval.bm25IngestGate(
+      docs(20L -> "alpha filler"), model).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("query_id") shouldBe 7L
+    out.head.getAs[Long]("n_terms") shouldBe 1L
+    out.head.getAs[Double]("score") shouldBe 0.0
   }
 
   test("hybrid RRF: a degenerate QUERY vector still retrieves on lexical evidence alone") {
