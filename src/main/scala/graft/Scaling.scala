@@ -246,6 +246,11 @@ object Scaling {
         graft.queries.CorpusQueries.hybridGateOver(
           rd(d, "documents"), rd(d, "embeddings"),
           rd(d, "embeddings").filter(col("vec_id") < ReplicaOffset))),
+      // x75: fixed query sheet against the m×-growing code table — the
+      // stats aggregate and encode pass grow linearly, the ADC scan is
+      // the narrow byte-table pass the factoring exists for
+      ("embeddings", "x75_sq8_ann",
+        (d, _) => graft.corpus.Quantization.sq8TopK(rd(d, "embeddings"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

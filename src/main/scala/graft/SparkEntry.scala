@@ -124,6 +124,8 @@ object SparkEntry {
     "x71_hybrid_rrf" -> (C.x71HybridRrf _),
     "x72_trunc_ann" -> (C.x72TruncAnn _),
     "x73_hybrid_gate" -> (C.x73HybridGate _),
+    "x74_sq8_codes" -> (C.x74Sq8Codes _),
+    "x75_sq8_ann" -> (C.x75Sq8Ann _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -2,7 +2,7 @@ package graft.corpus
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) over the embedding column — the vector plane's
@@ -461,5 +461,103 @@ object Quantization {
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
           .as("recall"))
+  }
+
+  // ====================================================================
+  // SQ8 — per-dimension scalar (int8) quantization, the simpler sibling
+  // of the PQ plane: no codebooks, no training, 4× smaller than float32,
+  // exact per-dimension reconstruction bounds. The tier a serving fleet
+  // reaches for FIRST (memory-bandwidth-bound scans love byte codes and
+  // the dequantized dot is one FMA chain); PQ takes over when 4× isn't
+  // enough. Codes here ride ARRAY<BIGINT> columns (values 0..255) — a
+  // production sink stores them as bytes; the ARITHMETIC contract (what
+  // the oracle pins) is width-independent.
+  // ====================================================================
+
+  /** Per-dimension (min, max−min) statistics over the healthy normalized
+    * corpus — the SQ8 "codebook". One posexplode + dim-keyed map-side-
+    * partial aggregate (shuffle carries ≤ dim rows per partition), then a
+    * dim-bounded driver collect: the [[sliceCodebooks]] broadcast
+    * discipline. */
+  def sq8Stats(emb: DataFrame, dim: Int = DefaultDim):
+      (Array[Double], Array[Double]) = {
+    val rows = cleanBase(emb, dim)
+      .select(posexplode(col("e")).as(Seq("s", "v")))
+      .groupBy(col("s"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    val mins = new Array[Double](dim)
+    val diffs = new Array[Double](dim)
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      mins(s) = r.getDouble(1)
+      diffs(s) = r.getDouble(2) - r.getDouble(1)
+    }
+    (mins, diffs)
+  }
+
+  /** Element-wise SQ8 encode of a normalized vector against driver-held
+    * stats: code_s = clamp₀²⁵⁵(round(((x − mn_s) / d_s) · 255)), 0 on a
+    * constant dimension (d_s = 0). Stats come from the same corpus, so
+    * x ∈ [mn, mn+d] and the clamp only guards float edges; the operation
+    * order is pinned against the oracle's identical expression. */
+  private def sq8CodeCol(e: Column, mins: Seq[Double],
+      diffs: Seq[Double]): Column =
+    transform(e, (x, i) => {
+      val mn = element_at(typedlit(mins), i + 1)
+      val d = element_at(typedlit(diffs), i + 1)
+      when(d > 0,
+        least(lit(255L), greatest(lit(0L),
+          round((x - mn) / d * 255, 0).cast("long"))))
+        .otherwise(0L)
+    })
+
+  /** X74 — SQ8 encode, flattened to (vec_id, s, code) scalars for the
+    * compare (x66's dump shape). One narrow corpus pass; degenerate
+    * (zero-norm/empty/NULL/mis-dimensioned) vectors drop — nothing sane
+    * can be reconstructed from them. */
+  def sq8Codes(emb: DataFrame, dim: Int = DefaultDim): DataFrame = {
+    val (mins, diffs) = sq8Stats(emb, dim)
+    cleanBase(emb, dim)
+      .select(col("vec_id"),
+        posexplode(sq8CodeCol(col("e"), mins.toSeq, diffs.toSeq))
+          .as(Seq("s", "code")))
+  }
+
+  /** X75 — SQ8 ADC top-k: the dequantized dot factors into one exact
+    * per-query constant plus a dot product with the INTEGER code vector,
+    *
+    *   ⟨q, deq(c)⟩ = Σ q_s·mn_s  +  ⟨(q_s·d_s/255)_s, c⟩,
+    *
+    * so the corpus-scale scan touches only code arrays (the 4×-smaller
+    * index — at 100 TB the scan is memory-bandwidth-bound and that factor
+    * is the speedup) through the codegen'd [[graft.functions.DotProduct]];
+    * queries broadcast with their transformed weights. Output
+    * (qid, neighbor_id, rank, score), rank by score desc then neighbor id. */
+  def sq8TopK(emb: DataFrame, numQueries: Int = DefaultQueries,
+      k: Int = DefaultTopK, dim: Int = DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mins, diffs) = sq8Stats(emb, dim)
+    val codes = cleanBase(emb, dim)
+      .select(col("vec_id"),
+        sq8CodeCol(col("e"), mins.toSeq, diffs.toSeq)
+          .cast("array<double>").as("codes"))
+    val queries = cleanBase(emb, dim)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorOps.dotp(col("e"), typedlit(mins.toSeq))
+          .as("qconst"),
+        transform(col("e"), (x, i) =>
+          x * element_at(typedlit(diffs.toSeq), i + 1) / 255).as("qs"))
+    codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (graft.functions.VectorOps.dotp(col("qs"), col("codes")) +
+          col("qconst")).as("sc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sc").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"),
+        round(col("sc"), 6).as("score"))
   }
 }

@@ -1815,6 +1815,39 @@ FROM inp LEFT JOIN best ON inp.doc_id = best.doc_id
          LEFT JOIN dm ON inp.doc_id = dm.doc_id"""
     },
 
+    // x74: SQ8 encode — per-dimension (min, max−min) stats over the healthy
+    // normalized corpus, code = clamp₀²⁵⁵(round(((v−mn)/d)·255)) in the
+    // engine's exact operation order (v ≥ mn by construction, so rounding
+    // is positive-half-up in both engines); constant dims code 0
+    "x74_sq8_codes" -> (sq8Prelude + "\nSELECT vec_id, s, code FROM enc"),
+
+    // x75: SQ8 ADC — the dequantized dot factored exactly as the engine
+    // does: qconst = ⟨q, mins⟩ plus ⟨(q_s·d_s/255)_s, codes⟩, both dots the
+    // same left-to-right fold over the same doubles
+    "x75_sq8_ann" -> {
+      val dim = graft.corpus.Quantization.DefaultDim
+      val nq = graft.corpus.Quantization.DefaultQueries
+      val k = graft.corpus.Quantization.DefaultTopK
+      sq8Prelude + s""",
+codesl AS (SELECT vec_id, list(code ORDER BY s) AS codes
+           FROM enc GROUP BY vec_id),
+sl AS (SELECT list(mn ORDER BY s) AS ml, list(d ORDER BY s) AS dl
+       FROM stats),
+q AS (
+  SELECT vec_id AS qid,
+         list_dot_product(e, ml) AS qconst,
+         list_transform(range($dim), i -> e[i+1] * dl[i+1] / 255) AS qs
+  FROM cb CROSS JOIN sl WHERE vec_id < $nq),
+sc AS (
+  SELECT qid, c.vec_id AS neighbor_id,
+         list_dot_product(qs, CAST(codes AS DOUBLE[])) + qconst AS sc
+  FROM codesl c CROSS JOIN q WHERE c.vec_id <> qid)
+SELECT qid, neighbor_id, rn AS "rank", round(sc, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY sc DESC, neighbor_id) AS rn FROM sc)
+WHERE rn <= $k"""
+    },
+
     // x72: truncated-dim two-stage ANN — stage-1 shortlist by prefix dot on
     // the SAME unit-normalized doubles (DuckDB's e[1:d'] slice = the
     // engine's slice(e, 1, d'), both 1-based leading windows), stage-2
@@ -1842,6 +1875,27 @@ FROM (SELECT qid, neighbor_id, cos,
 WHERE rn <= $k"""
     }
   )
+
+  /** SQ8 CTE chain (x74/x75): per-dimension stats over the healthy
+    * normalized corpus (`cb`), 1-based `generate_subscripts` aligned back
+    * to the engine's 0-based posexplode via `s - 1`; `stats(s, mn, d)`
+    * keeps the 1-based key for the list() re-assembly in x75. */
+  private def sq8Prelude: String = {
+    val dim = graft.corpus.Quantization.DefaultDim
+    s"""WITH $embBase,
+cb AS (SELECT vec_id, e FROM base WHERE e IS NOT NULL AND len(e) = $dim),
+stats AS (
+  SELECT s, MIN(v) AS mn, MAX(v) - MIN(v) AS d FROM (
+    SELECT unnest(e) AS v, generate_subscripts(e, 1) AS s FROM cb)
+  GROUP BY s),
+enc AS (
+  SELECT vec_id, s - 1 AS s,
+         CASE WHEN d > 0 THEN LEAST(255, GREATEST(0,
+           CAST(round((v - mn) / d * 255, 0) AS BIGINT)))
+         ELSE 0 END AS code
+  FROM (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS s
+        FROM cb) ev JOIN stats USING (s))"""
+  }
 
   /** PQ encode CTE chain (x66/x67/x68): deterministic slice codebooks from
     * the first-ksub seed convention; argmin squared-L2 per (vector,

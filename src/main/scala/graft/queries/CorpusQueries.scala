@@ -434,6 +434,16 @@ object CorpusQueries {
     * reference set) in one narrow projection; keep = relevant ∧
     * ¬contaminated ∧ screenable. The embeddings table plays doc_id's
     * embedding (x71's positional linkage). */
+  /** x74 — SQ8 encode: per-dimension min/max scalar quantization to
+    * 0..255 codes, flattened to (vec_id, s, code) for the compare. */
+  def x74Sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.sq8Codes(emb(spark, dir))
+
+  /** x75 — SQ8 ADC top-5: dequantized dot factored into a per-query
+    * constant + an integer-code dot product. */
+  def x75Sq8Ann(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Quantization.sq8TopK(emb(spark, dir))
+
   def x73HybridGate(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     hybridGateOver(docs(spark, dir), e, e)

@@ -167,4 +167,54 @@ object QuantizationProperties extends Properties("quantization") {
         }
       }
     }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  property("SQ8: codes match a min-max replica; ADC is the factored dequantized dot") =
+    Prop.forAll(fixtureGen) { f =>
+      val base = f.rows.flatMap { case (id, v) =>
+        if (v.length != f.dim) None else norm(v).map(id -> _) }
+      (base.size > 4) ==> {
+        val dim = f.dim
+        val mins = Array.tabulate(dim)(s => base.map(_._2(s)).min)
+        val diffs = Array.tabulate(dim)(s => base.map(_._2(s)).max - mins(s))
+        // the engine's exact code arithmetic: ((x−mn)/d)·255, HALF_UP, clamp
+        def code(x: Double, s: Int): Long =
+          if (diffs(s) > 0) math.min(255L, math.max(0L,
+            java.math.BigDecimal.valueOf((x - mins(s)) / diffs(s) * 255)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+          else 0L
+        val expCodes = base.flatMap { case (id, e) =>
+          e.indices.map(s => (id, s) -> code(e(s), s)) }.toMap
+        val gotCodes = Quantization.sq8Codes(df(f), dim).collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("s")) ->
+            r.getAs[Long]("code")).toMap
+        val codesOk = gotCodes == expCodes
+        // ADC referee: qconst = ⟨q, mins⟩, plus ⟨(q_s·d_s/255)_s, codes⟩
+        val nq = 10L; val k = 3
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val expAdc = base.filter(_._1 < nq).flatMap { case (qid, qe) =>
+          val qconst = dot(qe.toSeq, mins.toSeq)
+          val qs = Array.tabulate(dim)(s => qe(s) * diffs(s) / 255)
+          base.filter(_._1 != qid).map { case (id, e) =>
+            val codes = Array.tabulate(dim)(s => code(e(s), s).toDouble)
+            (id, dot(qs.toSeq, codes.toSeq) + qconst)
+          }.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+            .take(k).zipWithIndex
+            .map { case ((id, sc), i) => (qid, id, i + 1, round6(sc)) }
+        }.toSet
+        val gotAdc = Quantization.sq8TopK(df(f), numQueries = nq.toInt,
+            k = k, dim = dim).collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Int]("rank"), r.getAs[Double]("score"))).toSet
+        (codesOk && gotAdc == expAdc) :|
+          s"codesOk=$codesOk adc got=${gotAdc.size} exp=${expAdc.size}"
+      }
+    }
 }
