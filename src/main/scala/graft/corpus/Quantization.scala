@@ -524,6 +524,22 @@ object Quantization {
           .as(Seq("s", "code")))
   }
 
+  /** [[sq8Codes]]'s array-shaped production twin: (vec_id, passthrough…,
+    * codes ARRAY<BIGINT>) per HEALTHY vector against caller-held stats —
+    * the [[encoded]] shape for SQ8, one stateless narrow projection, so it
+    * composes unchanged onto a streaming frame
+    * ([[graft.streaming.StreamOps]]); degenerate/mis-dimensioned vectors
+    * drop (nothing reconstructable can enter the code table). */
+  def sq8Encoded(emb: DataFrame, mins: Array[Double], diffs: Array[Double],
+      dim: Int = DefaultDim, passthrough: Seq[String] = Nil): DataFrame = {
+    require(mins.length == dim && diffs.length == dim,
+      s"sq8Encoded: stats must carry one (min, diff) per dimension ($dim)")
+    Similarity.normalizedBase(emb, passthrough: _*)
+      .filter(col("e").isNotNull && size(col("e")) === dim)
+      .select(col("vec_id") +: passthrough.map(col) :+
+        sq8CodeCol(col("e"), mins.toSeq, diffs.toSeq).as("codes"): _*)
+  }
+
   /** X75 — SQ8 ADC top-k: the dequantized dot factors into one exact
     * per-query constant plus a dot product with the INTEGER code vector,
     *

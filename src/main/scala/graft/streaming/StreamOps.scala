@@ -176,6 +176,21 @@ object StreamOps {
       passthrough: Seq[String] = Nil): DataFrame =
     graft.corpus.Quantization.encoded(vecs, codebooks, dim, passthrough)
 
+  /** Streaming SQ8 encoding against frozen per-dimension stats — the
+    * [[encodeEmbeddings]] twin for the scalar-quantization tier (x74):
+    * compress each arriving embedding to its 0..255 code vector at ingest
+    * so the byte-width code table stays current without re-reading the
+    * corpus. One stateless narrow projection
+    * ([[graft.corpus.Quantization.sq8Encoded]] — codes batch-equal by
+    * construction, spec-pinned); degenerate or wrong-dimension vectors
+    * DROP. Stats are a corpus-snapshot artifact ([[graft.corpus
+    * .Quantization.sq8Stats]]) — recompute them on re-snapshot, not per
+    * batch (a drifting range would silently re-scale old codes). */
+  def encodeSq8(vecs: DataFrame, mins: Array[Double], diffs: Array[Double],
+      dim: Int = graft.corpus.Quantization.DefaultDim,
+      passthrough: Seq[String] = Nil): DataFrame =
+    graft.corpus.Quantization.sq8Encoded(vecs, mins, diffs, dim, passthrough)
+
   /** Streaming IVF-PQ index maintenance — [[encodeEmbeddings]] plus the
     * cell assignment, emitting full `(vec_id, cid, codes)` index rows for
     * each arriving vector under frozen centroids + codebooks: append them

@@ -425,6 +425,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming SQ8 encoding emits batch-equal codes and drops degenerates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => (1.0 + ((i + j) % 5)).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (mins, diffs) = graft.corpus.Quantization.sq8Stats(corpus, 8)
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val out = StreamOps.encodeSq8(
+      input.toDF().toDF("vec_id", "embedding", "source"), mins, diffs, 8,
+      Seq("source"))
+    out.isStreaming shouldBe true
+    val sink = s"sq8enc_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops8").toString)
+      .start()
+    try {
+      input.addData(
+        (100L, Array.tabulate(8)(j => (2.0 + j % 3).toFloat), "srcA"),
+        (101L, Array.fill(8)(0.0f), "srcB"),      // zero norm → dropped
+        (102L, Array.fill(4)(1.0f), "srcC"),      // wrong dim → dropped
+        (103L, Array.tabulate(8)(j => (1.0 + j % 5).toFloat), "srcD"))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[String]("source"), r.getSeq[Long](r.fieldIndex("codes")))))
+        .toMap
+      rows.keySet shouldBe Set(100L, 103L)
+      rows(100L)._1 shouldBe "srcA"
+      // streaming codes equal the BATCH encoder's bit-for-bit
+      val batch = graft.corpus.Quantization.sq8Encoded(
+        Seq((100L, Array.tabulate(8)(j => (2.0 + j % 3).toFloat), 0),
+          (103L, Array.tabulate(8)(j => (1.0 + j % 5).toFloat), 0))
+          .toDF("vec_id", "embedding", "label"), mins, diffs, 8).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+      rows(100L)._2 shouldBe batch(100L)
+      rows(103L)._2 shouldBe batch(103L)
+      // codes must be in byte range — the storage contract
+      rows.values.flatMap(_._2).foreach { c =>
+        c should be >= 0L; c should be <= 255L }
+    } finally q.stop()
+  }
+
   test("streaming PQ encoding emits batch-equal codes and drops degenerates") {
     val s = spark
     import s.implicits._
