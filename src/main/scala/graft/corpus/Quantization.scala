@@ -518,10 +518,8 @@ object Quantization {
     * can be reconstructed from them. */
   def sq8Codes(emb: DataFrame, dim: Int = DefaultDim): DataFrame = {
     val (mins, diffs) = sq8Stats(emb, dim)
-    cleanBase(emb, dim)
-      .select(col("vec_id"),
-        posexplode(sq8CodeCol(col("e"), mins.toSeq, diffs.toSeq))
-          .as(Seq("s", "code")))
+    sq8Encoded(emb, mins, diffs, dim)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
   }
 
   /** [[sq8Codes]]'s array-shaped production twin: (vec_id, passthrough…,
@@ -548,16 +546,17 @@ object Quantization {
     * so the corpus-scale scan touches only code arrays (the 4×-smaller
     * index — at 100 TB the scan is memory-bandwidth-bound and that factor
     * is the speedup) through the codegen'd [[graft.functions.DotProduct]];
-    * queries broadcast with their transformed weights. Output
-    * (qid, neighbor_id, rank, score), rank by score desc then neighbor id. */
+    * the BOUNDED query sheet broadcasts, its constants and weight vectors
+    * computed inside the broadcast subplan (sheet-sized work — unlike the
+    * PQ searches' driver-collected LUTs, nothing here needs a collect).
+    * Output (qid, neighbor_id, rank, score), rank by score desc then
+    * neighbor id. */
   def sq8TopK(emb: DataFrame, numQueries: Int = DefaultQueries,
       k: Int = DefaultTopK, dim: Int = DefaultDim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (mins, diffs) = sq8Stats(emb, dim)
-    val codes = cleanBase(emb, dim)
-      .select(col("vec_id"),
-        sq8CodeCol(col("e"), mins.toSeq, diffs.toSeq)
-          .cast("array<double>").as("codes"))
+    val codes = sq8Encoded(emb, mins, diffs, dim)
+      .select(col("vec_id"), col("codes").cast("array<double>").as("codes"))
     val queries = cleanBase(emb, dim)
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"),

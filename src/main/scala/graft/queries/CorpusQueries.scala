@@ -434,6 +434,11 @@ object CorpusQueries {
     * reference set) in one narrow projection; keep = relevant ∧
     * ¬contaminated ∧ screenable. The embeddings table plays doc_id's
     * embedding (x71's positional linkage). */
+  def x73HybridGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    hybridGateOver(docs(spark, dir), e, e)
+  }
+
   /** x74 — SQ8 encode: per-dimension min/max scalar quantization to
     * 0..255 codes, flattened to (vec_id, s, code) for the compare. */
   def x74Sq8Codes(spark: SparkSession, dir: String): DataFrame =
@@ -443,11 +448,6 @@ object CorpusQueries {
     * constant + an integer-code dot product. */
   def x75Sq8Ann(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Quantization.sq8TopK(emb(spark, dir))
-
-  def x73HybridGate(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    hybridGateOver(docs(spark, dir), e, e)
-  }
 
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
