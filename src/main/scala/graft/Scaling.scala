@@ -246,6 +246,13 @@ object Scaling {
         graft.queries.CorpusQueries.hybridGateOver(
           rd(d, "documents"), rd(d, "embeddings"),
           rd(d, "embeddings").filter(col("vec_id") < ReplicaOffset))),
+      // x76: the hashing trick IS the scale story — replicas multiply the
+      // vocabulary m× (per-replica token suffixes) but the feature space
+      // stays 256 buckets, so each training pass is one growing narrow
+      // fold + a (B+1)-row-bounded gradient aggregate; the cell runs the
+      // exact driver query (train 2 passes + score)
+      ("documents", "x76_quality_lr", (d, _) =>
+        graft.queries.CorpusQueries.x76QualityLr(spark, d)),
       // x75: fixed query sheet against the m×-growing code table — the
       // stats aggregate and encode pass grow linearly, the ADC scan is
       // the narrow byte-table pass the factoring exists for

@@ -1,0 +1,182 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Discriminative quality classification — the hashed-feature logistic
+  * regression a GPT-3/LLaMA-style pipeline trains to separate a target
+  * ("high-quality") document slice from the raw crawl, then applies as the
+  * per-document keep gate. The generative twin of [[TextStats.importanceWeights]]
+  * (DSIR, Xie et al. 2023, explicitly benchmarks against exactly this
+  * discriminative baseline); the positive class here is the SAME target-domain
+  * slice ([[TextStats.DsirTargetSources]]) so the two scores are directly
+  * comparable on a corpus.
+  *
+  * Model: logistic regression over hashed unigram COUNTS (the fastText /
+  * hashing-trick shape — tokens hash into `buckets` buckets via the md5-prefix
+  * idiom every hashed-feature op in this engine shares, so the feature space is
+  * fixed-width no matter the vocabulary) trained by full-batch gradient
+  * descent.
+  *
+  * Determinism (the oracle/parity contract): weights live in 8-dp FIXED-POINT
+  * micro-units (`Long`, the x67 integer-score discipline). Per-document margins
+  * are exact integer sums, so they are identical under ANY partitioning or
+  * evaluation order; the only floating-point steps are the per-document
+  * sigmoid and the driver-side step-size arithmetic, both written as the
+  * IDENTICAL double-op sequence in the DuckDB oracle (`1.0/(1.0+exp(-(m /
+  * 1.0E8)))`; `floor(x + 0.5)` for every fixed-point rounding — floor-based so
+  * both engines share one rounding rule). Per-document gradient contributions
+  * are rounded to micro-units BEFORE the per-bucket sum, making that sum exact
+  * integer arithmetic too — the x19 round-then-exact-sum trick.
+  *
+  * Scale shape: training runs `iterations` passes over a persisted
+  * `(doc_id, y, buckets)` feature frame (tokenize+md5 paid ONCE,
+  * MEMORY_AND_DISK so a 100 TB corpus spills rather than OOMs). Each pass is
+  * one narrow projection (the margin fold — exact long arithmetic against the
+  * broadcast weight-array literal) followed by a map-side-partial aggregate
+  * whose output is `buckets + 1` rows (the per-bucket gradient plus the bias
+  * row) — the ONLY shuffle, carrying ≤ `buckets + 1` rows per partition.
+  * Weights are a driver-held `Array[Long]` (≤ 64 k entries by the same bound
+  * [[TextStats.importanceWeights]] enforces). Scoring is ONE stateless narrow
+  * codegen-friendly projection — zero shuffles, zero state — so it composes
+  * unchanged onto a streaming DataFrame
+  * ([[graft.streaming.StreamOps.gateByQuality]]).
+  */
+object Classifier {
+
+  /** Positive-class sources — the DSIR target domain, so x30's generative
+    * importance weight and x76's discriminative probability score the same
+    * notion of "looks like the target". Shared with the x76 oracle generator
+    * so the two cannot drift. */
+  def PositiveSources: Seq[String] = TextStats.DsirTargetSources
+
+  /** Feature-space width. Shared with the x76 oracle generator. */
+  val DefaultBuckets = 256
+
+  /** Full-batch GD step size. Shared with the x76 oracle generator. */
+  val DefaultLearningRate = 0.5
+
+  /** Training passes for the driver query — two, so the oracle pins a margin
+    * computed under NON-TRIVIAL weights (iteration 1 from zero init has
+    * constant p = 0.5; only the second pass exercises the sigmoid-of-real-
+    * margin arithmetic). Shared with the x76 oracle generator. */
+  val DefaultIterations = 2
+
+  /** 8-dp fixed-point scale for weights/margins/gradients. */
+  val MicroScale = 1.0e8
+
+  /** A trained model: per-bucket weights and the bias, in micro-units.
+    * Driver-held and broadcast into scoring plans as array literals —
+    * `buckets`-bounded regardless of corpus size. */
+  final case class LrModel(weightsMicro: Array[Long], biasMicro: Long) {
+    def buckets: Int = weightsMicro.length
+  }
+
+  /** Token → bucket in [0, buckets): first 4 hex digits of md5, mod buckets —
+    * the [[TextStats.importanceWeights]] hashing idiom (engine-neutral: the
+    * oracle reproduces it nibble-by-nibble in SQL). */
+  private def bucketOf(t: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("int"), lit(buckets))
+
+  /** Per-document hashed-feature array: one bucket id per whitespace token,
+    * in token order. NULL text reads as zero tokens (the document still
+    * carries its bias contribution and counts toward N — the oracle's CASE
+    * does the same), never as a NULL row that would silently drop the doc
+    * from training. */
+  private def bucketsCol(buckets: Int): Column =
+    when(col("text").isNull, typedlit(Seq.empty[Int]))
+      .otherwise(transform(split(col("text"), " "), t => bucketOf(t, buckets)))
+
+  /** Exact fixed-point margin under a weight-array literal: bias plus the sum
+    * of each token-bucket's weight — a pure LONG fold, identical under any
+    * evaluation order. `wLit` must be the model's `buckets`-element array. */
+  private def marginMicro(bs: Column, wLit: Column, biasMicro: Long): Column =
+    aggregate(bs, lit(biasMicro), (acc, b) => acc + element_at(wLit, b + 1))
+
+  /** `sigmoid(marginMicro / 1e8)` — the ONE double-op sequence both engines
+    * compute (`1.0 / (1.0 + exp(-(m / 1.0E8)))`). */
+  private def probOf(m: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-(m / lit(MicroScale))))
+
+  /** Train by full-batch gradient descent from zero init. Each iteration is
+    * one pass over the persisted feature frame: margins (exact long fold) →
+    * per-doc gradient factor `gm = floor((p − y)·1e8 + 0.5)` → ONE aggregate
+    * producing the per-bucket gradient sums AND the bias gradient (the bias
+    * rides as pseudo-bucket −1 through the same explode+sum, so the two
+    * gradients never duplicate the subtree into a second corpus pass — the
+    * x30 single-aggregate lesson). Update: `w −= floor(lr·G/N + 0.5)` in
+    * micro-units, computed driver-side with the exact op order the oracle
+    * replicates. */
+  def trainQualityLr(docs: DataFrame,
+      positiveSources: Seq[String] = PositiveSources,
+      buckets: Int = DefaultBuckets,
+      lr: Double = DefaultLearningRate,
+      iterations: Int = DefaultIterations): LrModel = {
+    require(buckets > 0 && buckets <= 65536, "bucket hash reads 4 hex digits")
+    require(iterations >= 1, "at least one training pass")
+    val y = when(col("source").isInCollection(positiveSources), 1.0)
+      .otherwise(0.0)
+    val feat = docs.select(y.as("y"), bucketsCol(buckets).as("bs"))
+      .persist()
+    try {
+      val n = feat.count() // materializes the cache; N for the mean gradient
+      if (n == 0L) return LrModel(Array.fill(buckets)(0L), 0L)
+      val w = Array.fill(buckets)(0L)
+      var bias = 0L
+      var it = 0
+      while (it < iterations) {
+        val wLit = typedlit(w.toSeq)
+        val gm = floor(
+          (probOf(marginMicro(col("bs"), wLit, bias)) - col("y"))
+            * lit(MicroScale) + lit(0.5))
+        // bias as pseudo-bucket −1: one explode, one B+1-row aggregate
+        val grads = feat
+          .select(gm.as("gm"),
+            explode(concat(array(lit(-1)), col("bs"))).as("b"))
+          .groupBy(col("b")).agg(sum(col("gm")).as("g"))
+          .collect() // ≤ buckets + 1 rows by construction
+        grads.foreach { r =>
+          val b = r.getInt(0)
+          val step = math.floor(lr * r.getLong(1).toDouble / n + 0.5).toLong
+          if (b < 0) bias -= step else w(b) -= step
+        }
+        it += 1
+      }
+      LrModel(w, bias)
+    } finally feat.unpersist()
+  }
+
+  /** Margin + probability columns under a frozen model, as one narrow
+    * stateless projection over `text` — the streaming-safe kernel
+    * [[scoreQualityLr]] and [[graft.streaming.StreamOps.gateByQuality]]
+    * share. Margin is the exact fixed-point value surfaced as a 6-dp double;
+    * prob its sigmoid, 6-dp. */
+  def qualityCols(model: LrModel): (Column, Column) = {
+    val m = marginMicro(bucketsCol(model.buckets),
+      typedlit(model.weightsMicro.toSeq), model.biasMicro)
+    (round(m / lit(MicroScale), 6), round(probOf(m), 6))
+  }
+
+  /** Score every document under a frozen model: `(doc_id, is_target, margin,
+    * prob)` — `is_target` is the training label, kept so the output doubles
+    * as the classifier's eval frame (threshold sweeps, per-source calibration)
+    * without a join back. One narrow projection; zero shuffles. */
+  def scoreQualityLr(docs: DataFrame, model: LrModel,
+      positiveSources: Seq[String] = PositiveSources): DataFrame = {
+    val (margin, prob) = qualityCols(model)
+    docs.select(col("doc_id"),
+      when(col("source").isInCollection(positiveSources), 1)
+        .otherwise(0).as("is_target"),
+      margin.as("margin"), prob.as("prob"))
+  }
+
+  /** The ingest-side gate: every input column plus `margin`, `prob`, and
+    * `keep` (prob ≥ tau). Emits flags rather than filtering — the x73
+    * routing doctrine — and stays a stateless narrow projection, so it
+    * composes unchanged onto a streaming DataFrame. */
+  def qualityGate(docs: DataFrame, model: LrModel, tau: Double): DataFrame = {
+    val (margin, prob) = qualityCols(model)
+    docs.select(col("*"), margin.as("margin"), prob.as("prob"))
+      .withColumn("keep", col("prob") >= lit(tau))
+  }
+}

@@ -995,10 +995,74 @@ SELECT doc_id, ${names.mkString(", ")},
 FROM c"""
   }
 
+  /** x76 — hashed-unigram logistic regression (Classifier.trainQualityLr +
+    * scoreQualityLr), replayed CTE-by-CTE: same md5-prefix bucket hash as
+    * x30, margins/weights in exact 8-dp fixed point (BIGINT), the sigmoid and
+    * every `floor(x + 0.5)` fixed-point rounding written as the engine's
+    * identical double-op sequence, one iteration block per training pass
+    * (the lloydChain generation pattern). Buckets absent from the corpus stay
+    * weight-0 in the engine's array and absent here — they contribute 0 to
+    * every margin either way. */
+  private def classifierSql: String = {
+    val C = graft.corpus.Classifier
+    val B = C.DefaultBuckets
+    val lr = C.DefaultLearningRate
+    val ms = C.MicroScale
+    val targets = C.PositiveSources.map(s => s"'$s'").mkString(", ")
+    // token → bucket: first 4 md5 hex nibbles, mod B (the dsirSql idiom)
+    val bucket = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+    }.mkString("(", "\n        + ", s") % $B")
+    val sigmoid = (m: String) => s"1.0/(1.0 + exp(-($m / $ms)))"
+    val iterations = (1 to C.DefaultIterations).map { i =>
+      val prevM = s"m${i - 1}"
+      val step = (g: String) =>
+        s"CAST(FLOOR($lr * $g / (SELECT n FROM nn) + 0.5) AS BIGINT)"
+      val prevBias = if (i == 1) "0" else s"(SELECT bias FROM bi${i - 1})"
+      // every bucket in gr$i is in w${i-1} and vice versa: both domains are
+      // exactly occ's bucket set, so the inner join loses nothing
+      val wFrom =
+        if (i == 1) s"SELECT b, 0 - ${step("g")} AS w FROM gr$i"
+        else s"SELECT gr$i.b, p.w - ${step(s"gr$i.g")} AS w " +
+          s"FROM gr$i JOIN w${i - 1} p ON p.b = gr$i.b"
+      s"""g$i AS (
+  SELECT doc_id, y,
+    CAST(FLOOR((${sigmoid("m")} - y) * $ms + 0.5) AS BIGINT) AS gm
+  FROM $prevM),
+gr$i AS (SELECT b, SUM(gm) AS g FROM occ JOIN g$i USING (doc_id) GROUP BY b),
+bi$i AS (SELECT $prevBias - ${step(s"(SELECT SUM(gm) FROM g$i)")} AS bias),
+w$i AS ($wFrom),
+m$i AS (
+  SELECT base.doc_id, base.y,
+    CAST((SELECT bias FROM bi$i) + COALESCE(s.sw, 0) AS BIGINT) AS m
+  FROM base LEFT JOIN (
+    SELECT o.doc_id, SUM(w$i.w) AS sw FROM occ o JOIN w$i USING (b)
+    GROUP BY o.doc_id) s
+  ON base.doc_id = s.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH base AS (
+  SELECT doc_id,
+    CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
+    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[])
+         ELSE list_transform(string_split(text, ' '), t -> $bucket) END AS bs
+  FROM documents),
+occ AS (SELECT doc_id, unnest(bs) AS b FROM base),
+nn AS (SELECT COUNT(*) AS n FROM base),
+m0 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m FROM base),
+$iterations
+SELECT doc_id, CAST(y AS INTEGER) AS is_target,
+  round(m / $ms, 6) AS margin,
+  round(${sigmoid("m")}, 6) AS prob
+FROM m${C.DefaultIterations}"""
+  }
+
   val sql: Map[String, String] = Map(
 
     // x41: temperature-scaled source mixing weights
     "x41_mix_weights" -> mixWeightsSql,
+
+    // x76: hashed-unigram logistic-regression quality classifier
+    "x76_quality_lr" -> classifierSql,
 
     // x42: embedding-space benchmark decontamination
     "x42_embed_decontam" -> embedDecontamSql,

@@ -449,6 +449,15 @@ object CorpusQueries {
   def x75Sq8Ann(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Quantization.sq8TopK(emb(spark, dir))
 
+  /** x76 — discriminative quality classifier: hashed-unigram logistic
+    * regression trained by 2 full-batch GD passes against the DSIR target
+    * domain, then scored over the corpus (fixed-point-exact margins). */
+  def x76QualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.corpus.Classifier.scoreQualityLr(
+      d, graft.corpus.Classifier.trainQualityLr(d))
+  }
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the

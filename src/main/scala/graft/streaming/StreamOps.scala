@@ -206,4 +206,18 @@ object StreamOps {
       centroids: Seq[(Long, Seq[Double])],
       dim: Int = graft.corpus.Quantization.DefaultDim): DataFrame =
     graft.corpus.Quantization.ivfPqIndex(vecs, codebooks, centroids, dim)
+
+  /** Streaming quality gating — each arriving document's margin/prob under a
+    * FROZEN trained classifier ([[graft.corpus.Classifier]]'s X76 kernel),
+    * plus `keep = prob ≥ tau`: the discriminative quality filter applied at
+    * ingest. The model is a driver-held buckets-bounded array literal; the
+    * whole gate is ONE stateless narrow projection (exact fixed-point margin
+    * fold — batch-equal scores by construction, spec-pinned), so NO
+    * watermark, NO state, any output mode. Flags are emitted, not filtered —
+    * the x73 routing doctrine (keep → train pool, rest → audit). Retraining
+    * is the batch side's job ([[graft.corpus.Classifier.trainQualityLr]] on
+    * a corpus snapshot); this twin keeps scoring current between retrains. */
+  def gateByQuality(docs: DataFrame,
+      model: graft.corpus.Classifier.LrModel, tau: Double): DataFrame =
+    graft.corpus.Classifier.qualityGate(docs, model, tau)
 }

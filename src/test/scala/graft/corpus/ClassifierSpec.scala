@@ -1,0 +1,207 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** X76 — hashed-unigram logistic-regression quality classifier.
+  *
+  * The training loop is pinned against a collections-only referee that
+  * replays the EXACT arithmetic contract (md5-prefix bucket hash, 8-dp
+  * fixed-point margins as long sums, `math.exp` sigmoid, `floor(x + 0.5)`
+  * fixed-point rounding, `w -= floor(lr·G/N + 0.5)` updates) — the same
+  * lockstep discipline the x76 DuckDB oracle encodes in SQL. */
+class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def docsDf(rows: Seq[(Long, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  // ---- collections-only referee -------------------------------------------
+
+  private def bucketOf(t: String, buckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16) % buckets
+  }
+
+  /** Spark's `split(text, " ")` is a limit=-1 regex split (keeps trailing
+    * empties); NULL text reads as zero tokens. */
+  private def tokensOf(text: String): Seq[String] =
+    if (text == null) Nil else text.split(" ", -1).toSeq
+
+  private def refereeTrain(rows: Seq[(Long, String, String)],
+      positives: Set[String], buckets: Int, lr: Double,
+      iterations: Int): (Array[Long], Long) = {
+    val feats = rows.map { case (_, src, text) =>
+      (if (positives(src)) 1.0 else 0.0,
+        tokensOf(text).map(bucketOf(_, buckets)))
+    }
+    val n = feats.size
+    val w = Array.fill(buckets)(0L)
+    var bias = 0L
+    for (_ <- 1 to iterations) {
+      val grads = new Array[Long](buckets)
+      var gBias = 0L
+      feats.foreach { case (y, bs) =>
+        val m = bias + bs.map(b => w(b)).sum
+        val p = 1.0 / (1.0 + math.exp(-(m / 1.0e8)))
+        val gm = math.floor((p - y) * 1.0e8 + 0.5).toLong
+        gBias += gm
+        bs.foreach(b => grads(b) += gm)
+      }
+      bias -= math.floor(lr * gBias.toDouble / n + 0.5).toLong
+      var b = 0
+      while (b < buckets) {
+        w(b) -= math.floor(lr * grads(b).toDouble / n + 0.5).toLong
+        b += 1
+      }
+    }
+    (w, bias)
+  }
+
+  private def refereeMargins(rows: Seq[(Long, String, String)],
+      w: Array[Long], bias: Long): Map[Long, Long] =
+    rows.map { case (id, _, text) =>
+      id -> (bias + tokensOf(text).map(t => w(bucketOf(t, w.length))).sum)
+    }.toMap
+
+  private val corpus = Seq(
+    (0L, "src0", "the quick brown fox"),
+    (1L, "src0", "the quick quick fox"),
+    (2L, "src1", "lorem ipsum dolor sit amet"),
+    (3L, "src7", "spam spam spam click here"),
+    (4L, "src8", "click here now spam"),
+    (5L, "src9", "the brown dog sleeps"),
+    (6L, "src1", "fox and dog and fox"))
+
+  test("trainQualityLr matches the collections referee exactly (weights, bias, margins)") {
+    val positives = Set("src0", "src1")
+    for (iters <- Seq(1, 2, 3)) {
+      val model = Classifier.trainQualityLr(docsDf(corpus),
+        positiveSources = positives.toSeq, buckets = 64, lr = 0.5,
+        iterations = iters)
+      val (rw, rb) = refereeTrain(corpus, positives, 64, 0.5, iters)
+      model.biasMicro shouldBe rb
+      model.weightsMicro.toSeq shouldBe rw.toSeq
+      // scored margins are the exact fixed-point referee margins at 6 dp
+      val ref = refereeMargins(corpus, rw, rb)
+      val scored = Classifier.scoreQualityLr(
+        docsDf(corpus), model, positives.toSeq).collect()
+      scored.foreach { r =>
+        val exp = BigDecimal(ref(r.getLong(0)) / 1.0e8)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        r.getAs[Double]("margin") shouldBe exp
+      }
+    }
+  }
+
+  test("trainQualityLr on randomized corpora stays in referee lockstep") {
+    val rnd = new scala.util.Random(76)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "", "é")
+    for (trial <- 1 to 3) {
+      val rows = (0L until 40L).map { id =>
+        val src = s"src${rnd.nextInt(6)}"
+        val text = Seq.fill(1 + rnd.nextInt(12))(
+          words(rnd.nextInt(words.size))).mkString(" ")
+        (id, src, text)
+      }
+      val positives = Set("src0", "src3")
+      val model = Classifier.trainQualityLr(docsDf(rows),
+        positiveSources = positives.toSeq, buckets = 32, lr = 0.3,
+        iterations = 2)
+      val (rw, rb) = refereeTrain(rows, positives, 32, 0.3, 2)
+      withClue(s"trial $trial: ") {
+        model.biasMicro shouldBe rb
+        model.weightsMicro.toSeq shouldBe rw.toSeq
+      }
+    }
+  }
+
+  test("a separable corpus trains toward separation (positives score higher)") {
+    // disjoint vocabularies: the classifier must order every positive above
+    // every negative after two passes
+    val rows = (0L until 20L).map { id =>
+      if (id < 10) (id, "src0", "good clean prose text here")
+      else (id, "src9", "zz xx yy ww vv uu")
+    }
+    val model = Classifier.trainQualityLr(docsDf(rows))
+    val scored = Classifier.scoreQualityLr(docsDf(rows), model).collect()
+      .map(r => (r.getInt(1), r.getAs[Double]("prob"))).toSeq
+    val pos = scored.collect { case (1, p) => p }
+    val neg = scored.collect { case (0, p) => p }
+    pos.min should be > neg.max
+  }
+
+  test("NULL text carries the bias alone: counted in N, margin = bias") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, "src0", Some("alpha beta")), (1L, "src5", None),
+      (2L, "src5", Some("alpha gamma")))
+    val df = rows.toDF("doc_id", "source", "text")
+    val model = Classifier.trainQualityLr(df, buckets = 16, iterations = 2)
+    // referee with null text for doc 1
+    val refRows = rows.map { case (id, src, t) => (id, src, t.orNull) }
+    val (rw, rb) = refereeTrain(refRows, Classifier.PositiveSources.toSet,
+      16, Classifier.DefaultLearningRate, 2)
+    model.biasMicro shouldBe rb
+    model.weightsMicro.toSeq shouldBe rw.toSeq
+    val m = Classifier.scoreQualityLr(df, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
+    m(1L) shouldBe BigDecimal(rb / 1.0e8)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("empty corpus yields the zero model, not a NaN-poisoned one") {
+    val model = Classifier.trainQualityLr(docsDf(Nil), buckets = 8)
+    model.biasMicro shouldBe 0L
+    model.weightsMicro.toSeq shouldBe Seq.fill(8)(0L)
+  }
+
+  test("scoring compiles to a shuffle-free narrow plan (driver-held model)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val model = Classifier.LrModel(Array.fill(16)(100L), 5L)
+    val plan = Classifier.scoreQualityLr(docsDf(corpus), model)
+      .queryExecution.executedPlan
+    plan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] shouldBe false
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
+  test("streaming gateByQuality scores batch-equal through a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val model = Classifier.trainQualityLr(docsDf(corpus),
+      positiveSources = Seq("src0", "src1"), buckets = 64, iterations = 2)
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.gateByQuality(
+      input.toDF().toDF("doc_id", "text"), model, tau = 0.5)
+    out.isStreaming shouldBe true
+    val sink = s"quality_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("classifier").toString)
+      .start()
+    try {
+      input.addData((100L, "the quick brown fox"), (101L, "spam click here"))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("margin"), r.getAs[Double]("prob"),
+            r.getAs[Boolean]("keep")))).toMap
+      val batch = Classifier.qualityGate(
+        Seq((100L, "the quick brown fox"), (101L, "spam click here"))
+          .toDF("doc_id", "text"), model, tau = 0.5).collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("margin"), r.getAs[Double]("prob"),
+            r.getAs[Boolean]("keep")))).toMap
+      rows shouldBe batch
+    } finally q.stop()
+  }
+}
