@@ -72,11 +72,11 @@ object Classifier {
     def buckets: Int = weightsMicro.length
   }
 
-  /** Token → bucket in [0, buckets): first 4 hex digits of md5, mod buckets —
-    * the [[TextStats.importanceWeights]] hashing idiom (engine-neutral: the
-    * oracle reproduces it nibble-by-nibble in SQL). */
+  /** Token → bucket in [0, buckets): [[TextStats.hashBucket]] — the ONE
+    * md5-prefix feature hash every hashed-feature op shares (engine-neutral:
+    * the oracle reproduces it nibble-by-nibble in SQL). */
   private def bucketOf(t: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("int"), lit(buckets))
+    TextStats.hashBucket(t, buckets)
 
   /** Per-document hashed-feature array: one bucket id per whitespace token,
     * in token order. NULL text reads as zero tokens (the document still
@@ -129,15 +129,23 @@ object Classifier {
         val gm = floor(
           (probOf(marginMicro(col("bs"), wLit, bias)) - col("y"))
             * lit(MicroScale) + lit(0.5))
-        // bias as pseudo-bucket −1: one explode, one B+1-row aggregate
+        // bias as pseudo-bucket −1: one explode, one B+1-row aggregate.
+        // The sum runs in DECIMAL(38,0), not LONG: per-occurrence gm is up
+        // to ±1e8 and first-iteration gm shares one sign corpus-wide
+        // (p = 0.5 from zero init), so a LONG sum would wrap silently past
+        // ~1.8e11 occurrences per bucket — inside the 100 TB envelope this
+        // engine designs for. The oracle's SUM(BIGINT) widens to HUGEINT,
+        // exact the same way.
         val grads = feat
           .select(gm.as("gm"),
             explode(concat(array(lit(-1)), col("bs"))).as("b"))
-          .groupBy(col("b")).agg(sum(col("gm")).as("g"))
+          .groupBy(col("b"))
+          .agg(sum(col("gm").cast("decimal(38,0)")).as("g"))
           .collect() // ≤ buckets + 1 rows by construction
         grads.foreach { r =>
           val b = r.getInt(0)
-          val step = math.floor(lr * r.getLong(1).toDouble / n + 0.5).toLong
+          val g = r.getDecimal(1).doubleValue()
+          val step = math.floor(lr * g / n + 0.5).toLong
           if (b < 0) bias -= step else w(b) -= step
         }
         it += 1
@@ -175,6 +183,12 @@ object Classifier {
     * routing doctrine — and stays a stateless narrow projection, so it
     * composes unchanged onto a streaming DataFrame. */
   def qualityGate(docs: DataFrame, model: LrModel, tau: Double): DataFrame = {
+    // composing gates must not silently overwrite routing flags: x73's
+    // hybridIngestGate emits `keep` too, and withColumn would replace it —
+    // losing the decontamination decision with no red row to show for it
+    val clash = Seq("margin", "prob", "keep").filter(docs.columns.contains)
+    require(clash.isEmpty, s"qualityGate: input already has column(s) " +
+      s"${clash.mkString(", ")} — rename them before composing gates")
     val (margin, prob) = qualityCols(model)
     docs.select(col("*"), margin.as("margin"), prob.as("prob"))
       .withColumn("keep", col("prob") >= lit(tau))

@@ -298,6 +298,15 @@ object TextStats {
     * `buckets` rows, bounded by construction. Exactly TWO corpus passes total
     * (bucket counts + the score join), the minimum for a two-sided frequency
     * model. Docs with fewer than two tokens have no bigrams and are absent. */
+  /** md5-prefix feature hash shared by every hashed-feature op (x30's DSIR
+    * bigrams, x76's classifier unigrams — [[graft.corpus.Classifier]]): first
+    * 4 hex nibbles of md5, mod `buckets`. ONE definition on the engine side
+    * because the engine/oracle parity of this idiom is load-bearing — the
+    * oracle generators reproduce it nibble-by-nibble in SQL, and x30/x76
+    * score comparability depends on both ops hashing identically. */
+  private[corpus] def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("int"), lit(buckets))
+
   def importanceWeights(docs: DataFrame,
       targetSources: Seq[String] = DsirTargetSources,
       buckets: Int = 256): DataFrame = {
@@ -309,8 +318,7 @@ object TextStats {
     val occ = docs.select(col("doc_id"), col("source"), ws.as("ws"))
       .select(col("doc_id"), col("source"), explode(expr(pairs)).as("bg"))
       .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("int"),
-          lit(buckets)).as("b"))
+        hashBucket(col("bg"), buckets).as("b"))
     val byBucket = occ.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("source").isInCollection(targetSources), 1L).otherwise(0L))

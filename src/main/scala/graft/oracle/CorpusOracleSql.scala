@@ -1009,9 +1009,11 @@ FROM c"""
     val lr = C.DefaultLearningRate
     val ms = C.MicroScale
     val targets = C.PositiveSources.map(s => s"'$s'").mkString(", ")
-    // token → bucket: first 4 md5 hex nibbles, mod B (the dsirSql idiom)
-    val bucket = (1 to 4).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+    // token → bucket: first 4 md5 hex nibbles, mod B (the dsirSql nibble
+    // arithmetic); md5 hashed ONCE per token via an inner list_transform —
+    // DuckDB lambdas have no let-binding, so the hoist is a nested transform
+    val nibbles = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
     }.mkString("(", "\n        + ", s") % $B")
     val sigmoid = (m: String) => s"1.0/(1.0 + exp(-($m / $ms)))"
     val iterations = (1 to C.DefaultIterations).map { i =>
@@ -1044,7 +1046,9 @@ m$i AS (
   SELECT doc_id,
     CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
     CASE WHEN text IS NULL THEN CAST([] AS BIGINT[])
-         ELSE list_transform(string_split(text, ' '), t -> $bucket) END AS bs
+         ELSE list_transform(
+           list_transform(string_split(text, ' '), t -> md5(t)),
+           h -> $nibbles) END AS bs
   FROM documents),
 occ AS (SELECT doc_id, unnest(bs) AS b FROM base),
 nn AS (SELECT COUNT(*) AS n FROM base),

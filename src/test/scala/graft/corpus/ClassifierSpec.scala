@@ -45,8 +45,10 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val w = Array.fill(buckets)(0L)
     var bias = 0L
     for (_ <- 1 to iterations) {
-      val grads = new Array[Long](buckets)
-      var gBias = 0L
+      // gradient sums in BigInt, mirroring the engine's DECIMAL(38,0)
+      // aggregate (and the oracle's HUGEINT) — never a wrapping long
+      val grads = Array.fill(buckets)(BigInt(0))
+      var gBias = BigInt(0)
       feats.foreach { case (y, bs) =>
         val m = bias + bs.map(b => w(b)).sum
         val p = 1.0 / (1.0 + math.exp(-(m / 1.0e8)))
@@ -170,6 +172,17 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan.isInstanceOf[
       org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] shouldBe false
     plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
+  test("qualityGate refuses inputs that already carry routing columns") {
+    // composing onto x73's flagged output must fail loudly, not overwrite
+    val model = Classifier.LrModel(Array.fill(8)(0L), 0L)
+    val flagged = docsDf(corpus)
+      .withColumn("keep", org.apache.spark.sql.functions.lit(true))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.qualityGate(flagged, model, 0.5)
+    }
+    e.getMessage should include("keep")
   }
 
   test("streaming gateByQuality scores batch-equal through a live query") {
