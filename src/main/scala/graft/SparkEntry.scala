@@ -127,6 +127,7 @@ object SparkEntry {
     "x74_sq8_codes" -> (C.x74Sq8Codes _),
     "x75_sq8_ann" -> (C.x75Sq8Ann _),
     "x76_quality_lr" -> (C.x76QualityLr _),
+    "x77_classifier_resample" -> (C.x77ClassifierResample _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -178,6 +178,47 @@ object Classifier {
       margin.as("margin"), prob.as("prob"))
   }
 
+  /** Pareto-acceptance shape parameter — GPT-3's α = 9 (Brown et al. 2020,
+    * Appendix A). Shared with the x77 oracle generator. */
+  val ParetoAlpha = 9.0
+
+  /** Key namespace for [[paretoResample]]'s acceptance draw — the x62
+    * hash-namespacing discipline: the resampling decision is independent of
+    * every other doc_id-keyed gate in the pipeline. Shared with the x77
+    * oracle generator. */
+  val ResampleKeyPrefix = "resample:"
+
+  /** GPT-3-style classifier resampling (Brown et al. 2020, Appendix A): keep
+    * a document iff `pareto(α) > 1 − score` — high-scoring documents are
+    * mostly kept, while low-scoring ones survive with heavy-tailed
+    * probability, the diversity-preserving alternative to a hard threshold.
+    * The paper draws `np.random.pareto(9)`; here the draw is DETERMINISTIC —
+    * the inverse-CDF `(1−u)^(−1/α) − 1` over an md5-uniform of the document's
+    * namespaced identity — so re-running the pipeline, or resampling after
+    * adding documents, never flips a previously-kept document (the
+    * [[Curation.quotaSample]] reproducibility property RNG cannot give).
+    *
+    * Parity: `u` is an exact dyadic rational (8 hex digits / 2³²), so the
+    * only transcendental is `pow`, confined behind a 6-dp rounding; `keep`
+    * compares the ROUNDED pareto draw against `1 − prob` (prob already 6-dp)
+    * so both engines decide from identical doubles. Flags are emitted, not
+    * filtered (the x73 routing doctrine). One stateless narrow projection —
+    * zero shuffles beyond the model's training, streaming-composable. */
+  def paretoResample(docs: DataFrame, model: LrModel,
+      positiveSources: Seq[String] = PositiveSources): DataFrame = {
+    val (_, prob) = qualityCols(model)
+    val u = conv(substring(md5(concat(lit(ResampleKeyPrefix),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val pareto = round(
+      pow(lit(1.0) - u, -(lit(1.0) / lit(ParetoAlpha))) - lit(1.0), 6)
+    docs.select(col("doc_id"),
+      when(col("source").isInCollection(positiveSources), 1)
+        .otherwise(0).as("is_target"),
+      prob.as("prob"), pareto.as("pareto"))
+      .withColumn("keep", col("pareto") > (lit(1.0) - col("prob")))
+  }
+
   /** The ingest-side gate: every input column plus `margin`, `prob`, and
     * `keep` (prob ≥ tau). Emits flags rather than filtering — the x73
     * routing doctrine — and stays a stateless narrow projection, so it

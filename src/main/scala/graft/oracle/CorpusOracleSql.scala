@@ -1003,7 +1003,15 @@ FROM c"""
     * (the lloydChain generation pattern). Buckets absent from the corpus stay
     * weight-0 in the engine's array and absent here — they contribute 0 to
     * every margin either way. */
-  private def classifierSql: String = {
+  private def classifierSql: String = classifierSqls._1
+
+  /** x77 — GPT-3 Pareto-acceptance resampling over the x76 scoring chain:
+    * same prelude (the engine composes the same way), acceptance draw from
+    * the namespaced md5-uniform via the Pareto inverse CDF, `keep` decided
+    * on the ROUNDED values both engines share. */
+  private def classifierResampleSql: String = classifierSqls._2
+
+  private lazy val classifierSqls: (String, String) = {
     val C = graft.corpus.Classifier
     val B = C.DefaultBuckets
     val lr = C.DefaultLearningRate
@@ -1042,7 +1050,7 @@ m$i AS (
     GROUP BY o.doc_id) s
   ON base.doc_id = s.doc_id)"""
     }.mkString(",\n")
-    s"""WITH base AS (
+    val prelude = s"""WITH base AS (
   SELECT doc_id,
     CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
     CASE WHEN text IS NULL THEN CAST([] AS BIGINT[])
@@ -1053,11 +1061,27 @@ m$i AS (
 occ AS (SELECT doc_id, unnest(bs) AS b FROM base),
 nn AS (SELECT COUNT(*) AS n FROM base),
 m0 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m FROM base),
-$iterations
+$iterations"""
+    val mFin = s"m${C.DefaultIterations}"
+    val scoreSql = s"""$prelude
 SELECT doc_id, CAST(y AS INTEGER) AS is_target,
   round(m / $ms, 6) AS margin,
   round(${sigmoid("m")}, 6) AS prob
-FROM m${C.DefaultIterations}"""
+FROM $mFin"""
+    // x77: u = exact dyadic 8-hex-digit uniform; pareto inverse CDF
+    // (1−u)^(−1/α) − 1; keep decided on the ROUNDED doubles both engines
+    // share (the engine's contract in Classifier.paretoResample)
+    val a = C.ParetoAlpha
+    val uExpr = s"(CAST(('0x' || substr(md5('${C.ResampleKeyPrefix}' || " +
+      s"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+    val resampleSql = s"""$prelude
+SELECT doc_id, is_target, prob, pareto, (pareto > 1.0 - prob) AS keep
+FROM (
+  SELECT doc_id, CAST(y AS INTEGER) AS is_target,
+    round(${sigmoid("m")}, 6) AS prob,
+    round(pow(1.0 - $uExpr, -(1.0/$a)) - 1.0, 6) AS pareto
+  FROM $mFin)"""
+    (scoreSql, resampleSql)
   }
 
   val sql: Map[String, String] = Map(
@@ -1067,6 +1091,9 @@ FROM m${C.DefaultIterations}"""
 
     // x76: hashed-unigram logistic-regression quality classifier
     "x76_quality_lr" -> classifierSql,
+
+    // x77: GPT-3 Pareto-acceptance resampling over the x76 scores
+    "x77_classifier_resample" -> classifierResampleSql,
 
     // x42: embedding-space benchmark decontamination
     "x42_embed_decontam" -> embedDecontamSql,

@@ -458,6 +458,14 @@ object CorpusQueries {
       d, graft.corpus.Classifier.trainQualityLr(d))
   }
 
+  /** x77 — GPT-3 Pareto-acceptance resampling over the x76 classifier's
+    * scores (self-contained-query contract: retrains the same model). */
+  def x77ClassifierResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.corpus.Classifier.paretoResample(
+      d, graft.corpus.Classifier.trainQualityLr(d))
+  }
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the

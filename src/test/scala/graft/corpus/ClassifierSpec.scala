@@ -174,6 +174,51 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan.collect { case e: Exchange => e } shouldBe empty
   }
 
+  test("paretoResample matches a collections referee (draw, rounding, keep)") {
+    val model = Classifier.trainQualityLr(docsDf(corpus))
+    val out = Classifier.paretoResample(docsDf(corpus), model).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("prob"), r.getAs[Double]("pareto"),
+          r.getAs[Boolean]("keep")))).toMap
+    out.size shouldBe corpus.size
+    corpus.foreach { case (id, _, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Classifier.ResampleKeyPrefix}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      val pareto = BigDecimal(
+        math.pow(1.0 - u, -(1.0 / Classifier.ParetoAlpha)) - 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (prob, gotPareto, keep) = out(id)
+      gotPareto shouldBe pareto
+      // keep is decided on the ROUNDED doubles — the cross-engine contract
+      keep shouldBe (pareto > 1.0 - prob)
+    }
+    // the heavy tail admits SOME spam and rejects SOME quality on a real
+    // corpus-sized draw — sanity-check directional behavior instead: a
+    // perfect-scoring doc (prob≈1) always survives, since pareto > 0 ≥ 1−p
+    val sure = Classifier.paretoResample(docsDf(corpus),
+      Classifier.LrModel(Array.fill(256)(10L * 100000000L), 0L)).collect()
+    all(sure.map(_.getAs[Boolean]("keep"))) shouldBe true
+  }
+
+  test("resample draw is namespaced: independent of other doc_id-keyed gates") {
+    // the acceptance uniform must come from md5("resample:" || id), not
+    // md5(id) — otherwise it would correlate with x35/x62's identity gates
+    val model = Classifier.LrModel(Array.fill(8)(0L), 0L)
+    val out = Classifier.paretoResample(docsDf(corpus), model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pareto")).toMap
+    val unnamespaced = corpus.map { case (id, _, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      id -> BigDecimal(math.pow(1.0 - u, -(1.0 / 9.0)) - 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    out should not equal unnamespaced
+  }
+
   test("qualityGate refuses inputs that already carry routing columns") {
     // composing onto x73's flagged output must fail loudly, not overwrite
     val model = Classifier.LrModel(Array.fill(8)(0L), 0L)
