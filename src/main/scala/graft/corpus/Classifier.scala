@@ -198,26 +198,36 @@ object Classifier {
     * adding documents, never flips a previously-kept document (the
     * [[Curation.quotaSample]] reproducibility property RNG cannot give).
     *
-    * Parity: `u` is an exact dyadic rational (8 hex digits / 2³²), so the
-    * only transcendental is `pow`, confined behind a 6-dp rounding; `keep`
-    * compares the ROUNDED pareto draw against `1 − prob` (prob already 6-dp)
-    * so both engines decide from identical doubles. Flags are emitted, not
-    * filtered (the x73 routing doctrine). One stateless narrow projection —
-    * zero shuffles beyond the model's training, streaming-composable. */
+    * Parity: `u` is an exact dyadic rational ([[Curation.md5Uniform]] — the
+    * shared 8-hex-digit gate idiom), so the only transcendental is `pow`,
+    * confined behind a 6-dp rounding; `keep` compares the ROUNDED pareto
+    * draw against `1 − prob` (prob already 6-dp) so both engines decide from
+    * identical doubles. The comparison is `>=`, not `>`: rounding maps raw
+    * draws below 5e-7 to exactly 0.000000, and under `>` a PERFECT-scoring
+    * document (`1 − prob = 0.0`) drawing such a tail value would be dropped
+    * — ~1 in 220 k ids, thousands of spurious drops at corpus scale. Ties
+    * keep, making the paper's almost-sure-keep for score 1 exact. Flags are
+    * emitted, not filtered (the x73 routing doctrine). One stateless narrow
+    * projection — zero shuffles beyond the model's training,
+    * streaming-composable. */
   def paretoResample(docs: DataFrame, model: LrModel,
       positiveSources: Seq[String] = PositiveSources): DataFrame = {
     val (_, prob) = qualityCols(model)
-    val u = conv(substring(md5(concat(lit(ResampleKeyPrefix),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
-      lit(4294967296.0)
+    val u = Curation.md5Uniform(concat(lit(ResampleKeyPrefix),
+      col("doc_id").cast("string")))
     val pareto = round(
       pow(lit(1.0) - u, -(lit(1.0) / lit(ParetoAlpha))) - lit(1.0), 6)
     docs.select(col("doc_id"),
       when(col("source").isInCollection(positiveSources), 1)
         .otherwise(0).as("is_target"),
       prob.as("prob"), pareto.as("pareto"))
-      .withColumn("keep", col("pareto") > (lit(1.0) - col("prob")))
+      .withColumn("keep", paretoKeep(col("pareto"), col("prob")))
   }
+
+  /** The x77 acceptance decision over the ROUNDED columns — factored out so
+    * the spec pins the `>=` boundary on the engine expression itself. */
+  private[corpus] def paretoKeep(pareto: Column, prob: Column): Column =
+    pareto >= (lit(1.0) - prob)
 
   /** The ingest-side gate: every input column plus `margin`, `prob`, and
     * `keep` (prob ≥ tau). Emits flags rather than filtering — the x73

@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,11 +147,22 @@ object Curation {
     * identical keep decision the batch run would make. */
   def applyMixRates(docsWithRate: DataFrame): DataFrame =
     docsWithRate
-      .withColumn("gate",
-        conv(substring(md5(encode(col("text"), "UTF-8")), 1, 8), 16, 10)
-          .cast("bigint"))
+      .withColumn("gate", md5Gate32(encode(col("text"), "UTF-8")))
       .filter(col("gate") < floor(col("rate") * 4294967296.0).cast("bigint"))
       .select(col("doc_id"), col("source"), col("gate"))
+
+  /** 32-bit md5 gate: first 8 hex digits of `md5(key)` as a BIGINT in
+    * [0, 2³²) — the ONE engine definition of the hash-gate idiom every
+    * reproducible sampler shares ([[applyMixRates]]'s rate gate, x77's
+    * Pareto-acceptance uniform in [[Classifier.paretoResample]]); the oracle
+    * generators reproduce it as `CAST('0x' || substr(md5(k),1,8) AS BIGINT)`.
+    * Widening the digit window is a ONE-site change on each side. */
+  private[corpus] def md5Gate32(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("bigint")
+
+  /** [[md5Gate32]] scaled to an exact dyadic uniform in [0, 1). */
+  private[corpus] def md5Uniform(key: Column): Column =
+    md5Gate32(key).cast("double") / lit(4294967296.0)
 
   /** Token budget per packed training sequence for [[packSequences]]'s driver
     * query — shared with the x31 oracle generator so the two cannot drift. */

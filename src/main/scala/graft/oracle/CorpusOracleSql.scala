@@ -1070,12 +1070,13 @@ SELECT doc_id, CAST(y AS INTEGER) AS is_target,
 FROM $mFin"""
     // x77: u = exact dyadic 8-hex-digit uniform; pareto inverse CDF
     // (1−u)^(−1/α) − 1; keep decided on the ROUNDED doubles both engines
-    // share (the engine's contract in Classifier.paretoResample)
+    // share, ties KEEP (the engine's contract in Classifier.paretoResample —
+    // a perfect score must survive a tail draw that rounds to 0.000000)
     val a = C.ParetoAlpha
     val uExpr = s"(CAST(('0x' || substr(md5('${C.ResampleKeyPrefix}' || " +
       s"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
     val resampleSql = s"""$prelude
-SELECT doc_id, is_target, prob, pareto, (pareto > 1.0 - prob) AS keep
+SELECT doc_id, is_target, prob, pareto, (pareto >= 1.0 - prob) AS keep
 FROM (
   SELECT doc_id, CAST(y AS INTEGER) AS is_target,
     round(${sigmoid("m")}, 6) AS prob,

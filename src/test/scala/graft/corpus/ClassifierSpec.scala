@@ -3,6 +3,7 @@ package graft.corpus
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -191,15 +192,35 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val (prob, gotPareto, keep) = out(id)
       gotPareto shouldBe pareto
-      // keep is decided on the ROUNDED doubles — the cross-engine contract
-      keep shouldBe (pareto > 1.0 - prob)
+      // keep is decided on the ROUNDED doubles, ties KEEP — the
+      // cross-engine contract
+      keep shouldBe (pareto >= 1.0 - prob)
     }
-    // the heavy tail admits SOME spam and rejects SOME quality on a real
-    // corpus-sized draw — sanity-check directional behavior instead: a
-    // perfect-scoring doc (prob≈1) always survives, since pareto > 0 ≥ 1−p
+    // a perfect-scoring doc (prob = 1.0 after rounding) survives EVERY
+    // draw: 1 − prob = 0.0 and pareto ≥ 0 always, including the tail draws
+    // that round to exactly 0.000000 (the reason keep is >=, not >)
     val sure = Classifier.paretoResample(docsDf(corpus),
       Classifier.LrModel(Array.fill(256)(10L * 100000000L), 0L)).collect()
     all(sure.map(_.getAs[Boolean]("keep"))) shouldBe true
+  }
+
+  test("a zero-rounded tail draw keeps a perfect score (the >= boundary)") {
+    // ~1 in 220k ids draws a raw pareto below 5e-7, which rounds to exactly
+    // 0.000000; under `>` a perfect-scoring doc (1 − prob = 0.0) would then
+    // be dropped. Too rare to hit via the hash in a spec corpus — pin the
+    // ENGINE's decision expression on the boundary row directly instead.
+    val s = spark
+    import s.implicits._
+    // dyadic values so the ties are exact in binary floating point
+    val rows = Seq((0.0, 1.0), (0.0, 0.999999), (0.25, 0.75))
+      .toDF("pareto", "prob")
+    val kept = rows
+      .withColumn("keep", Classifier.paretoKeep(col("pareto"), col("prob")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    kept.toSet shouldBe Set(
+      (0.0, 1.0, true),        // tie keeps: the perfect score survives
+      (0.0, 0.999999, false),  // a real gap still rejects
+      (0.25, 0.75, true))      // exact tie away from zero keeps too
   }
 
   test("resample draw is namespaced: independent of other doc_id-keyed gates") {
