@@ -253,6 +253,11 @@ object Scaling {
       // exact driver query (train 2 passes + score)
       ("documents", "x76_quality_lr", (d, _) =>
         graft.queries.CorpusQueries.x76QualityLr(spark, d)),
+      // x77: x76's training plus ONE more stateless narrow projection (the
+      // acceptance draw) — the cell pins that the resample adds no
+      // corpus-scale term beyond the training it composes
+      ("documents", "x77_classifier_resample", (d, _) =>
+        graft.queries.CorpusQueries.x77ClassifierResample(spark, d)),
       // x75: fixed query sheet against the m×-growing code table — the
       // stats aggregate and encode pass grow linearly, the ADC scan is
       // the narrow byte-table pass the factoring exists for
