@@ -128,6 +128,7 @@ object SparkEntry {
     "x75_sq8_ann" -> (C.x75Sq8Ann _),
     "x76_quality_lr" -> (C.x76QualityLr _),
     "x77_classifier_resample" -> (C.x77ClassifierResample _),
+    "x78_calibration" -> (C.x78Calibration _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

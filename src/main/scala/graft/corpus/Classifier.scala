@@ -229,6 +229,42 @@ object Classifier {
   private[corpus] def paretoKeep(pareto: Column, prob: Column): Column =
     pareto >= (lit(1.0) - prob)
 
+  /** Calibration bin count for [[calibrationReport]]'s driver query — shared
+    * with the x78 oracle generator. */
+  val DefaultCalibrationBins = 10
+
+  /** Reliability report — the eval a deployment runs before choosing `tau`
+    * for [[qualityGate]] / [[paretoResample]]: bucket documents by predicted
+    * probability (`bin = min(floor(prob·bins), bins−1)`, so prob = 1.0 lands
+    * in the top bin) and compare the bucket's mean predicted probability
+    * against its EMPIRICAL target rate. A calibrated classifier has the two
+    * near-equal per bin; divergence says the sigmoid scores cannot be read
+    * as probabilities at that operating point.
+    *
+    * Parity: `prob` is already 6-dp, so the mean is an exact DECIMAL sum
+    * (the x19 order-independence trick) divided once; the target rate is an
+    * integer-sum ratio; the bin boundary arithmetic (`floor(prob · bins)`)
+    * runs on identical doubles in both engines. Scale: one narrow pass into
+    * a `bins`-bounded map-side-partial aggregate — the output is `bins` rows
+    * no matter the corpus size. */
+  def calibrationReport(docs: DataFrame, model: LrModel,
+      positiveSources: Seq[String] = PositiveSources,
+      bins: Int = DefaultCalibrationBins): DataFrame = {
+    require(bins > 0, "at least one calibration bin")
+    val scored = scoreQualityLr(docs, model, positiveSources)
+    scored
+      .select(
+        least(floor(col("prob") * lit(bins)), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col("prob"), col("is_target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("prob").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_prob"),
+        round(sum(col("is_target")).cast("double") / count(lit(1)), 6)
+          .as("target_rate"))
+  }
+
   /** The ingest-side gate: every input column plus `margin`, `prob`, and
     * `keep` (prob ≥ tau). Emits flags rather than filtering — the x73
     * routing doctrine — and stays a stateless narrow projection, so it

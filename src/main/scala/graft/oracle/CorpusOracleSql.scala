@@ -1011,7 +1011,12 @@ FROM c"""
     * on the ROUNDED values both engines share. */
   private def classifierResampleSql: String = classifierSqls._2
 
-  private lazy val classifierSqls: (String, String) = {
+  /** x78 — calibration report over the x76 scoring chain: probability
+    * deciles (floor on the identical doubles, top bin closed), DECIMAL-mean
+    * predicted probability vs integer-ratio empirical target rate. */
+  private def classifierCalibrationSql: String = classifierSqls._3
+
+  private lazy val classifierSqls: (String, String, String) = {
     val C = graft.corpus.Classifier
     val B = C.DefaultBuckets
     val lr = C.DefaultLearningRate
@@ -1082,7 +1087,20 @@ FROM (
     round(${sigmoid("m")}, 6) AS prob,
     round(pow(1.0 - $uExpr, -(1.0/$a)) - 1.0, 6) AS pareto
   FROM $mFin)"""
-    (scoreSql, resampleSql)
+    val bins = C.DefaultCalibrationBins
+    val calibrationSql = s"""$prelude
+SELECT bin, COUNT(*) AS n_docs,
+  round(CAST(SUM(CAST(prob AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_prob,
+  round(CAST(SUM(is_target) AS DOUBLE) / COUNT(*), 6) AS target_rate
+FROM (
+  SELECT CAST(least(floor(round(${sigmoid("m")}, 6) * $bins), ${bins - 1})
+           AS INTEGER) AS bin,
+    round(${sigmoid("m")}, 6) AS prob,
+    CAST(y AS INTEGER) AS is_target
+  FROM $mFin)
+GROUP BY bin"""
+    (scoreSql, resampleSql, calibrationSql)
   }
 
   val sql: Map[String, String] = Map(
@@ -1095,6 +1113,9 @@ FROM (
 
     // x77: GPT-3 Pareto-acceptance resampling over the x76 scores
     "x77_classifier_resample" -> classifierResampleSql,
+
+    // x78: classifier calibration report (decile reliability)
+    "x78_calibration" -> classifierCalibrationSql,
 
     // x42: embedding-space benchmark decontamination
     "x42_embed_decontam" -> embedDecontamSql,

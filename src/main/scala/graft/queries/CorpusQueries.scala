@@ -466,6 +466,14 @@ object CorpusQueries {
       d, graft.corpus.Classifier.trainQualityLr(d))
   }
 
+  /** x78 — classifier calibration report: predicted-probability deciles vs
+    * empirical target rates (self-contained: retrains the same model). */
+  def x78Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.corpus.Classifier.calibrationReport(
+      d, graft.corpus.Classifier.trainQualityLr(d))
+  }
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the

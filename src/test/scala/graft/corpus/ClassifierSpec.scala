@@ -240,6 +240,35 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     out should not equal unnamespaced
   }
 
+  test("calibrationReport bins rounded probs and reports exact ratios") {
+    val model = Classifier.trainQualityLr(docsDf(corpus))
+    val scored = Classifier.scoreQualityLr(docsDf(corpus), model).collect()
+      .map(r => (r.getInt(1), r.getAs[Double]("prob")))
+    val expect = scored
+      .groupBy { case (_, p) => math.min(math.floor(p * 10).toInt, 9) }
+      .map { case (bin, xs) =>
+        val n = xs.size
+        val sumDec = xs.map(x => BigDecimal(x._2)).sum // probs are 6-dp exact
+        val mean = BigDecimal(sumDec.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rate = BigDecimal(xs.count(_._1 == 1).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        bin -> ((n.toLong, mean, rate))
+      }
+    val got = Classifier.calibrationReport(docsDf(corpus), model).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getAs[Double]("mean_prob"),
+        r.getAs[Double]("target_rate")))).toMap
+    got shouldBe expect
+  }
+
+  test("calibration's top bin is closed: prob = 1.0 lands in bin bins-1") {
+    val model = Classifier.LrModel(Array.fill(256)(10L * 100000000L), 0L)
+    val rows = Classifier.calibrationReport(docsDf(corpus), model).collect()
+    rows.map(_.getInt(0)).toSeq shouldBe Seq(9)
+    rows.head.getLong(1) shouldBe corpus.size.toLong
+    rows.head.getAs[Double]("mean_prob") shouldBe 1.0
+  }
+
   test("qualityGate refuses inputs that already carry routing columns") {
     // composing onto x73's flagged output must fail loudly, not overwrite
     val model = Classifier.LrModel(Array.fill(8)(0L), 0L)
