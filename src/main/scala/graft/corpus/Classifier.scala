@@ -241,12 +241,21 @@ object Classifier {
     * near-equal per bin; divergence says the sigmoid scores cannot be read
     * as probabilities at that operating point.
     *
-    * Parity: `prob` is already 6-dp, so the mean is an exact DECIMAL sum
-    * (the x19 order-independence trick) divided once; the target rate is an
-    * integer-sum ratio; the bin boundary arithmetic (`floor(prob · bins)`)
-    * runs on identical doubles in both engines. Scale: one narrow pass into
-    * a `bins`-bounded map-side-partial aggregate — the output is `bins` rows
-    * no matter the corpus size. */
+    * Parity: `prob` is already 6-dp, so each doc contributes an EXACT
+    * micro-unit integer (`floor(prob·1e6 + 0.5)` — never near a half, since
+    * prob is within an ulp of a 6-dp decimal), sums run in DECIMAL(38,0)
+    * (the gradient aggregate's no-silent-wrap rule), and the 6-dp mean is
+    * computed by INTEGER half-up division `(2·Σ + n) div (2·n)` — no
+    * `round(double)` anywhere. That matters: Spark rounds a double via its
+    * exact decimal representation (HALF_UP) while DuckDB multiplies and
+    * `std::round`s, and the two DISAGREE on half-micro quotient ties (e.g.
+    * two docs at 0.500000/0.500001 → quotient 0.5000005 → 0.500001 vs
+    * 0.500000, empirically confirmed) — reachable here because the quotient
+    * of a micro-exact sum lands on a half-tie whenever the micro sum is odd
+    * over n = 2. The bin boundary (`floor(prob · bins)`) runs on identical
+    * doubles in both engines. Scale: one narrow pass into a `bins`-bounded
+    * map-side-partial aggregate — the output is `bins` rows no matter the
+    * corpus size. */
   def calibrationReport(docs: DataFrame, model: LrModel,
       positiveSources: Seq[String] = PositiveSources,
       bins: Int = DefaultCalibrationBins): DataFrame = {
@@ -256,13 +265,17 @@ object Classifier {
       .select(
         least(floor(col("prob") * lit(bins)), lit(bins - 1)).cast("int")
           .as("bin"),
-        col("prob"), col("is_target"))
+        floor(col("prob") * lit(1.0e6) + lit(0.5)).as("pm"),
+        col("is_target"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("prob").cast("decimal(16,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_prob"),
-        round(sum(col("is_target")).cast("double") / count(lit(1)), 6)
-          .as("target_rate"))
+        sum(col("pm").cast("decimal(38,0)")).as("sm"),
+        sum(col("is_target").cast("decimal(38,0)")).as("st"))
+      .select(col("bin"), col("n_docs"),
+        (expr("(2 * sm + n_docs) div (2 * n_docs)").cast("double")
+          / lit(1.0e6)).as("mean_prob"),
+        (expr("(2 * 1000000 * st + n_docs) div (2 * n_docs)").cast("double")
+          / lit(1.0e6)).as("target_rate"))
   }
 
   /** The ingest-side gate: every input column plus `margin`, `prob`, and

@@ -1087,16 +1087,20 @@ FROM (
     round(${sigmoid("m")}, 6) AS prob,
     round(pow(1.0 - $uExpr, -(1.0/$a)) - 1.0, 6) AS pareto
   FROM $mFin)"""
+    // x78 parity: micro-unit integers + INTEGER half-up division — never
+    // round(double), whose half-tie behavior differs between the engines
+    // (Spark exact-decimal HALF_UP vs DuckDB multiply-and-std::round)
     val bins = C.DefaultCalibrationBins
     val calibrationSql = s"""$prelude
 SELECT bin, COUNT(*) AS n_docs,
-  round(CAST(SUM(CAST(prob AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+  CAST((2 * SUM(pm) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
     AS mean_prob,
-  round(CAST(SUM(is_target) AS DOUBLE) / COUNT(*), 6) AS target_rate
+  CAST((2 * 1000000 * SUM(is_target) + COUNT(*)) // (2 * COUNT(*))
+    AS DOUBLE) / 1000000.0 AS target_rate
 FROM (
   SELECT CAST(least(floor(round(${sigmoid("m")}, 6) * $bins), ${bins - 1})
            AS INTEGER) AS bin,
-    round(${sigmoid("m")}, 6) AS prob,
+    CAST(FLOOR(round(${sigmoid("m")}, 6) * 1000000.0 + 0.5) AS BIGINT) AS pm,
     CAST(y AS INTEGER) AS is_target
   FROM $mFin)
 GROUP BY bin"""

@@ -247,13 +247,15 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val expect = scored
       .groupBy { case (_, p) => math.min(math.floor(p * 10).toInt, 9) }
       .map { case (bin, xs) =>
-        val n = xs.size
-        val sumDec = xs.map(x => BigDecimal(x._2)).sum // probs are 6-dp exact
-        val mean = BigDecimal(sumDec.toDouble / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val rate = BigDecimal(xs.count(_._1 == 1).toDouble / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        bin -> ((n.toLong, mean, rate))
+        val n = xs.size.toLong
+        // micro-unit integer half-up division — the engine/oracle contract
+        // (never round(double): Spark and DuckDB disagree on half-micro
+        // quotient ties, e.g. probs 0.500000/0.500001 → 0.500001 vs 0.500000)
+        val sm = xs.map(x => math.floor(x._2 * 1.0e6 + 0.5).toLong).sum
+        val mean = ((2 * sm + n) / (2 * n)).toDouble / 1.0e6
+        val st = xs.count(_._1 == 1).toLong
+        val rate = ((2 * 1000000L * st + n) / (2 * n)).toDouble / 1.0e6
+        bin -> ((n, mean, rate))
       }
     val got = Classifier.calibrationReport(docsDf(corpus), model).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getAs[Double]("mean_prob"),
