@@ -158,11 +158,30 @@ object Classifier {
     * stateless projection over `text` — the streaming-safe kernel
     * [[scoreQualityLr]] and [[graft.streaming.StreamOps.gateByQuality]]
     * share. Margin is the exact fixed-point value surfaced as a 6-dp double;
-    * prob its sigmoid, 6-dp. */
+    * prob its sigmoid, 6-dp.
+    *
+    * The margin's 8-dp→6-dp rounding runs as INTEGER half-away-from-zero
+    * division, never `round(double)`: the micro margin is an exact integer,
+    * so values with `|micro| ≡ 50 (mod 100)` are SYSTEMATIC 6-dp half-ties
+    * (~1% of documents), exactly where Spark's exact-decimal HALF_UP and
+    * DuckDB's multiply-and-std::round disagree (the x78 calibration find,
+    * empirically confirmed: 16.1921145 → 16.192115 vs 16.192114). The
+    * sign/magnitude form keeps the division on POSITIVE integers, where the
+    * two engines' integral divisions agree — on negative operands truncate
+    * (Spark `div`) and floor (DuckDB `//`) do not. Engine-side the positive
+    * division runs as `floor((2·|m| + 100) / 200.0)`: the numerator is an
+    * exact double (< 2⁵³) and a non-integer true quotient sits ≥ 0.005 from
+    * any integer — far beyond one ulp — so the floor is exact and equals the
+    * oracle's integer `//`. `prob` (a sigmoid) and x77's pareto (a pow) stay
+    * `round(double)`: their ties are not systematic, so a half-tie is an
+    * astronomically unlikely coincidence, the house-accepted transcendental
+    * class. */
   def qualityCols(model: LrModel): (Column, Column) = {
     val m = marginMicro(bucketsCol(model.buckets),
       typedlit(model.weightsMicro.toSeq), model.biasMicro)
-    (round(m / lit(MicroScale), 6), round(probOf(m), 6))
+    val mag6 = floor((abs(m) * lit(2L) + lit(100L)) / lit(200.0))
+    val margin6 = when(m < 0, -mag6).otherwise(mag6)
+    (margin6.cast("double") / lit(1.0e6), round(probOf(m), 6))
   }
 
   /** Score every document under a frozen model: `(doc_id, is_target, margin,
@@ -285,8 +304,12 @@ object Classifier {
   def qualityGate(docs: DataFrame, model: LrModel, tau: Double): DataFrame = {
     // composing gates must not silently overwrite routing flags: x73's
     // hybridIngestGate emits `keep` too, and withColumn would replace it —
-    // losing the decontamination decision with no red row to show for it
-    val clash = Seq("margin", "prob", "keep").filter(docs.columns.contains)
+    // losing the decontamination decision with no red row to show for it.
+    // Case-INSENSITIVE, because that is how withColumn resolves the column
+    // it replaces under the default spark.sql.caseSensitive=false — a "Keep"
+    // column would slip a case-sensitive guard and still be overwritten
+    val lower = docs.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val clash = Seq("margin", "prob", "keep").filter(lower.contains)
     require(clash.isEmpty, s"qualityGate: input already has column(s) " +
       s"${clash.mkString(", ")} — rename them before composing gates")
     val (margin, prob) = qualityCols(model)

@@ -274,6 +274,15 @@ object TextStats {
   val DsirTargetSources: Seq[String] =
     Seq("src0", "src1", "src2", "src3", "src4")
 
+  /** md5-prefix feature hash shared by every hashed-feature op (x30's DSIR
+    * bigrams, x76's classifier unigrams — [[graft.corpus.Classifier]]): first
+    * 4 hex nibbles of md5, mod `buckets`. ONE definition on the engine side
+    * because the engine/oracle parity of this idiom is load-bearing — the
+    * oracle generators reproduce it nibble-by-nibble in SQL, and x30/x76
+    * score comparability depends on both ops hashing identically. */
+  private[corpus] def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("int"), lit(buckets))
+
   /** Hashed-n-gram importance weighting — the DSIR shape (Xie et al., 2023):
     * score every document by how much its hashed-bigram distribution looks
     * like a TARGET domain versus the raw corpus. Each bigram hashes into one
@@ -298,15 +307,6 @@ object TextStats {
     * `buckets` rows, bounded by construction. Exactly TWO corpus passes total
     * (bucket counts + the score join), the minimum for a two-sided frequency
     * model. Docs with fewer than two tokens have no bigrams and are absent. */
-  /** md5-prefix feature hash shared by every hashed-feature op (x30's DSIR
-    * bigrams, x76's classifier unigrams — [[graft.corpus.Classifier]]): first
-    * 4 hex nibbles of md5, mod `buckets`. ONE definition on the engine side
-    * because the engine/oracle parity of this idiom is load-bearing — the
-    * oracle generators reproduce it nibble-by-nibble in SQL, and x30/x76
-    * score comparability depends on both ops hashing identically. */
-  private[corpus] def hashBucket(c: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("int"), lit(buckets))
-
   def importanceWeights(docs: DataFrame,
       targetSources: Seq[String] = DsirTargetSources,
       buckets: Int = 256): DataFrame = {

@@ -1068,9 +1068,15 @@ nn AS (SELECT COUNT(*) AS n FROM base),
 m0 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m FROM base),
 $iterations"""
     val mFin = s"m${C.DefaultIterations}"
+    // margin: INTEGER half-away-from-zero 8-dp→6-dp rounding on the exact
+    // micro value — round(double) disagrees between the engines exactly on
+    // the systematic |micro| ≡ 50 (mod 100) half-ties (~1% of documents);
+    // positive-operand // matches the engine's exact positive floor
+    val margin6 = "CASE WHEN m < 0 THEN 0 - ((2 * abs(m) + 100) // 200) " +
+      "ELSE (2 * abs(m) + 100) // 200 END"
     val scoreSql = s"""$prelude
 SELECT doc_id, CAST(y AS INTEGER) AS is_target,
-  round(m / $ms, 6) AS margin,
+  CAST($margin6 AS DOUBLE) / 1000000.0 AS margin,
   round(${sigmoid("m")}, 6) AS prob
 FROM $mFin"""
     // x77: u = exact dyadic 8-hex-digit uniform; pareto inverse CDF

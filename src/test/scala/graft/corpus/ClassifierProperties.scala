@@ -57,43 +57,12 @@ object ClassifierProperties extends Properties("classifier") {
       .toDF("doc_id", "source", "text")
   }
 
-  // ---- the referee: the same arithmetic ClassifierSpec pins, kept here in
-  // ---- one place for property-scale reuse
-  private def bucketOf(t: String, buckets: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    Integer.parseInt(hex.substring(0, 4), 16) % buckets
-  }
+  // the collections-only referee lives in [[ClassifierReferee]] — ONE
+  // definition shared with ClassifierSpec
+  private val R = ClassifierReferee
 
-  private def feats(f: Fixture): List[(Long, Double, Seq[Int])] =
-    f.rows.map { case (id, src, t) =>
-      (id, if (f.positives(src)) 1.0 else 0.0,
-        if (t == null) Nil
-        else t.split(" ", -1).toSeq.map(bucketOf(_, f.buckets)))
-    }
-
-  private def refereeTrain(f: Fixture): (Array[Long], Long) = {
-    val fs = feats(f)
-    val n = fs.size
-    val w = Array.fill(f.buckets)(0L)
-    var bias = 0L
-    for (_ <- 1 to f.iters) {
-      val grads = Array.fill(f.buckets)(BigInt(0))
-      var gBias = BigInt(0)
-      fs.foreach { case (_, y, bs) =>
-        val m = bias + bs.map(w(_)).sum
-        val p = 1.0 / (1.0 + math.exp(-(m / 1.0e8)))
-        val gm = math.floor((p - y) * 1.0e8 + 0.5).toLong
-        gBias += gm
-        bs.foreach(b => grads(b) += gm)
-      }
-      bias -= math.floor(f.lr * gBias.toDouble / n + 0.5).toLong
-      (0 until f.buckets).foreach { b =>
-        w(b) -= math.floor(f.lr * grads(b).toDouble / n + 0.5).toLong
-      }
-    }
-    (w, bias)
-  }
+  private def refereeTrain(f: Fixture): (Array[Long], Long) =
+    R.train(f.rows, f.positives, f.buckets, f.lr, f.iters)
 
   property("training matches the collections referee exactly") =
     Prop.forAll(fixtureGen) { f =>
@@ -111,11 +80,8 @@ object ClassifierProperties extends Properties("classifier") {
       val (rw, rb) = refereeTrain(f)
       val got = Classifier.scoreQualityLr(df(f), model, f.positives.toSeq)
         .collect().map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
-      val fs = feats(f)
-      fs.forall { case (id, _, bs) =>
-        val m = rb + bs.map(rw(_)).sum
-        got(id) == BigDecimal(m / 1.0e8)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      f.rows.forall { case (id, _, t) =>
+        got(id) == R.margin6(R.marginMicro(t, rw, rb))
       } :| "a margin diverged from the referee"
     }
 
@@ -128,13 +94,7 @@ object ClassifierProperties extends Properties("classifier") {
           ((r.getAs[Double]("prob"), r.getAs[Double]("pareto"),
             r.getAs[Boolean]("keep")))).toMap
       val drawsOk = f.rows.forall { case (id, _, _) =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${Classifier.ResampleKeyPrefix}$id".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 8)
-        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-        val pareto = BigDecimal(
-          math.pow(1.0 - u, -(1.0 / Classifier.ParetoAlpha)) - 1.0)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val pareto = R.paretoDraw(id)
         val (prob, gotPareto, keep) = out(id)
         gotPareto == pareto && keep == (pareto >= 1.0 - prob)
       }

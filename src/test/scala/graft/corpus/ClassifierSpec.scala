@@ -22,56 +22,10 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.toDF("doc_id", "source", "text")
   }
 
-  // ---- collections-only referee -------------------------------------------
-
-  private def bucketOf(t: String, buckets: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    Integer.parseInt(hex.substring(0, 4), 16) % buckets
-  }
-
-  /** Spark's `split(text, " ")` is a limit=-1 regex split (keeps trailing
-    * empties); NULL text reads as zero tokens. */
-  private def tokensOf(text: String): Seq[String] =
-    if (text == null) Nil else text.split(" ", -1).toSeq
-
-  private def refereeTrain(rows: Seq[(Long, String, String)],
-      positives: Set[String], buckets: Int, lr: Double,
-      iterations: Int): (Array[Long], Long) = {
-    val feats = rows.map { case (_, src, text) =>
-      (if (positives(src)) 1.0 else 0.0,
-        tokensOf(text).map(bucketOf(_, buckets)))
-    }
-    val n = feats.size
-    val w = Array.fill(buckets)(0L)
-    var bias = 0L
-    for (_ <- 1 to iterations) {
-      // gradient sums in BigInt, mirroring the engine's DECIMAL(38,0)
-      // aggregate (and the oracle's HUGEINT) — never a wrapping long
-      val grads = Array.fill(buckets)(BigInt(0))
-      var gBias = BigInt(0)
-      feats.foreach { case (y, bs) =>
-        val m = bias + bs.map(b => w(b)).sum
-        val p = 1.0 / (1.0 + math.exp(-(m / 1.0e8)))
-        val gm = math.floor((p - y) * 1.0e8 + 0.5).toLong
-        gBias += gm
-        bs.foreach(b => grads(b) += gm)
-      }
-      bias -= math.floor(lr * gBias.toDouble / n + 0.5).toLong
-      var b = 0
-      while (b < buckets) {
-        w(b) -= math.floor(lr * grads(b).toDouble / n + 0.5).toLong
-        b += 1
-      }
-    }
-    (w, bias)
-  }
-
-  private def refereeMargins(rows: Seq[(Long, String, String)],
-      w: Array[Long], bias: Long): Map[Long, Long] =
-    rows.map { case (id, _, text) =>
-      id -> (bias + tokensOf(text).map(t => w(bucketOf(t, w.length))).sum)
-    }.toMap
+  // the collections-only referee lives in [[ClassifierReferee]] — ONE
+  // definition shared with ClassifierProperties, so the two suites can
+  // never pin conflicting contracts
+  private val R = ClassifierReferee
 
   private val corpus = Seq(
     (0L, "src0", "the quick brown fox"),
@@ -88,19 +42,39 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
       val model = Classifier.trainQualityLr(docsDf(corpus),
         positiveSources = positives.toSeq, buckets = 64, lr = 0.5,
         iterations = iters)
-      val (rw, rb) = refereeTrain(corpus, positives, 64, 0.5, iters)
+      val (rw, rb) = R.train(corpus, positives, 64, 0.5, iters)
       model.biasMicro shouldBe rb
       model.weightsMicro.toSeq shouldBe rw.toSeq
       // scored margins are the exact fixed-point referee margins at 6 dp
-      val ref = refereeMargins(corpus, rw, rb)
+      // (integer half-away-from-zero — the engine/oracle rounding contract)
       val scored = Classifier.scoreQualityLr(
         docsDf(corpus), model, positives.toSeq).collect()
       scored.foreach { r =>
-        val exp = BigDecimal(ref(r.getLong(0)) / 1.0e8)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        r.getAs[Double]("margin") shouldBe exp
+        val micro = corpus.find(_._1 == r.getLong(0)).map(c =>
+          R.marginMicro(c._3, rw, rb)).get
+        r.getAs[Double]("margin") shouldBe R.margin6(micro)
       }
     }
+  }
+
+  test("margin rounding is integer half-away-from-zero on systematic ties") {
+    // |micro| ≡ 50 (mod 100) is an EXACT 6-dp half-tie — the class where
+    // Spark round(double) and DuckDB round() disagree; the integer contract
+    // rounds away from zero on both engines
+    R.margin6(1619211450L) shouldBe 16.192115 // the empirically-found case
+    R.margin6(50L) shouldBe 0.000001
+    R.margin6(-50L) shouldBe -0.000001
+    R.margin6(149L) shouldBe 0.000001
+    R.margin6(-2060452500L) shouldBe -20.604525
+    // and the engine agrees with the referee on a model that produces ties:
+    // bias 50 micro, no tokens → margin micro exactly 50
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "src0", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    val m = Classifier.scoreQualityLr(df,
+      Classifier.LrModel(Array.fill(8)(0L), 50L)).collect().head
+    m.getAs[Double]("margin") shouldBe 0.000001
   }
 
   test("trainQualityLr on randomized corpora stays in referee lockstep") {
@@ -117,7 +91,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
       val model = Classifier.trainQualityLr(docsDf(rows),
         positiveSources = positives.toSeq, buckets = 32, lr = 0.3,
         iterations = 2)
-      val (rw, rb) = refereeTrain(rows, positives, 32, 0.3, 2)
+      val (rw, rb) = R.train(rows, positives, 32, 0.3, 2)
       withClue(s"trial $trial: ") {
         model.biasMicro shouldBe rb
         model.weightsMicro.toSeq shouldBe rw.toSeq
@@ -149,14 +123,13 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val model = Classifier.trainQualityLr(df, buckets = 16, iterations = 2)
     // referee with null text for doc 1
     val refRows = rows.map { case (id, src, t) => (id, src, t.orNull) }
-    val (rw, rb) = refereeTrain(refRows, Classifier.PositiveSources.toSet,
+    val (rw, rb) = R.train(refRows, Classifier.PositiveSources.toSet,
       16, Classifier.DefaultLearningRate, 2)
     model.biasMicro shouldBe rb
     model.weightsMicro.toSeq shouldBe rw.toSeq
     val m = Classifier.scoreQualityLr(df, model).collect()
       .map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
-    m(1L) shouldBe BigDecimal(rb / 1.0e8)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    m(1L) shouldBe R.margin6(rb)
   }
 
   test("empty corpus yields the zero model, not a NaN-poisoned one") {
@@ -183,13 +156,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
           r.getAs[Boolean]("keep")))).toMap
     out.size shouldBe corpus.size
     corpus.foreach { case (id, _, _) =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${Classifier.ResampleKeyPrefix}$id".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-      val pareto = BigDecimal(
-        math.pow(1.0 - u, -(1.0 / Classifier.ParetoAlpha)) - 1.0)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pareto = R.paretoDraw(id)
       val (prob, gotPareto, keep) = out(id)
       gotPareto shouldBe pareto
       // keep is decided on the ROUNDED doubles, ties KEEP — the
