@@ -248,6 +248,42 @@ object Classifier {
   private[corpus] def paretoKeep(pareto: Column, prob: Column): Column =
     pareto >= (lit(1.0) - prob)
 
+  /** Persist a trained model — the classifier plane's member of the
+    * persisted-artifact family (`writeBm25Index`, `writeIvfPqIndex`,
+    * `writeAssignedIndex`, `writeDedupIndex`): train once on a corpus
+    * snapshot, then [[readLrModel]] + [[qualityGate]] /
+    * [[graft.streaming.StreamOps.gateByQuality]] score every later batch or
+    * stream without retraining. Layout: one row per bucket `(b, w)` plus the
+    * bias as pseudo-bucket −1 (the gradient aggregate's own convention) —
+    * `buckets + 1` rows total, a trivially small single-file table. */
+  def writeLrModel(model: LrModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    ((-1 -> model.biasMicro) +:
+      model.weightsMicro.toSeq.zipWithIndex.map(_.swap))
+      .toDF("b", "w").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[writeLrModel]]. The weight table is
+    * buckets-bounded, so the collect is the same driver-held discipline
+    * training itself uses; gaps or duplicate bucket ids fail loudly rather
+    * than producing a silently mis-indexed weight array. */
+  def readLrModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LrModel = {
+    val rows = spark.read.parquet(path).select(col("b"), col("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val (biasRows, wRows) = rows.partition(_._1 < 0)
+    require(biasRows.length == 1, s"model at $path: expected exactly one " +
+      s"bias row (b = -1), found ${biasRows.length}")
+    val buckets = wRows.length
+    require(wRows.map(_._1).sorted.sameElements(0 until buckets),
+      s"model at $path: bucket ids must be exactly 0..${buckets - 1}")
+    val w = new Array[Long](buckets)
+    wRows.foreach { case (b, v) => w(b) = v }
+    LrModel(w, biasRows.head._2)
+  }
+
   /** Calibration bin count for [[calibrationReport]]'s driver query — shared
     * with the x78 oracle generator. */
   val DefaultCalibrationBins = 10

@@ -238,6 +238,33 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.head.getAs[Double]("mean_prob") shouldBe 1.0
   }
 
+  test("a persisted model round-trips and scores identically (train once, gate forever)") {
+    val model = Classifier.trainQualityLr(docsDf(corpus))
+    val path = java.nio.file.Files
+      .createTempDirectory("lrmodel").resolve("m").toString
+    Classifier.writeLrModel(model, path)
+    val loaded = Classifier.readLrModel(spark, path)
+    loaded.biasMicro shouldBe model.biasMicro
+    loaded.weightsMicro.toSeq shouldBe model.weightsMicro.toSeq
+    val a = Classifier.scoreQualityLr(docsDf(corpus), model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
+    val b = Classifier.scoreQualityLr(docsDf(corpus), loaded).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
+    b shouldBe a
+  }
+
+  test("readLrModel fails loudly on a corrupt weight table") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("lrmodelbad").resolve("m").toString
+    // bucket 1 missing, bucket 3 present: ids are not 0..n-1
+    Seq((-1, 5L), (0, 1L), (3, 2L)).toDF("b", "w")
+      .write.mode("overwrite").parquet(path)
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.readLrModel(s, path)
+  }
+
   test("qualityGate refuses inputs that already carry routing columns") {
     // composing onto x73's flagged output must fail loudly, not overwrite
     val model = Classifier.LrModel(Array.fill(8)(0L), 0L)
