@@ -256,8 +256,8 @@ object Classifier {
     * stream without retraining. Layout: one row per bucket `(b, w)` plus the
     * bias as pseudo-bucket −1 (the gradient aggregate's own convention) —
     * `buckets + 1` rows total, a trivially small single-file table. */
-  def writeLrModel(model: LrModel, path: String): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def writeLrModel(spark: org.apache.spark.sql.SparkSession,
+      model: LrModel, path: String): Unit = {
     import spark.implicits._
     ((-1 -> model.biasMicro) +:
       model.weightsMicro.toSeq.zipWithIndex.map(_.swap))
@@ -274,9 +274,13 @@ object Classifier {
     val rows = spark.read.parquet(path).select(col("b"), col("w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     val (biasRows, wRows) = rows.partition(_._1 < 0)
-    require(biasRows.length == 1, s"model at $path: expected exactly one " +
-      s"bias row (b = -1), found ${biasRows.length}")
+    require(biasRows.length == 1 && biasRows.head._1 == -1,
+      s"model at $path: expected exactly one bias row (b = -1), found " +
+        s"ids ${biasRows.map(_._1).mkString("[", ",", "]")}")
     val buckets = wRows.length
+    // bias-only tables load as buckets = 0, whose hash gate is pmod(·, 0) —
+    // all-NULL scores downstream; enforce training's own invariant instead
+    require(buckets > 0, s"model at $path has no weight rows")
     require(wRows.map(_._1).sorted.sameElements(0 until buckets),
       s"model at $path: bucket ids must be exactly 0..${buckets - 1}")
     val w = new Array[Long](buckets)

@@ -242,7 +242,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val model = Classifier.trainQualityLr(docsDf(corpus))
     val path = java.nio.file.Files
       .createTempDirectory("lrmodel").resolve("m").toString
-    Classifier.writeLrModel(model, path)
+    Classifier.writeLrModel(spark, model, path)
     val loaded = Classifier.readLrModel(spark, path)
     loaded.biasMicro shouldBe model.biasMicro
     loaded.weightsMicro.toSeq shouldBe model.weightsMicro.toSeq
@@ -261,6 +261,15 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     // bucket 1 missing, bucket 3 present: ids are not 0..n-1
     Seq((-1, 5L), (0, 1L), (3, 2L)).toDF("b", "w")
       .write.mode("overwrite").parquet(path)
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.readLrModel(s, path)
+    // a stray negative id is NOT the bias row
+    Seq((-2, 5L), (0, 1L)).toDF("b", "w")
+      .write.mode("overwrite").parquet(path)
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.readLrModel(s, path)
+    // a bias-only table has no usable feature space
+    Seq((-1, 5L)).toDF("b", "w").write.mode("overwrite").parquet(path)
     an[IllegalArgumentException] should be thrownBy
       Classifier.readLrModel(s, path)
   }
