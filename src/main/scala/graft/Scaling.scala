@@ -258,6 +258,11 @@ object Scaling {
       // corpus-scale term beyond the training it composes
       ("documents", "x77_classifier_resample", (d, _) =>
         graft.queries.CorpusQueries.x77ClassifierResample(spark, d)),
+      // x78: the same training plus a bins-bounded aggregate — output is
+      // `bins` rows at every scale; the cell pins that the report adds no
+      // corpus-scale term beyond the scoring pass it aggregates
+      ("documents", "x78_calibration", (d, _) =>
+        graft.queries.CorpusQueries.x78Calibration(spark, d)),
       // x75: fixed query sheet against the m×-growing code table — the
       // stats aggregate and encode pass grow linearly, the ADC scan is
       // the narrow byte-table pass the factoring exists for

@@ -220,4 +220,16 @@ object StreamOps {
   def gateByQuality(docs: DataFrame,
       model: graft.corpus.Classifier.LrModel, tau: Double): DataFrame =
     graft.corpus.Classifier.qualityGate(docs, model, tau)
+
+  /** Streaming Pareto-acceptance resampling — [[gateByQuality]]'s
+    * heavy-tailed sibling ([[graft.corpus.Classifier.paretoResample]], the
+    * GPT-3 retention rule): each arriving `(doc_id, source, text)` record's
+    * classifier score under the FROZEN model, its DETERMINISTIC acceptance
+    * draw (namespaced identity hash — a replayed or duplicated record draws
+    * the same value, so at-least-once delivery cannot flip a decision), and
+    * `keep`. One stateless narrow projection: NO watermark, NO state, any
+    * output mode. Flags emitted, not filtered (the x73 routing doctrine). */
+  def resampleIngest(docs: DataFrame,
+      model: graft.corpus.Classifier.LrModel): DataFrame =
+    graft.corpus.Classifier.paretoResample(docs, model)
 }

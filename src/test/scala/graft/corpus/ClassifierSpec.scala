@@ -285,6 +285,37 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("keep")
   }
 
+  test("streaming resampleIngest decides batch-equal through a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val model = Classifier.trainQualityLr(docsDf(corpus))
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamOps.resampleIngest(
+      input.toDF().toDF("doc_id", "source", "text"), model)
+    out.isStreaming shouldBe true
+    val sink = s"resample_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("resample").toString)
+      .start()
+    try {
+      val batchRows = Seq((200L, "src0", "the quick brown fox"),
+        (201L, "src9", "spam click here"))
+      input.addData(batchRows: _*)
+      q.processAllAvailable()
+      val live = s.table(sink).collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("prob"), r.getAs[Double]("pareto"),
+          r.getAs[Boolean]("keep")))).toMap
+      val batch = Classifier.paretoResample(
+        docsDf(batchRows), model).collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("prob"), r.getAs[Double]("pareto"),
+          r.getAs[Boolean]("keep")))).toMap
+      live shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming gateByQuality scores batch-equal through a live query") {
     val s = spark
     import s.implicits._
