@@ -168,20 +168,28 @@ object Classifier {
     * empirically confirmed: 16.1921145 → 16.192115 vs 16.192114). The
     * sign/magnitude form keeps the division on POSITIVE integers, where the
     * two engines' integral divisions agree — on negative operands truncate
-    * (Spark `div`) and floor (DuckDB `//`) do not. Engine-side the positive
-    * division runs as `floor((2·|m| + 100) / 200.0)`: the numerator is an
-    * exact double (< 2⁵³) and a non-integer true quotient sits ≥ 0.005 from
-    * any integer — far beyond one ulp — so the floor is exact and equals the
-    * oracle's integer `//`. `prob` (a sigmoid) and x77's pareto (a pow) stay
+    * (Spark's) and floor (DuckDB's `//`) do not. Engine-side the division is
+    * a true LONG integral divide (Catalyst `IntegralDivide` via the
+    * expression bridge — never a double round-trip, which loses exactness
+    * past 2⁵³ and would silently diverge from the oracle's exact BIGINT `//`
+    * on extreme margins). `prob` (a sigmoid) and x77's pareto (a pow) stay
     * `round(double)`: their ties are not systematic, so a half-tie is an
     * astronomically unlikely coincidence, the house-accepted transcendental
     * class. */
   def qualityCols(model: LrModel): (Column, Column) = {
     val m = marginMicro(bucketsCol(model.buckets),
       typedlit(model.weightsMicro.toSeq), model.biasMicro)
-    val mag6 = floor((abs(m) * lit(2L) + lit(100L)) / lit(200.0))
+    val mag6 = intDiv(abs(m) * lit(2L) + lit(100L), lit(200L))
     val margin6 = when(m < 0, -mag6).otherwise(mag6)
     (margin6.cast("double") / lit(1.0e6), round(probOf(m), 6))
+  }
+
+  /** Exact LONG integral division (Catalyst `IntegralDivide`) — callers must
+    * keep both operands non-negative (see [[qualityCols]]). */
+  private def intDiv(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      B.expression(a), B.expression(b)))
   }
 
   /** Score every document under a frozen model: `(doc_id, is_target, margin,
@@ -258,6 +266,11 @@ object Classifier {
     * `buckets + 1` rows total, a trivially small single-file table. */
   def writeLrModel(spark: org.apache.spark.sql.SparkSession,
       model: LrModel, path: String): Unit = {
+    // fail at the point the invalid artifact would be CREATED, not in some
+    // later session's load — the persisted-artifact fail-loudly doctrine
+    require(model.buckets > 0 && model.buckets <= 65536,
+      s"refusing to persist a model with ${model.buckets} buckets " +
+        "(trainQualityLr's own bound: the hash reads 4 hex digits)")
     import spark.implicits._
     ((-1 -> model.biasMicro) +:
       model.weightsMicro.toSeq.zipWithIndex.map(_.swap))
@@ -279,8 +292,12 @@ object Classifier {
         s"ids ${biasRows.map(_._1).mkString("[", ",", "]")}")
     val buckets = wRows.length
     // bias-only tables load as buckets = 0, whose hash gate is pmod(·, 0) —
-    // all-NULL scores downstream; enforce training's own invariant instead
-    require(buckets > 0, s"model at $path has no weight rows")
+    // all-NULL scores downstream; and past 65536 the 4-hex-digit hash can
+    // never reach the upper weights, which would apply silently dead.
+    // Enforce training's own invariant at load time too
+    require(buckets > 0 && buckets <= 65536,
+      s"model at $path has $buckets weight rows " +
+        "(expected 1..65536: the hash reads 4 hex digits)")
     require(wRows.map(_._1).sorted.sameElements(0 until buckets),
       s"model at $path: bucket ids must be exactly 0..${buckets - 1}")
     val w = new Array[Long](buckets)

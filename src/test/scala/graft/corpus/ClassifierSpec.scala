@@ -75,6 +75,14 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val m = Classifier.scoreQualityLr(df,
       Classifier.LrModel(Array.fill(8)(0L), 50L)).collect().head
     m.getAs[Double]("margin") shouldBe 0.000001
+    // and the division is a TRUE integral divide, exact past 2⁵³ where a
+    // double round-trip silently loses micro-units (a bias-only margin of
+    // 2⁵⁵ − 18 micro ends in …50: a half-tie, still rounding away from zero)
+    val huge = (1L << 55) - 18L
+    val hm = Classifier.scoreQualityLr(df,
+      Classifier.LrModel(Array.fill(8)(0L), huge)).collect().head
+    hm.getAs[Double]("margin") shouldBe R.margin6(huge)
+    R.margin6(huge) shouldBe (((huge / 100L) + 1L).toDouble / 1.0e6)
   }
 
   test("trainQualityLr on randomized corpora stays in referee lockstep") {
