@@ -129,6 +129,8 @@ object SparkEntry {
     "x76_quality_lr" -> (C.x76QualityLr _),
     "x77_classifier_resample" -> (C.x77ClassifierResample _),
     "x78_calibration" -> (C.x78Calibration _),
+    "x79_shard_assign" -> (C.x79ShardAssign _),
+    "x80_edit_verify" -> (C.x80EditVerify _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -368,4 +368,48 @@ object Curation {
       .filter(col("rank") <= k)
       .select(col("source"), col("doc_id"), col("sample_key"), col("rank"))
   }
+
+  /** Output-shard count for [[assignShards]]'s driver query — shared with the
+    * x79 oracle generator so the two cannot drift. */
+  val ShardCount: Int = 8
+
+  /** X79 — balanced output-shard assignment: route every document to one of
+    * `shards` output shards so per-shard token totals come out even — the
+    * shard-writer step at the end of every curation run. Unbalanced shards
+    * are a real 100 TB cost: training readers stream shard files in parallel,
+    * so the heaviest file IS the epoch's straggler. Hash-routing balances
+    * only in expectation (the variance is what this op removes); a greedy
+    * global LPT bin-pack balances best but is inherently sequential. This is
+    * the deterministic middle: within each source, rank documents by token
+    * count (desc, doc_id tiebreak) and deal them boustrophedon ("snake",
+    * the standard parallel LPT approximation) across the shards — rank r
+    * goes to shard `r % k` on even passes and `k-1 - r % k` on odd passes,
+    * so a shard that just received a big document receives the small end of
+    * the next pass. Adjacent ranks have near-equal sizes, so per-source
+    * shard totals differ by at most one pass's spread; summed over sources
+    * the imbalance stays bounded (spec-pinned ≤ 2% max/min token spread on
+    * the fixture corpus vs ~8% for hash routing).
+    *
+    * Every document is assigned — including NULL-text rows (`n_tokens`
+    * NULL, ranked last by both engines' NULLS LAST descending order): an
+    * output-stage op must never silently drop a row.
+    *
+    * Scale shape: ONE shuffle — the per-source rank window, the exact
+    * [[packSequences]] shape (skew bounded by the largest domain; for a
+    * single dominant source, sub-key the window by a doc_id block and the
+    * snake still balances each block). Pure integer arithmetic downstream of
+    * the window — the DuckDB oracle matches bit for bit. */
+  def assignShards(docs: DataFrame, shards: Int = ShardCount): DataFrame = {
+    require(shards > 0, "shard count must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("r", row_number().over(w).cast("long") - 1L)
+      // r >= 0, so truncating and flooring division agree; `div` keeps the
+      // arithmetic integral (the oracle's `//`)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(expr(s"r div $shards") % 2 === 0, col("r") % shards)
+          .otherwise(lit(shards - 1) - col("r") % shards).as("shard"))
+  }
 }

@@ -777,4 +777,60 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** `is_dup ⟺ lev · EditDupDen ≤ max_len` — i.e. edit similarity
+    * `1 − lev/max_len ≥ 1 − 1/EditDupDen` (0.8 at the default 5). Integer
+    * comparison by design: the similarity RATIO is never materialized, so
+    * there is no float rounding to tie-break (the playbook's round-a-ratio
+    * trap — `lev/max_len` lands on exact 7-decimal half-ties whenever
+    * `max_len` has a 2⁷·5^k factor). Shared with the x80 oracle generator so
+    * the two cannot drift. */
+  val EditDupDen: Int = 5
+
+  /** X80 — edit-distance verification of sketch near-dup candidates: the
+    * character-level verifier at the end of the dedup ladder. [[simhashPairs]]
+    * (or any candidate generator) proposes; Levenshtein distance — the
+    * classical measure a bag-of-tokens signal cannot fake (it sees order,
+    * so two documents with identical vocabulary but shuffled sentences score
+    * far apart) — disposes. Emits every candidate pair with its `hamming`
+    * evidence, `lev`, `max_len` (characters), and the integer-exact `is_dup`
+    * verdict (see [[EditDupDen]]); downstream, `is_dup` pairs feed the same
+    * cluster/apply machinery as the Jaccard verifier's.
+    *
+    * Built on Spark's codegen'd `levenshtein` (one O(|a|·|b|) banded DP per
+    * pair, code-point semantics). The DuckDB oracle's `levenshtein` is
+    * BYTE-based — identical on ASCII (this corpus, and the parity fixture's
+    * degenerate rows) but divergent on multi-byte text, where the engine's
+    * code-point count is the semantically right unit; the oracle, not the
+    * engine, is the approximation there.
+    *
+    * Scale shape: the quadratic risk lives entirely in the candidate
+    * generator (already blocked/bounded); this adds two doc_id-keyed hash
+    * joins to fetch pair texts — the candidate side is miss-bounded and
+    * AQE-broadcastable — and a per-pair DP whose cost is bounded by document
+    * length. At 100 TB, cap the verified prefix (`substring(text, 1, C)`
+    * upstream) or pre-filter on `abs(len_a − len_b) · EditDupDen > max_len`
+    * (length difference lower-bounds lev), both composable here because the
+    * verifier takes the candidates as input rather than recomputing them. */
+  def editVerifyPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    editVerify(simhashPairs(docs, maxHamming), docs)
+
+  /** [[editVerifyPairs]] over an arbitrary candidate-pair frame
+    * `(doc_id_1, doc_id_2, hamming)` — exposed so a deployment verifies
+    * MinHash-band or persisted-index candidates with the same contract. */
+  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    val lev = levenshtein(col("t1"), col("t2"))
+    candidates
+      .join(txt.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
+        "doc_id_1")
+      .join(txt.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
+        "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long")
+          .as("max_len"),
+        lev.cast("long").as("lev"),
+        (lev.cast("long") * EditDupDen <= greatest(length(col("t1")),
+          length(col("t2"))).cast("long")).as("is_dup"))
+  }
 }

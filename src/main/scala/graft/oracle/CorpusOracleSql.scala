@@ -305,6 +305,24 @@ SELECT source, doc_id, n_tokens,
 FROM c"""
   }
 
+  /** x79 — balanced shard assignment: per-source token-count rank (DESC,
+    * NULLS LAST on both engines), snake-folded across ShardCount shards.
+    * Pure integer arithmetic below the window — exact by construction. */
+  private val shardSql: String = {
+    val k = graft.corpus.Curation.ShardCount
+    s"""WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+  FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN (rk // $k) % 2 = 0 THEN rk % $k
+            ELSE ${k - 1} - rk % $k END AS BIGINT) AS shard
+FROM r"""
+  }
+
   /** x34 — overlapping fixed-window chunking: same ceil-division chunk count
     * and 1-based inclusive list slice as the operator; geometry interpolated
     * from Curation's constants. Pure integer + string ops — exact. */
@@ -1226,6 +1244,9 @@ FROM n GROUP BY 1""",
     // x31: concat-then-chunk sequence packing — budget from Curation.PackBudget
     "x31_pack_sequences" -> packSql,
 
+    // x79: balanced output-shard assignment (per-source snake deal)
+    "x79_shard_assign" -> shardSql,
+
     // x34: overlapping fixed-window chunking — geometry from Curation
     "x34_chunk_docs" -> chunkSql,
 
@@ -1425,6 +1446,27 @@ SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+
+    // x80: edit-distance verification of the x5 candidates. DuckDB's
+    // levenshtein is BYTE-based vs the engine's code points — identical on
+    // this ASCII corpus (and the parity fixture); the is_dup verdict is an
+    // integer comparison, never a rounded ratio (playbook rule).
+    "x80_edit_verify" -> (simhashPrelude +
+      s""", ch AS (
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
+  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+SELECT c.doc_id_1, c.doc_id_2, c.hamming,
+  CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len,
+  CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+  levenshtein(x.text, y.text) * ${graft.corpus.TextDedup.EditDupDen}
+    <= greatest(length(x.text), length(y.text)) AS is_dup
+FROM cand c JOIN documents x ON c.doc_id_1 = x.doc_id
+            JOIN documents y ON c.doc_id_2 = y.doc_id"""),
 
     "x6_cosine_topk" -> s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),

@@ -474,6 +474,16 @@ object CorpusQueries {
       d, graft.corpus.Classifier.trainQualityLr(d))
   }
 
+  /** x79 — balanced output-shard assignment: per-source token-rank snake
+    * deal across ShardCount shards. */
+  def x79ShardAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.assignShards(docs(spark, dir))
+
+  /** x80 — edit-distance verification of the x5 SimHash candidates:
+    * Levenshtein + integer-exact is_dup verdict per candidate pair. */
+  def x80EditVerify(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.editVerifyPairs(docs(spark, dir))
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the

@@ -1834,4 +1834,64 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     TextDedup.noveltyScore(d, d).queryExecution.analyzed
       .collect { case h: ResolvedHint => h } shouldBe empty
   }
+
+  test("assignShards snake-deals per-source token ranks; NULL text ranks last") {
+    import spark.implicits._
+    // source s: token counts 7,6,5,4,4,2,1 (doc4/doc5 tie → doc_id order),
+    // plus a NULL-text doc ranked last; source t independent
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(7), "s"), (2L, words(6), "s"), (3L, words(5), "s"),
+      (4L, words(4), "s"), (5L, words(4), "s"), (6L, words(2), "s"),
+      (7L, words(1), "s"), (8L, null: String, "s"),
+      (10L, words(9), "t"), (11L, words(1), "t"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.assignShards(d, shards = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.get(r.fieldIndex("n_tokens"))), r.getAs[Long]("shard"))).toMap
+    // ranks 0..7 fold 0,1,2,2,1,0,0,1 across 3 shards
+    out(1L) shouldBe ((Some(7L), 0L))
+    out(2L) shouldBe ((Some(6L), 1L))
+    out(3L) shouldBe ((Some(5L), 2L))
+    out(4L) shouldBe ((Some(4L), 2L))
+    out(5L) shouldBe ((Some(4L), 1L))
+    out(6L) shouldBe ((Some(2L), 0L))
+    out(7L) shouldBe ((Some(1L), 0L))
+    out(8L) shouldBe ((None, 1L)) // assigned, never dropped
+    out(10L) shouldBe ((Some(9L), 0L))
+    out(11L) shouldBe ((Some(1L), 1L))
+    // the balance the snake buys: source s token sums land 10/10/9
+    // (docs {1,6,7} / {2,5,8-null} / {3,4})
+    val sums = Curation.assignShards(d.filter(col("source") === "s"), shards = 3)
+      .groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("t")).toMap
+    sums shouldBe Map(0L -> 10L, 1L -> 10L, 2L -> 9L)
+  }
+
+  test("editVerify: order-sensitive verdicts with the integer is_dup boundary") {
+    import spark.implicits._
+    // lev*5 <= max_len at the exact boundary: max_len 10, lev 2 → dup;
+    // lev 3 → not. Pair (5,6): same vocabulary, shuffled order — a
+    // bag-of-tokens signal (simhash) cannot tell them apart, edit distance can.
+    val d = Seq(
+      (1L, "aaaaaaaaaa"), (2L, "aaaaaaaabb"), (3L, "aaaaaaabbb"),
+      (5L, "alpha beta gamma delta"), (6L, "delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L, 1), (1L, 3L, 1), (5L, 6L, 0))
+      .toDF("doc_id_1", "doc_id_2", "hamming")
+    val out = TextDedup.editVerify(cand, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("max_len"), r.getAs[Long]("lev"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    out((1L, 2L)) shouldBe ((10L, 2L, true))   // 2*5 = 10 <= 10
+    out((1L, 3L)) shouldBe ((10L, 3L, false))  // 3*5 = 15 > 10
+    out((5L, 6L))._3 shouldBe false            // reordering is not duplication
+    // end-to-end: identical docs pass through simhash candidates with lev 0
+    val dd = docs(7L -> "x y z w v", 8L -> "x y z w v")
+    val e2e = TextDedup.editVerifyPairs(dd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("lev"),
+        r.getAs[Boolean]("is_dup")))
+    e2e should contain((7L, 8L, 0L, true))
+  }
 }
