@@ -268,6 +268,22 @@ object Scaling {
       // the narrow byte-table pass the factoring exists for
       ("embeddings", "x75_sq8_ann",
         (d, _) => graft.corpus.Quantization.sq8TopK(rd(d, "embeddings"))),
+      // x79: replicas keep the SAME 20 sources (sources don't multiply with
+      // corpus size), so each per-source rank-window partition grows m× —
+      // the cell measures exactly the documented skew bound (one window
+      // shuffle, parallelism capped by source count)
+      ("documents", "x79_shard_assign",
+        (d, _) => graft.corpus.Curation.assignShards(rd(d, "documents"))),
+      // x80: the verifier driven by the occupancy-policied MinHash generator
+      // (candidates grow m× — x3's ladder cell); the default x5 pigeonhole
+      // generator has FIXED 8-bit chunks, whose bucket occupancy grows m×
+      // and the blocking join m²/1024 — its documented bench-scale regime,
+      // not a ladder shape. The cell therefore measures what the verifier
+      // ADDS on a linearly-growing candidate frame: two doc_id joins + one
+      // bounded DP per pair.
+      ("documents", "x80_edit_verify",
+        (d, _) => TextDedup.editVerify(
+          TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

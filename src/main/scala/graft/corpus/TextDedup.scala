@@ -815,22 +815,37 @@ object TextDedup {
   def editVerifyPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     editVerify(simhashPairs(docs, maxHamming), docs)
 
-  /** [[editVerifyPairs]] over an arbitrary candidate-pair frame
-    * `(doc_id_1, doc_id_2, hamming)` — exposed so a deployment verifies
-    * MinHash-band or persisted-index candidates with the same contract. */
+  /** [[editVerifyPairs]] over an arbitrary candidate-pair frame — exposed so
+    * a deployment verifies MinHash-band or persisted-index candidates with
+    * the same contract. `candidates` must carry `doc_id_1`/`doc_id_2`; every
+    * other column (x5's `hamming`, x3's `jaccard`, …) rides through as the
+    * pair's generator evidence, followed by `max_len`, `lev`, `is_dup`.
+    *
+    * The two text fetches are SHUFFLE_HASH-hinted with the candidate frame
+    * as the build side — the one deliberate join hint in the corpus plane,
+    * and the exception that proves the no-hints doctrine: left alone, the
+    * static planner broadcasts the CORPUS-TEXT side whenever its parquet
+    * stats sit under the broadcast threshold, and text compresses so well
+    * (repetitive natural language) that a corpus far past any sane broadcast
+    * size still looks "small" on disk — measured +12 s over the bare
+    * generator at the 30× ladder cell, growing linearly with corpus size,
+    * against +2 s for the shuffled-hash build on the bounded candidate
+    * frame. The hint assumes only that verified pairs are smaller than the
+    * corpus that produced them — true at every scale by the generator's
+    * blocking contract — and AQE's skew-join split still applies to
+    * shuffled-hash joins, so a viral doc_id cannot pin a reducer. */
   def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
-    val lev = levenshtein(col("t1"), col("t2"))
-    candidates
+    val lev = levenshtein(col("t1"), col("t2")).cast("long")
+    val maxLen = greatest(length(col("t1")), length(col("t2"))).cast("long")
+    val passthrough = candidates.columns.map(col).toSeq
+    candidates.hint("shuffle_hash")
       .join(txt.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
         "doc_id_1")
+      .hint("shuffle_hash")
       .join(txt.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
         "doc_id_2")
-      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"),
-        greatest(length(col("t1")), length(col("t2"))).cast("long")
-          .as("max_len"),
-        lev.cast("long").as("lev"),
-        (lev.cast("long") * EditDupDen <= greatest(length(col("t1")),
-          length(col("t2"))).cast("long")).as("is_dup"))
+      .select(passthrough :+ maxLen.as("max_len") :+ lev.as("lev") :+
+        (lev * EditDupDen <= maxLen).as("is_dup"): _*)
   }
 }

@@ -6,18 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** End-to-end composition of the curation ladder on one corpus:
-  * near-dup pairs → clusters → applyDedup → qualityGate filter →
-  * applyMixWeights keep-list → packSequences → assembleSequences.
+  * near-dup pairs → editVerify → clusters → applyDedup → qualityGate filter →
+  * applyMixWeights keep-list → packSequences → assembleSequences →
+  * assignShards.
   * Every stage is referee-tested alone; THIS spec pins that their column
   * contracts actually compose, and that global conservation invariants hold
   * across the chain — the properties a production pipeline silently loses
   * when one stage's rename or filter semantics shift:
   *  - monotone shrinkage: each stage's survivors are a subset of the prior
   *    stage's (no stage resurrects a dropped document);
+  *  - candidate verification only ever REMOVES pairs, and the planted
+  *    dups all survive it;
   *  - dedup keeps exactly one canonical doc per near-dup cluster;
   *  - every surviving document is packed exactly once, and the packed token
   *    counts equal the surviving documents' own token counts (packing
-  *    reorganizes, never drops or double-counts text mass). */
+  *    reorganizes, never drops or double-counts text mass);
+  *  - sharding assigns every survivor exactly once, with balanced
+  *    per-shard token mass. */
 class CurationPipelineSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("the dedup→gate→mix→pack ladder composes with conservation invariants") {
@@ -36,9 +41,19 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec with Matchers {
     val docs = (base ++ nearDups ++ exactDups)
       .toDF("doc_id", "text", "source")
 
-    // 1. dedup: pairs → connected components → surviving corpus
+    // 1. dedup: pairs → edit-distance verification → connected components →
+    // surviving corpus. Verification is subtractive only, and the planted
+    // one-token near-dups + exact dups all clear the 0.8 edit-sim bar.
     val pairs = TextDedup.minhashPairs(docs, threshold = 0.5)
-    val clusters = TextDedup.dedupClusters(pairs)
+    val verified = TextDedup.editVerify(pairs, docs)
+    val pairKeys = pairs.select("doc_id_1", "doc_id_2").as[(Long, Long)]
+      .collect().toSet
+    val verifiedRows = verified.collect()
+    verifiedRows.map(r => (r.getAs[Long]("doc_id_1"),
+      r.getAs[Long]("doc_id_2"))).toSet shouldBe pairKeys // evidence per pair
+    val survivors = verified.filter(col("is_dup"))
+    survivors.count() shouldBe pairs.count() // this corpus: all candidates real
+    val clusters = TextDedup.dedupClusters(survivors)
     val deduped = TextDedup.applyDedup(docs, clusters)
     val allIds = docs.select("doc_id").as[Long].collect().toSet
     val dedupedIds = deduped.select("doc_id").as[Long].collect().toSet
@@ -85,5 +100,16 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec with Matchers {
     val assembled = Curation.assembleSequences(mixed, budget = 32).collect()
     assembled.map(_.getAs[Long]("n_docs")).sum shouldBe mixedIds.size.toLong
     assembled.map(_.getAs[Long]("seq_tokens")).sum shouldBe expectedTokens
+
+    // 5. shard assignment over the final survivors: every doc exactly once,
+    // token mass conserved across shards, and the snake's balance beats the
+    // worst case — no shard holds more than half the total token mass
+    val sharded = Curation.assignShards(mixed, shards = 4).collect()
+    sharded.map(_.getAs[Long]("doc_id")).toSet shouldBe mixedIds
+    sharded.length shouldBe mixedIds.size
+    val perShard = sharded.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    perShard.values.sum shouldBe expectedTokens
+    perShard.values.max should be < expectedTokens / 2
   }
 }
