@@ -386,9 +386,12 @@ object Curation {
     * goes to shard `r % k` on even passes and `k-1 - r % k` on odd passes,
     * so a shard that just received a big document receives the small end of
     * the next pass. Adjacent ranks have near-equal sizes, so per-source
-    * shard totals differ by at most one pass's spread; summed over sources
-    * the imbalance stays bounded (spec-pinned ≤ 2% max/min token spread on
-    * the fixture corpus vs ~8% for hash routing).
+    * shard totals differ by at most one pass's size spread; summed over
+    * sources the imbalance stays bounded. Pinned: the hand-computed deal and
+    * its 10/10/9 token split (`CorpusSpec`), per-source shard cardinalities
+    * within 1 on random corpora (`CurationProperties`), and the
+    * no-shard-holds-half-the-mass bound on the composed pipeline
+    * (`CurationPipelineSpec`).
     *
     * Every document is assigned — including NULL-text rows (`n_tokens`
     * NULL, ranked last by both engines' NULLS LAST descending order): an

@@ -821,6 +821,15 @@ object TextDedup {
     * other column (x5's `hamming`, x3's `jaccard`, …) rides through as the
     * pair's generator evidence, followed by `max_len`, `lev`, `is_dup`.
     *
+    * A candidate id that does not resolve in `docs` FAILS LOUDLY
+    * (`raise_error`, the persisted-artifact doctrine): the advertised replay
+    * of persisted candidates against a corpus snapshot makes a stale pair —
+    * one member since removed — reachable, and silently dropping it would
+    * turn a dedup verdict into a silent dedup miss (the surviving twin
+    * stays). A doc that resolves with NULL text is different: the pair IS
+    * verifiable-in-principle but carries no text now, so `lev`/`is_dup`
+    * are NULL (the m2 skip-with-documented-semantics convention).
+    *
     * The two text fetches are SHUFFLE_HASH-hinted with the candidate frame
     * as the build side — the one deliberate join hint in the corpus plane,
     * and the exception that proves the no-hints doctrine: left alone, the
@@ -835,16 +844,21 @@ object TextDedup {
     * blocking contract — and AQE's skew-join split still applies to
     * shuffled-hash joins, so a viral doc_id cannot pin a reducer. */
   def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
-    val txt = docs.select(col("doc_id"), col("text"))
+    def side(i: Int) = docs.select(col("doc_id").as(s"doc_id_$i"),
+      col("text").as(s"t$i"), lit(true).as(s"__has$i"))
     val lev = levenshtein(col("t1"), col("t2")).cast("long")
-    val maxLen = greatest(length(col("t1")), length(col("t2"))).cast("long")
+    // the loud gate rides max_len's computation: a left-join miss on either
+    // side means the candidate references a doc absent from the corpus
+    val maxLen = when(col("__has1").isNull || col("__has2").isNull,
+      raise_error(concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
+        lit(", "), col("doc_id_2"),
+        lit(") references a doc_id absent from the corpus"))).cast("long"))
+      .otherwise(greatest(length(col("t1")), length(col("t2"))).cast("long"))
     val passthrough = candidates.columns.map(col).toSeq
     candidates.hint("shuffle_hash")
-      .join(txt.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
-        "doc_id_1")
+      .join(side(1), Seq("doc_id_1"), "left")
       .hint("shuffle_hash")
-      .join(txt.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
-        "doc_id_2")
+      .join(side(2), Seq("doc_id_2"), "left")
       .select(passthrough :+ maxLen.as("max_len") :+ lev.as("lev") :+
         (lev * EditDupDen <= maxLen).as("is_dup"): _*)
   }

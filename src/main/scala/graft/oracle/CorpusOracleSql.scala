@@ -90,6 +90,20 @@ sims AS (
 """
   }
 
+  /** [[simhashPrelude]] extended with the x5 pigeonhole-blocked candidate
+    * set as a `cand` CTE — ONE definition shared by x5 and x80 so the
+    * verifier's oracle can never drift from the generator's. */
+  private val simhashCandidates: String = simhashPrelude +
+    """, ch AS (
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
+  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+"""
+
   /** The ±1 hyperplane matrix `Similarity.hyperplanes(bits=6, dim=64)` uses —
     * replayed from the same fixed-seed java.util.Random stream. */
   private def hyperplaneLiterals(bits: Int, dim: Int): Seq[String] = {
@@ -1438,29 +1452,16 @@ WHERE rn <= 3"""),
 
     "x4_simhash" -> (simhashPrelude + "SELECT doc_id, simhash FROM sims"),
 
-    "x5_simhash_pairs" -> (simhashPrelude +
-      """, ch AS (
-  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
-  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk))
-SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    "x5_simhash_pairs" -> (simhashCandidates +
+      "SELECT doc_id_1, doc_id_2, hamming FROM cand"),
 
-    // x80: edit-distance verification of the x5 candidates. DuckDB's
+    // x80: edit-distance verification of the x5 candidates (shared `cand`
+    // CTE — the two oracles cannot drift on the candidate set). DuckDB's
     // levenshtein is BYTE-based vs the engine's code points — identical on
     // this ASCII corpus (and the parity fixture); the is_dup verdict is an
     // integer comparison, never a rounded ratio (playbook rule).
-    "x80_edit_verify" -> (simhashPrelude +
-      s""", ch AS (
-  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
-  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
-SELECT c.doc_id_1, c.doc_id_2, c.hamming,
+    "x80_edit_verify" -> (simhashCandidates +
+      s"""SELECT c.doc_id_1, c.doc_id_2, c.hamming,
   CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len,
   CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
   levenshtein(x.text, y.text) * ${graft.corpus.TextDedup.EditDupDen}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * standard pattern for libraries adding custom Catalyst expressions (Spark 4
   * moved `Column` onto ColumnNode, so `new Column(expr)` no longer exists; the
   * sanctioned converters live in `classic.ExpressionUtils`, package-private to
-  * `org.apache.spark.sql`). Only used by `graft.functions`. */
+  * `org.apache.spark.sql`). Used by `graft.functions` and by corpus-plane
+  * expression-level kernels (e.g. `Classifier.intDiv`). */
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

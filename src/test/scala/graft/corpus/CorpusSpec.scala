@@ -1893,5 +1893,14 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("lev"),
         r.getAs[Boolean]("is_dup")))
     e2e should contain((7L, 8L, 0L, true))
+    // a candidate id absent from the corpus fails loudly (a stale persisted
+    // pair silently dropping would be a silent dedup miss)
+    val stale = Seq((1L, 9999L, 0)).toDF("doc_id_1", "doc_id_2", "hamming")
+    val ex = intercept[Exception] {
+      TextDedup.editVerify(stale, d).collect()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("editVerify")
   }
 }

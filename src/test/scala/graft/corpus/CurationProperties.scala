@@ -13,10 +13,11 @@ import org.scalacheck.Prop.propBoolean
   *    (tokens desc NULLS LAST, doc_id) snake deal EXACTLY, assign every
   *    document, and deal per-source shard CARDINALITIES within 1 of each
   *    other (the round-robin guarantee the balance claim rests on);
-  *  - [[TextDedup.editVerify]] must emit exactly one row per candidate pair
-  *    whose BOTH ids resolve (inner-join contract), with `lev` equal to the
-  *    referee's Levenshtein DP and `is_dup` the integer comparison
-  *    `lev · EditDupDen ≤ max_len`.
+  *  - [[TextDedup.editVerify]] must emit exactly one row per candidate
+  *    pair, with `lev` equal to the referee's Levenshtein DP and `is_dup`
+  *    the integer comparison `lev · EditDupDen ≤ max_len`; NULL-text pairs
+  *    yield NULL verdicts (the unresolvable-id loud gate is pinned in
+  *    CorpusSpec).
   *
   * Sample count is bounded (each trial runs several small Spark jobs). */
 object CurationProperties extends Properties("outputPlane") {
@@ -102,21 +103,19 @@ object CurationProperties extends Properties("outputPlane") {
   property("editVerify matches the referee DP verdicts on random candidates") =
     Prop.forAll(corpusGen, Gen.choose(0L, Long.MaxValue)) { (docs, seed) =>
       val rnd = new scala.util.Random(seed)
-      val present = docs.filter(_.text.isDefined)
-      // random candidate pairs, some referencing absent / NULL-text ids
+      // random candidate pairs over resolvable ids (NULL-text ids included;
+      // ABSENT ids are the loud-gate path, pinned in CorpusSpec)
       val ids = docs.map(_.docId)
       val cand = (0 until math.min(40, ids.size * 2)).map { _ =>
         val a = ids(rnd.nextInt(ids.size))
-        val b = if (rnd.nextDouble() < 0.1) 9999L else ids(rnd.nextInt(ids.size))
+        val b = ids(rnd.nextInt(ids.size))
         (math.min(a, b), math.max(a, b), rnd.nextInt(4))
       }.groupBy(c => (c._1, c._2)).values.map(_.head).toList // one per pair
       val s = spark
       import s.implicits._
       val candDf = cand.toDF("doc_id_1", "doc_id_2", "hamming")
       val texts = docs.map(d => d.docId -> d.text).toMap
-      val expected = cand.filter { case (a, b, _) =>
-        texts.contains(a) && texts.contains(b)
-      }.map { case (a, b, h) =>
+      val expected = cand.map { case (a, b, h) =>
         (a, b) -> ((h, (texts(a), texts(b)) match {
           case (Some(ta), Some(tb)) =>
             val lev = refLev(ta, tb)
