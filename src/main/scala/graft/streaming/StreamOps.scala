@@ -128,6 +128,61 @@ object StreamOps {
       .select(col("doc_id"), col("ts"))
   }
 
+  /** Streaming VERIFIED near-dup decisions — [[flagNearDupCandidates]]
+    * completed to a per-record verdict. The flag twin deliberately stops at
+    * LSH candidates because its exact-Jaccard verifier needs the old side's
+    * posting AGGREGATES (a batch join); the edit-distance verifier
+    * ([[graft.corpus.TextDedup.editVerify]]'s contract) needs only the old
+    * side's TEXT — one static column — so the whole decision becomes two
+    * stream-static joins plus a per-pair scalar DP: stateless but for the
+    * watermarked pair dedup, and ingest gains what batch-verify-later could
+    * not give it, a same-trigger verdict. Emits one row per (arriving doc,
+    * colliding index doc): `(doc_id, ts, matched_doc_id, max_len, lev,
+    * is_dup)` with the [[graft.corpus.TextDedup.EditDupDen]] integer
+    * verdict; novel docs are absent (the flag twin's convention). An index
+    * doc with no `corpusText` row FAILS the query loudly (editVerify's
+    * stale-artifact doctrine — the index and its text table must describe
+    * the same corpus snapshot); a corpus row with NULL text yields NULL
+    * `lev`/`is_dup` (verifiable-in-principle, no text now).
+    *
+    * Scale shape: band probe against the persisted bucketed index (zero
+    * index-side shuffle, the flag twin's plan), pair dedup keyed on the
+    * bounded collision set, then one text fetch against the static corpus —
+    * per-trigger cost rides the increment, never the corpus. */
+  def verifyNearDupsAgainst(docs: DataFrame, index: DataFrame,
+      corpusText: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, watermarkDelay: String = "1 hour"): DataFrame = {
+    val sig = graft.functions.MinHashSig(
+      graft.corpus.TextDedup.shingles(
+        graft.corpus.TextDedup.tokens(col("text")), n), numHashes)
+    val lev = levenshtein(col("text"), col("old_text")).cast("long")
+    val maxLen = when(col("__has").isNull,
+      raise_error(concat(lit("verifyNearDupsAgainst: index doc "),
+        col("matched_doc_id"),
+        lit(" has no corpus text row — index and text table out of sync")))
+        .cast("long"))
+      .otherwise(greatest(length(col("text")), length(col("old_text")))
+        .cast("long"))
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), col("text"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), col("ts"), col("text"), explode(
+        graft.corpus.TextDedup.bandStructs(col("sig"), numHashes, bands))
+        .as("bb"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(index.select(col("band"), col("bucket"),
+        col("doc_id").as("matched_doc_id")), Seq("band", "bucket"))
+      .dropDuplicatesWithinWatermark("doc_id", "matched_doc_id")
+      .join(corpusText.select(col("doc_id").as("matched_doc_id"),
+        col("text").as("old_text"), lit(true).as("__has")),
+        Seq("matched_doc_id"), "left")
+      .select(col("doc_id"), col("ts"), col("matched_doc_id"),
+        maxLen.as("max_len"), lev.as("lev"),
+        (lev * graft.corpus.TextDedup.EditDupDen <= maxLen).as("is_dup"))
+  }
+
   /** Streaming relevance gating against a frozen BM25 model — the
     * ingest-time twin of [[graft.corpus.Retrieval.bm25TopKAgainst]]: each
     * arriving document carries its best query-sheet match (score bit-equal

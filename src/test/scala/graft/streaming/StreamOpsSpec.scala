@@ -553,4 +553,103 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows shouldBe batch
     } finally q.stop()
   }
+
+  private def oldCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (100L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (101L, (31 to 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+  }
+  private val nearDupText =
+    (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")
+  private val oldText100 = (1 to 30).map(i => s"tok$i").mkString(" ")
+
+  test("streaming verified near-dups: per-record verdicts through a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = oldCorpus(s)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.verifyNearDupsAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      graft.corpus.TextDedup.dedupIndex(old), old)
+    val sink = s"verifydup_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops6").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, nearDupText), // near-dup of old 100
+        (ts("2024-01-01 10:01:00"), 2L,
+          (61 to 90).map(i => s"new$i").mkString(" "))) // novel → absent
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_doc_id"),
+          r.getAs[Long]("max_len"), r.getAs[Long]("lev"),
+          r.getAs[Boolean]("is_dup")))
+      // exactly one verified pair: suffix "tok30"→"zz" has no common char,
+      // so lev is the full 5; dedup'd despite the 16-band fanout
+      rows.toSeq shouldBe Seq((1L, 100L,
+        math.max(nearDupText.length, oldText100.length).toLong, 5L, true))
+    } finally q.stop()
+  }
+
+  test("streaming verified near-dups: index doc without a text row fails loudly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = oldCorpus(s)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.verifyNearDupsAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      graft.corpus.TextDedup.dedupIndex(old),
+      old.filter($"doc_id" =!= 100L)) // text table missing the indexed doc
+    val sink = s"verifydup_stale_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops7").toString)
+      .start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, nearDupText))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+        include("verifyNearDupsAgainst")
+    } finally q.stop()
+  }
+
+  test("streaming verified near-dups: a since-NULLed text row yields NULL verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = oldCorpus(s)
+    // the index was built when doc 100 had text; the text was since NULLed —
+    // the pair is still reported, verifiable-in-principle, verdict NULL
+    val nulled = Seq((100L, null: String),
+      (101L, (31 to 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.verifyNearDupsAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      graft.corpus.TextDedup.dedupIndex(old), nulled)
+    val sink = s"verifydup_null_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops8").toString)
+      .start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, nearDupText))
+      q.processAllAvailable()
+      val r = s.table(sink).collect().toSeq
+      r should have size 1
+      r.head.getAs[Long]("doc_id") shouldBe 1L
+      r.head.getAs[Long]("matched_doc_id") shouldBe 100L
+      r.head.getAs[Long]("max_len") shouldBe nearDupText.length.toLong
+      r.head.isNullAt(r.head.fieldIndex("lev")) shouldBe true
+      r.head.isNullAt(r.head.fieldIndex("is_dup")) shouldBe true
+    } finally q.stop()
+  }
 }
