@@ -1903,4 +1903,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
       include("editVerify")
   }
+
+  test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"w$i a b c", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    // x79: the per-source rank window's hash exchange is the ONLY exchange
+    val shardPlan = Curation.assignShards(d)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(shardPlan).length shouldBe 1
+    shardPlan should not include "BroadcastExchange"
+    // x80: both text fetches are shuffled-hash with the CANDIDATE side as
+    // build (never a broadcast of the corpus-text scan — compressed parquet
+    // stats understate a text corpus far past any sane broadcast size)
+    val cand = Seq((1L, 2L, 0)).toDF("doc_id_1", "doc_id_2", "hamming")
+    val verifyPlan = TextDedup.editVerify(cand, d)
+      .queryExecution.executedPlan.toString
+    "ShuffledHashJoin .*BuildLeft".r.findAllIn(verifyPlan).length shouldBe 2
+    verifyPlan should not include "BroadcastHashJoin"
+  }
 }
