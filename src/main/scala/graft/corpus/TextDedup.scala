@@ -829,6 +829,10 @@ object TextDedup {
     * stays). A doc that resolves with NULL text is different: the pair IS
     * verifiable-in-principle but carries no text now, so `lev`/`is_dup`
     * are NULL (the m2 skip-with-documented-semantics convention).
+    * The gate rides EVERY verdict column (`max_len`, `lev`, `is_dup` —
+    * [[editVerdictCols]]), so any consumer that reads a verdict enforces
+    * it; the one shape that prunes it away is a projection keeping only
+    * the candidate passthrough, i.e. not consuming the verifier at all.
     *
     * The two text fetches are SHUFFLE_HASH-hinted with the candidate frame
     * as the build side — the one deliberate join hint in the corpus plane,
@@ -846,20 +850,34 @@ object TextDedup {
   def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
     def side(i: Int) = docs.select(col("doc_id").as(s"doc_id_$i"),
       col("text").as(s"t$i"), lit(true).as(s"__has$i"))
-    val lev = levenshtein(col("t1"), col("t2")).cast("long")
-    // the loud gate rides max_len's computation: a left-join miss on either
-    // side means the candidate references a doc absent from the corpus
-    val maxLen = when(col("__has1").isNull || col("__has2").isNull,
-      raise_error(concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
+    val (maxLen, lev, isDup) = editVerdictCols(col("t1"), col("t2"),
+      col("__has1").isNull || col("__has2").isNull,
+      concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
         lit(", "), col("doc_id_2"),
-        lit(") references a doc_id absent from the corpus"))).cast("long"))
-      .otherwise(greatest(length(col("t1")), length(col("t2"))).cast("long"))
+        lit(") references a doc_id absent from the corpus")))
     val passthrough = candidates.columns.map(col).toSeq
     candidates.hint("shuffle_hash")
       .join(side(1), Seq("doc_id_1"), "left")
       .hint("shuffle_hash")
       .join(side(2), Seq("doc_id_2"), "left")
       .select(passthrough :+ maxLen.as("max_len") :+ lev.as("lev") :+
-        (lev * EditDupDen <= maxLen).as("is_dup"): _*)
+        isDup.as("is_dup"): _*)
+  }
+
+  /** The x80 verdict kernel, shared by [[editVerify]] and the streaming twin
+    * (`StreamOps.verifyNearDupsAgainst`) so the two can never drift —
+    * returns `(max_len, lev, is_dup)` for a text pair, with the loud
+    * out-of-sync gate (`missing` → `raise_error(msg)`) folded into EVERY
+    * returned column: Catalyst prunes unreferenced projections, so a gate
+    * riding only one column would silently vanish for consumers that read
+    * the others. Future contract changes (a verified-prefix cap, the
+    * length-difference prefilter) land here once for both paths. */
+  private[graft] def editVerdictCols(newText: Column, oldText: Column,
+      missing: Column, msg: Column): (Column, Column, Column) = {
+    def gated(c: Column) =
+      when(missing, raise_error(msg).cast("long")).otherwise(c)
+    val lev = gated(levenshtein(newText, oldText).cast("long"))
+    val maxLen = gated(greatest(length(newText), length(oldText)).cast("long"))
+    (maxLen, lev, lev * EditDupDen <= maxLen)
   }
 }

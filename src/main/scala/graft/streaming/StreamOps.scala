@@ -111,21 +111,32 @@ object StreamOps {
     * dedup; the index is static; nothing grows with stream volume. */
   def flagNearDupCandidates(docs: DataFrame, index: DataFrame, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      watermarkDelay: String = "1 hour"): DataFrame = {
-    val sig = graft.functions.MinHashSig(
-      graft.corpus.TextDedup.shingles(
-        graft.corpus.TextDedup.tokens(col("text")), n), numHashes)
-    docs
-      .withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("ts"), sig.as("sig"))
-      .filter(size(col("sig")) > 0)
-      .select(col("doc_id"), col("ts"), explode(
-        graft.corpus.TextDedup.bandStructs(col("sig"), numHashes, bands)).as("bb"))
-      .select(col("doc_id"), col("ts"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      watermarkDelay: String = "1 hour"): DataFrame =
+    bandRows(docs, Nil, n, numHashes, bands, watermarkDelay)
       .join(index, Seq("band", "bucket"), "left_semi")
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
+
+  /** The shared band-probe prefix of [[flagNearDupCandidates]] and
+    * [[verifyNearDupsAgainst]] — ONE definition of the probe geometry
+    * (signature, empty-signature policy, band explode) so the flag and
+    * verify twins can never drift. `extra` columns ride the exploded rows:
+    * the flag twin probes slim; the verify twin threads `text` through
+    * (see its amplification note). */
+  private def bandRows(docs: DataFrame, extra: Seq[String], n: Int,
+      numHashes: Int, bands: Int, watermarkDelay: String): DataFrame = {
+    val sig = graft.functions.MinHashSig(
+      graft.corpus.TextDedup.shingles(
+        graft.corpus.TextDedup.tokens(col("text")), n), numHashes)
+    val keep = (Seq("doc_id", "ts") ++ extra).map(col)
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(keep :+ sig.as("sig"): _*)
+      .filter(size(col("sig")) > 0)
+      .select(keep :+ explode(graft.corpus.TextDedup.bandStructs(
+        col("sig"), numHashes, bands)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket"): _*)
   }
 
   /** Streaming VERIFIED near-dup decisions — [[flagNearDupCandidates]]
@@ -148,39 +159,35 @@ object StreamOps {
     * Scale shape: band probe against the persisted bucketed index (zero
     * index-side shuffle, the flag twin's plan), pair dedup keyed on the
     * bounded collision set, then one text fetch against the static corpus —
-    * per-trigger cost rides the increment, never the corpus. */
+    * per-trigger cost rides the increment, never the corpus. The text fetch
+    * is SHUFFLE_HASH-hinted with the pair side as build
+    * ([[graft.corpus.TextDedup.editVerify]]'s lesson: compressed parquet
+    * stats understate a text corpus far past any sane broadcast size, and a
+    * static broadcast here would rebuild per micro-batch); persist
+    * `corpusText` bucketed on `doc_id` (the `writeDedupIndex` discipline)
+    * and the static side reads in place per trigger. One honest cost the
+    * flag twin doesn't pay: the arriving document's TEXT rides its
+    * `bands`-way band explode into the probe shuffle (a stream cannot
+    * re-join its own text back — that would be a stream-stream join), a
+    * bands× per-trigger byte amplification; verify on a capped prefix or
+    * with fewer bands when arriving documents are large. */
   def verifyNearDupsAgainst(docs: DataFrame, index: DataFrame,
       corpusText: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, watermarkDelay: String = "1 hour"): DataFrame = {
-    val sig = graft.functions.MinHashSig(
-      graft.corpus.TextDedup.shingles(
-        graft.corpus.TextDedup.tokens(col("text")), n), numHashes)
-    val lev = levenshtein(col("text"), col("old_text")).cast("long")
-    val maxLen = when(col("__has").isNull,
-      raise_error(concat(lit("verifyNearDupsAgainst: index doc "),
-        col("matched_doc_id"),
+    val (maxLen, lev, isDup) = graft.corpus.TextDedup.editVerdictCols(
+      col("text"), col("old_text"), col("__has").isNull,
+      concat(lit("verifyNearDupsAgainst: index doc "), col("matched_doc_id"),
         lit(" has no corpus text row — index and text table out of sync")))
-        .cast("long"))
-      .otherwise(greatest(length(col("text")), length(col("old_text")))
-        .cast("long"))
-    docs
-      .withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("ts"), col("text"), sig.as("sig"))
-      .filter(size(col("sig")) > 0)
-      .select(col("doc_id"), col("ts"), col("text"), explode(
-        graft.corpus.TextDedup.bandStructs(col("sig"), numHashes, bands))
-        .as("bb"))
-      .select(col("doc_id"), col("ts"), col("text"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bandRows(docs, Seq("text"), n, numHashes, bands, watermarkDelay)
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("matched_doc_id")), Seq("band", "bucket"))
       .dropDuplicatesWithinWatermark("doc_id", "matched_doc_id")
+      .hint("shuffle_hash")
       .join(corpusText.select(col("doc_id").as("matched_doc_id"),
         col("text").as("old_text"), lit(true).as("__has")),
         Seq("matched_doc_id"), "left")
       .select(col("doc_id"), col("ts"), col("matched_doc_id"),
-        maxLen.as("max_len"), lev.as("lev"),
-        (lev * graft.corpus.TextDedup.EditDupDen <= maxLen).as("is_dup"))
+        maxLen.as("max_len"), lev.as("lev"), isDup.as("is_dup"))
   }
 
   /** Streaming relevance gating against a frozen BM25 model — the
