@@ -494,7 +494,13 @@ object TextStats {
     * of re-running r rounds of lineage); the driver holds one argmax row
     * per round. The corpus itself is scanned exactly once regardless of
     * `numMerges`. */
-  def trainBpe(docs: DataFrame, numMerges: Int = 8): Seq[(String, String, Long)] = {
+  /** Merge-list length for the x81 driver query — shared with the oracle
+    * generator (which replays training round-for-round as chained
+    * materialized CTEs) so the two cannot drift. */
+  val BpeDefaultMerges: Int = 8
+
+  def trainBpe(docs: DataFrame,
+      numMerges: Int = BpeDefaultMerges): Seq[(String, String, Long)] = {
     // x20's checkpoint hygiene: lazy checkpoints (the round's argmax is the
     // materializing action — one Spark job per round), each superseded
     // round's blocks freed through its RDD as soon as the NEXT round has

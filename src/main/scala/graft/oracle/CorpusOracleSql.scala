@@ -104,6 +104,77 @@ cand AS (
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
 """
 
+  /** x81 — BPE train-then-segment, replayed round-for-round: each training
+    * round is a pair-count CTE, a (count desc, l, r) argmax CTE, and a
+    * re-segmentation CTE; the application chain then replays the same
+    * argmaxes over every document's words. Words live as WRAPPED symbol
+    * strings — every symbol rendered `<SEP>sym<SEP>` (SEP = chr(1), a
+    * char no corpus symbol contains) and concatenated — so one
+    * left-to-right non-overlapping `replace` of `<SEP>l<SEP><SEP>r<SEP>`
+    * with `<SEP>lr<SEP>` IS Sennrich's merge_vocab pass (the wrapping
+    * makes symbol boundaries unmistakable: merging (b, c) can never match
+    * inside (ab, c)); `chr(2)` fallbacks make exhausted rounds exact no-ops,
+    * matching the engine's early stop. CTEs are MATERIALIZED: `t_i` and
+    * `w_i` are each referenced twice, and DuckDB's default inlining would
+    * re-run the whole training prefix per reference — 2^rounds blowup,
+    * measured as a >100× slowdown at 8 rounds. */
+  private val bpeSegmentSql: String = {
+    val rounds = graft.corpus.TextStats.BpeDefaultMerges
+    val s1 = "chr(1)"
+    val s2 = "chr(1)||chr(1)"
+    val wrapChars = "regexp_replace(%s, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    val train = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, SUM(freq) AS n FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+      j -> {'l': syms[j], 'r': syms[j + 1]})) AS p
+    FROM (SELECT string_split(trim(s, $s1), $s2) AS syms, freq FROM w${i - 1}))
+  GROUP BY 1, 2),
+t$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+w$i AS MATERIALIZED (
+  SELECT replace(s,
+    coalesce((SELECT $s1||l||$s1||$s1||r||$s1 FROM t$i), chr(2)),
+    coalesce((SELECT $s1||l||r||$s1 FROM t$i), chr(2))) AS s, freq
+  FROM w${i - 1})"""
+    }.mkString(",\n")
+    val apply = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+  SELECT doc_id, j, replace(s,
+    coalesce((SELECT $s1||l||$s1||$s1||r||$s1 FROM t$i), chr(2)),
+    coalesce((SELECT $s1||l||r||$s1 FROM t$i), chr(2))) AS s
+  FROM d${i - 1})"""
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+  SELECT ${wrapChars.format("w")} AS s, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE text IS NOT NULL)
+  WHERE w <> ''
+  GROUP BY 1),
+$train,
+dw AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL)),
+d0 AS MATERIALIZED (
+  SELECT doc_id, j, ${wrapChars.format("ws[j]")} AS s
+  FROM dw WHERE ws[j] <> ''),
+$apply,
+agg AS (
+  SELECT doc_id, COUNT(*) AS nt,
+    SUM(len(string_split(trim(s, $s1), $s2))) AS nsub,
+    string_agg(array_to_string(
+      string_split(trim(s, $s1), $s2), ' '), ' ' ORDER BY j) AS sub_text
+  FROM d$rounds GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END
+    AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nsub, 0) END
+    AS BIGINT) AS n_subwords,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.sub_text, '') END
+    AS subword_text
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+  }
+
   /** The ±1 hyperplane matrix `Similarity.hyperplanes(bits=6, dim=64)` uses —
     * replayed from the same fixed-seed java.util.Random stream. */
   private def hyperplaneLiterals(bits: Int, dim: Int): Seq[String] = {
@@ -1260,6 +1331,9 @@ FROM n GROUP BY 1""",
 
     // x79: balanced output-shard assignment (per-source snake deal)
     "x79_shard_assign" -> shardSql,
+
+    // x81: BPE train-then-segment (round-for-round training replay)
+    "x81_bpe_segment" -> bpeSegmentSql,
 
     // x34: overlapping fixed-window chunking — geometry from Curation
     "x34_chunk_docs" -> chunkSql,

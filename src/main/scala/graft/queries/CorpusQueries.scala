@@ -484,6 +484,15 @@ object CorpusQueries {
   def x80EditVerify(spark: SparkSession, dir: String): DataFrame =
     TextDedup.editVerifyPairs(docs(spark, dir))
 
+  /** x81 — BPE tokenization: train the 8-merge list on the corpus
+    * (Sennrich et al. argmax rounds), then segment every document with it
+    * (self-contained train-then-apply, the x76 pattern). */
+  def x81BpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextStats.applyBpe(d,
+      TextStats.trainBpe(d).map(m => (m._1, m._2)))
+  }
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the
