@@ -268,6 +268,12 @@ object Scaling {
       // the narrow byte-table pass the factoring exists for
       ("embeddings", "x75_sq8_ann",
         (d, _) => graft.corpus.Quantization.sq8TopK(rd(d, "embeddings"))),
+      // x81: the replica construction is adversarial for BPE training —
+      // per-replica token suffixes multiply the distinct-word table m× —
+      // but every round still touches only that table (corpus scanned once
+      // regardless of rounds) and the application pass is narrow
+      ("documents", "x81_bpe_segment", (d, _) =>
+        graft.queries.CorpusQueries.x81BpeSegment(spark, d)),
       // x79: replicas keep the SAME 20 sources (sources don't multiply with
       // corpus size), so each per-source rank-window partition grows m× —
       // the cell measures exactly the documented skew bound (one window

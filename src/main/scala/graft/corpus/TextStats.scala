@@ -560,17 +560,14 @@ object TextStats {
     * Narrow and stateless — ONE projection, no explode/shuffle — so it
     * composes onto streams; per-row cost is \|merges\| fold passes over each
     * word's symbols (the merge list is a bounded artifact, constant in the
-    * corpus). */
-  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    // drop split()'s empty tokens before segmenting (trainBpe's convention:
-    // an empty word has no characters, so it contributes no subwords — NOT
-    // a phantom [""] symbol); n_tokens counts the same non-empty words
-    val nonEmpty = filter(ws, w => w =!= lit(""))
-    val segmented = transform(nonEmpty, w =>
-      merges.foldLeft(split(w, ""))((syms, m) => mergePass(syms, m._1, m._2)))
-    docs.select(col("doc_id"), size(nonEmpty).as("n_tokens"),
-      flatten(segmented).as("sub"))
-      .select(col("doc_id"), col("n_tokens"), size(col("sub")).as("n_subwords"),
-        array_join(col("sub"), " ").as("subword_text"))
-  }
+    * corpus), run inside the codegen'd [[graft.functions.BpeSegment]]
+    * kernel — the declarative `transform`+`aggregate` chain it replaces
+    * evaluated every fold as an INTERPRETED lambda (CodegenFallback),
+    * measured 8.9 s vs ~0.3 s over the sf0.1 corpus at 8 merges. */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.BpeSegment(col("text"), merges).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.n_subwords").as("n_subwords"),
+        col("s.subword_text").as("subword_text"))
 }

@@ -291,4 +291,45 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
         java.lang.Double.doubleToLongBits(r.getDouble(1))
     }
   }
+
+  test("BpeSegment == the declarative fold segmentation; eval == codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(33)
+    // cascading merges (t+h then th+e), repeats (a+a on "aa a aaa"),
+    // empty words (double spaces), and multi-byte text
+    val vocab = Vector("abab", "banana", "aa", "", "中文中", "x", "the", "thee", "aaa")
+    val rows = (0 until 120).map { _ =>
+      Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val merges = Seq("a" -> "b", "b" -> "a", "t" -> "h", "th" -> "e", "a" -> "a")
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_)))).toDF("text")
+    val viaCodegen = collectCodegenOnly(
+      df.select(BpeSegment(col("text"), merges).as("s")))
+      .map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getInt(1),
+        r.getStruct(0).getString(2)))
+    // the declarative transform/aggregate formulation the kernel replaced
+    def mergePassDecl(syms: org.apache.spark.sql.Column, l: String, r: String) =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(get(acc, F.size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), F.size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    val nonEmpty = filter(split(col("text"), " "), w => w =!= lit(""))
+    val segmented = transform(nonEmpty, w =>
+      merges.foldLeft(split(w, ""))((s, m) => mergePassDecl(s, m._1, m._2)))
+    val viaDecl = df.select(F.size(nonEmpty), F.size(flatten(segmented)),
+        array_join(flatten(segmented), " ")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    viaCodegen.toSeq shouldBe viaDecl.toSeq
+    // interpreted eval == codegen
+    val viaEval = rows.map { t =>
+      val row = BpeSegment(Literal(UTF8String.fromString(t), StringType),
+        merges).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      (row.getInt(0), row.getInt(1), row.getUTF8String(2).toString)
+    }
+    viaCodegen.toSeq shouldBe viaEval
+  }
 }
