@@ -283,6 +283,17 @@ object StreamOps {
       model: graft.corpus.Classifier.LrModel, tau: Double): DataFrame =
     graft.corpus.Classifier.qualityGate(docs, model, tau)
 
+  /** Streaming BPE segmentation — each arriving document segmented under a
+    * FROZEN merge list ([[graft.corpus.TextStats.applyBpe]]'s X81 kernel):
+    * the tokenizer-side twin of the frozen-model gates. The merge list is a
+    * bounded driver artifact (train batch-side with
+    * [[graft.corpus.TextStats.trainBpe]] on a corpus snapshot); the whole
+    * segmentation is ONE stateless narrow codegen'd projection
+    * (`functions.BpeSegment`), so NO watermark, NO state, any output mode —
+    * batch-equal by construction, spec-pinned through a live query. */
+  def segmentBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.corpus.TextStats.applyBpe(docs, merges)
+
   /** Streaming Pareto-acceptance resampling — [[gateByQuality]]'s
     * heavy-tailed sibling ([[graft.corpus.Classifier.paretoResample]], the
     * GPT-3 retention rule): each arriving `(doc_id, source, text)` record's

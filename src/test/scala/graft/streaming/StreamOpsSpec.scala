@@ -652,4 +652,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       r.head.isNullAt(r.head.fieldIndex("is_dup")) shouldBe true
     } finally q.stop()
   }
+
+  test("streaming BPE segmentation is batch-equal through a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val merges = Seq("t" -> "o", "to" -> "k") // frozen cascading list
+    val data = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "tok tokto  x"), // cascades + empty word
+      (ts("2024-01-01 10:01:00"), 2L, ""),
+      (ts("2024-01-01 10:02:00"), 3L, null: String))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.segmentBpe(
+      input.toDF().toDF("ts", "doc_id", "text"), merges)
+    val sink = s"bpeseg_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops9").toString)
+      .start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+        ((Option(r.get(r.fieldIndex("n_tokens"))),
+          Option(r.get(r.fieldIndex("n_subwords"))),
+          Option(r.get(r.fieldIndex("subword_text")))))
+      val streamed = s.table(sink).collect().map(key).toMap
+      val batch = graft.corpus.TextStats.applyBpe(
+        data.toDF("ts", "doc_id", "text"), merges).collect().map(key).toMap
+      streamed shouldBe batch
+      // and the cascade actually merged: "tok" → one subword
+      streamed(1L)._3.get.asInstanceOf[String] should startWith("tok ")
+    } finally q.stop()
+  }
 }
