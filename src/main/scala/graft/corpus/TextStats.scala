@@ -480,6 +480,11 @@ object TextStats {
       .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
       .agg(sum(col("freq")).as("n_occurrences"))
 
+  /** Merge-list length for the x81 driver query — shared with the oracle
+    * generator (which replays training round-for-round as chained
+    * materialized CTEs) so the two cannot drift. */
+  val BpeDefaultMerges: Int = 8
+
   /** Full BPE merge-list training (Sennrich et al., 2016): `numMerges`
     * rounds of count-pairs → adopt the argmax (count desc, pair
     * lexicographic — fully deterministic) → re-segment. Returns the ordered
@@ -494,11 +499,6 @@ object TextStats {
     * of re-running r rounds of lineage); the driver holds one argmax row
     * per round. The corpus itself is scanned exactly once regardless of
     * `numMerges`. */
-  /** Merge-list length for the x81 driver query — shared with the oracle
-    * generator (which replays training round-for-round as chained
-    * materialized CTEs) so the two cannot drift. */
-  val BpeDefaultMerges: Int = 8
-
   def trainBpe(docs: DataFrame,
       numMerges: Int = BpeDefaultMerges): Seq[(String, String, Long)] = {
     // x20's checkpoint hygiene: lazy checkpoints (the round's argmax is the

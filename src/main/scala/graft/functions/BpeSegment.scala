@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sf0.1 corpus against ~0.3 s here. Exact-equivalence notes:
   *  - words are `split(text, " ")` (Java regex, limit −1) and empty words
   *    are dropped — `applyBpe`'s documented convention;
-  *  - iteration-0 symbols are `split(w, "")`'s units, and each merge pass
+  *  - iteration-0 symbols are `split(w, "")`'s units (one per code point —
+  *    [[codePointSyms]] reproduces them regex-free), and each merge pass
   *    is the same fold: fuse `x` into the accumulator's last element when
   *    they form the pair (a fresh `l+r` is strictly longer than `l`, so the
   *    scan is exactly non-overlapping left-to-right);
@@ -56,6 +57,24 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   override protected def nullSafeEval(input: Any): Any =
     kernel(input.asInstanceOf[UTF8String])
 
+  /** Iteration-0 symbols: one per CODE POINT, `split(w, "")`'s semantics
+    * without its cost — `String.split("")` takes no fast path, so it
+    * compiled a fresh empty-pattern regex (plus matcher and list) for every
+    * word of every row, in the loop that exists to remove per-element
+    * overhead. */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + cc)
+      k += 1
+      i += cc
+    }
+    out
+  }
+
   /** The per-document segmentation loop — shared verbatim by the
     * interpreted and generated paths. */
   def kernel(text: UTF8String): InternalRow = {
@@ -68,8 +87,7 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
       val w = words(wi)
       if (w.nonEmpty) {
         nTokens += 1
-        // iteration-0 symbols: split(w, "")'s units
-        var syms = w.split("")
+        var syms = codePointSyms(w)
         var m = 0
         while (m < lefts.length) {
           val l = lefts(m)

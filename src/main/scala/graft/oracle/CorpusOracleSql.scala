@@ -122,7 +122,12 @@ cand AS (
     val rounds = graft.corpus.TextStats.BpeDefaultMerges
     val s1 = "chr(1)"
     val s2 = "chr(1)||chr(1)"
-    val wrapChars = "regexp_replace(%s, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    // [\s\S], not '.': RE2's dot excludes newline, which would leave \n
+    // unwrapped — garbling the symbol string (and leaking raw chr(1)
+    // separators into subword_text) for any multi-line document. Both
+    // alternates match per CODE POINT, the engine kernel's symbol unit.
+    val wrapChars =
+      "regexp_replace(%s, '([\\s\\S])', chr(1) || '\\1' || chr(1), 'g')"
     val train = (1 to rounds).map { i =>
       s"""p$i AS MATERIALIZED (
   SELECT p.l AS l, p.r AS r, SUM(freq) AS n FROM (

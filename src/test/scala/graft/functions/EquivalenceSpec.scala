@@ -298,8 +298,11 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(33)
     // cascading merges (t+h then th+e), repeats (a+a on "aa a aaa"),
-    // empty words (double spaces), and multi-byte text
-    val vocab = Vector("abab", "banana", "aa", "", "中文中", "x", "the", "thee", "aaa")
+    // empty words (double spaces), multi-byte and surrogate-pair text
+    // (code-point symbol units), and an embedded newline (a word, not a
+    // separator — and the class the oracle's [\s\S] wrap exists for)
+    val vocab = Vector("abab", "banana", "aa", "", "中文中", "x", "the",
+      "thee", "aaa", "a\nb", "😀ok")
     val rows = (0 until 120).map { _ =>
       Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
     }
