@@ -6,19 +6,114 @@ import org.apache.spark.sql.functions._
 /** A decoded media asset (what a real codec would return). */
 case class DecodedMedia(width: Int, height: Int, nFrames: Int, pixels: Array[Byte])
 
-/** Codec SPI for opaque media blobs. The execution container has no image/audio
-  * libraries, so the REAL codec is a clearly-marked stub; [[FakeCodec]] is the
-  * deterministic stand-in that keeps the Spark-side plumbing (schema, partitioning,
-  * batch shape) real and testable.
+/** Codec SPI for opaque media blobs. [[RealCodec]] decodes the formats a bare
+  * JVM can (binary PPM, 24-bit BMP) and fails loudly on formats that need the
+  * native codec libraries this container doesn't ship; [[FakeCodec]] is the
+  * deterministic stand-in whose arithmetic the m-plane ORACLES replay, keeping
+  * the Spark-side plumbing (schema, partitioning, batch shape) hash-checked on
+  * every corpus row regardless of format.
   */
 trait MediaCodec extends Serializable {
   def decode(blob: Array[Byte]): DecodedMedia
 }
 
-/** STUB — a real deployment would bind an actual decoder (JavaCV/TwelveMonkeys/
-  * ffmpeg bindings) here. Intentionally unimplemented in this container. */
+/** Pure-JVM decoder for the formats a bare JVM can decode with no native
+  * libraries: binary PPM (`P6`) and uncompressed 24-bit BMP. Anything else
+  * fails LOUDLY with the sniffed magic — this container ships no image/audio
+  * codec libraries, and a silent fallback would defeat the SPI's point; a
+  * deployment binds JavaCV/TwelveMonkeys/ffmpeg here for the rest (the
+  * remaining genuinely-out-of-scope surface in this sandbox).
+  *
+  * Both formats normalize to ONE layout — top-down row-major RGB bytes,
+  * `nFrames` 1 — so downstream kernels ([[Media.mediaFeatures]]'s stride
+  * means) see format-independent pixels: BMP rows are stored bottom-up in
+  * BGR with 4-byte row padding, all three undone here. Malformed input
+  * (truncated data, non-positive dimensions, PPM maxval > 255, BMP
+  * compression or non-24-bit depth) fails loudly too, never a partial
+  * decode. */
 object RealCodec extends MediaCodec {
-  def decode(blob: Array[Byte]): DecodedMedia = ???
+  def decode(blob: Array[Byte]): DecodedMedia = {
+    if (blob.length >= 2 && blob(0) == 'P'.toByte && blob(1) == '6'.toByte)
+      decodePpm(blob)
+    else if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+      decodeBmp(blob)
+    else {
+      val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
+      throw new UnsupportedOperationException(
+        s"RealCodec: unsupported format (magic 0x$magic, ${blob.length} bytes)" +
+          " — only binary PPM (P6) and uncompressed 24-bit BMP decode on a" +
+          " bare JVM; bind a full codec (JavaCV/ffmpeg) for other formats")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"RealCodec: $msg")
+
+  /** Binary PPM: `P6 <w> <h> <maxval>` header tokens separated by
+    * whitespace, `#` comments allowed, one whitespace byte, then
+    * `w*h*3` RGB bytes. */
+  private def decodePpm(b: Array[Byte]): DecodedMedia = {
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nextInt(): Int = {
+      while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i == start) fail(s"PPM header: expected integer at byte $start")
+      new String(b, start, i - start, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0) fail(s"PPM: non-positive dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"PPM: unsupported maxval $maxval")
+    i += 1 // the single whitespace byte after maxval
+    val n = w * h * 3
+    if (b.length - i < n) fail(s"PPM: truncated pixel data " +
+      s"(${b.length - i} of $n bytes)")
+    DecodedMedia(w, h, 1, java.util.Arrays.copyOfRange(b, i, i + n))
+  }
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER): BGR bottom-up rows padded
+    * to 4 bytes, normalized to top-down RGB. */
+  private def decodeBmp(b: Array[Byte]): DecodedMedia = {
+    def i32(off: Int): Int = {
+      if (off + 4 > b.length) fail(s"BMP: truncated header at byte $off")
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    }
+    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val dataOffset = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    if (w <= 0 || hRaw == 0) fail(s"BMP: bad dimensions ${w}x$hRaw")
+    val h = math.abs(hRaw) // negative height = already top-down
+    val topDown = hRaw < 0
+    val depth = i16(28)
+    if (depth != 24) fail(s"BMP: only 24-bit supported, got $depth")
+    val compression = i32(30)
+    if (compression != 0) fail(s"BMP: only uncompressed (BI_RGB) supported," +
+      s" got compression $compression")
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (b.length < dataOffset + stride * h) fail("BMP: truncated pixel data")
+    val out = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      val src = dataOffset + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val o = (row * w + x) * 3
+        out(o) = b(src + x * 3 + 2)     // R from BGR
+        out(o + 1) = b(src + x * 3 + 1) // G
+        out(o + 2) = b(src + x * 3)     // B
+        x += 1
+      }
+      row += 1
+    }
+    DecodedMedia(w, h, 1, out)
+  }
 }
 
 /** Deterministic fake decode: dimensions derived from the blob digest, "pixels" are
