@@ -68,11 +68,28 @@ object RealCodec extends MediaCodec {
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     if (w <= 0 || h <= 0) fail(s"PPM: non-positive dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"PPM: unsupported maxval $maxval")
-    i += 1 // the single whitespace byte after maxval
-    val n = w * h * 3
-    if (b.length - i < n) fail(s"PPM: truncated pixel data " +
+    // the spec requires EXACTLY one whitespace byte between maxval and the
+    // raster — consuming whatever byte sits there would silently shift the
+    // raster by one on malformed headers
+    if (i >= b.length || !isWs(b(i)))
+      fail("PPM: expected one whitespace byte after maxval")
+    i += 1
+    // Long arithmetic: a crafted 1431655766×1 header wraps w*h*3 to 2 in
+    // Int, slipping a 2-byte "raster" past the truncation check
+    val n = w.toLong * h * 3
+    if ((b.length - i).toLong < n) fail(s"PPM: truncated pixel data " +
       s"(${b.length - i} of $n bytes)")
-    DecodedMedia(w, h, 1, java.util.Arrays.copyOfRange(b, i, i + n))
+    val out = java.util.Arrays.copyOfRange(b, i, i + n.toInt)
+    // samples are fractions of maxval: rescale to the 0..255 layout
+    // (netpbm's round-half-up), so a maxval-1 white pixel is white, not black
+    if (maxval != 255) {
+      var k = 0
+      while (k < out.length) {
+        out(k) = (((out(k) & 0xff) * 255 + maxval / 2) / maxval).toByte
+        k += 1
+      }
+    }
+    DecodedMedia(w, h, 1, out)
   }
 
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER): BGR bottom-up rows padded
@@ -83,8 +100,16 @@ object RealCodec extends MediaCodec {
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
     }
-    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def i16(off: Int): Int = {
+      if (off + 2 > b.length) fail(s"BMP: truncated header at byte $off")
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    }
     val dataOffset = i32(10)
+    // reject before arithmetic: a negative/absurd offset makes the Int
+    // bounds sum wrap and the raster reads crash with a raw AIOOBE instead
+    // of this loud gate
+    if (dataOffset < 54 || dataOffset > b.length)
+      fail(s"BMP: bad pixel-data offset $dataOffset")
     val w = i32(18)
     val hRaw = i32(22)
     if (w <= 0 || hRaw == 0) fail(s"BMP: bad dimensions ${w}x$hRaw")
@@ -95,13 +120,17 @@ object RealCodec extends MediaCodec {
     val compression = i32(30)
     if (compression != 0) fail(s"BMP: only uncompressed (BI_RGB) supported," +
       s" got compression $compression")
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (b.length < dataOffset + stride * h) fail("BMP: truncated pixel data")
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    // Long arithmetic: w=1, h=2^30 wraps stride*h to 0 in Int and a 60-byte
+    // blob would pass, then the output allocation goes negative
+    if (b.length.toLong < dataOffset + stride * h)
+      fail("BMP: truncated pixel data")
+    val strideI = stride.toInt // <= b.length after the bounds check
     val out = new Array[Byte](w * h * 3)
     var row = 0
     while (row < h) {
       val srcRow = if (topDown) row else h - 1 - row
-      val src = dataOffset + srcRow * stride
+      val src = dataOffset + srcRow * strideI
       var x = 0
       while (x < w) {
         val o = (row * w + x) * 3

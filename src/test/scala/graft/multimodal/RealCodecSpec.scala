@@ -51,6 +51,30 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     d.pixels.toSeq shouldBe rgb.toSeq
   }
 
+  test("negative-height BMP decodes as already-top-down") {
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7).toByte)
+    val b = bmp(3, 2, rgb)
+    // flip to a top-down file: height -2, rows already in logical order
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      b(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    put32(22, -2)
+    val stride = 12
+    val flipped = b.clone()
+    for (row <- 0 until 2; k <- 0 until stride)
+      flipped(54 + row * stride + k) = b(54 + (1 - row) * stride + k)
+    val d = RealCodec.decode(flipped)
+    (d.width, d.height) shouldBe ((3, 2))
+    d.pixels.toSeq shouldBe rgb.toSeq
+  }
+
+  test("PPM samples rescale to the 0..255 layout for maxval < 255") {
+    // per the spec, sample/maxval is the intensity: (1,1,1) at maxval 1 is
+    // a WHITE pixel, and unscaled pass-through would read it as black
+    val d = RealCodec.decode("P6\n1 1\n1\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 1))
+    d.pixels.toSeq shouldBe Seq(255.toByte, 0.toByte, 255.toByte)
+  }
+
   test("unsupported and malformed inputs fail loudly, never partially") {
     val png = intercept[UnsupportedOperationException] {
       RealCodec.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G'))
@@ -63,6 +87,36 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
       val b = bmp(2, 2, new Array[Byte](12)); b(30) = 1
       RealCodec.decode(b)
     }.getMessage should include("compression")
+    // crafted Int-overflow headers must hit the loud gates, not a silent
+    // partial decode (PPM: 1431655766*3 wraps to 2) or a raw crash
+    // (BMP: stride*2^30 wraps to 0, then a negative allocation)
+    intercept[IllegalArgumentException] {
+      RealCodec.decode("P6\n1431655766 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2))
+    }.getMessage should include("truncated")
+    intercept[IllegalArgumentException] {
+      val b = bmp(1, 2, new Array[Byte](6)).padTo(70, 0.toByte)
+      def put32(off: Int, v: Int): Unit = (0 until 4).foreach(k =>
+        b(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      put32(22, 1 << 30)
+      RealCodec.decode(b)
+    }.getMessage should include("truncated")
+    intercept[IllegalArgumentException] { // negative pixel-data offset
+      val b = bmp(2, 2, new Array[Byte](12))
+      b(13) = 0x80.toByte
+      RealCodec.decode(b)
+    }.getMessage should include("offset")
+    intercept[IllegalArgumentException] { // zero offset (< the 54-byte header)
+      RealCodec.decode(("BM" + "\u0000" * 26).getBytes("ISO-8859-1"))
+    }.getMessage should include("offset")
+    intercept[IllegalArgumentException] { // header cut before the offset field
+      RealCodec.decode(("BM" + "\u0000" * 9).getBytes("ISO-8859-1"))
+    }.getMessage should include("truncated header")
+    intercept[IllegalArgumentException] { // junk byte where the single
+      // post-maxval whitespace belongs would silently shift the raster
+      RealCodec.decode("P6\n2 2\n255~".getBytes("US-ASCII") ++
+        new Array[Byte](13))
+    }.getMessage should include("whitespace")
   }
 
   test("mediaFeatures runs the batched SPI with a REAL decode end-to-end") {
