@@ -85,7 +85,11 @@ object RealCodec extends MediaCodec {
     if (maxval != 255) {
       var k = 0
       while (k < out.length) {
-        out(k) = (((out(k) & 0xff) * 255 + maxval / 2) / maxval).toByte
+        val v = out(k) & 0xff
+        // a sample above maxval is spec-invalid; scaling it would wrap
+        // through toByte into a silently wrong pixel
+        if (v > maxval) fail(s"PPM: sample $v exceeds maxval $maxval")
+        out(k) = ((v * 255 + maxval / 2) / maxval).toByte
         k += 1
       }
     }
@@ -112,7 +116,10 @@ object RealCodec extends MediaCodec {
       fail(s"BMP: bad pixel-data offset $dataOffset")
     val w = i32(18)
     val hRaw = i32(22)
-    if (w <= 0 || hRaw == 0) fail(s"BMP: bad dimensions ${w}x$hRaw")
+    // Int.MinValue is its own abs — it would sail through every gate below
+    // as a negative "height" and end in a raw crash or empty decode
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue)
+      fail(s"BMP: bad dimensions ${w}x$hRaw")
     val h = math.abs(hRaw) // negative height = already top-down
     val topDown = hRaw < 0
     val depth = i16(28)

@@ -75,14 +75,18 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec with Matchers {
     val m = Classifier.scoreQualityLr(df,
       Classifier.LrModel(Array.fill(8)(0L), 50L)).collect().head
     m.getAs[Double]("margin") shouldBe 0.000001
-    // and the division is a TRUE integral divide, exact past 2⁵³ where a
-    // double round-trip silently loses micro-units (a bias-only margin of
-    // 2⁵⁵ − 18 micro ends in …50: a half-tie, still rounding away from zero)
-    val huge = (1L << 55) - 18L
+    // and the division is a TRUE integral divide: this constant is chosen
+    // to DISCRIMINATE against the old floor-double path — its numerator
+    // 2·m+100 = 2⁵⁶+62 ≡ 398 (mod 400) sits past 2⁵³ where doubles space
+    // 16 apart, so the double conversion rounds it UP by 2, crossing a
+    // 200-boundary: floor-double yields …640 where the exact integral
+    // divide yields …639. (The previous 2⁵⁵−18 constant had an exactly
+    // representable numerator and could not tell the two apart.)
+    val huge = 36028797018963949L
     val hm = Classifier.scoreQualityLr(df,
       Classifier.LrModel(Array.fill(8)(0L), huge)).collect().head
     hm.getAs[Double]("margin") shouldBe R.margin6(huge)
-    R.margin6(huge) shouldBe (((huge / 100L) + 1L).toDouble / 1.0e6)
+    R.margin6(huge) shouldBe (360287970189639L.toDouble / 1.0e6)
   }
 
   test("trainQualityLr on randomized corpora stays in referee lockstep") {

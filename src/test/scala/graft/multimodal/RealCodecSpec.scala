@@ -117,6 +117,19 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
       RealCodec.decode("P6\n2 2\n255~".getBytes("US-ASCII") ++
         new Array[Byte](13))
     }.getMessage should include("whitespace")
+    intercept[IllegalArgumentException] { // Int.MinValue height: its own
+      // abs — it would sail negative through every downstream gate
+      val b = bmp(2, 2, new Array[Byte](12))
+      def put32(off: Int, v: Int): Unit = (0 until 4).foreach(k =>
+        b(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      put32(22, Int.MinValue)
+      RealCodec.decode(b)
+    }.getMessage should include("bad dimensions")
+    intercept[IllegalArgumentException] { // sample above maxval: scaling
+      // would wrap through toByte into a silently wrong pixel
+      RealCodec.decode("P6\n1 1\n200\n".getBytes("US-ASCII") ++
+        Array[Byte](250.toByte, 0, 0))
+    }.getMessage should include("exceeds maxval")
   }
 
   test("mediaFeatures runs the batched SPI with a REAL decode end-to-end") {
