@@ -114,7 +114,20 @@ object TextDedup {
     * documents) no shingle can exceed the cap, so this equals unrestricted J. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = DefaultJaccardThreshold,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000): DataFrame =
+    sizedIntersections(docs, n, maxDf)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** The inverted-index core shared by the x2/x82 pairwise measures: for
+    * every co-occurring pair over the df-capped shingle universe, the
+    * intersection count and both capped set sizes —
+    * `(doc_id_1, doc_id_2, c, n1, n2)`. One definition, so the two
+    * measures can never disagree on the universe. */
+  private def sizedIntersections(docs: DataFrame, n: Int,
+      maxDf: Int): DataFrame = {
     val rare = postings(docs, n)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
@@ -128,11 +141,40 @@ object TextDedup {
     inter
       .join(sz.as("x"), col("doc_id_1") === col("x.doc_id"))
       .join(sz.as("y"), col("doc_id_2") === col("y.doc_id"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        (col("c").cast("double") /
-          (col("x.n_shingles") + col("y.n_shingles") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("c"),
+        col("x.n_shingles").as("n1"), col("y.n_shingles").as("n2"))
   }
+
+  /** Containment threshold for [[containmentPairs]]'s driver query — shared
+    * with the x82 oracle generator so the two cannot drift. */
+  val DefaultContainmentThreshold: Double = 0.8
+
+  /** X82 — n-gram CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): `C(A→B) = |A∩B| / |A|` over the same df-capped shingle
+    * universe as [[ngramJaccardPairs]]. Containment is the relationship
+    * Jaccard structurally CANNOT express: a short document quoted whole
+    * inside a long one has `J ≈ |A|/|B| ≈ 0` but `C(A→B) ≈ 1` — the
+    * quote/wrapper/boilerplate-envelope class a curation pass wants
+    * flagged separately from near-identity (spec-pinned on exactly that
+    * shape). Emits both directions (`containment_1` = fraction of
+    * doc_id_1's shingles also in doc_id_2, `containment_2` the reverse);
+    * a pair survives when EITHER direction crosses the threshold. Ratios
+    * are single IEEE divisions of exact counts, emitted RAW (the x2
+    * convention — no rounding, so no round-a-ratio tie class).
+    *
+    * Scale shape: identical to x2 — the [[sizedIntersections]] core is
+    * shared verbatim, with the df cap bounding the self-join quadratic; at
+    * 100 TB generate candidates with the sketch ladder and verify
+    * containment on candidates only (the x80 composition). */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = DefaultContainmentThreshold,
+      maxDf: Int = 1000): DataFrame =
+    sizedIntersections(docs, n, maxDf)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") / col("n1")).as("containment_1"),
+        (col("c").cast("double") / col("n2")).as("containment_2"))
+      .filter(col("containment_1") >= threshold ||
+        col("containment_2") >= threshold)
 
   /** MinHash signatures: ONE narrow compiled pass per document
     * ([[graft.functions.MinHashSig]]) — a per-document value never needed the

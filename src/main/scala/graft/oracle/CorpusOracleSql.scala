@@ -50,7 +50,7 @@ jpairs AS (
   /** x2's capped-universe variant: shingles with document frequency > 1000 are
     * excluded from postings AND set sizes, mirroring ngramJaccardPairs(maxDf=1000).
     * At test scale no shingle can exceed the cap, so this equals unrestricted J. */
-  private val cappedJaccardPrelude = shinglePrelude +
+  private val cappedIpairsPrelude = shinglePrelude +
     """rare AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM post)
@@ -60,10 +60,18 @@ inter AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-jpairs AS (
-  SELECT doc_id_1, doc_id_2,
-         CAST(c AS DOUBLE) / (x.n_shingles + y.n_shingles - c) AS jaccard
+ipairs AS (
+  SELECT doc_id_1, doc_id_2, c, x.n_shingles AS n1, y.n_shingles AS n2
   FROM inter JOIN szs x ON doc_id_1 = x.doc_id JOIN szs y ON doc_id_2 = y.doc_id)
+"""
+
+  /** ONE `ipairs` core shared by the x2/x82 measures — mirroring the
+    * engine's `sizedIntersections`, so the two measures can never disagree
+    * on the capped shingle universe. */
+  private val cappedJaccardPrelude = cappedIpairsPrelude +
+    """, jpairs AS (
+  SELECT doc_id_1, doc_id_2, CAST(c AS DOUBLE) / (n1 + n2 - c) AS jaccard
+  FROM ipairs)
 """
 
   /** 32-bit SimHash, mirroring TextDedup.simhash's md5-nibble construction. */
@@ -1369,6 +1377,17 @@ FROM n GROUP BY 1""",
        FROM documents GROUP BY 1""",
 
     "x2_ngram_jaccard" -> (cappedJaccardPrelude + jaccardSelect),
+
+    // x82: Broder containment over the same capped universe (shared ipairs
+    // core); ratios raw doubles, threshold on either direction
+    "x82_containment" -> (cappedIpairsPrelude + {
+      val t = graft.corpus.TextDedup.DefaultContainmentThreshold
+      s"""SELECT doc_id_1, doc_id_2,
+  CAST(c AS DOUBLE) / n1 AS containment_1,
+  CAST(c AS DOUBLE) / n2 AS containment_2
+FROM ipairs
+WHERE CAST(c AS DOUBLE) / n1 >= $t OR CAST(c AS DOUBLE) / n2 >= $t"""
+    }),
 
     // MinHash+LSH is exact-verified to the same J >= 0.8 contract, and 16x4
     // banding has no false negatives on this corpus, so the oracle is the same

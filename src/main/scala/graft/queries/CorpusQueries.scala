@@ -493,6 +493,11 @@ object CorpusQueries {
       TextStats.trainBpe(d).map(m => (m._1, m._2)))
   }
 
+  /** x82 — Broder containment pairs: |A∩B|/|A| both directions over the
+    * x2 capped shingle universe, either direction >= 0.8. */
+  def x82Containment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(spark, dir))
+
   /** The x73 driver query over explicit frames — the ONE construction both
     * the Verify gate and the scaling ladder run, so the measured cell can
     * never decouple from the verified query. `benchEmb` is the slice the

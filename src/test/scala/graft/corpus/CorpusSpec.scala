@@ -1904,6 +1904,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       include("editVerify")
   }
 
+  test("containment flags a quoted document that Jaccard misses") {
+    // doc 2 is doc 1 quoted whole inside a much longer wrapper: J is tiny
+    // (|A|/|B|), C(A→B) is exactly 1 — the relationship x82 exists for
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val wrapper = (1 to 60).map(i => s"w$i").mkString(" ") + " " + quote +
+      " " + (61 to 120).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> quote, 2L -> wrapper, 3L -> "x y z unrelated text")
+    val pairs = TextDedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment_1"), r.getAs[Double]("containment_2")))
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs.head._3 shouldBe 1.0 // every shingle of the quote is in the wrapper
+    pairs.head._4 should be < 0.1 // the wrapper is NOT contained in the quote
+    // and Jaccard at its default threshold rightly does not pair them
+    TextDedup.ngramJaccardPairs(d).collect() shouldBe empty
+  }
+
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, s"w$i a b c", s"src${i % 3}"))
