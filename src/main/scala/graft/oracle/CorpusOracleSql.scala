@@ -1382,11 +1382,13 @@ FROM n GROUP BY 1""",
     // core); ratios raw doubles, threshold on either direction
     "x82_containment" -> (cappedIpairsPrelude + {
       val t = graft.corpus.TextDedup.DefaultContainmentThreshold
-      s"""SELECT doc_id_1, doc_id_2,
-  CAST(c AS DOUBLE) / n1 AS containment_1,
-  CAST(c AS DOUBLE) / n2 AS containment_2
-FROM ipairs
-WHERE CAST(c AS DOUBLE) / n1 >= $t OR CAST(c AS DOUBLE) / n2 >= $t"""
+      s""", cpairs AS (
+  SELECT doc_id_1, doc_id_2,
+    CAST(c AS DOUBLE) / n1 AS containment_1,
+    CAST(c AS DOUBLE) / n2 AS containment_2
+  FROM ipairs)
+SELECT doc_id_1, doc_id_2, containment_1, containment_2
+FROM cpairs WHERE containment_1 >= $t OR containment_2 >= $t"""
     }),
 
     // MinHash+LSH is exact-verified to the same J >= 0.8 contract, and 16x4
