@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Planning-vs-execution attribution harness for the bench's per-query
+  * fixed-cost work (round-13 item #1). For each named query it times, on a
+  * FRESH first run: DataFrame construction (includes table loads and any
+  * driver-side model collects), analysis, optimization, physical planning,
+  * and execution — then a full warm second run for the codegen/exchange-reuse
+  * delta. Not part of any driver protocol; a local tool.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Profile x9_quality x65_relevance_gate x44_kmeans"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.util.Tables.MinScanPartitionsConf, cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
+      .count().collect()
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("x9_quality", "x65_relevance_gate", "x44_kmeans", "x71_hybrid_rrf",
+        "v2_latest_notification", "q5_latest_order_per_customer")
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    println(f"${"query"}%-28s ${"build"}%7s ${"analyze"}%7s ${"optim"}%7s ${"plan"}%7s ${"exec1"}%7s ${"total1"}%7s ${"warm"}%7s")
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      val (tb, df) = t(fn(spark, sfDir))
+      val qe = df.queryExecution
+      val (ta, _) = t(qe.analyzed)
+      val (to, _) = t(qe.optimizedPlan)
+      val (tp, _) = t(qe.executedPlan)
+      val (te, _) = t(df.count())
+      System.gc()
+      val (tw, _) = t(fn(spark, sfDir).count())
+      println(f"$name%-28s $tb%7.3f $ta%7.3f $to%7.3f $tp%7.3f $te%7.3f ${tb+ta+to+tp+te}%7.3f $tw%7.3f")
+    }
+    spark.stop()
+  }
+}
