@@ -2,6 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Parquet table loaders for the driver test data.
   *
@@ -35,38 +36,70 @@ object Tables {
     * than the floor, the branch never triggers, and the plan is untouched. */
   val MinScanPartitionsConf = "spark.graft.scan.minPartitions"
 
-  /** Per-(session, conf, path) memo of loaded tables. A fresh
-    * `spark.read.parquet` re-lists the directory and re-reads footers for
-    * the schema, and the min-partition probe below forces a full
-    * analyze→optimize→plan cycle (`df.rdd`) — ~0.1–0.15 s per load at
-    * sf0.1, paid by EVERY query in a 114-query single-pass bench (~230
-    * loads ≈ 25 s of pure re-derivation of identical immutable state;
-    * measured round 13, `graft.Profile`). The returned DataFrame is
-    * immutable and the driver testdata never changes under a session, so
-    * the memo is a catalog, not a result cache: nothing about query
-    * results, partitioning, or plans differs from the uncached path. Keyed
-    * by session identity (a DataFrame is bound to the session that built
-    * it) and by the min-partition conf actually applied, so a session that
-    * flips the conf re-derives. Writers that overwrite a previously read
-    * path in the SAME session (the scaling harness's replica dirs) call
-    * [[invalidate]] after writing. Bounded: cleared wholesale past 256
-    * entries (dozens of test sessions × a handful of tables). */
-  private val tableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), DataFrame]()
+  /** Memos for the two expensive, SESSION-INDEPENDENT pieces of a table load
+    * (~0.1–0.15 s per uncached load at sf0.1, ~230 loads ≈ 25 s across a
+    * 114-query single-pass bench; measured round 13, `graft.Profile`):
+    *
+    *  - [[schemaMemo]]: path → parquet footer schema. A `StructType` is pure
+    *    data — no SparkSession reference — so one global entry serves every
+    *    session. Valid because every session reads parquet under the same
+    *    `nanosAsLong` conf ([[tune]] runs on each call).
+    *  - [[splitMemo]]: (path, floor, split-relevant confs) → does the scan
+    *    resolve BELOW the [[MinScanPartitionsConf]] floor? Probing costs a
+    *    full analyze→optimize→plan cycle (`df.rdd`); the answer depends only
+    *    on the files and the keyed confs, never on the session identity.
+    *
+    * Each `table()` call still returns a FRESH DataFrame (reader-supplied
+    * schema ⇒ no footer read; the remaining per-call cost is one local
+    * directory listing, ~ms). Round 13 memoized the DataFrame itself, keyed
+    * by `System.identityHashCode(spark)` — identity hashes collide, so a
+    * caller could receive a plan bound to a DIFFERENT (possibly stopped)
+    * session, and the strong-referenced DataFrames pinned every session
+    * until a wholesale clear. Fresh-per-call also restores the pre-memo
+    * attribute-ID contract: two reads of the same table get independent
+    * expression IDs, so self-joins (x80's editVerify over two `documents`
+    * reads) never alias. At deployment scale (object-store listings are
+    * slow) a user would additionally register the table in the catalog or
+    * cache the relation — a policy choice outside this loader.
+    *
+    * No current writer overwrites a path previously read through [[table]]
+    * in the same session — the scaling harness's replica writers
+    * (`Scaling`/`ScalingIncr`) read their freshly written dirs via raw
+    * `spark.read.parquet`, bypassing these memos. A future writer that does
+    * overwrite such a path must call [[invalidate]] after writing, or the
+    * memoized schema/split decision goes stale. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String, Int), Boolean]()
 
-  /** Drop every memoized table (see [[tableMemo]]) — call after overwriting
-    * parquet under a directory some query in this session already read. */
-  def invalidate(): Unit = tableMemo.clear()
+  /** Drop memoized footer schemas / split probes (see [[schemaMemo]]) — for
+    * the whole store, or one parquet path. Call after overwriting parquet
+    * under a path some session already read through [[table]]. */
+  def invalidate(): Unit = { schemaMemo.clear(); splitMemo.clear() }
+  def invalidate(path: String): Unit = {
+    schemaMemo.remove(path)
+    splitMemo.keySet.removeIf(_._1 == path)
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    val min = spark.conf.getOption(MinScanPartitionsConf).map(_.toInt).getOrElse(0)
-    if (tableMemo.size > 256) tableMemo.clear()
-    tableMemo.computeIfAbsent(
-      (System.identityHashCode(spark), min, s"$dir/$name.parquet"), _ => {
-        val df = spark.read.parquet(s"$dir/$name.parquet")
-        if (min > 0 && df.rdd.getNumPartitions < min) df.repartition(min) else df
-      })
+    val path = s"$dir/$name.parquet"
+    val schema =
+      schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    val min =
+      spark.conf.getOption(MinScanPartitionsConf).map(_.toInt).getOrElse(0)
+    if (min <= 0) df
+    else {
+      // raw conf string (may be "128MB"-style) — compared, never parsed
+      val key = (path, min,
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        spark.sparkContext.defaultParallelism)
+      val below =
+        splitMemo.computeIfAbsent(key, _ => df.rdd.getNumPartitions < min)
+      if (below) df.repartition(min) else df
+    }
   }
 
   /** events with `ts` normalized to a true TimestampType (µs, UTC). */
