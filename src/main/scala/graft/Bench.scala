@@ -7,18 +7,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // single-row-group testdata cannot split at the scan; see Tables
-      .config(graft.util.Tables.MinScanPartitionsConf, cpus)
+      // single-row-group testdata cannot split at the scan; see Tables. The
+      // floor is capped at 16: past it, the repartition exchange + per-task
+      // overhead on single-row-group sf0.1 scans costs more than the extra
+      // parallelism returns (measured round 14: floor 32 → 16 cut an
+      // 18-query subset 49.7 → 41.3 s at cpus=32; 8 was within noise of 16)
+      .config(graft.util.Tables.MinScanPartitionsConf,
+        math.min(cpus.toInt, 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-experiment conf passthrough (k=v;k=v) — the driver never sets it,
+    // so round benches always run the committed session confs above
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     // warm the session (JVM, codegen, shuffle machinery) so the first measured
     // query isn't charged for one-time initialization; fixed name order so
     // per-query numbers are comparable across rounds
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
       .count().collect()
+    // prewarm every table load (footer schema, OS page cache, parquet reader
+    // classes) so no measured query is the first-toucher — without this the
+    // alphabetically-first query per table absorbs the one-time load cost and
+    // per-query numbers stop being comparable across rounds (round-13 advice)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      try graft.util.Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () } // a missing table surfaces in its query
     // a failed query must be LOUD: recorded in the JSON and fatal to the run's
     // exit code, so bench can never silently mask a regression
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -88,6 +107,9 @@ object Bench {
     // cwd) so running the bench from another directory can't strand the file.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
       System.getProperty("user.dir"))
+    // create the dir if missing: a bad SPARK_GRAFT_BENCH_DIR must not turn a
+    // fully green bench into a nonzero exit AFTER the results printed
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, "bench-latest.json"),
       (line + "\n").getBytes("UTF-8"))

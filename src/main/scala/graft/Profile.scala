@@ -18,7 +18,9 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config(graft.util.Tables.MinScanPartitionsConf, cpus)
+      // scan floor capped at 16 — see Bench.scala (mirrors its session)
+      .config(graft.util.Tables.MinScanPartitionsConf,
+        math.min(cpus.toInt, 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,7 +45,9 @@ object Profile {
       val (ta, _) = t(qe.analyzed)
       val (to, _) = t(qe.optimizedPlan)
       val (tp, _) = t(qe.executedPlan)
-      val (te, _) = t(df.count())
+      // execute the ALREADY-PLANNED physical plan (df.count() would wrap it
+      // in a fresh count aggregate and re-pay analyze/optimize/plan)
+      val (te, _) = t(qe.executedPlan.execute().count())
       System.gc()
       val (tw, _) = t(fn(spark, sfDir).count())
       println(f"$name%-28s $tb%7.3f $ta%7.3f $to%7.3f $tp%7.3f $te%7.3f ${tb+ta+to+tp+te}%7.3f $tw%7.3f")

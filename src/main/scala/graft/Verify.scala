@@ -11,7 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // single-row-group testdata cannot split at the scan; see Tables
-      .config(graft.util.Tables.MinScanPartitionsConf, cpus)
+      // scan floor capped at 16 — see Bench.scala (mirrors its session)
+      .config(graft.util.Tables.MinScanPartitionsConf,
+        math.min(cpus.toInt, 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -352,6 +352,25 @@ object Quantization {
     searchIvfPq(index, qrows, cbs, centroids, nprobe, k, dim)
   }
 
+  /** [[ivfAdcTopKAgainst]] with an explicit PRE-NORMALIZED query frame
+    * (qid, qe) instead of a `vec_id < numQueries` prefix — the entry the
+    * hybrid fusion's pluggable dense generator uses
+    * ([[Retrieval.ivfAdcDenseCandidates]]). The collect is the bounded
+    * query-sheet driver artifact every PQ search already makes
+    * ([[ivfAdcTopK]]'s qrows); degenerate (NULL) query vectors drop here,
+    * matching `cleanBase`'s screen on the prefix path. */
+  def ivfAdcSearchOn(index: DataFrame, queries: DataFrame,
+      cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = Similarity.DefaultIvfNprobe,
+      k: Int = DefaultTopK): DataFrame = {
+    val qrows = queries.filter(col("qe").isNotNull)
+      .orderBy(col("qid"))
+      .select(col("qid"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    searchIvfPq(index, qrows, cbs, centroids, nprobe, k,
+      cbs.length * cbs(0)(0).length)
+  }
+
   /** Shared IVF-PQ search core: driver-side probe ranking (dot desc, cid
     * asc — the oracle's fold and tiebreak) + LUT build, a STATIC `cid IN
     * (probed cells)` prune on the index scan (partition pruning when the

@@ -391,6 +391,95 @@ object Retrieval {
   /** Per-system candidate depth feeding the fusion. */
   val DefaultFusionCandidates: Int = 20
 
+  /** Dense candidate generator SPI for [[hybridRrfTopK]]:
+    * `(corpus, queries, kCand) => (query_id, doc_id, dense_rank)` with
+    * `dense_rank` in 1..kCand per query (ties on the generator's score break
+    * to the lowest doc_id). Both inputs are PRE-NORMALIZED unit-vector
+    * frames with degenerates already dropped: `corpus` = (vec_id, e) is the
+    * sheet-excluded embedding corpus, `queries` = (query_id, qe) the sheet.
+    * Swapping the generator changes ONLY how dense evidence is found —
+    * fusion, ranks, and the lexical side are untouched, which is what lets a
+    * deployment move exact → IVF → IVF-PQ as the corpus grows without
+    * touching the retrieval contract. */
+  type DenseCandidates = (DataFrame, DataFrame, Int) => DataFrame
+
+  /** The exact dense generator (default): one narrow broadcast-queries pass
+    * over the corpus — every (query, doc) cosine is computed — into a
+    * per-query top-`kCand` window. The correctness baseline; its cost is one
+    * full corpus scan per sheet, linear in N but exhaustive, so past the
+    * point where scans dominate swap [[ivfDenseCandidates]] (same contract,
+    * cell-pruned) or [[ivfAdcDenseCandidates]] (codes, not vectors). */
+  val exactDenseCandidates: DenseCandidates = (corpus, queries, kCand) => {
+    import org.apache.spark.sql.expressions.Window
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("cos"))
+      .withColumn("dense_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("dense_rank") <= kCand)
+      .select(col("query_id"), col("doc_id"), col("dense_rank"))
+  }
+
+  /** IVF-backed dense generator: coarse-quantize the corpus into
+    * `numCentroids` cells ([[Similarity.annIvfSearchOn]]'s one narrow
+    * BestMatch pass), search each query's `nprobe` closest cells only.
+    * Centroids default to the corpus's first `numCentroids` vectors by id
+    * (the [[Similarity.annIvf]] deterministic stand-in); production passes
+    * k-means-trained ones via `centroids` (pre-normalized (cid, ce) rows,
+    * [[Semantic.trainCentroids]]' shape). FULL PROBE (`nprobe >=
+    * numCentroids`) scores every (query, doc) pair exactly once with the
+    * same dot-product kernel as the exact generator — bit-for-bit the same
+    * fusion (spec-pinned), which is the restriction-never-changes-a-score
+    * discipline that makes the nprobe knob trustworthy. */
+  def ivfDenseCandidates(numCentroids: Int = Similarity.DefaultIvfCentroids,
+      nprobe: Int = Similarity.DefaultIvfNprobe,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None): DenseCandidates =
+    (corpus, queries, kCand) => {
+      val centRows = centroids.getOrElse(
+        // bounded driver artifact: numCentroids × dim doubles (BestMatch's
+        // broadcast discipline), the annIvf centroid-collect shape
+        corpus.filter(col("vec_id") < numCentroids)
+          .orderBy(col("vec_id"))
+          .select(col("vec_id"), col("e")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq)
+          .toSeq)
+      if (centRows.isEmpty)
+        // no cells ⇒ nothing to search: the annIvf empty contract — schema
+        // from the real plan (analyzed, never executed) so it cannot drift
+        corpus.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          ivfDenseCandidates(numCentroids, nprobe,
+            Some(Seq(0L -> Seq(1.0))))(corpus, queries, kCand).schema)
+      else
+        Similarity.annIvfSearchOn(corpus,
+            queries.select(col("query_id").as("qid"), col("qe")),
+            centRows, nprobe, kCand)
+          .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("dense_rank"))
+    }
+
+  /** IVF-PQ-backed dense generator — the 100 TB tier: candidates come from a
+    * (typically persisted, cid-partitioned) [[Quantization.ivfPqIndex]] and
+    * integer ADC scores over codes; full vectors are never touched. Ranks
+    * are the ADC approximation's, so fusion output is approximate by design
+    * (the PQ recall audit, x68, is the knob that says how much) — there is
+    * deliberately no "exact" setting here; for exactness use
+    * [[ivfDenseCandidates]] at full probe. `index`/`cbs`/`centroids` come
+    * from the corpus the fusion runs against ([[Quantization.sliceCodebooks]],
+    * [[Quantization.centroidSeeds]], [[Quantization.ivfPqIndex]] or its
+    * persisted twin); the generator ignores its corpus argument — the index
+    * IS the corpus, which is the point. */
+  def ivfAdcDenseCandidates(index: DataFrame,
+      cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = Similarity.DefaultIvfNprobe): DenseCandidates =
+    (_, queries, kCand) =>
+      Quantization.ivfAdcSearchOn(index,
+          queries.select(col("query_id").as("qid"), col("qe")),
+          cbs, centroids, nprobe, kCand)
+        .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+
   /** X71 — hybrid lexical + semantic retrieval: BM25 ([[bm25TopK]]) and
     * dense-cosine candidate lists fused by reciprocal-rank fusion,
     *
@@ -415,14 +504,16 @@ object Retrieval {
     *
     * Scale shape: all the N-scale work lives in the two candidate
     * generators, each already scale-shaped (BM25: broadcast-semi pruned
-    * postings; dense: one narrow broadcast-queries corpus pass — swap in
-    * [[Similarity.annIvf]]/[[Quantization.ivfAdcTopK]] at larger N, same
-    * contract). The fusion itself touches only the two (|sheet| × kCand)-
-    * bounded lists: the full-outer join and final window are driver-trivial
-    * at any corpus size. */
+    * postings; dense: the pluggable [[DenseCandidates]] generator —
+    * [[exactDenseCandidates]] by default, [[ivfDenseCandidates]] /
+    * [[ivfAdcDenseCandidates]] at larger N, same contract). The fusion
+    * itself touches only the two (|sheet| × kCand)-bounded lists: the
+    * full-outer join and final window are driver-trivial at any corpus
+    * size. */
   def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
       queryMod: Long = QueryMod, kCand: Int = DefaultFusionCandidates,
-      k: Int = DefaultTopK, rrfK: Int = RrfK): DataFrame = {
+      k: Int = DefaultTopK, rrfK: Int = RrfK,
+      dense: DenseCandidates = exactDenseCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25TopK(docs, queryMod, kCand)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
@@ -431,17 +522,10 @@ object Retrieval {
       col("vec_id") < queryMod * QueryCount
     val vq = vbase.filter(sheetOnVec)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val dense = vbase.filter(!sheetOnVec)
-      .crossJoin(broadcast(vq))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("cos"))
-      .withColumn("dense_rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("doc_id"))))
-      .filter(col("dense_rank") <= kCand)
+    val denseCands = dense(vbase.filter(!sheetOnVec), vq, kCand)
       .select(col("query_id"), col("doc_id"), col("dense_rank"))
     val contrib = (r: Column) => coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
-    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+    lex.join(denseCands, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
         coalesce(col("dense_rank"), lit(0)).as("dense_rank"),

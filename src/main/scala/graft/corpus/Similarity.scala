@@ -230,20 +230,35 @@ object Similarity {
   }
 
   private def annIvfSearch(base: DataFrame, centRows: Seq[(Long, Seq[Double])],
-      nprobe: Int, numQueries: Int, k: Int): DataFrame = {
+      nprobe: Int, numQueries: Int, k: Int): DataFrame =
+    annIvfSearchOn(base,
+      base.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      centRows, nprobe, k)
+
+  /** The IVF search core over an explicit corpus/query split — the entry the
+    * hybrid fusion's pluggable dense generator uses
+    * ([[Retrieval.ivfDenseCandidates]]), where the query sheet is NOT a
+    * `vec_id < numQueries` prefix of the searched corpus. Both frames are
+    * PRE-NORMALIZED ([[normalizedBase]] shape): `corpus` = (vec_id, e) with
+    * non-NULL unit vectors, `queries` = (qid, qe) likewise — re-normalizing
+    * here would perturb the low bits and break the full-probe ≡ exact-scan
+    * equality the generator spec pins. Self-pairs (vec_id = qid) are excluded,
+    * [[annIvf]]'s contract (a no-op when the two frames are disjoint). */
+  private[corpus] def annIvfSearchOn(corpus: DataFrame, queries: DataFrame,
+      centRows: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = base
+    val assigned = corpus
       .withColumn("__bm", graft.functions.VectorOps.bestMatch(col("e"), centRows))
       .select(col("vec_id"), col("e"),
         (-col("__bm").getField("nid")).as("cid"))
-    val centsLocal = base.sparkSession.createDataFrame(
+    val centsLocal = corpus.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(
         centRows.map { case (id, v) => Row(id, v) }).asJava,
       StructType(Seq(
         StructField("cid", LongType, nullable = false),
         StructField("ce", ArrayType(DoubleType), nullable = false))))
-    val probes = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val probes = queries
       .crossJoin(broadcast(centsLocal))
       .select(col("qid"), col("qe"), col("cid"),
         dotp(col("qe"), col("ce")).as("pc"))

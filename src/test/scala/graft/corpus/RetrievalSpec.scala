@@ -534,4 +534,76 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
       r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"))).toSeq shouldBe
       Seq((0L, 1L, 1, 0))
   }
+
+  /** A deterministic 60-doc corpus wide enough that cells are non-trivial:
+    * words cycle so lexical evidence varies, embeddings sweep the unit circle
+    * in 4-d so cosines are dense and distinct. doc_ids 0 and 50 are the sheet
+    * (QueryMod = 50, QueryCount = 2). */
+  private def fusionFixture(): (DataFrame, DataFrame) = {
+    val words = Seq("apple", "banana", "cherry", "date", "elder")
+    val d = docs((0L until 60L).map(i =>
+      i -> (0 to (i % 4).toInt).map(j => words(((i + j) % 5).toInt))
+        .mkString(" ")): _*)
+    val e = vecs((0L until 60L).map { i =>
+      val t = 0.1 * i
+      (i, Seq(math.cos(t), math.sin(t), math.cos(2 * t) / 2, 0.25), 0)
+    }: _*)
+    (d, e)
+  }
+
+  test("pluggable dense generator: full-probe IVF fusion is bit-for-bit the exact fusion") {
+    val (d, e) = fusionFixture()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+    val exact = Retrieval.hybridRrfTopK(d, e).collect().sortBy(key).toSeq
+    // nprobe >= numCentroids: every cell probed, every (query, doc) cosine
+    // computed exactly once with the same kernel — the x70 restriction-
+    // never-changes-a-score discipline, so equality is exact, not approximate
+    val full = Retrieval.hybridRrfTopK(d, e,
+      dense = Retrieval.ivfDenseCandidates(numCentroids = 5, nprobe = 5))
+      .collect().sortBy(key).toSeq
+    full shouldBe exact
+  }
+
+  test("pluggable dense generator: restricted probe stays a well-formed fusion; lexical side untouched") {
+    val (d, e) = fusionFixture()
+    val out = Retrieval.hybridRrfTopK(d, e,
+      dense = Retrieval.ivfDenseCandidates(numCentroids = 5, nprobe = 1))
+      .collect()
+    out.nonEmpty shouldBe true
+    out.foreach { r =>
+      r.getAs[Int]("dense_rank") should be <= Retrieval.DefaultFusionCandidates
+      r.getAs[Int]("rank") should be >= 1
+    }
+    // restricting the probe can only REMOVE dense evidence, never change the
+    // lexical side: every surfaced lex_rank must be BM25's own rank for that
+    // (query, doc) — compared against bm25TopK directly, because the final
+    // top-k can legitimately admit different docs once dense evidence thins
+    val bm25 = Retrieval.bm25TopK(d, k = Retrieval.DefaultFusionCandidates)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank")).toMap
+    out.filter(_.getAs[Int]("lex_rank") > 0).foreach { r =>
+      bm25((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))) shouldBe
+        r.getAs[Int]("lex_rank")
+    }
+  }
+
+  test("pluggable dense generator: IVF-PQ-backed fusion runs off the code index with the exact schema") {
+    val (d, e) = fusionFixture()
+    val Q = Quantization
+    val cbs = Q.sliceCodebooks(e, m = 2, ksub = 8, dim = 4)
+    val cents = Q.centroidSeeds(e, numCentroids = 5, dim = 4)
+    val index = Q.ivfPqIndex(e, cbs, cents, dim = 4)
+    val out = Retrieval.hybridRrfTopK(d, e,
+      dense = Retrieval.ivfAdcDenseCandidates(index, cbs, cents, nprobe = 5))
+    val exact = Retrieval.hybridRrfTopK(d, e)
+    out.schema shouldBe exact.schema
+    val rows = out.collect()
+    rows.nonEmpty shouldBe true
+    // deterministic: the ADC path has no randomness — a second run is equal
+    Retrieval.hybridRrfTopK(d, e,
+        dense = Retrieval.ivfAdcDenseCandidates(index, cbs, cents, nprobe = 5))
+      .collect().toSeq shouldBe rows.toSeq
+  }
 }
