@@ -290,6 +290,13 @@ object Scaling {
       ("documents", "x80_edit_verify",
         (d, _) => TextDedup.editVerify(
           TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
+      // x80 banded twin: same generator and join shape, DP banded under the
+      // dup threshold with the length-difference prefilter built in — the
+      // cell pair measures exactly what the band saves on the same
+      // candidate frame (is_dup identical by the kernel-parity property)
+      ("documents", "x80_edit_verify_banded",
+        (d, _) => TextDedup.editVerifyBanded(
+          TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

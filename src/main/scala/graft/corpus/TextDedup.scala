@@ -850,10 +850,11 @@ object TextDedup {
     * generator (already blocked/bounded); this adds two doc_id-keyed hash
     * joins to fetch pair texts — the candidate side is miss-bounded and
     * AQE-broadcastable — and a per-pair DP whose cost is bounded by document
-    * length. At 100 TB, cap the verified prefix (`substring(text, 1, C)`
-    * upstream) or pre-filter on `abs(len_a − len_b) · EditDupDen > max_len`
-    * (length difference lower-bounds lev), both composable here because the
-    * verifier takes the candidates as input rather than recomputing them. */
+    * length. At 100 TB use [[editVerifyBanded]]: the same contract with the
+    * DP banded under the dup threshold, the `abs(len_a − len_b) ·
+    * EditDupDen > max_len` length prefilter built in (length difference
+    * lower-bounds lev, so such pairs never touch a DP cell), and an optional
+    * verified-prefix cap (`capChars`). */
   def editVerifyPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     editVerify(simhashPairs(docs, maxHamming), docs)
 
@@ -912,8 +913,8 @@ object TextDedup {
     * out-of-sync gate (`missing` → `raise_error(msg)`) folded into EVERY
     * returned column: Catalyst prunes unreferenced projections, so a gate
     * riding only one column would silently vanish for consumers that read
-    * the others. Future contract changes (a verified-prefix cap, the
-    * length-difference prefilter) land here once for both paths. */
+    * the others. The verified-prefix cap and the length-difference
+    * prefilter live in the banded twin, [[editVerdictColsBanded]]. */
   private[graft] def editVerdictCols(newText: Column, oldText: Column,
       missing: Column, msg: Column): (Column, Column, Column) = {
     def gated(c: Column) =
@@ -921,5 +922,73 @@ object TextDedup {
     val lev = gated(levenshtein(newText, oldText).cast("long"))
     val maxLen = gated(greatest(length(newText), length(oldText)).cast("long"))
     (maxLen, lev, lev * EditDupDen <= maxLen)
+  }
+
+  /** [[editVerdictCols]]' banded twin — same `(max_len, lev, is_dup)`
+    * contract and missing-gate, but the DP runs UNDER the dup bound: the
+    * threshold `t = max_len div EditDupDen` is exactly the largest lev that
+    * can still be a dup (`lev·Den ≤ max_len ⟺ lev ≤ t`, integer lev), so
+    * Spark's 3-arg `levenshtein` (a) refutes on the length difference before
+    * touching any DP cell — `|len(a)−len(b)| > t ⇒ −1`, the exact lower
+    * bound `lev ≥ |len(a)−len(b)|` the [[editVerify]] scaladoc promises as
+    * the prefilter — and (b) otherwise fills only the (2t+1)-wide band,
+    * O(t·min(n,m)) instead of O(n·m). At the default Den = 5, t ≤ n/5: a
+    * ~10× cut on the dominant all-but-dup pairs.
+    *
+    * The one contract change vs the exact kernel: `lev` is NULL on refuted
+    * pairs (the band never materializes a distance it only bounded), so
+    * `is_dup` is authoritative everywhere and `lev` is exact precisely where
+    * a dup verdict needs it (`is_dup` true ⇒ `lev` = the true distance;
+    * spec-pinned against the exact kernel). `capChars > 0` additionally
+    * verifies on the leading `capChars` characters of both texts — the
+    * verified-prefix cost cap for heavy-tailed document lengths; max_len,
+    * lev, and is_dup all read on the capped texts (a documented
+    * approximation, not a hidden one). */
+  private[graft] def editVerdictColsBanded(newText: Column, oldText: Column,
+      missing: Column, msg: Column, capChars: Int = 0): (Column, Column, Column) = {
+    def capped(c: Column) =
+      if (capChars > 0) substring(c, 1, capChars) else c
+    val a = capped(newText)
+    val b = capped(oldText)
+    val rawMax = greatest(length(a), length(b)).cast("long")
+    val d = org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b),
+        Some(org.apache.spark.sql.GraftExpressionBridge.expression(
+          (rawMax / EditDupDen).cast("int")))))
+    def gated(c: Column) =
+      when(missing, raise_error(msg).cast("long")).otherwise(c)
+    val lev = gated(when(d >= 0, d.cast("long")))
+    val maxLen = gated(rawMax)
+    // NULL texts propagate: d is NULL, so is_dup is NULL — the m2
+    // skip-with-documented-semantics convention, same as the exact kernel
+    (maxLen, lev,
+      when(missing, raise_error(msg).cast("boolean")).otherwise(d >= 0))
+  }
+
+  /** [[editVerify]] with the banded verdict kernel
+    * ([[editVerdictColsBanded]]): identical join shape, passthrough, and
+    * missing-gate; `lev` is NULL on non-dup pairs (the band refutes without
+    * materializing a distance) and exact on every dup. The scale path for
+    * verifier-dominated ladders — the DP drops from O(n·m) to O(t·min(n,m))
+    * with t = max_len/[[EditDupDen]], and length-refuted pairs (the common
+    * case on heterogeneous corpora) never touch a DP cell at all. */
+  def editVerifyBanded(candidates: DataFrame, docs: DataFrame,
+      capChars: Int = 0): DataFrame = {
+    def side(i: Int) = docs.select(col("doc_id").as(s"doc_id_$i"),
+      col("text").as(s"t$i"), lit(true).as(s"__has$i"))
+    val (maxLen, lev, isDup) = editVerdictColsBanded(col("t1"), col("t2"),
+      col("__has1").isNull || col("__has2").isNull,
+      concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
+        lit(", "), col("doc_id_2"),
+        lit(") references a doc_id absent from the corpus")), capChars)
+    val passthrough = candidates.columns.map(col).toSeq
+    candidates.hint("shuffle_hash")
+      .join(side(1), Seq("doc_id_1"), "left")
+      .hint("shuffle_hash")
+      .join(side(2), Seq("doc_id_2"), "left")
+      .select(passthrough :+ maxLen.as("max_len") :+ lev.as("lev") :+
+        isDup.as("is_dup"): _*)
   }
 }

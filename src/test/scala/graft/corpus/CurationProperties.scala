@@ -136,4 +136,44 @@ object CurationProperties extends Properties("outputPlane") {
         }.toMap
       (got == expected) :| s"verdict drift: got=$got expected=$expected"
     }
+
+  property("editVerifyBanded agrees with the exact kernel: is_dup identical, lev exact on dups, NULL on refuted") =
+    Prop.forAll(corpusGen, Gen.choose(0L, Long.MaxValue),
+        Gen.oneOf(0, 0, 6)) { (docs, seed, capChars) =>
+      val rnd = new scala.util.Random(seed)
+      val ids = docs.map(_.docId)
+      val cand = (0 until math.min(40, ids.size * 2)).map { _ =>
+        val a = ids(rnd.nextInt(ids.size))
+        val b = ids(rnd.nextInt(ids.size))
+        (math.min(a, b), math.max(a, b), rnd.nextInt(4))
+      }.groupBy(c => (c._1, c._2)).values.map(_.head).toList
+      val s = spark
+      import s.implicits._
+      val candDf = cand.toDF("doc_id_1", "doc_id_2", "hamming")
+      def cap(t: String) = if (capChars > 0) t.take(capChars) else t
+      val texts = docs.map(d => d.docId -> d.text.map(cap)).toMap
+      val expected = cand.map { case (a, b, h) =>
+        (a, b) -> ((h, (texts(a), texts(b)) match {
+          case (Some(ta), Some(tb)) =>
+            val lev = refLev(ta, tb)
+            val maxLen = math.max(ta.length, tb.length).toLong
+            val dup = lev * TextDedup.EditDupDen <= maxLen
+            // the banded contract: lev materializes exactly on dups, the
+            // band refutes non-dups without a distance
+            (Some(maxLen), if (dup) Some(lev) else None, Some(dup))
+          case (ta, tb) =>
+            (ta.orElse(tb).map(_.length.toLong), None, None)
+        }))
+      }.toMap
+      val got = TextDedup.editVerifyBanded(candDf, df(docs), capChars)
+        .collect()
+        .map { r =>
+          def opt[T](n: String): Option[T] =
+            Option(r.get(r.fieldIndex(n))).map(_.asInstanceOf[T])
+          (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")) ->
+            ((r.getAs[Int]("hamming"), (opt[Long]("max_len"),
+              opt[Long]("lev"), opt[Boolean]("is_dup"))))
+        }.toMap
+      (got == expected) :| s"banded drift (cap=$capChars): got=$got expected=$expected"
+    }
 }
