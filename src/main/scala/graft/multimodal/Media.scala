@@ -18,31 +18,41 @@ trait MediaCodec extends Serializable {
 }
 
 /** Pure-JVM decoder for the formats a bare JVM can decode with no native
-  * libraries: binary PPM (`P6`) and uncompressed 24-bit BMP. Anything else
-  * fails LOUDLY with the sniffed magic — this container ships no image/audio
-  * codec libraries, and a silent fallback would defeat the SPI's point; a
-  * deployment binds JavaCV/TwelveMonkeys/ffmpeg here for the rest (the
-  * remaining genuinely-out-of-scope surface in this sandbox).
+  * libraries: binary PPM (`P6`), uncompressed 24-bit BMP, and
+  * non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA — zlib via
+  * `java.util.zip.Inflater`, the five scanline filters undone here).
+  * Anything else fails LOUDLY with the sniffed magic — this container ships
+  * no image/audio codec libraries, and a silent fallback would defeat the
+  * SPI's point; a deployment binds JavaCV/TwelveMonkeys/ffmpeg for the rest
+  * (JPEG/GIF/video — the remaining genuinely-out-of-scope surface in this
+  * sandbox).
   *
-  * Both formats normalize to ONE layout — top-down row-major RGB bytes,
+  * All formats normalize to ONE layout — top-down row-major RGB bytes,
   * `nFrames` 1 — so downstream kernels ([[Media.mediaFeatures]]'s stride
   * means) see format-independent pixels: BMP rows are stored bottom-up in
-  * BGR with 4-byte row padding, all three undone here. Malformed input
-  * (truncated data, non-positive dimensions, PPM maxval > 255, BMP
-  * compression or non-24-bit depth) fails loudly too, never a partial
-  * decode. */
+  * BGR with 4-byte row padding, PNG rows are filtered against their
+  * neighbors and may carry alpha/gray channels, all undone here. Malformed
+  * input (truncated data, bad chunk CRCs, non-positive dimensions, PPM
+  * maxval > 255, BMP compression, PNG interlace/palette/16-bit) fails
+  * loudly too, never a partial decode. */
 object RealCodec extends MediaCodec {
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
   def decode(blob: Array[Byte]): DecodedMedia = {
     if (blob.length >= 2 && blob(0) == 'P'.toByte && blob(1) == '6'.toByte)
       decodePpm(blob)
     else if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
       decodeBmp(blob)
+    else if (blob.length >= 8 && blob.take(8).sameElements(PngSig))
+      decodePng(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec: unsupported format (magic 0x$magic, ${blob.length} bytes)" +
-          " — only binary PPM (P6) and uncompressed 24-bit BMP decode on a" +
-          " bare JVM; bind a full codec (JavaCV/ffmpeg) for other formats")
+          " — only binary PPM (P6), uncompressed 24-bit BMP, and" +
+          " non-interlaced 8-bit PNG decode on a bare JVM; bind a full codec" +
+          " (JavaCV/ffmpeg) for other formats")
     }
   }
 
@@ -145,6 +155,133 @@ object RealCodec extends MediaCodec {
         out(o + 1) = b(src + x * 3 + 1) // G
         out(o + 2) = b(src + x * 3)     // B
         x += 1
+      }
+      row += 1
+    }
+    DecodedMedia(w, h, 1, out)
+  }
+
+  /** Non-interlaced 8-bit PNG (color types 0 gray, 2 RGB, 4 gray+alpha,
+    * 6 RGBA): chunk walk with CRC verification, one zlib stream across the
+    * IDAT chunks, per-row unfiltering (None/Sub/Up/Average/Paeth), then
+    * channel mapping to the normalized RGB layout (gray replicated, alpha
+    * dropped — metadata extraction, not compositing). Palette (type 3),
+    * 16-bit, and Adam7 interlace fail loudly: each needs machinery
+    * (PLTE indirection, sample narrowing, pass reassembly) whose silent
+    * absence would mis-decode, and real corpora route those through the
+    * full codec binding anyway. */
+  private def decodePng(b: Array[Byte]): DecodedMedia = {
+    def u32(off: Int): Long = {
+      if (off + 4 > b.length) fail(s"PNG: truncated at byte $off")
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    }
+    var i = 8
+    var w = 0; var h = 0; var depth = -1; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      val len = u32(i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > b.length)
+        fail(s"PNG: truncated chunk at byte $i (len $len)")
+      val n = len.toInt
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + n)
+      if (crc.getValue != u32(i + 8 + n))
+        fail(s"PNG: bad CRC in $typ chunk at byte $i")
+      typ match {
+        case "IHDR" =>
+          if (n != 13) fail(s"PNG: IHDR length $n, expected 13")
+          w = u32(i + 8).toInt; h = u32(i + 12).toInt
+          depth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
+          if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
+          if ((b(i + 18) & 0xff) != 0) fail("PNG: unknown compression method")
+          if ((b(i + 19) & 0xff) != 0) fail("PNG: unknown filter method")
+          if ((b(i + 20) & 0xff) != 0)
+            fail("PNG: interlaced (Adam7) images unsupported")
+          if (depth != 8) fail(s"PNG: only bit depth 8 supported, got $depth")
+          if (colorType != 0 && colorType != 2 && colorType != 4 && colorType != 6)
+            fail(s"PNG: unsupported color type $colorType" +
+              (if (colorType == 3) " (palette)" else ""))
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) fail("PNG: IDAT before IHDR")
+          idat.write(b, i + 8, n)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (and a suggested PLTE) carry no pixels
+      }
+      i += 12 + n
+    }
+    if (!seenIhdr) fail("PNG: missing IHDR")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4
+    }
+    // filtered stream: h rows of (1 filter byte + w*channels samples)
+    val rowLen = w.toLong * channels
+    val rawLen = (rowLen + 1) * h
+    if (rawLen > Int.MaxValue) fail(s"PNG: image too large (${w}x$h)")
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k == 0 && inf.needsInput())
+          fail(s"PNG: truncated pixel data ($got of ${raw.length} bytes)")
+        got += k
+      }
+      if (got < raw.length)
+        fail(s"PNG: truncated pixel data ($got of ${raw.length} bytes)")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"PNG: corrupt zlib stream (${e.getMessage})")
+    } finally inf.end()
+    // unfilter in place, then map channels to RGB. a = left, b = up,
+    // c = up-left; all mod-256 unsigned arithmetic per the spec
+    val stride = rowLen.toInt
+    val out = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val base = row * (stride + 1)
+      val filter = raw(base) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = base + 1 + x
+        val left = if (x >= channels) raw(cur - channels) & 0xff else 0
+        val up = if (row > 0) raw(cur - stride - 1) & 0xff else 0
+        val upLeft =
+          if (row > 0 && x >= channels) raw(cur - stride - 1 - channels) & 0xff
+          else 0
+        val recon = filter match {
+          case 0 => raw(cur) & 0xff
+          case 1 => (raw(cur) & 0xff) + left
+          case 2 => (raw(cur) & 0xff) + up
+          case 3 => (raw(cur) & 0xff) + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else upLeft
+            (raw(cur) & 0xff) + pred
+          case f => fail(s"PNG: unknown filter type $f in row $row")
+        }
+        raw(cur) = (recon & 0xff).toByte
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val s = base + 1 + px * channels
+        val o = (row * w + px) * 3
+        if (channels >= 3) {
+          out(o) = raw(s); out(o + 1) = raw(s + 1); out(o + 2) = raw(s + 2)
+        } else {
+          out(o) = raw(s); out(o + 1) = raw(s); out(o + 2) = raw(s)
+        }
+        px += 1
       }
       row += 1
     }

@@ -132,6 +132,136 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("exceeds maxval")
   }
 
+  /** Independent PNG encoder (reference filter arithmetic written forward,
+    * not shared with the decoder): per-row filter choice, one zlib stream,
+    * CRC'd chunks. `pixels` is the raw channel stream (top-down row-major,
+    * `channels` samples per pixel). */
+  private def png(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+      filterOf: Int => Int, splitIdat: Boolean = false): Array[Byte] = {
+    val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (row <- 0 until h) {
+      val f = filterOf(row)
+      raw(row * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(row * stride + x) & 0xff
+        val left = if (x >= channels) pixels(row * stride + x - channels) & 0xff else 0
+        val up = if (row > 0) pixels((row - 1) * stride + x) & 0xff else 0
+        val ul = if (row > 0 && x >= channels)
+          pixels((row - 1) * stride + x - channels) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val (pa, pb, pc) = ((p - left).abs, (p - up).abs, (p - ul).abs)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(row * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](raw.length + 128)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idat = bos.toByteArray
+    val idatChunks =
+      if (splitIdat && idat.length > 3) // zlib stream split across chunks
+        chunk("IDAT", idat.take(3)) ++ chunk("IDAT", idat.drop(3))
+      else chunk("IDAT", idat)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ idatChunks ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** The decoder's normalized-RGB view of a raw channel stream. */
+  private def toRgb(channels: Int, pixels: Array[Byte]): Seq[Byte] =
+    pixels.grouped(channels).flatMap { px =>
+      if (channels >= 3) px.take(3) else Array(px(0), px(0), px(0))
+    }.toSeq
+
+  test("PNG round-trips every color type through all five scanline filters") {
+    val rnd = new scala.util.Random(20260814L)
+    for (colorType <- Seq(0, 2, 4, 6); trial <- 0 until 3) {
+      val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+      val (w, h) = (1 + rnd.nextInt(9), 6 + rnd.nextInt(5)) // h >= 6: every filter used
+      val px = Array.fill[Byte](w * h * channels)(rnd.nextInt(256).toByte)
+      val d = RealCodec.decode(png(w, h, colorType, px, row => row % 5))
+      withClue(s"colorType=$colorType trial=$trial ${w}x$h: ") {
+        (d.width, d.height, d.nFrames) shouldBe ((w, h, 1))
+        d.pixels.toSeq shouldBe toRgb(channels, px)
+      }
+    }
+  }
+
+  test("PNG: one zlib stream across split IDAT chunks; ancillary chunks skipped") {
+    val rnd = new scala.util.Random(7L)
+    val px = Array.fill[Byte](4 * 3 * 3)(rnd.nextInt(256).toByte)
+    val whole = png(4, 3, 2, px, _ => 4, splitIdat = true)
+    // splice an ancillary chunk (tEXt) between IHDR and the IDATs
+    val data = "k v".getBytes("ISO-8859-1")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put("tEXt".getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+    val anc = bb.putInt(crc.getValue.toInt).array()
+    val spliced = whole.take(8 + 25) ++ anc ++ whole.drop(8 + 25)
+    val d = RealCodec.decode(spliced)
+    (d.width, d.height) shouldBe ((4, 3))
+    d.pixels.toSeq shouldBe px.toSeq
+  }
+
+  test("PNG: palette/16-bit/interlace/bad-CRC/truncation fail loudly") {
+    val px = Array.fill[Byte](2 * 2 * 3)(5.toByte)
+    val good = png(2, 2, 2, px, _ => 0)
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    // IHDR data starts at byte 16: w(4) h(4) depth colorType comp filt interlace
+    // CRC breaks when a header byte changes — assert the CRC gate fires first
+    intercept[IllegalArgumentException] {
+      RealCodec.decode(mut(25, 3)) // colorType byte, CRC now stale
+    }.getMessage should include("CRC")
+    // re-encode properly for semantic gates
+    def withIhdr(depth: Byte, colorType: Byte, interlace: Byte): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+        .put(depth).put(colorType).put(0.toByte).put(0.toByte).put(interlace)
+        .array()
+      val bb = java.nio.ByteBuffer.allocate(12 + 13)
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+      val chunk = bb.putInt(crc.getValue.toInt).array()
+      good.take(8) ++ chunk ++ good.drop(8 + 25)
+    }
+    intercept[IllegalArgumentException] {
+      RealCodec.decode(withIhdr(8, 3, 0))
+    }.getMessage should include("palette")
+    intercept[IllegalArgumentException] {
+      RealCodec.decode(withIhdr(16, 2, 0))
+    }.getMessage should include("bit depth")
+    intercept[IllegalArgumentException] {
+      RealCodec.decode(withIhdr(8, 2, 1))
+    }.getMessage should include("interlaced")
+    intercept[IllegalArgumentException] { // IEND alone: pixel data missing
+      RealCodec.decode(good.take(8 + 25) ++ good.takeRight(12))
+    }.getMessage should include("truncated pixel data")
+  }
+
   test("mediaFeatures runs the batched SPI with a REAL decode end-to-end") {
     import spark.implicits._
     // ASCII-safe pixel bytes (< 0x80) survive the assets() UTF-8 round trip,
