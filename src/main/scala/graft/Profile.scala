@@ -32,6 +32,23 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("x9_quality", "x65_relevance_gate", "x44_kmeans", "x71_hybrid_rrf",
         "v2_latest_notification", "q5_latest_order_per_customer")
+
+    // per-stage attribution (SPARK_GRAFT_PROFILE_STAGES=1): stage wall time,
+    // task count, and aggregate executor task time — separates scheduling /
+    // task-overhead-bound stages (wall >> task-time/cores) from compute
+    val stageDetail = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int, Long)]()
+    if (stageDetail) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime}
+            yield c - s).getOrElse(-1L)
+          stages.add((i.stageId, i.name.takeWhile(_ != '\n').take(60),
+            wall, i.numTasks, i.taskMetrics.executorRunTime))
+        }
+      })
     def t[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val r = f
       ((System.nanoTime() - t0) / 1e9, r)
@@ -51,6 +68,16 @@ object Profile {
       System.gc()
       val (tw, _) = t(fn(spark, sfDir).count())
       println(f"$name%-28s $tb%7.3f $ta%7.3f $to%7.3f $tp%7.3f $te%7.3f ${tb+ta+to+tp+te}%7.3f $tw%7.3f")
+      if (stageDetail) {
+        import scala.jdk.CollectionConverters._
+        val all = stages.asScala.toSeq.sortBy(-_._3)
+        println(s"  stages=${all.size} wallSum=${all.map(_._3).sum}ms " +
+          s"taskTimeSum=${all.map(_._5).sum}ms")
+        all.take(12).foreach { case (id, nm, wall, nt, rt) =>
+          println(f"  s$id%-5d $wall%6dms tasks=$nt%-4d taskTime=$rt%6dms  $nm")
+        }
+        stages.clear()
+      }
     }
     spark.stop()
   }

@@ -87,6 +87,20 @@ object TextDedup {
     * (package-private, not private, so the spec can drive it directly) */
   private[corpus] def verifyJaccard(candidates: DataFrame,
       p1: DataFrame, p2: DataFrame, threshold: Double): DataFrame =
+    verifiedIntersections(candidates, p1, p2)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** The verify-on-candidates intersection core shared by [[verifyJaccard]]
+    * and [[containmentVerify]] — `(doc_id_1, doc_id_2, c, n1, n2)` for every
+    * candidate pair with a NON-EMPTY intersection (the two measures' kernels
+    * are ratios of exactly these counts, [[sizedIntersections]]' columns, so
+    * the two verifiers can never disagree with their exhaustive twins on the
+    * universe they share). */
+  private def verifiedIntersections(candidates: DataFrame,
+      p1: DataFrame, p2: DataFrame): DataFrame =
     candidates
       .join(p1.as("a"), col("doc_id_1") === col("a.doc_id"))
       .join(p2.as("b"),
@@ -96,10 +110,6 @@ object TextDedup {
       // determinism hazard and without another shuffle
       .agg(count(lit(1)).as("c"), max(col("a.n_shingles")).as("n1"),
         max(col("b.n_shingles")).as("n2"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        (col("c").cast("double") /
-          (col("n1") + col("n2") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
 
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) >= threshold, doc_id_1 < doc_id_2,
     * computed over the NON-BOILERPLATE shingle universe: shingles appearing in
@@ -165,7 +175,8 @@ object TextDedup {
     * Scale shape: identical to x2 — the [[sizedIntersections]] core is
     * shared verbatim, with the df cap bounding the self-join quadratic; at
     * 100 TB generate candidates with the sketch ladder and verify
-    * containment on candidates only (the x80 composition). */
+    * containment on candidates only via [[containmentVerify]] (the x80
+    * composition). */
   def containmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = DefaultContainmentThreshold,
       maxDf: Int = 1000): DataFrame =
@@ -175,6 +186,37 @@ object TextDedup {
         (col("c").cast("double") / col("n2")).as("containment_2"))
       .filter(col("containment_1") >= threshold ||
         col("containment_2") >= threshold)
+
+  /** [[containmentPairs]] verified ON CANDIDATES — the 100 TB composition the
+    * x82 scaladoc prescribes: a sketch tier (MinHash bands, SimHash chunks, a
+    * persisted dedupIndex probe) proposes `(doc_id_1, doc_id_2)` pairs, and
+    * ONLY those pairs pay the exact shingle-intersection cost, the same
+    * verify-on-candidates shape as [[minhashPairs]]' Jaccard tier and
+    * [[editVerify]]'s DP tier. Both containment directions are emitted and a
+    * pair survives when EITHER crosses the threshold, identical ratios to the
+    * exhaustive [[containmentPairs]] over the uncapped universe (the shared
+    * [[verifiedIntersections]] core — spec-pinned equality on the candidate
+    * subset; the exhaustive pass's df cap is a boilerplate-exclusion policy
+    * of the UNIVERSE, inert at corpus ≤ maxDf docs, and a candidate verifier
+    * inherits its universe from the generator's blocking instead). Joins
+    * follow [[verifyJaccard]]'s doctrine — plain shuffle joins, candidates
+    * small after blocking (AQE broadcasts them if so), viral-doc skew split
+    * by AQE at runtime; the corpus-side postings are computed columns whose
+    * stats Catalyst cannot understate, so editVerify's corpus-broadcast trap
+    * does not arise here. Pairs with an EMPTY intersection emit no row
+    * (containment 0 in both directions cannot cross any positive
+    * threshold). */
+  def containmentVerify(candidates: DataFrame, docs: DataFrame, n: Int = 3,
+      threshold: Double = DefaultContainmentThreshold): DataFrame = {
+    val p = sizedPostings(docs, n)
+    verifiedIntersections(
+        candidates.select(col("doc_id_1"), col("doc_id_2")), p, p)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") / col("n1")).as("containment_1"),
+        (col("c").cast("double") / col("n2")).as("containment_2"))
+      .filter(col("containment_1") >= threshold ||
+        col("containment_2") >= threshold)
+  }
 
   /** MinHash signatures: ONE narrow compiled pass per document
     * ([[graft.functions.MinHashSig]]) — a per-document value never needed the

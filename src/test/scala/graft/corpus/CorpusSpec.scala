@@ -1921,6 +1921,41 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     TextDedup.ngramJaccardPairs(d).collect() shouldBe empty
   }
 
+  test("containmentVerify equals containmentPairs on the candidate subset; misses stay misses") {
+    import spark.implicits._
+    // a corpus with containment structure: doc 2 wraps doc 1, doc 4 wraps
+    // doc 3, docs 5/6 overlap partially, doc 7 is unrelated
+    val q1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val q3 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      1L -> q1, 2L -> ((1 to 30).map(i => s"w$i").mkString(" ") + " " + q1),
+      3L -> q3, 4L -> (q3 + " " + (1 to 30).map(i => s"v$i").mkString(" ")),
+      5L -> "c1 c2 c3 c4 c5 c6", 6L -> "c1 c2 c3 c4 d5 d6",
+      7L -> "x y z p q r")
+    val exhaustive = TextDedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("containment_1"), r.getAs[Double]("containment_2"))))
+      .toMap
+    // candidates: the true pairs PLUS pairs the exhaustive pass rejects —
+    // the verifier must reproduce the exhaustive verdict on each (identical
+    // ratios on hits via the shared intersection core, no row on misses)
+    val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 3L), (5L, 7L))
+      .toDF("doc_id_1", "doc_id_2")
+    val verified = TextDedup.containmentVerify(cand, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("containment_1"), r.getAs[Double]("containment_2"))))
+      .toMap
+    verified.keySet shouldBe exhaustive.keySet.intersect(
+      Set((1L, 2L), (3L, 4L), (5L, 6L), (1L, 3L), (5L, 7L)))
+    verified.foreach { case (k, v) => exhaustive(k) shouldBe v }
+    // the wrap pairs made it with an exact 1.0 on the contained side
+    verified((1L, 2L))._1 shouldBe 1.0
+    verified((3L, 4L))._1 shouldBe 1.0
+    // a candidate pair the sketch proposed but containment rejects is ABSENT
+    verified.keySet should not contain ((1L, 3L))
+    verified.keySet should not contain ((5L, 7L))
+  }
+
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, s"w$i a b c", s"src${i % 3}"))
