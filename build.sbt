@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // local-experiment JVM flags (GC/JIT sweeps); unset in driver runs
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))

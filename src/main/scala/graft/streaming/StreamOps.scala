@@ -170,14 +170,27 @@ object StreamOps {
     * `bands`-way band explode into the probe shuffle (a stream cannot
     * re-join its own text back — that would be a stream-stream join), a
     * bands× per-trigger byte amplification; verify on a capped prefix or
-    * with fewer bands when arriving documents are large. */
+    * with fewer bands when arriving documents are large.
+    *
+    * `banded = true` swaps in the banded verdict kernel
+    * ([[graft.corpus.TextDedup.editVerdictColsBanded]], batch twin
+    * `editVerifyBanded`): DP under the dup threshold with the
+    * length-difference prefilter built in; `lev` NULL on refuted pairs,
+    * `is_dup` identical — the 100 TB ingest default, where most collisions
+    * are refuted without touching a DP cell. `capChars` (banded mode only)
+    * verifies on the leading prefix, the amplification remedy above. */
   def verifyNearDupsAgainst(docs: DataFrame, index: DataFrame,
       corpusText: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, watermarkDelay: String = "1 hour"): DataFrame = {
-    val (maxLen, lev, isDup) = graft.corpus.TextDedup.editVerdictCols(
-      col("text"), col("old_text"), col("__has").isNull,
-      concat(lit("verifyNearDupsAgainst: index doc "), col("matched_doc_id"),
-        lit(" has no corpus text row — index and text table out of sync")))
+      bands: Int = 16, watermarkDelay: String = "1 hour",
+      banded: Boolean = false, capChars: Int = 0): DataFrame = {
+    val msg = concat(lit("verifyNearDupsAgainst: index doc "),
+      col("matched_doc_id"),
+      lit(" has no corpus text row — index and text table out of sync"))
+    val (maxLen, lev, isDup) =
+      if (banded) graft.corpus.TextDedup.editVerdictColsBanded(
+        col("text"), col("old_text"), col("__has").isNull, msg, capChars)
+      else graft.corpus.TextDedup.editVerdictCols(
+        col("text"), col("old_text"), col("__has").isNull, msg)
     bandRows(docs, Seq("text"), n, numHashes, bands, watermarkDelay)
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("matched_doc_id")), Seq("band", "bucket"))

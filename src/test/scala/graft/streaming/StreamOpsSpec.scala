@@ -596,6 +596,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming verified near-dups: banded mode emits the same verdicts through a live query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = oldCorpus(s)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.verifyNearDupsAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      graft.corpus.TextDedup.dedupIndex(old), old, banded = true)
+    val sink = s"verifydup_banded_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops6b").toString)
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, nearDupText),
+        (ts("2024-01-01 10:01:00"), 2L,
+          (61 to 90).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = s.table(sink).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_doc_id"),
+          r.getAs[Long]("max_len"), r.getAs[Long]("lev"),
+          r.getAs[Boolean]("is_dup")))
+      // identical to the exact kernel's verdict: the pair IS a dup, so the
+      // banded DP materializes the exact lev (refuted pairs would carry NULL)
+      rows.toSeq shouldBe Seq((1L, 100L,
+        math.max(nearDupText.length, oldText100.length).toLong, 5L, true))
+    } finally q.stop()
+  }
+
   test("streaming verified near-dups: index doc without a text row fails loudly") {
     val s = spark
     import s.implicits._
