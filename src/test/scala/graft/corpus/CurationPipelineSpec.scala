@@ -53,6 +53,20 @@ class CurationPipelineSpec extends AnyFunSuite with SparkSpec with Matchers {
       r.getAs[Long]("doc_id_2"))).toSet shouldBe pairKeys // evidence per pair
     val survivors = verified.filter(col("is_dup"))
     survivors.count() shouldBe pairs.count() // this corpus: all candidates real
+    // the banded verifier drops into the same slot with the same verdicts:
+    // identical is_dup set, lev materialized exactly on the dups
+    val banded = TextDedup.editVerifyBanded(pairs, docs).collect()
+    banded.map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+      r.getAs[Boolean]("is_dup"))).toSet shouldBe
+      verifiedRows.map(r => (r.getAs[Long]("doc_id_1"),
+        r.getAs[Long]("doc_id_2"), r.getAs[Boolean]("is_dup"))).toSet
+    banded.filter(_.getAs[Boolean]("is_dup"))
+      .forall(!_.isNullAt(banded.head.fieldIndex("lev"))) shouldBe true
+    // the containment verifier is subtractive on the same candidates (a
+    // different measure: one-token near-dups have high containment too)
+    val contained = TextDedup.containmentVerify(pairs, docs).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"))).toSet
+    contained.subsetOf(pairKeys) shouldBe true
     val clusters = TextDedup.dedupClusters(survivors)
     val deduped = TextDedup.applyDedup(docs, clusters)
     val allIds = docs.select("doc_id").as[Long].collect().toSet
