@@ -6,54 +6,168 @@ import org.apache.spark.sql.functions._
 /** A decoded media asset (what a real codec would return). */
 case class DecodedMedia(width: Int, height: Int, nFrames: Int, pixels: Array[Byte])
 
-/** Codec SPI for opaque media blobs. [[RealCodec]] decodes the formats a bare
-  * JVM can (binary PPM, 24-bit BMP) and fails loudly on formats that need the
-  * native codec libraries this container doesn't ship; [[FakeCodec]] is the
-  * deterministic stand-in whose arithmetic the m-plane ORACLES replay, keeping
-  * the Spark-side plumbing (schema, partitioning, batch shape) hash-checked on
-  * every corpus row regardless of format.
+/** Codec SPI for opaque media blobs. [[RealCodec]] decodes every still-image
+  * format this JVM can (hand-rolled verified decoders for PPM/BMP/PNG, the
+  * JDK's own `javax.imageio` for JPEG/GIF/TIFF and the exotic PNG/BMP
+  * variants) and fails loudly on the rest (video/audio containers);
+  * [[FakeCodec]] is the deterministic stand-in whose arithmetic the m-plane
+  * ORACLES replay, keeping the Spark-side plumbing (schema, partitioning,
+  * batch shape) hash-checked on every corpus row regardless of format.
   */
 trait MediaCodec extends Serializable {
   def decode(blob: Array[Byte]): DecodedMedia
 }
 
-/** Pure-JVM decoder for the formats a bare JVM can decode with no native
-  * libraries: binary PPM (`P6`), uncompressed 24-bit BMP, and
-  * non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA — zlib via
-  * `java.util.zip.Inflater`, the five scanline filters undone here).
-  * Anything else fails LOUDLY with the sniffed magic — this container ships
-  * no image/audio codec libraries, and a silent fallback would defeat the
-  * SPI's point; a deployment binds JavaCV/TwelveMonkeys/ffmpeg for the rest
-  * (JPEG/GIF/video — the remaining genuinely-out-of-scope surface in this
-  * sandbox).
+/** Image decoder with two tiers, both dependency-free on this JVM:
   *
-  * All formats normalize to ONE layout — top-down row-major RGB bytes,
-  * `nFrames` 1 — so downstream kernels ([[Media.mediaFeatures]]'s stride
-  * means) see format-independent pixels: BMP rows are stored bottom-up in
-  * BGR with 4-byte row padding, PNG rows are filtered against their
-  * neighbors and may carry alpha/gray channels, all undone here. Malformed
-  * input (truncated data, bad chunk CRCs, non-positive dimensions, PPM
-  * maxval > 255, BMP compression, PNG interlace/palette/16-bit) fails
-  * loudly too, never a partial decode. */
+  *  - **Hand-rolled, fully verified** (the default for the common cases):
+  *    binary PPM (`P6`), uncompressed 24-bit BMP, and non-interlaced 8-bit
+  *    PNG (gray / gray+alpha / RGB / RGBA — zlib via `java.util.zip
+  *    .Inflater`, the five scanline filters undone here). These paths check
+  *    every header field, CRC, and byte count themselves, and are
+  *    property-tested bit-for-bit against an independent encoder AND the
+  *    JDK tier below.
+  *  - **JDK `javax.imageio`** (part of `java.desktop`, present in any stock
+  *    JDK, headless-safe): JPEG, GIF (frame count reported in `nFrames`),
+  *    TIFF, and the PNG/BMP variants the hand-rolled tier doesn't cover
+  *    (palette / 16-bit / Adam7-interlaced PNG; palette / RLE / non-24-bit
+  *    BMP). Routing is by verified header fields, never by trial-decode, so
+  *    corruption can't silently switch tiers.
+  *
+  * Video and audio containers fail LOUDLY with the sniffed magic — those
+  * genuinely need native codec libraries (a deployment binds
+  * JavaCV/ffmpeg); a silent fallback would defeat the SPI's point.
+  *
+  * All formats normalize to ONE layout — top-down row-major RGB bytes —
+  * so downstream kernels ([[Media.mediaFeatures]]'s stride means) see
+  * format-independent pixels: BMP rows are stored bottom-up in BGR with
+  * 4-byte row padding, PNG rows are filtered against their neighbors and
+  * may carry alpha/gray channels, all undone here. Alpha is DROPPED
+  * (metadata extraction, not compositing) in both tiers: the ImageIO tier
+  * reads non-premultiplied ARGB and discards A, matching the hand-rolled
+  * RGBA path. Malformed input (truncated data, bad chunk CRCs,
+  * non-positive dimensions, PPM maxval > 255) fails loudly too, never a
+  * partial decode. */
 object RealCodec extends MediaCodec {
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     .map(_.toByte)
+
+  // in-memory blobs need no disk-backed ImageInputStream cache; a temp-file
+  // cache would add executor-local I/O and a /tmp dependency for zero gain
+  javax.imageio.ImageIO.setUseCache(false)
 
   def decode(blob: Array[Byte]): DecodedMedia = {
     if (blob.length >= 2 && blob(0) == 'P'.toByte && blob(1) == '6'.toByte)
       decodePpm(blob)
     else if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
-      decodeBmp(blob)
+      routeBmp(blob)
     else if (blob.length >= 8 && blob.take(8).sameElements(PngSig))
-      decodePng(blob)
+      routePng(blob)
+    else if (blob.length >= 3 && (blob(0) & 0xff) == 0xff &&
+        (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff)
+      decodeImageIo(blob, "JPEG")
+    else if (blob.length >= 6 && blob.take(3).sameElements("GIF".getBytes) &&
+        (blob.slice(3, 6).sameElements("87a".getBytes) ||
+          blob.slice(3, 6).sameElements("89a".getBytes)))
+      decodeImageIo(blob, "GIF")
+    else if (blob.length >= 4 &&
+        (blob.take(4).sameElements(Array[Byte]('I', 'I', 42, 0)) ||
+          blob.take(4).sameElements(Array[Byte]('M', 'M', 0, 42))))
+      decodeImageIo(blob, "TIFF")
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec: unsupported format (magic 0x$magic, ${blob.length} bytes)" +
-          " — only binary PPM (P6), uncompressed 24-bit BMP, and" +
-          " non-interlaced 8-bit PNG decode on a bare JVM; bind a full codec" +
-          " (JavaCV/ffmpeg) for other formats")
+          " — still images (PPM/BMP/PNG/JPEG/GIF/TIFF) decode on a bare JVM;" +
+          " bind a full codec (JavaCV/ffmpeg) for video/audio containers")
     }
+  }
+
+  /** BMP router: the verified hand-rolled decoder covers the dominant
+    * uncompressed 24-bit BI_RGB layout; palette / RLE / 16- and 32-bit
+    * variants go through the JDK's BMP reader. A header too short to carry
+    * the depth/compression fields stays on the hand-rolled path, whose
+    * bounds gates fail loudly. */
+  private def routeBmp(b: Array[Byte]): DecodedMedia = {
+    if (b.length < 34) decodeBmp(b) // loud "truncated header"
+    else {
+      val depth = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+      val compression = (b(30) & 0xff) | ((b(31) & 0xff) << 8) |
+        ((b(32) & 0xff) << 16) | ((b(33) & 0xff) << 24)
+      if (depth == 24 && compression == 0) decodeBmp(b)
+      else decodeImageIo(b, s"BMP (depth $depth, compression $compression)")
+    }
+  }
+
+  /** PNG router: validate the IHDR chunk (length, CRC, dimensions) FIRST,
+    * then send the verified-subset images (8-bit, color types 0/2/4/6,
+    * non-interlaced) through the hand-rolled decoder and the rest (palette /
+    * 16-bit / Adam7) through ImageIO. CRC-before-routing matters: a
+    * corrupted color-type byte must fail loudly, not silently reroute. */
+  private def routePng(b: Array[Byte]): DecodedMedia = {
+    if (b.length < 8 + 25) fail("PNG: truncated before IHDR")
+    def u32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    if (u32(8) != 13 || new String(b, 12, 4, "US-ASCII") != "IHDR")
+      fail("PNG: first chunk is not a 13-byte IHDR")
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17)
+    if (crc.getValue != u32(29)) fail("PNG: bad CRC in IHDR chunk at byte 8")
+    val w = u32(16).toInt; val h = u32(20).toInt
+    if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
+    val depth = b(24) & 0xff; val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val handRolled = depth == 8 && interlace == 0 &&
+      (colorType == 0 || colorType == 2 || colorType == 4 || colorType == 6)
+    if (handRolled) decodePng(b)
+    else decodeImageIo(b,
+      s"PNG (depth $depth, color type $colorType, interlace $interlace)")
+  }
+
+  /** JDK-tier decode: first image normalized through the image's
+    * `ColorModel` (`getRGB` — exact for palette/RGB, JDK-standard sRGB
+    * conversion for gray/16-bit), alpha dropped; `nFrames` = the stream's
+    * image count (animated-GIF frames, TIFF pages). Reader errors wrap into
+    * this codec's loud-failure contract. */
+  private def decodeImageIo(b: Array[Byte], what: String): DecodedMedia = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext)
+        fail(s"$what: no JDK ImageIO reader recognizes the stream")
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true)
+        // read BEFORE counting: getNumImages(true)'s forced full-stream scan
+        // leaves the JDK GIF reader in a state where a subsequent read(0)
+        // drops the image's final partial data block (observed empirically:
+        // last row decodes black) — decode first, then count frames
+        val img0 = reader.read(0)
+        val k = reader.getNumImages(true)
+        val w = img0.getWidth; val h = img0.getHeight
+        if (w <= 0 || h <= 0) fail(s"$what: bad dimensions ${w}x$h")
+        val argb = img0.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          out(i * 3) = (p >> 16).toByte
+          out(i * 3 + 1) = (p >> 8).toByte
+          out(i * 3 + 2) = p.toByte
+          i += 1
+        }
+        DecodedMedia(w, h, math.max(k, 1), out)
+      } catch {
+        case e: java.io.IOException =>
+          fail(s"$what: corrupt stream (${e.getMessage})")
+        case e: RuntimeException if !e.isInstanceOf[IllegalArgumentException] =>
+          // ImageIO readers surface corruption as NPE/AIOOBE/NegativeArray
+          // on some malformed inputs; keep the loud-failure contract
+          fail(s"$what: corrupt stream (${e.getClass.getSimpleName}: ${e.getMessage})")
+      } finally reader.dispose()
+    } finally in.close()
   }
 
   private def fail(msg: String): Nothing =
@@ -166,10 +280,9 @@ object RealCodec extends MediaCodec {
     * IDAT chunks, per-row unfiltering (None/Sub/Up/Average/Paeth), then
     * channel mapping to the normalized RGB layout (gray replicated, alpha
     * dropped — metadata extraction, not compositing). Palette (type 3),
-    * 16-bit, and Adam7 interlace fail loudly: each needs machinery
-    * (PLTE indirection, sample narrowing, pass reassembly) whose silent
-    * absence would mis-decode, and real corpora route those through the
-    * full codec binding anyway. */
+    * 16-bit, and Adam7 interlace are [[routePng]]'d to the ImageIO tier
+    * before this method; the gates here are defense in depth, not the
+    * routing decision. */
   private def decodePng(b: Array[Byte]): DecodedMedia = {
     def u32(off: Int): Long = {
       if (off + 4 > b.length) fail(s"PNG: truncated at byte $off")
