@@ -34,7 +34,10 @@ trait MediaCodec extends Serializable {
   *    BMP). Routing is by verified header fields, never by trial-decode, so
   *    corruption can't silently switch tiers.
   *
-  * Video and audio containers fail LOUDLY with the sniffed magic — those
+  * Audio: RIFF/WAVE integer PCM (8/16-bit) decodes hand-rolled too — see
+  * [[decodeWav]] for the audio mapping of [[DecodedMedia]]'s fields — and
+  * is cross-checked against `javax.sound.sampled` in the spec. Video and
+  * compressed-audio containers fail LOUDLY with the sniffed magic — those
   * genuinely need native codec libraries (a deployment binds
   * JavaCV/ffmpeg); a silent fallback would defeat the SPI's point.
   *
@@ -74,13 +77,94 @@ object RealCodec extends MediaCodec {
         (blob.take(4).sameElements(Array[Byte]('I', 'I', 42, 0)) ||
           blob.take(4).sameElements(Array[Byte]('M', 'M', 0, 42))))
       decodeImageIo(blob, "TIFF")
+    else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
+        blob.slice(8, 12).sameElements("WAVE".getBytes))
+      decodeWav(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec: unsupported format (magic 0x$magic, ${blob.length} bytes)" +
-          " — still images (PPM/BMP/PNG/JPEG/GIF/TIFF) decode on a bare JVM;" +
-          " bind a full codec (JavaCV/ffmpeg) for video/audio containers")
+          " — still images (PPM/BMP/PNG/JPEG/GIF/TIFF) and PCM WAV decode on" +
+          " a bare JVM; bind a full codec (JavaCV/ffmpeg) for video and" +
+          " compressed-audio containers")
     }
+  }
+
+  /** RIFF/WAVE PCM audio, hand-rolled (chunk walk over `fmt `/`data`,
+    * unknown chunks skipped with the spec's even-byte padding). The audio
+    * mapping of [[DecodedMedia]]: `width` = channels, `height` = sample
+    * rate, `nFrames` = sample FRAMES (one per channel set), `pixels` =
+    * interleaved 16-bit little-endian signed PCM — 8-bit unsigned input
+    * widens to 16-bit (`(v−128)·256`) so downstream kernels see one sample
+    * layout. Only integer PCM (format code 1, 8/16-bit) decodes; float,
+    * ADPCM, extensible, and other compressed codecs fail loudly with the
+    * format code — those are the codec-library surface, and a silent
+    * partial parse would hand the feature kernel garbage. */
+  private def decodeWav(b: Array[Byte]): DecodedMedia = {
+    def u16(off: Int): Int = {
+      if (off + 2 > b.length) fail(s"WAV: truncated at byte $off")
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    }
+    def u32(off: Int): Long = {
+      if (off + 4 > b.length) fail(s"WAV: truncated at byte $off")
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    }
+    var i = 12
+    var channels = -1; var sampleRate = -1L; var bits = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val typ = new String(b, i, 4, "US-ASCII")
+      val len = u32(i + 4)
+      if (len > Int.MaxValue - 8 || i + 8 + len > b.length)
+        fail(s"WAV: truncated $typ chunk at byte $i (len $len)")
+      typ match {
+        case "fmt " =>
+          if (len < 16) fail(s"WAV: fmt chunk too short ($len bytes)")
+          val code = u16(i + 8)
+          if (code != 1) fail(s"WAV: only integer PCM (format code 1)" +
+            s" decodes; got format code $code — bind a full codec for" +
+            " float/ADPCM/extensible audio")
+          channels = u16(i + 10)
+          sampleRate = u32(i + 12)
+          bits = u16(i + 22)
+          blockAlign = u16(i + 20)
+          if (channels <= 0) fail(s"WAV: bad channel count $channels")
+          if (sampleRate <= 0 || sampleRate > Int.MaxValue)
+            fail(s"WAV: bad sample rate $sampleRate")
+          if (bits != 8 && bits != 16)
+            fail(s"WAV: only 8/16-bit PCM decodes, got $bits-bit")
+          if (blockAlign != channels * (bits / 8))
+            fail(s"WAV: block align $blockAlign inconsistent with" +
+              s" $channels ch × $bits bit")
+        case "data" =>
+          dataOff = i + 8; dataLen = len.toInt
+        case _ => () // LIST/fact/cue and friends carry no samples
+      }
+      // chunks are word-aligned: an odd payload is followed by a pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (channels < 0) fail("WAV: missing fmt chunk")
+    if (dataOff < 0) fail("WAV: missing data chunk")
+    if (dataLen % blockAlign != 0)
+      fail(s"WAV: data length $dataLen not a whole number of" +
+        s" $blockAlign-byte frames")
+    val nFrames = dataLen / blockAlign
+    val out =
+      if (bits == 16) java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+      else {
+        // 8-bit WAV is UNSIGNED; center and widen to the 16-bit layout
+        val o = new Array[Byte](dataLen * 2)
+        var k = 0
+        while (k < dataLen) {
+          val v = ((b(dataOff + k) & 0xff) - 128) << 8
+          o(k * 2) = (v & 0xff).toByte
+          o(k * 2 + 1) = ((v >> 8) & 0xff).toByte
+          k += 1
+        }
+        o
+      }
+    DecodedMedia(channels, sampleRate.toInt, nFrames, out)
   }
 
   /** BMP router: the verified hand-rolled decoder covers the dominant

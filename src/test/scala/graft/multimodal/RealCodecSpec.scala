@@ -418,16 +418,111 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     RealCodec.decode(flagged).pixels.toSeq shouldBe rgb.toSeq
   }
 
+  // --- audio: hand-rolled RIFF/WAVE PCM, javax.sound as the referee encoder ---
+
+  private def wavBytes(pcm: Array[Byte], sampleRate: Float, bits: Int,
+      channels: Int, nFrames: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    // 8-bit WAV is unsigned, 16-bit signed little-endian — the format's rule
+    val fmt = new AudioFormat(sampleRate, bits, channels, bits == 16, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV: stereo 16-bit PCM decodes bit-identically; 8-bit widens to the" +
+      " 16-bit layout; unknown chunks skip with odd-length padding") {
+    val rnd = new scala.util.Random(11L)
+    val pcm = Array.fill[Byte](50 * 2 * 2)(rnd.nextInt(256).toByte)
+    val d = RealCodec.decode(wavBytes(pcm, 8000f, 16, 2, 50))
+    // audio mapping: width=channels, height=sample rate, nFrames=sample frames
+    (d.width, d.height, d.nFrames) shouldBe ((2, 8000, 50))
+    d.pixels.toSeq shouldBe pcm.toSeq
+
+    val mono8 = Array.tabulate[Byte](20)(i => (i * 13).toByte)
+    val d8 = RealCodec.decode(wavBytes(mono8, 11025f, 8, 1, 20))
+    (d8.width, d8.height, d8.nFrames) shouldBe ((1, 11025, 20))
+    val widened = mono8.flatMap { v =>
+      val s = ((v & 0xff) - 128) << 8
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }
+    d8.pixels.toSeq shouldBe widened.toSeq
+
+    // splice an odd-length LIST chunk between "WAVE" and the fmt chunk: the
+    // walk must skip it INCLUDING the spec's pad byte, or every later chunk
+    // misaligns by one
+    val clean = wavBytes(pcm.take(8), 8000f, 16, 2, 2)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = clean.take(12) ++ list ++ clean.drop(12)
+    // RIFF size field is now stale, but the walk is bounds-driven, not
+    // RIFF-size-driven — mirrors real-world files with sloppy RIFF sizes
+    val ds = RealCodec.decode(spliced)
+    (ds.width, ds.nFrames) shouldBe ((2, 2))
+    ds.pixels.toSeq shouldBe pcm.take(8).toSeq
+  }
+
+  test("WAV: float/compressed formats, truncation, and frame misalignment" +
+      " fail loudly") {
+    val good = wavBytes(Array.tabulate[Byte](16)(_.toByte), 8000f, 16, 2, 4)
+    val fmtOff = {
+      // locate the fmt chunk (javax.sound writes it right after WAVE, but
+      // find it structurally so the test doesn't bake in that layout)
+      var i = 12
+      while (!(good(i) == 'f' && good(i + 1) == 'm')) i += 1
+      i
+    }
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    intercept[IllegalArgumentException] { // IEEE float format code 3
+      RealCodec.decode(mut(fmtOff + 8, 3))
+    }.getMessage should include("format code 3")
+    intercept[IllegalArgumentException] { // 24-bit: not in the PCM subset
+      RealCodec.decode(mut(fmtOff + 22, 24))
+    }.getMessage should include("24-bit")
+    intercept[IllegalArgumentException] { // data chunk cut mid-frame
+      RealCodec.decode(good.dropRight(3))
+    }.getMessage should include("truncated")
+    intercept[IllegalArgumentException] { // header only: no chunks at all
+      RealCodec.decode(good.take(12))
+    }.getMessage should include("missing fmt")
+    // data length not a whole number of frames: shrink the data chunk's
+    // declared length by one and pad the byte off the end
+    val dataOff = {
+      var i = 12
+      while (!(good(i) == 'd' && good(i + 1) == 'a' && good(i + 2) == 't')) i += 1
+      i
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.dropRight(1)
+      b(dataOff + 4) = 15
+      RealCodec.decode(b)
+    }.getMessage should include("whole number")
+  }
+
   test("mediaFeatures runs the batched SPI with a REAL decode end-to-end") {
     import spark.implicits._
     // ASCII-safe pixel bytes (< 0x80) survive the assets() UTF-8 round trip,
     // so the documents-table harness carries a genuine decodable image
     val px = Array.tabulate[Byte](12)(i => (10 + i).toByte)
     val text = new String(ppm(2, 2, px), "US-ASCII")
-    val d = Seq((3L, text)).toDF("doc_id", "text") // doc_id 3 -> image mime
+    // an ASCII-safe WAV (every byte < 0x80 survives the UTF-8 round trip):
+    // 8 frames of 8-bit mono PCM at rate 100 via the javax.sound encoder
+    val wavPcm = Array.tabulate[Byte](8)(i => (i * 15).toByte)
+    val wavText = {
+      val bytes = wavBytes(wavPcm, 100f, 8, 1, 8)
+      all(bytes.map(b => (b & 0xff) < 0x80)) shouldBe true
+      new String(bytes, "US-ASCII")
+    }
+    val d = Seq((3L, text), (1L, wavText)) // doc_id 3 -> image, 1 -> audio mime
+      .toDF("doc_id", "text")
     val out = Media.mediaFeatures(spark, d, RealCodec).collect()
-    out should have size 1
-    val f = out.head
+      .sortBy(_.doc_id)
+    out should have size 2
+    val Array(a, f) = out
     (f.doc_id, f.n_frames, f.n_pixels) shouldBe ((3L, 1, 12))
     // stride-8 means over the DECODED pixels (not the blob): lanes 0..3
     // average two bytes, lanes 4..7 carry one
@@ -436,5 +531,16 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
       vals.sum.toFloat / vals.size
     }
     f.features.toSeq shouldBe exp.toSeq
+    // the audio asset decoded for real too: 8 frames, 16 widened PCM bytes
+    (a.doc_id, a.n_frames, a.n_pixels) shouldBe ((1L, 8, 16))
+    val widened = wavPcm.flatMap { v =>
+      val s = ((v & 0xff) - 128) << 8
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }
+    val expA = Array.tabulate(8) { lane =>
+      val vals = (lane until 16 by 8).map(i => widened(i) & 0xff)
+      vals.sum.toFloat / vals.size
+    }
+    a.features.toSeq shouldBe expA.toSeq
   }
 }
