@@ -37,7 +37,9 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings"))
       try graft.util.Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () } // a missing table surfaces in its query
+      // a missing table surfaces in its query; fatal errors (OOM, linkage)
+      // must still abort — a heap-exhausted JVM would record garbage timings
+      catch { case scala.util.control.NonFatal(_) => () }
     // a failed query must be LOUD: recorded in the JSON and fatal to the run's
     // exit code, so bench can never silently mask a regression
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -69,6 +69,10 @@ object Profile {
       val (tw, _) = t(fn(spark, sfDir).count())
       println(f"$name%-28s $tb%7.3f $ta%7.3f $to%7.3f $tp%7.3f $te%7.3f ${tb+ta+to+tp+te}%7.3f $tw%7.3f")
       if (stageDetail) {
+        // listener events arrive on the async bus thread; give the final
+        // stage's completion event time to land before reading, or the
+        // largest stage gets dropped or billed to the NEXT query's block
+        Thread.sleep(300)
         import scala.jdk.CollectionConverters._
         val all = stages.asScala.toSeq.sortBy(-_._3)
         println(s"  stages=${all.size} wallSum=${all.map(_._3).sum}ms " +

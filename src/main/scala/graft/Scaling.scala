@@ -232,6 +232,15 @@ object Scaling {
       ("documents", "x71_hybrid_rrf",
         (d, _) => graft.corpus.Retrieval.hybridRrfTopK(
           rd(d, "documents"), rd(d, "embeddings"))),
+      // x71 on the IVF dense generator (the r14 SPI's scale path): same
+      // fusion, dense candidates from nprobe-pruned cells instead of the
+      // exhaustive scan — the cell PAIR measures exactly what the swap
+      // saves as the corpus grows (full probe is spec-pinned bit-identical,
+      // so the pair differs only in the restriction)
+      ("documents", "x71_hybrid_rrf_ivf",
+        (d, _) => graft.corpus.Retrieval.hybridRrfTopK(
+          rd(d, "documents"), rd(d, "embeddings"),
+          dense = graft.corpus.Retrieval.ivfDenseCandidates())),
       // x72: fixed query sheet — stage 1's prefix-dot narrow pass is the
       // only growing term; the shortlist fetch + exact re-rank stay
       // (queries × shortlist)-bounded
@@ -296,6 +305,14 @@ object Scaling {
       // candidate frame (is_dup identical by the kernel-parity property)
       ("documents", "x80_edit_verify_banded",
         (d, _) => TextDedup.editVerifyBanded(
+          TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
+      // x82 verify-on-candidates (the r14 overload): the same
+      // linearly-growing MinHash candidate frame as the x80 cells, through
+      // the shared intersection core — the cell pins that verification adds
+      // two doc_id-keyed posting joins and nothing quadratic (the
+      // exhaustive containmentPairs shape lives in x2's ladder regime)
+      ("documents", "x82_containment_verify",
+        (d, _) => TextDedup.containmentVerify(
           TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),

@@ -424,9 +424,11 @@ object Retrieval {
   /** IVF-backed dense generator: coarse-quantize the corpus into
     * `numCentroids` cells ([[Similarity.annIvfSearchOn]]'s one narrow
     * BestMatch pass), search each query's `nprobe` closest cells only.
-    * Centroids default to the corpus's first `numCentroids` vectors by id
-    * (the [[Similarity.annIvf]] deterministic stand-in); production passes
-    * k-means-trained ones via `centroids` (pre-normalized (cid, ce) rows,
+    * Centroids default to the corpus vectors with `vec_id < numCentroids`
+    * (the [[Similarity.annIvf]] / [[Quantization.centroidSeeds]]
+    * deterministic stand-in — an ID-RANGE convention, loud-fail below if the
+    * corpus's ids don't cover it); production passes k-means-trained ones
+    * via `centroids` (pre-normalized (cid, ce) rows,
     * [[Semantic.trainCentroids]]' shape). FULL PROBE (`nprobe >=
     * numCentroids`) scores every (query, doc) pair exactly once with the
     * same dot-product kernel as the exact generator — bit-for-bit the same
@@ -444,13 +446,26 @@ object Retrieval {
           .select(col("vec_id"), col("e")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq)
           .toSeq)
-      if (centRows.isEmpty)
-        // no cells ⇒ nothing to search: the annIvf empty contract — schema
-        // from the real plan (analyzed, never executed) so it cannot drift
+      if (centRows.isEmpty) {
+        // seeds missing on a NONEMPTY corpus is an id-range miss, not an
+        // empty index: returning an empty frame here would silently degrade
+        // the fusion to lexical-only evidence while the exact generator
+        // returns full dense evidence — the contract says swapping
+        // generators changes only HOW candidates are found. Mirror
+        // centroidSeeds' loud-failure instead.
+        if (!corpus.isEmpty)
+          throw new IllegalArgumentException(
+            s"ivfDenseCandidates: no centroid seeds — corpus has no vec_id <" +
+              s" $numCentroids and no explicit centroids were passed; supply" +
+              " trained centroids for corpora whose ids don't start at 0")
+        // empty corpus ⇒ nothing to search: the annIvf empty contract —
+        // schema from the real plan (analyzed, never executed) so it cannot
+        // drift
         corpus.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           ivfDenseCandidates(numCentroids, nprobe,
             Some(Seq(0L -> Seq(1.0))))(corpus, queries, kCand).schema)
+      }
       else
         Similarity.annIvfSearchOn(corpus,
             queries.select(col("query_id").as("qid"), col("qe")),

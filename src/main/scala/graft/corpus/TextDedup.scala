@@ -209,8 +209,14 @@ object TextDedup {
   def containmentVerify(candidates: DataFrame, docs: DataFrame, n: Int = 3,
       threshold: Double = DefaultContainmentThreshold): DataFrame = {
     val p = sizedPostings(docs, n)
+    // DISTINCT before the posting joins: sketch tiers naturally propose the
+    // same pair once per colliding band/chunk, and a duplicate candidate row
+    // would multiply the intersection count c (ratios > 1, false dups) —
+    // the one aggregate in this family where dupes corrupt VALUES, not just
+    // duplicate output rows. The frame is blocking-bounded, so the exchange
+    // is small.
     verifiedIntersections(
-        candidates.select(col("doc_id_1"), col("doc_id_2")), p, p)
+        candidates.select(col("doc_id_1"), col("doc_id_2")).distinct(), p, p)
       .select(col("doc_id_1"), col("doc_id_2"),
         (col("c").cast("double") / col("n1")).as("containment_1"),
         (col("c").cast("double") / col("n2")).as("containment_2"))
@@ -932,10 +938,19 @@ object TextDedup {
     * corpus that produced them — true at every scale by the generator's
     * blocking contract — and AQE's skew-join split still applies to
     * shuffled-hash joins, so a viral doc_id cannot pin a reducer. */
-  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
+  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame =
+    editVerifyWith(candidates, docs)(editVerdictCols)
+
+  /** The ONE join shape both verifiers share — two SHUFFLE_HASH-hinted text
+    * fetches (the hint doctrine argued on [[editVerify]]) feeding a verdict
+    * kernel. Factored so a future change to the joins (hint, gate message,
+    * passthrough) cannot silently miss one twin. */
+  private def editVerifyWith(candidates: DataFrame, docs: DataFrame)(
+      kernel: (Column, Column, Column, Column) => (Column, Column, Column))
+      : DataFrame = {
     def side(i: Int) = docs.select(col("doc_id").as(s"doc_id_$i"),
       col("text").as(s"t$i"), lit(true).as(s"__has$i"))
-    val (maxLen, lev, isDup) = editVerdictCols(col("t1"), col("t2"),
+    val (maxLen, lev, isDup) = kernel(col("t1"), col("t2"),
       col("__has1").isNull || col("__has2").isNull,
       concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
         lit(", "), col("doc_id_2"),
@@ -1017,20 +1032,7 @@ object TextDedup {
     * with t = max_len/[[EditDupDen]], and length-refuted pairs (the common
     * case on heterogeneous corpora) never touch a DP cell at all. */
   def editVerifyBanded(candidates: DataFrame, docs: DataFrame,
-      capChars: Int = 0): DataFrame = {
-    def side(i: Int) = docs.select(col("doc_id").as(s"doc_id_$i"),
-      col("text").as(s"t$i"), lit(true).as(s"__has$i"))
-    val (maxLen, lev, isDup) = editVerdictColsBanded(col("t1"), col("t2"),
-      col("__has1").isNull || col("__has2").isNull,
-      concat(lit("editVerify: candidate pair ("), col("doc_id_1"),
-        lit(", "), col("doc_id_2"),
-        lit(") references a doc_id absent from the corpus")), capChars)
-    val passthrough = candidates.columns.map(col).toSeq
-    candidates.hint("shuffle_hash")
-      .join(side(1), Seq("doc_id_1"), "left")
-      .hint("shuffle_hash")
-      .join(side(2), Seq("doc_id_2"), "left")
-      .select(passthrough :+ maxLen.as("max_len") :+ lev.as("lev") :+
-        isDup.as("is_dup"): _*)
-  }
+      capChars: Int = 0): DataFrame =
+    editVerifyWith(candidates, docs)(
+      editVerdictColsBanded(_, _, _, _, capChars))
 }

@@ -417,7 +417,12 @@ object RealCodec extends MediaCodec {
     // filtered stream: h rows of (1 filter byte + w*channels samples)
     val rowLen = w.toLong * channels
     val rawLen = (rowLen + 1) * h
-    if (rawLen > Int.MaxValue) fail(s"PNG: image too large (${w}x$h)")
+    // gate the OUTPUT size too: for gray (1 channel) the RGB output is 3×
+    // the filtered stream, so a decompression-bomb 30000×30000 gray PNG
+    // passes the rawLen gate yet wraps w*h*3 in Int — the decodeBmp
+    // negative-allocation hazard, loud here instead
+    if (rawLen > Int.MaxValue || w.toLong * h * 3 > Int.MaxValue)
+      fail(s"PNG: image too large (${w}x$h)")
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

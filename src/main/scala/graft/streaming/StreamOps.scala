@@ -183,6 +183,11 @@ object StreamOps {
       corpusText: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, watermarkDelay: String = "1 hour",
       banded: Boolean = false, capChars: Int = 0): DataFrame = {
+    // the exact kernel has no cap parameter: accepting capChars with
+    // banded=false would silently hand the hot streaming path the unbounded
+    // full-text DP the caller explicitly configured against
+    require(capChars == 0 || banded,
+      "verifyNearDupsAgainst: capChars requires banded = true")
     val msg = concat(lit("verifyNearDupsAgainst: index doc "),
       col("matched_doc_id"),
       lit(" has no corpus text row — index and text table out of sync"))

@@ -1954,6 +1954,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     // a candidate pair the sketch proposed but containment rejects is ABSENT
     verified.keySet should not contain ((1L, 3L))
     verified.keySet should not contain ((5L, 7L))
+    // sketch tiers propose the same pair once per colliding band: duplicate
+    // candidate rows must NOT multiply the intersection count (which would
+    // report containment > 1 and admit false dups) — duplicated input
+    // verifies identically to distinct input
+    val dupCand = cand.unionAll(cand).unionAll(cand)
+    val verifiedDup = TextDedup.containmentVerify(dupCand, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("containment_1"), r.getAs[Double]("containment_2"))))
+      .toMap
+    verifiedDup shouldBe verified
   }
 
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {

@@ -565,6 +565,28 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     full shouldBe exact
   }
 
+  test("pluggable dense generator: default seeding on an id-shifted corpus" +
+      " fails loudly instead of silently going lexical-only") {
+    // a corpus whose vec_ids start past numCentroids has NO default seeds;
+    // an empty dense frame here would silently degrade the fusion while the
+    // exact generator returns full dense evidence — the SPI contract says
+    // swapping generators changes only HOW candidates are found
+    val shifted = vecs((100L until 110L).map(i =>
+      (i, Seq(1.0, 0.1 * i, 0.0, 0.0), 0)): _*)
+    val corpus = graft.corpus.Similarity.normalizedBase(shifted)
+      .filter(col("e").isNotNull)
+    val queries = corpus.limit(1)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.ivfDenseCandidates(numCentroids = 5)(corpus, queries, 10)
+    }
+    ex.getMessage should include("no centroid seeds")
+    // an EMPTY corpus still returns the empty frame (the annIvf contract):
+    // nothing to search is not an error
+    Retrieval.ivfDenseCandidates(numCentroids = 5)(
+      corpus.limit(0), queries, 10).count() shouldBe 0
+  }
+
   test("pluggable dense generator: restricted probe stays a well-formed fusion; lexical side untouched") {
     val (d, e) = fusionFixture()
     val out = Retrieval.hybridRrfTopK(d, e,

@@ -259,6 +259,23 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     intercept[IllegalArgumentException] { // IEND alone: pixel data missing
       RealCodec.decode(good.take(8 + 25) ++ good.takeRight(12))
     }.getMessage should include("truncated pixel data")
+    // decompression-bomb gate: a 30000x30000 GRAY header passes the
+    // filtered-stream bound ((w+1)*h ~ 9.0e8) but its RGB output w*h*3
+    // wraps Int — must fail loudly BEFORE any allocation or inflation
+    val bomb = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(30000).putInt(30000)
+        .put(8.toByte).put(0.toByte) // depth 8, colorType 0 (gray)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val bb = java.nio.ByteBuffer.allocate(12 + 13)
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+      good.take(8) ++ bb.putInt(crc.getValue.toInt).array() ++
+        good.drop(8 + 25)
+    }
+    intercept[IllegalArgumentException] {
+      RealCodec.decode(bomb)
+    }.getMessage should include("too large")
   }
 
   // --- JDK ImageIO tier (JPEG/GIF/TIFF + exotic PNG/BMP variants) ---

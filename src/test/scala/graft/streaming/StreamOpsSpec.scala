@@ -564,6 +564,20 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")
   private val oldText100 = (1 to 30).map(i => s"tok$i").mkString(" ")
 
+  test("streaming verified near-dups: capChars without banded is rejected" +
+      " at construction, not silently dropped") {
+    val s = spark
+    val old = oldCorpus(s)
+    // the exact kernel has no cap: accepting capChars with banded=false
+    // would hand the hot path the unbounded full-text DP the caller
+    // configured against
+    intercept[IllegalArgumentException] {
+      StreamOps.verifyNearDupsAgainst(old.withColumn("ts",
+          org.apache.spark.sql.functions.current_timestamp()),
+        graft.corpus.TextDedup.dedupIndex(old), old, capChars = 1000)
+    }.getMessage should include("requires banded")
+  }
+
   test("streaming verified near-dups: per-record verdicts through a live query") {
     val s = spark
     import s.implicits._
