@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -518,6 +519,38 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
       b(dataOff + 4) = 15
       RealCodec.decode(b)
     }.getMessage should include("whole number")
+  }
+
+  test("mediaFeatures is streaming-ready: the batched codec kernel runs" +
+      " unchanged on a live query, batch-equal") {
+    // the M-plane's streaming twin: decode/feature-extract is ONE stateless
+    // narrow mapPartitions (no watermark, no state), so index-maintenance
+    // style ingest — featurize each arriving asset — is the SAME code path
+    // as the batch run, pinned equal here through a MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val px = Array.tabulate[Byte](12)(i => (20 + i).toByte)
+    val rows = Seq((3L, new String(ppm(2, 2, px), "US-ASCII")), (6L, null))
+    val batch = Media.mediaFeatures(s, rows.toDF("doc_id", "text"), RealCodec)
+      .collect().map(f => (f.doc_id, f.n_frames, f.n_pixels, f.features.toSeq))
+    val input = MemoryStream[(Long, String)]
+    val out = Media.mediaFeatures(s, input.toDF().toDF("doc_id", "text"),
+      RealCodec)
+    val sink = s"mediastream_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mediastream").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.table(sink).as[MediaFeature].collect()
+        .map(f => (f.doc_id, f.n_frames, f.n_pixels, f.features.toSeq))
+      streamed.toSeq shouldBe batch.toSeq
+      streamed should have size 1 // the NULL-text asset drops in both modes
+    } finally q.stop()
   }
 
   test("mediaFeatures runs the batched SPI with a REAL decode end-to-end") {
