@@ -224,14 +224,24 @@ object RealCodec extends MediaCodec {
       val reader = readers.next()
       try {
         reader.setInput(in, false, true)
+        // dimension gate from the HEADER, before read(0) allocates: a
+        // crafted 30000x30000 GIF/JPEG header would otherwise OOM inside
+        // the reader's BufferedImage allocation — an Error, not the loud
+        // IllegalArgumentException this codec contracts (decodePng/decodeBmp
+        // have the same gate)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0) fail(s"$what: bad dimensions ${w}x$h")
+        if (w.toLong * h * 3 > Int.MaxValue)
+          fail(s"$what: image too large (${w}x$h)")
         // read BEFORE counting: getNumImages(true)'s forced full-stream scan
         // leaves the JDK GIF reader in a state where a subsequent read(0)
         // drops the image's final partial data block (observed empirically:
         // last row decodes black) — decode first, then count frames
         val img0 = reader.read(0)
         val k = reader.getNumImages(true)
-        val w = img0.getWidth; val h = img0.getHeight
-        if (w <= 0 || h <= 0) fail(s"$what: bad dimensions ${w}x$h")
+        if (img0.getWidth != w || img0.getHeight != h)
+          fail(s"$what: decoded dimensions ${img0.getWidth}x${img0.getHeight}" +
+            s" disagree with the header's ${w}x$h")
         val argb = img0.getRGB(0, 0, w, h, null, 0, w)
         val out = new Array[Byte](w * h * 3)
         var i = 0

@@ -521,6 +521,48 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("whole number")
   }
 
+  test("fuzz: corrupted media bytes never escape the loud-failure contract") {
+    // a curation pipeline WILL meet bit-rotted and truncated blobs; whatever
+    // the corruption, decode must either return a sane DecodedMedia or
+    // throw this codec's documented exceptions — never NPE/AIOOBE/OOM from
+    // inside a parser. Deterministic seed: no flakiness, same 560 corrupted
+    // inputs every run.
+    val rnd = new scala.util.Random(2026L)
+    val rgbImg = awtImage(6, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)(
+      (_, _) => rnd.nextInt(0x1000000))
+    val seeds: Seq[(String, Array[Byte])] = Seq(
+      "ppm" -> ppm(3, 3, Array.tabulate[Byte](27)(_.toByte)),
+      "bmp" -> bmp(3, 2, Array.tabulate[Byte](18)(i => (i * 5).toByte)),
+      "png" -> png(4, 4, 2,
+        Array.fill[Byte](48)(rnd.nextInt(256).toByte), _ % 5),
+      "jpg" -> writeFmt(rgbImg, "jpg"),
+      "gif" -> writeFmt(rgbImg, "gif"),
+      "tiff" -> writeFmt(rgbImg, "tiff"),
+      "wav" -> wavBytes(Array.tabulate[Byte](32)(_.toByte), 8000f, 16, 2, 8))
+    for (trial <- 0 until 560) {
+      val (kind, base) = seeds(trial % seeds.size)
+      val whole = base.clone()
+      for (_ <- 0 to rnd.nextInt(8)) // 1..8 random byte mutations
+        whole(rnd.nextInt(whole.length)) = rnd.nextInt(256).toByte
+      // every third trial also truncates: mid-stream EOF is the other
+      // corruption class (partial uploads, chopped objects)
+      val b = if (trial % 3 == 0) whole.take(1 + rnd.nextInt(whole.length))
+        else whole
+      withClue(s"$kind trial=$trial (${b.length} bytes): ") {
+        try {
+          val d = RealCodec.decode(b)
+          d.width should be > 0
+          d.height should be > 0
+          d.nFrames should be > 0
+          d.pixels should not be null
+        } catch {
+          case _: IllegalArgumentException | _: UnsupportedOperationException =>
+            () // the documented loud-failure surface
+        }
+      }
+    }
+  }
+
   test("mediaFeatures is streaming-ready: the batched codec kernel runs" +
       " unchanged on a live query, batch-equal") {
     // the M-plane's streaming twin: decode/feature-extract is ONE stateless
