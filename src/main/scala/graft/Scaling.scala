@@ -306,6 +306,12 @@ object Scaling {
       ("documents", "x80_edit_verify_banded",
         (d, _) => TextDedup.editVerifyBanded(
           TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
+      // x83 keep-one-copy span scrub: replicas duplicate the base corpus's
+      // span families under disjoint vocabularies, so removed mass grows
+      // exactly m× — the cell pins the gram shuffle + coverage explode +
+      // anti-join + per-doc sort-agg chain stays linear
+      ("documents", "x83_span_scrub",
+        (d, _) => TextDedup.spanScrub(rd(d, "documents"))),
       // x82 verify-on-candidates (the r14 overload): the same
       // linearly-growing MinHash candidate frame as the x80 cells, through
       // the shared intersection core — the cell pins that verification adds

@@ -133,6 +133,7 @@ object SparkEntry {
     "x80_edit_verify" -> (C.x80EditVerify _),
     "x81_bpe_segment" -> (C.x81BpeSegment _),
     "x82_containment" -> (C.x82Containment _),
+    "x83_span_scrub" -> (C.x83SpanScrub _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

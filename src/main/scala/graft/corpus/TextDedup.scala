@@ -712,6 +712,67 @@ object TextDedup {
         round(col("n_dup_positions").cast("double") / col("n_positions"), 6))
   }
 
+  /** x83 — cross-document span SCRUB: [[crossDocSpans]] detects verbatim
+    * duplicated runs; this op applies the remedy (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * occurrence of a `spanTokens`-token window that also appears in another
+    * document is removed EXCEPT in the gram's canonical document (the
+    * minimal doc_id containing it — keep-one-copy, so the corpus retains
+    * exactly one home for every duplicated span and boilerplate mass
+    * vanishes everywhere else). A token survives iff no removed-span window
+    * covers its position; surviving tokens re-join in order.
+    *
+    * Reconstruction is LOSSLESS on the kept range: split-on-space preserves
+    * empty tokens for runs/leading/trailing spaces, and `array_join` puts
+    * them back, so an untouched document round-trips byte-identically.
+    * Documents shorter than one span pass through unchanged; a NULL text
+    * yields NULL scrubbed/n_tokens/n_removed (the m2
+    * skip-with-documented-semantics convention); a document that is PURE
+    * duplicated span (fully covered, non-canonical) scrubs to ''.
+    *
+    * Scale shape: positional grams explode once (narrow, scan-side); the
+    * distinct (doc, gram) → per-gram (df, min_doc) aggregate is the x37
+    * shuffle; coverage is one bounded explode (`spanTokens` rows per
+    * removed occurrence) + distinct; the rebuild is one anti-join and one
+    * per-doc sort-aggregate. Everything keyed on gram or doc_id — nothing
+    * pairwise, nothing quadratic; skew bounded by the most-viral gram's df,
+    * which the keep-one-copy rule itself is busy deleting. */
+  def spanScrub(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
+      s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
+    val pos = ws.filter(size(col("ws")) >= spanTokens)
+      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("g"))
+    val st = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
+    // removed occurrences → the token positions they cover (each window
+    // covers spanTokens positions; DISTINCT collapses overlapping windows)
+    val cov = pos.join(st, "g")
+      .filter(col("df") >= 2 && col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        col("pos") + lit(spanTokens - 1))).as("tp"))
+      .distinct()
+    val toks = ws
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("t0", "tok")))
+      .select(col("doc_id"), (col("t0") + 1).as("tp"), col("tok"))
+    val rebuilt = toks.join(cov, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tokens").isNotNull,
+          coalesce(col("kept_text"), lit(""))).as("scrubbed"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** x54 — n-gram novelty score: for each NEW document, the fraction of its
     * distinct `n`-gram shingles that never occur in a REFERENCE corpus — the
     * continuous companion to binary decontamination

@@ -509,6 +509,41 @@ FROM p JOIN df USING (g)
 GROUP BY doc_id"""
   }
 
+  /** x83 — cross-document span scrub: keep-one-copy removal of duplicated
+    * `SpanTokens`-token windows (canonical = the gram's minimal doc_id),
+    * token positions covered by any removed window dropped, survivors
+    * re-joined in order. Width interpolated from TextDedup's constant;
+    * NULL text → NULL outputs, fully-covered docs → ''. */
+  private val spanScrubSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, i + 1 AS pos, array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+st AS (
+  SELECT g, COUNT(*) AS df, MIN(doc_id) AS min_doc
+  FROM (SELECT DISTINCT doc_id, g FROM p) GROUP BY 1),
+cov AS (
+  SELECT DISTINCT p.doc_id, p.pos + su.u AS tp
+  FROM p JOIN st USING (g)
+  CROSS JOIN (SELECT unnest(range($l)) AS u) su
+  WHERE st.df >= 2 AND p.doc_id <> st.min_doc),
+toks AS (
+  SELECT doc_id, u + 1 AS tp, ws[u + 1] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS u FROM t)),
+k AS (
+  SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.tp) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.tp = cov.tp
+  WHERE cov.tp IS NULL GROUP BY 1)
+SELECT t.doc_id,
+  CASE WHEN t.ws IS NOT NULL THEN coalesce(k.kept_text, '') END AS scrubbed,
+  len(t.ws) AS n_tokens,
+  len(t.ws) - coalesce(k.n_kept, 0) AS n_removed
+FROM t LEFT JOIN k USING (doc_id)"""
+  }
+
   /** x38 — per-source length profile; `quantile_cont` == Spark `percentile`
     * (the q11 parity fact), BIGINT casts against DuckDB's HUGEINT widening. */
   private val lengthProfileSql: String =
@@ -1359,6 +1394,8 @@ FROM n GROUP BY 1""",
 
     // x37: cross-document duplicated-span report — width from TextDedup
     "x37_cross_doc_spans" -> crossDocSpansSql,
+    // x83: keep-one-copy span scrub (x37's remedy) — width from TextDedup
+    "x83_span_scrub" -> spanScrubSql,
 
     // x38: per-source document-length profile
     "x38_length_profile" -> lengthProfileSql,

@@ -163,6 +163,10 @@ object CorpusQueries {
   def x37CrossDocSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.crossDocSpans(docs(spark, dir))
 
+  /** x83 — keep-one-copy cross-document span scrub (x37's remedy). */
+  def x83SpanScrub(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.spanScrub(docs(spark, dir))
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))

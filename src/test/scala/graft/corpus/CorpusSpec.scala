@@ -1966,6 +1966,31 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     verifiedDup shouldBe verified
   }
 
+  test("spanScrub: keep-one-copy removal, canonical doc intact, full-copy" +
+      " scrubs to empty, short/whitespace/NULL conventions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),     // canonical home of every shared gram
+      (2L, "x y a b c d z"), // quotes doc 1's span mid-document
+      (3L, "a b c d e"),     // verbatim copy: pure duplicated span
+      (4L, "p q"),           // shorter than one span: passthrough
+      (5L, "m  n"),          // empty token from a space run: lossless rebuild
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextDedup.spanScrub(d, spanTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("scrubbed"),
+        r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+    out(1L) shouldBe (("a b c d e", 5L, 0L)) // canonical keeps every copy's home
+    // doc 2: grams "a b c"@3 and "b c d"@4 are duplicated with min_doc 1 —
+    // coverage {3,4,5,6}, survivors x y z
+    out(2L) shouldBe (("x y z", 7L, 4L))
+    out(3L) shouldBe (("", 5L, 5L)) // fully covered: scrubs to empty
+    out(4L) shouldBe (("p q", 2L, 0L))
+    out(5L) shouldBe (("m  n", 3L, 0L)) // split/join round-trips the run
+    out(6L) shouldBe ((null, null, null)) // NULL text: NULL outputs
+    out should have size 6
+  }
+
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, s"w$i a b c", s"src${i % 3}"))
