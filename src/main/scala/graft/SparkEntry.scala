@@ -134,6 +134,7 @@ object SparkEntry {
     "x81_bpe_segment" -> (C.x81BpeSegment _),
     "x82_containment" -> (C.x82Containment _),
     "x83_span_scrub" -> (C.x83SpanScrub _),
+    "x84_incr_span_scrub" -> (C.x84IncrSpanScrub _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

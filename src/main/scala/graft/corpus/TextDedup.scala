@@ -736,25 +736,56 @@ object TextDedup {
     * removed occurrence) + distinct; the rebuild is one anti-join and one
     * per-doc sort-aggregate. Everything keyed on gram or doc_id — nothing
     * pairwise, nothing quadratic; skew bounded by the most-viral gram's df,
-    * which the keep-one-copy rule itself is busy deleting. */
-  def spanScrub(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
+    * which the keep-one-copy rule itself is busy deleting. The gram-keyed
+    * shuffles carry `spanTokens`-token STRINGS; `hashGrams = true` keys
+    * them on `xxhash64` instead (the x33/x54 shuffle-width switch — grams
+    * never reach the output). Unlike the probe-only uses, a collision here
+    * merges two gram FAMILIES (their df and min_doc), so in the worst case
+    * one span's canonical copy is removed along with the rest —
+    * ~G²/2⁶⁵ expected events corpus-wide, measurement noise at training
+    * scale; the default string path is exact and is what the oracle pins. */
+  def spanScrub(docs: DataFrame, spanTokens: Int = SpanTokens,
+      hashGrams: Boolean = false): DataFrame = {
     require(spanTokens >= 2, "a span of one token is just the unigram table")
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
-      s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
-    val pos = ws.filter(size(col("ws")) >= spanTokens)
-      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("i0", "g")))
-      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("g"))
+    val pos = positionalGrams(ws, spanTokens, hashGrams)
     val st = pos.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
-    // removed occurrences → the token positions they cover (each window
-    // covers spanTokens positions; DISTINCT collapses overlapping windows)
-    val cov = pos.join(st, "g")
-      .filter(col("df") >= 2 && col("doc_id") =!= col("min_doc"))
-      .select(col("doc_id"), explode(sequence(col("pos"),
+    val cov = spanCoverage(
+      pos.join(st, "g")
+        .filter(col("df") >= 2 && col("doc_id") =!= col("min_doc")),
+      spanTokens)
+    rebuildScrubbed(ws, cov)
+  }
+
+  /** `(doc_id, pos, g)` positional `spanTokens`-token window grams over a
+    * `(doc_id, ws)` frame — the builder [[spanScrub]], [[spanVocabulary]],
+    * and [[spanScrubAgainst]] share so their gram definitions cannot drift.
+    * `hashGrams` keys on `xxhash64(gram)` (the 100 TB shuffle-width switch —
+    * grams never reach any output). */
+  private def positionalGrams(ws: DataFrame, spanTokens: Int,
+      hashGrams: Boolean): DataFrame = {
+    val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
+      s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
+    val p = ws.filter(size(col("ws")) >= spanTokens)
+      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("g"))
+    if (hashGrams) p.select(col("doc_id"), col("pos"),
+      xxhash64(col("g")).as("g")) else p
+  }
+
+  /** Removed occurrences → the token positions they cover (each window
+    * covers `spanTokens` positions; DISTINCT collapses overlaps). */
+  private def spanCoverage(removed: DataFrame, spanTokens: Int): DataFrame =
+    removed.select(col("doc_id"), explode(sequence(col("pos"),
         col("pos") + lit(spanTokens - 1))).as("tp"))
       .distinct()
+
+  /** The scrub rebuild both span scrubbers share: tokens not covered by
+    * `cov` re-join in order; NULL-text docs yield NULL outputs, fully
+    * covered docs ''. */
+  private def rebuildScrubbed(ws: DataFrame, cov: DataFrame): DataFrame = {
     val toks = ws
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("t0", "tok")))
       .select(col("doc_id"), (col("t0") + 1).as("tp"), col("tok"))
@@ -771,6 +802,48 @@ object TextDedup {
           coalesce(col("kept_text"), lit(""))).as("scrubbed"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** The distinct span-gram vocabulary of a reference corpus — what
+    * [[spanScrubAgainst]] probes. Persist it with [[writeVocabulary]] (the
+    * same `(g)` shape and bucketed layout as the novelty vocabulary) and
+    * every ingest increment probes it in place. */
+  def spanVocabulary(refDocs: DataFrame, spanTokens: Int = SpanTokens,
+      hashGrams: Boolean = false): DataFrame =
+    positionalGrams(
+      refDocs.select(col("doc_id"), split(col("text"), " ").as("ws")),
+      spanTokens, hashGrams)
+      .select(col("g")).distinct()
+
+  /** x84 — INCREMENTAL span scrub: scrub arriving documents against a
+    * FROZEN reference corpus's span vocabulary ([[spanVocabulary]],
+    * typically persisted). The reference is canonical for every span it
+    * contains — an arriving document's occurrence of ANY reference span is
+    * removed (there is no keep-one-copy contest: the copy already lives in
+    * the corpus), which is exactly [[spanScrub]]'s verdict for the
+    * increment whenever reference doc_ids precede arriving ones
+    * (spec-pinned decomposition). Spans duplicated only WITHIN the
+    * increment are deliberately untouched — they are the NEXT snapshot's
+    * keep-one-copy problem, not the frozen vocabulary's.
+    *
+    * `hashGrams` must match how the vocabulary was built (a hashed
+    * vocabulary cannot answer string probes — the novelty-plane rule); a
+    * 64-bit collision can only over-remove one window, the conservative
+    * direction for a dedup scrub.
+    *
+    * Scale shape: the increment explodes once; ONE gram-keyed semi-join
+    * against the vocabulary (reading in place when persisted/bucketed);
+    * the rebuild touches only increment rows. The reference corpus is
+    * never re-read — the persisted-probe discipline (x40/x51/x54/x60). */
+  def spanScrubAgainst(newDocs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = SpanTokens, hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    val ws = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val cov = spanCoverage(
+      positionalGrams(ws, spanTokens, hashGrams)
+        .join(refGrams.select(col("g")), Seq("g"), "left_semi"),
+      spanTokens)
+    rebuildScrubbed(ws, cov)
   }
 
   /** x54 — n-gram novelty score: for each NEW document, the fraction of its

@@ -544,6 +544,43 @@ SELECT t.doc_id,
 FROM t LEFT JOIN k USING (doc_id)"""
   }
 
+  /** x84 — incremental span scrub: the odd-id increment against the even-id
+    * reference half's distinct span-gram vocabulary; ANY vocabulary hit is
+    * removed (the reference is canonical — no keep-one-copy contest),
+    * increment-internal duplicates untouched. */
+  private val incrSpanScrubSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 2 = 1),
+rg AS (
+  SELECT DISTINCT array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM (SELECT string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE len(ws) >= $l)),
+p AS (
+  SELECT doc_id, i + 1 AS pos, array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+cov AS (
+  SELECT DISTINCT p.doc_id, p.pos + su.u AS tp
+  FROM p JOIN rg USING (g)
+  CROSS JOIN (SELECT unnest(range($l)) AS u) su),
+toks AS (
+  SELECT doc_id, u + 1 AS tp, ws[u + 1] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS u FROM t)),
+k AS (
+  SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.tp) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.tp = cov.tp
+  WHERE cov.tp IS NULL GROUP BY 1)
+SELECT t.doc_id,
+  CASE WHEN t.ws IS NOT NULL THEN coalesce(k.kept_text, '') END AS scrubbed,
+  len(t.ws) AS n_tokens,
+  len(t.ws) - coalesce(k.n_kept, 0) AS n_removed
+FROM t LEFT JOIN k USING (doc_id)"""
+  }
+
   /** x38 — per-source length profile; `quantile_cont` == Spark `percentile`
     * (the q11 parity fact), BIGINT casts against DuckDB's HUGEINT widening. */
   private val lengthProfileSql: String =
@@ -1396,6 +1433,8 @@ FROM n GROUP BY 1""",
     "x37_cross_doc_spans" -> crossDocSpansSql,
     // x83: keep-one-copy span scrub (x37's remedy) — width from TextDedup
     "x83_span_scrub" -> spanScrubSql,
+    // x84: incremental span scrub against the frozen reference vocabulary
+    "x84_incr_span_scrub" -> incrSpanScrubSql,
 
     // x38: per-source document-length profile
     "x38_length_profile" -> lengthProfileSql,

@@ -167,6 +167,16 @@ object CorpusQueries {
   def x83SpanScrub(spark: SparkSession, dir: String): DataFrame =
     TextDedup.spanScrub(docs(spark, dir))
 
+  /** x84 — incremental span scrub: odd-id docs (the increment) scrubbed
+    * against the frozen span vocabulary of the even-id reference half
+    * (x40's split convention). */
+  def x84IncrSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.spanScrubAgainst(
+      d.filter(col("doc_id") % 2 === 1),
+      TextDedup.spanVocabulary(d.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))

@@ -1989,6 +1989,50 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(5L) shouldBe (("m  n", 3L, 0L)) // split/join round-trips the run
     out(6L) shouldBe ((null, null, null)) // NULL text: NULL outputs
     out should have size 6
+    // the 100 TB shuffle-width switch: hashed gram keys, identical verdicts
+    val hashed = TextDedup.spanScrub(d, spanTokens = 3, hashGrams = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("scrubbed"),
+        r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+    hashed shouldBe out
+  }
+
+  test("spanScrubAgainst: decomposition equals the self-contained scrub on" +
+      " the increment; increment-internal dups wait for the next snapshot;" +
+      " hashGrams identical") {
+    import spark.implicits._
+    val old = Seq((2L, "a b c d e"), (4L, "f g h i j")).toDF("doc_id", "text")
+    val incr = Seq(
+      (11L, "x y a b c z"),  // quotes an old span
+      (13L, "f g h q r"),    // quotes the other old span
+      (15L, "u v w"),        // short: passthrough
+      (17L, null.asInstanceOf[String]),
+      (19L, "k l m n o"),    // duplicated only WITHIN the increment
+      (21L, "k l m n p"))
+      .toDF("doc_id", "text")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("scrubbed"),
+        r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+    val vocab = TextDedup.spanVocabulary(old, spanTokens = 3)
+    val against = keyed(TextDedup.spanScrubAgainst(incr, vocab, spanTokens = 3))
+    val full = keyed(TextDedup.spanScrub(old.unionAll(incr), spanTokens = 3))
+    // reference doc_ids precede the increment's, so for every span shared
+    // with the REFERENCE the keep-one-copy verdict is identical
+    for (id <- Seq(11L, 13L, 15L, 17L)) against(id) shouldBe full(id)
+    against(11L)._1 shouldBe "x y z"
+    against(13L)._1 shouldBe "q r"
+    // "k l m n" is duplicated only inside the increment: the frozen
+    // vocabulary doesn't know it (untouched here — it is the NEXT
+    // snapshot's keep-one-copy problem), while the self-contained scrub
+    // already removes the non-canonical copy
+    against(19L) shouldBe (("k l m n o", 5L, 0L))
+    against(21L) shouldBe (("k l m n p", 5L, 0L))
+    full(21L)._1 shouldBe "p"
+    // the 100 TB shuffle-width switch cannot change a verdict
+    val hashed = keyed(TextDedup.spanScrubAgainst(incr,
+      TextDedup.spanVocabulary(old, spanTokens = 3, hashGrams = true),
+      spanTokens = 3, hashGrams = true))
+    hashed shouldBe against
   }
 
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {
