@@ -112,8 +112,14 @@ object Bench {
     // create the dir if missing: a bad SPARK_GRAFT_BENCH_DIR must not turn a
     // fully green bench into a nonzero exit AFTER the results printed
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // a SPARK_GRAFT_ONLY-restricted run must NOT clobber the committed
+    // full-suite record (it did once: a one-query targeted run overwrote
+    // the round record the baseline doc cites) — partial runs get their
+    // own file
+    val outName = if (only.isDefined) "bench-partial.json"
+      else "bench-latest.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "bench-latest.json"),
+      java.nio.file.Paths.get(outDir, outName),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -69,10 +69,17 @@ object Profile {
       val (tw, _) = t(fn(spark, sfDir).count())
       println(f"$name%-28s $tb%7.3f $ta%7.3f $to%7.3f $tp%7.3f $te%7.3f ${tb+ta+to+tp+te}%7.3f $tw%7.3f")
       if (stageDetail) {
-        // listener events arrive on the async bus thread; give the final
-        // stage's completion event time to land before reading, or the
+        // listener events arrive on the async bus thread; poll until the
+        // stage count is stable across a 100 ms window (max 2 s) — a fixed
+        // nap loses the race whenever the bus backlog exceeds it, and the
         // largest stage gets dropped or billed to the NEXT query's block
-        Thread.sleep(300)
+        var prev = -1
+        var tries = 0
+        while (tries < 20 && stages.size != prev) {
+          prev = stages.size
+          Thread.sleep(100)
+          tries += 1
+        }
         import scala.jdk.CollectionConverters._
         val all = stages.asScala.toSeq.sortBy(-_._3)
         println(s"  stages=${all.size} wallSum=${all.map(_._3).sum}ms " +

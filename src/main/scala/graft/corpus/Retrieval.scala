@@ -447,13 +447,14 @@ object Retrieval {
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq.toSeq)
           .toSeq)
       if (centRows.isEmpty) {
-        // seeds missing on a NONEMPTY corpus is an id-range miss, not an
-        // empty index: returning an empty frame here would silently degrade
-        // the fusion to lexical-only evidence while the exact generator
-        // returns full dense evidence — the contract says swapping
-        // generators changes only HOW candidates are found. Mirror
-        // centroidSeeds' loud-failure instead.
-        if (!corpus.isEmpty)
+        // DEFAULT seeding missing on a NONEMPTY corpus is an id-range miss,
+        // not an empty index: returning an empty frame here would silently
+        // degrade the fusion to lexical-only evidence while the exact
+        // generator returns full dense evidence — the contract says
+        // swapping generators changes only HOW candidates are found. Mirror
+        // centroidSeeds' loud-failure instead. An EXPLICIT Some(Seq.empty)
+        // keeps the empty-frame contract: the caller chose an empty index.
+        if (centroids.isEmpty && !corpus.isEmpty)
           throw new IllegalArgumentException(
             s"ivfDenseCandidates: no centroid seeds — corpus has no vec_id <" +
               s" $numCentroids and no explicit centroids were passed; supply" +

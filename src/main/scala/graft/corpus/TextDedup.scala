@@ -717,10 +717,17 @@ object TextDedup {
     * "Deduplicating Training Data Makes Language Models Better"): every
     * occurrence of a `spanTokens`-token window that also appears in another
     * document is removed EXCEPT in the gram's canonical document (the
-    * minimal doc_id containing it — keep-one-copy, so the corpus retains
-    * exactly one home for every duplicated span and boilerplate mass
-    * vanishes everywhere else). A token survives iff no removed-span window
-    * covers its position; surviving tokens re-join in order.
+    * minimal doc_id containing it — keep-one-copy per GRAM). A token
+    * survives iff no removed-span window covers its position; surviving
+    * tokens re-join in order. Position-coverage semantics (the standard
+    * ExactSubstr behavior): each gram's canonical occurrence is never
+    * removed BY THAT GRAM, but a token inside it can still be clipped by an
+    * overlapping removal of a DIFFERENT duplicated gram whose canonical
+    * home is elsewhere — so a span straddling two gram families with
+    * different canonical docs is not guaranteed a fully intact copy
+    * anywhere. What IS guaranteed: text whose grams are all unique is
+    * untouched, and total duplicated-window mass drops to ≤ one canonical
+    * occurrence per gram.
     *
     * Reconstruction is LOSSLESS on the kept range: split-on-space preserves
     * empty tokens for runs/leading/trailing spaces, and `array_join` puts
@@ -819,8 +826,10 @@ object TextDedup {
     * FROZEN reference corpus's span vocabulary ([[spanVocabulary]],
     * typically persisted). The reference is canonical for every span it
     * contains — an arriving document's occurrence of ANY reference span is
-    * removed (there is no keep-one-copy contest: the copy already lives in
-    * the corpus), which is exactly [[spanScrub]]'s verdict for the
+    * removed (there is no keep-one-copy contest: the reference CONTAINED
+    * that span when the vocabulary was frozen; whether its own copy
+    * survived the reference's scrub is [[spanScrub]]'s position-coverage
+    * caveat, not this op's), which is exactly [[spanScrub]]'s verdict for the
     * increment whenever reference doc_ids precede arriving ones
     * (spec-pinned decomposition). Spans duplicated only WITHIN the
     * increment are deliberately untouched — they are the NEXT snapshot's
@@ -838,6 +847,17 @@ object TextDedup {
   def spanScrubAgainst(newDocs: DataFrame, refGrams: DataFrame,
       spanTokens: Int = SpanTokens, hashGrams: Boolean = false): DataFrame = {
     require(spanTokens >= 2, "a span of one token is just the unigram table")
+    // a probe-mode/vocabulary mismatch must fail HERE, not as an ANSI cast
+    // error deep in the query (or, ANSI off, a silent zero-match no-op
+    // scrub — the exact silent-degrade class this library loud-fails)
+    val gType = refGrams.schema("g").dataType
+    val expected: org.apache.spark.sql.types.DataType =
+      if (hashGrams) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    require(gType == expected,
+      s"spanScrubAgainst: vocabulary g column is $gType but hashGrams =" +
+        s" $hashGrams probes expect $expected — the probe mode must match" +
+        " how the vocabulary was built")
     val ws = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val cov = spanCoverage(
       positionalGrams(ws, spanTokens, hashGrams)

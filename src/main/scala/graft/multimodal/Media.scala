@@ -59,6 +59,16 @@ object RealCodec extends MediaCodec {
   // cache would add executor-local I/O and a /tmp dependency for zero gain
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Decompression-bomb budget for the COMPRESSED formats (PNG zlib, the
+    * ImageIO tier): a few-KB file can claim dimensions whose decode
+    * buffers OOM the executor — an Error, outside the loud-failure
+    * contract — so headers past this pixel count fail loudly BEFORE any
+    * allocation. 2²⁷ px (e.g. 16384×8192) ⇒ ≤ 384 MB normalized RGB plus
+    * the reader's own ~4 B/px working image: bounded. Uncompressed formats
+    * (PPM, BMP) need no budget — their files physically carry the raster,
+    * so the existing truncation gates bound allocation by blob size. */
+  val MaxPixels: Long = 1L << 27
+
   def decode(blob: Array[Byte]): DecodedMedia = {
     if (blob.length >= 2 && blob(0) == 'P'.toByte && blob(1) == '6'.toByte)
       decodePpm(blob)
@@ -225,13 +235,14 @@ object RealCodec extends MediaCodec {
       try {
         reader.setInput(in, false, true)
         // dimension gate from the HEADER, before read(0) allocates: a
-        // crafted 30000x30000 GIF/JPEG header would otherwise OOM inside
+        // crafted huge-dimension GIF/JPEG header would otherwise OOM inside
         // the reader's BufferedImage allocation — an Error, not the loud
-        // IllegalArgumentException this codec contracts (decodePng/decodeBmp
-        // have the same gate)
+        // IllegalArgumentException this codec contracts. MaxPixels bounds
+        // the reader's ~4 B/px working image and the getRGB int[] too, not
+        // just the Int arithmetic of our own 3 B/px output.
         val w = reader.getWidth(0); val h = reader.getHeight(0)
         if (w <= 0 || h <= 0) fail(s"$what: bad dimensions ${w}x$h")
-        if (w.toLong * h * 3 > Int.MaxValue)
+        if (w.toLong * h > MaxPixels)
           fail(s"$what: image too large (${w}x$h)")
         // read BEFORE counting: getNumImages(true)'s forced full-stream scan
         // leaves the JDK GIF reader in a state where a subsequent read(0)
@@ -430,8 +441,10 @@ object RealCodec extends MediaCodec {
     // gate the OUTPUT size too: for gray (1 channel) the RGB output is 3×
     // the filtered stream, so a decompression-bomb 30000×30000 gray PNG
     // passes the rawLen gate yet wraps w*h*3 in Int — the decodeBmp
-    // negative-allocation hazard, loud here instead
-    if (rawLen > Int.MaxValue || w.toLong * h * 3 > Int.MaxValue)
+    // negative-allocation hazard; MaxPixels bounds the allocation itself,
+    // not just the Int arithmetic (a 25000×25000 header passes the
+    // overflow check but still buys a ~2 GB buffer)
+    if (rawLen > Int.MaxValue || w.toLong * h > MaxPixels)
       fail(s"PNG: image too large (${w}x$h)")
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()

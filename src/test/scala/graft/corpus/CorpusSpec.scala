@@ -1995,6 +1995,17 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(r => r.getLong(0) -> ((r.getAs[String]("scrubbed"),
         r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
     hashed shouldBe out
+    // position-coverage semantics pinned: overlapping removals from
+    // DIFFERENT gram families can clip a canonical occurrence — "a b"
+    // (canonical doc 101) is removed in 102 covering its "b", so 102's
+    // canonical "b c" loses a token and "b c" survives nowhere whole.
+    // This is the documented ExactSubstr behavior, not a bug; uniqueness
+    // ("x") always survives.
+    val overlap = Seq((101L, "a b"), (102L, "a b c"), (103L, "x b c"))
+      .toDF("doc_id", "text")
+    val ov = TextDedup.spanScrub(overlap, spanTokens = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("scrubbed")).toMap
+    ov shouldBe Map(101L -> "a b", 102L -> "c", 103L -> "x")
   }
 
   test("spanScrubAgainst: decomposition equals the self-contained scrub on" +
@@ -2033,6 +2044,14 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
       TextDedup.spanVocabulary(old, spanTokens = 3, hashGrams = true),
       spanTokens = 3, hashGrams = true))
     hashed shouldBe against
+    // a probe-mode/vocabulary mismatch is loud at construction — under ANSI
+    // it would otherwise surface as a cast error deep in the query, and
+    // with ANSI off as a silent zero-match no-op scrub
+    intercept[IllegalArgumentException] {
+      TextDedup.spanScrubAgainst(incr,
+        TextDedup.spanVocabulary(old, spanTokens = 3, hashGrams = true),
+        spanTokens = 3) // string probes against a hashed vocabulary
+    }.getMessage should include("probe mode")
   }
 
   test("x79/x80 plan shapes: one window exchange; no corpus-side broadcast") {

@@ -585,6 +585,10 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     // nothing to search is not an error
     Retrieval.ivfDenseCandidates(numCentroids = 5)(
       corpus.limit(0), queries, 10).count() shouldBe 0
+    // and an EXPLICIT empty centroid list is the caller's choice, not an
+    // id-range miss: the empty-frame contract holds, no throw
+    Retrieval.ivfDenseCandidates(numCentroids = 5,
+      centroids = Some(Seq.empty))(corpus, queries, 10).count() shouldBe 0
   }
 
   test("pluggable dense generator: restricted probe stays a well-formed fusion; lexical side untouched") {

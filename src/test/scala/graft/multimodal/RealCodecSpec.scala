@@ -260,13 +260,14 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     intercept[IllegalArgumentException] { // IEND alone: pixel data missing
       RealCodec.decode(good.take(8 + 25) ++ good.takeRight(12))
     }.getMessage should include("truncated pixel data")
-    // decompression-bomb gate: a 30000x30000 GRAY header passes the
-    // filtered-stream bound ((w+1)*h ~ 9.0e8) but its RGB output w*h*3
-    // wraps Int — must fail loudly BEFORE any allocation or inflation
-    val bomb = {
-      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(30000).putInt(30000)
-        .put(8.toByte).put(0.toByte) // depth 8, colorType 0 (gray)
-        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // decompression-bomb gates: a few-KB file claiming huge dimensions must
+    // fail loudly BEFORE any allocation or inflation — the MaxPixels budget
+    // bounds real allocations, not just Int arithmetic (25000x25000 passes
+    // every overflow check yet would buy multi-GB buffers)
+    def bomb(w: Int, h: Int, colorType: Byte, interlace: Byte) = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType)
+        .put(0.toByte).put(0.toByte).put(interlace).array()
       val bb = java.nio.ByteBuffer.allocate(12 + 13)
       bb.putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr)
       val crc = new java.util.zip.CRC32()
@@ -274,8 +275,15 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
       good.take(8) ++ bb.putInt(crc.getValue.toInt).array() ++
         good.drop(8 + 25)
     }
-    intercept[IllegalArgumentException] {
-      RealCodec.decode(bomb)
+    intercept[IllegalArgumentException] { // gray: w*h*3 wraps Int
+      RealCodec.decode(bomb(30000, 30000, 0, 0))
+    }.getMessage should include("too large")
+    intercept[IllegalArgumentException] { // passes overflow checks, not budget
+      RealCodec.decode(bomb(25000, 25000, 0, 0))
+    }.getMessage should include("too large")
+    intercept[IllegalArgumentException] { // interlaced routes to the ImageIO
+      // tier: its header gate must fire before the reader allocates
+      RealCodec.decode(bomb(25000, 25000, 2, 1))
     }.getMessage should include("too large")
   }
 
