@@ -84,6 +84,12 @@ object ScalingIncr {
       spark.read.parquet(s"$workDir/inc/$table.parquet")
 
 
+    // optional op allowlist (Scaling's SPARK_GRAFT_SCALING_ONLY convention):
+    // a targeted re-measure must not pay every scale's untimed index builds
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(names: String*): Boolean = only.forall(o => names.exists(o))
+
     val cells = scales.flatMap { m =>
       val dir = s"$workDir/x$m"
       val oldDocs = spark.read.parquet(s"$dir/documents.parquet")
@@ -95,17 +101,29 @@ object ScalingIncr {
       val vocTable = s"scal_incr_voc_x$m"
       val semTable = s"scal_incr_sem_x$m"
       val bmTable = s"scal_incr_bm25_x$m"
-      TextDedup.writeDedupIndex(TextDedup.dedupIndex(oldDocs), idxTable)
-      TextDedup.writeVocabulary(
-        TextDedup.vocabulary(oldDocs, hashGrams = true), vocTable)
-      val cents = Semantic.trainCentroids(oldEmb, k = Semantic.kFor(oldN))
-      Semantic.writeAssignedIndex(Semantic.assignedIndex(oldEmb, cents), semTable)
+      val spanVocTable = s"scal_incr_spanvoc_x$m"
+      if (want("x40_probe"))
+        TextDedup.writeDedupIndex(TextDedup.dedupIndex(oldDocs), idxTable)
+      if (want("x54_probe"))
+        TextDedup.writeVocabulary(
+          TextDedup.vocabulary(oldDocs, hashGrams = true), vocTable)
+      val cents =
+        if (want("x51_assign", "x51_probe", "x51_full"))
+          Semantic.trainCentroids(oldEmb, k = Semantic.kFor(oldN))
+        else Seq.empty
+      if (want("x51_probe"))
+        Semantic.writeAssignedIndex(Semantic.assignedIndex(oldEmb, cents),
+          semTable)
       // sheet-excluded, like every other bm25Index pairing (bm25TopK,
       // x65RelevanceGate, the RetrievalSpec parity test) — indexing the
       // sheet docs would shift N/avgdl/df away from the self-contained path
-      graft.corpus.Retrieval.writeBm25Index(
-        graft.corpus.Retrieval.bm25Index(
-          oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())), bmTable)
+      if (want("x60_probe"))
+        graft.corpus.Retrieval.writeBm25Index(
+          graft.corpus.Retrieval.bm25Index(
+            oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())), bmTable)
+      if (want("x84_probe"))
+        TextDedup.writeVocabulary(
+          TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
       // the fixed query sheet (base-corpus slice): constant across scales,
       // and replica k >= 1 vocabularies are disjoint from it — so the probe's
       // matched-postings workload is constant in m by construction and the
@@ -125,9 +143,16 @@ object ScalingIncr {
         ("x51_full", () => Semantic.incrementalSemanticDedup(
           inc("embeddings"), oldEmb, k = Semantic.kFor(oldN))),
         ("x60_probe", () => graft.corpus.Retrieval.bm25TopKAgainst(
-          inc("documents"), spark.table(bmTable), sheet)))
+          inc("documents"), spark.table(bmTable), sheet)),
+        // x84: fixed increment scrubbed against the growing persisted span
+        // vocabulary. Each increment doc near-duplicates its replica-0 twin,
+        // so its spans ARE in the vocabulary and removal work per doc is
+        // constant in m by construction — only the bucketed vocabulary scan
+        // grows
+        ("x84_probe", () => TextDedup.spanScrubAgainst(
+          inc("documents"), spark.table(spanVocTable), hashGrams = true)))
 
-      val rows = ops.map { case (name, fn) =>
+      val rows = ops.filter(o => want(o._1)).map { case (name, fn) =>
         val nRows = fn().count() // untimed warm + workload-constancy evidence
         val times = (1 to iters).map(_ => Scaling.runOnce(fn))
         System.err.println(f"scale=$m%2d $name%-12s rows=$nRows%9d " +
