@@ -773,14 +773,38 @@ object TextDedup {
     * grams never reach any output). */
   private def positionalGrams(ws: DataFrame, spanTokens: Int,
       hashGrams: Boolean): DataFrame = {
-    val gramsExpr = s"transform(sequence(1, size(ws) - ${spanTokens - 1}), " +
-      s"i -> array_join(slice(ws, i, $spanTokens), ' '))"
     val p = ws.filter(size(col("ws")) >= spanTokens)
-      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("i0", "g")))
+      .select(col("doc_id"),
+        posexplode(spanGrams(col("ws"), spanTokens)).as(Seq("i0", "g")))
       .select(col("doc_id"), (col("i0") + 1).as("pos"), col("g"))
     if (hashGrams) p.select(col("doc_id"), col("pos"),
       xxhash64(col("g")).as("g")) else p
   }
+
+  /** A probe-mode/vocabulary mismatch must fail at CONSTRUCTION, not as an
+    * ANSI cast error deep in the query (or, ANSI off, a silent zero-match
+    * no-op scrub — the exact silent-degrade class this library loud-fails).
+    * Shared by the batch scrubber and the streaming twin. */
+  private[graft] def requireVocabMode(refGrams: DataFrame,
+      hashGrams: Boolean, who: String): Unit = {
+    val gType = refGrams.schema("g").dataType
+    val expected: org.apache.spark.sql.types.DataType =
+      if (hashGrams) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    require(gType == expected,
+      s"$who: vocabulary g column is $gType but hashGrams = $hashGrams" +
+        s" probes expect $expected — the probe mode must match how the" +
+        " vocabulary was built")
+  }
+
+  /** The span-window gram expression itself — ONE definition shared by the
+    * batch scrubbers (via [[positionalGrams]]) and the streaming twin
+    * (`StreamOps.scrubSpansAgainst`) so their gram universes cannot drift.
+    * Caller must pre-filter `size(ws) >= spanTokens`: `sequence`'s default
+    * step walks DOWNWARD when stop < start. */
+  private[graft] def spanGrams(ws: Column, spanTokens: Int): Column =
+    transform(sequence(lit(1), size(ws) - lit(spanTokens - 1)),
+      i => array_join(slice(ws, i, lit(spanTokens)), " "))
 
   /** Removed occurrences → the token positions they cover (each window
     * covers `spanTokens` positions; DISTINCT collapses overlaps). */
@@ -847,17 +871,7 @@ object TextDedup {
   def spanScrubAgainst(newDocs: DataFrame, refGrams: DataFrame,
       spanTokens: Int = SpanTokens, hashGrams: Boolean = false): DataFrame = {
     require(spanTokens >= 2, "a span of one token is just the unigram table")
-    // a probe-mode/vocabulary mismatch must fail HERE, not as an ANSI cast
-    // error deep in the query (or, ANSI off, a silent zero-match no-op
-    // scrub — the exact silent-degrade class this library loud-fails)
-    val gType = refGrams.schema("g").dataType
-    val expected: org.apache.spark.sql.types.DataType =
-      if (hashGrams) org.apache.spark.sql.types.LongType
-      else org.apache.spark.sql.types.StringType
-    require(gType == expected,
-      s"spanScrubAgainst: vocabulary g column is $gType but hashGrams =" +
-        s" $hashGrams probes expect $expected — the probe mode must match" +
-        " how the vocabulary was built")
+    requireVocabMode(refGrams, hashGrams, "spanScrubAgainst")
     val ws = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val cov = spanCoverage(
       positionalGrams(ws, spanTokens, hashGrams)

@@ -312,6 +312,66 @@ object StreamOps {
   def segmentBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     graft.corpus.TextStats.applyBpe(docs, merges)
 
+  /** Streaming span scrub against a FROZEN reference span vocabulary —
+    * [[graft.corpus.TextDedup.spanScrubAgainst]]'s ingest twin (x84): strip
+    * every span the reference corpus already contains from each arriving
+    * document, spec-pinned batch-equal. Emits `(doc_id, ts, scrubbed,
+    * n_tokens, n_removed)`.
+    *
+    * Shape: the batch rebuild (anti-join + per-doc re-aggregation) would be
+    * a stream-stream self-join, which SS forbids for anti joins — so the
+    * stream path restructures to ONE watermarked aggregation and zero
+    * stream-stream joins: explode positional grams (the SHARED
+    * `TextDedup.spanGrams` definition), LEFT-join the static vocabulary for
+    * per-occurrence hit flags, re-group per (doc_id, ts) collecting the hit
+    * START positions — the token array rides ONLY the pos-1 gram row
+    * (`first(ignoreNulls)`), so state carries O(tokens), not
+    * O(tokens × grams) — then rebuild the text with ORDER-PRESERVING
+    * higher-order functions (filter positions covered by any hit window).
+    * Documents with no gram at all (shorter than one span, NULL text) ride
+    * a second, STATELESS branch unioned in: they emit same-trigger and
+    * untouched, exactly the batch conventions (NULL → NULL outputs).
+    * Aggregated rows finalize when the watermark passes their event time
+    * (append mode) — the price of a per-document regroup at ingest. */
+  def scrubSpansAgainst(docs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = graft.corpus.TextDedup.SpanTokens,
+      hashGrams: Boolean = false,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.corpus.TextDedup.requireVocabMode(refGrams, hashGrams,
+      "scrubSpansAgainst")
+    val base = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+    // size(NULL ws) is NULL: coalesce so NULL-text docs route to the
+    // stateless branch rather than vanishing from both
+    val gramful = coalesce(size(col("ws")) >= spanTokens, lit(false))
+    val spanless = base.filter(!gramful).select(col("doc_id"), col("ts"),
+      when(col("ws").isNotNull, array_join(col("ws"), " ")).as("scrubbed"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      when(col("ws").isNotNull, lit(0L)).as("n_removed"))
+    val grams = base.filter(gramful)
+      .select(col("doc_id"), col("ts"), col("ws"),
+        posexplode(graft.corpus.TextDedup.spanGrams(col("ws"), spanTokens))
+          .as(Seq("i0", "g")))
+      .select(col("doc_id"), col("ts"),
+        when(col("i0") === 0, col("ws")).as("ws1"),
+        (col("i0") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
+    val starts = grams
+      .join(refGrams.select(col("g"), lit(true).as("__hit")), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(first(col("ws1"), ignoreNulls = true).as("ws"),
+        collect_set(when(col("__hit"), col("pos"))).as("hit_starts"))
+    val toks = transform(col("ws"),
+      (tok, i) => struct((i + 1).as("tp"), tok.as("tok")))
+    val kept = filter(toks, s => !exists(col("hit_starts"),
+      p => s("tp") >= p && s("tp") <= p + lit(spanTokens - 1)))
+    starts.select(col("doc_id"), col("ts"),
+        array_join(transform(kept, s => s("tok")), " ").as("scrubbed"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
+      .unionByName(spanless)
+  }
+
   /** Streaming Pareto-acceptance resampling — [[gateByQuality]]'s
     * heavy-tailed sibling ([[graft.corpus.Classifier.paretoResample]], the
     * GPT-3 retention rule): each arriving `(doc_id, source, text)` record's

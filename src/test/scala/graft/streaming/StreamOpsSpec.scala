@@ -564,6 +564,59 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     (1 to 30).map(i => if (i == 30) "zz" else s"tok$i").mkString(" ")
   private val oldText100 = (1 to 30).map(i => s"tok$i").mkString(" ")
 
+  test("streaming span scrub: batch-equal verdicts through a live query;" +
+      " span-less and NULL docs emit same-trigger; probe-mode guard loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = Seq((2L, "a b c d e"), (4L, "f g h i j")).toDF("doc_id", "text")
+    val vocab = graft.corpus.TextDedup.spanVocabulary(old, spanTokens = 3)
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 11L, "x y a b c z"), // hits an old span
+      (ts("2024-01-01 10:00:01"), 13L, "no match in here at all"),
+      (ts("2024-01-01 10:00:02"), 15L, "p q"), // span-less: stateless branch
+      (ts("2024-01-01 10:00:03"), 17L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.scrubSpansAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"), vocab, spanTokens = 3,
+      watermarkDelay = "10 minutes")
+    val sink = s"spanscrub_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_scrub").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // the stateless branch (span-less + NULL docs) needs no watermark
+      s.table(sink).select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(15L, 17L)
+      // an 11:00 record pushes the watermark past 10:00 -> the aggregated
+      // (gramful) rows finalize
+      input.addData((ts("2024-01-01 11:00:00"), 99L, "zz"))
+      q.processAllAvailable()
+      val streamed = s.table(sink)
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 99L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("scrubbed"),
+          r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+      val batch = graft.corpus.TextDedup.spanScrubAgainst(
+        rows.map(r => (r._2, r._3)).toDF("doc_id", "text"), vocab,
+        spanTokens = 3).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("scrubbed"),
+          r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+      streamed shouldBe batch
+      streamed(11L)._1 shouldBe "x y z" // the old span really came out
+    } finally q.stop()
+    intercept[IllegalArgumentException] { // hashed vocabulary, string probes
+      StreamOps.scrubSpansAgainst(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        graft.corpus.TextDedup.spanVocabulary(old, spanTokens = 3,
+          hashGrams = true), spanTokens = 3)
+    }.getMessage should include("probe mode")
+  }
+
   test("streaming verified near-dups: capChars without banded is rejected" +
       " at construction, not silently dropped") {
     val s = spark
