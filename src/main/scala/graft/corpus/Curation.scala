@@ -415,4 +415,192 @@ object Curation {
         when(expr(s"r div $shards") % 2 === 0, col("r") % shards)
           .otherwise(lit(shards - 1) - col("r") % shards).as("shard"))
   }
+
+  /** X85 — CCNet-style per-language quality buckets (Wenzek et al. 2020
+    * shape): rank each language's documents by length-normalized unigram LM
+    * score (mean per-token log10 p(w) — the perplexity proxy; higher = more
+    * LM-typical text) and deal them into `buckets` NTILE tiles per language,
+    * ordered score-DESCENDING so bucket 1 is CCNet's "head" (best) and
+    * bucket `buckets` its "tail". NTILE semantics exactly: with n docs and k
+    * buckets the first n mod k buckets hold one extra doc; ties broken by
+    * doc_id, so the split is total and deterministic. Docs with no tokens
+    * have no LM score and are not bucketed (the x19 scoring contract).
+    *
+    * Scale shape — why this is NOT one `ntile() OVER (PARTITION BY lang …)`:
+    * a per-language window serializes EVERY document of a language through
+    * ONE task, and at 100 TB one language is half the corpus. This computes
+    * the identical ranks with a two-phase split whose every cross-branch
+    * input is a PURE FUNCTION of row values (no `spark_partition_id`, no
+    * range-exchange sampling — either would tie correctness to identical
+    * re-evaluation of a multiply-consumed subtree, which spill-order
+    * nondeterminism breaks at scale):
+    *
+    *   1. one bounded driver action collects per-language approximate score
+    *      splitters (`percentile_approx`, n_langs × (`splits`−1) doubles)
+    *      — embedded as a literal, they make `pid` (the doc's coarse score
+    *      band, 0 = best) a deterministic column. Splitter QUALITY affects
+    *      only balance, never ranks: any splitter values give exact NTILE;
+    *   2. a second bounded action collects per-(pid, lang) counts
+    *      (n_langs × `splits` longs), from which per-language prefix-sum
+    *      rank offsets and totals are computed driver-side and embedded as
+    *      literal maps — structurally consistent with the final pass
+    *      because the scored rows are deterministic VALUES (per-token
+    *      8-dp-rounded DECIMAL sums are order-independent);
+    *   3. the single full-data exchange: a window over (pid, lang) for the
+    *      local row_number; global rank = literal offset + local. Partition
+    *      size ≤ ~n_lang/`splits` + approx error, REGARDLESS of skew.
+    *
+    * Score TIES share a band (a splitter cannot separate equal keys), so an
+    * adversarial all-equal-scores corpus degrades to the naive per-language
+    * window — documented, not silent. A missing offset/total lookup (only
+    * reachable if the determinism argument above ever breaks) raises
+    * loudly instead of mis-ranking. The NTILE arithmetic downstream is pure
+    * integer (div/mod), bit-equal to the oracle. At deployment scale the
+    * scoring pipeline runs three times (splitters, counts, final) — a real
+    * deployment materializes the scored frame once and feeds it to all
+    * three, a policy choice outside this operator. */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = 3,
+      splits: Int = 0): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
+    val spark = docs.sparkSession
+    val nSplits =
+      if (splits > 0) splits
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scored = TextStats.unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("s", col("sum_logprob") / col("n_tokens"))
+      // internal grouping key: map keys cannot be NULL; a NULL lang is its
+      // own NTILE partition on both engines, keyed here by a sentinel no
+      // real language code contains
+      .withColumn("lkey", coalesce(col("lang"), lit(" ")))
+    // bounded driver artifact #1: per-language score splitters
+    val fracs = (1 until nSplits).map(_.toDouble / nSplits)
+    val splitters: Map[String, Seq[Double]] =
+      if (fracs.isEmpty) Map.empty
+      else scored.groupBy(col("lkey"))
+        .agg(percentile_approx(col("s"), typedLit(fracs), lit(10000))
+          .as("sp"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val splLit = if (splitters.isEmpty) typedLit(Map("" -> Seq.empty[Double]))
+      else typedLit(splitters)
+    // pid = how many of the language's splitters exceed s: 0 for the best
+    // band, monotone non-increasing in s — so per-language band order IS
+    // rank order and the prefix sums below are exact
+    def pidCol(sc: Column, lk: Column): Column =
+      coalesce(size(filter(element_at(splLit, lk), x => x > sc)), lit(0))
+    val withPid = scored.withColumn("pid", pidCol(col("s"), col("lkey")))
+    // bounded driver artifact #2: per-(pid, language) counts -> offsets and
+    // totals, computed driver-side (n_langs × splits longs)
+    val counts: Array[(Int, String, Long)] = withPid
+      .groupBy(col("pid"), col("lkey")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[String, Map[Int, Long]] = counts.groupBy(_._2).map {
+      case (lk, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val offs = sorted.scanLeft(0L)(_ + _._3)
+        lk -> sorted.map(_._1).zip(offs).toMap
+    }
+    val totals: Map[String, Long] =
+      counts.groupBy(_._2).map { case (lk, rows) => lk -> rows.map(_._3).sum }
+    val offLit = if (offsets.isEmpty) typedLit(Map("" -> Map(0 -> 0L)))
+      else typedLit(offsets)
+    val totLit = if (totals.isEmpty) typedLit(Map("" -> 0L))
+      else typedLit(totals)
+    def loud(c: Column, what: String): Column =
+      when(c.isNull, raise_error(concat(lit(
+        s"ccnetBuckets: missing $what for band of lang="), col("lkey"))))
+        .otherwise(c)
+    val localW = Window.partitionBy(col("pid"), col("lkey"))
+      .orderBy(col("s").desc, col("doc_id"))
+    withPid
+      .withColumn("off",
+        loud(element_at(element_at(offLit, col("lkey")), col("pid")), "offset"))
+      .withColumn("n", loud(element_at(totLit, col("lkey")), "total"))
+      .withColumn("r", col("off") + row_number().over(localW))
+      // NTILE(k): q = n div k docs per tile, the first rem = n mod k tiles
+      // hold q+1. r <= (q+1)*rem lands in a big tile: ceil(r / (q+1));
+      // otherwise rem + ceil((r - (q+1)*rem) / q). q = 0 (n < k) always
+      // takes the first branch (n = rem there), so the q division is safe.
+      .withColumn("q", expr(s"n div $buckets"))
+      .withColumn("rem", col("n") % buckets)
+      .withColumn("bucket",
+        when(col("r") <= (col("q") + 1) * col("rem"),
+          expr("(r + q) div (q + 1)"))
+          .otherwise(col("rem") + expr("(r - (q + 1) * rem + q - 1) div q")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("s"),
+        col("bucket"))
+  }
+
+  /** Frozen unigram LM artifact for [[unigramLogProbAgainst]]: one row per
+    * corpus token with its 8-dp-rounded log10 MLE probability — exactly the
+    * per-token term [[TextStats.unigramLogProb]] sums, so scoring a frozen
+    * corpus against its own LM reproduces the self-contained scores bit for
+    * bit. Two map-side-partial aggregates; the one-row total broadcasts. */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log10(col("cnt") / col("total")), 8)
+          .cast("decimal(12,8)").as("lp"))
+  }
+
+  /** Score documents against a FROZEN unigram LM ([[unigramLm]]) — the
+    * deployment shape of CCNet's quality scoring, where the LM is trained
+    * once (on a trusted snapshot) and every later ingest is scored against
+    * it rather than against itself. Tokens absent from the frozen LM
+    * contribute nothing to the sum and are reported in `n_oov`; the score
+    * divides by the KNOWN-token count, and all-OOV documents (n_known = 0)
+    * have no score and are excluded — the same absent-from-output contract
+    * as zero-token docs in x19. Scale shape: the explode→LM join is keyed
+    * on the token (shuffle join — the LM is corpus-vocabulary sized, never
+    * broadcast), then one map-side-partial aggregate per doc_id; nothing
+    * quadratic, nothing driver-side. */
+  def unigramLogProbAgainst(docs: DataFrame, lm: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(lm, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("lp")).as("n_known"),
+        sum(col("lp")).cast("double").as("sum_logprob"))
+      .filter(col("n_known") > 0)
+
+  /** Per-(lang, bucket) score boundaries of a [[ccnetBuckets]] run — the
+    * second half of the frozen artifact [[ccnetAssign]] probes: each
+    * bucket's MINIMUM score (buckets are score-descending tiles, so the min
+    * is the boundary a new score must reach to enter). Tiny (n_langs × k
+    * rows); one map-side-partial aggregate over the bucketed frame. */
+  def ccnetBoundaries(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(min(col("s")).as("min_s"))
+
+  /** X86 — incremental CCNet bucketing: assign ARRIVING documents to the
+    * quality buckets of a frozen reference run without re-ranking the
+    * reference corpus — the x40/x51/x84 incremental pattern applied to the
+    * quality-mixing plane. `lm` and `bounds` are the frozen artifacts
+    * ([[unigramLm]] + [[ccnetBoundaries]] over the reference snapshot); a
+    * new document is scored against the frozen LM and lands in the FIRST
+    * (best) bucket whose minimum score it reaches (`s >= min_s`), or the
+    * tail bucket if it reaches none — and also the tail for a language the
+    * reference never saw (no boundary rows), the conservative default for
+    * unvetted text. Scale shape: scoring is the [[unigramLogProbAgainst]]
+    * token-keyed join; the boundary probe is a BROADCAST join against the
+    * tiny bounds table followed by one per-doc min — the increment is the
+    * only corpus-scale side, exactly like x84's frozen-vocabulary probe. */
+  def ccnetAssign(newDocs: DataFrame, lm: DataFrame, bounds: DataFrame,
+      buckets: Int = 3): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
+    val scored = unigramLogProbAgainst(newDocs, lm)
+      .join(newDocs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("s", col("sum_logprob") / col("n_known"))
+    scored.join(broadcast(bounds), Seq("lang"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("n_tokens"), col("n_known"),
+        col("s"))
+      .agg(coalesce(min(when(col("s") >= col("min_s"), col("bucket"))),
+        lit(buckets.toLong)).as("bucket"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_known"),
+        col("s"), col("bucket"))
+  }
 }

@@ -1433,6 +1433,69 @@ FROM n GROUP BY 1""",
     "x37_cross_doc_spans" -> crossDocSpansSql,
     // x83: keep-one-copy span scrub (x37's remedy) — width from TextDedup
     "x83_span_scrub" -> spanScrubSql,
+
+    // x85: CCNet per-language quality buckets — the x19 scoring prelude
+    // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),
+    // then NTILE(3) per lang ordered (mean logprob DESC, doc_id). The Spark
+    // side computes the identical ranks without a per-language window
+    // (literal-splitter score bands + driver-computed rank offsets); the
+    // tie/boundary arithmetic is pure integer on both engines.
+    "x85_ccnet_buckets" ->
+      """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM counts),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(CAST(round(log10(cnt / total), 8) AS DECIMAL(12,8))) AS DOUBLE)
+      AS sum_logprob
+  FROM tok JOIN counts USING (w) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT sc.doc_id, d.lang, sc.n_tokens,
+  sc.sum_logprob / sc.n_tokens AS s,
+  NTILE(3) OVER (PARTITION BY d.lang
+                 ORDER BY sc.sum_logprob / sc.n_tokens DESC, sc.doc_id)
+    AS bucket
+FROM scored sc JOIN documents d USING (doc_id)""",
+
+    // x86: incremental CCNet bucketing — frozen half (even doc_ids) trains
+    // the LM and fixes the bucket boundaries; the increment (odd doc_ids) is
+    // scored against the frozen LM (OOV tokens counted, not scored; all-OOV
+    // docs excluded) and lands in the first bucket whose MIN score it
+    // reaches, else the tail (also the tail for unseen languages).
+    "x86_incr_ccnet_buckets" ->
+      """WITH frozen AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+ftok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM frozen),
+fcounts AS (SELECT w, COUNT(*) AS cnt FROM ftok GROUP BY 1),
+ftot AS (SELECT SUM(cnt) AS total FROM fcounts),
+lm AS (SELECT w, CAST(round(log10(cnt / total), 8) AS DECIMAL(12,8)) AS lp
+       FROM fcounts CROSS JOIN ftot),
+fscored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp) AS DOUBLE) AS sum_logprob
+  FROM ftok JOIN lm USING (w) GROUP BY doc_id),
+fbuckets AS (
+  SELECT f.doc_id, d.lang, f.sum_logprob / f.n_tokens AS s,
+    NTILE(3) OVER (PARTITION BY d.lang
+                   ORDER BY f.sum_logprob / f.n_tokens DESC, f.doc_id)
+      AS bucket
+  FROM fscored f JOIN frozen d USING (doc_id)),
+bounds AS (SELECT lang, bucket, MIN(s) AS min_s FROM fbuckets GROUP BY 1, 2),
+ntok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM newdocs),
+nscored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(lp) AS n_known,
+    CAST(SUM(lp) AS DOUBLE) AS sum_logprob
+  FROM ntok LEFT JOIN lm USING (w) GROUP BY doc_id
+  HAVING COUNT(lp) > 0),
+nsc AS (
+  SELECT n.doc_id, d.lang, n.n_tokens, n.n_known,
+    n.sum_logprob / n.n_known AS s
+  FROM nscored n JOIN newdocs d USING (doc_id))
+SELECT doc_id, lang, n_tokens, n_known, s,
+  COALESCE(MIN(CASE WHEN s >= min_s THEN bucket END), CAST(3 AS BIGINT))
+    AS bucket
+FROM nsc LEFT JOIN bounds USING (lang)
+GROUP BY doc_id, lang, n_tokens, n_known, s""",
     // x84: incremental span scrub against the frozen reference vocabulary
     "x84_incr_span_scrub" -> incrSpanScrubSql,
 

@@ -177,6 +177,24 @@ object CorpusQueries {
       TextDedup.spanVocabulary(d.filter(col("doc_id") % 2 === 0)))
   }
 
+  /** x85 — CCNet-style per-language quality buckets: head/middle/tail thirds
+    * by length-normalized unigram LM score, skew-proof exact NTILE. */
+  def x85CcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.ccnetBuckets(docs(spark, dir))
+
+  /** x86 — incremental CCNet bucketing: odd-id docs (the increment) scored
+    * against the even-id reference half's frozen unigram LM and assigned to
+    * its frozen bucket boundaries (x40's split convention). */
+  def x86IncrCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val frozen = d.filter(col("doc_id") % 2 === 0)
+    graft.corpus.Curation.ccnetAssign(
+      d.filter(col("doc_id") % 2 === 1),
+      graft.corpus.Curation.unigramLm(frozen),
+      graft.corpus.Curation.ccnetBoundaries(
+        graft.corpus.Curation.ccnetBuckets(frozen)))
+  }
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))
