@@ -576,6 +576,26 @@ object Curation {
     bucketed.groupBy(col("lang"), col("bucket"))
       .agg(min(col("s")).as("min_s"))
 
+  /** Driver-side form of [[ccnetBoundaries]] for the streaming twin
+    * ([[graft.streaming.StreamOps.assignBuckets]]): language → boundary
+    * scores indexed by bucket (position i holds bucket i+1's minimum).
+    * Bounded (n_langs × k doubles) — NTILE fills tiles from 1 up, so the
+    * present buckets are a contiguous prefix, pinned loudly here. A NULL
+    * language group is dropped: a NULL-lang join key never matches in the
+    * batch assigner either (SQL null-join semantics), so both paths send
+    * such documents to the tail. */
+  def boundaryArtifact(bounds: DataFrame): Map[String, Seq[Double]] =
+    bounds.collect()
+      .filter(_.getAs[String]("lang") != null)
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (lang, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+        require(sorted.map(_.getAs[Long]("bucket")).toSeq ==
+          (1L to sorted.length).toSeq,
+          s"boundaryArtifact: non-contiguous buckets for lang=$lang")
+        lang -> sorted.map(_.getAs[Double]("min_s")).toSeq
+      }
+
   /** X86 — incremental CCNet bucketing: assign ARRIVING documents to the
     * quality buckets of a frozen reference run without re-ranking the
     * reference corpus — the x40/x51/x84 incremental pattern applied to the

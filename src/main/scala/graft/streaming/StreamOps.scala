@@ -372,6 +372,49 @@ object StreamOps {
       .unionByName(spanless)
   }
 
+  /** Streaming CCNet bucket assignment — [[graft.corpus.Curation.ccnetAssign]]'s
+    * ingest twin (x86): score each arriving `(doc_id, ts, lang, text)`
+    * record against a FROZEN unigram LM and assign it to the FROZEN
+    * per-language quality-bucket boundaries, spec-pinned batch-equal.
+    *
+    * Shape: the LM is corpus-vocabulary sized, so it stays a STATIC
+    * DataFrame — explode the document's tokens, stream-static LEFT join the
+    * LM for per-token log-probs, then ONE watermarked aggregation per
+    * (doc_id, ts, lang) for the (n_tokens, n_known, sum_logprob) triple.
+    * The boundary table, by contrast, is bounded (n_langs × k doubles —
+    * [[graft.corpus.Curation.boundaryArtifact]]), so the bucket lookup is a
+    * stateless literal-map projection AFTER the aggregation — a second
+    * chained aggregation (the batch assigner's bounds-join + per-doc min)
+    * is exactly what append mode forbids. All-OOV and zero-token documents
+    * are absent from the output, the batch contract. Aggregated rows
+    * finalize when the watermark passes their event time (append mode). */
+  def assignBuckets(docs: DataFrame, lm: DataFrame,
+      bounds: Map[String, Seq[Double]], buckets: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
+    val bLit = if (bounds.isEmpty) typedLit(Map(" " -> Seq.empty[Double]))
+      else typedLit(bounds)
+    val scored = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(lm, Seq("w"), "left")
+      .groupBy(col("doc_id"), col("ts"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("lp")).as("n_known"),
+        sum(col("lp")).cast("double").as("sum_logprob"))
+      .filter(col("n_known") > 0)
+      .withColumn("s", col("sum_logprob") / col("n_known"))
+    // first (best) bucket whose boundary s reaches; if it reaches NONE of
+    // the language's boundaries — or the language is unknown — the tail.
+    // `m > s` strict is the complement of the batch `s >= min_s`.
+    val arr = element_at(bLit, col("lang"))
+    val above = size(filter(arr, m => m > col("s")))
+    scored.select(col("doc_id"), col("ts"), col("lang"), col("n_tokens"),
+      col("n_known"), col("s"),
+      when(arr.isNull || above === size(arr), lit(buckets))
+        .otherwise(above + 1).cast("long").as("bucket"))
+  }
+
   /** Streaming Pareto-acceptance resampling — [[gateByQuality]]'s
     * heavy-tailed sibling ([[graft.corpus.Classifier.paretoResample]], the
     * GPT-3 retention rule): each arriving `(doc_id, source, text)` record's
