@@ -320,6 +320,16 @@ object Scaling {
       ("documents", "x82_containment_verify",
         (d, _) => TextDedup.containmentVerify(
           TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
+      // x85 CCNet buckets: replicas preserve the language mix, so the
+      // dominant language grows m× — exactly the skew the literal-splitter
+      // band design exists for (a per-language window would serialize it
+      // through one task). Per-replica token suffixes grow the LM total m×,
+      // shifting every score by the same -log10(m) — ranks, tiles, and
+      // output structure reproduce the base exactly m×. The cell pins the
+      // whole chain: scoring pipeline ×3 (splitters/counts/final), two
+      // bounded driver collects, one (band, lang) window exchange.
+      ("documents", "x85_ccnet_buckets",
+        (d, _) => graft.corpus.Curation.ccnetBuckets(rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
