@@ -553,4 +553,134 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("lex_rank"),
         col("dense_rank"), round(col("rrf"), 6).as("rrf_score"), col("rank"))
   }
+
+  /** Feedback documents per query for [[rm3TopK]]'s first pass. */
+  val Rm3FbDocs: Int = 5
+
+  /** Expansion terms kept per query (top of the RM1 distribution). */
+  val Rm3FbTerms: Int = 10
+
+  /** Original-query interpolation weight. FIXED at 1/2 (not a parameter):
+    * the original-side weight is computed by EXACT integer half-up micro
+    * division (see below), and that formula hardcodes the half. */
+  val Rm3Alpha: Double = 0.5
+
+  /** X87 — RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft
+    * relevance models, the Anserini-default RM3 shape): run [[bm25TopK]],
+    * treat each query's top [[Rm3FbDocs]] results as pseudo-relevant, build
+    * the RM1 expansion-term distribution
+    * `p(w|R) = Σ_d (score_d / Σscore) · tf(w,d)/dl(d)` over those documents,
+    * keep the top [[Rm3FbTerms]] terms, interpolate half-and-half with the
+    * original query's term distribution `qtf/qlen`, and re-score the corpus
+    * under the weighted expanded query — the standard recall lever when the
+    * query sheet undersamples task vocabulary (exactly the data-mining
+    * setting: a handful of seed documents rarely names everything relevant).
+    * Queries whose first pass matched nothing keep their original terms at
+    * half weight (RM3 degrades to a dampened BM25, never to silence).
+    * Output: (query_id, doc_id, n_terms, score, rank), rank 1..k per query
+    * by (score desc, doc_id).
+    *
+    * Scale shape — two pruned corpus passes, nothing quadratic: the feedback
+    * set is (|sheet| × fbDocs)-bounded, so its doc-id list broadcasts and
+    * its FULL term distributions (the expansion source — the whole point is
+    * terms OUTSIDE the query vocabulary, so pass 1's pruned postings cannot
+    * supply them) cost one broadcast-semi-pruned corpus pass; the expanded
+    * weighted sheet is (|sheet| × (qlen + fbTerms))-bounded and broadcasts
+    * into the second scoring pass, which prunes, aggregates, and ranks
+    * exactly like [[bm25TopK]] ([[scoreAndRank]]'s fan-out discipline,
+    * including the explicit repartition before the sheet join).
+    *
+    * Determinism / oracle parity: RM1 contributions are rounded to 9 dp and
+    * DECIMAL-summed (x19's trick); the interpolated weight is carried in
+    * exact integer MICRO-units — the original side as the integer half-up
+    * division `(10⁶·qtf + qlen) div (2·qlen)` (the x78 discipline: a
+    * rational `qtf/(2·qlen)` CAN land on a half-micro tie, where the two
+    * engines' double `round` disagree) and the RM1 side as
+    * `round(rw/2, 6)·10⁶` (log-provenance, no rational ties — the x60
+    * argument); per-term second-pass contributions are the exact DECIMAL
+    * product `bm25_term(14,6) × wt_micro`, summed exactly, divided by 10⁶
+    * once at the end. */
+  def rm3TopK(docs: DataFrame, queryMod: Long = QueryMod,
+      k: Int = DefaultTopK, fbDocs: Int = Rm3FbDocs,
+      fbTerms: Int = Rm3FbTerms): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isQuery = querySheetCol(queryMod)
+
+    // pass 1: pseudo-relevant documents with their (decimal-exact) scores
+    val fb = bm25TopK(docs, queryMod, fbDocs)
+      .select(col("query_id").as("qid"), col("doc_id"), col("score"))
+    val qsum = fb.groupBy(col("qid"))
+      .agg(sum(col("score").cast("decimal(14,6)")).cast("double").as("ssum"))
+
+    // feedback docs' FULL term distributions (bounded doc list -> broadcast
+    // semi prune; one corpus pass)
+    val fbIds = fb.select(col("doc_id")).distinct()
+    val fbtf = docs.filter(!isQuery)
+      .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
+      .join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+
+    // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact sum
+    val rm1 = fb.join(broadcast(qsum), "qid").join(fbtf, "doc_id")
+      .select(col("qid"), col("w"),
+        round((col("score") / col("ssum")) *
+          (col("tf") / col("dl").cast("double")), 9)
+          .cast("decimal(12,9)").as("c"))
+      .groupBy(col("qid"), col("w"))
+      .agg(sum(col("c")).cast("double").as("rw"))
+    val topm = rm1.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rw").desc, col("w"))))
+      .filter(col("rn") <= fbTerms)
+      .select(col("qid"), col("w"), col("rw"))
+
+    // original query term distribution, exact integer micro half-weight
+    val qdocs = docs.filter(isQuery)
+      .select(col("doc_id").as("qid"), ws.as("qws"))
+    val orig = qdocs
+      .select(col("qid"), size(col("qws")).as("qlen"),
+        explode(col("qws")).as("w"))
+      .groupBy(col("qid"), col("qlen"), col("w"))
+      .agg(count(lit(1)).as("qtf"))
+      .select(col("qid"), col("w"),
+        expr("(1000000L * qtf + qlen) div (2L * qlen)").as("om"))
+
+    // interpolated weight in micro-units, exact on both engines — as a
+    // UNION + sum, not a full-outer join (full outer cannot broadcast, and
+    // a sort-merge join would be the plan's only one)
+    val weights = orig.select(col("qid"), col("w"), col("om").as("m"))
+      .unionByName(topm.select(col("qid"), col("w"),
+        (round(col("rw") / 2, 6).cast("decimal(12,6)") * 1000000)
+          .cast("long").as("m")))
+      .groupBy(col("qid"), col("w")).agg(sum(col("m")).as("wt"))
+
+    // pass 2: BM25 postings pruned to the expanded vocabulary, weighted sum
+    val ew = weights.select(col("w")).distinct()
+    val tf2 = docs.filter(!isQuery)
+      .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
+      .join(broadcast(ew), Seq("w"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .crossJoin(broadcast(corpusStats(docs.filter(!isQuery))))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = (col("tf") * K1Plus1) /
+      (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
+        lit(BM25B) * (col("dl") / col("avgdl"))))
+    val fanIn = tf2
+      .select(col("doc_id"), col("w"),
+        round(idf * norm, 6).cast("decimal(14,6)").as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    fanIn
+      .join(broadcast(weights), "w")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("t") * col("wt")).cast("double") / 1e6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("doc_id"), col("n_terms"),
+        col("score"), col("rank"))
+  }
 }

@@ -1942,6 +1942,7 @@ FROM s""",
     // (Double.toString round-trips bit-exactly), per-term contributions
     // rounded to 6 dp then DECIMAL-summed (x19's order-independence trick)
     "x60_bm25" -> bm25Sql,
+    "x87_rm3" -> rm3Sql,
 
     // x65: the ingest gate's best-query-per-document decision over the
     // same score CTEs
@@ -2419,6 +2420,72 @@ SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY score DESC, doc_id) AS rn FROM sc)
 WHERE rn <= ${graft.corpus.Retrieval.DefaultTopK}"""
+
+  /** x87 — RM3 on top of the x60 CTE chain: top-fbDocs pseudo-relevant set,
+    * RM1 expansion mass (9-dp round + DECIMAL sum), top-fbTerms expansion
+    * terms, half-and-half interpolation with the original query's term
+    * distribution in exact integer MICRO-units (the original side by
+    * integer half-up division — the x78 rational-tie discipline; the RM1
+    * side as round(rw/2, 6)·10⁶, log-provenance), then a weighted second
+    * BM25 pass whose per-term contribution is the exact DECIMAL product
+    * `term(14,6) × wt_micro`, summed exactly, divided by 10⁶ once. */
+  private def rm3Sql: String = {
+    val R = graft.corpus.Retrieval
+    bm25ScPrelude() + s""",
+fb AS (
+  SELECT query_id AS qid, doc_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS rn FROM sc)
+  WHERE rn <= ${R.Rm3FbDocs}),
+qsum AS (
+  SELECT qid, CAST(SUM(CAST(score AS DECIMAL(14,6))) AS DOUBLE) AS ssum
+  FROM fb GROUP BY 1),
+fbtf AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf FROM ctok
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM fb)
+  GROUP BY 1, 2, 3),
+rm1 AS (
+  SELECT f.qid, t.w,
+    CAST(SUM(CAST(round((f.score / q.ssum) * (t.tf / CAST(t.dl AS DOUBLE)), 9)
+      AS DECIMAL(12,9))) AS DOUBLE) AS rw
+  FROM fb f JOIN qsum q USING (qid) JOIN fbtf t ON f.doc_id = t.doc_id
+  GROUP BY 1, 2),
+topm AS (
+  SELECT qid, w, rw FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rw DESC, w) AS rn
+    FROM rm1)
+  WHERE rn <= ${R.Rm3FbTerms}),
+orig AS (
+  SELECT qid, w, (1000000 * COUNT(*) + qlen) // (2 * qlen) AS om
+  FROM (SELECT qid, len(ws) AS qlen, unnest(ws) AS w FROM qdocs)
+  GROUP BY qid, qlen, w),
+wgt AS (
+  SELECT qid, w, CAST(SUM(m) AS BIGINT) AS wt FROM (
+    SELECT qid, w, om AS m FROM orig
+    UNION ALL
+    SELECT qid, w, CAST(CAST(round(rw / 2, 6) AS DECIMAL(12,6)) * 1000000
+      AS BIGINT) AS m FROM topm)
+  GROUP BY 1, 2),
+ew AS (SELECT DISTINCT w FROM wgt),
+tf2 AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf
+  FROM ctok JOIN ew USING (w) GROUP BY 1, 2, 3),
+df2 AS (SELECT w, COUNT(*) AS df FROM tf2 GROUP BY 1),
+terms2 AS (
+  SELECT g.qid, t2.doc_id,
+    CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      ((tf * ${R.K1Plus1}) / (tf + ${R.BM25K1} * (${R.OneMinusB} +
+        ${R.BM25B} * (dl / avgdl)))), 6) AS DECIMAL(14,6)) * g.wt AS c
+  FROM tf2 t2 JOIN df2 USING (w) JOIN wgt g USING (w) CROSS JOIN st),
+sc2 AS (
+  SELECT qid AS query_id, doc_id, COUNT(*) AS n_terms,
+    CAST(SUM(c) AS DOUBLE) / 1000000.0 AS score
+  FROM terms2 GROUP BY 1, 2)
+SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS rn FROM sc2)
+WHERE rn <= ${R.DefaultTopK}"""
+  }
 
   /** x65 — the ingest gate replayed in SQL: every (query, doc) BM25 score
     * from the x60 CTEs, reduced to each document's best query (max score,

@@ -195,6 +195,11 @@ object CorpusQueries {
         graft.corpus.Curation.ccnetBuckets(frozen)))
   }
 
+  /** x87 — RM3 pseudo-relevance-feedback retrieval: BM25 feedback pass,
+    * RM1 expansion terms, weighted second pass. */
+  def x87Rm3(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Retrieval.rm3TopK(docs(spark, dir))
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))

@@ -83,6 +83,66 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("rm3: expansion terms reach documents sharing NO query vocabulary") {
+    val d = docs(
+      0L -> "apple",          // query
+      1L -> "apple zebra",    // pseudo-relevant: donates "zebra"
+      2L -> "zebra zebra",    // invisible to plain BM25
+      3L -> "plum plum")      // unrelated
+    val bm = Retrieval.bm25TopK(d).collect().map(_.getAs[Long]("doc_id")).toSet
+    bm shouldBe Set(1L)
+    val rm = Retrieval.rm3TopK(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    rm.keySet shouldBe Set(1L, 2L)
+    rm(1L) shouldBe 1 // still carries the original term at full interpolated mass
+    rm(2L) shouldBe 2
+  }
+
+  test("rm3: a self-concentrated query reproduces its BM25 score exactly " +
+      "(orig micro-half + RM1 micro-half sum to exactly 10^6)") {
+    // query "apple", one feedback doc "apple": om = (10^6·1+1) div 2 =
+    // 500000, rw = 1.0 -> 500000; weight = exactly 1_000_000 micro,
+    // so the weighted score equals the plain BM25 score bit for bit
+    val d = docs(0L -> "apple", 1L -> "apple", 2L -> "plum")
+    val bm = Retrieval.bm25TopK(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val rm = Retrieval.rm3TopK(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    rm shouldBe bm
+  }
+
+  test("rm3: a query whose first pass matches nothing keeps its original " +
+      "terms (no silent disappearance when feedback is empty)") {
+    val d = docs(
+      0L -> "unobtanium",    // no corpus doc matches -> zero feedback
+      1L -> "plum cherry", 2L -> "cherry plum")
+    Retrieval.bm25TopK(d).collect() shouldBe empty
+    // no feedback, no expansion: second pass scores the original terms at
+    // half weight -> still no match here, and no spurious rows either
+    Retrieval.rm3TopK(d).collect() shouldBe empty
+    // a partially-matching query (one unobtainable term, one real) still
+    // retrieves through the surviving term
+    val d2 = docs(0L -> "unobtanium cherry", 1L -> "plum", 2L -> "cherry")
+    val rm = Retrieval.rm3TopK(d2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    rm.map(_._1).toSet shouldBe Set(2L)
+    rm.head._2 should be > 0.0
+  }
+
+  test("rm3 plan: both corpus passes prune through broadcast joins, no " +
+      "sort-merge join anywhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rm3plan").toString
+    (0L to 120L).map(i => (i, s"tok${i % 13} tok${i % 7} filler$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val df = Retrieval.rm3TopK(spark.read.parquet(dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+    plan should not include "SortMergeJoin"
+  }
+
   test("bpe pairs: counts weight by word frequency and order ties lexicographically") {
     val d = docs(1L -> "ab ab", 2L -> "ab cd", 3L -> "x")
     // 'ab' freq 3 → (a,b)=3; 'cd' freq 1 → (c,d)=1; 'x' has no pair
