@@ -619,8 +619,17 @@ object Curation {
       .groupBy(col("doc_id"), col("lang"), col("n_tokens"), col("n_known"),
         col("s"))
       .agg(coalesce(min(when(col("s") >= col("min_s"), col("bucket"))),
-        lit(buckets.toLong)).as("bucket"))
+          lit(buckets.toLong)).as("bucket"),
+        max(col("bucket")).as("_maxb"))
+      // loud gate: a boundary table from a k > `buckets` reference run would
+      // otherwise mix two bucket scales — frozen bucket 5 next to a "tail"
+      // of 3 — and silently rank the worst text above bucket-4/5 documents
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_known"),
-        col("s"), col("bucket"))
+        col("s"),
+        when(col("_maxb") > buckets, raise_error(concat(
+            lit(s"ccnetAssign: bounds carry bucket "), col("_maxb"),
+            lit(s" > buckets=$buckets — frozen run used more buckets")))
+            .cast("long"))
+          .otherwise(col("bucket")).as("bucket"))
   }
 }

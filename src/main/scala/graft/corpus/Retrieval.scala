@@ -580,59 +580,82 @@ object Retrieval {
     * Output: (query_id, doc_id, n_terms, score, rank), rank 1..k per query
     * by (score desc, doc_id).
     *
-    * Scale shape — two pruned corpus passes, nothing quadratic: the feedback
-    * set is (|sheet| × fbDocs)-bounded, so its doc-id list broadcasts and
-    * its FULL term distributions (the expansion source — the whole point is
-    * terms OUTSIDE the query vocabulary, so pass 1's pruned postings cannot
-    * supply them) cost one broadcast-semi-pruned corpus pass; the expanded
-    * weighted sheet is (|sheet| × (qlen + fbTerms))-bounded and broadcasts
-    * into the second scoring pass, which prunes, aggregates, and ranks
-    * exactly like [[bm25TopK]] ([[scoreAndRank]]'s fan-out discipline,
-    * including the explicit repartition before the sheet join).
+    * Scale shape — two pruned corpus passes plus pass 1's ranked scan,
+    * nothing quadratic, every intermediate a BOUNDED driver artifact (the
+    * centroid/codebook pattern): pass 1 executes ONCE and collects the
+    * (|sheet| × fbDocs) feedback set; its doc-id list pushes down into the
+    * scan that reads the feedback documents' FULL term distributions (the
+    * expansion source — the whole point is terms OUTSIDE the query
+    * vocabulary, so pass 1's pruned postings cannot supply them); the
+    * expanded weight sheet ((|sheet| × (qlen + fbTerms))-bounded) is
+    * assembled driver-side and broadcasts — one build, ReuseExchange-folded
+    * — into the second scoring pass's vocabulary prune AND sheet join,
+    * which aggregate and rank exactly like [[bm25TopK]] ([[scoreAndRank]]'s
+    * fan-out discipline, including the explicit repartition).
     *
     * Determinism / oracle parity: RM1 contributions are rounded to 9 dp and
-    * DECIMAL-summed (x19's trick); the interpolated weight is carried in
-    * exact integer MICRO-units — the original side as the integer half-up
-    * division `(10⁶·qtf + qlen) div (2·qlen)` (the x78 discipline: a
-    * rational `qtf/(2·qlen)` CAN land on a half-micro tie, where the two
-    * engines' double `round` disagree) and the RM1 side as
-    * `round(rw/2, 6)·10⁶` (log-provenance, no rational ties — the x60
-    * argument); per-term second-pass contributions are the exact DECIMAL
-    * product `bm25_term(14,6) × wt_micro`, summed exactly, divided by 10⁶
-    * once at the end. */
+    * DECIMAL-summed (x19's trick), then carried as exact integer NANO-units;
+    * the interpolated weight is exact integer MICRO-units on BOTH sides —
+    * the original side as the integer half-up division
+    * `(10⁶·qtf + qlen) div (2·qlen)` and the RM1 side as
+    * `(rw_nano + 1000) div 2000` (the x78 discipline, both: an RM1 mass
+    * lives on the 10⁻⁹ grid, so `round(rw/2, 6)` in doubles CAN land on a
+    * half-micro tie where the engines' rounding disagrees — confirmed
+    * empirically at rw = 0.000249: Spark 125 vs DuckDB 124 micro). The one
+    * remaining double round is the 9-dp rounding of each RM1 contribution
+    * `(score/ssum)·(tf/dl)` — a quotient of non-grid doubles, the same
+    * accepted class as x60's `round(idf·norm, 6)`. Per-term second-pass
+    * contributions are the exact DECIMAL product `bm25_term(14,6) ×
+    * wt_micro`, summed exactly, divided by 10⁶ once at the end. */
   def rm3TopK(docs: DataFrame, queryMod: Long = QueryMod,
       k: Int = DefaultTopK, fbDocs: Int = Rm3FbDocs,
       fbTerms: Int = Rm3FbTerms): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isQuery = querySheetCol(queryMod)
 
-    // pass 1: pseudo-relevant documents with their (decimal-exact) scores
-    val fb = bm25TopK(docs, queryMod, fbDocs)
-      .select(col("query_id").as("qid"), col("doc_id"), col("score"))
-    val qsum = fb.groupBy(col("qid"))
-      .agg(sum(col("score").cast("decimal(14,6)")).cast("double").as("ssum"))
+    // pass 1, executed ONCE: the feedback set is (|sheet| × fbDocs)-bounded,
+    // so it collects to a driver artifact (the centroid/codebook pattern) —
+    // leaving it lazy would re-run the whole ranked BM25 pass once per
+    // consumer below (measured: three instantiations in the physical plan).
+    // Per-query normalizers sum exactly in BigDecimal: each score is a
+    // DECIMAL(14,6)-cast double, ≤ 14 significant digits, so
+    // BigDecimal.valueOf (via Double.toString) recovers the exact decimal
+    // the oracle's SUM(CAST(score AS DECIMAL(14,6))) adds.
+    val fbRows: Array[(Long, Long, Double)] =
+      bm25TopK(docs, queryMod, fbDocs)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ssum: Map[Long, Double] = fbRows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(r => BigDecimal.valueOf(r._3)).sum.toDouble
+    }
 
-    // feedback docs' FULL term distributions (bounded doc list -> broadcast
-    // semi prune; one corpus pass)
-    val fbIds = fb.select(col("doc_id")).distinct()
+    // feedback docs' FULL term distributions (the expansion source): the
+    // bounded id list becomes an isin literal the parquet scan pushes down
+    val fbIds = fbRows.map(_._2).distinct.toSeq
     val fbtf = docs.filter(!isQuery)
+      .filter(col("doc_id").isin(fbIds: _*))
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
-      .join(broadcast(fbIds), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
-    // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact sum
-    val rm1 = fb.join(broadcast(qsum), "qid").join(fbtf, "doc_id")
+    // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact
+    // sum, kept as exact integer nano-units (see the tie note above)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fbSnorm = fbRows.toSeq
+      .map { case (q, d, s) => (q, d, s / ssum(q)) }
+      .toDF("qid", "doc_id", "snorm")
+    val rm1 = fbtf.join(broadcast(fbSnorm), "doc_id")
       .select(col("qid"), col("w"),
-        round((col("score") / col("ssum")) *
-          (col("tf") / col("dl").cast("double")), 9)
+        round(col("snorm") * (col("tf") / col("dl").cast("double")), 9)
           .cast("decimal(12,9)").as("c"))
       .groupBy(col("qid"), col("w"))
-      .agg(sum(col("c")).cast("double").as("rw"))
+      .agg((sum(col("c")).cast("decimal(20,9)") * 1000000000)
+        .cast("long").as("rw_nano"))
     val topm = rm1.withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rw").desc, col("w"))))
+        Window.partitionBy(col("qid")).orderBy(col("rw_nano").desc, col("w"))))
       .filter(col("rn") <= fbTerms)
-      .select(col("qid"), col("w"), col("rw"))
+      .select(col("qid"), col("w"), col("rw_nano"))
 
     // original query term distribution, exact integer micro half-weight
     val qdocs = docs.filter(isQuery)
@@ -645,20 +668,28 @@ object Retrieval {
       .select(col("qid"), col("w"),
         expr("(1000000L * qtf + qlen) div (2L * qlen)").as("om"))
 
-    // interpolated weight in micro-units, exact on both engines — as a
-    // UNION + sum, not a full-outer join (full outer cannot broadcast, and
-    // a sort-merge join would be the plan's only one)
+    // interpolated weight sheet, collected to a DRIVER artifact in one
+    // action: topm is (|sheet| × fbTerms)-bounded and orig (|sheet| ×
+    // query-length)-bounded, and leaving the union lazy would re-run the
+    // fbtf chain once per consumer (the vocabulary prune AND the scoring
+    // join both read it). Built as a UNION + sum, not a full-outer join
+    // (full outer cannot broadcast — it would be the plan's only
+    // sort-merge join). The RM1 half is the integer half-up (rw_nano/2000)
+    // — never a double round.
     val weights = orig.select(col("qid"), col("w"), col("om").as("m"))
       .unionByName(topm.select(col("qid"), col("w"),
-        (round(col("rw") / 2, 6).cast("decimal(12,6)") * 1000000)
-          .cast("long").as("m")))
+        expr("(rw_nano + 1000L) div 2000L").as("m")))
       .groupBy(col("qid"), col("w")).agg(sum(col("m")).as("wt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.toDF("qid", "w", "wt")
 
-    // pass 2: BM25 postings pruned to the expanded vocabulary, weighted sum
-    val ew = weights.select(col("w")).distinct()
+    // pass 2: BM25 postings pruned to the expanded vocabulary, weighted
+    // sum. The prune probes the weight sheet WHOLE (left-semi ignores the
+    // duplicate build rows) so ReuseExchange folds its broadcast build into
+    // the scoring join's — the bm25TopK discipline.
     val tf2 = docs.filter(!isQuery)
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
-      .join(broadcast(ew), Seq("w"), "left_semi")
+      .join(broadcast(weights), Seq("w"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))

@@ -2422,13 +2422,15 @@ SELECT query_id, doc_id, n_terms, score, rn AS "rank" FROM (
 WHERE rn <= ${graft.corpus.Retrieval.DefaultTopK}"""
 
   /** x87 — RM3 on top of the x60 CTE chain: top-fbDocs pseudo-relevant set,
-    * RM1 expansion mass (9-dp round + DECIMAL sum), top-fbTerms expansion
-    * terms, half-and-half interpolation with the original query's term
-    * distribution in exact integer MICRO-units (the original side by
-    * integer half-up division — the x78 rational-tie discipline; the RM1
-    * side as round(rw/2, 6)·10⁶, log-provenance), then a weighted second
-    * BM25 pass whose per-term contribution is the exact DECIMAL product
-    * `term(14,6) × wt_micro`, summed exactly, divided by 10⁶ once. */
+    * RM1 expansion mass (9-dp round + DECIMAL sum, carried as exact integer
+    * NANO-units), top-fbTerms expansion terms, half-and-half interpolation
+    * with the original query's term distribution in exact integer
+    * MICRO-units (BOTH sides by integer half-up division — the x78
+    * rational-tie discipline; RM1 mass lives on the 10⁻⁹ grid, where a
+    * double `round(rw/2, 6)` demonstrably splits the engines), then a
+    * weighted second BM25 pass whose per-term contribution is the exact
+    * DECIMAL product `term(14,6) × wt_micro`, summed exactly, divided by
+    * 10⁶ once. */
   private def rm3Sql: String = {
     val R = graft.corpus.Retrieval
     bm25ScPrelude() + s""",
@@ -2446,13 +2448,14 @@ fbtf AS (
   GROUP BY 1, 2, 3),
 rm1 AS (
   SELECT f.qid, t.w,
-    CAST(SUM(CAST(round((f.score / q.ssum) * (t.tf / CAST(t.dl AS DOUBLE)), 9)
-      AS DECIMAL(12,9))) AS DOUBLE) AS rw
+    CAST(CAST(SUM(CAST(round((f.score / q.ssum) * (t.tf / CAST(t.dl AS DOUBLE)), 9)
+      AS DECIMAL(12,9))) AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS rw_nano
   FROM fb f JOIN qsum q USING (qid) JOIN fbtf t ON f.doc_id = t.doc_id
   GROUP BY 1, 2),
 topm AS (
-  SELECT qid, w, rw FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rw DESC, w) AS rn
+  SELECT qid, w, rw_nano FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rw_nano DESC, w) AS rn
     FROM rm1)
   WHERE rn <= ${R.Rm3FbTerms}),
 orig AS (
@@ -2463,8 +2466,7 @@ wgt AS (
   SELECT qid, w, CAST(SUM(m) AS BIGINT) AS wt FROM (
     SELECT qid, w, om AS m FROM orig
     UNION ALL
-    SELECT qid, w, CAST(CAST(round(rw / 2, 6) AS DECIMAL(12,6)) * 1000000
-      AS BIGINT) AS m FROM topm)
+    SELECT qid, w, (rw_nano + 1000) // 2000 AS m FROM topm)
   GROUP BY 1, 2),
 ew AS (SELECT DISTINCT w FROM wgt),
 tf2 AS (

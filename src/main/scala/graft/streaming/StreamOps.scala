@@ -392,6 +392,12 @@ object StreamOps {
       bounds: Map[String, Seq[Double]], buckets: Int = 3,
       watermarkDelay: String = "1 hour"): DataFrame = {
     require(buckets > 0, "bucket count must be positive")
+    // a boundary artifact from a k > `buckets` reference run would mix two
+    // bucket scales (the batch assigner's loud gate, checkable here at
+    // construction because the artifact is driver-side)
+    require(bounds.values.forall(_.size <= buckets),
+      s"assignBuckets: bounds carry ${bounds.values.map(_.size).max} " +
+        s"buckets > buckets=$buckets — frozen run used more buckets")
     val bLit = if (bounds.isEmpty) typedLit(Map(" " -> Seq.empty[Double]))
       else typedLit(bounds)
     val scored = docs.withWatermark("ts", watermarkDelay)

@@ -187,6 +187,28 @@ class CcnetSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("a boundary artifact from a wider-k reference run fails loudly in " +
+      "both assigners instead of mixing two bucket scales") {
+    val frozen = docsDf((1L to 9L).map(i =>
+      (i, (Seq.fill(i.toInt)("hot") ++ Seq.fill(10 - i.toInt)(s"rare$i"))
+        .mkString(" "), "en")))
+    val bounds5 = Curation.ccnetBoundaries(Curation.ccnetBuckets(frozen, 5))
+    val incoming = docsDf(Seq((20L, "hot hot", "en")))
+    val e = intercept[Exception] {
+      Curation.ccnetAssign(incoming, Curation.unigramLm(frozen), bounds5)
+        .collect()
+    }
+    assert(e.getMessage.contains("frozen run used more buckets") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("frozen run used more buckets")))
+    val art5 = Curation.boundaryArtifact(bounds5)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.assignBuckets(incoming,
+        Curation.unigramLm(frozen), art5)
+    }
+    assert(e2.getMessage.contains("frozen run used more buckets"))
+  }
+
   test("ccnetAssign: unseen language and below-every-boundary scores land " +
       "in the tail; all-OOV docs are excluded") {
     // distinct frozen scores (the hot/rare construction): bucket boundaries
