@@ -330,6 +330,13 @@ object Scaling {
       // bounded driver collects, one (band, lang) window exchange.
       ("documents", "x85_ccnet_buckets",
         (d, _) => graft.corpus.Curation.ccnetBuckets(rd(d, "documents"))),
+      // x87 RM3: fixed sheet, growing corpus. Replica vocabularies are
+      // disjoint from the sheet, so pass 1's feedback set and the expansion
+      // sheet are CONSTANT in m — the cell measures the sum of two x60-style
+      // prune paths (both must discard the growing query-irrelevant corpus
+      // at scan speed) plus the feedback-doc scan (isin pushdown)
+      ("documents", "x87_rm3",
+        (d, _) => graft.corpus.Retrieval.rm3TopK(rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),

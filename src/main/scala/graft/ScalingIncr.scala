@@ -124,6 +124,22 @@ object ScalingIncr {
       if (want("x84_probe"))
         TextDedup.writeVocabulary(
           TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
+      val lmTable = s"scal_incr_lm_x$m"
+      if (want("x86_probe"))
+        graft.corpus.Curation.writeUnigramLm(
+          graft.corpus.Curation.unigramLm(oldDocs), lmTable)
+      // x86's frozen boundary table MATERIALIZED to the driver (tiny:
+      // langs × 3) and rebuilt as a local relation — left lazy, the timed
+      // probe would re-run the whole old-side bucketing inside the cell
+      val bounds86: DataFrame = if (want("x86_probe")) {
+        import spark.implicits._
+        graft.corpus.Curation.ccnetBoundaries(
+            graft.corpus.Curation.ccnetBuckets(oldDocs))
+          .collect()
+          .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
+            r.getAs[Double]("min_s")))
+          .toSeq.toDF("lang", "bucket", "min_s")
+      } else null
       // the fixed query sheet (base-corpus slice): constant across scales,
       // and replica k >= 1 vocabularies are disjoint from it — so the probe's
       // matched-postings workload is constant in m by construction and the
@@ -150,7 +166,14 @@ object ScalingIncr {
         // constant in m by construction — only the bucketed vocabulary scan
         // grows
         ("x84_probe", () => TextDedup.spanScrubAgainst(
-          inc("documents"), spark.table(spanVocTable), hashGrams = true)))
+          inc("documents"), spark.table(spanVocTable), hashGrams = true)),
+        // x86: fixed increment scored against the growing persisted unigram
+        // LM and the frozen boundary literal. Increment tokens equal their
+        // replica-0 twins, so every token is LM-known and per-doc scoring
+        // work is constant in m; the bucketed LM reads in place (scan-bound
+        // linear term), the boundary probe is a broadcast against 3 rows
+        ("x86_probe", () => graft.corpus.Curation.ccnetAssign(
+          inc("documents"), spark.table(lmTable), bounds86)))
 
       val rows = ops.filter(o => want(o._1)).map { case (name, fn) =>
         val nRows = fn().count() // untimed warm + workload-constancy evidence
@@ -163,6 +186,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $vocTable")
       spark.sql(s"DROP TABLE IF EXISTS $semTable")
       spark.sql(s"DROP TABLE IF EXISTS $bmTable")
+      spark.sql(s"DROP TABLE IF EXISTS $lmTable")
       rows
     }
 

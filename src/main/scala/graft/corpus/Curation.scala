@@ -547,6 +547,15 @@ object Curation {
           .cast("decimal(12,8)").as("lp"))
   }
 
+  /** Persist [[unigramLm]] BUCKETED on the token so every later scoring
+    * probe ([[unigramLogProbAgainst]]'s LEFT join) re-shuffles only the
+    * probing increment while the LM reads in place — the x54/x60 persisted
+    * storage contract applied to the quality-scoring plane. */
+  def writeUnigramLm(lm: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    lm.write.bucketBy(buckets, "w").sortBy("w")
+      .mode("overwrite").format("parquet").saveAsTable(tableName)
+
   /** Score documents against a FROZEN unigram LM ([[unigramLm]]) — the
     * deployment shape of CCNet's quality scoring, where the LM is trained
     * once (on a trusted snapshot) and every later ingest is scored against

@@ -570,4 +570,45 @@ object TextStats {
       .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
         col("s.n_subwords").as("n_subwords"),
         col("s.subword_text").as("subword_text"))
+
+  /** X88 — tokenizer fertility report: per (lang, source), how well the
+    * corpus-trained BPE tokenizer ([[trainBpe]] + [[applyBpe]]) fits each
+    * slice of the mix — `chars_per_token` (compression; LOW for slices the
+    * merges never learned, e.g. an under-represented language) and
+    * `tokens_per_word` (fragmentation; HIGH for the same slices). The
+    * standard multilingual-tokenizer audit: fertility disparities translate
+    * directly into per-language training-cost and context-budget
+    * disparities, so mixing decisions read this table next to x49's card.
+    * NULL-text docs join with NULL stats and drop out of every sum; ratio
+    * columns are NULL for slices with nothing to divide by.
+    *
+    * Scale shape: training touches only the distinct-word table (the
+    * [[trainBpe]] contract — corpus scanned once regardless of rounds);
+    * the application pass is one narrow codegen'd projection
+    * (`functions.BpeSegment`); the report is one map-side-partial aggregate
+    * keyed on (lang, source). Ratios are EXACT integer half-up micro-unit
+    * divisions computed on the aggregated sums in DECIMAL — `2·10⁶ ×
+    * sum(chars)` overflows a BIGINT near 10¹³ chars per slice, which a
+    * 100 TB corpus reaches (the x78 rational-tie discipline plus the
+    * widening the envelope needs; the oracle mirrors it in HUGEINT). */
+  def tokenizerFertility(docs: DataFrame,
+      numMerges: Int = BpeDefaultMerges): DataFrame = {
+    val merges = trainBpe(docs, numMerges).map(t => (t._1, t._2))
+    def microRatio(a: String, b: String): Column =
+      when(col(b) > 0,
+        expr(s"(cast(2000000 as decimal(38,0)) * $a + $b) div (2 * $b)")
+          .cast("double") / 1e6)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("nc"))
+      .join(applyBpe(docs, merges), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(col("nc")).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_subwords"),
+        microRatio("n_chars", "n_subwords").as("chars_per_token"),
+        microRatio("n_subwords", "n_words").as("tokens_per_word"))
+  }
 }

@@ -126,7 +126,7 @@ cand AS (
     * `w_i` are each referenced twice, and DuckDB's default inlining would
     * re-run the whole training prefix per reference — 2^rounds blowup,
     * measured as a >100× slowdown at 8 rounds. */
-  private val bpeSegmentSql: String = {
+  private val bpeChainCtes: String = {
     val rounds = graft.corpus.TextStats.BpeDefaultMerges
     val s1 = "chr(1)"
     val s2 = "chr(1)||chr(1)"
@@ -177,7 +177,10 @@ agg AS (
     SUM(len(string_split(trim(s, $s1), $s2))) AS nsub,
     string_agg(array_to_string(
       string_split(trim(s, $s1), $s2), ' '), ' ' ORDER BY j) AS sub_text
-  FROM d$rounds GROUP BY doc_id)
+  FROM d$rounds GROUP BY doc_id)"""
+  }
+
+  private val bpeSegmentSql: String = bpeChainCtes + """
 SELECT d.doc_id,
   CAST(CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END
     AS BIGINT) AS n_tokens,
@@ -186,7 +189,33 @@ SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.sub_text, '') END
     AS subword_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
-  }
+
+  /** x88 — the x81 chain aggregated per (lang, source): corpus-trained-BPE
+    * fertility. Ratios are exact integer half-up micro divisions on the
+    * aggregated sums, in HUGEINT (Spark mirrors in DECIMAL(38,0)) — the
+    * x78 rational-tie discipline widened past the BIGINT envelope. */
+  private val tokenizerFertilitySql: String = bpeChainCtes + """,
+perdoc AS (
+  SELECT d.lang, d.source, d.text,
+    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END AS nt,
+    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nsub, 0) END AS nsub
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+sums AS (
+  SELECT lang, source, COUNT(text) AS n_docs,
+    CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+    CAST(SUM(nt) AS BIGINT) AS n_words,
+    CAST(SUM(nsub) AS BIGINT) AS n_subwords
+  FROM perdoc GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_chars, n_words, n_subwords,
+  CASE WHEN n_subwords > 0 THEN
+    CAST((CAST(2000000 AS HUGEINT) * n_chars + n_subwords)
+      // (2 * CAST(n_subwords AS HUGEINT)) AS DOUBLE) / 1000000.0
+  END AS chars_per_token,
+  CASE WHEN n_words > 0 THEN
+    CAST((CAST(2000000 AS HUGEINT) * n_subwords + n_words)
+      // (2 * CAST(n_words AS HUGEINT)) AS DOUBLE) / 1000000.0
+  END AS tokens_per_word
+FROM sums"""
 
   /** The ±1 hyperplane matrix `Similarity.hyperplanes(bits=6, dim=64)` uses —
     * replayed from the same fixed-seed java.util.Random stream. */
@@ -1419,6 +1448,7 @@ FROM n GROUP BY 1""",
 
     // x81: BPE train-then-segment (round-for-round training replay)
     "x81_bpe_segment" -> bpeSegmentSql,
+    "x88_tokenizer_fertility" -> tokenizerFertilitySql,
 
     // x34: overlapping fixed-window chunking — geometry from Curation
     "x34_chunk_docs" -> chunkSql,

@@ -200,6 +200,11 @@ object CorpusQueries {
   def x87Rm3(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Retrieval.rm3TopK(docs(spark, dir))
 
+  /** x88 — tokenizer fertility per (lang, source) under the corpus-trained
+    * BPE: chars/token and tokens/word, the multilingual-tokenizer audit. */
+  def x88TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tokenizerFertility(docs(spark, dir))
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))

@@ -83,6 +83,46 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("tokenizer fertility: sums referee against applyBpe, ratios are " +
+      "exact integer half-up micros, degenerate groups go NULL") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa ab aa", "en", "web"),
+      (2L, "aa aa", "en", "web"),
+      (3L, "xyz", "de", "web"),
+      (4L, null.asInstanceOf[String], "de", "web"), // drops out of sums
+      (5L, "", "sw", "web"))                         // degenerate group
+      .toDF("doc_id", "text", "lang", "source")
+    val merges = TextStats.trainBpe(d).map(t => (t._1, t._2))
+    val seg = TextStats.applyBpe(d, merges).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Number].longValue),
+          Option(r.get(2)).map(_.asInstanceOf[Number].longValue))).toMap
+    val texts = Map(1L -> "aa ab aa", 2L -> "aa aa", 3L -> "xyz", 5L -> "")
+    def expect(ids: Seq[Long]) = {
+      val chars = ids.map(texts(_).length.toLong).sum
+      val words = ids.map(seg(_)._1.get).sum
+      val subs = ids.map(seg(_)._2.get).sum
+      (chars, words, subs)
+    }
+    def micro(a: Long, b: Long): Option[Double] =
+      if (b <= 0) None
+      else Some(((BigInt(2000000) * a + b) / (BigInt(2) * b)).toDouble / 1e6)
+    val got = TextStats.tokenizerFertility(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_ => r.getDouble(6)),
+          Option(r.get(7)).map(_ => r.getDouble(7))))).toMap
+    val (c1, w1, s1) = expect(Seq(1L, 2L))
+    assert(got(("en", "web")) ==
+      ((2L, c1, w1, s1, micro(c1, s1), micro(s1, w1))))
+    val (c2, w2, s2) = expect(Seq(3L)) // doc 4's NULL text drops out
+    assert(got(("de", "web")) ==
+      ((1L, c2, w2, s2, micro(c2, s2), micro(s2, w2))))
+    // the empty-text group: one doc, zero of everything, NULL ratios
+    assert(got(("sw", "web")) == ((1L, 0L, 0L, 0L, None, None)))
+  }
+
   test("rm3: expansion terms reach documents sharing NO query vocabulary") {
     val d = docs(
       0L -> "apple",          // query
