@@ -186,6 +186,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $vocTable")
       spark.sql(s"DROP TABLE IF EXISTS $semTable")
       spark.sql(s"DROP TABLE IF EXISTS $bmTable")
+      spark.sql(s"DROP TABLE IF EXISTS $spanVocTable")
       spark.sql(s"DROP TABLE IF EXISTS $lmTable")
       rows
     }

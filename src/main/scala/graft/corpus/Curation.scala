@@ -472,7 +472,7 @@ object Curation {
       // internal grouping key: map keys cannot be NULL; a NULL lang is its
       // own NTILE partition on both engines, keyed here by a sentinel no
       // real language code contains
-      .withColumn("lkey", coalesce(col("lang"), lit(" ")))
+      .withColumn("lkey", coalesce(col("lang"), lit("\u0000")))
     // bounded driver artifact #1: per-language score splitters
     val fracs = (1 until nSplits).map(_.toDouble / nSplits)
     val splitters: Map[String, Seq[Double]] =
@@ -553,8 +553,7 @@ object Curation {
     * storage contract applied to the quality-scoring plane. */
   def writeUnigramLm(lm: DataFrame, tableName: String,
       buckets: Int = 16): Unit =
-    lm.write.bucketBy(buckets, "w").sortBy("w")
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+    graft.util.BucketedTable.write(lm, tableName, buckets, "w")
 
   /** Score documents against a FROZEN unigram LM ([[unigramLm]]) — the
     * deployment shape of CCNet's quality scoring, where the LM is trained

@@ -194,8 +194,7 @@ object Retrieval {
     * join re-shuffles only the probing increment (x54's storage contract). */
   def writeBm25Index(index: DataFrame, tableName: String,
       buckets: Int = 16): Unit =
-    index.write.bucketBy(buckets, "w").sortBy("w")
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+    graft.util.BucketedTable.write(index, tableName, buckets, "w")
 
   /** [[bm25TopK]]'s production/incremental shape: score NEW documents
     * against the frozen corpus index — the daily-increment relevance gate

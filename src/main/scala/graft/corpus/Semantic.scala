@@ -395,8 +395,7 @@ object Semantic {
     * not this test default. */
   def writeAssignedIndex(index: DataFrame, tableName: String,
       buckets: Int = 16): Unit =
-    index.write.bucketBy(buckets, "cid").sortBy("cid")
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+    graft.util.BucketedTable.write(index, tableName, buckets, "cid")
 
   /** [[incrementalSemanticDedup]] against a pre-built (typically persisted,
     * bucketed) index and its FROZEN centroids — the production probe shape:

@@ -312,8 +312,7 @@ object TextDedup {
     * factor), not this test default. */
   def writeDedupIndex(index: DataFrame, tableName: String,
       buckets: Int = 16): Unit =
-    index.write.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+    graft.util.BucketedTable.write(index, tableName, buckets, "band", "bucket")
 
   /** Incremental near-dup dedup — the production shape: flag NEW documents
     * that near-duplicate an EXISTING corpus, without ever comparing new docs
@@ -927,8 +926,7 @@ object TextDedup {
     * Spec-pinned to a plan whose only exchanges are increment-side. */
   def writeVocabulary(vocab: DataFrame, tableName: String,
       buckets: Int = 16): Unit =
-    vocab.write.bucketBy(buckets, "g").sortBy("g")
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+    graft.util.BucketedTable.write(vocab, tableName, buckets, "g")
 
   /** [[noveltyScore]] against a pre-built (typically persisted, bucketed)
     * vocabulary frame. `n`/`hashGrams` must match how the vocabulary was

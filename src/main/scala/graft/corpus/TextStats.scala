@@ -598,14 +598,16 @@ object TextStats {
       when(col(b) > 0,
         expr(s"(cast(2000000 as decimal(38,0)) * $a + $b) div (2 * $b)")
           .cast("double") / 1e6)
-    docs.select(col("doc_id"), col("lang"), col("source"),
-        length(col("text")).as("nc"))
-      .join(applyBpe(docs, merges), "doc_id")
+    // length/lang/source ride the SAME projection as the segment kernel —
+    // a join back to docs on doc_id would be a corpus-sized sort-merge join
+    // for a value computable in the one narrow pass
+    docs.select(col("lang"), col("source"), length(col("text")).as("nc"),
+        graft.functions.BpeSegment(col("text"), merges).as("s"))
       .groupBy(col("lang"), col("source"))
       .agg(count(col("nc")).as("n_docs"),
         sum(col("nc")).as("n_chars"),
-        sum(col("n_tokens")).as("n_words"),
-        sum(col("n_subwords")).as("n_subwords"))
+        sum(col("s.n_tokens")).as("n_words"),
+        sum(col("s.n_subwords")).as("n_subwords"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
         col("n_words"), col("n_subwords"),
         microRatio("n_chars", "n_subwords").as("chars_per_token"),

@@ -169,8 +169,13 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     rm.head._2 should be > 0.0
   }
 
-  test("rm3 plan: both corpus passes prune through broadcast joins, no " +
-      "sort-merge join anywhere") {
+  test("rm3 pass-2 plan: the weighted scoring pass prunes through " +
+      "broadcast joins, no sort-merge join") {
+    // what the returned frame's plan contains is ONLY pass 2: rm3TopK runs
+    // pass 1 (bm25TopK — its plan is pinned by the bm25 plan test above)
+    // and the bounded fbtf/weights chain eagerly, as separate jobs. Pass 2
+    // is the one corpus-scale plan a caller executes, so it is the one a
+    // sort-merge join must never enter.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rm3plan").toString
     (0L to 120L).map(i => (i, s"tok${i % 13} tok${i % 7} filler$i"))

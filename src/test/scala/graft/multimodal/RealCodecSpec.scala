@@ -213,7 +213,7 @@ class RealCodecSpec extends AnyFunSuite with SparkSpec with Matchers {
     val px = Array.fill[Byte](4 * 3 * 3)(rnd.nextInt(256).toByte)
     val whole = png(4, 3, 2, px, _ => 4, splitIdat = true)
     // splice an ancillary chunk (tEXt) between IHDR and the IDATs
-    val data = "k v".getBytes("ISO-8859-1")
+    val data = "k\u0000v".getBytes("ISO-8859-1")
     val bb = java.nio.ByteBuffer.allocate(12 + data.length)
     bb.putInt(data.length).put("tEXt".getBytes("US-ASCII")).put(data)
     val crc = new java.util.zip.CRC32()
