@@ -393,4 +393,88 @@ object Similarity {
         col("actual_label"), col("n_votes"),
         (col("label") === col("actual_label")).as("agree"))
   }
+
+  /** Candidate-pool size for [[mmrTopK]] — shared with the oracle. */
+  val MmrCandidates: Int = 12
+
+  /** X89 — MMR-diversified top-k retrieval (Carbonell & Goldstein 1998
+    * maximal marginal relevance, λ fixed at 1/2): for each query vector,
+    * take the exact cosine top-[[MmrCandidates]] candidate pool, then
+    * greedily select `k` results — the first by pure relevance, each next by
+    * `mmr = rel/2 − max_sim_to_selected/2` — so near-duplicate neighbors
+    * stop crowding the result list. The retrieval face of the dedup plane:
+    * a near-dup-heavy corpus makes plain top-k return one document five
+    * times, and diversified selection is also how curation picks k
+    * REPRESENTATIVE examples per query/cluster rather than k copies.
+    * Degenerate (NULL-normalized) vectors take no part, queries included;
+    * pools smaller than `k` yield fewer steps. Ties at every argmax break
+    * on the candidate id, so the greedy path is total and deterministic.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the candidate pass (x6's
+    * broadcast-queries one-narrow-scan shape, swappable for the IVF/PQ
+    * generators at larger N — x71's SPI argument). The pool
+    * (queries × kCand rows, with unit vectors) is a BOUNDED driver artifact
+    * (the x87 weight-sheet discipline: left lazy, the greedy chain's ~3(k−1)
+    * self-references would re-run the corpus scan per reference); pairwise
+    * similarities and the k−1 greedy rounds are joins over that local
+    * relation — sheet-bounded at any corpus size. Every similarity is the
+    * same codegen'd [[graft.functions.VectorOps.dotp]] fold the oracle's
+    * `list_dot_product` replays, selection compares raw doubles (identical
+    * on both engines) with id tiebreaks, and output scores are rounded to
+    * 6 dp — the x6 conventions, inherited wholesale. */
+  def mmrTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
+      kCand: Int = MmrCandidates, k: Int = DefaultTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && kCand >= k, s"need kCand >= k > 0, got kCand=$kCand k=$k")
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val cand = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dotp(col("qe"), col("e")).as("rel"), col("e"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))))
+      .filter(col("rn") <= kCand)
+      .select(col("qid"), col("cid"), col("rel"), col("e"))
+    // bounded driver artifact: numQueries × kCand rows of (ids, rel, unit e)
+    val spark = emb.sparkSession
+    val pool = spark.createDataFrame(
+      java.util.Arrays.asList(cand.collect(): _*), cand.schema)
+    val sims = pool.select(col("qid"), col("cid").as("ca"), col("e"))
+      .join(pool.select(col("qid"), col("cid").as("cb"), col("e").as("eb")),
+        Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        dotp(col("e"), col("eb")).as("sim"))
+    def pick(scoredCands: DataFrame, step: Int): DataFrame =
+      scoredCands.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("mmr").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"), lit(step).as("step"),
+          col("mmr"))
+    var selected = pick(pool.select(col("qid"), col("cid"), col("rel"),
+      col("rel").as("mmr")), 1)
+    for (step <- 2 to k) {
+      // every unselected candidate's max similarity to the selected set:
+      // the pool's pair table is complete (a != b), so the inner joins can
+      // never silently drop a live candidate
+      val rem = pool.select(col("qid"), col("cid"), col("rel"))
+        .join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
+          "left_anti")
+        .withColumnRenamed("qid", "rq").withColumnRenamed("cid", "rc")
+      val next = pick(rem
+        .join(sims, col("rq") === sims("qid") && col("rc") === sims("ca"))
+        .join(selected.select(col("qid").as("sq"), col("cid").as("sc")),
+          col("rq") === col("sq") && col("cb") === col("sc"))
+        .groupBy(col("rq").as("qid"), col("rc").as("cid"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+        .select(col("qid"), col("cid"), col("rel"),
+          (col("rel") / 2 - col("ms") / 2).as("mmr")), step)
+      selected = selected.unionByName(next)
+    }
+    selected.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+      col("step"), round(col("rel"), 6).as("relevance"),
+      round(col("mmr"), 6).as("mmr_score"))
+  }
 }

@@ -1738,6 +1738,57 @@ WHERE rn <= 3"""),
 FROM cand c JOIN documents x ON c.doc_id_1 = x.doc_id
             JOIN documents y ON c.doc_id_2 = y.doc_id"""),
 
+    // x89: MMR-diversified top-k — the x6 cosine base (degenerates excluded
+    // on BOTH sides, matching the engine's pool contract), a complete
+    // candidate pair-sim table, then the greedy replayed as CHAINED CTEs
+    // (the x81 round-replay pattern): step 1 argmax rel, step i argmax
+    // rel/2 − max_sim_to_selected/2, all ties on the candidate id.
+    "x89_mmr" -> {
+      val S = graft.corpus.Similarity
+      val steps = (2 to S.DefaultTopK).map { i =>
+        s""",
+m$i AS (
+  SELECT c.qid, c.cid, c.rel, MAX(p.sim) AS ms
+  FROM cand c
+  JOIN ps p ON p.qid = c.qid AND p.ca = c.cid
+  JOIN sel${i - 1} s ON s.qid = p.qid AND s.cid = p.cb
+  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                    WHERE x.qid = c.qid AND x.cid = c.cid)
+  GROUP BY 1, 2, 3),
+p$i AS (
+  SELECT qid, cid, rel, $i AS step, rel / 2 - ms / 2 AS mmr FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel / 2 - ms / 2 DESC, cid) AS rn FROM m$i)
+  WHERE rn = 1),
+sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)"""
+      }.mkString
+      s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw WHERE raw IS NOT NULL AND list_dot_product(raw, raw) > 0),
+q AS (SELECT vec_id AS qid, e AS qe FROM base
+      WHERE vec_id < ${S.DefaultTopKQueries}),
+cand AS (
+  SELECT qid, cid, rel, e FROM (
+    SELECT qid, vec_id AS cid, list_dot_product(qe, e) AS rel, e,
+      ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY list_dot_product(qe, e) DESC, vec_id) AS rn
+    FROM base CROSS JOIN q WHERE vec_id <> qid)
+  WHERE rn <= ${S.MmrCandidates}),
+ps AS (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb, list_dot_product(a.e, b.e) AS sim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+sel1 AS (
+  SELECT qid, cid, rel, 1 AS step, rel AS mmr FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel DESC, cid) AS rn FROM cand)
+  WHERE rn = 1)$steps
+SELECT qid AS query_id, cid AS neighbor_id, step,
+  round(rel, 6) AS relevance, round(mmr, 6) AS mmr_score
+FROM sel${S.DefaultTopK}"""
+    },
+
     "x6_cosine_topk" -> s"""WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 base AS (

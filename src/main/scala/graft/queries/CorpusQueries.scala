@@ -205,6 +205,11 @@ object CorpusQueries {
   def x88TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
     TextStats.tokenizerFertility(docs(spark, dir))
 
+  /** x89 — MMR-diversified cosine top-k: greedy maximal-marginal-relevance
+    * selection over the exact top-12 candidate pool per query. */
+  def x89Mmr(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(emb(spark, dir))
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))
