@@ -70,20 +70,30 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self; rank ties broken by neighbor id. */
   def cosineTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
-      k: Int = DefaultTopK): DataFrame = {
+      k: Int = DefaultTopK): DataFrame =
+    candidatePool(emb, numQueries, k, keepDegenerate = true)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
+        round(col("rel"), 6).as("cosine"))
+
+  /** Shared x6/x89 candidate stage: per query (vec_id < numQueries), every
+    * other vector's cosine, ranked (rel desc, cid) and cut at `k` —
+    * (qid, cid, rel, e, rank). x6 KEEPS degenerate (NULL-e) vectors — NULL
+    * cosines rank last by the id tiebreak — while the MMR pool excludes
+    * them on both sides; one definition so the two scan shapes cannot
+    * drift. */
+  private def candidatePool(emb: DataFrame, numQueries: Int, k: Int,
+      keepDegenerate: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = normalizedBase(emb)
+    val all = normalizedBase(emb)
+    val base = if (keepDegenerate) all else all.filter(col("e").isNotNull)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val pairs = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"),
-        dotp(col("qe"), col("e")).as("cos"))
-    pairs
+    base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dotp(col("qe"), col("e")).as("rel"), col("e"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
   }
 
   /** Deterministic +-1 hyperplane matrix: `bits` hyperplanes x `dim` components. */
@@ -411,70 +421,70 @@ object Similarity {
     * on the candidate id, so the greedy path is total and deterministic.
     *
     * Scale shape: the ONLY corpus-scale stage is the candidate pass (x6's
-    * broadcast-queries one-narrow-scan shape, swappable for the IVF/PQ
-    * generators at larger N — x71's SPI argument). The pool
-    * (queries × kCand rows, with unit vectors) is a BOUNDED driver artifact
-    * (the x87 weight-sheet discipline: left lazy, the greedy chain's ~3(k−1)
-    * self-references would re-run the corpus scan per reference); pairwise
-    * similarities and the k−1 greedy rounds are joins over that local
-    * relation — sheet-bounded at any corpus size. Every similarity is the
-    * same codegen'd [[graft.functions.VectorOps.dotp]] fold the oracle's
-    * `list_dot_product` replays, selection compares raw doubles (identical
-    * on both engines) with id tiebreaks, and output scores are rounded to
-    * 6 dp — the x6 conventions, inherited wholesale. */
+    * [[candidatePool]] — broadcast-queries, one narrow scan; swappable for
+    * the IVF/PQ generators at larger N, x71's SPI argument). The pool
+    * (queries × kCand rows, with unit vectors) and its pairwise-similarity
+    * table are BOUNDED driver artifacts (the x87 weight-sheet discipline —
+    * and a LAZY greedy chain would embed its own previous round three times
+    * per step, 3^(k−1) plan copies, so the rounds run driver-side); every
+    * similarity is still the codegen'd [[graft.functions.VectorOps.dotp]]
+    * fold the oracle's `list_dot_product` replays — the driver never does
+    * float ARITHMETIC of its own, only IEEE comparisons (`-0.0 == 0.0`,
+    * matching both engines' orderings) and the `rel/2 − ms/2` combine both
+    * JVMs execute identically — and the 6-dp output rounding happens in a
+    * Spark expression, never a hand-rolled driver round. */
   def mmrTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
       kCand: Int = MmrCandidates, k: Int = DefaultTopK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0 && kCand >= k, s"need kCand >= k > 0, got kCand=$kCand k=$k")
-    val base = normalizedBase(emb).filter(col("e").isNotNull)
-    val queries = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val cand = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        dotp(col("qe"), col("e")).as("rel"), col("e"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))))
-      .filter(col("rn") <= kCand)
-      .select(col("qid"), col("cid"), col("rel"), col("e"))
-    // bounded driver artifact: numQueries × kCand rows of (ids, rel, unit e)
     val spark = emb.sparkSession
+    val cand = candidatePool(emb, numQueries, kCand, keepDegenerate = false)
+      .select(col("qid"), col("cid"), col("rel"), col("e"))
+    // bounded driver artifacts: numQueries × kCand pool rows, then their
+    // complete pair-sim table (computed over the pool's LOCAL relation —
+    // one tiny Spark job, same dot kernel as everything else)
     val pool = spark.createDataFrame(
       java.util.Arrays.asList(cand.collect(): _*), cand.schema)
-    val sims = pool.select(col("qid"), col("cid").as("ca"), col("e"))
+    val rels: Array[(Long, Long, Double)] = pool
+      .select(col("qid"), col("cid"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sims: Map[(Long, Long, Long), Double] = pool
+      .select(col("qid"), col("cid").as("ca"), col("e"))
       .join(pool.select(col("qid"), col("cid").as("cb"), col("e").as("eb")),
         Seq("qid"))
       .filter(col("ca") =!= col("cb"))
       .select(col("qid"), col("ca"), col("cb"),
         dotp(col("e"), col("eb")).as("sim"))
-    def pick(scoredCands: DataFrame, step: Int): DataFrame =
-      scoredCands.withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("mmr").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("cid"), col("rel"), lit(step).as("step"),
-          col("mmr"))
-    var selected = pick(pool.select(col("qid"), col("cid"), col("rel"),
-      col("rel").as("mmr")), 1)
-    for (step <- 2 to k) {
-      // every unselected candidate's max similarity to the selected set:
-      // the pool's pair table is complete (a != b), so the inner joins can
-      // never silently drop a live candidate
-      val rem = pool.select(col("qid"), col("cid"), col("rel"))
-        .join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
-          "left_anti")
-        .withColumnRenamed("qid", "rq").withColumnRenamed("cid", "rc")
-      val next = pick(rem
-        .join(sims, col("rq") === sims("qid") && col("rc") === sims("ca"))
-        .join(selected.select(col("qid").as("sq"), col("cid").as("sc")),
-          col("rq") === col("sq") && col("cb") === col("sc"))
-        .groupBy(col("rq").as("qid"), col("rc").as("cid"), col("rel"))
-        .agg(max(col("sim")).as("ms"))
-        .select(col("qid"), col("cid"), col("rel"),
-          (col("rel") / 2 - col("ms") / 2).as("mmr")), step)
-      selected = selected.unionByName(next)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // greedy argmax with IEEE equality and the cid tiebreak — an explicit
+    // loop, not a tuple Ordering (java.lang.Double.compare separates ±0.0;
+    // SQL orderings do not)
+    def argmax(cands: Seq[(Long, Double)]): (Long, Double) =
+      cands.reduceLeft { (best, c) =>
+        if (c._2 > best._2 || (c._2 == best._2 && c._1 < best._1)) c else best
+      }
+    val out = rels.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cands = rows.toSeq.map(r => (r._2, r._3))
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      for (step <- 1 to math.min(k, cands.size)) {
+        val remaining = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = remaining.map { case (cid, rel) =>
+          val mmr = if (step == 1) rel
+            else rel / 2 - sel.map(s => sims((qid, cid, s._1))).max / 2
+          (cid, mmr)
+        }
+        val (cid, mmr) = argmax(scored)
+        sel += ((cid, cands.find(_._1 == cid).get._2, mmr))
+      }
+      sel.zipWithIndex.map { case ((cid, rel, mmr), i) =>
+        (qid, cid, i + 1, rel, mmr)
+      }
     }
-    selected.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-      col("step"), round(col("rel"), 6).as("relevance"),
-      round(col("mmr"), 6).as("mmr_score"))
+    import spark.implicits._
+    out.toDF("query_id", "neighbor_id", "step", "rel", "mmr")
+      .select(col("query_id"), col("neighbor_id"), col("step"),
+        round(col("rel"), 6).as("relevance"),
+        round(col("mmr"), 6).as("mmr_score"))
   }
 }
