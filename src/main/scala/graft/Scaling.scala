@@ -337,6 +337,12 @@ object Scaling {
       // at scan speed) plus the feedback-doc scan (isin pushdown)
       ("documents", "x87_rm3",
         (d, _) => graft.corpus.Retrieval.rm3TopK(rd(d, "documents"))),
+      // x89 MMR: fixed query set — the candidate pass (x6's shape) is the
+      // only growing term; the pool/pair-sim collects and the driver-side
+      // greedy are (queries × kCand)-bounded at every scale, and they run
+      // inside the timed cell (plan construction happens in the timer)
+      ("embeddings", "x89_mmr",
+        (d, _) => Similarity.mmrTopK(rd(d, "embeddings"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
