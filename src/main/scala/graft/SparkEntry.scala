@@ -140,6 +140,7 @@ object SparkEntry {
     "x87_rm3" -> (C.x87Rm3 _),
     "x88_tokenizer_fertility" -> (C.x88TokenizerFertility _),
     "x89_mmr" -> (C.x89Mmr _),
+    "x90_training_order" -> (C.x90TrainingOrder _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -547,6 +547,53 @@ object Curation {
           .cast("decimal(12,8)").as("lp"))
   }
 
+  /** Epoch seed for [[trainingOrder]]'s driver query — shared with the x90
+    * oracle generator so the two cannot drift. */
+  val ShuffleSeed: String = "graft-epoch-0"
+
+  /** X90 — deterministic training order: assign every document its position
+    * in a seeded global shuffle — the example-ordering step every training
+    * run performs before sharding, made REPRODUCIBLE (re-running the
+    * pipeline, or auditing which examples a given step saw, replays the
+    * identical permutation; a new seed is a fresh epoch order). The sort
+    * key is `md5(seed:doc_id)` — identity-keyed, so text edits never move a
+    * document within an epoch — and position is the EXACT global rank by
+    * (key, doc_id). Every document is ranked, NULL text included: an
+    * output-stage op must never silently drop a row (the x79 contract).
+    *
+    * Scale shape — an exact GLOBAL rank with no global window and no range
+    * exchange: md5 keys are uniform by construction, so the first 16 bits
+    * of the key are a FIXED, data-independent band split (no sampling, no
+    * `spark_partition_id` — the band is a pure function of row values, the
+    * x85 structural-consistency argument without even needing splitters).
+    * One bounded collect (≤ 2¹⁶ per-band counts) turns into per-band rank
+    * offsets, joined back as a broadcast local relation; one balanced
+    * hash-exchange on the band for the local row_number. Partition sizes
+    * are ~n/2¹⁶ regardless of data; a missing offset (impossible while the
+    * band stays deterministic) raises loudly instead of mis-ranking. */
+  def trainingOrder(docs: DataFrame, seed: String = ShuffleSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val key = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val banded = docs.select(col("doc_id"), key.as("sort_key"))
+      .withColumn("band", conv(substring(col("sort_key"), 1, 4), 16, 10)
+        .cast("long"))
+    // bounded driver artifact: per-band counts -> prefix-sum offsets
+    val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2)).toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("band", "off")
+    val localW = Window.partitionBy(col("band"))
+      .orderBy(col("sort_key"), col("doc_id"))
+    banded.join(broadcast(offDf), Seq("band"), "left")
+      .select(col("doc_id"), col("sort_key"),
+        (when(col("off").isNull, raise_error(concat(
+            lit("trainingOrder: missing rank offset for band "), col("band"))))
+          .otherwise(col("off")) + row_number().over(localW)).as("position"))
+  }
+
   /** Persist [[unigramLm]] BUCKETED on the token so every later scoring
     * probe ([[unigramLogProbAgainst]]'s LEFT join) re-shuffles only the
     * probing increment while the LM reads in place — the x54/x60 persisted

@@ -1743,6 +1743,19 @@ FROM cand c JOIN documents x ON c.doc_id_1 = x.doc_id
     // candidate pair-sim table, then the greedy replayed as CHAINED CTEs
     // (the x81 round-replay pattern): step 1 argmax rel, step i argmax
     // rel/2 − max_sim_to_selected/2, all ties on the candidate id.
+    // x90: seeded deterministic global shuffle — identity-keyed md5 sort
+    // key, exact global rank; the Spark side computes the same rank with
+    // fixed 16-bit hash bands instead of a global window
+    "x90_training_order" -> {
+      val seed = graft.corpus.Curation.ShuffleSeed
+      s"""SELECT doc_id,
+  md5(concat('$seed', ':', CAST(doc_id AS VARCHAR))) AS sort_key,
+  ROW_NUMBER() OVER (
+    ORDER BY md5(concat('$seed', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS position
+FROM documents"""
+    },
+
     "x89_mmr" -> {
       val S = graft.corpus.Similarity
       val steps = (2 to S.DefaultTopK).map { i =>

@@ -210,6 +210,10 @@ object CorpusQueries {
   def x89Mmr(spark: SparkSession, dir: String): DataFrame =
     Similarity.mmrTopK(emb(spark, dir))
 
+  /** x90 — deterministic training order: seeded global shuffle positions. */
+  def x90TrainingOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.trainingOrder(docs(spark, dir))
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))
