@@ -343,6 +343,11 @@ object Scaling {
       // inside the timed cell (plan construction happens in the timer)
       ("embeddings", "x89_mmr",
         (d, _) => Similarity.mmrTopK(rd(d, "embeddings"))),
+      // x90 training order: every row ranked, output exactly m× — the cell
+      // pins the fixed-band global rank staying linear (one narrow band
+      // projection, one bounded collect, one balanced hash-exchange window)
+      ("documents", "x90_training_order",
+        (d, _) => graft.corpus.Curation.trainingOrder(rd(d, "documents"))),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
