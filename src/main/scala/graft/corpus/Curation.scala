@@ -572,9 +572,14 @@ object Curation {
     * are ~n/2¹⁶ regardless of data; a missing offset (impossible while the
     * band stays deterministic) raises loudly instead of mis-ranking. */
   def trainingOrder(docs: DataFrame, seed: String = ShuffleSeed): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val key = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    // loud gate: a NULL doc_id would NULL the key and the band, dying later
+    // as an opaque NPE in the offsets collect — identity keys must exist
+    val id = when(col("doc_id").isNull,
+      raise_error(lit("trainingOrder: NULL doc_id — the identity sort key " +
+        "needs a non-null id")).cast("long"))
+      .otherwise(col("doc_id"))
+    val key = md5(concat(lit(seed), lit(":"), id.cast("string")))
     val banded = docs.select(col("doc_id"), key.as("sort_key"))
       .withColumn("band", conv(substring(col("sort_key"), 1, 4), 16, 10)
         .cast("long"))

@@ -1738,11 +1738,6 @@ WHERE rn <= 3"""),
 FROM cand c JOIN documents x ON c.doc_id_1 = x.doc_id
             JOIN documents y ON c.doc_id_2 = y.doc_id"""),
 
-    // x89: MMR-diversified top-k — the x6 cosine base (degenerates excluded
-    // on BOTH sides, matching the engine's pool contract), a complete
-    // candidate pair-sim table, then the greedy replayed as CHAINED CTEs
-    // (the x81 round-replay pattern): step 1 argmax rel, step i argmax
-    // rel/2 − max_sim_to_selected/2, all ties on the candidate id.
     // x90: seeded deterministic global shuffle — identity-keyed md5 sort
     // key, exact global rank; the Spark side computes the same rank with
     // fixed 16-bit hash bands instead of a global window
@@ -1756,6 +1751,11 @@ FROM cand c JOIN documents x ON c.doc_id_1 = x.doc_id
 FROM documents"""
     },
 
+    // x89: MMR-diversified top-k — the x6 cosine base (degenerates excluded
+    // on BOTH sides, matching the engine's pool contract), a complete
+    // candidate pair-sim table, then the greedy replayed as CHAINED CTEs
+    // (the x81 round-replay pattern): step 1 argmax rel, step i argmax
+    // rel/2 − max_sim_to_selected/2, all ties on the candidate id.
     "x89_mmr" -> {
       val S = graft.corpus.Similarity
       val steps = (2 to S.DefaultTopK).map { i =>

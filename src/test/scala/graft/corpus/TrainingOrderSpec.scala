@@ -42,6 +42,18 @@ class TrainingOrderSpec extends AnyFunSuite with SparkSpec {
     assert(order("epoch-1") != order("epoch-2"))
   }
 
+  test("a NULL doc_id fails loudly at the key, not as an opaque NPE later") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] { Curation.trainingOrder(d).collect() }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("NULL doc_id"))
+  }
+
   test("plan: rank window partitions on the hash band — no SinglePartition " +
       "exchange anywhere") {
     val d = docs(200)
