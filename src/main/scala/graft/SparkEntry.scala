@@ -141,6 +141,7 @@ object SparkEntry {
     "x88_tokenizer_fertility" -> (C.x88TokenizerFertility _),
     "x89_mmr" -> (C.x89Mmr _),
     "x90_training_order" -> (C.x90TrainingOrder _),
+    "x91_fertility_drift" -> (C.x91FertilityDrift _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

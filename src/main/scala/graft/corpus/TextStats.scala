@@ -592,15 +592,21 @@ object TextStats {
     * 100 TB corpus reaches (the x78 rational-tie discipline plus the
     * widening the envelope needs; the oracle mirrors it in HUGEINT). */
   def tokenizerFertility(docs: DataFrame,
-      numMerges: Int = BpeDefaultMerges): DataFrame = {
-    val merges = trainBpe(docs, numMerges).map(t => (t._1, t._2))
+      numMerges: Int = BpeDefaultMerges): DataFrame =
+    fertilityAgainst(docs, trainBpe(docs, numMerges).map(t => (t._1, t._2)))
+
+  /** [[tokenizerFertility]]'s aggregate under a GIVEN (frozen) merge list —
+    * the deployment shape, where the tokenizer is trained once and every
+    * corpus slice is audited against it. One narrow projection (length/
+    * lang/source ride the SAME pass as the segment kernel — a join back on
+    * doc_id would be a corpus-sized sort-merge join for values computable
+    * in place) + one map-side-partial aggregate. */
+  def fertilityAgainst(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     def microRatio(a: String, b: String): Column =
       when(col(b) > 0,
         expr(s"(cast(2000000 as decimal(38,0)) * $a + $b) div (2 * $b)")
           .cast("double") / 1e6)
-    // length/lang/source ride the SAME projection as the segment kernel —
-    // a join back to docs on doc_id would be a corpus-sized sort-merge join
-    // for a value computable in the one narrow pass
     docs.select(col("lang"), col("source"), length(col("text")).as("nc"),
         graft.functions.BpeSegment(col("text"), merges).as("s"))
       .groupBy(col("lang"), col("source"))
@@ -612,5 +618,42 @@ object TextStats {
         col("n_words"), col("n_subwords"),
         microRatio("n_chars", "n_subwords").as("chars_per_token"),
         microRatio("n_subwords", "n_words").as("tokens_per_word"))
+  }
+
+  /** X91 — tokenizer-fertility drift: the x88 audit's incremental twin
+    * (the x53/x56/x57 drift discipline applied to the tokenizer plane).
+    * The tokenizer is FROZEN — `merges` trained once on a reference
+    * snapshot — and arriving data's per-(lang, source) fertility under it
+    * is compared against the reference baseline: a slice whose
+    * chars-per-token FALLS (or tokens-per-word climbs) is drifting away
+    * from the vocabulary the tokenizer learned, the signal to retrain
+    * before training-cost and context-budget disparities set in. Slices
+    * present on only one side carry NULL opposite-side stats and NULL
+    * deltas (never dropped — a NEW language appearing is precisely the
+    * event to surface). Deltas subtract the exact micro-ratio doubles, so
+    * both engines compute identical values.
+    *
+    * Scale shape: two [[fertilityAgainst]] passes (each one narrow
+    * projection + one map-side-partial aggregate) and a FULL OUTER join of
+    * two slice-cardinality frames — nothing corpus-sized moves. */
+  def fertilityDrift(newDocs: DataFrame, refDocs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val n = fertilityAgainst(newDocs, merges)
+      .select(col("lang"), col("source"), col("n_docs").as("n_docs_new"),
+        col("chars_per_token").as("chars_per_token_new"),
+        col("tokens_per_word").as("tokens_per_word_new"))
+    val r = fertilityAgainst(refDocs, merges)
+      .select(col("lang"), col("source"), col("n_docs").as("n_docs_ref"),
+        col("chars_per_token").as("chars_per_token_ref"),
+        col("tokens_per_word").as("tokens_per_word_ref"))
+    n.join(r, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        col("n_docs_new"), col("n_docs_ref"),
+        col("chars_per_token_new"), col("chars_per_token_ref"),
+        (col("chars_per_token_new") - col("chars_per_token_ref"))
+          .as("delta_chars_per_token"),
+        col("tokens_per_word_new"), col("tokens_per_word_ref"),
+        (col("tokens_per_word_new") - col("tokens_per_word_ref"))
+          .as("delta_tokens_per_word"))
   }
 }

@@ -126,7 +126,11 @@ cand AS (
     * `w_i` are each referenced twice, and DuckDB's default inlining would
     * re-run the whole training prefix per reference — 2^rounds blowup,
     * measured as a >100× slowdown at 8 rounds. */
-  private val bpeChainCtes: String = {
+  /** `trainRel` feeds the merge training (w0), `applyRel` the segmentation
+    * (dw) — "documents"/"documents" reproduces the original x81/x88 chain
+    * byte-for-byte; x91 trains on the frozen half and applies to all. */
+  private def bpeChainCtes(trainRel: String = "documents",
+      applyRel: String = "documents"): String = {
     val rounds = graft.corpus.TextStats.BpeDefaultMerges
     val s1 = "chr(1)"
     val s2 = "chr(1)||chr(1)"
@@ -159,14 +163,14 @@ w$i AS MATERIALIZED (
     }.mkString(",\n")
     s"""WITH w0 AS MATERIALIZED (
   SELECT ${wrapChars.format("w")} AS s, COUNT(*) AS freq
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $trainRel t0
         WHERE text IS NOT NULL)
   WHERE w <> ''
   GROUP BY 1),
 $train,
 dw AS (
   SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j
-  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $applyRel a0
         WHERE text IS NOT NULL)),
 d0 AS MATERIALIZED (
   SELECT doc_id, j, ${wrapChars.format("ws[j]")} AS s
@@ -180,7 +184,7 @@ agg AS (
   FROM d$rounds GROUP BY doc_id)"""
   }
 
-  private val bpeSegmentSql: String = bpeChainCtes + """
+  private val bpeSegmentSql: String = bpeChainCtes() + """
 SELECT d.doc_id,
   CAST(CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END
     AS BIGINT) AS n_tokens,
@@ -190,11 +194,50 @@ SELECT d.doc_id,
     AS subword_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
+  /** x91 — fertility drift: merges trained on the FROZEN half (even
+    * doc_ids), applied to everything, sums split by side (doc_id parity),
+    * full-outer pivot with micro-exact ratios and double deltas. */
+  private val fertilityDriftSql: String = bpeChainCtes(
+    trainRel = "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    applyRel = "documents") + """,
+perdoc AS (
+  SELECT d.doc_id % 2 AS side, d.lang, d.source, d.text,
+    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END AS nt,
+    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nsub, 0) END AS nsub
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+sums AS (
+  SELECT side, lang, source, COUNT(text) AS n_docs,
+    CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+    CAST(SUM(nt) AS BIGINT) AS n_words,
+    CAST(SUM(nsub) AS BIGINT) AS n_subwords
+  FROM perdoc GROUP BY 1, 2, 3),
+rat AS (
+  SELECT side, lang, source, n_docs,
+    CASE WHEN n_subwords > 0 THEN
+      CAST((CAST(2000000 AS HUGEINT) * n_chars + n_subwords)
+        // (2 * CAST(n_subwords AS HUGEINT)) AS DOUBLE) / 1000000.0
+    END AS cpt,
+    CASE WHEN n_words > 0 THEN
+      CAST((CAST(2000000 AS HUGEINT) * n_subwords + n_words)
+        // (2 * CAST(n_words AS HUGEINT)) AS DOUBLE) / 1000000.0
+    END AS tpw
+  FROM sums)
+SELECT COALESCE(n.lang, r.lang) AS lang,
+  COALESCE(n.source, r.source) AS source,
+  n.n_docs AS n_docs_new, r.n_docs AS n_docs_ref,
+  n.cpt AS chars_per_token_new, r.cpt AS chars_per_token_ref,
+  n.cpt - r.cpt AS delta_chars_per_token,
+  n.tpw AS tokens_per_word_new, r.tpw AS tokens_per_word_ref,
+  n.tpw - r.tpw AS delta_tokens_per_word
+FROM (SELECT * FROM rat WHERE side = 1) n
+FULL OUTER JOIN (SELECT * FROM rat WHERE side = 0) r
+  ON n.lang = r.lang AND n.source = r.source"""
+
   /** x88 — the x81 chain aggregated per (lang, source): corpus-trained-BPE
     * fertility. Ratios are exact integer half-up micro divisions on the
     * aggregated sums, in HUGEINT (Spark mirrors in DECIMAL(38,0)) — the
     * x78 rational-tie discipline widened past the BIGINT envelope. */
-  private val tokenizerFertilitySql: String = bpeChainCtes + """,
+  private val tokenizerFertilitySql: String = bpeChainCtes() + """,
 perdoc AS (
   SELECT d.lang, d.source, d.text,
     CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.nt, 0) END AS nt,
@@ -1449,6 +1492,7 @@ FROM n GROUP BY 1""",
     // x81: BPE train-then-segment (round-for-round training replay)
     "x81_bpe_segment" -> bpeSegmentSql,
     "x88_tokenizer_fertility" -> tokenizerFertilitySql,
+    "x91_fertility_drift" -> fertilityDriftSql,
 
     // x34: overlapping fixed-window chunking — geometry from Curation
     "x34_chunk_docs" -> chunkSql,

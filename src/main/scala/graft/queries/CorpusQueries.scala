@@ -214,6 +214,17 @@ object CorpusQueries {
   def x90TrainingOrder(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.trainingOrder(docs(spark, dir))
 
+  /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
+    * under the merge list trained on the even-id frozen half, against that
+    * half's own fertility baseline (x40's split convention). */
+  def x91FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val frozen = d.filter(col("doc_id") % 2 === 0)
+    TextStats.fertilityDrift(
+      d.filter(col("doc_id") % 2 === 1), frozen,
+      TextStats.trainBpe(frozen).map(t => (t._1, t._2)))
+  }
+
   /** x38 — per-source document-length profile (count/min/max/quartiles/total). */
   def x38LengthProfile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.lengthProfile(docs(spark, dir))

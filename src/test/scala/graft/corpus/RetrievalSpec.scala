@@ -123,6 +123,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(got(("sw", "web")) == ((1L, 0L, 0L, 0L, None, None)))
   }
 
+  test("fertility drift: identical slices read zero delta, one-sided " +
+      "slices surface with NULL opposite stats, values referee against " +
+      "two fertilityAgainst runs") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "text", "lang", "source")
+    val ref = frame(Seq((2L, "aa ab aa", "en", "web"), (4L, "aa aa", "en", "web"),
+      (6L, "xyz xyz", "de", "web")))
+    val nw = frame(Seq(
+      (1L, "aa ab aa", "en", "web"), (3L, "aa aa", "en", "web"), // = ref slice
+      (5L, "zz zz zz", "sw", "web")))                            // new slice
+    val merges = TextStats.trainBpe(ref).map(t => (t._1, t._2))
+    val got = TextStats.fertilityDrift(nw, ref, merges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("en", "web"), ("de", "web"), ("sw", "web")))
+    val en = got(("en", "web"))
+    assert(en.getAs[Double]("delta_chars_per_token") == 0.0)
+    assert(en.getAs[Double]("delta_tokens_per_word") == 0.0)
+    val de = got(("de", "web"))                    // ref-only slice
+    assert(de.get(de.fieldIndex("n_docs_new")) == null)
+    assert(de.get(de.fieldIndex("delta_chars_per_token")) == null)
+    val sw = got(("sw", "web"))                    // new-only slice
+    assert(sw.get(sw.fieldIndex("n_docs_ref")) == null)
+    // referee: pivot of two independent fertilityAgainst runs
+    val newFert = TextStats.fertilityAgainst(nw, merges).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("chars_per_token"),
+          r.getAs[Double]("tokens_per_word"))).toMap
+    assert(sw.getAs[Double]("chars_per_token_new") ==
+      newFert(("sw", "web"))._1)
+    assert(en.getAs[Double]("tokens_per_word_new") ==
+      newFert(("en", "web"))._2)
+  }
+
   test("rm3: expansion terms reach documents sharing NO query vocabulary") {
     val d = docs(
       0L -> "apple",          // query
