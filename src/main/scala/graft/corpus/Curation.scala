@@ -455,17 +455,30 @@ object Curation {
     * window — documented, not silent. A missing offset/total lookup (only
     * reachable if the determinism argument above ever breaks) raises
     * loudly instead of mis-ranking. The NTILE arithmetic downstream is pure
-    * integer (div/mod), bit-equal to the oracle. At deployment scale the
-    * scoring pipeline runs three times (splitters, counts, final) — a real
-    * deployment materializes the scored frame once and feeds it to all
-    * three, a policy choice outside this operator. */
+    * integer (div/mod), bit-equal to the oracle. The corpus-scale scoring
+    * pipeline (vocabulary build + token-keyed join) executes EXACTLY ONCE:
+    * the scored frame — one narrow row per document, a tiny fraction of the
+    * corpus bytes — is `localCheckpoint`ed before its three consumers
+    * (splitter collect, band-count collect, final output), the x20 hygiene.
+    * The checkpoint also makes the three consumers structurally consistent
+    * by construction (they read one materialized RDD), upgrading the
+    * value-determinism argument above from "required" to "defense in
+    * depth". The final checkpoint backs the returned frame and is released
+    * by the ContextCleaner once the caller drops the result. */
   def ccnetBuckets(docs: DataFrame, buckets: Int = 3,
       splits: Int = 0): DataFrame = {
     require(buckets > 0, "bucket count must be positive")
     val spark = docs.sparkSession
     val nSplits =
       if (splits > 0) splits
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // safe parse: some deployments set this conf non-numerically (e.g.
+      // "auto" under AQE wrappers) — fall back to the cluster's default
+      // parallelism rather than throwing at plan-build time
+      else scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    // ONE corpus-scale pass: score, prune to the five narrow columns every
+    // consumer needs, materialize. Everything below reads this one RDD.
     val scored = TextStats.unigramLogProb(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("s", col("sum_logprob") / col("n_tokens"))
@@ -473,6 +486,9 @@ object Curation {
       // own NTILE partition on both engines, keyed here by a sentinel no
       // real language code contains
       .withColumn("lkey", coalesce(col("lang"), lit("\u0000")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("s"),
+        col("lkey"))
+      .localCheckpoint()
     // bounded driver artifact #1: per-language score splitters
     val fracs = (1 until nSplits).map(_.toDouble / nSplits)
     val splitters: Map[String, Seq[Double]] =

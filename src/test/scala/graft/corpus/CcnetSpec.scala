@@ -104,6 +104,32 @@ class CcnetSpec extends AnyFunSuite with SparkSpec {
         "tricks are exactly what the branch-consistency argument forbids")
   }
 
+  test("plan: the corpus-scale scoring pipeline executes exactly once — " +
+      "the returned frame reads the checkpointed scored RDD, not a third " +
+      "re-evaluation of the vocabulary join") {
+    val docs = docsDf(randomCorpus(13L, 70))
+    val df = Curation.ccnetBuckets(docs)
+    val analyzed = df.queryExecution.analyzed
+    // the scored frame was localCheckpoint'ed before its three consumers, so
+    // the RETURNED plan must bottom out in a LogicalRDD (the materialized
+    // scores) and contain ZERO scoring subtrees (no tokenize-explode, no
+    // token-keyed vocabulary join)
+    val rddLeaves = analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rddLeaves.size == 1,
+      s"expected the checkpointed scored RDD as the single leaf:\n$analyzed")
+    val generates = analyzed.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    val joins = analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(generates.isEmpty && joins.isEmpty,
+      "the scoring pipeline leaked into the returned plan — it would " +
+        s"re-execute per consumer at 100 TB:\n$analyzed")
+  }
+
   test("unigramLogProbAgainst on the LM's own corpus reproduces " +
       "unigramLogProb bit for bit, all tokens known") {
     val docs = docsDf(randomCorpus(11L, 50))
