@@ -117,10 +117,16 @@ object ScalingIncr {
       // sheet-excluded, like every other bm25Index pairing (bm25TopK,
       // x65RelevanceGate, the RetrievalSpec parity test) — indexing the
       // sheet docs would shift N/avgdl/df away from the self-contained path
-      if (want("x60_probe"))
+      if (want("x60_probe", "x92_probe"))
         graft.corpus.Retrieval.writeBm25Index(
           graft.corpus.Retrieval.bm25Index(
             oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())), bmTable)
+      val postTable = s"scal_incr_post_x$m"
+      if (want("x92_probe"))
+        graft.corpus.Retrieval.writeBm25Postings(
+          graft.corpus.Retrieval.bm25Postings(
+            oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())),
+          postTable)
       if (want("x84_probe"))
         TextDedup.writeVocabulary(
           TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
@@ -160,6 +166,17 @@ object ScalingIncr {
           inc("embeddings"), oldEmb, k = Semantic.kFor(oldN))),
         ("x60_probe", () => graft.corpus.Retrieval.bm25TopKAgainst(
           inc("documents"), spark.table(bmTable), sheet)),
+        // x92: RM3 over the persisted postings + index, fixed sheet. Unlike
+        // the fixed-increment probes this re-SCORES the whole corpus per
+        // sheet revision (that is RM3's contract), but the probe never
+        // re-tokenizes: matched postings stay constant in m (replica k >= 1
+        // vocabularies are sheet-disjoint), so the cell isolates the
+        // bucketed postings/index scan term — flat downstream work plus a
+        // scan-bound linear read. x87_full below is the self-contained
+        // contrast that re-tokenizes the corpus ~2.5x every run
+        ("x92_probe", () => graft.corpus.Retrieval.rm3TopKAgainst(
+          spark.table(postTable), spark.table(bmTable), sheet)),
+        ("x87_full", () => graft.corpus.Retrieval.rm3TopK(oldDocs)),
         // x84: fixed increment scrubbed against the growing persisted span
         // vocabulary. Each increment doc near-duplicates its replica-0 twin,
         // so its spans ARE in the vocabulary and removal work per doc is
@@ -188,6 +205,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $bmTable")
       spark.sql(s"DROP TABLE IF EXISTS $spanVocTable")
       spark.sql(s"DROP TABLE IF EXISTS $lmTable")
+      spark.sql(s"DROP TABLE IF EXISTS $postTable")
       rows
     }
 

@@ -616,17 +616,10 @@ object Retrieval {
     // so it collects to a driver artifact (the centroid/codebook pattern) —
     // leaving it lazy would re-run the whole ranked BM25 pass once per
     // consumer below (measured: three instantiations in the physical plan).
-    // Per-query normalizers sum exactly in BigDecimal: each score is a
-    // DECIMAL(14,6)-cast double, ≤ 14 significant digits, so
-    // BigDecimal.valueOf (via Double.toString) recovers the exact decimal
-    // the oracle's SUM(CAST(score AS DECIMAL(14,6))) adds.
     val fbRows: Array[(Long, Long, Double)] =
       bm25TopK(docs, queryMod, fbDocs)
         .select(col("query_id"), col("doc_id"), col("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val ssum: Map[Long, Double] = fbRows.groupBy(_._1).map { case (q, rs) =>
-      q -> rs.map(r => BigDecimal.valueOf(r._3)).sum.toDouble
-    }
 
     // feedback docs' FULL term distributions (the expansion source): the
     // bounded id list becomes an isin literal the parquet scan pushes down
@@ -637,50 +630,8 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
-    // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact
-    // sum, kept as exact integer nano-units (see the tie note above)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fbSnorm = fbRows.toSeq
-      .map { case (q, d, s) => (q, d, s / ssum(q)) }
-      .toDF("qid", "doc_id", "snorm")
-    val rm1 = fbtf.join(broadcast(fbSnorm), "doc_id")
-      .select(col("qid"), col("w"),
-        round(col("snorm") * (col("tf") / col("dl").cast("double")), 9)
-          .cast("decimal(12,9)").as("c"))
-      .groupBy(col("qid"), col("w"))
-      .agg((sum(col("c")).cast("decimal(20,9)") * 1000000000)
-        .cast("long").as("rw_nano"))
-    val topm = rm1.withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rw_nano").desc, col("w"))))
-      .filter(col("rn") <= fbTerms)
-      .select(col("qid"), col("w"), col("rw_nano"))
-
-    // original query term distribution, exact integer micro half-weight
-    val qdocs = docs.filter(isQuery)
-      .select(col("doc_id").as("qid"), ws.as("qws"))
-    val orig = qdocs
-      .select(col("qid"), size(col("qws")).as("qlen"),
-        explode(col("qws")).as("w"))
-      .groupBy(col("qid"), col("qlen"), col("w"))
-      .agg(count(lit(1)).as("qtf"))
-      .select(col("qid"), col("w"),
-        expr("(1000000L * qtf + qlen) div (2L * qlen)").as("om"))
-
-    // interpolated weight sheet, collected to a DRIVER artifact in one
-    // action: topm is (|sheet| × fbTerms)-bounded and orig (|sheet| ×
-    // query-length)-bounded, and leaving the union lazy would re-run the
-    // fbtf chain once per consumer (the vocabulary prune AND the scoring
-    // join both read it). Built as a UNION + sum, not a full-outer join
-    // (full outer cannot broadcast — it would be the plan's only
-    // sort-merge join). The RM1 half is the integer half-up (rw_nano/2000)
-    // — never a double round.
-    val weights = orig.select(col("qid"), col("w"), col("om").as("m"))
-      .unionByName(topm.select(col("qid"), col("w"),
-        expr("(rw_nano + 1000L) div 2000L").as("m")))
-      .groupBy(col("qid"), col("w")).agg(sum(col("m")).as("wt"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .toSeq.toDF("qid", "w", "wt")
+    val weights = rm3WeightSheet(docs.sparkSession, fbRows, fbtf,
+      origWeights(docs.filter(isQuery)), fbTerms)
 
     // pass 2: BM25 postings pruned to the expanded vocabulary, weighted
     // sum. The prune probes the weight sheet WHOLE (left-semi ignores the
@@ -693,6 +644,84 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .crossJoin(broadcast(corpusStats(docs.filter(!isQuery))))
+    rm3ScoreTail(tf2, weights, k)
+  }
+
+  /** The shared RM3 weight-sheet assembly ([[rm3TopK]] ↔
+    * [[rm3TopKAgainst]]): from the collected pass-1 feedback set, the
+    * feedback documents' full term distributions, and the original-query
+    * term weights, build the interpolated `(qid, w, wt)` micro-unit sheet
+    * as a COLLECTED driver artifact — (|sheet| × (qlen + fbTerms))-bounded,
+    * so it broadcasts into both pass-2 consumers (vocabulary prune and
+    * scoring join) as ONE ReuseExchange-folded build. Per-query score
+    * normalizers sum exactly in BigDecimal: each score is a
+    * DECIMAL(14,6)-cast double, ≤ 14 significant digits, so
+    * BigDecimal.valueOf (via Double.toString) recovers the exact decimal
+    * the oracle's SUM(CAST(score AS DECIMAL(14,6))) adds. RM1 mass is 9-dp
+    * rounded + DECIMAL-summed into exact integer nano-units; both
+    * interpolation halves are exact integer half-up micro divisions (see
+    * [[rm3TopK]]'s determinism note). */
+  private def rm3WeightSheet(spark: org.apache.spark.sql.SparkSession,
+      fbRows: Array[(Long, Long, Double)], fbtf: DataFrame,
+      orig: DataFrame, fbTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ssum: Map[Long, Double] = fbRows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(r => BigDecimal.valueOf(r._3)).sum.toDouble
+    }
+    val fbSnorm = fbRows.toSeq
+      .map { case (q, d, s) => (q, d, s / ssum(q)) }
+      .toDF("qid", "doc_id", "snorm")
+    // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact
+    // sum, kept as exact integer nano-units (the half-micro tie note)
+    val rm1 = fbtf.join(broadcast(fbSnorm), "doc_id")
+      .select(col("qid"), col("w"),
+        round(col("snorm") * (col("tf") / col("dl").cast("double")), 9)
+          .cast("decimal(12,9)").as("c"))
+      .groupBy(col("qid"), col("w"))
+      .agg((sum(col("c")).cast("decimal(20,9)") * 1000000000)
+        .cast("long").as("rw_nano"))
+    val topm = rm1.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rw_nano").desc, col("w"))))
+      .filter(col("rn") <= fbTerms)
+      .select(col("qid"), col("w"), col("rw_nano"))
+    // interpolated weight sheet, collected to a DRIVER artifact in one
+    // action: topm is (|sheet| × fbTerms)-bounded and orig (|sheet| ×
+    // query-length)-bounded, and leaving the union lazy would re-run the
+    // fbtf chain once per consumer (the vocabulary prune AND the scoring
+    // join both read it). Built as a UNION + sum, not a full-outer join
+    // (full outer cannot broadcast — it would be the plan's only
+    // sort-merge join). The RM1 half is the integer half-up (rw_nano/2000)
+    // — never a double round.
+    orig.select(col("qid"), col("w"), col("om").as("m"))
+      .unionByName(topm.select(col("qid"), col("w"),
+        expr("(rw_nano + 1000L) div 2000L").as("m")))
+      .groupBy(col("qid"), col("w")).agg(sum(col("m")).as("wt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.toDF("qid", "w", "wt")
+  }
+
+  /** Original-query term distribution as exact integer micro half-weights:
+    * `(10⁶·qtf + qlen) div (2·qlen)` — the integer half-up division (x78
+    * discipline; a double `round(qtf/qlen/2, 6)` can land on a half-micro
+    * tie where the engines' rounding disagrees). */
+  private def origWeights(queryDocs: DataFrame): DataFrame =
+    queryDocs
+      .select(col("doc_id").as("qid"), size(ws).as("qlen"),
+        explode(ws).as("w"))
+      .groupBy(col("qid"), col("qlen"), col("w"))
+      .agg(count(lit(1)).as("qtf"))
+      .select(col("qid"), col("w"),
+        expr("(1000000L * qtf + qlen) div (2L * qlen)").as("om"))
+
+  /** The shared RM3 pass-2 scoring tail: input carries (doc_id, dl, w, tf,
+    * df, n, avgdl) pruned to the expanded vocabulary; computes the 6-dp
+    * BM25 per-term decimal ONCE per posting ([[scoreAndRank]]'s hoisting +
+    * fan-out discipline, including the explicit repartition), weights it by
+    * the sheet's exact micro units, sums exactly, divides by 10⁶ once. */
+  private def rm3ScoreTail(tf2: DataFrame, weights: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val norm = (col("tf") * K1Plus1) /
       (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
@@ -700,7 +729,7 @@ object Retrieval {
     val fanIn = tf2
       .select(col("doc_id"), col("w"),
         round(idf * norm, 6).cast("decimal(14,6)").as("t"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(tf2.sparkSession.sparkContext.defaultParallelism)
     fanIn
       .join(broadcast(weights), "w")
       .groupBy(col("qid"), col("doc_id"))
@@ -712,5 +741,73 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("doc_id"), col("n_terms"),
         col("score"), col("rank"))
+  }
+
+  /** Corpus-side BM25 POSTINGS — the classic inverted index: one row per
+    * (document, term) with the term frequency and the document's length,
+    * the corpus-scale artifact [[rm3TopKAgainst]] probes so that NO RM3
+    * pass ever re-tokenizes a corpus the index already digested (the
+    * vocabulary-level [[bm25Index]] holds df/N/avgdl but not per-doc tf —
+    * scoring needs both). One corpus pass: narrow tokenize + one
+    * map-side-partial (doc, term) aggregate. */
+  def bm25Postings(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Persist [[bm25Postings]] BUCKETED on the term key (x54's storage
+    * contract, [[writeBm25Index]]'s bucket default) so every probe's
+    * term-keyed join — vocabulary prunes AND the index stats join — reads
+    * the postings in place with zero postings-side exchanges. */
+  def writeBm25Postings(postings: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    graft.util.BucketedTable.write(postings, tableName, buckets, "w")
+
+  /** X92 — [[rm3TopK]]'s production shape over the persisted retrieval
+    * artifacts: RM3 against a frozen [[bm25Postings]] + [[bm25Index]] pair,
+    * never re-reading — let alone re-tokenizing — the corpus the indexes
+    * digested (the x54/x60/x84/x86 persisted-probe discipline applied to
+    * the suite's most expensive steady-state query). The self-contained
+    * [[rm3TopK]] tokenizes the corpus ~2.5 times per sheet run; a
+    * deployment re-running RM3 per sheet revision (the expansion terms
+    * depend on the sheet, so every revision re-scores) pays that ENTIRE
+    * cost again each time, while this probe's per-run work is three
+    * postings-side joins on the bucketed term key plus sheet-bounded
+    * driver artifacts. Scored against the same corpus the artifacts were
+    * built from, output is IDENTICAL to [[rm3TopK]] (spec-pinned, x51's
+    * parity discipline):
+    *
+    *  - pass 1 = [[bm25TopKAgainst]]'s shape: postings pruned by the
+    *    broadcast query sheet, index-joined for df/N/avgdl ([[bm25Index]]
+    *    df counts distinct docs per term = the self-contained count window
+    *    over the pruned postings; stats rows are denormalized corpus-wide);
+    *  - the feedback documents' full term distributions READ from the
+    *    postings (`doc_id isin` pushes into the scan) — no tokenize;
+    *  - pass 2: postings pruned by the broadcast expanded-weight sheet,
+    *    index-joined, into the shared exact-decimal scoring tail.
+    *
+    * With both artifacts persisted via [[writeBm25Postings]] /
+    * [[writeBm25Index]] at matching bucket counts, every postings↔index
+    * join co-locates on the term buckets — the only exchanges left are the
+    * bounded aggregate/rank shuffles (spec-pinned plan shape). */
+  def rm3TopKAgainst(postings: DataFrame, index: DataFrame,
+      queryDocs: DataFrame, k: Int = DefaultTopK, fbDocs: Int = Rm3FbDocs,
+      fbTerms: Int = Rm3FbTerms): DataFrame = {
+    val qterms = queryDocs
+      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    // pass 1, executed ONCE and collected (rm3TopK's bounded-artifact note)
+    val fbRows: Array[(Long, Long, Double)] =
+      scoreAndRank(postings.join(broadcast(qterms), Seq("w"), "left_semi")
+          .join(index, "w"), qterms, fbDocs)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fbIds = fbRows.map(_._2).distinct.toSeq
+    val fbtf = postings.filter(col("doc_id").isin(fbIds: _*))
+    val weights = rm3WeightSheet(postings.sparkSession, fbRows, fbtf,
+      origWeights(queryDocs), fbTerms)
+    val tf2 = postings.join(broadcast(weights), Seq("w"), "left_semi")
+      .join(index, "w")
+    rm3ScoreTail(tf2, weights, k)
   }
 }

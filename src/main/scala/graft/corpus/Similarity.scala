@@ -75,12 +75,12 @@ object Similarity {
       .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
         round(col("rel"), 6).as("cosine"))
 
-  /** Shared x6/x89 candidate stage: per query (vec_id < numQueries), every
-    * other vector's cosine, ranked (rel desc, cid) and cut at `k` —
-    * (qid, cid, rel, e, rank). x6 KEEPS degenerate (NULL-e) vectors — NULL
-    * cosines rank last by the id tiebreak — while the MMR pool excludes
-    * them on both sides; one definition so the two scan shapes cannot
-    * drift. */
+  /** x6's candidate stage: per query (vec_id < numQueries), every other
+    * vector's cosine, ranked (rel desc, cid) and cut at `k` — (qid, cid,
+    * rel, e, rank). x6 KEEPS degenerate (NULL-e) vectors — NULL cosines
+    * rank last by the id tiebreak. (x89's pool reproduces the
+    * keepDegenerate=false contract through the [[Retrieval.DenseCandidates]]
+    * SPI — spec-pinned, so the two scan shapes cannot drift.) */
   private def candidatePool(emb: DataFrame, numQueries: Int, k: Int,
       keepDegenerate: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -371,30 +371,41 @@ object Similarity {
     * Scale: the held-out/query side is the bounded seed set's complement
     * audit slice — bounded by construction (an audit never scores the whole
     * corpus; a full-corpus propagation run flips the roles and broadcasts
-    * the seed set instead, same plan). It broadcasts; the labeled corpus
-    * streams through ONE narrow pass (no shuffle) into the per-query top-k
-    * window, whose input is bounded by |queries|·|corpus| matches but
-    * partitions on the query id; the vote aggregate is (query × label)-
-    * bounded. Degenerate (zero-norm/NULL) vectors are dropped on BOTH sides
-    * (they have no meaningful neighbors and must never vote — the
-    * [[normalizedBase]] NULL contract). */
+    * the seed set instead, same plan). The neighborhood search runs behind
+    * the [[Retrieval.DenseCandidates]] SPI (x71's lesson): the exact
+    * default streams the labeled corpus through ONE narrow broadcast-
+    * queries pass into the per-query top-k window; at larger N swap
+    * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full probe)
+    * or [[Retrieval.ivfAdcDenseCandidates]] without touching the vote
+    * contract. The label fetch and vote aggregate read only the
+    * (query × k)-bounded candidate ids. Degenerate (zero-norm/NULL) vectors
+    * are dropped on BOTH sides (they have no meaningful neighbors and must
+    * never vote — the [[normalizedBase]] NULL contract). */
   def knnLabelTransfer(emb: DataFrame, holdoutMod: Long = KnnHoldoutMod,
-      k: Int = KnnK): DataFrame = {
+      k: Int = KnnK,
+      dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normalizedBase(emb, "label").filter(col("e").isNotNull)
     val isHeldOut = col("vec_id") % holdoutMod === 0
     val queries = base.filter(isHeldOut)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("label").as("actual_label"))
-    val neighbors = base.filter(!isHeldOut && col("label").isNotNull)
-      .crossJoin(broadcast(queries))
-      .select(col("qid"), col("actual_label"), col("label"),
-        dotp(col("qe"), col("e")).as("cos"), col("vec_id"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
+    val labeled = base.filter(!isHeldOut && col("label").isNotNull)
+    // the candidate stage is the ONLY corpus-scale work, behind the x71
+    // generator SPI: the exact default's (cos desc, doc_id) top-k contract
+    // IS this operator's neighborhood contract, and the held-out and
+    // labeled sides are disjoint so no self-exclusion is needed. The
+    // returned id set is (|queries| × k)-bounded — the label fetch joins
+    // broadcast it
+    val ids = dense(labeled.select(col("vec_id"), col("e")),
+      queries.select(col("query_id"), col("qe")), k)
+    val neighbors = labeled.select(col("vec_id"), col("label"))
+      .join(broadcast(ids), col("vec_id") === col("doc_id"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("actual_label"))), "query_id")
     neighbors
-      .groupBy(col("qid"), col("actual_label"), col("label"))
+      .groupBy(col("query_id").as("qid"), col("actual_label"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vrank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label"))))
@@ -420,9 +431,17 @@ object Similarity {
     * pools smaller than `k` yield fewer steps. Ties at every argmax break
     * on the candidate id, so the greedy path is total and deterministic.
     *
-    * Scale shape: the ONLY corpus-scale stage is the candidate pass (x6's
-    * [[candidatePool]] — broadcast-queries, one narrow scan; swappable for
-    * the IVF/PQ generators at larger N, x71's SPI argument). The pool
+    * Scale shape: the ONLY corpus-scale stage is the candidate pass,
+    * behind the [[Retrieval.DenseCandidates]] SPI (x71's lesson): the exact
+    * default is one narrow broadcast-queries scan reproducing x6's
+    * [[candidatePool]] contract bit for bit (the generator proposes
+    * `kCand + 1` ids so dropping self — cosine 1.0, always present on a
+    * same-frame pool — still leaves the exact top-`kCand`; relevance is
+    * then re-scored EXACTLY on the fetched unit vectors and re-ranked, so
+    * an approximate generator changes only WHICH candidates enter the pool,
+    * never how they are relevance-scored or greedily selected). Swap
+    * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full probe)
+    * or [[Retrieval.ivfAdcDenseCandidates]] at larger N. The pool
     * (queries × kCand rows, with unit vectors) and its pairwise-similarity
     * table are BOUNDED driver artifacts (the x87 weight-sheet discipline —
     * and a LAZY greedy chain would embed its own previous round three times
@@ -434,10 +453,30 @@ object Similarity {
     * JVMs execute identically — and the 6-dp output rounding happens in a
     * Spark expression, never a hand-rolled driver round. */
   def mmrTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
-      kCand: Int = MmrCandidates, k: Int = DefaultTopK): DataFrame = {
+      kCand: Int = MmrCandidates, k: Int = DefaultTopK,
+      dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
+      : DataFrame = {
     require(k > 0 && kCand >= k, s"need kCand >= k > 0, got kCand=$kCand k=$k")
+    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
-    val cand = candidatePool(emb, numQueries, kCand, keepDegenerate = false)
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // kCand + 1 then drop self: the query rides the corpus frame, so its
+    // own vector (cosine 1.0) occupies at most one generator slot; removing
+    // it leaves at least the exact top-kCand, and the exact re-rank below
+    // cuts back to kCand — identical to the pre-SPI candidatePool
+    val ids = dense(base, queries, kCand + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+    // fetch the bounded pool's vectors (annTruncated's stage-2 shape),
+    // re-score relevance EXACTLY on unit vectors, re-rank, cut
+    val cand = base.join(broadcast(ids), col("vec_id") === col("doc_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id").as("qid"), col("vec_id").as("cid"),
+        dotp(col("qe"), col("e")).as("rel"), col("e"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))))
+      .filter(col("rank") <= kCand)
       .select(col("qid"), col("cid"), col("rel"), col("e"))
     // bounded driver artifacts: numQueries × kCand pool rows, then their
     // complete pair-sim table (computed over the pool's LOCAL relation —

@@ -2081,6 +2081,11 @@ FROM s""",
     // rounded to 6 dp then DECIMAL-summed (x19's order-independence trick)
     "x60_bm25" -> bm25Sql,
     "x87_rm3" -> rm3Sql,
+    // x92: RM3 over the persisted postings + index artifacts — scored
+    // against the same corpus the artifacts digest, output is pinned
+    // identical to the self-contained x87 (the x51 parity discipline),
+    // so the oracle IS x87's SQL
+    "x92_rm3_against" -> rm3Sql,
 
     // x65: the ingest gate's best-query-per-document decision over the
     // same score CTEs

@@ -200,6 +200,19 @@ object CorpusQueries {
   def x87Rm3(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Retrieval.rm3TopK(docs(spark, dir))
 
+  /** x92 — RM3 over the persisted retrieval artifacts: the x87 pipeline
+    * probing a frozen postings + index pair instead of re-tokenizing the
+    * corpus (both built inline here from the sheet-excluded corpus — the
+    * deployment persists them via writeBm25Postings/writeBm25Index). */
+  def x92Rm3Against(spark: SparkSession, dir: String): DataFrame = {
+    val R = graft.corpus.Retrieval
+    val d = docs(spark, dir)
+    val isQuery = R.querySheetCol()
+    val corpus = d.filter(!isQuery)
+    R.rm3TopKAgainst(R.bm25Postings(corpus), R.bm25Index(corpus),
+      d.filter(isQuery))
+  }
+
   /** x88 — tokenizer fertility per (lang, source) under the corpus-trained
     * BPE: chars/token and tokens/word, the multilingual-tokenizer audit. */
   def x88TokenizerFertility(spark: SparkSession, dir: String): DataFrame =

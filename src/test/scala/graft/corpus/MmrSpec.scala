@@ -77,6 +77,44 @@ class MmrSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF generator at full probe is bit-equal to the exact default " +
+      "(the x71 restriction-never-changes-a-score discipline)") {
+    val rnd = new scala.util.Random(23L)
+    val rows = (0L until 48L).map(i =>
+      i -> Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    def key(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("step"), r.getAs[Double]("relevance"),
+        r.getAs[Double]("mmr_score"))).toSet
+    val exact = key(Similarity.mmrTopK(emb(rows), numQueries = 4))
+    assert(exact.nonEmpty)
+    val nc = Similarity.DefaultIvfCentroids
+    val ivf = key(Similarity.mmrTopK(emb(rows), numQueries = 4,
+      dense = Retrieval.ivfDenseCandidates(nc, nprobe = nc)))
+    assert(ivf == exact)
+  }
+
+  test("knn label transfer: IVF generator at full probe is bit-equal to " +
+      "the exact default") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29L)
+    val rows = (0L until 60L).map(i => (i,
+      Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+      Some(rnd.nextInt(3))))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    def key(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("predicted_label"),
+        r.getAs[Int]("actual_label"), r.getAs[Long]("n_votes"),
+        r.getAs[Boolean]("agree"))).toSet
+    val exact = key(Similarity.knnLabelTransfer(d))
+    assert(exact.nonEmpty)
+    val nc = Similarity.DefaultIvfCentroids
+    val ivf = key(Similarity.knnLabelTransfer(d,
+      dense = Retrieval.ivfDenseCandidates(nc, nprobe = nc)))
+    assert(ivf == exact)
+  }
+
   test("pools smaller than k stop early; degenerate vectors take no part") {
     val d = emb(Seq(
       0L -> Seq(1f, 0f),

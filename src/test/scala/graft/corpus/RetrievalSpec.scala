@@ -222,6 +222,75 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("rm3 against prebuilt postings + index reproduces the " +
+      "self-contained query exactly (random corpora)") {
+    for (seed <- Seq(41, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "pad", "rarer")
+      val all = docs((0L until 180L).map { i =>
+        i -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }: _*)
+      val isQuery = col("doc_id") % Retrieval.QueryMod === 0 &&
+        col("doc_id") < Retrieval.QueryMod * Retrieval.QueryCount
+      val corpus = all.filter(!isQuery)
+      def key(df: DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank"))).toSet
+      val self = key(Retrieval.rm3TopK(all))
+      self should not be empty
+      key(Retrieval.rm3TopKAgainst(
+        Retrieval.bm25Postings(corpus), Retrieval.bm25Index(corpus),
+        all.filter(isQuery))) shouldBe (self)
+    }
+  }
+
+  test("bucketed rm3 probe: postings and index read in place — the only " +
+      "hash exchanges are the bounded aggregate/rank shuffles") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val corpus = docs((10L until 90L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }: _*)
+    Retrieval.writeBm25Postings(
+      Retrieval.bm25Postings(corpus), "rm3_postings_spec", buckets = 4)
+    Retrieval.writeBm25Index(
+      Retrieval.bm25Index(corpus), "rm3_idx_spec", buckets = 4)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Retrieval.rm3TopKAgainst(
+        spark.table("rm3_postings_spec"), spark.table("rm3_idx_spec"),
+        docs(0L -> "alpha gamma", 1L -> "delta"))
+      out.collect() should not be empty
+      val finalPlan = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val rendered = finalPlan.toString
+      // both artifacts enter as bucketed FileScans with nothing above them
+      "SelectedBucketsCount: 4 out of 4".r.findAllIn(rendered).size shouldBe 2
+      // the returned (pass-2) plan's only hash exchanges: the explicit
+      // fan-out repartition is round-robin, so hashpartitioning mentions
+      // are the per-(query, doc) score aggregate and the ranking window —
+      // an artifact-side exchange would add a term-keyed third
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(rendered).size
+      assert(hashEx <= 2, s"artifact-side exchange crept in:\n$rendered")
+      rendered should not include "Exchange hashpartitioning(w#"
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS rm3_postings_spec")
+      spark.sql("DROP TABLE IF EXISTS rm3_idx_spec")
+    }
+  }
+
   test("bpe pairs: counts weight by word frequency and order ties lexicographically") {
     val d = docs(1L -> "ab ab", 2L -> "ab cd", 3L -> "x")
     // 'ab' freq 3 → (a,b)=3; 'cd' freq 1 → (c,d)=1; 'x' has no pair
