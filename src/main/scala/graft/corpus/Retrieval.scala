@@ -605,7 +605,16 @@ object Retrieval {
     * `(score/ssum)·(tf/dl)` — a quotient of non-grid doubles, the same
     * accepted class as x60's `round(idf·norm, 6)`. Per-term second-pass
     * contributions are the exact DECIMAL product `bm25_term(14,6) ×
-    * wt_micro`, summed exactly, divided by 10⁶ once at the end. */
+    * wt_micro`, summed exactly, divided by 10⁶ once at the end.
+    *
+    * EAGER-SNAPSHOT SEMANTICS (API contract): pass 1 and the weight sheet
+    * run as Spark jobs AT CONSTRUCTION TIME and freeze into plan literals —
+    * the returned frame is pass 2 only. Treat it as single-shot over an
+    * immutable input: if the `docs` source changes between construction and
+    * execution (or the frame is re-executed later over changed data), pass
+    * 2 scores the NEW corpus against the STALE frozen feedback/weights with
+    * no warning. Same contract as every bounded-driver-artifact operator
+    * here (centroids, codebooks, [[Similarity.mmrTopK]]'s pool). */
   def rm3TopK(docs: DataFrame, queryMod: Long = QueryMod,
       k: Int = DefaultTopK, fbDocs: Int = Rm3FbDocs,
       fbTerms: Int = Rm3FbTerms): DataFrame = {

@@ -451,7 +451,14 @@ object Similarity {
     * float ARITHMETIC of its own, only IEEE comparisons (`-0.0 == 0.0`,
     * matching both engines' orderings) and the `rel/2 − ms/2` combine both
     * JVMs execute identically — and the 6-dp output rounding happens in a
-    * Spark expression, never a hand-rolled driver round. */
+    * Spark expression, never a hand-rolled driver round.
+    *
+    * EAGER-SNAPSHOT SEMANTICS (API contract): the candidate pool and its
+    * pair-sim table collect AT CONSTRUCTION TIME; the returned frame is a
+    * local relation of the greedy result. Treat it as single-shot over an
+    * immutable input — a changed `emb` source is NOT re-read by
+    * re-executing the returned frame ([[graft.corpus.Retrieval.rm3TopK]]'s
+    * contract). */
   def mmrTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
       kCand: Int = MmrCandidates, k: Int = DefaultTopK,
       dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
