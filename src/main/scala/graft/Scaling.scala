@@ -111,6 +111,51 @@ object Scaling {
     embBase.count()
   }
 
+  /** Long-document fixture for the x80_long cells: the sf corpora's ~300-
+    * char docs cannot show the banded DP's O(t·min(n,m)) advantage (band
+    * width ≈ doc length there), so this concatenates each run of 16
+    * consecutive docs into one ~4.8k-char document and emits three variants
+    * per group — FULL (id 4g), NEAR-DUP (4g+1, last doc dropped: lev ≈ one
+    * doc ≪ t, a genuine banded-DP dup), HALF (4g+2, first half only:
+    * length difference ≫ t, the pair the length prefilter must refute for
+    * FREE). Groups smaller than 4 docs are dropped (their variants
+    * degenerate). Built once per scale, untimed, from the already-replica-
+    * scaled documents — so long-doc content grows m× like every other
+    * plane. */
+  def buildLongDocs(spark: SparkSession, workDir: String,
+      scales: Seq[Int]): Long = {
+    scales.foreach { m =>
+      val docs = spark.read.parquet(s"$workDir/x$m/documents.parquet")
+      val grouped = docs
+        .select(expr("doc_id div 16").as("grp"), col("doc_id"), col("text"))
+        .groupBy(col("grp"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
+          .as("a"))
+        .filter(size(col("a")) >= 4)
+      def joined(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(arr, s => s.getField("text")), " ")
+      grouped.select(col("grp"), explode(array(
+          struct(lit(0L).as("v"), joined(col("a")).as("text")),
+          struct(lit(1L).as("v"),
+            joined(slice(col("a"), lit(1), size(col("a")) - 1)).as("text")),
+          struct(lit(2L).as("v"),
+            joined(slice(col("a"), lit(1), size(col("a")) / 2)).as("text"))))
+          .as("e"))
+        .select((col("grp") * 4 + col("e.v")).as("doc_id"), col("e.text"))
+        .write.mode("overwrite").parquet(s"$workDir/x$m/longdocs.parquet")
+    }
+    spark.read.parquet(s"$workDir/x${scales.min}/longdocs.parquet").count() /
+      scales.min
+  }
+
+  /** The x80_long candidate frame: per group, (full, near-dup) and
+    * (full, half) — one band-verified dup and one length-refuted pair, so
+    * the prefilter's refutation rate is 1/2 by construction. */
+  private def longPairs(longDocs: DataFrame): DataFrame =
+    longDocs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("doc_id_1"),
+        explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("doc_id_2"))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
@@ -125,6 +170,17 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-experiment conf passthrough (k=v;k=v) — Bench's convention. The
+    // x80_long cells NEED it: their DP-heavy pairs are tiny in BYTES, so
+    // AQE's byte-sized partition coalescing packs the whole quadratic
+    // verify into ~1 task (measured: 2.8 of 32 cores) — the deployment
+    // lever for compute-dense verifier stages is a smaller advisory
+    // partition size (or disabling coalescing for the stage), documented
+    // in SCALING.md with the cells
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // session warm-up
 
     // doc_id range per replica must be disjoint AND preserve the fixture
@@ -133,6 +189,7 @@ object Scaling {
     // multiple of 6
     val offset = ReplicaOffset
     val baseN = buildScaledDocs(spark, baseDir, workDir, scales)
+    val longBaseN = buildLongDocs(spark, workDir, scales)
 
     // VECTOR PLANE — replicas must preserve within-replica geometry exactly
     // (so each replica reproduces the base corpus's neighbor structure and
@@ -306,6 +363,20 @@ object Scaling {
       ("documents", "x80_edit_verify_banded",
         (d, _) => TextDedup.editVerifyBanded(
           TextDedup.minhashPairs(rd(d, "documents")), rd(d, "documents"))),
+      // x80 long-document pair (buildLongDocs' fixture): ~19k-char docs,
+      // one true near-dup and one length-refuted pair per group. THIS cell
+      // pair is where the band's O(t·min) claim is measured, not just
+      // documented — the sf-corpus cells above are parity (~300-char docs
+      // leave nothing to band away); here the exact kernel fills the full
+      // n·m matrix on every pair while the banded one fills the (2t+1)-wide
+      // band on dups and refutes half the pairs on the length difference
+      // without touching a DP cell
+      ("longdocs", "x80_long_exact",
+        (d, _) => TextDedup.editVerify(
+          longPairs(rd(d, "longdocs")), rd(d, "longdocs"))),
+      ("longdocs", "x80_long_banded",
+        (d, _) => TextDedup.editVerifyBanded(
+          longPairs(rd(d, "longdocs")), rd(d, "longdocs"))),
       // x83 keep-one-copy span scrub: replicas duplicate the base corpus's
       // span families under disjoint vocabularies, so removed mass grows
       // exactly m× — the cell pins the gram shuffle + coverage explode +
@@ -357,7 +428,8 @@ object Scaling {
         (d, _) => RelationalQueries.q9RangeFollowups(spark, d)))
 
     val baseCounts: Map[String, Long] =
-      relBaseCounts.toMap ++ Map("documents" -> baseN, "embeddings" -> embBaseN)
+      relBaseCounts.toMap ++ Map("documents" -> baseN,
+        "embeddings" -> embBaseN, "longdocs" -> longBaseN)
 
     // optional comma-separated op allowlist for targeted ladder extensions —
     // re-measuring the whole ladder to add one cell wastes an hour of

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Threshold-banded Levenshtein distance with a TIGHT inner loop — the
+  * drop-in contract of Spark's own 3-arg `levenshtein(l, r, t)` (exact
+  * distance when ≤ t, else −1; code-point semantics; NULL in → NULL out),
+  * kept because the built-in's constants defeat its own asymptotics: its
+  * banded path decodes UTF-8 per cell ACCESS and runs ~6× more per-cell
+  * work than its unbounded loop (measured on the x80_long fixture — banded
+  * via the built-in was 1.6× SLOWER than exact at Den = 5, where the band
+  * covers 2/5 of the matrix and a 2.5× cell win can't survive a 6×
+  * per-cell constant). This kernel decodes each string ONCE into a
+  * code-point array (O(n+m) time and space, bounded by the verifier's
+  * `capChars` at deployment), then fills the (2t+1)-wide band over two
+  * int rows — no per-cell decode, no per-cell bounds arithmetic beyond
+  * the band window, early exit the moment a whole band row exceeds t
+  * (every path crosses every row inside the band, so the row minimum is a
+  * valid lower bound).
+  *
+  * `doGenCode` emits one static-shaped call on the referenced instance
+  * ([[Simhash32]]'s pattern): children stay inside whole-stage codegen,
+  * the kernel pays one virtual call per row. Eval and codegen are pinned
+  * equal, and the whole expression is property-pinned against the
+  * built-in 3-arg `levenshtein` (including multi-byte code points) in
+  * `EquivalenceSpec`. */
+case class BandedLevenshtein(left: Expression, right: Expression,
+    threshold: Expression) extends TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = threshold
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, threshold.dataType) match {
+      case (StringType, StringType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, t) => TypeCheckResult.TypeCheckFailure(
+        s"banded_levenshtein expects (STRING, STRING, INT), got " +
+          s"(${l.sql}, ${r.sql}, ${t.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "banded_levenshtein"
+
+  /** The banded DP. Distance if ≤ t else −1; t < 0 always −1 (a distance
+    * is never negative ⇒ never ≤ a negative threshold). */
+  def kernel(l: UTF8String, r: UTF8String, t: Int): Int = {
+    if (t < 0) return -1
+    // decode ONCE (the whole point): code-point arrays, matching the
+    // built-in's code-point distance semantics
+    val a0 = l.toString.codePoints().toArray
+    val b0 = r.toString.codePoints().toArray
+    // keep the SHORTER string on the inner (column) axis: band rows then
+    // cost O(t · min(n, m)) and the two DP rows size by the shorter side
+    val (a, b) = if (a0.length >= b0.length) (a0, b0) else (b0, a0)
+    val n = a.length
+    val m = b.length
+    if (n - m > t) return -1 // the free length refutation (n >= m here)
+    if (m == 0) return n     // n <= t by the gate above
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= t) j else INF; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val from = if (i - t > 1) i - t else 1
+      val to = if (i + t < m) i + t else m
+      cur(0) = if (i <= t) i else INF
+      if (from > 1) cur(from - 1) = INF // left band edge: outside cells lose
+      var best = cur(0)
+      val ai = a(i - 1)
+      j = from
+      while (j <= to) {
+        var v = if (ai == b(j - 1)) prev(j - 1) else prev(j - 1) + 1
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (to < m) cur(to + 1) = INF // right band edge for the NEXT row's reads
+      if (best > t) return -1       // every path crosses this row in-band
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    val d = prev(m)
+    if (d > t) -1 else d
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any, t: Any): Any =
+    kernel(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String],
+      t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r, t) => {
+      val self = ctx.addReferenceObj("blev", this,
+        classOf[BandedLevenshtein].getName)
+      s"${ev.value} = $self.kernel($l, $r, $t);"
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, threshold = newThird)
+}

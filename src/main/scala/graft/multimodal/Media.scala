@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 /** A decoded media asset (what a real codec would return). */
 case class DecodedMedia(width: Int, height: Int, nFrames: Int, pixels: Array[Byte])
 
+/** Header-level video-container metadata ([[RealCodec.probeMeta]]):
+  * dimensions, duration, and the codec identifier (an MP4 sample-entry
+  * fourcc like `avc1`, or a Matroska CodecID like `V_VP9`). Fields the
+  * header genuinely lacks report −1 / null. */
+case class ProbedMeta(format: String, width: Int, height: Int,
+  durationMs: Long, codec: String)
+
 /** Codec SPI for opaque media blobs. [[RealCodec]] decodes every still-image
   * format this JVM can (hand-rolled verified decoders for PPM/BMP/PNG, the
   * JDK's own `javax.imageio` for JPEG/GIF/TIFF and the exotic PNG/BMP
@@ -175,6 +182,192 @@ object RealCodec extends MediaCodec {
         o
       }
     DecodedMedia(channels, sampleRate.toInt, nFrames, out)
+  }
+
+  /** Header-level metadata of a VIDEO container — the pure-JVM walk a
+    * scraped-corpus first pass needs (dimensions, duration, codec id)
+    * without any native codec: pixel/sample decode for these formats stays
+    * on [[decode]]'s loud-fail path, but M1's metadata plane only needs the
+    * headers, and video is most of a crawl's bytes.
+    *
+    *  - '''MP4 / ISO BMFF''' (`ftyp` at byte 4): a box walk — `mvhd` gives
+    *    (timescale, duration), the first `tkhd` with a nonzero 16.16 width
+    *    gives the presentation dimensions, and that video track's `stsd`
+    *    first sample-entry fourcc names the codec (`avc1`, `hvc1`, `av01`,
+    *    …). 64-bit `largesize` boxes and version-1 (64-bit time) headers
+    *    are handled; a box overrunning its parent fails loudly.
+    *  - '''Matroska / WebM''' (EBML magic `1A45DFA3`): an EBML element walk
+    *    — Segment→Info gives (TimestampScale, Duration), Segment→Tracks→
+    *    TrackEntry with TrackType 1 gives CodecID (`V_VP9`, …) and its
+    *    Video element PixelWidth/PixelHeight. Unknown-size elements extend
+    *    to the parent's end (the streaming-Segment convention); a vint
+    *    overrunning the buffer fails loudly.
+    *
+    * Returns (format, width, height, durationMs, codec); fields a header
+    * genuinely lacks report −1 / null — absent metadata is data, not an
+    * error (tolerated so a metadata-only `moov` fragment still reports its
+    * duration), but a STRUCTURALLY malformed header always fails loudly.
+    * Every other magic fails loudly: still images and WAV carry their
+    * metadata through [[decode]]. */
+  def probeMeta(blob: Array[Byte]): ProbedMeta = {
+    if (blob.length >= 12 &&
+        blob.slice(4, 8).sameElements("ftyp".getBytes("US-ASCII")))
+      probeMp4(blob)
+    else if (blob.length >= 4 && (blob(0) & 0xff) == 0x1a &&
+        (blob(1) & 0xff) == 0x45 && (blob(2) & 0xff) == 0xdf &&
+        (blob(3) & 0xff) == 0xa3)
+      probeMkv(blob)
+    else {
+      val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
+      throw new UnsupportedOperationException(
+        s"RealCodec.probeMeta: not an MP4/MKV container (magic 0x$magic)" +
+          " — still images and WAV carry their metadata through decode()")
+    }
+  }
+
+  private def probeMp4(b: Array[Byte]): ProbedMeta = {
+    def u16(off: Long): Int = {
+      val i = off.toInt
+      if (i < 0 || i + 2 > b.length) fail(s"MP4: truncated at byte $off")
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    def u32(off: Long): Long = {
+      val i = off.toInt
+      if (i < 0 || i + 4 > b.length) fail(s"MP4: truncated at byte $off")
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
+    def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Long): String = {
+      val i = off.toInt
+      if (i < 0 || i + 4 > b.length) fail(s"MP4: truncated at byte $off")
+      new String(b, i, 4, "US-ASCII")
+    }
+    var timescale = 0L; var duration = -1L
+    var width = -1; var height = -1; var codec: String = null
+    // tkhd precedes mdia/…/stsd within its trak, so "current trak is the
+    // video track" is a simple flag by the time the codec entry is read
+    var curTrakVideo = false
+    def walk(start: Long, end: Long): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz0 = u32(i)
+        val typ = fourcc(i + 4)
+        val (hdr, sz) =
+          if (sz0 == 1L) (16L, u64(i + 8))
+          else if (sz0 == 0L) (8L, end - i) // "to end of parent" (last box)
+          else (8L, sz0)
+        if (sz < hdr || i + sz > end)
+          fail(s"MP4: box '$typ' at byte $i overruns its parent (size $sz)")
+        val body = i + hdr
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, i + sz)
+          case "trak" => curTrakVideo = false; walk(body, i + sz)
+          case "mvhd" =>
+            val v = u32(body) >>> 24 // version byte of version+flags
+            if (v == 1) { timescale = u32(body + 20); duration = u64(body + 24) }
+            else {
+              timescale = u32(body + 12)
+              val d = u32(body + 16)
+              duration = if (d == 0xffffffffL) -1L else d // unknown sentinel
+            }
+          case "tkhd" =>
+            val v = u32(body) >>> 24
+            val wOff = body + (if (v == 1) 88L else 76L)
+            val w = (u32(wOff) >> 16).toInt // 16.16 fixed point
+            val h = (u32(wOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) {
+              curTrakVideo = true
+              if (width < 0) { width = w; height = h }
+            }
+          case "stsd" if curTrakVideo && codec == null =>
+            if (u32(body + 4) > 0) codec = fourcc(body + 12)
+          case _ => () // mdat, ftyp, free, udta, …: skip
+        }
+        i += sz
+      }
+    }
+    walk(0L, b.length.toLong)
+    val durMs = if (duration >= 0 && timescale > 0)
+      duration * 1000L / timescale else -1L
+    ProbedMeta("mp4", width, height, durMs, codec)
+  }
+
+  private def probeMkv(b: Array[Byte]): ProbedMeta = {
+    // EBML vint: the count of leading zero bits in the first byte is the
+    // number of EXTRA bytes; ids keep the marker bit, sizes strip it
+    def vintLen(off: Long): Int = {
+      val i = off.toInt
+      if (i < 0 || i >= b.length) fail(s"MKV: truncated vint at byte $off")
+      val v = b(i) & 0xff
+      if (v == 0) fail(s"MKV: invalid zero vint marker at byte $off")
+      Integer.numberOfLeadingZeros(v) - 23
+    }
+    def readId(off: Long): (Long, Int) = {
+      val n = vintLen(off)
+      if (off.toInt + n > b.length) fail(s"MKV: truncated id at byte $off")
+      var id = 0L
+      (0 until n).foreach(k => id = (id << 8) | (b(off.toInt + k) & 0xffL))
+      (id, n)
+    }
+    def readSize(off: Long): (Long, Int, Boolean) = {
+      val n = vintLen(off)
+      if (off.toInt + n > b.length) fail(s"MKV: truncated size at byte $off")
+      var v = (b(off.toInt) & 0xffL) & ((1L << (8 - n)) - 1)
+      (1 until n).foreach(k => v = (v << 8) | (b(off.toInt + k) & 0xffL))
+      val allOnes = (1L << (7 * n)) - 1 // the "unknown size" sentinel
+      (v, n, v == allOnes)
+    }
+    def uint(off: Long, len: Long): Long = {
+      var v = 0L
+      (0 until len.toInt).foreach(k => v = (v << 8) | (b(off.toInt + k) & 0xffL))
+      v
+    }
+    def float(off: Long, len: Long): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(off, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(off, 8))
+      case n => fail(s"MKV: float element of width $n at byte $off")
+    }
+    var tsScaleNs = 1000000L // Matroska default: 1 ms
+    var durTicks = -1.0
+    var width = -1; var height = -1; var codec: String = null
+    // per-TrackEntry staging, committed when TrackType == 1 (video)
+    var teType = -1L; var teCodec: String = null; var teW = -1; var teH = -1
+    def walk(start: Long, end: Long): Unit = {
+      var i = start
+      while (i < end) {
+        val (id, idn) = readId(i)
+        val (sz, szn, unknown) = readSize(i + idn)
+        val body = i + idn + szn
+        val bodyEnd = if (unknown) end else body + sz
+        if (bodyEnd > end)
+          fail(s"MKV: element 0x${id.toHexString} at byte $i overruns its parent")
+        id match {
+          case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xe0L => // Segment/Info/Tracks/Video
+            walk(body, bodyEnd)
+          case 0xaeL => // TrackEntry: stage, walk, commit if video
+            teType = -1; teCodec = null; teW = -1; teH = -1
+            walk(body, bodyEnd)
+            if (teType == 1L) {
+              if (codec == null) codec = teCodec
+              if (width < 0 && teW > 0) { width = teW; height = teH }
+            }
+          case 0x2ad7b1L => tsScaleNs = uint(body, sz)
+          case 0x4489L => durTicks = float(body, sz)
+          case 0x83L => teType = uint(body, sz)
+          case 0x86L =>
+            teCodec = new String(b, body.toInt, sz.toInt, "US-ASCII")
+          case 0xb0L => teW = uint(body, sz).toInt
+          case 0xbaL => teH = uint(body, sz).toInt
+          case _ => () // EBML header, Cluster, SeekHead, Void, …: skip
+        }
+        i = bodyEnd
+      }
+    }
+    walk(0L, b.length.toLong)
+    val durMs = if (durTicks >= 0 && tsScaleNs > 0)
+      math.round(durTicks * tsScaleNs / 1e6) else -1L
+    ProbedMeta("mkv", width, height, durMs, codec)
   }
 
   /** BMP router: the verified hand-rolled decoder covers the dominant

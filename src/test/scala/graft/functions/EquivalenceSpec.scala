@@ -203,6 +203,49 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
     viaCodegen.zip(viaEval).foreach { case (c, e) => c shouldBe e }
   }
 
+  test("BandedLevenshtein == the built-in 3-arg levenshtein (random pairs " +
+      "incl. surrogate pairs and empty strings); eval == codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abca 中😀"
+    def word(n: Int) =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 300).map { _ =>
+      val base = word(rnd.nextInt(30))
+      // near pairs (a few edits), far pairs, and identical pairs all occur
+      val other = rnd.nextInt(3) match {
+        case 0 => base
+        case 1 => base.patch(rnd.nextInt(base.length + 1),
+          word(1 + rnd.nextInt(3)), rnd.nextInt(3))
+        case _ => word(rnd.nextInt(30))
+      }
+      (base, other, rnd.nextInt(12) - 1) // thresholds include -1 and 0
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows))
+      .toDF("a", "b", "t")
+    val got = collectCodegenOnly(df.select(
+      org.apache.spark.sql.GraftExpressionBridge.column(BandedLevenshtein(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("a")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("b")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("t"))))))
+      .map(_.getInt(0))
+    val want = df.select(org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("a")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("b")),
+        Some(org.apache.spark.sql.GraftExpressionBridge.expression(col("t"))))))
+      .collect().map(_.getInt(0))
+    got.toSeq shouldBe want.toSeq
+    // interpreted eval == codegen
+    val viaEval = rows.map { case (a, b, t) =>
+      BandedLevenshtein(Literal(UTF8String.fromString(a)),
+        Literal(UTF8String.fromString(b)), Literal(t)).eval(null)
+        .asInstanceOf[Int]
+    }
+    got.toSeq shouldBe viaEval
+  }
+
   test("Simhash32 interpreted eval == codegen path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}

@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** [[RealCodec.probeMeta]] — the pure-JVM MP4 box walk / Matroska EBML walk
+  * for video-container header metadata (dimensions, duration, codec id),
+  * against hand-built synthetic headers. Pixel decode for these formats
+  * stays on [[RealCodec.decode]]'s loud-fail path (spec'd there); this pins
+  * the metadata plane M1 actually needs from a crawl's video bytes. */
+class ProbeMetaSpec extends AnyFunSuite with Matchers {
+
+  // ---- MP4 fixture builders -------------------------------------------
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  private def ftyp: Array[Byte] =
+    box("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+
+  private def mvhd(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", be32(0) /* v0 + flags */, be32(0), be32(0),
+      be32(timescale), be32(duration),
+      Array.fill[Byte](80)(0) /* rate..pre_defined */)
+
+  private def tkhd(w: Int, h: Int): Array[Byte] =
+    box("tkhd", be32(0), be32(0), be32(0), be32(1) /* track id */,
+      be32(0), be32(0) /* duration */, Array.fill[Byte](8)(0),
+      Array.fill[Byte](8)(0) /* layer/group/volume/reserved */,
+      Array.fill[Byte](36)(0) /* matrix */,
+      be32(w.toLong << 16), be32(h.toLong << 16))
+
+  private def stsd(fourcc: String): Array[Byte] =
+    box("stsd", be32(0), be32(1) /* entry_count */,
+      box(fourcc, Array.fill[Byte](8)(0)))
+
+  private def trak(w: Int, h: Int, fourcc: String): Array[Byte] =
+    box("trak", tkhd(w, h), box("mdia", box("minf", box("stbl", stsd(fourcc)))))
+
+  // ---- EBML fixture builders ------------------------------------------
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    (0 until n).reverse.map(k => ((id >> (8 * k)) & 0xff).toByte).toArray
+  }
+
+  private def ebmlSize(len: Int): Array[Byte] = {
+    require(len <= 126, "fixture sizes stay 1-byte")
+    Array((0x80 | len).toByte)
+  }
+
+  private def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    ebmlId(id) ++ ebmlSize(body.length) ++ body
+  }
+
+  private def uintEl(id: Long, v: Long): Array[Byte] = {
+    var n = 1
+    while ((v >> (8 * n)) != 0) n += 1
+    el(id, (0 until n).reverse.map(k => ((v >> (8 * k)) & 0xff).toByte).toArray)
+  }
+
+  private def floatEl(id: Long, v: Float): Array[Byte] =
+    el(id, be32(java.lang.Float.floatToIntBits(v) & 0xffffffffL))
+
+  private val ebmlHeader = el(0x1a45dfa3L, Array[Byte](0x42, 0x86.toByte,
+    0x81.toByte, 1)) // EBMLVersion 1 — any payload works, the walk skips it
+
+  // ---- tests -----------------------------------------------------------
+
+  test("MP4: mvhd duration, first VIDEO track's tkhd dims and stsd fourcc " +
+      "(an earlier audio track neither sizes nor names the codec)") {
+    val b = ftyp ++ box("moov",
+      mvhd(timescale = 1000, duration = 5000),
+      trak(0, 0, "mp4a"), // audio: zero tkhd dims
+      trak(640, 360, "avc1"))
+    val m = RealCodec.probeMeta(b)
+    m shouldBe ProbedMeta("mp4", 640, 360, 5000L, "avc1")
+  }
+
+  test("MP4: version-1 mvhd (64-bit times) and largesize boxes parse") {
+    val mvhd1 = box("mvhd", be32(1L << 24) /* v1 */, Array.fill[Byte](16)(0),
+      be32(90000) /* timescale */,
+      be32(0) ++ be32(180000) /* 64-bit duration = 2 s */,
+      Array.fill[Byte](80)(0))
+    val moov = box("moov", mvhd1, trak(1920, 1080, "hvc1"))
+    // rewrap moov as a largesize box: size=1 marker + 64-bit size
+    val large = be32(1) ++ "moov".getBytes ++ be32(0) ++
+      be32(moov.length + 8L) ++ moov.drop(8)
+    val m = RealCodec.probeMeta(ftyp ++ large)
+    m shouldBe ProbedMeta("mp4", 1920, 1080, 2000L, "hvc1")
+  }
+
+  test("MP4: metadata-free fragment reports -1/null, never invents fields") {
+    val m = RealCodec.probeMeta(ftyp ++ box("moov"))
+    m shouldBe ProbedMeta("mp4", -1, -1, -1L, null)
+  }
+
+  test("MP4: a box overrunning its parent fails loudly") {
+    val bad = ftyp ++ box("moov", be32(9999), "trak".getBytes)
+    val e = intercept[IllegalArgumentException](RealCodec.probeMeta(bad))
+    e.getMessage should include("overruns")
+  }
+
+  test("MKV: TimestampScale x Duration -> ms; video TrackEntry wins over " +
+      "audio; PixelWidth/PixelHeight from its Video element") {
+    val b = ebmlHeader ++ el(0x18538067L, // Segment
+      el(0x1549a966L, // Info
+        uintEl(0x2ad7b1L, 1000000L), floatEl(0x4489L, 2500.0f)),
+      el(0x1654ae6bL, // Tracks
+        el(0xaeL, uintEl(0x83L, 2), el(0x86L, "A_OPUS".getBytes)),
+        el(0xaeL, uintEl(0x83L, 1), el(0x86L, "V_VP9".getBytes),
+          el(0xe0L, uintEl(0xb0L, 1280), uintEl(0xbaL, 720)))))
+    val m = RealCodec.probeMeta(b)
+    m shouldBe ProbedMeta("mkv", 1280, 720, 2500L, "V_VP9")
+  }
+
+  test("MKV: an unknown-size Segment (the streaming convention) extends to " +
+      "the end of the buffer") {
+    val body = el(0x1549a966L,
+      uintEl(0x2ad7b1L, 1000000L), floatEl(0x4489L, 750.0f))
+    val seg = ebmlId(0x18538067L) ++ Array(0xff.toByte) ++ body
+    val m = RealCodec.probeMeta(ebmlHeader ++ seg)
+    m.durationMs shouldBe 750L
+  }
+
+  test("MKV: an element overrunning its parent fails loudly") {
+    val bad = ebmlHeader ++ ebmlId(0x18538067L) ++ ebmlSize(3) ++
+      ebmlId(0x1549a966L) // id alone claims past the 3-byte segment
+    val e = intercept[IllegalArgumentException](RealCodec.probeMeta(bad))
+    e.getMessage should (include("overruns") or include("truncated"))
+  }
+
+  test("non-video magics fail loudly and point at decode()") {
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val e = intercept[UnsupportedOperationException](RealCodec.probeMeta(png))
+    e.getMessage should include("decode()")
+  }
+}
