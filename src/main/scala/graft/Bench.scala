@@ -48,11 +48,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // min-of-N noise discipline (SCALING.md's cell-time rule): host-load
     // spikes on a shared box only ever ADD time, so the min over repeats is
-    // the least-contaminated estimate. Default 1 — the driver's round bench
-    // stays a single full pass; set SPARK_GRAFT_BENCH_REPEAT=2+ for sharper
-    // local comparisons.
+    // the least-contaminated estimate. Default 2 (BASELINE.md Appendix B §3,
+    // adopted round 15 after two consecutive environmental single-pass
+    // breaches): pass 1 prices each query cold (plan + janino codegen
+    // compile), pass 2 prices it at steady state — which is what a 100 TB
+    // deployment pays (one compile per plan, then hours of execution). The
+    // headline "value" is the min-of-N total; the pass-1 total is reported
+    // alongside as "p1" so the cold number is never hidden. Set
+    // SPARK_GRAFT_BENCH_REPEAT=1 to reproduce the old single-pass protocol.
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
-      .map(_.toInt).getOrElse(1).max(1)
+      .map(_.toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -80,20 +85,25 @@ object Bench {
       // an error is also recorded (the error stays recorded either way —
       // a transient failure must remain loud and fatal to the exit code)
       val good = reps.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else reps.map(_._1).min)
+      (name, if (good.nonEmpty) good.min else reps.map(_._1).min,
+        reps.head._1)
     }
     // centisecond precision, trailing zeros stripped: full-double values made
     // the line ~2.1 KB, and the driver's stdout tail-capture window is 2 KB —
     // the FRONT of the JSON gets clipped, so every byte counts (10 ms
     // granularity is well inside run-to-run variance at sf0.1).
     def ms(v: Double): String = graft.util.JsonNum.compact2(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // errors is ALWAYS present (empty {} when clean): a fixed-schema consumer
     // that expects the key must not break silently on a green run
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
+    // pass-1 (cold) total, reported whenever more than one rep ran so the
+    // single-pass number stays visible next to the min-of-N headline
+    val p1Json = if (repeat > 1)
+      s""","p1":${ms(results.map(_._3).sum)}""" else ""
     // basename only: every byte of this line competes with the 2 KB capture
     // window, and the harness records the full sf dir itself
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -101,7 +111,7 @@ object Bench {
     // stdout, so a clipped line loses leading per-query entries, never the
     // total — bench-latest.json below holds the complete copy regardless
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
-      s""""queries":$qs$errJson,"value":${ms(total)}}"""
+      s""""queries":$qs$errJson$p1Json,"value":${ms(total)}}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated
     // this line mid-JSON before, losing the total — the file is the robust

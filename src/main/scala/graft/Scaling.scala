@@ -414,6 +414,12 @@ object Scaling {
       // inside the timed cell (plan construction happens in the timer)
       ("embeddings", "x89_mmr",
         (d, _) => Similarity.mmrTopK(rd(d, "embeddings"))),
+      // x93 hard negatives: fixed query set — like x89 the candidate pass
+      // is the only growing term, but the whole chain stays lazy (pool
+      // fetch, margin gate, re-rank are broadcast joins over the bounded
+      // candidate set — zero collects)
+      ("embeddings", "x93_hard_negatives",
+        (d, _) => Similarity.hardNegatives(rd(d, "embeddings"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

@@ -533,4 +533,86 @@ object Similarity {
         round(col("rel"), 6).as("relevance"),
         round(col("mmr"), 6).as("mmr_score"))
   }
+
+  /** Candidate-pool size for [[hardNegatives]] — shared with the oracle.
+    * Must cover k negatives + the positive + every margin-suppressed
+    * near-positive: the suppressed candidates are by definition the
+    * TOP-scored ones, so a near-dup-heavy corpus eats pool slots from the
+    * front (the reason the default reserves ~5× k). */
+  val HardNegCandidates: Int = 32
+
+  /** Denoising margin for [[hardNegatives]] — shared with the oracle. */
+  val HardNegMargin: Double = 0.1
+
+  /** X93 — denoised hard-negative mining (the DPR/ANCE/RocketQA
+    * retriever-training staple): for each query vector, take the positive
+    * as its exact best match (the distillation convention — the positive is
+    * the current-best retrieval), then emit the top-`k` remaining
+    * candidates as training negatives, SKIPPING any candidate scoring
+    * within `margin` of the positive (`cos > pos_cos − margin`): on a
+    * near-dup-heavy corpus the strongest "negatives" are unlabeled copies
+    * of the positive, and training on them teaches the retriever to push
+    * relevant documents apart (RocketQA's denoised-negative finding).
+    * Output: one row per surviving negative — (query_id, pos_id, pos_cos,
+    * neg_id, rank, cos), rank re-numbered 1..k over survivors by
+    * (cos desc, id). A query whose every candidate is margin-suppressed
+    * emits no rows (its pool is all near-positives — a dedup signal, not
+    * training data); degenerate (NULL-normalized) vectors take no part on
+    * either side (the [[normalizedBase]] NULL contract).
+    *
+    * Scale shape: the ONLY corpus-scale stage is the candidate pass,
+    * behind the [[Retrieval.DenseCandidates]] SPI (x71's lesson) — the
+    * exact default is one narrow broadcast-queries scan; swap
+    * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full
+    * probe) or [[Retrieval.ivfAdcDenseCandidates]] at larger N (an
+    * approximate generator changes only pool MEMBERSHIP: relevance is
+    * re-scored exactly on the fetched unit vectors, x89's discipline).
+    * Everything downstream — vector fetch, re-rank, the positive row, the
+    * margin filter — reads the (queries × kCand)-bounded candidate set via
+    * broadcast joins; nothing collects, so unlike [[mmrTopK]] the returned
+    * frame is fully lazy (no eager-snapshot caveat). The margin compare
+    * runs on the RAW doubles both engines derive from the same
+    * normalize-then-dot fold ([[cosine]]'s bit-parity argument), with
+    * `pos_cos − margin` a single IEEE subtraction both execute
+    * identically; the 6-dp rounding is presentation only. */
+  def hardNegatives(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
+      k: Int = DefaultTopK, margin: Double = HardNegMargin,
+      kCand: Int = HardNegCandidates,
+      dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
+      : DataFrame = {
+    require(k > 0 && kCand >= k + 1,
+      s"need kCand >= k + 1 (positive slot) > 1, got kCand=$kCand k=$k")
+    require(margin >= 0, s"margin must be non-negative, got $margin")
+    import org.apache.spark.sql.expressions.Window
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // kCand + 1 then drop self — x89's argument: the query rides the corpus
+    // frame, its own vector (cosine 1.0) takes at most one generator slot
+    val ids = dense(base, queries, kCand + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+    // fetch the bounded pool's vectors, re-score EXACTLY on unit vectors,
+    // re-rank (cos desc, id), cut back to kCand — x89's candidate stage
+    val cand = base.join(broadcast(ids), col("vec_id") === col("doc_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id").as("qid"), col("vec_id").as("cid"),
+        dotp(col("qe"), col("e")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rank") <= kCand)
+    // the positive: pool rank 1 — (numQueries)-bounded, broadcast back
+    val pos = cand.filter(col("rank") === 1)
+      .select(col("qid"), col("cid").as("pos_id"), col("cos").as("pos_cos"))
+    cand.filter(col("rank") > 1)
+      .join(broadcast(pos), "qid")
+      // the denoising gate: survivors must sit CLEAR of the positive by
+      // the margin; ties at exactly pos_cos − margin survive (<=)
+      .filter(col("cos") <= col("pos_cos") - lit(margin))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid").as("query_id"), col("pos_id"),
+        round(col("pos_cos"), 6).as("pos_cos"), col("cid").as("neg_id"),
+        col("neg_rank").as("rank"), round(col("cos"), 6).as("cos"))
+  }
 }

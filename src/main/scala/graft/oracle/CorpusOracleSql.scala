@@ -2087,6 +2087,36 @@ FROM s""",
     // so the oracle IS x87's SQL
     "x92_rm3_against" -> rm3Sql,
 
+    // x93: denoised hard-negative mining — pool = exact top-kCand cosine
+    // candidates excluding self (degenerate vectors out on BOTH sides, the
+    // keepDegenerate=false contract), positive = pool rank 1, negatives
+    // re-ranked over survivors of the margin gate `cos <= pos_cos - margin`
+    // (raw-double compare: both engines derive the cosines from the same
+    // normalize-then-dot fold and the subtraction is one shared IEEE op)
+    "x93_hard_negatives" -> s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+nz AS (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS e
+  FROM raw WHERE raw IS NOT NULL AND list_dot_product(raw, raw) > 0),
+q AS (SELECT vec_id AS qid, e AS qe FROM nz
+      WHERE vec_id < ${graft.corpus.Similarity.DefaultTopKQueries}),
+pool AS (
+  SELECT qid, vec_id AS cid, list_dot_product(qe, e) AS cos
+  FROM nz CROSS JOIN q WHERE vec_id <> qid),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM pool
+  QUALIFY rnk <= ${graft.corpus.Similarity.HardNegCandidates}),
+pos AS (SELECT qid, cid AS pos_id, cos AS pos_cos FROM cand WHERE rnk = 1),
+neg AS (
+  SELECT c.qid, p.pos_id, p.pos_cos, c.cid, c.cos,
+         ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY c.cos DESC, c.cid) AS nrank
+  FROM cand c JOIN pos p ON c.qid = p.qid
+  WHERE c.rnk > 1 AND c.cos <= p.pos_cos - ${graft.corpus.Similarity.HardNegMargin})
+SELECT qid AS query_id, pos_id, round(pos_cos, 6) AS pos_cos,
+       cid AS neg_id, nrank AS "rank", round(cos, 6) AS cos
+FROM neg WHERE nrank <= ${graft.corpus.Similarity.DefaultTopK}""",
+
     // x65: the ingest gate's best-query-per-document decision over the
     // same score CTEs
     "x65_relevance_gate" -> bm25GateSql,

@@ -209,8 +209,16 @@ object CorpusQueries {
     val d = docs(spark, dir)
     val isQuery = R.querySheetCol()
     val corpus = d.filter(!isQuery)
-    R.rm3TopKAgainst(R.bm25Postings(corpus), R.bm25Index(corpus),
-      d.filter(isQuery))
+    // the deployment probes FROZEN persisted parquet (read-in-place per
+    // consumer); built inline here, the artifacts are materialized once so
+    // rm3TopKAgainst's three postings consumers don't re-run the tokenize
+    // pipeline 3x (the x85 localCheckpoint hygiene). At sf0.1 this is
+    // cost-neutral (~5.3 s either way — the tokenize pass is cheap next to
+    // the three scoring joins); the 3-scans-to-1 cut is the 100 TB
+    // argument, and the persisted-parquet path (ScalingIncr's flat ~2.5 s
+    // probe) is what a deployment actually runs
+    R.rm3TopKAgainst(R.bm25Postings(corpus).localCheckpoint(),
+      R.bm25Index(corpus).localCheckpoint(), d.filter(isQuery))
   }
 
   /** x88 — tokenizer fertility per (lang, source) under the corpus-trained
@@ -226,6 +234,11 @@ object CorpusQueries {
   /** x90 — deterministic training order: seeded global shuffle positions. */
   def x90TrainingOrder(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.trainingOrder(docs(spark, dir))
+
+  /** x93 — denoised hard-negative mining: per query, top-5 negatives clear
+    * of the positive (its exact best match) by the 0.1 cosine margin. */
+  def x93HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(emb(spark, dir))
 
   /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
     * under the merge list trained on the even-id frozen half, against that
