@@ -615,4 +615,54 @@ object Similarity {
         round(col("pos_cos"), 6).as("pos_cos"), col("cid").as("neg_id"),
         col("neg_rank").as("rank"), round(col("cos"), 6).as("cos"))
   }
+
+  /** X94 — recall@k audit for ANY [[Retrieval.DenseCandidates]] generator
+    * against the exact cosine baseline, per query: |generator top-k ∩ exact
+    * top-k| / k. The measurement plane the generator SPI was missing:
+    * every consumer (x71 fusion, x63 label transfer, x89 MMR, x93 hard
+    * negatives) documents "swap the IVF/ADC generator at larger N" — this
+    * is the report that prices that swap, the knob-tuning audit for
+    * `nprobe`/centroid count (x68 is the same audit hardwired to the PQ
+    * ADC path; this one takes the generator as a value, so one operator
+    * audits every present and future candidate source). The exact side is
+    * [[cosineTopK]]'s contract VERBATIM — degenerate queries keep their k
+    * tiebreak rows and surface as a visible recall 0 (the x68 convention),
+    * never a dropped row. The generator side proposes `k + 1` then drops
+    * self (x89's argument); an empty generator result (e.g. an explicit
+    * empty IVF index) scores recall 0 for every query.
+    *
+    * Scale shape: two corpus-scale passes — the exact baseline scan and
+    * whatever the generator costs (that DIFFERENCE is the point of the
+    * report) — then everything is (numQueries × k)-bounded: the hit join,
+    * the per-query count, the left join back to the query universe. At
+    * 100 TB the exact side caps the audit's cost, which is why a
+    * deployment runs it on an AUDIT SLICE of queries (numQueries-bounded
+    * here by construction), not per ingest — the x63 audit-slice
+    * discipline. */
+  def denseRecallEval(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
+      k: Int = DefaultTopK,
+      dense: Retrieval.DenseCandidates = Retrieval.ivfDenseCandidates())
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val exact = cosineTopK(emb, numQueries, k)
+      .select(col("qid"), col("neighbor_id"))
+    val base = normalizedBase(emb).filter(col("e").isNotNull)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val approx = dense(base, queries, k + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dense_rank"))))
+      .filter(col("arank") <= k)
+      .select(col("query_id").as("qid"), col("doc_id").as("neighbor_id"))
+    val hits = exact.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
 }

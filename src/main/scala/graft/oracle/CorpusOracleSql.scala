@@ -2117,6 +2117,68 @@ SELECT qid AS query_id, pos_id, round(pos_cos, 6) AS pos_cos,
        cid AS neg_id, nrank AS "rank", round(cos, 6) AS cos
 FROM neg WHERE nrank <= ${graft.corpus.Similarity.DefaultTopK}""",
 
+    // x94: recall@k of the default IVF generator vs the exact baseline —
+    // exact side is x6's contract verbatim (degenerate queries keep their
+    // tiebreak rows, visible recall 0); approx side is x13's probe
+    // machinery restricted to non-degenerate queries (the generator's
+    // query frame drops NULL-e rows), self excluded, non-self rank <= k
+    "x94_dense_recall" -> {
+      val nq = graft.corpus.Similarity.DefaultTopKQueries
+      val k = graft.corpus.Similarity.DefaultTopK
+      s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
+cents AS (SELECT vec_id AS cid, e AS ce FROM base
+  WHERE vec_id < ${graft.corpus.Similarity.DefaultIvfCentroids} AND e IS NOT NULL),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT b.vec_id, b.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce) DESC, c.cid) AS arank
+    FROM base b CROSS JOIN cents c WHERE b.e IS NOT NULL)
+  WHERE arank = 1),
+probes AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.ce) DESC, c.cid) AS prank
+    FROM base q CROSS JOIN cents c
+    WHERE q.vec_id < $nq AND q.e IS NOT NULL)
+  WHERE prank <= ${graft.corpus.Similarity.DefaultIvfNprobe}),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT p.qid, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY list_dot_product(p.qe, a.e) DESC, a.vec_id) AS rn
+    FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
+  WHERE rn <= $k),
+xq AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < $nq),
+xpr AS (
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
+  FROM base CROSS JOIN xq WHERE vec_id <> qid),
+exact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, neighbor_id) AS rn FROM xpr)
+  WHERE rn <= $k),
+hit AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx p
+    ON e.qid = p.qid AND e.neighbor_id = p.neighbor_id
+  GROUP BY 1)
+SELECT u.qid, COALESCE(hits, 0) AS hits,
+       CAST(COALESCE(hits, 0) AS DOUBLE)/$k.0 AS recall
+FROM (SELECT DISTINCT qid FROM exact) u LEFT JOIN hit USING (qid)"""
+    },
+
     // x65: the ingest gate's best-query-per-document decision over the
     // same score CTEs
     "x65_relevance_gate" -> bm25GateSql,

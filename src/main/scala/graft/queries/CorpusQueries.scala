@@ -240,6 +240,11 @@ object CorpusQueries {
   def x93HardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(emb(spark, dir))
 
+  /** x94 — recall@5 of the default IVF generator (first-16 coarse
+    * quantizer, nprobe 4 — x13's settings) against the exact baseline. */
+  def x94DenseRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.denseRecallEval(emb(spark, dir))
+
   /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
     * under the merge list trained on the even-id frozen half, against that
     * half's own fertility baseline (x40's split convention). */
