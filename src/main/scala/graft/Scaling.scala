@@ -420,6 +420,12 @@ object Scaling {
       // candidate set — zero collects)
       ("embeddings", "x93_hard_negatives",
         (d, _) => Similarity.hardNegatives(rd(d, "embeddings"))),
+      // x94 recall audit: fixed query slice — BOTH passes grow with the
+      // corpus (the exact baseline scan and the IVF generator's probed
+      // cells), which is the audit's documented cost; everything after is
+      // (queries × k)-bounded
+      ("embeddings", "x94_dense_recall",
+        (d, _) => Similarity.denseRecallEval(rd(d, "embeddings"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

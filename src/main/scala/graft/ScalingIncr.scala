@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *    the gap between it and x51_probe is exactly what persisting the
   *    trained index buys.
   *
+  *  - '''x93_probe''' — [[graft.corpus.Similarity.hardNegativesFor]] for a
+  *    fixed 64-query arriving batch, candidates from
+  *    [[graft.corpus.Retrieval.ivfAdcDenseCandidates]] over the persisted
+  *    cid-partitioned [[graft.corpus.Quantization.ivfPqIndex]] (statically
+  *    pruned to the probed cells); '''x93_full''' is the exact-generator
+  *    contrast (one full corpus scan per batch, linear by design).
+  *
   * Usage: `runMain graft.ScalingIncr [baseDir] [workDir] [scalesCsv] [iters]`
   * (defaults `/root/testdata/sf0.1 /tmp/graft_scaling_incr 1,3,10,30 2`).
   * Prints per-cell rows plus a fitted log-log exponent per op; one JSON line
@@ -134,6 +141,19 @@ object ScalingIncr {
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(
           graft.corpus.Curation.unigramLm(oldDocs), lmTable)
+      // x93's frozen retrieval artifacts: PQ codebooks + coarse centroids
+      // (bounded driver artifacts) and the cid-partitioned persisted
+      // IVF-PQ code index over the old side — all untimed (amortized-once
+      // production cost, kept current per micro-batch by
+      // StreamOps.indexEmbeddings)
+      val pqPath = s"$workDir/pq_x$m"
+      val (cbs93, cents93) = if (want("x93_probe")) {
+        val Q = graft.corpus.Quantization
+        val cbs = Q.sliceCodebooks(oldEmb)
+        val cents = Q.centroidSeeds(oldEmb)
+        Q.writeIvfPqIndex(Q.ivfPqIndex(oldEmb, cbs, cents), pqPath)
+        (cbs, cents)
+      } else (null, Seq.empty[(Long, Seq[Double])])
       // x86's frozen boundary table MATERIALIZED to the driver (tiny:
       // langs × 3) and rebuilt as a local relation — left lazy, the timed
       // probe would re-run the whole old-side bucketing inside the cell
@@ -190,7 +210,25 @@ object ScalingIncr {
         // work is constant in m; the bucketed LM reads in place (scan-bound
         // linear term), the boundary probe is a broadcast against 3 rows
         ("x86_probe", () => graft.corpus.Curation.ccnetAssign(
-          inc("documents"), spark.table(lmTable), bounds86)))
+          inc("documents"), spark.table(lmTable), bounds86)),
+        // x93: denoised hard negatives for a FIXED arriving query batch,
+        // candidates from the persisted cid-partitioned IVF-PQ code index
+        // (statically pruned to the probed cells — codes, not vectors);
+        // the only other corpus touch is the bounded-id vector fetch for
+        // the exact re-score. Increment vectors equal their replica-0
+        // twins, so each query's positive is that twin (cos ~1) and the
+        // margin gate's workload is constant in m by construction
+        ("x93_probe", () => graft.corpus.Similarity.hardNegativesFor(
+          inc("embeddings").filter(col("vec_id") < incrOffset + 64),
+          oldEmb,
+          dense = graft.corpus.Retrieval.ivfAdcDenseCandidates(
+            spark.read.parquet(pqPath), cbs93, cents93))),
+        // x93_full: the exact-generator contrast — one full corpus scan
+        // per batch, linear in m by design; the gap is what the persisted
+        // code index buys
+        ("x93_full", () => graft.corpus.Similarity.hardNegativesFor(
+          inc("embeddings").filter(col("vec_id") < incrOffset + 64),
+          oldEmb)))
 
       val rows = ops.filter(o => want(o._1)).map { case (name, fn) =>
         val nRows = fn().count() // untimed warm + workload-constancy evidence

@@ -145,6 +145,7 @@ object SparkEntry {
     "x92_rm3_against" -> (C.x92Rm3Against _),
     "x93_hard_negatives" -> (C.x93HardNegatives _),
     "x94_dense_recall" -> (C.x94DenseRecall _),
+    "x95_pack_efficiency" -> (C.x95PackEfficiency _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -201,6 +201,52 @@ object Curation {
         (col("start") % budget).as("offset"))
   }
 
+  /** X95 — packing-efficiency audit over [[packSequences]]' layout, per
+    * source: how much does concat-then-chunk packing COST this corpus?
+    * `n_split_docs`/`split_frac` count documents whose token span crosses a
+    * sequence boundary (each one trains with a mid-document truncation —
+    * the attention-damage measure that motivates boundary-aware packing),
+    * and `padding_tokens`/`padding_frac` price the final partial sequence
+    * (`n_seqs = ceil(total/budget)`, so padding = the unfilled tail of the
+    * last chunk; concat-then-chunk never pads interior sequences). The
+    * report to read BEFORE switching packers: a corpus of short documents
+    * splits rarely and a doc-boundary-respecting packer buys little; a
+    * long-document corpus splits constantly and buys a lot. Documents with
+    * NULL text ride along with NULL `n_tokens` ([[packSequences]]'
+    * contract): counted in `n_docs`, never in splits or totals. All counts
+    * integer-exact; the two fractions are int/int double divisions both
+    * engines perform on identical operands.
+    *
+    * Scale shape: inherits x31's ONE window shuffle (skew bounded by the
+    * largest domain — and at 100 TB that window is the tokenizer-shard
+    * layout pass a deployment runs anyway, this audit riding it), then one
+    * source-cardinality map-side-partial aggregate; nothing else moves. */
+  def packEfficiencyReport(docs: DataFrame, budget: Int = PackBudget)
+      : DataFrame = {
+    require(budget > 0, "sequence budget must be positive")
+    packSequences(docs, budget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") > 0 &&
+          col("offset") + col("n_tokens") > budget, 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .withColumn("total_tokens", coalesce(col("total_tokens"), lit(0L)))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("padding_tokens",
+        col("n_seqs") * budget - col("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("n_split_docs"),
+        (col("n_split_docs").cast("double") / col("n_docs"))
+          .as("split_frac"),
+        col("padding_tokens"),
+        when(col("n_seqs") > 0, col("padding_tokens").cast("double") /
+            (col("n_seqs") * lit(budget.toLong)))
+          .otherwise(lit(0.0)).as("padding_frac"))
+  }
+
   /** Chunk geometry for [[chunkDocuments]]'s driver query — shared with the
     * x34 oracle generator so the two cannot drift. Stride < size ⇒ adjacent
     * chunks overlap by `ChunkTokens - ChunkStride` tokens (the standard

@@ -579,16 +579,38 @@ object Similarity {
       k: Int = DefaultTopK, margin: Double = HardNegMargin,
       kCand: Int = HardNegCandidates,
       dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
+      : DataFrame =
+    hardNegativesFor(emb.filter(col("vec_id") < numQueries), emb,
+      k, margin, kCand, dense)
+
+  /** [[hardNegatives]]' two-frame production shape: mine denoised negatives
+    * for an ARRIVING query batch against a separate corpus — the increment
+    * discipline (x40/x51/x86's role split) on the negative-mining plane.
+    * Rows sharing a `vec_id` across the two frames are treated as self and
+    * excluded (the embedded single-frame case above passes a corpus SLICE
+    * as `queries`, so its self-exclusion falls out of exactly this rule);
+    * disjoint-id deployments lose nothing to it. Pair with
+    * [[Retrieval.ivfAdcDenseCandidates]] over a persisted
+    * [[Quantization.ivfPqIndex]] and the corpus-scale work per batch drops
+    * to the probed-cell code scan plus ONE bounded-id vector fetch
+    * (relevance is still re-scored exactly on fetched unit vectors —
+    * an approximate generator changes only pool membership, never a
+    * score). */
+  def hardNegativesFor(queryVecs: DataFrame, corpus: DataFrame,
+      k: Int = DefaultTopK, margin: Double = HardNegMargin,
+      kCand: Int = HardNegCandidates,
+      dense: Retrieval.DenseCandidates = Retrieval.exactDenseCandidates)
       : DataFrame = {
     require(k > 0 && kCand >= k + 1,
       s"need kCand >= k + 1 (positive slot) > 1, got kCand=$kCand k=$k")
     require(margin >= 0, s"margin must be non-negative, got $margin")
     import org.apache.spark.sql.expressions.Window
-    val base = normalizedBase(emb).filter(col("e").isNotNull)
-    val queries = base.filter(col("vec_id") < numQueries)
+    val base = normalizedBase(corpus).filter(col("e").isNotNull)
+    val queries = normalizedBase(queryVecs).filter(col("e").isNotNull)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    // kCand + 1 then drop self — x89's argument: the query rides the corpus
-    // frame, its own vector (cosine 1.0) takes at most one generator slot
+    // kCand + 1 then drop self — x89's argument: a query sharing the
+    // corpus's id space has its own vector (cosine 1.0) in at most one
+    // generator slot
     val ids = dense(base, queries, kCand + 1)
       .filter(col("doc_id") =!= col("query_id"))
     // fetch the bounded pool's vectors, re-score EXACTLY on unit vectors,

@@ -1486,6 +1486,36 @@ FROM n GROUP BY 1""",
     // x31: concat-then-chunk sequence packing — budget from Curation.PackBudget
     "x31_pack_sequences" -> packSql,
 
+    // x95: packing-efficiency audit over x31's layout — same CTEs, then a
+    // per-source aggregate; totals CAST to BIGINT (DuckDB SUM widens to
+    // HUGEINT), fractions are int/int double divisions on shared operands
+    "x95_pack_efficiency" -> {
+      val b = graft.corpus.Curation.PackBudget
+      s"""WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+  FROM t),
+g AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN n_tokens > 0 AND (st % $b) + n_tokens > $b
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+  FROM c GROUP BY source),
+h AS (
+  SELECT *, CAST((total_tokens + ${b - 1}) // $b AS BIGINT) AS n_seqs FROM g)
+SELECT source, n_docs, total_tokens, n_seqs, n_split_docs,
+  CAST(n_split_docs AS DOUBLE) / n_docs AS split_frac,
+  CAST(n_seqs * $b - total_tokens AS BIGINT) AS padding_tokens,
+  CASE WHEN n_seqs > 0
+    THEN CAST(n_seqs * $b - total_tokens AS DOUBLE) / (n_seqs * $b)
+    ELSE 0.0 END AS padding_frac
+FROM h"""
+    },
+
     // x79: balanced output-shard assignment (per-source snake deal)
     "x79_shard_assign" -> shardSql,
 

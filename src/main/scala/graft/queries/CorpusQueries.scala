@@ -245,6 +245,11 @@ object CorpusQueries {
   def x94DenseRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.denseRecallEval(emb(spark, dir))
 
+  /** x95 — packing-efficiency audit: per-source split/padding cost of the
+    * x31 concat-then-chunk layout at the shared budget. */
+  def x95PackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.packEfficiencyReport(docs(spark, dir))
+
   /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
     * under the merge list trained on the even-id frozen half, against that
     * half's own fertility baseline (x40's split convention). */

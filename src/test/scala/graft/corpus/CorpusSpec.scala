@@ -240,6 +240,52 @@ class CorpusSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(4L) shouldBe (("srcB", 5, 0L, 0L))
   }
 
+  test("packing-efficiency report: splits, padding, and NULL-text riders") {
+    import spark.implicits._
+    // srcA, budget 5: lengths 3,4,2 -> starts 0,3,7; doc 2 crosses the
+    // boundary (3+4 > 5); total 9 -> 2 seqs, padding 1.
+    // srcB: one NULL-text doc + one 5-token doc: NULL rides in n_docs only,
+    // total 5 -> 1 seq, padding 0, no splits.
+    val d = Seq(
+      (1L, Option("a b c"), "srcA"),
+      (2L, Option("a b c d"), "srcA"),
+      (3L, Option("a b"), "srcA"),
+      (4L, Option.empty[String], "srcB"),
+      (5L, Option("a b c d e"), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.packEfficiencyReport(d, budget = 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))).toMap
+    //               n_docs total n_seqs n_split split_frac  pad pad_frac
+    got("srcA") shouldBe ((3L, 9L, 2L, 1L, 1.0 / 3, 1L, 0.1))
+    got("srcB") shouldBe ((2L, 5L, 1L, 0L, 0.0, 0L, 0.0))
+  }
+
+  test("packing-efficiency report matches a driver-side replay on random " +
+      "corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "), s"s${i % 3}"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val budget = 16
+    val expected = rows.groupBy(_._3).map { case (src, ds) =>
+      var cum = 0L; var splits = 0L
+      ds.sortBy(_._1).foreach { case (_, text, _) =>
+        val n = text.split(" ", -1).length
+        if (cum % budget + n > budget) splits += 1
+        cum += n
+      }
+      val nSeqs = (cum + budget - 1) / budget
+      src -> ((ds.size.toLong, cum, nSeqs, splits,
+        splits.toDouble / ds.size, nSeqs * budget - cum))
+    }
+    val got = Curation.packEfficiencyReport(d, budget).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    got shouldBe expected
+  }
+
   test("sequence packing matches a driver-side running-sum reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

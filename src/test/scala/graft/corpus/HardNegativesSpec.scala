@@ -2,6 +2,7 @@ package graft.corpus
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** X93 — denoised hard-negative mining. The DuckDB oracle is the
@@ -96,6 +97,36 @@ class HardNegativesSpec extends AnyFunSuite with SparkSpec {
     val ea = exact.collect().map(_.toSeq).toSet
     val ia = ivf.collect().map(_.toSeq).toSet
     assert(ea == ia && ea.nonEmpty)
+  }
+
+  test("two-frame hardNegativesFor on a disjoint-id arriving batch mines " +
+      "against the corpus; the embedded case delegates bit-equal") {
+    val s = spark
+    import s.implicits._
+    // arriving query: id 100, equal to corpus vector 10's direction — its
+    // positive is 10 (cos ~1), 11 the copy is margin-suppressed, 12/13 mine
+    val corpus = emb(Seq(
+      10L -> Seq(10f, 0.1f, 0f),
+      11L -> Seq(10f, 0.1f, 0f),
+      12L -> Seq(0.8f, 0f, 0.6f),
+      13L -> Seq(0.5f, 0f, 0.9f)))
+    val batch = Seq(100L -> Seq(1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegativesFor(batch, corpus, k = 3,
+      margin = 0.1, kCand = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("pos_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neg_id")))
+    assert(got.map(_._1).toSet == Set(100L))
+    assert(got.map(_._2).toSet == Set(10L))
+    assert(got.map(t => t._3 -> t._4).toMap == Map(1 -> 12L, 2 -> 13L))
+    // embedded single-frame case = two-frame with a corpus slice as queries
+    val all = denoiseFixture
+    val a = Similarity.hardNegatives(all, numQueries = 1, k = 3,
+      margin = 0.1, kCand = 4).collect().map(_.toSeq).toSet
+    val b = Similarity.hardNegativesFor(
+      all.filter(col("vec_id") < 1), all, k = 3, margin = 0.1, kCand = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("argument guards are loud") {
