@@ -426,6 +426,12 @@ object Scaling {
       // (queries × k)-bounded
       ("embeddings", "x94_dense_recall",
         (d, _) => Similarity.denseRecallEval(rd(d, "embeddings"))),
+      // x96 vs x6: the same scan and broadcast, top-k kept by the bounded
+      // O(k)-state aggregate instead of a full per-query sort — the gap
+      // between these two cells is the sort the window pays on a growing
+      // candidate stream
+      ("embeddings", "x96_topk_agg",
+        (d, _) => Similarity.cosineTopKAgg(rd(d, "embeddings"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

@@ -146,6 +146,7 @@ object SparkEntry {
     "x93_hard_negatives" -> (C.x93HardNegatives _),
     "x94_dense_recall" -> (C.x94DenseRecall _),
     "x95_pack_efficiency" -> (C.x95PackEfficiency _),
+    "x96_topk_agg" -> (C.x96TopkAgg _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -67,6 +67,15 @@ object Similarity {
 
   private def dotp(a: Column, b: Column): Column = graft.functions.VectorOps.dotp(a, b)
 
+  /** Public [[normalizedBase]] view for the streaming twins
+    * ([[graft.streaming.StreamOps.topKNeighbors]]): (vec_id, e) with `e`
+    * unit-normalized, degenerate vectors surfacing as NULL. */
+  def normalizedCorpus(emb: DataFrame): DataFrame = normalizedBase(emb)
+
+  /** The shared embedding→ARRAY<DOUBLE> cast, public for streaming twins
+    * that normalize a query column outside [[normalizedBase]]'s shape. */
+  def toDoubleVec(c: Column): Column = toDouble(c)
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self; rank ties broken by neighbor id. */
   def cosineTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
@@ -74,6 +83,35 @@ object Similarity {
     candidatePool(emb, numQueries, k, keepDegenerate = true)
       .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
         round(col("rel"), 6).as("cosine"))
+
+  /** X96 — [[cosineTopK]] re-planned through the bounded one-pass
+    * [[graft.functions.TopKPairs]] aggregate instead of a row_number
+    * window: same scan, same broadcast, but per-query state is O(k) and
+    * the candidate stream is never sorted — partial aggregation ships at
+    * most k entries per query per input partition to the shuffle, where
+    * the window plan shuffles and SORTS every (query, candidate) pair.
+    * Output bit-identical to [[cosineTopK]] (spec-pinned on corpora with
+    * ties, zero-norm and NULL vectors; the shared driver query reuses x6's
+    * oracle verbatim — the x59/x92 shared-oracle precedent). The window
+    * form stays the default at sf sizes (whole-stage codegen covers it);
+    * this is the 100 TB candidate-stream shape, and the building block
+    * that gives STREAMING per-query top-k bounded state. */
+  def cosineTopKAgg(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
+      k: Int = DefaultTopK): DataFrame = {
+    val all = normalizedBase(emb)
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dotp(col("qe"), col("e")).as("rel"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKPairs.topK(col("rel"), col("cid"), k)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.score"), 6).as("cosine"))
+  }
 
   /** x6's candidate stage: per query (vec_id < numQueries), every other
     * vector's cosine, ranked (rel desc, cid) and cut at `k` — (qid, cid,

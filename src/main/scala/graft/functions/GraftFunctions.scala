@@ -54,7 +54,12 @@ object GraftFunctions {
       { case Seq(t, k, w) =>
           WinnowSketch(t, intLit(k, "winnow_sketch", 1), intLit(w, "winnow_sketch", 2))
         case args => throw new IllegalArgumentException(
-          s"winnow_sketch expects 3 arguments, got ${args.size}") }))
+          s"winnow_sketch expects 3 arguments, got ${args.size}") }),
+    ("topk_pairs",
+      "topk_pairs(score, id, k) - bounded top-k (score, id) pairs per group",
+      { case Seq(s, id, k) => TopKPairs(s, id, intLit(k, "topk_pairs", 2))
+        case args => throw new IllegalArgumentException(
+          s"topk_pairs expects 3 arguments, got ${args.size}") }))
 
   private[functions] def install(register: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) => Unit): Unit =

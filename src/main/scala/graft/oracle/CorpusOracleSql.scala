@@ -322,6 +322,32 @@ q AS (
   private val qualitySql: String =
     qualityPrelude("") + "SELECT doc_id, n_tokens, n_chars, quality FROM q"
 
+  /** x6 — exact cosine top-k; shared VERBATIM by x96 (same output contract
+    * through the bounded topk_pairs aggregate, spec-pinned bit-identical). */
+  private val cosineTopKSql: String = s"""WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+base AS (
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
+  FROM raw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultTopKQueries}),
+pr AS (
+  -- NULL-guarded cosine, NOT a pre-filter: the engine KEEPS degenerate
+  -- pairs with a NULL cosine (a degenerate query still emits k rows, ranked
+  -- by the neighbor_id tiebreak; degenerate corpus vectors rank last and
+  -- fall outside top-k) — the guard only dodges DuckDB's NULL-input error
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
+  FROM base CROSS JOIN q WHERE vec_id <> qid)
+SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pr)
+WHERE rn <= ${graft.corpus.Similarity.DefaultTopK}"""
+
   private val annLshSql: String = {
     val hp = hyperplaneLiterals(graft.corpus.Similarity.DefaultLshBits,
       graft.corpus.Similarity.DefaultDim)
@@ -1876,29 +1902,12 @@ SELECT qid AS query_id, cid AS neighbor_id, step,
 FROM sel${S.DefaultTopK}"""
     },
 
-    "x6_cosine_topk" -> s"""WITH raw AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
-base AS (
-  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
-         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
-         END AS e
-  FROM raw WHERE raw IS NOT NULL
-  UNION ALL
-  SELECT vec_id, NULL AS e FROM raw WHERE raw IS NULL),
-q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < ${graft.corpus.Similarity.DefaultTopKQueries}),
-pr AS (
-  -- NULL-guarded cosine, NOT a pre-filter: the engine KEEPS degenerate
-  -- pairs with a NULL cosine (a degenerate query still emits k rows, ranked
-  -- by the neighbor_id tiebreak; degenerate corpus vectors rank last and
-  -- fall outside top-k) — the guard only dodges DuckDB's NULL-input error
-  SELECT qid, vec_id AS neighbor_id,
-         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
-              ELSE list_dot_product(qe, e) END AS cos
-  FROM base CROSS JOIN q WHERE vec_id <> qid)
-SELECT qid, neighbor_id, rn AS "rank", round(cos, 6) AS cosine FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
-  FROM pr)
-WHERE rn <= ${graft.corpus.Similarity.DefaultTopK}""",
+    "x6_cosine_topk" -> cosineTopKSql,
+
+    // x96: x6 re-planned through the bounded topk_pairs aggregate — output
+    // pinned bit-identical (TopKPairsSpec), so the oracle IS x6's SQL (the
+    // x59/x92 shared-oracle precedent)
+    "x96_topk_agg" -> cosineTopKSql,
 
     "x7_ann_lsh" -> annLshSql,
 

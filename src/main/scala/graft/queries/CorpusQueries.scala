@@ -250,6 +250,12 @@ object CorpusQueries {
   def x95PackEfficiency(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.packEfficiencyReport(docs(spark, dir))
 
+  /** x96 — x6's exact top-k through the bounded one-pass TopKPairs
+    * aggregate (hash-agg plan, no window sort); bit-identical output,
+    * shares x6's oracle verbatim. */
+  def x96TopkAgg(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKAgg(emb(spark, dir))
+
   /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
     * under the merge list trained on the even-id frozen half, against that
     * half's own fertility baseline (x40's split convention). */

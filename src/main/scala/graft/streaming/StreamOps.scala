@@ -41,6 +41,38 @@ object StreamOps {
       .select(col("w.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming per-query exact top-k — the streaming twin of
+    * [[graft.corpus.Similarity.cosineTopKAgg]] (x96), and the reason the
+    * bounded [[graft.functions.TopKPairs]] aggregate exists: a window
+    * (`row_number`) top-k cannot run on an unbounded stream at all, and a
+    * `collect_list`-then-sort aggregation would hold every candidate ever
+    * seen in the state store. This holds exactly ONE O(k) buffer per query:
+    * arriving query vectors join the STATIC corpus (broadcast the query
+    * micro-batch side never — the corpus frame is the static side of a
+    * stream-static inner join), each (query, candidate) cosine feeds
+    * `topk_pairs`, and update-mode output emits each query's current top-k
+    * array as it improves. Degenerate (NULL-normalized) corpus vectors rank
+    * last by the id tiebreak (x6's contract rides the aggregate's NULL
+    * ordering); degenerate query vectors produce all-NULL scores, k rows by
+    * id. The caller `posexplode`s `top` to flat rows when a sink needs
+    * them. State: |live queries| × k entries, nothing corpus-sized, no
+    * watermark needed (a query's top-k only refines; drop the key when the
+    * sink has consumed its final update). */
+  def topKNeighbors(queryVecs: DataFrame, corpus: DataFrame,
+      k: Int = graft.corpus.Similarity.DefaultTopK): DataFrame = {
+    val base = graft.corpus.Similarity.normalizedCorpus(corpus)
+    queryVecs
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorOps.normalizeVec(
+          graft.corpus.Similarity.toDoubleVec(col("embedding"))).as("qe"))
+      .join(base, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("rel"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKPairs.topK(col("rel"), col("cid"), k)
+        .as("top"))
+  }
+
   /** Streaming sessionization — the streaming twin of the q7 batch query:
     * per-user sessions that close after `gap` of event-time silence
     * (`session_window` merges and extends under the hood; a session emits once

@@ -14,6 +14,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("streaming top-k neighbors: bounded per-query state, result equals " +
+      "the same operator run on the batched input (x96 twin)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rnd = new scala.util.Random(61L)
+    // static corpus (ids >= 100, incl. a zero-norm row the NULL contract
+    // ranks last by id)
+    val corpus = ((100L until 130L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)) :+
+      (130L -> Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val arriving = (0L until 6L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.topKNeighbors(
+      input.toDF().toDF("vec_id", "embedding"), corpus, k = 3)
+    val sink = s"topk_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_tk").toString)
+      .start()
+    try {
+      input.addData(arriving.take(3): _*)
+      q.processAllAvailable()
+      input.addData(arriving.drop(3): _*)
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .selectExpr("qid", "inline(top)")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      // the batch twin is the SAME operator over the batched input
+      val want = StreamOps.topKNeighbors(
+        arriving.toDF("vec_id", "embedding"), corpus, k = 3)
+        .selectExpr("qid", "inline(top)")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      got shouldBe want
+      got.map(_._1) shouldBe (0L until 6L).toSet
+    } finally q.stop()
+  }
+
   test("hourly windows emit once, finalized, when the watermark passes their end") {
     val s = spark
     import s.implicits._
