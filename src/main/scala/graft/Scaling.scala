@@ -432,6 +432,12 @@ object Scaling {
       // candidate stream
       ("embeddings", "x96_topk_agg",
         (d, _) => Similarity.cosineTopKAgg(rd(d, "embeddings"))),
+      // x95 packing audit: rides x31's per-source window (skew = largest
+      // domain) + a source-cardinality aggregate — linear in the window's
+      // ordered pass, source-bounded everywhere else
+      ("documents", "x95_pack_efficiency",
+        (d, _) => graft.corpus.Curation.packEfficiencyReport(
+          rd(d, "documents"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

@@ -420,6 +420,29 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("dense_rank"))
   }
 
+  /** The exact generator re-planned through the bounded
+    * [[graft.functions.TopKPairs]] aggregate (x96): same scan, same
+    * broadcast, same exhaustive (query, doc) cosines, but per-query state
+    * is O(kCand) and the candidate stream is never sorted — the window
+    * form's per-query sort grows with the corpus, the aggregate's does
+    * not (x96's ladder: steady 0.48 s at 30× vs the window's 0.55–0.74 s
+    * mins with 1.4–1.7 s cold reps). Contract-identical to
+    * [[exactDenseCandidates]] (spec-pinned bit-equal on tie-heavy random
+    * corpora): same (cos desc, doc_id) ranking, NULLS LAST should a
+    * caller pass degenerate rows. Swap it into any SPI consumer when the
+    * candidate stream is the dominant term. */
+  val exactAggDenseCandidates: DenseCandidates = (corpus, queries, kCand) => {
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.functions.VectorOps.dotp(col("qe"), col("e")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(col("cos"), col("doc_id"), kCand)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("dense_rank"))
+  }
+
   /** IVF-backed dense generator: coarse-quantize the corpus into
     * `numCentroids` cells ([[Similarity.annIvfSearchOn]]'s one narrow
     * BestMatch pass), search each query's `nprobe` closest cells only.

@@ -105,6 +105,26 @@ class TopKPairsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("exactAggDenseCandidates = exactDenseCandidates bit-for-bit " +
+      "(the SPI swap-in)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23L)
+    // duplicate vectors force cosine ties; small dim forces near-ties
+    val base = (0L until 60L).map { i =>
+      val v = Seq.fill(3)((rnd.nextInt(4) - 2).toDouble)
+      i -> v
+    }
+    val corpus = base.toDF("vec_id", "e")
+    val queries = base.take(5).map { case (id, v) => (id, v) }
+      .toDF("query_id", "qe")
+    val a = graft.corpus.Retrieval.exactDenseCandidates(corpus, queries, 7)
+      .collect().map(_.toSeq).toSet
+    val b = graft.corpus.Retrieval.exactAggDenseCandidates(corpus, queries, 7)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("k guard is loud") {
     intercept[IllegalArgumentException] {
       TopKPairs(org.apache.spark.sql.GraftExpressionBridge.expression(lit(1.0)),
