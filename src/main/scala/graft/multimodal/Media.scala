@@ -97,13 +97,16 @@ object RealCodec extends MediaCodec {
     else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
         blob.slice(8, 12).sameElements("WAVE".getBytes))
       decodeWav(blob)
+    else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
+        blob.slice(8, 12).sameElements("AVI ".getBytes))
+      decodeAvi(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec: unsupported format (magic 0x$magic, ${blob.length} bytes)" +
-          " — still images (PPM/BMP/PNG/JPEG/GIF/TIFF) and PCM WAV decode on" +
-          " a bare JVM; bind a full codec (JavaCV/ffmpeg) for video and" +
-          " compressed-audio containers")
+          " — still images (PPM/BMP/PNG/JPEG/GIF/TIFF), PCM WAV, and" +
+          " MJPEG/raw-DIB AVI decode on a bare JVM; bind a full codec" +
+          " (JavaCV/ffmpeg) for other video and compressed-audio containers")
     }
   }
 
@@ -184,6 +187,129 @@ object RealCodec extends MediaCodec {
     DecodedMedia(channels, sampleRate.toInt, nFrames, out)
   }
 
+  /** RIFF/AVI video, hand-rolled — the ONE video container a bare JVM can
+    * genuinely decode pixels from, because its two classic payloads need
+    * no native codec: '''MJPEG''' (every frame chunk is a complete JPEG,
+    * handed to the same ImageIO tier still images use) and '''raw DIB'''
+    * (uncompressed bottom-up BGR24, the BMP raster without the file
+    * header). The walk: RIFF(`AVI `) → LIST `hdrl` → `avih` (dimensions,
+    * frame count) + the first LIST `strl` whose `strh` is `vids` (stream
+    * index → its `##dc`/`##db` chunk ids; `strf` BITMAPINFOHEADER names
+    * the compression) → LIST `movi` (frame chunks, `rec ` sub-LISTs
+    * flattened, zero-length dropped-frame markers skipped). Output follows
+    * the animated-GIF convention: `nFrames` counts the payload frames,
+    * `pixels` is the FIRST frame's normalized top-down RGB. Every frame's
+    * dimensions must match the header's; any OTHER biCompression (cvid,
+    * xvid, h264-in-AVI, …) fails loudly with the fourcc — that is the
+    * genuine native-codec surface, and [[probeMeta]] still reports its
+    * header metadata. */
+  private def decodeAvi(b: Array[Byte]): DecodedMedia = {
+    def u16(off: Int): Int = {
+      if (off + 2 > b.length) fail(s"AVI: truncated at byte $off")
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    }
+    def u32(off: Int): Long = {
+      if (off + 4 > b.length) fail(s"AVI: truncated at byte $off")
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    }
+    def fourcc(off: Int): String = {
+      if (off + 4 > b.length) fail(s"AVI: truncated at byte $off")
+      new String(b, off, 4, "US-ASCII")
+    }
+    var width = -1; var height = -1
+    var vidStream = -1; var nStreams = 0
+    var handler: String = null; var compression: String = null
+    var bitCount = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var inVideoStrl = false
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = fourcc(i)
+        val sz = u32(i + 4)
+        if (sz > Int.MaxValue - 8 || i + 8 + sz > end)
+          fail(s"AVI: chunk $id at byte $i overruns its parent ($sz bytes)")
+        val body = i + 8
+        val szI = sz.toInt
+        id match {
+          case "LIST" =>
+            val listType = fourcc(body)
+            listType match {
+              case "hdrl" | "odml" => walk(body + 4, body + szI, inMovi = false)
+              case "strl" =>
+                // stage: commit only if this strl's strh is the FIRST vids
+                inVideoStrl = false
+                walk(body + 4, body + szI, inMovi = false)
+              case "movi" | "rec " => walk(body + 4, body + szI, inMovi = true)
+              case _ => ()
+            }
+          case "avih" =>
+            width = u32(body + 32).toInt; height = u32(body + 36).toInt
+          case "strh" =>
+            val fccType = fourcc(body)
+            if (fccType == "vids" && vidStream < 0) {
+              vidStream = nStreams; inVideoStrl = true
+              handler = fourcc(body + 4)
+            }
+            nStreams += 1
+          case "strf" if inVideoStrl && compression == null =>
+            bitCount = u16(body + 14)
+            val comp = u32(body + 16)
+            compression =
+              if (comp == 0) "DIB" else fourcc(body + 16)
+          case _ =>
+            if (inMovi && vidStream >= 0 && szI > 0 &&
+                (id == f"$vidStream%02ddc" || id == f"$vidStream%02ddb"))
+              frames += ((body, szI))
+        }
+        i = body + szI + (szI & 1) // RIFF chunks pad to even byte
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    if (width <= 0 || height <= 0) fail(s"AVI: bad dimensions ${width}x$height")
+    if (width.toLong * height > MaxPixels)
+      fail(s"AVI: frame too large (${width}x$height)")
+    if (vidStream < 0) fail("AVI: no video (vids) stream")
+    if (frames.isEmpty) fail("AVI: no video frame chunks in movi")
+    val isMjpeg = compression == "MJPG" || compression == "mjpg" ||
+      (compression == null && (handler == "MJPG" || handler == "mjpg"))
+    val (off0, len0) = frames.head
+    val first =
+      if (isMjpeg) {
+        val d = decodeImageIo(
+          java.util.Arrays.copyOfRange(b, off0, off0 + len0), "AVI/MJPEG")
+        if (d.width != width || d.height != height)
+          fail(s"AVI: frame dimensions ${d.width}x${d.height} disagree with" +
+            s" the header's ${width}x$height")
+        d.pixels
+      } else if (compression == "DIB" || handler == "DIB ") {
+        if (bitCount != 24)
+          fail(s"AVI: raw DIB bit depth $bitCount unsupported (24-bit only)")
+        // the BMP raster: bottom-up BGR rows padded to 4-byte multiples
+        val rowBytes = (width * 3 + 3) & ~3
+        if (len0 < rowBytes * height)
+          fail(s"AVI: raw frame truncated ($len0 of ${rowBytes * height} bytes)")
+        val out = new Array[Byte](width * height * 3)
+        var y = 0
+        while (y < height) {
+          val src = off0 + (height - 1 - y) * rowBytes
+          var x = 0
+          while (x < width) {
+            out((y * width + x) * 3) = b(src + x * 3 + 2)
+            out((y * width + x) * 3 + 1) = b(src + x * 3 + 1)
+            out((y * width + x) * 3 + 2) = b(src + x * 3)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } else fail(s"AVI: compressed video codec '$compression' (handler " +
+        s"'$handler') needs a native codec — only MJPEG and raw DIB decode" +
+        " on a bare JVM")
+    DecodedMedia(width, height, frames.size, first)
+  }
+
   /** Header-level metadata of a VIDEO container — the pure-JVM walk a
     * scraped-corpus first pass needs (dimensions, duration, codec id)
     * without any native codec: pixel/sample decode for these formats stays
@@ -217,12 +343,64 @@ object RealCodec extends MediaCodec {
         (blob(1) & 0xff) == 0x45 && (blob(2) & 0xff) == 0xdf &&
         (blob(3) & 0xff) == 0xa3)
       probeMkv(blob)
+    else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
+        blob.slice(8, 12).sameElements("AVI ".getBytes))
+      probeAvi(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec.probeMeta: not an MP4/MKV container (magic 0x$magic)" +
           " — still images and WAV carry their metadata through decode()")
     }
+  }
+
+  /** RIFF/AVI header walk: `avih` gives dimensions and the per-frame
+    * micro-second clock (duration = µs/frame × totalFrames), the first
+    * `vids` stream's `strf` BITMAPINFOHEADER names the codec fourcc
+    * ("DIB" when biCompression = 0). Unlike [[decodeAvi]] this accepts ANY
+    * codec — metadata is exactly what the crawl's first pass wants for
+    * the frames it cannot decode. */
+  private def probeAvi(b: Array[Byte]): ProbedMeta = {
+    def u32(off: Int): Long = {
+      if (off + 4 > b.length) fail(s"AVI: truncated at byte $off")
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    }
+    def fourcc(off: Int): String = {
+      if (off + 4 > b.length) fail(s"AVI: truncated at byte $off")
+      new String(b, off, 4, "US-ASCII")
+    }
+    var width = -1; var height = -1; var durMs = -1L
+    var codec: String = null; var sawVids = false
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = fourcc(i)
+        val sz = u32(i + 4)
+        if (sz > Int.MaxValue - 8 || i + 8 + sz > end)
+          fail(s"AVI: chunk $id at byte $i overruns its parent ($sz bytes)")
+        val body = i + 8
+        val szI = sz.toInt
+        id match {
+          case "LIST" =>
+            val lt = fourcc(body)
+            if (lt == "hdrl" || lt == "strl") walk(body + 4, body + szI)
+          case "avih" =>
+            width = u32(body + 32).toInt; height = u32(body + 36).toInt
+            val usPerFrame = u32(body); val totalFrames = u32(body + 16)
+            if (usPerFrame > 0 && totalFrames > 0)
+              durMs = usPerFrame * totalFrames / 1000
+          case "strh" =>
+            sawVids = fourcc(body) == "vids" && codec == null
+          case "strf" if sawVids && codec == null =>
+            codec = if (u32(body + 16) == 0) "DIB" else fourcc(body + 16)
+          case _ => ()
+        }
+        i = body + szI + (szI & 1)
+      }
+    }
+    walk(12, b.length)
+    ProbedMeta("avi", width, height, durMs, codec)
   }
 
   private def probeMp4(b: Array[Byte]): ProbedMeta = {
