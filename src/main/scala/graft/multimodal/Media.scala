@@ -346,12 +346,100 @@ object RealCodec extends MediaCodec {
     else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
         blob.slice(8, 12).sameElements("AVI ".getBytes))
       probeAvi(blob)
+    else if (blob.length >= 4 && blob.take(4).sameElements("fLaC".getBytes))
+      probeFlac(blob)
+    else if (isMp3(blob))
+      probeMp3(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
-        s"RealCodec.probeMeta: not an MP4/MKV container (magic 0x$magic)" +
-          " — still images and WAV carry their metadata through decode()")
+        s"RealCodec.probeMeta: not an MP4/MKV/AVI/FLAC/MP3 container" +
+          s" (magic 0x$magic) — still images and WAV carry their metadata" +
+          " through decode()")
     }
+  }
+
+  /** MP3 detection: an ID3v2 tag, or a raw MPEG-1/2 Layer III frame sync
+    * (11 set bits with a Layer III layer field) — checked strictly enough
+    * that random binary rarely routes here. */
+  private def isMp3(b: Array[Byte]): Boolean = {
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') true
+    else b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
+      ((b(1) >> 1) & 0x3) == 1 // layer bits 01 = Layer III
+  }
+
+  /** FLAC STREAMINFO walk (the mandatory first metadata block): sample
+    * rate (20 bits), channels (3 bits + 1), and the 36-bit total-sample
+    * count give the exact duration. The audio mapping of [[ProbedMeta]]
+    * mirrors [[decodeWav]]'s layout: `width` = channels, `height` = sample
+    * rate. A zero total-sample field (a live stream) reports duration −1. */
+  private def probeFlac(b: Array[Byte]): ProbedMeta = {
+    // block header: 1 last-flag bit + 7 type bits, 24-bit length
+    if (b.length < 8 + 34) fail("FLAC: truncated before STREAMINFO")
+    if ((b(4) & 0x7f) != 0) fail("FLAC: first metadata block is not STREAMINFO")
+    val blockLen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (blockLen < 34) fail(s"FLAC: STREAMINFO too short ($blockLen bytes)")
+    val si = 8 // STREAMINFO body offset
+    // bytes 10..17 of the body: 20-bit rate, 3-bit channels-1, 5-bit
+    // bits-1, 36-bit total samples
+    val rate = ((b(si + 10) & 0xff) << 12) | ((b(si + 11) & 0xff) << 4) |
+      ((b(si + 12) & 0xf0) >> 4)
+    val channels = ((b(si + 12) & 0x0e) >> 1) + 1
+    val totalSamples = ((b(si + 13) & 0x0fL) << 32) |
+      ((b(si + 14) & 0xffL) << 24) | ((b(si + 15) & 0xffL) << 16) |
+      ((b(si + 16) & 0xffL) << 8) | (b(si + 17) & 0xffL)
+    if (rate <= 0) fail(s"FLAC: bad sample rate $rate")
+    val durMs = if (totalSamples > 0) totalSamples * 1000 / rate else -1L
+    ProbedMeta("flac", channels, rate, durMs, "flac")
+  }
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbit/s, index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3 walk: skip any ID3v2 tag (syncsafe size), parse the first
+    * MPEG-1 Layer III frame header (bitrate/sample-rate/channel-mode
+    * tables), then look for a Xing/Info VBR header inside that frame —
+    * its frame count × 1152 samples gives the exact duration; without
+    * one, duration is the CBR estimate audio_bytes×8/bitrate (how every
+    * tag reader prices a plain CBR file). MPEG-2/2.5 and free-format
+    * bitrates fail loudly — rarities a production probe should surface,
+    * not misprice. */
+  private def probeMp3(b: Array[Byte]): ProbedMeta = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + size
+    }
+    if (off + 4 > b.length) fail("MP3: truncated before the first frame")
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0)
+      fail(f"MP3: no frame sync at byte $off (0x${b(off) & 0xff}%02x)")
+    val versionBits = (b(off + 1) >> 3) & 0x3
+    val layerBits = (b(off + 1) >> 1) & 0x3
+    if (versionBits != 3 || layerBits != 1)
+      fail(s"MP3: only MPEG-1 Layer III is priced here (version bits" +
+        s" $versionBits, layer bits $layerBits)")
+    val brIdx = (b(off + 2) >> 4) & 0xf
+    val srIdx = (b(off + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15) fail(s"MP3: free/bad bitrate index $brIdx")
+    if (srIdx == 3) fail("MP3: reserved sample-rate index")
+    val bitrate = Mp3Bitrates(brIdx) * 1000
+    val rate = Mp3Rates(srIdx)
+    val channels = if (((b(off + 3) >> 6) & 0x3) == 3) 1 else 2
+    // Xing/Info at the side-info offset: 36 bytes in for stereo, 21 mono
+    val xingOff = off + (if (channels == 1) 21 else 36)
+    val durMs =
+      if (xingOff + 12 <= b.length &&
+          (new String(b, xingOff, 4, "US-ASCII") == "Xing" ||
+            new String(b, xingOff, 4, "US-ASCII") == "Info") &&
+          ((b(xingOff + 7) & 0x1) == 1)) { // frames-present flag
+        val frames = ((b(xingOff + 8) & 0xffL) << 24) |
+          ((b(xingOff + 9) & 0xffL) << 16) |
+          ((b(xingOff + 10) & 0xffL) << 8) | (b(xingOff + 11) & 0xffL)
+        frames * 1152L * 1000 / rate
+      } else (b.length - off).toLong * 8000 / bitrate
+    ProbedMeta("mp3", channels, rate, durMs, "mp3")
   }
 
   /** RIFF/AVI header walk: `avih` gives dimensions and the per-frame

@@ -137,9 +137,59 @@ class ProbeMetaSpec extends AnyFunSuite with Matchers {
     e.getMessage should (include("overruns") or include("truncated"))
   }
 
-  test("non-video magics fail loudly and point at decode()") {
+  test("non-container magics fail loudly and point at decode()") {
     val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val e = intercept[UnsupportedOperationException](RealCodec.probeMeta(png))
     e.getMessage should include("decode()")
+  }
+
+  test("FLAC: STREAMINFO gives channels, rate, and exact duration; a " +
+      "zero sample count (live stream) reports -1") {
+    def flac(rate: Int, channels: Int, samples: Long): Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(10) = ((rate >> 12) & 0xff).toByte
+      si(11) = ((rate >> 4) & 0xff).toByte
+      si(12) = (((rate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+      si(13) = ((samples >> 32) & 0x0f).toByte
+      si(14) = ((samples >> 24) & 0xff).toByte
+      si(15) = ((samples >> 16) & 0xff).toByte
+      si(16) = ((samples >> 8) & 0xff).toByte
+      si(17) = (samples & 0xff).toByte
+      "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    }
+    val m = RealCodec.probeMeta(flac(44100, 2, 44100L * 61))
+    (m.format, m.width, m.height, m.codec) shouldBe (("flac", 2, 44100, "flac"))
+    m.durationMs shouldBe 61000L
+    RealCodec.probeMeta(flac(48000, 1, 0)).durationMs shouldBe -1L
+    // first block not STREAMINFO -> loud
+    val bad = "fLaC".getBytes ++ Array[Byte](4, 0, 0, 34) ++ new Array[Byte](34)
+    an[IllegalArgumentException] should be thrownBy RealCodec.probeMeta(bad)
+  }
+
+  test("MP3: ID3 skip + frame header parse; Xing frame count gives exact " +
+      "duration, plain CBR estimates from size x bitrate") {
+    // MPEG-1 Layer III, 128 kbit (idx 9), 44100 (idx 0), stereo (mode 0)
+    val hdr = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+    def id3(size: Int): Array[Byte] =
+      "ID3".getBytes ++ Array[Byte](3, 0, 0) ++ Array(
+        ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+        ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++
+        new Array[Byte](size)
+    // Xing at 4 + 32 (stereo side info): "Xing", flags=1 (frames), count
+    val frames = 1000L
+    val xing = new Array[Byte](32) ++ "Xing".getBytes ++
+      Array[Byte](0, 0, 0, 1) ++ Array(
+        ((frames >> 24) & 0xff).toByte, ((frames >> 16) & 0xff).toByte,
+        ((frames >> 8) & 0xff).toByte, (frames & 0xff).toByte)
+    val vbr = RealCodec.probeMeta(id3(37) ++ hdr ++ xing)
+    (vbr.format, vbr.width, vbr.height, vbr.codec) shouldBe
+      (("mp3", 2, 44100, "mp3"))
+    vbr.durationMs shouldBe frames * 1152L * 1000 / 44100
+    // plain CBR: 16000 audio bytes at 128 kbit/s = 1000 ms
+    val cbr = RealCodec.probeMeta(hdr ++ new Array[Byte](16000 - 4))
+    cbr.durationMs shouldBe 1000L
+    // MPEG-2 (version bits 10) is the loud-fail surface
+    val v2 = Array(0xff, 0xf3, 0x90, 0x00).map(_.toByte)
+    an[IllegalArgumentException] should be thrownBy RealCodec.probeMeta(v2)
   }
 }
