@@ -438,6 +438,11 @@ object Scaling {
       ("documents", "x95_pack_efficiency",
         (d, _) => graft.corpus.Curation.packEfficiencyReport(
           rd(d, "documents"))),
+      // x97 next-fit packing: the pointer-doubling cost curve IS the claim
+      // — 2 window passes + ~2·log2(docs/source) position-keyed joins, so
+      // the cell should grow like m·log m, never like a serial chain
+      ("documents", "x97_pack_nextfit",
+        (d, _) => graft.corpus.Curation.packNextFit(rd(d, "documents"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

@@ -147,6 +147,7 @@ object SparkEntry {
     "x94_dense_recall" -> (C.x94DenseRecall _),
     "x95_pack_efficiency" -> (C.x95PackEfficiency _),
     "x96_topk_agg" -> (C.x96TopkAgg _),
+    "x97_pack_nextfit" -> (C.x97PackNextFit _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

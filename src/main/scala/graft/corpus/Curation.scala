@@ -247,6 +247,123 @@ object Curation {
           .otherwise(lit(0.0)).as("padding_frac"))
   }
 
+  /** X97 — boundary-respecting (next-fit) sequence packing: the layout
+    * whose cost x95 prices AWAY — no document ever crosses a sequence
+    * boundary. Per source in doc_id order, each document goes into the
+    * current sequence if it fits the remaining budget, else opens a new
+    * one; documents LONGER than the budget become flagged singleton
+    * sequences (`oversize` — truncation is the trainer's decision, x32's
+    * routing doctrine). Emits `(source, doc_id, n_tokens, seq_id, offset,
+    * oversize)` — x31's schema plus the flag; NULL-text documents ride
+    * with NULL packing columns (x31's contract). The price of the
+    * guarantee is padding at every sequence tail (x31 pads only the last);
+    * run [[packEfficiencyReport]] against both layouts to price the trade.
+    *
+    * THE ALGORITHMIC POINT (the x85/x90 genre — exact sequential
+    * semantics, no sequential execution): next-fit looks inherently
+    * serial — each bin break depends on the previous — but with strictly
+    * positive token counts the running total S is MONOTONE, so the
+    * "last document fitting a bin that starts at p" is a pure
+    * search on S, computable for EVERY p at once with one merge-window
+    * pass (union the S values with the per-position thresholds, one
+    * running count — no self-join); that makes "next bin start" a
+    * functional graph, and the bin id of every document is its distance
+    * from position 1 under pointer-doubling: O(log n) rounds of
+    * position-keyed hash joins (the x20 iterate-in-rounds discipline,
+    * with each doubling table localCheckpointed — a lazy chain would
+    * square the plan per round). Total: 2 window passes +
+    * ~2·log₂(max docs/source) bounded joins, everything partitioned by
+    * (source, position) — no global window, no per-source serial task,
+    * no driver-side chain walk. */
+  def packNextFit(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    require(budget > 0, "sequence budget must be positive")
+    val wRun = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base0 = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val nullRows = base0.filter(col("n_tokens").isNull)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        lit(null).cast("long").as("seq_id"),
+        lit(null).cast("long").as("offset"),
+        lit(null).cast("boolean").as("oversize"))
+    // positions + inclusive/exclusive running totals — materialized once:
+    // the event union, the jump chain, the descent, and the offset lookup
+    // all read this frame (the x85 localCheckpoint hygiene)
+    val t = base0.filter(col("n_tokens").isNotNull)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .withColumn("s_incl", sum(col("n_tokens")).over(wRun))
+      .withColumn("s_before", col("s_incl") - col("n_tokens"))
+      .localCheckpoint()
+    // merge-window jump function: for every position p, l_raw(p) =
+    // #{j : S_j <= S_before(p) + budget} — S is strictly increasing per
+    // source (n_tokens >= 1), so that count IS the last position fitting
+    // a bin that starts at p. One union + one running count; value events
+    // sort before threshold events at ties (<= semantics). greatest(_, p)
+    // makes an oversize start its own singleton; +1 is the next start.
+    val vEvents = t.select(col("source"), col("s_incl").as("v"),
+      lit(0).as("kind"), col("pos"))
+    val qEvents = t.select(col("source"),
+      (col("s_before") + budget).as("v"), lit(1).as("kind"), col("pos"))
+    val jump0 = vEvents.unionByName(qEvents)
+      .withColumn("nv", sum(when(col("kind") === 0, 1L).otherwise(0L)).over(
+        Window.partitionBy(col("source")).orderBy(col("v"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("kind") === 1)
+      .select(col("source"), col("pos"),
+        (greatest(col("nv"), col("pos")) + 1L).as("jmp"))
+    // doubling rounds sized from the largest per-source position — ONE
+    // bounded driver scalar
+    val maxN: Long = t.groupBy(col("source")).agg(max(col("pos")).as("n"))
+      .agg(max(col("n"))).collect() match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
+      case _ => 0L
+    }
+    val rounds: Int =
+      if (maxN <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(maxN - 1).toInt
+    val tables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rounds > 0) {
+      tables += jump0.localCheckpoint()
+      for (i <- 1 until rounds) {
+        val a = tables(i - 1)
+        tables += a.as("a")
+          .join(a.select(col("source").as("bsrc"), col("pos").as("bpos"),
+            col("jmp").as("bjmp")).as("b"),
+            col("a.source") === col("bsrc") && col("a.jmp") === col("bpos"),
+            "left")
+          .select(col("a.source").as("source"), col("a.pos").as("pos"),
+            // a jump landing past the last position is absorbing
+            coalesce(col("bjmp"), col("a.jmp")).as("jmp"))
+          .localCheckpoint()
+      }
+    }
+    // descent: every document walks from position 1, taking each 2^i-bin
+    // jump that stays at-or-before its own position; the step count IS its
+    // 0-based sequence id and the landing position its sequence's start
+    var d = t.select(col("source"), col("pos").as("p"),
+      lit(1L).as("cur"), lit(0L).as("cnt"))
+    for (i <- (rounds - 1) to 0 by -1) {
+      d = d.join(tables(i).select(col("source").as("jsrc"),
+          col("pos").as("jp"), col("jmp").as("jm")),
+          col("source") === col("jsrc") && col("cur") === col("jp"), "left")
+        .select(col("source"), col("p"),
+          when(col("jm") <= col("p"), col("jm")).otherwise(col("cur"))
+            .as("cur"),
+          when(col("jm") <= col("p"), col("cnt") + (1L << i))
+            .otherwise(col("cnt")).as("cnt"))
+    }
+    val packed = d
+      .join(t.select(col("source"), col("pos").as("p"), col("doc_id"),
+        col("n_tokens"), col("s_before").as("sb_p")), Seq("source", "p"))
+      .join(t.select(col("source"), col("pos").as("cur"),
+        col("s_before").as("sb_c")), Seq("source", "cur"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cnt").as("seq_id"), (col("sb_p") - col("sb_c")).as("offset"),
+        (col("n_tokens") > budget).as("oversize"))
+    packed.unionByName(nullRows)
+  }
+
   /** Chunk geometry for [[chunkDocuments]]'s driver query — shared with the
     * x34 oracle generator so the two cannot drift. Stride < size ⇒ adjacent
     * chunks overlap by `ChunkTokens - ChunkStride` tokens (the standard

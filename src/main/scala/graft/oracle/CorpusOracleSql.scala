@@ -1512,6 +1512,58 @@ FROM n GROUP BY 1""",
     // x31: concat-then-chunk sequence packing — budget from Curation.PackBudget
     "x31_pack_sequences" -> packSql,
 
+    // x97: boundary-respecting next-fit packing — the oracle replays the
+    // bin chain RECURSIVELY per source (next start = last position whose
+    // running total fits the current start's threshold, +1; GREATEST makes
+    // an oversize start a singleton), then assigns each doc the greatest
+    // bin start at or before its position. The engine computes the same
+    // chain with pointer doubling (no sequential pass) — this independent
+    // serial replay is exactly what it must reproduce. Offsets CAST to
+    // BIGINT (the correlated-subquery difference widens otherwise);
+    // NULL-text docs union back with NULL packing columns.
+    "x97_pack_nextfit" -> {
+      val b = graft.corpus.Curation.PackBudget
+      s"""WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+         SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM documents WHERE text IS NOT NULL),
+ns AS (SELECT source AS nsrc, MAX(pos) AS n FROM t GROUP BY source),
+bins AS (
+  WITH RECURSIVE chain(csrc, bin, start) AS (
+    SELECT nsrc, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM ns
+    UNION ALL
+    SELECT c.csrc, c.bin + 1,
+      GREATEST(c.start,
+        (SELECT COALESCE(MAX(t2.pos), 0) FROM t t2
+         WHERE t2.source = c.csrc
+           AND t2.S <= (SELECT t3.S - t3.n_tokens FROM t t3
+                        WHERE t3.source = c.csrc AND t3.pos = c.start) + $b)) + 1
+    FROM chain c JOIN ns ON ns.nsrc = c.csrc
+    WHERE c.start <= ns.n
+  )
+  SELECT csrc, bin, start FROM chain
+  WHERE start <= (SELECT n FROM ns WHERE ns.nsrc = chain.csrc))
+SELECT t.source, t.doc_id, t.n_tokens, b.bin AS seq_id,
+       CAST((t.S - t.n_tokens) -
+         (SELECT t4.S - t4.n_tokens FROM t t4
+          WHERE t4.source = t.source AND t4.pos = b.start) AS BIGINT)
+         AS "offset",
+       t.n_tokens > $b AS oversize
+FROM t
+JOIN (SELECT t.source AS msrc, t.pos AS mpos, MAX(b2.start) AS bstart
+      FROM t JOIN bins b2 ON b2.csrc = t.source AND b2.start <= t.pos
+      GROUP BY t.source, t.pos) m ON m.msrc = t.source AND m.mpos = t.pos
+JOIN bins b ON b.csrc = t.source AND b.start = m.bstart
+UNION ALL
+SELECT source, doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS "offset",
+       CAST(NULL AS BOOLEAN) AS oversize
+FROM documents WHERE text IS NULL"""
+    },
+
     // x95: packing-efficiency audit over x31's layout — same CTEs, then a
     // per-source aggregate; totals CAST to BIGINT (DuckDB SUM widens to
     // HUGEINT), fractions are int/int double divisions on shared operands

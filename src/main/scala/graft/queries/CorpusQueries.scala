@@ -256,6 +256,11 @@ object CorpusQueries {
   def x96TopkAgg(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopKAgg(emb(spark, dir))
 
+  /** x97 — boundary-respecting next-fit packing at the shared budget:
+    * no document ever splits, oversize docs flagged singletons. */
+  def x97PackNextFit(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.packNextFit(docs(spark, dir))
+
   /** x91 — tokenizer-fertility drift: odd-id docs (the increment) audited
     * under the merge list trained on the even-id frozen half, against that
     * half's own fertility baseline (x40's split convention). */

@@ -1,0 +1,121 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** X97 — boundary-respecting next-fit packing. The DuckDB oracle replays
+  * the chain recursively; these pin the semantics against a plain-Scala
+  * sequential next-fit (the definitionally-serial referee the distributed
+  * doubling must reproduce EXACTLY), the no-split invariant, oversize
+  * singletons, NULL-text riders, and the x31 contrast. */
+class PackNextFitSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def df(rows: Seq[(Long, Option[String], String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  /** The sequential referee: per source in doc_id order, fill greedily,
+    * break when the document would overflow; oversize docs are their own
+    * bins. Returns (doc_id -> (seq, offset, oversize)). */
+  private def referee(rows: Seq[(Long, Option[String], String)], budget: Int)
+      : Map[Long, (Long, Long, Boolean)] =
+    rows.filter(_._2.isDefined).groupBy(_._3).flatMap { case (_, ds) =>
+      var seq = -1L; var fill = budget.toLong + 1 // force a first break
+      ds.sortBy(_._1).map { case (id, text, _) =>
+        val n = text.get.split(" ", -1).length.toLong
+        if (fill + n > budget) { seq += 1; fill = 0 }
+        val r = id -> ((seq, fill, n > budget))
+        fill += n
+        r
+      }
+    }
+
+  private def collectPacked(out: DataFrame): Map[Long, (Long, Long, Boolean)] =
+    out.filter("seq_id IS NOT NULL").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("seq_id"),
+        r.getAs[Long]("offset"), r.getAs[Boolean]("oversize")))).toMap
+
+  test("hand fixture: fits pack tight, a non-fitting doc opens a new " +
+      "sequence, and no document ever splits") {
+    val rows = Seq[(Long, Option[String], String)](
+      (1L, Some(words(3)), "a"), (2L, Some(words(2)), "a"),
+      (3L, Some(words(4)), "a"), (4L, Some(words(1)), "a"),
+      (10L, Some(words(5)), "b"))
+    val got = collectPacked(Curation.packNextFit(df(rows), budget = 5))
+    got(1L) shouldBe ((0L, 0L, false))
+    got(2L) shouldBe ((0L, 3L, false)) // 3 + 2 = 5 fits exactly
+    got(3L) shouldBe ((1L, 0L, false)) // would overflow -> new sequence
+    got(4L) shouldBe ((1L, 4L, false))
+    got(10L) shouldBe ((0L, 0L, false)) // sources pack independently
+  }
+
+  test("oversize documents are flagged singletons and the chain continues") {
+    val rows = Seq[(Long, Option[String], String)](
+      (1L, Some(words(2)), "a"),
+      (2L, Some(words(9)), "a"), // > budget: its own sequence
+      (3L, Some(words(2)), "a"),
+      (4L, Some(words(3)), "a"))
+    val got = collectPacked(Curation.packNextFit(df(rows), budget = 5))
+    got(1L) shouldBe ((0L, 0L, false))
+    got(2L) shouldBe ((1L, 0L, true))
+    got(3L) shouldBe ((2L, 0L, false))
+    got(4L) shouldBe ((2L, 2L, false))
+  }
+
+  test("NULL-text documents ride with NULL packing columns") {
+    val rows = Seq[(Long, Option[String], String)](
+      (1L, Some(words(2)), "a"), (2L, None, "a"), (3L, Some(words(2)), "a"))
+    val out = Curation.packNextFit(df(rows), budget = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(2L).isNullAt(out(2L).fieldIndex("seq_id")) shouldBe true
+    out(2L).isNullAt(out(2L).fieldIndex("oversize")) shouldBe true
+    // the chain skips the NULL row: 2 + 2 fits one sequence
+    (out(1L).getAs[Long]("seq_id"), out(3L).getAs[Long]("seq_id")) shouldBe
+      ((0L, 0L))
+    out(3L).getAs[Long]("offset") shouldBe 2L
+  }
+
+  test("matches the sequential referee exactly on random multi-source " +
+      "corpora with oversize mixed in") {
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 0 until 3) {
+      val budget = 8 + rnd.nextInt(24)
+      val rows: Seq[(Long, Option[String], String)] =
+        (0L until 120L).map { i =>
+          val n = 1 + rnd.nextInt(if (rnd.nextInt(12) == 0) 3 * budget
+            else budget)
+          (i, Some(words(n)), s"s${rnd.nextInt(4)}")
+        }
+      val got = collectPacked(Curation.packNextFit(df(rows), budget))
+      val want = referee(rows, budget)
+      withClue(s"trial=$trial budget=$budget: ") { got shouldBe want }
+      // the guarantee itself: no non-oversize doc crosses the budget
+      Curation.packNextFit(df(rows), budget)
+        .filter("NOT oversize AND offset + n_tokens > " + budget)
+        .count() shouldBe 0L
+    }
+  }
+
+  test("contrast with x31: the boundary-crossers x95 counts vanish") {
+    val rnd = new scala.util.Random(7L)
+    val rows: Seq[(Long, Option[String], String)] = (0L until 60L).map(i =>
+      (i, Some(words(1 + rnd.nextInt(20))), s"s${i % 2}"))
+    val d = df(rows)
+    val splitsX31 = Curation.packSequences(d, budget = 16)
+      .filter("offset + n_tokens > 16").count()
+    splitsX31 should be > 0L // the fixture genuinely crosses boundaries
+    Curation.packNextFit(d, budget = 16)
+      .filter("NOT oversize AND offset + n_tokens > 16").count() shouldBe 0L
+  }
+
+  test("budget guard is loud") {
+    intercept[IllegalArgumentException] {
+      Curation.packNextFit(df(Seq((1L, Some("a"), "s"))), budget = 0)
+    }
+  }
+}
