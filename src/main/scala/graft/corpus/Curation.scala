@@ -247,6 +247,50 @@ object Curation {
           .otherwise(lit(0.0)).as("padding_frac"))
   }
 
+  /** [[packEfficiencyReport]] generalized to ANY layout frame — the same
+    * per-source report computed from `(source, doc_id, n_tokens, seq_id,
+    * offset)` rows ([[packSequences]]' and [[packNextFit]]'s shared
+    * schema), so the x31-vs-x97 trade is priced with one tool: splits =
+    * docs whose span crosses the budget from their emitted offset
+    * (oversize singletons — docs alone exceeding the budget — are NOT
+    * splits, they overflow alone by policy); padding = per-sequence
+    * unfilled tails, `Σ max(0, budget − fill)` over actual sequences
+    * (unlike the x31-specific ceil-division shortcut, this is layout-true:
+    * x97 pads every tail, x31 only the last). NULL-seq rows (NULL-text
+    * riders) count in `n_docs` only. Audit shape: one (source, seq)
+    * map-side-partial aggregate then a source-cardinality rollup. */
+  def packEfficiencyOf(layout: DataFrame, budget: Int = PackBudget)
+      : DataFrame = {
+    require(budget > 0, "sequence budget must be positive")
+    val perSeq = layout.filter(col("seq_id").isNotNull)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("fill"),
+        count(lit(1)).as("n_docs_seq"),
+        sum(when(col("n_tokens") <= budget &&
+          col("offset") + col("n_tokens") > budget, 1L).otherwise(0L))
+          .as("n_split_seq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(col("n_docs_seq")).as("n_packed"),
+        sum(col("n_split_seq")).as("n_split_docs"),
+        sum(greatest(lit(0L), lit(budget.toLong) - col("fill")))
+          .as("padding_tokens"))
+    layout.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(perSeq, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("n_split_docs"), lit(0L)).as("n_split_docs"),
+        (coalesce(col("n_split_docs"), lit(0L)).cast("double") /
+          col("n_docs")).as("split_frac"),
+        coalesce(col("padding_tokens"), lit(0L)).as("padding_tokens"),
+        when(coalesce(col("n_seqs"), lit(0L)) > 0,
+          coalesce(col("padding_tokens"), lit(0L)).cast("double") /
+            (col("n_seqs") * lit(budget.toLong)))
+          .otherwise(lit(0.0)).as("padding_frac"))
+  }
+
   /** X97 — boundary-respecting (next-fit) sequence packing: the layout
     * whose cost x95 prices AWAY — no document ever crosses a sequence
     * boundary. Per source in doc_id order, each document goes into the

@@ -118,4 +118,31 @@ class PackNextFitSpec extends AnyFunSuite with SparkSpec with Matchers {
       Curation.packNextFit(df(Seq((1L, Some("a"), "s"))), budget = 0)
     }
   }
+
+  test("packEfficiencyOf prices both layouts with one tool: x97 shows " +
+      "zero splits and the padding bill, x31 the reverse") {
+    val rnd = new scala.util.Random(31L)
+    val rows: Seq[(Long, Option[String], String)] = (0L until 80L).map(i =>
+      (i, Some(words(1 + rnd.nextInt(20))), s"s${i % 2}"))
+    val d = df(rows)
+    val budget = 16
+    def report(layout: DataFrame) =
+      Curation.packEfficiencyOf(layout, budget).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_split_docs"),
+          r.getAs[Long]("padding_tokens"), r.getAs[Long]("total_tokens"))))
+        .toMap
+    val x31 = report(Curation.packSequences(d, budget))
+    val x97 = report(Curation.packNextFit(d, budget)
+      .select("source", "doc_id", "n_tokens", "seq_id", "offset"))
+    x31.keySet shouldBe x97.keySet
+    x31.foreach { case (src, (splits31, pad31, total31)) =>
+      val (splits97, pad97, total97) = x97(src)
+      withClue(s"$src: ") {
+        total97 shouldBe total31 // same tokens, different layout
+        splits31 should be > 0L
+        splits97 shouldBe 0L // the x97 guarantee, priced by the x95 tool
+        pad97 should be >= pad31 // and what it costs
+      }
+    }
+  }
 }
