@@ -247,32 +247,36 @@ object Curation {
           .otherwise(lit(0.0)).as("padding_frac"))
   }
 
-  /** [[packEfficiencyReport]] generalized to ANY layout frame — the same
-    * per-source report computed from `(source, doc_id, n_tokens, seq_id,
-    * offset)` rows ([[packSequences]]' and [[packNextFit]]'s shared
-    * schema), so the x31-vs-x97 trade is priced with one tool: splits =
-    * docs whose span crosses the budget from their emitted offset
-    * (oversize singletons — docs alone exceeding the budget — are NOT
-    * splits, they overflow alone by policy); padding = per-sequence
-    * unfilled tails, `Σ max(0, budget − fill)` over actual sequences
-    * (unlike the x31-specific ceil-division shortcut, this is layout-true:
-    * x97 pads every tail, x31 only the last). NULL-seq rows (NULL-text
-    * riders) count in `n_docs` only. Audit shape: one (source, seq)
-    * map-side-partial aggregate then a source-cardinality rollup. */
+  /** [[packEfficiencyReport]]'s per-source report computed from a
+    * BOUNDARY-RESPECTING layout frame — `(source, doc_id, n_tokens,
+    * seq_id, offset)` rows where each document's tokens live entirely in
+    * its emitted sequence ([[packNextFit]]'s guarantee; oversize
+    * singletons overflow in place and, via the `max(0, ·)`, contribute
+    * zero padding). Padding here is layout-true per-sequence unfilled
+    * tails, `Σ max(0, budget − fill)` — which is exactly why this is NOT
+    * for concat-then-chunk layouts: x31 attributes a boundary-crossing
+    * document to the sequence its FIRST token lands in while its tokens
+    * spill onward, so summing member `n_tokens` per sequence would
+    * over-fill that sequence and under-fill the next, mispricing both
+    * (x31's correct padding is [[packEfficiencyReport]]'s ceil formula —
+    * interior chunks are full by construction). Split counting
+    * (`offset + n > budget`, docs alone over budget excluded) IS correct
+    * on either layout — a boundary-respecting one just reports zero.
+    * NULL-seq rows (NULL-text riders) count in `n_docs` only. Audit
+    * shape: one (source, seq) map-side-partial aggregate then a
+    * source-cardinality rollup. */
   def packEfficiencyOf(layout: DataFrame, budget: Int = PackBudget)
       : DataFrame = {
     require(budget > 0, "sequence budget must be positive")
     val perSeq = layout.filter(col("seq_id").isNotNull)
       .groupBy(col("source"), col("seq_id"))
       .agg(sum(col("n_tokens")).as("fill"),
-        count(lit(1)).as("n_docs_seq"),
         sum(when(col("n_tokens") <= budget &&
           col("offset") + col("n_tokens") > budget, 1L).otherwise(0L))
           .as("n_split_seq"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_seqs"),
         sum(col("fill")).as("total_tokens"),
-        sum(col("n_docs_seq")).as("n_packed"),
         sum(col("n_split_seq")).as("n_split_docs"),
         sum(greatest(lit(0L), lit(budget.toLong) - col("fill")))
           .as("padding_tokens"))

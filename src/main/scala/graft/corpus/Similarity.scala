@@ -80,7 +80,7 @@ object Similarity {
     * excluding self; rank ties broken by neighbor id. */
   def cosineTopK(emb: DataFrame, numQueries: Int = DefaultTopKQueries,
       k: Int = DefaultTopK): DataFrame =
-    candidatePool(emb, numQueries, k, keepDegenerate = true)
+    candidatePool(emb, numQueries, k)
       .select(col("qid"), col("cid").as("neighbor_id"), col("rank"),
         round(col("rel"), 6).as("cosine"))
 
@@ -116,14 +116,14 @@ object Similarity {
   /** x6's candidate stage: per query (vec_id < numQueries), every other
     * vector's cosine, ranked (rel desc, cid) and cut at `k` — (qid, cid,
     * rel, e, rank). x6 KEEPS degenerate (NULL-e) vectors — NULL cosines
-    * rank last by the id tiebreak. (x89's pool reproduces the
-    * keepDegenerate=false contract through the [[Retrieval.DenseCandidates]]
-    * SPI — spec-pinned, so the two scan shapes cannot drift.) */
-  private def candidatePool(emb: DataFrame, numQueries: Int, k: Int,
-      keepDegenerate: Boolean): DataFrame = {
+    * rank last by the id tiebreak. (The drop-degenerate pools now live
+    * behind the [[Retrieval.DenseCandidates]] SPI — spec-pinned equal to
+    * this shape minus the NULL rows — so the former keepDegenerate
+    * parameter had exactly one live value left and was inlined.) */
+  private def candidatePool(emb: DataFrame, numQueries: Int, k: Int)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = normalizedBase(emb)
-    val base = if (keepDegenerate) all else all.filter(col("e").isNotNull)
+    val base = normalizedBase(emb)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     base.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -607,8 +607,11 @@ object Similarity {
     * re-scored exactly on the fetched unit vectors, x89's discipline).
     * Everything downstream — vector fetch, re-rank, the positive row, the
     * margin filter — reads the (queries × kCand)-bounded candidate set via
-    * broadcast joins; nothing collects, so unlike [[mmrTopK]] the returned
-    * frame is fully lazy (no eager-snapshot caveat). The margin compare
+    * broadcast joins; the ranked pool localCheckpoints ONCE at
+    * construction (two consumers — a lazy plan would embed the
+    * corpus-scale candidate subtree twice), so the corpus passes exactly
+    * once and the returned frame carries [[mmrTopK]]'s eager-snapshot
+    * semantics: single-shot over an immutable input. The margin compare
     * runs on the RAW doubles both engines derive from the same
     * normalize-then-dot fold ([[cosine]]'s bit-parity argument), with
     * `pos_cos − margin` a single IEEE subtraction both execute
@@ -652,7 +655,13 @@ object Similarity {
     val ids = dense(base, queries, kCand + 1)
       .filter(col("doc_id") =!= col("query_id"))
     // fetch the bounded pool's vectors, re-score EXACTLY on unit vectors,
-    // re-rank (cos desc, id), cut back to kCand — x89's candidate stage
+    // re-rank (cos desc, id), cut back to kCand — x89's candidate stage.
+    // The ranked pool feeds TWO consumers (the rank-1 positive branch and
+    // the rank>1 negative stream); left lazy, the physical plan would
+    // embed the corpus-scale candidate subtree twice and lean on exchange
+    // reuse to dedup it (the failure mode rm3TopK documents), so the
+    // (queries × kCand)-bounded pool materializes ONCE — the x85
+    // localCheckpoint hygiene; construction therefore runs one eager job
     val cand = base.join(broadcast(ids), col("vec_id") === col("doc_id"))
       .join(broadcast(queries), "query_id")
       .select(col("query_id").as("qid"), col("vec_id").as("cid"),
@@ -660,6 +669,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
       .filter(col("rank") <= kCand)
+      .localCheckpoint()
     // the positive: pool rank 1 — (numQueries)-bounded, broadcast back
     val pos = cand.filter(col("rank") === 1)
       .select(col("qid"), col("cid").as("pos_id"), col("cos").as("pos_cos"))
@@ -718,7 +728,13 @@ object Similarity {
       .select(col("query_id").as("qid"), col("doc_id").as("neighbor_id"))
     val hits = exact.join(approx, Seq("qid", "neighbor_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-    exact.select(col("qid")).distinct()
+    // the query universe is the SLICE itself, one narrow bounded scan —
+    // deriving it from `exact.select(qid).distinct()` would embed the
+    // corpus-scale exact subtree a second time just to enumerate ids
+    // (r15 review find), and a query with no candidates at all (singleton
+    // corpus) now surfaces as a visible recall 0 instead of vanishing
+    emb.select(col("vec_id").as("qid"))
+      .filter(col("qid") < numQueries).distinct()
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("hits"), lit(0L)).as("hits"),

@@ -49,12 +49,17 @@ case class BandedLevenshtein(left: Expression, right: Expression,
 
   /** The banded DP. Distance if ≤ t else −1; t < 0 always −1 (a distance
     * is never negative ⇒ never ≤ a negative threshold). */
-  def kernel(l: UTF8String, r: UTF8String, t: Int): Int = {
-    if (t < 0) return -1
+  def kernel(l: UTF8String, r: UTF8String, t0: Int): Int = {
+    if (t0 < 0) return -1
     // decode ONCE (the whole point): code-point arrays, matching the
     // built-in's code-point distance semantics
     val a0 = l.toString.codePoints().toArray
     val b0 = r.toString.codePoints().toArray
+    // the distance never exceeds the longer length, so clamp the
+    // threshold to it: a "no limit" sentinel like Int.MaxValue must
+    // behave as unlimited, not overflow the band arithmetic (i + t)
+    // into a negative edge
+    val t = math.min(t0, math.max(a0.length, b0.length))
     // keep the SHORTER string on the inner (column) axis: band rows then
     // cost O(t · min(n, m)) and the two DP rows size by the shorter side
     val (a, b) = if (a0.length >= b0.length) (a0, b0) else (b0, a0)

@@ -88,6 +88,20 @@ case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def dataType: DataType = TopKPairs.resultType
   override def prettyName: String = "topk_pairs"
 
+  // fail at ANALYSIS, not with an executor-side ClassCastException: the
+  // registered SQL form accepts arbitrary expressions (callers CAST)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs: score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs: id must be BIGINT, got ${idExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {

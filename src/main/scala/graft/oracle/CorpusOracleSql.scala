@@ -2267,7 +2267,8 @@ hit AS (
   GROUP BY 1)
 SELECT u.qid, COALESCE(hits, 0) AS hits,
        CAST(COALESCE(hits, 0) AS DOUBLE)/$k.0 AS recall
-FROM (SELECT DISTINCT qid FROM exact) u LEFT JOIN hit USING (qid)"""
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $nq) u
+LEFT JOIN hit USING (qid)"""
     },
 
     // x65: the ingest gate's best-query-per-document decision over the

@@ -119,30 +119,48 @@ class PackNextFitSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
-  test("packEfficiencyOf prices both layouts with one tool: x97 shows " +
-      "zero splits and the padding bill, x31 the reverse") {
+  test("the packing trade, each layout priced by ITS audit: x31 splits " +
+      "but pads only the tail, x97 never splits and pays per-tail padding") {
     val rnd = new scala.util.Random(31L)
     val rows: Seq[(Long, Option[String], String)] = (0L until 80L).map(i =>
       (i, Some(words(1 + rnd.nextInt(20))), s"s${i % 2}"))
     val d = df(rows)
     val budget = 16
-    def report(layout: DataFrame) =
-      Curation.packEfficiencyOf(layout, budget).collect()
-        .map(r => r.getString(0) -> ((r.getAs[Long]("n_split_docs"),
-          r.getAs[Long]("padding_tokens"), r.getAs[Long]("total_tokens"))))
-        .toMap
-    val x31 = report(Curation.packSequences(d, budget))
-    val x97 = report(Curation.packNextFit(d, budget)
-      .select("source", "doc_id", "n_tokens", "seq_id", "offset"))
+    def grab(rep: DataFrame) = rep.collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_split_docs"),
+        r.getAs[Long]("padding_tokens"), r.getAs[Long]("total_tokens"))))
+      .toMap
+    // x31 = concat-then-chunk: its ceil-formula report is the correct one
+    val x31 = grab(Curation.packEfficiencyReport(d, budget))
+    // x97 = boundary-respecting: the per-sequence-tail report applies
+    val x97 = grab(Curation.packEfficiencyOf(
+      Curation.packNextFit(d, budget)
+        .select("source", "doc_id", "n_tokens", "seq_id", "offset"), budget))
     x31.keySet shouldBe x97.keySet
     x31.foreach { case (src, (splits31, pad31, total31)) =>
       val (splits97, pad97, total97) = x97(src)
       withClue(s"$src: ") {
         total97 shouldBe total31 // same tokens, different layout
         splits31 should be > 0L
-        splits97 shouldBe 0L // the x97 guarantee, priced by the x95 tool
+        splits97 shouldBe 0L // the x97 guarantee
         pad97 should be >= pad31 // and what it costs
       }
     }
+  }
+
+  test("packEfficiencyOf on a boundary-respecting layout is exact: " +
+      "per-tail padding, oversize overflows contribute zero") {
+    val rows = Seq[(Long, Option[String], String)](
+      (1L, Some(words(3)), "a"), (2L, Some(words(2)), "a"), // seq0 fill 5
+      (3L, Some(words(9)), "a"), // oversize singleton, fill 9 > 5 -> pad 0
+      (4L, Some(words(1)), "a")) // seq2 fill 1 -> pad 4
+    val got = Curation.packEfficiencyOf(
+      Curation.packNextFit(df(rows), budget = 5)
+        .select("source", "doc_id", "n_tokens", "seq_id", "offset"),
+      budget = 5).collect().head
+    got.getAs[Long]("n_seqs") shouldBe 3L
+    got.getAs[Long]("total_tokens") shouldBe 15L
+    got.getAs[Long]("n_split_docs") shouldBe 0L
+    got.getAs[Long]("padding_tokens") shouldBe 4L // 0 + max(0,-4) + 4
   }
 }

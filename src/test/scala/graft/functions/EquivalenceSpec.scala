@@ -244,6 +244,17 @@ class EquivalenceSpec extends AnyFunSuite with SparkSpec with Matchers {
         .asInstanceOf[Int]
     }
     got.toSeq shouldBe viaEval
+    // a "no limit" sentinel threshold must behave as unlimited, never
+    // overflow the band arithmetic into a negative edge (i + t wrapped
+    // before the clamp) — agree with the UNBOUNDED built-in
+    for ((a, b) <- Seq(("ab", "a"), ("", ""), ("中😀x", "yz"),
+        (word(25), word(7)))) {
+      BandedLevenshtein(Literal(UTF8String.fromString(a)),
+        Literal(UTF8String.fromString(b)), Literal(Int.MaxValue))
+        .eval(null) shouldBe
+        UTF8String.fromString(a).levenshteinDistance(
+          UTF8String.fromString(b))
+    }
   }
 
   test("Simhash32 interpreted eval == codegen path") {
