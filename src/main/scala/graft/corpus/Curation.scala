@@ -498,7 +498,17 @@ object Curation {
     * one budget window, so collected state per group is ~budget tokens, never
     * a domain's worth; the join back to text is keyed on doc_id. */
   def assembleSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame =
-    packSequences(docs, budget)
+    assembleSequencesOf(packSequences(docs, budget), docs)
+
+  /** [[assembleSequences]] over ANY layout frame carrying `(source, doc_id,
+    * n_tokens, seq_id)` — [[packSequences]]' and [[packNextFit]]'s shared
+    * schema — so the x97 no-split layout materializes through the same
+    * assembler as x31's (NULL-seq rows, x97's NULL-text riders, carry no
+    * sequence and drop out of assembly). Ordered member text per
+    * (source, seq_id); the within-sequence order is doc_id, both layouts'
+    * packing order. */
+  def assembleSequencesOf(layout: DataFrame, docs: DataFrame): DataFrame =
+    layout.filter(col("seq_id").isNotNull)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -148,6 +148,22 @@ class PackNextFitSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("assembleSequencesOf materializes the x97 layout: every sequence's " +
+      "text fits the budget, and the NULL-text rider drops out of assembly") {
+    val rows = Seq[(Long, Option[String], String)](
+      (1L, Some("a b c"), "s"), (2L, Some("d e"), "s"),
+      (3L, None, "s"), (4L, Some("f g h i"), "s"))
+    val d = df(rows)
+    val seqs = Curation.assembleSequencesOf(
+      Curation.packNextFit(d, budget = 5), d)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens"),
+          r.getAs[String]("seq_text")))).toMap
+    seqs(0L) shouldBe ((2L, 5L, "a b c d e"))
+    seqs(1L) shouldBe ((1L, 4L, "f g h i"))
+    seqs.values.foreach(_._2 should be <= 5L)
+  }
+
   test("packEfficiencyOf on a boundary-respecting layout is exact: " +
       "per-tail padding, oversize overflows contribute zero") {
     val rows = Seq[(Long, Option[String], String)](
