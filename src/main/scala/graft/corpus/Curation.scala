@@ -168,6 +168,108 @@ object Curation {
     * query — shared with the x31 oracle generator so the two cannot drift. */
   val PackBudget: Int = 512
 
+  /** Two-phase DISTRIBUTED running aggregates — the packing plane's exact
+    * per-source prefix sum WITHOUT a per-source serial task. A
+    * `Window.partitionBy(part).orderBy(order)` running sum serializes every
+    * row of a partition through ONE task; a mega-source (half the corpus
+    * from one crawl host — the skew [[topKByQuality]]'s scaladoc calls
+    * normal) pins the stage on a corpus-scale straggler. This computes the
+    * IDENTICAL values with the x85/x90 split: band rows by a monotone
+    * function of the leading order column, run the window only WITHIN each
+    * (part, band) — partition size ~n/bands regardless of skew — and add
+    * per-(part, band) offsets prefix-summed driver-side. Integer addition
+    * is associative, so `offset + local running sum` is bit-equal to the
+    * one-window form (spec-pinned on 90%-one-source skew).
+    *
+    *   1. bounded driver artifact #1: per-part approximate `bandOn`
+    *      splitters (`percentile_approx`, the x85 shape). Splitter QUALITY
+    *      affects only balance, never values: band = #{splitters < bandOn}
+    *      is monotone non-decreasing along the order for ANY splitters
+    *      (NULL `bandOn` rows band lowest, where Spark's nulls-first window
+    *      order puts them);
+    *   2. bounded driver artifact #2: per-(part, band) row counts and
+    *      value sums (parts × bands longs) → per-part prefix-sum offsets,
+    *      embedded as literal maps (structurally consistent across the two
+    *      reads because counts/sums are order-independent VALUES — and the
+    *      packing callers feed deterministic projections);
+    *   3. the single full-data exchange: a window over (part, band).
+    *
+    * Emits the input columns plus `sumName` (inclusive running sum of
+    * `value`, NULLs contributing 0 — the SQL `SUM OVER` convention) and,
+    * when non-empty, `posName` (the global 1-based row number). A missing
+    * offset (impossible while the band stays deterministic) raises loudly
+    * instead of mis-summing, the x85/x90 convention. Like [[trainingOrder]],
+    * the two bounded collects run AT CONSTRUCTION TIME — callers inherit
+    * the eager-snapshot contract. */
+  private[corpus] def bandedRunning(df: DataFrame, part: String,
+      orderCols: Seq[String], bandOn: String, value: Column,
+      sumName: String, posName: String = "", bands: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nBands =
+      if (bands > 0) bands
+      else scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    // map keys cannot be NULL: a NULL part is its own running-sum
+    // partition on the window form too, keyed here by a NUL sentinel no
+    // real source contains (the x85 lkey convention)
+    val keyed = df
+      .withColumn("__pk", coalesce(col(part).cast("string"), lit(" ")))
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+    // bounded driver artifact #1: per-part band splitters
+    val fracs = (1 until nBands).map(_.toDouble / nBands)
+    val splitters: Map[String, Seq[Double]] =
+      if (fracs.isEmpty) Map.empty
+      else keyed.groupBy(col("__pk"))
+        .agg(percentile_approx(col(bandOn).cast("double"), typedLit(fracs),
+          lit(10000)).as("sp"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.getSeq[Double](1)).getOrElse(Seq.empty)).toMap
+    val splLit = if (splitters.isEmpty) typedLit(Map("" -> Seq.empty[Double]))
+      else typedLit(splitters)
+    // band = #{splitters < bandOn}: monotone in the order column, so band
+    // order IS row order and the prefix-sum offsets below are exact. A NULL
+    // bandOn makes every comparison NULL → filter keeps nothing → band 0,
+    // exactly where nulls-first window ordering puts those rows.
+    val banded = keyed.withColumn("__band", coalesce(
+      size(filter(element_at(splLit, col("__pk")),
+        x => x < col(bandOn).cast("double"))), lit(0)))
+    // bounded driver artifact #2: per-(part, band) counts and sums →
+    // per-part prefix offsets (parts × bands longs)
+    val counts: Array[(String, Int, Long, Long)] = banded
+      .groupBy(col("__pk"), col("__band"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("vs"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    def prefix(metric: ((String, Int, Long, Long)) => Long)
+        : Map[String, Map[Int, Long]] =
+      counts.groupBy(_._1).map { case (pk, rows) =>
+        val sorted = rows.sortBy(_._2)
+        pk -> sorted.map(_._2)
+          .zip(sorted.scanLeft(0L)((a, r) => a + metric(r))).toMap
+      }
+    val (posOffs, sumOffs) = (prefix(_._3), prefix(_._4))
+    val posLit = if (posOffs.isEmpty) typedLit(Map("" -> Map(0 -> 0L)))
+      else typedLit(posOffs)
+    val sumLit = if (sumOffs.isEmpty) typedLit(Map("" -> Map(0 -> 0L)))
+      else typedLit(sumOffs)
+    def loud(c: Column, what: String): Column =
+      when(c.isNull, raise_error(concat(lit(
+        s"bandedRunning: missing $what offset for band of "), col("__pk"))))
+        .otherwise(c)
+    val localW = Window.partitionBy(col("__pk"), col("__band"))
+      .orderBy(orderCols.map(col): _*)
+    val withSum = banded.withColumn(sumName,
+      loud(element_at(element_at(sumLit, col("__pk")), col("__band")), "sum")
+        + sum(col("__v")).over(
+          localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withPos = if (posName.isEmpty) withSum
+      else withSum.withColumn(posName,
+        loud(element_at(element_at(posLit, col("__pk")), col("__band")), "row")
+          + row_number().over(localW))
+    withPos.drop("__pk", "__v", "__band")
+  }
+
   /** Sequence packing — the step between curation and the tokenizer/training
     * loop: assign every document to the fixed-token-budget training sequence
     * in which its first token lands, under the concatenate-then-chunk packing
@@ -180,20 +282,30 @@ object Curation {
     * cumulative sum + integer div/mod), so the DuckDB oracle matches bit for
     * bit.
     *
-    * Scale shape: ONE shuffle — the window's partition-by-source — with skew
-    * bounded by the largest domain (the same bound as [[topKByQuality]]); the
-    * running sum is a single ordered pass per partition, and everything
-    * upstream/downstream of the window is narrow. At 100 TB the per-source
-    * ordered scan is exactly the layout the subsequent tokenizer shard-write
-    * wants, so the shuffle is not overhead — it IS the output partitioning. */
-  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    * Scale shape: the running sum is [[bandedRunning]]'s two-phase
+    * distributed prefix sum — NO per-source serial task: rows band by
+    * doc_id splitters, the window runs within (source, band) partitions of
+    * ~n/bands rows REGARDLESS of skew, and per-band offsets (prefix-summed
+    * driver-side from a bounded counts collect) restore the exact global
+    * sum. A mega-source (half the corpus from one crawl host) costs the
+    * same as a balanced one; the former one-window form serialized every
+    * document of a source through ONE task (spec-pinned bit-equal to this
+    * form on 90%-one-source skew). Everything around the banded window is
+    * narrow; the (source, band) exchange still delivers the per-source
+    * doc_id-ordered layout the tokenizer shard-write wants, band-contiguous.
+    * Like [[trainingOrder]], the two bounded collects run at CONSTRUCTION
+    * time — eager-snapshot semantics over an immutable input. */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+      bands: Int = 0): DataFrame = {
     require(budget > 0, "sequence budget must be positive")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("start",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val base = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    bandedRunning(base, "source", Seq("doc_id"), "doc_id",
+        col("n_tokens"), "__s_incl", bands = bands)
+      // NULL-text rows ride with NULL packing columns (they contribute 0 to
+      // the running sum — the SQL SUM-OVER convention the window form had)
+      .withColumn("start", when(col("n_tokens").isNotNull,
+        col("__s_incl") - col("n_tokens")))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         // true integer division (`div`, like the oracle's `//`) — a double
         // `/`-then-cast would go lossy past 2^53 cumulative tokens
@@ -319,14 +431,17 @@ object Curation {
     * from position 1 under pointer-doubling: O(log n) rounds of
     * position-keyed hash joins (the x20 iterate-in-rounds discipline,
     * with each doubling table localCheckpointed — a lazy chain would
-    * square the plan per round). Total: 2 window passes +
+    * square the plan per round). Total: 2 banded window passes +
     * ~2·log₂(max docs/source) bounded joins, everything partitioned by
-    * (source, position) — no global window, no per-source serial task,
-    * no driver-side chain walk. */
-  def packNextFit(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    * (source, position) — no global window, no per-source serial task
+    * (BOTH running passes — stage 1's position/cumsum and the merge
+    * window's running count — are [[bandedRunning]]'s two-phase
+    * distributed prefix sum, so a mega-source never pins a stage on one
+    * task; spec-pinned bit-equal to the one-window form on
+    * 90%-one-source skew), no driver-side chain walk. */
+  def packNextFit(docs: DataFrame, budget: Int = PackBudget,
+      bands: Int = 0): DataFrame = {
     require(budget > 0, "sequence budget must be positive")
-    val wRun = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base0 = docs.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"))
     val nullRows = base0.filter(col("n_tokens").isNull)
@@ -334,29 +449,30 @@ object Curation {
         lit(null).cast("long").as("seq_id"),
         lit(null).cast("long").as("offset"),
         lit(null).cast("boolean").as("oversize"))
-    // positions + inclusive/exclusive running totals — materialized once:
-    // the event union, the jump chain, the descent, and the offset lookup
-    // all read this frame (the x85 localCheckpoint hygiene)
-    val t = base0.filter(col("n_tokens").isNotNull)
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-      .withColumn("s_incl", sum(col("n_tokens")).over(wRun))
+    // positions + inclusive/exclusive running totals — the two-phase
+    // distributed prefix sum (no per-source serial task), materialized
+    // once: the event union, the jump chain, the descent, and the offset
+    // lookup all read this frame (the x85 localCheckpoint hygiene)
+    val t = bandedRunning(base0.filter(col("n_tokens").isNotNull), "source",
+        Seq("doc_id"), "doc_id", col("n_tokens"), "s_incl", "pos", bands)
       .withColumn("s_before", col("s_incl") - col("n_tokens"))
       .localCheckpoint()
     // merge-window jump function: for every position p, l_raw(p) =
     // #{j : S_j <= S_before(p) + budget} — S is strictly increasing per
     // source (n_tokens >= 1), so that count IS the last position fitting
-    // a bin that starts at p. One union + one running count; value events
-    // sort before threshold events at ties (<= semantics). greatest(_, p)
-    // makes an oversize start its own singleton; +1 is the next start.
+    // a bin that starts at p. One union + one banded running count; value
+    // events sort before threshold events at ties (<= semantics), and the
+    // band function keys on v alone so equal-v event pairs share a band
+    // and the within-band (v, kind) order is the global order.
+    // greatest(_, p) makes an oversize start its own singleton; +1 is the
+    // next start.
     val vEvents = t.select(col("source"), col("s_incl").as("v"),
       lit(0).as("kind"), col("pos"))
     val qEvents = t.select(col("source"),
       (col("s_before") + budget).as("v"), lit(1).as("kind"), col("pos"))
-    val jump0 = vEvents.unionByName(qEvents)
-      .withColumn("nv", sum(when(col("kind") === 0, 1L).otherwise(0L)).over(
-        Window.partitionBy(col("source")).orderBy(col("v"), col("kind"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val jump0 = bandedRunning(vEvents.unionByName(qEvents), "source",
+        Seq("v", "kind"), "v",
+        when(col("kind") === 0, 1L).otherwise(0L), "nv", bands = bands)
       .filter(col("kind") === 1)
       .select(col("source"), col("pos"),
         (greatest(col("nv"), col("pos")) + 1L).as("jmp"))
@@ -364,7 +480,7 @@ object Curation {
     // bounded driver scalar
     val maxN: Long = t.groupBy(col("source")).agg(max(col("pos")).as("n"))
       .agg(max(col("n"))).collect() match {
-      case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
+      case Array(r) if !r.isNullAt(0) => r.getLong(0)
       case _ => 0L
     }
     val rounds: Int =

@@ -245,6 +245,10 @@ object RealCodec extends MediaCodec {
               case _ => ()
             }
           case "avih" =>
+            // a lying (short) chunk size would silently parse the next
+            // sibling chunk's bytes as header fields — validate against the
+            // chunk's own declared size, the parent-overrun convention
+            if (szI < 40) fail(s"AVI: avih too short ($szI bytes)")
             width = u32(body + 32).toInt; height = u32(body + 36).toInt
           case "strh" =>
             val fccType = fourcc(body)
@@ -254,6 +258,7 @@ object RealCodec extends MediaCodec {
             }
             nStreams += 1
           case "strf" if inVideoStrl && compression == null =>
+            if (szI < 20) fail(s"AVI: strf too short ($szI bytes)")
             bitCount = u16(body + 14)
             val comp = u32(body + 16)
             compression =
@@ -474,13 +479,22 @@ object RealCodec extends MediaCodec {
             val lt = fourcc(body)
             if (lt == "hdrl" || lt == "strl") walk(body + 4, body + szI)
           case "avih" =>
+            if (szI < 40) fail(s"AVI: avih too short ($szI bytes)")
             width = u32(body + 32).toInt; height = u32(body + 36).toInt
             val usPerFrame = u32(body); val totalFrames = u32(body + 16)
-            if (usPerFrame > 0 && totalFrames > 0)
+            if (usPerFrame > 0 && totalFrames > 0) {
+              // both fields are u32-range, so the product can overflow Long
+              // (≈1.8e19 max vs 9.2e18): a lying header must fail like every
+              // other structural malformation, not report a negative duration
+              if (totalFrames > Long.MaxValue / usPerFrame)
+                fail(s"AVI: avih duration overflows ($usPerFrame µs/frame × " +
+                  s"$totalFrames frames)")
               durMs = usPerFrame * totalFrames / 1000
+            }
           case "strh" =>
             sawVids = fourcc(body) == "vids" && codec == null
           case "strf" if sawVids && codec == null =>
+            if (szI < 20) fail(s"AVI: strf too short ($szI bytes)")
             codec = if (u32(body + 16) == 0) "DIB" else fourcc(body + 16)
           case _ => ()
         }
