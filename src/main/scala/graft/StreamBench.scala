@@ -6,6 +6,7 @@ import graft.tracker.TrackerInput
 import graft.validation.JsonValidator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Kafka-record header (hriRecord shape) for the streaming bench source. */
 case class BenchHdr(key: String, value: Array[Byte])
@@ -201,13 +202,73 @@ object StreamBench {
     require(sinks.invalid.get() == expectTotal - expectValid,
       s"invalid-count mismatch: ${sinks.invalid.get()} != " +
         s"${expectTotal - expectValid}")
+    // ---- streaming-kNN cell: per-trigger cost of StreamOps.topKNeighbors
+    // under each StreamCandidates generator — the exact default's full
+    // corpus scan vs IVF cell recompute vs the PERSISTED cid-partitioned
+    // code index (the x93 deployment shape). Self-checking: every regime
+    // must hold exactly one top-k row per live query. ----
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = session.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpusN = emb.count()
+    val cents = graft.corpus.Quantization.centroidSeeds(emb)
+    val cbs = graft.corpus.Quantization.sliceCodebooks(emb)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("streambench_idx").toString
+    graft.corpus.Quantization.writeIvfPqIndex(
+      graft.corpus.Quantization.ivfPqIndex(emb, cbs, cents), idxDir)
+    val index = session.read.parquet(idxDir)
+    // query batches: corpus vectors re-keyed into a disjoint id range (no
+    // self-exclusion interplay), nKnnTriggers triggers of nKnnQ queries
+    val nKnnQ = 20
+    val nKnnTriggers = 3
+    val qRows: Seq[(Long, Seq[Float])] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nKnnQ * (nKnnTriggers + 1))
+      .collect()
+      .map(r => (1000000000L + r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    implicit val qEnc: org.apache.spark.sql.Encoder[(Long, Seq[Float])] =
+      org.apache.spark.sql.Encoders.product[(Long, Seq[Float])]
+    def knnRun(gen: graft.streaming.StreamOps.StreamCandidates): Double = {
+      val qs = MemoryStream[(Long, Seq[Float])]
+      val out = graft.streaming.StreamOps.topKNeighbors(
+        qs.toDF().toDF("vec_id", "embedding"), emb, 5, gen)
+      val sink = s"knn_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("streambench_knn").toString)
+        .start()
+      try {
+        qs.addData(qRows.take(nKnnQ): _*) // warm trigger, off the clock
+        q.processAllAvailable()
+        val t = System.nanoTime()
+        (1 to nKnnTriggers).foreach { c =>
+          qs.addData(qRows.slice(c * nKnnQ, (c + 1) * nKnnQ): _*)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t) / 1e9 / nKnnTriggers
+        val live = session.table(sink).count()
+        require(live == nKnnQ.toLong * (nKnnTriggers + 1),
+          s"knn state mismatch: $live live queries != ${nKnnQ * (nKnnTriggers + 1)}")
+        sec
+      } finally q.stop()
+    }
+    val knnExactSec = knnRun(graft.streaming.StreamOps.exactStreamCandidates)
+    val knnIvfSec = knnRun(graft.streaming.StreamOps.ivfStreamCandidates(cents))
+    val knnIndexSec = knnRun(
+      graft.streaming.StreamOps.ivfIndexStreamCandidates(index, cents))
+
     def rps(sec: Double): Long = (nRecords / sec).toLong
     def s2(v: Double): String = graft.util.JsonNum.fixed(v, 2)
     val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
       s""""valid":${sinks.valid.get()},"invalid":${sinks.invalid.get()},""" +
       s""""expect_valid":$expectValid,""" +
       s""""bulk_sec":${s2(bulkSec)},"chunked_sec":${s2(chunkSec)},""" +
-      s""""chunked_rps":${rps(chunkSec)},"bulk_rps":${rps(bulkSec)}}"""
+      s""""chunked_rps":${rps(chunkSec)},"bulk_rps":${rps(bulkSec)},""" +
+      s""""knn_corpus":$corpusN,"knn_queries_per_trigger":$nKnnQ,""" +
+      s""""knn_exact_sec":${s2(knnExactSec)},""" +
+      s""""knn_ivf_sec":${s2(knnIvfSec)},""" +
+      s""""knn_index_sec":${s2(knnIndexSec)}}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",

@@ -41,6 +41,102 @@ object StreamOps {
       .select(col("w.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dense-candidate generator SPI for [[topKNeighbors]] — the
+    * streaming twin of [[graft.corpus.Retrieval.DenseCandidates]] (x71's
+    * lesson, applied where a full corpus scan per trigger hurts most). The
+    * batch SPI's shapes cannot run on an unbounded stream (per-query rank
+    * windows and driver-side query collects are both illegal on the
+    * streaming side), so the streaming contract is RESTRICTION-ONLY:
+    * `(static normalized corpus (vec_id, e), streaming normalized queries
+    * (qid, qe)) => (qid, qe, vec_id, e)` candidate rows, built from
+    * stateless narrow transforms and stream-static equality joins only.
+    * A generator restricts WHICH corpus vectors each arriving query is
+    * scored against — relevance is always re-scored EXACTLY on the fetched
+    * unit vectors downstream (x93's discipline) and the bounded
+    * `topk_pairs` aggregate does the cut, so swapping generators changes
+    * only pool membership, never a score. */
+  type StreamCandidates = (DataFrame, DataFrame) => DataFrame
+
+  /** The exact streaming generator (default): every corpus vector is a
+    * candidate for every arriving query (self excluded) — one stream-static
+    * theta join, a full corpus scan per trigger. The correctness baseline;
+    * it KEEPS degenerate (NULL-e) corpus rows so their NULL relevance ranks
+    * last by the id tiebreak (x6's contract riding the aggregate's NULL
+    * ordering). Past the point where per-trigger scans dominate, swap
+    * [[ivfStreamCandidates]] (cells recomputed from the static corpus) or
+    * [[ivfIndexStreamCandidates]] (cells read from a persisted index). */
+  val exactStreamCandidates: StreamCandidates = (corpus, queries) =>
+    queries.join(corpus, col("vec_id") =!= col("qid"))
+
+  /** Per-arriving-query coarse-cell probe — the streaming IVF prelude
+    * shared by [[ivfStreamCandidates]] and [[ivfIndexStreamCandidates]]:
+    * each query's `nprobe` closest cells from a FROZEN centroid literal
+    * (bounded driver artifact, the codebook discipline), computed
+    * STATELESSLY with array transforms (a rank window over (query, cell)
+    * pairs — the batch probe's shape — is illegal on a stream). Sort key
+    * is (dot desc, cid asc) via a (−dot, cid) struct sort; Spark's SQL
+    * double ordering compares −0.0 equal to 0.0, so the tiebreak matches
+    * the batch probe's. A degenerate (NULL-qe) query gets NULL dots and
+    * probes its `nprobe` LOWEST-ID cells (sort sends NULL-dot structs by
+    * the cid tiebreak) — deterministic, and its scores are all-NULL
+    * downstream either way. */
+  private def probeCells(queries: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "probeCells: empty centroid table")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val centArr = typedLit(centroids)
+    queries.withColumn("__probe", explode(slice(array_sort(
+        transform(centArr, c => struct(
+          (-graft.functions.VectorOps.dotp(col("qe"), c.getField("_2")))
+            .as("nd"),
+          c.getField("_1").as("cid")))), 1, nprobe)))
+      .select(col("qid"), col("qe"), col("__probe").getField("cid").as("cid"))
+  }
+
+  /** IVF streaming generator: the static corpus is cell-assigned once per
+    * trigger with the frozen centroids (one narrow BestMatch pass — the
+    * [[graft.corpus.Quantization.ivfPqIndex]] kernel), each arriving query
+    * probes its `nprobe` closest cells, and only probed-cell members are
+    * scored. Full probe (`nprobe >= centroids.size`) makes every
+    * non-degenerate corpus vector a candidate — spec-pinned batch-equal to
+    * [[graft.corpus.Similarity.cosineTopKAgg]]. Degenerate corpus vectors
+    * drop (no cell — the batch IVF contract); the exact default keeps
+    * them, the one documented membership difference. */
+  def ivfStreamCandidates(centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = graft.corpus.Similarity.DefaultIvfNprobe)
+      : StreamCandidates = (corpus, queries) => {
+    val assigned = corpus.filter(col("e").isNotNull)
+      .withColumn("__bm",
+        graft.functions.VectorOps.bestMatch(col("e"), centroids))
+      .select(col("vec_id"), col("e"), (-col("__bm").getField("nid")).as("cid"))
+    probeCells(queries, centroids, nprobe)
+      .join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("e"))
+  }
+
+  /** The persisted-index streaming generator — the 100 TB tier: cell
+    * membership comes from a (typically persisted, cid-PARTITIONED)
+    * [[graft.corpus.Quantization.ivfPqIndex]] table (only `vec_id` and
+    * `cid` are read; any cell-membership table of that shape works), so
+    * the per-trigger corpus-scale work drops to the membership probe plus
+    * ONE vector fetch against the static corpus for the candidates — the
+    * x93 deployment shape. The index, centroids, and corpus must describe
+    * the same snapshot ([[graft.streaming.StreamOps.indexEmbeddings]]
+    * keeps the index current as vectors arrive). Full probe over an index
+    * built from the same corpus is spec-pinned batch-equal to
+    * [[graft.corpus.Similarity.cosineTopKAgg]] (degenerate corpus vectors
+    * excepted — they have no index row). */
+  def ivfIndexStreamCandidates(index: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int = graft.corpus.Similarity.DefaultIvfNprobe)
+      : StreamCandidates = (corpus, queries) =>
+    probeCells(queries, centroids, nprobe)
+      .join(index.select(col("cid"), col("vec_id")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(corpus.filter(col("e").isNotNull), Seq("vec_id"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("e"))
+
   /** Streaming per-query exact top-k — the streaming twin of
     * [[graft.corpus.Similarity.cosineTopKAgg]] (x96), and the reason the
     * bounded [[graft.functions.TopKPairs]] aggregate exists: a window
@@ -49,23 +145,29 @@ object StreamOps {
     * seen in the state store. This holds exactly ONE O(k) buffer per query:
     * arriving query vectors join the STATIC corpus (broadcast the query
     * micro-batch side never — the corpus frame is the static side of a
-    * stream-static inner join), each (query, candidate) cosine feeds
+    * stream-static join), each (query, candidate) cosine feeds
     * `topk_pairs`, and update-mode output emits each query's current top-k
-    * array as it improves. Degenerate (NULL-normalized) corpus vectors rank
-    * last by the id tiebreak (x6's contract rides the aggregate's NULL
-    * ordering); degenerate query vectors produce all-NULL scores, k rows by
-    * id. The caller `posexplode`s `top` to flat rows when a sink needs
-    * them. State: |live queries| × k entries, nothing corpus-sized, no
-    * watermark needed (a query's top-k only refines; drop the key when the
-    * sink has consumed its final update). */
+    * array as it improves. The candidate stage runs behind the
+    * [[StreamCandidates]] SPI: the exact default scans the corpus per
+    * trigger; [[ivfStreamCandidates]] / [[ivfIndexStreamCandidates]]
+    * restrict the scan to probed cells at larger N — relevance is always
+    * re-scored exactly on the fetched unit vectors, so the swap changes
+    * only pool membership. Degenerate (NULL-normalized) corpus vectors
+    * rank last by the id tiebreak under the exact default (the IVF
+    * generators drop them — no cell); degenerate query vectors produce
+    * all-NULL scores, k rows by id. The caller `posexplode`s `top` to flat
+    * rows when a sink needs them. State: |live queries| × k entries,
+    * nothing corpus-sized, no watermark needed (a query's top-k only
+    * refines; drop the key when the sink has consumed its final update). */
   def topKNeighbors(queryVecs: DataFrame, corpus: DataFrame,
-      k: Int = graft.corpus.Similarity.DefaultTopK): DataFrame = {
+      k: Int = graft.corpus.Similarity.DefaultTopK,
+      candidates: StreamCandidates = exactStreamCandidates): DataFrame = {
     val base = graft.corpus.Similarity.normalizedCorpus(corpus)
-    queryVecs
+    val q = queryVecs
       .select(col("vec_id").as("qid"),
         graft.functions.VectorOps.normalizeVec(
           graft.corpus.Similarity.toDoubleVec(col("embedding"))).as("qe"))
-      .join(base, col("vec_id") =!= col("qid"))
+    candidates(base, q)
       .select(col("qid"), col("vec_id").as("cid"),
         graft.functions.VectorOps.dotp(col("qe"), col("e")).as("rel"))
       .groupBy(col("qid"))

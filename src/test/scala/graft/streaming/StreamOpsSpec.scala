@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, posexplode, round}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -53,6 +54,116 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
         .toSet
       got shouldBe want
       got.map(_._1) shouldBe (0L until 6L).toSet
+    } finally q.stop()
+  }
+
+  test("streaming top-k candidate SPI: the IVF and persisted-index " +
+      "generators at FULL probe equal the exact default and the batch x96 " +
+      "aggregate, live") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rnd = new scala.util.Random(67L)
+    // the corpus frame CONTAINS the query vectors (ids 0..5), so the
+    // operator's =!= self-exclusion makes its candidate universe identical
+    // to cosineTopKAgg's (queries = the vec_id < 6 prefix); no degenerate
+    // rows — the IVF generators drop them by contract, the exact path ranks
+    // them last, and this test pins the EQUALITY regime
+    val all = ((0L until 6L) ++ (100L until 130L)).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    val corpus = all.toDF("vec_id", "embedding")
+    val arriving = all.take(6)
+    val cents = graft.corpus.Similarity.normalizedCorpus(corpus)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 104)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // a persisted cid-partitioned cell-membership table (the ivfPqIndex
+    // layout; only vec_id/cid are read by the generator)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("streamops_idx").toString
+    graft.corpus.Similarity.normalizedCorpus(corpus)
+      .withColumn("__bm",
+        graft.functions.VectorOps.bestMatch(col("e"), cents))
+      .select(col("vec_id"), (-col("__bm").getField("nid")).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val gens: Seq[(String, StreamOps.StreamCandidates)] = Seq(
+      "exact" -> StreamOps.exactStreamCandidates,
+      "ivf_full" -> StreamOps.ivfStreamCandidates(cents, nprobe = cents.size),
+      "index_full" -> StreamOps.ivfIndexStreamCandidates(index, cents,
+        nprobe = cents.size))
+    // the batch referee: x96's bounded aggregate over the same frame
+    val want = graft.corpus.Similarity.cosineTopKAgg(corpus, 6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    for ((gname, gen) <- gens) {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val out = StreamOps.topKNeighbors(
+        input.toDF().toDF("vec_id", "embedding"), corpus, k = 3,
+        candidates = gen)
+      val sink = s"topk_spi_${gname}_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("streamops_spi").toString)
+        .start()
+      try {
+        input.addData(arriving.take(2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(2): _*)
+        q.processAllAvailable()
+        val got = s.table(sink)
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.id"),
+            (col("pos") + 1).cast("int"), round(col("col.score"), 6))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3))).toSet
+        withClue(s"generator=$gname: ") { got shouldBe want }
+      } finally q.stop()
+    }
+  }
+
+  test("streaming top-k IVF generator at partial probe: scores are exact " +
+      "on the restricted pool (a member of the exact top list, never a " +
+      "new score)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rnd = new scala.util.Random(71L)
+    val corpus = (100L until 140L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+      .toDF("vec_id", "embedding")
+    val cents = graft.corpus.Similarity.normalizedCorpus(corpus)
+      .filter(col("vec_id") < 108)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val arriving = (0L until 4L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.topKNeighbors(
+      input.toDF().toDF("vec_id", "embedding"), corpus, k = 5,
+      candidates = StreamOps.ivfStreamCandidates(cents, nprobe = 2))
+    val sink = s"topk_np_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_np").toString)
+      .start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id"), round(col("col.score"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact full-scan scores for every (query, candidate) pair: the
+      // probe restriction may change MEMBERSHIP, never a score
+      val exact = StreamOps.topKNeighbors(
+        arriving.toDF("vec_id", "embedding"), corpus, k = 40)
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id"), round(col("col.score"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      got.foreach { row => exact should contain(row) }
+      got.map(_._1).distinct.sorted shouldBe (0L until 4L)
     } finally q.stop()
   }
 
