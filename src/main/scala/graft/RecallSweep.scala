@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall/nprobe audit sweep — x94's generator audit
+  * ([[graft.corpus.Similarity.denseRecallEval]]) run across probe budgets
+  * for BOTH scale-tier generators: IVF over recomputed cells
+  * ([[graft.corpus.Retrieval.ivfDenseCandidates]]) and IVF-PQ ADC over a
+  * PERSISTED cid-partitioned code index
+  * ([[graft.corpus.Retrieval.ivfAdcDenseCandidates]], x93's deployment
+  * generator). One line per (generator, nprobe) with mean/min recall@k
+  * over the audit slice — the table a deployment reads before turning the
+  * nprobe knob, recorded in SCALING.md. At full probe the IVF tier is
+  * exact by construction (spec-pinned); the ADC tier is NOT (codes
+  * approximate the geometry), which is exactly what the sweep prices.
+  *
+  * Usage: `runMain graft.RecallSweep [sfDir] [nprobesCsv]`
+  * (defaults `/root/testdata/sf0.1` and `1,2,4,8,16`). */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nprobes = (if (args.length > 1) args(1) else "1,2,4,8,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = graft.corpus.Quantization.sliceCodebooks(e)
+    val cents = graft.corpus.Quantization.centroidSeeds(e)
+    // the persisted shape, deliberately: the sweep audits the artifact a
+    // deployment actually probes, not an in-memory twin
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("recall_sweep_idx").toString
+    graft.corpus.Quantization.writeIvfPqIndex(
+      graft.corpus.Quantization.ivfPqIndex(e, cbs, cents), idxDir)
+    val index = spark.read.parquet(idxDir)
+    def cell(gen: graft.corpus.Retrieval.DenseCandidates): (Double, Double) = {
+      val r = graft.corpus.Similarity.denseRecallEval(e, dense = gen)
+        .agg(avg(col("recall")), min(col("recall"))).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    nprobes.foreach { np =>
+      val (ivfMean, ivfMin) = cell(
+        graft.corpus.Retrieval.ivfDenseCandidates(nprobe = np))
+      val (adcMean, adcMin) = cell(
+        graft.corpus.Retrieval.ivfAdcDenseCandidates(index, cbs, cents, np))
+      def f(v: Double): String = graft.util.JsonNum.fixed(v, 3)
+      println(s"""{"nprobe":$np,"ivf_mean":${f(ivfMean)},""" +
+        s""""ivf_min":${f(ivfMin)},"adc_mean":${f(adcMean)},""" +
+        s""""adc_min":${f(adcMin)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -82,6 +82,60 @@ object Profiling {
       round(sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mean_quality"))
 
+  /** X49 extended — the dataset card plus the audit planes a release
+    * README actually quotes alongside the cardinalities (each as ONE
+    * corpus-level scalar, so the card stays one row):
+    *
+    *  - `pack_split_frac` — the fraction of documents x31's
+    *    concat-then-chunk packing would truncate mid-document at the
+    *    shared budget (x95's split audit, corpus rollup);
+    *  - `pack_padding_frac` — the per-tail padding fraction x97's
+    *    boundary-respecting layout pays instead (the other side of the
+    *    packing trade; together the two scalars ARE the packer decision);
+    *  - `dense_recall_at_k` — mean recall@k of the default IVF candidate
+    *    generator vs the exact baseline over the x94 audit slice
+    *    (total hits / (slice × k) — an integer ratio, so aggregation
+    *    order cannot move the hash);
+    *  - `hardneg_yield` — the fraction of x93's requested negative slots
+    *    actually filled (emitted negatives / (non-degenerate queries × k)):
+    *    the margin-suppression audit — a near-dup-heavy corpus suppresses
+    *    top candidates as unlabeled positives and the yield drops.
+    *
+    * Each plane is a one-row aggregate cross-joined (broadcast) onto the
+    * base card; the planes recompute self-contained here (the driver-query
+    * contract) — a deployment that has already materialized x93–x97 reads
+    * their outputs instead. Construction is EAGER (packNextFit's chain and
+    * hardNegatives' pool collect at build — their documented snapshot
+    * semantics); treat the card as single-shot over an immutable input. */
+  def datasetCard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val budget = graft.corpus.Curation.PackBudget
+    val k = Similarity.DefaultTopK
+    val pack31 = graft.corpus.Curation.packEfficiencyReport(docs).agg(
+      (sum(col("n_split_docs")).cast("double") / sum(col("n_docs")))
+        .as("pack_split_frac"))
+    val pack97 = graft.corpus.Curation.packEfficiencyOf(
+        graft.corpus.Curation.packNextFit(docs)).agg(
+      coalesce(sum(col("padding_tokens")).cast("double") /
+          (sum(col("n_seqs")) * lit(budget.toLong)), lit(0.0))
+        .as("pack_padding_frac"))
+    val recall = Similarity.denseRecallEval(emb).agg(
+      (sum(col("hits")).cast("double") / (count(lit(1)) * lit(k)))
+        .as("dense_recall_at_k"))
+    val negs = Similarity.hardNegatives(emb).agg(count(lit(1)).as("n_negs"))
+    val nQ = Similarity.normalizedCorpus(emb)
+      .filter(col("e").isNotNull &&
+        col("vec_id") < Similarity.DefaultTopKQueries)
+      .agg(count(lit(1)).as("n_q"))
+    val yld = negs.crossJoin(broadcast(nQ)).select(
+      (col("n_negs").cast("double") / (col("n_q") * lit(k)))
+        .as("hardneg_yield"))
+    datasetCard(docs)
+      .crossJoin(broadcast(pack31))
+      .crossJoin(broadcast(pack97))
+      .crossJoin(broadcast(recall))
+      .crossJoin(broadcast(yld))
+  }
+
   /** The 100 TB variants of [[lengthProfile]] and [[datasetCard]]: sketches
     * instead of exact state. `percentile_approx` keeps t-digest sketch state
     * per group instead of a sorted buffer of every value;

@@ -1171,8 +1171,16 @@ GROUP BY 1"""
 
   /** x49 — dataset card: corpus-level scalars; quality via qualityPrelude so
     * the formula stays in one place. */
-  private def datasetCardSql: String = qualityPrelude("") +
-    """, card AS (
+  private def datasetCardSql: String = {
+    val b = graft.corpus.Curation.PackBudget
+    val nq = graft.corpus.Similarity.DefaultTopKQueries
+    val k = graft.corpus.Similarity.DefaultTopK
+    val cN = graft.corpus.Similarity.DefaultIvfCentroids
+    val nprobe = graft.corpus.Similarity.DefaultIvfNprobe
+    val kc = graft.corpus.Similarity.HardNegCandidates
+    val margin = graft.corpus.Similarity.HardNegMargin
+    qualityPrelude("") +
+    s""", card AS (
   SELECT COUNT(*) AS n_docs,
     COUNT(DISTINCT source) AS n_sources,
     COUNT(DISTINCT lang) AS n_langs,
@@ -1183,8 +1191,134 @@ GROUP BY 1"""
 mq AS (
   SELECT round(CAST(SUM(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
            / COUNT(*), 6) AS mean_quality
-  FROM q)
-SELECT card.*, mq.mean_quality FROM card CROSS JOIN mq"""
+  FROM q),
+-- packing plane, x31 layout: corpus-wide split fraction (x95's audit)
+pkc AS (
+  SELECT n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+  FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents)),
+pk31 AS (
+  SELECT CAST(SUM(CASE WHEN n_tokens > 0 AND (st % $b) + n_tokens > $b
+              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pack_split_frac
+  FROM pkc),
+-- packing plane, x97 boundary-respecting layout: per-tail padding
+-- fraction (the x97 recursive next-fit chain, members grouped per bin)
+pt AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+         SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM documents WHERE text IS NOT NULL),
+pns AS (SELECT source AS nsrc, MAX(pos) AS n FROM pt GROUP BY source),
+pbins AS (
+  WITH RECURSIVE chain(csrc, bin, start) AS (
+    SELECT nsrc, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM pns
+    UNION ALL
+    SELECT c.csrc, c.bin + 1,
+      GREATEST(c.start,
+        (SELECT COALESCE(MAX(t2.pos), 0) FROM pt t2
+         WHERE t2.source = c.csrc
+           AND t2.S <= (SELECT t3.S - t3.n_tokens FROM pt t3
+                        WHERE t3.source = c.csrc AND t3.pos = c.start) + $b)) + 1
+    FROM chain c JOIN pns ON pns.nsrc = c.csrc
+    WHERE c.start <= pns.n
+  )
+  SELECT csrc, bin, start FROM chain
+  WHERE start <= (SELECT n FROM pns WHERE pns.nsrc = chain.csrc)),
+pnf AS (
+  SELECT pt.source, bb.bin AS seq_id, pt.n_tokens
+  FROM pt
+  JOIN (SELECT pt.source AS msrc, pt.pos AS mpos, MAX(b2.start) AS bstart
+        FROM pt JOIN pbins b2 ON b2.csrc = pt.source AND b2.start <= pt.pos
+        GROUP BY pt.source, pt.pos) m ON m.msrc = pt.source AND m.mpos = pt.pos
+  JOIN pbins bb ON bb.csrc = pt.source AND bb.start = m.bstart),
+pk97 AS (
+  SELECT CASE WHEN COUNT(*) > 0
+    THEN CAST(SUM(pad) AS DOUBLE) / (COUNT(*) * $b) ELSE 0.0 END
+    AS pack_padding_frac
+  FROM (SELECT GREATEST(0, $b - SUM(n_tokens)) AS pad
+        FROM pnf GROUP BY source, seq_id)),
+-- embedding planes: shared normalized base (NULL rows kept for the exact
+-- side, the x94/x98 convention)
+eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+ebase AS (
+  SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
+         THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+         END AS e
+  FROM eraw WHERE raw IS NOT NULL
+  UNION ALL
+  SELECT vec_id, NULL AS e FROM eraw WHERE raw IS NULL),
+-- x94 plane: mean recall@k of the default IVF generator (total hits over
+-- slice x k — pure integer arithmetic into one double division)
+ecent AS (SELECT vec_id AS cid, e AS ce FROM ebase
+  WHERE vec_id < $cN AND e IS NOT NULL),
+easg AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT eb.vec_id, eb.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY eb.vec_id
+             ORDER BY list_dot_product(eb.e, c.ce) DESC, c.cid) AS arank
+    FROM ebase eb CROSS JOIN ecent c WHERE eb.e IS NOT NULL)
+  WHERE arank = 1),
+eprobes AS (
+  SELECT qid, qe, cid FROM (
+    SELECT eb.vec_id AS qid, eb.e AS qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY eb.vec_id
+             ORDER BY list_dot_product(eb.e, c.ce) DESC, c.cid) AS prank
+    FROM ebase eb CROSS JOIN ecent c
+    WHERE eb.vec_id < $nq AND eb.e IS NOT NULL)
+  WHERE prank <= $nprobe),
+eapprox AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT p.qid, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY list_dot_product(p.qe, a.e) DESC, a.vec_id) AS rn
+    FROM eprobes p JOIN easg a ON p.cid = a.cid AND a.vec_id <> p.qid)
+  WHERE rn <= $k),
+exq AS (SELECT vec_id AS qid, e AS qe FROM ebase WHERE vec_id < $nq),
+expr2 AS (
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
+  FROM ebase CROSS JOIN exq WHERE vec_id <> qid),
+eexact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, neighbor_id) AS rn FROM expr2)
+  WHERE rn <= $k),
+euni AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $nq),
+erec AS (
+  SELECT CAST((SELECT COUNT(*) FROM eexact e JOIN eapprox p
+                 ON e.qid = p.qid AND e.neighbor_id = p.neighbor_id)
+              AS DOUBLE)
+         / ((SELECT COUNT(*) FROM euni) * $k) AS dense_recall_at_k),
+-- x93 plane: hard-negative yield (emitted negatives over requested slots)
+enz AS (SELECT vec_id, e FROM ebase WHERE e IS NOT NULL),
+eq AS (SELECT vec_id AS qid, e AS qe FROM enz WHERE vec_id < $nq),
+epool AS (
+  SELECT qid, vec_id AS cid, list_dot_product(qe, e) AS cos
+  FROM enz CROSS JOIN eq WHERE vec_id <> qid),
+ecand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM epool
+  QUALIFY rnk <= $kc),
+epos AS (SELECT qid, cid AS pos_id, cos AS pos_cos FROM ecand WHERE rnk = 1),
+eneg AS (
+  SELECT c.qid, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY c.qid
+           ORDER BY c.cos DESC, c.cid) AS nrank
+  FROM ecand c JOIN epos p ON c.qid = p.qid
+  WHERE c.rnk > 1 AND c.cos <= p.pos_cos - $margin),
+ey AS (
+  SELECT CAST((SELECT COUNT(*) FROM eneg WHERE nrank <= $k) AS DOUBLE)
+         / ((SELECT COUNT(*) FROM eq) * $k) AS hardneg_yield)
+SELECT card.*, mq.mean_quality, pk31.pack_split_frac,
+       pk97.pack_padding_frac, erec.dense_recall_at_k, ey.hardneg_yield
+FROM card CROSS JOIN mq CROSS JOIN pk31 CROSS JOIN pk97
+CROSS JOIN erec CROSS JOIN ey"""
+  }
 
   /** x46 — cluster × label purity profile over the final k-means
     * assignment. */
@@ -2420,6 +2554,69 @@ SELECT qid, neighbor_id, rn AS "rank",
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         ORDER BY micro DESC, neighbor_id) AS rn FROM scx)
 WHERE rn <= $k"""
+    },
+
+    // x98: the x94 recall audit pointed at the IVF-PQ ADC generator — the
+    // x70 candidate machinery (coarse cells, probes, integer-micro ADC)
+    // cut at the generator's top-k, scored against the x6-contract exact
+    // baseline with x94's query-universe tail (degenerate queries = a
+    // visible recall 0, never a dropped row)
+    "x98_adc_recall" -> {
+      val nq = graft.corpus.Similarity.DefaultTopKQueries
+      val k = graft.corpus.Similarity.DefaultTopK
+      val cN = graft.corpus.Similarity.DefaultIvfCentroids
+      val nprobe = graft.corpus.Similarity.DefaultIvfNprobe
+      val dim = graft.corpus.Quantization.DefaultDim
+      pqPrelude + pqLutCtes + s""",
+cent AS (
+  SELECT vec_id AS cid, e AS ce2 FROM base
+  WHERE vec_id < $cN AND e IS NOT NULL AND len(e) = $dim),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.e, c.ce2) DESC, c.cid) AS rn
+    FROM (SELECT * FROM base WHERE e IS NOT NULL AND len(e) = $dim) b
+    CROSS JOIN cent c) WHERE rn = 1),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qe, c.ce2) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= $nprobe),
+scx AS (
+  SELECT probes.qid, enc.vec_id AS neighbor_id, SUM(micro) AS micro
+  FROM enc
+  JOIN asg ON enc.vec_id = asg.vec_id
+  JOIN probes ON asg.cid = probes.cid
+  JOIN lut ON enc.s = lut.s AND enc.code = lut.c AND lut.qid = probes.qid
+  WHERE enc.vec_id <> probes.qid
+  GROUP BY 1, 2),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY micro DESC, neighbor_id) AS rn FROM scx)
+  WHERE rn <= $k),
+xq AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < $nq),
+xpr AS (
+  SELECT qid, vec_id AS neighbor_id,
+         CASE WHEN qe IS NULL OR e IS NULL THEN NULL
+              ELSE list_dot_product(qe, e) END AS cos
+  FROM base CROSS JOIN xq WHERE vec_id <> qid),
+exact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, neighbor_id) AS rn FROM xpr)
+  WHERE rn <= $k),
+hit AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx p
+    ON e.qid = p.qid AND e.neighbor_id = p.neighbor_id
+  GROUP BY 1)
+SELECT u.qid, COALESCE(hits, 0) AS hits,
+       CAST(COALESCE(hits, 0) AS DOUBLE)/$k.0 AS recall
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $nq) u
+LEFT JOIN hit USING (qid)"""
     },
 
     "x68_pq_recall" -> {

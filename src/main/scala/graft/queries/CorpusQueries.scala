@@ -245,6 +245,20 @@ object CorpusQueries {
   def x94DenseRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.denseRecallEval(emb(spark, dir))
 
+  /** x98 — the x94 recall audit pointed at the generator consumers
+    * actually swap in at 100 TB: recall@5 of the IVF-PQ ADC generator
+    * (x93's deployment generator) over a self-contained
+    * [[graft.corpus.Quantization.ivfPqIndex]] vs the exact baseline —
+    * pricing the codes-not-vectors tier the way x94 prices the IVF tier. */
+  def x98AdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cbs = graft.corpus.Quantization.sliceCodebooks(e)
+    val cents = graft.corpus.Quantization.centroidSeeds(e)
+    Similarity.denseRecallEval(e,
+      dense = graft.corpus.Retrieval.ivfAdcDenseCandidates(
+        graft.corpus.Quantization.ivfPqIndex(e, cbs, cents), cbs, cents))
+  }
+
   /** x95 — packing-efficiency audit: per-source split/padding cost of the
     * x31 concat-then-chunk layout at the shared budget. */
   def x95PackEfficiency(spark: SparkSession, dir: String): DataFrame =
@@ -369,9 +383,11 @@ object CorpusQueries {
     TextDedup.boilerplateReport(docs(spark, dir))
 
   /** x49 — dataset card: the one-row release summary (cardinalities, token
-    * and char totals, exact-dup count, mean quality). */
+    * and char totals, exact-dup count, mean quality) plus the audit-plane
+    * scalars (packing split/padding trade, generator recall, hard-negative
+    * yield). */
   def x49DatasetCard(spark: SparkSession, dir: String): DataFrame =
-    graft.corpus.Profiling.datasetCard(docs(spark, dir))
+    graft.corpus.Profiling.datasetCard(docs(spark, dir), emb(spark, dir))
 
   /** The synthetic snapshot pair shared by x53 and x56 (ONE carving site so
     * the "same pair of versions" invariant cannot drift): old = doc_id % 3
