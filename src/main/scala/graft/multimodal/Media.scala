@@ -353,15 +353,101 @@ object RealCodec extends MediaCodec {
       probeAvi(blob)
     else if (blob.length >= 4 && blob.take(4).sameElements("fLaC".getBytes))
       probeFlac(blob)
+    else if (blob.length >= 4 && blob.take(4).sameElements("OggS".getBytes))
+      probeOgg(blob)
     else if (isMp3(blob))
       probeMp3(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
-        s"RealCodec.probeMeta: not an MP4/MKV/AVI/FLAC/MP3 container" +
+        s"RealCodec.probeMeta: not an MP4/MKV/AVI/FLAC/MP3/OGG container" +
           s" (magic 0x$magic) — still images and WAV carry their metadata" +
           " through decode()")
     }
+  }
+
+  /** OGG page walk (Vorbis/Opus — the last mainstream scraped-audio
+    * container with a feasible bare-JVM metadata plane): the first
+    * BOS-flagged page's identification header gives channels and rate
+    * (Vorbis: `\x01vorbis`, 8-bit channels + 32-bit LE rate; Opus:
+    * `OpusHead`, 8-bit channels + 16-bit pre-skip — granules always tick
+    * at 48 kHz for Opus, whatever the input rate field says), and the
+    * LAST page of that logical stream carrying a real granule position
+    * gives the exact duration (granule = PCM sample count; −1-granule
+    * continuation pages are skipped; Opus subtracts pre-skip, the spec's
+    * edit-list convention). Pages must tile the buffer — a capture-pattern
+    * miss, truncated segment table, or overrunning payload fails loudly;
+    * CRCs are NOT verified (this is a metadata probe, not an integrity
+    * pass). A BOS page of any OTHER codec (Theora, Speex, FLAC-in-Ogg)
+    * fails loudly with its magic — the honest native-codec surface.
+    * Audio mapping mirrors [[probeFlac]]: `width` = channels, `height` =
+    * sample rate. */
+  private def probeOgg(b: Array[Byte]): ProbedMeta = {
+    def u32le(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def u64le(off: Int): Long =
+      u32le(off) | (u32le(off + 4) << 32)
+    var off = 0
+    var codec: String = null; var channels = -1; var rate = -1
+    var serial = -1L; var lastGranule = -1L; var preSkip = 0L
+    while (off < b.length) {
+      if (off + 27 > b.length) fail(s"OGG: truncated page header at byte $off")
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+          b(off + 3) == 'S'))
+        fail(s"OGG: no page capture pattern at byte $off")
+      if (b(off + 4) != 0)
+        fail(s"OGG: unsupported stream structure version ${b(off + 4)}")
+      val granule = u64le(off + 6)
+      val pSerial = u32le(off + 14)
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length)
+        fail(s"OGG: truncated segment table at byte $off")
+      var payLen = 0
+      var i = 0
+      while (i < nSegs) { payLen += b(off + 27 + i) & 0xff; i += 1 }
+      val body = off + 27 + nSegs
+      if (body + payLen > b.length)
+        fail(s"OGG: page at byte $off overruns the buffer ($payLen bytes)")
+      val bos = (b(off + 5) & 0x02) != 0
+      if (bos && codec == null) {
+        if (payLen >= 16 && b(body) == 1 &&
+            new String(b, body + 1, 6, "US-ASCII") == "vorbis") {
+          codec = "vorbis"
+          channels = b(body + 11) & 0xff
+          rate = u32le(body + 12).toInt
+          serial = pSerial
+        } else if (payLen >= 12 &&
+            new String(b, body, 8, "US-ASCII") == "OpusHead") {
+          codec = "opus"
+          channels = b(body + 9) & 0xff
+          preSkip = (b(body + 10) & 0xffL) | ((b(body + 11) & 0xffL) << 8)
+          rate = 48000 // Opus granules tick at 48 kHz regardless of input
+          serial = pSerial
+        } else {
+          val magic = b.slice(body, math.min(body + 8, b.length))
+            .map(c => if (c >= 0x20 && c < 0x7f) c.toChar.toString
+              else f"\\x${c & 0xff}%02x").mkString
+          fail(s"OGG: BOS page carries an unsupported codec id '$magic' —" +
+            " only Vorbis and Opus headers parse on a bare JVM")
+        }
+      }
+      if (codec != null && pSerial == serial && granule >= 0)
+        lastGranule = granule
+      off = body + payLen
+    }
+    if (codec == null) fail("OGG: no BOS identification page")
+    if (channels <= 0) fail(s"OGG: bad channel count $channels")
+    if (rate <= 0) fail(s"OGG: bad sample rate $rate")
+    val samples = math.max(0L, lastGranule -
+      (if (codec == "opus") preSkip else 0L))
+    // granule is attacker-controlled u64: duration must fail like every
+    // other structural lie, not overflow into garbage (the probeAvi guard)
+    if (samples > Long.MaxValue / 1000)
+      fail(s"OGG: granule position overflows a millisecond duration" +
+        s" ($samples samples)")
+    val durMs = if (lastGranule >= 0) samples * 1000 / rate else -1L
+    ProbedMeta("ogg", channels, rate, durMs, codec)
   }
 
   /** MP3 detection: an ID3v2 tag, or a raw MPEG-1/2 Layer III frame sync

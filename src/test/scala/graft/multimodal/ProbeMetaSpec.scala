@@ -166,6 +166,78 @@ class ProbeMetaSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy RealCodec.probeMeta(bad)
   }
 
+  // ---- OGG fixture builder: one page (CRC left zero — the probe is a
+  // metadata walk, not an integrity pass) ------------------------------
+  private def oggPage(granule: Long, serial: Long, bos: Boolean,
+      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255 * 255, "fixture pages stay small")
+    val segs = Array.fill(payload.length / 255)(255.toByte) :+
+      (payload.length % 255).toByte
+    def le32(v: Long): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le64(v: Long): Array[Byte] = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    "OggS".getBytes ++ Array[Byte](0, if (bos) 0x02 else 0x00) ++
+      le64(granule) ++ le32(serial) ++ le32(0) /* page seq */ ++
+      le32(0) /* crc unchecked */ ++ Array(segs.length.toByte) ++
+      segs ++ payload
+  }
+
+  private def vorbisId(channels: Int, rate: Int): Array[Byte] =
+    Array[Byte](1) ++ "vorbis".getBytes ++ be32(0).reverse /* version LE */ ++
+      Array(channels.toByte) ++ Array(
+        rate.toByte, (rate >> 8).toByte, (rate >> 16).toByte,
+        (rate >> 24).toByte) ++ new Array[Byte](13) // bitrates/blocksizes
+
+  private def opusHead(channels: Int, preSkip: Int): Array[Byte] =
+    "OpusHead".getBytes ++ Array[Byte](1) ++ Array(channels.toByte) ++
+      Array(preSkip.toByte, (preSkip >> 8).toByte) ++
+      new Array[Byte](7) // input rate + gain + mapping family
+
+  test("OGG/Vorbis: BOS identification header gives channels/rate, the " +
+      "last granule the exact duration; -1-granule continuation pages skip") {
+    val blob =
+      oggPage(-1L, 7L, bos = true, vorbisId(2, 44100)) ++
+      oggPage(-1L, 7L, bos = false, new Array[Byte](40)) ++
+      oggPage(44100L * 3, 7L, bos = false, new Array[Byte](10)) ++
+      oggPage(44100L * 61, 7L, bos = false, new Array[Byte](10))
+    val m = RealCodec.probeMeta(blob)
+    (m.format, m.width, m.height, m.codec) shouldBe (("ogg", 2, 44100, "vorbis"))
+    m.durationMs shouldBe 61000L
+    // a header-only stream (no granule yet) reports -1, never invents one
+    RealCodec.probeMeta(oggPage(-1L, 7L, bos = true, vorbisId(1, 8000)))
+      .durationMs shouldBe -1L
+  }
+
+  test("OGG/Opus: granules tick at 48 kHz whatever the input-rate field " +
+      "says, and pre-skip subtracts from the duration") {
+    val blob =
+      oggPage(-1L, 3L, bos = true, opusHead(1, 312)) ++
+      oggPage(48000L * 2 + 312, 3L, bos = false, new Array[Byte](20))
+    val m = RealCodec.probeMeta(blob)
+    (m.format, m.width, m.height, m.codec) shouldBe (("ogg", 1, 48000, "opus"))
+    m.durationMs shouldBe 2000L
+    // a foreign stream's granule must not price this stream's duration
+    val mixed = oggPage(-1L, 3L, bos = true, opusHead(1, 0)) ++
+      oggPage(999999999L, 4L, bos = false, new Array[Byte](5)) ++
+      oggPage(48000L, 3L, bos = false, new Array[Byte](5))
+    RealCodec.probeMeta(mixed).durationMs shouldBe 1000L
+  }
+
+  test("OGG: structural lies fail loudly — a non-audio BOS codec, a " +
+      "truncated segment table, an overrunning payload") {
+    val theora = oggPage(-1L, 5L, bos = true,
+      Array[Byte](0x80.toByte) ++ "theora".getBytes ++ new Array[Byte](9))
+    val e = intercept[IllegalArgumentException](RealCodec.probeMeta(theora))
+    e.getMessage should include("theora")
+    val good = oggPage(-1L, 7L, bos = true, vorbisId(2, 44100))
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(good.take(good.length - 3)) // payload overrun
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(good.take(27)) // inside the segment table
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(good ++ "OggX".getBytes ++ new Array[Byte](23))
+  }
+
   test("MP3: ID3 skip + frame header parse; Xing frame count gives exact " +
       "duration, plain CBR estimates from size x bitrate") {
     // MPEG-1 Layer III, 128 kbit (idx 9), 44100 (idx 0), stereo (mode 0)
