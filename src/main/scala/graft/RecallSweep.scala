@@ -33,13 +33,21 @@ object RecallSweep {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cbs = graft.corpus.Quantization.sliceCodebooks(e)
     val cents = graft.corpus.Quantization.centroidSeeds(e)
+    // TRAINED codebooks alongside the deterministic stand-in: the stand-in
+    // is the oracle-reproducible fixture, not a deployment artifact — the
+    // sweep prices exactly what k-means training buys the ADC tier
+    val tcbs = graft.corpus.Quantization.trainedCodebooks(e)
     // the persisted shape, deliberately: the sweep audits the artifact a
     // deployment actually probes, not an in-memory twin
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("recall_sweep_idx").toString
-    graft.corpus.Quantization.writeIvfPqIndex(
-      graft.corpus.Quantization.ivfPqIndex(e, cbs, cents), idxDir)
-    val index = spark.read.parquet(idxDir)
+    def persist(cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("recall_sweep_idx").toString
+      graft.corpus.Quantization.writeIvfPqIndex(
+        graft.corpus.Quantization.ivfPqIndex(e, cb, cents), idxDir)
+      spark.read.parquet(idxDir)
+    }
+    val index = persist(cbs)
+    val tindex = persist(tcbs)
     def cell(gen: graft.corpus.Retrieval.DenseCandidates): (Double, Double) = {
       val r = graft.corpus.Similarity.denseRecallEval(e, dense = gen)
         .agg(avg(col("recall")), min(col("recall"))).collect()(0)
@@ -50,10 +58,13 @@ object RecallSweep {
         graft.corpus.Retrieval.ivfDenseCandidates(nprobe = np))
       val (adcMean, adcMin) = cell(
         graft.corpus.Retrieval.ivfAdcDenseCandidates(index, cbs, cents, np))
+      val (tMean, tMin) = cell(
+        graft.corpus.Retrieval.ivfAdcDenseCandidates(tindex, tcbs, cents, np))
       def f(v: Double): String = graft.util.JsonNum.fixed(v, 3)
       println(s"""{"nprobe":$np,"ivf_mean":${f(ivfMean)},""" +
         s""""ivf_min":${f(ivfMin)},"adc_mean":${f(adcMean)},""" +
-        s""""adc_min":${f(adcMin)}}""")
+        s""""adc_min":${f(adcMin)},"adc_trained_mean":${f(tMean)},""" +
+        s""""adc_trained_min":${f(tMin)}}""")
     }
     spark.stop()
   }

@@ -156,6 +156,40 @@ object Scaling {
       .select(col("doc_id").as("doc_id_1"),
         explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("doc_id_2"))
 
+  /** Skewed-documents fixture for the packing-plane skew cells: remap
+    * sources so ONE source holds 90% of every scale's rows (doc_id % 10
+    * ≠ 0 → "mega") — the mega-crawl-host shape [[Curation.bandedRunning]]
+    * exists for. Derived from the already-replica-scaled documents, so
+    * workload still grows exactly m× and only the SKEW differs from the
+    * balanced x31/x97 cells. */
+  def buildSkewedDocs(spark: SparkSession, workDir: String,
+      scales: Seq[Int]): Unit =
+    scales.foreach { m =>
+      spark.read.parquet(s"$workDir/x$m/documents.parquet")
+        .withColumn("source", when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(col("source")))
+        .write.mode("overwrite").parquet(s"$workDir/x$m/docskew.parquet")
+    }
+
+  /** The one-window running-sum form the packing plane shipped before
+    * round 16, inlined here as the skew-cell CONTRAST referee: identical
+    * output to [[Curation.packSequences]] (BandedPrefixSpec pins it), but
+    * the per-source window serializes the mega-source through one task —
+    * the straggler the banded cells must not show. */
+  private def windowPackSequences(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = graft.corpus.Curation.PackBudget
+    docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start div $budget").as("seq_id"),
+        (col("start") % budget).as("offset"))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
@@ -183,13 +217,32 @@ object Scaling {
       })
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // session warm-up
 
+    // optional fixture-build allowlist for targeted ladder extensions
+    // (SPARK_GRAFT_SCALING_TABLES=documents,docskew): rebuilding every
+    // plane to extend one costs minutes of writes — and the embedding
+    // rotation construction caps at dim/gcd(7,dim) replicas, so a
+    // documents-only ladder past that cap MUST skip the vector build.
+    // Skipped planes read their base count from the existing x1 replica
+    // (only the occupancy-policy ops consume it — not runnable anyway
+    // without their fixture at the requested scales).
+    val buildTables = sys.env.get("SPARK_GRAFT_SCALING_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    def wantBuild(t: String): Boolean = buildTables.forall(_.contains(t))
+    def x1Count(t: String): Long =
+      scala.util.Try(spark.read.parquet(s"$workDir/x1/$t.parquet").count())
+        .getOrElse(1L)
+
     // doc_id range per replica must be disjoint AND preserve the fixture
     // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even
     // offset per replica keeps %2 but not %3, so ReplicaOffset is a
     // multiple of 6
     val offset = ReplicaOffset
-    val baseN = buildScaledDocs(spark, baseDir, workDir, scales)
-    val longBaseN = buildLongDocs(spark, workDir, scales)
+    val baseN = if (wantBuild("documents"))
+      buildScaledDocs(spark, baseDir, workDir, scales)
+      else x1Count("documents")
+    val longBaseN = if (wantBuild("longdocs"))
+      buildLongDocs(spark, workDir, scales) else x1Count("longdocs")
+    if (wantBuild("docskew")) buildSkewedDocs(spark, workDir, scales)
 
     // VECTOR PLANE — replicas must preserve within-replica geometry exactly
     // (so each replica reproduces the base corpus's neighbor structure and
@@ -199,7 +252,9 @@ object Scaling {
     // hyperplane margin distribution, every centroid geometry) is EXACTLY
     // preserved; cross-replica cosines scatter like unrelated vectors.
     // Shift k·7 mod dim is distinct per replica for k < dim (7 coprime 64).
-    val embBaseN = buildScaledEmbeddings(spark, baseDir, workDir, scales)
+    val embBaseN = if (wantBuild("embeddings"))
+      buildScaledEmbeddings(spark, baseDir, workDir, scales)
+      else x1Count("embeddings")
 
     // RELATIONAL PLANE — key-shifted replicas: each replica's per-key groups
     // are exact copies of base groups under disjoint keys, so session
@@ -216,15 +271,18 @@ object Scaling {
       // TIMESTAMP(NANOS) (readable only under the nanos-as-long legacy
       // mode Tables.tune sets) and timestamp[us]; either way the scaled
       // copy round-trips through Tables.events' type dispatch
-      val b = graft.util.Tables.table(spark, baseDir, name)
-      scales.foreach { m =>
-        val scaled = (0 until m).map { k =>
-          if (k == 0) b
-          else keys.foldLeft(b)((df, c) => df.withColumn(c, col(c) + lit(k * offset)))
-        }.reduce(_ unionAll _)
-        scaled.write.mode("overwrite").parquet(s"$workDir/x$m/$name.parquet")
+      if (!wantBuild(name)) name -> x1Count(name)
+      else {
+        val b = graft.util.Tables.table(spark, baseDir, name)
+        scales.foreach { m =>
+          val scaled = (0 until m).map { k =>
+            if (k == 0) b
+            else keys.foldLeft(b)((df, c) => df.withColumn(c, col(c) + lit(k * offset)))
+          }.reduce(_ unionAll _)
+          scaled.write.mode("overwrite").parquet(s"$workDir/x$m/$name.parquet")
+        }
+        name -> b.count()
       }
-      name -> b.count()
     }
 
     val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
@@ -443,6 +501,17 @@ object Scaling {
       // the cell should grow like m·log m, never like a serial chain
       ("documents", "x97_pack_nextfit",
         (d, _) => graft.corpus.Curation.packNextFit(rd(d, "documents"))),
+      // packing-plane SKEW cells (docskew: one source = 90% of rows): the
+      // banded prefix sum must cost the same here as on the balanced
+      // corpus, while the retired one-window referee serializes the
+      // mega-source through one task — the pair prices exactly the
+      // straggler the r16 rewrite removed
+      ("docskew", "x31_pack_skew",
+        (d, _) => graft.corpus.Curation.packSequences(rd(d, "docskew"))),
+      ("docskew", "x31_pack_skew_window",
+        (d, _) => windowPackSequences(rd(d, "docskew"))),
+      ("docskew", "x97_pack_skew",
+        (d, _) => graft.corpus.Curation.packNextFit(rd(d, "docskew"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)
@@ -458,7 +527,8 @@ object Scaling {
 
     val baseCounts: Map[String, Long] =
       relBaseCounts.toMap ++ Map("documents" -> baseN,
-        "embeddings" -> embBaseN, "longdocs" -> longBaseN)
+        "embeddings" -> embBaseN, "longdocs" -> longBaseN,
+        "docskew" -> baseN)
 
     // optional comma-separated op allowlist for targeted ladder extensions —
     // re-measuring the whole ladder to add one cell wastes an hour of

@@ -213,9 +213,17 @@ object Curation {
     // map keys cannot be NULL: a NULL part is its own running-sum
     // partition on the window form too, keyed here by a NUL sentinel no
     // real source contains (the x85 lkey convention)
+    // materialize the (narrow) keyed frame ONCE: the splitter collect, the
+    // counts collect, and the final banded window are three consumers, and
+    // each would otherwise re-run the caller's upstream projection -- for
+    // the packing callers that projection TOKENIZES the corpus, which at
+    // scale costs more than the window it feeds (measured 3x on the 3000x
+    // skew ladder). The x85 localCheckpoint hygiene; released by the
+    // ContextCleaner when the caller drops the result.
     val keyed = df
       .withColumn("__pk", coalesce(col(part).cast("string"), lit(" ")))
       .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .localCheckpoint()
     // bounded driver artifact #1: per-part band splitters
     val fracs = (1 until nBands).map(_.toDouble / nBands)
     val splitters: Map[String, Seq[Double]] =
@@ -427,18 +435,21 @@ object Curation {
     * search on S, computable for EVERY p at once with one merge-window
     * pass (union the S values with the per-position thresholds, one
     * running count — no self-join); that makes "next bin start" a
-    * functional graph, and the bin id of every document is its distance
-    * from position 1 under pointer-doubling: O(log n) rounds of
-    * position-keyed hash joins (the x20 iterate-in-rounds discipline,
-    * with each doubling table localCheckpointed — a lazy chain would
-    * square the plan per round). Total: 2 banded window passes +
-    * ~2·log₂(max docs/source) bounded joins, everything partitioned by
-    * (source, position) — no global window, no per-source serial task
-    * (BOTH running passes — stage 1's position/cumsum and the merge
-    * window's running count — are [[bandedRunning]]'s two-phase
-    * distributed prefix sum, so a mega-source never pins a stage on one
-    * task; spec-pinned bit-equal to the one-window form on
-    * 90%-one-source skew), no driver-side chain walk. */
+    * functional graph whose bin-start set is the ORBIT of position 1,
+    * grown by doubling (S ∪ jmp_{2^i}(S) — log₂ n rounds of joins keyed
+    * on the start positions themselves, distinct and spread at every
+    * round; the x20 iterate-in-rounds discipline, each doubling table and
+    * start set localCheckpointed — a lazy chain would square the plan per
+    * round). A second merge pass then ranks the starts and assigns every
+    * document its bin in one stream. Total: 3 banded running passes +
+    * ~2·log₂(max docs/source) position-keyed joins — no global window,
+    * no per-source serial task (ALL running passes are [[bandedRunning]]'s
+    * two-phase distributed prefix sum, and no join key ever concentrates:
+    * the r15 formulation walked every document down from cursor position
+    * 1, which put an entire mega-source in ONE hash partition for the
+    * early descent rounds — the skew ladder caught it burning one core;
+    * spec-pinned bit-equal across band counts on 90%-one-source skew),
+    * no driver-side chain walk. */
   def packNextFit(docs: DataFrame, budget: Int = PackBudget,
       bands: Int = 0): DataFrame = {
     require(budget > 0, "sequence budget must be positive")
@@ -502,28 +513,57 @@ object Curation {
           .localCheckpoint()
       }
     }
-    // descent: every document walks from position 1, taking each 2^i-bin
-    // jump that stays at-or-before its own position; the step count IS its
-    // 0-based sequence id and the landing position its sequence's start
-    var d = t.select(col("source"), col("pos").as("p"),
-      lit(1L).as("cur"), lit(0L).as("cnt"))
-    for (i <- (rounds - 1) to 0 by -1) {
-      d = d.join(tables(i).select(col("source").as("jsrc"),
-          col("pos").as("jp"), col("jmp").as("jm")),
-          col("source") === col("jsrc") && col("cur") === col("jp"), "left")
-        .select(col("source"), col("p"),
-          when(col("jm") <= col("p"), col("jm")).otherwise(col("cur"))
-            .as("cur"),
-          when(col("jm") <= col("p"), col("cnt") + (1L << i))
-            .otherwise(col("cnt")).as("cnt"))
+    // ORBIT DOUBLING (r16 — the skew ladder caught the previous
+    // formulation serializing: it walked every document down from cursor
+    // position 1, so the early rounds' (source, cursor) join keys put an
+    // entire mega-source in ONE hash partition). The bin starts are
+    // exactly the orbit of position 1 under the jump function, and
+    // S ∪ jmp_{2^i}(S) doubles the covered orbit prefix per round — join
+    // keys are the start POSITIONS themselves, distinct by construction,
+    // spread at every round and every skew. Absorbing jumps (past the
+    // last position) find no table row and drop from the expansion (the
+    // chain has ended); each round's set is (#bins + 1)-bounded after
+    // dedup and localCheckpoints (the x20 round discipline). The count
+    // gate broadcasts the start set while it is small — at corpus scale
+    // the late rounds fall back to a spread shuffle join.
+    var starts = t.select(col("source")).distinct()
+      .select(col("source"), lit(1L).as("pos"))
+      .localCheckpoint()
+    for (i <- 0 until rounds) {
+      val small = starts.count() <= (1L << 20)
+      val side = if (small) broadcast(starts) else starts
+      val stepped = side.join(tables(i), Seq("source", "pos"))
+        .select(col("source"), col("jmp").as("pos"))
+      starts = starts.unionByName(stepped).distinct().localCheckpoint()
     }
-    val packed = d
-      .join(t.select(col("source"), col("pos").as("p"), col("doc_id"),
-        col("n_tokens"), col("s_before").as("sb_p")), Seq("source", "p"))
-      .join(t.select(col("source"), col("pos").as("cur"),
-        col("s_before").as("sb_c")), Seq("source", "cur"))
+    // one merge pass ranks the starts and assigns documents in the same
+    // stream: kind-0 start events sort before kind-1 document events at
+    // equal position (a document AT a start position opens that bin), and
+    // the banded running count of starts gives, at a start, its 1-based
+    // bin rank and, at a document, its bin's rank — so (source, rank)
+    // joins each document to its bin start (fan-in bounded by docs per
+    // bin). seq_id is the 0-based rank; pseudo-starts past the last
+    // position rank after every real bin and match no document.
+    val sEvents = starts.select(col("source"), col("pos").as("v"),
+      lit(0).as("kind"), col("pos"))
+    val dEvents = t.select(col("source"), col("pos").as("v"),
+      lit(1).as("kind"), col("pos"))
+    val merged = bandedRunning(sEvents.unionByName(dEvents), "source",
+        Seq("v", "kind"), "v",
+        when(col("kind") === 0, 1L).otherwise(0L), "nb", bands = bands)
+      .localCheckpoint()
+    val packed = merged.filter(col("kind") === 1)
+      .select(col("source"), col("pos"), col("nb"))
+      .join(t.select(col("source"), col("pos"), col("doc_id"),
+        col("n_tokens"), col("s_before").as("sb_p")), Seq("source", "pos"))
+      .join(merged.filter(col("kind") === 0)
+        .select(col("source"), col("nb"), col("pos").as("spos")),
+        Seq("source", "nb"))
+      .join(t.select(col("source"), col("pos").as("spos"),
+        col("s_before").as("sb_c")), Seq("source", "spos"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
-        col("cnt").as("seq_id"), (col("sb_p") - col("sb_c")).as("offset"),
+        (col("nb") - 1L).as("seq_id"),
+        (col("sb_p") - col("sb_c")).as("offset"),
         (col("n_tokens") > budget).as("oversize"))
     packed.unionByName(nullRows)
   }

@@ -99,13 +99,21 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, queryMod: Long = QueryMod,
       k: Int = DefaultTopK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val isQuery = querySheetCol(queryMod)
-
-    // (qid, w) distinct query terms — eval-suite-bounded, broadcast everywhere
     val qterms = docs.filter(isQuery)
       .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    bm25TopKOn(docs.filter(!isQuery), qterms, k, None)
+  }
 
+  /** [[bm25TopK]]'s core over an explicit corpus/sheet split: the shared
+    * pass shape [[rm3TopK]]'s first pass reuses with PRE-COLLECTED corpus
+    * stats (its construction runs two scoring passes, and letting each
+    * recompute the one-row (N, avgdl) aggregate re-scanned the corpus once
+    * per pass — the stats literal removes a full narrow corpus scan from
+    * the RM3 chain; values identical by construction, collected from the
+    * same aggregate the lazy crossJoin evaluated). */
+  private def bm25TopKOn(corpus: DataFrame, qterms: DataFrame, k: Int,
+      stats: Option[(Long, Double)]): DataFrame = {
     // narrow corpus pass: doc length + tokens, pruned to the query vocabulary
     // by a broadcast semi-join BEFORE the tf shuffle. The semi-join probes
     // `qterms` WHOLE, not a projected vocabulary: a LEFT-SEMI ignores
@@ -113,7 +121,7 @@ object Retrieval {
     // byte-identical to the scoring join's lets ReuseExchange fold the two
     // broadcast builds into one (a projected copy is a different exchange —
     // measured as a full recompute of the query-side tokenize+distinct)
-    val ctoks = docs.filter(!isQuery)
+    val ctoks = corpus
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
       .join(broadcast(qterms), Seq("w"), "left_semi")
     val tf = ctoks.groupBy(col("doc_id"), col("dl"), col("w"))
@@ -126,10 +134,12 @@ object Retrieval {
     // already-aggregated per-(doc, term) rows on the term key
     val tfd = tf.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
-
-    val stats = corpusStats(docs.filter(!isQuery))
-
-    scoreAndRank(tfd.crossJoin(broadcast(stats)), qterms, k)
+    val withStats = stats match {
+      case Some((n, avgdl)) =>
+        tfd.withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+      case None => tfd.crossJoin(broadcast(corpusStats(corpus)))
+    }
+    scoreAndRank(withStats, qterms, k)
   }
 
   /** Shared scoring tail: input carries (doc_id, dl, w, tf, df, n, avgdl);
@@ -643,20 +653,30 @@ object Retrieval {
       fbTerms: Int = Rm3FbTerms): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isQuery = querySheetCol(queryMod)
+    val corpus = docs.filter(!isQuery)
+    val qterms = docs.filter(isQuery)
+      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+
+    // corpus stats collected ONCE (a one-row driver artifact): both scoring
+    // passes need (N, avgdl), and the lazy crossJoin form re-ran the narrow
+    // stats scan inside each pass's job — one full corpus scan of the ~5
+    // the chain pays, removed (r16 stage-count sweep)
+    val statsRow = corpusStats(corpus).collect()(0)
+    val st = Some((statsRow.getLong(0), statsRow.getDouble(1)))
 
     // pass 1, executed ONCE: the feedback set is (|sheet| × fbDocs)-bounded,
     // so it collects to a driver artifact (the centroid/codebook pattern) —
     // leaving it lazy would re-run the whole ranked BM25 pass once per
     // consumer below (measured: three instantiations in the physical plan).
     val fbRows: Array[(Long, Long, Double)] =
-      bm25TopK(docs, queryMod, fbDocs)
+      bm25TopKOn(corpus, qterms, fbDocs, st)
         .select(col("query_id"), col("doc_id"), col("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
     // feedback docs' FULL term distributions (the expansion source): the
     // bounded id list becomes an isin literal the parquet scan pushes down
     val fbIds = fbRows.map(_._2).distinct.toSeq
-    val fbtf = docs.filter(!isQuery)
+    val fbtf = corpus
       .filter(col("doc_id").isin(fbIds: _*))
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w"))
@@ -669,13 +689,14 @@ object Retrieval {
     // sum. The prune probes the weight sheet WHOLE (left-semi ignores the
     // duplicate build rows) so ReuseExchange folds its broadcast build into
     // the scoring join's — the bm25TopK discipline.
-    val tf2 = docs.filter(!isQuery)
+    val tf2 = corpus
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
       .join(broadcast(weights), Seq("w"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
-      .crossJoin(broadcast(corpusStats(docs.filter(!isQuery))))
+      .withColumn("n", lit(statsRow.getLong(0)))
+      .withColumn("avgdl", lit(statsRow.getDouble(1)))
     rm3ScoreTail(tf2, weights, k)
   }
 
