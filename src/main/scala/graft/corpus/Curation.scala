@@ -201,6 +201,15 @@ object Curation {
     * instead of mis-summing, the x85/x90 convention. Like [[trainingOrder]],
     * the two bounded collects run AT CONSTRUCTION TIME — callers inherit
     * the eager-snapshot contract. */
+  /** The packing plane's checkpoint: stats-severed (see
+    * [[org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats]])
+    * — its iterate-in-rounds pipelines self-join each round's checkpoint,
+    * and origin-stat propagation SQUARES the size estimate per round until
+    * the driver multiplies hundred-megabit BigIntegers inside visitJoin
+    * (caught live on the r16 skew ladder). */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats(df)
+
   private[corpus] def bandedRunning(df: DataFrame, part: String,
       orderCols: Seq[String], bandOn: String, value: Column,
       sumName: String, posName: String = "", bands: Int = 0): DataFrame = {
@@ -220,10 +229,9 @@ object Curation {
     // scale costs more than the window it feeds (measured 3x on the 3000x
     // skew ladder). The x85 localCheckpoint hygiene; released by the
     // ContextCleaner when the caller drops the result.
-    val keyed = df
+    val keyed = ckpt(df
       .withColumn("__pk", coalesce(col(part).cast("string"), lit(" ")))
-      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
-      .localCheckpoint()
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L))))
     // bounded driver artifact #1: per-part band splitters
     val fracs = (1 until nBands).map(_.toDouble / nBands)
     val splitters: Map[String, Seq[Double]] =
@@ -464,10 +472,10 @@ object Curation {
     // distributed prefix sum (no per-source serial task), materialized
     // once: the event union, the jump chain, the descent, and the offset
     // lookup all read this frame (the x85 localCheckpoint hygiene)
-    val t = bandedRunning(base0.filter(col("n_tokens").isNotNull), "source",
+    val t = ckpt(bandedRunning(
+        base0.filter(col("n_tokens").isNotNull), "source",
         Seq("doc_id"), "doc_id", col("n_tokens"), "s_incl", "pos", bands)
-      .withColumn("s_before", col("s_incl") - col("n_tokens"))
-      .localCheckpoint()
+      .withColumn("s_before", col("s_incl") - col("n_tokens")))
     // merge-window jump function: for every position p, l_raw(p) =
     // #{j : S_j <= S_before(p) + budget} — S is strictly increasing per
     // source (n_tokens >= 1), so that count IS the last position fitting
@@ -487,22 +495,33 @@ object Curation {
       .filter(col("kind") === 1)
       .select(col("source"), col("pos"),
         (greatest(col("nv"), col("pos")) + 1L).as("jmp"))
-    // doubling rounds sized from the largest per-source position — ONE
-    // bounded driver scalar
-    val maxN: Long = t.groupBy(col("source")).agg(max(col("pos")).as("n"))
-      .agg(max(col("n"))).collect() match {
-      case Array(r) if !r.isNullAt(0) => r.getLong(0)
-      case _ => 0L
-    }
+    // per-source position counts — ONE bounded collect (sources rows):
+    // sizes the doubling rounds AND marks ABSORBED jumps (landed past
+    // their source's last position). Absorbed rows are fixed points, so
+    // routing them AROUND the doubling join matters twice over: (a) they
+    // are most of the table by the late rounds, and (b) they all share
+    // the one absorbing key — on a mega-source the (source, jmp) hash
+    // exchange funneled ~every row into ONE partition (the second
+    // serialization the skew ladder caught this round, after the descent)
+    val nRows: Array[(String, Long)] = t
+      .groupBy(coalesce(col("source"), lit(" ")).as("k"))
+      .agg(max(col("pos")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val maxN: Long = if (nRows.isEmpty) 0L else nRows.map(_._2).max
+    val nLit = if (nRows.isEmpty) typedLit(Map("" -> 0L))
+      else typedLit(nRows.toMap)
+    val isAbsorbed = col("jmp") > coalesce(
+      element_at(nLit, coalesce(col("source"), lit(" "))),
+      lit(Long.MaxValue))
     val rounds: Int =
       if (maxN <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(maxN - 1).toInt
     val tables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (rounds > 0) {
-      tables += jump0.localCheckpoint()
+      tables += ckpt(jump0)
       for (i <- 1 until rounds) {
         val a = tables(i - 1)
-        tables += a.as("a")
+        tables += ckpt(a.filter(!isAbsorbed).as("a")
           .join(a.select(col("source").as("bsrc"), col("pos").as("bpos"),
             col("jmp").as("bjmp")).as("b"),
             col("a.source") === col("bsrc") && col("a.jmp") === col("bpos"),
@@ -510,7 +529,7 @@ object Curation {
           .select(col("a.source").as("source"), col("a.pos").as("pos"),
             // a jump landing past the last position is absorbing
             coalesce(col("bjmp"), col("a.jmp")).as("jmp"))
-          .localCheckpoint()
+          .unionByName(a.filter(isAbsorbed)))
       }
     }
     // ORBIT DOUBLING (r16 — the skew ladder caught the previous
@@ -519,22 +538,29 @@ object Curation {
     // entire mega-source in ONE hash partition). The bin starts are
     // exactly the orbit of position 1 under the jump function, and
     // S ∪ jmp_{2^i}(S) doubles the covered orbit prefix per round — join
-    // keys are the start POSITIONS themselves, distinct by construction,
-    // spread at every round and every skew. Absorbing jumps (past the
-    // last position) find no table row and drop from the expansion (the
-    // chain has ended); each round's set is (#bins + 1)-bounded after
-    // dedup and localCheckpoints (the x20 round discipline). The count
-    // gate broadcasts the start set while it is small — at corpus scale
-    // the late rounds fall back to a spread shuffle join.
-    var starts = t.select(col("source")).distinct()
-      .select(col("source"), lit(1L).as("pos"))
-      .localCheckpoint()
+    // keys are the start POSITIONS themselves, spread at every round and
+    // every skew. Jumps past their source's last position are dropped
+    // (the chain has ended there): what remains of each round's step is a
+    // strictly-increasing slice of the chain, so the union is
+    // duplicate-free WITHOUT a distinct (f is strictly increasing;
+    // without the filter, every near-end start would step to the SAME
+    // absorbing value and the set would double in copies of it). Each
+    // round localCheckpoints (the x20 round discipline); the start set is
+    // broadcast while its driver-side bound (sources × 2^i) stays small —
+    // at corpus scale the late rounds fall back to a spread shuffle join.
+    var starts = ckpt(t.select(col("source")).distinct()
+      .select(col("source"), lit(1L).as("pos")))
+    val inRange = col("pos") <= coalesce(
+      element_at(nLit, coalesce(col("source"), lit(" "))),
+      lit(Long.MaxValue))
     for (i <- 0 until rounds) {
-      val small = starts.count() <= (1L << 20)
+      val small = i < 62 &&
+        nRows.length.toLong * (1L << i) <= (1L << 20)
       val side = if (small) broadcast(starts) else starts
       val stepped = side.join(tables(i), Seq("source", "pos"))
         .select(col("source"), col("jmp").as("pos"))
-      starts = starts.unionByName(stepped).distinct().localCheckpoint()
+        .filter(inRange)
+      starts = ckpt(starts.unionByName(stepped))
     }
     // one merge pass ranks the starts and assigns documents in the same
     // stream: kind-0 start events sort before kind-1 document events at
@@ -542,16 +568,17 @@ object Curation {
     // the banded running count of starts gives, at a start, its 1-based
     // bin rank and, at a document, its bin's rank — so (source, rank)
     // joins each document to its bin start (fan-in bounded by docs per
-    // bin). seq_id is the 0-based rank; pseudo-starts past the last
-    // position rank after every real bin and match no document.
+    // bin). seq_id is the 0-based rank. (Starts past a source's last
+    // position were filtered in the expansion; one can still survive a
+    // NULL-source/sentinel-source merge of the bound map — it sorts after
+    // every document of its source and matches none, harmless.)
     val sEvents = starts.select(col("source"), col("pos").as("v"),
       lit(0).as("kind"), col("pos"))
     val dEvents = t.select(col("source"), col("pos").as("v"),
       lit(1).as("kind"), col("pos"))
-    val merged = bandedRunning(sEvents.unionByName(dEvents), "source",
+    val merged = ckpt(bandedRunning(sEvents.unionByName(dEvents), "source",
         Seq("v", "kind"), "v",
-        when(col("kind") === 0, 1L).otherwise(0L), "nb", bands = bands)
-      .localCheckpoint()
+        when(col("kind") === 0, 1L).otherwise(0L), "nb", bands = bands))
     val packed = merged.filter(col("kind") === 1)
       .select(col("source"), col("pos"), col("nb"))
       .join(t.select(col("source"), col("pos"), col("doc_id"),

@@ -18,4 +18,31 @@ object GraftExpressionBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `localCheckpoint()` with the origin plan's STATISTICS severed.
+    *
+    * A checkpointed Dataset's `LogicalRDD` leaf carries the ORIGIN plan's
+    * statistics snapshot, and Catalyst's size-only join estimate MULTIPLIES
+    * child sizes — so an iterate-in-rounds pipeline that self-joins each
+    * round's checkpoint (pointer doubling, Pregel-style closures) squares
+    * `sizeInBytes` every round. The BigInteger doubles its BIT COUNT per
+    * round; by round ~20 the planner is multiplying hundred-megabit numbers
+    * inside `visitJoin` and the DRIVER, not the cluster, is the bottleneck
+    * (caught live on the r16 packing skew ladder: one core, minutes per
+    * plan). Severing the origin stats resets each round's leaf to
+    * `defaultSizeInBytes`, which keeps every per-round plan's estimate a
+    * bounded product. The RDD, schema, partitioning, and ordering are the
+    * checkpoint's own; only the statistics (and origin constraints) drop. */
+  def localCheckpointNoStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        classic.Dataset.ofRows(
+          ck.sparkSession.asInstanceOf[classic.SparkSession],
+          new execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            ck.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+      case _ => ck
+    }
+  }
 }
