@@ -48,6 +48,11 @@ object RecallSweep {
     }
     val index = persist(cbs)
     val tindex = persist(tcbs)
+    // each cell re-runs the exact baseline inside denseRecallEval -- at
+    // audit scale (sf0.1, 20 queries) that redundancy is cheaper than a
+    // precomputed-exact API variant; a deployment sweeping a big corpus
+    // should add one (the exact side depends on neither generator nor
+    // nprobe)
     def cell(gen: graft.corpus.Retrieval.DenseCandidates): (Double, Double) = {
       val r = graft.corpus.Similarity.denseRecallEval(e, dense = gen)
         .agg(avg(col("recall")), min(col("recall"))).collect()(0)

@@ -171,25 +171,6 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$workDir/x$m/docskew.parquet")
     }
 
-  /** The one-window running-sum form the packing plane shipped before
-    * round 16, inlined here as the skew-cell CONTRAST referee: identical
-    * output to [[Curation.packSequences]] (BandedPrefixSpec pins it), but
-    * the per-source window serializes the mega-source through one task —
-    * the straggler the banded cells must not show. */
-  private def windowPackSequences(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val budget = graft.corpus.Curation.PackBudget
-    docs.select(col("source"), col("doc_id"),
-        expr("size(split(text, ' '))").as("n_tokens"))
-      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"start div $budget").as("seq_id"),
-        (col("start") % budget).as("offset"))
-  }
-
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
@@ -509,7 +490,8 @@ object Scaling {
       ("docskew", "x31_pack_skew",
         (d, _) => graft.corpus.Curation.packSequences(rd(d, "docskew"))),
       ("docskew", "x31_pack_skew_window",
-        (d, _) => windowPackSequences(rd(d, "docskew"))),
+        (d, _) => graft.corpus.Curation.packSequencesOneWindow(
+          rd(d, "docskew"))),
       ("docskew", "x97_pack_skew",
         (d, _) => graft.corpus.Curation.packNextFit(rd(d, "docskew"))),
       // x90 training order: every row ranked, output exactly m× — the cell

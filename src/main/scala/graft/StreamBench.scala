@@ -208,27 +208,33 @@ object StreamBench {
     // code index (the x93 deployment shape). Self-checking: every regime
     // must hold exactly one top-k row per live query. ----
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val emb = session.read.parquet(s"$sfDir/embeddings.parquet")
-    val corpusN = emb.count()
-    val cents = graft.corpus.Quantization.centroidSeeds(emb)
-    val cbs = graft.corpus.Quantization.sliceCodebooks(emb)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("streambench_idx").toString
-    graft.corpus.Quantization.writeIvfPqIndex(
-      graft.corpus.Quantization.ivfPqIndex(emb, cbs, cents), idxDir)
-    val index = session.read.parquet(idxDir)
-    // query batches: corpus vectors re-keyed into a disjoint id range (no
-    // self-exclusion interplay), nKnnTriggers triggers of nKnnQ queries
+    // the validation DAG above is fixture-free; don't let a missing
+    // embeddings table discard its measurements (r16 review find) — the
+    // kNN cells report -1 and the bench stays standalone
+    val haveEmb = new java.io.File(s"$sfDir/embeddings.parquet").exists
+    val emb = if (haveEmb) session.read.parquet(s"$sfDir/embeddings.parquet")
+      else null
+    val corpusN = if (haveEmb) emb.count() else -1L
     val nKnnQ = 20
     val nKnnTriggers = 3
-    val qRows: Seq[(Long, Seq[Float])] = emb
+    def knnCells(): (Double, Double, Double) = {
+      val cents = graft.corpus.Quantization.centroidSeeds(emb)
+      val cbs = graft.corpus.Quantization.sliceCodebooks(emb)
+      val idxDir = java.nio.file.Files
+      .createTempDirectory("streambench_idx").toString
+      graft.corpus.Quantization.writeIvfPqIndex(
+      graft.corpus.Quantization.ivfPqIndex(emb, cbs, cents), idxDir)
+      val index = session.read.parquet(idxDir)
+      // query batches: corpus vectors re-keyed into a disjoint id range (no
+      // self-exclusion interplay), nKnnTriggers triggers of nKnnQ queries
+      val qRows: Seq[(Long, Seq[Float])] = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nKnnQ * (nKnnTriggers + 1))
       .collect()
       .map(r => (1000000000L + r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-    implicit val qEnc: org.apache.spark.sql.Encoder[(Long, Seq[Float])] =
+      implicit val qEnc: org.apache.spark.sql.Encoder[(Long, Seq[Float])] =
       org.apache.spark.sql.Encoders.product[(Long, Seq[Float])]
-    def knnRun(gen: graft.streaming.StreamOps.StreamCandidates): Double = {
+      def knnRun(gen: graft.streaming.StreamOps.StreamCandidates): Double = {
       val qs = MemoryStream[(Long, Seq[Float])]
       val out = graft.streaming.StreamOps.topKNeighbors(
         qs.toDF().toDF("vec_id", "embedding"), emb, 5, gen)
@@ -253,10 +259,13 @@ object StreamBench {
         sec
       } finally q.stop()
     }
-    val knnExactSec = knnRun(graft.streaming.StreamOps.exactStreamCandidates)
-    val knnIvfSec = knnRun(graft.streaming.StreamOps.ivfStreamCandidates(cents))
-    val knnIndexSec = knnRun(
-      graft.streaming.StreamOps.ivfIndexStreamCandidates(index, cents))
+      (knnRun(graft.streaming.StreamOps.exactStreamCandidates),
+        knnRun(graft.streaming.StreamOps.ivfStreamCandidates(cents)),
+        knnRun(graft.streaming.StreamOps.ivfIndexStreamCandidates(
+          index, cents)))
+    }
+    val (knnExactSec, knnIvfSec, knnIndexSec) =
+      if (haveEmb) knnCells() else (-1.0, -1.0, -1.0)
 
     def rps(sec: Double): Long = (nRecords / sec).toLong
     def s2(v: Double): String = graft.util.JsonNum.fixed(v, 2)

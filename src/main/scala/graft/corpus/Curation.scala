@@ -168,6 +168,15 @@ object Curation {
     * query — shared with the x31 oracle generator so the two cannot drift. */
   val PackBudget: Int = 512
 
+  /** The packing plane's checkpoint: stats-severed (see
+    * [[org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats]])
+    * — its iterate-in-rounds pipelines self-join each round's checkpoint,
+    * and origin-stat propagation SQUARES the size estimate per round until
+    * the driver multiplies hundred-megabit BigIntegers inside visitJoin
+    * (caught live on the r16 skew ladder). */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats(df)
+
   /** Two-phase DISTRIBUTED running aggregates — the packing plane's exact
     * per-source prefix sum WITHOUT a per-source serial task. A
     * `Window.partitionBy(part).orderBy(order)` running sum serializes every
@@ -201,15 +210,6 @@ object Curation {
     * instead of mis-summing, the x85/x90 convention. Like [[trainingOrder]],
     * the two bounded collects run AT CONSTRUCTION TIME — callers inherit
     * the eager-snapshot contract. */
-  /** The packing plane's checkpoint: stats-severed (see
-    * [[org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats]])
-    * — its iterate-in-rounds pipelines self-join each round's checkpoint,
-    * and origin-stat propagation SQUARES the size estimate per round until
-    * the driver multiplies hundred-megabit BigIntegers inside visitJoin
-    * (caught live on the r16 skew ladder). */
-  private def ckpt(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftExpressionBridge.localCheckpointNoStats(df)
-
   private[corpus] def bandedRunning(df: DataFrame, part: String,
       orderCols: Seq[String], bandOn: String, value: Column,
       sumName: String, posName: String = "", bands: Int = 0): DataFrame = {
@@ -325,6 +325,26 @@ object Curation {
       .select(col("source"), col("doc_id"), col("n_tokens"),
         // true integer division (`div`, like the oracle's `//`) — a double
         // `/`-then-cast would go lossy past 2^53 cumulative tokens
+        expr(s"start div $budget").as("seq_id"),
+        (col("start") % budget).as("offset"))
+  }
+
+  /** The RETIRED one-window [[packSequences]] (pre-r16), kept as the ONE
+    * referee definition the skew-ladder contrast cell
+    * (`Scaling.x31_pack_skew_window`) and the bit-equality spec
+    * (`BandedPrefixSpec`) both measure/pin against — a drifting copy in
+    * either place would make the cell benchmark something the spec no
+    * longer proves equal. NOT for production use: the per-source window
+    * serializes a mega-source through one task (the r16 rewrite's whole
+    * point). */
+  private[graft] def packSequencesOneWindow(docs: DataFrame,
+      budget: Int = PackBudget): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"start div $budget").as("seq_id"),
         (col("start") % budget).as("offset"))
   }
@@ -461,7 +481,12 @@ object Curation {
   def packNextFit(docs: DataFrame, budget: Int = PackBudget,
       bands: Int = 0): DataFrame = {
     require(budget > 0, "sequence budget must be positive")
-    val base0 = docs.select(col("source"), col("doc_id"),
+    // skey: the NON-NULL join key every stage below keys on — SQL equality
+    // joins drop NULL keys, and a NULL-source document must pack like any
+    // other (its own chain), not silently vanish (r16 review find; the NUL
+    // sentinel is bandedRunning's convention — no real source contains it)
+    val base0 = docs.select(col("source"),
+      coalesce(col("source"), lit("\u0000")).as("skey"), col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"))
     val nullRows = base0.filter(col("n_tokens").isNull)
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -473,7 +498,7 @@ object Curation {
     // once: the event union, the jump chain, the descent, and the offset
     // lookup all read this frame (the x85 localCheckpoint hygiene)
     val t = ckpt(bandedRunning(
-        base0.filter(col("n_tokens").isNotNull), "source",
+        base0.filter(col("n_tokens").isNotNull), "skey",
         Seq("doc_id"), "doc_id", col("n_tokens"), "s_incl", "pos", bands)
       .withColumn("s_before", col("s_incl") - col("n_tokens")))
     // merge-window jump function: for every position p, l_raw(p) =
@@ -485,15 +510,15 @@ object Curation {
     // and the within-band (v, kind) order is the global order.
     // greatest(_, p) makes an oversize start its own singleton; +1 is the
     // next start.
-    val vEvents = t.select(col("source"), col("s_incl").as("v"),
+    val vEvents = t.select(col("skey"), col("s_incl").as("v"),
       lit(0).as("kind"), col("pos"))
-    val qEvents = t.select(col("source"),
+    val qEvents = t.select(col("skey"),
       (col("s_before") + budget).as("v"), lit(1).as("kind"), col("pos"))
-    val jump0 = bandedRunning(vEvents.unionByName(qEvents), "source",
+    val jump0 = bandedRunning(vEvents.unionByName(qEvents), "skey",
         Seq("v", "kind"), "v",
         when(col("kind") === 0, 1L).otherwise(0L), "nv", bands = bands)
       .filter(col("kind") === 1)
-      .select(col("source"), col("pos"),
+      .select(col("skey"), col("pos"),
         (greatest(col("nv"), col("pos")) + 1L).as("jmp"))
     // per-source position counts — ONE bounded collect (sources rows):
     // sizes the doubling rounds AND marks ABSORBED jumps (landed past
@@ -504,15 +529,14 @@ object Curation {
     // exchange funneled ~every row into ONE partition (the second
     // serialization the skew ladder caught this round, after the descent)
     val nRows: Array[(String, Long)] = t
-      .groupBy(coalesce(col("source"), lit(" ")).as("k"))
+      .groupBy(col("skey"))
       .agg(max(col("pos")).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val maxN: Long = if (nRows.isEmpty) 0L else nRows.map(_._2).max
     val nLit = if (nRows.isEmpty) typedLit(Map("" -> 0L))
       else typedLit(nRows.toMap)
     val isAbsorbed = col("jmp") > coalesce(
-      element_at(nLit, coalesce(col("source"), lit(" "))),
-      lit(Long.MaxValue))
+      element_at(nLit, col("skey")), lit(Long.MaxValue))
     val rounds: Int =
       if (maxN <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(maxN - 1).toInt
@@ -522,11 +546,11 @@ object Curation {
       for (i <- 1 until rounds) {
         val a = tables(i - 1)
         tables += ckpt(a.filter(!isAbsorbed).as("a")
-          .join(a.select(col("source").as("bsrc"), col("pos").as("bpos"),
+          .join(a.select(col("skey").as("bsrc"), col("pos").as("bpos"),
             col("jmp").as("bjmp")).as("b"),
-            col("a.source") === col("bsrc") && col("a.jmp") === col("bpos"),
+            col("a.skey") === col("bsrc") && col("a.jmp") === col("bpos"),
             "left")
-          .select(col("a.source").as("source"), col("a.pos").as("pos"),
+          .select(col("a.skey").as("skey"), col("a.pos").as("pos"),
             // a jump landing past the last position is absorbing
             coalesce(col("bjmp"), col("a.jmp")).as("jmp"))
           .unionByName(a.filter(isAbsorbed)))
@@ -548,17 +572,16 @@ object Curation {
     // round localCheckpoints (the x20 round discipline); the start set is
     // broadcast while its driver-side bound (sources × 2^i) stays small —
     // at corpus scale the late rounds fall back to a spread shuffle join.
-    var starts = ckpt(t.select(col("source")).distinct()
-      .select(col("source"), lit(1L).as("pos")))
+    var starts = ckpt(t.select(col("skey")).distinct()
+      .select(col("skey"), lit(1L).as("pos")))
     val inRange = col("pos") <= coalesce(
-      element_at(nLit, coalesce(col("source"), lit(" "))),
-      lit(Long.MaxValue))
+      element_at(nLit, col("skey")), lit(Long.MaxValue))
     for (i <- 0 until rounds) {
       val small = i < 62 &&
         nRows.length.toLong * (1L << i) <= (1L << 20)
       val side = if (small) broadcast(starts) else starts
-      val stepped = side.join(tables(i), Seq("source", "pos"))
-        .select(col("source"), col("jmp").as("pos"))
+      val stepped = side.join(tables(i), Seq("skey", "pos"))
+        .select(col("skey"), col("jmp").as("pos"))
         .filter(inRange)
       starts = ckpt(starts.unionByName(stepped))
     }
@@ -568,26 +591,24 @@ object Curation {
     // the banded running count of starts gives, at a start, its 1-based
     // bin rank and, at a document, its bin's rank — so (source, rank)
     // joins each document to its bin start (fan-in bounded by docs per
-    // bin). seq_id is the 0-based rank. (Starts past a source's last
-    // position were filtered in the expansion; one can still survive a
-    // NULL-source/sentinel-source merge of the bound map — it sorts after
-    // every document of its source and matches none, harmless.)
-    val sEvents = starts.select(col("source"), col("pos").as("v"),
+    // bin). seq_id is the 0-based rank (starts past a source's last
+    // position were filtered in the expansion).
+    val sEvents = starts.select(col("skey"), col("pos").as("v"),
       lit(0).as("kind"), col("pos"))
-    val dEvents = t.select(col("source"), col("pos").as("v"),
+    val dEvents = t.select(col("skey"), col("pos").as("v"),
       lit(1).as("kind"), col("pos"))
-    val merged = ckpt(bandedRunning(sEvents.unionByName(dEvents), "source",
+    val merged = ckpt(bandedRunning(sEvents.unionByName(dEvents), "skey",
         Seq("v", "kind"), "v",
         when(col("kind") === 0, 1L).otherwise(0L), "nb", bands = bands))
     val packed = merged.filter(col("kind") === 1)
-      .select(col("source"), col("pos"), col("nb"))
-      .join(t.select(col("source"), col("pos"), col("doc_id"),
-        col("n_tokens"), col("s_before").as("sb_p")), Seq("source", "pos"))
+      .select(col("skey"), col("pos"), col("nb"))
+      .join(t.select(col("skey"), col("pos"), col("source"), col("doc_id"),
+        col("n_tokens"), col("s_before").as("sb_p")), Seq("skey", "pos"))
       .join(merged.filter(col("kind") === 0)
-        .select(col("source"), col("nb"), col("pos").as("spos")),
-        Seq("source", "nb"))
-      .join(t.select(col("source"), col("pos").as("spos"),
-        col("s_before").as("sb_c")), Seq("source", "spos"))
+        .select(col("skey"), col("nb"), col("pos").as("spos")),
+        Seq("skey", "nb"))
+      .join(t.select(col("skey"), col("pos").as("spos"),
+        col("s_before").as("sb_c")), Seq("skey", "spos"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         (col("nb") - 1L).as("seq_id"),
         (col("sb_p") - col("sb_c")).as("offset"),

@@ -660,9 +660,13 @@ object Retrieval {
     // corpus stats collected ONCE (a one-row driver artifact): both scoring
     // passes need (N, avgdl), and the lazy crossJoin form re-ran the narrow
     // stats scan inside each pass's job — one full corpus scan of the ~5
-    // the chain pays, removed (r16 stage-count sweep)
+    // the chain pays, removed (r16 stage-count sweep). An EMPTY corpus has
+    // NULL avgdl (sum/count of nothing); fall back to the lazy crossJoin
+    // there so the degenerate input keeps returning an empty frame instead
+    // of NPE-ing at construction (r16 review find)
     val statsRow = corpusStats(corpus).collect()(0)
-    val st = Some((statsRow.getLong(0), statsRow.getDouble(1)))
+    val st = if (statsRow.isNullAt(1)) None
+      else Some((statsRow.getLong(0), statsRow.getDouble(1)))
 
     // pass 1, executed ONCE: the feedback set is (|sheet| × fbDocs)-bounded,
     // so it collects to a driver artifact (the centroid/codebook pattern) —
@@ -695,9 +699,12 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
-      .withColumn("n", lit(statsRow.getLong(0)))
-      .withColumn("avgdl", lit(statsRow.getDouble(1)))
-    rm3ScoreTail(tf2, weights, k)
+    val tf2s = st match {
+      case Some((n, avgdl)) =>
+        tf2.withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+      case None => tf2.crossJoin(broadcast(corpusStats(corpus)))
+    }
+    rm3ScoreTail(tf2s, weights, k)
   }
 
   /** The shared RM3 weight-sheet assembly ([[rm3TopK]] ↔

@@ -432,6 +432,12 @@ object RealCodec extends MediaCodec {
             " only Vorbis and Opus headers parse on a bare JVM")
         }
       }
+      // -1 (all ones) is the spec's "no packet ends here" sentinel; any
+      // OTHER negative u64 granule is a structural lie, not a skip (r16
+      // review find — the overflow guard below could never fire for them)
+      if (granule < -1L)
+        fail(s"OGG: granule position overflows a signed 64-bit count" +
+          s" at byte $off")
       if (codec != null && pSerial == serial && granule >= 0)
         lastGranule = granule
       off = body + payLen

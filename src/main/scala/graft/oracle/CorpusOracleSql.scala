@@ -1220,21 +1220,26 @@ pbins AS (
     SELECT c.csrc, c.bin + 1,
       GREATEST(c.start,
         (SELECT COALESCE(MAX(t2.pos), 0) FROM pt t2
-         WHERE t2.source = c.csrc
+         WHERE t2.source IS NOT DISTINCT FROM c.csrc
            AND t2.S <= (SELECT t3.S - t3.n_tokens FROM pt t3
-                        WHERE t3.source = c.csrc AND t3.pos = c.start) + $b)) + 1
-    FROM chain c JOIN pns ON pns.nsrc = c.csrc
+                        WHERE t3.source IS NOT DISTINCT FROM c.csrc
+                          AND t3.pos = c.start) + $b)) + 1
+    FROM chain c JOIN pns ON pns.nsrc IS NOT DISTINCT FROM c.csrc
     WHERE c.start <= pns.n
   )
   SELECT csrc, bin, start FROM chain
-  WHERE start <= (SELECT n FROM pns WHERE pns.nsrc = chain.csrc)),
+  WHERE start <= (SELECT n FROM pns
+                  WHERE pns.nsrc IS NOT DISTINCT FROM chain.csrc)),
 pnf AS (
   SELECT pt.source, bb.bin AS seq_id, pt.n_tokens
   FROM pt
   JOIN (SELECT pt.source AS msrc, pt.pos AS mpos, MAX(b2.start) AS bstart
-        FROM pt JOIN pbins b2 ON b2.csrc = pt.source AND b2.start <= pt.pos
-        GROUP BY pt.source, pt.pos) m ON m.msrc = pt.source AND m.mpos = pt.pos
-  JOIN pbins bb ON bb.csrc = pt.source AND bb.start = m.bstart),
+        FROM pt JOIN pbins b2 ON b2.csrc IS NOT DISTINCT FROM pt.source
+                             AND b2.start <= pt.pos
+        GROUP BY pt.source, pt.pos) m
+    ON m.msrc IS NOT DISTINCT FROM pt.source AND m.mpos = pt.pos
+  JOIN pbins bb ON bb.csrc IS NOT DISTINCT FROM pt.source
+               AND bb.start = m.bstart),
 pk97 AS (
   SELECT CASE WHEN COUNT(*) > 0
     THEN CAST(SUM(pad) AS DOUBLE) / (COUNT(*) * $b) ELSE 0.0 END
@@ -1242,7 +1247,11 @@ pk97 AS (
   FROM (SELECT GREATEST(0, $b - SUM(n_tokens)) AS pad
         FROM pnf GROUP BY source, seq_id)),
 -- embedding planes: shared normalized base (NULL rows kept for the exact
--- side, the x94/x98 convention)
+-- side, the x94/x98 convention). The e-prefixed CTEs below are renamed
+-- copies of the x94_dense_recall and x93_hard_negatives machinery (the
+-- rename dodges qualityPrelude's q): edit those oracles and THIS block in
+-- lockstep -- a one-sided edit is not silent (the card is hash-checked
+-- every round and both read the same engine), but it is a red row
 eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 ebase AS (
   SELECT vec_id, CASE WHEN list_dot_product(raw, raw) > 0
@@ -1657,6 +1666,9 @@ FROM n GROUP BY 1""",
     // NULL-text docs union back with NULL packing columns.
     "x97_pack_nextfit" -> {
       val b = graft.corpus.Curation.PackBudget
+      // source comparisons are IS NOT DISTINCT FROM: the engine packs a
+      // NULL-source document on its own chain (r16), and SQL = would
+      // silently drop it from every join below
       s"""WITH t AS (
   SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
@@ -1672,25 +1684,30 @@ bins AS (
     SELECT c.csrc, c.bin + 1,
       GREATEST(c.start,
         (SELECT COALESCE(MAX(t2.pos), 0) FROM t t2
-         WHERE t2.source = c.csrc
+         WHERE t2.source IS NOT DISTINCT FROM c.csrc
            AND t2.S <= (SELECT t3.S - t3.n_tokens FROM t t3
-                        WHERE t3.source = c.csrc AND t3.pos = c.start) + $b)) + 1
-    FROM chain c JOIN ns ON ns.nsrc = c.csrc
+                        WHERE t3.source IS NOT DISTINCT FROM c.csrc
+                          AND t3.pos = c.start) + $b)) + 1
+    FROM chain c JOIN ns ON ns.nsrc IS NOT DISTINCT FROM c.csrc
     WHERE c.start <= ns.n
   )
   SELECT csrc, bin, start FROM chain
-  WHERE start <= (SELECT n FROM ns WHERE ns.nsrc = chain.csrc))
+  WHERE start <= (SELECT n FROM ns
+                  WHERE ns.nsrc IS NOT DISTINCT FROM chain.csrc))
 SELECT t.source, t.doc_id, t.n_tokens, b.bin AS seq_id,
        CAST((t.S - t.n_tokens) -
          (SELECT t4.S - t4.n_tokens FROM t t4
-          WHERE t4.source = t.source AND t4.pos = b.start) AS BIGINT)
+          WHERE t4.source IS NOT DISTINCT FROM t.source
+            AND t4.pos = b.start) AS BIGINT)
          AS "offset",
        t.n_tokens > $b AS oversize
 FROM t
 JOIN (SELECT t.source AS msrc, t.pos AS mpos, MAX(b2.start) AS bstart
-      FROM t JOIN bins b2 ON b2.csrc = t.source AND b2.start <= t.pos
-      GROUP BY t.source, t.pos) m ON m.msrc = t.source AND m.mpos = t.pos
-JOIN bins b ON b.csrc = t.source AND b.start = m.bstart
+      FROM t JOIN bins b2 ON b2.csrc IS NOT DISTINCT FROM t.source
+                         AND b2.start <= t.pos
+      GROUP BY t.source, t.pos) m
+  ON m.msrc IS NOT DISTINCT FROM t.source AND m.mpos = t.pos
+JOIN bins b ON b.csrc IS NOT DISTINCT FROM t.source AND b.start = m.bstart
 UNION ALL
 SELECT source, doc_id, CAST(NULL AS BIGINT) AS n_tokens,
        CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS "offset",

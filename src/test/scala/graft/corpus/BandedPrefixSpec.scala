@@ -35,26 +35,13 @@ class BandedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.toDF("doc_id", "text", "source")
   }
 
-  /** The one-window reference x31 shipped before round 16 — kept here as
-    * the referee the banded form must reproduce bit for bit. */
-  private def windowPackSequences(docs: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("source"), col("doc_id"),
-        expr("size(split(text, ' '))").as("n_tokens"))
-      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"start div $budget").as("seq_id"),
-        (col("start") % budget).as("offset"))
-  }
-
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
   test("packSequences is bit-equal to the one-window form on " +
       "90%-one-source skew, for every band count") {
     val d = skewed(400, 11L)
-    val want = rows(windowPackSequences(d, Curation.PackBudget))
+    val want = rows(Curation.packSequencesOneWindow(d))
     for (bands <- Seq(1, 2, 7, 32)) {
       withClue(s"bands=$bands: ") {
         rows(Curation.packSequences(d, bands = bands)) shouldBe want

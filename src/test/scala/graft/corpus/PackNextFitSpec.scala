@@ -113,6 +113,29 @@ class PackNextFitSpec extends AnyFunSuite with SparkSpec with Matchers {
       .filter("NOT oversize AND offset + n_tokens > 16").count() shouldBe 0L
   }
 
+  test("NULL-source documents pack on their own chain — never silently " +
+      "dropped (every stage joins on a non-null sentinel key)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Option(words(3)), Option("a")), (2L, Option(words(2)), Option("a")),
+      (10L, Option(words(4)), Option.empty[String]),
+      (11L, Option(words(2)), Option.empty[String]),
+      (12L, Option(words(9)), Option.empty[String])) // oversize, NULL chain
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = Curation.packNextFit(d, budget = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got.keySet shouldBe rows.map(_._1).toSet // no row loss
+    // the NULL chain packs independently of source "a"
+    got(10L).getAs[Long]("seq_id") shouldBe 0L
+    got(11L).getAs[Long]("seq_id") shouldBe 1L // 4 + 2 > 5
+    got(12L).getAs[Long]("seq_id") shouldBe 2L
+    got(12L).getAs[Boolean]("oversize") shouldBe true
+    got(10L).isNullAt(got(10L).fieldIndex("source")) shouldBe true
+    // and x31 sees the same document set (its window keeps NULL partitions)
+    Curation.packSequences(d, budget = 5).count() shouldBe rows.size.toLong
+  }
+
   test("budget guard is loud") {
     intercept[IllegalArgumentException] {
       Curation.packNextFit(df(Seq((1L, Some("a"), "s"))), budget = 0)
