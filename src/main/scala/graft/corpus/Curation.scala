@@ -841,6 +841,33 @@ object Curation {
           .otherwise(lit(shards - 1) - col("r") % shards).as("shard"))
   }
 
+  /** [[assignShards]] through [[bandedRunning]] — the mega-source form:
+    * the default's per-source rank window serializes each domain through
+    * one task (accepted at bench scale with the output-layout defense and
+    * the block-subkey note in [[assignShards]]'s doc); this computes the
+    * IDENTICAL deal with the two-phase banded rank (spec-pinned bit-equal
+    * on 90%-one-source skew). The descending (n_tokens, doc_id) order maps
+    * to an ascending band key: −n_tokens with NULL → Long.MaxValue (both
+    * engines rank NULL lengths last under DESC). Eager-snapshot like every
+    * bandedRunning caller (two bounded collects at construction). */
+  def assignShardsBanded(docs: DataFrame, shards: Int = ShardCount,
+      bands: Int = 0): DataFrame = {
+    require(shards > 0, "shard count must be positive")
+    val ranked = bandedRunning(
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("__sk",
+          coalesce(-col("n_tokens"), lit(Long.MaxValue))),
+      "source", Seq("__sk", "doc_id"), "__sk", lit(0L), "__zero", "__rk",
+      bands)
+    ranked.select(col("doc_id"), col("source"), col("n_tokens"),
+      {
+        val r = col("__rk") - 1L
+        when(expr(s"(__rk - 1) div $shards") % 2 === 0, r % shards)
+          .otherwise(lit(shards - 1) - r % shards).as("shard")
+      })
+  }
+
   /** X85 — CCNet-style per-language quality buckets (Wenzek et al. 2020
     * shape): rank each language's documents by length-normalized unigram LM
     * score (mean per-token log10 p(w) — the perplexity proxy; higher = more

@@ -60,6 +60,17 @@ class BandedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("assignShardsBanded deals bit-identically to the window form on " +
+      "90%-one-source skew (NULL texts rank last both ways)") {
+    val d = skewed(300, 23L)
+    val want = rows(Curation.assignShards(d))
+    for (bands <- Seq(1, 3, 16)) {
+      withClue(s"bands=$bands: ") {
+        rows(Curation.assignShardsBanded(d, bands = bands)) shouldBe want
+      }
+    }
+  }
+
   test("bandedRunning: global row numbers and running sums match the " +
       "window form with NULL values, NULL parts, and 2 bands") {
     val s = spark
