@@ -577,12 +577,17 @@ object Curation {
     val inRange = col("pos") <= coalesce(
       element_at(nLit, col("skey")), lit(Long.MaxValue))
     for (i <- 0 until rounds) {
-      val small = i < 62 &&
-        nRows.length.toLong * (1L << i) <= (1L << 20)
-      val side = if (small) broadcast(starts) else starts
+      val bound = if (i >= 62) Long.MaxValue
+        else nRows.length.toLong * (1L << i)
+      val side = if (bound <= (1L << 20)) broadcast(starts) else starts
       val stepped = side.join(tables(i), Seq("skey", "pos"))
         .select(col("skey"), col("jmp").as("pos"))
         .filter(inRange)
+      // every round checkpoints: a lazy union chain re-executes EVERY
+      // prior round's join per subsequent round, and each of those joins
+      // rescans a full doubling table — measured 1.2x-slower end to end
+      // even though the lazy sets themselves are tiny (the job round-trip
+      // it saves is cheaper than the table rescans it buys)
       starts = ckpt(starts.unionByName(stepped))
     }
     // one merge pass ranks the starts and assigns documents in the same
