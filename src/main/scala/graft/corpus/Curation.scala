@@ -230,7 +230,7 @@ object Curation {
     // skew ladder). The x85 localCheckpoint hygiene; released by the
     // ContextCleaner when the caller drops the result.
     val keyed = ckpt(df
-      .withColumn("__pk", coalesce(col(part).cast("string"), lit(" ")))
+      .withColumn("__pk", coalesce(col(part).cast("string"), lit("\u0000")))
       .withColumn("__v", coalesce(value.cast("long"), lit(0L))))
     // bounded driver artifact #1: per-part band splitters
     val fracs = (1 until nBands).map(_.toDouble / nBands)
