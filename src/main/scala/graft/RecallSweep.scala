@@ -60,26 +60,28 @@ object RecallSweep {
     }
     // the number SPI consumers actually need: every consumer re-scores
     // fetched vectors EXACTLY (x89/x93's discipline), so what matters is
-    // whether the exact top-k SURVIVES in the generator's top-kCand
-    // shortlist — recall@k of the exact-reranked ADC shortlist at the
-    // consumers' pool depth (x69's shortlist -> exact-rerank shape), not
-    // recall of the raw ADC top-k
+    // whether the exact top-k SURVIVES the generator's PROPOSAL SET — the
+    // kCand+1 ids it fetches (one slot for self, x89's argument; when self
+    // is absent from the proposals the pool is kCand+1 deep, and that IS
+    // what the consumer exact-reranks — a true top-k member in the pool
+    // always outranks the consumer's cut, so pool membership equals
+    // survival). The exact baseline, normalized corpus, and query slice
+    // are nprobe-invariant — built once, not per sweep row.
     val kCand = graft.corpus.Similarity.HardNegCandidates
-    def shortlistCell(gen: graft.corpus.Retrieval.DenseCandidates)
-        : Double = {
-      val k = graft.corpus.Similarity.DefaultTopK
-      val nq = graft.corpus.Similarity.DefaultTopKQueries
-      val exact = graft.corpus.Similarity.cosineTopK(e, nq, k)
-        .select(col("qid"), col("neighbor_id"))
-      val base = graft.corpus.Similarity.normalizedCorpus(e)
-        .filter(col("e").isNotNull)
-      val queries = base.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"))
-      val short = gen(base, queries, kCand + 1)
+    val sweepK = graft.corpus.Similarity.DefaultTopK
+    val sweepNq = graft.corpus.Similarity.DefaultTopKQueries
+    val exactTop = graft.corpus.Similarity.cosineTopK(e, sweepNq, sweepK)
+      .select(col("qid"), col("neighbor_id")).localCheckpoint()
+    val nzBase = graft.corpus.Similarity.normalizedCorpus(e)
+      .filter(col("e").isNotNull).localCheckpoint()
+    val sweepQueries = nzBase.filter(col("vec_id") < sweepNq)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    def poolCell(gen: graft.corpus.Retrieval.DenseCandidates): Double = {
+      val pool = gen(nzBase, sweepQueries, kCand + 1)
         .filter(col("doc_id") =!= col("query_id"))
         .select(col("query_id").as("qid"), col("doc_id").as("neighbor_id"))
-      val hits = exact.join(short, Seq("qid", "neighbor_id")).count()
-      hits.toDouble / (nq.toLong * k)
+      val hits = exactTop.join(pool, Seq("qid", "neighbor_id")).count()
+      hits.toDouble / (sweepNq.toLong * sweepK)
     }
     nprobes.foreach { np =>
       val (ivfMean, ivfMin) = cell(
@@ -88,14 +90,14 @@ object RecallSweep {
         graft.corpus.Retrieval.ivfAdcDenseCandidates(index, cbs, cents, np))
       val (tMean, tMin) = cell(
         graft.corpus.Retrieval.ivfAdcDenseCandidates(tindex, tcbs, cents, np))
-      val adcShort = shortlistCell(
+      val adcPool = poolCell(
         graft.corpus.Retrieval.ivfAdcDenseCandidates(index, cbs, cents, np))
       def f(v: Double): String = graft.util.JsonNum.fixed(v, 3)
       println(s"""{"nprobe":$np,"ivf_mean":${f(ivfMean)},""" +
         s""""ivf_min":${f(ivfMin)},"adc_mean":${f(adcMean)},""" +
         s""""adc_min":${f(adcMin)},"adc_trained_mean":${f(tMean)},""" +
         s""""adc_trained_min":${f(tMin)},""" +
-        s""""adc_shortlist${kCand}_rerank_mean":${f(adcShort)}}""")
+        s""""adc_pool${kCand + 1}_rerank_mean":${f(adcPool)}}""")
     }
     spark.stop()
   }

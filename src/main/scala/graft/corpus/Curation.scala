@@ -839,11 +839,21 @@ object Curation {
     docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("r", row_number().over(w).cast("long") - 1L)
-      // r >= 0, so truncating and flooring division agree; `div` keeps the
-      // arithmetic integral (the oracle's `//`)
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        when(expr(s"r div $shards") % 2 === 0, col("r") % shards)
-          .otherwise(lit(shards - 1) - col("r") % shards).as("shard"))
+        snakeDeal("r", shards).as("shard"))
+  }
+
+  /** The ONE boustrophedon deal: 0-based rank r goes to shard `r % k` on
+    * even passes and `k−1 − r % k` on odd ones. Shared by [[assignShards]]
+    * and [[assignShardsBanded]] so the spec-pinned bit-equality between the
+    * two is structural, not copy-discipline. Takes the rank as a SQL
+    * expression string because the pass parity needs integral `div` (the
+    * oracle's `//`; Column `/` is double division and goes lossy past
+    * 2^53). r ≥ 0, so truncating and flooring division agree. */
+  private def snakeDeal(rankSql: String, shards: Int): Column = {
+    val r = expr(rankSql)
+    when(expr(s"($rankSql) div $shards") % 2 === 0, r % shards)
+      .otherwise(lit(shards - 1) - r % shards)
   }
 
   /** [[assignShards]] through [[bandedRunning]] — the mega-source form:
@@ -866,11 +876,7 @@ object Curation {
       "source", Seq("__sk", "doc_id"), "__sk", lit(0L), "__zero", "__rk",
       bands)
     ranked.select(col("doc_id"), col("source"), col("n_tokens"),
-      {
-        val r = col("__rk") - 1L
-        when(expr(s"(__rk - 1) div $shards") % 2 === 0, r % shards)
-          .otherwise(lit(shards - 1) - r % shards).as("shard")
-      })
+      snakeDeal("__rk - 1", shards).as("shard"))
   }
 
   /** X85 — CCNet-style per-language quality buckets (Wenzek et al. 2020
