@@ -102,33 +102,74 @@ object Profiling {
     *    top candidates as unlabeled positives and the yield drops.
     *
     * Each plane is a one-row aggregate cross-joined (broadcast) onto the
-    * base card; the planes recompute self-contained here (the driver-query
-    * contract) — a deployment that has already materialized x93–x97 reads
-    * their outputs instead. Construction is EAGER (packNextFit's chain and
-    * hardNegatives' pool collect at build — their documented snapshot
-    * semantics); treat the card as single-shot over an immutable input. */
-  def datasetCard(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val budget = graft.corpus.Curation.PackBudget
-    val k = Similarity.DefaultTopK
-    val pack31 = graft.corpus.Curation.packEfficiencyReport(docs).agg(
+    * base card; this self-contained form recomputes the planes from the raw
+    * tables (the driver-query contract) by delegating to
+    * [[datasetCardFrom]] with freshly built plane frames — a deployment
+    * that has already materialized x93–x97 passes its persisted outputs to
+    * [[datasetCardFrom]] directly and pays only the bounded rollups (the
+    * `rm3TopKAgainst` persisted-artifact discipline). Construction is EAGER
+    * (packNextFit's chain and hardNegatives' pool collect at build — their
+    * documented snapshot semantics); treat the card as single-shot over an
+    * immutable input. */
+  def datasetCard(docs: DataFrame, emb: DataFrame): DataFrame =
+    datasetCardFrom(docs, emb,
+      graft.corpus.Curation.packEfficiencyReport(docs),
+      graft.corpus.Curation.packNextFit(docs),
+      Similarity.denseRecallEval(emb),
+      Similarity.hardNegatives(emb))
+
+  /** [[datasetCard]]'s persisted-plane form — build the extended card FROM
+    * already-materialized audit-plane outputs instead of recomputing them:
+    *
+    *  - `pack31Report` — [[Curation.packEfficiencyReport]]'s per-source
+    *    rows (the x95 audit over the x31 layout);
+    *  - `pack97Layout` — [[Curation.packNextFit]]'s per-document layout
+    *    rows (the x97 artifact a packer run writes anyway; the per-tail
+    *    padding rollup [[Curation.packEfficiencyOf]] runs here is a
+    *    layout-sized aggregate, not a re-pack);
+    *  - `recallReport` — [[Similarity.denseRecallEval]]'s per-query rows
+    *    (x94/x98);
+    *  - `negPool` — [[Similarity.hardNegatives]]' emitted rows (x93).
+    *
+    * `emb` is still taken for the ONE scalar not derivable from any plane
+    * output: the non-degenerate query count `n_q` (x93 emits only queries
+    * that yielded negatives, x94's universe keeps degenerate vectors — so
+    * neither frame can reconstruct it). That pass is `vec_id < numQueries`
+    * over a narrow projection — parquet min/max pruning territory, not a
+    * corpus pass. Everything else is a bounded rollup of the given frames
+    * plus the base card's single docs scan; at 100 TB the packing chain and
+    * the two embedding passes the self-contained form pays are NOT re-run.
+    * Spec-pinned bit-equal to the self-contained [[datasetCard]] through a
+    * parquet round-trip of every plane (`ProfilingSpec`). Plane/constant
+    * mismatches are on the caller: pass planes built with the same budget /
+    * k / numQueries you pass here. */
+  def datasetCardFrom(docs: DataFrame, emb: DataFrame,
+      pack31Report: DataFrame, pack97Layout: DataFrame,
+      recallReport: DataFrame, negPool: DataFrame,
+      budget: Int = graft.corpus.Curation.PackBudget,
+      k: Int = Similarity.DefaultTopK,
+      numQueries: Int = Similarity.DefaultTopKQueries): DataFrame = {
+    val pack31 = pack31Report.agg(
       (sum(col("n_split_docs")).cast("double") / sum(col("n_docs")))
         .as("pack_split_frac"))
-    val pack97 = graft.corpus.Curation.packEfficiencyOf(
-        graft.corpus.Curation.packNextFit(docs)).agg(
-      coalesce(sum(col("padding_tokens")).cast("double") /
+    val pack97 = graft.corpus.Curation.packEfficiencyOf(pack97Layout, budget)
+      .agg(coalesce(sum(col("padding_tokens")).cast("double") /
           (sum(col("n_seqs")) * lit(budget.toLong)), lit(0.0))
         .as("pack_padding_frac"))
-    val recall = Similarity.denseRecallEval(emb).agg(
+    val recall = recallReport.agg(
       (sum(col("hits")).cast("double") / (count(lit(1)) * lit(k)))
         .as("dense_recall_at_k"))
-    val negs = Similarity.hardNegatives(emb).agg(count(lit(1)).as("n_negs"))
+    val negs = negPool.agg(count(lit(1)).as("n_negs"))
     val nQ = Similarity.normalizedCorpus(emb)
-      .filter(col("e").isNotNull &&
-        col("vec_id") < Similarity.DefaultTopKQueries)
+      .filter(col("e").isNotNull && col("vec_id") < numQueries)
       .agg(count(lit(1)).as("n_q"))
+    // zero-guarded like pack_padding_frac: a corpus with no non-degenerate
+    // audit queries reports yield 0.0, never IEEE NaN/Infinity (which the
+    // DuckDB oracle's division need not reproduce)
     val yld = negs.crossJoin(broadcast(nQ)).select(
-      (col("n_negs").cast("double") / (col("n_q") * lit(k)))
-        .as("hardneg_yield"))
+      when(col("n_q") > 0,
+        col("n_negs").cast("double") / (col("n_q") * lit(k)))
+        .otherwise(lit(0.0)).as("hardneg_yield"))
     datasetCard(docs)
       .crossJoin(broadcast(pack31))
       .crossJoin(broadcast(pack97))

@@ -1321,8 +1321,9 @@ eneg AS (
   FROM ecand c JOIN epos p ON c.qid = p.qid
   WHERE c.rnk > 1 AND c.cos <= p.pos_cos - $margin),
 ey AS (
-  SELECT CAST((SELECT COUNT(*) FROM eneg WHERE nrank <= $k) AS DOUBLE)
-         / ((SELECT COUNT(*) FROM eq) * $k) AS hardneg_yield)
+  SELECT CASE WHEN (SELECT COUNT(*) FROM eq) > 0
+    THEN CAST((SELECT COUNT(*) FROM eneg WHERE nrank <= $k) AS DOUBLE)
+         / ((SELECT COUNT(*) FROM eq) * $k) ELSE 0.0 END AS hardneg_yield)
 SELECT card.*, mq.mean_quality, pk31.pack_split_frac,
        pk97.pack_padding_frac, erec.dense_recall_at_k, ey.hardneg_yield
 FROM card CROSS JOIN mq CROSS JOIN pk31 CROSS JOIN pk97
