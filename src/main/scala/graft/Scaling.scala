@@ -209,9 +209,12 @@ object Scaling {
     val buildTables = sys.env.get("SPARK_GRAFT_SCALING_TABLES")
       .map(_.split(",").map(_.trim).toSet)
     def wantBuild(t: String): Boolean = buildTables.forall(_.contains(t))
+    // a skipped plane whose x1 replica is ABSENT records -1, and its ops are
+    // skipped loudly below — the old getOrElse(1L) silently seeded a wrong
+    // base count, corrupting every expected-row ratio of ops on that plane
     def x1Count(t: String): Long =
       scala.util.Try(spark.read.parquet(s"$workDir/x1/$t.parquet").count())
-        .getOrElse(1L)
+        .getOrElse(-1L)
 
     // doc_id range per replica must be disjoint AND preserve the fixture
     // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even
@@ -494,6 +497,15 @@ object Scaling {
           rd(d, "docskew"))),
       ("docskew", "x97_pack_skew",
         (d, _) => graft.corpus.Curation.packNextFit(rd(d, "docskew"))),
+      // x79 shard deal under the same 90%-one-source skew: the default's
+      // cardinality probe must flip it to the banded rank past the
+      // crossover instead of serializing the mega-source through one
+      // window task; the referee cell pins the window form it replaced
+      ("docskew", "x79_shard_skew",
+        (d, _) => graft.corpus.Curation.assignShards(rd(d, "docskew"))),
+      ("docskew", "x79_shard_skew_window",
+        (d, _) => graft.corpus.Curation.assignShards(rd(d, "docskew"),
+          windowCrossover = Long.MaxValue)),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)
@@ -517,8 +529,13 @@ object Scaling {
     // wall-clock and perturbs nothing it re-measures
     val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // planes skipped at build time with no existing x1 replica have no
+    // trustworthy base count — drop their ops loudly, never guess
+    baseCounts.collect { case (t, n) if n < 0 => t }.toSeq.sorted.foreach(t =>
+      System.err.println(s"SKIP plane '$t': no x1 replica under $workDir/x1 " +
+        "(add it to SPARK_GRAFT_SCALING_TABLES or build the full ladder)"))
     val cells = for (m <- scales; (table, name, fn) <- ops
-        if only.forall(_.contains(name))) yield {
+        if only.forall(_.contains(name)) && baseCounts(table) >= 0) yield {
       val dir = s"$workDir/x$m"
       val n = m * baseCounts(table)
       val bound = () => fn(dir, n)

@@ -221,44 +221,44 @@ object StreamBench {
       val cents = graft.corpus.Quantization.centroidSeeds(emb)
       val cbs = graft.corpus.Quantization.sliceCodebooks(emb)
       val idxDir = java.nio.file.Files
-      .createTempDirectory("streambench_idx").toString
+        .createTempDirectory("streambench_idx").toString
       graft.corpus.Quantization.writeIvfPqIndex(
-      graft.corpus.Quantization.ivfPqIndex(emb, cbs, cents), idxDir)
+        graft.corpus.Quantization.ivfPqIndex(emb, cbs, cents), idxDir)
       val index = session.read.parquet(idxDir)
       // query batches: corpus vectors re-keyed into a disjoint id range (no
       // self-exclusion interplay), nKnnTriggers triggers of nKnnQ queries
       val qRows: Seq[(Long, Seq[Float])] = emb
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(nKnnQ * (nKnnTriggers + 1))
-      .collect()
-      .map(r => (1000000000L + r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(nKnnQ * (nKnnTriggers + 1))
+        .collect()
+        .map(r => (1000000000L + r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
       implicit val qEnc: org.apache.spark.sql.Encoder[(Long, Seq[Float])] =
-      org.apache.spark.sql.Encoders.product[(Long, Seq[Float])]
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Float])]
       def knnRun(gen: graft.streaming.StreamOps.StreamCandidates): Double = {
-      val qs = MemoryStream[(Long, Seq[Float])]
-      val out = graft.streaming.StreamOps.topKNeighbors(
-        qs.toDF().toDF("vec_id", "embedding"), emb, 5, gen)
-      val sink = s"knn_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("streambench_knn").toString)
-        .start()
-      try {
-        qs.addData(qRows.take(nKnnQ): _*) // warm trigger, off the clock
-        q.processAllAvailable()
-        val t = System.nanoTime()
-        (1 to nKnnTriggers).foreach { c =>
-          qs.addData(qRows.slice(c * nKnnQ, (c + 1) * nKnnQ): _*)
+        val qs = MemoryStream[(Long, Seq[Float])]
+        val out = graft.streaming.StreamOps.topKNeighbors(
+          qs.toDF().toDF("vec_id", "embedding"), emb, 5, gen)
+        val sink = s"knn_${System.nanoTime}"
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("streambench_knn").toString)
+          .start()
+        try {
+          qs.addData(qRows.take(nKnnQ): _*) // warm trigger, off the clock
           q.processAllAvailable()
-        }
-        val sec = (System.nanoTime() - t) / 1e9 / nKnnTriggers
-        val live = session.table(sink).count()
-        require(live == nKnnQ.toLong * (nKnnTriggers + 1),
-          s"knn state mismatch: $live live queries != ${nKnnQ * (nKnnTriggers + 1)}")
-        sec
-      } finally q.stop()
-    }
+          val t = System.nanoTime()
+          (1 to nKnnTriggers).foreach { c =>
+            qs.addData(qRows.slice(c * nKnnQ, (c + 1) * nKnnQ): _*)
+            q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t) / 1e9 / nKnnTriggers
+          val live = session.table(sink).count()
+          require(live == nKnnQ.toLong * (nKnnTriggers + 1),
+            s"knn state mismatch: $live live queries != ${nKnnQ * (nKnnTriggers + 1)}")
+          sec
+        } finally q.stop()
+      }
       (knnRun(graft.streaming.StreamOps.exactStreamCandidates),
         knnRun(graft.streaming.StreamOps.ivfStreamCandidates(cents)),
         knnRun(graft.streaming.StreamOps.ivfIndexStreamCandidates(
