@@ -803,6 +803,13 @@ object Curation {
     * x79 oracle generator so the two cannot drift. */
   val ShardCount: Int = 8
 
+  /** Rows-per-source above which [[assignShards]] dispatches to
+    * [[assignShardsBanded]] — the r16 skew-ladder crossover (SCALING.md
+    * round 16: the one-window form wins below ~5 M rows/source on its zero
+    * fixed cost, loses linearly past it as the mega-source serializes
+    * through one task). */
+  val WindowCrossoverRows: Long = 5000000L
+
   /** X79 — balanced output-shard assignment: route every document to one of
     * `shards` output shards so per-shard token totals come out even — the
     * shard-writer step at the end of every curation run. Unbalanced shards
@@ -827,20 +834,40 @@ object Curation {
     * NULL, ranked last by both engines' NULLS LAST descending order): an
     * output-stage op must never silently drop a row.
     *
-    * Scale shape: ONE shuffle — the per-source rank window, the exact
-    * [[packSequences]] shape (skew bounded by the largest domain; for a
-    * single dominant source, sub-key the window by a doc_id block and the
-    * snake still balances each block). Pure integer arithmetic downstream of
-    * the window — the DuckDB oracle matches bit for bit. */
-  def assignShards(docs: DataFrame, shards: Int = ShardCount): DataFrame = {
+    * Scale shape: SKEW-DISPATCHED. The rank is a per-source window — one
+    * shuffle, the [[packSequences]] shape — whose straggler is the largest
+    * domain: below the measured crossover (~5 M rows/source, the r16 skew
+    * ladder, SCALING.md round 16) one in-memory window task beats the
+    * banded two-phase's ~0.4 s fixed cost, past it the window's serial
+    * share grows linearly while [[assignShardsBanded]] stays core-bound
+    * (hours vs minutes on a 100 TB mega-crawl-host). So the default PROBES
+    * before planning: one bounded source-cardinality aggregate (a narrow
+    * one-column count, map-side partial) picks the window form only when
+    * every source sits under `windowCrossover`, else the bit-equal banded
+    * twin ([[BandedPrefixSpec]] pins value-identity, so the dispatch can
+    * never change a result). The probe makes construction EAGER — the
+    * banded twin's existing contract, now shared by the default so a
+    * mega-source caller cannot accidentally serialize; callers that must
+    * stay lazy on a KNOWN-bounded corpus pass `windowCrossover =
+    * Long.MaxValue`, and mega-source callers that want to skip the probe
+    * call [[assignShardsBanded]] directly. Pure integer arithmetic
+    * downstream of the rank — the DuckDB oracle matches bit for bit. */
+  def assignShards(docs: DataFrame, shards: Int = ShardCount,
+      windowCrossover: Long = WindowCrossoverRows): DataFrame = {
     require(shards > 0, "shard count must be positive")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("r", row_number().over(w).cast("long") - 1L)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        snakeDeal("r", shards).as("shard"))
+    val maxPerSource = Option(docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxPerSource > windowCrossover) assignShardsBanded(docs, shards)
+    else {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("r", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          snakeDeal("r", shards).as("shard"))
+    }
   }
 
   /** The ONE boustrophedon deal: 0-based rank r goes to shard `r % k` on
@@ -856,12 +883,11 @@ object Curation {
       .otherwise(lit(shards - 1) - r % shards)
   }
 
-  /** [[assignShards]] through [[bandedRunning]] — the mega-source form:
-    * the default's per-source rank window serializes each domain through
-    * one task (accepted at bench scale with the output-layout defense and
-    * the block-subkey note in [[assignShards]]'s doc); this computes the
-    * IDENTICAL deal with the two-phase banded rank (spec-pinned bit-equal
-    * on 90%-one-source skew). The descending (n_tokens, doc_id) order maps
+  /** [[assignShards]] through [[bandedRunning]] — the mega-source form
+    * the default DISPATCHES to past [[WindowCrossoverRows]] rows/source
+    * (call it directly to skip the default's cardinality probe when the
+    * skew is known): this computes the IDENTICAL deal with the two-phase
+    * banded rank (spec-pinned bit-equal on 90%-one-source skew). The descending (n_tokens, doc_id) order maps
     * to an ascending band key: −n_tokens with NULL → Long.MaxValue (both
     * engines rank NULL lengths last under DESC). Eager-snapshot like every
     * bandedRunning caller (two bounded collects at construction). */

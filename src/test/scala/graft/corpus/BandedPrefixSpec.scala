@@ -71,6 +71,21 @@ class BandedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("assignShards skew-dispatches: past the crossover the default takes " +
+      "the banded rank (no per-source window task), below it the window — " +
+      "same deal either way") {
+    val d = skewed(300, 29L)
+    val below = Curation.assignShards(d) // 270 rows/source < any crossover
+    val above = Curation.assignShards(d, windowCrossover = 100L)
+    rows(above) shouldBe rows(below)
+    // the dispatched plan really is the banded one: no window exchange on
+    // the source key (bandedRunning shuffles on the band key instead)
+    below.queryExecution.executedPlan.toString should
+      include("Exchange hashpartitioning(source")
+    above.queryExecution.executedPlan.toString should
+      not include "Exchange hashpartitioning(source"
+  }
+
   test("bandedRunning: global row numbers and running sums match the " +
       "window form with NULL values, NULL parts, and 2 bands") {
     val s = spark
