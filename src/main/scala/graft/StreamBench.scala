@@ -217,8 +217,16 @@ object StreamBench {
     val corpusN = if (haveEmb) emb.count() else -1L
     val nKnnQ = 20
     val nKnnTriggers = 3
+    // the IVF cells run the RESTRICTED regime (nprobe < |centroids|) —
+    // full probe would equal the exact row's work and price nothing
+    val knnNprobe = graft.corpus.Similarity.DefaultIvfNprobe
+    var knnCentroids = -1
     def knnCells(): (Double, Double, Double) = {
       val cents = graft.corpus.Quantization.centroidSeeds(emb)
+      knnCentroids = cents.size
+      require(knnNprobe < cents.size,
+        s"kNN cells must measure a real restriction: nprobe=$knnNprobe" +
+          s" >= ${cents.size} centroids")
       val cbs = graft.corpus.Quantization.sliceCodebooks(emb)
       val idxDir = java.nio.file.Files
         .createTempDirectory("streambench_idx").toString
@@ -275,6 +283,7 @@ object StreamBench {
       s""""bulk_sec":${s2(bulkSec)},"chunked_sec":${s2(chunkSec)},""" +
       s""""chunked_rps":${rps(chunkSec)},"bulk_rps":${rps(bulkSec)},""" +
       s""""knn_corpus":$corpusN,"knn_queries_per_trigger":$nKnnQ,""" +
+      s""""knn_nprobe":$knnNprobe,"knn_centroids":$knnCentroids,""" +
       s""""knn_exact_sec":${s2(knnExactSec)},""" +
       s""""knn_ivf_sec":${s2(knnIvfSec)},""" +
       s""""knn_index_sec":${s2(knnIndexSec)}}"""

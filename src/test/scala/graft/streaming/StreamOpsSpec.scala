@@ -167,6 +167,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming IVF generators propose the SAME pool as the batch " +
+      "ivfDenseCandidates at every nprobe on frozen centroids (x94's " +
+      "membership discipline, stream side)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(79L)
+    val corpus = (100L until 140L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+      .toDF("vec_id", "embedding")
+    val base = graft.corpus.Similarity.normalizedCorpus(corpus)
+    val cents = base.filter(col("vec_id") < 108)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // query ids disjoint from the corpus range, so self-exclusion never
+    // fires on either side and the comparison is pure pool membership
+    val queries = (0L until 5L).map(i =>
+      i -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+      .toDF("vec_id", "embedding")
+    val qStream = graft.corpus.Similarity.normalizedCorpus(queries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val qBatch = qStream.select(col("qid").as("query_id"),
+      col("qe"))
+    // persisted cid-partitioned cell membership for the index generator
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("streamops_member").toString
+    base.withColumn("__bm",
+        graft.functions.VectorOps.bestMatch(col("e"), cents))
+      .select(col("vec_id"), (-col("__bm").getField("nid")).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    def pool(df: org.apache.spark.sql.DataFrame, q: String, d: String) =
+      df.select(col(q), col(d)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (np <- Seq(1, 2, 4, cents.size)) withClue(s"nprobe=$np: ") {
+      // batch referee at an uncut kCand: proposals ARE the probed cells
+      val want = pool(graft.corpus.Retrieval.ivfDenseCandidates(
+          nprobe = np, centroids = Some(cents))(base, qBatch, 40),
+        "query_id", "doc_id")
+      // the generators are restriction-only stateless transforms, so the
+      // same code path that runs per trigger runs on the static frames
+      pool(StreamOps.ivfStreamCandidates(cents, np)(base, qStream),
+        "qid", "vec_id") shouldBe want
+      pool(StreamOps.ivfIndexStreamCandidates(index, cents, np)(
+        base, qStream), "qid", "vec_id") shouldBe want
+    }
+  }
+
   test("hourly windows emit once, finalized, when the watermark passes their end") {
     val s = spark
     import s.implicits._
