@@ -334,12 +334,14 @@ object RealCodec extends MediaCodec {
     *    to the parent's end (the streaming-Segment convention); a vint
     *    overrunning the buffer fails loudly.
     *
-    * Returns (format, width, height, durationMs, codec); fields a header
-    * genuinely lacks report −1 / null — absent metadata is data, not an
-    * error (tolerated so a metadata-only `moov` fragment still reports its
-    * duration), but a STRUCTURALLY malformed header always fails loudly.
-    * Every other magic fails loudly: still images and WAV carry their
-    * metadata through [[decode]]. */
+    * AVI, FLAC, MP3, OGG (Vorbis/Opus), WebP ([[probeWebp]]), and ICO
+    * ([[probeIco]]) take their own walks below. Returns (format, width,
+    * height, durationMs, codec); fields a header genuinely lacks report
+    * −1 / null — absent metadata is data, not an error (tolerated so a
+    * metadata-only `moov` fragment still reports its duration), but a
+    * STRUCTURALLY malformed header always fails loudly. Every other magic
+    * fails loudly: still images and WAV carry their metadata through
+    * [[decode]]. */
   def probeMeta(blob: Array[Byte]): ProbedMeta = {
     if (blob.length >= 12 &&
         blob.slice(4, 8).sameElements("ftyp".getBytes("US-ASCII")))
@@ -351,19 +353,125 @@ object RealCodec extends MediaCodec {
     else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
         blob.slice(8, 12).sameElements("AVI ".getBytes))
       probeAvi(blob)
+    else if (blob.length >= 12 && blob.take(4).sameElements("RIFF".getBytes) &&
+        blob.slice(8, 12).sameElements("WEBP".getBytes))
+      probeWebp(blob)
     else if (blob.length >= 4 && blob.take(4).sameElements("fLaC".getBytes))
       probeFlac(blob)
     else if (blob.length >= 4 && blob.take(4).sameElements("OggS".getBytes))
       probeOgg(blob)
+    else if (blob.length >= 6 && blob(0) == 0 && blob(1) == 0 &&
+        blob(2) == 1 && blob(3) == 0)
+      probeIco(blob)
     else if (isMp3(blob))
       probeMp3(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
-        s"RealCodec.probeMeta: not an MP4/MKV/AVI/FLAC/MP3/OGG container" +
-          s" (magic 0x$magic) — still images and WAV carry their metadata" +
-          " through decode()")
+        s"RealCodec.probeMeta: not an MP4/MKV/AVI/WEBP/FLAC/MP3/OGG/ICO" +
+          s" container (magic 0x$magic) — still images and WAV carry their" +
+          " metadata through decode()")
     }
+  }
+
+  /** WebP header probe (RIFF `WEBP` — ubiquitous in modern crawls): the
+    * first chunk names the flavor, its payload carries the dimensions —
+    * no entropy decode, the same bare-JVM surface as [[probeMp4]]:
+    *
+    *  - `VP8 ` (lossy): a key-frame tag (bit 0 = 0) whose start code
+    *    `9D 01 2A` precedes 14-bit LE width/height;
+    *  - `VP8L` (lossless): signature byte `2F`, then width−1 / height−1
+    *    as consecutive 14-bit fields of one 32-bit LE word, whose 3-bit
+    *    version field must be 0;
+    *  - `VP8X` (extended): 24-bit LE canvas width−1 / height−1 after the
+    *    4 feature-flag bytes (animation/alpha/EXIF ride as flags — the
+    *    canvas IS the presentation size).
+    *
+    * Duration is −1 (a still image; animated WebP's per-frame delays live
+    * in ANMF chunks pixel decoding would walk — absent metadata, not an
+    * error). Pixel decode stays on [[decode]]'s loud-fail path: VP8
+    * entropy decoding is native-codec territory. A truncated chunk, a
+    * missing start code / signature, or an unknown first fourcc fails
+    * loudly. */
+  private def probeWebp(b: Array[Byte]): ProbedMeta = {
+    def u16le(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u24le(off: Int): Int = u16le(off) | ((b(off + 2) & 0xff) << 16)
+    def u32le(off: Int): Long =
+      (u16le(off) & 0xffffL) | ((u16le(off + 2) & 0xffffL) << 16)
+    if (b.length < 20) fail("WEBP: truncated RIFF header")
+    val fourcc = new String(b, 12, 4, "US-ASCII")
+    val len = u32le(16)
+    if (20 + len > b.length)
+      fail(s"WEBP: '$fourcc' chunk overruns the buffer ($len bytes)")
+    fourcc match {
+      case "VP8 " =>
+        if (len < 10) fail("WEBP: VP8 payload too short for a frame header")
+        if ((b(20) & 0x01) != 0)
+          fail("WEBP: first VP8 frame is not a key frame")
+        if (!((b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+            (b(25) & 0xff) == 0x2a))
+          fail("WEBP: VP8 key frame start code missing")
+        ProbedMeta("webp", u16le(26) & 0x3fff, u16le(28) & 0x3fff,
+          -1L, "vp8")
+      case "VP8L" =>
+        if (len < 5) fail("WEBP: VP8L payload too short for a header")
+        if ((b(20) & 0xff) != 0x2f)
+          fail(f"WEBP: VP8L signature byte 0x${b(20) & 0xff}%02x != 0x2f")
+        val bits = u32le(21)
+        if (((bits >> 29) & 0x7L) != 0)
+          fail(s"WEBP: VP8L version ${(bits >> 29) & 0x7L} != 0")
+        ProbedMeta("webp", ((bits & 0x3fffL) + 1).toInt,
+          (((bits >> 14) & 0x3fffL) + 1).toInt, -1L, "vp8l")
+      case "VP8X" =>
+        if (len < 10) fail("WEBP: VP8X payload too short for a header")
+        ProbedMeta("webp", u24le(24) + 1, u24le(27) + 1, -1L, "vp8x")
+      case other =>
+        fail(s"WEBP: unknown first chunk fourcc '$other' — VP8 /VP8L/VP8X" +
+          " headers parse on a bare JVM")
+    }
+  }
+
+  /** ICO directory probe (reserved=0, type=1): report the LARGEST entry's
+    * dimensions (the icon a renderer presents; a 0 width/height byte means
+    * 256, the format's one quirk) and name the codec from that entry's
+    * payload magic — `png` or `dib` (the uncompressed BITMAPINFOHEADER
+    * case). Every directory entry's payload must lie inside the buffer —
+    * a lying offset/size fails loudly. (CUR files — type=2, hotspot fields
+    * repurposing the planes/bpp slots — never dispatch here: the magic
+    * check upstream requires type=1, so they take the generic loud-fail.) */
+  private def probeIco(b: Array[Byte]): ProbedMeta = {
+    def u16le(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32le(off: Int): Long =
+      (u16le(off) & 0xffffL) | ((u16le(off + 2) & 0xffffL) << 16)
+    val count = u16le(4)
+    if (count < 1) fail("ICO: empty icon directory")
+    if (6 + 16 * count > b.length)
+      fail(s"ICO: directory of $count entries overruns the buffer")
+    var best = -1; var bestW = -1; var bestH = -1
+    var i = 0
+    while (i < count) {
+      val e = 6 + 16 * i
+      val w = if ((b(e) & 0xff) == 0) 256 else b(e) & 0xff
+      val h = if ((b(e + 1) & 0xff) == 0) 256 else b(e + 1) & 0xff
+      val size = u32le(e + 8); val off = u32le(e + 12)
+      if (off < 6 + 16L * count || off + size > b.length)
+        fail(s"ICO: entry $i payload (offset $off, $size bytes) overruns" +
+          " the buffer")
+      if (w * h > bestW * bestH || best < 0) {
+        best = e; bestW = w; bestH = h
+      }
+      i += 1
+    }
+    val off = u32le(best + 12).toInt
+    val codec =
+      if (off + 8 <= b.length && (b(off) & 0xff) == 0x89 &&
+          b(off + 1) == 'P' && b(off + 2) == 'N' && b(off + 3) == 'G')
+        "png"
+      else if (off + 4 <= b.length && u32le(off) == 40L) // BITMAPINFOHEADER
+        "dib"
+      else fail(s"ICO: entry payload at $off is neither PNG nor a" +
+        " BITMAPINFOHEADER DIB")
+    ProbedMeta("ico", bestW, bestH, -1L, codec)
   }
 
   /** OGG page walk (Vorbis/Opus — the last mainstream scraped-audio

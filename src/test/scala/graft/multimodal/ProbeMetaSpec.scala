@@ -264,4 +264,99 @@ class ProbeMetaSpec extends AnyFunSuite with Matchers {
     val v2 = Array(0xff, 0xf3, 0x90, 0x00).map(_.toByte)
     an[IllegalArgumentException] should be thrownBy RealCodec.probeMeta(v2)
   }
+
+  // ---- WebP fixture builder -------------------------------------------
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def le24(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def webp(fourcc: String, payload: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(payload.length + 12L) ++ "WEBP".getBytes ++
+      fourcc.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+
+  test("WEBP: VP8 key frame gives 14-bit dims; VP8L packs dims-1 in one " +
+      "LE word; VP8X reports the 24-bit canvas") {
+    // VP8: 3-byte frame tag (keyframe bit 0 = 0), start code, w, h
+    val vp8 = webp("VP8 ", Array[Byte](0x30, 0, 0) ++
+      Array(0x9d, 0x01, 0x2a).map(_.toByte) ++ le16(640) ++ le16(360))
+    val m = RealCodec.probeMeta(vp8)
+    (m.format, m.width, m.height, m.durationMs, m.codec) shouldBe
+      (("webp", 640, 360, -1L, "vp8"))
+    // VP8L: 0x2f, then (w-1) | (h-1)<<14 | alpha<<28 | version<<29
+    val bits = (511L - 1) | ((256L - 1) << 14) | (1L << 28)
+    val vp8l = webp("VP8L", Array[Byte](0x2f) ++ le32(bits))
+    val l = RealCodec.probeMeta(vp8l)
+    (l.format, l.width, l.height, l.codec) shouldBe (("webp", 511, 256, "vp8l"))
+    // VP8X: 4 flag/reserved bytes, then canvas w-1 / h-1 as 24-bit LE
+    val vp8x = webp("VP8X", Array[Byte](0x10, 0, 0, 0) ++
+      le24(1920 - 1) ++ le24(1080 - 1))
+    val x = RealCodec.probeMeta(vp8x)
+    (x.format, x.width, x.height, x.codec) shouldBe (("webp", 1920, 1080, "vp8x"))
+  }
+
+  test("WEBP: structural lies fail loudly — missing start code, bad VP8L " +
+      "signature/version, unknown first chunk, overrunning chunk") {
+    val noStart = webp("VP8 ", Array[Byte](0x30, 0, 0, 0x11, 0x22, 0x33) ++
+      le16(10) ++ le16(10))
+    intercept[IllegalArgumentException](RealCodec.probeMeta(noStart))
+      .getMessage should include("start code")
+    val badSig = webp("VP8L", Array[Byte](0x30) ++ le32(0L))
+    intercept[IllegalArgumentException](RealCodec.probeMeta(badSig))
+      .getMessage should include("signature")
+    val badVer = webp("VP8L", Array[Byte](0x2f) ++ le32(5L << 29))
+    intercept[IllegalArgumentException](RealCodec.probeMeta(badVer))
+      .getMessage should include("version")
+    val anim = webp("ANIM", new Array[Byte](6))
+    intercept[IllegalArgumentException](RealCodec.probeMeta(anim))
+      .getMessage should include("ANIM")
+    val short = webp("VP8 ", Array[Byte](0x30, 0, 0) ++
+      Array(0x9d, 0x01, 0x2a).map(_.toByte) ++ le16(10) ++ le16(10))
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(short.take(short.length - 2)) // chunk overrun
+  }
+
+  // ---- ICO fixture builder --------------------------------------------
+
+  private def ico(entries: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val dirLen = 6 + 16 * entries.length
+    var off = dirLen
+    val dir = entries.flatMap { case (w, h, payload) =>
+      val e = Array[Byte](
+        (if (w == 256) 0 else w).toByte, (if (h == 256) 0 else h).toByte,
+        0, 0, 1, 0, 32, 0) ++ le32(payload.length.toLong) ++ le32(off.toLong)
+      off += payload.length
+      e
+    }
+    Array[Byte](0, 0, 1, 0) ++ le16(entries.length) ++ dir ++
+      entries.flatMap(_._3)
+  }
+
+  test("ICO: the largest entry wins (0 byte = 256), codec from the " +
+      "payload magic; lying offsets and empty dirs fail loudly") {
+    val pngPayload = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ new Array[Byte](8)
+    val dibPayload = le32(40L) ++ new Array[Byte](36) // BITMAPINFOHEADER
+    val m = RealCodec.probeMeta(ico(Seq((16, 16, dibPayload),
+      (256, 256, pngPayload), (48, 48, dibPayload))))
+    (m.format, m.width, m.height, m.durationMs, m.codec) shouldBe
+      (("ico", 256, 256, -1L, "png"))
+    val d = RealCodec.probeMeta(ico(Seq((32, 32, dibPayload))))
+    (d.width, d.height, d.codec) shouldBe ((32, 32, "dib"))
+    // empty directory
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(Array[Byte](0, 0, 1, 0, 0, 0))
+    // entry payload overruns the buffer
+    val lying = ico(Seq((16, 16, dibPayload))).dropRight(4)
+    an[IllegalArgumentException] should be thrownBy RealCodec.probeMeta(lying)
+    // neither PNG nor DIB payload
+    an[IllegalArgumentException] should be thrownBy
+      RealCodec.probeMeta(ico(Seq((16, 16, new Array[Byte](16)))))
+    // a CUR (type=2) never dispatches to the ICO walk: generic loud-fail
+    val cur = Array[Byte](0, 0, 2, 0, 1, 0) ++ new Array[Byte](16)
+    an[UnsupportedOperationException] should be thrownBy
+      RealCodec.probeMeta(cur)
+  }
 }
