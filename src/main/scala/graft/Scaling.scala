@@ -506,6 +506,14 @@ object Scaling {
       ("docskew", "x79_shard_skew_window",
         (d, _) => graft.corpus.Curation.assignShards(rd(d, "docskew"),
           windowCrossover = Long.MaxValue)),
+      ("docskew", "x79_shard_skew_banded",
+        (d, _) => graft.corpus.Curation.assignShardsBanded(rd(d, "docskew"))),
+      // x99 exact-substring spans: the x37 gram-df shuffles + a per-doc
+      // islands merge over duplicated positions only — replica families
+      // are vocabulary-disjoint, so true spans grow exactly m× and the
+      // cell isolates the gram-keyed shuffle term
+      ("documents", "x99_exact_substr",
+        (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)

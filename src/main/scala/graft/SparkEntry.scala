@@ -149,6 +149,7 @@ object SparkEntry {
     "x96_topk_agg" -> (C.x96TopkAgg _),
     "x97_pack_nextfit" -> (C.x97PackNextFit _),
     "x98_adc_recall" -> (C.x98AdcRecall _),
+    "x99_exact_substr_spans" -> (C.x99ExactSubstrSpans _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -517,7 +517,24 @@ object Retrieval {
     * from the corpus the fusion runs against ([[Quantization.sliceCodebooks]],
     * [[Quantization.centroidSeeds]], [[Quantization.ivfPqIndex]] or its
     * persisted twin); the generator ignores its corpus argument — the index
-    * IS the corpus, which is the point. */
+    * IS the corpus, which is the point.
+    *
+    * SIZING RULE — pick this tier by MEASUREMENT, never by name (the r16
+    * `graft.RecallSweep` verdict, SCALING.md "the audit that said NO"): a
+    * PQ code ranks with m·log₂(ksub) bits, and whether that supports your
+    * top-k depends on how much neighbor structure survives the dim/m-dim
+    * subspace quantization. On the structure-less 64-dim fixture (8
+    * subspaces × 16 codewords = 32 bits), ADC's direct top-5 recall was
+    * 0.17–0.20 at EVERY nprobe and k-means training bought ~0.04, while
+    * the shortlist-survival rate consumers actually need FELL from 0.64
+    * to 0.49 as the probe widened (misscored impostors displace true
+    * neighbors) — the right generator there was [[ivfDenseCandidates]]
+    * (0.85–1.0, monotone in nprobe). Real embeddings on low-dim manifolds
+    * quantize far better — so run [[Similarity.denseRecallEval]] (or the
+    * `graft.RecallSweep` sweep) on an audit slice FIRST, and adopt this
+    * tier only when the measured shortlist survival clears your recall
+    * bar; when codes-only scanning is mandatory anyway, keep nprobe small
+    * and the shortlist (kCand) deep. */
   def ivfAdcDenseCandidates(index: DataFrame,
       cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
       nprobe: Int = Similarity.DefaultIvfNprobe): DenseCandidates =

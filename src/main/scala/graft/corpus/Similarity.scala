@@ -414,7 +414,8 @@ object Similarity {
     * default streams the labeled corpus through ONE narrow broadcast-
     * queries pass into the per-query top-k window; at larger N swap
     * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full probe)
-    * or [[Retrieval.ivfAdcDenseCandidates]] without touching the vote
+    * or — after its sizing rule's measured recall gate —
+    * [[Retrieval.ivfAdcDenseCandidates]], without touching the vote
     * contract. The label fetch and vote aggregate read only the
     * (query × k)-bounded candidate ids. Degenerate (zero-norm/NULL) vectors
     * are dropped on BOTH sides (they have no meaningful neighbors and must
@@ -479,7 +480,8 @@ object Similarity {
     * an approximate generator changes only WHICH candidates enter the pool,
     * never how they are relevance-scored or greedily selected). Swap
     * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full probe)
-    * or [[Retrieval.ivfAdcDenseCandidates]] at larger N. The pool
+    * or, where the [[Retrieval.ivfAdcDenseCandidates]] sizing rule's
+    * measured recall gate clears, that codes-only tier at larger N. The pool
     * (queries × kCand rows, with unit vectors) and its pairwise-similarity
     * table are BOUNDED driver artifacts (the x87 weight-sheet discipline —
     * and a LAZY greedy chain would embed its own previous round three times
@@ -602,9 +604,12 @@ object Similarity {
     * behind the [[Retrieval.DenseCandidates]] SPI (x71's lesson) — the
     * exact default is one narrow broadcast-queries scan; swap
     * [[Retrieval.ivfDenseCandidates]] (spec-pinned bit-equal at full
-    * probe) or [[Retrieval.ivfAdcDenseCandidates]] at larger N (an
-    * approximate generator changes only pool MEMBERSHIP: relevance is
-    * re-scored exactly on the fetched unit vectors, x89's discipline).
+    * probe) or, where the [[Retrieval.ivfAdcDenseCandidates]] sizing
+    * rule's measured recall gate clears, that codes-only tier at larger N
+    * (an approximate generator changes only pool MEMBERSHIP: relevance is
+    * re-scored exactly on the fetched unit vectors, x89's discipline —
+    * but measure the SHORTLIST SURVIVAL first: on the r16 sweep corpus it
+    * fell 0.64→0.49 as nprobe widened, see the sizing rule).
     * Everything downstream — vector fetch, re-rank, the positive row, the
     * margin filter — reads the (queries × kCand)-bounded candidate set via
     * broadcast joins; the ranked pool localCheckpoints ONCE at
@@ -632,7 +637,8 @@ object Similarity {
     * as `queries`, so its self-exclusion falls out of exactly this rule);
     * disjoint-id deployments lose nothing to it. Pair with
     * [[Retrieval.ivfAdcDenseCandidates]] over a persisted
-    * [[Quantization.ivfPqIndex]] and the corpus-scale work per batch drops
+    * [[Quantization.ivfPqIndex]] — once its sizing rule's measured recall
+    * gate clears — and the corpus-scale work per batch drops
     * to the probed-cell code scan plus ONE bounded-id vector fetch
     * (relevance is still re-scored exactly on fetched unit vectors —
     * an approximate generator changes only pool membership, never a

@@ -711,6 +711,81 @@ object TextDedup {
         round(col("n_dup_positions").cast("double") / col("n_positions"), 6))
   }
 
+  /** Minimum span length (tokens) for [[duplicatedSpans]]' driver query —
+    * Lee et al. 2022's ExactSubstr threshold (50 tokens), shared with the
+    * x99 oracle generator so the two cannot drift. */
+  val ExactSubstrMinTokens: Int = 50
+
+  /** X99 — exact-substring duplicate SPANS at ExactSubstr length (Lee et
+    * al. 2022 §4.1: report/remove verbatim duplicated substrings of ≥ 50
+    * tokens, the published dedup tier above window-level x37/x83): per
+    * document, every MAXIMAL run of consecutive duplicated window
+    * positions whose covered span reaches `minTokens`, as
+    * (doc_id, start_pos, n_span_tokens, span_text). A window position is
+    * duplicated exactly as in [[crossDocSpans]]: its `spanTokens`-token
+    * window occurs in ≥ 2 distinct documents (intra-document repetition
+    * does not count). Adjacent duplicated positions chain: a run of
+    * window STARTS [a..b] covers tokens [a .. b+spanTokens−1], so span
+    * length = b − a + spanTokens.
+    *
+    * Relation to the suffix-array formulation (the paper builds one):
+    * chained fixed windows are the keyed-linear equivalent with one
+    * one-sided error. NO FALSE NEGATIVES — a true verbatim span of ≥
+    * `minTokens` tokens shared by two documents has every one of its
+    * windows duplicated, so a maximal detected run COVERS it (both
+    * copies). The approximation is a possible OVER-extension: consecutive
+    * windows may be duplicated against DIFFERENT partner documents, so a
+    * reported span need not occur verbatim in any single other document —
+    * chains splice at shared `spanTokens−1`-token seams exactly like
+    * x83's coverage semantics (documented there; same trade, same
+    * defense: at dedup time over-removal of boilerplate seams is the
+    * conservative direction). Tightening `spanTokens` toward `minTokens`
+    * shrinks the splice surface at shuffle-width cost.
+    *
+    * Scale shape (the reason this is NOT a distributed suffix array): the
+    * gram-df stage is [[crossDocSpans]]' two linear gram-keyed shuffles —
+    * nothing pairwise, skew bounded by the most-viral gram; the run-merge
+    * is one per-document window over DUPLICATED positions only (bounded
+    * by document length — a per-doc key can never concentrate a corpus);
+    * the span-text fetch joins the bounded run table back to the token
+    * arrays on doc_id. `hashGrams = true` is the x37 shuffle-width
+    * switch; a 64-bit collision can merge two gram families and extend a
+    * run (~G²/2⁶⁵ — measurement noise; the string path is what the
+    * oracle pins). Reference scope note: the reference pipeline
+    * (hri-flink-pipeline-core) has no dedup plane at all — this extends
+    * the training-data surface alongside x37/x83. */
+  def duplicatedSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      minTokens: Int = ExactSubstrMinTokens,
+      hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " be reported — every detected span covers at least one window")
+    import org.apache.spark.sql.expressions.Window
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pos = positionalGrams(ws, spanTokens, hashGrams)
+    val df = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // (doc, pos) is unique by construction (one window per position), so
+    // the df probe needs no distinct; islands-and-gaps merges consecutive
+    // duplicated positions — pos − rank is constant exactly on a run
+    val dup = pos.join(df, "g").filter(col("df") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(spanTokens.toLong))
+          .as("n_span_tokens"))
+      .filter(col("n_span_tokens") >= minTokens)
+      .select(col("doc_id"), col("start_pos"), col("n_span_tokens"))
+    runs.join(ws, "doc_id")
+      .select(col("doc_id"), col("start_pos"), col("n_span_tokens"),
+        array_join(slice(col("ws"), col("start_pos").cast("int"),
+          col("n_span_tokens").cast("int")), " ").as("span_text"))
+  }
+
   /** x83 — cross-document span SCRUB: [[crossDocSpans]] detects verbatim
     * duplicated runs; this op applies the remedy (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every

@@ -607,6 +607,41 @@ FROM p JOIN df USING (g)
 GROUP BY doc_id"""
   }
 
+  /** x99 — exact-substring duplicate spans: maximal runs of consecutive
+    * duplicated window positions (df ≥ 2 over per-doc-distinct grams, the
+    * x37 definition) whose covered span reaches ExactSubstrMinTokens;
+    * islands-and-gaps via pos − row_number. Width/threshold interpolated
+    * from TextDedup's constants. */
+  private val exactSubstrSpansSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    val m = graft.corpus.TextDedup.ExactSubstrMinTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+df AS (
+  SELECT g, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, g FROM p) GROUP BY 1),
+dup AS (
+  SELECT p.doc_id, p.pos FROM p JOIN df USING (g) WHERE df.df >= 2),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         pos
+  FROM dup),
+spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         MAX(pos) - MIN(pos) + $l AS n_span_tokens
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + $l >= $m)
+SELECT s.doc_id, s.start_pos, s.n_span_tokens,
+  array_to_string(t.ws[CAST(s.start_pos AS BIGINT) :
+    CAST(s.start_pos + s.n_span_tokens - 1 AS BIGINT)], ' ') AS span_text
+FROM spans s JOIN t USING (doc_id)"""
+  }
+
   /** x83 — cross-document span scrub: keep-one-copy removal of duplicated
     * `SpanTokens`-token windows (canonical = the gram's minimal doc_id),
     * token positions covered by any removed window dropped, survivors
@@ -1767,6 +1802,9 @@ FROM h"""
     "x37_cross_doc_spans" -> crossDocSpansSql,
     // x83: keep-one-copy span scrub (x37's remedy) — width from TextDedup
     "x83_span_scrub" -> spanScrubSql,
+    // x99: exact-substring duplicate spans at ExactSubstr length —
+    // width/threshold from TextDedup
+    "x99_exact_substr_spans" -> exactSubstrSpansSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

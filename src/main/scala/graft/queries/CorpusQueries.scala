@@ -167,6 +167,12 @@ object CorpusQueries {
   def x83SpanScrub(spark: SparkSession, dir: String): DataFrame =
     TextDedup.spanScrub(docs(spark, dir))
 
+  /** x99 — exact-substring duplicate spans at ExactSubstr length (Lee et
+    * al. 2022): per doc, maximal duplicated-window runs covering ≥ 50
+    * tokens, with the span text. */
+  def x99ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicatedSpans(docs(spark, dir))
+
   /** x84 — incremental span scrub: odd-id docs (the increment) scrubbed
     * against the frozen span vocabulary of the even-id reference half
     * (x40's split convention). */

@@ -1,0 +1,114 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** X99 — exact-substring duplicate spans ([[TextDedup.duplicatedSpans]]):
+  * maximal cross-document duplicated-window runs at ExactSubstr length
+  * (Lee et al. 2022). Pins the run merge, the length gate, the
+  * within-doc-repetition exclusion, the documented splice over-extension
+  * (no false negatives, possible chain), and the hashGrams twin. */
+class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSet
+
+  test("a shared verbatim span is reported ONCE per document as one " +
+      "maximal run, both copies, with exact bounds and text") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared z1 z2",
+      2L -> s"b1 $shared y1 y2 y3 y4")
+    val got = spans(TextDedup.duplicatedSpans(d, spanTokens = 5,
+      minTokens = 10))
+    got shouldBe Set(
+      (1L, 4L, 12L, shared),
+      (2L, 2L, 12L, shared))
+    // the length gate: one token above the span kills both rows
+    TextDedup.duplicatedSpans(d, spanTokens = 5, minTokens = 13)
+      .count() shouldBe 0L
+  }
+
+  test("within-document repetition does not count (x37's df definition) " +
+      "and sub-window overlap stays silent") {
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val d = docs(
+      1L -> s"$rep mid1 mid2 $rep", // same doc twice: df = 1
+      2L -> "other text entirely here now always")
+    TextDedup.duplicatedSpans(d, spanTokens = 5, minTokens = 5)
+      .count() shouldBe 0L
+  }
+
+  test("chained windows splice: two different partners extend one " +
+      "maximal span (the documented over-extension, never a miss)") {
+    // doc 1 holds A(8) ++ B(8); doc 2 shares doc 1's tokens 1..10 and
+    // doc 3 its tokens 5..16 — the two shared regions OVERLAP, so every
+    // 4-window of doc 1 is duplicated against SOME partner and doc 1
+    // reports the full 16-token chain even though no single document
+    // contains it — the splice the scaladoc documents
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(1L -> s"$a $b",
+      2L -> s"x1 x2 $a b1 b2",
+      3L -> s"a5 a6 a7 a8 $b y1 y2")
+    val got = spans(TextDedup.duplicatedSpans(d, spanTokens = 4,
+      minTokens = 13))
+    got.filter(_._1 == 1L) shouldBe Set((1L, 1L, 16L, s"$a $b"))
+    // and no true copy is ever missed: each partner's own shared region
+    // (10 and 12 tokens) reports at its own length
+    val all = spans(TextDedup.duplicatedSpans(d, spanTokens = 4,
+      minTokens = 10))
+    all should contain ((2L, 3L, 10L, s"$a b1 b2"))
+    all should contain ((3L, 1L, 12L, s"a5 a6 a7 a8 $b"))
+  }
+
+  test("two separated duplicated regions in one document stay two runs") {
+    val p = (1 to 6).map(i => s"p$i").mkString(" ")
+    val q = (1 to 6).map(i => s"q$i").mkString(" ")
+    val d = docs(
+      1L -> s"$p u1 u2 u3 u4 u5 $q",
+      2L -> s"$p w1 w2 w3 w4 w5 $q")
+    val got = spans(TextDedup.duplicatedSpans(d, spanTokens = 3,
+      minTokens = 6))
+    got.filter(_._1 == 1L).map(s => (s._2, s._3)) shouldBe
+      Set((1L, 6L), (12L, 6L))
+    got.filter(_._1 == 1L).map(_._4) shouldBe Set(p, q)
+  }
+
+  test("hashGrams keys the shuffles on xxhash64 but reports identical " +
+      "spans; NULL/short docs are absent; minTokens below the window " +
+      "is rejected") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41L)
+    val base = (0L until 40L).map { i =>
+      val t =
+        if (i % 7 == 3) null
+        else if (i % 11 == 5) "tiny doc"
+        else (0 until (6 + rnd.nextInt(30)))
+          .map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    val want = spans(TextDedup.duplicatedSpans(base, spanTokens = 4,
+      minTokens = 6))
+    spans(TextDedup.duplicatedSpans(base, spanTokens = 4, minTokens = 6,
+      hashGrams = true)) shouldBe want
+    // no NULL-text (id % 7 == 3) or shorter-than-window (id % 11 == 5)
+    // document ever reports a span
+    want.map(_._1).foreach { id =>
+      id % 7 should not be 3
+      id % 11 should not be 5
+    }
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.duplicatedSpans(base, spanTokens = 5, minTokens = 4)
+  }
+}
