@@ -150,6 +150,7 @@ object SparkEntry {
     "x97_pack_nextfit" -> (C.x97PackNextFit _),
     "x98_adc_recall" -> (C.x98AdcRecall _),
     "x99_exact_substr_spans" -> (C.x99ExactSubstrSpans _),
+    "x100_incr_substr_spans" -> (C.x100IncrSubstrSpans _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

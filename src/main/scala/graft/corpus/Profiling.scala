@@ -111,12 +111,25 @@ object Profiling {
     * (packNextFit's chain and hardNegatives' pool collect at build — their
     * documented snapshot semantics); treat the card as single-shot over an
     * immutable input. */
-  def datasetCard(docs: DataFrame, emb: DataFrame): DataFrame =
+  def datasetCard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    // the four planes are INDEPENDENT and their construction is eager
+    // (packNextFit's doubling chain, hardNegatives' pool checkpoint, the
+    // recall generator's centroid collect) — build them on concurrent
+    // driver threads so their jobs overlap in the scheduler instead of
+    // queueing behind each other (job submission is thread-safe; each
+    // plane is the exact frame the sequential form built, so the
+    // spec-pinned bit-equality to datasetCardFrom is untouched)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val p31 = Future(graft.corpus.Curation.packEfficiencyReport(docs))
+    val p97 = Future(graft.corpus.Curation.packNextFit(docs))
+    val rec = Future(Similarity.denseRecallEval(emb))
+    val neg = Future(Similarity.hardNegatives(emb))
     datasetCardFrom(docs, emb,
-      graft.corpus.Curation.packEfficiencyReport(docs),
-      graft.corpus.Curation.packNextFit(docs),
-      Similarity.denseRecallEval(emb),
-      Similarity.hardNegatives(emb))
+      Await.result(p31, Duration.Inf), Await.result(p97, Duration.Inf),
+      Await.result(rec, Duration.Inf), Await.result(neg, Duration.Inf))
+  }
 
   /** [[datasetCard]]'s persisted-plane form — build the extended card FROM
     * already-materialized audit-plane outputs instead of recomputing them:

@@ -761,16 +761,71 @@ object TextDedup {
     require(minTokens >= spanTokens,
       s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
         " be reported — every detected span covers at least one window")
-    import org.apache.spark.sql.expressions.Window
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val pos = positionalGrams(ws, spanTokens, hashGrams)
     val df = pos.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
     // (doc, pos) is unique by construction (one window per position), so
-    // the df probe needs no distinct; islands-and-gaps merges consecutive
-    // duplicated positions — pos − rank is constant exactly on a run
-    val dup = pos.join(df, "g").filter(col("df") >= 2)
-      .select(col("doc_id"), col("pos"))
+    // the df probe needs no distinct
+    mergeSpanRuns(ws,
+      pos.join(df, "g").filter(col("df") >= 2)
+        .select(col("doc_id"), col("pos")),
+      spanTokens, minTokens)
+  }
+
+  /** X100 — [[duplicatedSpans]]' increment twin: exact-substring spans of
+    * an ARRIVING batch against a FROZEN reference span vocabulary
+    * ([[spanVocabulary]], typically persisted) — the ingest-time screen
+    * that reports, per new document, every maximal ≥ `minTokens` run of
+    * window positions whose window the existing corpus already contains
+    * (long verbatim overlap = memorization fodder / license boilerplate —
+    * what a curation pipeline inspects BEFORE folding a crawl in; x22
+    * flags eval leakage binarily, x54 scores gram mass, this one hands
+    * back the actual spans). The x84/x40 role split verbatim: spans
+    * duplicated only WITHIN the increment are deliberately absent — they
+    * are the next snapshot's [[duplicatedSpans]] problem, not the frozen
+    * vocabulary's — so when increment documents share spans only with the
+    * reference, the report equals the self-contained x99 run on
+    * reference ∪ increment restricted to increment rows (spec-pinned
+    * decomposition, splice caveat and all: consecutive windows may match
+    * DIFFERENT reference documents and chain).
+    *
+    * `hashGrams` must match how the vocabulary was built (loud at
+    * construction, the novelty-plane rule); a 64-bit collision can only
+    * extend a run — the conservative direction for a screen.
+    *
+    * Scale shape: the increment explodes once; ONE gram-keyed semi-join
+    * against the vocabulary (reading in place when persisted/bucketed —
+    * the reference corpus is never re-read, the x40/x51/x54/x60
+    * persisted-probe discipline); the run merge is the per-document
+    * islands window over matched positions only; the span-text fetch
+    * joins the bounded run table back to the increment's token arrays. */
+  def duplicatedSpansAgainst(newDocs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = SpanTokens, minTokens: Int = ExactSubstrMinTokens,
+      hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " be reported — every detected span covers at least one window")
+    requireVocabMode(refGrams, hashGrams, "duplicatedSpansAgainst")
+    val ws = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    mergeSpanRuns(ws,
+      positionalGrams(ws, spanTokens, hashGrams)
+        .join(refGrams.select(col("g")), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("pos")),
+      spanTokens, minTokens)
+  }
+
+  /** The islands-and-gaps run merge + span-text fetch [[duplicatedSpans]]
+    * and [[duplicatedSpansAgainst]] share, so their maximal-run and bounds
+    * definitions cannot drift: merge consecutive duplicated positions
+    * (pos − row_number constant exactly on a run; the per-document window
+    * ranks duplicated positions only — bounded by document length, a
+    * per-doc key can never concentrate a corpus), gate on the covered
+    * length, slice the span text from the token arrays. */
+  private def mergeSpanRuns(ws: DataFrame, dup: DataFrame,
+      spanTokens: Int, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val runs = dup
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))

@@ -642,6 +642,37 @@ SELECT s.doc_id, s.start_pos, s.n_span_tokens,
 FROM spans s JOIN t USING (doc_id)"""
   }
 
+  /** x100 — increment exact-substring spans: odd-id documents' maximal
+    * runs of window positions present in the even-id half's frozen span
+    * vocabulary (the x40 split), gated at ExactSubstrMinTokens. */
+  private val incrSubstrSpansSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    val m = graft.corpus.TextDedup.ExactSubstrMinTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+vocab AS (SELECT DISTINCT g FROM p WHERE doc_id % 2 = 0),
+dup AS (
+  SELECT p.doc_id, p.pos FROM p JOIN vocab USING (g) WHERE p.doc_id % 2 = 1),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         pos
+  FROM dup),
+spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         MAX(pos) - MIN(pos) + $l AS n_span_tokens
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + $l >= $m)
+SELECT s.doc_id, s.start_pos, s.n_span_tokens,
+  array_to_string(t.ws[CAST(s.start_pos AS BIGINT) :
+    CAST(s.start_pos + s.n_span_tokens - 1 AS BIGINT)], ' ') AS span_text
+FROM spans s JOIN t USING (doc_id)"""
+  }
+
   /** x83 — cross-document span scrub: keep-one-copy removal of duplicated
     * `SpanTokens`-token windows (canonical = the gram's minimal doc_id),
     * token positions covered by any removed window dropped, survivors
@@ -1805,6 +1836,9 @@ FROM h"""
     // x99: exact-substring duplicate spans at ExactSubstr length —
     // width/threshold from TextDedup
     "x99_exact_substr_spans" -> exactSubstrSpansSql,
+    // x100: the increment twin — odd-id spans against the even-id half's
+    // frozen span vocabulary
+    "x100_incr_substr_spans" -> incrSubstrSpansSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

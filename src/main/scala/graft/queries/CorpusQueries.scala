@@ -173,6 +173,16 @@ object CorpusQueries {
   def x99ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.duplicatedSpans(docs(spark, dir))
 
+  /** x100 — exact-substring spans of the odd-id increment against the
+    * even-id reference half's frozen span vocabulary (x40's split
+    * convention): the ingest-time long-verbatim-overlap screen. */
+  def x100IncrSubstrSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.duplicatedSpansAgainst(
+      d.filter(col("doc_id") % 2 === 1),
+      TextDedup.spanVocabulary(d.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** x84 — incremental span scrub: odd-id docs (the increment) scrubbed
     * against the frozen span vocabulary of the even-id reference half
     * (x40's split convention). */

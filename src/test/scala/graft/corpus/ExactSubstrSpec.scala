@@ -111,4 +111,59 @@ class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       TextDedup.duplicatedSpans(base, spanTokens = 5, minTokens = 4)
   }
+
+  test("duplicatedSpansAgainst decomposes: when the increment shares spans " +
+      "only with the reference, it equals the self-contained run on the " +
+      "union restricted to increment rows") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43L)
+    // reference (even ids): random docs; increment (odd ids): half embed a
+    // verbatim slice of SOME reference doc, half are fresh vocabulary (no
+    // increment-internal cross-doc duplication by construction: fresh
+    // halves draw from disjoint per-doc vocabularies)
+    val ref = (0L until 30L by 2L).map(i =>
+      (i, (0 until 20).map(_ => s"r${rnd.nextInt(15)}").mkString(" ")))
+    val refTexts = ref.map(_._2).toIndexedSeq
+    val incr = (1L until 30L by 2L).map { i =>
+      val t =
+        if (i % 4 == 1) {
+          val src = refTexts((i % refTexts.size.toLong).toInt)
+          s"n${i}a n${i}b $src n${i}z"
+        } else (0 until 15).map(j => s"u${i}_$j").mkString(" ")
+      (i, t)
+    }
+    val all = (ref ++ incr).toDF("doc_id", "text")
+    val incrDf = all.filter(col("doc_id") % 2 === 1)
+    val vocab = TextDedup.spanVocabulary(
+      all.filter(col("doc_id") % 2 === 0), spanTokens = 4)
+    val got = spans(TextDedup.duplicatedSpansAgainst(incrDf, vocab,
+      spanTokens = 4, minTokens = 8))
+    val want = spans(TextDedup.duplicatedSpans(all, spanTokens = 4,
+      minTokens = 8)).filter(_._1 % 2 == 1)
+    got shouldBe want
+    got should not be empty
+    // hashGrams must match the vocabulary's build mode (loud), and the
+    // hashed pair reports identically
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.duplicatedSpansAgainst(incrDf, vocab, spanTokens = 4,
+        minTokens = 8, hashGrams = true)
+    spans(TextDedup.duplicatedSpansAgainst(incrDf,
+      TextDedup.spanVocabulary(all.filter(col("doc_id") % 2 === 0),
+        spanTokens = 4, hashGrams = true),
+      spanTokens = 4, minTokens = 8, hashGrams = true)) shouldBe want
+  }
+
+  test("duplicatedSpansAgainst leaves increment-internal duplication to " +
+      "the next snapshot (the x84 role split)") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val ref = Seq((0L, "completely different reference words here entirely"))
+    val incr = Seq((1L, shared), (3L, s"pre1 pre2 $shared"))
+    val vocab = TextDedup.spanVocabulary(ref.toDF("doc_id", "text"),
+      spanTokens = 4)
+    TextDedup.duplicatedSpansAgainst(incr.toDF("doc_id", "text"), vocab,
+      spanTokens = 4, minTokens = 8).count() shouldBe 0L
+  }
 }
