@@ -506,6 +506,74 @@ object StreamOps {
       .unionByName(spanless)
   }
 
+  /** Streaming increment exact-substring spans —
+    * [[graft.corpus.TextDedup.duplicatedSpansAgainst]]'s ingest twin
+    * (x100): per arriving document, every maximal ≥ `minTokens` run of
+    * window positions whose window the FROZEN reference span vocabulary
+    * contains, as (doc_id, ts, start_pos, n_span_tokens, span_text) —
+    * the live long-verbatim-overlap screen (x22 flags eval leakage, this
+    * hands back the spans, on the stream).
+    *
+    * Shape: one stream-static left join of the document's positional
+    * window grams against the vocabulary, ONE watermarked aggregation per
+    * (doc_id, ts) collecting the matched start positions — and then the
+    * batch twin's per-doc islands WINDOW, illegal on a stream, becomes a
+    * WITHIN-ROW fold: the sorted hit array folds left into maximal
+    * consecutive runs (`aggregate` extends the last run while starts stay
+    * consecutive, else opens a new one — O(hits) per document, bounded by
+    * document length), the length gate filters, and the qualifying runs
+    * explode statelessly after the aggregation finalizes (append mode).
+    * Spec-pinned batch-equal through a live query. Documents with no
+    * qualifying run emit nothing (the batch contract — span-less and
+    * NULL-text documents have no span rows to report). `hashGrams` must
+    * match the vocabulary's build mode (loud at construction). */
+  def duplicatedSpansAgainst(docs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = graft.corpus.TextDedup.SpanTokens,
+      minTokens: Int = graft.corpus.TextDedup.ExactSubstrMinTokens,
+      hashGrams: Boolean = false,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.corpus.TextDedup.requireVocabMode(refGrams, hashGrams,
+      "duplicatedSpansAgainst")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " be reported — every detected span covers at least one window")
+    val base = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+      // span-less / NULL-text docs carry no windows: absent by contract
+      // (coalesce: size(NULL) is NULL, and spanGrams' sequence needs the
+      // pre-filter — its default step walks DOWNWARD when stop < start)
+      .filter(coalesce(size(col("ws")) >= spanTokens, lit(false)))
+    val grams = base
+      .select(col("doc_id"), col("ts"), col("ws"),
+        posexplode(graft.corpus.TextDedup.spanGrams(col("ws"), spanTokens))
+          .as(Seq("i0", "g")))
+      .select(col("doc_id"), col("ts"),
+        when(col("i0") === 0, col("ws")).as("ws1"),
+        (col("i0") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
+    val hits = grams
+      .join(refGrams.select(col("g"), lit(true).as("__hit")), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(first(col("ws1"), ignoreNulls = true).as("ws"),
+        sort_array(collect_set(when(col("__hit"), col("pos")))).as("hits"))
+    // the islands fold: consecutive starts extend the open run
+    val runs = expr(
+      "aggregate(hits, cast(array() as array<struct<s:int,e:int>>)," +
+        " (acc, p) -> if (size(acc) > 0 and element_at(acc, -1).e + 1 = p," +
+        " concat(slice(acc, 1, size(acc) - 1)," +
+        "   array(named_struct('s', element_at(acc, -1).s, 'e', p)))," +
+        " concat(acc, array(named_struct('s', p, 'e', p)))))")
+    val span = col("r.e") - col("r.s") + lit(spanTokens)
+    hits.withColumn("r", explode(filter(runs,
+        r => r.getField("e") - r.getField("s") + lit(spanTokens) >=
+          minTokens)))
+      .select(col("doc_id"), col("ts"),
+        col("r.s").cast("long").as("start_pos"),
+        span.cast("long").as("n_span_tokens"),
+        array_join(slice(col("ws"), col("r.s"), span.cast("int")), " ")
+          .as("span_text"))
+  }
+
   /** Streaming CCNet bucket assignment — [[graft.corpus.Curation.ccnetAssign]]'s
     * ingest twin (x86): score each arriving `(doc_id, ts, lang, text)`
     * record against a FROZEN unigram LM and assign it to the FROZEN

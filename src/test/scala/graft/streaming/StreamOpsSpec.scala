@@ -213,6 +213,65 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("streaming increment exact-substring spans: batch-equal through a " +
+      "live query; no-hit/span-less/NULL docs absent; probe-mode guard " +
+      "loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val ref = Seq((2L, s"head1 $shared tail1")).toDF("doc_id", "text")
+    val vocab = graft.corpus.TextDedup.spanVocabulary(ref, spanTokens = 3)
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 11L, s"x y $shared z"), // one 9-token run
+      (ts("2024-01-01 10:00:01"), 13L, "no match in here at all today"),
+      (ts("2024-01-01 10:00:02"), 15L, "p q"), // span-less
+      (ts("2024-01-01 10:00:03"), 17L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.duplicatedSpansAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"), vocab, spanTokens = 3,
+      minTokens = 8, watermarkDelay = "10 minutes")
+    val sink = s"substr_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_substr").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // two watermark-advancing records, each GRAMFUL (>= spanTokens
+      // tokens, zero vocabulary hits, so they emit nothing themselves):
+      // a span-less closer would be filtered before the aggregation and
+      // the stateful operator would see an empty batch — eviction then
+      // waits on the engine's optional no-data micro-batch, which
+      // processAllAvailable does not wait for. The first record moves the
+      // watermark past 10:00, the second drives the evicting batch.
+      input.addData((ts("2024-01-01 11:00:00"), 99L, "za zb zc"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 98L, "zd ze zf"))
+      q.processAllAvailable()
+      val streamed = s.table(sink)
+        .select("doc_id", "start_pos", "n_span_tokens", "span_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val batch = graft.corpus.TextDedup.duplicatedSpansAgainst(
+        rows.map(r => (r._2, r._3)).toDF("doc_id", "text"), vocab,
+        spanTokens = 3, minTokens = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      streamed shouldBe batch
+      streamed.map(_._1) shouldBe Set(11L) // only the overlapping doc
+      streamed.head._4 shouldBe shared
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamOps.duplicatedSpansAgainst(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        graft.corpus.TextDedup.spanVocabulary(ref, spanTokens = 3,
+          hashGrams = true), spanTokens = 3)
+    }.getMessage should include("probe mode")
+  }
+
   test("hourly windows emit once, finalized, when the watermark passes their end") {
     val s = spark
     import s.implicits._
