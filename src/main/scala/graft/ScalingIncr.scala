@@ -134,7 +134,7 @@ object ScalingIncr {
           graft.corpus.Retrieval.bm25Postings(
             oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())),
           postTable)
-      if (want("x84_probe"))
+      if (want("x84_probe", "x100_probe"))
         TextDedup.writeVocabulary(
           TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
       val lmTable = s"scal_incr_lm_x$m"
@@ -203,6 +203,14 @@ object ScalingIncr {
         // constant in m by construction — only the bucketed vocabulary scan
         // grows
         ("x84_probe", () => TextDedup.spanScrubAgainst(
+          inc("documents"), spark.table(spanVocTable), hashGrams = true)),
+        // x100: fixed increment's long-overlap spans against the growing
+        // persisted span vocabulary. Every increment doc duplicates its
+        // replica-0 twin verbatim, so docs of >= minTokens tokens report
+        // exactly one full-length run — constant span workload in m; only
+        // the bucketed vocabulary scan grows (the x84 shape, minus the
+        // rebuild)
+        ("x100_probe", () => TextDedup.duplicatedSpansAgainst(
           inc("documents"), spark.table(spanVocTable), hashGrams = true)),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their
