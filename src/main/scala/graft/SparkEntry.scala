@@ -151,6 +151,7 @@ object SparkEntry {
     "x98_adc_recall" -> (C.x98AdcRecall _),
     "x99_exact_substr_spans" -> (C.x99ExactSubstrSpans _),
     "x100_incr_substr_spans" -> (C.x100IncrSubstrSpans _),
+    "x101_span_scrub_long" -> (C.x101SpanScrubLong _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

@@ -824,21 +824,34 @@ object TextDedup {
     * per-doc key can never concentrate a corpus), gate on the covered
     * length, slice the span text from the token arrays. */
   private def mergeSpanRuns(ws: DataFrame, dup: DataFrame,
-      spanTokens: Int, minTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val runs = dup
-      .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).cast("long").as("start_pos"),
-        (max(col("pos")) - min(col("pos")) + lit(spanTokens.toLong))
-          .as("n_span_tokens"))
-      .filter(col("n_span_tokens") >= minTokens)
-      .select(col("doc_id"), col("start_pos"), col("n_span_tokens"))
-    runs.join(ws, "doc_id")
+      spanTokens: Int, minTokens: Int): DataFrame =
+    maximalRuns(dup, spanTokens, minTokens)
+      .select(col("doc_id"), col("a").cast("long").as("start_pos"),
+        col("n_span_tokens"))
+      .join(ws, "doc_id")
       .select(col("doc_id"), col("start_pos"), col("n_span_tokens"),
         array_join(slice(col("ws"), col("start_pos").cast("int"),
           col("n_span_tokens").cast("int")), " ").as("span_text"))
+
+  /** The ONE maximal-run definition ([[duplicatedSpans]],
+    * [[duplicatedSpansAgainst]], [[spanScrubLong]]): islands-and-gaps over
+    * `(doc_id, pos)` duplicated window starts (pos − row_number constant
+    * exactly on a consecutive run; the per-document window ranks
+    * duplicated positions only — bounded by document length), gated on
+    * covered span length. Returns `(doc_id, a, b, n_span_tokens)` with
+    * [a..b] the run's window-start range. */
+  private def maximalRuns(dup: DataFrame, spanTokens: Int,
+      minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dup
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
+      .withColumn("n_span_tokens",
+        col("b") - col("a") + lit(spanTokens.toLong))
+      .filter(col("n_span_tokens") >= minTokens)
+      .select(col("doc_id"), col("a"), col("b"), col("n_span_tokens"))
   }
 
   /** x83 — cross-document span SCRUB: [[crossDocSpans]] detects verbatim
@@ -891,6 +904,55 @@ object TextDedup {
     val cov = spanCoverage(
       pos.join(st, "g")
         .filter(col("df") >= 2 && col("doc_id") =!= col("min_doc")),
+      spanTokens)
+    rebuildScrubbed(ws, cov)
+  }
+
+  /** X101 — exact-substring scrub at ExactSubstr length: Lee et al.
+    * 2022's ACTUAL remedy ([[spanScrub]] removes every duplicated window —
+    * aggressive; the paper removes only duplicated substrings of ≥ 50
+    * tokens, leaving short incidental overlaps alone). An occurrence is
+    * removed iff its window is cross-document duplicated (df ≥ 2), its
+    * document is not the gram's canonical home (min doc_id — x83's
+    * keep-one-copy rule), AND it lies inside a maximal duplicated run
+    * covering ≥ `minTokens` tokens ([[maximalRuns]], x99's definition —
+    * runs are a property of the document's duplication structure, so
+    * canonical occurrences count toward a run's LENGTH while never being
+    * removed themselves). Same output schema and rebuild conventions as
+    * [[spanScrub]] (lossless split/join, NULL text → NULL outputs, fully
+    * covered docs → ''). Degenerate pin: `minTokens = spanTokens` gates
+    * nothing (every duplicated window is its own ≥ w run), so it equals
+    * [[spanScrub]] bit for bit — spec-pinned, which keeps the two scrub
+    * tiers one definition apart, not two implementations apart.
+    *
+    * Scale shape: x83's gram-df shuffles + x99's per-document islands
+    * window, plus one doc-keyed join of duplicated positions to the
+    * bounded qualifying-run table (runs per doc are few; positions match
+    * at most one run — runs are disjoint). Nothing pairwise; `hashGrams`
+    * is the usual shuffle-width switch with x83's family-merge collision
+    * caveat. */
+  def spanScrubLong(docs: DataFrame, spanTokens: Int = SpanTokens,
+      minTokens: Int = ExactSubstrMinTokens,
+      hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " gate anything — every duplicated window covers spanTokens tokens")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pos = positionalGrams(ws, spanTokens, hashGrams)
+    val st = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
+    val marked = pos.join(st, "g").filter(col("df") >= 2)
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") =!= col("min_doc")).as("removable"))
+    val runs = maximalRuns(marked.select(col("doc_id"), col("pos")),
+      spanTokens, minTokens)
+    val cov = spanCoverage(
+      marked.filter(col("removable"))
+        .join(runs.select(col("doc_id"), col("a"), col("b")), Seq("doc_id"))
+        .filter(col("pos") >= col("a") && col("pos") <= col("b"))
+        .select(col("doc_id"), col("pos")),
       spanTokens)
     rebuildScrubbed(ws, cov)
   }

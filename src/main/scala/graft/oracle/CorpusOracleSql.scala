@@ -708,6 +708,55 @@ SELECT t.doc_id,
 FROM t LEFT JOIN k USING (doc_id)"""
   }
 
+  /** x101 — exact-substring scrub at ExactSubstr length: x83's
+    * keep-one-copy coverage gated to maximal duplicated runs covering ≥
+    * ExactSubstrMinTokens tokens (x99's islands definition; runs measure
+    * over ALL duplicated positions, canonical ones included — only
+    * non-canonical occurrences inside a qualifying run are removed). */
+  private val spanScrubLongSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    val m = graft.corpus.TextDedup.ExactSubstrMinTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+st AS (
+  SELECT g, COUNT(*) AS df, MIN(doc_id) AS min_doc
+  FROM (SELECT DISTINCT doc_id, g FROM p) GROUP BY 1),
+dup AS (
+  SELECT p.doc_id, p.pos, p.doc_id <> st.min_doc AS removable
+  FROM p JOIN st USING (g) WHERE st.df >= 2),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         pos
+  FROM dup),
+qr AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + $l >= $m),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.pos + su.u AS tp
+  FROM dup d JOIN qr ON d.doc_id = qr.doc_id AND d.pos BETWEEN qr.a AND qr.b
+  CROSS JOIN (SELECT unnest(range($l)) AS u) su
+  WHERE d.removable),
+toks AS (
+  SELECT doc_id, u + 1 AS tp, ws[u + 1] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS u FROM t)),
+k AS (
+  SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.tp) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.tp = cov.tp
+  WHERE cov.tp IS NULL GROUP BY 1)
+SELECT t.doc_id,
+  CASE WHEN t.ws IS NOT NULL THEN coalesce(k.kept_text, '') END AS scrubbed,
+  len(t.ws) AS n_tokens,
+  len(t.ws) - coalesce(k.n_kept, 0) AS n_removed
+FROM t LEFT JOIN k USING (doc_id)"""
+  }
+
   /** x84 — incremental span scrub: the odd-id increment against the even-id
     * reference half's distinct span-gram vocabulary; ANY vocabulary hit is
     * removed (the reference is canonical — no keep-one-copy contest),
@@ -1839,6 +1888,9 @@ FROM h"""
     // x100: the increment twin — odd-id spans against the even-id half's
     // frozen span vocabulary
     "x100_incr_substr_spans" -> incrSubstrSpansSql,
+    // x101: the ExactSubstr-length scrub — x83's coverage gated to
+    // >= 50-token maximal runs
+    "x101_span_scrub_long" -> spanScrubLongSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -173,6 +173,12 @@ object CorpusQueries {
   def x99ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.duplicatedSpans(docs(spark, dir))
 
+  /** x101 — exact-substring scrub at ExactSubstr length: keep-one-copy
+    * removal of duplicated runs covering ≥ 50 tokens (Lee et al. 2022's
+    * published remedy; short incidental overlaps stay). */
+  def x101SpanScrubLong(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.spanScrubLong(docs(spark, dir))
+
   /** x100 — exact-substring spans of the odd-id increment against the
     * even-id reference half's frozen span vocabulary (x40's split
     * convention): the ingest-time long-verbatim-overlap screen. */

@@ -154,6 +154,54 @@ class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
       spanTokens = 4, minTokens = 8, hashGrams = true)) shouldBe want
   }
 
+  test("spanScrubLong removes only qualifying-run occurrences outside the " +
+      "canonical doc; short incidental overlaps survive BOTH copies") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 12).map(i => s"L$i").mkString(" ")
+    val short = (1 to 6).map(i => s"S$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$long a1 $short"),     // canonical home of both (min doc_id)
+      (2L, s"b1 b2 $long b3"),      // long dup: scrubbed here
+      (3L, s"c1 $short c2 c3 c4"))  // short dup: BELOW the gate, survives
+      .toDF("doc_id", "text")
+    val out = TextDedup.spanScrubLong(d, spanTokens = 5, minTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((s"$long a1 $short", 19L, 0L)) // canonical intact
+    out(2L) shouldBe (("b1 b2 b3", 15L, 12L))        // long span removed
+    out(3L) shouldBe ((s"c1 $short c2 c3 c4", 10L, 0L)) // short dup kept
+    // x83 by contrast would have scrubbed the short dup too
+    val x83 = TextDedup.spanScrub(d, spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    x83(3L) shouldBe "c1 c2 c3 c4"
+  }
+
+  test("spanScrubLong at minTokens = spanTokens IS spanScrub (the " +
+      "degenerate pin that keeps the two scrub tiers one definition apart)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47L)
+    val d = (0L until 60L).map { i =>
+      val t =
+        if (i % 9 == 4) null
+        else (0 until (1 + rnd.nextInt(25)))
+          .map(_ => s"w${rnd.nextInt(10)}").mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    rows(TextDedup.spanScrubLong(d, spanTokens = 4, minTokens = 4)) shouldBe
+      rows(TextDedup.spanScrub(d, spanTokens = 4))
+    // and the hashed twin agrees with the string path
+    rows(TextDedup.spanScrubLong(d, spanTokens = 4, minTokens = 7,
+      hashGrams = true)) shouldBe
+      rows(TextDedup.spanScrubLong(d, spanTokens = 4, minTokens = 7))
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.spanScrubLong(d, spanTokens = 5, minTokens = 4)
+  }
+
   test("duplicatedSpansAgainst leaves increment-internal duplication to " +
       "the next snapshot (the x84 role split)") {
     val s = spark
