@@ -514,6 +514,8 @@ object Scaling {
       // cell isolates the gram-keyed shuffle term
       ("documents", "x99_exact_substr",
         (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"))),
+      ("documents", "x101_scrub_long",
+        (d, _) => TextDedup.spanScrubLong(rd(d, "documents"))),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)
