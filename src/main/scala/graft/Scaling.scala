@@ -516,6 +516,11 @@ object Scaling {
         (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"))),
       ("documents", "x101_scrub_long",
         (d, _) => TextDedup.spanScrubLong(rd(d, "documents"))),
+      // the 100 TB shuffle-width switch priced on the same plane: both
+      // x99 gram shuffles keyed on xxhash64 instead of 5-token strings
+      ("documents", "x99_exact_substr_hashed",
+        (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"),
+          hashGrams = true)),
       // x90 training order: every row ranked, output exactly m× — the cell
       // pins the fixed-band global rank staying linear (one narrow band
       // projection, one bounded collect, one balanced hash-exchange window)
