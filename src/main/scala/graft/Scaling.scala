@@ -211,10 +211,15 @@ object Scaling {
     def wantBuild(t: String): Boolean = buildTables.forall(_.contains(t))
     // a skipped plane whose x1 replica is ABSENT records -1, and its ops are
     // skipped loudly below — the old getOrElse(1L) silently seeded a wrong
-    // base count, corrupting every expected-row ratio of ops on that plane
-    def x1Count(t: String): Long =
-      scala.util.Try(spark.read.parquet(s"$workDir/x1/$t.parquet").count())
-        .getOrElse(-1L)
+    // base count, corrupting every expected-row ratio of ops on that plane.
+    // Only ABSENCE skips: a replica that exists but fails to read (corrupt
+    // partial write, permissions) propagates loudly instead of thinning the
+    // ladder with a wrong "no replica" diagnosis (r17 review find)
+    def x1Count(t: String): Long = {
+      val path = s"$workDir/x1/$t.parquet"
+      if (!new java.io.File(path).exists) -1L
+      else spark.read.parquet(path).count()
+    }
 
     // doc_id range per replica must be disjoint AND preserve the fixture
     // parities x58's paragraphFixture keys on (doc_id % 2 / % 3): an even

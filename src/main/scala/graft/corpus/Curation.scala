@@ -855,9 +855,14 @@ object Curation {
   def assignShards(docs: DataFrame, shards: Int = ShardCount,
       windowCrossover: Long = WindowCrossoverRows): DataFrame = {
     require(shards > 0, "shard count must be positive")
-    val maxPerSource = Option(docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Long.MaxValue pins the window form WITHOUT the probe — no count can
+    // exceed it, so running the eager scan anyway would break the
+    // documented stay-lazy contract (r17 review find)
+    val maxPerSource =
+      if (windowCrossover == Long.MaxValue) 0L
+      else Option(docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (maxPerSource > windowCrossover) assignShardsBanded(docs, shards)
     else {
       val w = Window.partitionBy(col("source"))

@@ -122,13 +122,18 @@ object Profiling {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val p31 = Future(graft.corpus.Curation.packEfficiencyReport(docs))
-    val p97 = Future(graft.corpus.Curation.packNextFit(docs))
-    val rec = Future(Similarity.denseRecallEval(emb))
-    val neg = Future(Similarity.hardNegatives(emb))
-    datasetCardFrom(docs, emb,
-      Await.result(p31, Duration.Inf), Await.result(p97, Duration.Inf),
-      Await.result(rec, Duration.Inf), Await.result(neg, Duration.Inf))
+    val futures = Seq(
+      Future(graft.corpus.Curation.packEfficiencyReport(docs)),
+      Future(graft.corpus.Curation.packNextFit(docs)),
+      Future(Similarity.denseRecallEval(emb)),
+      Future(Similarity.hardNegatives(emb)))
+    // settle ALL four before surfacing any failure: Spark jobs cannot be
+    // cancelled through a Future, so rethrowing early would leave sibling
+    // planes running detached with nothing awaiting them (r17 review find)
+    val settled = futures.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    val Seq(p31, p97, rec, neg) = settled.map(_.get)
+    datasetCardFrom(docs, emb, p31, p97, rec, neg)
   }
 
   /** [[datasetCard]]'s persisted-plane form — build the extended card FROM
