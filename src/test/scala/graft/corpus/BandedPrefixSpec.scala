@@ -71,6 +71,26 @@ class BandedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("windowCrossover = Long.MaxValue is genuinely probe-free: " +
+      "construction runs NO eager scan (the stay-lazy escape hatch)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val bomb = udf((x: String) => {
+      throw new RuntimeException("probe executed"); x: String
+    })
+    // the bomb sits on the SOURCE column, the one column the probe reads —
+    // any eager construction-time scan detonates it
+    val d = Seq((1L, "a b c", "s0"), (2L, "d e", "s1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("source", bomb(col("source")))
+    // default: the cardinality probe executes at construction -> boom
+    an[Exception] should be thrownBy Curation.assignShards(d)
+    // pinned window: pure plan construction, nothing executes
+    val lazyPlan = Curation.assignShards(d, windowCrossover = Long.MaxValue)
+    an[Exception] should be thrownBy lazyPlan.collect() // still a real plan
+  }
+
   test("assignShards skew-dispatches: past the crossover the default takes " +
       "the banded rank (no per-source window task), below it the window — " +
       "same deal either way") {
