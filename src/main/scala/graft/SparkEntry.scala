@@ -152,6 +152,8 @@ object SparkEntry {
     "x99_exact_substr_spans" -> (C.x99ExactSubstrSpans _),
     "x100_incr_substr_spans" -> (C.x100IncrSubstrSpans _),
     "x101_span_scrub_long" -> (C.x101SpanScrubLong _),
+    "x102_incr_scrub_long" -> (C.x102IncrScrubLong _),
+    "x103_decontam_spans" -> (C.x103DecontamSpans _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

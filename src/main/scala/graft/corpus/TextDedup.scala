@@ -833,25 +833,53 @@ object TextDedup {
         array_join(slice(col("ws"), col("start_pos").cast("int"),
           col("n_span_tokens").cast("int")), " ").as("span_text"))
 
+  /** The ONE islands key ([[maximalRuns]] and [[runQualified]] both build
+    * on it, so the run definition cannot drift): pos − row_number over
+    * per-document pos order is constant exactly on a consecutive run.
+    * Extra columns (e.g. a removability flag) ride through untouched;
+    * `(doc_id, pos)` must be unique (one window per position — true for
+    * every caller by construction). The per-document window ranks
+    * DUPLICATED positions only — bounded by document length, a per-doc
+    * key can never concentrate a corpus. */
+  private def runGroups(dup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dup.withColumn("grp", col("pos") - row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+  }
+
   /** The ONE maximal-run definition ([[duplicatedSpans]],
     * [[duplicatedSpansAgainst]], [[spanScrubLong]]): islands-and-gaps over
-    * `(doc_id, pos)` duplicated window starts (pos − row_number constant
-    * exactly on a consecutive run; the per-document window ranks
-    * duplicated positions only — bounded by document length), gated on
+    * `(doc_id, pos)` duplicated window starts ([[runGroups]]), gated on
     * covered span length. Returns `(doc_id, a, b, n_span_tokens)` with
     * [a..b] the run's window-start range. */
   private def maximalRuns(dup: DataFrame, spanTokens: Int,
-      minTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    dup
-      .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      minTokens: Int): DataFrame =
+    runGroups(dup)
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
       .withColumn("n_span_tokens",
         col("b") - col("a") + lit(spanTokens.toLong))
       .filter(col("n_span_tokens") >= minTokens)
       .select(col("doc_id"), col("a"), col("b"), col("n_span_tokens"))
+
+  /** Per-POSITION run qualification — [[maximalRuns]] without the
+    * aggregate collapse: every input position annotated with the covered
+    * length of ITS maximal run (min/max over the `(doc_id, grp)` islands
+    * window — no join back, so there is no positions × runs fan-out; a
+    * boilerplate-heavy document with thousands of runs pays exactly two
+    * doc-keyed window passes, never a per-doc cross product). Positions in
+    * runs shorter than `minTokens` are dropped; extra input columns ride
+    * through. */
+  private def runQualified(dup: DataFrame, spanTokens: Int,
+      minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("grp"))
+    runGroups(dup)
+      .withColumn("n_span_tokens",
+        max(col("pos")).over(w) - min(col("pos")).over(w)
+          + lit(spanTokens.toLong))
+      .filter(col("n_span_tokens") >= minTokens)
+      .drop("grp", "n_span_tokens")
   }
 
   /** x83 — cross-document span SCRUB: [[crossDocSpans]] detects verbatim
@@ -925,12 +953,16 @@ object TextDedup {
     * [[spanScrub]] bit for bit — spec-pinned, which keeps the two scrub
     * tiers one definition apart, not two implementations apart.
     *
-    * Scale shape: x83's gram-df shuffles + x99's per-document islands
-    * window, plus one doc-keyed join of duplicated positions to the
-    * bounded qualifying-run table (runs per doc are few; positions match
-    * at most one run — runs are disjoint). Nothing pairwise; `hashGrams`
-    * is the usual shuffle-width switch with x83's family-merge collision
-    * caveat. */
+    * Scale shape: x83's gram-df shuffles + TWO doc-keyed window passes
+    * over duplicated positions ([[runQualified]]: the x99 islands key,
+    * then per-run min/max over the `(doc_id, grp)` window) — each position
+    * learns its OWN run's length in place, so there is no join of
+    * positions to runs at all (an earlier doc_id-keyed join + range filter
+    * materialized |dup positions| × |qualifying runs| rows per document —
+    * a per-doc quadratic term for boilerplate-heavy documents; the islands
+    * key removes it exactly, since runs are disjoint and a position
+    * belongs to exactly one). Nothing pairwise; `hashGrams` is the usual
+    * shuffle-width switch with x83's family-merge collision caveat. */
   def spanScrubLong(docs: DataFrame, spanTokens: Int = SpanTokens,
       minTokens: Int = ExactSubstrMinTokens,
       hashGrams: Boolean = false): DataFrame = {
@@ -946,12 +978,12 @@ object TextDedup {
     val marked = pos.join(st, "g").filter(col("df") >= 2)
       .select(col("doc_id"), col("pos"),
         (col("doc_id") =!= col("min_doc")).as("removable"))
-    val runs = maximalRuns(marked.select(col("doc_id"), col("pos")),
-      spanTokens, minTokens)
+    // runs measure over ALL duplicated positions (canonical included);
+    // only removable ones inside a qualifying run reach coverage — the
+    // removable filter must run AFTER qualification, never before
     val cov = spanCoverage(
-      marked.filter(col("removable"))
-        .join(runs.select(col("doc_id"), col("a"), col("b")), Seq("doc_id"))
-        .filter(col("pos") >= col("a") && col("pos") <= col("b"))
+      runQualified(marked, spanTokens, minTokens)
+        .filter(col("removable"))
         .select(col("doc_id"), col("pos")),
       spanTokens)
     rebuildScrubbed(ws, cov)
@@ -1069,6 +1101,100 @@ object TextDedup {
         .join(refGrams.select(col("g")), Seq("g"), "left_semi"),
       spanTokens)
     rebuildScrubbed(ws, cov)
+  }
+
+  /** X102 — INCREMENTAL exact-substring scrub at ExactSubstr length: the
+    * ingest-time remedy completing the tier symmetry (x83 self-contained ↔
+    * x84 against; x99 ↔ x100; x101 ↔ THIS — before it, an ingest pipeline
+    * wanting Lee et al. 2022's ≥ 50-token remedy on an arriving crawl had
+    * to re-run the self-contained [[spanScrubLong]] over reference ∪
+    * increment, re-shuffling the whole corpus per ingest — exactly the
+    * cost the against forms exist to avoid). An increment occurrence is
+    * removed iff its window is in the FROZEN reference span vocabulary
+    * ([[spanVocabulary]], typically persisted) AND it lies inside a
+    * maximal matched run covering ≥ `minTokens` tokens (the x99/x101
+    * islands definition, [[runQualified]] shared). The canonical-home rule
+    * anchors to the reference side, as in [[spanScrubAgainst]]: the
+    * reference CONTAINED every matched span when the vocabulary was
+    * frozen, so there is no keep-one-copy contest — every qualifying
+    * matched occurrence is removable. Spans duplicated only WITHIN the
+    * increment are deliberately untouched (the next snapshot's
+    * [[spanScrubLong]] problem, not the frozen vocabulary's).
+    *
+    * Two spec-pinned anchors keep it one definition away from its
+    * siblings, not two implementations away: degenerate `minTokens =
+    * spanTokens` gates nothing, so it equals [[spanScrubAgainst]] bit for
+    * bit; and when increment documents share spans only with the reference
+    * and reference doc_ids precede arriving ones, it equals the
+    * self-contained [[spanScrubLong]] on reference ∪ increment restricted
+    * to increment rows (the x84/x100 decomposition pin — matched runs are
+    * then exactly the union's duplicated runs on increment docs, and
+    * min_doc is always a reference doc, so removability is total).
+    *
+    * Scale shape: the increment explodes once; ONE gram-keyed semi-join
+    * against the vocabulary (reading in place when persisted/bucketed —
+    * the reference corpus is never re-read, the x40/x51/x54/x60
+    * persisted-probe discipline); then [[runQualified]]'s two doc-keyed
+    * window passes over matched positions only (no positions × runs
+    * join — the x101 fix, inherited) and the bounded rebuild over
+    * increment rows. `hashGrams` must match the vocabulary's build mode
+    * (loud at construction); a 64-bit collision can only extend a run or
+    * over-remove one window — the conservative direction for a scrub. */
+  def spanScrubLongAgainst(newDocs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = SpanTokens, minTokens: Int = ExactSubstrMinTokens,
+      hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, "a span of one token is just the unigram table")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " gate anything — every matched window covers spanTokens tokens")
+    requireVocabMode(refGrams, hashGrams, "spanScrubLongAgainst")
+    val ws = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val matched = positionalGrams(ws, spanTokens, hashGrams)
+      .join(refGrams.select(col("g")), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val cov = spanCoverage(
+      runQualified(matched, spanTokens, minTokens), spanTokens)
+    rebuildScrubbed(ws, cov)
+  }
+
+  /** Minimum span length (tokens) for [[decontaminationSpans]] — GPT-3's
+    * published decontamination filter length (Brown et al. 2020, Appendix
+    * C: 13-gram overlap with any benchmark), shared with the x103 oracle
+    * generator so the two cannot drift. Deliberately far below
+    * [[ExactSubstrMinTokens]]: benchmark questions are short, and a leak
+    * audit that only sees ≥ 50-token overlaps misses most of them. */
+  val DecontamMinTokens: Int = 13
+
+  /** X103 — span-level decontamination report: WHAT leaked, not just that
+    * something did. [[decontaminationReport]] (x22) flags eval leakage
+    * binarily (any shared 3-gram) and x54 scores gram mass; this hands the
+    * release-gate audit the actual verbatim spans — per training document,
+    * every maximal ≥ `minTokens`-token run of window positions present in
+    * the BENCHMARK slice's span vocabulary, with the leaked text (the
+    * composition the x100 screen was built for: benchmark slice →
+    * [[spanVocabulary]] → [[duplicatedSpansAgainst]], packaged as one
+    * named operator so the audit is a query, not a recipe). Benchmark
+    * membership follows x22's convention (`doc_id % benchMod == 0`);
+    * benchmark rows themselves report nothing (they ARE the reference).
+    * Default length gate is GPT-3's 13 tokens ([[DecontamMinTokens]]), not
+    * ExactSubstr's 50 — leak spans are short; the splice caveat inherited
+    * from x100 (consecutive windows may match DIFFERENT benchmark docs and
+    * chain) is again the conservative direction for an audit.
+    *
+    * Scale shape: x100's verbatim — the benchmark side collapses to its
+    * distinct span vocabulary once (persist it via [[writeVocabulary]] and
+    * the audit re-probes it in place per release), one gram-keyed
+    * semi-join, [[runQualified]]-free islands merge over matched positions
+    * only. Nothing pairwise; benchmark vocabularies are small enough that
+    * the semi-join usually broadcasts. */
+  def decontaminationSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      minTokens: Int = DecontamMinTokens, benchMod: Long = DefaultBenchMod,
+      hashGrams: Boolean = false): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    duplicatedSpansAgainst(
+      docs.filter(!isBench),
+      spanVocabulary(docs.filter(isBench), spanTokens, hashGrams),
+      spanTokens, minTokens, hashGrams)
   }
 
   /** x54 — n-gram novelty score: for each NEW document, the fraction of its

@@ -794,6 +794,97 @@ SELECT t.doc_id,
 FROM t LEFT JOIN k USING (doc_id)"""
   }
 
+  /** x102 — incremental exact-substring scrub at ExactSubstr length: x84's
+    * vocabulary-hit coverage gated to maximal MATCHED runs covering ≥
+    * ExactSubstrMinTokens tokens (x99's islands definition over matched
+    * positions; every qualifying matched occurrence is removable — the
+    * reference is canonical, no keep-one-copy contest). */
+  private val incrScrubLongSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    val m = graft.corpus.TextDedup.ExactSubstrMinTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 2 = 1),
+rg AS (
+  SELECT DISTINCT array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM (SELECT string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE len(ws) >= $l)),
+p AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+hit AS (
+  SELECT p.doc_id, p.pos FROM p JOIN rg USING (g)),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         pos
+  FROM hit),
+q AS (
+  SELECT doc_id, pos,
+         MAX(pos) OVER (PARTITION BY doc_id, grp)
+           - MIN(pos) OVER (PARTITION BY doc_id, grp) + $l AS n_span
+  FROM runs),
+cov AS (
+  SELECT DISTINCT q.doc_id, q.pos + su.u AS tp
+  FROM q CROSS JOIN (SELECT unnest(range($l)) AS u) su
+  WHERE q.n_span >= $m),
+toks AS (
+  SELECT doc_id, u + 1 AS tp, ws[u + 1] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS u FROM t)),
+k AS (
+  SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.tp) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.tp = cov.tp
+  WHERE cov.tp IS NULL GROUP BY 1)
+SELECT t.doc_id,
+  CASE WHEN t.ws IS NOT NULL THEN coalesce(k.kept_text, '') END AS scrubbed,
+  len(t.ws) AS n_tokens,
+  len(t.ws) - coalesce(k.n_kept, 0) AS n_removed
+FROM t LEFT JOIN k USING (doc_id)"""
+  }
+
+  /** x103 — span-level decontamination report: non-benchmark documents'
+    * maximal runs of window positions present in the doc_id % 50 == 0
+    * benchmark slice's span vocabulary (x22's slice convention), gated at
+    * DecontamMinTokens (GPT-3's 13). */
+  private val decontamSpansSql: String = {
+    val l = graft.corpus.TextDedup.SpanTokens
+    val m = graft.corpus.TextDedup.DecontamMinTokens
+    val b = graft.corpus.TextDedup.DefaultBenchMod
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % $b <> 0),
+vocab AS (
+  SELECT DISTINCT array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM (SELECT string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % $b = 0)
+        WHERE len(ws) >= $l)),
+p AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(ws[i + 1 : i + $l], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - ${l - 1})) AS i
+        FROM t WHERE len(ws) >= $l)),
+dup AS (
+  SELECT p.doc_id, p.pos FROM p JOIN vocab USING (g)),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         pos
+  FROM dup),
+spans AS (
+  SELECT doc_id, MIN(pos) AS start_pos,
+         MAX(pos) - MIN(pos) + $l AS n_span_tokens
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + $l >= $m)
+SELECT s.doc_id, s.start_pos, s.n_span_tokens,
+  array_to_string(t.ws[CAST(s.start_pos AS BIGINT) :
+    CAST(s.start_pos + s.n_span_tokens - 1 AS BIGINT)], ' ') AS span_text
+FROM spans s JOIN t USING (doc_id)"""
+  }
+
   /** x38 — per-source length profile; `quantile_cont` == Spark `percentile`
     * (the q11 parity fact), BIGINT casts against DuckDB's HUGEINT widening. */
   private val lengthProfileSql: String =
@@ -1891,6 +1982,12 @@ FROM h"""
     // x101: the ExactSubstr-length scrub — x83's coverage gated to
     // >= 50-token maximal runs
     "x101_span_scrub_long" -> spanScrubLongSql,
+    // x102: the increment twin of x101 — odd-id docs scrubbed of >= 50-token
+    // matched runs against the even-id half's frozen span vocabulary
+    "x102_incr_scrub_long" -> incrScrubLongSql,
+    // x103: span-level decontamination — verbatim >= 13-token overlaps with
+    // the doc_id % 50 == 0 benchmark slice, with the leaked text
+    "x103_decontam_spans" -> decontamSpansSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -199,6 +199,25 @@ object CorpusQueries {
       TextDedup.spanVocabulary(d.filter(col("doc_id") % 2 === 0)))
   }
 
+  /** x102 — incremental exact-substring scrub at ExactSubstr length:
+    * odd-id docs (the increment) scrubbed against the even-id reference
+    * half's frozen span vocabulary (x40's split convention), removing only
+    * matched runs covering ≥ 50 tokens — x101's ingest twin (x84 is x83's;
+    * this completes the tier symmetry). */
+  def x102IncrScrubLong(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.spanScrubLongAgainst(
+      d.filter(col("doc_id") % 2 === 1),
+      TextDedup.spanVocabulary(d.filter(col("doc_id") % 2 === 0)))
+  }
+
+  /** x103 — span-level decontamination report: the verbatim ≥ 13-token
+    * spans (GPT-3's published filter length) each training document shares
+    * with the doc_id % 50 == 0 benchmark slice — x22 says THAT something
+    * leaked, this says WHAT. */
+  def x103DecontamSpans(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.decontaminationSpans(docs(spark, dir))
+
   /** x85 — CCNet-style per-language quality buckets: head/middle/tail thirds
     * by length-normalized unigram LM score, skew-proof exact NTILE. */
   def x85CcnetBuckets(spark: SparkSession, dir: String): DataFrame =

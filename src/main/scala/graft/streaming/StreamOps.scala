@@ -506,6 +506,83 @@ object StreamOps {
       .unionByName(spanless)
   }
 
+  /** Streaming incremental exact-substring scrub at ExactSubstr length —
+    * [[graft.corpus.TextDedup.spanScrubLongAgainst]]'s ingest twin (x102):
+    * strip from each arriving document only the matched runs covering ≥
+    * `minTokens` tokens against the FROZEN reference span vocabulary (Lee
+    * et al. 2022's published remedy on the stream — short incidental
+    * vocabulary hits survive, unlike [[scrubSpansAgainst]]'s scrub-every-hit
+    * tier). Emits `(doc_id, ts, scrubbed, n_tokens, n_removed)`, spec-pinned
+    * batch-equal.
+    *
+    * Shape: [[scrubSpansAgainst]]'s one-aggregation restructure composed
+    * with [[duplicatedSpansAgainst]]'s within-row islands fold — explode
+    * positional grams (the SHARED `TextDedup.spanGrams` definition),
+    * stream-static LEFT join the vocabulary, ONE watermarked aggregation
+    * per (doc_id, ts) collecting the SORTED matched start positions (the
+    * token array rides only the pos-1 row), then the batch twin's per-doc
+    * islands window becomes the within-row fold: sorted hits merge into
+    * maximal consecutive runs, the length gate filters, and coverage is
+    * each qualifying run's closed token range [s, e + spanTokens − 1]
+    * (within a run every start is matched, so per-window coverage and
+    * run-range coverage coincide). Gram-less documents ride the stateless
+    * untouched branch (NULL → NULL outputs, the batch conventions).
+    * `hashGrams` must match the vocabulary's build mode (loud at
+    * construction). */
+  def scrubSpansLongAgainst(docs: DataFrame, refGrams: DataFrame,
+      spanTokens: Int = graft.corpus.TextDedup.SpanTokens,
+      minTokens: Int = graft.corpus.TextDedup.ExactSubstrMinTokens,
+      hashGrams: Boolean = false,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.corpus.TextDedup.requireVocabMode(refGrams, hashGrams,
+      "scrubSpansLongAgainst")
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " gate anything — every matched window covers spanTokens tokens")
+    val base = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+    // size(NULL ws) is NULL: coalesce so NULL-text docs route to the
+    // stateless branch rather than vanishing from both
+    val gramful = coalesce(size(col("ws")) >= spanTokens, lit(false))
+    val spanless = base.filter(!gramful).select(col("doc_id"), col("ts"),
+      when(col("ws").isNotNull, array_join(col("ws"), " ")).as("scrubbed"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      when(col("ws").isNotNull, lit(0L)).as("n_removed"))
+    val grams = base.filter(gramful)
+      .select(col("doc_id"), col("ts"), col("ws"),
+        posexplode(graft.corpus.TextDedup.spanGrams(col("ws"), spanTokens))
+          .as(Seq("i0", "g")))
+      .select(col("doc_id"), col("ts"),
+        when(col("i0") === 0, col("ws")).as("ws1"),
+        (col("i0") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
+    val hits = grams
+      .join(refGrams.select(col("g"), lit(true).as("__hit")), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(first(col("ws1"), ignoreNulls = true).as("ws"),
+        sort_array(collect_set(when(col("__hit"), col("pos")))).as("hits"))
+    // the islands fold (shared shape with duplicatedSpansAgainst):
+    // consecutive starts extend the open run
+    val runs = expr(
+      "aggregate(hits, cast(array() as array<struct<s:int,e:int>>)," +
+        " (acc, p) -> if (size(acc) > 0 and element_at(acc, -1).e + 1 = p," +
+        " concat(slice(acc, 1, size(acc) - 1)," +
+        "   array(named_struct('s', element_at(acc, -1).s, 'e', p)))," +
+        " concat(acc, array(named_struct('s', p, 'e', p)))))")
+    val qruns = filter(runs,
+      r => r.getField("e") - r.getField("s") + lit(spanTokens) >= minTokens)
+    val toks = transform(col("ws"),
+      (tok, i) => struct((i + 1).as("tp"), tok.as("tok")))
+    val kept = filter(toks, t => !exists(col("qr"),
+      r => t("tp") >= r("s") && t("tp") <= r("e") + lit(spanTokens - 1)))
+    hits.withColumn("qr", qruns)
+      .select(col("doc_id"), col("ts"),
+        array_join(transform(kept, s => s("tok")), " ").as("scrubbed"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
+      .unionByName(spanless)
+  }
+
   /** Streaming increment exact-substring spans —
     * [[graft.corpus.TextDedup.duplicatedSpansAgainst]]'s ingest twin
     * (x100): per arriving document, every maximal ≥ `minTokens` run of

@@ -91,4 +91,71 @@ object ExactSubstrProperties extends Properties("exactSubstr") {
       (got == want) :| s"string path: got ${got.size}, want ${want.size}" &&
         (gotHashed == want) :| "hashed path diverged"
     }
+
+  /** The x102 referee: even docs freeze the vocabulary, odd docs scrub —
+    * matched starts (window in the vocab set) merge into maximal runs,
+    * the gate keeps runs covering >= minTokens, coverage drops every token
+    * under a qualifying matched window, survivors re-join in order. Plain
+    * collections, no Spark — an independent serial implementation. */
+  private def scrubAgainstReferee(docs: List[Doc], w: Int, minTokens: Int)
+      : Set[(Long, Option[String], Option[Long], Option[Long])] = {
+    val vocab: Set[String] = docs.collect {
+      case Doc(id, Some(t)) if id % 2 == 0 =>
+        val ts = t.split(" ", -1)
+        if (ts.length >= w)
+          (0 to ts.length - w).map(i => ts.slice(i, i + w).mkString(" "))
+        else Seq.empty
+    }.flatten.toSet
+    docs.collect { case Doc(id, text) if id % 2 == 1 =>
+      text match {
+        case None => (id, None, None, None)
+        case Some(t) =>
+          val ts = t.split(" ", -1)
+          val matched =
+            if (ts.length >= w)
+              (0 to ts.length - w).map(_ + 1)
+                .filter(p => vocab(ts.slice(p - 1, p - 1 + w).mkString(" ")))
+            else Seq.empty
+          val runs = matched.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if e + 1 == p => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }
+          val cov = runs.filter { case (s, e) => e - s + w >= minTokens }
+            .flatMap { case (s, e) =>
+              matched.filter(p => p >= s && p <= e)
+                .flatMap(p => p until p + w) }
+            .toSet
+          val kept = ts.zipWithIndex.collect {
+            case (tok, i) if !cov(i + 1) => tok }
+          (id, Some(kept.mkString(" ")), Some(ts.length.toLong),
+            Some((ts.length - kept.length).toLong))
+      }
+    }.toSet
+  }
+
+  property("spanScrubLongAgainst equals the referee on random corpora " +
+      "(even = frozen reference, odd = increment), hashed keys alike") =
+    Prop.forAll(corpusGen) { case (docs, w, m) =>
+      val s = spark
+      import s.implicits._
+      val all = docs.map(d => (d.docId, d.text.orNull)).toDF("doc_id", "text")
+      val ref = all.filter(org.apache.spark.sql.functions.col("doc_id")
+        % 2 === 0)
+      val incr = all.filter(org.apache.spark.sql.functions.col("doc_id")
+        % 2 === 1)
+      def rows(hashGrams: Boolean) =
+        TextDedup.spanScrubLongAgainst(incr,
+            TextDedup.spanVocabulary(ref, spanTokens = w,
+              hashGrams = hashGrams),
+            spanTokens = w, minTokens = m, hashGrams = hashGrams)
+          .collect()
+          .map(r => (r.getLong(0), Option(r.getString(1)),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+          .toSet
+      val want = scrubAgainstReferee(docs, w, m)
+      val got = rows(hashGrams = false)
+      (got == want) :| s"string path: got ${got.size}, want ${want.size}" &&
+        (rows(hashGrams = true) == want) :| "hashed path diverged"
+    }
 }

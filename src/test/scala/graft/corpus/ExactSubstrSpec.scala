@@ -214,4 +214,109 @@ class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
     TextDedup.duplicatedSpansAgainst(incr.toDF("doc_id", "text"), vocab,
       spanTokens = 4, minTokens = 8).count() shouldBe 0L
   }
+
+  private def scrubRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.get(2)), Option(r.get(3)))).toSet
+
+  test("spanScrubLongAgainst removes only qualifying matched runs, leaves " +
+      "short vocabulary hits AND increment-internal duplication untouched") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 12).map(i => s"L$i").mkString(" ")
+    val short = (1 to 6).map(i => s"S$i").mkString(" ")
+    val innerDup = (1 to 11).map(i => s"D$i").mkString(" ")
+    val ref = Seq((0L, s"$long r1 r2 $short")).toDF("doc_id", "text")
+    val incr = Seq(
+      (101L, s"a1 a2 $long a3"),          // long ref hit: scrubbed
+      (102L, s"b1 $short b2 b3"),         // short ref hit: below gate, kept
+      (103L, innerDup),                   // incr-internal dup: untouched
+      (104L, s"c1 c2 $innerDup c3"))
+      .toDF("doc_id", "text")
+    val vocab = TextDedup.spanVocabulary(ref, spanTokens = 5)
+    val out = TextDedup.spanScrubLongAgainst(incr, vocab, spanTokens = 5,
+      minTokens = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    out(101L) shouldBe (("a1 a2 a3", 15L, 12L))
+    out(102L) shouldBe ((s"b1 $short b2 b3", 9L, 0L))
+    out(103L) shouldBe ((innerDup, 11L, 0L))
+    out(104L) shouldBe ((s"c1 c2 $innerDup c3", 14L, 0L))
+    // x84 by contrast scrubs the short hit too — the gate is the tier
+    val x84 = TextDedup.spanScrubAgainst(incr, vocab, spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    x84(102L) shouldBe "b1 b2 b3"
+  }
+
+  test("spanScrubLongAgainst at minTokens = spanTokens IS spanScrubAgainst " +
+      "(degenerate pin), decomposes to spanScrubLong on the union when the " +
+      "reference precedes and holds every shared span, and loud-fails a " +
+      "vocab-mode mismatch") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53L)
+    // reference ids 0..28: random small-vocab docs; increment ids 101..129:
+    // half embed a verbatim reference slice, half draw fresh per-doc
+    // vocabulary (no increment-internal cross-doc duplication, and every
+    // reference id precedes every increment id — the decomposition pin's
+    // precondition)
+    val ref = (0L until 30L by 2L).map(i =>
+      (i, (0 until 20).map(_ => s"r${rnd.nextInt(12)}").mkString(" ")))
+    val refTexts = ref.map(_._2).toIndexedSeq
+    val incr = (101L until 130L by 2L).map { i =>
+      val t =
+        if (i % 4 == 1) {
+          val src = refTexts((i % refTexts.size.toLong).toInt)
+          s"n${i}a n${i}b $src n${i}z"
+        } else if (i % 8 == 7) null
+        else (0 until 15).map(j => s"u${i}_$j").mkString(" ")
+      (i, t)
+    }
+    val all = (ref ++ incr).toDF("doc_id", "text")
+    val refDf = all.filter(col("doc_id") < 100L)
+    val incrDf = all.filter(col("doc_id") >= 100L)
+    val vocab = TextDedup.spanVocabulary(refDf, spanTokens = 4)
+    // degenerate pin
+    scrubRows(TextDedup.spanScrubLongAgainst(incrDf, vocab, spanTokens = 4,
+      minTokens = 4)) shouldBe
+      scrubRows(TextDedup.spanScrubAgainst(incrDf, vocab, spanTokens = 4))
+    // decomposition pin
+    val got = scrubRows(TextDedup.spanScrubLongAgainst(incrDf, vocab,
+      spanTokens = 4, minTokens = 8))
+    got shouldBe scrubRows(TextDedup.spanScrubLong(all, spanTokens = 4,
+      minTokens = 8).filter(col("doc_id") >= 100L))
+    got.exists(_._4.exists(_.asInstanceOf[Long] > 0L)) shouldBe true
+    // hashed twin agrees; mode mismatch is loud at construction
+    scrubRows(TextDedup.spanScrubLongAgainst(incrDf,
+      TextDedup.spanVocabulary(refDf, spanTokens = 4, hashGrams = true),
+      spanTokens = 4, minTokens = 8, hashGrams = true)) shouldBe got
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.spanScrubLongAgainst(incrDf, vocab, spanTokens = 4,
+        minTokens = 8, hashGrams = true)
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.spanScrubLongAgainst(incrDf, vocab, spanTokens = 4,
+        minTokens = 3)
+  }
+
+  test("decontaminationSpans reports WHAT leaked: the verbatim >= 13-token " +
+      "benchmark overlap with its text; benchmark rows and clean docs are " +
+      "absent") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 15).map(i => s"q$i").mkString(" ")
+    val d = Seq(
+      (0L, s"bench intro $leak bench outro"),          // benchmark (0 % 50)
+      (1L, s"train a1 a2 $leak tail1 tail2"),          // leaks 15 tokens
+      (2L, "clean training text with no overlap at all here whatsoever"),
+      (50L, s"another bench row $leak"),               // benchmark too
+      (3L, s"short s1 ${(1 to 8).map(i => s"q$i").mkString(" ")} s2"))
+      .toDF("doc_id", "text")                          // 8 < 13: below gate
+    val got = spans(TextDedup.decontaminationSpans(d))
+    got shouldBe Set((1L, 4L, 15L, leak))
+    // and it IS the documented composition (vocabulary -> against screen)
+    got shouldBe spans(TextDedup.duplicatedSpansAgainst(
+      d.filter(col("doc_id") % 50 =!= 0),
+      TextDedup.spanVocabulary(d.filter(col("doc_id") % 50 === 0)),
+      minTokens = TextDedup.DecontamMinTokens))
+  }
 }

@@ -875,6 +875,63 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("probe mode")
   }
 
+  test("streaming long-run span scrub (x102 twin): batch-equal through a " +
+      "live query — long matched runs removed, short hits survive; guard " +
+      "loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val long = (1 to 12).map(i => s"L$i").mkString(" ")
+    val short = (1 to 5).map(i => s"S$i").mkString(" ")
+    val old = Seq((2L, s"$long ref1 $short")).toDF("doc_id", "text")
+    val vocab = graft.corpus.TextDedup.spanVocabulary(old, spanTokens = 3)
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 11L, s"x1 x2 $long x3"), // >= 10: scrubbed
+      (ts("2024-01-01 10:00:01"), 13L, s"y1 $short y2 y3"), // 5 < 10: kept
+      (ts("2024-01-01 10:00:02"), 15L, "p q"),              // span-less
+      (ts("2024-01-01 10:00:03"), 17L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.scrubSpansLongAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"), vocab, spanTokens = 3,
+      minTokens = 10, watermarkDelay = "10 minutes")
+    val sink = s"spanscrublong_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_scrubl").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 99L, "zz"))
+      q.processAllAvailable()
+      val streamed = s.table(sink)
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 99L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("scrubbed"),
+          r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+      val batch = graft.corpus.TextDedup.spanScrubLongAgainst(
+        rows.map(r => (r._2, r._3)).toDF("doc_id", "text"), vocab,
+        spanTokens = 3, minTokens = 10).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("scrubbed"),
+          r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed")))).toMap
+      streamed shouldBe batch
+      streamed(11L)._1 shouldBe "x1 x2 x3"      // the long run came out
+      streamed(13L)._1 shouldBe s"y1 $short y2 y3" // the short hit did not
+    } finally q.stop()
+    intercept[IllegalArgumentException] { // hashed vocabulary, string probes
+      StreamOps.scrubSpansLongAgainst(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        graft.corpus.TextDedup.spanVocabulary(old, spanTokens = 3,
+          hashGrams = true), spanTokens = 3)
+    }.getMessage should include("probe mode")
+    intercept[IllegalArgumentException] { // gate below the window width
+      StreamOps.scrubSpansLongAgainst(
+        input.toDF().toDF("ts", "doc_id", "text"), vocab, spanTokens = 3,
+        minTokens = 2)
+    }.getMessage should include("minTokens")
+  }
+
   test("streaming verified near-dups: capChars without banded is rejected" +
       " at construction, not silently dropped") {
     val s = spark
