@@ -1,9 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed-work deterministic spin for the host-speed calibration probe:
+    * a serial LCG chain — every iteration depends on the last, so the JIT
+    * can neither vectorize nor elide it, and the measured time is pure
+    * clock-speed-and-contention. Returns the chain's end state (consumed
+    * by the caller so the loop is live). */
+  private def spin(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    x
+  }
+
+  /** Host-speed calibration probe (BASELINE.md Appendix B §4): the same
+    * fixed work timed once on ONE thread (`cal1` — clock speed / thermal
+    * state) and once on `threads` concurrent threads (`calN` — co-tenant
+    * contention, SMT width, turbo droop at width). No Spark involved: the
+    * probe prices the HOST, not the session, so any two bench lines can be
+    * normalized against each other without re-running old HEADs (r13, r14,
+    * and r17 each needed environment-vs-code adjudication; r17's demanded
+    * a full prior-HEAD re-run — this buys the same evidence for one number
+    * per run). ~1.5 s single + ~2 s wide on the r18 reference box. */
+  private def calibrate(threads: Int): (Double, Double) = {
+    val iters = 1000000000L
+    val sink = new java.util.concurrent.atomic.AtomicLong(spin(iters / 50))
+    val t1 = System.nanoTime()
+    sink.addAndGet(spin(iters))
+    val cal1 = (System.nanoTime() - t1) / 1e9
+    val tN = System.nanoTime()
+    val pool = (1 to threads).map(_ => new Thread(() => {
+      sink.addAndGet(spin(iters)); ()
+    }))
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    val calN = (System.nanoTime() - tN) / 1e9
+    if (sink.get == 42L) println("calibration sentinel") // keep the chain live
+    (cal1, calN)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // calibrate BEFORE the session exists: Spark's own threads must not
+    // contend with the probe
+    val (cal1, calN) = calibrate(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -110,8 +155,11 @@ object Bench {
     // "value" (the headline total) goes LAST: tail capture keeps the END of
     // stdout, so a clipped line loses leading per-query entries, never the
     // total — bench-latest.json below holds the complete copy regardless
+    // cal1/calN ride every line (host-speed probe, Appendix B §4) — placed
+    // before "value" so tail capture keeps them with the total
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
-      s""""queries":$qs$errJson$p1Json,"value":${ms(total)}}"""
+      s""""queries":$qs$errJson$p1Json""" +
+      s""","cal1":${ms(cal1)},"calN":${ms(calN)},"value":${ms(total)}}"""
     println(line)
     // also persist to a file: the driver's stdout tail-capture has truncated
     // this line mid-JSON before, losing the total — the file is the robust

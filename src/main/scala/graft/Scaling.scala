@@ -171,6 +171,39 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$workDir/x$m/docskew.parquet")
     }
 
+  /** Boilerplate-heavy fixture for the x101 cells: ONE mega document built
+    * from K = [[BoilerFamiliesPerScale]]·m boilerplate families (60 unique
+    * tokens each, above the 50-token ExactSubstr gate), each family
+    * separated by a unique one-token seam and each ALSO present verbatim as
+    * its own partner document — so the mega doc carries K disjoint
+    * QUALIFYING duplicated runs and ~56K duplicated window positions, all
+    * keyed to a single doc_id. This is exactly the shape where the retired
+    * doc_id-keyed coverage join evaluated positions × runs ≈ 56K² join
+    * rows in one task (~1.4×10⁹ at m = 10 — the r17 hazard's quoted scale)
+    * while the islands-key form pays two doc-keyed window passes over 56K
+    * rows. Generated deterministically on the driver (~2.4 MB of text at
+    * m = 10); workload grows ∝ m for the fixed form, ∝ m² for the referee. */
+  val BoilerFamiliesPerScale = 500
+  def buildBoilerDocs(spark: SparkSession, workDir: String,
+      scales: Seq[Int]): Unit =
+    scales.foreach { m =>
+      import spark.implicits._
+      val k = BoilerFamiliesPerScale * m
+      val families = (1 to k).map(i =>
+        (1 to 60).map(j => s"f${i}_$j").mkString(" "))
+      val mega = families.zipWithIndex
+        .map { case (f, i) => s"$f sep_$i" }.mkString(" ")
+      // the mega doc takes the HIGHEST doc_id: canonical home = min doc_id
+      // per gram, so every mega position must be NON-canonical (removable)
+      // — with the mega doc canonical, the retired join's removable
+      // pre-filter empties its left side and the fan-out never happens
+      (families.zipWithIndex.map { case (f, i) =>
+        ((i + 1).toLong, f) } :+ ((k + 1).toLong, mega))
+        .toDF("doc_id", "text")
+        .repartition(4) // the partner docs need not ride one task
+        .write.mode("overwrite").parquet(s"$workDir/x$m/docboiler.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaling"
@@ -214,11 +247,17 @@ object Scaling {
     // base count, corrupting every expected-row ratio of ops on that plane.
     // Only ABSENCE skips: a replica that exists but fails to read (corrupt
     // partial write, permissions) propagates loudly instead of thinning the
-    // ladder with a wrong "no replica" diagnosis (r17 review find)
+    // ladder with a wrong "no replica" diagnosis (r17 review find).
+    // Existence resolves through the HADOOP FileSystem for the path, not
+    // java.io.File: the parquet read goes through Hadoop path resolution,
+    // so a scheme-qualified or non-local workDir (file:/, hdfs:, s3a:)
+    // would make an existing replica look absent under a raw File probe —
+    // the exact misdiagnosis class this check exists to avoid (r17 advice)
     def x1Count(t: String): Long = {
-      val path = s"$workDir/x1/$t.parquet"
-      if (!new java.io.File(path).exists) -1L
-      else spark.read.parquet(path).count()
+      val p = new org.apache.hadoop.fs.Path(s"$workDir/x1/$t.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) -1L
+      else spark.read.parquet(p.toString).count()
     }
 
     // doc_id range per replica must be disjoint AND preserve the fixture
@@ -232,6 +271,14 @@ object Scaling {
     val longBaseN = if (wantBuild("longdocs"))
       buildLongDocs(spark, workDir, scales) else x1Count("longdocs")
     if (wantBuild("docskew")) buildSkewedDocs(spark, workDir, scales)
+    if (wantBuild("docboiler")) buildBoilerDocs(spark, workDir, scales)
+    // derived planes carry their OWN base counts, counted from their x1
+    // replica after any build: aliasing docskew to documents' baseN dropped
+    // every docskew op — with a message naming the wrong plane — whenever
+    // the documents plane was skipped and replica-less, even though
+    // docskew.parquet had just been built (r17 advice)
+    val docskewBaseN = x1Count("docskew")
+    val boilerBaseN = x1Count("docboiler")
 
     // VECTOR PLANE — replicas must preserve within-replica geometry exactly
     // (so each replica reproduces the base corpus's neighbor structure and
@@ -521,6 +568,15 @@ object Scaling {
         (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"))),
       ("documents", "x101_scrub_long",
         (d, _) => TextDedup.spanScrubLong(rd(d, "documents"))),
+      // x101 boilerplate pair (docboiler: ONE mega doc holding 150·m
+      // qualifying duplicated runs): the islands-key coverage must grow
+      // ∝ m while the retired doc_id-keyed join + range filter pays
+      // positions × runs ≈ m² inside the mega doc's single task — the pair
+      // prices exactly the r18 runQualified fix
+      ("docboiler", "x101_boiler",
+        (d, _) => TextDedup.spanScrubLong(rd(d, "docboiler"))),
+      ("docboiler", "x101_boiler_join",
+        (d, _) => TextDedup.spanScrubLongJoinReferee(rd(d, "docboiler"))),
       // the 100 TB shuffle-width switch priced on the same plane: both
       // x99 gram shuffles keyed on xxhash64 instead of 5-token strings
       ("documents", "x99_exact_substr_hashed",
@@ -542,7 +598,7 @@ object Scaling {
     val baseCounts: Map[String, Long] =
       relBaseCounts.toMap ++ Map("documents" -> baseN,
         "embeddings" -> embBaseN, "longdocs" -> longBaseN,
-        "docskew" -> baseN)
+        "docskew" -> docskewBaseN, "docboiler" -> boilerBaseN)
 
     // optional comma-separated op allowlist for targeted ladder extensions —
     // re-measuring the whole ladder to add one cell wastes an hour of

@@ -134,7 +134,7 @@ object ScalingIncr {
           graft.corpus.Retrieval.bm25Postings(
             oldDocs.filter(!graft.corpus.Retrieval.querySheetCol())),
           postTable)
-      if (want("x84_probe", "x100_probe"))
+      if (want("x84_probe", "x100_probe", "x102_probe"))
         TextDedup.writeVocabulary(
           TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
       val lmTable = s"scal_incr_lm_x$m"
@@ -211,6 +211,14 @@ object ScalingIncr {
         // the bucketed vocabulary scan grows (the x84 shape, minus the
         // rebuild)
         ("x100_probe", () => TextDedup.duplicatedSpansAgainst(
+          inc("documents"), spark.table(spanVocTable), hashGrams = true)),
+        // x102: fixed increment SCRUBBED at ExactSubstr length against the
+        // growing persisted span vocabulary — x100's screen plus the
+        // rebuild, x84's scrub plus the run gate. Increment docs duplicate
+        // their replica-0 twins verbatim, so per-doc run structure and
+        // removal work are constant in m by construction; only the
+        // bucketed vocabulary scan grows
+        ("x102_probe", () => TextDedup.spanScrubLongAgainst(
           inc("documents"), spark.table(spanVocTable), hashGrams = true)),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their

@@ -850,7 +850,14 @@ object Curation {
     * mega-source caller cannot accidentally serialize; callers that must
     * stay lazy on a KNOWN-bounded corpus pass `windowCrossover =
     * Long.MaxValue`, and mega-source callers that want to skip the probe
-    * call [[assignShardsBanded]] directly. Pure integer arithmetic
+    * call [[assignShardsBanded]] directly. The probe is a SECOND scan of
+    * `docs` (the chosen plan re-scans it), so cache/persist `docs` before
+    * the default probing form when the input is expensive to recompute —
+    * and note that on a NON-DETERMINISTIC input (a fresh sample, an
+    * un-checkpointed shuffle race) the probe may see a different
+    * max-per-source than the executed plan: value-identity of the two
+    * forms always holds, but the crossover guarantee is only as
+    * deterministic as the input (r17 advice). Pure integer arithmetic
     * downstream of the rank — the DuckDB oracle matches bit for bit. */
   def assignShards(docs: DataFrame, shards: Int = ShardCount,
       windowCrossover: Long = WindowCrossoverRows): DataFrame = {

@@ -115,24 +115,18 @@ object Profiling {
     // the four planes are INDEPENDENT and their construction is eager
     // (packNextFit's doubling chain, hardNegatives' pool checkpoint, the
     // recall generator's centroid collect) — build them on concurrent
-    // driver threads so their jobs overlap in the scheduler instead of
-    // queueing behind each other (job submission is thread-safe; each
-    // plane is the exact frame the sequential form built, so the
-    // spec-pinned bit-equality to datasetCardFrom is untouched)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val futures = Seq(
-      Future(graft.corpus.Curation.packEfficiencyReport(docs)),
-      Future(graft.corpus.Curation.packNextFit(docs)),
-      Future(Similarity.denseRecallEval(emb)),
-      Future(Similarity.hardNegatives(emb)))
-    // settle ALL four before surfacing any failure: Spark jobs cannot be
-    // cancelled through a Future, so rethrowing early would leave sibling
-    // planes running detached with nothing awaiting them (r17 review find)
-    val settled = futures.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    settled.collectFirst { case scala.util.Failure(e) => throw e }
-    val Seq(p31, p97, rec, neg) = settled.map(_.get)
+    // DEDICATED driver threads (graft.util.DriverPar: never the shared
+    // global fork-join pool, whose CPU-sized capacity blocking Spark
+    // actions can starve — r17 advice; all four settle before any failure
+    // rethrows, since Spark jobs can't be cancelled through a thread
+    // handle — r17 review find). Each plane is the exact frame the
+    // sequential form built, so the spec-pinned bit-equality to
+    // datasetCardFrom is untouched.
+    val Seq(p31, p97, rec, neg) = graft.util.DriverPar.settleAll(Seq(
+      () => graft.corpus.Curation.packEfficiencyReport(docs),
+      () => graft.corpus.Curation.packNextFit(docs),
+      () => Similarity.denseRecallEval(emb),
+      () => Similarity.hardNegatives(emb)))
     datasetCardFrom(docs, emb, p31, p97, rec, neg)
   }
 

@@ -157,10 +157,19 @@ object Quantization {
     * search kernels ([[adcTopKWith]]). */
   def trainedCodebooks(emb: DataFrame, m: Int = DefaultSubspaces,
       ksub: Int = DefaultCodewords, rounds: Int = 3,
-      dim: Int = DefaultDim): Array[Array[Array[Double]]] = {
-    val dsub = dim / m
+      dim: Int = DefaultDim): Array[Array[Array[Double]]] =
+    trainedCodebooksFrom(emb, sliceCodebooks(emb, m, ksub, dim), rounds, dim)
+
+  /** [[trainedCodebooks]] warm-started from a given codebook set instead of
+    * the deterministic slice seeds — the codebook-update half of the OPQ
+    * alternation ([[opqRotation]] re-trains on each new rotation without
+    * discarding the previous round's clustering). Same Lloyd step, same
+    * fixed-point decimal mean discipline. */
+  def trainedCodebooksFrom(emb: DataFrame, init: Array[Array[Array[Double]]],
+      rounds: Int, dim: Int = DefaultDim): Array[Array[Array[Double]]] = {
+    val dsub = init(0)(0).length
     val dp = Semantic.MeanRoundDp
-    var cbs = sliceCodebooks(emb, m, ksub, dim)
+    var cbs = init
     val base = cleanBase(emb, dim)
     var r = 0
     while (r < rounds) {
@@ -195,6 +204,109 @@ object Quantization {
       r += 1
     }
     cbs
+  }
+
+  /** Apply a trained OPQ rotation to an embedding frame: `embedding` →
+    * `R·embedding`, schema preserved (float storage, the corpus
+    * convention). One codegen'd narrow projection
+    * ([[graft.functions.RotateVector]]) — at 100 TB the rotation rides the
+    * encode scan, never a separate pass; rotation is orthogonal, so norms,
+    * cosines, and the exact top-k are untouched and every downstream
+    * entry point ([[pqCodes]], [[ivfPqIndex]], [[centroidSeeds]], the ADC
+    * generators) runs on the rotated frame unchanged. */
+  def rotateEmbeddings(emb: DataFrame, r: Array[Array[Double]]): DataFrame =
+    emb.withColumn("embedding",
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.RotateVector(
+          org.apache.spark.sql.GraftExpressionBridge.expression(
+            col("embedding").cast("array<double>")), r))
+        .cast("array<float>"))
+
+  /** OPQ — the learned orthogonal pre-encode rotation (Ge et al. 2013,
+    * "Optimized Product Quantization", the non-parametric solution §3.2;
+    * public method, no reference-pipeline counterpart): alternate
+    *
+    *  1. codebook update — Lloyd rounds on the CURRENT rotation's subspace
+    *     slices ([[trainedCodebooksFrom]], warm-started);
+    *  2. rotation update — the orthogonal Procrustes step: with
+    *     M = Σ_rows x·q(Rx)ᵀ (x the original vector, q the PQ
+    *     reconstruction of the rotated one), SVD M = U·S·Vᵀ gives the
+    *     trace-maximizing R = V·Uᵀ.
+    *
+    * The distributed half of step 2 never materializes per-row
+    * reconstructions: M decomposes as Σ_s Σ_c outer(S_{s,c}, cw_{s,c})
+    * where S_{s,c}[i] = Σ of x[i] over rows whose subspace-s code is c —
+    * ONE narrow explode to (s, c, i) rows and a bounded aggregate of
+    * m·ksub·dim cells (8·16·64 = 8 192 here) regardless of corpus size,
+    * then a driver-side 64×64 SVD (breeze, on the Spark classpath). Each
+    * alternation is one linear corpus pass; at 100 TB train on a bounded
+    * sample (the standard PQ/OPQ practice — codebooks and R are
+    * driver-held artifacts either way, [[sliceCodebooks]]' broadcast
+    * discipline).
+    *
+    * Determinism: codebook training is the fixed-point-decimal Lloyd step,
+    * the aggregate is a sum over a fixed partitioning of rounded decimals,
+    * and LAPACK's SVD is deterministic on identical input; the R = V·Uᵀ
+    * product is invariant to SVD's per-pair sign ambiguity (negating u_k
+    * and v_k together leaves v_k·u_kᵀ unchanged).
+    *
+    * When it helps and when it cannot: rotation re-allocates VARIANCE
+    * across subspaces, so it buys recall exactly when the corpus is
+    * anisotropic and misaligned with the subspace grid (real embeddings:
+    * decaying spectra under arbitrary orientation). On an isotropic
+    * residual (the spherical MoG fixture) every rotation is statistically
+    * identical and OPQ measurably buys ~nothing — run the
+    * [[graft.RecallSweep]] gate before adopting, exactly like the ADC tier
+    * itself (SCALING.md round 18). */
+  def opqRotation(emb: DataFrame, m: Int = DefaultSubspaces,
+      ksub: Int = DefaultCodewords, rounds: Int = 8,
+      innerRounds: Int = 2, dim: Int = DefaultDim): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    var r: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var cbs = sliceCodebooks(emb, m, ksub, dim)
+    val base = cleanBase(emb, dim)
+    var it = 0
+    while (it < rounds) {
+      val rotEmb = rotateEmbeddings(emb, r)
+      cbs = trainedCodebooksFrom(rotEmb, cbs, innerRounds, dim)
+      // (s, c, i) sums of the ORIGINAL coordinates, keyed by the rotated
+      // encoding — the bounded decomposition of M = Σ x·qᵀ
+      val enc = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.PqEncode(
+          graft.functions.RotateVector(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
+            r),
+          cbs))
+      val sums = base
+        .select(col("e"), enc.as("codes"))
+        .filter(col("codes").isNotNull)
+        .select(posexplode(col("e")).as(Seq("i", "x")), col("codes"))
+        .select(col("i"), col("x"),
+          posexplode(col("codes")).as(Seq("s", "c")))
+        .groupBy(col("s"), col("c"), col("i"))
+        .agg(sum(round(col("x"), Semantic.MeanRoundDp)
+          .cast("decimal(28,12)")).as("sx"))
+        .collect()
+      val mMat = Array.ofDim[Double](dim, dim)
+      sums.foreach { row =>
+        val s = row.getInt(0); val c = row.getInt(1); val i = row.getInt(2)
+        val sx = row.getDecimal(3).doubleValue()
+        val cw = cbs(s)(c)
+        var jj = 0
+        while (jj < dsub) {
+          mMat(i)(s * dsub + jj) += sx * cw(jj)
+          jj += 1
+        }
+      }
+      val bm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => mMat(i)(j))
+      val svd = breeze.linalg.svd(bm)
+      val rNew = svd.Vt.t * svd.U.t
+      r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+      it += 1
+    }
+    r
   }
 
   /** X66 — the encode table flattened for auditing (and the driver's

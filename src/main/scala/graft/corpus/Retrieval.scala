@@ -534,7 +534,24 @@ object Retrieval {
     * `graft.RecallSweep` sweep) on an audit slice FIRST, and adopt this
     * tier only when the measured shortlist survival clears your recall
     * bar; when codes-only scanning is mandatory anyway, keep nprobe small
-    * and the shortlist (kCand) deep. */
+    * and the shortlist (kCand) deep.
+    *
+    * The r18 structured-fixture addendum (SCALING.md "the OPQ bracket"):
+    * the sweep on a TIGHT-CLUSTER mixture (spherical MoG) read WORSE than
+    * random — IVF hit 1.0 by nprobe 4 while ADC direct recall sat at
+    * 0.03–0.07, because within-cluster ordering lives entirely in the
+    * residual that 32-bit codes erase; clusterable data does not by itself
+    * rescue a thin code. What does move the number on the ANISOTROPIC
+    * shape real embeddings have (decaying spectrum, arbitrary orientation)
+    * is the learned OPQ rotation ([[Quantization.opqRotation]], applied
+    * with [[Quantization.rotateEmbeddings]] before building `index`/`cbs`
+    * on the rotated frame): shortlist survival 0.57 → 0.72 and direct
+    * recall ×2 on that fixture, at zero per-query cost (the rotation rides
+    * the ingest scan). On an ISOTROPIC residual it cannot help by symmetry
+    * (rotation of a spherical Gaussian is spherical — measured +0.03
+    * survival, noise) — so the order of levers is: measure; if
+    * anisotropic, rotate (free at query time); if survival still misses
+    * the bar, add bits (m/ksub) or fall back to [[ivfDenseCandidates]]. */
   def ivfAdcDenseCandidates(index: DataFrame,
       cbs: Array[Array[Array[Double]]], centroids: Seq[(Long, Seq[Double])],
       nprobe: Int = Similarity.DefaultIvfNprobe): DenseCandidates =

@@ -989,6 +989,36 @@ object TextDedup {
     rebuildScrubbed(ws, cov)
   }
 
+  /** The RETIRED x101 coverage stage — duplicated positions joined to the
+    * qualifying-run table on doc_id alone, range-filtered after — kept
+    * package-private ONLY as the ladder referee pricing the [[runQualified]]
+    * rewrite (the join materializes |dup positions| × |qualifying runs|
+    * rows per document before the filter prunes: a per-doc quadratic term
+    * for boilerplate-heavy documents; see SCALING.md "x101 boilerplate").
+    * Value-equal to [[spanScrubLong]] on every input — the x31/x79
+    * retired-referee convention. NOT part of the API. */
+  private[graft] def spanScrubLongJoinReferee(docs: DataFrame,
+      spanTokens: Int = SpanTokens, minTokens: Int = ExactSubstrMinTokens,
+      hashGrams: Boolean = false): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pos = positionalGrams(ws, spanTokens, hashGrams)
+    val st = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
+    val marked = pos.join(st, "g").filter(col("df") >= 2)
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") =!= col("min_doc")).as("removable"))
+    val runs = maximalRuns(marked.select(col("doc_id"), col("pos")),
+      spanTokens, minTokens)
+    val cov = spanCoverage(
+      marked.filter(col("removable"))
+        .join(runs.select(col("doc_id"), col("a"), col("b")), Seq("doc_id"))
+        .filter(col("pos") >= col("a") && col("pos") <= col("b"))
+        .select(col("doc_id"), col("pos")),
+      spanTokens)
+    rebuildScrubbed(ws, cov)
+  }
+
   /** `(doc_id, pos, g)` positional `spanTokens`-token window grams over a
     * `(doc_id, ws)` frame — the builder [[spanScrub]], [[spanVocabulary]],
     * and [[spanScrubAgainst]] share so their gram definitions cannot drift.

@@ -257,9 +257,17 @@ object CorpusQueries {
     // cost-neutral (~5.3 s either way — the tokenize pass is cheap next to
     // the three scoring joins); the 3-scans-to-1 cut is the 100 TB
     // argument, and the persisted-parquet path (ScalingIncr's flat ~2.5 s
-    // probe) is what a deployment actually runs
-    R.rm3TopKAgainst(R.bm25Postings(corpus).localCheckpoint(),
-      R.bm25Index(corpus).localCheckpoint(), d.filter(isQuery))
+    // probe) is what a deployment actually runs. The two checkpoint
+    // materializations are independent tokenize passes — they build on
+    // concurrent dedicated driver threads (DriverPar, the r17 x49
+    // pattern), closing most of the wall-vs-compute gap the r17 profile
+    // measured on this query (the two collects INSIDE rm3TopKAgainst are
+    // data-dependent — pass-1 scores feed the weight sheet — and cannot
+    // overlap)
+    val Seq(post, idx) = graft.util.DriverPar.settleAll(Seq(
+      () => R.bm25Postings(corpus).localCheckpoint(),
+      () => R.bm25Index(corpus).localCheckpoint()))
+    R.rm3TopKAgainst(post, idx, d.filter(isQuery))
   }
 
   /** x88 — tokenizer fertility per (lang, source) under the corpus-trained

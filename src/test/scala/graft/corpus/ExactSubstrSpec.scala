@@ -298,6 +298,23 @@ class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
         minTokens = 3)
   }
 
+  test("the retired x101 join referee is value-equal to spanScrubLong " +
+      "(the ladder pair differs only in plan, never in answer)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59L)
+    val d = (0L until 50L).map { i =>
+      val t =
+        if (i % 9 == 4) null
+        else (0 until (1 + rnd.nextInt(30)))
+          .map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    scrubRows(TextDedup.spanScrubLongJoinReferee(d, spanTokens = 4,
+      minTokens = 8)) shouldBe
+      scrubRows(TextDedup.spanScrubLong(d, spanTokens = 4, minTokens = 8))
+  }
+
   test("decontaminationSpans reports WHAT leaked: the verbatim >= 13-token " +
       "benchmark overlap with its text; benchmark rows and clean docs are " +
       "absent") {
