@@ -275,6 +275,82 @@ object StreamBench {
     val (knnExactSec, knnIvfSec, knnIndexSec) =
       if (haveEmb) knnCells() else (-1.0, -1.0, -1.0)
 
+    // ---- ingest-screen cell: per-trigger cost of the two streaming span
+    // scrubbers (x84's every-hit twin vs x102's ExactSubstr-gated twin)
+    // against a PERSISTED hashed span vocabulary — the live cost a
+    // curation pipeline pays to scrub an arriving crawl before folding it
+    // in. Self-checking: after the final watermark flush, every fed doc
+    // must have emitted exactly one row (gramful rows finalize on the
+    // watermark; span-less/NULL rows ride the stateless branch). ----
+    val haveDocs = new java.io.File(s"$sfDir/documents.parquet").exists
+    val nScrubDocs = 500
+    val nScrubTriggers = 3
+    def scrubCells(): (Double, Double) = {
+      val docs = session.read.parquet(s"$sfDir/documents.parquet")
+      val vocTable = "streambench_spanvoc"
+      graft.corpus.TextDedup.writeVocabulary(
+        graft.corpus.TextDedup.spanVocabulary(
+          docs.filter(col("doc_id") % 2 === 0), hashGrams = true), vocTable)
+      val vocab = session.table(vocTable)
+      val rows: Seq[(java.sql.Timestamp, Long, String)] = docs
+        .filter(col("doc_id") % 2 === 1)
+        .orderBy(col("doc_id"))
+        .limit(nScrubDocs * (nScrubTriggers + 1))
+        .select(col("doc_id"), col("text")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          // one event-time second per trigger batch: trigger c's rows are
+          // finalized by the NEXT batch's watermark advance
+          (java.sql.Timestamp.valueOf(
+            s"2024-01-01 10:00:0${i / nScrubDocs}"),
+            r.getLong(0), r.getString(1))
+        }.toSeq
+      implicit val tEnc: org.apache.spark.sql.Encoder[
+        (java.sql.Timestamp, Long, String)] =
+        org.apache.spark.sql.Encoders.product[
+          (java.sql.Timestamp, Long, String)]
+      def run(gated: Boolean): Double = {
+        val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+        val src = in.toDF().toDF("ts", "doc_id", "text")
+        val out = if (gated)
+          graft.streaming.StreamOps.scrubSpansLongAgainst(src, vocab,
+            hashGrams = true, watermarkDelay = "0 seconds")
+        else
+          graft.streaming.StreamOps.scrubSpansAgainst(src, vocab,
+            hashGrams = true, watermarkDelay = "0 seconds")
+        val sink = s"scrub_${System.nanoTime}"
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("streambench_scrub").toString)
+          .start()
+        try {
+          in.addData(rows.take(nScrubDocs): _*) // warm trigger, off the clock
+          q.processAllAvailable()
+          val t = System.nanoTime()
+          (1 to nScrubTriggers).foreach { c =>
+            in.addData(rows.slice(c * nScrubDocs, (c + 1) * nScrubDocs): _*)
+            q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t) / 1e9 / nScrubTriggers
+          // flush: a far-future span-less record advances the watermark
+          // past every batch and itself rides the stateless branch
+          in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+            -1L, "zz"))
+          q.processAllAvailable()
+          val emitted = session.table(sink).count()
+          require(emitted == nScrubDocs.toLong * (nScrubTriggers + 1) + 1,
+            s"scrub emission mismatch: $emitted rows for " +
+              s"${nScrubDocs * (nScrubTriggers + 1)} docs + 1 flush")
+          sec
+        } finally q.stop()
+      }
+      val r = (run(gated = false), run(gated = true))
+      session.sql(s"DROP TABLE IF EXISTS $vocTable")
+      r
+    }
+    val (scrubSec, scrubLongSec) =
+      if (haveDocs) scrubCells() else (-1.0, -1.0)
+
     def rps(sec: Double): Long = (nRecords / sec).toLong
     def s2(v: Double): String = graft.util.JsonNum.fixed(v, 2)
     val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
@@ -286,7 +362,10 @@ object StreamBench {
       s""""knn_nprobe":$knnNprobe,"knn_centroids":$knnCentroids,""" +
       s""""knn_exact_sec":${s2(knnExactSec)},""" +
       s""""knn_ivf_sec":${s2(knnIvfSec)},""" +
-      s""""knn_index_sec":${s2(knnIndexSec)}}"""
+      s""""knn_index_sec":${s2(knnIndexSec)},""" +
+      s""""scrub_docs_per_trigger":$nScrubDocs,""" +
+      s""""scrub_sec":${s2(scrubSec)},""" +
+      s""""scrub_long_sec":${s2(scrubLongSec)}}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
