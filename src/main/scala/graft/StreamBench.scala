@@ -308,6 +308,11 @@ object StreamBench {
         (java.sql.Timestamp, Long, String)] =
         org.apache.spark.sql.Encoders.product[
           (java.sql.Timestamp, Long, String)]
+      // a smaller corpus (sf0.01 has ~250 odd-id docs) fills fewer
+      // triggers: feed what exists and self-check against THAT, so the
+      // cell degrades to a smaller measurement instead of a false
+      // emission-mismatch failure
+      val fed = rows.size
       def run(gated: Boolean): Double = {
         val in = MemoryStream[(java.sql.Timestamp, Long, String)]
         val src = in.toDF().toDF("ts", "doc_id", "text")
@@ -338,9 +343,8 @@ object StreamBench {
             -1L, "zz"))
           q.processAllAvailable()
           val emitted = session.table(sink).count()
-          require(emitted == nScrubDocs.toLong * (nScrubTriggers + 1) + 1,
-            s"scrub emission mismatch: $emitted rows for " +
-              s"${nScrubDocs * (nScrubTriggers + 1)} docs + 1 flush")
+          require(emitted == fed.toLong + 1,
+            s"scrub emission mismatch: $emitted rows for $fed docs + 1 flush")
           sec
         } finally q.stop()
       }
