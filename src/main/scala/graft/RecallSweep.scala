@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * exact by construction (spec-pinned); the ADC tier is NOT (codes
   * approximate the geometry), which is exactly what the sweep prices.
   *
-  * Usage: `runMain graft.RecallSweep [sfDir|mog] [nprobesCsv]`
-  * (defaults `/root/testdata/sf0.1` and `1,2,4,8,16`). Passing the literal
-  * `mog` as the first argument sweeps the [[mogEmbeddings]] fixture
-  * instead of a parquet corpus — the structured counterpart to the sf
-  * tables' random-ish vectors (r16's sweep verdict was that PQ-16 cannot
-  * rank STRUCTURE-LESS 64-d vectors; this fixture answers what the tier
-  * buys on clusterable data, the shape real embeddings actually have). */
+  * Usage: `runMain graft.RecallSweep [sfDir|mog|moga] [nprobesCsv]`
+  * (defaults `/root/testdata/sf0.1` and `1,2,4,8,16`). The literal `mog`
+  * sweeps the spherical [[mogEmbeddings]] fixture and `moga` the
+  * anisotropic [[anisoEmbeddings]] one instead of a parquet corpus — the
+  * structured bracket around the sf tables' random-ish vectors (r16's
+  * verdict was that PQ-16 cannot rank STRUCTURE-LESS 64-d vectors; the
+  * pair answers what the tier buys on clusterable data, and `moga` —
+  * decaying spectrum under a hidden rotation, the shape real embeddings
+  * actually have — is where the OPQ columns earn their keep). */
 object RecallSweep {
 
   /** Deterministic mixture-of-Gaussians embedding fixture: `c` unit-ish
@@ -127,16 +129,19 @@ object RecallSweep {
     // sweep prices exactly what k-means training buys the ADC tier
     val tcbs = graft.corpus.Quantization.trainedCodebooks(e)
     // the persisted shape, deliberately: the sweep audits the artifact a
-    // deployment actually probes, not an in-memory twin
-    def persist(cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
+    // deployment actually probes, not an in-memory twin — ONE builder for
+    // every tier so the persisted discipline cannot drift between them
+    def persist(corpus: org.apache.spark.sql.DataFrame,
+        cb: Array[Array[Array[Double]]],
+        cs: Seq[(Long, Seq[Double])]): org.apache.spark.sql.DataFrame = {
       val idxDir = java.nio.file.Files
         .createTempDirectory("recall_sweep_idx").toString
       graft.corpus.Quantization.writeIvfPqIndex(
-        graft.corpus.Quantization.ivfPqIndex(e, cb, cents), idxDir)
+        graft.corpus.Quantization.ivfPqIndex(corpus, cb, cs), idxDir)
       spark.read.parquet(idxDir)
     }
-    val index = persist(cbs)
-    val tindex = persist(tcbs)
+    val index = persist(e, cbs, cents)
+    val tindex = persist(e, tcbs, cents)
     // the OPQ tier: learned rotation (Ge et al. 2013), then the SAME
     // training protocol on the rotated corpus — the row pair (trained vs
     // opq) isolates exactly what the rotation buys. Rotation is
@@ -149,10 +154,7 @@ object RecallSweep {
     val eR = Q.rotateEmbeddings(e, rot).localCheckpoint()
     val ocbs = Q.trainedCodebooks(eR)
     val ocents = Q.centroidSeeds(eR)
-    val oindexDir = java.nio.file.Files
-      .createTempDirectory("recall_sweep_oidx").toString
-    Q.writeIvfPqIndex(Q.ivfPqIndex(eR, ocbs, ocents), oindexDir)
-    val oindex = spark.read.parquet(oindexDir)
+    val oindex = persist(eR, ocbs, ocents)
     // each cell re-runs the exact baseline inside denseRecallEval -- at
     // audit scale (sf0.1, 20 queries) that redundancy is cheaper than a
     // precomputed-exact API variant; a deployment sweeping a big corpus

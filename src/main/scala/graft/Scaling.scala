@@ -568,8 +568,9 @@ object Scaling {
         (d, _) => TextDedup.duplicatedSpans(rd(d, "documents"))),
       ("documents", "x101_scrub_long",
         (d, _) => TextDedup.spanScrubLong(rd(d, "documents"))),
-      // x101 boilerplate pair (docboiler: ONE mega doc holding 150·m
-      // qualifying duplicated runs): the islands-key coverage must grow
+      // x101 boilerplate pair (docboiler: ONE mega doc holding
+      // BoilerFamiliesPerScale·m qualifying duplicated runs): the
+      // islands-key coverage must grow
       // ∝ m while the retired doc_id-keyed join + range filter pays
       // positions × runs ≈ m² inside the mega doc's single task — the pair
       // prices exactly the r18 runQualified fix

@@ -245,10 +245,14 @@ object Quantization {
     * discipline).
     *
     * Determinism: codebook training is the fixed-point-decimal Lloyd step,
-    * the aggregate is a sum over a fixed partitioning of rounded decimals,
-    * and LAPACK's SVD is deterministic on identical input; the R = V·Uᵀ
-    * product is invariant to SVD's per-pair sign ambiguity (negating u_k
-    * and v_k together leaves v_k·u_kᵀ unchanged).
+    * the (s, c, i) aggregate is an exact DECIMAL sum per key and the
+    * driver folds its rows into M in SORTED key order (collect order
+    * follows the partitioning, and the double += chain is
+    * non-associative — an unsorted fold would drift at the last ulp under
+    * a different shuffle width), and LAPACK's SVD is deterministic on
+    * identical input; the R = V·Uᵀ product is invariant to SVD's per-pair
+    * sign ambiguity (negating u_k and v_k together leaves v_k·u_kᵀ
+    * unchanged).
     *
     * When it helps and when it cannot: rotation re-allocates VARIANCE
     * across subspaces, so it buys recall exactly when the corpus is
@@ -289,6 +293,11 @@ object Quantization {
         .agg(sum(round(col("x"), Semantic.MeanRoundDp)
           .cast("decimal(28,12)")).as("sx"))
         .collect()
+        // fixed fold order: collect() row order follows the partitioning,
+        // and multiple c values fold into one mMat cell with non-associative
+        // double +=, so an unsorted fold would perturb M at the last ulp
+        // under a different shuffle width (r18 review find)
+        .sortBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
       val mMat = Array.ofDim[Double](dim, dim)
       sums.foreach { row =>
         val s = row.getInt(0); val c = row.getInt(1); val i = row.getInt(2)

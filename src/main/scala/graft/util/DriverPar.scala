@@ -54,7 +54,13 @@ object DriverPar {
       val th = new Thread(() => {
         sc.foreach(_.setJobGroup(s"$tag-$i",
           "graft concurrent driver action", interruptOnCancel = true))
-        val r = scala.util.Try(t())
+        // catch Throwable, not Try's NonFatal: a fatal error (OOM,
+        // LinkageError) must still record, cancel siblings, and surface
+        // as ITSELF — a null results slot would NPE in the final map and
+        // mask the root cause (r18 review find)
+        val r = try scala.util.Success(t()) catch {
+          case e: Throwable => scala.util.Failure(e)
+        }
         r.failed.foreach { e =>
           // only the FIRST failure cancels and is rethrown — later ones
           // are usually its cancellation artifacts
