@@ -48,30 +48,12 @@ object RecallSweep {
     }.toDF("vec_id", "embedding", "label")
   }
 
-  /** Deterministic random orthonormal matrix (Gram-Schmidt on a seeded
-    * Gaussian matrix) — the hidden orientation of [[anisoEmbeddings]]. */
+  /** Deterministic random orthonormal matrix — the hidden orientation of
+    * [[anisoEmbeddings]] ([[graft.corpus.Quantization.orthonormal]], the
+    * one Gram-Schmidt construction). */
   private def randomRotation(dim: Int, rnd: scala.util.Random)
-      : Array[Array[Double]] = {
-    val m = Array.fill(dim, dim)(rnd.nextGaussian())
-    var i = 0
-    while (i < dim) {
-      var k = 0
-      while (k < i) {
-        var d = 0.0; var j = 0
-        while (j < dim) { d += m(i)(j) * m(k)(j); j += 1 }
-        j = 0
-        while (j < dim) { m(i)(j) -= d * m(k)(j); j += 1 }
-        k += 1
-      }
-      var n = 0.0; var j = 0
-      while (j < dim) { n += m(i)(j) * m(i)(j); j += 1 }
-      val inv = 1.0 / math.sqrt(n)
-      j = 0
-      while (j < dim) { m(i)(j) *= inv; j += 1 }
-      i += 1
-    }
-    m
-  }
+      : Array[Array[Double]] =
+    graft.corpus.Quantization.orthonormal(dim, rnd)
 
   /** [[mogEmbeddings]]' ANISOTROPIC sibling — the OPQ test shape (Ge et
     * al. 2013's experiments live here): the same mixture, but coordinate j

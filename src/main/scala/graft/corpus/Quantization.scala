@@ -206,6 +206,45 @@ object Quantization {
     cbs
   }
 
+  /** Deterministic random orthonormal matrix: Gram-Schmidt on a seeded
+    * Gaussian matrix — shared by the anisotropic sweep fixture
+    * (`graft.RecallSweep.anisoEmbeddings`'s hidden orientation) and
+    * [[fixedRotation]] so the construction cannot drift. Rows are the
+    * orthonormal basis; `y = R·x` rotates. */
+  def orthonormal(dim: Int, rnd: scala.util.Random): Array[Array[Double]] = {
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var k = 0
+      while (k < i) {
+        var d = 0.0; var j = 0
+        while (j < dim) { d += m(i)(j) * m(k)(j); j += 1 }
+        j = 0
+        while (j < dim) { m(i)(j) -= d * m(k)(j); j += 1 }
+        k += 1
+      }
+      var n = 0.0; var j = 0
+      while (j < dim) { n += m(i)(j) * m(i)(j); j += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      j = 0
+      while (j < dim) { m(i)(j) *= inv; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** The FIXED seeded rotation of the x104 driver query — an
+    * oracle-checkable stand-in for a trained [[opqRotation]] (the trained
+    * matrix depends on iterative SVD and cannot be reproduced in SQL; this
+    * one is a pure function of the seed, so the generated oracle
+    * interpolates its exact values and DuckDB re-applies it with
+    * `list_dot_product` — the PqEncode fold-order parity). Same seed ⇒
+    * bit-identical matrix on every JVM (scala.util.Random is a pinned
+    * LCG + polar Gaussian). */
+  def fixedRotation(dim: Int = DefaultDim,
+      seed: Long = 31L): Array[Array[Double]] =
+    orthonormal(dim, new scala.util.Random(seed))
+
   /** Apply a trained OPQ rotation to an embedding frame: `embedding` →
     * `R·embedding`, schema preserved (float storage, the corpus
     * convention). One codegen'd narrow projection

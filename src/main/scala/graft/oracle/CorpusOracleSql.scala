@@ -885,6 +885,28 @@ SELECT s.doc_id, s.start_pos, s.n_span_tokens,
 FROM spans s JOIN t USING (doc_id)"""
   }
 
+  /** x104 — the OPQ rotation kernel under the oracle: three coordinates of
+    * `R·x` for the FIXED seeded rotation, each a 64-term dot whose
+    * left-to-right fold matches `list_dot_product` op for op (the PqEncode
+    * parity discipline); the exact matrix rows interpolate from the same
+    * Scala constant the query uses (`Double.toString` round-trips bit-exact),
+    * so the two sides cannot drift. NULL / off-dimension vectors yield NULL
+    * coordinates, the RotateVector contract. */
+  private val rotateEncodeSql: String = {
+    val r = graft.corpus.Quantization.fixedRotation()
+    def lst(row: Array[Double]): String =
+      row.map(_.toString).mkString("[", ", ", "]")
+    def coord(row: Array[Double], as: String): String =
+      s"""  CASE WHEN embedding IS NOT NULL AND len(embedding) = ${r.length}
+    THEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+      ${lst(row)}), 6) END AS $as"""
+    s"""SELECT vec_id,
+${coord(r(0), "y1")},
+${coord(r(31), "y32")},
+${coord(r(63), "y64")}
+FROM embeddings"""
+  }
+
   /** x38 — per-source length profile; `quantile_cont` == Spark `percentile`
     * (the q11 parity fact), BIGINT casts against DuckDB's HUGEINT widening. */
   private val lengthProfileSql: String =
@@ -1988,6 +2010,9 @@ FROM h"""
     // x103: span-level decontamination — verbatim >= 13-token overlaps with
     // the doc_id % 50 == 0 benchmark slice, with the leaked text
     "x103_decontam_spans" -> decontamSpansSql,
+    // x104: the OPQ rotation kernel — three coordinates of the fixed seeded
+    // rotation, interpolated from the same Scala constant the query uses
+    "x104_rotate_encode" -> rotateEncodeSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

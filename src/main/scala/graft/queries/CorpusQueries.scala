@@ -218,6 +218,29 @@ object CorpusQueries {
   def x103DecontamSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.decontaminationSpans(docs(spark, dir))
 
+  /** x104 — the OPQ pre-encode rotation under the oracle: every embedding
+    * rotated by the FIXED seeded orthonormal matrix
+    * (`Quantization.fixedRotation` — the trained `opqRotation` is
+    * SVD-iterative and not SQL-expressible, so the driver row pins the
+    * APPLICATION kernel, `functions.RotateVector`, end-to-end instead),
+    * reporting three rotated coordinates per vector (rows 1/32/64 of the
+    * matrix — each a full 64-term dot whose left-to-right fold matches
+    * DuckDB's `list_dot_product` op for op, the PqEncode parity
+    * discipline), 6-dp rounded. */
+  def x104RotateEncode(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.corpus.Quantization.fixedRotation()
+    val rotated = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.RotateVector(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          col("embedding").cast("array<double>")), r))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), rotated.as("y"))
+      .select(col("vec_id"),
+        round(element_at(col("y"), 1), 6).as("y1"),
+        round(element_at(col("y"), 32), 6).as("y32"),
+        round(element_at(col("y"), 64), 6).as("y64"))
+  }
+
   /** x85 — CCNet-style per-language quality buckets: head/middle/tail thirds
     * by length-normalized unigram LM score, skew-proof exact NTILE. */
   def x85CcnetBuckets(spark: SparkSession, dir: String): DataFrame =
