@@ -155,6 +155,7 @@ object SparkEntry {
     "x102_incr_scrub_long" -> (C.x102IncrScrubLong _),
     "x103_decontam_spans" -> (C.x103DecontamSpans _),
     "x104_rotate_encode" -> (C.x104RotateEncode _),
+    "x105_decontam_spans_bloom" -> (C.x105DecontamSpansBloom _),
     "m1_media_meta" -> (C.m1MediaMeta _),
     "m2_media_features" -> (C.m2MediaFeatures _),
     "m3_frame_sample" -> (C.m3FrameSample _),

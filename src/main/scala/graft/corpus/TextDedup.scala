@@ -1227,6 +1227,51 @@ object TextDedup {
       spanTokens, minTokens, hashGrams)
   }
 
+  /** X105 — [[decontaminationSpans]] behind a BLOOM PREFILTER: x59's plan
+    * applied to the span-level leak audit, for benchmark suites whose span
+    * vocabulary is too large to broadcast-join cheaply against every
+    * window position of a 100 TB corpus (a full eval collection's windows
+    * run to the tens of millions — past the broadcast threshold, the
+    * vocabulary semi-join becomes a shuffle join and BOTH sides pay an
+    * exchange). The vocabulary folds once into a driver-held bloom
+    * (`functions.BloomGate` — bits ∝ vocabulary size, ~1.2 MB per 1M
+    * grams at 1% fpp), the corpus's positional window grams are gated by
+    * the NARROW codegen'd `might_contain` before any join, and only the
+    * surviving ~overlap+fpp fraction reaches the exact semi-join that
+    * kills the bloom's false positives. No false negatives exist and the
+    * maximal-run merge sees the identical matched-position set, so the
+    * output is BIT-IDENTICAL to [[decontaminationSpans]] (same oracle) —
+    * the bloom changes the plan, never the answer. At 100 TB the gate
+    * drops ~99% of gram rows before the join, and the corpus side never
+    * shuffles on the gram key. */
+  def decontaminationSpansBloom(docs: DataFrame, spanTokens: Int = SpanTokens,
+      minTokens: Int = DecontamMinTokens, benchMod: Long = DefaultBenchMod,
+      hashGrams: Boolean = false, fpp: Double = 0.01): DataFrame = {
+    require(minTokens >= spanTokens,
+      s"minTokens ($minTokens) below the window width ($spanTokens) cannot" +
+        " be reported — every detected span covers at least one window")
+    val isBench = col("doc_id") % benchMod === 0
+    // persisted for the two EAGER consumers inside this call (the sizing
+    // count and the bloom fold), then released — the x59 discipline; the
+    // third consumer, the exact semi-join in the returned lazy plan,
+    // re-reduces the bench side once at consumption (bounded by the eval
+    // suite, noise next to the corpus scan it verifies)
+    val vocab = spanVocabulary(docs.filter(isBench), spanTokens, hashGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = try {
+      val expected = math.max(1L, vocab.count())
+      graft.functions.BloomGate.build(vocab, "g", expected, fpp)
+    } finally vocab.unpersist(blocking = false)
+    val ws = docs.filter(!isBench)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    mergeSpanRuns(ws,
+      positionalGrams(ws, spanTokens, hashGrams)
+        .filter(graft.functions.BloomGate.mightContain(bloom, col("g")))
+        .join(vocab.select(col("g")), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("pos")),
+      spanTokens, minTokens)
+  }
+
   /** x54 — n-gram novelty score: for each NEW document, the fraction of its
     * distinct `n`-gram shingles that never occur in a REFERENCE corpus — the
     * continuous companion to binary decontamination

@@ -2013,6 +2013,10 @@ FROM h"""
     // x104: the OPQ rotation kernel — three coordinates of the fixed seeded
     // rotation, interpolated from the same Scala constant the query uses
     "x104_rotate_encode" -> rotateEncodeSql,
+    // x105: x103 behind the bloom prefilter — the gate changes the plan,
+    // never the answer (no false negatives; the exact semi-join kills the
+    // false positives), so it shares x103's oracle verbatim
+    "x105_decontam_spans_bloom" -> decontamSpansSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

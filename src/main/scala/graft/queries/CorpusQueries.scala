@@ -218,6 +218,13 @@ object CorpusQueries {
   def x103DecontamSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.decontaminationSpans(docs(spark, dir))
 
+  /** x105 — x103 behind the bloom prefilter: identical answer (shared
+    * oracle — no false negatives, the exact semi-join kills false
+    * positives), the plan for benchmark suites whose span vocabulary
+    * cannot broadcast. */
+  def x105DecontamSpansBloom(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.decontaminationSpansBloom(docs(spark, dir))
+
   /** x104 — the OPQ pre-encode rotation under the oracle: every embedding
     * rotated by the FIXED seeded orthonormal matrix
     * (`Quantization.fixedRotation` — the trained `opqRotation` is

@@ -315,6 +315,33 @@ class ExactSubstrSpec extends AnyFunSuite with SparkSpec with Matchers {
       scrubRows(TextDedup.spanScrubLong(d, spanTokens = 4, minTokens = 8))
   }
 
+  test("decontaminationSpansBloom is bit-identical to decontaminationSpans " +
+      "(the bloom changes the plan, never the answer) and an empty " +
+      "benchmark vocabulary gates everything instead of erroring") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61L)
+    val leak = (1 to 15).map(i => s"q$i").mkString(" ")
+    val d = (0L until 120L).map { i =>
+      val t =
+        if (i % 50 == 0) s"bench head $leak bench tail ${i}"
+        else if (i % 7 == 3) s"train a$i b$i $leak c$i"
+        else if (i % 9 == 4) null
+        else (0 until (3 + rnd.nextInt(20)))
+          .map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    spans(TextDedup.decontaminationSpansBloom(d)) shouldBe
+      spans(TextDedup.decontaminationSpans(d))
+    spans(TextDedup.decontaminationSpansBloom(d)) should not be empty
+    // bench slice present but span-less: the bloom must be a real
+    // zero-item filter (gates everything), not a NULL that drops the run
+    val tiny = Seq((0L, "short bench"), (1L, s"doc with $leak inside"))
+      .toDF("doc_id", "text")
+    TextDedup.decontaminationSpansBloom(tiny).count() shouldBe 0L
+    TextDedup.decontaminationSpans(tiny).count() shouldBe 0L
+  }
+
   test("decontaminationSpans reports WHAT leaked: the verbatim >= 13-token " +
       "benchmark overlap with its text; benchmark rows and clean docs are " +
       "absent") {
