@@ -133,6 +133,69 @@ object ExactSubstrProperties extends Properties("exactSubstr") {
     }.toSet
   }
 
+  /** The x101 referee: full self-contained semantics — per-gram df and
+    * canonical home (min doc_id) over per-doc-distinct windows, maximal
+    * runs over ALL duplicated positions (canonical included), removal of
+    * NON-canonical occurrences inside runs covering >= minTokens,
+    * position-coverage scrub. Plain collections, no Spark. */
+  private def scrubLongReferee(docs: List[Doc], w: Int, minTokens: Int)
+      : Set[(Long, Option[String], Option[Long], Option[Long])] = {
+    val windows: Map[Long, Seq[(Int, String)]] = docs.collect {
+      case Doc(id, Some(t)) =>
+        val ts = t.split(" ", -1)
+        id -> (if (ts.length >= w)
+          (0 to ts.length - w).map(i => (i + 1, ts.slice(i, i + w).mkString(" ")))
+        else Seq.empty)
+    }.toMap
+    val byGram: Map[String, Seq[Long]] = windows.toSeq
+      .flatMap { case (id, ws) => ws.map(_._2).distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2) }
+    def df(g: String) = byGram(g).size
+    def minDoc(g: String) = byGram(g).min
+    docs.collect { case Doc(id, text) =>
+      text match {
+        case None => (id, None, None, None)
+        case Some(t) =>
+          val ts = t.split(" ", -1)
+          val ws = windows(id)
+          val dup = ws.collect { case (p, g) if df(g) >= 2 => p }.sorted
+          val runs = dup.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if e + 1 == p => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.filter { case (s, e) => e - s + w >= minTokens }
+          val wsMap = ws.toMap
+          val cov = runs.flatMap { case (s, e) =>
+            (s to e).filter(p => dup.contains(p) && minDoc(wsMap(p)) != id)
+              .flatMap(p => p until p + w)
+          }.toSet
+          val kept = ts.zipWithIndex.collect {
+            case (tok, i) if !cov(i + 1) => tok }
+          (id, Some(kept.mkString(" ")), Some(ts.length.toLong),
+            Some((ts.length - kept.length).toLong))
+      }
+    }.toSet
+  }
+
+  property("spanScrubLong equals the full-semantics referee on random " +
+      "corpora (canonical-home + run gate + coverage), hashed keys alike") =
+    Prop.forAll(corpusGen) { case (docs, w, m) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.map(d => (d.docId, d.text.orNull)).toDF("doc_id", "text")
+      def rows(hashGrams: Boolean) =
+        TextDedup.spanScrubLong(df, spanTokens = w, minTokens = m,
+            hashGrams = hashGrams)
+          .collect()
+          .map(r => (r.getLong(0), Option(r.getString(1)),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+          .toSet
+      val want = scrubLongReferee(docs, w, m)
+      val got = rows(hashGrams = false)
+      (got == want) :| s"string path: got ${got.size}, want ${want.size}" &&
+        (rows(hashGrams = true) == want) :| "hashed path diverged"
+    }
+
   property("spanScrubLongAgainst equals the referee on random corpora " +
       "(even = frozen reference, odd = increment), hashed keys alike") =
     Prop.forAll(corpusGen) { case (docs, w, m) =>
