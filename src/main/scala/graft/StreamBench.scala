@@ -210,8 +210,18 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the validation DAG above is fixture-free; don't let a missing
     // embeddings table discard its measurements (r16 review find) — the
-    // kNN cells report -1 and the bench stays standalone
-    val haveEmb = new java.io.File(s"$sfDir/embeddings.parquet").exists
+    // kNN cells report -1 and the bench stays standalone. Existence
+    // resolves through the HADOOP FileSystem for the path, not
+    // java.io.File: the parquet read goes through Hadoop path resolution,
+    // so a scheme-qualified or non-local sfDir (file:/, hdfs:, s3a:)
+    // would make existing data look absent under a raw File probe and the
+    // cells would silently report -1 instead of running (r18 advice —
+    // the Scaling.x1Count fix, applied to both probes here)
+    def haveTable(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      p.getFileSystem(session.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val haveEmb = haveTable("embeddings")
     val emb = if (haveEmb) session.read.parquet(s"$sfDir/embeddings.parquet")
       else null
     val corpusN = if (haveEmb) emb.count() else -1L
@@ -282,7 +292,7 @@ object StreamBench {
     // in. Self-checking: after the final watermark flush, every fed doc
     // must have emitted exactly one row (gramful rows finalize on the
     // watermark; span-less/NULL rows ride the stateless branch). ----
-    val haveDocs = new java.io.File(s"$sfDir/documents.parquet").exists
+    val haveDocs = haveTable("documents")
     val nScrubDocs = 500
     val nScrubTriggers = 3
     def scrubCells(): (Double, Double) = {

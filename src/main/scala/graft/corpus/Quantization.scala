@@ -315,12 +315,21 @@ object Quantization {
       val rotEmb = rotateEmbeddings(emb, r)
       cbs = trainedCodebooksFrom(rotEmb, cbs, innerRounds, dim)
       // (s, c, i) sums of the ORIGINAL coordinates, keyed by the rotated
-      // encoding — the bounded decomposition of M = Σ x·qᵀ
+      // encoding — the bounded decomposition of M = Σ x·qᵀ. The encode
+      // input is the rotation FLOAT-ROUNDED then widened, exactly the
+      // frame the codebooks were just trained on ([[rotateEmbeddings]]
+      // casts to array<float>): encoding the full-double rotation instead
+      // could flip codes at Voronoi boundaries between the alternation's
+      // two halves, so the M-step's q would not be the reconstruction the
+      // trained codebooks assign (r18 advice)
       val enc = org.apache.spark.sql.GraftExpressionBridge.column(
         graft.functions.PqEncode(
-          graft.functions.RotateVector(
-            org.apache.spark.sql.GraftExpressionBridge.expression(col("e")),
-            r),
+          org.apache.spark.sql.GraftExpressionBridge.expression(
+            org.apache.spark.sql.GraftExpressionBridge.column(
+              graft.functions.RotateVector(
+                org.apache.spark.sql.GraftExpressionBridge.expression(
+                  col("e")), r))
+              .cast("array<float>").cast("array<double>")),
           cbs))
       val sums = base
         .select(col("e"), enc.as("codes"))
