@@ -1209,4 +1209,204 @@ object Curation {
             .cast("long"))
           .otherwise(col("bucket")).as("bucket"))
   }
+
+  // --------------------------------------------------------------------
+  // URL / domain curation plane (X106–X108): the first-stage filters a
+  // crawl pipeline runs BEFORE any text operator (C4 §2.1, Raffel et al.
+  // 2020; RefinedWeb §3.1, Penedo et al. 2023 — URL canonicalization +
+  // dedup + domain block/allow gating). The crawl-native identity key is
+  // the URL, not the text: two fetches of one page differ in tracking
+  // params, scheme case, default ports, and fragments long before they
+  // differ in bytes.
+  // --------------------------------------------------------------------
+
+  /** Query parameters dropped by [[normalizeUrl]] — the click-tracking
+    * decorations that vary per fetch without changing the resource
+    * (Google Analytics `utm_*`, Facebook `fbclid`, Google Ads `gclid`,
+    * Microsoft `msclkid`, bare `ref`). ONE anchored regex over a
+    * `name=value` pair, shared VERBATIM with the x106/x107/x108 oracle
+    * generators (Java regex and RE2 read this subset identically) so the
+    * engine and the oracle cannot drift. */
+  val TrackingParamPattern: String =
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+  /** Multi-label public suffixes [[registrableDomain]] recognizes: the
+    * registrable domain keeps one label MORE than the public suffix
+    * (publicsuffix.org's rule). A full PSL snapshot is a deployment
+    * artifact; this explicit constant is the policy surface — swap in the
+    * full list without touching the operator. Shared with the oracle. */
+  val MultiLabelSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp", "com.br")
+
+  /** Blocklist for the x108 driver row — registrable domains, matched
+    * after normalization. Shared with the oracle generator. */
+  val DefaultDomainBlocklist: Seq[String] =
+    Seq("brand1.com", "brand7.co.uk", "brand3.com.au", "brand16.com")
+
+  /** Scheme + host of a parsed URL, lowercased, leading `www.` stripped —
+    * [[normalizeUrl]]'s host policy in one place. */
+  private def canonHost(rawHost: Column): Column =
+    regexp_replace(lower(rawHost), "^www\\.", "")
+
+  /** X106 — URL normalization: append `url_norm` (the canonical form) and
+    * `domain` (the registrable domain) to every row, from `urlCol`. The
+    * canonicalization policy, each step an explicit constant or a named
+    * rule shared with the DuckDB oracle:
+    *
+    *  1. scheme and host lowercased; leading `www.` stripped;
+    *  2. fragment stripped (client-side only, never sent to the server);
+    *  3. default port stripped (`:80` for http, `:443` for https) —
+    *     any other explicit port is identity and kept;
+    *  4. trailing slashes stripped from the path (`/a/b/` ≡ `/a/b`; a
+    *     bare `/` root path ≡ none);
+    *  5. tracking query parameters dropped ([[TrackingParamPattern]]),
+    *     the SURVIVING parameters kept in their original order (sorting
+    *     is a rewrite, not a normalization — two pages genuinely keyed
+    *     by `?a=1&b=2` vs `?b=2&a=1` stay distinct), and the `?` dropped
+    *     when nothing survives.
+    *
+    * A string that does not parse as `scheme://host...` yields NULL
+    * `url_norm` and NULL `domain` — malformed is data for the
+    * [[domainGate]] router, never an exception (the x73 doctrine).
+    * Userinfo (`user@host`) is not parsed — crawl frontiers don't emit
+    * it; a URL carrying one lands in the malformed branch via its
+    * un-hostlike authority rather than silently keying on the wrong host.
+    *
+    * Scale shape: pure narrow codegen'd column work — regexp parses + one
+    * higher-order filter over the split query — zero shuffles, zero state;
+    * composes unchanged under Structured Streaming
+    * ([[graft.streaming.StreamOps.gateByDomain]]). */
+  def normalizeUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val schemeRaw = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^#]*)", 1)
+    val auth = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathq = rest.substr(length(auth) + 1, length(rest))
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = when(length(pathq) > length(path),
+      pathq.substr(length(path) + 2, length(pathq))).otherwise(lit(""))
+    val hostRaw = regexp_extract(auth, "^([^:]*)", 1)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val scheme = lower(schemeRaw)
+    val host = canonHost(hostRaw)
+    val dropPort = port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val npath = regexp_replace(path, "/+$", "")
+    val keptQ = array_join(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern)), "&")
+    val valid = schemeRaw =!= "" && host =!= ""
+    val urlNorm = when(valid, concat(scheme, lit("://"), host,
+      when(dropPort, "").otherwise(concat(lit(":"), port)),
+      npath,
+      when(keptQ === "", "").otherwise(concat(lit("?"), keptQ))))
+    docs.withColumn("url_norm", urlNorm)
+      .withColumn("domain", when(valid, registrableDomain(host)))
+  }
+
+  /** Registrable domain of an already-canonicalized host: the last two
+    * labels, or three when the last two form a [[MultiLabelSuffixes]]
+    * entry (publicsuffix.org's one-more-than-the-suffix rule); a
+    * single-label host (intranet names, `localhost`) is its own domain. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat(try_element_at(labels, lit(-2)), lit("."),
+      try_element_at(labels, lit(-1)))
+    val last3 = concat(try_element_at(labels, lit(-3)), lit("."), last2)
+    when(n <= 1, host)
+      .when(n >= 3 && last2.isin(MultiLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** X108 — domain block/allow gate: every row comes back with its
+    * `domain` and a `disposition` column — flags, NOT filters (the x73
+    * routing doctrine: the pipeline OWNER decides what to drop; the gate
+    * only names the verdict):
+    *
+    *  - `malformed` — the URL didn't parse ([[normalizeUrl]]'s NULL);
+    *  - `blocked`   — registrable domain on the blocklist (blocklist
+    *    wins over allowlist: an explicitly-banned domain stays banned
+    *    even when a broad allowlist covers it);
+    *  - `unlisted`  — a non-empty allowlist doesn't contain the domain;
+    *  - `allowed`   — everything else.
+    *
+    * Lists are driver-held constants rendered into ONE codegen'd `isin`
+    * per list — bounded artifacts by contract (the x30/x92 discipline:
+    * curated block/allow policies are thousands of entries, not corpus-
+    * scale). A crawl-scale blocklist (e.g. every domain seen in an abuse
+    * feed) composes instead as a broadcast left-semi/anti join on
+    * `domain` — same column, same dispositions, different build. Narrow
+    * and stateless, so it rides Structured Streaming unchanged
+    * ([[graft.streaming.StreamOps.gateByDomain]]). */
+  def domainGate(docs: DataFrame,
+      blocklist: Seq[String] = DefaultDomainBlocklist,
+      allowlist: Seq[String] = Seq.empty,
+      urlCol: String = "url"): DataFrame = {
+    val normed = normalizeUrl(docs, urlCol)
+    val blocked =
+      if (blocklist.isEmpty) lit(false) else col("domain").isin(blocklist: _*)
+    val unlisted =
+      if (allowlist.isEmpty) lit(false)
+      else !col("domain").isin(allowlist: _*)
+    normed.withColumn("disposition",
+      when(col("domain").isNull, "malformed")
+        .when(blocked, "blocked")
+        .when(unlisted, "unlisted")
+        .otherwise("allowed"))
+  }
+
+  /** Deterministic URL fixture for the x106/x107/x108 driver rows (the
+    * x28/x58 fixture pattern — the synthetic corpus carries no URL
+    * column, so one is derived from `doc_id` arithmetic, replayed
+    * byte-for-byte by the oracle generator). Two independent key spaces
+    * make the rows non-vacuous:
+    *
+    *  - the CORE (`k = doc_id % 125`) fixes everything normalization must
+    *    KEEP — scheme (http/https by `k % 2`), subdomain (`m.` on
+    *    `k % 4 == 0`), brand host (`k % 23`), public suffix (`.co.uk` /
+    *    `.com.au` / `.com` by `k % 5`), a genuinely non-default port
+    *    (`:8080` on `k % 10 == 9`), path (`k % 12`, absent on
+    *    `k % 11 == 0`), and the kept query parameters (`k % 3`);
+    *  - the DECORATION (`doc_id` itself) varies everything normalization
+    *    must STRIP — scheme/host case, `www.`/`WWW.` prefixes, the
+    *    scheme's default port, a trailing slash, tracking parameters on
+    *    either side of the kept ones, and fragments.
+    *
+    * Every 125-congruent group therefore canonicalizes to ONE url_norm —
+    * x107's collisions are engineered, and any policy step failing open
+    * breaks the hash check. Core `k == 124` emits an unparseable string,
+    * pinning the malformed branch end-to-end. */
+  def urlFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val k = d % 125
+    def s(c: Column): Column = c.cast("string")
+    val schemeBase = when(k % 2 === 0, "https").otherwise("http")
+    val scheme = when(d % 4 < 2, schemeBase).otherwise(upper(schemeBase))
+    val www = when(d % 3 === 0, "WWW.").when(d % 3 === 1, "www.")
+      .otherwise("")
+    val sub = when(k % 4 === 0, "m.").otherwise("")
+    val brand = concat(lit("Brand"), s(k % 23))
+    val tld = when(k % 5 === 0, ".CO.UK").when(k % 5 === 1, ".com.au")
+      .otherwise(".COM")
+    val corePort = when(k % 10 === 9, ":8080").otherwise("")
+    val decoPort = when(corePort === "" && d % 5 === 0,
+      when(schemeBase === "https", ":443").otherwise(":80")).otherwise("")
+    val path = when(k % 11 === 0, "").otherwise(concat(lit("/p/"), s(k % 12)))
+    val slash = when(d % 5 === 2 && path =!= "", "/").otherwise("")
+    val keptQ = when(k % 3 === 0, concat(lit("id="), s(k % 50)))
+      .when(k % 3 === 1, concat(lit("a=1&b="), s(k % 7)))
+      .otherwise("")
+    val trackPre = when(d % 4 === 0, "utm_source=feed").otherwise("")
+    val trackPost = when(d % 4 === 1, "fbclid=abc&utm_campaign=x")
+      .when(d % 4 === 3, "gclid=g1").otherwise("")
+    val q = array_join(filter(array(trackPre, keptQ, trackPost),
+      p => p =!= ""), "&")
+    val query = when(q === "", "").otherwise(concat(lit("?"), q))
+    val frag = when(d % 3 === 2, concat(lit("#sec"), s(d % 4)))
+      .otherwise("")
+    docs.withColumn("url", when(k === 124, lit("not a url"))
+      .otherwise(concat(scheme, lit("://"), www, sub, brand, tld, corePort,
+        decoPort, path, slash, query, frag)))
+  }
 }

@@ -52,6 +52,29 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** X107 — canonical-URL exact dedup, the crawl-native identity pass a
+    * production pipeline runs BEFORE any text operator (C4 §2.1 dedups by
+    * URL before text; two fetches of one page differ in tracking params,
+    * scheme case, and fragments long before they differ in bytes):
+    * canonicalize every URL ([[Curation.normalizeUrl]]'s policy), group on
+    * the canonical form, keep the minimum doc_id ([[exact]]'s keep-min
+    * convention — one shared canonical-choice rule across the dedup
+    * plane). Rows whose URL does not parse are EXCLUDED — an
+    * uncanonicalizable URL has no identity key to collide on; routing
+    * malformed rows is [[Curation.domainGate]]'s job, not a dedup verdict.
+    *
+    * Scale shape: the canonicalization is narrow codegen'd column work on
+    * the scan, then ONE url_norm-keyed aggregate with map-side partials —
+    * the same single-shuffle shape as [[exact]], and the key is the
+    * canonical STRING (bounded — URLs cap at a few KB) so no second pass
+    * re-fetches it. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    Curation.normalizeUrl(docs, urlCol)
+      .filter(col("url_norm").isNotNull)
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
   /** One (doc_id, shingle) row per distinct shingle — the inverted-index posting
     * list (size-free: [[ngramJaccardPairs]] derives sizes from its df-capped
     * universe, and the decontamination builders only need the shingle keys). */
@@ -1399,6 +1422,84 @@ object TextDedup {
     val removable = col("line_df") >= minDf && trim(col("line")) =!= ""
     keyed.join(df, "lk")
       .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(removable, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(!removable,
+            struct(col("pos").as("pos"), col("line").as("line"))))),
+          s => s.getField("line"))).as("text"))
+  }
+
+  /** The frozen line-level boilerplate vocabulary for [[lineScrubAgainst]]
+    * (x109): every distinct NON-BLANK line whose doc frequency over the
+    * reference corpus is at least `minDf − 1`. The off-by-one is the
+    * decomposition contract, not an accident: [[lineScrub]] removes at
+    * union df ≥ `minDf`, and an arriving document's own occurrence always
+    * contributes 1 — so a reference df of `minDf − 1` is exactly the floor
+    * at which ANY increment occurrence would cross the self-contained
+    * threshold. Emits one `g` column (the line, or `xxhash64(line)` under
+    * `hashKeys` — [[writeVocabulary]]'s bucketed layout applies
+    * unchanged, so the vocabulary persists once and every ingest probes
+    * it in place). */
+  def lineVocabulary(refDocs: DataFrame, minDf: Int = LineScrubMinDf,
+      hashKeys: Boolean = false): DataFrame = {
+    val lines = refDocs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+    lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf - 1)
+      .select(if (hashKeys) xxhash64(col("line")).as("g")
+        else col("line").as("g"))
+  }
+
+  /** X109 — INCREMENTAL line scrub: drop reference-boilerplate lines from
+    * arriving documents against a FROZEN [[lineVocabulary]] (typically
+    * persisted/bucketed), without re-reading the reference corpus — the
+    * ingest twin completing the last asymmetric scrub tier (x83/x84,
+    * x99/x100, x101/x102 all had one; line-level boilerplate — the
+    * C4/RefinedWeb staple — didn't, so a daily-ingest pipeline had to
+    * re-run the corpus-wide df pass per ingest). An arriving line is
+    * removed iff it is non-blank AND in the vocabulary; blank lines stay
+    * exempt ([[lineScrub]]'s paragraph-structure rule). Same output
+    * contract as [[lineScrub]]: `(doc_id, n_lines, n_removed, text)` with
+    * surviving lines in original order, a pure-boilerplate document
+    * coming back empty, never dropped.
+    *
+    * Decomposition pin (the x84/x100/x102 convention, spec-pinned): the
+    * against form REMOVES A SUBSET of what self-contained [[lineScrub]]
+    * over reference ∪ increment removes on increment rows — always — and
+    * EQUALS it whenever no non-blank line below the vocabulary floor is
+    * shared by two or more distinct increment documents (such a line is
+    * the NEXT snapshot's keep-or-scrub problem; the frozen vocabulary by
+    * design never adjudicates increment-internal repetition).
+    *
+    * Scale shape: the increment explodes once (narrow); ONE line-keyed
+    * left-semi-shaped join against the vocabulary (reading in place when
+    * persisted/bucketed — the reference is never re-read, the
+    * x40/x51/x54/x60 persisted-probe discipline); one per-doc reassembly
+    * aggregate over increment rows only. `hashKeys` must match the
+    * vocabulary's build mode (loud at construction); a 64-bit collision
+    * can only over-remove one line — the conservative direction for a
+    * boilerplate scrub. */
+  def lineScrubAgainst(newDocs: DataFrame, vocab: DataFrame,
+      hashKeys: Boolean = false): DataFrame = {
+    requireVocabMode(vocab, hashKeys, "lineScrubAgainst")
+    val lines = newDocs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val keyed =
+      if (hashKeys) lines.withColumn("lk", xxhash64(col("line")))
+      else lines.withColumn("lk", col("line"))
+    // distinct defensively: the left join must stay row-preserving on the
+    // line side (n_lines counts lines, not vocabulary matches), and a
+    // caller-built vocabulary is not guaranteed key-unique the way
+    // [[lineVocabulary]]'s is. On a bucketed vocabulary the distinct
+    // reuses the bucketing — no extra shuffle.
+    val hits = keyed.join(
+      vocab.select(col("g").as("lk")).distinct().withColumn("hit", lit(1)),
+      Seq("lk"), "left")
+    val removable = col("hit").isNotNull && trim(col("line")) =!= ""
+    hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(removable, 1L).otherwise(0L)).as("n_removed"),
         concat_ws("\n", transform(

@@ -1360,13 +1360,143 @@ SELECT hits.doc_id, n_shingles, n_contaminated,
 FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
   }
 
-  /** x58 — line-level boilerplate scrub: the paragraph fixture rebuilt in
-    * SQL (6-token lines + planted header/footer, same moduli), line doc
-    * frequency over DISTINCT (doc, line), removal at the shared
-    * LineScrubMinDf floor, ordered reassembly via string_agg ORDER BY. */
-  private def lineScrubSql: String = {
-    val minDf = graft.corpus.TextDedup.LineScrubMinDf
-    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The x106/x107/x108 URL fixture + normalization prelude — replays
+    * `Curation.urlFixture`'s doc_id arithmetic and `Curation.normalizeUrl`'s
+    * policy byte-for-byte (the tracking regex and multi-label suffix list
+    * interpolate from the SAME Scala constants the engine compiles, so the
+    * two sides cannot drift). Ends with a `norm` CTE exposing
+    * (doc_id, url, url_norm, domain). */
+  private def urlNormPrelude: String = {
+    val trk = graft.corpus.Curation.TrackingParamPattern
+    val suf = graft.corpus.Curation.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH p0 AS (SELECT doc_id, doc_id % 125 AS k FROM documents),
+p1 AS (
+  SELECT doc_id, k,
+    CASE WHEN k % 2 = 0 THEN 'https' ELSE 'http' END AS sb,
+    CASE WHEN k % 10 = 9 THEN ':8080' ELSE '' END AS cport,
+    CASE WHEN k % 11 = 0 THEN ''
+         ELSE '/p/' || CAST(k % 12 AS VARCHAR) END AS pth,
+    CASE WHEN k % 3 = 0 THEN 'id=' || CAST(k % 50 AS VARCHAR)
+         WHEN k % 3 = 1 THEN 'a=1&b=' || CAST(k % 7 AS VARCHAR)
+         ELSE '' END AS keptq,
+    CASE WHEN doc_id % 4 = 0 THEN 'utm_source=feed' ELSE '' END AS tpre,
+    CASE WHEN doc_id % 4 = 1 THEN 'fbclid=abc&utm_campaign=x'
+         WHEN doc_id % 4 = 3 THEN 'gclid=g1' ELSE '' END AS tpost
+  FROM p0),
+fx AS (
+  SELECT doc_id,
+    CASE WHEN k = 124 THEN 'not a url' ELSE
+      (CASE WHEN doc_id % 4 < 2 THEN sb ELSE upper(sb) END)
+      || '://'
+      || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+               WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
+      || (CASE WHEN k % 4 = 0 THEN 'm.' ELSE '' END)
+      || 'Brand' || CAST(k % 23 AS VARCHAR)
+      || (CASE WHEN k % 5 = 0 THEN '.CO.UK'
+               WHEN k % 5 = 1 THEN '.com.au' ELSE '.COM' END)
+      || cport
+      || (CASE WHEN cport = '' AND doc_id % 5 = 0
+            THEN (CASE WHEN sb = 'https' THEN ':443' ELSE ':80' END)
+            ELSE '' END)
+      || pth
+      || (CASE WHEN doc_id % 5 = 2 AND pth <> '' THEN '/' ELSE '' END)
+      || (CASE WHEN COALESCE(array_to_string(list_filter(
+              [tpre, keptq, tpost], p -> p <> ''), '&'), '') = '' THEN ''
+            ELSE '?' || array_to_string(list_filter(
+              [tpre, keptq, tpost], p -> p <> ''), '&') END)
+      || (CASE WHEN doc_id % 3 = 2
+            THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+    END AS url
+  FROM p1),
+n0 AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+  FROM fx),
+n1 AS (
+  SELECT doc_id, url, scheme_raw, rest,
+    regexp_extract(rest, '^([^/?]*)', 1) AS auth
+  FROM n0),
+n2 AS (
+  SELECT doc_id, url, scheme_raw, auth,
+    regexp_extract(substr(rest, length(auth) + 1), '^([^?]*)', 1) AS pth,
+    CASE WHEN length(substr(rest, length(auth) + 1)) >
+           length(regexp_extract(substr(rest, length(auth) + 1),
+             '^([^?]*)', 1))
+      THEN substr(substr(rest, length(auth) + 1),
+        length(regexp_extract(substr(rest, length(auth) + 1),
+          '^([^?]*)', 1)) + 2)
+      ELSE '' END AS query
+  FROM n1),
+n3 AS (
+  SELECT doc_id, url, pth, query,
+    lower(scheme_raw) AS scheme,
+    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+      '^www\\.', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+    (scheme_raw <> '' AND
+     regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+       '^www\\.', '') <> '') AS valid
+  FROM n2),
+n4 AS (
+  SELECT doc_id, url, scheme, host, port, valid,
+    (port = '' OR (scheme = 'http' AND port = '80')
+       OR (scheme = 'https' AND port = '443')) AS dropport,
+    regexp_replace(pth, '/+$$', '') AS npath,
+    COALESCE(array_to_string(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '$trk')), '&'), '') AS keptq,
+    string_split(host, '.') AS hl
+  FROM n3),
+norm AS (
+  SELECT doc_id, url,
+    CASE WHEN valid THEN
+      scheme || '://' || host
+      || (CASE WHEN dropport THEN '' ELSE ':' || port END)
+      || npath
+      || (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
+    END AS url_norm,
+    CASE WHEN valid THEN
+      (CASE WHEN len(hl) <= 1 THEN host
+            WHEN len(hl) >= 3 AND list_contains([$suf],
+                hl[-2] || '.' || hl[-1])
+              THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+            ELSE hl[-2] || '.' || hl[-1] END)
+    END AS domain
+  FROM n4)
+"""
+  }
+
+  /** x106 — URL normalization: the fixture + policy prelude projected. */
+  private def urlNormalizeSql: String =
+    urlNormPrelude + "SELECT doc_id, url, url_norm, domain FROM norm"
+
+  /** x107 — canonical-URL exact dedup: keep-min over url_norm groups,
+    * malformed (NULL url_norm) excluded — no identity key to collide on. */
+  private def urlDedupSql: String =
+    urlNormPrelude +
+      """SELECT url_norm, MIN(doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_copies
+FROM norm WHERE url_norm IS NOT NULL GROUP BY 1"""
+
+  /** x108 — domain gate dispositions against the shared blocklist constant
+    * (empty allowlist — `unlisted` is spec-pinned, never emitted here). */
+  private def domainGateSql: String = {
+    val bl = graft.corpus.Curation.DefaultDomainBlocklist
+      .map(s => s"'$s'").mkString(", ")
+    urlNormPrelude +
+      s"""SELECT doc_id, url, domain,
+  CASE WHEN domain IS NULL THEN 'malformed'
+       WHEN domain IN ($bl) THEN 'blocked'
+       ELSE 'allowed' END AS disposition
+FROM norm"""
+  }
+
+  /** The x58/x109 paragraph fixture + line explode — replays
+    * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
+    * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
+  private val paragraphLinesPrelude: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 b2 AS (
   SELECT doc_id,
     array_to_string(list_transform(
@@ -1384,8 +1514,44 @@ fx AS (
 lines AS (
   SELECT doc_id, i AS pos, ls[i + 1] AS line
   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
-    unnest(range(len(ls))) AS t(i)),
-df AS (
+    unnest(range(len(ls))) AS t(i))
+"""
+
+  /** x109 — incremental line scrub: the even-id reference half's frozen
+    * line vocabulary (non-blank lines at reference df ≥ minDf − 1 — the
+    * floor at which ANY increment occurrence crosses the self-contained
+    * threshold), odd-id increment lines dropped on vocabulary hits, ordered
+    * reassembly. */
+  private def incrLineScrubSql: String = {
+    val minDf = graft.corpus.TextDedup.LineScrubMinDf
+    paragraphLinesPrelude +
+      s""", vocab AS (
+  SELECT line FROM (
+    SELECT line, COUNT(*) AS line_df
+    FROM (SELECT DISTINCT doc_id, line FROM lines
+          WHERE doc_id % 2 = 0 AND trim(line) <> '')
+    GROUP BY 1)
+  WHERE line_df >= ${minDf - 1}),
+j AS (
+  SELECT l.doc_id, l.pos, l.line,
+    (v.line IS NOT NULL AND trim(l.line) <> '') AS removable
+  FROM (SELECT * FROM lines WHERE doc_id % 2 = 1) l
+  LEFT JOIN vocab v ON l.line = v.line)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN removable THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+    FILTER (WHERE NOT removable), '') AS text
+FROM j GROUP BY 1"""
+  }
+
+  /** x58 — line-level boilerplate scrub: the paragraph fixture rebuilt in
+    * SQL (6-token lines + planted header/footer, same moduli), line doc
+    * frequency over DISTINCT (doc, line), removal at the shared
+    * LineScrubMinDf floor, ordered reassembly via string_agg ORDER BY. */
+  private def lineScrubSql: String = {
+    val minDf = graft.corpus.TextDedup.LineScrubMinDf
+    paragraphLinesPrelude +
+      s""", df AS (
   SELECT line, COUNT(*) AS line_df
   FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -2017,6 +2183,18 @@ FROM h"""
     // never the answer (no false negatives; the exact semi-join kills the
     // false positives), so it shares x103's oracle verbatim
     "x105_decontam_spans_bloom" -> decontamSpansSql,
+    // x106: URL normalization over the deterministic URL fixture — the
+    // tracking regex and suffix list interpolate from the Curation constants
+    "x106_url_normalize" -> urlNormalizeSql,
+    // x107: canonical-URL exact dedup — keep-min over the engineered
+    // 125-congruent collision groups, malformed rows excluded
+    "x107_url_dedup" -> urlDedupSql,
+    // x108: domain block/allow gate — flags (malformed/blocked/allowed)
+    // against the shared DefaultDomainBlocklist constant
+    "x108_domain_gate" -> domainGateSql,
+    // x109: incremental line scrub — odd-id increment against the even-id
+    // half's frozen line vocabulary at the minDf-1 decomposition floor
+    "x109_incr_line_scrub" -> incrLineScrubSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -536,6 +536,42 @@ object CorpusQueries {
   def x58LineScrub(spark: SparkSession, dir: String): DataFrame =
     TextDedup.lineScrub(TextDedup.paragraphFixture(docs(spark, dir)))
 
+  /** x106 — URL normalization over the deterministic URL fixture (the
+    * corpus carries no URL column; the fixture engineers every policy
+    * branch — case, www, default ports, trailing slash, tracking params,
+    * fragments, multi-label suffixes, one malformed core). */
+  def x106UrlNormalize(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.normalizeUrl(
+      graft.corpus.Curation.urlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"))
+
+  /** x107 — canonical-URL exact dedup over the URL fixture: every
+    * 125-congruent doc_id group canonicalizes to one url_norm (the
+    * fixture's engineered collisions), keep-min convention; the malformed
+    * core is excluded (no identity key). */
+  def x107UrlDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.urlDedup(graft.corpus.Curation.urlFixture(docs(spark, dir)))
+
+  /** x108 — domain block/allow gate over the URL fixture: registrable
+    * domains against the default blocklist — flags, not filters
+    * (malformed / blocked / allowed; the allowlist branch is spec-pinned,
+    * an empty allowlist never emits `unlisted`). */
+  def x108DomainGate(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.domainGate(
+      graft.corpus.Curation.urlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("url"), col("domain"), col("disposition"))
+
+  /** x109 — incremental line scrub: odd-id docs of the paragraph fixture
+    * (the increment) scrubbed against the even-id reference half's frozen
+    * line vocabulary (x40's split convention) — x58's ingest twin,
+    * completing the last asymmetric scrub tier. */
+  def x109IncrLineScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextDedup.paragraphFixture(docs(spark, dir))
+    TextDedup.lineScrubAgainst(
+      d.filter(col("doc_id") % 2 === 1),
+      TextDedup.lineVocabulary(d.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -435,6 +435,22 @@ object StreamOps {
       model: graft.corpus.Classifier.LrModel, tau: Double): DataFrame =
     graft.corpus.Classifier.qualityGate(docs, model, tau)
 
+  /** Streaming URL/domain gate — each arriving document canonicalized and
+    * routed by [[graft.corpus.Curation.domainGate]]'s policy (x108): the
+    * FIRST filter a live crawl frontier applies, before any text op. The
+    * block/allow lists are bounded driver-held constants rendered into
+    * codegen'd `isin`s; the whole gate (URL parse + canonicalize +
+    * registrable domain + disposition) is ONE stateless narrow projection,
+    * so NO watermark, NO state, any output mode — batch-equal by
+    * construction, spec-pinned through a live query. Flags are emitted,
+    * not filtered (the x73 routing doctrine: allowed → fetch/curate,
+    * blocked/unlisted/malformed → audit). */
+  def gateByDomain(docs: DataFrame,
+      blocklist: Seq[String] = graft.corpus.Curation.DefaultDomainBlocklist,
+      allowlist: Seq[String] = Seq.empty,
+      urlCol: String = "url"): DataFrame =
+    graft.corpus.Curation.domainGate(docs, blocklist, allowlist, urlCol)
+
   /** Streaming BPE segmentation — each arriving document segmented under a
     * FROZEN merge list ([[graft.corpus.TextStats.applyBpe]]'s X81 kernel):
     * the tokenizer-side twin of the frozen-model gates. The merge list is a
@@ -504,6 +520,56 @@ object StreamOps {
         size(col("ws")).cast("long").as("n_tokens"),
         (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
       .unionByName(spanless)
+  }
+
+  /** Streaming incremental line scrub —
+    * [[graft.corpus.TextDedup.lineScrubAgainst]]'s ingest twin (x109):
+    * drop from each arriving document every non-blank line the FROZEN
+    * reference line vocabulary ([[graft.corpus.TextDedup.lineVocabulary]],
+    * typically persisted/bucketed) contains — the C4/RefinedWeb line-level
+    * boilerplate scrub at ingest, without re-reading the reference corpus.
+    * Emits `(doc_id, ts, n_lines, n_removed, text)`, spec-pinned
+    * batch-equal (NULL-text documents produce no row, exactly the batch
+    * contract — a line explode has nothing to rebuild from).
+    *
+    * Shape: [[scrubSpansAgainst]]'s one-aggregation restructure, one tier
+    * simpler because lines don't overlap like span windows: posexplode the
+    * lines, stream-static LEFT join the vocabulary for per-line hit flags
+    * (blanks exempt at the probe, [[graft.corpus.TextDedup.lineScrub]]'s
+    * paragraph-structure rule), ONE watermarked aggregation per
+    * (doc_id, ts) collecting removable positions — the line array rides
+    * only the pos-0 row (`first(ignoreNulls)`), so state carries
+    * O(lines), not O(lines²) — then an ORDER-PRESERVING higher-order
+    * rebuild. Zero stream-stream joins; append mode; rows finalize when
+    * the watermark passes their event time. `hashKeys` must match the
+    * vocabulary's build mode (loud at construction). */
+  def scrubLinesAgainst(docs: DataFrame, vocab: DataFrame,
+      hashKeys: Boolean = false,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.corpus.TextDedup.requireVocabMode(vocab, hashKeys,
+      "scrubLinesAgainst")
+    val base = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(col("text"), "\n").as("ls"))
+      .filter(col("ls").isNotNull)
+    val lines = base
+      .select(col("doc_id"), col("ts"), col("ls"),
+        posexplode(col("ls")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("ts"), col("pos"), col("line"),
+        when(col("pos") === 0, col("ls")).as("ls1"),
+        (if (hashKeys) xxhash64(col("line")) else col("line")).as("lk"))
+    val marked = lines
+      .join(vocab.select(col("g").as("lk")).distinct()
+        .withColumn("__hit", lit(true)), Seq("lk"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(first(col("ls1"), ignoreNulls = true).as("ls"),
+        collect_set(when(col("__hit") && trim(col("line")) =!= "",
+          col("pos"))).as("rm"))
+    val toks = transform(col("ls"), (l, i) => struct(i.as("p"), l.as("line")))
+    val kept = filter(toks, s => !array_contains(col("rm"), s("p")))
+    marked.select(col("doc_id"), col("ts"),
+      size(col("ls")).cast("long").as("n_lines"),
+      size(col("rm")).cast("long").as("n_removed"),
+      array_join(transform(kept, s => s("line")), "\n").as("text"))
   }
 
   /** Streaming incremental exact-substring scrub at ExactSubstr length —

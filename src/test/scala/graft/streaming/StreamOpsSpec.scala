@@ -932,6 +932,59 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("minTokens")
   }
 
+  test("streaming line scrub (x109 twin): batch-equal through a live " +
+      "query — vocabulary lines removed, blanks exempt, NULL-text docs " +
+      "absent on both sides; guard loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val old = Seq((100L, "SUBSCRIBE\nref body a"), (101L, "SUBSCRIBE\nref b"))
+      .toDF("doc_id", "text")
+    val vocab = graft.corpus.TextDedup.lineVocabulary(old, hashKeys = true)
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 11L, "mine\nSUBSCRIBE\n\nkeep me"),
+      (ts("2024-01-01 10:00:01"), 13L, "SUBSCRIBE\nref b"), // pure boiler
+      (ts("2024-01-01 10:00:02"), 15L, "all fresh\nlines"),
+      (ts("2024-01-01 10:00:03"), 17L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.scrubLinesAgainst(
+      input.toDF().toDF("ts", "doc_id", "text"), vocab, hashKeys = true,
+      watermarkDelay = "10 minutes")
+    val sink = s"linescrub_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streamops_lines").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 99L, "zz"))
+      q.processAllAvailable()
+      val streamed = s.table(sink)
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 99L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("text")))).toMap
+      val batch = graft.corpus.TextDedup.lineScrubAgainst(
+        rows.map(r => (r._2, r._3)).toDF("doc_id", "text"), vocab,
+        hashKeys = true).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("text")))).toMap
+      streamed shouldBe batch
+      streamed(11L) shouldBe ((4L, 1L, "mine\n\nkeep me"))
+      streamed(13L) shouldBe ((2L, 2L, "")) // pure boilerplate -> empty
+      // NULL-text docs are absent on BOTH sides (the batch contract: a
+      // line explode has nothing to rebuild from)
+      streamed.keySet shouldBe Set(11L, 13L, 15L)
+    } finally q.stop()
+    intercept[IllegalArgumentException] { // string vocabulary, hashed probes
+      StreamOps.scrubLinesAgainst(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        graft.corpus.TextDedup.lineVocabulary(old), hashKeys = true)
+    }.getMessage should include("probe mode")
+  }
+
   test("streaming verified near-dups: capChars without banded is rejected" +
       " at construction, not silently dropped") {
     val s = spark
