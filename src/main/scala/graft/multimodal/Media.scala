@@ -334,14 +334,16 @@ object RealCodec extends MediaCodec {
     *    to the parent's end (the streaming-Segment convention); a vint
     *    overrunning the buffer fails loudly.
     *
-    * AVI, FLAC, MP3, OGG (Vorbis/Opus), WebP ([[probeWebp]]), and ICO
-    * ([[probeIco]]) take their own walks below. Returns (format, width,
-    * height, durationMs, codec); fields a header genuinely lacks report
-    * −1 / null — absent metadata is data, not an error (tolerated so a
-    * metadata-only `moov` fragment still reports its duration), but a
-    * STRUCTURALLY malformed header always fails loudly. Every other magic
-    * fails loudly: still images and WAV carry their metadata through
-    * [[decode]]. */
+    * AVI, FLAC, MP3, OGG (Vorbis/Opus), WebP ([[probeWebp]]), ICO
+    * ([[probeIco]]), and the three most common crawl STILL-image formats —
+    * JPEG ([[probeJpeg]], SOF walk), PNG ([[probePng]], CRC-verified
+    * IHDR), GIF ([[probeGif]], logical screen descriptor) — take their
+    * own walks below. Returns (format, width, height, durationMs, codec);
+    * fields a header genuinely lacks report −1 / null — absent metadata
+    * is data, not an error (tolerated so a metadata-only `moov` fragment
+    * still reports its duration), but a STRUCTURALLY malformed header
+    * always fails loudly. Every other magic fails loudly: PPM/BMP/TIFF
+    * stills and WAV carry their metadata through [[decode]]. */
   def probeMeta(blob: Array[Byte]): ProbedMeta = {
     if (blob.length >= 12 &&
         blob.slice(4, 8).sameElements("ftyp".getBytes("US-ASCII")))
@@ -363,14 +365,27 @@ object RealCodec extends MediaCodec {
     else if (blob.length >= 6 && blob(0) == 0 && blob(1) == 0 &&
         blob(2) == 1 && blob(3) == 0)
       probeIco(blob)
+    else if (blob.length >= 8 && (blob(0) & 0xff) == 0x89 &&
+        blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G' &&
+        (blob(4) & 0xff) == 0x0d && (blob(5) & 0xff) == 0x0a &&
+        (blob(6) & 0xff) == 0x1a && (blob(7) & 0xff) == 0x0a)
+      probePng(blob)
+    else if (blob.length >= 6 && {
+        val sig = new String(blob, 0, 6, "US-ASCII")
+        sig == "GIF87a" || sig == "GIF89a"
+      })
+      probeGif(blob)
+    else if (blob.length >= 2 && (blob(0) & 0xff) == 0xff &&
+        (blob(1) & 0xff) == 0xd8)
+      probeJpeg(blob)
     else if (isMp3(blob))
       probeMp3(blob)
     else {
       val magic = blob.take(4).map(b => f"${b & 0xff}%02x").mkString
       throw new UnsupportedOperationException(
         s"RealCodec.probeMeta: not an MP4/MKV/AVI/WEBP/FLAC/MP3/OGG/ICO" +
-          s" container (magic 0x$magic) — still images and WAV carry their" +
-          " metadata through decode()")
+          s"/JPEG/PNG/GIF container (magic 0x$magic) — PPM/BMP/TIFF stills" +
+          " and WAV carry their metadata through decode()")
     }
   }
 
@@ -472,6 +487,112 @@ object RealCodec extends MediaCodec {
       else fail(s"ICO: entry payload at $off is neither PNG nor a" +
         " BITMAPINFOHEADER DIB")
     ProbedMeta("ico", bestW, bestH, -1L, codec)
+  }
+
+  /** JPEG header probe (SOI + marker-segment walk to the frame header —
+    * the single most common crawl image format): dimensions live in the
+    * SOFn segment ([precision u8][height u16be][width u16be]), reached by
+    * skipping length-prefixed segments from the SOI. SOF0 (baseline),
+    * SOF1 (extended sequential), and SOF2 (progressive) name the codec;
+    * any OTHER SOF flavor (lossless, arithmetic, hierarchical — rare and
+    * rarely decodable anywhere) fails loudly rather than reporting
+    * dimensions for a frame type downstream can't decode. Reaching SOS or
+    * EOI without a SOF, a segment overrunning the buffer, or a dimension
+    * of 0 all fail loudly. FF fill bytes between markers are legal padding
+    * and skipped. Pixel decode stays on [[decode]]'s ImageIO tier. */
+  private def probeJpeg(b: Array[Byte]): ProbedMeta = {
+    def u16be(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var off = 2
+    while (off + 2 <= b.length) {
+      if ((b(off) & 0xff) != 0xff)
+        fail(f"JPEG: expected a marker at byte $off, got 0x${b(off) & 0xff}%02x")
+      // FF fill bytes before a marker are legal padding
+      while (off + 2 < b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+          marker == 0x01) {
+        off += 2 // standalone marker, no length field
+      } else if (marker == 0xd9) {
+        fail("JPEG: reached EOI without a frame header")
+      } else if (marker == 0xda) {
+        fail("JPEG: reached SOS without a frame header")
+      } else {
+        if (off + 4 > b.length)
+          fail("JPEG: truncated inside a segment header")
+        val len = u16be(off + 2)
+        if (len < 2 || off + 2 + len > b.length)
+          fail(s"JPEG: segment 0x${marker.toHexString} at byte $off" +
+            s" overruns the buffer (length $len)")
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          val codec = marker match {
+            case 0xc0 => "jpeg-baseline"
+            case 0xc1 => "jpeg-extended"
+            case 0xc2 => "jpeg-progressive"
+            case m => fail(f"JPEG: unsupported frame type SOF${m - 0xc0}" +
+              " (lossless/arithmetic/hierarchical)")
+          }
+          if (len < 9) fail(s"JPEG: SOF segment too short ($len bytes)")
+          val h = u16be(off + 5); val w = u16be(off + 7)
+          // height 0 is legal in the wire format (deferred to a DNL
+          // marker) but useless as metadata — loud, like every other
+          // structurally-unusable header here
+          if (w <= 0 || h <= 0) fail(s"JPEG: bad dimensions ${w}x$h")
+          return ProbedMeta("jpeg", w, h, -1L, codec)
+        }
+        off += 2 + len
+      }
+    }
+    fail("JPEG: truncated before a frame header")
+  }
+
+  /** PNG header probe: the same validate-IHDR-first walk as the decode
+    * router ([[routePng]] — length-13 IHDR as the first chunk, CRC
+    * checked BEFORE trusting any field, positive dimensions), reporting
+    * the pixel layout as the codec (`gray8`, `rgb16`, `palette8`, …)
+    * without inflating a single row. A truncated buffer, a bad CRC, or an
+    * unknown color type fails loudly. */
+  private def probePng(b: Array[Byte]): ProbedMeta = {
+    if (b.length < 8 + 25) fail("PNG: truncated before IHDR")
+    def u32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    if (u32(8) != 13 || new String(b, 12, 4, "US-ASCII") != "IHDR")
+      fail("PNG: first chunk is not a 13-byte IHDR")
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17)
+    if (crc.getValue != u32(29)) fail("PNG: bad CRC in IHDR chunk at byte 8")
+    val w = u32(16).toInt; val h = u32(20).toInt
+    if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
+    val depth = b(24) & 0xff
+    val layout = (b(25) & 0xff) match {
+      case 0 => "gray"
+      case 2 => "rgb"
+      case 3 => "palette"
+      case 4 => "gray-alpha"
+      case 6 => "rgba"
+      case ct => fail(s"PNG: unknown color type $ct")
+    }
+    ProbedMeta("png", w, h, -1L, s"$layout$depth")
+  }
+
+  /** GIF header probe: the logical screen descriptor directly follows the
+    * 6-byte signature — canvas width/height as u16le at bytes 6/8 (the
+    * presentation size; individual image descriptors may be sub-rects).
+    * The signature version names the codec (`gif87a`/`gif89a`); any other
+    * version byte pattern fails loudly upstream (the magic check requires
+    * one of the two published versions). Duration is −1: per-frame delays
+    * live in 89a Graphic Control Extensions a pixel decode would walk —
+    * absent metadata, not an error. */
+  private def probeGif(b: Array[Byte]): ProbedMeta = {
+    if (b.length < 13) fail("GIF: truncated before the logical screen" +
+      " descriptor")
+    def u16le(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val w = u16le(6); val h = u16le(8)
+    if (w <= 0 || h <= 0) fail(s"GIF: bad canvas dimensions ${w}x$h")
+    ProbedMeta("gif", w, h, -1L,
+      new String(b, 0, 6, "US-ASCII").toLowerCase)
   }
 
   /** OGG page walk (Vorbis/Opus — the last mainstream scraped-audio

@@ -138,9 +138,111 @@ class ProbeMetaSpec extends AnyFunSuite with Matchers {
   }
 
   test("non-container magics fail loudly and point at decode()") {
-    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    val e = intercept[UnsupportedOperationException](RealCodec.probeMeta(png))
+    // PPM: a still format whose metadata plane stays on the decode tier
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(7)
+    val e = intercept[UnsupportedOperationException](RealCodec.probeMeta(ppm))
     e.getMessage should include("decode()")
+  }
+
+  // ---- still-image header probes (JPEG / PNG / GIF) --------------------
+
+  private def jpegSeg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte,
+      ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+    ) ++ payload
+
+  private def sof(marker: Int, w: Int, h: Int): Array[Byte] =
+    jpegSeg(marker, Array[Byte](8 /* precision */,
+      (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+      3 /* components */) ++ Array.fill[Byte](9)(0x11))
+
+  test("JPEG: the SOF walk skips APPn/DQT/fill bytes and reads baseline, " +
+      "extended, and progressive dimensions") {
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val app0 = jpegSeg(0xe0, "JFIF".getBytes ++ Array.fill[Byte](10)(0))
+    val dqt = jpegSeg(0xdb, Array.fill[Byte](65)(1))
+    val fill = Array(0xff.toByte) // legal padding before the next marker
+    val base = RealCodec.probeMeta(
+      soi ++ app0 ++ dqt ++ fill ++ sof(0xc0, 640, 480))
+    (base.format, base.width, base.height, base.durationMs, base.codec)
+      .shouldBe(("jpeg", 640, 480, -1L, "jpeg-baseline"))
+    RealCodec.probeMeta(soi ++ sof(0xc2, 31, 17)).codec shouldBe
+      "jpeg-progressive"
+    RealCodec.probeMeta(soi ++ sof(0xc1, 8, 8)).codec shouldBe
+      "jpeg-extended"
+  }
+
+  test("JPEG structural lies fail loudly: EOI/SOS before any SOF, a " +
+      "segment overrunning the buffer, an exotic SOF flavor, zero dims") {
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val eoi = Array(0xff.toByte, 0xd9.toByte)
+    val sos = jpegSeg(0xda, Array.fill[Byte](10)(0))
+    intercept[IllegalArgumentException](RealCodec.probeMeta(soi ++ eoi))
+      .getMessage should include("EOI")
+    intercept[IllegalArgumentException](RealCodec.probeMeta(soi ++ sos))
+      .getMessage should include("SOS")
+    val overrun = soi ++ Array(0xff.toByte, 0xe0.toByte, 0x7f.toByte, 0xff.toByte)
+    intercept[IllegalArgumentException](RealCodec.probeMeta(overrun))
+      .getMessage should include("overruns")
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(soi ++ sof(0xc3, 8, 8)))
+      .getMessage should include("SOF3")
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(soi ++ sof(0xc0, 0, 8)))
+      .getMessage should include("dimensions")
+    intercept[IllegalArgumentException](RealCodec.probeMeta(soi))
+      .getMessage should include("truncated")
+  }
+
+  private def pngBytes(w: Int, h: Int, depth: Int, colorType: Int,
+      corruptCrc: Boolean = false): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array(depth.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val typed = "IHDR".getBytes("US-ASCII") ++ ihdr
+    val crc = new java.util.zip.CRC32()
+    crc.update(typed, 0, typed.length)
+    val crcV = if (corruptCrc) crc.getValue ^ 0xdeadL else crc.getValue
+    sig ++ be32(13L) ++ typed ++ be32(crcV) ++
+      be32(0L) ++ "IEND".getBytes("US-ASCII") ++ be32(0L)
+  }
+
+  test("PNG: CRC-verified IHDR gives dimensions and the pixel layout as " +
+      "codec; corruption and unknown color types fail loudly") {
+    val p = RealCodec.probeMeta(pngBytes(320, 200, 8, 6))
+    (p.format, p.width, p.height, p.durationMs, p.codec) shouldBe
+      (("png", 320, 200, -1L, "rgba8"))
+    RealCodec.probeMeta(pngBytes(9, 9, 16, 2)).codec shouldBe "rgb16"
+    RealCodec.probeMeta(pngBytes(9, 9, 8, 3)).codec shouldBe "palette8"
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(pngBytes(320, 200, 8, 6, corruptCrc = true)))
+      .getMessage should include("CRC")
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(pngBytes(9, 9, 8, 5)))
+      .getMessage should include("color type")
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(pngBytes(9, 9, 8, 6).take(20)))
+      .getMessage should include("truncated")
+  }
+
+  test("GIF: the logical screen descriptor gives the canvas, the " +
+      "signature version the codec; truncation and zero dims fail loudly") {
+    def gif(ver: String, w: Int, h: Int): Array[Byte] =
+      s"GIF$ver".getBytes("US-ASCII") ++ Array(
+        (w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte,
+        0.toByte, 0.toByte, 0.toByte)
+    val g = RealCodec.probeMeta(gif("89a", 1024, 768))
+    (g.format, g.width, g.height, g.durationMs, g.codec) shouldBe
+      (("gif", 1024, 768, -1L, "gif89a"))
+    RealCodec.probeMeta(gif("87a", 2, 3)).codec shouldBe "gif87a"
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(gif("89a", 5, 5).take(10)))
+      .getMessage should include("truncated")
+    intercept[IllegalArgumentException](
+      RealCodec.probeMeta(gif("89a", 0, 5)))
+      .getMessage should include("dimensions")
   }
 
   test("FLAC: STREAMINFO gives channels, rate, and exact duration; a " +
