@@ -137,6 +137,12 @@ object ScalingIncr {
       if (want("x84_probe", "x100_probe", "x102_probe"))
         TextDedup.writeVocabulary(
           TextDedup.spanVocabulary(oldDocs, hashGrams = true), spanVocTable)
+      val lineVocTable = s"scal_incr_linevoc_x$m"
+      if (want("x109_probe"))
+        TextDedup.writeVocabulary(
+          TextDedup.lineVocabulary(
+            TextDedup.paragraphFixture(oldDocs), hashKeys = true),
+          lineVocTable)
       val lmTable = s"scal_incr_lm_x$m"
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(
@@ -220,6 +226,16 @@ object ScalingIncr {
         // bucketed vocabulary scan grows
         ("x102_probe", () => TextDedup.spanScrubLongAgainst(
           inc("documents"), spark.table(spanVocTable), hashGrams = true)),
+        // x109: fixed increment line-scrubbed against the growing persisted
+        // LINE vocabulary (paragraph-fixtured on both sides — the fixture is
+        // narrow per-row column work, constant per doc). Each increment
+        // doc's body lines equal its replica-0 twin's (the 6-token chunking
+        // is id-independent) and the planted header/footer lines sit at
+        // corpus-wide df, so removal work per doc is constant in m by
+        // construction — only the bucketed vocabulary scan grows
+        ("x109_probe", () => TextDedup.lineScrubAgainst(
+          TextDedup.paragraphFixture(inc("documents")),
+          spark.table(lineVocTable), hashKeys = true)),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their
         // replica-0 twins, so every token is LM-known and per-doc scoring
@@ -258,6 +274,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $semTable")
       spark.sql(s"DROP TABLE IF EXISTS $bmTable")
       spark.sql(s"DROP TABLE IF EXISTS $spanVocTable")
+      spark.sql(s"DROP TABLE IF EXISTS $lineVocTable")
       spark.sql(s"DROP TABLE IF EXISTS $lmTable")
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
       rows
