@@ -71,13 +71,15 @@ class LineScrubAgainstSpec extends AnyFunSuite with SparkSpec with Matchers {
     import spark.implicits._
     val ref = Seq((100L, "TPL\nref a"), (101L, "TPL\nref b")).toDF(
       "doc_id", "text")
-    TextDedup.writeVocabulary(
-      TextDedup.lineVocabulary(ref, hashKeys = true), "line_vocab_spec",
-      buckets = 4)
-    val inc = Seq((1L, "TPL\nnew stuff")).toDF("doc_id", "text")
-    collect3(TextDedup.lineScrubAgainst(
-      inc, spark.table("line_vocab_spec"), hashKeys = true))(1L) shouldBe
-      ((2L, 1L, "new stuff"))
+    try {
+      TextDedup.writeVocabulary(
+        TextDedup.lineVocabulary(ref, hashKeys = true), "line_vocab_spec",
+        buckets = 4)
+      val inc = Seq((1L, "TPL\nnew stuff")).toDF("doc_id", "text")
+      collect3(TextDedup.lineScrubAgainst(
+        inc, spark.table("line_vocab_spec"), hashKeys = true))(1L) shouldBe
+        ((2L, 1L, "new stuff"))
+    } finally spark.sql("DROP TABLE IF EXISTS line_vocab_spec")
   }
 
   test("referee on a random multi-line corpus, plus the decomposition: " +
