@@ -1248,6 +1248,24 @@ object Curation {
   private def canonHost(rawHost: Column): Column =
     regexp_replace(lower(rawHost), "^www\\.", "")
 
+  /** ONE cheap predicate exactly equivalent to "[[normalizeUrl]] yields a
+    * non-NULL url_norm": a scheme, `://`, and a host that stays non-empty
+    * after the case-insensitive `www.` strip (the next authority character
+    * is not `:`/`/`/`?`/`#`/end). Exists because filtering on
+    * `url_norm IS NOT NULL` invites the optimizer to push the predicate
+    * below the scan's repartition WITH THE WHOLE PARSE CHAIN SUBSTITUTED —
+    * measured: ~3 s of single-task interpreted regexp re-evaluation per
+    * x107 execution at sf0.1, serialized on the pre-repartition scan task.
+    * This predicate pushes to the same place for the price of one regex.
+    * Equivalence is spec-pinned against url_norm nullability
+    * (`UrlPlaneSpec`/`UrlPlaneProperties` fixtures). The optional `www.`
+    * is POSSESSIVE (`?+`): a backtracking engine would otherwise accept
+    * `www./p` by un-matching the prefix and reading its own `w` as the
+    * host (Java regex only — this predicate never reaches the RE2-based
+    * oracle, which filters on its computed url_norm directly). */
+  def urlParses(url: Column): Column =
+    url.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://(?:(?i:www\\.))?+[^:/?#]")
+
   /** X106 — URL normalization: append `url_norm` (the canonical form) and
     * `domain` (the registrable domain) to every row, from `urlCol`. The
     * canonicalization policy, each step an explicit constant or a named
@@ -1278,30 +1296,51 @@ object Curation {
     * ([[graft.streaming.StreamOps.gateByDomain]]). */
   def normalizeUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
-    val schemeRaw = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
-    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^#]*)", 1)
-    val auth = regexp_extract(rest, "^([^/?]*)", 1)
-    val pathq = rest.substr(length(auth) + 1, length(rest))
-    val path = regexp_extract(pathq, "^([^?]*)", 1)
-    val query = when(length(pathq) > length(path),
-      pathq.substr(length(path) + 2, length(pathq))).otherwise(lit(""))
-    val hostRaw = regexp_extract(auth, "^([^:]*)", 1)
-    val port = regexp_extract(auth, ":([0-9]+)$", 1)
-    val scheme = lower(schemeRaw)
-    val host = canonHost(hostRaw)
+    // each parse stage materializes as a REAL intermediate column, never a
+    // nested Scala `val` of Column: inlining builds one giant expression
+    // tree in which every reference re-evaluates its whole regexp chain —
+    // WSCG's subexpression elimination rescues a plain projection, but an
+    // aggregate keyed on the result re-ran ~30 regexps per row (x107 read
+    // 3.4 s vs 0.3 s for the same work projected). Staged attributes are
+    // non-cheap producers referenced more than once, so CollapseProject
+    // keeps them materialized — each regexp runs once per row by
+    // construction, in every consumer plan shape.
+    val staged = docs
+      .withColumn("__g_scheme",
+        lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
+      .withColumn("__g_rest",
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^#]*)", 1))
+      .withColumn("__g_auth", regexp_extract(col("__g_rest"), "^([^/?]*)", 1))
+      .withColumn("__g_pathq", col("__g_rest")
+        .substr(length(col("__g_auth")) + 1, length(col("__g_rest"))))
+      .withColumn("__g_path", regexp_extract(col("__g_pathq"), "^([^?]*)", 1))
+      .withColumn("__g_query",
+        when(length(col("__g_pathq")) > length(col("__g_path")),
+          col("__g_pathq").substr(length(col("__g_path")) + 2,
+            length(col("__g_pathq")))).otherwise(lit("")))
+      .withColumn("__g_host",
+        canonHost(regexp_extract(col("__g_auth"), "^([^:]*)", 1)))
+      .withColumn("__g_port",
+        regexp_extract(col("__g_auth"), ":([0-9]+)$", 1))
+      .withColumn("__g_keptq", array_join(filter(split(col("__g_query"), "&"),
+        p => p =!= "" && !p.rlike(TrackingParamPattern)), "&"))
+    val scheme = col("__g_scheme")
+    val host = col("__g_host")
+    val port = col("__g_port")
+    val keptQ = col("__g_keptq")
     val dropPort = port === "" ||
       (scheme === "http" && port === "80") ||
       (scheme === "https" && port === "443")
-    val npath = regexp_replace(path, "/+$", "")
-    val keptQ = array_join(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamPattern)), "&")
-    val valid = schemeRaw =!= "" && host =!= ""
+    val npath = regexp_replace(col("__g_path"), "/+$", "")
+    val valid = scheme =!= "" && host =!= ""
     val urlNorm = when(valid, concat(scheme, lit("://"), host,
       when(dropPort, "").otherwise(concat(lit(":"), port)),
       npath,
       when(keptQ === "", "").otherwise(concat(lit("?"), keptQ))))
-    docs.withColumn("url_norm", urlNorm)
+    staged.withColumn("url_norm", urlNorm)
       .withColumn("domain", when(valid, registrableDomain(host)))
+      .drop("__g_scheme", "__g_rest", "__g_auth", "__g_pathq", "__g_path",
+        "__g_query", "__g_host", "__g_port", "__g_keptq")
   }
 
   /** Registrable domain of an already-canonicalized host: the last two

@@ -67,10 +67,14 @@ object TextDedup {
     * the scan, then ONE url_norm-keyed aggregate with map-side partials —
     * the same single-shuffle shape as [[exact]], and the key is the
     * canonical STRING (bounded — URLs cap at a few KB) so no second pass
-    * re-fetches it. */
+    * re-fetches it. The malformed filter runs on the RAW url
+    * ([[Curation.urlParses]], one regex, exactly `url_norm IS NOT NULL`):
+    * filtering on url_norm itself invited the optimizer to push the
+    * predicate to the scan with the whole parse chain substituted —
+    * measured ~3 s of serialized re-evaluation per execution at sf0.1. */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
-    Curation.normalizeUrl(docs, urlCol)
-      .filter(col("url_norm").isNotNull)
+    Curation.normalizeUrl(
+        docs.filter(Curation.urlParses(col(urlCol))), urlCol)
       .groupBy(col("url_norm"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))

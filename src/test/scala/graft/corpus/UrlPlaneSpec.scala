@@ -81,6 +81,30 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(5L)._2 shouldBe Some("ex.com.au")
   }
 
+  test("urlParses (urlDedup's pushable raw-url filter) is EXACTLY " +
+      "url_norm non-nullability — on every tricky case and the fixture") {
+    val s = spark
+    import s.implicits._
+    val tricky = Seq(
+      "HTTPS://WWW.Ex.COM/a#f", "not a url", "ex.com/a", "http://",
+      "https://www./p", "://ex.com", "http://WWW.x", "http://wwwx.com",
+      "http://www.:8080", "http://.", "http://#f", "http://?q",
+      "http:///path", "ftp://Host.org:21/x", "http://www.www.x")
+    val df = tricky.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val both = Curation.normalizeUrl(df)
+      .select(col("doc_id"), col("url_norm").isNotNull.as("nn"),
+        Curation.urlParses(col("url")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    both.foreach { case (id, nn, p) =>
+      withClue(s"${tricky(id.toInt)}: ") { p shouldBe nn }
+    }
+    // and across the whole driver fixture
+    Curation.normalizeUrl(Curation.urlFixture((0L until 500L).toDF("doc_id")))
+      .filter(col("url_norm").isNotNull =!= Curation.urlParses(col("url")))
+      .count() shouldBe 0L
+  }
+
   test("urlDedup: keep-min over the canonical form, decorations collide, " +
       "malformed rows are excluded (no identity key)") {
     val s = spark
