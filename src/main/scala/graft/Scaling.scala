@@ -339,6 +339,20 @@ object Scaling {
         (d, _) => TextDedup.crossDocSpans(rd(d, "documents"))),
       ("documents", "x58_line_scrub",
         (d, _) => TextDedup.lineScrub(TextDedup.paragraphFixture(rd(d, "documents")))),
+      // x110: HTML -> text extraction — pure narrow kernel work riding the
+      // scan (fixture build + six regexp stages per row, NO shuffle); the
+      // cell is the linearity witness for the extraction chain
+      ("documents", "x110_html_extract",
+        (d, _) => graft.corpus.Html.extractText(
+          graft.corpus.Html.htmlFixture(rd(d, "documents")))),
+      // x111: domain web-graph edges — narrow fixture/extract/normalize
+      // per row, then ONE domain-pair aggregate; the key space is
+      // registrable DOMAINS (fixture-bounded Brand×tld here, ~1e8 on the
+      // web), so the shuffle stays tiny while the scan side grows m×
+      ("documents", "x111_domain_edges",
+        (d, _) => graft.corpus.Html.domainEdges(
+          graft.corpus.Html.htmlFixture(
+            graft.corpus.Curation.urlFixture(rd(d, "documents"))))),
       // x60: replicas carry suffixed vocabularies DISJOINT from the base
       // query sheet (and ids past the QueryCount cap), so this cell measures
       // the PRUNE path — the broadcast semi-join must discard the growing

@@ -143,6 +143,15 @@ object ScalingIncr {
           TextDedup.lineVocabulary(
             TextDedup.paragraphFixture(oldDocs), hashKeys = true),
           lineVocTable)
+      val urlTable = s"scal_incr_urlidx_x$m"
+      if (want("x112_probe"))
+        // synthetic URL column: the driver fixture's 125-class key space
+        // cannot grow an index, so every OLD doc gets a DISTINCT canonical
+        // URL (index rows linear in m) decorated with a tracking param the
+        // normalization must strip
+        TextDedup.writeUrlIndex(TextDedup.urlIndex(
+          oldDocs.withColumn("url", concat(lit("https://d"), col("doc_id"),
+            lit(".com/x?utm_source=s")))), urlTable)
       val lmTable = s"scal_incr_lm_x$m"
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(
@@ -236,6 +245,18 @@ object ScalingIncr {
         ("x109_probe", () => TextDedup.lineScrubAgainst(
           TextDedup.paragraphFixture(inc("documents")),
           spark.table(lineVocTable), hashKeys = true)),
+        // x112: fixed increment probed against the growing persisted
+        // canonical-URL index — the frontier's "already crawled" gate.
+        // Each increment doc carries its replica-0 twin's URL under
+        // DIFFERENT decorations (trailing slash + fragment vs the index
+        // side's tracking param), so every probe is a hit, hits are
+        // constant in m, and BOTH sides exercise the normalization kernel;
+        // only the increment shuffles — the bucketed index reads in place
+        ("x112_probe", () => TextDedup.urlDedupAgainst(
+          inc("documents").withColumn("url",
+            concat(lit("https://d"), col("doc_id") - incrOffset,
+              lit(".com/x/#f"))),
+          spark.table(urlTable))),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their
         // replica-0 twins, so every token is LM-known and per-doc scoring
@@ -277,6 +298,7 @@ object ScalingIncr {
       spark.sql(s"DROP TABLE IF EXISTS $lineVocTable")
       spark.sql(s"DROP TABLE IF EXISTS $lmTable")
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $urlTable")
       rows
     }
 

@@ -1243,11 +1243,6 @@ object Curation {
   val DefaultDomainBlocklist: Seq[String] =
     Seq("brand1.com", "brand7.co.uk", "brand3.com.au", "brand16.com")
 
-  /** Scheme + host of a parsed URL, lowercased, leading `www.` stripped —
-    * [[normalizeUrl]]'s host policy in one place. */
-  private def canonHost(rawHost: Column): Column =
-    regexp_replace(lower(rawHost), "^www\\.", "")
-
   /** ONE cheap predicate exactly equivalent to "[[normalizeUrl]] yields a
     * non-NULL url_norm": a scheme, `://`, and a host that stays non-empty
     * after the case-insensitive `www.` strip (the next authority character
@@ -1290,63 +1285,40 @@ object Curation {
     * it; a URL carrying one lands in the malformed branch via its
     * un-hostlike authority rather than silently keying on the wrong host.
     *
-    * Scale shape: pure narrow codegen'd column work — regexp parses + one
-    * higher-order filter over the split query — zero shuffles, zero state;
-    * composes unchanged under Structured Streaming
-    * ([[graft.streaming.StreamOps.gateByDomain]]). */
+    * Scale shape: TWO codegen'd kernel calls per row
+    * ([[graft.functions.UrlNormalize]] / [[graft.functions.UrlDomain]],
+    * each one linear parse) — zero shuffles, zero state; composes
+    * unchanged under Structured Streaming
+    * ([[graft.streaming.StreamOps.gateByDomain]]).
+    *
+    * WHY fused expressions and not a declarative staged projection (the
+    * [[graft.functions.Bm25GateScore]] doctrine, second sighting — full
+    * account at [[graft.functions.UrlPolicy]]): the staging held under
+    * x107's aggregate but x112's JOIN substituted it — constraint
+    * inference pushed `isnotnull(url_norm)` with the whole alias chain
+    * inlined, ballooning the probe plan from 6 `regexp_extract` nodes to
+    * 77 and the driver row from ~0.8 s to 4.4 s at sf0.1. A depth-1
+    * kernel call duplicates as one extra linear parse; a staged forest
+    * duplicates as a forest. */
   def normalizeUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val u = col(urlCol)
-    // each parse stage materializes as a REAL intermediate column, never a
-    // nested Scala `val` of Column: inlining builds one giant expression
-    // tree in which every reference re-evaluates its whole regexp chain —
-    // WSCG's subexpression elimination rescues a plain projection, but an
-    // aggregate keyed on the result re-ran ~30 regexps per row (x107 read
-    // 3.4 s vs 0.3 s for the same work projected). Staged attributes are
-    // non-cheap producers referenced more than once, so CollapseProject
-    // keeps them materialized — each regexp runs once per row by
-    // construction, in every consumer plan shape.
-    val staged = docs
-      .withColumn("__g_scheme",
-        lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
-      .withColumn("__g_rest",
-        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^#]*)", 1))
-      .withColumn("__g_auth", regexp_extract(col("__g_rest"), "^([^/?]*)", 1))
-      .withColumn("__g_pathq", col("__g_rest")
-        .substr(length(col("__g_auth")) + 1, length(col("__g_rest"))))
-      .withColumn("__g_path", regexp_extract(col("__g_pathq"), "^([^?]*)", 1))
-      .withColumn("__g_query",
-        when(length(col("__g_pathq")) > length(col("__g_path")),
-          col("__g_pathq").substr(length(col("__g_path")) + 2,
-            length(col("__g_pathq")))).otherwise(lit("")))
-      .withColumn("__g_host",
-        canonHost(regexp_extract(col("__g_auth"), "^([^:]*)", 1)))
-      .withColumn("__g_port",
-        regexp_extract(col("__g_auth"), ":([0-9]+)$", 1))
-      .withColumn("__g_keptq", array_join(filter(split(col("__g_query"), "&"),
-        p => p =!= "" && !p.rlike(TrackingParamPattern)), "&"))
-    val scheme = col("__g_scheme")
-    val host = col("__g_host")
-    val port = col("__g_port")
-    val keptQ = col("__g_keptq")
-    val dropPort = port === "" ||
-      (scheme === "http" && port === "80") ||
-      (scheme === "https" && port === "443")
-    val npath = regexp_replace(col("__g_path"), "/+$", "")
-    val valid = scheme =!= "" && host =!= ""
-    val urlNorm = when(valid, concat(scheme, lit("://"), host,
-      when(dropPort, "").otherwise(concat(lit(":"), port)),
-      npath,
-      when(keptQ === "", "").otherwise(concat(lit("?"), keptQ))))
-    staged.withColumn("url_norm", urlNorm)
-      .withColumn("domain", when(valid, registrableDomain(host)))
-      .drop("__g_scheme", "__g_rest", "__g_auth", "__g_pathq", "__g_path",
-        "__g_query", "__g_host", "__g_port", "__g_keptq")
+    import org.apache.spark.sql.GraftExpressionBridge.{column => c, expression => x}
+    val u = x(col(urlCol))
+    docs
+      .withColumn("url_norm",
+        c(graft.functions.UrlNormalize(u, TrackingParamPattern)))
+      .withColumn("domain",
+        c(graft.functions.UrlDomain(u, MultiLabelSuffixes)))
   }
 
   /** Registrable domain of an already-canonicalized host: the last two
     * labels, or three when the last two form a [[MultiLabelSuffixes]]
     * entry (publicsuffix.org's one-more-than-the-suffix rule); a
-    * single-label host (intranet names, `localhost`) is its own domain. */
+    * single-label host (intranet names, `localhost`) is its own domain.
+    * This is the DECLARATIVE statement of the rule
+    * [[graft.functions.UrlDomain]]'s fused kernel implements — kept as
+    * the readable policy reference and as the spec referee the kernel is
+    * pinned against (`UrlPlaneSpec`); [[normalizeUrl]] itself calls the
+    * kernel (see its scale-shape note for why). */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)

@@ -1,0 +1,242 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The HTML plane — the crawl-native stage UPSTREAM of every text operator:
+  * a crawl stores fetched pages as HTML; the documents every other operator
+  * in this library consumes (dedup, quality, LM, packing) only exist after
+  * an extraction pass turns markup into text, and the web graph a curation
+  * pipeline weighs domains with (RefinedWeb §3.1 reads WARC, not WET,
+  * precisely to own this step; C4 starts from already-extracted WET but
+  * every modern pipeline re-extracts) only exists after an outlink pass.
+  *
+  * Two operators, one policy surface:
+  *
+  *  - [[extractText]] (x110) — markup → text, each stage an explicit,
+  *    ordered rule shared with the DuckDB oracle;
+  *  - [[extractOutlinks]] (x111 feeds) — `href` targets, absolute
+  *    http(s) only, comments stripped FIRST so commented-out markup can
+  *    never contribute a link.
+  *
+  * Both are pure narrow codegen'd column work — regexp stages staged as
+  * REAL intermediate columns (the x107 lesson: inlined non-cheap producers
+  * referenced more than once re-run their whole regexp chain per consumer;
+  * staged attributes survive CollapseProject) — zero shuffles, zero state,
+  * so they compose unchanged under Structured Streaming and sit on the
+  * scan at 100 TB.
+  *
+  * Regex dialect note: every pattern here is written in the subset Java
+  * regex (the engine) and RE2 (the DuckDB oracle) read identically — no
+  * backtracking constructs, no `\s` (the two engines disagree on vertical
+  * tab; explicit `[ \t\n\r]` classes instead), inline `(?is)` flags only.
+  */
+object Html {
+
+  /** The entity subset [[extractText]] decodes, IN ORDER — `&amp;` LAST,
+    * the standard decode order that keeps a double-escaped `&amp;lt;`
+    * rendering as the literal text `&lt;` instead of a phantom `<`.
+    * `&nbsp;` decodes to a plain space (it then collapses with its
+    * neighbors — a non-breaking space is layout, not content). Shared
+    * VERBATIM with the x110 oracle generator. A full named-entity table is
+    * a deployment artifact; this explicit constant is the policy surface. */
+  val EntityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** X110 — HTML → text extraction. The `text` column is REPLACED by the
+    * extraction of `htmlCol` (pipeline-composable: everything downstream —
+    * scrub, quality, dedup — runs on the result unchanged), with
+    * `html_len` / `text_len` appended (the extraction-ratio signal a
+    * quality gate reads: boilerplate-heavy chrome pages extract short).
+    *
+    * The policy, each stage an explicit ordered rule shared with the
+    * oracle:
+    *
+    *  1. comments stripped (`<!-- … -->`, dotall) — FIRST, so markup
+    *     hidden inside a comment can never surface as text or links;
+    *  2. `<script>` blocks stripped whole (tag + content, non-greedy to
+    *     the closing tag) — script BODIES are code, not text, and a bare
+    *     tag-strip would leak them;
+    *  3. `<style>` blocks stripped whole, same rule;
+    *  4. every remaining tag → one space (`<[^>]*>` — attributes and all;
+    *     block/inline distinction is layout, and the whitespace collapse
+    *     erases it anyway);
+    *  5. the [[EntityDecodes]] subset decoded, in order, `&amp;` last.
+    *     Decode runs AFTER tag-strip by design: `&lt;here&gt;` is the
+    *     AUTHOR writing a literal angle bracket, so the decoded `<here>`
+    *     must survive as text, never be re-read as a tag;
+    *  6. runs of whitespace (`[ \t\n\r]+`) collapse to one space; ends
+    *     trimmed.
+    *
+    * Malformed markup degrades, never throws (the x73 doctrine): an
+    * unclosed `<script>` block is not matched by stage 2 (non-greedy to a
+    * closing tag that never comes), so stage 4 strips the dangling open
+    * tag and the body degrades to visible text; a dangling `<` pairs with
+    * the next `>` as one tag. Both are the documented honest failure
+    * modes of regexp extraction — a crawl pipeline routes pathological
+    * pages by the extraction RATIO (`text_len / html_len`), not by
+    * expecting a parser to bless them. */
+  def extractText(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_ns", regexp_replace(col("__g_nc"),
+        "(?is)<script\\b[^>]*>.*?</script>", " "))
+      .withColumn("__g_nst", regexp_replace(col("__g_ns"),
+        "(?is)<style\\b[^>]*>.*?</style>", " "))
+      .withColumn("__g_nt",
+        regexp_replace(col("__g_nst"), "<[^>]*>", " "))
+      .withColumn("__g_dec", EntityDecodes.foldLeft(col("__g_nt")) {
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+      })
+      .withColumn("__g_txt",
+        trim(regexp_replace(col("__g_dec"), "[ \\t\\n\\r]+", " ")))
+    staged
+      .withColumn("html_len", length(col(htmlCol)))
+      .withColumn("text_len", length(col("__g_txt")))
+      .withColumn("text", col("__g_txt"))
+      .drop("__g_nc", "__g_ns", "__g_nst", "__g_nt", "__g_dec", "__g_txt")
+  }
+
+  /** Outlink extraction — one `(…, link)` row per `href` whose target is
+    * an ABSOLUTE http(s) URL (relative links resolve against a base URL
+    * the row may not carry and never leave the site's own domain — the
+    * domain-graph consumer gains nothing from them; a crawl frontier that
+    * wants them resolves them at fetch time where the base is in hand).
+    * Both quoting styles are read (`href="…"` / `href='…'`, attribute
+    * name and scheme case-insensitive); comments are stripped FIRST with
+    * [[extractText]]'s stage-1 rule, so a commented-out anchor can never
+    * contribute an edge. Multiplicity is preserved — a page linking a
+    * target three times asserts the edge three times; collapsing is the
+    * aggregate's job (x111 counts, a PageRank-style consumer weighs).
+    *
+    * Scale shape: one comment-strip + two `regexp_extract_all` passes
+    * staged as real columns, one explode — narrow end to end; the
+    * downstream x111 edge aggregate is the plane's only shuffle. */
+  def extractOutlinks(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_links", concat(
+        regexp_extract_all(col("__g_nc"),
+          lit("(?i)href[ \\t\\n\\r]*=[ \\t\\n\\r]*\"(https?://[^\"]*)\""),
+          lit(1)),
+        regexp_extract_all(col("__g_nc"),
+          lit("(?i)href[ \\t\\n\\r]*=[ \\t\\n\\r]*'(https?://[^']*)'"),
+          lit(1))))
+    staged.drop("__g_nc")
+      .withColumn("link", explode(col("__g_links")))
+      .drop("__g_links")
+  }
+
+  /** X111 — the domain-level web graph: one `(src_domain, dst_domain,
+    * n_links)` row per ordered pair of registrable domains with at least
+    * one link, multiplicity counted. The graph every crawl-curation
+    * quality weight is computed ON (OPIC/harmonic-centrality seeds,
+    * spam-neighborhood flags); self-loops (site-internal absolute links)
+    * are kept — in-template self-links are themselves a boilerplate
+    * signal. Rows whose SOURCE URL does not canonicalize are excluded
+    * (no src identity — x107's malformed rule), as are links that do not
+    * canonicalize (defensive: the extraction pattern already guarantees
+    * parseability).
+    *
+    * Scale shape: source-domain parse + link extraction ride the scan
+    * (narrow, one pass — [[Curation.normalizeUrl]] on the page URL
+    * BEFORE the explode, so the per-doc parse is never re-run per link);
+    * ONE domain-pair aggregate with map-side partials is the only
+    * shuffle, and its key space is registrable DOMAINS (web-scale ≈ 10⁸)
+    * not URLs. */
+  def domainEdges(docs: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val src = Curation.normalizeUrl(
+        docs.filter(Curation.urlParses(col(urlCol))), urlCol)
+      .select(col("doc_id"), col("domain").as("src_domain"), col(htmlCol))
+    val links = extractOutlinks(src, htmlCol)
+      .select(col("doc_id"), col("src_domain"), col("link"))
+    Curation.normalizeUrl(links, "link")
+      .filter(col("domain").isNotNull)
+      .groupBy(col("src_domain"), col("domain").as("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Deterministic HTML fixture for the x110/x111 driver rows (the
+    * x28/x58/x106 fixture pattern — the synthetic corpus carries no HTML;
+    * one is built from `doc_id` arithmetic and the document's own words,
+    * replayed byte-for-byte by the oracle generator). Every policy stage
+    * is exercised NON-VACUOUSLY, so any stage failing open breaks the
+    * hash:
+    *
+    *  - body paragraphs: the document's words re-chunked 7 to a `<p>`
+    *    (attribute-bearing tags — stage 4 must eat attributes);
+    *  - a `<script>` block on even ids whose body contains `<`, `"` and
+    *    braces (stage 2 must remove CONTENT, and before stage 4 — a bare
+    *    tag-strip would leak `if (1 < 2) { track(…); }` into text);
+    *  - a `<style>` block on `id % 3 == 0` (stage 3);
+    *  - a comment on `id % 4 == 1` WRAPPING AN ANCHOR to a domain that
+    *    appears nowhere else (`evil.example`) — stage 1 before stages
+    *    4/link-extraction: one leaked comment edge poisons x111's hash;
+    *  - an entity paragraph on `id % 5 == 0` covering all six
+    *    [[EntityDecodes]] including double-escaping (`&amp;` decodes
+    *    last);
+    *  - 1–3 absolute nav links with urlFixture-style arithmetic (same
+    *    Brand/tld branch values, so link domains COLLIDE with page
+    *    domains in x111's edge space), one per-link uppercase
+    *    `HREF`/`HTTPS` variant, tracking params and fragments for
+    *    [[Curation.normalizeUrl]] to strip;
+    *  - a single-quoted absolute link on `id % 7 == 0` (the second
+    *    extraction pass);
+    *  - a RELATIVE link on every doc (`/local/…`) that extraction must
+    *    ignore. */
+  def htmlFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val ws = split(col("text"), " ")
+    val nChunks = ceil(size(ws).cast("double") / 7).cast("int")
+    val paras = array_join(transform(sequence(lit(0), nChunks - 1),
+      i => concat(lit("<p class=\"c"), s(i % 3), lit("\">"),
+        array_join(slice(ws, i * 7 + 1, lit(7)), " "), lit("</p>"))), "")
+    val navLinks = array_join(transform(sequence(lit(0), (d % 3).cast("int")),
+      i => {
+        val j = d * 3 + i
+        val schemeB = when(j % 2 === 0, "https").otherwise("http")
+        val upperV = j % 11 === 5
+        val anchor = concat(
+          when(upperV, "HREF").otherwise("href"), lit("=\""),
+          when(upperV, upper(schemeB)).otherwise(schemeB), lit("://"),
+          when(j % 3 === 0, "www.").otherwise(""),
+          lit("Brand"), s(j % 23),
+          when(j % 5 === 0, ".CO.UK").when(j % 5 === 1, ".com.au")
+            .otherwise(".COM"),
+          lit("/l/"), s(j % 9),
+          when(j % 4 === 0, "?utm_source=nav")
+            .when(j % 4 === 2, concat(lit("?id="), s(j % 7)))
+            .otherwise(""),
+          when(j % 3 === 1, "#f").otherwise(""),
+          lit("\">more "), s(i), lit("</a>"))
+        concat(lit("<a "), anchor)
+      }), "")
+    val squoted = when(d % 7 === 0, concat(lit("<a href='http://Brand"),
+      s(d % 23), lit(".COM/s'>q</a>"))).otherwise(lit(""))
+    val script = when(d % 2 === 0, concat(
+      lit("<script type=\"text/javascript\">if (1 < 2) { track(\"d"),
+      s(d), lit("\"); }</script>"))).otherwise(lit(""))
+    val style = when(d % 3 === 0, lit("<style>.c0 { color: #111; }</style>"))
+      .otherwise(lit(""))
+    val comment = when(d % 4 === 1,
+      lit("<!-- hidden <a href=\"https://evil.example/x\">spam</a> -->"))
+      .otherwise(lit(""))
+    val entities = when(d % 5 === 0, lit(
+      "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;&nbsp;&#39;now&#39; &amp;lt;twice&amp;gt;</p>"))
+      .otherwise(lit(""))
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), s(d), lit("</title>"), style, script,
+      lit("</head><body>"), comment, lit("<nav>"), navLinks, squoted,
+      lit("</nav>"), paras, entities,
+      lit("<a href=\"/local/"), s(d % 5), lit("\">rel</a></body></html>")))
+  }
+}

@@ -79,6 +79,57 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** The persisted canonical-URL identity index — [[urlDedup]]'s output
+    * shape `(url_norm, canonical_doc_id, n_copies)`, what a production
+    * frontier writes out (bucketed on `url_norm` via
+    * [[graft.util.BucketedTable]], the [[writeDedupIndex]] layout) so
+    * every future crawl increment probes URL identity in place instead of
+    * re-aggregating the corpus. */
+  def urlIndex(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    urlDedup(docs, urlCol)
+
+  /** Persist [[urlIndex]] BUCKETED on `url_norm` — the layout that lets
+    * every future increment probe URL identity without re-shuffling the
+    * index side (the [[writeDedupIndex]]/[[writeVocabulary]] discipline:
+    * only the day's increment moves; the corpus-sized side never does
+    * again). */
+  def writeUrlIndex(index: DataFrame, tableName: String,
+      buckets: Int = 16): Unit =
+    graft.util.BucketedTable.write(index, tableName, buckets, "url_norm")
+
+  /** X112 — INCREMENTAL canonical-URL dedup: flag arriving documents whose
+    * canonical URL the corpus already holds, against a FROZEN [[urlIndex]]
+    * (typically persisted/bucketed), without re-reading the corpus —
+    * [[urlDedup]]'s ingest twin (the x40/x109 discipline: every dedup tier
+    * a daily-ingest pipeline runs has a frozen-artifact form; the URL tier
+    * is the FIRST one a crawl runs, on the frontier, often before the body
+    * is even fetched). One row per flagged new document:
+    * `(doc_id, url_norm, canonical_doc_id)` with the INDEX's canonical —
+    * published identity is never reassigned by an increment, even when the
+    * arriving doc_id sorts lower (divergence from the union-rebuild's
+    * keep-min on exactly those rows, by design; spec-pinned). New
+    * documents whose URL is unknown to the index are ABSENT ([[
+    * incrementalDedup]]'s contract — they are the next snapshot's corpus),
+    * as are malformed URLs (no identity key, [[urlDedup]]'s rule);
+    * increment-internal collisions are deliberately NOT adjudicated here
+    * (self-dedup the increment with [[urlDedup]] separately — the x109
+    * convention).
+    *
+    * Scale shape: the increment canonicalizes narrow on its scan
+    * ([[Curation.urlParses]] prefilter — one cheap pushable regex, the
+    * x107 lesson); ONE equi-join keyed on `url_norm` against the index,
+    * which reads in place when persisted/bucketed (only the day's
+    * increment shuffles — the corpus-sized side never moves again, the
+    * x40/x51/x54/x60 persisted-probe discipline). */
+  def urlDedupAgainst(newDocs: DataFrame, index: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    Curation.normalizeUrl(
+        newDocs.filter(Curation.urlParses(col(urlCol))), urlCol)
+      .select(col("doc_id"), col("url_norm"))
+      .join(index.select(col("url_norm"), col("canonical_doc_id")),
+        Seq("url_norm"))
+      .select(col("doc_id"), col("url_norm"), col("canonical_doc_id"))
+
   /** One (doc_id, shingle) row per distinct shingle — the inverted-index posting
     * list (size-free: [[ngramJaccardPairs]] derives sizes from its df-capped
     * universe, and the decontamination builders only need the shingle keys). */

@@ -1492,6 +1492,149 @@ FROM norm WHERE url_norm IS NOT NULL GROUP BY 1"""
 FROM norm"""
   }
 
+  /** x112 — incremental canonical-URL dedup: odd-id increment probed
+    * against the even-id reference half's frozen url index, with classes
+    * `(doc_id % 125) % 10 == 3` withheld from the reference (the
+    * engineered misses — absent rows pin the unknown-URL branch). */
+  private def incrUrlDedupSql: String =
+    urlNormPrelude +
+      """SELECT n.doc_id, n.url_norm, r.canonical_doc_id
+FROM (SELECT doc_id, url_norm FROM norm
+      WHERE doc_id % 2 = 1 AND url_norm IS NOT NULL) n
+JOIN (SELECT url_norm, MIN(doc_id) AS canonical_doc_id FROM norm
+      WHERE doc_id % 2 = 0 AND (doc_id % 125) % 10 <> 3
+        AND url_norm IS NOT NULL GROUP BY 1) r
+  USING (url_norm)"""
+
+  /** The x110/x111 HTML fixture — replays `Html.htmlFixture` byte-for-byte
+    * (paragraph re-chunking, script/style/comment plants, the entity
+    * paragraph, nav/single-quoted/relative links with the urlFixture
+    * Brand/tld branch values). Ends with a `hfx` CTE of (doc_id, html). */
+  private val htmlFixturePrelude: String =
+    """WITH hb AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+hp AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(CAST(ceil(len(ws) / 7.0) AS INT)),
+      i -> '<p class="c' || CAST(i % 3 AS VARCHAR) || '">'
+        || array_to_string(ws[i * 7 + 1 : i * 7 + 7], ' ') || '</p>'),
+      '') AS paras,
+    array_to_string(list_transform(range(CAST(doc_id % 3 + 1 AS INT)),
+      i -> '<a '
+        || (CASE WHEN (doc_id * 3 + i) % 11 = 5 THEN 'HREF'
+                 ELSE 'href' END)
+        || '="'
+        || (CASE WHEN (doc_id * 3 + i) % 11 = 5
+              THEN upper(CASE WHEN (doc_id * 3 + i) % 2 = 0
+                THEN 'https' ELSE 'http' END)
+              ELSE (CASE WHEN (doc_id * 3 + i) % 2 = 0
+                THEN 'https' ELSE 'http' END) END)
+        || '://'
+        || (CASE WHEN (doc_id * 3 + i) % 3 = 0 THEN 'www.' ELSE '' END)
+        || 'Brand' || CAST((doc_id * 3 + i) % 23 AS VARCHAR)
+        || (CASE WHEN (doc_id * 3 + i) % 5 = 0 THEN '.CO.UK'
+                 WHEN (doc_id * 3 + i) % 5 = 1 THEN '.com.au'
+                 ELSE '.COM' END)
+        || '/l/' || CAST((doc_id * 3 + i) % 9 AS VARCHAR)
+        || (CASE WHEN (doc_id * 3 + i) % 4 = 0 THEN '?utm_source=nav'
+                 WHEN (doc_id * 3 + i) % 4 = 2
+                   THEN '?id=' || CAST((doc_id * 3 + i) % 7 AS VARCHAR)
+                 ELSE '' END)
+        || (CASE WHEN (doc_id * 3 + i) % 3 = 1 THEN '#f' ELSE '' END)
+        || '">more ' || CAST(i AS VARCHAR) || '</a>'), '') AS nav
+  FROM hb),
+hfx AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || (CASE WHEN doc_id % 3 = 0
+          THEN '<style>.c0 { color: #111; }</style>' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+          THEN '<script type="text/javascript">if (1 < 2) { track("d'
+            || CAST(doc_id AS VARCHAR) || '"); }</script>' ELSE '' END)
+    || '</head><body>'
+    || (CASE WHEN doc_id % 4 = 1
+          THEN '<!-- hidden <a href="https://evil.example/x">spam</a> -->'
+          ELSE '' END)
+    || '<nav>' || nav
+    || (CASE WHEN doc_id % 7 = 0
+          THEN '<a href=''http://Brand' || CAST(doc_id % 23 AS VARCHAR)
+            || '.COM/s''>q</a>' ELSE '' END)
+    || '</nav>' || paras
+    || (CASE WHEN doc_id % 5 = 0
+          THEN '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;&nbsp;&#39;now&#39; &amp;lt;twice&amp;gt;</p>'
+          ELSE '' END)
+    || '<a href="/local/' || CAST(doc_id % 5 AS VARCHAR)
+    || '">rel</a></body></html>' AS html
+  FROM hp)
+"""
+
+  /** x110 — HTML → text extraction: the fixture + the six-stage policy
+    * (comments, script blocks, style blocks, tags, the entity subset in
+    * order with `&amp;` last, whitespace collapse + trim), each stage its
+    * own CTE mirroring the engine's staged columns. */
+  private def htmlExtractSql: String =
+    htmlFixturePrelude +
+      """, he0 AS (SELECT doc_id, html,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM hfx),
+he1 AS (SELECT doc_id, html,
+    regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+  FROM he0),
+he2 AS (SELECT doc_id, html,
+    regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+  FROM he1),
+he3 AS (SELECT doc_id, html,
+    regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM he2),
+he4 AS (SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&') AS t FROM he3),
+he5 AS (SELECT doc_id, html,
+    trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS t FROM he4)
+SELECT doc_id, t AS text, length(html) AS html_len, length(t) AS text_len
+FROM he5"""
+
+  /** x111 — domain-level web-graph edges: src domains from the URL
+    * fixture's normalization chain (`norm`), dst domains from each
+    * extracted absolute outlink (comment-strip first, both quote styles,
+    * case-insensitive), host-only normalization for the dst side (the
+    * registrable domain depends on scheme validity and the canonical host
+    * alone — path/port/query stages canonically irrelevant). */
+  private def domainEdgesSql: String = {
+    val suf = graft.corpus.Curation.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    "WITH " + htmlFixturePrelude.stripPrefix("WITH ").stripSuffix("\n") +
+      ",\n" + urlNormPrelude.stripPrefix("WITH ") +
+      s""", lnc AS (SELECT doc_id,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS nc FROM hfx),
+lraw AS (
+  SELECT doc_id, unnest(list_concat(
+    regexp_extract_all(nc,
+      '(?i)href[ \\t\\n\\r]*=[ \\t\\n\\r]*"(https?://[^"]*)"', 1),
+    regexp_extract_all(nc,
+      '(?i)href[ \\t\\n\\r]*=[ \\t\\n\\r]*''(https?://[^'']*)''', 1)))
+    AS lurl
+  FROM lnc),
+l0 AS (SELECT doc_id,
+    regexp_extract(lurl, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
+    regexp_replace(lower(regexp_extract(regexp_extract(
+      regexp_extract(lurl, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1),
+      '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\\.', '') AS host
+  FROM lraw),
+l1 AS (SELECT doc_id,
+    CASE WHEN scheme_raw <> '' AND host <> '' THEN
+      (CASE WHEN len(hl) <= 1 THEN host
+            WHEN len(hl) >= 3 AND list_contains([$suf],
+                hl[-2] || '.' || hl[-1])
+              THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+            ELSE hl[-2] || '.' || hl[-1] END)
+    END AS dst_domain
+  FROM (SELECT doc_id, scheme_raw, host, string_split(host, '.') AS hl
+        FROM l0))
+SELECT n.domain AS src_domain, l.dst_domain, COUNT(*) AS n_links
+FROM l1 l JOIN norm n USING (doc_id)
+WHERE n.domain IS NOT NULL AND l.dst_domain IS NOT NULL
+GROUP BY 1, 2"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2195,6 +2338,16 @@ FROM h"""
     // x109: incremental line scrub — odd-id increment against the even-id
     // half's frozen line vocabulary at the minDf-1 decomposition floor
     "x109_incr_line_scrub" -> incrLineScrubSql,
+    // x110: HTML -> text extraction — the six ordered policy stages over
+    // the deterministic HTML fixture, each stage its own CTE
+    "x110_html_extract" -> htmlExtractSql,
+    // x111: domain-level web-graph edges — src from the URL fixture's
+    // normalization, dst from extracted absolute outlinks (comment-strip
+    // first; the commented evil.example anchor must NOT appear)
+    "x111_domain_edges" -> domainEdgesSql,
+    // x112: incremental canonical-URL dedup — odd-id increment against the
+    // even-id reference's frozen url index, classes (k % 10 == 3) withheld
+    "x112_incr_url_dedup" -> incrUrlDedupSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

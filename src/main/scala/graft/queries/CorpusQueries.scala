@@ -572,6 +572,41 @@ object CorpusQueries {
       TextDedup.lineVocabulary(d.filter(col("doc_id") % 2 === 0)))
   }
 
+  /** x110 — HTML → text extraction over the deterministic HTML fixture
+    * (the corpus carries no HTML; the fixture rebuilds every document as a
+    * page exercising every policy stage non-vacuously — comments wrapping
+    * anchors, script/style bodies with `<` and braces, attribute-bearing
+    * tags, the full entity subset with double-escaping, nav/relative/
+    * single-quoted links). */
+  def x110HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.extractText(
+      graft.corpus.Html.htmlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("text"), col("html_len"), col("text_len"))
+
+  /** x111 — the domain-level web graph over the URL + HTML fixtures:
+    * registrable-domain edges (src from the page's own canonicalized URL,
+    * dst from each extracted absolute outlink), multiplicity counted; the
+    * fixture's link arithmetic reuses the urlFixture Brand/tld branches so
+    * link domains collide with page domains, and the commented-out anchor
+    * (`evil.example`) pins comment-stripping into the edge hash. */
+  def x111DomainEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.domainEdges(
+      graft.corpus.Html.htmlFixture(
+        graft.corpus.Curation.urlFixture(docs(spark, dir))))
+
+  /** x112 — incremental canonical-URL dedup: odd-id docs of the URL
+    * fixture (the increment) probed against the even-id reference half's
+    * frozen url index, with classes `(doc_id % 125) % 10 == 3` withheld
+    * from the reference (the engineered index misses — those increments
+    * are ABSENT, pinning the unknown-URL branch end-to-end). */
+  def x112IncrUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.corpus.Curation.urlFixture(docs(spark, dir))
+    val ref = fx.filter(col("doc_id") % 2 === 0 &&
+      (col("doc_id") % 125) % 10 =!= 3)
+    val inc = fx.filter(col("doc_id") % 2 === 1)
+    TextDedup.urlDedupAgainst(inc, TextDedup.urlIndex(ref))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -451,6 +451,30 @@ object StreamOps {
       urlCol: String = "url"): DataFrame =
     graft.corpus.Curation.domainGate(docs, blocklist, allowlist, urlCol)
 
+  /** Streaming canonical-URL dedup against a FROZEN [[graft.corpus
+    * .TextDedup.urlIndex]] — [[graft.corpus.TextDedup.urlDedupAgainst]]'s
+    * ingest twin (x112): each arriving document canonicalized and probed
+    * against the persisted index, emitting `(doc_id, url_norm,
+    * canonical_doc_id)` for the known-URL hits (the frontier's "already
+    * crawled" verdict). The whole operator is a narrow parse plus ONE
+    * stream-static equi-join (stream side left — the supported shape), so
+    * NO watermark, NO state, any output mode — batch-equal by
+    * construction, spec-pinned through a live query. Unknown URLs are
+    * ABSENT, exactly the batch contract. */
+  def dedupUrlsAgainst(docs: DataFrame, index: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    graft.corpus.TextDedup.urlDedupAgainst(docs, index, urlCol)
+
+  /** Streaming HTML → text extraction — [[graft.corpus.Html.extractText]]
+    * (x110) on an arriving page stream: ONE stateless narrow codegen'd
+    * projection (staged regexp columns), so NO watermark, NO state, any
+    * output mode — batch-equal by construction, spec-pinned through a
+    * live query. The crawl-ingest head of the pipeline: fetch → extract →
+    * gate → scrub, all composable in one streaming query with
+    * [[gateByDomain]] and [[scrubLinesAgainst]]. */
+  def extractHtml(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    graft.corpus.Html.extractText(docs, htmlCol)
+
   /** Streaming BPE segmentation — each arriving document segmented under a
     * FROZEN merge list ([[graft.corpus.TextStats.applyBpe]]'s X81 kernel):
     * the tokenizer-side twin of the frozen-model gates. The merge list is a

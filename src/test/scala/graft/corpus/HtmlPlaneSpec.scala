@@ -1,0 +1,196 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The HTML plane (x110 [[Html.extractText]], x111 [[Html.domainEdges]]
+  * via [[Html.extractOutlinks]]) — the crawl-native stage upstream of
+  * every text operator. Pins here: each extraction policy stage on hand
+  * cases (ORDER included — comments before scripts before tags before
+  * entity decode before collapse), malformed-markup degradation, both
+  * link quoting styles and the links extraction must IGNORE
+  * (relative, commented-out), edge multiplicity and malformed-source
+  * exclusion in the domain graph, the fixture's per-branch plants, and
+  * the streaming twins' batch equality through a live query. */
+class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def extracted(rows: (Long, String)*): Map[Long, (String, Int, Int)] = {
+    val s = spark
+    import s.implicits._
+    Html.extractText(rows.toDF("doc_id", "html"))
+      .select(col("doc_id"), col("text"), col("html_len"), col("text_len"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+  }
+
+  private def links(rows: (Long, String)*): Seq[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    Html.extractOutlinks(rows.toDF("doc_id", "html"))
+      .select(col("doc_id"), col("link"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+  }
+
+  test("each extraction stage: comments, script/style bodies, attribute " +
+      "tags, the entity subset in order, whitespace collapse") {
+    val out = extracted(
+      // a script body with <, quotes and braces must vanish WHOLE — a
+      // bare tag-strip would leak `if (1 < 2) {...}` into text
+      1L -> ("<html><head><title>T</title><script type=\"a\">if (1 < 2) " +
+        "{ track(\"x\"); }</script></head><body><p class=\"c\">a b</p>" +
+        "</body></html>"),
+      // style bodies are code too
+      2L -> "<style>.c { color: #111; }</style><p>kept</p>",
+      // a comment WRAPPING markup: stage 1 before everything — neither
+      // the anchor text nor its tags may surface
+      3L -> "<p>a</p><!-- <a href=\"https://x.example/\">spam</a> --><p>b</p>",
+      // entity decode AFTER tag strip: the author's literal <q> survives
+      // as text; double-escaped &amp;lt; renders &lt;, never a phantom <
+      4L -> "<p>&lt;q&gt;&nbsp;&#39;n&#39; &quot;w&quot; &amp;lt;z&amp;gt;</p>",
+      // whitespace (tabs, newlines, tag gaps) collapses; ends trimmed
+      5L -> "  <p>\n a\t\tb </p>\r\n <p>c</p> ")
+    out(1L)._1 shouldBe "T a b"
+    out(2L)._1 shouldBe "kept"
+    out(3L)._1 shouldBe "a b"
+    out(4L)._1 shouldBe "<q> 'n' \"w\" &lt;z&gt;"
+    out(5L)._1 shouldBe "a b c"
+    // the lengths are the extraction-ratio signal
+    out(5L)._2 shouldBe 28
+    out(5L)._3 shouldBe 5
+  }
+
+  test("malformed markup degrades, never throws: unclosed script leaks " +
+      "its body as text, a dangling < reads as markup, empty extracts empty") {
+    val out = extracted(
+      1L -> "<p>seen</p><script>var x = 1; // never closed",
+      2L -> "a < b and c > d",
+      3L -> "")
+    // stage 2's non-greedy match never completes (no closing tag), so the
+    // block is NOT removed; stage 4 still strips the dangling open tag and
+    // the body degrades to text — never an exception
+    out(1L)._1 shouldBe "seen var x = 1; // never closed"
+    // `< b and c >` DOES parse as one tag (policy: < ... > is markup);
+    // what's left is the honest degradation, not an exception
+    out(2L)._1 shouldBe "a d"
+    out(3L)._1 shouldBe ""
+  }
+
+  test("outlinks: both quote styles, case-insensitive attr and scheme, " +
+      "relative and commented-out links ignored, multiplicity kept") {
+    val out = links(
+      1L -> ("<a href=\"https://a.com/x\">1</a>" +
+        "<a href='http://b.org/y?z=1'>2</a>" +
+        "<a HREF=\"HTTPS://c.net/\">3</a>" +
+        "<a href=\"/relative/path\">4</a>" +
+        "<a href=\"ftp://not.http/\">5</a>" +
+        "<!-- <a href=\"https://evil.example/x\">6</a> -->" +
+        "<a href=\"https://a.com/x\">again</a>"))
+    out shouldBe Seq(
+      1L -> "HTTPS://c.net/",
+      1L -> "http://b.org/y?z=1",
+      1L -> "https://a.com/x",
+      1L -> "https://a.com/x")
+  }
+
+  test("domainEdges: registrable-domain keying, multiplicity counted, " +
+      "self-loops kept, malformed sources excluded") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "https://WWW.Src.COM/p",
+        "<a href=\"https://a.dst.co.uk/1\">x</a>" +
+          "<a href=\"http://www.a.dst.co.uk/2\">y</a>" +
+          "<a href=\"https://src.com/self\">z</a>"),
+      (2L, "not a url", "<a href=\"https://a.com/\">orphan</a>"))
+      .toDF("doc_id", "url", "html")
+    val edges = Html.domainEdges(pages)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // www./a. strip to the same registrable dst.co.uk (multi-label
+    // suffix: one more label than the public suffix)
+    edges shouldBe Set(
+      ("src.com", "dst.co.uk", 2L),
+      ("src.com", "src.com", 1L))
+  }
+
+  test("htmlFixture plants every branch where its modulus says") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 9L).map(d => (d, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val html = Html.htmlFixture(docs).select(col("doc_id"), col("html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // script on even ids only
+    html(2L) should include("<script")
+    html(3L) should not include "<script"
+    // comment (wrapping the evil.example anchor) on id % 4 == 1 only
+    html(5L) should include("evil.example")
+    html(4L) should not include "evil.example"
+    // entity paragraph on id % 5 == 0
+    html(5L) should include("&amp;lt;twice&amp;gt;")
+    html(6L) should not include "&amp;"
+    // single-quoted link on id % 7 == 0
+    html(7L) should include("href='http://Brand")
+    html(8L) should not include "href='"
+    // nav link count = d % 3 + 1 (double-quoted, absolute) + the
+    // relative link; 8 words -> 2 paragraphs of 7
+    countOf(html(4L), "<a href=\"http") + countOf(html(4L), "<a HREF=\"HTTP") shouldBe 2
+    countOf(html(4L), "<p class=") shouldBe 2
+    html(4L) should include("/local/4")
+  }
+
+  private def countOf(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("fixture extraction end-to-end on one hand-computed doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((5L, "w1 w2")).toDF("doc_id", "text")
+    val out = Html.extractText(Html.htmlFixture(docs))
+      .select(col("text")).collect().head.getString(0)
+    // id 5: comment (5%4==1) gone, no script (odd), no style (5%3!=0),
+    // nav = 5%3+1 = 3 links ("more 0".."more 2"), entities (5%5==0)
+    // decoded, relative anchor text kept
+    out shouldBe ("Doc 5 more 0 more 1 more 2 w1 w2 " +
+      "Tom & Jerry say \"hi\" <here> 'now' &lt;twice&gt; rel")
+  }
+
+  test("streaming extractHtml is batch-equal through a live query " +
+      "(stateless: no watermark, append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "<p>a &amp; b</p><script>x()</script>"),
+      (2L, "<!-- gone --><p>c</p>"))
+    val out = graft.streaming.StreamOps.extractHtml(input.toDF()
+      .toDF("doc_id", "html"))
+    out.isStreaming shouldBe true
+    val sink = s"htmlx_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("htmlx").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.table(sink)
+        .select(col("doc_id"), col("text"), col("html_len"), col("text_len"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getInt(3))).toSet
+      val batch = Html.extractText(rows.toDF("doc_id", "html"))
+        .select(col("doc_id"), col("text"), col("html_len"), col("text_len"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getInt(3))).toSet
+      streamed shouldBe batch
+      streamed.map(t => t._1 -> t._2).toMap shouldBe
+        Map(1L -> "a & b", 2L -> "c")
+    } finally q.stop()
+  }
+}

@@ -190,4 +190,37 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
         .select("disposition").collect()(0).getString(0) shouldBe "blocked"
     } finally q.stop()
   }
+
+  test("the fused UrlDomain kernel equals the declarative " +
+      "registrableDomain rule on randomized hosts (incl. empty labels, " +
+      "trailing dots, single labels)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    val parts = Seq("a", "b7", "www", "co", "uk", "com", "au", "localhost",
+      "x-y", "")
+    val hosts = (0 until 300).map { i =>
+      (i.toLong, (0 to rnd.nextInt(4)).map(_ =>
+        parts(rnd.nextInt(parts.length))).mkString("."))
+    } :+ (300L, "co.uk") :+ (301L, "a.co.uk.") :+ (302L, ".co.uk")
+    // drive the kernel through normalizeUrl on a synthesized parseable URL
+    // whose canonical host is exactly the fixture host (lowercase, no www
+    // strip interference: prefix guards the empty-host corner)
+    val df = hosts.toDF("id", "host")
+      .withColumn("url", concat(lit("http://"), col("host"), lit("/p")))
+    val kernel = Curation.normalizeUrl(df)
+      .select(col("id"), col("domain")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val declarative = df
+      .withColumn("h", regexp_replace(lower(col("host")), "^www\\.", ""))
+      .select(col("id"), col("h"),
+        Curation.registrableDomain(col("h")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    declarative.foreach { case (id, h, d) =>
+      // an empty canonical host is the malformed branch (NULL domain)
+      val expected = if (h.isEmpty) None else d
+      withClue(s"host '$h': ") { kernel(id) shouldBe expected }
+    }
+  }
 }
