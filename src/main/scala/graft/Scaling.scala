@@ -353,6 +353,16 @@ object Scaling {
         (d, _) => graft.corpus.Html.domainEdges(
           graft.corpus.Html.htmlFixture(
             graft.corpus.Curation.urlFixture(rd(d, "documents"))))),
+      // x113: fixed-round PageRank over a graph that GROWS with the corpus
+      // (one edge per doc, nodes ∝ docs — the driver fixture's edge space
+      // saturates at ~70 domains, so this cell synthesizes the scale
+      // dimension that matters: per-round join+agg over m× edges)
+      ("documents", "x113_domain_pagerank",
+        (d, _) => graft.corpus.WebGraph.domainPageRank(
+          rd(d, "documents").select(
+            concat(lit("s"), expr("doc_id DIV 5")).as("src_domain"),
+            concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
+            (col("doc_id") % 3 + 1).as("n_links")))),
       // x60: replicas carry suffixed vocabularies DISJOINT from the base
       // query sheet (and ids past the QueryCount cap), so this cell measures
       // the PRUNE path — the broadcast semi-join must discard the growing

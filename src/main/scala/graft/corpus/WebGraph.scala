@@ -1,0 +1,108 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-graph analytics over [[Html.domainEdges]]' edge table — the rank
+  * signal crawl curation weighs domains WITH (OPIC / PageRank seeds decide
+  * fetch priority and feed quality classifiers; RefinedWeb's and C4's
+  * domain filters are curated lists precisely because most pipelines skip
+  * this computation).
+  *
+  * The rank arithmetic is INTEGER micro-units end to end (the x19/m2
+  * doctrine: never put an IEEE sum on an oracle boundary) — every
+  * division a truncating integral `DIV` on non-negative operands, every
+  * aggregation a `BIGINT` sum — so a fixed iteration count yields ONE
+  * exact answer on any engine, any partitioning, any evaluation order.
+  * The price is documented drift from real-valued PageRank: each
+  * truncation sheds up to one micro-unit (≤ 10⁻¹² of total mass per
+  * term), and dangling domains (no outlinks) simply absorb — their mass
+  * is not redistributed. Rank ORDER, the signal curation consumes, is
+  * unaffected at any realistic graph size. */
+object WebGraph {
+
+  /** Total rank mass in micro-units (10¹²) — the integer one. */
+  val PageRankScale: Long = 1000000000000L
+
+  /** Fixed iteration count — shared with the x113 oracle generator, which
+    * unrolls exactly this many CTEs. Three rounds propagate rank across
+    * the 3-hop neighborhoods that dominate template/spam structure; a
+    * deployment tuning for global convergence raises it (the oracle
+    * unrolls whatever the constant says at build time). */
+  val PageRankIters: Int = 3
+
+  /** X113 — weighted domain PageRank over `(src_domain, dst_domain,
+    * n_links)` edges, damping 0.85, `iters` fixed rounds:
+    *
+    *   rank₀(d)   = SCALE DIV N
+    *   base       = ((SCALE DIV N) · 15) DIV 100
+    *   contrib(s→d) = (rankₖ(s) · w(s→d)) DIV out_w(s)
+    *   rankₖ₊₁(d) = base + (85 · Σ contrib(·→d)) DIV 100
+    *
+    * where `w` is the edge multiplicity and `out_w(s)` its source's total
+    * outgoing weight. Emits `(domain, rank_micro)` for every node of the
+    * graph (sources and sinks alike; a never-linked-to domain holds
+    * `base`, a dangling one still spends its vote — see the object note
+    * for the two documented integer-variant semantics).
+    *
+    * Scale shape (the x20 Pregel discipline): the edge table is persisted
+    * once, partitioned by `src_domain`; each round is ONE
+    * edges⋈ranks equi-join on `src_domain` (only the rank table — one row
+    * per domain — moves; at web scale ~10⁸ rows against ~10¹¹ edges),
+    * one `dst_domain`-keyed aggregate with map-side partials, and one
+    * left join back to the node list; rounds are `localCheckpoint`ed
+    * eagerly so the plan never nests (the superseded round's blocks are
+    * released immediately, the two-table memory bound). Overflow head-
+    * room: `rank · w` stays under 2⁶³ while total edge weight per source
+    * is below ~9·10⁶ × SCALE-relative mass — far beyond any real domain's
+    * out-degree; a BIGINT sum of contributions is bounded by total mass. */
+  def domainPageRank(edges: DataFrame,
+      iters: Int = PageRankIters): DataFrame = {
+    // per-round checkpoint release, the dedupClusters pattern verbatim:
+    // without it every superseded round's blocks survive to session end
+    // (bounded here by iters × |domains|, but the discipline is the point
+    // — a deployment raising iters at web scale inherits the two-table
+    // memory bound for free). Loud if a Spark upgrade changes the plan.
+    def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.getOrElse(throw new IllegalStateException(
+        "localCheckpoint no longer yields a bare LogicalRDD plan — " +
+          "domainPageRank's per-round checkpoint release needs re-wiring"))
+    val e = edges.select(col("src_domain"), col("dst_domain"),
+        col("n_links").cast("long").as("w"))
+      .repartition(col("src_domain")).persist()
+    try {
+      val nodes = e.select(col("src_domain").as("domain"))
+        .union(e.select(col("dst_domain").as("domain")))
+        .distinct().localCheckpoint()
+      val n = nodes.count() // ONE driver scalar (the node count), not data
+      val outW = e.groupBy(col("src_domain"))
+        .agg(sum(col("w")).as("out_w")).localCheckpoint()
+      val r0 = PageRankScale / n
+      val base = (r0 * 15L) / 100L
+      var ranks = nodes.withColumn("rank_micro", lit(r0)).localCheckpoint()
+      var ranksRdd = checkpointRdd(ranks)
+      var k = 0
+      while (k < iters) {
+        val sums = e
+          .join(ranks, e("src_domain") === ranks("domain"))
+          .join(outW, "src_domain")
+          .select(col("dst_domain"),
+            expr("rank_micro * w DIV out_w").as("c"))
+          .groupBy(col("dst_domain")).agg(sum(col("c")).as("cin"))
+        val next = nodes
+          .join(sums, nodes("domain") === sums("dst_domain"), "left")
+          .select(col("domain"),
+            (lit(base) + expr("85 * coalesce(cin, 0L) DIV 100"))
+              .as("rank_micro"))
+          .localCheckpoint()
+        ranksRdd.unpersist(false) // free the superseded round NOW
+        ranks = next
+        ranksRdd = checkpointRdd(next)
+        k += 1
+      }
+      ranks
+    } finally e.unpersist()
+  }
+}

@@ -1598,7 +1598,7 @@ FROM he5"""
     * case-insensitive), host-only normalization for the dst side (the
     * registrable domain depends on scheme validity and the canonical host
     * alone — path/port/query stages canonically irrelevant). */
-  private def domainEdgesSql: String = {
+  private def domainEdgesChain: String = {
     val suf = graft.corpus.Curation.MultiLabelSuffixes
       .map(s => s"'$s'").mkString(", ")
     "WITH " + htmlFixturePrelude.stripPrefix("WITH ").stripSuffix("\n") +
@@ -1628,11 +1628,50 @@ l1 AS (SELECT doc_id,
             ELSE hl[-2] || '.' || hl[-1] END)
     END AS dst_domain
   FROM (SELECT doc_id, scheme_raw, host, string_split(host, '.') AS hl
-        FROM l0))
-SELECT n.domain AS src_domain, l.dst_domain, COUNT(*) AS n_links
-FROM l1 l JOIN norm n USING (doc_id)
-WHERE n.domain IS NOT NULL AND l.dst_domain IS NOT NULL
-GROUP BY 1, 2"""
+        FROM l0)),
+gedges AS (
+  SELECT n.domain AS src_domain, l.dst_domain, COUNT(*) AS n_links
+  FROM l1 l JOIN norm n USING (doc_id)
+  WHERE n.domain IS NOT NULL AND l.dst_domain IS NOT NULL
+  GROUP BY 1, 2)
+"""
+  }
+
+  private def domainEdgesSql: String =
+    domainEdgesChain + "SELECT src_domain, dst_domain, n_links FROM gedges"
+
+  /** x113 — weighted domain PageRank, damping 0.85, the fixed iteration
+    * count unrolled (one CTE per round, interpolated from the SAME
+    * `WebGraph.PageRankIters`/`PageRankScale` constants the engine
+    * compiles). All arithmetic integer micro-units: `//` here and `DIV`
+    * there truncate identically on non-negative operands, BIGINT sums are
+    * order-free — the fixed point is exact on both engines. */
+  private def domainPageRankSql: String = {
+    val scale = graft.corpus.WebGraph.PageRankScale
+    val iters = graft.corpus.WebGraph.PageRankIters
+    val rounds = (1 to iters).map { k =>
+      s"""gr$k AS (
+  SELECT gnodes.domain,
+    CAST(b + (85 * COALESCE(s.cin, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM gnodes CROSS JOIN gbase LEFT JOIN (
+    SELECT e.dst_domain, SUM((r.rank_micro * e.n_links) // o.out_w) AS cin
+    FROM gedges e
+    JOIN gr${k - 1} r ON e.src_domain = r.domain
+    JOIN goutw o ON e.src_domain = o.src_domain
+    GROUP BY 1) s ON s.dst_domain = gnodes.domain)"""
+    }.mkString(",\n")
+    domainEdgesChain + s""", gnodes AS (
+  SELECT DISTINCT domain FROM (
+    SELECT src_domain AS domain FROM gedges
+    UNION ALL SELECT dst_domain FROM gedges)),
+gn AS (SELECT COUNT(*) AS n FROM gnodes),
+goutw AS (SELECT src_domain, CAST(SUM(n_links) AS BIGINT) AS out_w
+  FROM gedges GROUP BY 1),
+gbase AS (SELECT (($scale // n) * 15) // 100 AS b FROM gn),
+gr0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
+  FROM gnodes CROSS JOIN gn),
+$rounds
+SELECT domain, rank_micro FROM gr$iters"""
   }
 
   /** The x58/x109 paragraph fixture + line explode — replays
@@ -2348,6 +2387,10 @@ FROM h"""
     // x112: incremental canonical-URL dedup — odd-id increment against the
     // even-id reference's frozen url index, classes (k % 10 == 3) withheld
     "x112_incr_url_dedup" -> incrUrlDedupSql,
+    // x113: weighted domain PageRank over the x111 edges — integer
+    // micro-units, the fixed iteration count unrolled from the shared
+    // WebGraph constants (truncating division on both engines)
+    "x113_domain_pagerank" -> domainPageRankSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

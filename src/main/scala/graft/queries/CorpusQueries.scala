@@ -607,6 +607,16 @@ object CorpusQueries {
     TextDedup.urlDedupAgainst(inc, TextDedup.urlIndex(ref))
   }
 
+  /** x113 — weighted domain PageRank over the x111 edge table (integer
+    * micro-units, fixed iterations — the oracle unrolls the same
+    * `WebGraph` constants, so the fixed point is exact on both engines);
+    * the rank signal crawl curation weighs domains with. */
+  def x113DomainPagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.WebGraph.domainPageRank(
+      graft.corpus.Html.domainEdges(
+        graft.corpus.Html.htmlFixture(
+          graft.corpus.Curation.urlFixture(docs(spark, dir)))))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -1,0 +1,90 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** X113 — integer-exact weighted domain PageRank. Pins here: exact
+  * equality with a plain-collections referee implementing the identical
+  * micro-unit formulas over a randomized weighted graph, the documented
+  * integer-variant semantics (dangling mass absorbs; a never-linked-to
+  * domain holds `base`), order-determinism (a permuted edge table yields
+  * bit-identical ranks — the property IEEE summation cannot give), and
+  * directional sanity (the hub every page links outranks a leaf). */
+class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  /** The operator's formulas verbatim, on plain collections. */
+  private def referee(edges: Seq[(String, String, Long)],
+      iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val r0 = WebGraph.PageRankScale / n
+    val base = (r0 * 15L) / 100L
+    var r = nodes.map(_ -> r0).toMap
+    (1 to iters).foreach { _ =>
+      val cin = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => cin(d) += (r(s) * w) / outW(s) }
+      r = nodes.map(nd => nd -> (base + (85L * cin(nd)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def ranksOf(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def edgesDf(edges: Seq[(String, String, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src_domain", "dst_domain", "n_links")
+  }
+
+  test("exact referee equality on a randomized weighted graph, at the " +
+      "shipped iteration count and a deeper one") {
+    val rnd = new scala.util.Random(73)
+    val doms = (0 until 25).map(i => s"d$i.com")
+    val edges = (0 until 160).map { _ =>
+      (doms(rnd.nextInt(doms.size)), doms(rnd.nextInt(doms.size)),
+        1L + rnd.nextInt(4))
+    }.distinct.map { case (s, d, w) => (s, d, w) }
+    ranksOf(WebGraph.domainPageRank(edgesDf(edges))) shouldBe
+      referee(edges, WebGraph.PageRankIters)
+    ranksOf(WebGraph.domainPageRank(edgesDf(edges), iters = 6)) shouldBe
+      referee(edges, 6)
+  }
+
+  test("a permuted edge table yields bit-identical ranks (the integer " +
+      "order-independence IEEE sums cannot give)") {
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 60).map { i =>
+      (s"s${i % 9}.org", s"t${rnd.nextInt(7)}.org", 1L + (i % 3))
+    }
+    val a = ranksOf(WebGraph.domainPageRank(edgesDf(edges)))
+    val b = ranksOf(WebGraph.domainPageRank(edgesDf(rnd.shuffle(edges))))
+    a shouldBe b
+  }
+
+  test("documented integer-variant semantics: dangling mass absorbs, a " +
+      "never-linked-to domain holds base, the everybody-links-it hub " +
+      "outranks a leaf") {
+    // hub: linked by a and b; c is dangling (no outlinks); a is linked by
+    // nobody
+    val edges = Seq(
+      ("a.com", "hub.com", 3L), ("b.com", "hub.com", 1L),
+      ("b.com", "c.com", 1L))
+    val got = ranksOf(WebGraph.domainPageRank(edgesDf(edges)))
+    got shouldBe referee(edges, WebGraph.PageRankIters)
+    val n = 4L
+    val base = ((WebGraph.PageRankScale / n) * 15L) / 100L
+    // a.com receives nothing: exactly base after every round
+    got("a.com") shouldBe base
+    // the hub collects both voters; c only half of b's vote
+    got("hub.com") should be > got("c.com")
+    got("c.com") should be > got("a.com")
+    // dangling c spends no vote anywhere: total mass strictly below SCALE
+    got.values.sum should be < WebGraph.PageRankScale
+  }
+}
