@@ -365,6 +365,59 @@ object StreamBench {
     val (scrubSec, scrubLongSec) =
       if (haveDocs) scrubCells() else (-1.0, -1.0)
 
+    // ---- crawl-head cell: the r19 ingest chain extract → domain-gate →
+    // URL-dedup-against as ONE streaming query — all stateless narrow
+    // kernels plus one stream-static join against the persisted bucketed
+    // url index, so NO watermark and no flush record. Self-checking: the
+    // chain is batch-equal by construction, so emissions must equal the
+    // batch run over the same fed rows. ----
+    def crawlHeadCell(): Double = {
+      import session.implicits._
+      val docs = session.read.parquet(s"$sfDir/documents.parquet")
+      val fx = graft.corpus.Html.htmlFixture(
+        graft.corpus.Curation.urlFixture(docs))
+      val idxTable = "streambench_urlidx"
+      graft.corpus.TextDedup.writeUrlIndex(graft.corpus.TextDedup.urlIndex(
+        fx.filter(col("doc_id") % 2 === 0)), idxTable)
+      val index = session.table(idxTable)
+      val rows: Seq[(Long, String, String)] = fx
+        .filter(col("doc_id") % 2 === 1)
+        .orderBy(col("doc_id"))
+        .limit(nScrubDocs * (nScrubTriggers + 1))
+        .select(col("doc_id"), col("url"), col("html")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      def chain(src: DataFrame): DataFrame =
+        graft.streaming.StreamOps.dedupUrlsAgainst(
+          graft.streaming.StreamOps.gateByDomain(
+            graft.streaming.StreamOps.extractHtml(src)), index)
+      val expect = chain(rows.toDF("doc_id", "url", "html")).count()
+      val in = MemoryStream[(Long, String, String)]
+      val out = chain(in.toDF().toDF("doc_id", "url", "html"))
+      val sink = s"crawl_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("streambench_crawl").toString)
+        .start()
+      val sec = try {
+        in.addData(rows.take(nScrubDocs): _*) // warm trigger, off the clock
+        q.processAllAvailable()
+        val t = System.nanoTime()
+        (1 to nScrubTriggers).foreach { c =>
+          in.addData(rows.slice(c * nScrubDocs, (c + 1) * nScrubDocs): _*)
+          q.processAllAvailable()
+        }
+        val s = (System.nanoTime() - t) / 1e9 / nScrubTriggers
+        val emitted = session.table(sink).count()
+        require(emitted == expect,
+          s"crawl-head emission mismatch: $emitted rows, batch says $expect")
+        s
+      } finally q.stop()
+      session.sql(s"DROP TABLE IF EXISTS $idxTable")
+      sec
+    }
+    val crawlHeadSec = if (haveDocs) crawlHeadCell() else -1.0
+
     def rps(sec: Double): Long = (nRecords / sec).toLong
     def s2(v: Double): String = graft.util.JsonNum.fixed(v, 2)
     val line = s"""{"records":$nRecords,"chunks":$nChunks,"cpus":$cpus,""" +
@@ -379,7 +432,8 @@ object StreamBench {
       s""""knn_index_sec":${s2(knnIndexSec)},""" +
       s""""scrub_docs_per_trigger":$nScrubDocs,""" +
       s""""scrub_sec":${s2(scrubSec)},""" +
-      s""""scrub_long_sec":${s2(scrubLongSec)}}"""
+      s""""scrub_long_sec":${s2(scrubLongSec)},""" +
+      s""""crawl_head_sec":${s2(crawlHeadSec)}}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
