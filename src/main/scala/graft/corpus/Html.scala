@@ -164,6 +164,100 @@ object Html {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** X114 — the meta-robots crawl gate: every row comes back with
+    * `noindex` / `nofollow` booleans read from the page's own
+    * `<meta name="robots" content="…">` directive — flags, NOT filters
+    * (the x73/x108 routing doctrine: a noindex page exits the training
+    * corpus and the link graph keeps or drops its edges per `nofollow`;
+    * the pipeline OWNER applies the verdict). The directive every polite
+    * crawl pipeline honors BEFORE any content judgement.
+    *
+    * Policy (explicit, shared with the oracle): comments stripped first
+    * (a commented-out directive is not a directive); attribute order free
+    * (name-first and content-first both read, name-first wins when both
+    * match); tag, attribute names, `robots`, and the directives
+    * case-insensitive; either quote style on `name`, double quotes on
+    * `content` (an unquoted content value is not read — documented);
+    * directives split on commas, whitespace-trimmed; `noindex` ⟸
+    * `noindex` or `none`, `nofollow` ⟸ `nofollow` or `none`; no
+    * directive ⟹ both false (index,follow is the web default). One
+    * directive per page is read (the FIRST match — duplicate meta-robots
+    * tags are malformed input and first-wins is the documented
+    * degradation).
+    *
+    * Scale shape: two anchored regexes + array ops per row, staged as
+    * real columns — narrow, stateless, streaming-composable. */
+  def robotsGate(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val nameFirst = "(?i)<meta\\b[^>]*name[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "[\"']robots[\"'][^>]*content[ \\t\\n\\r]*=[ \\t\\n\\r]*\"([^\"]*)\""
+    val contentFirst = "(?i)<meta\\b[^>]*content[ \\t\\n\\r]*=" +
+      "[ \\t\\n\\r]*\"([^\"]*)\"[^>]*name[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "[\"']robots[\"']"
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_c1", regexp_extract(col("__g_nc"), nameFirst, 1))
+      .withColumn("__g_c2", regexp_extract(col("__g_nc"), contentFirst, 1))
+      .withColumn("__g_dirs", transform(
+        split(lower(when(col("__g_c1") =!= "", col("__g_c1"))
+          .otherwise(col("__g_c2"))), ","),
+        d => trim(d)))
+    staged
+      .withColumn("noindex", array_contains(col("__g_dirs"), "noindex") ||
+        array_contains(col("__g_dirs"), "none"))
+      .withColumn("nofollow", array_contains(col("__g_dirs"), "nofollow") ||
+        array_contains(col("__g_dirs"), "none"))
+      .drop("__g_nc", "__g_c1", "__g_c2", "__g_dirs")
+  }
+
+  /** X115 — the declared-canonical identity key: every row comes back
+    * with `canonical_key` (the [[Curation.normalizeUrl]]-canonical form
+    * of the page's `<link rel="canonical" href="…">` target when the page
+    * declares an ABSOLUTE http(s) one, else of its own fetch URL) and
+    * `canonical_src` (`declared` / `fetch`). THE production URL-dedup
+    * refinement x107 alone cannot see: mirrors, mobile subdomains, and
+    * parameterized variants of one page declare a COMMON canonical that
+    * no fetch-URL normalization can recover — dedup keyed on
+    * `canonical_key` merges them ([[TextDedup.urlDedup]]'s keep-min
+    * convention applies downstream, x115's driver row).
+    *
+    * Policy: comments stripped first; attribute order free (rel-first
+    * wins), tag/attributes/`canonical` case-insensitive, either quote
+    * style on `rel`, double quotes on `href`; a RELATIVE declared
+    * canonical is ignored (resolution needs a base the row may not carry
+    * — the fetch-URL fallback is the honest verdict, pinned by the
+    * fixture); a page whose declared target and fetch URL are BOTH
+    * unparseable gets NULL `canonical_key` (no identity — x107's
+    * malformed rule).
+    *
+    * Scale shape: two anchored regexes + one [[graft.functions
+    * .UrlNormalize]] kernel call per row — narrow, stateless,
+    * streaming-composable. */
+  def canonicalKey(docs: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => c, expression => x}
+    val relFirst = "(?i)<link\\b[^>]*rel[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "[\"']canonical[\"'][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*\"([^\"]*)\""
+    val hrefFirst = "(?i)<link\\b[^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "\"([^\"]*)\"[^>]*rel[ \\t\\n\\r]*=[ \\t\\n\\r]*[\"']canonical[\"']"
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_r1", regexp_extract(col("__g_nc"), relFirst, 1))
+      .withColumn("__g_r2", regexp_extract(col("__g_nc"), hrefFirst, 1))
+      .withColumn("__g_decl", when(col("__g_r1") =!= "", col("__g_r1"))
+        .otherwise(col("__g_r2")))
+      .withColumn("__g_abs", col("__g_decl").rlike("^(?i)https?://"))
+      .withColumn("__g_eff",
+        when(col("__g_abs"), col("__g_decl")).otherwise(col(urlCol)))
+    staged
+      .withColumn("canonical_src",
+        when(col("__g_abs"), "declared").otherwise("fetch"))
+      .withColumn("canonical_key", c(graft.functions.UrlNormalize(
+        x(col("__g_eff")), Curation.TrackingParamPattern)))
+      .drop("__g_nc", "__g_r1", "__g_r2", "__g_decl", "__g_abs", "__g_eff")
+  }
+
   /** Deterministic HTML fixture for the x110/x111 driver rows (the
     * x28/x58/x106 fixture pattern — the synthetic corpus carries no HTML;
     * one is built from `doc_id` arithmetic and the document's own words,
@@ -191,7 +285,17 @@ object Html {
     *  - a single-quoted absolute link on `id % 7 == 0` (the second
     *    extraction pass);
     *  - a RELATIVE link on every doc (`/local/…`) that extraction must
-    *    ignore. */
+    *    ignore;
+    *  - a meta-robots directive on `id % 6 == 2` (`noindex, follow`) and
+    *    `id % 6 == 5` (UPPERCASE, content-before-name attribute order) —
+    *    both [[robotsGate]] patterns exercised;
+    *  - a `rel=canonical` link on `id % 3 == 0`, pointing at a
+    *    `brandc{(k DIV 2) % 23}.com` target so NEIGHBORING 125-classes
+    *    declare one canonical ([[canonicalKey]]'s cross-class merges are
+    *    engineered); the `id % 9 == 6` subset uses href-before-rel order
+    *    with a single-quoted `rel`, and the `id % 21 == 9` subset
+    *    declares a RELATIVE canonical that must fall back to the fetch
+    *    URL. */
   def htmlFixture(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     def s(c: Column): Column = c.cast("string")
@@ -233,8 +337,27 @@ object Html {
     val entities = when(d % 5 === 0, lit(
       "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;&nbsp;&#39;now&#39; &amp;lt;twice&amp;gt;</p>"))
       .otherwise(lit(""))
+    val metaRobots = when(d % 6 === 2,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(d % 6 === 5, lit("<META CONTENT=\"NOFOLLOW\" NAME=\"ROBOTS\">"))
+      .otherwise(lit(""))
+    // integer halving: Column./ on longs is DOUBLE division ("3.0" in the
+    // rendered URL); DIV is the integral one. BOTH target components key
+    // on k DIV 2 — neighboring classes (2j, 2j+1) must declare ONE
+    // identical target or the engineered cross-class merge never fires
+    val canonTarget = concat(lit("https://brandc"),
+      s(expr("(doc_id % 125) DIV 2 % 23")),
+      lit(".com/c/"), s(expr("(doc_id % 125) DIV 2 % 5")))
+    val canonLink = when(d % 21 === 9,
+        lit("<link rel=\"canonical\" href=\"/c/rel\">"))
+      .when(d % 9 === 6, concat(lit("<link href=\""), canonTarget,
+        lit("\" rel='canonical'>")))
+      .when(d % 3 === 0, concat(lit("<link rel=\"canonical\" href=\""),
+        canonTarget, lit("\">")))
+      .otherwise(lit(""))
     docs.withColumn("html", concat(
       lit("<html><head><title>Doc "), s(d), lit("</title>"), style, script,
+      metaRobots, canonLink,
       lit("</head><body>"), comment, lit("<nav>"), navLinks, squoted,
       lit("</nav>"), paras, entities,
       lit("<a href=\"/local/"), s(d % 5), lit("\">rel</a></body></html>")))

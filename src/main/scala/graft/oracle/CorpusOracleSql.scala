@@ -1366,10 +1366,76 @@ FROM hits JOIN szs ON hits.doc_id = szs.doc_id"""
     * interpolate from the SAME Scala constants the engine compiles, so the
     * two sides cannot drift). Ends with a `norm` CTE exposing
     * (doc_id, url, url_norm, domain). */
-  private def urlNormPrelude: String = {
+  /** The canonicalization chain over any `(doc_id, url)` relation —
+    * CTE names suffixed so one query can run it twice (x115 normalizes
+    * the declared-canonical effective URL beside the fixture's). */
+  private def urlNormChain(src: String, sfx: String): String = {
     val trk = graft.corpus.Curation.TrackingParamPattern
     val suf = graft.corpus.Curation.MultiLabelSuffixes
       .map(s => s"'$s'").mkString(", ")
+    s""",
+n0$sfx AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+  FROM $src),
+n1$sfx AS (
+  SELECT doc_id, url, scheme_raw, rest,
+    regexp_extract(rest, '^([^/?]*)', 1) AS auth
+  FROM n0$sfx),
+n2$sfx AS (
+  SELECT doc_id, url, scheme_raw, auth,
+    regexp_extract(substr(rest, length(auth) + 1), '^([^?]*)', 1) AS pth,
+    CASE WHEN length(substr(rest, length(auth) + 1)) >
+           length(regexp_extract(substr(rest, length(auth) + 1),
+             '^([^?]*)', 1))
+      THEN substr(substr(rest, length(auth) + 1),
+        length(regexp_extract(substr(rest, length(auth) + 1),
+          '^([^?]*)', 1)) + 2)
+      ELSE '' END AS query
+  FROM n1$sfx),
+n3$sfx AS (
+  SELECT doc_id, url, pth, query,
+    lower(scheme_raw) AS scheme,
+    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+      '^www\\.', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+    (scheme_raw <> '' AND
+     regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+       '^www\\.', '') <> '') AS valid
+  FROM n2$sfx),
+n4$sfx AS (
+  SELECT doc_id, url, scheme, host, port, valid,
+    (port = '' OR (scheme = 'http' AND port = '80')
+       OR (scheme = 'https' AND port = '443')) AS dropport,
+    regexp_replace(pth, '/+$$', '') AS npath,
+    COALESCE(array_to_string(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '$trk')), '&'), '') AS keptq,
+    string_split(host, '.') AS hl
+  FROM n3$sfx),
+norm$sfx AS (
+  SELECT doc_id, url,
+    CASE WHEN valid THEN
+      scheme || '://' || host
+      || (CASE WHEN dropport THEN '' ELSE ':' || port END)
+      || npath
+      || (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
+    END AS url_norm,
+    CASE WHEN valid THEN
+      (CASE WHEN len(hl) <= 1 THEN host
+            WHEN len(hl) >= 3 AND list_contains([$suf],
+                hl[-2] || '.' || hl[-1])
+              THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+            ELSE hl[-2] || '.' || hl[-1] END)
+    END AS domain
+  FROM n4$sfx)
+"""
+  }
+
+  private def urlNormPrelude: String =
+    urlFixtureCte + urlNormChain("fx", "")
+
+  private def urlFixtureCte: String = {
     s"""WITH p0 AS (SELECT doc_id, doc_id % 125 AS k FROM documents),
 p1 AS (
   SELECT doc_id, k,
@@ -1408,62 +1474,7 @@ fx AS (
       || (CASE WHEN doc_id % 3 = 2
             THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
     END AS url
-  FROM p1),
-n0 AS (
-  SELECT doc_id, url,
-    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
-  FROM fx),
-n1 AS (
-  SELECT doc_id, url, scheme_raw, rest,
-    regexp_extract(rest, '^([^/?]*)', 1) AS auth
-  FROM n0),
-n2 AS (
-  SELECT doc_id, url, scheme_raw, auth,
-    regexp_extract(substr(rest, length(auth) + 1), '^([^?]*)', 1) AS pth,
-    CASE WHEN length(substr(rest, length(auth) + 1)) >
-           length(regexp_extract(substr(rest, length(auth) + 1),
-             '^([^?]*)', 1))
-      THEN substr(substr(rest, length(auth) + 1),
-        length(regexp_extract(substr(rest, length(auth) + 1),
-          '^([^?]*)', 1)) + 2)
-      ELSE '' END AS query
-  FROM n1),
-n3 AS (
-  SELECT doc_id, url, pth, query,
-    lower(scheme_raw) AS scheme,
-    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
-      '^www\\.', '') AS host,
-    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
-    (scheme_raw <> '' AND
-     regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
-       '^www\\.', '') <> '') AS valid
-  FROM n2),
-n4 AS (
-  SELECT doc_id, url, scheme, host, port, valid,
-    (port = '' OR (scheme = 'http' AND port = '80')
-       OR (scheme = 'https' AND port = '443')) AS dropport,
-    regexp_replace(pth, '/+$$', '') AS npath,
-    COALESCE(array_to_string(list_filter(string_split(query, '&'),
-      p -> p <> '' AND NOT regexp_matches(p, '$trk')), '&'), '') AS keptq,
-    string_split(host, '.') AS hl
-  FROM n3),
-norm AS (
-  SELECT doc_id, url,
-    CASE WHEN valid THEN
-      scheme || '://' || host
-      || (CASE WHEN dropport THEN '' ELSE ':' || port END)
-      || npath
-      || (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
-    END AS url_norm,
-    CASE WHEN valid THEN
-      (CASE WHEN len(hl) <= 1 THEN host
-            WHEN len(hl) >= 3 AND list_contains([$suf],
-                hl[-2] || '.' || hl[-1])
-              THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
-            ELSE hl[-2] || '.' || hl[-1] END)
-    END AS domain
-  FROM n4)
+  FROM p1)
 """
   }
 
@@ -1550,6 +1561,23 @@ hfx AS (
     || (CASE WHEN doc_id % 2 = 0
           THEN '<script type="text/javascript">if (1 < 2) { track("d'
             || CAST(doc_id AS VARCHAR) || '"); }</script>' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 2
+          THEN '<meta name="robots" content="noindex, follow">'
+          WHEN doc_id % 6 = 5
+          THEN '<META CONTENT="NOFOLLOW" NAME="ROBOTS">'
+          ELSE '' END)
+    || (CASE WHEN doc_id % 21 = 9
+          THEN '<link rel="canonical" href="/c/rel">'
+          WHEN doc_id % 9 = 6
+          THEN '<link href="https://brandc'
+            || CAST(((doc_id % 125) // 2) % 23 AS VARCHAR) || '.com/c/'
+            || CAST(((doc_id % 125) // 2) % 5 AS VARCHAR)
+            || '" rel=''canonical''>'
+          WHEN doc_id % 3 = 0
+          THEN '<link rel="canonical" href="https://brandc'
+            || CAST(((doc_id % 125) // 2) % 23 AS VARCHAR) || '.com/c/'
+            || CAST(((doc_id % 125) // 2) % 5 AS VARCHAR) || '">'
+          ELSE '' END)
     || '</head><body>'
     || (CASE WHEN doc_id % 4 = 1
           THEN '<!-- hidden <a href="https://evil.example/x">spam</a> -->'
@@ -1673,6 +1701,56 @@ gr0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
 $rounds
 SELECT domain, rank_micro FROM gr$iters"""
   }
+
+  /** x114 — meta-robots gate: both attribute-order patterns over the
+    * comment-stripped fixture, name-first wins, directives split on
+    * commas and trimmed, `none` implies both verdicts. */
+  private def robotsGateSql: String =
+    htmlFixturePrelude + """, rb0 AS (SELECT doc_id,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS nc FROM hfx),
+rb1 AS (SELECT doc_id,
+    regexp_extract(nc, '(?i)<meta\b[^>]*name[ \t\n\r]*=[ \t\n\r]*["'']robots["''][^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1) AS c1,
+    regexp_extract(nc, '(?i)<meta\b[^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"[^>]*name[ \t\n\r]*=[ \t\n\r]*["'']robots["'']', 1) AS c2
+  FROM rb0),
+rb2 AS (SELECT doc_id,
+    list_transform(string_split(lower(
+      CASE WHEN c1 <> '' THEN c1 ELSE c2 END), ','), d -> trim(d)) AS dirs
+  FROM rb1)
+SELECT doc_id,
+  (list_contains(dirs, 'noindex') OR list_contains(dirs, 'none')) AS noindex,
+  (list_contains(dirs, 'nofollow') OR list_contains(dirs, 'none')) AS nofollow
+FROM rb2"""
+
+  /** x115 — declared-canonical dedup: both link attribute orders, an
+    * absolute declared target wins over the fetch URL, relative declared
+    * falls back; the effective URL runs the SAME normalization chain and
+    * the dedup groups on it (keep-min + declared census). */
+  private def canonicalDedupSql: String =
+    "WITH " + htmlFixturePrelude.stripPrefix("WITH ").stripSuffix("\n") +
+      ",\n" + urlFixtureCte.stripPrefix("WITH ") +
+      """, cl0 AS (SELECT f.doc_id, f.url,
+    regexp_replace(h.html, '(?s)<!--.*?-->', ' ', 'g') AS nc
+  FROM fx f JOIN hfx h USING (doc_id)),
+cl1 AS (SELECT doc_id, url,
+    regexp_extract(nc, '(?i)<link\b[^>]*rel[ \t\n\r]*=[ \t\n\r]*["'']canonical["''][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1) AS r1,
+    regexp_extract(nc, '(?i)<link\b[^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"[^>]*rel[ \t\n\r]*=[ \t\n\r]*["'']canonical["'']', 1) AS r2
+  FROM cl0),
+cl2 AS (SELECT doc_id, url,
+    CASE WHEN r1 <> '' THEN r1 ELSE r2 END AS decl FROM cl1),
+ceff AS (SELECT doc_id,
+    CASE WHEN regexp_matches(decl, '^(?i)https?://') THEN decl
+         ELSE url END AS url,
+    CASE WHEN regexp_matches(decl, '^(?i)https?://') THEN 1
+         ELSE 0 END AS declared
+  FROM cl2)""" +
+      urlNormChain("ceff", "_c") +
+      """SELECT n.url_norm AS canonical_key,
+  MIN(n.doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_copies,
+  CAST(SUM(c.declared) AS BIGINT) AS n_declared
+FROM norm_c n JOIN ceff c USING (doc_id)
+WHERE n.url_norm IS NOT NULL
+GROUP BY 1"""
 
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
@@ -2391,6 +2469,12 @@ FROM h"""
     // micro-units, the fixed iteration count unrolled from the shared
     // WebGraph constants (truncating division on both engines)
     "x113_domain_pagerank" -> domainPageRankSql,
+    // x114: meta-robots gate — noindex/nofollow flags from the page's own
+    // directive, both attribute orders, `none` implies both
+    "x114_robots_gate" -> robotsGateSql,
+    // x115: declared-canonical dedup — rel=canonical target (absolute
+    // only) beats the fetch URL as the identity key, keep-min groups
+    "x115_canonical_dedup" -> canonicalDedupSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -617,6 +617,31 @@ object CorpusQueries {
         graft.corpus.Html.htmlFixture(
           graft.corpus.Curation.urlFixture(docs(spark, dir)))))
 
+  /** x114 — meta-robots gate over the HTML fixture: noindex/nofollow
+    * flags from the page's own directive (planted on id%6 ∈ {2, 5}, the
+    * second UPPERCASE with reversed attribute order — both patterns
+    * exercised; everything else defaults to index,follow). */
+  def x114RobotsGate(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.robotsGate(
+      graft.corpus.Html.htmlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("noindex"), col("nofollow"))
+
+  /** x115 — declared-canonical dedup over the URL + HTML fixtures: the
+    * rel=canonical target (absolute only — the planted relative one falls
+    * back to the fetch URL) replaces the fetch URL as the identity key,
+    * merging the fixture's engineered neighboring-class groups; keep-min
+    * + a census of how many members declared. */
+  def x115CanonicalDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.canonicalKey(
+      graft.corpus.Html.htmlFixture(
+        graft.corpus.Curation.urlFixture(docs(spark, dir))))
+      .filter(col("canonical_key").isNotNull)
+      .groupBy(col("canonical_key"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"),
+        sum(when(col("canonical_src") === "declared", 1L).otherwise(0L))
+          .as("n_declared"))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

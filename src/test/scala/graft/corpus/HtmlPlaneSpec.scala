@@ -158,6 +158,82 @@ class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
       "Tom & Jerry say \"hi\" <here> 'now' &lt;twice&gt; rel")
   }
 
+  test("robotsGate: both attribute orders, case-insensitivity, none " +
+      "implies both, commented-out directives don't count, default is " +
+      "index,follow") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex, follow\"><p>a</p>"),
+      (2L, "<META CONTENT=\" NOFOLLOW \" NAME=\"ROBOTS\">"),
+      (3L, "<meta name='robots' content=\"NONE\">"),
+      (4L, "<!-- <meta name=\"robots\" content=\"noindex\"> --><p>a</p>"),
+      (5L, "<meta name=\"viewport\" content=\"noindex\">"),
+      (6L, "<p>no head at all</p>"))
+      .toDF("doc_id", "html")
+    val got = Html.robotsGate(rows)
+      .select(col("doc_id"), col("noindex"), col("nofollow"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    got shouldBe Map(
+      1L -> ((true, false)), 2L -> ((false, true)), 3L -> ((true, true)),
+      4L -> ((false, false)), 5L -> ((false, false)), 6L -> ((false, false)))
+  }
+
+  test("canonicalKey: declared absolute target wins (both attribute " +
+      "orders, normalized), relative declared falls back to the fetch " +
+      "URL, malformed-everything yields NULL") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "http://m.site.com/page?utm_source=x",
+        "<link rel=\"canonical\" href=\"HTTPS://WWW.Site.com/page/\">"),
+      (2L, "http://fetch.org/a",
+        "<link href=\"https://canon.org/a#f\" rel='canonical'>"),
+      (3L, "http://fetch.org/b", "<link rel=\"canonical\" href=\"/b\">"),
+      (4L, "http://fetch.org/c", "<p>no link</p>"),
+      (5L, "not a url", "<p>no link either</p>"))
+      .toDF("doc_id", "url", "html")
+    val got = Html.canonicalKey(rows)
+      .select(col("doc_id"), col("canonical_src"), col("canonical_key"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    got shouldBe Map(
+      1L -> (("declared", Some("https://site.com/page"))),
+      2L -> (("declared", Some("https://canon.org/a"))),
+      3L -> (("fetch", Some("http://fetch.org/b"))),
+      4L -> (("fetch", Some("http://fetch.org/c"))),
+      5L -> (("fetch", None)))
+  }
+
+  test("fixture plants the robots and canonical branches where their " +
+      "moduli say, and neighboring classes merge on the declared key") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 140L).map(d => (d, "w1 w2")).toDF("doc_id", "text")
+    val fx = Html.htmlFixture(Curation.urlFixture(docs))
+    val html = fx.select(col("doc_id"), col("html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    html(2L) should include("noindex")
+    html(5L) should include("NOFOLLOW")
+    html(4L) should not include "robots"
+    html(9L) should include("href=\"/c/rel\"")     // relative fallback pin
+    html(6L) should include("rel='canonical'")      // href-first variant
+    html(12L) should include("rel=\"canonical\"")
+    html(13L) should not include "canonical"
+    val keys = Html.canonicalKey(fx)
+      .select(col("doc_id"), col("canonical_key")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    keys(12L) shouldBe "https://brandc6.com/c/1"
+    keys(6L) shouldBe "https://brandc3.com/c/3"
+    // classes 12 (doc 12) and 13 (doc 138) could never collide on fetch
+    // URLs; both declare k DIV 2 = 6 — the engineered cross-class merge
+    keys(138L) shouldBe keys(12L)
+    // the relative-canonical doc keeps its fetch-URL key
+    keys(9L) should not include "brandc"
+  }
+
   test("streaming extractHtml is batch-equal through a live query " +
       "(stateless: no watermark, append mode)") {
     val s = spark
