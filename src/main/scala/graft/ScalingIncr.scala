@@ -152,6 +152,19 @@ object ScalingIncr {
         TextDedup.writeUrlIndex(TextDedup.urlIndex(
           oldDocs.withColumn("url", concat(lit("https://d"), col("doc_id"),
             lit(".com/x?utm_source=s")))), urlTable)
+      // x116's graphs: synthetic corpus-proportional edges (the x113
+      // ladder's generator — one edge per doc, nodes ∝ docs; increment
+      // ids are offset so its subgraph is disjoint new territory). The
+      // previous snapshot's ranks are the amortized-once artifact: built
+      // on the OLD graph, untimed.
+      def synthEdges(df: DataFrame): DataFrame = df.select(
+        concat(lit("s"), expr("doc_id DIV 5")).as("src_domain"),
+        concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
+        (col("doc_id") % 3 + 1).as("n_links"))
+      val prevRanks116: DataFrame =
+        if (want("x116_warm"))
+          graft.corpus.WebGraph.domainPageRank(synthEdges(oldDocs))
+        else null
       val lmTable = s"scal_incr_lm_x$m"
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(
@@ -257,6 +270,17 @@ object ScalingIncr {
             concat(lit("https://d"), col("doc_id") - incrOffset,
               lit(".com/x/#f"))),
           spark.table(urlTable))),
+        // x116: warm-start PageRank after the day's edges land — ONE warm
+        // round over the updated graph from the previous snapshot's ranks,
+        // vs the cold contrast re-running the full iteration budget. Both
+        // grow with the graph (rank propagation must touch every edge);
+        // the warm/cold RATIO ≈ 1/PageRankIters is the claim, the x51
+        // probe-vs-full contrast shape
+        ("x116_warm", () => graft.corpus.WebGraph.domainPageRankFrom(
+          synthEdges(oldDocs).unionByName(synthEdges(inc("documents"))),
+          prevRanks116, iters = 1)),
+        ("x116_cold", () => graft.corpus.WebGraph.domainPageRank(
+          synthEdges(oldDocs).unionByName(synthEdges(inc("documents"))))),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their
         // replica-0 twins, so every token is LM-known and per-doc scoring

@@ -57,7 +57,28 @@ object WebGraph {
     * is below ~9·10⁶ × SCALE-relative mass — far beyond any real domain's
     * out-degree; a BIGINT sum of contributions is bounded by total mass. */
   def domainPageRank(edges: DataFrame,
-      iters: Int = PageRankIters): DataFrame = {
+      iters: Int = PageRankIters): DataFrame =
+    iterate(edges, iters, None)
+
+  /** X116 — WARM-START PageRank: re-rank after an edge-table update from
+    * the PREVIOUS snapshot's persisted ranks instead of from the uniform
+    * start — [[domainPageRank]]'s ingest twin (the x40/x112 twin
+    * discipline applied to the graph plane: a daily crawl appends edges;
+    * rank moves locally, so one or two warm rounds recover what a cold
+    * restart needs its full iteration budget for). Domains NEW to the
+    * graph (absent from `prevRanks`) start at the current uniform share
+    * `SCALE DIV N`; departed domains simply drop (their old rank rows are
+    * never read). Same integer-exact arithmetic, so the fixed point is
+    * engine-independent, and the decomposition is spec-pinned: warm-
+    * starting from `domainPageRank(edges, k)` for `m` rounds EQUALS
+    * `domainPageRank(edges, k + m)` whenever `prevRanks` covers the
+    * node set — on identical edges the twin is exactly "more rounds". */
+  def domainPageRankFrom(edges: DataFrame, prevRanks: DataFrame,
+      iters: Int = 1): DataFrame =
+    iterate(edges, iters, Some(prevRanks))
+
+  private def iterate(edges: DataFrame, iters: Int,
+      prev: Option[DataFrame]): DataFrame = {
     // per-round checkpoint release, the dedupClusters pattern verbatim:
     // without it every superseded round's blocks survive to session end
     // (bounded here by iters × |domains|, but the discipline is the point
@@ -81,7 +102,15 @@ object WebGraph {
         .agg(sum(col("w")).as("out_w")).localCheckpoint()
       val r0 = PageRankScale / n
       val base = (r0 * 15L) / 100L
-      var ranks = nodes.withColumn("rank_micro", lit(r0)).localCheckpoint()
+      val init = prev match {
+        case None => nodes.withColumn("rank_micro", lit(r0))
+        case Some(p) => nodes
+          .join(p.select(col("domain"), col("rank_micro")), Seq("domain"),
+            "left")
+          .select(col("domain"),
+            coalesce(col("rank_micro"), lit(r0)).as("rank_micro"))
+      }
+      var ranks = init.localCheckpoint()
       var ranksRdd = checkpointRdd(ranks)
       var k = 0
       while (k < iters) {

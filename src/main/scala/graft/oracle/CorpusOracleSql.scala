@@ -1674,32 +1674,76 @@ gedges AS (
     * compiles). All arithmetic integer micro-units: `//` here and `DIV`
     * there truncate identically on non-negative operands, BIGINT sums are
     * order-free — the fixed point is exact on both engines. */
+  /** One unrolled PageRank round per k: `<p>k` reads `<p>(k-1)` (or the
+    * given init CTE at k = 1) over the named edge/nodes/outw/base CTEs —
+    * shared by the cold (x113) and warm-start (x116) generators. */
+  private def pageRankRounds(p: String, edges: String, nodes: String,
+      outw: String, base: String, init: String, iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = if (k == 1) init else s"$p${k - 1}"
+      s"""$p$k AS (
+  SELECT $nodes.domain,
+    CAST(b + (85 * COALESCE(s.cin, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM $nodes CROSS JOIN $base LEFT JOIN (
+    SELECT e.dst_domain, SUM((r.rank_micro * e.n_links) // o.out_w) AS cin
+    FROM $edges e
+    JOIN $prev r ON e.src_domain = r.domain
+    JOIN $outw o ON e.src_domain = o.src_domain
+    GROUP BY 1) s ON s.dst_domain = $nodes.domain)"""
+    }.mkString(",\n")
+
+  /** The node/count/out-weight/base/uniform-init CTE block for one edge
+    * relation, names prefixed — shared by x113 and both of x116's graphs. */
+  private def pageRankBase(p: String, edges: String): String = {
+    val scale = graft.corpus.WebGraph.PageRankScale
+    s"""${p}nodes AS (
+  SELECT DISTINCT domain FROM (
+    SELECT src_domain AS domain FROM $edges
+    UNION ALL SELECT dst_domain FROM $edges)),
+${p}n AS (SELECT COUNT(*) AS n FROM ${p}nodes),
+${p}outw AS (SELECT src_domain, CAST(SUM(n_links) AS BIGINT) AS out_w
+  FROM $edges GROUP BY 1),
+${p}base AS (SELECT (($scale // n) * 15) // 100 AS b FROM ${p}n),
+${p}r0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
+  FROM ${p}nodes CROSS JOIN ${p}n)"""
+  }
+
   private def domainPageRankSql: String = {
+    val iters = graft.corpus.WebGraph.PageRankIters
+    domainEdgesChain + ", " + pageRankBase("g", "gedges") + ",\n" +
+      pageRankRounds("gr", "gedges", "gnodes", "goutw", "gbase", "gr0",
+        iters) +
+      s"\nSELECT domain, rank_micro FROM gr$iters"
+  }
+
+  /** x116 — warm-start PageRank: the even-doc half's edge graph ranked
+    * cold (the previous snapshot), then ONE round over the FULL graph
+    * starting from those ranks, domains new to the graph at the full
+    * graph's uniform share (the COALESCE fallback — exercised, the odd
+    * half adds domains the even graph never saw). */
+  private def warmPageRankSql: String = {
     val scale = graft.corpus.WebGraph.PageRankScale
     val iters = graft.corpus.WebGraph.PageRankIters
-    val rounds = (1 to iters).map { k =>
-      s"""gr$k AS (
+    domainEdgesChain +
+      """, gedges_e AS (
+  SELECT n.domain AS src_domain, l.dst_domain, COUNT(*) AS n_links
+  FROM l1 l JOIN norm n USING (doc_id)
+  WHERE n.domain IS NOT NULL AND l.dst_domain IS NOT NULL
+    AND doc_id % 2 = 0
+  GROUP BY 1, 2),
+""" + pageRankBase("e", "gedges_e") + ",\n" +
+      pageRankRounds("er", "gedges_e", "enodes", "eoutw", "ebase", "er0",
+        iters) + ",\n" +
+      pageRankBase("g", "gedges") + s""",
+winit AS (
   SELECT gnodes.domain,
-    CAST(b + (85 * COALESCE(s.cin, 0)) // 100 AS BIGINT) AS rank_micro
-  FROM gnodes CROSS JOIN gbase LEFT JOIN (
-    SELECT e.dst_domain, SUM((r.rank_micro * e.n_links) // o.out_w) AS cin
-    FROM gedges e
-    JOIN gr${k - 1} r ON e.src_domain = r.domain
-    JOIN goutw o ON e.src_domain = o.src_domain
-    GROUP BY 1) s ON s.dst_domain = gnodes.domain)"""
-    }.mkString(",\n")
-    domainEdgesChain + s""", gnodes AS (
-  SELECT DISTINCT domain FROM (
-    SELECT src_domain AS domain FROM gedges
-    UNION ALL SELECT dst_domain FROM gedges)),
-gn AS (SELECT COUNT(*) AS n FROM gnodes),
-goutw AS (SELECT src_domain, CAST(SUM(n_links) AS BIGINT) AS out_w
-  FROM gedges GROUP BY 1),
-gbase AS (SELECT (($scale // n) * 15) // 100 AS b FROM gn),
-gr0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
-  FROM gnodes CROSS JOIN gn),
-$rounds
-SELECT domain, rank_micro FROM gr$iters"""
+    COALESCE(er$iters.rank_micro, CAST($scale // n AS BIGINT))
+      AS rank_micro
+  FROM gnodes CROSS JOIN gn
+  LEFT JOIN er$iters ON er$iters.domain = gnodes.domain),
+""" + pageRankRounds("wr", "gedges", "gnodes", "goutw", "gbase", "winit",
+        1) +
+      "\nSELECT domain, rank_micro FROM wr1"
   }
 
   /** x114 — meta-robots gate: both attribute-order patterns over the
@@ -2469,6 +2513,10 @@ FROM h"""
     // micro-units, the fixed iteration count unrolled from the shared
     // WebGraph constants (truncating division on both engines)
     "x113_domain_pagerank" -> domainPageRankSql,
+    // x116: warm-start PageRank — even-half graph ranked cold (the
+    // previous snapshot), one warm round over the full graph, new
+    // domains at the uniform share
+    "x116_warm_pagerank" -> warmPageRankSql,
     // x114: meta-robots gate — noindex/nofollow flags from the page's own
     // directive, both attribute orders, `none` implies both
     "x114_robots_gate" -> robotsGateSql,

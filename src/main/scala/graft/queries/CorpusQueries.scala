@@ -642,6 +642,21 @@ object CorpusQueries {
         sum(when(col("canonical_src") === "declared", 1L).otherwise(0L))
           .as("n_declared"))
 
+  /** x116 — warm-start PageRank: the even-doc half's graph ranked cold
+    * (the previous snapshot), then ONE warm round over the full graph
+    * from those ranks — x113's ingest twin; odd-half-only domains
+    * exercise the new-domain uniform-share fallback. */
+  def x116WarmPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val fxDocs = graft.corpus.Curation.urlFixture(docs(spark, dir))
+    val full = graft.corpus.Html.domainEdges(
+      graft.corpus.Html.htmlFixture(fxDocs))
+    val prev = graft.corpus.WebGraph.domainPageRank(
+      graft.corpus.Html.domainEdges(
+        graft.corpus.Html.htmlFixture(
+          fxDocs.filter(col("doc_id") % 2 === 0))))
+    graft.corpus.WebGraph.domainPageRankFrom(full, prev, iters = 1)
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -15,15 +15,16 @@ import org.scalatest.matchers.should.Matchers
   * directional sanity (the hub every page links outranks a leaf). */
 class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  /** The operator's formulas verbatim, on plain collections. */
-  private def referee(edges: Seq[(String, String, Long)],
-      iters: Int): Map[String, Long] = {
+  /** The operator's formulas verbatim, on plain collections; `init` maps
+    * a domain to its warm-start rank (absent → the uniform share). */
+  private def referee(edges: Seq[(String, String, Long)], iters: Int,
+      init: Map[String, Long] = Map.empty): Map[String, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toLong
     val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val r0 = WebGraph.PageRankScale / n
     val base = (r0 * 15L) / 100L
-    var r = nodes.map(_ -> r0).toMap
+    var r = nodes.map(nd => nd -> init.getOrElse(nd, r0)).toMap
     (1 to iters).foreach { _ =>
       val cin = scala.collection.mutable.Map[String, Long]()
         .withDefaultValue(0L)
@@ -65,6 +66,38 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     val a = ranksOf(WebGraph.domainPageRank(edgesDf(edges)))
     val b = ranksOf(WebGraph.domainPageRank(edgesDf(rnd.shuffle(edges))))
     a shouldBe b
+  }
+
+  test("warm start on identical edges IS more rounds: from " +
+      "domainPageRank(e, 3), 2 warm rounds equals domainPageRank(e, 5) " +
+      "exactly") {
+    val rnd = new scala.util.Random(83)
+    val doms = (0 until 15).map(i => s"w$i.net")
+    val edges = (0 until 80).map { _ =>
+      (doms(rnd.nextInt(doms.size)), doms(rnd.nextInt(doms.size)),
+        1L + rnd.nextInt(3))
+    }
+    val df = edgesDf(edges)
+    val cold3 = WebGraph.domainPageRank(df, iters = 3)
+    ranksOf(WebGraph.domainPageRankFrom(df, cold3, iters = 2)) shouldBe
+      ranksOf(WebGraph.domainPageRank(df, iters = 5))
+  }
+
+  test("warm start after an edge update: referee-exact, and a domain NEW " +
+      "to the graph enters at the NEW graph's uniform share") {
+    val prevEdges = Seq(
+      ("a.com", "b.com", 2L), ("b.com", "a.com", 1L), ("a.com", "c.com", 1L))
+    val newEdges = prevEdges ++ Seq(
+      ("fresh.io", "b.com", 1L), ("c.com", "fresh.io", 2L))
+    val prev = WebGraph.domainPageRank(edgesDf(prevEdges))
+    val got = ranksOf(
+      WebGraph.domainPageRankFrom(edgesDf(newEdges), prev, iters = 1))
+    val prevMap = ranksOf(prev)
+    got shouldBe referee(newEdges, 1, init = prevMap)
+    // the fallback really fired: fresh.io is absent from prev, so its
+    // VOTE this round was the 4-node uniform share, not a prev rank
+    prevMap should not contain key("fresh.io")
+    got should contain key "fresh.io"
   }
 
   test("documented integer-variant semantics: dangling mass absorbs, a " +
