@@ -50,6 +50,18 @@ object Scaling {
     * cost) followed by the inter-cell GC hygiene. Shared by BOTH ladder
     * harnesses ([[Scaling]] and [[ScalingIncr]]) so the batch and
     * incremental exponents are always measured under the same discipline. */
+  /** The synthetic corpus-proportional domain graph shared by the x113
+    * ladder cell and ScalingIncr's x116 warm/cold contrast: one edge per
+    * doc, node ids ∝ doc ids — ONE definition so the two measurements
+    * stay comparable. Disjointness caveat for the x116 increment premise:
+    * dst ids reach the increment's id range (100 × ReplicaOffset DIV 5)
+    * at replica 60, so the "increment subgraph is new territory" reading
+    * holds only for scales ≤ 60 (guarded at the x116 cell). */
+  private[graft] def synthEdges(df: DataFrame): DataFrame = df.select(
+    concat(lit("s"), expr("doc_id DIV 5")).as("src_domain"),
+    concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
+    (col("doc_id") % 3 + 1).as("n_links"))
+
   private[graft] def runOnce(plan: () => DataFrame): Double = {
     val t0 = System.nanoTime()
     plan().write.format("noop").mode("overwrite").save()
@@ -359,10 +371,7 @@ object Scaling {
       // dimension that matters: per-round join+agg over m× edges)
       ("documents", "x113_domain_pagerank",
         (d, _) => graft.corpus.WebGraph.domainPageRank(
-          rd(d, "documents").select(
-            concat(lit("s"), expr("doc_id DIV 5")).as("src_domain"),
-            concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
-            (col("doc_id") % 3 + 1).as("n_links")))),
+          Scaling.synthEdges(rd(d, "documents")))),
       // x60: replicas carry suffixed vocabularies DISJOINT from the base
       // query sheet (and ids past the QueryCount cap), so this cell measures
       // the PRUNE path — the broadcast semi-join must discard the growing

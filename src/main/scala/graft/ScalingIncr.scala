@@ -152,19 +152,20 @@ object ScalingIncr {
         TextDedup.writeUrlIndex(TextDedup.urlIndex(
           oldDocs.withColumn("url", concat(lit("https://d"), col("doc_id"),
             lit(".com/x?utm_source=s")))), urlTable)
-      // x116's graphs: synthetic corpus-proportional edges (the x113
-      // ladder's generator — one edge per doc, nodes ∝ docs; increment
-      // ids are offset so its subgraph is disjoint new territory). The
-      // previous snapshot's ranks are the amortized-once artifact: built
-      // on the OLD graph, untimed.
-      def synthEdges(df: DataFrame): DataFrame = df.select(
-        concat(lit("s"), expr("doc_id DIV 5")).as("src_domain"),
-        concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
-        (col("doc_id") % 3 + 1).as("n_links"))
+      // x116's graphs: [[Scaling.synthEdges]] (ONE generator shared with
+      // the x113 ladder cell so the rows stay comparable); increment ids
+      // are offset so its subgraph is disjoint new territory — a premise
+      // that breaks at replica 61 (old dst ids reach the increment's id
+      // range), guarded loud here rather than silently skewing the
+      // warm-vs-cold contrast. The previous snapshot's ranks are the
+      // amortized-once artifact: built on the OLD graph, untimed.
+      def synthEdges(df: DataFrame): DataFrame = Scaling.synthEdges(df)
       val prevRanks116: DataFrame =
-        if (want("x116_warm"))
+        if (want("x116_warm")) {
+          require(m <= 60, s"x116 cells need scale <= 60 (got $m): old-side" +
+            " synthetic dst ids collide with increment src ids at replica 61")
           graft.corpus.WebGraph.domainPageRank(synthEdges(oldDocs))
-        else null
+        } else null
       val lmTable = s"scal_incr_lm_x$m"
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(

@@ -1692,9 +1692,12 @@ gedges AS (
     GROUP BY 1) s ON s.dst_domain = $nodes.domain)"""
     }.mkString(",\n")
 
-  /** The node/count/out-weight/base/uniform-init CTE block for one edge
-    * relation, names prefixed — shared by x113 and both of x116's graphs. */
-  private def pageRankBase(p: String, edges: String): String = {
+  /** The node/count/out-weight/base(/uniform-init) CTE block for one edge
+    * relation, names prefixed — shared by x113 and both of x116's graphs
+    * (the warm query's full graph skips the unused `r0` init: its round
+    * starts from `winit`). */
+  private def pageRankBase(p: String, edges: String,
+      withInit: Boolean = true): String = {
     val scale = graft.corpus.WebGraph.PageRankScale
     s"""${p}nodes AS (
   SELECT DISTINCT domain FROM (
@@ -1703,9 +1706,10 @@ gedges AS (
 ${p}n AS (SELECT COUNT(*) AS n FROM ${p}nodes),
 ${p}outw AS (SELECT src_domain, CAST(SUM(n_links) AS BIGINT) AS out_w
   FROM $edges GROUP BY 1),
-${p}base AS (SELECT (($scale // n) * 15) // 100 AS b FROM ${p}n),
+${p}base AS (SELECT (($scale // n) * 15) // 100 AS b FROM ${p}n)""" +
+      (if (withInit) s""",
 ${p}r0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
-  FROM ${p}nodes CROSS JOIN ${p}n)"""
+  FROM ${p}nodes CROSS JOIN ${p}n)""" else "")
   }
 
   private def domainPageRankSql: String = {
@@ -1716,25 +1720,24 @@ ${p}r0 AS (SELECT domain, CAST($scale // n AS BIGINT) AS rank_micro
       s"\nSELECT domain, rank_micro FROM gr$iters"
   }
 
-  /** x116 — warm-start PageRank: the even-doc half's edge graph ranked
-    * cold (the previous snapshot), then ONE round over the FULL graph
-    * starting from those ranks, domains new to the graph at the full
-    * graph's uniform share (the COALESCE fallback — exercised, the odd
-    * half adds domains the even graph never saw). */
+  /** x116 — warm-start PageRank: the previous snapshot is the fixture
+    * graph with every edge touching a `brandc` domain withheld (the
+    * declared-canonical targets — a DOC split cannot starve the fallback,
+    * any large doc subset covers every fixture domain), ranked cold; then
+    * ONE round over the FULL graph starting from those ranks, the
+    * withheld domains entering at the full graph's uniform share — the
+    * COALESCE fallback fires for dozens of domains under the hash. */
   private def warmPageRankSql: String = {
     val scale = graft.corpus.WebGraph.PageRankScale
     val iters = graft.corpus.WebGraph.PageRankIters
     domainEdgesChain +
-      """, gedges_e AS (
-  SELECT n.domain AS src_domain, l.dst_domain, COUNT(*) AS n_links
-  FROM l1 l JOIN norm n USING (doc_id)
-  WHERE n.domain IS NOT NULL AND l.dst_domain IS NOT NULL
-    AND doc_id % 2 = 0
-  GROUP BY 1, 2),
-""" + pageRankBase("e", "gedges_e") + ",\n" +
-      pageRankRounds("er", "gedges_e", "enodes", "eoutw", "ebase", "er0",
+      """, gedges_p AS (
+  SELECT src_domain, dst_domain, n_links FROM gedges
+  WHERE src_domain NOT LIKE 'brandc%' AND dst_domain NOT LIKE 'brandc%'),
+""" + pageRankBase("e", "gedges_p") + ",\n" +
+      pageRankRounds("er", "gedges_p", "enodes", "eoutw", "ebase", "er0",
         iters) + ",\n" +
-      pageRankBase("g", "gedges") + s""",
+      pageRankBase("g", "gedges", withInit = false) + s""",
 winit AS (
   SELECT gnodes.domain,
     COALESCE(er$iters.rank_micro, CAST($scale // n AS BIGINT))
@@ -2513,9 +2516,9 @@ FROM h"""
     // micro-units, the fixed iteration count unrolled from the shared
     // WebGraph constants (truncating division on both engines)
     "x113_domain_pagerank" -> domainPageRankSql,
-    // x116: warm-start PageRank — even-half graph ranked cold (the
-    // previous snapshot), one warm round over the full graph, new
-    // domains at the uniform share
+    // x116: warm-start PageRank — brandc-withheld graph ranked cold (the
+    // previous snapshot), one warm round over the full graph, the
+    // withheld domains entering at the uniform share (fallback hashed)
     "x116_warm_pagerank" -> warmPageRankSql,
     // x114: meta-robots gate — noindex/nofollow flags from the page's own
     // directive, both attribute orders, `none` implies both

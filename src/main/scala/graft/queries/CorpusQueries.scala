@@ -642,19 +642,22 @@ object CorpusQueries {
         sum(when(col("canonical_src") === "declared", 1L).otherwise(0L))
           .as("n_declared"))
 
-  /** x116 — warm-start PageRank: the even-doc half's graph ranked cold
-    * (the previous snapshot), then ONE warm round over the full graph
-    * from those ranks — x113's ingest twin; odd-half-only domains
-    * exercise the new-domain uniform-share fallback. */
+  /** x116 — warm-start PageRank: the previous snapshot is the fixture
+    * graph WITHOUT any edge touching a `brandc` domain (the declared-
+    * canonical targets — withheld the way x112 withholds index classes;
+    * a DOC split cannot do this: any large doc subset covers every
+    * fixture domain, so a doc-split "previous snapshot" would leave the
+    * new-domain branch dead under the oracle). One warm round over the
+    * full graph then meets dozens of domains the snapshot never ranked —
+    * the uniform-share fallback is oracle-hashed, not just spec-pinned. */
   def x116WarmPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val fxDocs = graft.corpus.Curation.urlFixture(docs(spark, dir))
-    val full = graft.corpus.Html.domainEdges(
-      graft.corpus.Html.htmlFixture(fxDocs))
-    val prev = graft.corpus.WebGraph.domainPageRank(
-      graft.corpus.Html.domainEdges(
-        graft.corpus.Html.htmlFixture(
-          fxDocs.filter(col("doc_id") % 2 === 0))))
-    graft.corpus.WebGraph.domainPageRankFrom(full, prev, iters = 1)
+    val edges = graft.corpus.Html.domainEdges(
+      graft.corpus.Html.htmlFixture(
+        graft.corpus.Curation.urlFixture(docs(spark, dir))))
+    val prev = graft.corpus.WebGraph.domainPageRank(edges.filter(
+      !col("src_domain").startsWith("brandc") &&
+        !col("dst_domain").startsWith("brandc")))
+    graft.corpus.WebGraph.domainPageRankFrom(edges, prev, iters = 1)
   }
 
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
