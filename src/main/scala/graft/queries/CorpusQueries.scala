@@ -651,9 +651,14 @@ object CorpusQueries {
     * full graph then meets dozens of domains the snapshot never ranked —
     * the uniform-share fallback is oracle-hashed, not just spec-pinned. */
   def x116WarmPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // the edge table feeds BOTH pipelines (the cold snapshot rank and the
+    // warm round); checkpointing it once saves the second fixture+extract
+    // chain evaluation (~1.2 s of the row's cost) — in production this is
+    // the persisted edge table both consumers read anyway
     val edges = graft.corpus.Html.domainEdges(
       graft.corpus.Html.htmlFixture(
         graft.corpus.Curation.urlFixture(docs(spark, dir))))
+      .localCheckpoint()
     val prev = graft.corpus.WebGraph.domainPageRank(edges.filter(
       !col("src_domain").startsWith("brandc") &&
         !col("dst_domain").startsWith("brandc")))
