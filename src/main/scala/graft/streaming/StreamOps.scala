@@ -465,6 +465,25 @@ object StreamOps {
       urlCol: String = "url"): DataFrame =
     graft.corpus.TextDedup.urlDedupAgainst(docs, index, urlCol)
 
+  /** Streaming meta-robots gate — [[graft.corpus.Html.robotsGate]] (x114)
+    * on an arriving page stream: ONE stateless narrow projection (two
+    * anchored regexes + array ops), so NO watermark, NO state, any output
+    * mode — batch-equal by construction, spec-pinned through a live
+    * query. Flags, not filters: route `noindex` pages out of the corpus
+    * and `nofollow` pages out of the edge extractor downstream. */
+  def gateByRobots(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    graft.corpus.Html.robotsGate(docs, htmlCol)
+
+  /** Streaming declared-canonical keying — [[graft.corpus.Html
+    * .canonicalKey]] (x115) on an arriving page stream: ONE stateless
+    * narrow projection (two anchored regexes + the UrlNormalize kernel),
+    * batch-equal by construction, spec-pinned through a live query.
+    * Compose BEFORE [[dedupUrlsAgainst]] with `urlCol = "canonical_key"`
+    * — the frontier then dedups on the identity the page itself declares. */
+  def canonicalizeUrls(docs: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame =
+    graft.corpus.Html.canonicalKey(docs, urlCol, htmlCol)
+
   /** Streaming HTML → text extraction — [[graft.corpus.Html.extractText]]
     * (x110) on an arriving page stream: ONE stateless narrow codegen'd
     * projection (staged regexp columns), so NO watermark, NO state, any

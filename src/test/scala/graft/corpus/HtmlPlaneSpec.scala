@@ -234,6 +234,47 @@ class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
     keys(9L) should not include "brandc"
   }
 
+  test("streaming robots gate + canonical keying chain batch-equal " +
+      "through one live query (stateless: no watermark, append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val rows = Seq(
+      (1L, "http://m.a.com/p?utm_source=x",
+        "<meta name=\"robots\" content=\"noindex\">" +
+          "<link rel=\"canonical\" href=\"https://a.com/p\">"),
+      (2L, "https://b.org/q", "<p>plain</p>"),
+      (3L, "broken", "<META CONTENT=\"none\" NAME=\"ROBOTS\">"))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.gateByRobots(
+        graft.streaming.StreamOps.canonicalizeUrls(df))
+    val out = chain(input.toDF().toDF("doc_id", "url", "html"))
+    out.isStreaming shouldBe true
+    val sink = s"robocanon_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("robocanon").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("canonical_src"), col("canonical_key"),
+          col("noindex"), col("nofollow"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)), r.getBoolean(3), r.getBoolean(4))).toSet
+      val streamed = key(s.table(sink))
+      streamed shouldBe key(chain(rows.toDF("doc_id", "url", "html")))
+      streamed shouldBe Set(
+        (1L, "declared", Some("https://a.com/p"), true, false),
+        (2L, "fetch", Some("https://b.org/q"), false, false),
+        (3L, "fetch", None, true, true))
+    } finally q.stop()
+  }
+
   test("streaming extractHtml is batch-equal through a live query " +
       "(stateless: no watermark, append mode)") {
     val s = spark
