@@ -46,10 +46,6 @@ object Scaling {
     * fixture parities x58's paragraphFixture keys on (multiple of 6). */
   val ReplicaOffset = 600000000L
 
-  /** One timed cell: a `noop`-format write (full materialization, no sink
-    * cost) followed by the inter-cell GC hygiene. Shared by BOTH ladder
-    * harnesses ([[Scaling]] and [[ScalingIncr]]) so the batch and
-    * incremental exponents are always measured under the same discipline. */
   /** The synthetic corpus-proportional domain graph shared by the x113
     * ladder cell and ScalingIncr's x116 warm/cold contrast: one edge per
     * doc, node ids ∝ doc ids — ONE definition so the two measurements
@@ -62,6 +58,10 @@ object Scaling {
     concat(lit("s"), expr("doc_id DIV 3 + 1")).as("dst_domain"),
     (col("doc_id") % 3 + 1).as("n_links"))
 
+  /** One timed cell: a `noop`-format write (full materialization, no sink
+    * cost) followed by the inter-cell GC hygiene. Shared by BOTH ladder
+    * harnesses ([[Scaling]] and [[ScalingIncr]]) so the batch and
+    * incremental exponents are always measured under the same discipline. */
   private[graft] def runOnce(plan: () => DataFrame): Double = {
     val t0 = System.nanoTime()
     plan().write.format("noop").mode("overwrite").save()

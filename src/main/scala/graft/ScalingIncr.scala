@@ -156,16 +156,17 @@ object ScalingIncr {
       // the x113 ladder cell so the rows stay comparable); increment ids
       // are offset so its subgraph is disjoint new territory — a premise
       // that breaks at replica 61 (old dst ids reach the increment's id
-      // range), guarded loud here rather than silently skewing the
-      // warm-vs-cold contrast. The previous snapshot's ranks are the
-      // amortized-once artifact: built on the OLD graph, untimed.
-      def synthEdges(df: DataFrame): DataFrame = Scaling.synthEdges(df)
+      // range), guarded loud for BOTH cells (a cold-only run at 61+ would
+      // otherwise silently skew the warm-vs-cold contrast it feeds).
+      // The previous snapshot's ranks are the amortized-once artifact:
+      // built on the OLD graph, untimed.
+      if (want("x116_warm", "x116_cold"))
+        require(m <= 60, s"x116 cells need scale <= 60 (got $m): old-side" +
+          " synthetic dst ids collide with increment src ids at replica 61")
       val prevRanks116: DataFrame =
-        if (want("x116_warm")) {
-          require(m <= 60, s"x116 cells need scale <= 60 (got $m): old-side" +
-            " synthetic dst ids collide with increment src ids at replica 61")
-          graft.corpus.WebGraph.domainPageRank(synthEdges(oldDocs))
-        } else null
+        if (want("x116_warm"))
+          graft.corpus.WebGraph.domainPageRank(Scaling.synthEdges(oldDocs))
+        else null
       val lmTable = s"scal_incr_lm_x$m"
       if (want("x86_probe"))
         graft.corpus.Curation.writeUnigramLm(
@@ -278,10 +279,12 @@ object ScalingIncr {
         // the warm/cold RATIO ≈ 1/PageRankIters is the claim, the x51
         // probe-vs-full contrast shape
         ("x116_warm", () => graft.corpus.WebGraph.domainPageRankFrom(
-          synthEdges(oldDocs).unionByName(synthEdges(inc("documents"))),
+          Scaling.synthEdges(oldDocs)
+            .unionByName(Scaling.synthEdges(inc("documents"))),
           prevRanks116, iters = 1)),
         ("x116_cold", () => graft.corpus.WebGraph.domainPageRank(
-          synthEdges(oldDocs).unionByName(synthEdges(inc("documents"))))),
+          Scaling.synthEdges(oldDocs)
+            .unionByName(Scaling.synthEdges(inc("documents"))))),
         // x86: fixed increment scored against the growing persisted unigram
         // LM and the frozen boundary literal. Increment tokens equal their
         // replica-0 twins, so every token is LM-known and per-doc scoring

@@ -399,7 +399,7 @@ object StreamBench {
         .option("checkpointLocation", java.nio.file.Files
           .createTempDirectory("streambench_crawl").toString)
         .start()
-      val sec = try {
+      try {
         in.addData(rows.take(nScrubDocs): _*) // warm trigger, off the clock
         q.processAllAvailable()
         val t = System.nanoTime()
@@ -412,9 +412,12 @@ object StreamBench {
         require(emitted == expect,
           s"crawl-head emission mismatch: $emitted rows, batch says $expect")
         s
-      } finally q.stop()
-      session.sql(s"DROP TABLE IF EXISTS $idxTable")
-      sec
+      } finally {
+        q.stop()
+        // drop on EVERY exit path — a failed self-check must not leave
+        // the bucketed table registered for the next run to trip over
+        session.sql(s"DROP TABLE IF EXISTS $idxTable")
+      }
     }
     val crawlHeadSec = if (haveDocs) crawlHeadCell() else -1.0
 

@@ -1244,9 +1244,14 @@ object Curation {
     Seq("brand1.com", "brand7.co.uk", "brand3.com.au", "brand16.com")
 
   /** ONE cheap predicate exactly equivalent to "[[normalizeUrl]] yields a
-    * non-NULL url_norm": a scheme, `://`, and a host that stays non-empty
-    * after the case-insensitive `www.` strip (the next authority character
-    * is not `:`/`/`/`?`/`#`/end). Exists because filtering on
+    * non-NULL url_norm": a scheme, `://`, a host that stays non-empty
+    * after the case-insensitive `www.` strip, and an authority that ends
+    * (at `/`/`?`/`#`/end) right after that host plus an optional
+    * `:digits*` port — the strict-authority rule the r19 review added
+    * (userinfo and garbage ports are malformed, see the
+    * [[graft.functions.UrlPolicy]] kernel note; the trailing negative
+    * lookahead `(?![^/?#])` is what asserts "nothing else in the
+    * authority"). Exists because filtering on
     * `url_norm IS NOT NULL` invites the optimizer to push the predicate
     * below the scan's repartition WITH THE WHOLE PARSE CHAIN SUBSTITUTED —
     * measured: ~3 s of single-task interpreted regexp re-evaluation per
@@ -1259,7 +1264,8 @@ object Curation {
     * host (Java regex only — this predicate never reaches the RE2-based
     * oracle, which filters on its computed url_norm directly). */
   def urlParses(url: Column): Column =
-    url.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://(?:(?i:www\\.))?+[^:/?#]")
+    url.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://(?:(?i:www\\.))?+" +
+      "[^:/?#@]+(?::[0-9]*)?(?![^/?#])")
 
   /** X106 — URL normalization: append `url_norm` (the canonical form) and
     * `domain` (the registrable domain) to every row, from `urlCol`. The
@@ -1281,9 +1287,12 @@ object Curation {
     * A string that does not parse as `scheme://host...` yields NULL
     * `url_norm` and NULL `domain` — malformed is data for the
     * [[domainGate]] router, never an exception (the x73 doctrine).
-    * Userinfo (`user@host`) is not parsed — crawl frontiers don't emit
-    * it; a URL carrying one lands in the malformed branch via its
-    * un-hostlike authority rather than silently keying on the wrong host.
+    * The authority is STRICT: userinfo (`user@host`) and non-numeric
+    * ports are malformed, enforced (the r19 review found the earlier
+    * lenient parse keyed `http://a.com:x@blocked.com/` on `a.com` — a
+    * blocklist bypass — and collapsed `ex.com:8080a` onto clean
+    * `ex.com`); a bare-colon empty port (RFC 3986) normalizes away like
+    * a default port.
     *
     * Scale shape: TWO codegen'd kernel calls per row
     * ([[graft.functions.UrlNormalize]] / [[graft.functions.UrlDomain]],

@@ -93,13 +93,28 @@ object WebGraph {
     val e = edges.select(col("src_domain"), col("dst_domain"),
         col("n_links").cast("long").as("w"))
       .repartition(col("src_domain")).persist()
+    // the loop-scoped checkpoints (node list, out-weights) are released on
+    // every exit path; the FINAL round's checkpoint backs the returned
+    // ranks and is the ContextCleaner's to reclaim (the dedupClusters
+    // convention) — without this release every invocation leaked two
+    // graph-sized cached tables to session end (r19 review)
+    var aux: List[org.apache.spark.rdd.RDD[_]] = Nil
     try {
       val nodes = e.select(col("src_domain").as("domain"))
         .union(e.select(col("dst_domain").as("domain")))
         .distinct().localCheckpoint()
+      aux ::= checkpointRdd(nodes)
       val n = nodes.count() // ONE driver scalar (the node count), not data
+      // an empty graph (no page URL parsed, an empty crawl) ranks to the
+      // empty table — malformed is data, never ArithmeticException.
+      // Checkpointed so the returned frame survives the finally-release
+      // of the node list it derives from
+      if (n == 0L)
+        return nodes.select(col("domain"), lit(0L).as("rank_micro"))
+          .localCheckpoint()
       val outW = e.groupBy(col("src_domain"))
         .agg(sum(col("w")).as("out_w")).localCheckpoint()
+      aux ::= checkpointRdd(outW)
       val r0 = PageRankScale / n
       val base = (r0 * 15L) / 100L
       val init = prev match {
@@ -132,6 +147,9 @@ object WebGraph {
         k += 1
       }
       ranks
-    } finally e.unpersist()
+    } finally {
+      e.unpersist()
+      aux.foreach(_.unpersist(false))
+    }
   }
 }

@@ -57,8 +57,20 @@ object UrlPolicy {
   private def lower(s: String): String =
     UTF8String.fromString(s).toLowerCase.toString
 
+  private val PortRestRe = Pattern.compile("^:[0-9]*$")
+
   /** Parsed canonical pieces: (scheme, host, port, npath, query) — scheme
-    * or host empty ⟺ the URL does not parse (NULL url_norm/domain). */
+    * or host empty ⟺ the URL does not parse (NULL url_norm/domain).
+    *
+    * Authority strictness (the r19 review's two policy holes, closed on
+    * BOTH engines): an authority carrying userinfo (`user@host`) or
+    * anything after the host that is not `:` + digits (possibly empty —
+    * RFC 3986 allows a bare-colon empty port, which normalizes away like
+    * a default port) is MALFORMED: a garbage port like `:8080a`, a second
+    * colon — the original lenient parse
+    * silently keyed `http://allowed.com:x@blocked.com/` on `allowed.com`
+    * (a domain-blocklist bypass) and collapsed `ex.com:8080a` onto the
+    * clean `ex.com` identity. Malformed-is-data: NULL, never a throw. */
   private def parse(u: String): (String, String, String, String, String) = {
     val scheme = lower(extract(SchemeRe, u))
     val rest = extract(RestRe, u)
@@ -67,7 +79,12 @@ object UrlPolicy {
     val path = extract(PathRe, pathq)
     val query =
       if (pathq.length > path.length) pathq.substring(path.length + 1) else ""
-    val host = WwwRe.matcher(lower(extract(HostRe, auth))).replaceAll("")
+    val hostRaw = extract(HostRe, auth)
+    val portRest = auth.substring(hostRaw.length)
+    val authOk = auth.indexOf('@') < 0 &&
+      (portRest.isEmpty || PortRestRe.matcher(portRest).matches())
+    val host =
+      if (authOk) WwwRe.matcher(lower(hostRaw)).replaceAll("") else ""
     val port = extract(PortRe, auth)
     val npath = TrailSlashRe.matcher(path).replaceAll("")
     (scheme, host, port, npath, query)

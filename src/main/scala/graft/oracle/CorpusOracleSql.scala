@@ -1402,7 +1402,8 @@ n3$sfx AS (
     regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
     (scheme_raw <> '' AND
      regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
-       '^www\\.', '') <> '') AS valid
+       '^www\\.', '') <> '' AND
+     regexp_matches(auth, '^[^:@]*(:[0-9]*)?$$')) AS valid
   FROM n2$sfx),
 n4$sfx AS (
   SELECT doc_id, url, scheme, host, port, valid,

@@ -26,10 +26,12 @@ object PlanPeek {
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      df.explain("formatted")
+      // time BEFORE explain: explain() itself forces executedPlan, so a
+      // timer placed after it would measure a cached val (r19 review)
       val tp0 = System.nanoTime()
       df.queryExecution.executedPlan
       val tPlan = (System.nanoTime() - tp0) / 1e9
+      df.explain("formatted")
       val t0 = System.nanoTime()
       val c = df.count()
       println(s"rows=$c  planSec=$tPlan  countSec=${(System.nanoTime() - t0) / 1e9}")

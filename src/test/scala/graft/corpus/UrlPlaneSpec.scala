@@ -68,6 +68,27 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
     (1L to 5L).foreach { id => out(id) shouldBe ((None, None)) }
   }
 
+  test("strict authority (the r19 review's policy holes): userinfo and " +
+      "garbage ports are malformed — never keyed on the wrong host — and " +
+      "a bare-colon empty port normalizes away") {
+    val out = normed(
+      // the blocklist-bypass shape: must NOT key on allowed.com
+      1L -> "http://allowed.com:x@brand1.com/p",
+      2L -> "http://alice:pw@site1.com/x",
+      3L -> "https://user@ex.com/",
+      // garbage / doubled ports: must NOT collapse onto clean ex.com
+      4L -> "http://ex.com:8080a/x",
+      5L -> "http://ex.com:80:90/x",
+      // RFC 3986 empty port: valid, normalizes like a default port
+      6L -> "http://ex.com:/x",
+      // query/fragment may still carry '@' and ':' freely
+      7L -> "http://ex.com/x?user=a@b.com#c:d")
+    (1L to 5L).foreach { id => out(id) shouldBe ((None, None)) }
+    out(6L) shouldBe ((Some("http://ex.com/x"), Some("ex.com")))
+    out(7L) shouldBe ((Some("http://ex.com/x?user=a@b.com"),
+      Some("ex.com")))
+  }
+
   test("registrable domain: last two labels, one more over a multi-label " +
       "public suffix, single-label hosts are their own domain") {
     val out = normed(
@@ -89,7 +110,12 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
       "HTTPS://WWW.Ex.COM/a#f", "not a url", "ex.com/a", "http://",
       "https://www./p", "://ex.com", "http://WWW.x", "http://wwwx.com",
       "http://www.:8080", "http://.", "http://#f", "http://?q",
-      "http:///path", "ftp://Host.org:21/x", "http://www.www.x")
+      "http:///path", "ftp://Host.org:21/x", "http://www.www.x",
+      // the strict-authority rule's branches (userinfo, garbage port,
+      // doubled colon, bare-colon empty port, @/: in query only)
+      "http://u@ex.com/", "http://a.com:x@b.com/p", "http://ex.com:8080a",
+      "http://ex.com:80:90/", "http://ex.com:/x", "http://ex.com:80",
+      "http://ex.com?a=b@c", "http://ex.com:#f")
     val df = tricky.zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
     val both = Curation.normalizeUrl(df)
