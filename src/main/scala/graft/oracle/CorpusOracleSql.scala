@@ -1800,6 +1800,108 @@ FROM norm_c n JOIN ceff c USING (doc_id)
 WHERE n.url_norm IS NOT NULL
 GROUP BY 1"""
 
+  /** x117 — robots.txt crawl gate: the per-domain robots fixture replayed
+    * byte-for-byte (brand number `b` + tld class `t` drive every branch),
+    * the RFC 9309-subset parse (comment strip, token capture, consecutive
+    * UA lines share a group via the lag/sum window, agent groups beat `*`,
+    * orphan rules join no group), and the longest-match / allow-wins-tie
+    * verdict as one `2·len + isAllow` key maximum — the same arithmetic
+    * the engine's array_max struct computes. */
+  private def robotsTxtGateSql: String = {
+    val agent = graft.corpus.Robots.CrawlerAgent.toLowerCase
+    urlNormPrelude +
+      raw""", rdom AS (SELECT DISTINCT domain FROM norm WHERE domain IS NOT NULL),
+rbm AS (SELECT domain,
+    CAST(regexp_extract(domain, '^brand([0-9]+)\.', 1) AS BIGINT) AS b,
+    CASE WHEN domain LIKE '%.co.uk' THEN 0
+         WHEN domain LIKE '%.com.au' THEN 1 ELSE 2 END AS t
+  FROM rdom),
+rtxt AS (SELECT domain,
+    '# robots brand' || CAST(b AS VARCHAR) || ' t' || CAST(t AS VARCHAR)
+    || CASE WHEN b % 10 = 7 THEN chr(10) || 'Disallow: /' ELSE '' END
+    || chr(10) || chr(10) || 'User-agent: OtherBot'
+    || chr(10) || 'Disallow: /'
+    || chr(10) || chr(10) || 'User-agent: *'
+    || CASE WHEN b % 2 = 0 THEN chr(10) || 'Disallow: /p/1' ELSE '' END
+    || CASE WHEN b % 4 = 0 THEN chr(10) || 'Allow: /p/11' ELSE '' END
+    || CASE WHEN b % 5 = 1 THEN chr(10) || 'Disallow: /p/2'
+         || chr(10) || 'Allow: /p/2' ELSE '' END
+    || CASE WHEN b % 3 = 1 THEN chr(10) || 'DISALLOW: /p/7' ELSE '' END
+    || CASE WHEN b % 6 = 2 THEN chr(10) || 'Disallow:' ELSE '' END
+    || CASE WHEN t = 1 THEN chr(10) || 'Disallow: /' ELSE '' END
+    || CASE WHEN b % 11 = 6
+         THEN chr(10) || 'Disallow: /p/4 # trailing' ELSE '' END
+    || CASE WHEN b % 6 = 0 THEN chr(10) || chr(10) || 'User-agent: *'
+         || chr(10) || 'Disallow: /p/3' ELSE '' END
+    || CASE WHEN b % 4 = 1 THEN chr(10) || chr(10)
+         || (CASE WHEN b % 8 = 5 THEN 'User-Agent: GraftBot'
+                  ELSE 'User-agent: graftbot' END)
+         || (CASE WHEN t = 2 THEN chr(10) || 'Allow: /p/' ELSE '' END)
+         || chr(10) || 'Disallow: /p/5' ELSE '' END
+    || CASE WHEN b % 9 = 4 THEN chr(10) || chr(10) || 'User-agent: graftbot'
+         || chr(10) || 'User-agent: otherbot'
+         || chr(10) || 'Disallow: /p/9' ELSE '' END
+    AS robots_txt
+  FROM rbm WHERE b % 7 <> 3),
+rls AS (SELECT domain, string_split(robots_txt, chr(10)) AS ls FROM rtxt),
+rl0 AS (SELECT domain, unnest(range(len(ls))) AS pos, unnest(ls) AS raw
+  FROM rls),
+rl1 AS (SELECT domain, pos,
+    lower(regexp_extract(regexp_replace(raw, '#.*', '', 'g'),
+      '(?i)^[ \t]*user-agent[ \t]*:[ \t]*([^ \t]*)', 1)) AS ua,
+    regexp_extract(regexp_replace(raw, '#.*', '', 'g'),
+      '(?i)^[ \t]*allow[ \t]*:[ \t]*([^ \t]*)', 1) AS al,
+    regexp_extract(regexp_replace(raw, '#.*', '', 'g'),
+      '(?i)^[ \t]*disallow[ \t]*:[ \t]*([^ \t]*)', 1) AS di
+  FROM rl0),
+rl2 AS (SELECT domain, pos, ua, al, di, (ua <> '') AS isua,
+    ((ua <> '') AND NOT COALESCE(
+      lag(ua <> '') OVER (PARTITION BY domain ORDER BY pos), false)) AS newg
+  FROM rl1),
+rl3 AS (SELECT domain, pos, ua, al, di, isua,
+    SUM(CASE WHEN newg THEN 1 ELSE 0 END)
+      OVER (PARTITION BY domain ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM rl2),
+ruas AS (SELECT domain, gid, ua FROM rl3 WHERE isua),
+rrules AS (SELECT domain, gid,
+    CASE WHEN al <> '' THEN 'allow' ELSE 'disallow' END AS rtype,
+    CASE WHEN al <> '' THEN al ELSE di END AS rpath
+  FROM rl3 WHERE al <> '' OR di <> ''),
+rgh AS (SELECT domain, gid,
+    MAX(CASE WHEN ua = '$agent' THEN 1 ELSE 0 END) AS is_agent,
+    MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS is_star
+  FROM ruas GROUP BY 1, 2),
+rdf AS (SELECT domain, MAX(is_agent) AS has_agent FROM rgh GROUP BY 1),
+rsel AS (SELECT r.domain, r.rtype, r.rpath
+  FROM rrules r JOIN rgh g ON r.domain = g.domain AND r.gid = g.gid
+  JOIN rdf d ON r.domain = d.domain
+  WHERE (d.has_agent = 1 AND g.is_agent = 1)
+     OR (d.has_agent = 0 AND g.is_star = 1)),
+rpq AS (SELECT doc_id, url, domain,
+    CASE WHEN url_norm IS NULL THEN NULL
+         WHEN pq0 LIKE '/%' THEN pq0 ELSE '/' || pq0 END AS pq
+  FROM (SELECT doc_id, url, domain, url_norm,
+          regexp_extract(url_norm, '^[^:/?#]+://[^/?]*(.*)$$', 1) AS pq0
+        FROM norm)),
+rcand AS (SELECT n.doc_id,
+    length(r.rpath) * 2 + CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END
+      AS rk,
+    r.rpath
+  FROM rpq n JOIN rsel r USING (domain)
+  WHERE starts_with(n.pq, r.rpath)),
+rbest AS (SELECT doc_id, MAX(rk) AS mk, arg_max(rpath, rk) AS mr
+  FROM rcand GROUP BY 1)
+SELECT n.doc_id, n.url, n.domain,
+  CASE WHEN n.domain IS NULL THEN 'malformed'
+       WHEN b.mk IS NULL THEN 'allowed'
+       WHEN b.mk % 2 = 1 THEN 'allowed' ELSE 'blocked' END
+    AS robots_disposition,
+  CASE WHEN n.domain IS NULL OR b.mk IS NULL THEN '' ELSE b.mr END
+    AS matched_rule
+FROM rpq n LEFT JOIN rbest b USING (doc_id)"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2527,6 +2629,9 @@ FROM h"""
     // x115: declared-canonical dedup — rel=canonical target (absolute
     // only) beats the fetch URL as the identity key, keep-min groups
     "x115_canonical_dedup" -> canonicalDedupSql,
+    // x117: robots.txt crawl gate — per-domain fixture files parsed under
+    // RFC 9309-subset group semantics, longest-match/allow-wins verdicts
+    "x117_robots_txt_gate" -> robotsTxtGateSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

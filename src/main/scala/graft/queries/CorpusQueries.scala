@@ -665,6 +665,20 @@ object CorpusQueries {
     graft.corpus.WebGraph.domainPageRankFrom(edges, prev, iters = 1)
   }
 
+  /** x117 — robots.txt crawl gate over the URL fixture: per-domain files
+    * from the deterministic robots fixture, parsed for [[graft.corpus
+    * .Robots.CrawlerAgent]] (group selection: agent groups beat `*`,
+    * shared headers, orphan rules dropped), then longest-match /
+    * allow-wins-tie verdicts per URL — flags, not filters. */
+  def x117RobotsTxtGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.{Curation, Robots}
+    Robots.robotsTxtGate(
+      Curation.urlFixture(docs(spark, dir)),
+      Robots.parseRules(Robots.robotsFixture(docs(spark, dir))))
+      .select(col("doc_id"), col("url"), col("domain"),
+        col("robots_disposition"), col("matched_rule"))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -474,6 +474,21 @@ object StreamOps {
   def gateByRobots(docs: DataFrame, htmlCol: String = "html"): DataFrame =
     graft.corpus.Html.robotsGate(docs, htmlCol)
 
+  /** Streaming robots.txt gate — [[graft.corpus.Robots.robotsTxtGate]]
+    * (x117) against a FROZEN parsed rule table ([[graft.corpus.Robots
+    * .parseRules]] on a robots snapshot, batch-side): each arriving URL
+    * canonicalized and judged under RFC 9309 longest-match /
+    * allow-wins-tie semantics. The rules collapse to one bounded array
+    * row per domain, so the whole gate is ONE stream-static left
+    * equi-join (stream side left — the supported shape) plus a narrow
+    * higher-order-function verdict — NO watermark, NO state, any output
+    * mode, batch-equal by construction, spec-pinned through a live
+    * query. Flags, not filters: `allowed` → fetch, `blocked` → skip,
+    * `malformed` → audit. */
+  def gateByRobotsTxt(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    graft.corpus.Robots.robotsTxtGate(docs, rules, urlCol)
+
   /** Streaming declared-canonical keying — [[graft.corpus.Html
     * .canonicalKey]] (x115) on an arriving page stream: ONE stateless
     * narrow projection (two anchored regexes + the UrlNormalize kernel),
