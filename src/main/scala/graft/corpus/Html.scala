@@ -164,6 +164,68 @@ object Html {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** X118 — anchor-text aggregation: one `(dst_domain, term, n_mentions,
+    * n_pages)` row per (target registrable domain, anchor-text term) —
+    * the description OTHER pages give a domain, the classic off-page
+    * relevance/quality signal (anchor text is how web search learned
+    * what a page is about before reading it; a curation pipeline uses
+    * the same aggregate to label domains and spot anchor spam —
+    * thousands of pages all saying "cheap pills" about one domain).
+    *
+    * Extraction policy: comments stripped FIRST (stage-1 rule — a
+    * commented-out anchor contributes nothing); an anchor is an
+    * `<a … href="…absolute http(s)…" …>text</a>` pair, both quote
+    * styles, attribute/scheme case-insensitive, text captured
+    * non-greedily to the first closing tag (nested anchors are
+    * malformed HTML and degrade to double counting — documented, same
+    * honest-regex doctrine as [[extractText]]). The text then runs the
+    * [[extractText]] content stages scoped to the anchor: inner tags →
+    * space, [[EntityDecodes]] in order, lowercase, whitespace collapse —
+    * and splits on spaces into terms. Targets key by registrable domain
+    * via [[Curation.normalizeUrl]]; non-canonicalizable targets are
+    * excluded (no identity — x107's malformed rule). `n_mentions`
+    * counts every (anchor, term) occurrence; `n_pages` the distinct
+    * linking pages.
+    *
+    * Scale shape: extraction and text processing are narrow per-row
+    * regex work on the scan; the explode fans out to (anchors × terms)
+    * rows — bounded by the html length that produced them — and ONE
+    * (domain, term)-keyed aggregate with map-side partials is the only
+    * shuffle. Key space is domains × vocabulary, web-scale friendly;
+    * the distinct-page count rides the same aggregate. */
+  def anchorTerms(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val dq = "(?is)<a\\b[^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "\"(https?://[^\"]*)\"[^>]*>(.*?)</a>"
+    val sq = "(?is)<a\\b[^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*" +
+      "'(https?://[^']*)'[^>]*>(.*?)</a>"
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_pairs", concat(
+        arrays_zip(
+          regexp_extract_all(col("__g_nc"), lit(dq), lit(1)).as("link"),
+          regexp_extract_all(col("__g_nc"), lit(dq), lit(2)).as("atext")),
+        arrays_zip(
+          regexp_extract_all(col("__g_nc"), lit(sq), lit(1)).as("link"),
+          regexp_extract_all(col("__g_nc"), lit(sq), lit(2)).as("atext"))))
+      .withColumn("__g_pair", explode(col("__g_pairs")))
+      .withColumn("link", col("__g_pair").getField("link"))
+      .withColumn("__g_t0", regexp_replace(
+        col("__g_pair").getField("atext"), "<[^>]*>", " "))
+      .withColumn("__g_t1", EntityDecodes.foldLeft(col("__g_t0")) {
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+      })
+      .withColumn("__g_txt", lower(trim(
+        regexp_replace(col("__g_t1"), "[ \\t\\n\\r]+", " "))))
+    Curation.normalizeUrl(staged, "link")
+      .filter(col("domain").isNotNull)
+      .withColumn("term", explode(split(col("__g_txt"), " ")))
+      .filter(col("term") =!= "")
+      .groupBy(col("domain").as("dst_domain"), col("term"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_pages"))
+  }
+
   /** X114 — the meta-robots crawl gate: every row comes back with
     * `noindex` / `nofollow` booleans read from the page's own
     * `<meta name="robots" content="…">` directive — flags, NOT filters
@@ -284,6 +346,9 @@ object Html {
     *    [[Curation.normalizeUrl]] to strip;
     *  - a single-quoted absolute link on `id % 7 == 0` (the second
     *    extraction pass);
+    *  - a RICH anchor on `id % 8 == 3` whose text carries a nested
+    *    `<b>` tag and `&amp;` ([[anchorTerms]]'s inner content stages
+    *    fire under the oracle hash);
     *  - a RELATIVE link on every doc (`/local/…`) that extraction must
     *    ignore;
     *  - a meta-robots directive on `id % 6 == 2` (`noindex, follow`) and
@@ -326,6 +391,12 @@ object Html {
       }), "")
     val squoted = when(d % 7 === 0, concat(lit("<a href='http://Brand"),
       s(d % 23), lit(".COM/s'>q</a>"))).otherwise(lit(""))
+    // an anchor whose TEXT carries markup and an entity (x118's inner
+    // content stages must fire under the oracle hash, not just in specs)
+    val richAnchor = when(d % 8 === 3, concat(
+      lit("<a href=\"https://Brand"), s(d % 23), lit(".COM/t/"), s(d % 6),
+      lit("\"><b>Great &amp; cheap</b> deal "), s(d % 4), lit("</a>")))
+      .otherwise(lit(""))
     val script = when(d % 2 === 0, concat(
       lit("<script type=\"text/javascript\">if (1 < 2) { track(\"d"),
       s(d), lit("\"); }</script>"))).otherwise(lit(""))
@@ -359,7 +430,7 @@ object Html {
       lit("<html><head><title>Doc "), s(d), lit("</title>"), style, script,
       metaRobots, canonLink,
       lit("</head><body>"), comment, lit("<nav>"), navLinks, squoted,
-      lit("</nav>"), paras, entities,
+      richAnchor, lit("</nav>"), paras, entities,
       lit("<a href=\"/local/"), s(d % 5), lit("\">rel</a></body></html>")))
   }
 }

@@ -1587,6 +1587,11 @@ hfx AS (
     || (CASE WHEN doc_id % 7 = 0
           THEN '<a href=''http://Brand' || CAST(doc_id % 23 AS VARCHAR)
             || '.COM/s''>q</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 8 = 3
+          THEN '<a href="https://Brand' || CAST(doc_id % 23 AS VARCHAR)
+            || '.COM/t/' || CAST(doc_id % 6 AS VARCHAR)
+            || '"><b>Great &amp; cheap</b> deal '
+            || CAST(doc_id % 4 AS VARCHAR) || '</a>' ELSE '' END)
     || '</nav>' || paras
     || (CASE WHEN doc_id % 5 = 0
           THEN '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;&nbsp;&#39;now&#39; &amp;lt;twice&amp;gt;</p>'
@@ -1900,6 +1905,65 @@ SELECT n.doc_id, n.url, n.domain,
   CASE WHEN n.domain IS NULL OR b.mk IS NULL THEN '' ELSE b.mr END
     AS matched_rule
 FROM rpq n LEFT JOIN rbest b USING (doc_id)"""
+  }
+
+  /** x118 — anchor-text aggregation: comment-stripped fixture pages,
+    * both anchor quote styles extracted with positional link/text zip,
+    * the anchor text run through the content stages (inner tag strip,
+    * the entity subset in order, lowercase, whitespace collapse), terms
+    * split on spaces, targets keyed by registrable domain (the x111
+    * host-only chain — the fixture's links are well-formed by
+    * construction). */
+  private def anchorTermsSql: String = {
+    val suf = graft.corpus.Curation.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    htmlFixturePrelude +
+      raw""", anc0 AS (SELECT doc_id,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS nc FROM hfx),
+apairs AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(nc,
+      '(?is)<a\b[^>]*href[ \t\n\r]*=[ \t\n\r]*"(https?://[^"]*)"[^>]*>(.*?)</a>', 1)) AS lurl,
+    unnest(regexp_extract_all(nc,
+      '(?is)<a\b[^>]*href[ \t\n\r]*=[ \t\n\r]*"(https?://[^"]*)"[^>]*>(.*?)</a>', 2)) AS atext
+  FROM anc0
+  UNION ALL
+  SELECT doc_id,
+    unnest(regexp_extract_all(nc,
+      '(?is)<a\b[^>]*href[ \t\n\r]*=[ \t\n\r]*''(https?://[^'']*)''[^>]*>(.*?)</a>', 1)),
+    unnest(regexp_extract_all(nc,
+      '(?is)<a\b[^>]*href[ \t\n\r]*=[ \t\n\r]*''(https?://[^'']*)''[^>]*>(.*?)</a>', 2))
+  FROM anc0),
+aproc AS (SELECT doc_id, lurl,
+    lower(trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(atext, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\n\r]+', ' ', 'g'))) AS t
+  FROM apairs),
+a0 AS (SELECT doc_id, t,
+    regexp_extract(lurl, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme_raw,
+    regexp_replace(lower(regexp_extract(regexp_extract(
+      regexp_extract(lurl, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1),
+      '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS host
+  FROM aproc),
+a1 AS (SELECT doc_id, t,
+    CASE WHEN scheme_raw <> '' AND host <> '' THEN
+      (CASE WHEN len(hl) <= 1 THEN host
+            WHEN len(hl) >= 3 AND list_contains([$suf],
+                hl[-2] || '.' || hl[-1])
+              THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+            ELSE hl[-2] || '.' || hl[-1] END)
+    END AS dst_domain
+  FROM (SELECT doc_id, t, scheme_raw, host, string_split(host, '.') AS hl
+        FROM a0)),
+aterm AS (SELECT doc_id, dst_domain, unnest(string_split(t, ' ')) AS term
+  FROM a1 WHERE dst_domain IS NOT NULL)
+SELECT dst_domain, term, COUNT(*) AS n_mentions,
+  COUNT(DISTINCT doc_id) AS n_pages
+FROM aterm WHERE term <> ''
+GROUP BY 1, 2"""
   }
 
   /** The x58/x109 paragraph fixture + line explode — replays
@@ -2632,6 +2696,9 @@ FROM h"""
     // x117: robots.txt crawl gate — per-domain fixture files parsed under
     // RFC 9309-subset group semantics, longest-match/allow-wins verdicts
     "x117_robots_txt_gate" -> robotsTxtGateSql,
+    // x118: anchor-text aggregation — (target domain, term) counts from
+    // comment-stripped pages, anchor text through the content stages
+    "x118_anchor_terms" -> anchorTermsSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

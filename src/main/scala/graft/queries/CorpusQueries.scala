@@ -679,6 +679,15 @@ object CorpusQueries {
         col("robots_disposition"), col("matched_rule"))
   }
 
+  /** x118 — anchor-text aggregation over the HTML fixture: what the
+    * fixture's pages "say" about each target domain, as (domain, term)
+    * mention/page counts — the rich anchor (id % 8 == 3) puts the inner
+    * tag-strip and entity decode under the hash, the commented-out
+    * anchor stays invisible, relative/ftp anchors contribute nothing. */
+  def x118AnchorTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.anchorTerms(
+      graft.corpus.Html.htmlFixture(docs(spark, dir)))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

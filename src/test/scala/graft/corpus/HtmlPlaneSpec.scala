@@ -234,6 +234,53 @@ class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
     keys(9L) should not include "brandc"
   }
 
+  test("anchorTerms: inner tags and entities processed in the anchor " +
+      "text, comment-stripped and relative anchors invisible, mention " +
+      "vs distinct-page counts") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<a href=\"https://a.com/x\"><b>Great &amp; cheap</b> Deal</a>" +
+        "<a href='HTTP://www.a.com/y'>great stuff</a>" +
+        "<a href=\"/rel\">ignored</a>" +
+        "<!-- <a href=\"https://evil.example/x\">spam</a> -->"),
+      (2L, "<a href=\"https://a.com/z\">great</a>"))
+      .toDF("doc_id", "html")
+    val got = Html.anchorTerms(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    got shouldBe Set(
+      // "great" three times across both pages (case folded, both quote
+      // styles, www./case-normalized host) but only two distinct pages
+      ("a.com", "great", 3L, 2L),
+      ("a.com", "&", 1L, 1L),
+      ("a.com", "cheap", 1L, 1L),
+      ("a.com", "deal", 1L, 1L),
+      ("a.com", "stuff", 1L, 1L))
+  }
+
+  test("fixture rich anchor plants on id % 8 == 3 and its inner markup " +
+      "reaches x118's terms") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 15L).map(d => (d, "w1 w2")).toDF("doc_id", "text")
+    val fx = Html.htmlFixture(docs)
+    val html = fx.select(col("doc_id"), col("html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    html(3L) should include("<b>Great &amp; cheap</b> deal 3")
+    html(11L) should include("<b>Great &amp; cheap</b> deal 3") // 11 % 4
+    html(4L) should not include "Great"
+    val terms = Html.anchorTerms(fx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // doc 3 -> Brand3.COM, doc 11 -> Brand11.COM; tag stripped, entity
+    // decoded, lowercased
+    terms should contain(("brand3.com", "cheap", 1L))
+    terms should contain(("brand11.com", "&", 1L))
+    // the commented-out spam anchor stays invisible to terms too
+    terms.map(_._1) should not contain "evil.example"
+  }
+
   test("streaming robots gate + canonical keying chain batch-equal " +
       "through one live query (stateless: no watermark, append mode)") {
     val s = spark
