@@ -77,6 +77,82 @@ object WebGraph {
       iters: Int = 1): DataFrame =
     iterate(edges, iters, Some(prevRanks))
 
+  /** Per-domain politeness cap for [[crawlFrontier]] — at most this many
+    * URLs per registrable domain per scheduling cycle (a crawler that
+    * pulls one domain's whole queue in a burst is the impolite failure
+    * mode politeness delays exist to prevent; the cap is the batch-side
+    * mirror of a per-domain fetch-rate limit). Shared with the x119
+    * oracle generator. */
+  val FrontierPerDomainCap: Int = 2
+
+  /** Global per-cycle fetch budget for [[crawlFrontier]] — the top-B cut
+    * after the per-domain cap. Bounded driver constant by contract (a
+    * cycle fetches what its fleet can fetch). Shared with the oracle. */
+  val FrontierBudget: Int = 150
+
+  /** X119 — crawl-frontier scheduling: which URLs to fetch NEXT. From the
+    * current snapshot's pages, extract every absolute outlink, canonical-
+    * ize it ([[Curation.normalizeUrl]] — malformed targets have no
+    * identity and are dropped), dedup to one candidate per `url_norm`,
+    * drop everything the crawl already holds (anti-join against the
+    * persisted [[TextDedup.urlIndex]]), score each candidate by its
+    * TARGET domain's [[domainPageRank]] rank — domains the rank snapshot
+    * has never seen enter at the CURRENT uniform share `SCALE DIV N`
+    * (the x116 new-domain convention: an unranked domain is a fair
+    * unknown, not a zero), then schedule: at most `perDomainCap` URLs
+    * per domain (`slot` = that domain's queue position, url_norm order),
+    * global top-`budget` by `(rank_micro DESC, url_norm)` — a strict
+    * total order, so the cut is deterministic on any engine.
+    *
+    * Emits `(url_norm, domain, rank_micro, slot)` — the fetch list, in
+    * set form (the driver compare sorts; a deployment orders by the
+    * same key).
+    *
+    * Scale shape: extraction + canonicalization ride the scan (narrow);
+    * the candidate dedup is ONE url_norm-keyed aggregate (the frontier's
+    * natural shuffle); the fetched-probe is an anti-join against the
+    * BUCKETED persisted index (index side never re-shuffles — the x112
+    * discipline); the rank join is domain-keyed (one row per domain,
+    * broadcastable until web scale); the politeness slot is a
+    * domain-keyed window whose per-key row count the cap bounds the
+    * OUTPUT of but the candidate dedup already bounded the input of
+    * (largest domains ≈ largest link targets — AQE skew handling
+    * applies); the global cut is orderBy+limit, which Spark executes as
+    * TakeOrdered with B bounded by contract — no full sort. An empty
+    * rank table scores every candidate 0 (the documented empty-graph
+    * degradation, never a divide error). Compose AFTER the gates:
+    * [[Curation.domainGate]] (x108) and [[Robots.robotsTxtGate]] (x117)
+    * flag what this scheduler should never see. */
+  def crawlFrontier(docs: DataFrame, fetched: DataFrame, ranks: DataFrame,
+      perDomainCap: Int = FrontierPerDomainCap,
+      budget: Int = FrontierBudget,
+      htmlCol: String = "html"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = Curation.normalizeUrl(
+        Html.extractOutlinks(docs.select(col(htmlCol)), htmlCol)
+          .select(col("link")), "link")
+      .filter(col("url_norm").isNotNull)
+      .groupBy(col("url_norm")).agg(min(col("domain")).as("domain"))
+      .join(fetched.select(col("url_norm")), Seq("url_norm"), "left_anti")
+    val n = ranks.agg(count(lit(1)).as("__g_n"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("url_norm"))
+    cand
+      .join(ranks.select(col("domain"), col("rank_micro")), Seq("domain"),
+        "left")
+      .crossJoin(n)
+      .withColumn("rank_micro", coalesce(col("rank_micro"),
+        // the n > 0 guard keeps ANSI DIV from throwing on an empty rank
+        // table — the documented empty-graph degradation is score 0
+        when(col("__g_n") > 0, expr(s"$PageRankScale DIV __g_n"))
+          .otherwise(lit(0L))))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= perDomainCap)
+      .orderBy(col("rank_micro").desc, col("url_norm"))
+      .limit(budget)
+      .select(col("url_norm"), col("domain"), col("rank_micro"),
+        col("slot"))
+  }
+
   private def iterate(edges: DataFrame, iters: Int,
       prev: Option[DataFrame]): DataFrame = {
     // per-round checkpoint release, the dedupClusters pattern verbatim:

@@ -1966,6 +1966,47 @@ FROM aterm WHERE term <> ''
 GROUP BY 1, 2"""
   }
 
+  /** x119 — crawl-frontier scheduling: candidates from the outlink raw
+    * list (`lraw`) through the FULL normalization chain (the engine
+    * canonicalizes frontier targets with normalizeUrl, strict authority
+    * included), deduped and anti-joined against the fetch-URL set; the
+    * rank snapshot is the brandc-withheld graph (x116's convention), so
+    * brandc candidates take the uniform share — the fallback is under
+    * the hash. Politeness slots + the budget cut use the same strict
+    * total order `(rank DESC, url_norm)` as the engine. */
+  private def crawlFrontierSql: String = {
+    val scale = graft.corpus.WebGraph.PageRankScale
+    val iters = graft.corpus.WebGraph.PageRankIters
+    val cap = graft.corpus.WebGraph.FrontierPerDomainCap
+    val budget = graft.corpus.WebGraph.FrontierBudget
+    domainEdgesChain +
+      """, gedges_p AS (
+  SELECT src_domain, dst_domain, n_links FROM gedges
+  WHERE src_domain NOT LIKE 'brandc%' AND dst_domain NOT LIKE 'brandc%'),
+""" + pageRankBase("e", "gedges_p") + ",\n" +
+      pageRankRounds("er", "gedges_p", "enodes", "eoutw", "ebase", "er0",
+        iters) +
+      ",\nclnk AS (SELECT doc_id, lurl AS url FROM lraw)" +
+      urlNormChain("clnk", "_f") +
+      s""", fcand AS (SELECT url_norm, MIN(domain) AS domain
+  FROM norm_f WHERE url_norm IS NOT NULL GROUP BY 1),
+ffetch AS (SELECT DISTINCT url_norm FROM norm WHERE url_norm IS NOT NULL),
+fnew AS (SELECT c.url_norm, c.domain FROM fcand c
+  LEFT JOIN ffetch f USING (url_norm) WHERE f.url_norm IS NULL),
+fsc AS (SELECT c.url_norm, c.domain,
+    COALESCE(r.rank_micro, CAST($scale // n AS BIGINT)) AS rank_micro
+  FROM fnew c CROSS JOIN en
+  LEFT JOIN er$iters r ON r.domain = c.domain),
+fslot AS (SELECT url_norm, domain, rank_micro,
+    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url_norm) AS slot
+  FROM fsc)
+SELECT url_norm, domain, CAST(rank_micro AS BIGINT) AS rank_micro,
+  CAST(slot AS BIGINT) AS slot
+FROM fslot WHERE slot <= $cap
+ORDER BY rank_micro DESC, url_norm
+LIMIT $budget"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2699,6 +2740,10 @@ FROM h"""
     // x118: anchor-text aggregation — (target domain, term) counts from
     // comment-stripped pages, anchor text through the content stages
     "x118_anchor_terms" -> anchorTermsSql,
+    // x119: crawl-frontier scheduling — dedup'd unseen outlinks scored by
+    // the brandc-withheld rank snapshot (uniform-share fallback live),
+    // politeness slots, deterministic budget cut
+    "x119_crawl_frontier" -> crawlFrontierSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

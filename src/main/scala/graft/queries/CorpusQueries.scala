@@ -688,6 +688,25 @@ object CorpusQueries {
     graft.corpus.Html.anchorTerms(
       graft.corpus.Html.htmlFixture(docs(spark, dir)))
 
+  /** x119 — crawl-frontier scheduling over the URL + HTML fixtures: every
+    * outlink canonicalized, deduped, already-fetched URLs dropped against
+    * the fixture's own url index, scored by a rank snapshot computed WITH
+    * the `brandc` domains withheld (the x116 convention — so the
+    * uniform-share fallback for never-ranked domains is live under the
+    * oracle hash), then per-domain politeness slots and the global
+    * budget cut. */
+  def x119CrawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.{Curation, Html, WebGraph}
+    // one checkpoint feeds all three consumers (edges, candidates, the
+    // fetched index) — in production these read the persisted crawl table
+    val hfx = Html.htmlFixture(Curation.urlFixture(docs(spark, dir)))
+      .localCheckpoint()
+    val ranks = WebGraph.domainPageRank(Html.domainEdges(hfx).filter(
+      !col("src_domain").startsWith("brandc") &&
+        !col("dst_domain").startsWith("brandc")))
+    WebGraph.crawlFrontier(hfx, TextDedup.urlIndex(hfx), ranks)
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

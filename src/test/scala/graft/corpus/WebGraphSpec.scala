@@ -1,6 +1,7 @@
 package graft.corpus
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 import org.scalatest.funsuite.AnyFunSuite
@@ -119,5 +120,44 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     got("c.com") should be > got("a.com")
     // dangling c spends no vote anywhere: total mass strictly below SCALE
     got.values.sum should be < WebGraph.PageRankScale
+  }
+
+  test("crawlFrontier: candidate dedup, fetched anti-join, malformed " +
+      "targets dropped, uniform-share fallback for unranked domains, " +
+      "politeness cap + slots, deterministic budget cut") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("<a href=\"https://a.com/1\">x</a>" +
+        "<a href=\"https://a.com/1?utm_source=f\">dup after norm</a>" +
+        "<a href=\"https://a.com/2\">x</a>" +
+        "<a href=\"https://a.com/3\">over the cap</a>" +
+        "<a href=\"https://b.com/x\">x</a>" +
+        "<a href=\"https://new.org/y\">unranked domain</a>" +
+        "<a href=\"https://fetched.com/z\">already crawled</a>" +
+        "<a href=\"https://u@bad.com/x\">userinfo is malformed</a>" +
+        "<a href=\"/rel\">relative never extracts</a>"))
+      .toDF("html")
+    val fetched = Seq("https://fetched.com/z").toDF("url_norm")
+    val ranks = Seq(("a.com", 600L), ("b.com", 300L))
+      .toDF("domain", "rank_micro")
+    val all = WebGraph.crawlFrontier(pages, fetched, ranks)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val share = WebGraph.PageRankScale / 2L // |ranks| = 2
+    all shouldBe Set(
+      ("https://a.com/1", "a.com", 600L, 1), // dup collapsed to one row
+      ("https://a.com/2", "a.com", 600L, 2), // /3 cut by the cap
+      ("https://b.com/x", "b.com", 300L, 1),
+      ("https://new.org/y", "new.org", share, 1))
+    // budget cut: strict (rank DESC, url_norm) order — the unranked
+    // newcomer's uniform share dominates, then a.com's first slot
+    val top2 = WebGraph.crawlFrontier(pages, fetched, ranks, budget = 2)
+      .collect().map(_.getString(0)).toSet
+    top2 shouldBe Set("https://new.org/y", "https://a.com/1")
+    // empty rank table: every candidate scores 0, never a divide error
+    val empty = ranks.filter(col("domain") === "nope")
+    WebGraph.crawlFrontier(pages, fetched, empty)
+      .collect().map(_.getLong(2)).toSet shouldBe Set(0L)
   }
 }
