@@ -153,6 +153,59 @@ object WebGraph {
         col("slot"))
   }
 
+  /** X120 — per-domain degree/reciprocity profile over a [[Html
+    * .domainEdges]] edge table (one row per ordered pair): for every
+    * node of the graph,
+    *
+    *  - `out_domains`/`in_domains` — distinct link partners each way;
+    *  - `out_w`/`in_w` — total link weight each way;
+    *  - `self_w` — self-loop weight (site-internal absolute links, the
+    *    in-template boilerplate signal x111 keeps self-loops FOR);
+    *  - `recip_domains` — distinct partners linked in BOTH directions,
+    *    self excluded.
+    *
+    * The structural spam panel: link farms show near-total reciprocity
+    * (`recip_domains ≈ out_domains`), PBNs show high out-degree to a
+    * tight target set with no in-degree, parked domains show in-only.
+    * Flags-for-the-owner, like every gate in this plane — downstream
+    * weighting is the consumer's call.
+    *
+    * Scale shape: two domain-keyed aggregates (out/in), one filtered
+    * self-loop aggregate, and ONE (src,dst)=(dst,src) self-equi-join
+    * for reciprocity — keyed on the pair, fan-out exactly 1 against the
+    * deduped pair table, no window, no all-pairs anywhere; the final
+    * assembly is a full-outer + two left joins on `domain` (every node
+    * appears in the out or in aggregate by definition). */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src_domain"), col("dst_domain"),
+      col("n_links").cast("long").as("w"))
+    val outs = e.groupBy(col("src_domain").as("domain")).agg(
+      countDistinct(col("dst_domain")).as("out_domains"),
+      sum(col("w")).as("out_w"))
+    val ins = e.groupBy(col("dst_domain").as("domain")).agg(
+      countDistinct(col("src_domain")).as("in_domains"),
+      sum(col("w")).as("in_w"))
+    val self = e.filter(col("src_domain") === col("dst_domain"))
+      .groupBy(col("src_domain").as("domain"))
+      .agg(sum(col("w")).as("self_w"))
+    val recip = e.as("e1").join(e.as("e2"),
+        col("e1.src_domain") === col("e2.dst_domain") &&
+          col("e1.dst_domain") === col("e2.src_domain") &&
+          col("e1.src_domain") =!= col("e1.dst_domain"))
+      .groupBy(col("e1.src_domain").as("domain"))
+      .agg(countDistinct(col("e1.dst_domain")).as("recip_domains"))
+    outs.join(ins, Seq("domain"), "full")
+      .join(self, Seq("domain"), "left")
+      .join(recip, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("out_domains"), lit(0L)).as("out_domains"),
+        coalesce(col("in_domains"), lit(0L)).as("in_domains"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("self_w"), lit(0L)).as("self_w"),
+        coalesce(col("recip_domains"), lit(0L)).as("recip_domains"))
+  }
+
   private def iterate(edges: DataFrame, iters: Int,
       prev: Option[DataFrame]): DataFrame = {
     // per-round checkpoint release, the dedupClusters pattern verbatim:

@@ -2007,6 +2007,44 @@ ORDER BY rank_micro DESC, url_norm
 LIMIT $budget"""
   }
 
+  /** x120 — per-domain degree/reciprocity profile over the fixture web
+    * graph: out/in distinct-partner and weight aggregates, self-loop
+    * weight, and the (src,dst)=(dst,src) reciprocity join, assembled
+    * over the full node list with zero fills. */
+  private def degreeProfileSql: String =
+    domainEdgesChain +
+      """, dout AS (SELECT src_domain AS domain,
+    COUNT(DISTINCT dst_domain) AS out_domains,
+    CAST(SUM(n_links) AS BIGINT) AS out_w
+  FROM gedges GROUP BY 1),
+din AS (SELECT dst_domain AS domain,
+    COUNT(DISTINCT src_domain) AS in_domains,
+    CAST(SUM(n_links) AS BIGINT) AS in_w
+  FROM gedges GROUP BY 1),
+dself AS (SELECT src_domain AS domain,
+    CAST(SUM(n_links) AS BIGINT) AS self_w
+  FROM gedges WHERE src_domain = dst_domain GROUP BY 1),
+drec AS (SELECT e1.src_domain AS domain,
+    COUNT(DISTINCT e1.dst_domain) AS recip_domains
+  FROM gedges e1 JOIN gedges e2
+    ON e1.src_domain = e2.dst_domain AND e1.dst_domain = e2.src_domain
+  WHERE e1.src_domain <> e1.dst_domain GROUP BY 1),
+dnode AS (SELECT DISTINCT domain FROM (
+  SELECT src_domain AS domain FROM gedges
+  UNION ALL SELECT dst_domain FROM gedges))
+SELECT n.domain,
+  CAST(COALESCE(o.out_domains, 0) AS BIGINT) AS out_domains,
+  CAST(COALESCE(i.in_domains, 0) AS BIGINT) AS in_domains,
+  CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+  CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w,
+  CAST(COALESCE(s.self_w, 0) AS BIGINT) AS self_w,
+  CAST(COALESCE(r.recip_domains, 0) AS BIGINT) AS recip_domains
+FROM dnode n
+LEFT JOIN dout o USING (domain)
+LEFT JOIN din i USING (domain)
+LEFT JOIN dself s USING (domain)
+LEFT JOIN drec r USING (domain)"""
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2744,6 +2782,9 @@ FROM h"""
     // the brandc-withheld rank snapshot (uniform-share fallback live),
     // politeness slots, deterministic budget cut
     "x119_crawl_frontier" -> crawlFrontierSql,
+    // x120: per-domain degree/reciprocity profile — the structural spam
+    // panel over the fixture web graph, zero-filled over all nodes
+    "x120_degree_profile" -> degreeProfileSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -707,6 +707,15 @@ object CorpusQueries {
     WebGraph.crawlFrontier(hfx, TextDedup.urlIndex(hfx), ranks)
   }
 
+  /** x120 — per-domain degree/reciprocity profile over the fixture web
+    * graph: distinct partners and weights each way, self-loop weight,
+    * and both-directions partner counts — the structural spam panel. */
+  def x120DegreeProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.WebGraph.degreeProfile(
+      graft.corpus.Html.domainEdges(
+        graft.corpus.Html.htmlFixture(
+          graft.corpus.Curation.urlFixture(docs(spark, dir)))))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

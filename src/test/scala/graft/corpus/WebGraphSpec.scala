@@ -122,6 +122,30 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.values.sum should be < WebGraph.PageRankScale
   }
 
+  test("degreeProfile: out/in partners and weights, self-loop weight " +
+      "separated, reciprocity excludes self and requires both directions, " +
+      "in-only nodes zero-filled") {
+    val s = spark
+    import s.implicits._
+    // a<->b reciprocal; a->c one-way; c->c self-loop; b->d where d has
+    // no outgoing edges at all (the zero-fill path)
+    val edges = Seq(
+      ("a.com", "b.com", 2L), ("b.com", "a.com", 5L),
+      ("a.com", "c.com", 1L), ("c.com", "c.com", 7L),
+      ("b.com", "d.com", 3L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val got = WebGraph.degreeProfile(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    //                    out_d  in_d  out_w  in_w  self  recip
+    got("a.com") shouldBe ((2L,   1L,   3L,    5L,   0L,   1L))
+    got("b.com") shouldBe ((2L,   1L,   8L,    2L,   0L,   1L))
+    // c's self-loop counts in degrees and weights, NOT in reciprocity
+    got("c.com") shouldBe ((1L,   2L,   7L,    8L,   7L,   0L))
+    got("d.com") shouldBe ((0L,   1L,   0L,    3L,   0L,   0L))
+    got.size shouldBe 4
+  }
+
   test("crawlFrontier: candidate dedup, fetched anti-join, malformed " +
       "targets dropped, uniform-share fallback for unranked domains, " +
       "politeness cap + slots, deterministic budget cut") {
