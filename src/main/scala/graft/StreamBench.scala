@@ -365,12 +365,13 @@ object StreamBench {
     val (scrubSec, scrubLongSec) =
       if (haveDocs) scrubCells() else (-1.0, -1.0)
 
-    // ---- crawl-head cell: the r19 ingest chain extract → domain-gate →
-    // URL-dedup-against as ONE streaming query — all stateless narrow
-    // kernels plus one stream-static join against the persisted bucketed
-    // url index, so NO watermark and no flush record. Self-checking: the
-    // chain is batch-equal by construction, so emissions must equal the
-    // batch run over the same fed rows. ----
+    // ---- crawl-head cell: the r19 ingest chain extract → robots.txt
+    // gate → domain-gate → URL-dedup-against as ONE streaming query —
+    // all stateless narrow kernels plus TWO stream-static joins (the
+    // frozen parsed rule table on domain, the persisted bucketed url
+    // index on url_norm), so NO watermark and no flush record.
+    // Self-checking: the chain is batch-equal by construction, so
+    // emissions must equal the batch run over the same fed rows. ----
     def crawlHeadCell(): Double = {
       import session.implicits._
       val docs = session.read.parquet(s"$sfDir/documents.parquet")
@@ -380,16 +381,27 @@ object StreamBench {
       graft.corpus.TextDedup.writeUrlIndex(graft.corpus.TextDedup.urlIndex(
         fx.filter(col("doc_id") % 2 === 0)), idxTable)
       val index = session.table(idxTable)
+      // the frozen robots rule table — parsed once batch-side, the
+      // stream side only joins it (the x117 production shape)
+      val rules = graft.corpus.Robots.parseRules(
+        graft.corpus.Robots.robotsFixture(docs)).localCheckpoint()
       val rows: Seq[(Long, String, String)] = fx
         .filter(col("doc_id") % 2 === 1)
         .orderBy(col("doc_id"))
         .limit(nScrubDocs * (nScrubTriggers + 1))
         .select(col("doc_id"), col("url"), col("html")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // robots gate LAST, on the canonical key (normalization is
+      // idempotent), so its flags reach the sink — a mid-chain gate
+      // whose columns the tail projects away is a left join against a
+      // provably-unique aggregate, which the optimizer may eliminate
+      // (the PlanPeek timing-fiction lesson: never time pruned work)
       def chain(src: DataFrame): DataFrame =
-        graft.streaming.StreamOps.dedupUrlsAgainst(
-          graft.streaming.StreamOps.gateByDomain(
-            graft.streaming.StreamOps.extractHtml(src)), index)
+        graft.streaming.StreamOps.gateByRobotsTxt(
+          graft.streaming.StreamOps.dedupUrlsAgainst(
+            graft.streaming.StreamOps.gateByDomain(
+              graft.streaming.StreamOps.extractHtml(src)), index),
+          rules, urlCol = "url_norm")
       val expect = chain(rows.toDF("doc_id", "url", "html")).count()
       val in = MemoryStream[(Long, String, String)]
       val out = chain(in.toDF().toDF("doc_id", "url", "html"))
