@@ -226,6 +226,106 @@ object Html {
         countDistinct(col("doc_id")).as("n_pages"))
   }
 
+  /** Block-level tags for [[contentBlocks]]' segmentation — a tag from
+    * this list (open or close) ends one block and starts the next;
+    * everything else (`<a>`, `<b>`, `<span>`, …) is inline and stays
+    * inside its block. `<br>`/`<hr>` are separators here (the boilerpipe
+    * convention — a forced break usually separates content units).
+    * Longer names first so both regex engines try the same alternative
+    * first (the `\b` guard makes order semantically moot; fixed order
+    * makes it provably moot). Shared with the x121 oracle generator. */
+  val BlockTags: Seq[String] = Seq(
+    "blockquote", "fieldset", "article", "section", "header", "footer",
+    "aside", "table", "thead", "tbody", "title", "main", "meta", "form",
+    "html", "head", "body", "link", "nav", "pre", "div", "h[1-6]", "dl",
+    "dt", "dd", "tr", "td", "th", "ul", "ol", "li", "hr", "br", "p")
+
+  /** The block-boundary pattern [[contentBlocks]] splits on (both
+    * engines keep empty segments, so positions align). */
+  val BlockTagPattern: String =
+    "(?i)</?(" + BlockTags.mkString("|") + ")\\b[^>]*>"
+
+  /** Minimum words for a block to qualify as content (jusText/boilerpipe
+    * family heuristic — chrome is short). Shared with the oracle. */
+  val ContentMinWords: Int = 5
+
+  /** Maximum anchor-word share (percent) for a content block — a block
+    * whose words sit mostly inside links is navigation, however long
+    * (the link-density rule, THE boilerpipe discriminator). Integer
+    * percent so the verdict is integer arithmetic on both engines. */
+  val ContentMaxLinkDensityPct: Int = 33
+
+  /** X121 — single-document content-block extraction by link density
+    * (the jusText/boilerpipe heuristic): the page splits into blocks at
+    * [[BlockTags]] boundaries, and each block is judged CONTENT when it
+    * carries at least [[ContentMinWords]] words AND at most
+    * [[ContentMaxLinkDensityPct]] percent of them inside anchors —
+    * `n_anchor_words · 100 ≤ pct · n_words`, integer on both engines.
+    * The SINGLE-DOC complement of the corpus-df boilerplate tiers (x48
+    * needs document frequency across a corpus; this reads one page in
+    * isolation — the filter RefinedWeb applies at extraction, before
+    * any corpus exists). Flags, not filters: every non-empty block is
+    * emitted as `(doc_id, block_idx, n_words, n_anchor_words,
+    * is_content, text)`; [[mainContent]] is the keep-content fold.
+    *
+    * Processing policy: comments, then whole `<script>`/`<style>`
+    * blocks stripped ([[extractText]] stages 1–3); the split keeps
+    * empty segments so `block_idx` is stable; per block, anchor words
+    * come from `<a …>text</a>` bodies and both the block text and the
+    * anchor text run the content stages (inline tag strip,
+    * [[EntityDecodes]] in order, whitespace collapse). An anchor split
+    * across a block boundary (malformed nesting) loses its tail to the
+    * next block — the documented honest-regex degradation.
+    *
+    * Scale shape: narrow per-row regex work + one bounded explode
+    * (blocks per page bounded by the html that produced them); no
+    * shuffle at all — stateless, streaming-composable. */
+  def contentBlocks(docs: DataFrame, htmlCol: String = "html",
+      minWords: Int = ContentMinWords,
+      maxLinkDensityPct: Int = ContentMaxLinkDensityPct): DataFrame = {
+    def clean(c: Column): Column =
+      trim(regexp_replace(
+        EntityDecodes.foldLeft(regexp_replace(c, "<[^>]*>", " ")) {
+          case (x, (ent, ch)) => replace(x, lit(ent), lit(ch))
+        }, "[ \\t\\n\\r]+", " "))
+    def words(c: Column): Column =
+      size(filter(split(c, " "), w => w =!= ""))
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_ns", regexp_replace(col("__g_nc"),
+        "(?is)<script\\b[^>]*>.*?</script>", " "))
+      .withColumn("__g_nst", regexp_replace(col("__g_ns"),
+        "(?is)<style\\b[^>]*>.*?</style>", " "))
+      .select(col("*"), posexplode(split(col("__g_nst"), BlockTagPattern))
+        .as(Seq("block_idx", "__g_seg")))
+      .withColumn("__g_atxt", concat_ws(" ", regexp_extract_all(
+        col("__g_seg"), lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))))
+      .withColumn("text", clean(col("__g_seg")))
+      .withColumn("n_words", words(col("text")))
+      .withColumn("n_anchor_words", words(clean(col("__g_atxt"))))
+    staged
+      .filter(col("text") =!= "")
+      .withColumn("is_content", col("n_words") >= minWords &&
+        col("n_anchor_words") * 100 <= lit(maxLinkDensityPct) * col("n_words"))
+      .drop("__g_nc", "__g_ns", "__g_nst", "__g_seg", "__g_atxt")
+  }
+
+  /** The keep-content fold over [[contentBlocks]]: one row per document
+    * whose `text` is the content blocks joined in block order — what the
+    * extraction stage hands the text pipeline when the consumer wants
+    * the verdicts applied (documents with NO content block are absent;
+    * routing them is the owner's call, per the flags doctrine). One
+    * doc-keyed aggregate; block order rides `block_idx`. */
+  def mainContent(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    contentBlocks(docs, htmlCol)
+      .filter(col("is_content"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("block_idx"), col("text")))).getField("text"))
+        .as("text"),
+        sum(col("n_words")).as("n_words"))
+
   /** X114 — the meta-robots crawl gate: every row comes back with
     * `noindex` / `nofollow` booleans read from the page's own
     * `<meta name="robots" content="…">` directive — flags, NOT filters

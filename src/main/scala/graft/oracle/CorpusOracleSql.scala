@@ -2045,6 +2045,58 @@ LEFT JOIN din i USING (domain)
 LEFT JOIN dself s USING (domain)
 LEFT JOIN drec r USING (domain)"""
 
+  /** x121 — content blocks by link density: the fixture pages split at
+    * the shared BlockTagPattern (both engines keep empty segments, so
+    * block_idx aligns), per-block anchor-text extraction, both texts
+    * through the content stages, and the integer min-words/max-density
+    * verdict interpolated from the shared Html constants. */
+  private def contentBlocksSql: String = {
+    val pat = graft.corpus.Html.BlockTagPattern
+    val minW = graft.corpus.Html.ContentMinWords
+    val pct = graft.corpus.Html.ContentMaxLinkDensityPct
+    htmlFixturePrelude +
+      raw""", cb0 AS (SELECT doc_id,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM hfx),
+cb1 AS (SELECT doc_id,
+    regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+  FROM cb0),
+cb2 AS (SELECT doc_id,
+    regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+  FROM cb1),
+cbs AS (SELECT doc_id, string_split_regex(t, '$pat') AS segs FROM cb2),
+cb3 AS (SELECT doc_id, unnest(range(len(segs))) AS block_idx,
+    unnest(segs) AS seg FROM cbs),
+cb4 AS (SELECT doc_id, block_idx, seg,
+    COALESCE(array_to_string(regexp_extract_all(seg,
+      '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), '') AS atxt
+  FROM cb3),
+cb5 AS (SELECT doc_id, block_idx,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\n\r]+', ' ', 'g')) AS txt,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(atxt, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\n\r]+', ' ', 'g')) AS atx
+  FROM cb4),
+cb6 AS (SELECT doc_id, block_idx, txt,
+    len(list_filter(string_split(txt, ' '), w -> w <> '')) AS n_words,
+    len(list_filter(string_split(atx, ' '), w -> w <> ''))
+      AS n_anchor_words
+  FROM cb5)
+SELECT doc_id, block_idx, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_anchor_words AS BIGINT) AS n_anchor_words,
+  (n_words >= $minW AND n_anchor_words * 100 <= $pct * n_words)
+    AS is_content,
+  txt AS text
+FROM cb6 WHERE txt <> ''"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2785,6 +2837,9 @@ FROM h"""
     // x120: per-domain degree/reciprocity profile — the structural spam
     // panel over the fixture web graph, zero-filled over all nodes
     "x120_degree_profile" -> degreeProfileSql,
+    // x121: content blocks by link density — block segmentation at the
+    // shared tag pattern, integer min-words/max-density verdicts
+    "x121_content_blocks" -> contentBlocksSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

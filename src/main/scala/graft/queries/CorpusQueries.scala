@@ -716,6 +716,17 @@ object CorpusQueries {
         graft.corpus.Html.htmlFixture(
           graft.corpus.Curation.urlFixture(docs(spark, dir)))))
 
+  /** x121 — content-block extraction by link density over the HTML
+    * fixture: per-block word/anchor-word counts and the integer
+    * min-words + max-density verdict — the single-document boilerplate
+    * heuristic (nav blocks fail on density, titles on length,
+    * paragraphs pass). */
+  def x121ContentBlocks(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.contentBlocks(
+      graft.corpus.Html.htmlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("block_idx"), col("n_words"),
+        col("n_anchor_words"), col("is_content"), col("text"))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -281,6 +281,66 @@ class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
     terms.map(_._1) should not contain "evil.example"
   }
 
+  test("contentBlocks: min-words and link-density verdicts, block " +
+      "segmentation at block tags only, empty segments filtered with " +
+      "stable indices, entity/tag cleaning inside blocks") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<div><p>one two three four five six seven</p>" +
+        "<p>short txt</p>" +
+        "<nav><a href=\"/a\">home link</a> <a href=\"/b\">about page now</a></nav>" +
+        "<p>mix of ten good words where only <a href=\"/c\">three are linked</a></p>" +
+        "<p>Tom &amp; <b>Jerry</b> say &quot;hi&quot; twice more</p></div>"))
+      .toDF("doc_id", "html")
+    val got = Html.contentBlocks(rows)
+      .select(col("block_idx"), col("n_words"), col("n_anchor_words"),
+        col("is_content"), col("text"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3), r.getString(4)))
+    val byText = got.map(t => t._5 -> t).toMap
+    // 7 words, no anchors -> content
+    byText("one two three four five six seven")._4 shouldBe true
+    // 2 words -> fails min-words
+    byText("short txt")._4 shouldBe false
+    // nav: 5 words, ALL inside anchors (100% > 33%) -> not content,
+    // despite clearing the word minimum
+    val nav = byText("home link about page now")
+    nav._2 shouldBe 5
+    nav._3 shouldBe 5
+    nav._4 shouldBe false
+    // 10 words with 3 linked = 30% <= 33% -> content (and 3 of 9 would
+    // be 33.3% > 33 — the integer boundary is sharp)
+    val mix = byText("mix of ten good words where only three are linked")
+    mix._2 shouldBe 10
+    mix._3 shouldBe 3
+    mix._4 shouldBe true
+    // entities decode, inline <b> strips, still one block
+    val ent = byText("Tom & Jerry say \"hi\" twice more")
+    ent._2 shouldBe 7
+    ent._4 shouldBe true
+    // indices are positions in the full split (gaps where segments were
+    // empty), strictly increasing
+    got.map(_._1).toSeq shouldBe got.map(_._1).toSeq.sorted
+    got.map(_._1).distinct.length shouldBe got.length
+  }
+
+  test("mainContent: keep-content fold in block order; chrome-only " +
+      "pages are absent") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<p>first block of five words</p><nav><a href=\"/x\">all " +
+        "link words here now</a></nav><p>second block of five words</p>"),
+      (2L, "<nav><a href=\"/y\">only nav chrome here now</a></nav>"))
+      .toDF("doc_id", "html")
+    val got = Html.mainContent(rows)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    got shouldBe Map(
+      1L -> (("first block of five words second block of five words", 10L)))
+  }
+
   test("streaming robots gate + canonical keying chain batch-equal " +
       "through one live query (stateless: no watermark, append mode)") {
     val s = spark
