@@ -1243,6 +1243,60 @@ object Curation {
   val DefaultDomainBlocklist: Seq[String] =
     Seq("brand1.com", "brand7.co.uk", "brand3.com.au", "brand16.com")
 
+  /** URL-substring blocklist for the x123 driver row — matched
+    * case-insensitively against the whole canonical URL (the C4 §2.1
+    * "bad words" URL filter runs on the raw URL string, path and host
+    * alike). Like [[DefaultDomainBlocklist]], the default carries
+    * fixture-hitting entries so the flag branch is live under the
+    * oracle; a deployment swaps its own curated list in. */
+  val DefaultUrlBlockWords: Seq[String] =
+    Seq("casino", "viagra", "xxx", "brand7")
+
+  /** X123 — URL shape features + the C4-style URL word gate: every row
+    * comes back with the canonical key plus the cheap quality features a
+    * crawl pipeline reads BEFORE fetching a byte of body —
+    *
+    *  - `path_depth` — non-empty path segments (deep calendar/faceted
+    *    URLs are crawl traps);
+    *  - `path_chars` / `path_digits` — digit-heavy long paths are
+    *    session-id and archive signatures (counts, not a ratio: the
+    *    oracle boundary stays integer, the consumer divides);
+    *  - `n_params` — surviving query parameters after normalization;
+    *  - `url_flag` — `flagged` when any [[DefaultUrlBlockWords]] entry
+    *    appears in the lowercased canonical URL, `clean` otherwise,
+    *    `malformed` for unparseable rows (flags, not filters —
+    *    x73/x108; a string disposition, not a nullable boolean — the
+    *    driver comparator renders boolean NULLs differently per
+    *    engine).
+    *
+    * Malformed URLs (NULL `url_norm`) carry NULL counts — no identity,
+    * no measurements, the x107 rule. Narrow, stateless,
+    * streaming-composable; two cheap regex producers staged as real
+    * columns (the x107 staging lesson). */
+  def urlFeatures(docs: DataFrame,
+      blockWords: Seq[String] = DefaultUrlBlockWords,
+      urlCol: String = "url"): DataFrame = {
+    val staged = normalizeUrl(docs, urlCol)
+      .withColumn("__g_path",
+        regexp_extract(col("url_norm"), "^[^:/?#]+://[^/?]*([^?]*)", 1))
+      .withColumn("__g_q",
+        regexp_extract(col("url_norm"), "^[^?]*\\?(.*)$", 1))
+    staged
+      .withColumn("path_depth",
+        size(filter(split(col("__g_path"), "/"), s => s =!= "")))
+      .withColumn("path_chars", length(col("__g_path")))
+      .withColumn("path_digits", length(col("__g_path")) -
+        length(regexp_replace(col("__g_path"), "[0-9]", "")))
+      .withColumn("n_params",
+        size(filter(split(col("__g_q"), "&"), s => s =!= "")))
+      .withColumn("url_flag", when(col("url_norm").isNull, "malformed")
+        .when(blockWords.foldLeft(lit(false)) {
+          (acc, w) => acc || contains(lower(col("url_norm")), lit(w))
+        }, "flagged")
+        .otherwise("clean"))
+      .drop("__g_path", "__g_q")
+  }
+
   /** ONE cheap predicate exactly equivalent to "[[normalizeUrl]] yields a
     * non-NULL url_norm": a scheme, `://`, a host that stays non-empty
     * after the case-insensitive `www.` strip, and an authority that ends

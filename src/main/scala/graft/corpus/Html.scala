@@ -226,6 +226,42 @@ object Html {
         countDistinct(col("doc_id")).as("n_pages"))
   }
 
+  /** X122 — the page's DECLARED language: every row comes back with
+    * `lang_attr` (the `<html lang="…">` value verbatim, `''` when the
+    * page declares none) and `lang_primary` (the lowercased primary
+    * subtag — `EN-US` → `en`; NULL when nothing was declared). The
+    * cheap language prior every crawl pipeline reads before paying for
+    * detection (x8's n-gram langId): the production pattern is
+    * declared-as-prior, detected-as-verdict, and a DISAGREEMENT between
+    * the two is itself a quality signal (machine-translated spam
+    * routinely declares `en` over non-English text) — the comparison is
+    * a one-column join the consumer writes.
+    *
+    * Policy: comments stripped first; the attribute must be the `lang`
+    * attribute proper (whitespace before the name — `xml:lang` and
+    * `data-lang` don't read); both quote styles, double-quoted wins
+    * when both appear; name and tag case-insensitive; value trimmed;
+    * the primary subtag is the leading alphanumeric run. Narrow,
+    * stateless, streaming-composable. */
+  def declaredLanguage(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val dq = "(?is)<html\\b[^>]*[ \\t\\n\\r]lang[ \\t\\n\\r]*=" +
+      "[ \\t\\n\\r]*\"([^\"]*)\""
+    val sq = "(?is)<html\\b[^>]*[ \\t\\n\\r]lang[ \\t\\n\\r]*=" +
+      "[ \\t\\n\\r]*'([^']*)'"
+    val staged = docs
+      .withColumn("__g_nc",
+        regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__g_l1", regexp_extract(col("__g_nc"), dq, 1))
+      .withColumn("__g_l2", regexp_extract(col("__g_nc"), sq, 1))
+      .withColumn("lang_attr", trim(
+        when(col("__g_l1") =!= "", col("__g_l1")).otherwise(col("__g_l2"))))
+    staged
+      .withColumn("lang_primary", when(col("lang_attr") === "", lit(null))
+        .otherwise(lower(regexp_extract(col("lang_attr"),
+          "^([A-Za-z0-9]+)", 1))))
+      .drop("__g_nc", "__g_l1", "__g_l2")
+  }
+
   /** Block-level tags for [[contentBlocks]]' segmentation — a tag from
     * this list (open or close) ends one block and starts the next;
     * everything else (`<a>`, `<b>`, `<span>`, …) is inline and stays
@@ -449,6 +485,10 @@ object Html {
     *  - a RICH anchor on `id % 8 == 3` whose text carries a nested
     *    `<b>` tag and `&amp;` ([[anchorTerms]]'s inner content stages
     *    fire under the oracle hash);
+    *  - a `lang` attribute on the `<html>` tag by `id % 9` — plain,
+    *    UPPERCASE with a region subtag, single-quoted, `pt-BR`, and a
+    *    not-first-attribute placement; `id % 9 ≥ 5` declares nothing
+    *    ([[declaredLanguage]]'s NULL branch);
     *  - a RELATIVE link on every doc (`/local/…`) that extraction must
     *    ignore;
     *  - a meta-robots directive on `id % 6 == 2` (`noindex, follow`) and
@@ -526,8 +566,18 @@ object Html {
       .when(d % 3 === 0, concat(lit("<link rel=\"canonical\" href=\""),
         canonTarget, lit("\">")))
       .otherwise(lit(""))
+    // the declared-language attribute (x122): both quote styles, a case
+    // variant, a region subtag, a not-first-attribute placement, and the
+    // no-declaration default
+    val langAttr = when(d % 9 === 0, " lang=\"en\"")
+      .when(d % 9 === 1, " LANG=\"EN-US\"")
+      .when(d % 9 === 2, " lang='fr'")
+      .when(d % 9 === 3, " lang=\"pt-BR\"")
+      .when(d % 9 === 4, " class=\"x\" lang=\"de\"")
+      .otherwise("")
     docs.withColumn("html", concat(
-      lit("<html><head><title>Doc "), s(d), lit("</title>"), style, script,
+      lit("<html"), langAttr, lit("><head><title>Doc "), s(d),
+      lit("</title>"), style, script,
       metaRobots, canonLink,
       lit("</head><body>"), comment, lit("<nav>"), navLinks, squoted,
       richAnchor, lit("</nav>"), paras, entities,

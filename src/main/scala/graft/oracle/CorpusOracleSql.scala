@@ -1556,7 +1556,14 @@ hp AS (
   FROM hb),
 hfx AS (
   SELECT doc_id,
-    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    '<html'
+    || (CASE WHEN doc_id % 9 = 0 THEN ' lang="en"'
+             WHEN doc_id % 9 = 1 THEN ' LANG="EN-US"'
+             WHEN doc_id % 9 = 2 THEN ' lang=''fr'''
+             WHEN doc_id % 9 = 3 THEN ' lang="pt-BR"'
+             WHEN doc_id % 9 = 4 THEN ' class="x" lang="de"'
+             ELSE '' END)
+    || '><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
     || (CASE WHEN doc_id % 3 = 0
           THEN '<style>.c0 { color: #111; }</style>' ELSE '' END)
     || (CASE WHEN doc_id % 2 = 0
@@ -2095,6 +2102,55 @@ SELECT doc_id, block_idx, CAST(n_words AS BIGINT) AS n_words,
     AS is_content,
   txt AS text
 FROM cb6 WHERE txt <> ''"""
+  }
+
+  /** x122 — declared page language: the `<html lang>` attribute (both
+    * quote styles, double-quoted wins, whitespace-before-name so
+    * `xml:lang`/`data-lang` never read), trimmed verbatim plus the
+    * lowercased primary subtag, NULL when nothing declared. */
+  private def declaredLangSql: String =
+    htmlFixturePrelude +
+      raw""", lg0 AS (SELECT doc_id,
+    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS nc FROM hfx),
+lg1 AS (SELECT doc_id,
+    regexp_extract(nc,
+      '(?is)<html\b[^>]*[ \t\n\r]lang[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1)
+      AS c1,
+    regexp_extract(nc,
+      '(?is)<html\b[^>]*[ \t\n\r]lang[ \t\n\r]*=[ \t\n\r]*''([^'']*)''', 1)
+      AS c2
+  FROM lg0),
+lg2 AS (SELECT doc_id,
+    trim(CASE WHEN c1 <> '' THEN c1 ELSE c2 END) AS lang_attr FROM lg1)
+SELECT doc_id, lang_attr,
+  CASE WHEN lang_attr = '' THEN NULL
+       ELSE lower(regexp_extract(lang_attr, '^([A-Za-z0-9]+)', 1)) END
+    AS lang_primary
+FROM lg2"""
+
+  /** x123 — URL shape features + the word gate: path/query split off the
+    * canonical form, integer counts, the OR-chain over the shared
+    * DefaultUrlBlockWords constant (NULL through for malformed rows on
+    * both engines — FALSE OR NULL is NULL). */
+  private def urlFeaturesSql: String = {
+    val words = graft.corpus.Curation.DefaultUrlBlockWords
+      .map(w => s"contains(lower(url_norm), '$w')").mkString(" OR ")
+    urlNormPrelude +
+      raw""", uf0 AS (SELECT doc_id, url_norm,
+    regexp_extract(url_norm, '^[^:/?#]+://[^/?]*([^?]*)', 1) AS pth,
+    regexp_extract(url_norm, '^[^?]*\?(.*)$$', 1) AS q
+  FROM norm)
+SELECT doc_id, url_norm,
+  CAST(len(list_filter(string_split(pth, '/'), s -> s <> '')) AS BIGINT)
+    AS path_depth,
+  CAST(length(pth) AS BIGINT) AS path_chars,
+  CAST(length(pth) - length(regexp_replace(pth, '[0-9]', '', 'g'))
+    AS BIGINT) AS path_digits,
+  CAST(len(list_filter(string_split(q, '&'), s -> s <> '')) AS BIGINT)
+    AS n_params,
+  CASE WHEN url_norm IS NULL THEN 'malformed'
+       WHEN $words THEN 'flagged' ELSE 'clean' END AS url_flag
+FROM uf0"""
   }
 
   /** The x58/x109 paragraph fixture + line explode — replays
@@ -2840,6 +2896,12 @@ FROM h"""
     // x121: content blocks by link density — block segmentation at the
     // shared tag pattern, integer min-words/max-density verdicts
     "x121_content_blocks" -> contentBlocksSql,
+    // x122: declared page language — <html lang> verbatim + primary
+    // subtag, NULL when the page declares nothing
+    "x122_declared_lang" -> declaredLangSql,
+    // x123: URL shape features + the C4-style word gate — integer
+    // counts off the canonical form, flag live on the brand7 entry
+    "x123_url_features" -> urlFeaturesSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -727,6 +727,26 @@ object CorpusQueries {
       .select(col("doc_id"), col("block_idx"), col("n_words"),
         col("n_anchor_words"), col("is_content"), col("text"))
 
+  /** x122 — declared page language over the HTML fixture: the `lang`
+    * attribute verbatim plus the lowercased primary subtag (both quote
+    * styles, case variants, region subtags, not-first-attribute
+    * placement, and the no-declaration NULL branch — all planted by
+    * `id % 9`). */
+  def x122DeclaredLang(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Html.declaredLanguage(
+      graft.corpus.Html.htmlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("lang_attr"), col("lang_primary"))
+
+  /** x123 — URL shape features + the C4-style word gate over the URL
+    * fixture: depth/chars/digits/params as integer counts, the flag
+    * live on the brand7 entry, NULL features on the malformed rows. */
+  def x123UrlFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.urlFeatures(
+      graft.corpus.Curation.urlFixture(docs(spark, dir)))
+      .select(col("doc_id"), col("url_norm"), col("path_depth"),
+        col("path_chars"), col("path_digits"), col("n_params"),
+        col("url_flag"))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

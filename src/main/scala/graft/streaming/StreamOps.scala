@@ -509,6 +509,18 @@ object StreamOps {
   def extractHtml(docs: DataFrame, htmlCol: String = "html"): DataFrame =
     graft.corpus.Html.extractText(docs, htmlCol)
 
+  /** Streaming content-block extraction — [[graft.corpus.Html
+    * .contentBlocks]] (x121) on an arriving page stream: narrow regex
+    * stages plus ONE bounded explode (blocks per page), so NO watermark,
+    * NO state, any output mode — batch-equal by construction,
+    * spec-pinned through a live query. The per-block verdicts ride with
+    * the rows; the keep-content fold (`Html.mainContent`) is an
+    * aggregate and belongs batch-side or behind a watermarked regroup —
+    * at ingest, route on the flags instead. */
+  def extractContentBlocks(docs: DataFrame,
+      htmlCol: String = "html"): DataFrame =
+    graft.corpus.Html.contentBlocks(docs, htmlCol)
+
   /** Streaming BPE segmentation — each arriving document segmented under a
     * FROZEN merge list ([[graft.corpus.TextStats.applyBpe]]'s X81 kernel):
     * the tokenizer-side twin of the frozen-model gates. The merge list is a

@@ -341,6 +341,74 @@ class HtmlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
       1L -> (("first block of five words second block of five words", 10L)))
   }
 
+  test("declaredLanguage: both quote styles, case and region subtags, " +
+      "not-first attribute, xml:lang/data-lang/div-lang never read, " +
+      "commented-out declaration invisible, default NULL") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<html lang=\"en\"><p>a</p></html>"),
+      (2L, "<html LANG=\"EN-US\"><p>a</p></html>"),
+      (3L, "<html lang='fr'><p>a</p></html>"),
+      (4L, "<html class=\"x\" lang=\"de\"><p>a</p></html>"),
+      (5L, "<html xml:lang=\"ru\"><p>a</p></html>"),
+      (6L, "<html data-lang=\"ru\"><p>a</p></html>"),
+      (7L, "<html><div lang=\"es\">a</div></html>"),
+      (8L, "<!-- <html lang=\"ru\"> --><html lang=\"pt-BR\"><p>a</p></html>"),
+      (9L, "<p>no html tag at all</p>"))
+      .toDF("doc_id", "html")
+    val got = Html.declaredLanguage(rows)
+      .select(col("doc_id"), col("lang_attr"), col("lang_primary"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    got shouldBe Map(
+      1L -> (("en", Some("en"))),
+      2L -> (("EN-US", Some("en"))),
+      3L -> (("fr", Some("fr"))),
+      4L -> (("de", Some("de"))),
+      5L -> (("", None)),
+      6L -> (("", None)),
+      7L -> (("", None)),
+      8L -> (("pt-BR", Some("pt"))),
+      9L -> (("", None)))
+  }
+
+  test("streaming contentBlocks is batch-equal through a live query " +
+      "(stateless: bounded explode, no watermark, append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "<p>one two three four five six</p>" +
+        "<nav><a href=\"/a\">all link words here now</a></nav>"))
+    val out = graft.streaming.StreamOps.extractContentBlocks(
+      input.toDF().toDF("doc_id", "html"))
+    out.isStreaming shouldBe true
+    val sink = s"cblocks_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cblocks").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("block_idx"), col("n_words"),
+          col("n_anchor_words"), col("is_content"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getBoolean(4), r.getString(5))).toSet
+      val streamed = key(s.table(sink))
+      streamed shouldBe key(Html.contentBlocks(rows.toDF("doc_id", "html")))
+      streamed.map(t => (t._6, t._5)) shouldBe Set(
+        ("one two three four five six", true),
+        ("all link words here now", false))
+    } finally q.stop()
+  }
+
   test("streaming robots gate + canonical keying chain batch-equal " +
       "through one live query (stateless: no watermark, append mode)") {
     val s = spark

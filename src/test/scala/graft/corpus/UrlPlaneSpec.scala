@@ -249,4 +249,36 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
       withClue(s"host '$h': ") { kernel(id) shouldBe expected }
     }
   }
+
+  test("urlFeatures: depth/chars/digits/params measured on the CANONICAL " +
+      "form, the word gate case-insensitive over the whole URL, " +
+      "malformed rows carry NULL features") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // tracking param strips BEFORE the count; path case kept
+      (1L, "https://A.com/Shop/p/42?utm_source=x&id=7&b=2"),
+      (2L, "https://BRAND7.CO.UK"),           // flag via host, pathless
+      (3L, "http://a.com/Casino/night/"),     // flag via path, slash strip
+      (4L, "junk"))
+      .toDF("doc_id", "url")
+    val got = Curation.urlFeatures(rows)
+      .select(col("doc_id"), col("url_norm"), col("path_depth"),
+        col("path_chars"), col("path_digits"), col("n_params"),
+        col("url_flag"))
+      .collect().map { r =>
+        r.getLong(0) -> ((Option(r.getString(1)),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          r.getString(6)))
+      }.toMap
+    got shouldBe Map(
+      1L -> ((Some("https://a.com/Shop/p/42?id=7&b=2"), 3, 10, 2, 2,
+        "clean")),
+      2L -> ((Some("https://brand7.co.uk"), 0, 0, 0, 0, "flagged")),
+      3L -> ((Some("http://a.com/Casino/night"), 2, 13, 0, 0, "flagged")),
+      4L -> ((None, -1, -1, -1, -1, "malformed")))
+  }
 }
