@@ -206,6 +206,75 @@ object WebGraph {
         coalesce(col("recip_domains"), lit(0L)).as("recip_domains"))
   }
 
+  /** X124 — the per-domain SCORECARD: the one table a crawl-curation
+    * owner actually keys domain decisions on, assembled from every
+    * plane this library computes —
+    *
+    *  - `n_pages` / `n_urls` — fetched-page census (rows whose URL
+    *    parses; distinct canonical URLs);
+    *  - `rank_micro` — [[domainPageRank]] over the snapshot's edges
+    *    (NULL for census-only domains the graph never saw);
+    *  - `out_domains` / `in_domains` / `recip_domains` — the
+    *    [[degreeProfile]] spam panel;
+    *  - `n_robots_rules` — rules the domain's robots.txt declares for
+    *    our agent ([[Robots.parseRules]]);
+    *  - `top_anchor_term` / `top_anchor_mentions` — the most-mentioned
+    *    anchor term OTHER pages use for the domain ([[Html
+    *    .anchorTerms]]); the tie-break is the lexicographically larger
+    *    term under one struct MAX, so the pick is deterministic on any
+    *    engine.
+    *
+    * Domains = graph nodes ∪ fetched census (a linked-only domain has
+    * pages 0; a no-outlink fetched domain has NULL rank). Counts
+    * zero-fill; identities stay NULL. Flags-for-the-owner, one row per
+    * domain.
+    *
+    * Scale shape: every constituent is the already-shaped operator
+    * (edge table checkpointed ONCE and shared by rank + degrees — the
+    * x116 convention), and the assembly is domain-keyed left joins off
+    * a distinct-domain base — at web scale a few 10⁸-row joins, all
+    * co-keyed, no window, no skew beyond what the constituents already
+    * handle. In production each constituent reads its persisted plane
+    * instead of recomputing (the x49 `datasetCardFrom` convention);
+    * this self-contained form is the driver-row contract. */
+  def domainScorecard(docs: DataFrame, robots: DataFrame,
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val census = Curation.normalizeUrl(
+        docs.filter(Curation.urlParses(col(urlCol))), urlCol)
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("url_norm")).as("n_urls"))
+    val edges = Html.domainEdges(docs, urlCol, htmlCol).localCheckpoint()
+    val ranks = domainPageRank(edges)
+    val deg = degreeProfile(edges)
+      .select(col("domain"), col("out_domains"), col("in_domains"),
+        col("recip_domains"))
+    val atop = Html.anchorTerms(docs, htmlCol)
+      .groupBy(col("dst_domain").as("domain"))
+      .agg(max(struct(col("n_mentions").as("nm"), col("term").as("t")))
+        .as("__g_m"))
+    val rcnt = Robots.parseRules(robots)
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_robots_rules"))
+    ranks.select(col("domain")).union(census.select(col("domain")))
+      .distinct()
+      .join(census, Seq("domain"), "left")
+      .join(ranks, Seq("domain"), "left")
+      .join(deg, Seq("domain"), "left")
+      .join(atop, Seq("domain"), "left")
+      .join(rcnt, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+        coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+        col("rank_micro"),
+        coalesce(col("out_domains"), lit(0L)).as("out_domains"),
+        coalesce(col("in_domains"), lit(0L)).as("in_domains"),
+        coalesce(col("recip_domains"), lit(0L)).as("recip_domains"),
+        coalesce(col("n_robots_rules"), lit(0L)).as("n_robots_rules"),
+        col("__g_m").getField("t").as("top_anchor_term"),
+        col("__g_m").getField("nm").as("top_anchor_mentions"))
+  }
+
   private def iterate(edges: DataFrame, iters: Int,
       prev: Option[DataFrame]): DataFrame = {
     // per-round checkpoint release, the dedupClusters pattern verbatim:

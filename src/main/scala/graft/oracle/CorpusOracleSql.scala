@@ -1819,10 +1819,12 @@ GROUP BY 1"""
     * orphan rules join no group), and the longest-match / allow-wins-tie
     * verdict as one `2·len + isAllow` key maximum — the same arithmetic
     * the engine's array_max struct computes. */
-  private def robotsTxtGateSql: String = {
+  /** The robots fixture + RFC 9309-subset rule-selection chain over the
+    * `norm` CTE, ending with `rsel` (domain, rtype, rpath) — shared by
+    * the x117 gate and the x124 scorecard's rule census. */
+  private def robotsRulesChain: String = {
     val agent = graft.corpus.Robots.CrawlerAgent.toLowerCase
-    urlNormPrelude +
-      raw""", rdom AS (SELECT DISTINCT domain FROM norm WHERE domain IS NOT NULL),
+    raw""", rdom AS (SELECT DISTINCT domain FROM norm WHERE domain IS NOT NULL),
 rbm AS (SELECT domain,
     CAST(regexp_extract(domain, '^brand([0-9]+)\.', 1) AS BIGINT) AS b,
     CASE WHEN domain LIKE '%.co.uk' THEN 0
@@ -1889,8 +1891,12 @@ rsel AS (SELECT r.domain, r.rtype, r.rpath
   FROM rrules r JOIN rgh g ON r.domain = g.domain AND r.gid = g.gid
   JOIN rdf d ON r.domain = d.domain
   WHERE (d.has_agent = 1 AND g.is_agent = 1)
-     OR (d.has_agent = 0 AND g.is_star = 1)),
-rpq AS (SELECT doc_id, url, domain,
+     OR (d.has_agent = 0 AND g.is_star = 1))"""
+  }
+
+  private def robotsTxtGateSql: String =
+    urlNormPrelude + robotsRulesChain +
+      raw""", rpq AS (SELECT doc_id, url, domain,
     CASE WHEN url_norm IS NULL THEN NULL
          WHEN pq0 LIKE '/%' THEN pq0 ELSE '/' || pq0 END AS pq
   FROM (SELECT doc_id, url, domain, url_norm,
@@ -1912,20 +1918,19 @@ SELECT n.doc_id, n.url, n.domain,
   CASE WHEN n.domain IS NULL OR b.mk IS NULL THEN '' ELSE b.mr END
     AS matched_rule
 FROM rpq n LEFT JOIN rbest b USING (doc_id)"""
-  }
 
   /** x118 — anchor-text aggregation: comment-stripped fixture pages,
     * both anchor quote styles extracted with positional link/text zip,
     * the anchor text run through the content stages (inner tag strip,
     * the entity subset in order, lowercase, whitespace collapse), terms
-    * split on spaces, targets keyed by registrable domain (the x111
+    * split on spaces, targeted by registrable domain (the x111
     * host-only chain — the fixture's links are well-formed by
-    * construction). */
-  private def anchorTermsSql: String = {
+    * construction). The chain form (everything after `hfx`, ending with
+    * the aggregated `aterms` CTE) is shared with the x124 scorecard. */
+  private def anchorTermsChain: String = {
     val suf = graft.corpus.Curation.MultiLabelSuffixes
       .map(s => s"'$s'").mkString(", ")
-    htmlFixturePrelude +
-      raw""", anc0 AS (SELECT doc_id,
+    raw""", anc0 AS (SELECT doc_id,
     regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS nc FROM hfx),
 apairs AS (
   SELECT doc_id,
@@ -1966,12 +1971,16 @@ a1 AS (SELECT doc_id, t,
   FROM (SELECT doc_id, t, scheme_raw, host, string_split(host, '.') AS hl
         FROM a0)),
 aterm AS (SELECT doc_id, dst_domain, unnest(string_split(t, ' ')) AS term
-  FROM a1 WHERE dst_domain IS NOT NULL)
-SELECT dst_domain, term, COUNT(*) AS n_mentions,
-  COUNT(DISTINCT doc_id) AS n_pages
-FROM aterm WHERE term <> ''
-GROUP BY 1, 2"""
+  FROM a1 WHERE dst_domain IS NOT NULL),
+aterms AS (SELECT dst_domain, term, COUNT(*) AS n_mentions,
+    COUNT(DISTINCT doc_id) AS n_pages
+  FROM aterm WHERE term <> ''
+  GROUP BY 1, 2)"""
   }
+
+  private def anchorTermsSql: String =
+    htmlFixturePrelude + anchorTermsChain +
+      "\nSELECT dst_domain, term, n_mentions, n_pages FROM aterms"
 
   /** x119 — crawl-frontier scheduling: candidates from the outlink raw
     * list (`lraw`) through the FULL normalization chain (the engine
@@ -2051,6 +2060,62 @@ LEFT JOIN dout o USING (domain)
 LEFT JOIN din i USING (domain)
 LEFT JOIN dself s USING (domain)
 LEFT JOIN drec r USING (domain)"""
+
+  /** x124 — the per-domain scorecard: every shared chain composed once
+    * (edges, anchor terms, robots rules, the unrolled PageRank) plus the
+    * census, degree, rule-count, and top-anchor aggregates, assembled
+    * over the rank∪census domain base with zero-filled counts and
+    * NULL-preserved identities. The top anchor mirrors the engine's
+    * `max(struct(n_mentions, term))` as a (mentions DESC, term DESC)
+    * row-number — same maximum, same tie-break. */
+  private def domainScorecardSql: String = {
+    val iters = graft.corpus.WebGraph.PageRankIters
+    domainEdgesChain + anchorTermsChain + robotsRulesChain +
+      ", " + pageRankBase("g", "gedges") + ",\n" +
+      pageRankRounds("gr", "gedges", "gnodes", "goutw", "gbase", "gr0",
+        iters) +
+      s""",
+scen AS (SELECT domain, COUNT(*) AS n_pages,
+    COUNT(DISTINCT url_norm) AS n_urls
+  FROM norm WHERE domain IS NOT NULL GROUP BY 1),
+sdout AS (SELECT src_domain AS domain,
+    COUNT(DISTINCT dst_domain) AS out_domains FROM gedges GROUP BY 1),
+sdin AS (SELECT dst_domain AS domain,
+    COUNT(DISTINCT src_domain) AS in_domains FROM gedges GROUP BY 1),
+sdrec AS (SELECT e1.src_domain AS domain,
+    COUNT(DISTINCT e1.dst_domain) AS recip_domains
+  FROM gedges e1 JOIN gedges e2
+    ON e1.src_domain = e2.dst_domain AND e1.dst_domain = e2.src_domain
+  WHERE e1.src_domain <> e1.dst_domain GROUP BY 1),
+satop AS (SELECT dst_domain AS domain, term AS top_anchor_term,
+    n_mentions AS top_anchor_mentions
+  FROM (SELECT dst_domain, term, n_mentions,
+      ROW_NUMBER() OVER (PARTITION BY dst_domain
+        ORDER BY n_mentions DESC, term DESC) AS rn
+    FROM aterms) WHERE rn = 1),
+srcnt AS (SELECT domain, COUNT(*) AS n_robots_rules
+  FROM rsel GROUP BY 1),
+sbase AS (SELECT DISTINCT domain FROM (
+  SELECT domain FROM gr$iters UNION ALL SELECT domain FROM scen))
+SELECT b.domain,
+  CAST(COALESCE(c.n_pages, 0) AS BIGINT) AS n_pages,
+  CAST(COALESCE(c.n_urls, 0) AS BIGINT) AS n_urls,
+  r.rank_micro,
+  CAST(COALESCE(o.out_domains, 0) AS BIGINT) AS out_domains,
+  CAST(COALESCE(i.in_domains, 0) AS BIGINT) AS in_domains,
+  CAST(COALESCE(rc.recip_domains, 0) AS BIGINT) AS recip_domains,
+  CAST(COALESCE(rr.n_robots_rules, 0) AS BIGINT) AS n_robots_rules,
+  a.top_anchor_term,
+  CAST(a.top_anchor_mentions AS BIGINT) AS top_anchor_mentions
+FROM sbase b
+LEFT JOIN scen c USING (domain)
+LEFT JOIN gr$iters r USING (domain)
+LEFT JOIN sdout o USING (domain)
+LEFT JOIN sdin i USING (domain)
+LEFT JOIN sdrec rc USING (domain)
+LEFT JOIN srcnt rr USING (domain)
+LEFT JOIN satop a USING (domain)"""
+  }
 
   /** x121 — content blocks by link density: the fixture pages split at
     * the shared BlockTagPattern (both engines keep empty segments, so
@@ -2902,6 +2967,10 @@ FROM h"""
     // x123: URL shape features + the C4-style word gate — integer
     // counts off the canonical form, flag live on the brand7 entry
     "x123_url_features" -> urlFeaturesSql,
+    // x124: per-domain scorecard — census + rank + degrees + robots rule
+    // count + top anchor term over the rank∪census domain base,
+    // zero-filled counts, NULL-preserved identities
+    "x124_domain_scorecard" -> domainScorecardSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

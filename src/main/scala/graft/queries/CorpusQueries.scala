@@ -747,6 +747,23 @@ object CorpusQueries {
         col("path_chars"), col("path_digits"), col("n_params"),
         col("url_flag"))
 
+  /** x124 — the per-domain scorecard over the URL + HTML + robots
+    * fixtures: census, rank, degree/reciprocity, robots rule count, and
+    * the top anchor term, one row per rank∪census domain. Live under
+    * the oracle: pages-0 linked-only domains, rule-count 0 (the b%7==3
+    * no-file branch), NULL top anchor (census domains nobody anchors).
+    * The NULL-rank branch (a fetched domain with no outlinks that no
+    * page links to) is unreachable under this fixture — every fixture
+    * page carries nav links — so it is spec-pinned instead
+    * (`WebGraphSpec`). */
+  def x124DomainScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.{Curation, Html, Robots, WebGraph}
+    val d = docs(spark, dir)
+    WebGraph.domainScorecard(
+      Html.htmlFixture(Curation.urlFixture(d)),
+      Robots.robotsFixture(d))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

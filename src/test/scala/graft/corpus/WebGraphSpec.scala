@@ -184,4 +184,53 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     WebGraph.crawlFrontier(pages, fetched, empty)
       .collect().map(_.getLong(2)).toSet shouldBe Set(0L)
   }
+
+  test("domainScorecard: rank∪census base, zero-filled counts vs " +
+      "NULL identities (incl. the oracle-dead no-outlink NULL-rank " +
+      "branch), canonical n_urls, top-anchor max + lexicographic " +
+      "tie-break, robots rule counts") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      // alpha: two pages, ONE canonical URL (tracking param stripped);
+      // links beta twice ("win win" + "zed") and gamma twice with a
+      // 1-1 mention tie ("aa" vs "bb" -> "bb" wins the tie)
+      (1L, "https://alpha.com/a",
+        "<a href=\"https://beta.com/x\">win win</a>" +
+          "<a href=\"https://beta.com/y\">zed</a>" +
+          "<a href=\"https://gamma.com/1\">aa</a>" +
+          "<a href=\"https://gamma.com/2\">bb</a>"),
+      (2L, "https://alpha.com/a?utm_source=f", "no anchors here"),
+      // island: fetched, zero outlinks, never linked -> census-only
+      // row, rank_micro NULL (the branch the x124 fixture cannot reach)
+      (3L, "https://island.com/p", "plain text")
+    ).toDF("doc_id", "url", "html")
+    val robots = Seq(
+      ("alpha.com", "User-agent: *\nDisallow: /p/1\nAllow: /x"),
+      ("island.com", "User-agent: otherbot\nDisallow: /")
+    ).toDF("domain", "robots_txt")
+    val rows = WebGraph.domainScorecard(docsDf, robots)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.keySet shouldBe Set("alpha.com", "beta.com", "gamma.com",
+      "island.com")
+    val alpha = rows("alpha.com")
+    (alpha.getLong(1), alpha.getLong(2)) shouldBe ((2L, 1L))
+    alpha.isNullAt(3) shouldBe false // in the graph -> ranked
+    alpha.getLong(4) shouldBe 2L // out: beta, gamma
+    (alpha.getLong(5), alpha.getLong(6)) shouldBe ((0L, 0L))
+    alpha.getLong(7) shouldBe 2L // the two *-group rules
+    alpha.isNullAt(8) shouldBe true // nobody anchors alpha
+    val beta = rows("beta.com")
+    (beta.getLong(1), beta.getLong(2)) shouldBe ((0L, 0L)) // linked-only
+    beta.getLong(5) shouldBe 1L
+    (beta.getString(8), beta.getLong(9)) shouldBe (("win", 2L))
+    rows("gamma.com").getString(8) shouldBe "bb" // 1-1 tie -> larger term
+    val island = rows("island.com")
+    island.getLong(1) shouldBe 1L
+    island.isNullAt(3) shouldBe true // fetched but graph-invisible
+    (island.getLong(4), island.getLong(5), island.getLong(6)) shouldBe
+      ((0L, 0L, 0L))
+    // island's file has no *-group and no graftbot group -> zero rules
+    island.getLong(7) shouldBe 0L
+  }
 }
