@@ -1451,9 +1451,21 @@ object Curation {
     * x107's collisions are engineered, and any policy step failing open
     * breaks the hash check. Core `k == 124` emits an unparseable string,
     * pinning the malformed branch end-to-end. */
-  def urlFixture(docs: DataFrame): DataFrame = {
-    val d = col("doc_id")
-    val k = d % 125
+  def urlFixture(docs: DataFrame): DataFrame =
+    docs.withColumn("url", fixtureUrl(col("doc_id") % 125, col("doc_id")))
+
+  /** The [[urlFixture]] URL constructor, parameterized on its two key
+    * spaces — core class `k` (what normalization keeps) and decoration
+    * seed `d` (what it strips) — so OTHER fixtures can mint raw URLs in
+    * the SAME canonical URL space under different decoration (the x126
+    * redirect fixture generates its redirect TARGETS with
+    * `fixtureUrl(target(k), d + 7)`: same url_norm class, different
+    * surface form, keeping normalization live on the target side).
+    * Replayed byte-for-byte by the oracle generator's parameterized
+    * twin. */
+  def fixtureUrl(kIn: Column, dIn: Column): Column = {
+    val d = dIn
+    val k = kIn
     def s(c: Column): Column = c.cast("string")
     val schemeBase = when(k % 2 === 0, "https").otherwise("http")
     val scheme = when(d % 4 < 2, schemeBase).otherwise(upper(schemeBase))
@@ -1479,8 +1491,8 @@ object Curation {
     val query = when(q === "", "").otherwise(concat(lit("?"), q))
     val frag = when(d % 3 === 2, concat(lit("#sec"), s(d % 4)))
       .otherwise("")
-    docs.withColumn("url", when(k === 124, lit("not a url"))
+    when(k === 124, lit("not a url"))
       .otherwise(concat(scheme, lit("://"), www, sub, brand, tld, corePort,
-        decoPort, path, slash, query, frag)))
+        decoPort, path, slash, query, frag))
   }
 }

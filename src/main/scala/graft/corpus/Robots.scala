@@ -239,4 +239,163 @@ object Robots {
     withKeys.filter(b % 7 =!= 3)
       .select(col("domain"), txt.as("robots_txt"))
   }
+
+  /** Parse per-domain sitemap XML files (sitemaps.org protocol) into one
+    * row per `<url>` entry: `(domain, entry_idx, loc_raw, lastmod,
+    * changefreq, priority_milli)`. The parsing policy is an explicit
+    * documented SUBSET shared verbatim with the x125 oracle (the
+    * [[parseRules]] doctrine):
+    *
+    *  - entries are `<url>…</url>` blocks of a `<urlset>` document; each
+    *    child field is extracted by its OWN tag pair, so child ORDER is
+    *    free (the spec fixes it, real generators don't);
+    *  - `<loc>` values are whitespace-trimmed (the spec's only allowed
+    *    decoration); a missing or empty loc yields NULL — the entry
+    *    surfaces as `malformed` downstream, never silently drops;
+    *  - `<priority>` parses to MILLI-units (`0.5` → 500 — the x19/x113
+    *    integer doctrine: no IEEE value on an oracle boundary) when it
+    *    matches `[0-9]{1,3}(.[0-9]{1,3})?`; anything else — including
+    *    absent — is NULL (the guard also keeps ANSI cast errors out:
+    *    garbage priority is data, not an exception);
+    *  - `<lastmod>`/`<changefreq>` ride as verbatim strings (W3C
+    *    datetime validation is the consumer's policy decision);
+    *  - sitemap INDEX files (`<sitemapindex>`) are out of scope here by
+    *    design: their `<sitemap><loc>` children name more FILES to
+    *    fetch, a frontier decision, not URL discovery — run the fetch
+    *    loop driver-side and feed each leaf file back through this.
+    *
+    * Scale shape: ONE bounded explode per file (entries per sitemap —
+    * the protocol caps a file at 50k entries) plus narrow per-entry
+    * regexes; everything keyed on the sitemap table, never the corpus. */
+  def parseSitemaps(sitemaps: DataFrame,
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    def nz(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+    sitemaps
+      .select(col("domain"), posexplode(regexp_extract_all(col(xmlCol),
+        lit("(?s)<url>(.*?)</url>"), lit(1))).as(Seq("entry_idx", "__g_b")))
+      .withColumn("loc_raw", nz(regexp_replace(
+        regexp_extract(col("__g_b"), "(?s)<loc>(.*?)</loc>", 1),
+        "^\\s+|\\s+$", "")))
+      .withColumn("lastmod", nz(regexp_extract(col("__g_b"),
+        "(?s)<lastmod>(.*?)</lastmod>", 1)))
+      .withColumn("changefreq", nz(regexp_extract(col("__g_b"),
+        "(?s)<changefreq>(.*?)</changefreq>", 1)))
+      .withColumn("priority_milli", {
+        val p = regexp_extract(col("__g_b"),
+          "(?s)<priority>(.*?)</priority>", 1)
+        when(p.rlike("^[0-9]{1,3}(\\.[0-9]{1,3})?$"),
+          (p.cast("decimal(7,3)") * 1000).cast("long"))
+      })
+      .drop("__g_b")
+  }
+
+  /** X125 — sitemap URL discovery: [[parseSitemaps]] entries judged
+    * against the crawl's persisted [[TextDedup.urlIndex]] — the OTHER
+    * feed of new URLs besides outlink extraction (x119 discovers what
+    * pages link; sitemaps are what sites DECLARE — the protocol exists
+    * because crawl-reachable ⊉ site-known). Every entry comes back with
+    * the declaring domain (`sm_domain`), its canonical `url_norm`, the
+    * metadata fields, the index's `canonical_doc_id` when already
+    * crawled, and
+    *
+    *  - `sitemap_status` — `malformed` (loc missing/unparseable — no
+    *    identity, x107's rule), `foreign` (the loc's registrable domain
+    *    differs from the declaring domain — sitemaps.org's
+    *    cross-submission rule: a sitemap only speaks for its own host,
+    *    so a foreign loc is flagged BEFORE known/new is even asked),
+    *    `known` (the index holds it), `new` (fetch candidate — feed it
+    *    to [[WebGraph.crawlFrontier]]'s scoring alongside outlink
+    *    candidates).
+    *
+    * Flags, not filters (the x73/x108 routing doctrine). Scale shape:
+    * canonicalization rides the entry scan (narrow); the verdict is ONE
+    * url_norm-keyed left join against the BUCKETED persisted index
+    * (index side never re-shuffles — the x112 discipline); stateless
+    * given the frozen index, so it rides Structured Streaming as a
+    * stream-static join unchanged ([[graft.streaming.StreamOps
+    * .discoverFromSitemaps]]). */
+  def sitemapDiscovery(entries: DataFrame, fetched: DataFrame): DataFrame =
+    Curation.normalizeUrl(
+        entries.withColumnRenamed("domain", "sm_domain"), "loc_raw")
+      .join(fetched.select(col("url_norm"), col("canonical_doc_id")),
+        Seq("url_norm"), "left")
+      .withColumn("sitemap_status",
+        when(col("url_norm").isNull, "malformed")
+          .when(col("domain") =!= col("sm_domain"), "foreign")
+          .when(col("canonical_doc_id").isNotNull, "known")
+          .otherwise("new"))
+      .select(col("sm_domain"), col("entry_idx"), col("url_norm"),
+        col("lastmod"), col("changefreq"), col("priority_milli"),
+        col("canonical_doc_id"), col("sitemap_status"))
+
+  /** Deterministic sitemap fixture for the x125 driver row (the
+    * [[robotsFixture]] pattern): one XML file per registrable domain of
+    * the [[Curation.urlFixture]] URL space with `b % 5 != 2` (those
+    * domains publish none — absence is just zero rows), entries driven
+    * by the brand number `b`, replayed byte-for-byte by the oracle
+    * generator. Every parsing/judging policy is exercised NON-VACUOUSLY:
+    *
+    *  - `b % 3 + 2` plain entries (paths `/p/(b+i) % 12` over https on
+    *    the bare domain) — 'known' exactly when the matching urlFixture
+    *    class exists with no subdomain/query/http noise, 'new'
+    *    otherwise, so BOTH verdicts are live and the judge is the join,
+    *    not the fixture;
+    *  - entry decoration: `(b+i) % 4 == 1` locs carry uppercase
+    *    scheme+WWW host and a tracking param (normalization live);
+    *    `(b+i) % 5 == 3` locs are wrapped in newline/space padding
+    *    (the trim rule live); `(b+i) % 2 == 1` entries declare priority
+    *    BEFORE lastmod (child order free);
+    *  - metadata presence varies: lastmod on `(b+i) % 3 != 0`,
+    *    changefreq on `(b+i) % 2 == 0` (daily/weekly/monthly by
+    *    `(b+i) % 3`), priority on `(b+i) % 4 != 3` (`1.0`/`0.5`/`0.25`
+    *    → 1000/500/250 milli);
+    *  - `b % 4 == 2` domains append a FOREIGN entry (`brand(b+1)%23
+    *    .com` — consecutive brands never collide mod 23);
+    *  - `b % 6 == 1` domains append a malformed loc (`not a url`);
+    *  - `b % 7 == 2` domains append an entry with NO loc at all. */
+  def sitemapFixture(docs: DataFrame): DataFrame = {
+    val domains = Curation.normalizeUrl(Curation.urlFixture(docs))
+      .select(col("domain")).filter(col("domain").isNotNull).distinct()
+    val withKeys = domains.withColumn("__g_b",
+      regexp_extract(col("domain"), "^brand([0-9]+)\\.", 1).cast("long"))
+    val b = col("__g_b")
+    val nl = "\n"
+    def s(c: Column): Column = c.cast("string")
+    val entries = array_join(transform(sequence(lit(0), b % 3 + 1), i => {
+      val key = b + i
+      val loc0 = concat(
+        when(key % 4 === 1, concat(lit("HTTPS://WWW."), upper(col("domain"))))
+          .otherwise(concat(lit("https://"), col("domain"))),
+        lit("/p/"), s(key % 12),
+        when(key % 4 === 1, "?utm_source=sm").otherwise(""))
+      val loc = when(key % 5 === 3,
+        concat(lit(nl + "  "), loc0, lit(" " + nl))).otherwise(loc0)
+      val lastmod = when(key % 3 =!= 0,
+        concat(lit("<lastmod>2026-0"), s(key % 9 + 1), lit("-1"), s(key % 3),
+          lit("</lastmod>"))).otherwise("")
+      val changefreq = when(key % 2 === 0, concat(lit("<changefreq>"),
+        when(key % 3 === 0, "daily").when(key % 3 === 1, "weekly")
+          .otherwise("monthly"), lit("</changefreq>"))).otherwise("")
+      val priority = when(key % 4 =!= 3, concat(lit("<priority>"),
+        when(key % 4 === 0, "1.0").when(key % 4 === 1, "0.5")
+          .otherwise("0.25"), lit("</priority>"))).otherwise("")
+      concat(lit("<url><loc>"), loc, lit("</loc>"),
+        when(key % 2 === 1, concat(priority, lastmod, changefreq))
+          .otherwise(concat(lastmod, changefreq, priority)),
+        lit("</url>"))
+    }), nl)
+    val extras = concat(
+      when(b % 4 === 2, concat(lit(nl + "<url><loc>https://brand"),
+        s((b + 1) % 23), lit(".com/x/f</loc></url>"))).otherwise(""),
+      when(b % 6 === 1,
+        lit(nl + "<url><loc>not a url</loc></url>")).otherwise(""),
+      when(b % 7 === 2, lit(nl +
+        "<url><lastmod>2026-02-03</lastmod></url>")).otherwise(""))
+    withKeys.filter(b % 5 =!= 2)
+      .select(col("domain"), concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" + nl +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          nl),
+        entries, extras, lit(nl + "</urlset>")).as("sitemap_xml"))
+  }
 }

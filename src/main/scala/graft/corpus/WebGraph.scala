@@ -275,19 +275,207 @@ object WebGraph {
         col("__g_m").getField("nm").as("top_anchor_mentions"))
   }
 
+  /** Max hops [[compileRedirects]] follows before declaring a chain
+    * unresolved — the browser convention (every mainstream fetch stack
+    * caps redirects near this order and errors past it), and the bound
+    * that makes the resolution O(log maxHops) doubling joins. Shared
+    * with the x126 oracle generator, which unrolls exactly
+    * log₂(8) = 3 doubling self-joins. */
+  val RedirectHopCap: Int = 8
+
+  /** Compile an observed redirect map `(src_url, dst_url)` — one row per
+    * fetch that answered 3xx, raw URLs as logged — into the RESOLVED map:
+    * one row per canonical source URL,
+    *
+    *  - `url_norm`   — the canonicalized redirect source;
+    *  - `final_url`  — the chain's terminal canonical URL, NULL when the
+    *    chain does not terminate within `maxHops` (cycle, self-redirect,
+    *    or simply too long — the browser verdict; no identity, the x107
+    *    rule);
+    *  - `n_hops`     — exact chain length when resolved, NULL otherwise;
+    *  - `resolved`   — the verdict.
+    *
+    * Both sides are [[Curation.normalizeUrl]]-canonicalized first (a
+    * redirect logged with tracking params or case noise must collapse
+    * onto the same identity the crawl keys on — observations of the same
+    * src across fetches collapse here too); rows where either side is
+    * malformed are dropped (no identity to chain through), and a src
+    * observed with CONFLICTING targets resolves to `min(dst)` — a
+    * deterministic pick on any engine (real logs disagree across
+    * fetches; last-write-wins needs a timestamp the map doesn't carry).
+    *
+    * THE ALGORITHMIC POINT (the x97 genre): chain-walking looks serial
+    * in the chain length, but the map is a functional graph — "the node
+    * `2k` hops from u" is "the node k hops from the node k hops from u",
+    * so the walk table doubles: `g₁` from the edges, `g₂ = g₁∘g₁`,
+    * `g₄`, `g₈` — ⌈log₂ maxHops⌉ self-joins keyed on `url_norm`, each
+    * carrying `(final, hops, done)` with done rows routed AROUND the
+    * join (they are fixed points — and by the late rounds most of the
+    * table). A non-power-of-two `maxHops` composes its binary expansion
+    * the same way. Every join is map-sized (redirects observed ≈ pages
+    * fetched, never corpus×corpus), every table localCheckpointed and
+    * the superseded ones released (the [[domainPageRank]] discipline). */
+  def compileRedirects(redirects: DataFrame,
+      maxHops: Int = RedirectHopCap,
+      srcCol: String = "src_url", dstCol: String = "dst_url"): DataFrame = {
+    require(maxHops >= 1, "redirect hop cap must be positive")
+    val srcN = Curation.normalizeUrl(
+        redirects.select(col(srcCol), col(dstCol)), srcCol)
+      .select(col("url_norm").as("__g_src"), col(dstCol))
+    val edges = Curation.normalizeUrl(srcN, dstCol)
+      .select(col("__g_src").as("src"), col("url_norm").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src")).agg(min(col("dst")).as("dst"))
+    var aux: List[org.apache.spark.rdd.RDD[_]] = Nil
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); aux ::= checkpointRdd(c); c
+    }
+    try {
+      val e = ckpt(edges)
+      // done ⟺ the target is not itself a source — the chain's terminal
+      val g1 = ckpt(e.as("a")
+        .join(e.select(col("src").as("__g_t")).as("b"),
+          col("a.dst") === col("__g_t"), "left")
+        .select(col("src").as("url_norm"), col("dst").as("final_url"),
+          lit(1L).as("n_hops"), col("__g_t").isNull.as("done")))
+      // compose(a, b): walk a's hops, then — unless already done — b's
+      // from where a landed; a non-done landing IS a source, so the
+      // lookup always hits and the inner join loses nothing
+      def compose(a: DataFrame, b: DataFrame): DataFrame =
+        ckpt(a.filter(col("done")).unionByName(
+          a.filter(!col("done")).as("a")
+            .join(b.select(col("url_norm").as("__g_u"),
+              col("final_url").as("__g_v"), col("n_hops").as("__g_h"),
+              col("done").as("__g_d")).as("b"),
+              col("a.final_url") === col("__g_u"))
+            .select(col("a.url_norm").as("url_norm"),
+              col("__g_v").as("final_url"),
+              (col("a.n_hops") + col("__g_h")).as("n_hops"),
+              col("__g_d").as("done"))))
+      // binary expansion of maxHops over the doubling ladder
+      var step = g1
+      var acc: Option[DataFrame] = None
+      var bits = maxHops
+      while (bits > 0) {
+        if ((bits & 1) == 1)
+          acc = Some(acc.map(compose(_, step)).getOrElse(step))
+        bits >>= 1
+        if (bits > 0) step = compose(step, step)
+      }
+      val g = acc.get
+      // the returned frame re-checkpoints so it survives the release of
+      // every ladder intermediate in `finally`
+      g.select(col("url_norm"),
+          when(col("done"), col("final_url")).as("final_url"),
+          when(col("done"), col("n_hops")).as("n_hops"),
+          col("done").as("resolved"))
+        .localCheckpoint()
+    } finally aux.foreach(_.unpersist(false))
+  }
+
+  /** Apply a [[compileRedirects]] map to a document/frontier table: every
+    * row comes back with its canonical identity AFTER redirects —
+    *
+    *  - `redirect_disposition` — `malformed` (the URL didn't parse),
+    *    `direct` (no redirect observed for it: it is its own final URL,
+    *    0 hops), `resolved` (chain followed to a terminal), `unresolved`
+    *    (cycle or over-cap — NULL final, the x107 rule);
+    *  - `final_url` / `n_hops` — the chain verdict.
+    *
+    * The canonical-identity upgrade for every URL-keyed tier downstream:
+    * dedup on `final_url` instead of `url_norm` and two pages that 301
+    * onto one landing page merge ([[Html.canonicalKey]] merges what the
+    * PAGE declares; this merges what the SERVER declares — run both).
+    *
+    * Scale shape: ONE url_norm-keyed left equi-join against the compiled
+    * map (map-sized right side, bucketable/broadcastable by deployment
+    * size) plus narrow verdict arithmetic — stateless given the frozen
+    * map, so it rides Structured Streaming as a stream-static join
+    * unchanged ([[graft.streaming.StreamOps.resolveRedirectsAgainst]]). */
+  def resolveRedirectsAgainst(docs: DataFrame, compiled: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val m = compiled.select(col("url_norm").as("__g_key"),
+      col("final_url").as("__g_v"), col("n_hops").as("__g_h"),
+      col("resolved").as("__g_r"))
+    Curation.normalizeUrl(docs, urlCol)
+      .join(m, col("url_norm") === col("__g_key"), "left")
+      .withColumn("redirect_disposition",
+        when(col("url_norm").isNull, "malformed")
+          .when(col("__g_key").isNull, "direct")
+          .when(col("__g_r"), "resolved")
+          .otherwise("unresolved"))
+      .withColumn("final_url",
+        when(col("url_norm").isNull, lit(null).cast("string"))
+          .when(col("__g_key").isNull, col("url_norm"))
+          .otherwise(col("__g_v")))
+      .withColumn("n_hops",
+        when(col("url_norm").isNull, lit(null).cast("long"))
+          .when(col("__g_key").isNull, lit(0L))
+          .otherwise(col("__g_h")))
+      .drop("__g_key", "__g_v", "__g_h", "__g_r")
+  }
+
+  /** X126 — redirect-chain resolution, self-contained:
+    * [[compileRedirects]] + [[resolveRedirectsAgainst]] in one call (the
+    * driver-row contract; production compiles once per crawl snapshot
+    * and persists the map — url_norm-bucketed, the [[TextDedup
+    * .writeUrlIndex]] layout — for every consumer including the
+    * streaming twin). */
+  def resolveRedirects(docs: DataFrame, redirects: DataFrame,
+      maxHops: Int = RedirectHopCap, urlCol: String = "url",
+      srcCol: String = "src_url", dstCol: String = "dst_url"): DataFrame =
+    resolveRedirectsAgainst(docs,
+      compileRedirects(redirects, maxHops, srcCol, dstCol), urlCol)
+
+  /** Deterministic redirect fixture for the x126 driver row (the
+    * x106/x117 fixture pattern): one observed redirect per document of a
+    * redirect CLASS, `src_url` the document's own [[Curation.urlFixture]]
+    * URL and `dst_url` minted in the same canonical URL space by
+    * [[Curation.fixtureUrl]] with target class `target(k)` and a SHIFTED
+    * decoration seed (`doc_id + 7` — the target's surface form carries
+    * different case/tracking/fragment noise than any fetch of that
+    * class, so dst-side normalization is live under the hash, and the
+    * per-doc observations of one class collapse to ONE edge only through
+    * it). The class map, replayed by the oracle generator:
+    *
+    *  - chains: `target(k) = k − 1` for `k % 5 ∈ {1..4}`, `k < 100`,
+    *    excluding 51–64 — every 5-block walks down to its `k % 5 == 0`
+    *    terminal (1–4 hops, resolved);
+    *  - the LONG chain: `target(k) = k − 1` for `k ∈ 101..123` — class
+    *    `100 + j` needs exactly `j` hops, so 101..108 resolve (108 at
+    *    exactly [[RedirectHopCap]]) and 109..123 are over-cap
+    *    unresolved: the boundary is pinned from both sides;
+    *  - the 2-CYCLE 50 ↔ 55 and the SELF-REDIRECT 60 → 60 (a self-loop
+    *    only visible after normalization — the raw src and dst strings
+    *    differ); 51–64's exclusion above keeps the cycle classes out of
+    *    every chain, so `resolved`/`unresolved` partition cleanly;
+    *  - every other class (including malformed 124) observes no
+    *    redirect → `direct` on the docs side. */
+  def redirectFixture(docs: DataFrame): DataFrame = {
+    val k = col("doc_id") % 125
+    val target = when(k === 50, lit(55)).when(k === 55, lit(50))
+      .when(k === 60, lit(60))
+      .when(k % 5 =!= 0 && k < 100 && !k.between(51, 64), k - 1)
+      .when(k.between(101, 123), k - 1)
+    Curation.urlFixture(docs)
+      .withColumn("__g_t", target)
+      .filter(col("__g_t").isNotNull)
+      .select(col("doc_id"), col("url").as("src_url"),
+        Curation.fixtureUrl(col("__g_t"), col("doc_id") + 7).as("dst_url"))
+  }
+
+  /** Per-round checkpoint release, the dedupClusters pattern verbatim:
+    * without it every superseded round's blocks survive to session end.
+    * Loud if a Spark upgrade changes the plan shape. */
+  private def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalStateException(
+      "localCheckpoint no longer yields a bare LogicalRDD plan — " +
+        "the per-round checkpoint release needs re-wiring"))
+
   private def iterate(edges: DataFrame, iters: Int,
       prev: Option[DataFrame]): DataFrame = {
-    // per-round checkpoint release, the dedupClusters pattern verbatim:
-    // without it every superseded round's blocks survive to session end
-    // (bounded here by iters × |domains|, but the discipline is the point
-    // — a deployment raising iters at web scale inherits the two-table
-    // memory bound for free). Loud if a Spark upgrade changes the plan.
-    def checkpointRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.getOrElse(throw new IllegalStateException(
-        "localCheckpoint no longer yields a bare LogicalRDD plan — " +
-          "domainPageRank's per-round checkpoint release needs re-wiring"))
     val e = edges.select(col("src_domain"), col("dst_domain"),
         col("n_links").cast("long").as("w"))
       .repartition(col("src_domain")).persist()

@@ -2218,6 +2218,212 @@ SELECT doc_id, url_norm,
 FROM uf0"""
   }
 
+  /** The `Curation.fixtureUrl` constructor, parameterized: consumes a
+    * relation `src` with `(doc_id, kk, dd)` — core class and decoration
+    * seed — and ends with a `ug$sfx` CTE of `(doc_id, url)`. The
+    * urlFixtureCte body with `kk`/`dd` in place of `doc_id % 125` /
+    * `doc_id` (the x126 redirect fixture mints its TARGETS with a
+    * shifted decoration seed in the same URL space). */
+  private def urlGenCtes(src: String, sfx: String): String =
+    raw""",
+ug0$sfx AS (SELECT doc_id, kk, dd,
+    CASE WHEN kk % 2 = 0 THEN 'https' ELSE 'http' END AS sb,
+    CASE WHEN kk % 10 = 9 THEN ':8080' ELSE '' END AS cport,
+    CASE WHEN kk % 11 = 0 THEN ''
+         ELSE '/p/' || CAST(kk % 12 AS VARCHAR) END AS pth,
+    CASE WHEN kk % 3 = 0 THEN 'id=' || CAST(kk % 50 AS VARCHAR)
+         WHEN kk % 3 = 1 THEN 'a=1&b=' || CAST(kk % 7 AS VARCHAR)
+         ELSE '' END AS keptq,
+    CASE WHEN dd % 4 = 0 THEN 'utm_source=feed' ELSE '' END AS tpre,
+    CASE WHEN dd % 4 = 1 THEN 'fbclid=abc&utm_campaign=x'
+         WHEN dd % 4 = 3 THEN 'gclid=g1' ELSE '' END AS tpost
+  FROM $src),
+ug$sfx AS (SELECT doc_id,
+    CASE WHEN kk = 124 THEN 'not a url' ELSE
+      (CASE WHEN dd % 4 < 2 THEN sb ELSE upper(sb) END)
+      || '://'
+      || (CASE WHEN dd % 3 = 0 THEN 'WWW.'
+               WHEN dd % 3 = 1 THEN 'www.' ELSE '' END)
+      || (CASE WHEN kk % 4 = 0 THEN 'm.' ELSE '' END)
+      || 'Brand' || CAST(kk % 23 AS VARCHAR)
+      || (CASE WHEN kk % 5 = 0 THEN '.CO.UK'
+               WHEN kk % 5 = 1 THEN '.com.au' ELSE '.COM' END)
+      || cport
+      || (CASE WHEN cport = '' AND dd % 5 = 0
+            THEN (CASE WHEN sb = 'https' THEN ':443' ELSE ':80' END)
+            ELSE '' END)
+      || pth
+      || (CASE WHEN dd % 5 = 2 AND pth <> '' THEN '/' ELSE '' END)
+      || (CASE WHEN COALESCE(array_to_string(list_filter(
+              [tpre, keptq, tpost], p -> p <> ''), '&'), '') = '' THEN ''
+            ELSE '?' || array_to_string(list_filter(
+              [tpre, keptq, tpost], p -> p <> ''), '&') END)
+      || (CASE WHEN dd % 3 = 2
+            THEN '#sec' || CAST(dd % 4 AS VARCHAR) ELSE '' END)
+    END AS url
+  FROM ug0$sfx)
+"""
+
+  /** x125 — sitemap URL discovery: the per-domain XML fixture replayed
+    * byte-for-byte (entry list via list_transform over the same
+    * `b + i` keys, decoration/order/metadata branches identical), blocks
+    * split with the same `(?s)<url>` regex, per-field extraction with
+    * NULLIF-on-empty, the trim rule, the guarded DECIMAL milli-priority;
+    * locs run the full normalization chain keyed by a synthetic
+    * row number, and the verdict joins the same url index `norm`
+    * aggregates. */
+  private def sitemapDiscoverySql: String =
+    urlNormPrelude +
+      raw""", smdom AS (SELECT DISTINCT domain FROM norm
+  WHERE domain IS NOT NULL),
+smb AS (SELECT domain,
+    CAST(regexp_extract(domain, '^brand([0-9]+)\.', 1) AS BIGINT) AS b
+  FROM smdom),
+smxml AS (SELECT domain AS sm_domain,
+    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+    || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    || chr(10)
+    || array_to_string(list_transform(range(b % 3 + 2), i ->
+      '<url><loc>'
+      || (CASE WHEN (b + i) % 5 = 3 THEN chr(10) || '  ' ELSE '' END)
+      || (CASE WHEN (b + i) % 4 = 1 THEN 'HTTPS://WWW.' || upper(domain)
+               ELSE 'https://' || domain END)
+      || '/p/' || CAST((b + i) % 12 AS VARCHAR)
+      || (CASE WHEN (b + i) % 4 = 1 THEN '?utm_source=sm' ELSE '' END)
+      || (CASE WHEN (b + i) % 5 = 3 THEN ' ' || chr(10) ELSE '' END)
+      || '</loc>'
+      || (CASE WHEN (b + i) % 2 = 1 THEN
+            (CASE WHEN (b + i) % 4 <> 3 THEN '<priority>'
+               || (CASE WHEN (b + i) % 4 = 0 THEN '1.0'
+                        WHEN (b + i) % 4 = 1 THEN '0.5' ELSE '0.25' END)
+               || '</priority>' ELSE '' END)
+            || (CASE WHEN (b + i) % 3 <> 0 THEN '<lastmod>2026-0'
+                 || CAST((b + i) % 9 + 1 AS VARCHAR) || '-1'
+                 || CAST((b + i) % 3 AS VARCHAR) || '</lastmod>'
+                 ELSE '' END)
+            || (CASE WHEN (b + i) % 2 = 0 THEN '<changefreq>'
+                 || (CASE WHEN (b + i) % 3 = 0 THEN 'daily'
+                          WHEN (b + i) % 3 = 1 THEN 'weekly'
+                          ELSE 'monthly' END)
+                 || '</changefreq>' ELSE '' END)
+          ELSE
+            (CASE WHEN (b + i) % 3 <> 0 THEN '<lastmod>2026-0'
+               || CAST((b + i) % 9 + 1 AS VARCHAR) || '-1'
+               || CAST((b + i) % 3 AS VARCHAR) || '</lastmod>'
+               ELSE '' END)
+            || (CASE WHEN (b + i) % 2 = 0 THEN '<changefreq>'
+                 || (CASE WHEN (b + i) % 3 = 0 THEN 'daily'
+                          WHEN (b + i) % 3 = 1 THEN 'weekly'
+                          ELSE 'monthly' END)
+                 || '</changefreq>' ELSE '' END)
+            || (CASE WHEN (b + i) % 4 <> 3 THEN '<priority>'
+               || (CASE WHEN (b + i) % 4 = 0 THEN '1.0'
+                        WHEN (b + i) % 4 = 1 THEN '0.5' ELSE '0.25' END)
+               || '</priority>' ELSE '' END)
+          END)
+      || '</url>'), chr(10))
+    || (CASE WHEN b % 4 = 2 THEN chr(10) || '<url><loc>https://brand'
+         || CAST((b + 1) % 23 AS VARCHAR) || '.com/x/f</loc></url>'
+         ELSE '' END)
+    || (CASE WHEN b % 6 = 1
+         THEN chr(10) || '<url><loc>not a url</loc></url>' ELSE '' END)
+    || (CASE WHEN b % 7 = 2
+         THEN chr(10) || '<url><lastmod>2026-02-03</lastmod></url>'
+         ELSE '' END)
+    || chr(10) || '</urlset>' AS xml
+  FROM smb WHERE b % 5 <> 2),
+smblk AS (SELECT sm_domain, i AS entry_idx, bl[i + 1] AS blk
+  FROM (SELECT sm_domain,
+          regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bl
+        FROM smxml),
+    unnest(range(len(bl))) AS t(i)),
+sment AS (SELECT sm_domain, entry_idx,
+    NULLIF(regexp_replace(
+      regexp_extract(blk, '(?s)<loc>(.*?)</loc>', 1),
+      '^\s+|\s+$$', '', 'g'), '') AS loc_raw,
+    NULLIF(regexp_extract(blk, '(?s)<lastmod>(.*?)</lastmod>', 1), '')
+      AS lastmod,
+    NULLIF(regexp_extract(blk, '(?s)<changefreq>(.*?)</changefreq>', 1),
+      '') AS changefreq,
+    CASE WHEN regexp_matches(
+        regexp_extract(blk, '(?s)<priority>(.*?)</priority>', 1),
+        '^[0-9]{1,3}(\.[0-9]{1,3})?$$')
+      THEN CAST(CAST(regexp_extract(blk,
+        '(?s)<priority>(.*?)</priority>', 1) AS DECIMAL(7,3)) * 1000
+        AS BIGINT) END AS priority_milli
+  FROM smblk),
+smk AS (SELECT ROW_NUMBER() OVER (ORDER BY sm_domain, entry_idx)
+    AS doc_id, * FROM sment),
+smu AS (SELECT doc_id, loc_raw AS url FROM smk)""" +
+      urlNormChain("smu", "_sm") +
+      raw"""
+SELECT k.sm_domain, k.entry_idx, n.url_norm, k.lastmod, k.changefreq,
+  k.priority_milli, ui.canonical_doc_id,
+  CASE WHEN n.url_norm IS NULL THEN 'malformed'
+       WHEN n.domain <> k.sm_domain THEN 'foreign'
+       WHEN ui.canonical_doc_id IS NOT NULL THEN 'known'
+       ELSE 'new' END AS sitemap_status
+FROM smk k JOIN norm_sm n USING (doc_id)
+LEFT JOIN (SELECT url_norm, MIN(doc_id) AS canonical_doc_id FROM norm
+           WHERE url_norm IS NOT NULL GROUP BY 1) ui
+  ON n.url_norm = ui.url_norm"""
+
+  /** x126 — redirect-chain resolution: the per-doc redirect fixture
+    * (target-class map over `p0`, dst URLs minted by [[urlGenCtes]] with
+    * the `doc_id + 7` decoration seed), both sides through the
+    * normalization chain, per-doc observations collapsed to one
+    * `min(dst)` edge per src, then the doubling ladder UNROLLED to the
+    * shared `WebGraph.RedirectHopCap = 8` (g1→g2→g4→g8 — exactly the
+    * engine's ⌈log₂ 8⌉ = 3 compose joins), and the per-doc verdict off
+    * one left join. */
+  private def resolveRedirectsSql: String = {
+    require(graft.corpus.WebGraph.RedirectHopCap == 8,
+      "the x126 oracle unrolls exactly 3 doubling joins (cap 8) — " +
+        "re-unroll it if the shared constant moves")
+    urlNormPrelude +
+      raw""", rtg AS (SELECT doc_id,
+    CASE WHEN k = 50 THEN 55 WHEN k = 55 THEN 50 WHEN k = 60 THEN 60
+         WHEN k % 5 <> 0 AND k < 100 AND k NOT BETWEEN 51 AND 64
+           THEN k - 1
+         WHEN k BETWEEN 101 AND 123 THEN k - 1 END AS kt
+  FROM p0),
+rsrc AS (SELECT doc_id, kt AS kk, doc_id + 7 AS dd FROM rtg
+  WHERE kt IS NOT NULL)""" +
+      urlGenCtes("rsrc", "_rd") +
+      raw""", rdst AS (SELECT doc_id, url FROM ug_rd)""" +
+      urlNormChain("rdst", "_rd") +
+      raw""", redge AS (SELECT n.url_norm AS src, MIN(rd.url_norm) AS dst
+  FROM norm n JOIN norm_rd rd USING (doc_id)
+  WHERE n.url_norm IS NOT NULL AND rd.url_norm IS NOT NULL
+  GROUP BY 1),
+rg1 AS (SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS h,
+    dst NOT IN (SELECT src FROM redge) AS done FROM redge),
+rg2 AS (SELECT a.u, CASE WHEN a.done THEN a.v ELSE b.v END AS v,
+    CASE WHEN a.done THEN a.h ELSE a.h + b.h END AS h,
+    CASE WHEN a.done THEN TRUE ELSE b.done END AS done
+  FROM rg1 a LEFT JOIN rg1 b ON NOT a.done AND a.v = b.u),
+rg4 AS (SELECT a.u, CASE WHEN a.done THEN a.v ELSE b.v END AS v,
+    CASE WHEN a.done THEN a.h ELSE a.h + b.h END AS h,
+    CASE WHEN a.done THEN TRUE ELSE b.done END AS done
+  FROM rg2 a LEFT JOIN rg2 b ON NOT a.done AND a.v = b.u),
+rg8 AS (SELECT a.u, CASE WHEN a.done THEN a.v ELSE b.v END AS v,
+    CASE WHEN a.done THEN a.h ELSE a.h + b.h END AS h,
+    CASE WHEN a.done THEN TRUE ELSE b.done END AS done
+  FROM rg4 a LEFT JOIN rg4 b ON NOT a.done AND a.v = b.u)
+SELECT d.doc_id, d.url_norm,
+  CASE WHEN d.url_norm IS NULL THEN NULL
+       WHEN g.u IS NULL THEN d.url_norm
+       WHEN g.done THEN g.v END AS final_url,
+  CASE WHEN d.url_norm IS NULL THEN NULL
+       WHEN g.u IS NULL THEN CAST(0 AS BIGINT)
+       WHEN g.done THEN g.h END AS n_hops,
+  CASE WHEN d.url_norm IS NULL THEN 'malformed'
+       WHEN g.u IS NULL THEN 'direct'
+       WHEN g.done THEN 'resolved' ELSE 'unresolved' END
+    AS redirect_disposition
+FROM norm d LEFT JOIN rg8 g ON d.url_norm = g.u"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -2971,6 +3177,14 @@ FROM h"""
     // count + top anchor term over the rank∪census domain base,
     // zero-filled counts, NULL-preserved identities
     "x124_domain_scorecard" -> domainScorecardSql,
+    // x125: sitemap URL discovery — XML fixture entries parsed
+    // (order-free fields, trim, milli-priority), canonicalized, judged
+    // malformed/foreign/known/new against the url index
+    "x125_sitemap_discovery" -> sitemapDiscoverySql,
+    // x126: redirect-chain resolution — per-doc observed redirects
+    // collapsed through normalization, doubling ladder unrolled to the
+    // shared hop cap, per-doc disposition off one left join
+    "x126_resolve_redirects" -> resolveRedirectsSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -764,6 +764,37 @@ object CorpusQueries {
       Robots.robotsFixture(d))
   }
 
+  /** x125 — sitemap URL discovery over the sitemap + URL fixtures: every
+    * declared `<url>` entry parsed (child order, trim, milli-priority),
+    * canonicalized, and judged against the fixture's own url index —
+    * known/new decided BY the join (both live), foreign on the planted
+    * cross-domain loc, malformed on the no-loc and garbage-loc plants. */
+  def x125SitemapDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.{Curation, Robots}
+    val d = docs(spark, dir)
+    Robots.sitemapDiscovery(
+      Robots.parseSitemaps(Robots.sitemapFixture(d)),
+      TextDedup.urlIndex(Curation.urlFixture(d)))
+  }
+
+  /** x126 — redirect-chain resolution over the URL + redirect fixtures:
+    * per-doc observed redirects collapse (through normalization) to one
+    * edge per class, the map compiles by pointer doubling under the
+    * [[graft.corpus.WebGraph.RedirectHopCap]] hop cap, and every doc
+    * resolves to its post-redirect identity — chains of 1–4 hops, the
+    * 101..123 long chain pinning the cap from both sides (108 resolves
+    * at exactly 8 hops, 109 is over-cap), the 50↔55 cycle and the
+    * 60→60 self-redirect unresolved, class 124 malformed, everything
+    * else direct. */
+  def x126ResolveRedirects(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.{Curation, WebGraph}
+    val d = docs(spark, dir)
+    WebGraph.resolveRedirects(
+        Curation.urlFixture(d), WebGraph.redirectFixture(d))
+      .select(col("doc_id"), col("url_norm"), col("final_url"),
+        col("n_hops"), col("redirect_disposition"))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

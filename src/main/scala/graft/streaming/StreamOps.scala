@@ -489,6 +489,35 @@ object StreamOps {
       urlCol: String = "url"): DataFrame =
     graft.corpus.Robots.robotsTxtGate(docs, rules, urlCol)
 
+  /** Streaming redirect resolution against a FROZEN compiled redirect
+    * map ([[graft.corpus.WebGraph.compileRedirects]] on a crawl
+    * snapshot's observed redirects, batch-side) — [[graft.corpus
+    * .WebGraph.resolveRedirectsAgainst]]'s ingest twin (x126): each
+    * arriving URL canonicalized and mapped to its post-redirect
+    * identity (`final_url`/`n_hops`/`redirect_disposition`). ONE
+    * stream-static left equi-join (stream side left — the supported
+    * shape) plus narrow verdict arithmetic, so NO watermark, NO state,
+    * any output mode — batch-equal by construction, spec-pinned through
+    * a live query. Compose before [[dedupUrlsAgainst]] with
+    * `urlCol = "final_url"` and the frontier dedups on the identity the
+    * SERVER declares. */
+  def resolveRedirectsAgainst(docs: DataFrame, compiled: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    graft.corpus.WebGraph.resolveRedirectsAgainst(docs, compiled, urlCol)
+
+  /** Streaming sitemap discovery against a FROZEN [[graft.corpus
+    * .TextDedup.urlIndex]] — [[graft.corpus.Robots.sitemapDiscovery]]
+    * (x125) on an arriving stream of parsed sitemap entries (parse
+    * batch-side, or compose [[graft.corpus.Robots.parseSitemaps]]
+    * upstream — its explode is stateless too): each declared URL
+    * canonicalized and judged `malformed`/`foreign`/`known`/`new`. ONE
+    * stream-static left equi-join plus narrow verdicts — NO watermark,
+    * NO state, any output mode, batch-equal by construction, spec-pinned
+    * through a live query. The `new` rows are the live fetch-candidate
+    * feed the frontier scores alongside outlink candidates. */
+  def discoverFromSitemaps(entries: DataFrame, index: DataFrame): DataFrame =
+    graft.corpus.Robots.sitemapDiscovery(entries, index)
+
   /** Streaming declared-canonical keying — [[graft.corpus.Html
     * .canonicalKey]] (x115) on an arriving page stream: ONE stateless
     * narrow projection (two anchored regexes + the UrlNormalize kernel),

@@ -233,4 +233,164 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     // island's file has no *-group and no graftbot group -> zero rules
     island.getLong(7) shouldBe 0L
   }
+
+  /** Plain-collections referee for [[WebGraph.compileRedirects]]'
+    * semantics: walk the (already-canonical) map up to `cap` hops. */
+  private def redirectReferee(m: Map[String, String], cap: Int)(
+      u: String): (Option[String], Option[Long]) = {
+    var cur = u; var h = 0L
+    while (h < cap && m.contains(cur)) { cur = m(cur); h += 1 }
+    if (m.contains(cur)) (None, None) else (Some(cur), Some(h))
+  }
+
+  private def resolve(docs: Seq[(Long, String)],
+      redirects: Seq[(String, String)], maxHops: Int = 8) = {
+    val s = spark
+    import s.implicits._
+    WebGraph.resolveRedirects(docs.toDF("doc_id", "url"),
+        redirects.toDF("src_url", "dst_url"), maxHops = maxHops)
+      .select(col("doc_id"), col("final_url"), col("n_hops"),
+        col("redirect_disposition"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.toString),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3)))).toMap
+  }
+
+  test("resolveRedirects semantics table: every disposition branch, " +
+      "referee-exact hop counts") {
+    val chain10 = (0 until 10).map(i => s"http://l.com/$i" ->
+      s"http://l.com/${i + 1}")
+    val redirects = Seq(
+      "http://a.com/1" -> "http://b.com/2",
+      "http://b.com/2" -> "http://c.com/3",
+      "http://c.com/3" -> "http://d.com/4",
+      "http://x.com/" -> "http://y.com/",
+      "http://y.com/" -> "http://x.com/",
+      "http://z.com/s" -> "http://z.com/s") ++ chain10
+    val docs = Seq(1L -> "http://a.com/1", 2L -> "http://b.com/2",
+      3L -> "http://d.com/4", 4L -> "http://x.com/",
+      5L -> "http://z.com/s", 6L -> "not a url",
+      7L -> "http://l.com/2", 8L -> "http://l.com/10")
+    val got = resolve(docs, redirects)
+    got(1L) shouldBe ((Some("http://d.com/4"), Some(3L), "resolved"))
+    got(2L) shouldBe ((Some("http://d.com/4"), Some(2L), "resolved"))
+    // d.com/4 is nobody's source -> direct, its own identity
+    got(3L) shouldBe ((Some("http://d.com/4"), Some(0L), "direct"))
+    got(4L) shouldBe ((None, None, "unresolved")) // 2-cycle
+    got(5L) shouldBe ((None, None, "unresolved")) // self-redirect
+    got(6L) shouldBe ((None, None, "malformed"))
+    // l.com/2 -> .../10: 8 hops, exactly the cap -> resolved
+    got(7L) shouldBe ((Some("http://l.com/10"), Some(8L), "resolved"))
+    got(8L) shouldBe ((Some("http://l.com/10"), Some(0L), "direct"))
+    // and l.com/0 needs 10 hops -> over-cap (checked via the map itself)
+    resolve(Seq(9L -> "http://l.com/0"), redirects)(9L) shouldBe
+      ((None, None, "unresolved"))
+    // referee agreement across the whole doc set
+    val ref = redirectReferee(redirects.toMap, 8) _
+    docs.filter(_._2 != "not a url").foreach { case (id, u) =>
+      val (v, h) = ref(u)
+      (got(id)._1, got(id)._2) shouldBe ((v, h))
+    }
+  }
+
+  test("compileRedirects: both sides canonicalized (observations " +
+      "collapse), conflicting targets pick min(dst), malformed " +
+      "observations drop") {
+    val s = spark
+    import s.implicits._
+    val redirects = Seq(
+      // three observations of ONE src (case/tracking/fragment noise),
+      // two distinct targets after canonicalization -> min wins
+      "http://A.com/p?utm_source=x" -> "https://b.com/zz",
+      "http://a.com/p#frag" -> "https://b.com/aa",
+      "HTTP://www.a.com/p" -> "https://b.com/zz",
+      // malformed on either side: no edge
+      "not a url" -> "https://c.com/",
+      "https://c.com/" -> "also not a url")
+    val m = WebGraph.compileRedirects(
+      redirects.toDF("src_url", "dst_url"))
+    val rows = m.collect().map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    rows.keySet shouldBe Set("http://a.com/p")
+    rows("http://a.com/p") shouldBe (("https://b.com/aa", 1L, true))
+  }
+
+  test("a non-power-of-two hop cap composes its binary expansion " +
+      "exactly: cap 3 resolves the 3-chain, not the 4-chain") {
+    val redirects = (0 until 4).map(i => s"http://c.com/$i" ->
+      s"http://c.com/${i + 1}")
+    val got = resolve(
+      Seq(1L -> "http://c.com/1", 2L -> "http://c.com/0"),
+      redirects, maxHops = 3)
+    got(1L) shouldBe ((Some("http://c.com/4"), Some(3L), "resolved"))
+    got(2L) shouldBe ((None, None, "unresolved"))
+  }
+
+  test("the x126 fixture plants every branch where the oracle expects " +
+      "it: chain hops = k % 5, the 108/109 cap boundary, cycle and " +
+      "self-loop classes, 124 malformed") {
+    val s = spark
+    import s.implicits._
+    val docsDf = (0L until 250L).toDF("doc_id")
+    val got = WebGraph.resolveRedirects(
+        Curation.urlFixture(docsDf), WebGraph.redirectFixture(docsDf))
+      .select(col("doc_id"), col("n_hops"), col("redirect_disposition"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+      .toMap
+    got(3L) shouldBe ((3L, "resolved")) // 3 -> 2 -> 1 -> 0
+    got(65L) shouldBe ((0L, "direct")) // 65 % 5 == 0, nobody's target
+    got(50L) shouldBe ((-1L, "unresolved")) // the 2-cycle
+    got(60L) shouldBe ((-1L, "unresolved")) // the self-redirect
+    got(57L) shouldBe ((0L, "direct")) // 51..64 exclusion
+    got(108L) shouldBe ((8L, "resolved")) // exactly the cap
+    got(109L) shouldBe ((-1L, "unresolved")) // one past it
+    got(124L) shouldBe ((-1L, "malformed"))
+    // the doc at 125 + k shares class k: collapse through decoration
+    got(128L) shouldBe got(3L)
+  }
+
+  test("streaming resolveRedirectsAgainst is batch-equal through a " +
+      "live query (stream-static join: no watermark, append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val compiled = WebGraph.compileRedirects(Seq(
+        "http://a.com/1" -> "http://b.com/2",
+        "http://b.com/2" -> "http://c.com/3",
+        "http://x.com/" -> "http://x.com/")
+      .toDF("src_url", "dst_url")).localCheckpoint()
+    val rows = Seq(1L -> "http://a.com/1?utm_source=f",
+      2L -> "http://c.com/3", 3L -> "http://x.com/", 4L -> "bad")
+    val out = graft.streaming.StreamOps.resolveRedirectsAgainst(
+      input.toDF().toDF("doc_id", "url"), compiled)
+    out.isStreaming shouldBe true
+    val sink = s"redirects_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("redirects").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def key(df: DataFrame) = df
+        .select(col("doc_id"), col("final_url"), col("n_hops"),
+          col("redirect_disposition"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3))).toSet
+      val streamed = key(s.table(sink))
+      streamed shouldBe key(WebGraph.resolveRedirectsAgainst(
+        rows.toDF("doc_id", "url"), compiled))
+      streamed shouldBe Set(
+        (1L, Some("http://c.com/3"), Some(2L), "resolved"),
+        (2L, Some("http://c.com/3"), Some(0L), "direct"),
+        (3L, None, None, "unresolved"),
+        (4L, None, None, "malformed"))
+    } finally q.stop()
+  }
 }
