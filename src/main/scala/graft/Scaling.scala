@@ -621,6 +621,22 @@ object Scaling {
       // projection, one bounded collect, one balanced hash-exchange window)
       ("documents", "x90_training_order",
         (d, _) => graft.corpus.Curation.trainingOrder(rd(d, "documents"))),
+      // x126: redirect resolution over a map that GROWS with the corpus
+      // (the driver fixture's 125-class map saturates — the x113 move):
+      // one redirect per doc except every 8th, so each 8-block is a ≤7-hop
+      // chain resolving under the cap; the cell measures the two normalize
+      // kernel passes + the src-keyed collapse + the 3 doubling joins +
+      // the apply join, all over m× rows, output exactly m× resolved rows
+      ("documents", "x126_resolve_redirects", (d, _) => {
+        val u = (id: org.apache.spark.sql.Column) => concat(lit("http://r"),
+          (id % 1000).cast("string"), lit(".com/p/"), id.cast("string"))
+        val base = rd(d, "documents")
+        graft.corpus.WebGraph.resolveRedirects(
+          base.select(col("doc_id"), u(col("doc_id")).as("url")),
+          base.filter(col("doc_id") % 8 =!= 0)
+            .select(u(col("doc_id")).as("src_url"),
+              u(col("doc_id") - 1).as("dst_url")))
+      }),
       // relational plane, through the same entry points the bench runs
       ("lineitem", "q1_agg", (d, _) => RelationalQueries.q1Agg(spark, d)),
       ("events", "q7_sessions", (d, _) => RelationalQueries.q7Sessions(spark, d)),
