@@ -464,6 +464,113 @@ object WebGraph {
         Curation.fixtureUrl(col("__g_t"), col("doc_id") + 7).as("dst_url"))
   }
 
+  /** Digest-group cap for [[mirrorDomains]] — a content digest held by
+    * MORE registrable domains than this is cross-site boilerplate (empty
+    * pages, parked-domain templates, cookie walls), not mirroring
+    * evidence: it is excluded from pair generation (which also bounds
+    * the per-digest pair fan-out at cap², the SemDeDup Σn_c²
+    * discipline — never all-pairs). The driver row passes 4 so the cap
+    * branch is live under the fixture's 5-domain families. */
+  val MirrorMaxDomains: Int = 16
+
+  /** Overlap percent at or above which a domain pair is a `mirror`
+    * verdict (below: `partial`). Integer percent — the x19/x113
+    * doctrine, no IEEE ratio on the oracle boundary. */
+  val MirrorPctThreshold: Int = 60
+
+  /** X127 — mirror-domain detection, the HOST-level dedup pass crawl
+    * curation runs above every per-page tier (mirrors serve the same
+    * corpus under different registrable domains — regional mirrors, CDN
+    * aliases, scraper re-hosts; per-page exact dedup x1 removes the
+    * copies but only this table names the RELATIONSHIP, which is what a
+    * curator acts on — keep one host, drop the rest). One row per
+    * unordered domain pair sharing at least one (uncapped) content
+    * digest:
+    *
+    *  - `domain_a` / `domain_b` — lexicographic order, so the pair key
+    *    is deterministic on any engine;
+    *  - `shared_digests` — distinct content digests (x1's md5
+    *    convention) present on BOTH, counted over digests held by at
+    *    most `maxDomains` domains (the boilerplate cap — see
+    *    [[MirrorMaxDomains]]);
+    *  - `n_a` / `n_b` — each domain's total distinct digests (ALL of
+    *    them — the denominator is the domain's real corpus, capped or
+    *    not);
+    *  - `overlap_pct` — `100·shared DIV least(n_a, n_b)` (containment
+    *    of the smaller side, integer);
+    *  - `verdict` — `mirror` at/above `pctThreshold`, else `partial` —
+    *    flags, not filters (the x73 routing doctrine).
+    *
+    * Malformed URLs contribute nothing (no domain identity, x107's
+    * rule); within-domain duplicates collapse before any counting (the
+    * (domain, digest) distinct), so a domain replicating its own page
+    * a thousand times gains no mirror evidence.
+    *
+    * Scale shape: ONE narrow digest projection on the scan, one
+    * (domain, digest) distinct (the corpus shuffle, linear), one
+    * digest-keyed group-size census, and a digest-keyed self-join whose
+    * fan-out the cap bounds at cap² per digest (Σ over digests, the
+    * SemDeDup shape) feeding one pair-keyed aggregate; the n_a/n_b
+    * attach is two domain-keyed joins against a domains-sized table.
+    * Nothing is ever all-pairs in the domain count. */
+  def mirrorDomains(docs: DataFrame,
+      maxDomains: Int = MirrorMaxDomains,
+      pctThreshold: Int = MirrorPctThreshold,
+      urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    val dd = Curation.normalizeUrl(docs, urlCol)
+      .filter(col("domain").isNotNull)
+      .select(col("domain"),
+        md5(encode(col(textCol), "UTF-8")).as("__g_dig"))
+      .distinct()
+    val sizes = dd.groupBy(col("__g_dig"))
+      .agg(count(lit(1)).as("__g_g"))
+    val ok = dd.join(sizes.filter(col("__g_g") <= maxDomains),
+      Seq("__g_dig"))
+    val pairs = ok.as("a")
+      .join(ok.select(col("__g_dig"), col("domain").as("__g_db")).as("b"),
+        col("a.__g_dig") === col("b.__g_dig") &&
+          col("a.domain") < col("__g_db"))
+      .groupBy(col("a.domain").as("domain_a"), col("__g_db").as("domain_b"))
+      .agg(count(lit(1)).as("shared_digests"))
+    val tot = dd.groupBy(col("domain")).agg(count(lit(1)).as("__g_n"))
+    pairs
+      .join(tot.select(col("domain").as("domain_a"),
+        col("__g_n").as("n_a")), Seq("domain_a"))
+      .join(tot.select(col("domain").as("domain_b"),
+        col("__g_n").as("n_b")), Seq("domain_b"))
+      .withColumn("overlap_pct",
+        expr("100 * shared_digests DIV least(n_a, n_b)"))
+      .withColumn("verdict",
+        when(col("overlap_pct") >= pctThreshold, "mirror")
+          .otherwise("partial"))
+      .select(col("domain_a"), col("domain_b"), col("shared_digests"),
+        col("n_a"), col("n_b"), col("overlap_pct"), col("verdict"))
+  }
+
+  /** Deterministic content fixture for the x127 driver row: the corpus
+    * text is replaced by a CLASS text keyed `doc_id % 150` on top of
+    * [[Curation.urlFixture]]'s URL space (`doc_id % 125` domains) — the
+    * two moduli interleave (lcm 750), so content classes genuinely
+    * cross domains (a class-`k` domain holds the classes `c ≡ k mod
+    * 25`, spread over same-tld sibling brands), and the .com tld
+    * merging three of the five `k % 5` residues makes domain corpus
+    * sizes differ — containment percents spread (16/33/50/75 at
+    * sf0.01), putting BOTH verdicts under the driver row's
+    * `pctThreshold = 60`. The `doc_id % 50 == 17` docs all carry ONE
+    * constant boilerplate text instead — a digest held by the five
+    * `k ≡ 17 mod 25` .com domains, over the driver row's
+    * `maxDomains = 4`: the cap branch is live with exactly the content
+    * it exists for (cross-site boilerplate must not read as mirroring
+    * evidence, but still counts in every domain's `n`). Replayed by the
+    * oracle generator from the
+    * same arithmetic (class equality ≡ digest equality — md5 never
+    * crosses the oracle boundary, the x1 convention). */
+  def mirrorFixture(docs: DataFrame): DataFrame =
+    Curation.urlFixture(docs).withColumn("mtext",
+      when(col("doc_id") % 50 === 17, lit("mirror content boilerplate"))
+        .otherwise(concat(lit("mirror content "),
+          (col("doc_id") % 150).cast("string"))))
+
   /** Per-round checkpoint release, the dedupClusters pattern verbatim:
     * without it every superseded round's blocks survive to session end.
     * Loud if a Spark upgrade changes the plan shape. */

@@ -2424,6 +2424,36 @@ SELECT d.doc_id, d.url_norm,
 FROM norm d LEFT JOIN rg8 g ON d.url_norm = g.u"""
   }
 
+  /** x127 — mirror-domain detection: content classes `doc_id % 150` on
+    * the urlFixture domain space, (domain, class) distinct (digest
+    * equality ≡ class equality — the md5 never leaves the engine, the
+    * x1 convention), the driver row's cap 4 and threshold 60, integer
+    * containment percent. */
+  private def mirrorDomainsSql: String = {
+    val cap = 4
+    val pct = graft.corpus.WebGraph.MirrorPctThreshold
+    urlNormPrelude +
+      raw""", mdd AS (SELECT DISTINCT domain,
+    CASE WHEN doc_id % 50 = 17 THEN -1 ELSE doc_id % 150 END AS c
+  FROM norm WHERE domain IS NOT NULL),
+msz AS (SELECT c, COUNT(*) AS g FROM mdd GROUP BY 1),
+mok AS (SELECT domain, mdd.c FROM mdd JOIN msz USING (c)
+  WHERE g <= $cap),
+mpairs AS (SELECT a.domain AS domain_a, b.domain AS domain_b,
+    COUNT(*) AS shared_digests
+  FROM mok a JOIN mok b ON a.c = b.c AND a.domain < b.domain
+  GROUP BY 1, 2),
+mtot AS (SELECT domain, COUNT(*) AS n FROM mdd GROUP BY 1)
+SELECT p.domain_a, p.domain_b, p.shared_digests,
+  ta.n AS n_a, tb.n AS n_b,
+  100 * p.shared_digests // least(ta.n, tb.n) AS overlap_pct,
+  CASE WHEN 100 * p.shared_digests // least(ta.n, tb.n) >= $pct
+    THEN 'mirror' ELSE 'partial' END AS verdict
+FROM mpairs p
+JOIN mtot ta ON ta.domain = p.domain_a
+JOIN mtot tb ON tb.domain = p.domain_b"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -3185,6 +3215,9 @@ FROM h"""
     // collapsed through normalization, doubling ladder unrolled to the
     // shared hop cap, per-doc disposition off one left join
     "x126_resolve_redirects" -> resolveRedirectsSql,
+    // x127: mirror-domain detection — (domain, content-class) distinct,
+    // boilerplate cap, pair containment percent, mirror/partial verdict
+    "x127_mirror_domains" -> mirrorDomainsSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -795,6 +795,16 @@ object CorpusQueries {
         col("n_hops"), col("redirect_disposition"))
   }
 
+  /** x127 — mirror-domain detection over the URL + content-class
+    * fixtures: (domain, digest) distinct, the boilerplate cap at 4
+    * (capping the fixture's 5-domain digest families — the branch is
+    * live), pair generation only inside surviving families, integer
+    * containment percent and the mirror/partial verdict. */
+  def x127MirrorDomains(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.WebGraph.mirrorDomains(
+      graft.corpus.WebGraph.mirrorFixture(docs(spark, dir)),
+      maxDomains = 4, textCol = "mtext")
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

@@ -351,6 +351,61 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     got(128L) shouldBe got(3L)
   }
 
+  test("mirrorDomains: within-domain copies collapse, capped digests " +
+      "generate no pairs but still count in n, lexicographic pair key, " +
+      "integer containment, malformed rows contribute nothing") {
+    val s = spark
+    import s.implicits._
+    // a.com: pages P,Q,R (+ a second copy of P on another path — must
+    // collapse); b.com: P,Q; c.com: P; boiler text X on a/b/c/d.org ->
+    // capped at maxDomains 3; one malformed row carrying Q
+    val docsDf = Seq(
+      ("http://a.com/1", "P"), ("http://a.com/1b", "P"),
+      ("http://a.com/2", "Q"), ("http://a.com/3", "R"),
+      ("http://b.com/1", "P"), ("http://b.com/2", "Q"),
+      ("http://c.com/1", "P"),
+      ("http://a.com/x", "X"), ("http://b.com/x", "X"),
+      ("http://c.com/x", "X"), ("http://d.org/x", "X"),
+      ("not a url", "Q")).toDF("url", "text")
+    val got = WebGraph.mirrorDomains(docsDf, maxDomains = 3,
+        pctThreshold = 60)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
+    // X is on 4 domains > cap -> no X pairs, but X counts in every n:
+    // a: {P,Q,R,X}=4, b: {P,Q,X}=3, c: {P,X}=2, d: {X}=1
+    got.keySet shouldBe Set(("a.com", "b.com"), ("a.com", "c.com"),
+      ("b.com", "c.com"))
+    got(("a.com", "b.com")) shouldBe ((2L, 4L, 3L, 66L, "mirror"))
+    got(("a.com", "c.com")) shouldBe ((1L, 4L, 2L, 50L, "partial"))
+    got(("b.com", "c.com")) shouldBe ((1L, 3L, 2L, 50L, "partial"))
+  }
+
+  test("the x127 fixture: both verdicts live at the driver row's " +
+      "cap/threshold, and the planted boilerplate family IS capped") {
+    val s = spark
+    import s.implicits._
+    val docsDf = (0L until 500L).toDF("doc_id")
+    val got = WebGraph.mirrorDomains(
+      WebGraph.mirrorFixture(docsDf), maxDomains = 4, textCol = "mtext")
+    val verdicts = got.groupBy(col("verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    verdicts.keySet shouldBe Set("mirror", "partial")
+    // the planted boilerplate digest (five k ≡ 17 mod 25 .com domains,
+    // > cap 4) is excluded from every pair at the driver cap: raising
+    // the cap to 5 adds EXACTLY that one digest back to the boilerplate
+    // pairs' shared counts and touches no other pair
+    def shared(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val at4 = shared(got)
+    val at5 = shared(WebGraph.mirrorDomains(
+      WebGraph.mirrorFixture(docsDf), maxDomains = 5, textCol = "mtext"))
+    at5(("brand17.com", "brand19.com")) shouldBe
+      at4(("brand17.com", "brand19.com")) + 1L
+    at5(("brand0.co.uk", "brand2.co.uk")) shouldBe
+      at4(("brand0.co.uk", "brand2.co.uk"))
+  }
+
   test("streaming resolveRedirectsAgainst is batch-equal through a " +
       "live query (stream-static join: no watermark, append mode)") {
     val s = spark
