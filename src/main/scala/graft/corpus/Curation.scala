@@ -1297,6 +1297,52 @@ object Curation {
       .drop("__g_path", "__g_q")
   }
 
+  /** Distinct-URL count at or above which a (domain, template) group is
+    * a `trap` verdict in [[pathTemplates]]. The driver row uses the
+    * default; a production crawl tunes it to its per-domain fetch
+    * budget (a template a domain mints thousands of URLs under is a
+    * trap long before thousands). Shared with the x128 oracle. */
+  val TrapMinUrls: Int = 8
+
+  /** X128 — URL path-template census, the crawler-TRAP detector
+    * (calendar pages, faceted navigation, session-id paths mint
+    * unbounded URL spaces under one path shape; every production crawl
+    * maintains a per-domain URL-pattern blacklist, and this is the
+    * table it is built from): canonical URLs grouped by
+    * `(domain, template)` where `template` is the canonical PATH with
+    * every maximal digit run masked to `N` (`/p/7` and `/p/11` →
+    * `/p/N` — the documented subset: digit runs are the universal
+    * id/date/page carrier; hex-token masking is a deployment's widening
+    * of the regex constant, same operator). Emits one row per group:
+    *
+    *  - `n_urls` — DISTINCT canonical URLs under the shape (query
+    *    included: each surviving-param variant is a URL the frontier
+    *    would fetch);
+    *  - `example_url` — `min(url_norm)`, a deterministic witness;
+    *  - `verdict` — `trap` at/above `minUrls`, else `ok` — flags, not
+    *    filters (the x73 routing doctrine; the owner turns trap rows
+    *    into frontier filters).
+    *
+    * Malformed URLs contribute nothing (no identity — x107's rule; the
+    * x108 gate routes them). Scale shape: the parse + mask ride the
+    * scan (narrow, codegen'd); ONE (domain, template)-keyed aggregate
+    * with map-side partials is the only shuffle — the same
+    * single-shuffle shape as [[urlFeatures]]' consumer, and the key
+    * space is domains × path shapes, far below URL count by exactly
+    * the factor that makes traps traps. */
+  def pathTemplates(docs: DataFrame, minUrls: Int = TrapMinUrls,
+      urlCol: String = "url"): DataFrame =
+    normalizeUrl(docs, urlCol)
+      .filter(col("url_norm").isNotNull)
+      .withColumn("template", regexp_replace(
+        regexp_extract(col("url_norm"), "^[^:/?#]+://[^/?]*([^?]*)", 1),
+        "[0-9]+", "N"))
+      .groupBy(col("domain"), col("template"))
+      .agg(countDistinct(col("url_norm")).as("n_urls"),
+        min(col("url_norm")).as("example_url"))
+      .withColumn("verdict",
+        when(col("n_urls") >= minUrls, "trap").otherwise("ok"))
+
   /** ONE cheap predicate exactly equivalent to "[[normalizeUrl]] yields a
     * non-NULL url_norm": a scheme, `://`, a host that stays non-empty
     * after the case-insensitive `www.` strip, and an authority that ends

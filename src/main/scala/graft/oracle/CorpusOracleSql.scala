@@ -2454,6 +2454,27 @@ JOIN mtot ta ON ta.domain = p.domain_a
 JOIN mtot tb ON tb.domain = p.domain_b"""
   }
 
+  /** x128 — URL path-template census: path off the canonical form (the
+    * x123 extraction), digit runs masked to `N`, one (domain, template)
+    * aggregate with distinct-URL counts, min-witness, and the shared
+    * trap threshold. */
+  private def pathTemplatesSql: String = {
+    val minUrls = 3 // the driver row's explicit threshold (x127's
+    // convention): the fixture URL space holds ≤ ~4 URLs per shape
+    urlNormPrelude +
+      raw""", pt0 AS (SELECT domain, url_norm,
+    regexp_replace(
+      regexp_extract(url_norm, '^[^:/?#]+://[^/?]*([^?]*)', 1),
+      '[0-9]+', 'N', 'g') AS template
+  FROM norm WHERE url_norm IS NOT NULL)
+SELECT domain, template,
+  COUNT(DISTINCT url_norm) AS n_urls,
+  MIN(url_norm) AS example_url,
+  CASE WHEN COUNT(DISTINCT url_norm) >= $minUrls THEN 'trap'
+       ELSE 'ok' END AS verdict
+FROM pt0 GROUP BY 1, 2"""
+  }
+
   /** The x58/x109 paragraph fixture + line explode — replays
     * `TextDedup.paragraphFixture` (6-token lines + planted header/footer,
     * same moduli) and ends with a `lines` CTE of (doc_id, pos, line). */
@@ -3218,6 +3239,9 @@ FROM h"""
     // x127: mirror-domain detection — (domain, content-class) distinct,
     // boilerplate cap, pair containment percent, mirror/partial verdict
     "x127_mirror_domains" -> mirrorDomainsSql,
+    // x128: URL path-template census — digit-masked path shapes, the
+    // crawler-trap detector
+    "x128_path_templates" -> pathTemplatesSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

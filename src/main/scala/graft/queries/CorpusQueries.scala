@@ -805,6 +805,18 @@ object CorpusQueries {
       graft.corpus.WebGraph.mirrorFixture(docs(spark, dir)),
       maxDomains = 4, textCol = "mtext")
 
+  /** x128 — URL path-template census over the URL fixture: digit runs
+    * masked to `N` collapse the `/p/0..11` path space onto one
+    * `(domain, /p/N)` shape per domain; the driver row's `minUrls = 3`
+    * (the x127 explicit-parameter convention — the fixture's 125-class
+    * URL space canonicalizes to at most ~4 distinct URLs per shape)
+    * puts .com domains (3–4 path classes) at `trap` and the 1–2-class
+    * co.uk/com.au domains at `ok` — both verdicts decided BY the
+    * census. */
+  def x128PathTemplates(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Curation.pathTemplates(
+      graft.corpus.Curation.urlFixture(docs(spark, dir)), minUrls = 3)
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

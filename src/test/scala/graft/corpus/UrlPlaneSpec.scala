@@ -281,4 +281,44 @@ class UrlPlaneSpec extends AnyFunSuite with SparkSpec with Matchers {
       3L -> ((Some("http://a.com/Casino/night"), 2, 13, 0, 0, "flagged")),
       4L -> ((None, -1, -1, -1, -1, "malformed")))
   }
+
+  test("pathTemplates (x128): maximal digit runs mask to one N, " +
+      "decorated copies collapse BEFORE counting, query variants count " +
+      "as distinct URLs, the threshold decides trap vs ok, malformed " +
+      "and pathless rows behave") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // one shape /p/N on a.com: three distinct canonical URLs (7, 42
+      // with a kept param, 2023/11 is a DIFFERENT shape), plus a
+      // tracking-decorated copy of /p/7 that must collapse first
+      "http://a.com/p/7", "http://a.com/p/7?utm_source=x",
+      "http://a.com/p/42?page=2", "http://a.com/p/9",
+      "http://a.com/cal/2023/11", "http://a.com/cal/2024/3",
+      "http://b.com/p/1",
+      "http://b.com", // pathless -> the '' template
+      "not a url").toDF("url")
+    val got = Curation.pathTemplates(rows, minUrls = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    got.keySet shouldBe Set(("a.com", "/p/N"), ("a.com", "/cal/N/N"),
+      ("b.com", "/p/N"), ("b.com", ""))
+    got(("a.com", "/p/N")) shouldBe
+      ((3L, "http://a.com/p/42?page=2", "trap"))
+    got(("a.com", "/cal/N/N")) shouldBe
+      ((2L, "http://a.com/cal/2023/11", "ok"))
+    got(("b.com", "/p/N")) shouldBe ((1L, "http://b.com/p/1", "ok"))
+    got(("b.com", "")) shouldBe ((1L, "http://b.com", "ok"))
+  }
+
+  test("pathTemplates over the driver fixture: both verdicts live at " +
+      "the driver row's threshold") {
+    val s = spark
+    import s.implicits._
+    val fx = Curation.urlFixture((0L until 500L).toDF("doc_id"))
+    val v = Curation.pathTemplates(fx, minUrls = 3)
+      .groupBy(col("verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    v.keySet shouldBe Set("trap", "ok")
+  }
 }
