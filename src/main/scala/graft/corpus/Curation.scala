@@ -1298,11 +1298,18 @@ object Curation {
   }
 
   /** Distinct-URL count at or above which a (domain, template) group is
-    * a `trap` verdict in [[pathTemplates]]. The driver row uses the
-    * default; a production crawl tunes it to its per-domain fetch
-    * budget (a template a domain mints thousands of URLs under is a
-    * trap long before thousands). Shared with the x128 oracle. */
+    * a `trap` verdict in [[pathTemplates]] — the production default; a
+    * deployment tunes it to its per-domain fetch budget. The DRIVER ROW
+    * does NOT use it: it passes [[TrapFixtureMinUrls]] explicitly (the
+    * x127 explicit-parameter convention — the fixture URL space holds
+    * ≤ ~4 URLs per shape, so the default would leave the trap branch
+    * dead under the oracle). */
   val TrapMinUrls: Int = 8
+
+  /** The x128 driver row's explicit threshold, shared between
+    * `CorpusQueries.x128PathTemplates` and the oracle generator so the
+    * two cannot drift. */
+  private[graft] val TrapFixtureMinUrls: Int = 3
 
   /** X128 — URL path-template census, the crawler-TRAP detector
     * (calendar pages, faceted navigation, session-id paths mint

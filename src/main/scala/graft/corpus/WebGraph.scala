@@ -517,8 +517,12 @@ object WebGraph {
       maxDomains: Int = MirrorMaxDomains,
       pctThreshold: Int = MirrorPctThreshold,
       urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    // NULL text is excluded like NULL domain: a contentless row has no
+    // digest identity — if it survived the distinct it would inflate
+    // n_a/n_b while NULL keys can never match the size or pair joins,
+    // silently deflating every containment percent (r19s3 review find)
     val dd = Curation.normalizeUrl(docs, urlCol)
-      .filter(col("domain").isNotNull)
+      .filter(col("domain").isNotNull && col(textCol).isNotNull)
       .select(col("domain"),
         md5(encode(col(textCol), "UTF-8")).as("__g_dig"))
       .distinct()

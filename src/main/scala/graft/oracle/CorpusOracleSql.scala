@@ -2272,7 +2272,24 @@ ug$sfx AS (SELECT doc_id,
     * locs run the full normalization chain keyed by a synthetic
     * row number, and the verdict joins the same url index `norm`
     * aggregates. */
-  private def sitemapDiscoverySql: String =
+  private def sitemapDiscoverySql: String = {
+    // each metadata fragment bound ONCE and interpolated in both child
+    // orders — the engine fixture binds one Scala val per fragment and
+    // reorders, so the oracle must too or an edit to one branch desyncs
+    // the other's fixture bytes (r19s3 review find)
+    val lastmod = raw"""(CASE WHEN (b + i) % 3 <> 0 THEN '<lastmod>2026-0'
+                 || CAST((b + i) % 9 + 1 AS VARCHAR) || '-1'
+                 || CAST((b + i) % 3 AS VARCHAR) || '</lastmod>'
+                 ELSE '' END)"""
+    val changefreq = raw"""(CASE WHEN (b + i) % 2 = 0 THEN '<changefreq>'
+                 || (CASE WHEN (b + i) % 3 = 0 THEN 'daily'
+                          WHEN (b + i) % 3 = 1 THEN 'weekly'
+                          ELSE 'monthly' END)
+                 || '</changefreq>' ELSE '' END)"""
+    val priority = raw"""(CASE WHEN (b + i) % 4 <> 3 THEN '<priority>'
+               || (CASE WHEN (b + i) % 4 = 0 THEN '1.0'
+                        WHEN (b + i) % 4 = 1 THEN '0.5' ELSE '0.25' END)
+               || '</priority>' ELSE '' END)"""
     urlNormPrelude +
       raw""", smdom AS (SELECT DISTINCT domain FROM norm
   WHERE domain IS NOT NULL),
@@ -2293,33 +2310,9 @@ smxml AS (SELECT domain AS sm_domain,
       || (CASE WHEN (b + i) % 5 = 3 THEN ' ' || chr(10) ELSE '' END)
       || '</loc>'
       || (CASE WHEN (b + i) % 2 = 1 THEN
-            (CASE WHEN (b + i) % 4 <> 3 THEN '<priority>'
-               || (CASE WHEN (b + i) % 4 = 0 THEN '1.0'
-                        WHEN (b + i) % 4 = 1 THEN '0.5' ELSE '0.25' END)
-               || '</priority>' ELSE '' END)
-            || (CASE WHEN (b + i) % 3 <> 0 THEN '<lastmod>2026-0'
-                 || CAST((b + i) % 9 + 1 AS VARCHAR) || '-1'
-                 || CAST((b + i) % 3 AS VARCHAR) || '</lastmod>'
-                 ELSE '' END)
-            || (CASE WHEN (b + i) % 2 = 0 THEN '<changefreq>'
-                 || (CASE WHEN (b + i) % 3 = 0 THEN 'daily'
-                          WHEN (b + i) % 3 = 1 THEN 'weekly'
-                          ELSE 'monthly' END)
-                 || '</changefreq>' ELSE '' END)
+            $priority || $lastmod || $changefreq
           ELSE
-            (CASE WHEN (b + i) % 3 <> 0 THEN '<lastmod>2026-0'
-               || CAST((b + i) % 9 + 1 AS VARCHAR) || '-1'
-               || CAST((b + i) % 3 AS VARCHAR) || '</lastmod>'
-               ELSE '' END)
-            || (CASE WHEN (b + i) % 2 = 0 THEN '<changefreq>'
-                 || (CASE WHEN (b + i) % 3 = 0 THEN 'daily'
-                          WHEN (b + i) % 3 = 1 THEN 'weekly'
-                          ELSE 'monthly' END)
-                 || '</changefreq>' ELSE '' END)
-            || (CASE WHEN (b + i) % 4 <> 3 THEN '<priority>'
-               || (CASE WHEN (b + i) % 4 = 0 THEN '1.0'
-                        WHEN (b + i) % 4 = 1 THEN '0.5' ELSE '0.25' END)
-               || '</priority>' ELSE '' END)
+            $lastmod || $changefreq || $priority
           END)
       || '</url>'), chr(10))
     || (CASE WHEN b % 4 = 2 THEN chr(10) || '<url><loc>https://brand'
@@ -2367,6 +2360,7 @@ FROM smk k JOIN norm_sm n USING (doc_id)
 LEFT JOIN (SELECT url_norm, MIN(doc_id) AS canonical_doc_id FROM norm
            WHERE url_norm IS NOT NULL GROUP BY 1) ui
   ON n.url_norm = ui.url_norm"""
+  }
 
   /** x126 — redirect-chain resolution: the per-doc redirect fixture
     * (target-class map over `p0`, dst URLs minted by [[urlGenCtes]] with
@@ -2459,8 +2453,7 @@ JOIN mtot tb ON tb.domain = p.domain_b"""
     * aggregate with distinct-URL counts, min-witness, and the shared
     * trap threshold. */
   private def pathTemplatesSql: String = {
-    val minUrls = 3 // the driver row's explicit threshold (x127's
-    // convention): the fixture URL space holds ≤ ~4 URLs per shape
+    val minUrls = graft.corpus.Curation.TrapFixtureMinUrls
     urlNormPrelude +
       raw""", pt0 AS (SELECT domain, url_norm,
     regexp_replace(

@@ -815,7 +815,8 @@ object CorpusQueries {
     * census. */
   def x128PathTemplates(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Curation.pathTemplates(
-      graft.corpus.Curation.urlFixture(docs(spark, dir)), minUrls = 3)
+      graft.corpus.Curation.urlFixture(docs(spark, dir)),
+      minUrls = graft.corpus.Curation.TrapFixtureMinUrls)
 
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =

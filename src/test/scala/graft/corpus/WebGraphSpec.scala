@@ -366,7 +366,10 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
       ("http://c.com/1", "P"),
       ("http://a.com/x", "X"), ("http://b.com/x", "X"),
       ("http://c.com/x", "X"), ("http://d.org/x", "X"),
-      ("not a url", "Q")).toDF("url", "text")
+      ("not a url", "Q"),
+      // NULL text must not inflate the denominator: counted on c it
+      // would make a-c read 100·1 DIV min(4,3) = 33, not 50
+      ("http://c.com/nul", null)).toDF("url", "text")
     val got = WebGraph.mirrorDomains(docsDf, maxDomains = 3,
         pctThreshold = 60)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
