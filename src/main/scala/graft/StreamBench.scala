@@ -385,6 +385,10 @@ object StreamBench {
       // stream side only joins it (the x117 production shape)
       val rules = graft.corpus.Robots.parseRules(
         graft.corpus.Robots.robotsFixture(docs)).localCheckpoint()
+      // the frozen compiled redirect map — doubled once batch-side, the
+      // stream side only joins it (the x126 production shape)
+      val compiled = graft.corpus.WebGraph.compileRedirects(
+        graft.corpus.WebGraph.redirectFixture(docs)).localCheckpoint()
       val rows: Seq[(Long, String, String)] = fx
         .filter(col("doc_id") % 2 === 1)
         .orderBy(col("doc_id"))
@@ -396,11 +400,16 @@ object StreamBench {
       // whose columns the tail projects away is a left join against a
       // provably-unique aggregate, which the optimizer may eliminate
       // (the PlanPeek timing-fiction lesson: never time pruned work)
+      // r19s3: redirect resolution joins the chain — the frontier dedups
+      // on the SERVER-declared identity (final_url), so the resolve
+      // columns are consumed downstream, never pruned
       def chain(src: DataFrame): DataFrame =
         graft.streaming.StreamOps.gateByRobotsTxt(
           graft.streaming.StreamOps.dedupUrlsAgainst(
-            graft.streaming.StreamOps.gateByDomain(
-              graft.streaming.StreamOps.extractHtml(src)), index),
+            graft.streaming.StreamOps.resolveRedirectsAgainst(
+              graft.streaming.StreamOps.gateByDomain(
+                graft.streaming.StreamOps.extractHtml(src)), compiled),
+            index, urlCol = "final_url"),
           rules, urlCol = "url_norm")
       val expect = chain(rows.toDF("doc_id", "url", "html")).count()
       val in = MemoryStream[(Long, String, String)]
