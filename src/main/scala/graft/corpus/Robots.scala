@@ -328,6 +328,73 @@ object Robots {
         col("lastmod"), col("changefreq"), col("priority_milli"),
         col("canonical_doc_id"), col("sitemap_status"))
 
+  /** X129 — sitemap-driven RECRAWL scheduling: parsed sitemap entries
+    * ([[parseSitemaps]]) judged against the crawl's FETCH LOG
+    * `(url_norm, fetched_at)` — the freshness decision every recurring
+    * crawl makes (sitemaps exist so sites can TELL crawlers what
+    * changed; `lastmod` against the last fetch time is the entire
+    * protocol value of the field). Every entry comes back with the
+    * declaring domain, its canonical `url_norm`, both timestamps, and
+    *
+    *  - `recrawl_verdict` — `audit` (loc malformed, or foreign — a
+    *    sitemap only speaks for its own registrable domain, so its
+    *    freshness claims about other hosts are noise), `fetch` (never
+    *    fetched — the discovery feed), `refetch` (`lastmod` strictly
+    *    after `fetched_at`), `fresh` (fetched and no evidence of
+    *    change: `lastmod` absent or ≤ the fetch time — absence of a
+    *    claim is NOT a change claim).
+    *
+    * Timestamp comparison is LEXICOGRAPHIC on the verbatim W3C
+    * datetime strings — the documented subset: ISO-8601 prefixes sort
+    * correctly at any shared granularity, and a bare date sorts before
+    * the same day's datetimes (date-only = start of day); a deployment
+    * mixing timezones normalizes upstream. Flags, not filters (x73).
+    *
+    * Scale shape: canonicalization rides the entry scan; ONE
+    * url_norm-keyed left join against the fetch log (bucketable by the
+    * [[TextDedup.writeUrlIndex]] layout — the log IS the crawl's
+    * url-keyed spine) plus narrow verdict arithmetic; stateless given
+    * the frozen log, so it streams as a stream-static join like
+    * x125/x126. */
+  def recrawlVerdicts(entries: DataFrame, fetchLog: DataFrame): DataFrame =
+    Curation.normalizeUrl(
+        entries.withColumnRenamed("domain", "sm_domain"), "loc_raw")
+      .join(fetchLog.select(col("url_norm"), col("fetched_at")),
+        Seq("url_norm"), "left")
+      .withColumn("recrawl_verdict",
+        when(col("url_norm").isNull, "audit")
+          .when(col("domain") =!= col("sm_domain"), "audit")
+          .when(col("fetched_at").isNull, "fetch")
+          .when(col("lastmod").isNotNull &&
+            col("lastmod") > col("fetched_at"), "refetch")
+          .otherwise("fresh"))
+      .select(col("sm_domain"), col("entry_idx"), col("url_norm"),
+        col("lastmod"), col("fetched_at"), col("recrawl_verdict"))
+
+  /** Deterministic fetch-log fixture for the x129 driver row: domains
+    * with EVEN brand number hold a full log row per `/p/0..11` path
+    * (odd-brand domains were never crawled — their entries exercise
+    * `fetch`), `fetched_at = 2026-0{(p+b) % 9 + 1}-05` — interleaving
+    * the sitemap fixture's `lastmod` month arithmetic so strictly-after,
+    * equal-month-earlier-day and absent-lastmod comparisons all occur
+    * (refetch/fresh both live, decided BY the string compare). */
+  def fetchLogFixture(docs: DataFrame): DataFrame = {
+    val domains = Curation.normalizeUrl(Curation.urlFixture(docs))
+      .select(col("domain")).filter(col("domain").isNotNull).distinct()
+      .withColumn("__g_b",
+        regexp_extract(col("domain"), "^brand([0-9]+)\\.", 1).cast("long"))
+      .filter(col("__g_b") % 2 === 0)
+    domains
+      .select(col("domain"), col("__g_b"),
+        explode(sequence(lit(0), lit(11))).as("__g_p"))
+      .select(
+        concat(lit("https://"), col("domain"), lit("/p/"),
+          col("__g_p").cast("string")).as("url_norm"),
+        concat(lit("2026-0"),
+          ((col("__g_p") + col("__g_b")) % 9 + 1).cast("string"),
+          lit("-05")).as("fetched_at"))
+  }
+
   /** Deterministic sitemap fixture for the x125 driver row (the
     * [[robotsFixture]] pattern): one XML file per registrable domain of
     * the [[Curation.urlFixture]] URL space with `b % 5 != 2` (those

@@ -2272,7 +2272,13 @@ ug$sfx AS (SELECT doc_id,
     * locs run the full normalization chain keyed by a synthetic
     * row number, and the verdict joins the same url index `norm`
     * aggregates. */
-  private def sitemapDiscoverySql: String = {
+  /** The shared x125/x129 sitemap prelude: fixture XML per domain,
+    * block split, per-field extraction, and the normalization chain on
+    * the locs — ends with `smk` (entries + fields, keyed by a synthetic
+    * row number) and `norm_sm` (the locs' canonical forms). INCLUDES
+    * the urlNormPrelude (callers append their verdict SELECT only).
+    * ONE definition so the discovery and recrawl rows cannot drift. */
+  private def sitemapEntriesCtes: String = {
     // each metadata fragment bound ONCE and interpolated in both child
     // orders — the engine fixture binds one Scala val per fragment and
     // reorders, so the oracle must too or an edit to one branch desyncs
@@ -2348,7 +2354,11 @@ sment AS (SELECT sm_domain, entry_idx,
 smk AS (SELECT ROW_NUMBER() OVER (ORDER BY sm_domain, entry_idx)
     AS doc_id, * FROM sment),
 smu AS (SELECT doc_id, loc_raw AS url FROM smk)""" +
-      urlNormChain("smu", "_sm") +
+      urlNormChain("smu", "_sm")
+  }
+
+  private def sitemapDiscoverySql: String =
+    sitemapEntriesCtes +
       raw"""
 SELECT k.sm_domain, k.entry_idx, n.url_norm, k.lastmod, k.changefreq,
   k.priority_milli, ui.canonical_doc_id,
@@ -2360,7 +2370,26 @@ FROM smk k JOIN norm_sm n USING (doc_id)
 LEFT JOIN (SELECT url_norm, MIN(doc_id) AS canonical_doc_id FROM norm
            WHERE url_norm IS NOT NULL GROUP BY 1) ui
   ON n.url_norm = ui.url_norm"""
-  }
+
+  /** x129 — recrawl scheduling: the shared sitemap prelude joined to
+    * the fetch-log fixture (even-brand domains x /p/0..11, the
+    * interleaved month arithmetic), lexicographic lastmod-vs-fetched_at
+    * compare, audit/fetch/refetch/fresh verdicts. */
+  private def recrawlVerdictsSql: String =
+    sitemapEntriesCtes +
+      raw""", flog AS (SELECT
+    'https://' || domain || '/p/' || CAST(p AS VARCHAR) AS url_norm,
+    '2026-0' || CAST((p + b) % 9 + 1 AS VARCHAR) || '-05' AS fetched_at
+  FROM smb, unnest(range(12)) AS t(p) WHERE b % 2 = 0)
+SELECT k.sm_domain, k.entry_idx, n.url_norm, k.lastmod, f.fetched_at,
+  CASE WHEN n.url_norm IS NULL THEN 'audit'
+       WHEN n.domain <> k.sm_domain THEN 'audit'
+       WHEN f.fetched_at IS NULL THEN 'fetch'
+       WHEN k.lastmod IS NOT NULL AND k.lastmod > f.fetched_at
+         THEN 'refetch'
+       ELSE 'fresh' END AS recrawl_verdict
+FROM smk k JOIN norm_sm n USING (doc_id)
+LEFT JOIN flog f ON n.url_norm = f.url_norm"""
 
   /** x126 — redirect-chain resolution: the per-doc redirect fixture
     * (target-class map over `p0`, dst URLs minted by [[urlGenCtes]] with
@@ -3235,6 +3264,9 @@ FROM h"""
     // x128: URL path-template census — digit-masked path shapes, the
     // crawler-trap detector
     "x128_path_templates" -> pathTemplatesSql,
+    // x129: sitemap-driven recrawl scheduling — lexicographic
+    // lastmod-vs-fetched_at, audit/fetch/refetch/fresh
+    "x129_recrawl_verdicts" -> recrawlVerdictsSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

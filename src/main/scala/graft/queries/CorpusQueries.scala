@@ -818,6 +818,19 @@ object CorpusQueries {
       graft.corpus.Curation.urlFixture(docs(spark, dir)),
       minUrls = graft.corpus.Curation.TrapFixtureMinUrls)
 
+  /** x129 — sitemap-driven recrawl scheduling over the sitemap +
+    * fetch-log fixtures: even-brand domains hold full logs (refetch/
+    * fresh decided BY the lexicographic lastmod-vs-fetched_at compare),
+    * odd-brand domains were never crawled (`fetch`), foreign/malformed
+    * entries route to `audit`. */
+  def x129RecrawlVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.Robots
+    val d = docs(spark, dir)
+    Robots.recrawlVerdicts(
+      Robots.parseSitemaps(Robots.sitemapFixture(d)),
+      Robots.fetchLogFixture(d))
+  }
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

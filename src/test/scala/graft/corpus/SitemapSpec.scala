@@ -135,6 +135,54 @@ class SitemapSpec extends AnyFunSuite with SparkSpec with Matchers {
       .filter(col("canonical_doc_id").isNull).count() shouldBe 0L
   }
 
+  test("recrawlVerdicts (x129): audit beats fetch beats freshness; the " +
+      "lexicographic compare handles shared-granularity, date-vs-" +
+      "datetime and absent lastmod; never-fetched rows are the " +
+      "discovery feed") {
+    val s = spark
+    import s.implicits._
+    val entries = Seq(
+      // fetched, lastmod after -> refetch (same month, later day)
+      ("a.com", 0, Some("https://a.com/p/1"), Some("2026-03-10")),
+      // fetched, lastmod before -> fresh
+      ("a.com", 1, Some("https://a.com/p/2"), Some("2026-01-01")),
+      // fetched, NO lastmod -> fresh (absence is not a change claim)
+      ("a.com", 2, Some("https://a.com/p/3"), None),
+      // date-only lastmod on the fetch DAY sorts before its datetime ->
+      // fresh (date = start of day)
+      ("a.com", 3, Some("https://a.com/p/4"), Some("2026-03-05")),
+      // never fetched -> fetch
+      ("a.com", 4, Some("https://a.com/new"), Some("2026-03-10")),
+      // foreign + malformed -> audit even when the log holds them
+      ("a.com", 5, Some("https://b.org/p/1"), Some("2026-03-10")),
+      ("a.com", 6, Option.empty[String], Some("2026-03-10")))
+      .toDF("domain", "entry_idx", "loc_raw", "lastmod")
+    val log = Seq(
+      ("https://a.com/p/1", "2026-03-05"),
+      ("https://a.com/p/2", "2026-03-05"),
+      ("https://a.com/p/3", "2026-03-05"),
+      ("https://a.com/p/4", "2026-03-05T08:30:00Z"),
+      ("https://b.org/p/1", "2026-01-01"))
+      .toDF("url_norm", "fetched_at")
+    val got = Robots.recrawlVerdicts(entries, log)
+      .collect().map(r => r.getInt(1) -> r.getString(5)).toMap
+    got shouldBe Map(0 -> "refetch", 1 -> "fresh", 2 -> "fresh",
+      3 -> "fresh", 4 -> "fetch", 5 -> "audit", 6 -> "audit")
+  }
+
+  test("the x129 fixture: all four verdicts live at sf-gate scale, " +
+      "refetch/fresh decided BY the string compare") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 500L).toDF("doc_id")
+    val v = Robots.recrawlVerdicts(
+        Robots.parseSitemaps(Robots.sitemapFixture(d)),
+        Robots.fetchLogFixture(d))
+      .groupBy(col("recrawl_verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    v.keySet shouldBe Set("audit", "fetch", "refetch", "fresh")
+  }
+
   test("streaming discoverFromSitemaps is batch-equal through a live " +
       "query (stream-static join: no watermark, append mode)") {
     val s = spark
