@@ -217,8 +217,19 @@ object Robots {
     val txt = concat(
       concat(lit("# robots brand"), b.cast("string"), lit(" t"),
         t.cast("string")),
+      // r19s3 x130 plants — Sitemap records at every structural
+      // position (pre-group, mid-file between groups, post-group), all
+      // invisible to the rule parser (spec-pinned): same-host ref on
+      // b % 3 == 0; cross-host + UPPERCASE field + trailing comment on
+      // b % 8 == 1 (below); relative → malformed on b % 12 == 5 (at
+      // the file tail)
+      when(b % 3 === 0, concat(lit(nl + "Sitemap: https://"),
+        col("domain"), lit("/sitemap.xml"))).otherwise(""),
       line(b % 10 === 7, "Disallow: /"),
       lit(nl + nl + "User-agent: OtherBot" + nl + "Disallow: /"),
+      when(b % 8 === 1, concat(lit(nl + "SITEMAP: https://cdn"),
+        ((b + 2) % 23).cast("string"), lit(".example/sm.xml # mirror")))
+        .otherwise(""),
       lit(nl + nl + "User-agent: *"),
       line(b % 2 === 0, "Disallow: /p/1"),
       line(b % 4 === 0, "Allow: /p/11"),
@@ -235,7 +246,8 @@ object Robots {
         when(t === 2, nl + "Allow: /p/").otherwise(""),
         lit(nl + "Disallow: /p/5"))).otherwise(""),
       line(b % 9 === 4, nl + "User-agent: graftbot" + nl +
-        "User-agent: otherbot" + nl + "Disallow: /p/9"))
+        "User-agent: otherbot" + nl + "Disallow: /p/9"),
+      line(b % 12 === 5, "Sitemap: /sitemap.xml"))
     withKeys.filter(b % 7 =!= 3)
       .select(col("domain"), txt.as("robots_txt"))
   }
@@ -327,6 +339,55 @@ object Robots {
       .select(col("sm_domain"), col("entry_idx"), col("url_norm"),
         col("lastmod"), col("changefreq"), col("priority_milli"),
         col("canonical_doc_id"), col("sitemap_status"))
+
+  /** X130 — `Sitemap:` declaration extraction from robots.txt files —
+    * how sitemaps are DISCOVERED (RFC 9309 §2.3 / sitemaps.org: the
+    * `Sitemap` field is a non-group record naming an absolute sitemap
+    * URL; it is the handoff from the politeness file to the x125 parse
+    * tier, closing the loop robots → sitemap ref → fetch → parse →
+    * frontier). One row per declared ref, in file order:
+    *
+    *  - `domain` / `ref_idx` — the declaring file and the ref's
+    *    position among the file's refs;
+    *  - `sitemap_url` — the declared value verbatim (post comment
+    *    strip, single whitespace-free token — [[parseRules]]' line
+    *    policy applied identically, case-insensitive field name);
+    *  - `url_norm` — its [[Curation.normalizeUrl]] canonical form
+    *    (NULL = malformed declaration, flagged not dropped);
+    *  - `ref_scope` — `same_host` when the ref's registrable domain
+    *    equals the declaring domain, `cross_host` otherwise (the
+    *    protocol ALLOWS cross-host refs; trusting one is the
+    *    sitemaps.org cross-submission decision the owner makes, so the
+    *    scope is named, never filtered — x73), `malformed` when the
+    *    URL doesn't parse.
+    *
+    * Group-independent by design: a `Sitemap:` line is a valid record
+    * ANYWHERE in the file — before any group, inside one, between two
+    * — and never starts, ends, or joins a group (spec-pinned against
+    * [[parseRules]] on the same bytes).
+    *
+    * Scale shape: one line explode + one anchored regex per line over
+    * the ROBOTS table only (domain-keyed, file size bounded by the RFC
+    * 9309 §2.5 cap), one narrow normalize — never touches the corpus. */
+  def sitemapRefs(robots: DataFrame,
+      txtCol: String = "robots_txt"): DataFrame = {
+    val w = Window.partitionBy("domain").orderBy("pos")
+    val refs = robots.select(col("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "__g_line")))
+      .withColumn("sitemap_url", regexp_extract(
+        regexp_replace(col("__g_line"), "#.*", ""),
+        "(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t]*)", 1))
+      .filter(col("sitemap_url") =!= "")
+      .withColumn("ref_idx", row_number().over(w) - 1)
+    Curation.normalizeUrl(
+        refs.withColumnRenamed("domain", "sm_domain"), "sitemap_url")
+      .withColumn("ref_scope",
+        when(col("url_norm").isNull, "malformed")
+          .when(col("domain") === col("sm_domain"), "same_host")
+          .otherwise("cross_host"))
+      .select(col("sm_domain").as("domain"), col("ref_idx"),
+        col("sitemap_url"), col("url_norm"), col("ref_scope"))
+  }
 
   /** X129 — sitemap-driven RECRAWL scheduling: parsed sitemap entries
     * ([[parseSitemaps]]) judged against the crawl's FETCH LOG

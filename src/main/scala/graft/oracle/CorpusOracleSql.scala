@@ -1832,9 +1832,14 @@ rbm AS (SELECT domain,
   FROM rdom),
 rtxt AS (SELECT domain,
     '# robots brand' || CAST(b AS VARCHAR) || ' t' || CAST(t AS VARCHAR)
+    || CASE WHEN b % 3 = 0 THEN chr(10) || 'Sitemap: https://' || domain
+         || '/sitemap.xml' ELSE '' END
     || CASE WHEN b % 10 = 7 THEN chr(10) || 'Disallow: /' ELSE '' END
     || chr(10) || chr(10) || 'User-agent: OtherBot'
     || chr(10) || 'Disallow: /'
+    || CASE WHEN b % 8 = 1 THEN chr(10) || 'SITEMAP: https://cdn'
+         || CAST((b + 2) % 23 AS VARCHAR) || '.example/sm.xml # mirror'
+         ELSE '' END
     || chr(10) || chr(10) || 'User-agent: *'
     || CASE WHEN b % 2 = 0 THEN chr(10) || 'Disallow: /p/1' ELSE '' END
     || CASE WHEN b % 4 = 0 THEN chr(10) || 'Allow: /p/11' ELSE '' END
@@ -1855,6 +1860,8 @@ rtxt AS (SELECT domain,
     || CASE WHEN b % 9 = 4 THEN chr(10) || chr(10) || 'User-agent: graftbot'
          || chr(10) || 'User-agent: otherbot'
          || chr(10) || 'Disallow: /p/9' ELSE '' END
+    || CASE WHEN b % 12 = 5 THEN chr(10) || 'Sitemap: /sitemap.xml'
+         ELSE '' END
     AS robots_txt
   FROM rbm WHERE b % 7 <> 3),
 rls AS (SELECT domain, string_split(robots_txt, chr(10)) AS ls FROM rtxt),
@@ -2390,6 +2397,30 @@ SELECT k.sm_domain, k.entry_idx, n.url_norm, k.lastmod, f.fetched_at,
        ELSE 'fresh' END AS recrawl_verdict
 FROM smk k JOIN norm_sm n USING (doc_id)
 LEFT JOIN flog f ON n.url_norm = f.url_norm"""
+
+  /** x130 — Sitemap declarations: the robots fixture's line table
+    * (`rl0`, shared with the rule chain) filtered on the sitemap field
+    * regex under the same comment-strip, per-domain ref order, the
+    * normalization chain on the declared URLs, and the
+    * same/cross-host/malformed scope. */
+  private def sitemapRefsSql: String =
+    urlNormPrelude + robotsRulesChain +
+      raw""", sref0 AS (SELECT domain, pos,
+    regexp_extract(regexp_replace(raw, '#.*', '', 'g'),
+      '(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t]*)', 1) AS sitemap_url
+  FROM rl0),
+sref1 AS (SELECT domain AS sm_domain, sitemap_url,
+    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pos) - 1 AS ref_idx,
+    ROW_NUMBER() OVER (ORDER BY domain, pos) AS doc_id
+  FROM sref0 WHERE sitemap_url <> ''),
+srefu AS (SELECT doc_id, sitemap_url AS url FROM sref1)""" +
+      urlNormChain("srefu", "_sr") +
+      raw"""
+SELECT r.sm_domain AS domain, r.ref_idx, r.sitemap_url, n.url_norm,
+  CASE WHEN n.url_norm IS NULL THEN 'malformed'
+       WHEN n.domain = r.sm_domain THEN 'same_host'
+       ELSE 'cross_host' END AS ref_scope
+FROM sref1 r JOIN norm_sr n USING (doc_id)"""
 
   /** x126 — redirect-chain resolution: the per-doc redirect fixture
     * (target-class map over `p0`, dst URLs minted by [[urlGenCtes]] with
@@ -3267,6 +3298,9 @@ FROM h"""
     // x129: sitemap-driven recrawl scheduling — lexicographic
     // lastmod-vs-fetched_at, audit/fetch/refetch/fresh
     "x129_recrawl_verdicts" -> recrawlVerdictsSql,
+    // x130: Sitemap declarations from robots.txt — the discovery handoff
+    // to the x125 parse tier, scoped same/cross-host/malformed
+    "x130_sitemap_refs" -> sitemapRefsSql,
 
     // x85: CCNet per-language quality buckets — the x19 scoring prelude
     // (per-token 8-dp-rounded DECIMAL-summed log-probs, order-independent),

@@ -831,6 +831,15 @@ object CorpusQueries {
       Robots.fetchLogFixture(d))
   }
 
+  /** x130 — Sitemap declarations from the robots fixture: refs planted
+    * at every structural position (pre-group, between groups with an
+    * UPPERCASE field name and trailing comment, post-group relative →
+    * malformed), extracted under parseRules' line policy and scoped
+    * same_host/cross_host/malformed. */
+  def x130SitemapRefs(spark: SparkSession, dir: String): DataFrame =
+    graft.corpus.Robots.sitemapRefs(
+      graft.corpus.Robots.robotsFixture(docs(spark, dir)))
+
   /** x17 — one-scan numeric data-quality profile of the lineitem fact table. */
   def x17Profile(spark: SparkSession, dir: String): DataFrame =
     graft.corpus.Profiling.numericProfile(

