@@ -163,21 +163,36 @@ object Retrieval {
     // next to the expansion it parallelizes.
     //
     // The BM25 contribution is QUERY-independent, so it is computed (and
-    // cast to the exact DECIMAL the sum needs) HERE, once per posting —
-    // NOT after the qterms join, where the identical log/divide/round chain
-    // re-evaluated per (query, posting) fanned row (measured 2.3× on the
-    // whole query at a vocabulary the sheet covers densely; Catalyst does
-    // not hoist projections through joins on its own). The fanned rows
-    // carry one pre-computed decimal each into the map-side partial sum.
+    // converted to the exact integer MICRO-units the sum needs) HERE, once
+    // per posting — NOT after the qterms join, where the identical
+    // log/divide/round chain re-evaluated per (query, posting) fanned row
+    // (measured 2.3× on the whole query at a vocabulary the sheet covers
+    // densely; Catalyst does not hoist projections through joins on its
+    // own). The fanned rows carry one pre-computed LONG each into the
+    // map-side partial sum: `term` is already on the 10⁻⁶ grid, so
+    // round(term·10⁶) recovers its exact micro integer (term ≤ ln(2N)·
+    // (k1+1) ≈ 21·2.2 at N = 10⁹, so term·10⁶ ≤ ~5·10⁷ carries ≤ 10⁻⁸
+    // absolute double error — never near the .5 rounding boundary), and a
+    // LONG sum buffer replaces the decimal(24,6) one whose every add was a
+    // BigDecimal allocation (measured: the fan-in join+partial-agg stage
+    // was the plan's hottest, r19 profile). The exact decimal sum the
+    // oracle computes is reconstructed below from the micro total by ONE
+    // exact rescale per OUTPUT group — sum·10⁻⁶ is scale-6-representable,
+    // so the final double equals cast(sum(decimal(14,6)) as double)
+    // bit-for-bit. Overflow headroom: per-(query, doc) micro sums are
+    // ≤ |query terms|·5·10⁷ ≈ 5·10¹⁰ at a 1000-term query — 10⁸ under
+    // the long range (ANSI mode would make any breach loud, not silent).
     val fanIn = tfd
       .select(col("doc_id"), col("w"),
-        term.cast("decimal(14,6)").as("t"))
+        round(term * 1e6, 0).cast("long").as("t"))
       .repartition(tfd.sparkSession.sparkContext.defaultParallelism)
     fanIn
       .join(broadcast(qterms), "w")
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("t")).cast("double").as("score"))
+        (sum(col("t")).cast("decimal(20,0)") *
+          lit(new java.math.BigDecimal("0.000001"))).cast("double")
+          .as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
@@ -767,14 +782,19 @@ object Retrieval {
       .map { case (q, d, s) => (q, d, s / ssum(q)) }
       .toDF("qid", "doc_id", "snorm")
     // RM1: per-(query, term) relevance-model mass, 9-dp rounded + exact
-    // sum, kept as exact integer nano-units (the half-micro tie note)
+    // sum, kept as exact integer nano-units (the half-micro tie note).
+    // Each contribution converts to its exact nano integer BEFORE the sum
+    // (the scoreAndRank long-kernel note: the 9-dp grid value ≤ 1 recovers
+    // exactly under round(·10⁹)), so the aggregate is a plain long sum —
+    // identical integers to the decimal(22,9) sum × 10⁹ it replaces,
+    // without the per-row BigDecimal adds. Bounds: ≤ fbDocs rows of ≤ 10⁹
+    // nano each per group.
     val rm1 = fbtf.join(broadcast(fbSnorm), "doc_id")
       .select(col("qid"), col("w"),
-        round(col("snorm") * (col("tf") / col("dl").cast("double")), 9)
-          .cast("decimal(12,9)").as("c"))
+        round(round(col("snorm") * (col("tf") / col("dl").cast("double")), 9)
+          * 1e9, 0).cast("long").as("c"))
       .groupBy(col("qid"), col("w"))
-      .agg((sum(col("c")).cast("decimal(20,9)") * 1000000000)
-        .cast("long").as("rw_nano"))
+      .agg(sum(col("c")).as("rw_nano"))
     val topm = rm1.withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("rw_nano").desc, col("w"))))
       .filter(col("rn") <= fbTerms)
@@ -820,15 +840,29 @@ object Retrieval {
     val norm = (col("tf") * K1Plus1) /
       (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
         lit(BM25B) * (col("dl") / col("avgdl"))))
+    // t in exact integer MICRO-units (scoreAndRank's long-kernel note:
+    // round(·10⁶) recovers the 6-dp grid integer exactly); the weighted
+    // contribution is then the plain long product t_micro·wt — the oracle's
+    // exact DECIMAL product `t(14,6) × wt` times 10⁶ — and the sum buffer
+    // is a long (the decimal(35,6) product + sum was a BigDecimal
+    // allocation per fanned row — the hottest stage of the suite's two
+    // most expensive queries, r19 profile). The exact decimal sum is
+    // reconstructed by ONE exact 10⁻⁶ rescale per output group, so
+    // `score` equals cast(sum(t_dec·wt) as double)/1e6 bit-for-bit.
+    // Overflow headroom: t_micro ≤ ~5·10⁷ (N = 10⁹), wt ≤ 10⁶ micro, so a
+    // 1000-term expanded query sums to ≤ 5·10¹⁶ — 180× under the long
+    // range, and ANSI mode makes any breach loud.
     val fanIn = tf2
       .select(col("doc_id"), col("w"),
-        round(idf * norm, 6).cast("decimal(14,6)").as("t"))
+        round(round(idf * norm, 6) * 1e6, 0).cast("long").as("t"))
       .repartition(tf2.sparkSession.sparkContext.defaultParallelism)
     fanIn
       .join(broadcast(weights), "w")
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        (sum(col("t") * col("wt")).cast("double") / 1e6).as("score"))
+        ((sum(col("t") * col("wt")).cast("decimal(20,0)") *
+          lit(new java.math.BigDecimal("0.000001"))).cast("double") / 1e6)
+          .as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id"))))

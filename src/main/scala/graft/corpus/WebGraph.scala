@@ -585,35 +585,58 @@ object WebGraph {
       "localCheckpoint no longer yields a bare LogicalRDD plan — " +
         "the per-round checkpoint release needs re-wiring"))
 
+  /** Checkpoint cadence of [[iterate]]'s round loop: rounds stay LAZY (one
+    * plan, one job) until this many have accumulated, then materialize
+    * once. Laziness costs nothing extra — a job executes every
+    * un-checkpointed round exactly once, in order, inside one DAG — and
+    * saves the superseded rounds' materializations entirely (at web scale
+    * a round is a ~10⁸-row rank table; locally it is a whole job's
+    * scheduling floor). The cadence bounds plan depth so a high-iteration
+    * deployment never re-creates the nested-plan blowup the per-round
+    * checkpoint discipline existed to prevent. */
+  private val RankCkptEvery: Int = 4
+
   private def iterate(edges: DataFrame, iters: Int,
       prev: Option[DataFrame]): DataFrame = {
     val e = edges.select(col("src_domain"), col("dst_domain"),
         col("n_links").cast("long").as("w"))
       .repartition(col("src_domain")).persist()
-    // the loop-scoped checkpoints (node list, out-weights) are released on
-    // every exit path; the FINAL round's checkpoint backs the returned
-    // ranks and is the ContextCleaner's to reclaim (the dedupClusters
-    // convention) — without this release every invocation leaked two
-    // graph-sized cached tables to session end (r19 review)
+    // the loop-scoped checkpoints (node/out-weight table, intermediate
+    // rounds) are released on every exit path; the FINAL round's
+    // checkpoint backs the returned ranks and is the ContextCleaner's to
+    // reclaim (the dedupClusters convention) — without this release every
+    // invocation leaked graph-sized cached tables to session end (r19
+    // review)
     var aux: List[org.apache.spark.rdd.RDD[_]] = Nil
     try {
-      val nodes = e.select(col("src_domain").as("domain"))
-        .union(e.select(col("dst_domain").as("domain")))
-        .distinct().localCheckpoint()
-      aux ::= checkpointRdd(nodes)
-      val n = nodes.count() // ONE driver scalar (the node count), not data
+      // node list and out-weights in ONE union-keyed aggregate (one
+      // shuffle + one checkpoint job where there were two of each): a
+      // domain's out_w sums its src rows, dst-only domains ride along as
+      // NULL-weight markers the sum ignores — they exist as nodes with no
+      // out-weight row, exactly the two tables the separate aggregates
+      // produced (r19 job-count sweep)
+      val nodeW = e.select(col("src_domain").as("domain"), col("w"))
+        .unionByName(e.select(col("dst_domain").as("domain"),
+          lit(null).cast("long").as("w")))
+        .groupBy(col("domain")).agg(sum(col("w")).as("out_w"))
+        .localCheckpoint()
+      aux ::= checkpointRdd(nodeW)
+      val nodes = nodeW.select(col("domain"))
+      val n = nodeW.count() // ONE driver scalar (the node count), not data
       // an empty graph (no page URL parsed, an empty crawl) ranks to the
       // empty table — malformed is data, never ArithmeticException.
       // Checkpointed so the returned frame survives the finally-release
-      // of the node list it derives from
+      // of the node table it derives from
       if (n == 0L)
         return nodes.select(col("domain"), lit(0L).as("rank_micro"))
           .localCheckpoint()
-      val outW = e.groupBy(col("src_domain"))
-        .agg(sum(col("w")).as("out_w")).localCheckpoint()
-      aux ::= checkpointRdd(outW)
+      val outW = nodeW.filter(col("out_w").isNotNull)
+        .select(col("domain").as("src_domain"), col("out_w"))
       val r0 = PageRankScale / n
       val base = (r0 * 15L) / 100L
+      // init stays LAZY: it is a projection of the checkpointed node table
+      // (plus the caller's prev ranks), so round 1's job evaluates it in
+      // place — its own checkpoint bought nothing but a job
       val init = prev match {
         case None => nodes.withColumn("rank_micro", lit(r0))
         case Some(p) => nodes
@@ -622,28 +645,44 @@ object WebGraph {
           .select(col("domain"),
             coalesce(col("rank_micro"), lit(r0)).as("rank_micro"))
       }
-      var ranks = init.localCheckpoint()
-      var ranksRdd = checkpointRdd(ranks)
+      var ranks = init
+      var ranksRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+      var lazyRounds = 0
       var k = 0
       while (k < iters) {
+        // rename-the-right + resolve-by-NAME join conditions: with lazy
+        // rounds the rank plan CONTAINS e and nodes, so dataset-tagged
+        // column references (e("src_domain")) would hit the ambiguous-
+        // self-join trap; the renamed top-level outputs are unambiguous
         val sums = e
-          .join(ranks, e("src_domain") === ranks("domain"))
+          .join(ranks.select(col("domain").as("__g_rd"),
+            col("rank_micro").as("__g_rm")),
+            col("src_domain") === col("__g_rd"))
           .join(outW, "src_domain")
           .select(col("dst_domain"),
-            expr("rank_micro * w DIV out_w").as("c"))
+            expr("__g_rm * w DIV out_w").as("c"))
           .groupBy(col("dst_domain")).agg(sum(col("c")).as("cin"))
         val next = nodes
-          .join(sums, nodes("domain") === sums("dst_domain"), "left")
+          .join(sums, col("domain") === col("dst_domain"), "left")
           .select(col("domain"),
             (lit(base) + expr("85 * coalesce(cin, 0L) DIV 100"))
               .as("rank_micro"))
-          .localCheckpoint()
-        ranksRdd.unpersist(false) // free the superseded round NOW
         ranks = next
-        ranksRdd = checkpointRdd(next)
+        lazyRounds += 1
         k += 1
+        if (lazyRounds == RankCkptEvery && k < iters) {
+          val c = ranks.localCheckpoint()
+          ranksRdd.foreach(_.unpersist(false)) // free the superseded rounds
+          ranksRdd = Some(checkpointRdd(c))
+          ranks = c
+          lazyRounds = 0
+        }
       }
-      ranks
+      // the returned frame re-checkpoints so it survives the finally-
+      // release of the node table and any intermediate round
+      val out = ranks.localCheckpoint()
+      ranksRdd.foreach(_.unpersist(false))
+      out
     } finally {
       e.unpersist()
       aux.foreach(_.unpersist(false))

@@ -711,10 +711,17 @@ object CorpusQueries {
     * graph: distinct partners and weights each way, self-loop weight,
     * and both-directions partner counts — the structural spam panel. */
   def x120DegreeProfile(spark: SparkSession, dir: String): DataFrame =
+    // the degree panel reads the edge table FIVE times (out/in/self
+    // aggregates + both sides of the reciprocity self-join); checkpointing
+    // it once keeps the fixture+extract regex chain out of all five plan
+    // instances (measured: the chain dominated the query's hottest stage,
+    // 32 s task time, r19 profile) — in production this is the persisted
+    // x111 edge table every consumer reads anyway (the x116 convention)
     graft.corpus.WebGraph.degreeProfile(
       graft.corpus.Html.domainEdges(
         graft.corpus.Html.htmlFixture(
-          graft.corpus.Curation.urlFixture(docs(spark, dir)))))
+          graft.corpus.Curation.urlFixture(docs(spark, dir))))
+        .localCheckpoint())
 
   /** x121 — content-block extraction by link density over the HTML
     * fixture: per-block word/anchor-word counts and the integer
