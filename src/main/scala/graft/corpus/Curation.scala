@@ -1504,8 +1504,19 @@ object Curation {
     * x107's collisions are engineered, and any policy step failing open
     * breaks the hash check. Core `k == 124` emits an unparseable string,
     * pinning the malformed branch end-to-end. */
-  def urlFixture(docs: DataFrame): DataFrame =
-    docs.withColumn("url", fixtureUrl(col("doc_id") % 125, col("doc_id")))
+  def urlFixture(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => c, expression => x}
+    // Opaque pushdown barrier: without it, every downstream filter on a
+    // url-derived column (urlParses, url_norm IS NOT NULL, canonical_key
+    // IS NOT NULL) is pushed below the scan-floor repartition with this
+    // whole constructor substituted, and the single-row-group scan task
+    // evaluates the fixture serially per row — 0.55–0.9 s of single-task
+    // wall on every url-plane query (r20 profile; see
+    // [[graft.functions.Opaque]]). Identity on the value, so the oracle
+    // generator's byte-for-byte replay is untouched.
+    docs.withColumn("url", c(graft.functions.Opaque(
+      x(fixtureUrl(col("doc_id") % 125, col("doc_id"))))))
+  }
 
   /** The [[urlFixture]] URL constructor, parameterized on its two key
     * spaces — core class `k` (what normalization keeps) and decoration
