@@ -87,28 +87,39 @@ object Robots {
         (col("__g_isua") &&
           !coalesce(lag(col("__g_isua"), 1).over(w), lit(false)))
           .cast("int")).over(w))
-    val uas = parsed.filter(col("__g_isua"))
-      .select(col("domain"), col("__g_gid").as("gid"),
-        col("__g_ua").as("ua"))
-    val rules = parsed
+    // group selection as WINDOWS over the one parsed stream, not the
+    // groups/domains aggregate + two joins back (r20): the join form's
+    // three branches each instantiated the scan→explode→regex→window
+    // subtree in the physical plan (column pruning projects each branch's
+    // exchange differently, so ReuseExchange cannot fold them — measured:
+    // three duplicated Window blocks in every consumer's plan, x124/x117),
+    // while the window form is ONE pass behind the single hash(domain)
+    // exchange the gid window already pays — hash(domain) satisfies the
+    // (domain, gid) clustering, so the two extra windows add only local
+    // sorts. Semantics identical, incl. the pre-group-rule drop: a gid-0
+    // rule row sees isagent = isstar = 0 and fails both filter arms, the
+    // same outcome as the inner join finding no gid-0 group row.
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val wg = Window.partitionBy(col("domain"), col("__g_gid"))
+    val wd = Window.partitionBy(col("domain"))
+    parsed
+      .withColumn("__g_isagent", max(
+        when(col("__g_isua") && col("__g_ua") === agentLc, 1).otherwise(0))
+        .over(wg))
+      .withColumn("__g_isstar", max(
+        when(col("__g_isua") && col("__g_ua") === "*", 1).otherwise(0))
+        .over(wg))
+      .withColumn("__g_hasagent", max(
+        when(col("__g_isua") && col("__g_ua") === agentLc, 1).otherwise(0))
+        .over(wd))
       .filter(col("__g_al") =!= "" || col("__g_di") =!= "")
-      .select(col("domain"), col("__g_gid").as("gid"),
+      .filter((col("__g_hasagent") === 1 && col("__g_isagent") === 1) ||
+        (col("__g_hasagent") === 0 && col("__g_isstar") === 1))
+      .select(col("domain"),
         when(col("__g_al") =!= "", "allow").otherwise("disallow")
           .as("rtype"),
         when(col("__g_al") =!= "", col("__g_al")).otherwise(col("__g_di"))
           .as("rpath"))
-    val groups = uas.groupBy(col("domain"), col("gid")).agg(
-      max(when(col("ua") === agent.toLowerCase(java.util.Locale.ROOT), 1)
-        .otherwise(0)).as("__g_isagent"),
-      max(when(col("ua") === "*", 1).otherwise(0)).as("__g_isstar"))
-    val domains = groups.groupBy(col("domain"))
-      .agg(max(col("__g_isagent")).as("__g_hasagent"))
-    rules
-      .join(groups, Seq("domain", "gid"))
-      .join(domains, Seq("domain"))
-      .filter((col("__g_hasagent") === 1 && col("__g_isagent") === 1) ||
-        (col("__g_hasagent") === 0 && col("__g_isstar") === 1))
-      .select(col("domain"), col("rtype"), col("rpath"))
   }
 
   /** X117 — the robots.txt crawl gate: every row comes back with

@@ -766,8 +766,14 @@ object CorpusQueries {
   def x124DomainScorecard(spark: SparkSession, dir: String): DataFrame = {
     import graft.corpus.{Curation, Html, Robots, WebGraph}
     val d = docs(spark, dir)
+    // the scorecard reads its page table THREE times (census, edge table,
+    // anchor terms); checkpointing the fixture chain once keeps the
+    // urlFixture+htmlFixture construction out of all three plan instances
+    // (the x119/x120 convention — in production these consumers read the
+    // persisted crawl table anyway). Measured r20: 2.64 s → see
+    // OPTIMIZATION_r20.md for the after number.
     WebGraph.domainScorecard(
-      Html.htmlFixture(Curation.urlFixture(d)),
+      Html.htmlFixture(Curation.urlFixture(d)).localCheckpoint(),
       Robots.robotsFixture(d))
   }
 
