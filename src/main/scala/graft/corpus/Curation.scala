@@ -527,35 +527,47 @@ object Curation {
     // are most of the table by the late rounds, and (b) they all share
     // the one absorbing key — on a mega-source the (source, jmp) hash
     // exchange funneled ~every row into ONE partition (the second
-    // serialization the skew ladder caught this round, after the descent)
-    val nRows: Array[(String, Long)] = t
+    // serialization the skew ladder caught this round, after the descent).
+    // The same collect carries total/max token counts and the oversize
+    // count — they size the rounds by the BIN bound below (r20).
+    val statRows: Array[(String, Long, Long, Long, Long)] = t
       .groupBy(col("skey"))
-      .agg(max(col("pos")).as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val maxN: Long = if (nRows.isEmpty) 0L else nRows.map(_._2).max
+      .agg(max(col("pos")).as("n"), max(col("s_incl")).as("tot"),
+        max(col("n_tokens")).cast("long").as("mx"),
+        sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("novr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nRows: Array[(String, Long)] = statRows.map(s => (s._1, s._2))
     val nLit = if (nRows.isEmpty) typedLit(Map("" -> 0L))
       else typedLit(nRows.toMap)
     val isAbsorbed = col("jmp") > coalesce(
       element_at(nLit, col("skey")), lit(Long.MaxValue))
+    // rounds sized by the BIN count, not the document count (r20): the
+    // orbit needs 2^rounds ≥ B (bin starts per source), and next-fit
+    // bounds B without running — every non-final bin either rejected its
+    // successor document (fill ≥ budget − min(mx, budget) + 1 =: denom),
+    // IS an oversize singleton, or immediately precedes one (≤ 2·novr + 1
+    // weak bins), so B ≤ ceil(tot/denom) + 2·novr + 1, capped at n.
+    // At budget ≫ typical document length this cuts log₂(docs/bin) rounds
+    // — each a checkpoint job — off every invocation (sf0.1: 8 → 6).
+    val maxB: Long = if (statRows.isEmpty) 0L
+      else statRows.map { case (_, n, tot, mx, novr) =>
+        val denom = budget.toLong - math.min(mx, budget.toLong) + 1L
+        math.min(n, (tot + denom - 1L) / denom + 2L * novr + 1L)
+      }.max
     val rounds: Int =
-      if (maxN <= 1) 0
-      else 64 - java.lang.Long.numberOfLeadingZeros(maxN - 1).toInt
-    val tables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    if (rounds > 0) {
-      tables += ckpt(jump0)
-      for (i <- 1 until rounds) {
-        val a = tables(i - 1)
-        tables += ckpt(a.filter(!isAbsorbed).as("a")
-          .join(a.select(col("skey").as("bsrc"), col("pos").as("bpos"),
-            col("jmp").as("bjmp")).as("b"),
-            col("a.skey") === col("bsrc") && col("a.jmp") === col("bpos"),
-            "left")
-          .select(col("a.skey").as("skey"), col("a.pos").as("pos"),
-            // a jump landing past the last position is absorbing
-            coalesce(col("bjmp"), col("a.jmp")).as("jmp"))
-          .unionByName(a.filter(isAbsorbed)))
-      }
-    }
+      if (maxB <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(maxB - 1).toInt
+    def doubled(a: DataFrame): DataFrame = ckpt(a.filter(!isAbsorbed).as("a")
+      .join(a.select(col("skey").as("bsrc"), col("pos").as("bpos"),
+        col("jmp").as("bjmp")).as("b"),
+        col("a.skey") === col("bsrc") && col("a.jmp") === col("bpos"),
+        "left")
+      .select(col("a.skey").as("skey"), col("a.pos").as("pos"),
+        // a jump landing past the last position is absorbing
+        coalesce(col("bjmp"), col("a.jmp")).as("jmp"))
+      .unionByName(a.filter(isAbsorbed)))
     // ORBIT DOUBLING (r16 — the skew ladder caught the previous
     // formulation serializing: it walked every document down from cursor
     // position 1, so the early rounds' (source, cursor) join keys put an
@@ -574,13 +586,21 @@ object Curation {
     // at corpus scale the late rounds fall back to a spread shuffle join.
     var starts = ckpt(t.select(col("skey")).distinct()
       .select(col("skey"), lit(1L).as("pos")))
+    // the doubling ladder is built ROUND-INTERLEAVED with the orbit walk
+    // (r20): round i needs only jmp_{2^i}, and the next table jmp_{2^{i+1}}
+    // and the next start set both derive from the CURRENT pair alone — two
+    // independent checkpoint jobs, so they build on concurrent dedicated
+    // driver threads (DriverPar, the x49/x92 pattern) and each round's
+    // wall is max(step, double) instead of their sum. The final round
+    // skips the table build entirely (nothing consumes jmp_{2^rounds}).
+    var table = if (rounds > 0) ckpt(jump0) else null
     val inRange = col("pos") <= coalesce(
       element_at(nLit, col("skey")), lit(Long.MaxValue))
     for (i <- 0 until rounds) {
-      val bound = if (i >= 62) Long.MaxValue
+      val cap = if (i >= 62) Long.MaxValue
         else nRows.length.toLong * (1L << i)
-      val side = if (bound <= (1L << 20)) broadcast(starts) else starts
-      val stepped = side.join(tables(i), Seq("skey", "pos"))
+      val side = if (cap <= (1L << 20)) broadcast(starts) else starts
+      val stepped = side.join(table, Seq("skey", "pos"))
         .select(col("skey"), col("jmp").as("pos"))
         .filter(inRange)
       // every round checkpoints: a lazy union chain re-executes EVERY
@@ -588,7 +608,13 @@ object Curation {
       // rescans a full doubling table — measured 1.2x-slower end to end
       // even though the lazy sets themselves are tiny (the job round-trip
       // it saves is cheaper than the table rescans it buys)
-      starts = ckpt(starts.unionByName(stepped))
+      if (i + 1 < rounds) {
+        val a = table
+        val Seq(s2, t2) = graft.util.DriverPar.settleAll(Seq(
+          () => ckpt(starts.unionByName(stepped)), () => doubled(a)))
+        starts = s2
+        table = t2
+      } else starts = ckpt(starts.unionByName(stepped))
     }
     // one merge pass ranks the starts and assigns documents in the same
     // stream: kind-0 start events sort before kind-1 document events at
