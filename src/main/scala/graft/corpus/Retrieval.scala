@@ -100,10 +100,24 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryMod: Long = QueryMod,
       k: Int = DefaultTopK): DataFrame = {
     val isQuery = querySheetCol(queryMod)
-    val qterms = docs.filter(isQuery)
-      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
-    bm25TopKOn(docs.filter(!isQuery), qterms, k, None)
+    bm25TopKOn(docs.filter(!isQuery),
+      collectSheet(docs.filter(isQuery)), k, None)
   }
+
+  /** The collected query sheet: per query, its distinct terms with weight 1
+    * — the driver-held artifact every scoring tail below keys on (the
+    * [[bm25Model]] boundedness contract: a query sheet is definitionally
+    * sheet-sized; a corpus-scale "sheet" is a join, not a sheet, and
+    * belongs on [[bm25TopKAgainst]]'s corpus side). EAGER-SNAPSHOT
+    * semantics for every consumer (the [[rm3TopK]] contract, now shared by
+    * [[bm25TopK]]): the sheet freezes at construction. */
+  private def collectSheet(queryDocs: DataFrame)
+      : Seq[(Long, Seq[(String, Long)])] =
+    queryDocs
+      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq
+      .map { case (q, rs) => (q, rs.map(r => (r._2, 1L))) }
 
   /** [[bm25TopK]]'s core over an explicit corpus/sheet split: the shared
     * pass shape [[rm3TopK]]'s first pass reuses with PRE-COLLECTED corpus
@@ -112,23 +126,22 @@ object Retrieval {
     * per pass — the stats literal removes a full narrow corpus scan from
     * the RM3 chain; values identical by construction, collected from the
     * same aggregate the lazy crossJoin evaluated). */
-  private def bm25TopKOn(corpus: DataFrame, qterms: DataFrame, k: Int,
+  private def bm25TopKOn(corpus: DataFrame,
+      sheet: Seq[(Long, Seq[(String, Long)])], k: Int,
       stats: Option[(Long, Double)]): DataFrame = {
-    // narrow corpus pass: doc length + tokens, pruned to the query vocabulary
-    // by a broadcast semi-join BEFORE the tf shuffle. The semi-join probes
-    // `qterms` WHOLE, not a projected vocabulary: a LEFT-SEMI ignores
-    // duplicate build-side rows anyway, and keeping the build side
-    // byte-identical to the scoring join's lets ReuseExchange fold the two
-    // broadcast builds into one (a projected copy is a different exchange —
-    // measured as a full recompute of the query-side tokenize+distinct)
+    // narrow corpus pass: doc length + tokens, pruned to the query
+    // vocabulary BEFORE the tf shuffle — by ONE literal map probe per
+    // token (the sheet is a collected driver artifact, so the prune needs
+    // no broadcast build and no semi join at all; r20, replacing the
+    // ReuseExchange-folded broadcast-semi shape)
     val ctoks = corpus
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
-      .join(broadcast(qterms), Seq("w"), "left_semi")
+      .filter(map_contains_key(sheetVocabLit(sheet), col("w")))
     val tf = ctoks.groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
     // df over the pruned postings = df of exactly the query terms — computed
     // as a COUNT window over the tf stream itself, not a groupBy+join back:
-    // the join form duplicates the whole tokenize→semi→tf subtree into a
+    // the join form duplicates the whole tokenize→prune→tf subtree into a
     // second physical pipeline (measured 2× the query's cost; exchange reuse
     // does not rescue it through AQE), while the window re-shuffles only the
     // already-aggregated per-(doc, term) rows on the term key
@@ -139,20 +152,148 @@ object Retrieval {
         tfd.withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
       case None => tfd.crossJoin(broadcast(corpusStats(corpus)))
     }
-    scoreAndRank(withStats, qterms, k)
+    scoreTail(withStats, sheet, k, rm3Scale = false)
   }
 
-  /** Shared scoring tail: input carries (doc_id, dl, w, tf, df, n, avgdl);
-    * expands by the query sheet, sums rounded contributions, ranks top-k. */
-  private def scoreAndRank(tfd: DataFrame, qterms: DataFrame,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The sheet vocabulary as ONE literal map (term → 1) for the pre-tf
+    * token prune: `map_contains_key` is a codegen'd hash probe per token,
+    * identical selectivity to the broadcast left-semi it replaces, with no
+    * broadcast build job and no join in the plan. */
+  private def sheetVocabLit(sheet: Seq[(Long, Seq[(String, Long)])]): Column =
+    typedLit(sheet.flatMap(_._2.map(_._1)).distinct.map(w => w -> 1).toMap)
+
+  /** Sheet-size bound for the DENSE slot-kernel scoring tail
+    * ([[denseScoreTail]]): up to this many queries, every document
+    * aggregates one fixed-width score/term-count slot pair per query —
+    * 2·|sheet| long buffer columns per group. Past it, the buffer width
+    * (and the generated aggregate) stops being the cheap shape and the
+    * classic sheet-join fan form takes over ([[fanScoreTail]]). The
+    * driver sheet is 32 queries ([[QueryCount]]); 64 leaves headroom
+    * without ever generating a pathological 1000-column aggregate. */
+  val MaxDenseSheetQueries: Int = 64
+
+  /** Shared scoring tail dispatch: input carries (doc_id, dl, w, tf, df,
+    * n, avgdl) pruned to the sheet vocabulary; `sheet` holds per query its
+    * (term, weight) pairs — weight 1 for plain BM25, exact micro units for
+    * RM3 pass 2 (`rm3Scale` adds that path's extra 10⁻⁶ rescale).
+    *
+    * WHY a dense kernel (r20, guide §2.3/§2.4 — the round's biggest
+    * single win): the fan form joins every pruned posting against the
+    * sheet, multiplying rows by the queries sharing the term — measured at
+    * sf0.1: 2.70 M fanned rows whose (qid, doc) partial aggregate
+    * collapsed only to 2.06 M (the per-partition key space barely
+    * repeats) while paying avgHashProbe ≈ 160–373 (consecutive ids
+    * cluster in the generated fast hash map) and an 82 MB shuffle. The
+    * dense form never fans: each posting row updates one score slot and
+    * one term-count slot per query in a doc_id-keyed aggregate — rows
+    * through the aggregate = postings (116 k), groups = documents
+    * (4.9 k), shuffle = docs × 2·|sheet| longs (~2.5 MB) — then one
+    * bounded unpivot emits exactly the (qid, doc) pairs the fan form's
+    * final aggregate produced. Slot sums are the SAME long additions in a
+    * different order — commutative, so scores are bit-identical, and the
+    * (qid, doc) pairs with no shared term carry slot count 0 and are
+    * filtered exactly like the inner join dropped them. */
+  private def scoreTail(tfd: DataFrame,
+      sheet: Seq[(Long, Seq[(String, Long)])], k: Int,
+      rm3Scale: Boolean): DataFrame =
+    if (sheet.size <= MaxDenseSheetQueries && sheet.nonEmpty)
+      denseScoreTail(tfd, sheet, k, rm3Scale)
+    else fanScoreTail(tfd, sheet, k, rm3Scale)
+
+  /** The BM25 per-posting contribution in exact integer MICRO units —
+    * shared by both tail forms so they cannot drift. `term` is already on
+    * the 10⁻⁶ grid, so round(term·10⁶) recovers its exact micro integer
+    * (term ≤ ln(2N)·(k1+1) ≈ 21·2.2 at N = 10⁹, so term·10⁶ ≤ ~5·10⁷
+    * carries ≤ 10⁻⁸ absolute double error — never near the .5 rounding
+    * boundary), and a LONG sum buffer replaces the decimal(24,6) one whose
+    * every add was a BigDecimal allocation (measured: the fan-in
+    * join+partial-agg stage was the plan's hottest, r19 profile). */
+  private def microTerm: Column = {
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val norm = (col("tf") * K1Plus1) /
       (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
         lit(BM25B) * (col("dl") / col("avgdl"))))
-    val term = round(idf * norm, 6)
-    // the qterms join EXPANDS each posting by the number of queries sharing
+    round(round(idf * norm, 6) * 1e6, 0).cast("long")
+  }
+
+  /** Exact decimal reconstruction of a micro (or micro², RM3) long sum —
+    * ONE rescale per OUTPUT group: sum·10⁻⁶ is scale-6-representable, so
+    * the final double equals the oracle's cast(sum(decimal) as double)
+    * bit-for-bit. Overflow headroom (ANSI mode makes any breach loud):
+    * micro sums ≤ |query terms|·5·10⁷ ≈ 5·10¹⁰ at a 1000-term query;
+    * micro² sums ≤ 5·10¹⁶ at wt ≤ 10⁶ — 180× under the long range. */
+  private def microScore(sum: Column, rm3Scale: Boolean): Column = {
+    val d = (sum.cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal("0.000001"))).cast("double")
+    if (rm3Scale) d / 1e6 else d
+  }
+
+  /** The dense slot-kernel tail (see [[scoreTail]]): one doc_id-keyed
+    * aggregate with a (score, n_terms) long slot pair per sheet query,
+    * unpivoted to (qid, doc) rows, ranked. Slot order is the sorted qid
+    * list (determinism is moot — slots are independent — but a stable
+    * layout keeps generated code identical across runs). A term carrying
+    * weight 0 in a query still counts toward that query's n_terms when a
+    * posting matches (presence ≠ weight — the RM3 half-up division can
+    * legitimately produce a zero micro weight), exactly like the fan
+    * form's join row with wt = 0. */
+  private def denseScoreTail(tfd: DataFrame,
+      sheet: Seq[(Long, Seq[(String, Long)])], k: Int,
+      rm3Scale: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qids: Seq[Long] = sheet.map(_._1).sorted
+    val slot: Map[Long, Int] = qids.zipWithIndex.toMap
+    val nq = qids.size
+    val wvec = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val pvec = scala.collection.mutable.Map.empty[String, Array[Long]]
+    for ((qid, tws) <- sheet; (w, wt) <- tws) {
+      val i = slot(qid)
+      wvec.getOrElseUpdate(w, new Array[Long](nq))(i) = wt
+      pvec.getOrElseUpdate(w, new Array[Long](nq))(i) = 1L
+    }
+    val wlit = typedLit(wvec.view.mapValues(_.toSeq).toMap)
+    val plit = typedLit(pvec.view.mapValues(_.toSeq).toMap)
+    val rows = tfd
+      .select(col("doc_id"), microTerm.as("t"),
+        element_at(wlit, col("w")).as("__g_qw"),
+        element_at(plit, col("w")).as("__g_qp"))
+    val aggs: Seq[Column] =
+      (0 until nq).map(i =>
+        sum(element_at(col("__g_qw"), i + 1) * col("t")).as(s"__g_s$i")) ++
+      (0 until nq).map(i =>
+        sum(element_at(col("__g_qp"), i + 1)).as(s"__g_n$i"))
+    val grouped = rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val entries = array((0 until nq).map(i => struct(
+      lit(qids(i)).as("qid"), col(s"__g_s$i").as("sm"),
+      col(s"__g_n$i").as("nt"))): _*)
+    grouped
+      .select(col("doc_id"), explode(entries).as("e"))
+      .filter(col("e.nt") > 0)
+      .select(col("e.qid").as("qid"), col("doc_id"),
+        col("e.nt").as("n_terms"),
+        microScore(col("e.sm"), rm3Scale).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("doc_id"), col("n_terms"),
+        col("score"), col("rank"))
+  }
+
+  /** The classic sheet-join fan tail — the > [[MaxDenseSheetQueries]]
+    * fallback (a sheet too wide for per-group slot buffers): expands each
+    * posting by the queries sharing its term, partial-aggregates the
+    * fanned stream, ranks. */
+  private def fanScoreTail(tfd: DataFrame,
+      sheet: Seq[(Long, Seq[(String, Long)])], k: Int,
+      rm3Scale: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import tfd.sparkSession.implicits._
+    val weights = tfd.sparkSession.sparkContext
+      .parallelize(sheet.flatMap { case (q, tws) =>
+        tws.map { case (w, wt) => (q, w, wt) } })
+      .toDF("qid", "w", "wt")
+    // the sheet join EXPANDS each posting by the number of queries sharing
     // its term (~|queries| on a dense vocabulary) and the partial aggregate
     // runs in the same stage — compute-bound work that AQE sizes by the tiny
     // pre-join byte count, coalescing the stage to ONE task (measured: the
@@ -160,39 +301,20 @@ object Retrieval {
     // repartition to the cluster's core count pins the fan-out stage at
     // compute parallelism; its input is the already-aggregated per-(doc,
     // term) table, so the extra exchange is a rounding error at any scale
-    // next to the expansion it parallelizes.
-    //
-    // The BM25 contribution is QUERY-independent, so it is computed (and
-    // converted to the exact integer MICRO-units the sum needs) HERE, once
-    // per posting — NOT after the qterms join, where the identical
-    // log/divide/round chain re-evaluated per (query, posting) fanned row
-    // (measured 2.3× on the whole query at a vocabulary the sheet covers
-    // densely; Catalyst does not hoist projections through joins on its
-    // own). The fanned rows carry one pre-computed LONG each into the
-    // map-side partial sum: `term` is already on the 10⁻⁶ grid, so
-    // round(term·10⁶) recovers its exact micro integer (term ≤ ln(2N)·
-    // (k1+1) ≈ 21·2.2 at N = 10⁹, so term·10⁶ ≤ ~5·10⁷ carries ≤ 10⁻⁸
-    // absolute double error — never near the .5 rounding boundary), and a
-    // LONG sum buffer replaces the decimal(24,6) one whose every add was a
-    // BigDecimal allocation (measured: the fan-in join+partial-agg stage
-    // was the plan's hottest, r19 profile). The exact decimal sum the
-    // oracle computes is reconstructed below from the micro total by ONE
-    // exact rescale per OUTPUT group — sum·10⁻⁶ is scale-6-representable,
-    // so the final double equals cast(sum(decimal(14,6)) as double)
-    // bit-for-bit. Overflow headroom: per-(query, doc) micro sums are
-    // ≤ |query terms|·5·10⁷ ≈ 5·10¹⁰ at a 1000-term query — 10⁸ under
-    // the long range (ANSI mode would make any breach loud, not silent).
+    // next to the expansion it parallelizes. The BM25 contribution is
+    // QUERY-independent, so [[microTerm]] computes it once per posting —
+    // NOT after the sheet join, where the identical log/divide/round chain
+    // re-evaluated per (query, posting) fanned row (measured 2.3× on the
+    // whole query; Catalyst does not hoist projections through joins on
+    // its own).
     val fanIn = tfd
-      .select(col("doc_id"), col("w"),
-        round(term * 1e6, 0).cast("long").as("t"))
+      .select(col("doc_id"), col("w"), microTerm.as("t"))
       .repartition(tfd.sparkSession.sparkContext.defaultParallelism)
     fanIn
-      .join(broadcast(qterms), "w")
+      .join(broadcast(weights), "w")
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        (sum(col("t")).cast("decimal(20,0)") *
-          lit(new java.math.BigDecimal("0.000001"))).cast("double")
-          .as("score"))
+        microScore(sum(col("t") * col("wt")), rm3Scale).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
@@ -231,20 +353,20 @@ object Retrieval {
     * IDENTICAL to the self-contained [[bm25TopK]] (spec-pinned, x51's
     * parity discipline).
     *
-    * Scale: increment tokenizes and prunes narrowly (broadcast semi on the
-    * query sheet), aggregates tf, then shuffle-joins the index on the term
-    * key — with a bucketed index every exchange is INCREMENT-side and the
-    * index reads in place (spec-pinned plan shape). */
+    * Scale: increment tokenizes and prunes narrowly (one literal map probe
+    * per token — the collected sheet, r20), aggregates tf, then
+    * shuffle-joins the index on the term key — with a bucketed index every
+    * exchange is INCREMENT-side and the index reads in place (spec-pinned
+    * plan shape). */
   def bm25TopKAgainst(newDocs: DataFrame, index: DataFrame,
       queryDocs: DataFrame, k: Int = DefaultTopK): DataFrame = {
-    val qterms = queryDocs
-      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    val sheet = collectSheet(queryDocs)
     val tf = newDocs
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
-      .join(broadcast(qterms), Seq("w"), "left_semi")
+      .filter(map_contains_key(sheetVocabLit(sheet), col("w")))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    scoreAndRank(tf.join(index, "w"), qterms, k)
+    scoreTail(tf.join(index, "w"), sheet, k, rm3Scale = false)
   }
 
   /** Driver-held scoring model for [[bm25IngestGate]]: the frozen corpus
@@ -703,8 +825,7 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val isQuery = querySheetCol(queryMod)
     val corpus = docs.filter(!isQuery)
-    val qterms = docs.filter(isQuery)
-      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    val sheet1 = collectSheet(docs.filter(isQuery))
 
     // corpus stats collected ONCE (a one-row driver artifact): both scoring
     // passes need (N, avgdl), and the lazy crossJoin form re-ran the narrow
@@ -722,7 +843,7 @@ object Retrieval {
     // leaving it lazy would re-run the whole ranked BM25 pass once per
     // consumer below (measured: three instantiations in the physical plan).
     val fbRows: Array[(Long, Long, Double)] =
-      bm25TopKOn(corpus, qterms, fbDocs, st)
+      bm25TopKOn(corpus, sheet1, fbDocs, st)
         .select(col("query_id"), col("doc_id"), col("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
@@ -735,16 +856,14 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
-    val weights = rm3WeightSheet(docs.sparkSession, fbRows, fbtf,
+    val wsheet = rm3WeightSheet(fbRows, fbtf,
       origWeights(docs.filter(isQuery)), fbTerms)
 
-    // pass 2: BM25 postings pruned to the expanded vocabulary, weighted
-    // sum. The prune probes the weight sheet WHOLE (left-semi ignores the
-    // duplicate build rows) so ReuseExchange folds its broadcast build into
-    // the scoring join's — the bm25TopK discipline.
+    // pass 2: BM25 postings pruned to the expanded vocabulary (one literal
+    // map probe per token — the collected weight sheet, r20), weighted sum.
     val tf2 = corpus
       .select(col("doc_id"), size(ws).as("dl"), explode(ws).as("w"))
-      .join(broadcast(weights), Seq("w"), "left_semi")
+      .filter(map_contains_key(sheetVocabLit(wsheet), col("w")))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
@@ -753,7 +872,7 @@ object Retrieval {
         tf2.withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
       case None => tf2.crossJoin(broadcast(corpusStats(corpus)))
     }
-    rm3ScoreTail(tf2s, weights, k)
+    scoreTail(tf2s, wsheet, k, rm3Scale = true)
   }
 
   /** The shared RM3 weight-sheet assembly ([[rm3TopK]] ↔
@@ -761,8 +880,8 @@ object Retrieval {
     * feedback documents' full term distributions, and the original-query
     * term weights, build the interpolated `(qid, w, wt)` micro-unit sheet
     * as a COLLECTED driver artifact — (|sheet| × (qlen + fbTerms))-bounded,
-    * so it broadcasts into both pass-2 consumers (vocabulary prune and
-    * scoring join) as ONE ReuseExchange-folded build. Per-query score
+    * grouped per query for [[scoreTail]]'s dense kernel (the fan fallback
+    * re-distributes it). Per-query score
     * normalizers sum exactly in BigDecimal: each score is a
     * DECIMAL(14,6)-cast double, ≤ 14 significant digits, so
     * BigDecimal.valueOf (via Double.toString) recovers the exact decimal
@@ -770,10 +889,11 @@ object Retrieval {
     * rounded + DECIMAL-summed into exact integer nano-units; both
     * interpolation halves are exact integer half-up micro divisions (see
     * [[rm3TopK]]'s determinism note). */
-  private def rm3WeightSheet(spark: org.apache.spark.sql.SparkSession,
+  private def rm3WeightSheet(
       fbRows: Array[(Long, Long, Double)], fbtf: DataFrame,
-      orig: DataFrame, fbTerms: Int): DataFrame = {
+      orig: DataFrame, fbTerms: Int): Seq[(Long, Seq[(String, Long)])] = {
     import org.apache.spark.sql.expressions.Window
+    val spark = fbtf.sparkSession
     import spark.implicits._
     val ssum: Map[Long, Double] = fbRows.groupBy(_._1).map { case (q, rs) =>
       q -> rs.map(r => BigDecimal.valueOf(r._3)).sum.toDouble
@@ -812,7 +932,8 @@ object Retrieval {
         expr("(rw_nano + 1000L) div 2000L").as("m")))
       .groupBy(col("qid"), col("w")).agg(sum(col("m")).as("wt"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .toSeq.toDF("qid", "w", "wt")
+      .toSeq.groupBy(_._1).toSeq
+      .map { case (q, rs) => (q, rs.map(r => (r._2, r._3))) }
   }
 
   /** Original-query term distribution as exact integer micro half-weights:
@@ -827,49 +948,6 @@ object Retrieval {
       .agg(count(lit(1)).as("qtf"))
       .select(col("qid"), col("w"),
         expr("(1000000L * qtf + qlen) div (2L * qlen)").as("om"))
-
-  /** The shared RM3 pass-2 scoring tail: input carries (doc_id, dl, w, tf,
-    * df, n, avgdl) pruned to the expanded vocabulary; computes the 6-dp
-    * BM25 per-term decimal ONCE per posting ([[scoreAndRank]]'s hoisting +
-    * fan-out discipline, including the explicit repartition), weights it by
-    * the sheet's exact micro units, sums exactly, divides by 10⁶ once. */
-  private def rm3ScoreTail(tf2: DataFrame, weights: DataFrame,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = (col("tf") * K1Plus1) /
-      (col("tf") + lit(BM25K1) * (lit(OneMinusB) +
-        lit(BM25B) * (col("dl") / col("avgdl"))))
-    // t in exact integer MICRO-units (scoreAndRank's long-kernel note:
-    // round(·10⁶) recovers the 6-dp grid integer exactly); the weighted
-    // contribution is then the plain long product t_micro·wt — the oracle's
-    // exact DECIMAL product `t(14,6) × wt` times 10⁶ — and the sum buffer
-    // is a long (the decimal(35,6) product + sum was a BigDecimal
-    // allocation per fanned row — the hottest stage of the suite's two
-    // most expensive queries, r19 profile). The exact decimal sum is
-    // reconstructed by ONE exact 10⁻⁶ rescale per output group, so
-    // `score` equals cast(sum(t_dec·wt) as double)/1e6 bit-for-bit.
-    // Overflow headroom: t_micro ≤ ~5·10⁷ (N = 10⁹), wt ≤ 10⁶ micro, so a
-    // 1000-term expanded query sums to ≤ 5·10¹⁶ — 180× under the long
-    // range, and ANSI mode makes any breach loud.
-    val fanIn = tf2
-      .select(col("doc_id"), col("w"),
-        round(round(idf * norm, 6) * 1e6, 0).cast("long").as("t"))
-      .repartition(tf2.sparkSession.sparkContext.defaultParallelism)
-    fanIn
-      .join(broadcast(weights), "w")
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        ((sum(col("t") * col("wt")).cast("decimal(20,0)") *
-          lit(new java.math.BigDecimal("0.000001"))).cast("double") / 1e6)
-          .as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("doc_id"), col("n_terms"),
-        col("score"), col("rank"))
-  }
 
   /** Corpus-side BM25 POSTINGS — the classic inverted index: one row per
     * (document, term) with the term frequency and the document's length,
@@ -907,13 +985,14 @@ object Retrieval {
     * parity discipline):
     *
     *  - pass 1 = [[bm25TopKAgainst]]'s shape: postings pruned by the
-    *    broadcast query sheet, index-joined for df/N/avgdl ([[bm25Index]]
-    *    df counts distinct docs per term = the self-contained count window
-    *    over the pruned postings; stats rows are denormalized corpus-wide);
+    *    collected query sheet's literal vocabulary map, index-joined for
+    *    df/N/avgdl ([[bm25Index]] df counts distinct docs per term = the
+    *    self-contained count window over the pruned postings; stats rows
+    *    are denormalized corpus-wide);
     *  - the feedback documents' full term distributions READ from the
     *    postings (`doc_id isin` pushes into the scan) — no tokenize;
-    *  - pass 2: postings pruned by the broadcast expanded-weight sheet,
-    *    index-joined, into the shared exact-decimal scoring tail.
+    *  - pass 2: postings pruned by the collected expanded-weight sheet's
+    *    literal vocabulary, index-joined, into the shared scoring tail.
     *
     * With both artifacts persisted via [[writeBm25Postings]] /
     * [[writeBm25Index]] at matching bucket counts, every postings↔index
@@ -922,20 +1001,20 @@ object Retrieval {
   def rm3TopKAgainst(postings: DataFrame, index: DataFrame,
       queryDocs: DataFrame, k: Int = DefaultTopK, fbDocs: Int = Rm3FbDocs,
       fbTerms: Int = Rm3FbTerms): DataFrame = {
-    val qterms = queryDocs
-      .select(col("doc_id").as("qid"), explode(ws).as("w")).distinct()
+    val sheet1 = collectSheet(queryDocs)
     // pass 1, executed ONCE and collected (rm3TopK's bounded-artifact note)
     val fbRows: Array[(Long, Long, Double)] =
-      scoreAndRank(postings.join(broadcast(qterms), Seq("w"), "left_semi")
-          .join(index, "w"), qterms, fbDocs)
+      scoreTail(postings
+          .filter(map_contains_key(sheetVocabLit(sheet1), col("w")))
+          .join(index, "w"), sheet1, fbDocs, rm3Scale = false)
         .select(col("query_id"), col("doc_id"), col("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val fbIds = fbRows.map(_._2).distinct.toSeq
     val fbtf = postings.filter(col("doc_id").isin(fbIds: _*))
-    val weights = rm3WeightSheet(postings.sparkSession, fbRows, fbtf,
-      origWeights(queryDocs), fbTerms)
-    val tf2 = postings.join(broadcast(weights), Seq("w"), "left_semi")
+    val wsheet = rm3WeightSheet(fbRows, fbtf, origWeights(queryDocs), fbTerms)
+    val tf2 = postings
+      .filter(map_contains_key(sheetVocabLit(wsheet), col("w")))
       .join(index, "w")
-    rm3ScoreTail(tf2, weights, k)
+    scoreTail(tf2, wsheet, k, rm3Scale = true)
   }
 }

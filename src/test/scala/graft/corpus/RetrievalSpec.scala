@@ -69,18 +69,27 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     row.getAs[Double]("score") shouldBe expected
   }
 
-  test("bm25 plan: postings prune through a broadcast semi-join, no sort-merge join anywhere") {
+  test("bm25 plan: tokens prune through a literal map probe before any " +
+      "shuffle; no sheet join, no sort-merge join anywhere") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
     (0L to 120L).map(i => (i, s"tok${i % 13} tok${i % 7} filler$i"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
     val plan = Retrieval.bm25TopK(spark.read.parquet(dir))
       .queryExecution.executedPlan.toString
-    // corpus tokens meet the query vocabulary in a broadcast LEFT-SEMI before
-    // any shuffle — the corpus-sized token stream must never sort-merge
-    plan should include("BroadcastHashJoin")
-    plan should include("LeftSemi")
+    // corpus tokens meet the collected sheet's vocabulary as ONE literal
+    // map_contains_key filter before any shuffle (r20 dense kernel) — no
+    // broadcast build, no semi join, and the corpus-sized token stream
+    // must never sort-merge; the only join left is the one-row stats
+    // crossJoin
+    // Catalyst folds map_contains_key over a literal map into
+    // array_contains over the key array — accept either spelling
+    plan should (include("map_contains_key") or include("array_contains"))
+    plan should not include "LeftSemi"
     plan should not include "SortMergeJoin"
+    // the sheet itself enters as slot literals, not a join: the fan
+    // BroadcastHashJoin on the term key is gone
+    plan should not include "BroadcastHashJoin"
   }
 
   test("tokenizer fertility: sums referee against applyBpe, ratios are " +
@@ -203,8 +212,8 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     rm.head._2 should be > 0.0
   }
 
-  test("rm3 pass-2 plan: the weighted scoring pass prunes through " +
-      "broadcast joins, no sort-merge join") {
+  test("rm3 pass-2 plan: the weighted scoring pass prunes through a " +
+      "literal map probe; no sheet join, no sort-merge join") {
     // what the returned frame's plan contains is ONLY pass 2: rm3TopK runs
     // pass 1 (bm25TopK — its plan is pinned by the bm25 plan test above)
     // and the bounded fbtf/weights chain eagerly, as separate jobs. Pass 2
@@ -217,9 +226,12 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     val df = Retrieval.rm3TopK(spark.read.parquet(dir))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    plan should include("BroadcastHashJoin")
-    plan should include("LeftSemi")
+    // Catalyst folds map_contains_key over a literal map into
+    // array_contains over the key array — accept either spelling
+    plan should (include("map_contains_key") or include("array_contains"))
+    plan should not include "LeftSemi"
     plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
   }
 
   test("rm3 against prebuilt postings + index reproduces the " +
@@ -484,13 +496,13 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
       // every bucket participates in the probe join in place
       rendered should include("Bucketed: true")
       rendered should include("SelectedBucketsCount: 4 out of 4")
-      // six hash-exchange mentions, all accounted increment/query-side:
-      // tf aggregate, the term-key probe join, the per-(query, doc) score
-      // aggregate, the ranking window, the query-sheet distinct feeding the
-      // (ReuseExchange-folded) broadcasts, and that fold's ReusedExchange
-      // echo; an index-side exchange would make it seven
-      "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 6
-      "ReusedExchange".r.findAllIn(rendered).size shouldBe 1
+      // four hash-exchange mentions, all accounted increment-side: the tf
+      // aggregate, the term-key probe join's increment side, the dense
+      // per-document slot aggregate, and the ranking window (the r20
+      // dense kernel removed the sheet broadcasts and their ReusedExchange
+      // echo); an index-side exchange would make it five
+      "Exchange hashpartitioning".r.findAllIn(rendered).size shouldBe 4
+      "ReusedExchange".r.findAllIn(rendered).size shouldBe 0
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
