@@ -485,6 +485,76 @@ object TextStats {
     * materialized CTEs) so the two cannot drift. */
   val BpeDefaultMerges: Int = 8
 
+  /** Distinct-word count at or below which [[trainBpe]] collects the
+    * vocabulary and trains driver-side (2 jobs total) instead of one
+    * cluster job per merge round. 2¹⁷ rows of (short symbol array, long)
+    * is a few MB of driver heap — the bounded-artifact envelope every
+    * centroid/codebook collect here already assumes. */
+  val BpeLocalVocabCap: Long = 1L << 17
+
+  /** Driver-side twin of the distributed training loop — SAME argmax
+    * (count desc, then pair by unsigned UTF-8 byte order) and SAME
+    * left-to-right merge pass, on the collected vocabulary. */
+  private def trainBpeLocal(words0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    // unsigned UTF-8 byte order = Spark's UTF8String binary compare
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (u8lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && u8lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((l, r), n) = best
+        merges += ((l, r, n))
+        // the distributed mergePass verbatim: walk left to right, merging
+        // (l, r) when the accumulated tail is l — a merged l+r becomes the
+        // tail, so overlapping occurrences never double-merge
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (out.nonEmpty && out.last == l && syms(i) == r)
+              out(out.length - 1) = l + r
+            else out += syms(i)
+            i += 1
+          }
+          (out.toArray, f)
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
   /** Full BPE merge-list training (Sennrich et al., 2016): `numMerges`
     * rounds of count-pairs → adopt the argmax (count desc, pair
     * lexicographic — fully deterministic) → re-segment. Returns the ordered
@@ -499,8 +569,8 @@ object TextStats {
     * of re-running r rounds of lineage); the driver holds one argmax row
     * per round. The corpus itself is scanned exactly once regardless of
     * `numMerges`. */
-  def trainBpe(docs: DataFrame,
-      numMerges: Int = BpeDefaultMerges): Seq[(String, String, Long)] = {
+  def trainBpe(docs: DataFrame, numMerges: Int = BpeDefaultMerges,
+      localVocabCap: Long = BpeLocalVocabCap): Seq[(String, String, Long)] = {
     // x20's checkpoint hygiene: lazy checkpoints (the round's argmax is the
     // materializing action — one Spark job per round), each superseded
     // round's blocks freed through its RDD as soon as the NEXT round has
@@ -522,6 +592,26 @@ object TextStats {
       .select(split(col("w"), "").as("syms"), col("freq"))
       .localCheckpoint(false)
     var wordsRdd = ckRdd(words)
+    // SMALL-VOCAB fast path (r20): the training loop only ever touches the
+    // distinct-WORD table, and each round is one whole-cluster job over it
+    // — 9 serial job round-trips at 8 merges, ~1 s of pure scheduling when
+    // the table is tiny (the bench corpus has 31 distinct words). When the
+    // materialized vocabulary fits the driver comfortably, collect it once
+    // and run the identical argmax/merge arithmetic in memory: 2 jobs
+    // (count + collect) regardless of numMerges. Ties break by UNSIGNED
+    // UTF-8 byte order — exactly Spark's string ordering (UTF8String
+    // binary compare), NOT java.lang.String's UTF-16 order, so the local
+    // argmax can never pick a different pair (referee-pinned equality on
+    // random corpora incl. a forced-distributed run, RetrievalSpec). At a
+    // real corpus's vocabulary (≥ millions) the distributed loop below
+    // runs unchanged.
+    val nWords = words.count() // also materializes the lazy checkpoint
+    if (nWords <= localVocabCap) {
+      val local = words.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      wordsRdd.unpersist(false)
+      return trainBpeLocal(local, numMerges)
+    }
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false

@@ -379,6 +379,23 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("trainBpe: the driver-local small-vocab fast path equals the " +
+      "distributed loop merge-for-merge on random corpora (r20)") {
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcde"
+      val corpus = Seq.fill(50)(
+        Seq.fill(1 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(5))).mkString)
+          .mkString(" "))
+      val d = docs(corpus.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+      // localVocabCap = 0 forces the distributed per-round loop; the
+      // default takes the collected fast path — same merges, same counts
+      TextStats.trainBpe(d, numMerges = 6) shouldBe
+        TextStats.trainBpe(d, numMerges = 6, localVocabCap = 0L)
+    }
+  }
+
   test("trainBpe stops early when no pair remains; single-char corpus trains nothing") {
     val d = docs(1L -> "a b", 2L -> "c")
     TextStats.trainBpe(d, numMerges = 4) shouldBe Seq.empty
