@@ -90,8 +90,23 @@ object Dress {
       .groupBy(concat(lit("batch-"), (col("event_id") % 8).cast("string")).as("id"))
       .agg(count(lit(1)).as("c"))
 
-  /** Latest (compacted) notification snapshot — one row per batch, current status. */
+  /** Latest (compacted) notification snapshot — one row per batch, current
+    * status. COLLECTED to a local relation at construction (r20): the
+    * 8-row snapshot embeds a real per-batch count aggregate over the
+    * events table, and as a lazy frame that subtree was physically
+    * instantiated in EVERY consumer — each control-plane query evaluated
+    * the scan+dress+count pipeline twice (validate's broadcast side AND
+    * the decide/meta join side; Spark plans share no common subtrees).
+    * Eight rows is the bounded-driver-artifact envelope (the rm3 weight
+    * sheet / centroid pattern); eager-snapshot semantics apply as there. */
   def batches(spark: SparkSession, sfDir: String): DataFrame = {
+    val lazyB = batchesLazy(spark, sfDir)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        lazyB.collect(): _*)), lazyB.schema)
+  }
+
+  private def batchesLazy(spark: SparkSession, sfDir: String): DataFrame = {
     val i = col("i")
     spark.range(8).select(col("id").cast("int").as("i"))
       .select(

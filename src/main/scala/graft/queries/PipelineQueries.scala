@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def validated(spark: SparkSession, dir: String): DataFrame =
+    validatedWith(spark, dir, Dress.batches(spark, dir))
+
+  /** [[validated]] over a caller-built batches snapshot: batches collects
+    * at construction (see [[Dress.batches]]), so a query that needs it in
+    * TWO places (validate's broadcast side and a meta/decide join) must
+    * build it once and pass it here — two `Dress.batches` calls would pay
+    * the 8-row collect job twice per construction (r20). */
+  private def validatedWith(spark: SparkSession, dir: String,
+      batches: DataFrame): DataFrame =
     ValidationEngine.validate(
-      Dress.records(spark, dir), Dress.batches(spark, dir), new JsonValidator)
+      Dress.records(spark, dir), batches, new JsonValidator)
 
   /** D1 — identity projection of the record plane (deserializer is a no-op shim). */
   def d1RecordProjection(spark: SparkSession, dir: String): DataFrame =
@@ -134,16 +143,22 @@ object PipelineQueries {
 
   /** T2 — counters joined with latest notification metadata. */
   def t2CountsWithMeta(spark: SparkSession, dir: String): DataFrame =
-    TrackerBatch.counts(ValidationEngine.countsOutput(validated(spark, dir)))
-      .join(Dress.batches(spark, dir), "id")
+    {
+      val b = Dress.batches(spark, dir)
+      TrackerBatch.counts(
+        ValidationEngine.countsOutput(validatedWith(spark, dir, b)))
+        .join(b, "id")
+    }
       .select(col("id"), col("valid"), col("invalid"), col("status"),
         col("expectedRecordCount").as("expected_record_count"))
 
   /** T2–T8 — the full tracker decision (flagship). */
-  def t4CompleteDecision(spark: SparkSession, dir: String): DataFrame =
+  def t4CompleteDecision(spark: SparkSession, dir: String): DataFrame = {
+    // one collected batches snapshot for both consumers (see validatedWith)
+    val b = Dress.batches(spark, dir)
     TrackerBatch.decide(
-      ValidationEngine.countsOutput(validated(spark, dir)),
-      Dress.batches(spark, dir))
+      ValidationEngine.countsOutput(validatedWith(spark, dir, b)), b)
+  }
 
   /** T3 — threshold-fail slice of the decision. */
   def t3ThresholdFail(spark: SparkSession, dir: String): DataFrame =

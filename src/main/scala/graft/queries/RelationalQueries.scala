@@ -39,7 +39,23 @@ object RelationalQueries {
   def q2TopkRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(12,2)") - dec2(col("l_discount"))))
+      // revenue in exact integer 10⁻⁴ units (the x60 long-kernel pattern,
+      // r20): dec2(price)·100 and dec2(1−disc)·100 are compact-long
+      // decimals (precision ≤ 18 — no BigDecimal anywhere on the row
+      // path), their long product is the exact 4-dp value ×10⁴, and the
+      // long sum replaces the decimal(38,4) buffer whose every add
+      // allocated (measured: the partial aggregate was 6.1 s of the
+      // plan's task time at sf0.1). The one exact 10⁻⁴ rescale per GROUP
+      // reconstructs the same decimal → double bit-for-bit. Overflow
+      // headroom: a group is one order (≤ 7 lineitems × < 10⁹ per row);
+      // this kernel is per-order-bounded — q1/q3's whole-table groups
+      // keep the decimal sum, whose long twin could overflow at extreme
+      // row counts (ANSI would be loud, but the decimal form is the
+      // scale-correct one there).
+      .agg((sum((dec2(col("l_extendedprice")) * 100).cast("long") *
+          ((lit(BigDecimal(1)).cast("decimal(12,2)") -
+            dec2(col("l_discount"))) * 100).cast("long"))
+          .cast("decimal(24,0)") * lit(new java.math.BigDecimal("0.0001")))
         .cast("decimal(26,4)").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
