@@ -791,10 +791,10 @@ object Retrieval {
     * expansion source — the whole point is terms OUTSIDE the query
     * vocabulary, so pass 1's pruned postings cannot supply them); the
     * expanded weight sheet ((|sheet| × (qlen + fbTerms))-bounded) is
-    * assembled driver-side and broadcasts — one build, ReuseExchange-folded
-    * — into the second scoring pass's vocabulary prune AND sheet join,
-    * which aggregate and rank exactly like [[bm25TopK]] ([[scoreAndRank]]'s
-    * fan-out discipline, including the explicit repartition).
+    * assembled driver-side and enters the second scoring pass as literals —
+    * the vocabulary prune is one map-contains probe per token and the
+    * scoring is [[scoreTail]]'s dense slot kernel (r20): no sheet join,
+    * no broadcast build, aggregate and rank exactly like [[bm25TopK]].
     *
     * Determinism / oracle parity: RM1 contributions are rounded to 9 dp and
     * DECIMAL-summed (x19's trick), then carried as exact integer NANO-units;
